@@ -1,0 +1,22 @@
+"""bento_spark — a PySpark-native analytics/stream-processing engine.
+
+A from-scratch engine with the query and data-processing capabilities of
+the reference stream processor (warpstreamlabs/bento): declarative YAML
+pipelines of source → processors → sink, a Bloblang-compatible expression
+language compiled to ``pyspark.sql.Column`` trees (so Catalyst/Tungsten do
+the heavy lifting), and a library of large-scale training-data operators
+(dedup, similarity search, text analysis) designed for 100 TB scale.
+
+Architecture (Spark-first, NOT a port of the reference's Go engine):
+
+- sources/  config -> batch DataFrame or readStream
+- bloblang/ Bloblang parser + compiler -> Column expressions (UDF fallback)
+- operators/ processors as DataFrame -> DataFrame transforms over a
+  canonical envelope (value/metadata/error columns)
+- sinks/    writers incl. switch/fallback/broker fan-out via foreachBatch
+- streaming/ window buffers -> window()/watermark, stateful dedupe
+- functions/ analytics library: text stats, minhash/simhash dedup, ANN
+- plans/    YAML pipeline spec -> DataFrame DAG builder
+"""
+
+__version__ = "0.1.0"

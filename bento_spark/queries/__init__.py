@@ -1,0 +1,42 @@
+"""Query registry: every implemented operator exposes a named query.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable plus (where
+SQL-expressible) a DuckDB oracle SQL string computing the same result with
+the same column names. The driver hash-compares the two at sf=0.01; this
+registry is therefore the engine's correctness surface (SURVEY.md §2).
+
+Modules register themselves on import.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query implementation and its (optional) DuckDB oracle."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import all query modules (idempotent)."""
+    from bento_spark.queries import (  # noqa: F401
+        dedup,
+        processors,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )

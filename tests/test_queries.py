@@ -1,0 +1,35 @@
+"""Every registered query runs at sf0.001 and (when an oracle exists)
+matches DuckDB exactly — the same gate the driver applies at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+from tools.check import rows_canon
+
+QS = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns
+
+
+@pytest.mark.parametrize("name", sorted(QS))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QS[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        assert srows is not None
+        return
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert rows_canon(scols, srows) == rows_canon(dcols, drows)
