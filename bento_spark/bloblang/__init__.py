@@ -1,0 +1,20 @@
+"""Bloblang -> pyspark.sql.Column compiler.
+
+The reference interprets Bloblang per message with a tree-walking
+evaluator (internal/bloblang/mapping/executor.go:42-65, query AST
+internal/bloblang/query/package.go:5-31). Here a mapping compiles ONCE
+to Column expression trees; Catalyst then does constant folding,
+common-subexpression handling and whole-stage codegen — the scalar hot
+path never touches Python.
+
+Public surface:
+    compile_expr("this.a + 1")          -> Column factory
+    compile_mapping(src)                -> MappingPlan (ordered column
+                                           assignments, meta writes,
+                                           drop condition)
+    MappingPlan.apply(df)               -> DataFrame
+"""
+
+from bento_spark.bloblang.compiler import MappingPlan, compile_expr, compile_mapping
+
+__all__ = ["MappingPlan", "compile_expr", "compile_mapping"]

@@ -1,0 +1,126 @@
+"""Bloblang AST nodes (re-derived from the reference's grammar:
+internal/bloblang/parser/query_parser.go, mapping_parser.go)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    pass
+
+
+@dataclass
+class Lit(Node):
+    value: object  # int | float | str | bool | None
+
+
+@dataclass
+class ArrayLit(Node):
+    items: list[Node]
+
+
+@dataclass
+class ObjectLit(Node):
+    entries: list[tuple[Node, Node]]
+
+
+@dataclass
+class This(Node):
+    """`this` / bare context — the whole document."""
+
+
+@dataclass
+class Path(Node):
+    """this.a.b / a.b field access chain (relative to `base`)."""
+
+    base: Node
+    parts: list[str]
+
+
+@dataclass
+class Index(Node):
+    base: Node
+    index: Node
+
+
+@dataclass
+class Var(Node):
+    """`$name` let-variable or lambda parameter reference."""
+
+    name: str
+
+
+@dataclass
+class FuncCall(Node):
+    name: str
+    args: list[Node] = field(default_factory=list)
+
+
+@dataclass
+class MethodCall(Node):
+    recv: Node
+    name: str
+    args: list[Node] = field(default_factory=list)
+
+
+@dataclass
+class BinOp(Node):
+    op: str
+    left: Node
+    right: Node
+
+
+@dataclass
+class UnOp(Node):
+    op: str
+    operand: Node
+
+
+@dataclass
+class If(Node):
+    cond: Node
+    then: Node
+    orelse: Node | None
+
+
+@dataclass
+class Match(Node):
+    """match <subject> { cond|literal => expr, _ => expr }"""
+
+    subject: Node | None
+    cases: list[tuple[Node | None, Node]]  # (None = default)
+
+
+@dataclass
+class Lambda(Node):
+    params: list[str]
+    body: Node
+
+
+# ---- mapping statements ------------------------------------------------
+
+
+@dataclass
+class Assign(Node):
+    """root.path = expr  (target=() means root itself)."""
+
+    target: tuple[str, ...]
+    expr: Node
+
+
+@dataclass
+class MetaAssign(Node):
+    key: str
+    expr: Node
+
+
+@dataclass
+class LetAssign(Node):
+    name: str
+    expr: Node
+
+
+@dataclass
+class MappingAST(Node):
+    statements: list[Node]

@@ -1,0 +1,383 @@
+"""Bloblang AST -> pyspark.sql.Column compiler.
+
+Replaces the reference's per-message tree-walking interpreter
+(internal/bloblang/mapping/executor.go:115 MapPart) with one-time
+compilation to Column expression trees (SURVEY §3.2: "the single most
+important design decision"). `let` variables are inlined (Catalyst
+dedups common subexpressions); lambdas become higher-order-function
+lambdas; `deleted()` at root becomes the mapping's drop condition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bento_spark.bloblang import ast as A
+from bento_spark.bloblang.parser import parse_expr, parse_mapping
+from bento_spark.bloblang.stdlib import FUNCTIONS, METHODS
+
+
+class CompileError(ValueError):
+    pass
+
+
+class _Deleted:
+    """Sentinel: expression is `deleted()` (value/type_helpers.go:74)."""
+
+
+DELETED = _Deleted()
+
+
+@dataclass
+class Env:
+    """Compilation environment: lambda params + inlined let vars, plus an
+    optional target DataFrame for schema-aware resolution (missing
+    fields -> NULL like the reference; type-dispatched methods)."""
+
+    vars: dict[str, Column] = field(default_factory=dict)
+    df: object = None  # DataFrame | None
+
+    def child(self, more: dict[str, Column]) -> "Env":
+        return Env({**self.vars, **more}, self.df)
+
+
+def _type_of(env: Env, col: Column):
+    """Best-effort analysis-time type of an expression (None inside
+    lambda bodies, where lambda variables can't be resolved)."""
+    if env.df is None:
+        return None
+    try:
+        return env.df.select(col.alias("__t")).schema[0].dataType
+    except Exception:  # noqa: BLE001 - unresolvable (lambda vars etc.)
+        return None
+
+
+def compile_node(node: A.Node, env: Env) -> Column:
+    if isinstance(node, A.Lit):
+        return F.lit(node.value)
+    if isinstance(node, A.ArrayLit):
+        return F.array(*[compile_node(i, env) for i in node.items])
+    if isinstance(node, A.ObjectLit):
+        cols = []
+        for k, v in node.entries:
+            if not isinstance(k, A.Lit) or not isinstance(k.value, str):
+                raise CompileError("object keys must be string literals")
+            cols.append(compile_node(v, env).alias(k.value))
+        return F.struct(*cols)
+    if isinstance(node, A.This):
+        if "this" in env.vars:
+            return env.vars["this"]
+        raise CompileError(
+            "`this` as a whole document has no column form here; use this.<field>"
+        )
+    if isinstance(node, A.Path):
+        # naked single-part paths may be lambda params / let vars
+        if isinstance(node.base, A.This):
+            head, *rest = node.parts
+            if head in env.vars:
+                col = env.vars[head]
+            elif "this" in env.vars:
+                col = env.vars["this"][head]
+            elif env.df is not None and head not in env.df.columns:
+                # absent field reads as null (value/type_helpers.go
+                # IGet* semantics), not an analysis error
+                return F.lit(None)
+            else:
+                col = F.col(head)
+            for p in rest:
+                col = col[p]
+            return col
+        col = compile_node(node.base, env)
+        for p in node.parts:
+            col = col[p]
+        return col
+    if isinstance(node, A.Index):
+        base = compile_node(node.base, env)
+        idx = compile_node(node.index, env)
+        # 0-based, null on out-of-bounds (methods_structured.go index)
+        return F.try_element_at(base, idx + F.lit(1))
+    if isinstance(node, A.Var):
+        if node.name not in env.vars:
+            raise CompileError(f"unknown variable ${node.name}")
+        return env.vars[node.name]
+    if isinstance(node, A.UnOp):
+        v = compile_node(node.operand, env)
+        return ~v if node.op == "!" else -v
+    if isinstance(node, A.BinOp):
+        left = compile_node(node.left, env)
+        right = compile_node(node.right, env)
+        return _binop(node.op, left, right)
+    if isinstance(node, A.If):
+        cond = compile_node(node.cond, env)
+        then = compile_node(node.then, env)
+        if isinstance(node.orelse, A.Node):
+            return F.when(cond, then).otherwise(compile_node(node.orelse, env))
+        return F.when(cond, then)
+    if isinstance(node, A.Match):
+        return _compile_match(node, env)
+    if isinstance(node, A.FuncCall):
+        return _compile_func(node, env)
+    if isinstance(node, A.MethodCall):
+        return _compile_method(node, env)
+    if isinstance(node, A.Lambda):
+        raise CompileError("lambda only valid as a higher-order method argument")
+    raise CompileError(f"cannot compile node {node!r}")
+
+
+def _binop(op: str, left: Column, right: Column) -> Column:
+    if op == "+":
+        return left + right
+    if op == "-":
+        return left - right
+    if op == "*":
+        return left * right
+    if op == "/":
+        return left / right
+    if op == "%":
+        return left % right
+    if op == "==":
+        return left == right
+    if op == "!=":
+        return left != right
+    if op == ">":
+        return left > right
+    if op == "<":
+        return left < right
+    if op == ">=":
+        return left >= right
+    if op == "<=":
+        return left <= right
+    if op == "&&":
+        return left & right
+    if op == "||":
+        return left | right
+    if op == "|":  # coalesce pipe (arithmetic.go:18-33)
+        return F.coalesce(left, right)
+    raise CompileError(f"unknown operator {op}")
+
+
+def _compile_match(node: A.Match, env: Env) -> Column:
+    subj = compile_node(node.subject, env) if node.subject is not None else None
+    expr: Column | None = None
+    default: Column | None = None
+    whens: list[tuple[Column, Column]] = []
+    for cond_node, value_node in node.cases:
+        if cond_node is None:
+            default = compile_node(value_node, env)
+            continue
+        cenv = env if subj is None else env.child({"this": subj})
+        cond = compile_node(cond_node, cenv)
+        # literal cases test equality against the subject
+        if subj is not None and isinstance(cond_node, A.Lit):
+            cond = subj == cond
+        whens.append((cond, compile_node(value_node, cenv)))
+    for i, (c, v) in enumerate(whens):
+        expr = F.when(c, v) if expr is None else expr.when(c, v)
+    if expr is None:
+        return default if default is not None else F.lit(None)
+    return expr.otherwise(default) if default is not None else expr
+
+
+def _compile_func(node: A.FuncCall, env: Env) -> Column:
+    if node.name == "deleted":
+        raise CompileError("deleted() is only valid as a whole root/field assignment")
+    if node.name == "meta":
+        if not node.args:
+            raise CompileError("meta() requires a key")
+        key = node.args[0]
+        if not isinstance(key, A.Lit):
+            raise CompileError("meta key must be a literal")
+        return F.col("_metadata")[key.value]
+    if node.name == "error":
+        return F.col("_error")
+    if node.name == "errored":
+        return F.col("_error").isNotNull()
+    if node.name == "content":
+        raise CompileError("content() requires the raw envelope; use this.<field>")
+    if node.name == "json":
+        if node.args and isinstance(node.args[0], A.Lit):
+            parts = str(node.args[0].value).split(".")
+            col = F.col(parts[0])
+            for p in parts[1:]:
+                col = col[p]
+            return col
+        raise CompileError("json() requires a literal path in column mode")
+    if node.name not in FUNCTIONS:
+        raise CompileError(f"unknown function {node.name}()")
+    _tier, fn = FUNCTIONS[node.name]
+    args = [_arg(a, env) for a in node.args]
+    return fn(*args)
+
+
+RAW_RECV_METHODS = {"format"}  # receiver consumed as a raw literal
+
+
+def _compile_method(node: A.MethodCall, env: Env) -> Column:
+    if node.name == "apply":
+        raise CompileError("named maps (`apply`) are inlined by compile_mapping")
+    if node.name not in METHODS:
+        raise CompileError(f"unknown method .{node.name}()")
+    if node.name in RAW_RECV_METHODS and isinstance(node.recv, A.Lit):
+        recv = node.recv.value
+    else:
+        recv = compile_node(node.recv, env)
+    if node.name == "length":
+        # Bloblang length() is polymorphic (strings AND arrays/maps);
+        # dispatch on the analyzed type, defaulting to string length
+        from pyspark.sql.types import ArrayType, MapType
+
+        t = _type_of(env, recv)
+        if isinstance(t, (ArrayType, MapType)):
+            return F.size(recv)
+        return F.length(recv)
+    _tier, fn = METHODS[node.name]
+    args = [_arg(a, env, recv_hint=node.name) for a in node.args]
+    return fn(recv, *args)
+
+
+def _arg(node: A.Node, env: Env, recv_hint: str | None = None):
+    """Method args: literals pass as Python values (some builders need
+    static strings/ints), lambdas become Column->Column callables."""
+    if isinstance(node, A.Lambda):
+        # pyspark validates HOF signatures: positional params only
+        if len(node.params) == 1:
+
+            def hof(a: Column) -> Column:
+                return compile_node(node.body, env.child({node.params[0]: a}))
+
+        elif len(node.params) == 2:
+
+            def hof(a: Column, b: Column) -> Column:
+                bound = dict(zip(node.params, (a, b)))
+                return compile_node(node.body, env.child(bound))
+
+        else:
+            raise CompileError("lambdas support 1 or 2 parameters")
+        return hof
+    if isinstance(node, A.Lit):
+        return node.value
+    return compile_node(node, env)
+
+
+@dataclass
+class MappingPlan:
+    """Parsed mapping; column compilation happens at apply() time so it
+    can resolve against the target schema (missing-field -> NULL,
+    type-dispatched methods)."""
+
+    ast: A.MappingAST
+    source: str
+
+    def compile_for(self, df: DataFrame | None):
+        """-> (assigns, meta, drop_when) compiled against df's schema."""
+        return _compile_statements(self.ast, Env({}, df))
+
+    def apply(self, df: DataFrame, new_document: bool = False) -> DataFrame:
+        """Run the mapping: `mutation` semantics by default, `mapping`
+        (new doc from only the assigned fields) with new_document."""
+        from bento_spark.operators.envelope import META, ensure_envelope
+
+        df = ensure_envelope(df)
+        assigns, meta, drop_when = self.compile_for(df)
+        if drop_when is not None:
+            df = df.filter(~F.coalesce(drop_when, F.lit(False)))
+        if new_document:
+            cols = [c.alias(n) for n, c in assigns]
+            out = df.select(*cols, F.col(META), F.col("_error"))
+        else:
+            out = df
+            for n, c in assigns:
+                out = out.withColumn(n, c)
+        if meta:
+            pairs: list[Column] = []
+            for k, v in meta.items():
+                pairs += [F.lit(k), v.cast("string")]
+            out = out.withColumn(META, F.map_concat(F.col(META), F.create_map(*pairs)))
+        return out
+
+
+def compile_expr(src: str, env: dict[str, Column] | None = None, df: DataFrame | None = None) -> Column:
+    """Compile a Bloblang expression to a Column."""
+    return compile_node(parse_expr(src), Env(env or {}, df))
+
+
+def compile_mapping(src: str) -> MappingPlan:
+    """Parse a Bloblang mapping (sequence of root/meta/let statements);
+    compilation to Columns is deferred to apply()/compile_for(df)."""
+    return MappingPlan(parse_mapping(src), src)
+
+
+def _compile_statements(ast: A.MappingAST, env: Env):
+    """Statement ordering follows executor.go:42-65: later statements see
+    earlier assignments (we substitute the compiled expression — later
+    references to an assigned field reuse its Column tree; Catalyst
+    dedups the shared subtrees).
+    """
+    assigns: list[tuple[str, Column]] = []
+    assigned: dict[str, Column] = {}
+    meta: dict[str, Column] = {}
+    drop_when: Column | None = None
+    for stmt in ast.statements:
+        if isinstance(stmt, A.LetAssign):
+            env = env.child({stmt.name: compile_node(stmt.expr, env)})
+            continue
+        if isinstance(stmt, A.MetaAssign):
+            meta[stmt.key] = compile_node(stmt.expr, _with_assigned(env, assigned))
+            continue
+        if isinstance(stmt, A.Assign):
+            e2 = _with_assigned(env, assigned)
+            if _is_deleted(stmt.expr):
+                if stmt.target == ():
+                    raise CompileError(
+                        "unconditional root = deleted() drops everything; "
+                        "use a conditional"
+                    )
+                raise CompileError("field deletion not yet supported")
+            if stmt.target == ():
+                dw = _root_delete_condition(stmt.expr, e2)
+                if dw is not None:
+                    drop_when = dw if drop_when is None else (drop_when | dw)
+                    continue
+                if isinstance(stmt.expr, A.ObjectLit):
+                    # root = {...}: each entry becomes a field assignment
+                    for k, v in stmt.expr.entries:
+                        if not isinstance(k, A.Lit) or not isinstance(k.value, str):
+                            raise CompileError("root object keys must be strings")
+                        col = compile_node(v, e2)
+                        assigns.append((k.value, col))
+                        assigned[k.value] = col
+                    continue
+                raise CompileError(
+                    "root assignment must be an object literal or a "
+                    "conditional deleted()"
+                )
+            if len(stmt.target) > 1:
+                raise CompileError("nested assignment targets not yet supported")
+            name = stmt.target[0]
+            col = compile_node(stmt.expr, e2)
+            assigns.append((name, col))
+            assigned[name] = col
+            continue
+        raise CompileError(f"unsupported statement {stmt!r}")
+    return assigns, meta, drop_when
+
+
+def _with_assigned(env: Env, assigned: dict[str, Column]) -> Env:
+    return env.child(assigned) if assigned else env
+
+
+def _is_deleted(node: A.Node) -> bool:
+    return isinstance(node, A.FuncCall) and node.name == "deleted"
+
+
+def _root_delete_condition(node: A.Node, env: Env) -> Column | None:
+    """`root = if <cond> { deleted() }` -> drop condition (SURVEY §1.3:
+    Delete at root = df.filter)."""
+    if isinstance(node, A.If) and _is_deleted(node.then) and node.orelse is None:
+        return compile_node(node.cond, env)
+    if isinstance(node, A.If) and node.orelse is not None and _is_deleted(node.orelse):
+        return ~compile_node(node.cond, env)
+    return None

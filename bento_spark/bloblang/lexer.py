@@ -1,0 +1,94 @@
+"""Bloblang tokenizer.
+
+Grammar source: the reference's parser combinators
+(internal/bloblang/parser/combinators.go, query_parser.go); this is a
+re-derivation of the token surface, not a translation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+TWO_CHAR = ("==", "!=", ">=", "<=", "&&", "||", "->", "=>")
+ONE_CHAR = "+-*/%()[]{},.:=<>!|#$_"
+KEYWORDS = {"if", "else", "match", "let", "meta", "root", "this", "true", "false", "null"}
+
+
+@dataclass
+class Tok:
+    kind: str  # num str ident kw op nl eof
+    text: str
+    pos: int
+
+
+class LexError(ValueError):
+    pass
+
+
+def lex(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c == "#":  # comment to EOL
+            while i < n and src[i] != "\n":
+                i += 1
+            continue
+        if c == "\n":
+            toks.append(Tok("nl", "\n", i))
+            i += 1
+            continue
+        if c in " \t\r":
+            i += 1
+            continue
+        if c == '"':
+            j, buf = i + 1, []
+            while j < n and src[j] != '"':
+                if src[j] == "\\" and j + 1 < n:
+                    esc = src[j + 1]
+                    buf.append(
+                        {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}.get(
+                            esc, esc
+                        )
+                    )
+                    j += 2
+                else:
+                    buf.append(src[j])
+                    j += 1
+            if j >= n:
+                raise LexError(f"unterminated string at {i}")
+            toks.append(Tok("str", "".join(buf), i))
+            i = j + 1
+            continue
+        if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
+            j = i
+            seen_dot = False
+            while j < n and (src[j].isdigit() or (src[j] == "." and not seen_dot)):
+                if src[j] == ".":
+                    # don't eat a method call: 1.abs()
+                    if j + 1 < n and not src[j + 1].isdigit():
+                        break
+                    seen_dot = True
+                j += 1
+            toks.append(Tok("num", src[i:j], i))
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (src[j].isalnum() or src[j] == "_"):
+                j += 1
+            word = src[i:j]
+            toks.append(Tok("kw" if word in KEYWORDS else "ident", word, i))
+            i = j
+            continue
+        if src[i : i + 2] in TWO_CHAR:
+            toks.append(Tok("op", src[i : i + 2], i))
+            i += 2
+            continue
+        if c in ONE_CHAR:
+            toks.append(Tok("op", c, i))
+            i += 1
+            continue
+        raise LexError(f"unexpected character {c!r} at {i}")
+    toks.append(Tok("eof", "", n))
+    return toks

@@ -1,0 +1,293 @@
+"""Bloblang Pratt parser: tokens -> AST.
+
+Operator precedence re-derives internal/bloblang/query/arithmetic.go
+(:18-33 operator set, :455-520 precedence restructuring): the pipe
+`|` (coalesce) binds loosest, then ||, &&, comparisons, + -, * / %.
+Method calls and field access are postfix; `$var`, `meta`, lambdas,
+`if`, `match` per internal/bloblang/parser/query_expression_parser.go.
+"""
+
+from __future__ import annotations
+
+from bento_spark.bloblang import ast as A
+from bento_spark.bloblang.lexer import Tok, lex
+
+
+class ParseError(ValueError):
+    pass
+
+
+PRECEDENCE = {
+    "|": 1,
+    "||": 2,
+    "&&": 3,
+    "==": 4,
+    "!=": 4,
+    ">": 5,
+    "<": 5,
+    ">=": 5,
+    "<=": 5,
+    "+": 6,
+    "-": 6,
+    "*": 7,
+    "/": 7,
+    "%": 7,
+}
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = [t for t in toks]
+        self.i = 0
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self, skip_nl: bool = True) -> Tok:
+        j = self.i
+        while skip_nl and self.toks[j].kind == "nl":
+            j += 1
+        return self.toks[j]
+
+    def next(self, skip_nl: bool = True) -> Tok:
+        while skip_nl and self.toks[self.i].kind == "nl":
+            self.i += 1
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.next()
+        if t.kind != kind or (text is not None and t.text != text):
+            raise ParseError(f"expected {text or kind}, got {t.text!r} at {t.pos}")
+        return t
+
+    def at(self, kind: str, text: str | None = None) -> bool:
+        t = self.peek()
+        return t.kind == kind and (text is None or t.text == text)
+
+    def eat(self, kind: str, text: str | None = None) -> bool:
+        if self.at(kind, text):
+            self.next()
+            return True
+        return False
+
+    # -- expressions -------------------------------------------------------
+    def expr(self, min_prec: int = 0) -> A.Node:
+        left = self.unary()
+        while True:
+            t = self.peek()
+            if t.kind != "op" or t.text not in PRECEDENCE:
+                break
+            prec = PRECEDENCE[t.text]
+            if prec < min_prec:
+                break
+            self.next()
+            right = self.expr(prec + 1)
+            left = A.BinOp(t.text, left, right)
+        return left
+
+    def unary(self) -> A.Node:
+        if self.at("op", "!"):
+            self.next()
+            return A.UnOp("!", self.unary())
+        if self.at("op", "-"):
+            self.next()
+            return A.UnOp("-", self.unary())
+        return self.postfix(self.primary())
+
+    def postfix(self, node: A.Node) -> A.Node:
+        while True:
+            # NOTE: no newline skipping before '.' — a newline ends a
+            # statement in a mapping, like the reference's parser.
+            t = self.peek(skip_nl=False)
+            if t.kind == "op" and t.text == ".":
+                self.next(skip_nl=False)
+                name = self.next()
+                if name.kind not in ("ident", "kw"):
+                    raise ParseError(f"expected field/method after '.' at {name.pos}")
+                if self.at("op", "("):
+                    node = A.MethodCall(node, name.text, self.call_args())
+                else:
+                    if isinstance(node, A.Path):
+                        node = A.Path(node.base, [*node.parts, name.text])
+                    else:
+                        node = A.Path(node, [name.text])
+                continue
+            if t.kind == "op" and t.text == "[":
+                self.next(skip_nl=False)
+                idx = self.expr()
+                self.expect("op", "]")
+                node = A.Index(node, idx)
+                continue
+            break
+        return node
+
+    def call_args(self) -> list[A.Node]:
+        self.expect("op", "(")
+        args: list[A.Node] = []
+        if not self.at("op", ")"):
+            while True:
+                args.append(self.lambda_or_expr())
+                if not self.eat("op", ","):
+                    break
+        self.expect("op", ")")
+        return args
+
+    def lambda_or_expr(self) -> A.Node:
+        # `x -> expr` lambda (query_expression_parser.go:219-224)
+        t = self.peek()
+        if t.kind == "ident":
+            j = self.i
+            while self.toks[j].kind == "nl":
+                j += 1
+            k = j + 1
+            while self.toks[k].kind == "nl":
+                k += 1
+            if self.toks[k].kind == "op" and self.toks[k].text == "->":
+                name = self.next().text
+                self.expect("op", "->")
+                return A.Lambda([name], self.expr())
+        return self.expr()
+
+    def primary(self) -> A.Node:
+        t = self.next()
+        if t.kind == "num":
+            return A.Lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "str":
+            return A.Lit(t.text)
+        if t.kind == "kw":
+            if t.text == "true":
+                return A.Lit(True)
+            if t.text == "false":
+                return A.Lit(False)
+            if t.text == "null":
+                return A.Lit(None)
+            if t.text in ("this", "root"):
+                return A.This()
+            if t.text == "if":
+                return self.if_expr()
+            if t.text == "match":
+                return self.match_expr()
+            if t.text == "meta":
+                if self.at("op", "("):
+                    args = self.call_args()
+                    return A.FuncCall("meta", args)
+                return A.FuncCall("meta", [])
+            raise ParseError(f"unexpected keyword {t.text!r} at {t.pos}")
+        if t.kind == "op" and t.text == "$":
+            name = self.expect("ident")
+            return A.Var(name.text)
+        if t.kind == "ident":
+            if self.at("op", "("):
+                return A.FuncCall(t.text, self.call_args())
+            # bare identifier = naked field path relative to `this`
+            # (mapping context), or a lambda param name resolved by the
+            # compiler's environment first
+            return A.Path(A.This(), [t.text])
+        if t.kind == "op" and t.text == "(":
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        if t.kind == "op" and t.text == "[":
+            items = []
+            if not self.at("op", "]"):
+                while True:
+                    items.append(self.expr())
+                    if not self.eat("op", ","):
+                        break
+            self.expect("op", "]")
+            return A.ArrayLit(items)
+        if t.kind == "op" and t.text == "{":
+            entries = []
+            if not self.at("op", "}"):
+                while True:
+                    k = self.expr()
+                    self.expect("op", ":")
+                    entries.append((k, self.expr()))
+                    if not self.eat("op", ","):
+                        break
+            self.expect("op", "}")
+            return A.ObjectLit(entries)
+        raise ParseError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def if_expr(self) -> A.Node:
+        cond = self.expr()
+        self.expect("op", "{")
+        then = self.expr()
+        self.expect("op", "}")
+        orelse = None
+        if self.at("kw", "else"):
+            self.next()
+            if self.at("kw", "if"):
+                self.next()
+                orelse = self.if_expr()
+            else:
+                self.expect("op", "{")
+                orelse = self.expr()
+                self.expect("op", "}")
+        return A.If(cond, then, orelse)
+
+    def match_expr(self) -> A.Node:
+        subject = None
+        if not self.at("op", "{"):
+            subject = self.expr()
+        self.expect("op", "{")
+        cases: list[tuple[A.Node | None, A.Node]] = []
+        while not self.at("op", "}"):
+            if self.at("ident") and self.peek().text == "_":
+                self.next()
+                cond = None
+            else:
+                cond = self.expr()
+            self.expect("op", "=>")
+            cases.append((cond, self.expr()))
+            self.eat("op", ",")
+        self.expect("op", "}")
+        return A.Match(subject, cases)
+
+    # -- mapping -----------------------------------------------------------
+    def mapping(self) -> A.MappingAST:
+        stmts: list[A.Node] = []
+        while not self.at("eof"):
+            if self.eat("nl"):
+                continue
+            stmts.append(self.statement())
+        return A.MappingAST(stmts)
+
+    def statement(self) -> A.Node:
+        if self.at("kw", "let"):
+            self.next()
+            name = self.expect("ident").text
+            self.expect("op", "=")
+            return A.LetAssign(name, self.expr())
+        if self.at("kw", "meta"):
+            self.next()
+            key = self.next()
+            if key.kind == "str" or key.kind == "ident":
+                self.expect("op", "=")
+                return A.MetaAssign(key.text, self.expr())
+            raise ParseError(f"expected meta key at {key.pos}")
+        if self.at("kw", "root"):
+            self.next()
+            parts: list[str] = []
+            while self.peek(skip_nl=False).kind == "op" and self.peek(
+                skip_nl=False
+            ).text == ".":
+                self.next(skip_nl=False)
+                parts.append(self.expect("ident").text)
+            self.expect("op", "=")
+            return A.Assign(tuple(parts), self.expr())
+        t = self.peek()
+        raise ParseError(f"expected statement, got {t.text!r} at {t.pos}")
+
+
+def parse_expr(src: str) -> A.Node:
+    p = Parser(lex(src))
+    e = p.expr()
+    if not p.at("eof"):
+        t = p.peek()
+        raise ParseError(f"trailing input at {t.pos}: {t.text!r}")
+    return e
+
+
+def parse_mapping(src: str) -> A.MappingAST:
+    return Parser(lex(src)).mapping()

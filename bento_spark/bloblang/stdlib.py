@@ -1,0 +1,220 @@
+"""Bloblang standard library: method/function registry -> Column builders.
+
+Coverage mirrors SURVEY.md §2.2's clusters (reference inventories:
+website/docs/guides/bloblang/functions.md 43 entries, methods.md 185;
+implementations internal/bloblang/query/methods*.go and
+internal/impl/pure/bloblang_*.go). Every entry declares a TIER:
+
+  a — single built-in Column function (JVM, codegen)
+  b — composite Column expression (still JVM-side)
+  c — Python/pandas UDF fallback (none registered yet; the hook exists)
+
+so coverage and hot-path purity are measurable (`tier_report()`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+def V(x):
+    """Value arg -> Column (several pyspark functions read bare strings
+    as column NAMES; Bloblang literal args are always values)."""
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+METHODS: dict[str, tuple[str, Callable]] = {}
+FUNCTIONS: dict[str, tuple[str, Callable]] = {}
+
+
+def method(name: str, tier: str):
+    def deco(fn):
+        METHODS[name] = (tier, fn)
+        return fn
+
+    return deco
+
+
+def function(name: str, tier: str):
+    def deco(fn):
+        FUNCTIONS[name] = (tier, fn)
+        return fn
+
+    return deco
+
+
+def tier_report() -> dict[str, dict[str, int]]:
+    out: dict[str, dict[str, int]] = {"methods": {}, "functions": {}}
+    for _, (tier, _fn) in METHODS.items():
+        out["methods"][tier] = out["methods"].get(tier, 0) + 1
+    for _, (tier, _fn) in FUNCTIONS.items():
+        out["functions"][tier] = out["functions"].get(tier, 0) + 1
+    return out
+
+
+# ---- string methods (methods_strings.go) --------------------------------
+
+method("uppercase", "a")(lambda c: F.upper(c))
+method("lowercase", "a")(lambda c: F.lower(c))
+method("capitalize", "a")(lambda c: F.initcap(c))
+method("trim", "a")(lambda c: F.trim(c))
+method("trim_prefix", "b")(
+    lambda c, p: F.when(
+        c.startswith(p), c.substr(F.length(V(p)) + 1, F.length(c))
+    ).otherwise(c)
+)
+method("trim_suffix", "b")(
+    lambda c, s: F.when(
+        c.endswith(s), c.substr(F.lit(1), F.length(c) - F.length(V(s)))
+    ).otherwise(c)
+)
+method("length", "a")(lambda c: F.length(c))
+method("contains", "a")(lambda c, sub: c.contains(sub))
+method("has_prefix", "a")(lambda c, p: c.startswith(p))
+method("has_suffix", "a")(lambda c, s: c.endswith(s))
+method("index_of", "b")(lambda c, sub: F.instr(c, sub) - 1)  # reference is 0-based
+method("slice", "b")(
+    lambda c, lo, hi=None: F.substring(c, lo + 1, (hi - lo) if hi is not None else 2**31 - 1)
+)
+method("split", "a")(lambda c, sep: F.split(c, sep, -1))
+method("replace_all", "a")(lambda c, a, b: F.replace(c, V(a), V(b)))
+method("re_replace_all", "a")(lambda c, p, r: F.regexp_replace(c, p, r))
+method("re_match", "a")(lambda c, p: c.rlike(p))
+method("re_find_all", "a")(lambda c, p: F.regexp_extract_all(c, p, F.lit(0)))
+method("repeat", "a")(lambda c, n: F.repeat(c, n))
+method("reverse", "a")(lambda c: F.reverse(c))
+method("quote", "b")(lambda c: F.concat(F.lit('"'), F.replace(c, F.lit('"'), F.lit('\\"')), F.lit('"')))
+# format: receiver must be a literal format string (Go %v -> printf %s);
+# the compiler passes literal receivers raw for RAW_RECV_METHODS
+method("format", "b")(
+    lambda fmt, *args: F.format_string(str(fmt).replace("%v", "%s"), *[V(a) for a in args])
+)
+method("string", "a")(lambda c: c.cast("string"))
+method("number", "a")(lambda c: c.cast("double"))
+method("bool", "a")(lambda c: c.cast("boolean"))
+method("bytes", "a")(lambda c: c.cast("binary"))
+
+# ---- encoding / hashing (bloblang_encoding.go, methods_strings.go) ------
+
+
+@method("encode", "b")
+def _encode(c: Column, scheme: str) -> Column:
+    if scheme == "base64":
+        return F.base64(c.cast("binary"))
+    if scheme == "hex":
+        return F.hex(c.cast("binary"))
+    raise ValueError(f"encode scheme {scheme!r} not supported")
+
+
+@method("decode", "b")
+def _decode(c: Column, scheme: str) -> Column:
+    if scheme == "base64":
+        return F.unbase64(c)
+    if scheme == "hex":
+        return F.unhex(c)
+    raise ValueError(f"decode scheme {scheme!r} not supported")
+
+
+@method("hash", "b")
+def _hash(c: Column, algo: str) -> Column:
+    algo = algo.lower()
+    if algo == "md5":
+        return F.md5(c.cast("binary"))
+    if algo == "sha1":
+        return F.sha1(c.cast("binary"))
+    if algo in ("sha256", "sha512"):
+        return F.sha2(c.cast("binary"), int(algo[3:]))
+    if algo == "xxhash64":
+        return F.xxhash64(c).cast("string")
+    raise ValueError(f"hash algo {algo!r} not supported")
+
+
+# ---- numbers (methods_numbers.go, bloblang_numbers.go) -------------------
+
+method("abs", "a")(lambda c: F.abs(c))
+method("ceil", "a")(lambda c: F.ceil(c))
+method("floor", "a")(lambda c: F.floor(c))
+method("round", "a")(lambda c, n=None: F.round(c, n if n is not None else 0))
+method("sqrt", "a")(lambda c: F.sqrt(c))
+method("log", "a")(lambda c: F.log(c))
+method("log10", "a")(lambda c: F.log10(c))
+method("pow", "a")(lambda c, e: F.pow(c, e))
+method("max", "b")(lambda c: F.array_max(c))  # array max (reference: numbers max)
+method("min", "b")(lambda c: F.array_min(c))
+method("int64", "a")(lambda c: c.cast("long"))
+method("int32", "a")(lambda c: c.cast("int"))
+method("float64", "a")(lambda c: c.cast("double"))
+method("float32", "a")(lambda c: c.cast("float"))
+
+# ---- timestamps (bloblang_time.go) ---------------------------------------
+
+method("ts_parse", "a")(lambda c, fmt: F.to_timestamp(c, fmt))
+method("ts_format", "a")(lambda c, fmt: F.date_format(c, fmt))
+method("ts_unix", "a")(lambda c: F.unix_timestamp(c))
+method("ts_unix_milli", "b")(lambda c: F.unix_millis(c.cast("timestamp")))
+method("ts_unix_micro", "b")(lambda c: F.unix_micros(c.cast("timestamp")))
+method("ts_round", "b")(lambda c, unit="hour": F.date_trunc(unit, c))
+method("ts_tz", "a")(lambda c, tz: F.from_utc_timestamp(c, tz))
+
+# ---- arrays / objects (methods_structured.go, bloblang_objects.go) -------
+
+method("append", "a")(lambda c, x: F.array_append(c, V(x)))
+method("concat", "a")(lambda c, *xs: F.concat(c, *xs))
+method("flatten", "a")(lambda c: F.flatten(c))
+method("unique", "a")(lambda c: F.array_distinct(c))
+method("sort", "a")(lambda c: F.array_sort(c))
+method("join", "a")(lambda c, sep: F.array_join(c, sep))
+method("keys", "a")(lambda c: F.map_keys(c))
+method("values", "a")(lambda c: F.map_values(c))
+method("not_empty", "b")(lambda c: F.when(F.size(c) > 0, c))
+method("index", "b")(lambda c, i: F.try_element_at(c, V(i + 1)))  # 0-based, null OOB
+method("first", "b")(lambda c: F.try_element_at(c, F.lit(1)))
+method("last", "b")(lambda c: F.try_element_at(c, F.lit(-1)))
+method("sum", "b")(
+    lambda c: F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+)
+method("map_each", "a")(lambda c, fn: F.transform(c, fn))
+method("filter", "a")(lambda c, fn: F.filter(c, fn))
+method("any", "a")(lambda c, fn: F.exists(c, fn))
+method("all", "a")(lambda c, fn: F.forall(c, fn))
+method("fold", "b")(lambda c, init, fn: F.aggregate(c, V(init), fn))
+method("zip", "a")(lambda c, other: F.arrays_zip(c, other))
+method("enumerated", "b")(
+    lambda c: F.zip_with(
+        F.sequence(F.lit(0), F.size(c) - 1),
+        c,
+        lambda i, v: F.struct(i.alias("index"), v.alias("value")),
+    )
+)
+method("merge", "a")(lambda c, other: F.map_concat(c, other))
+method("with", "b")(lambda c, *keys: F.map_filter(c, lambda k, _v: k.isin(*keys)))
+method("without", "b")(lambda c, *keys: F.map_filter(c, lambda k, _v: ~k.isin(*keys)))
+method("key_values", "a")(lambda c: F.map_entries(c))
+method("collapse", "b")(lambda c: F.to_json(c))
+method("explode_array", "a")(lambda c: F.explode(c))  # row-multiplying; mapping-level
+
+# ---- general / coercion (methods.go) -------------------------------------
+
+method("catch", "a")(lambda c, fallback: F.coalesce(c, V(fallback)))
+method("or", "a")(lambda c, fallback: F.coalesce(c, V(fallback)))
+method("not_null", "b")(lambda c: c)  # null flows to _error at try boundaries
+method("exists", "b")(lambda c, key: F.map_contains_key(c, key))
+method("type", "b")(lambda c: F.typeof(c))
+method("parse_json", "b")(lambda c, schema=None: F.from_json(c, schema) if schema else F.parse_json(c))
+method("format_json", "a")(lambda c: F.to_json(c))
+method("parse_csv", "b")(lambda c, schema: F.from_csv(c, schema))
+method("parse_url_query", "b")(lambda c: F.str_to_map(c, F.lit("&"), F.lit("=")))
+
+# ---- functions (functions.go) ---------------------------------------------
+
+function("now", "a")(lambda: F.current_timestamp())
+function("timestamp_unix", "a")(lambda: F.unix_timestamp())
+function("uuid_v4", "a")(lambda: F.uuid())
+function("random_int", "b")(lambda mx=2**31: (F.rand() * mx).cast("long"))
+function("range", "a")(lambda lo, hi, step=None: F.sequence(lo, hi - 1, step) if step is not None else F.sequence(lo, hi - 1))
+function("counter", "b")(lambda: F.monotonically_increasing_id())
+function("hostname", "b")(lambda: F.lit("localhost"))
+function("throw", "b")(lambda msg: F.raise_error(msg))
+function("deleted", "b")(lambda: F.lit(None))  # special-cased by the compiler

@@ -1,0 +1,2 @@
+"""Scalar/array function library: Spark Column builders with DuckDB SQL
+twins so queries and oracles are generated from the same parameters."""

@@ -1,0 +1,42 @@
+"""Portable hashing primitives shared by dedup/fingerprint operators.
+
+Two tiers (SURVEY.md §2.2 "hash" method cluster; reference impl:
+internal/impl/pure/bloblang_encoding.go hash/md5/sha/xxhash):
+
+* ``hash60`` — md5-based 60-bit hash computable bit-identically in Spark
+  AND DuckDB (the correctness-oracle path). 15 hex chars < 2^60 so the
+  result is always a positive BIGINT in both engines.
+* ``fast_hash64`` — Spark-native ``xxhash64`` (one JVM call, no hex
+  round-trip); the 100 TB production path where no cross-engine parity
+  is required. Operators take ``hasher=`` to pick.
+
+Each Spark Column builder has a ``*_sql`` twin emitting the equivalent
+DuckDB SQL fragment, generated from the same parameters, so query and
+oracle can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash60(col: Column, salt: str | None = None) -> Column:
+    """60-bit portable hash: int(md5(salt ':' s)[:15], 16)."""
+    if salt is not None:
+        col = F.concat(F.lit(f"{salt}:"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str, salt: str | None = None) -> str:
+    """DuckDB fragment computing exactly ``hash60``."""
+    if salt is not None:
+        expr = f"concat('{salt}:', {expr})"
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def fast_hash64(col: Column, salt: str | None = None) -> Column:
+    """Spark-native xxhash64 (seed 42) — the scale path, no oracle twin."""
+    if salt is not None:
+        return F.xxhash64(F.lit(salt), col)
+    return F.xxhash64(col)

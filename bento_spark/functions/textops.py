@@ -1,0 +1,126 @@
+"""Text primitives: tokenization, shingling, fingerprints, quality stats.
+
+Spark Column builders with DuckDB SQL twins (same parameters => same
+values), used by the dedup / text-analysis operators. All tier-a: pure
+``pyspark.sql.functions``, whole-stage-codegen-friendly, no Python UDFs.
+
+Reference parity: the reference has no text-analysis operators — these
+are the training-data-pipeline superset (SURVEY.md §7 phase 5); its
+closest primitives are Bloblang's ``split``/``slice``/``hash`` methods
+(internal/bloblang/query/methods_strings.go).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from bento_spark.functions.hashing import hash60, hash60_sql
+
+# BPE-ish surface tokenizer: letter runs, digit runs, single punctuation.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words(col: Column) -> Column:
+    """Whitespace word split (single-space corpus)."""
+    return F.split(col, " ")
+
+
+def words_sql(expr: str) -> str:
+    return f"string_split({expr}, ' ')"
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    Empty array when the text has fewer than ``n`` words (guards Spark's
+    descending-``sequence`` surprise when start > stop).
+    """
+    w = words(col)
+    sz = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_shingles_sql(expr: str, n: int = 3) -> str:
+    w = words_sql(expr)
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN list_distinct("
+        f"[array_to_string(({w})[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, len({w}) - {n - 2})]) "
+        f"ELSE [] END"
+    )
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def token_count_re(col: Column) -> Column:
+    """BPE-ish regex token count (letter runs / digit runs / punct)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def with_winnow_fingerprints(df, text_col: str, out_col: str = "fp", k: int = 5, w: int = 4):
+    """Add a winnowing-fingerprint column (Schleimer et al., SIGMOD'03):
+    hash all word k-grams, keep the min hash of every window of ``w``
+    consecutive k-gram hashes, distinct + sort. Robust to local edits;
+    the rolling-hash fingerprint of SURVEY.md §7 phase 5.
+
+    Takes/returns a DataFrame (not a Column) so the k-gram hash array is
+    materialized as a real column: referencing it from the window-min
+    lambda as an inline expression would re-evaluate ALL the hashing per
+    window position (O(n*w) md5s instead of O(n)).
+    """
+    empty = F.array().cast("array<long>")
+    tmp = df.withColumn("__wds", words(F.col(text_col)))
+    n = F.size(F.col("__wds"))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: hash60(F.concat_ws(" ", F.slice(F.col("__wds"), i, k))),
+        ),
+    ).otherwise(empty)
+    tmp = tmp.withColumn("__grams", grams)
+    ng = F.size(F.col("__grams"))
+    mins = F.when(
+        ng >= w,
+        F.transform(
+            F.sequence(F.lit(1), ng - (w - 1)),
+            lambda i: F.array_min(F.slice(F.col("__grams"), i, w)),
+        ),
+    ).otherwise(empty)
+    fp = F.array_sort(F.array_distinct(mins))
+    return tmp.withColumn(out_col, fp).drop("__wds", "__grams")
+
+
+def winnow_fingerprints_table_sql(
+    table: str, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> str:
+    """Full DuckDB query: (id, fp BIGINT[]) per row of ``table`` — an
+    uncorrelated CTE chain (a correlated scalar subquery here is ~50x
+    slower in DuckDB)."""
+    wrd = words_sql(text_col)
+    gram = hash60_sql(f"array_to_string(wds[i:i+{k - 1}], ' ')")
+    return f"""
+    WITH w0 AS (SELECT {id_col}, {wrd} AS wds FROM {table}),
+    g AS (
+      SELECT {id_col}, len(wds) AS nw,
+             CASE WHEN len(wds) >= {k}
+                  THEN [{gram} FOR i IN range(1, len(wds) - {k - 2})]
+                  ELSE [] END AS grams
+      FROM w0)
+    SELECT {id_col},
+           CASE WHEN nw >= {k + w - 1}
+                THEN list_sort(list_distinct(
+                  [list_min(grams[j:j+{w - 1}]) FOR j IN range(1, len(grams) - {w - 2})]))
+                ELSE [] END AS fp
+    FROM g
+    """

@@ -1,0 +1,54 @@
+"""Vector math over ``array<float|double>`` columns — tier-a (pure
+``pyspark.sql.functions`` higher-order funcs, no UDF, codegen-friendly).
+
+Sequential left-to-right double accumulation matches DuckDB's
+``list_reduce`` bit-for-bit, so cosine similarities can be oracle-checked
+exactly (after a defensive round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product. With a statically-known ``dim``, expands to a
+    whole-stage-codegen'd chain of getItem multiply-adds — Spark's
+    higher-order functions are interpreted per element (lambda eval),
+    ~100x slower in tight pair loops. The expansion is left-associative,
+    the same accumulation order as the HOF/list_reduce form, so results
+    are bit-identical either way."""
+    if dim is not None:
+        out = a.getItem(0) * b.getItem(0)
+        for i in range(1, dim):
+            out = out + a.getItem(i) * b.getItem(i)
+        return out
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2sq(a: Column, dim: int | None = None) -> Column:
+    return dot(a, a, dim)
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity of two double arrays."""
+    return dot(a, b, dim) / (F.sqrt(l2sq(a, dim)) * F.sqrt(l2sq(b, dim)))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_reduce(list_transform(range(1, len({a})+1), i -> ({a})[i] * ({b})[i]), (x, y) -> x + y)"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB fragment computing exactly ``cosine`` (same op order).
+
+    Operands must already be DOUBLE lists (cast with ``::DOUBLE[]``).
+    """
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"

@@ -1,0 +1,3 @@
+"""Dataflow operators: DataFrame -> DataFrame transforms implementing the
+reference's processor plane (SURVEY.md §2.1) plus the training-data
+superset (dedup / similarity / text analysis)."""

@@ -1,0 +1,355 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine. Training-data-pipeline superset of the reference's
+``dedupe`` processor (internal/impl/pure/processor_dedupe.go:81 — exact
+key lookup in a cache; no similarity dedup exists in the reference).
+
+Scale design (100 TB):
+* exact: one hash-shuffle on the content hash; map-side partial agg.
+* jaccard/minhash: inverted-index / band-bucket joins — candidate
+  generation never cross-joins the corpus. Hot shingles (stop-shingles)
+  can be capped with ``max_df`` to bound the worst bucket; AQE skew-join
+  handles residual skew.
+* simhash: pigeonhole banding — hamming <= (bands-1) pairs are found
+  EXACTLY; candidates share a band slice, verified by bit_count.
+* embedding: the exact O(n^2) variant is for oracle checks; the scale
+  path is LSH bucketing in operators/similarity.py.
+
+Expression-engineering note: intermediate arrays (shingle hashes,
+k-gram hashes) are materialized as real columns before any expression
+that references them repeatedly — a nested lambda re-evaluates its
+captured subtree PER ELEMENT, turning O(n) hashing into O(n*k).
+MinHash uses ONE md5 per shingle plus a universal-hash family
+h_i(x) = (a_i*x + b_i) mod p (p = 2^31-1, products < 2^62 — no
+overflow), not k independent md5s.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bento_spark.functions.hashing import fast_hash64, hash60
+from bento_spark.functions.textops import word_shingles
+from bento_spark.functions.vectors import as_double, cosine
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct content (lowest id), count the group.
+
+    Spark plan: project(md5) -> hash shuffle on digest -> partial+final agg.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    return df.groupBy(digest.alias("content_hash")).agg(
+        F.min(id_col).alias("kept_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def _base_hash(hasher: str, salt: str):
+    if hasher == "portable":
+        return lambda c: hash60(c, salt)
+    return lambda c: fast_hash64(c, salt)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs via inverted index.
+
+    candidate pairs = docs sharing >= 1 shingle (sufficient for J > 0);
+    |A ∩ B| from the index, |A|,|B| from per-doc sizes — exact Jaccard
+    without a cross join. ``max_df`` drops shingles hotter than the cap
+    (bounds bucket size at scale; changes semantics — off by default).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc", F.explode("sh").alias("s"))
+    if max_df is not None:
+        hot = inv.groupBy("s").count().filter(F.col("count") > max_df).select("s")
+        inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i) mod 2^31-1."""
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, MERSENNE31)), int(rng.integers(0, MERSENNE31)))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature_cols(hs_col: Column, coeffs: list[tuple[int, int]]) -> list[Column]:
+    """sig[i] = min over base hashes h of (a_i*(h mod p) + b_i) mod p.
+
+    ``hs_col`` must be an attribute reference (materialized column of
+    base hashes), not an inline expression — see module docstring.
+    """
+
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * (h % MERSENNE31) + F.lit(b)) % MERSENNE31
+
+    return [F.array_min(F.transform(hs_col, perm(a, b))) for a, b in coeffs]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.8,
+    hasher: str = "portable",
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+
+    rows-per-band r = num_hashes/bands; candidate prob at J is
+    1-(1-J^r)^b — with (64, 32): r=2, P(miss at J=0.8) = (1-0.64)^32
+    < 1e-13. Candidates come from an equi-join on (band, band_hash) — a
+    hash shuffle, never a cross join; verification computes exact
+    Jaccard on the candidate set only (array_intersect of shingle sets).
+    """
+    r = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes, seed)
+    base = _base_hash(hasher, "mh")
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hashed = sh.withColumn("hs", F.transform(F.col("sh"), base))
+    sig = hashed.withColumn(
+        "sig", F.array(*minhash_signature_cols(F.col("hs"), coeffs))
+    ).drop("hs")
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col("sig")[i * r + k].cast("string") for k in range(r)]
+                    )
+                ).alias("bh"),
+            )
+            for i in range(bands)
+        ]
+    )
+    # bucket WITHOUT the shingle arrays: exploding bands would copy each
+    # doc's array `bands` times through the shuffle; arrays are joined
+    # back only for the deduplicated candidate pairs.
+    buckets = sig.select("doc", F.explode(band_arr).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand = cand.join(sha, "doc_a").join(shb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return cand.select(
+        "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "sig",
+    n: int = 3,
+    bits: int = 32,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Add a SimHash column: bit j of the signature is the sign of the
+    sum of +-1 votes from bit j of each distinct shingle's hash. One
+    base hash per shingle, materialized before the per-bit aggregates."""
+    base = _base_hash(hasher, "sim")
+    tmp = df.withColumn("__hs", F.transform(word_shingles(F.col(text_col), n), base))
+
+    def vote(j: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    terms = [
+        F.when(
+            F.aggregate(F.col("__hs"), F.lit(0).cast("long"), vote(j)) > 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    sig = reduce(lambda x, y: x + y, terms)
+    return tmp.withColumn(out_col, sig).drop("__hs")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hasher: str = "portable",
+) -> DataFrame:
+    """SimHash near-dup pairs with EXACT recall for hamming <= bands-1.
+
+    Pigeonhole: if two ``bits``-bit signatures differ in < ``bands``
+    bits, at least one of ``bands`` equal-width slices is identical, so
+    an equi-join on (slice_idx, slice_value) finds every such pair.
+    """
+    assert max_hamming <= bands - 1, "pigeonhole recall needs max_hamming <= bands-1"
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = with_simhash(df, text_col, "sig", n, bits, hasher).select(
+        F.col(id_col).alias("doc"), "sig"
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("slice"),
+                F.shiftright("sig", i * width).bitwiseAND(F.lit(mask)).alias("sv"),
+            )
+            for i in range(bands)
+        ]
+    )
+    bucketed = sig.select("doc", "sig", F.explode(slices).alias("bk")).select(
+        "doc", "sig", "bk.slice", "bk.sv"
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.sv") == F.col("b.sv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    dim: int | None = None,
+    impl: str = "gemm",
+) -> DataFrame:
+    """Exact cosine near-dup pairs — O(n^2), inherently a small-corpus
+    op (every impl must touch all pairs); the 100 TB path is LSH
+    bucketing (operators/similarity.lsh_ann_topk) or minhash on text.
+
+    impl="gemm" (default): broadcast the normalized corpus matrix, then
+    one Arrow-batched mapInPandas stage computes block @ corpus.T with
+    BLAS — each partition emits only its surviving pairs. ~100x faster
+    than per-pair expressions: Spark has no native dot product, and a
+    BroadcastNestedLoopJoin blocks whole-stage codegen, leaving 64-term
+    expression trees interpreted per pair.
+
+    impl="expr": pure-expression variant (no Python), kept as the
+    engine-only reference path.
+    """
+    if impl == "expr":
+        return _embedding_cosine_pairs_expr(df, id_col, vec_col, threshold, dim)
+
+    import numpy as np
+    import pandas as pd
+
+    sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    rows = sdf.collect()  # corpus index build — the broadcast-dim pattern
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+    par = sc.defaultParallelism
+
+    def run(batches):
+        cids, cmat = b_ids.value, b_mat.value
+        for pdf in batches:
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ cmat.T
+            ia, ib = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < cids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ia],
+                    "id_b": cids[ib],
+                    "cos_sim": np.round(sims[ia, ib], 6),
+                }
+            )
+
+    return sdf.repartition(par).mapInPandas(
+        run, "id_a bigint, id_b bigint, cos_sim double"
+    )
+
+
+def _embedding_cosine_pairs_expr(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int | None,
+) -> DataFrame:
+    from bento_spark.functions.vectors import dot, l2sq
+
+    v = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", F.sqrt(l2sq(F.col("v"), dim)))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a, b = v.repartition(par).alias("a"), v.alias("b")
+    c = dot(F.col("a.v"), F.col("b.v"), dim) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(c, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

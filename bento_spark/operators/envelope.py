@@ -1,0 +1,56 @@
+"""Message envelope: how the reference's message model maps onto rows.
+
+The reference carries schemaless documents (raw bytes + lazy JSON +
+metadata + error flag — internal/message/part.go, data.go:6-17). This
+engine's canonical representation is the OPPOSITE of a blob: **the
+document is the typed row itself** — Catalyst sees every field, so
+pruning/pushdown/codegen all work. Two reserved columns carry the
+envelope semantics that don't fit the relational model:
+
+* ``_metadata MAP<STRING,STRING>`` — per-message metadata
+  (internal/message/part.go:124-148); sources populate it (file path,
+  kafka topic/offset...), interpolated sink options read from it.
+* ``_error STRING`` — the per-message error flag
+  (internal/message/part.go:67-77). NULL = ok. Processors are
+  error-transparent: a failed row is not dropped, it is flagged and
+  flows on (try/catch/reject_errored route on this column).
+
+Schemaless inputs (JSON lines, etc.) enter as a single ``value`` string
+column and are lifted to typed columns with ``from_json`` at the first
+mapping whose shape is known; fully-dynamic pipelines can keep VARIANT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+META = "_metadata"
+ERROR = "_error"
+RESERVED = (META, ERROR)
+
+
+def ensure_envelope(df: DataFrame) -> DataFrame:
+    """Add the reserved envelope columns if absent."""
+    out = df
+    if META not in df.columns:
+        out = out.withColumn(META, F.create_map().cast("map<string,string>"))
+    if ERROR not in out.columns:
+        out = out.withColumn(ERROR, F.lit(None).cast("string"))
+    return out
+
+
+def ok(df: DataFrame) -> Column:
+    """Predicate: message has no error."""
+    return F.col(ERROR).isNull()
+
+
+def guard(df: DataFrame, col: str, expr: Column) -> Column:
+    """Error-transparent assignment: leave failed rows untouched."""
+    prev = F.col(col) if col in df.columns else F.lit(None)
+    return F.when(ok(df), expr).otherwise(prev)
+
+
+def data_cols(df: DataFrame) -> list[str]:
+    """The non-envelope (document) columns."""
+    return [c for c in df.columns if c not in RESERVED]

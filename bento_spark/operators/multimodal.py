@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: images/audio/video as opaque BINARY
+columns + typed metadata, processed via Arrow-batched mapInPandas.
+
+The reference's nearest surface is the HuggingFace NLP processors
+(internal/impl/huggingface/processor_*.go — ONNX inference per
+message); this module is the training-data superset: decode /
+feature-extract / resize / frame-sample stages shaped for 100 TB.
+
+The actual codec layer is STUBBED — image/audio libraries are not in
+this container. ``fake_decode`` derives deterministic pseudo-metadata
+from the md5 of the payload (so the whole pipeline is oracle-checkable
+in DuckDB); ``pil_decode`` raises NotImplementedError until PIL is
+present. Everything else — schema, Arrow batch shape, partitioning,
+row-multiplying frame extraction — is the real distributed plumbing.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python
+overhead); stages are narrow (no shuffle) and preserve the input
+partitioning, so a decode+featurize pass over 100 TB is a single map
+stage bounded by `spark.sql.files.maxPartitionBytes` splits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, channels int, phash string"
+)
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, n_frames int, frame_hash string"
+
+
+def _h60(payload: bytes) -> int:
+    return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic STUB decoder: pseudo-dimensions from the content
+    hash. Replace with a real codec (PIL/ffmpeg) when available."""
+    h = _h60(payload)
+    return {
+        "width": 64 + h % 448,
+        "height": 64 + (h // 448) % 448,
+        "channels": 3,
+        "phash": hashlib.md5(payload).hexdigest()[:16],
+    }
+
+
+def pil_decode(payload: bytes) -> dict:  # pragma: no cover - stub
+    """Real image decode — requires PIL, not present in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode needs PIL; use fake_decode for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire PIL decode here")
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str, bin_col: str, decoder=fake_decode
+) -> DataFrame:
+    """Decode + feature-extract stage: BINARY -> typed feature row.
+
+    One Arrow-batched narrow map; schema is fixed so downstream plans
+    stay fully typed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(bytes(b)) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(bytes(b)) for b in pdf[bin_col]],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "phash": [f["phash"] for f in feats],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, bin_col: str, frame_bytes: int = 256, every_k: int = 2
+) -> DataFrame:
+    """Frame-sampling stage: one BINARY 'video' -> many frame rows.
+
+    Row-multiplying mapInPandas (the Spark shape for unarchive-style
+    1->N processors when the split logic needs Python); frames are
+    fixed-size byte windows, every ``every_k``-th kept.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(payload)
+                n_frames = max(1, (len(data) + frame_bytes - 1) // frame_bytes)
+                for i in range(0, n_frames, every_k):
+                    chunk = data[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(n_frames)
+                    out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+def attach_binary(df: DataFrame, text_col: str, out_col: str = "payload") -> DataFrame:
+    """Test helper: materialize a BINARY payload column from text (the
+    fixtures carry no real media; plumbing is payload-agnostic)."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Training-data superset (SURVEY.md §7 phase 5); nearest reference
+analogue is the HuggingFace feature-extraction processor
+(internal/impl/huggingface/processor_feature_extraction.go) which only
+PRODUCES embeddings — the reference has no vector search.
+
+Scale design (100 TB):
+* brute-force top-k: broadcast the (small) query set, stream the corpus
+  once — no corpus shuffle at all; per-partition partial top-k via the
+  window only shuffles (n_queries × k)-bounded data after AQE.
+* sign-LSH: deterministic random-hyperplane buckets; corpus is hashed
+  once (narrow), probing is an equi-join on bucket id with hamming-1
+  multiprobe for recall. Bucket count scales with corpus size; planes
+  are seeded constants so the index is reproducible across runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bento_spark.functions.vectors import as_double, cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k per query vector (the recall=1 baseline).
+
+    ``queries`` must be small (it is broadcast); the corpus is scanned
+    exactly once with no shuffle before the bounded top-k window. With
+    a static ``dim`` the dot product is codegen'd (see vectors.dot).
+    """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).repartition(par)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit j = (vec · plane_j) > 0."""
+    terms = []
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        terms.append(F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: sign-LSH bucketing + hamming-1 multiprobe.
+
+    The corpus is bucketed once (narrow map); each query probes its own
+    bucket plus the ``n_planes`` hamming-1 buckets, so the join touches
+    ~(1+n_planes)/2^n_planes of the corpus instead of all of it.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qbucket", lsh_bucket(F.col("qv"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+    else:
+        probes = F.array(F.col("qbucket"))
+    q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -34,6 +34,7 @@ def load_all() -> None:
     """Import all query modules (idempotent)."""
     from bento_spark.queries import (  # noqa: F401
         dedup,
+        multimodal,
         processors,
         relational,
         similarity,

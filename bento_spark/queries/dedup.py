@@ -1,1 +1,135 @@
-"""Placeholder — filled in as operators land."""
+"""Dedup queries over the `documents`/`embeddings` tables.
+
+Every oracle is generated from the SAME parameters as the Spark plan
+(shared constants + SQL twin builders in bento_spark.functions), so the
+driver's hash-compare checks algorithmic parity, not luck.
+
+The data (seed=42) has a planted near-dup cluster: top pair Jaccard
+~0.99 with a gap down to ~0.51, so threshold 0.8 separates exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.functions.hashing import hash60_sql
+from bento_spark.functions.textops import word_shingles_sql
+from bento_spark.functions.vectors import cosine_sql
+from bento_spark.operators import dedup as D
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+
+NGRAM = 3
+J_THRESHOLD = 0.8
+SIM_BITS = 32
+SIM_BANDS = 4
+SIM_MAX_HAMMING = 3
+COS_THRESHOLD = 0.4
+
+_SHINGLES = word_shingles_sql("text", NGRAM)
+
+_JACCARD_EXACT_SQL = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {J_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS kept_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (reference: processor_dedupe.go:81,
+    exact key semantics). One hash shuffle, map-side partial agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id").orderBy("content_hash")
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_EXACT_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard pairs via inverted index (no cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", NGRAM, J_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_EXACT_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(32 bands x 2 rows) candidates, verified with
+    exact Jaccard. Oracle is the brute-force exact pair set: at J>=0.8
+    the banding miss probability is (1-J^2)^32 < 1e-13, so LSH recall on
+    this (deterministic) corpus is exactly 1 and the outputs coincide."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", NGRAM, num_hashes=64, bands=32, threshold=J_THRESHOLD
+    ).orderBy("doc_a", "doc_b")
+
+
+_H = hash60_sql("s", "sim")
+_SIMHASH_SQL = f"""
+WITH hs AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> {_H}) AS hs FROM documents
+), sig AS (
+  SELECT doc_id, CAST(list_sum(
+    [CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+          THEN (1::BIGINT << j) ELSE 0::BIGINT END
+     FOR j IN range({SIM_BITS})]) AS BIGINT) AS sig
+  FROM hs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {SIM_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit over word-3gram shingles) pairs with hamming <= 3,
+    found via 4-slice pigeonhole banding (exact recall for hamming <= 3).
+    Oracle recomputes the identical signature in DuckDB SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    df = D.simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        NGRAM,
+        bits=SIM_BITS,
+        bands=SIM_BANDS,
+        max_hamming=SIM_MAX_HAMMING,
+    )
+    return df.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
+
+
+_COS = cosine_sql("a.v", "b.v")
+_EMB_COS_SQL = f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b, round({_COS}, 6) AS cos_sim
+FROM e a JOIN e b ON a.id < b.id
+WHERE round({_COS}, 6) >= {COS_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_COS_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (exact O(n^2) baseline; identical
+    double accumulation order in both engines => bitwise-equal sims)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", COS_THRESHOLD, dim=64
+    ).orderBy("id_a", "id_b")

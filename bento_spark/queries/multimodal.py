@@ -1,0 +1,59 @@
+"""Multimodal-plumbing queries: the mapInPandas decode/featurize/frame
+stages over synthesized BINARY payloads (documents.text bytes). The
+fake decoder is md5-deterministic, so even the stubbed pipeline is
+fully oracle-checked — the plumbing (Arrow batches, schemas, 1->N row
+explosion) is what's being verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bento_spark.operators import multimodal as M
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+
+
+@query(
+    "mm_image_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST(64 + h % 448 AS INT) AS width,
+           CAST(64 + (h // 448) % 448 AS INT) AS height,
+           3 AS channels,
+           substr(md5(text), 1, 16) AS phash
+    FROM (SELECT doc_id, text,
+                 CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode+featurize plumbing (Arrow-batched mapInPandas,
+    stubbed codec — operators/multimodal.py)."""
+    docs = M.attach_binary(_t(spark, sf_dir, "documents"), "text")
+    return M.extract_image_features(docs, "doc_id", "payload").orderBy("doc_id")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             greatest(1, CAST(ceil(strlen(text) / 256.0) AS INT)) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, i AS frame_idx, n_frames,
+           md5(substr(text, i * 256 + 1, 256)) AS frame_hash
+    FROM d, unnest(range(0, n_frames, 2)) AS t(i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1 binary -> N frame rows (every 2nd 256-byte
+    frame) via row-multiplying mapInPandas."""
+    docs = M.attach_binary(_t(spark, sf_dir, "documents"), "text")
+    return M.sample_frames(docs, "doc_id", "payload", 256, 2).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -1,1 +1,291 @@
-"""Placeholder — filled in as operators land."""
+"""Processor-plane queries over the `events` table — each demonstrates
+one reference processor (SURVEY.md §2.1) through the real operator
+library (bento_spark.operators.processors) with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.operators import processors as P
+from bento_spark.operators.envelope import ERROR
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+
+
+@query(
+    "proc_mapping_enrich",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           upper(event_type) AS kind,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(value AS DECIMAL(18,2)) AS amount,
+           CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events WHERE event_type <> 'error' ORDER BY event_id
+    """,
+)
+def proc_mapping_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapping`` processor (processor_mapping.go:15): new document from
+    computed fields; root=deleted() for error events (drop filter)."""
+    ev = _t(spark, sf_dir, "events")
+    out = P.mapping(
+        ev,
+        {
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "kind": F.upper("event_type"),
+            "k": F.get_json_object("props", "$.k").cast("int"),
+            "amount": F.col("value").cast("decimal(18,2)"),
+            "day": F.date_trunc("day", "ts").cast("date"),
+        },
+        drop_when=F.col("event_type") == "error",
+    )
+    return out.drop("_metadata", "_error").orderBy("event_id")
+
+
+@query(
+    "proc_switch_route",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' AND value >= 100 THEN 'high-value'
+                WHEN event_type = 'purchase' THEN 'purchase'
+                WHEN event_type IN ('signup', 'login') THEN 'account'
+                ELSE 'other' END AS route,
+           CASE WHEN event_type = 'purchase' AND value >= 100 THEN round(value * 0.1e0, 6)
+                WHEN event_type = 'purchase' THEN round(value * 0.05e0, 6)
+                ELSE 0.0e0 END AS commission
+    FROM events ORDER BY event_id
+    """,
+)
+def proc_switch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``switch`` processor (processor_switch.go:77): first-matching-case
+    routing compiled to when/otherwise chains."""
+    ev = _t(spark, sf_dir, "events")
+    hv = (F.col("event_type") == "purchase") & (F.col("value") >= 100)
+    pu = F.col("event_type") == "purchase"
+    acct = F.col("event_type").isin("signup", "login")
+    out = P.switch_cases(
+        ev,
+        [
+            (hv, {"route": F.lit("high-value"), "commission": F.round(F.col("value") * 0.1, 6)}),
+            (pu, {"route": F.lit("purchase"), "commission": F.round(F.col("value") * 0.05, 6)}),
+            (acct, {"route": F.lit("account"), "commission": F.lit(0.0)}),
+            (None, {"route": F.lit("other"), "commission": F.lit(0.0)}),
+        ],
+    )
+    return out.select("event_id", "route", "commission").orderBy("event_id")
+
+
+@query(
+    "proc_try_catch",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN -1
+                ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS k,
+           (event_id % 7 = 0) AS was_errored
+    FROM events ORDER BY event_id
+    """,
+)
+def proc_try_catch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``try``/``catch`` (processor_try.go:15, processor_catch.go:13):
+    rows with corrupt JSON get the error flag, recovery assigns a
+    default and clears it — the per-message error channel, no task
+    failures, no row loss."""
+    ev = _t(spark, sf_dir, "events")
+    # poison ~1/7 of the rows with truncated JSON
+    poisoned = P.mutation(
+        ev,
+        {
+            "props": F.when(
+                F.col("event_id") % 7 == 0, F.substring("props", 1, 3)
+            ).otherwise(F.col("props"))
+        },
+    )
+    tried = P.try_assign(
+        poisoned,
+        {"k": F.get_json_object("props", "$.k").cast("int")},
+        err_msg=F.lit("json parse failed"),
+    )
+    # mutation is error-transparent, so set the flag outside the guard:
+    flagged = tried.withColumn("was_errored", F.col(ERROR).isNotNull())
+    recovered = P.catch_errors(flagged, {"k": F.lit(-1)})
+    return recovered.select("event_id", "k", "was_errored").orderBy("event_id")
+
+
+@query(
+    "proc_dedupe_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def proc_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedupe`` processor (processor_dedupe.go:81): one survivor per
+    key, deterministic first-by-time semantics via window top-1."""
+    ev = _t(spark, sf_dir, "events")
+    out = P.dedupe(
+        ev, [F.col("user_id"), F.col("event_type")], order_by=[F.col("ts"), F.col("event_id")]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.col("ts").alias("first_ts"),
+    ).orderBy("user_id", "event_type")
+
+
+@query(
+    "proc_group_by_value",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def proc_group_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``group_by_value`` (processor_group_by_value.go:21) + Bloblang
+    from_all/sum collapse (SURVEY §2.5): one groupBy-agg replaces the
+    reference's three-stage window/group/fold idiom."""
+    ev = _t(spark, sf_dir, "events")
+    out = P.group_by_value(
+        ev,
+        F.col("event_type"),
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        ],
+    )
+    return out.orderBy("event_type")
+
+
+@query(
+    "proc_archive_roundtrip",
+    oracle="""
+    SELECT e.user_id, e.event_id, e.event_type,
+           CAST(e.value AS DECIMAL(18,2)) AS value,
+           c.n_items
+    FROM events e
+    JOIN (SELECT user_id, count(*) AS n_items FROM events GROUP BY user_id) c
+      USING (user_id)
+    ORDER BY event_id
+    """,
+)
+def proc_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``archive`` + ``unarchive`` format=json_array round-trip
+    (processor_archive.go:59, processor_unarchive.go:49): batch -> one
+    JSON-array message -> exploded back; the oracle is the identity,
+    proving the codec is lossless. value goes through DECIMAL so the
+    JSON text round-trip is exact."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    payload = F.struct("event_id", "event_type", F.col("value").cast("string").alias("value"))
+    arch = P.archive_json_array(
+        ev, F.col("user_id"), [F.col("event_id")], payload
+    )
+    un = P.unarchive_json_array(
+        arch.withColumnRenamed("group_key", "user_id"),
+        "archived",
+        "event_id bigint, event_type string, value string",
+    )
+    return un.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        "n_items",
+    ).orderBy("event_id")
+
+
+@query(
+    "proc_select_parts",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    QUALIFY row_number() OVER (ORDER BY event_id) IN (1, 2, 3, 10)
+    ORDER BY event_id
+    """,
+)
+def proc_select_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``select_parts`` (processor_select_parts.go:17): batch-positional
+    indexes [0,1,2,9] become an explicit ordering + row_number filter."""
+    ev = _t(spark, sf_dir, "events")
+    out = P.select_parts(ev, [F.col("event_id")], [0, 1, 2, 9])
+    return out.select("event_id", "event_type").orderBy("event_id")
+
+
+@query(
+    "proc_bounds_check",
+    oracle="""
+    SELECT event_id, value FROM events
+    WHERE value >= 10 AND value <= 500 ORDER BY event_id
+    """,
+)
+def proc_bounds_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bounds_check`` (processor_bounds_check.go:46): a pushdown-
+    friendly range filter (shows up as PushedFilters in the scan)."""
+    ev = _t(spark, sf_dir, "events")
+    out = P.bounds_check(ev, F.col("value"), 10, 500)
+    return out.select("event_id", "value").orderBy("event_id")
+
+
+@query(
+    "bloblang_mapping",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS kind,
+           CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS value_bucket,
+           'events-' || event_type AS tag,
+           value * 2 AS doubled
+    FROM events WHERE event_type <> 'error' ORDER BY event_id
+    """,
+)
+def bloblang_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloblang mapping compiled to Column expressions (SURVEY §3.2:
+    the tree-walking interpreter of mapping/executor.go:115 becomes
+    one-time compilation; Catalyst codegens the result)."""
+    from bento_spark.bloblang import compile_mapping
+
+    ev = _t(spark, sf_dir, "events")
+    plan = compile_mapping(
+        """
+# drop error events, reshape the rest
+root = if this.event_type == "error" { deleted() }
+root.event_id = this.event_id
+root.kind = this.event_type.uppercase()
+root.value_bucket = if this.value >= 100 { "high" } else { "low" }
+root.tag = "events-%v".format(this.event_type)
+root.doubled = this.value * 2
+"""
+    )
+    out = plan.apply(ev, new_document=False)
+    return out.select(
+        "event_id", "kind", "value_bucket", "tag", "doubled"
+    ).orderBy("event_id")
+
+
+@query(
+    "proc_metadata_topic",
+    oracle="""
+    SELECT event_id, 'events-' || event_type AS topic FROM events
+    ORDER BY event_id
+    """,
+)
+def proc_metadata_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated sink options ``${! meta("topic") }`` (SURVEY §2.2
+    field interpolation): the dynamic topic becomes a metadata entry,
+    read back as a column the sink consumes natively."""
+    ev = _t(spark, sf_dir, "events")
+    out = P.set_metadata(
+        ev, {"topic": F.concat(F.lit("events-"), F.col("event_type"))}
+    )
+    return out.select(
+        "event_id", F.col("_metadata")["topic"].alias("topic")
+    ).orderBy("event_id")

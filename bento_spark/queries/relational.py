@@ -22,7 +22,15 @@ from bento_spark.queries import query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) parquet arrives as long ns (legacy.parquet.
+    # nanosAsLong); truncate to micros with exact integer division —
+    # double division would lose precision at 1.7e18 — matching
+    # DuckDB's ns->us truncation on read.
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 @query(

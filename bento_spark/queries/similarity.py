@@ -1,1 +1,116 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity-search queries over the `embeddings` table.
+
+The brute-force top-k is the recall=1 baseline with a full algorithmic
+oracle; the LSH variant's oracle embeds the SAME deterministic
+hyperplanes as SQL literals, so even the approximate path is
+hash-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.functions.vectors import cosine_sql
+from bento_spark.operators import similarity as S
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+
+K = 10
+N_QUERIES = 5
+N_PLANES = 4
+DIM = 64
+SEED = 42
+
+
+def _f(x: float) -> str:
+    """Double literal that DuckDB parses as DOUBLE (scientific notation),
+    round-tripping exactly like Python repr / Spark lit."""
+    r = repr(x)
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ",".join(_f(x) for x in p) + "]::DOUBLE[]"
+
+
+def _dot_plane_sql(vec: str, plane: list[float]) -> str:
+    pl = _plane_sql(plane)
+    return (
+        f"list_reduce(list_transform(range(1, {len(plane) + 1}), "
+        f"i -> ({vec})[i] * ({pl})[i]), (x, y) -> x + y)"
+    )
+
+
+def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    terms = [
+        f"(CASE WHEN {_dot_plane_sql(vec, p)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS = cosine_sql("qv", "cv")
+
+_BRUTE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, round({_COS}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({_COS}, 6) DESC, neighbor_id) AS rank
+  FROM q, c WHERE query_id != neighbor_id
+) WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_brute_force_topk", oracle=_BRUTE_SQL)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries, one
+    corpus scan, bounded top-k window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    df = S.brute_force_topk(emb, queries, "vec_id", "embedding", K, dim=DIM)
+    return df.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def _lsh_oracle() -> str:
+    planes = S.hyperplanes(DIM, N_PLANES, SEED)
+    qb = _bucket_sql("qv", planes)
+    cb = _bucket_sql("cv", planes)
+    probes = ", ".join(
+        [f"{qb}"] + [f"xor({qb}::BIGINT, {1 << j})" for j in range(N_PLANES)]
+    )
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}),
+     q AS (SELECT query_id, qv, unnest([{probes}])::BIGINT AS bucket FROM q0),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                  {cb}::BIGINT AS bucket FROM embeddings)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, round({_COS}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({_COS}, 6) DESC, neighbor_id) AS rank
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+) WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_lsh_topk", oracle=_lsh_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH (4 deterministic hyperplanes) + hamming-1 multiprobe
+    approximate top-10. The oracle embeds the same planes as literals —
+    parity is algorithmic, including the bucketing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    df = S.lsh_ann_topk(
+        emb, queries, "vec_id", "embedding", K, N_PLANES, DIM, SEED, multiprobe=True
+    )
+    return df.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")

@@ -1,1 +1,166 @@
-"""Placeholder — filled in as operators land."""
+"""Windowing queries over `events` — the system_window buffer semantics
+(buffer_system_window.go:137) in batch mode. The window-assignment
+expressions are mode-independent, so these oracle-checked batch runs
+also pin down the streaming behavior (tests/test_streaming.py runs the
+same ops through readStream + availableNow and asserts equality).
+
+Window-boundary parity: Spark's window() aligns to the epoch; DuckDB's
+time_bucket aligns to 2000-01-01 — both are whole-unit aligned for
+hour/day sizes, and the sliding case is built from 15-minute buckets
+(epoch-divisible), so boundaries coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+from bento_spark.streaming import windows as W
+
+
+@query(
+    "window_tumbling_hour",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def window_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window x event_type — the reference's three-stage
+    window/group/fold idiom as one agg (SURVEY §2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.windowed_agg(
+        ev,
+        "ts",
+        W.tumbling("ts", "1 hour"),
+        [F.col("event_type")],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        ],
+    )
+    return out.select(
+        "window_start", "window_end", "event_type", "n", "total_value"
+    ).orderBy("window_start", "event_type")
+
+
+@query(
+    "window_sliding_hour",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - unnest([0,1,2,3]) * INTERVAL '15 minutes' AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM buckets
+    GROUP BY 1, 2 ORDER BY window_start
+    """,
+)
+def window_sliding_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour every 15 minutes (system_window `slide`,
+    buffer_system_window.go config :16-75). Each event lands in 4
+    windows; the oracle enumerates them with unnest."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.windowed_agg(
+        ev,
+        "ts",
+        W.sliding("ts", "1 hour", "15 minutes"),
+        [],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        ],
+    )
+    return out.select("window_start", "window_end", "n", "total_value").orderBy(
+        "window_start"
+    )
+
+
+@query(
+    "window_session_user",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n
+    FROM sessions GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
+def window_session_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — capability SUPERSET: the
+    reference has no session windows (SURVEY §2.5). Oracle is the
+    classic gaps-and-islands construction."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(W.session("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n",
+        )
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "dedupe_within_window",
+    oracle="""
+    SELECT user_id, event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_id AS first_event_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type,
+                                            time_bucket(INTERVAL '1 hour', ts)
+                               ORDER BY ts, event_id) = 1
+    ORDER BY user_id, event_type, window_start
+    """,
+)
+def dedupe_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded dedup — the batch analog of streaming
+    dropDuplicatesWithinWatermark (SURVEY §2.5 stateful ops): one
+    survivor per key per hour, deterministic first-by-time."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as Wnd
+
+    win = F.window("ts", "1 hour")
+    w = Wnd.partitionBy("user_id", "event_type", win).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            win["start"].alias("window_start"),
+            F.col("event_id").alias("first_event_id"),
+        )
+        .orderBy("user_id", "event_type", "window_start")
+    )

@@ -1,1 +1,213 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over the `documents` table: token stats,
+quality scoring, language ID, winnowing fingerprints.
+
+All tier-a (built-in functions, codegen-friendly); every oracle is
+generated from the same constants/SQL twins as the Spark plan. Spark
+Column expressions are built lazily inside the query functions (classic
+PySpark Columns need an active SparkContext); oracle SQL is pure string
+building at import time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.functions.textops import (
+    TOKEN_RE,
+    token_count_re,
+    token_count_ws,
+    winnow_fingerprints_table_sql,
+    with_winnow_fingerprints,
+    words,
+)
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+
+# stopword votes per language, fixed precedence for argmax ties
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "fr": ["le", "la", "et", "les", "un", "des", "du"],
+    "es": ["el", "la", "de", "y", "que", "los", "en"],
+    "de": ["der", "die", "und", "das", "ein", "mit", "von"],
+}
+LANG_ORDER = ["en", "fr", "es", "de"]
+CJK_RE = "[\\x{4e00}-\\x{9fff}]"
+FP_K, FP_W = 5, 4
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS re_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           round(length(text)::DOUBLE / len(regexp_extract_all(text, '{TOKEN_RE}')), 6)
+             AS chars_per_token
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts and chars/token ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    re_toks = token_count_re(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("ws_tokens"),
+        re_toks.alias("re_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.round(F.length("text") / re_toks, 6).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+def _quality_cols():
+    """Spark columns for the quality features (lazy — needs a session)."""
+    w = words(F.col("text"))
+    n_words = F.size(w)
+    n_uniq = F.size(F.array_distinct(w))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    mean_len = F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words
+    uniq_ratio = n_uniq / n_words
+    stop_ratio = n_stop / n_words
+    score = F.round(
+        F.lit(0.4) * uniq_ratio
+        + F.lit(0.4) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * F.least(n_words / 100.0, F.lit(1.0)),
+        6,
+    )
+    return [
+        n_words.cast("int").alias("n_words"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        score.alias("quality_score"),
+    ]
+
+
+def _quality_sql() -> str:
+    stoplist = "[" + ",".join(f"'{s}'" for s in STOPWORDS["en"]) + "]"
+    return f"""
+      CAST(len(w) AS INT) AS n_words,
+      round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uniq_ratio,
+      round(len(list_filter(w, x -> list_contains({stoplist}, x)))::DOUBLE / len(w), 6)
+        AS stop_ratio,
+      round(list_reduce(list_transform(w, x -> length(x)::DOUBLE), (a,b) -> a + b)
+            / len(w), 6) AS mean_word_len,
+      round(0.4e0 * (len(list_distinct(w))::DOUBLE / len(w))
+            + 0.4e0 * least((len(list_filter(w, x -> list_contains({stoplist}, x)))::DOUBLE / len(w)) * 5, 1.0e0)
+            + 0.2e0 * least(len(w)::DOUBLE / 100.0e0, 1.0e0), 6) AS quality_score
+    """
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, {_quality_sql()}
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: uniq-word ratio, stopword ratio, length —
+    the standard pre-training corpus filters, one scan, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_quality_cols()).orderBy("doc_id")
+
+
+def _lang_cols():
+    w = words(F.col("text"))
+    n_words = F.size(w)
+    def contains(arr):
+        # real closure — a default-arg lambda would be read as 2-arity
+        return lambda x: F.array_contains(arr, x)
+
+    hits = {}
+    for lang in LANG_ORDER:
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        hits[lang] = F.size(F.filter(w, contains(arr)))
+    cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit(CJK_RE), F.lit(0)))
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        idx = LANG_ORDER.index(lang)
+        cond = hits[lang] > 0
+        for o in LANG_ORDER[:idx]:
+            cond = cond & (hits[lang] > hits[o])  # earlier langs win ties
+        for o in LANG_ORDER[idx + 1 :]:
+            cond = cond & (hits[lang] >= hits[o])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    lang_col = F.when(cjk > 0, F.lit("zh")).otherwise(expr)
+    conf = F.round(F.greatest(*[hits[lang] for lang in LANG_ORDER]) / n_words, 6)
+    return lang_col, conf
+
+
+def _hits_sql(lang: str) -> str:
+    sl = "[" + ",".join(f"'{s}'" for s in STOPWORDS[lang]) + "]"
+    return f"len(list_filter(w, x -> list_contains({sl}, x)))"
+
+
+def _lang_sql() -> tuple[str, str]:
+    cases = []
+    for lang in LANG_ORDER:
+        idx = LANG_ORDER.index(lang)
+        conds = [f"{_hits_sql(lang)} > 0"]
+        for o in LANG_ORDER[:idx]:
+            conds.append(f"{_hits_sql(lang)} > {_hits_sql(o)}")
+        for o in LANG_ORDER[idx + 1 :]:
+            conds.append(f"{_hits_sql(lang)} >= {_hits_sql(o)}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_sql = (
+        f"CASE WHEN len(regexp_extract_all(text, '{CJK_RE}')) > 0 THEN 'zh' "
+        + " ".join(cases)
+        + " ELSE 'und' END"
+    )
+    conf_sql = (
+        "round(greatest("
+        + ", ".join(_hits_sql(lang) for lang in LANG_ORDER)
+        + ")::DOUBLE / len(w), 6)"
+    )
+    return lang_sql, conf_sql
+
+
+_LANG_SQL, _CONF_SQL = _lang_sql()
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    SELECT doc_id, {_LANG_SQL} AS pred_lang, {_CONF_SQL} AS confidence
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/charset language-ID heuristic: CJK charset check, then
+    per-language stopword votes with fixed-precedence argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    lang_col, conf = _lang_cols()
+    return docs.select(
+        "doc_id", lang_col.alias("pred_lang"), conf.alias("confidence")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint_winnow",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(fp) AS INT) AS n_fp,
+           array_to_string(fp, ',') AS fp_list
+    FROM ({winnow_fingerprints_table_sql("documents", "doc_id", "text", FP_K, FP_W)})
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=5 word-grams, window=4): the rolling-hash
+    document fingerprint; emitted as a joined string for stable hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = with_winnow_fingerprints(docs, "text", "fp", FP_K, FP_W)
+    return fp.select(
+        "doc_id",
+        F.size("fp").cast("int").alias("n_fp"),
+        F.array_join("fp", ",").alias("fp_list"),
+    ).orderBy("doc_id")

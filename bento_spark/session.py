@@ -41,6 +41,9 @@ def get_spark(app_name: str = "bento_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata writes TIMESTAMP(NANOS) parquet, which Spark rejects;
+        # read as long ns and convert at load (loaders do `ts div 1000`)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
@@ -56,11 +59,18 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
     Returns a name -> DataFrame dict; each is also available to spark.sql()
     as a temp view of the same name.
     """
+    from pyspark.sql import functions as F
+
     out = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            for f in df.schema.fields:
+                if f.name == "ts" and f.dataType.simpleString() == "bigint":
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -1,0 +1,9 @@
+"""Streaming plane: windowing, watermark dedup, stream sources/sinks.
+
+The reference's streaming semantics live in its buffers
+(internal/impl/pure/buffer_system_window.go) and the transaction/ack
+model; here they map to Structured Streaming. Window assignment
+functions are pure (same Column exprs in batch and streaming), so batch
+runs of the same pipeline are the correctness oracle for the streaming
+path.
+"""

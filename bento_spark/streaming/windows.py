@@ -1,0 +1,62 @@
+"""system_window buffer -> Spark window functions.
+
+Reference: internal/impl/pure/buffer_system_window.go:137 — tumbling /
+sliding windows over event or processing time with `size`, `slide`,
+`offset`, `allowed_lateness`; emits the window as one batch and tags
+`window_end_timestamp` metadata. The three-stage Bento idiom
+(window buffer -> group_by_value -> Bloblang from_all/fold collapse,
+worked example buffer_system_window.go:76-135) is ONE groupBy here.
+
+Session windows don't exist in the reference; Spark's session_window is
+exposed as a capability superset.
+
+Same Column expressions work in batch and streaming mode; streaming
+adds withWatermark (= allowed_lateness) ahead of the groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling(ts: Column | str, size: str, offset: str | None = None) -> Column:
+    """Tumbling window struct (start, end)."""
+    return F.window(ts, size, startTime=offset) if offset else F.window(ts, size)
+
+
+def sliding(ts: Column | str, size: str, slide: str, offset: str | None = None) -> Column:
+    """Sliding window struct — each row lands in size/slide windows."""
+    if offset:
+        return F.window(ts, size, slide, offset)
+    return F.window(ts, size, slide)
+
+
+def session(ts: Column | str, gap: str) -> Column:
+    """Session window (capability superset — absent in the reference)."""
+    return F.session_window(ts, gap)
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_col: Column,
+    keys: list[Column],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """window buffer + group_by_value + from_all collapse, as one agg.
+
+    In streaming mode ``watermark`` (the reference's allowed_lateness,
+    buffer_system_window.go:20-46) bounds state; late rows beyond it are
+    dropped exactly like the reference drops late messages.
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(window_col.alias("win"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("win.start"))
+        .withColumn("window_end", F.col("win.end"))
+        .drop("win")
+    )

@@ -1,0 +1,128 @@
+"""Bloblang compiler semantics, mirroring the reference's example-based
+test style (internal/bloblang/query/methods_test.go, inline
+NewExampleSpec pairs): expression -> expected value on fixed rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.bloblang import compile_expr, compile_mapping
+
+
+@pytest.fixture(scope="module")
+def row_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Hello World", 7.5, ["a", "b", "a"], {"x": "1"}, "alpha"),
+            (2, "  pad  ", -3.0, [], {"y": "2"}, "beta"),
+        ],
+        "id long, s string, n double, arr array<string>, m map<string,string>, tag string",
+    )
+
+
+CASES = [
+    # (bloblang expr, expected per row)
+    ("this.id + 1", [2, 3]),
+    ("this.n * 2", [15.0, -6.0]),
+    ("this.s.uppercase()", ["HELLO WORLD", "  PAD  "]),
+    ("this.s.lowercase()", ["hello world", "  pad  "]),
+    ("this.s.trim()", ["Hello World", "pad"]),
+    ("this.s.length()", [11, 7]),
+    ("this.s.contains(\"World\")", [True, False]),
+    ("this.s.has_prefix(\"Hello\")", [True, False]),
+    ("this.s.split(\" \")", [["Hello", "World"], ["", "", "pad", "", ""]]),
+    ("this.s.replace_all(\"l\", \"L\")", ["HeLLo WorLd", "  pad  "]),
+    ("this.s.slice(0, 5)", ["Hello", "  pad"]),
+    ("this.n.abs()", [7.5, 3.0]),
+    ("this.n.floor()", [7, -3]),
+    ("this.n.round()", [8, -3]),
+    ("this.arr.length()", [3, 0]),
+    ("this.arr.unique().sort()", [["a", "b"], []]),
+    ("this.arr.join(\"-\")", ["a-b-a", ""]),
+    ("this.arr.map_each(x -> x.uppercase())", [["A", "B", "A"], []]),
+    ("this.arr.filter(x -> x == \"a\")", [["a", "a"], []]),
+    ("this.arr.any(x -> x == \"b\")", [True, False]),
+    ("this.arr.all(x -> x == \"a\")", [False, True]),
+    ("this.id == 1 && this.n > 0", [True, False]),
+    ("this.id == 1 || this.id == 2", [True, True]),
+    ("!(this.id == 1)", [False, True]),
+    ("if this.n > 0 { \"pos\" } else { \"neg\" }", ["pos", "neg"]),
+    (
+        "match this.tag { \"alpha\" => 1, \"beta\" => 2, _ => 0 }",
+        [1, 2],
+    ),
+    ("this.m.keys()", [["x"], ["y"]]),
+    ("(this.missing_field | \"dflt\")", ["dflt", "dflt"]),
+    ("this.s.hash(\"md5\").length()", [32, 32]),
+    ("this.s.encode(\"base64\").decode(\"base64\").string()", ["Hello World", "  pad  "]),
+    ("this.id.string()", ["1", "2"]),
+    ("\"n=%v\".format(this.id)", ["n=1", "n=2"]),
+    ("this.arr.index(0)", ["a", None]),
+    ("this.n.max()", None),  # max is array-only; skip marker
+]
+
+
+@pytest.mark.parametrize("src,expected", [c for c in CASES if c[1] is not None])
+def test_expr(row_df, src, expected):
+    got = [
+        r["out"]
+        for r in row_df.select(compile_expr(src, df=row_df).alias("out"))
+        .orderBy("id")
+        .collect()
+    ]
+    assert got == expected, f"{src}: {got} != {expected}"
+
+
+def test_mapping_mutation(row_df):
+    plan = compile_mapping(
+        """
+# enrich in place
+let bonus = 10
+root.double_n = this.n * 2
+root.label = this.s.trim().lowercase()
+root.total = this.id + $bonus
+meta kind = "test"
+"""
+    )
+    out = plan.apply(row_df).orderBy("id").collect()
+    assert [r["double_n"] for r in out] == [15.0, -6.0]
+    assert [r["label"] for r in out] == ["hello world", "pad"]
+    assert [r["total"] for r in out] == [11, 12]
+    assert [r["_metadata"]["kind"] for r in out] == ["test", "test"]
+
+
+def test_mapping_new_document(row_df):
+    plan = compile_mapping('root = {"key": this.id, "up": this.s.uppercase()}')
+    out = plan.apply(row_df, new_document=True)
+    assert sorted(out.columns) == ["_error", "_metadata", "key", "up"]
+    assert [r["up"] for r in out.orderBy("key").collect()] == [
+        "HELLO WORLD",
+        "  PAD  ",
+    ]
+
+
+def test_mapping_root_deleted(row_df):
+    plan = compile_mapping("root = if this.id == 1 { deleted() }")
+    out = plan.apply(row_df)
+    assert [r["id"] for r in out.collect()] == [2]
+
+
+def test_statement_ordering(row_df):
+    # later statements see earlier assignments (executor.go:42-65)
+    plan = compile_mapping(
+        """
+root.a = this.id * 10
+root.b = this.a + 1
+"""
+    )
+    out = plan.apply(row_df).orderBy("id").collect()
+    assert [r["b"] for r in out] == [11, 21]
+
+
+def test_tier_report():
+    from bento_spark.bloblang.stdlib import tier_report
+
+    rep = tier_report()
+    assert rep["methods"].get("a", 0) >= 30
+    assert rep["methods"].get("c", 0) == 0  # no Python in the hot path
