@@ -1,0 +1,13 @@
+"""Pipeline plans: YAML config -> DataFrame DAG -> sink.
+
+Mirrors the reference's config lifecycle (SURVEY §3.1: config read ->
+lint -> component build -> stream run; internal/cli/common/reader.go,
+internal/stream/type.go:100) with Spark execution: the component graph
+becomes ONE DataFrame expression tree, Catalyst plans it, and the sink
+is a batch write or a writeStream query.
+"""
+
+from bento_spark.plans.config import load_config
+from bento_spark.plans.pipeline import Pipeline, build_pipeline
+
+__all__ = ["load_config", "Pipeline", "build_pipeline"]

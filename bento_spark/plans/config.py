@@ -1,0 +1,78 @@
+"""YAML config loading with env-var interpolation and lint.
+
+Reference behavior being mirrored (not ported): config.NewReader
+(internal/cli/common/reader.go:41) reads YAML, interpolates
+``${VAR}`` / ``${VAR:default}`` env references, and lints against
+component field specs before anything runs. Lint here = explicit
+errors naming the offending path, before Spark is touched.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import yaml
+
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _interp(val: str) -> str:
+    def sub(m: re.Match) -> str:
+        name, default = m.group(1), m.group(2)
+        v = os.environ.get(name)
+        if v is None:
+            if default is None:
+                raise ConfigError(f"environment variable {name} is not set")
+            return default
+        return v
+
+    return _ENV_RE.sub(sub, val)
+
+
+def _walk(node):
+    if isinstance(node, str):
+        return _interp(node)
+    if isinstance(node, dict):
+        return {k: _walk(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_walk(v) for v in node]
+    return node
+
+
+KNOWN_SECTIONS = {"input", "pipeline", "output"}
+
+
+def load_config(src: str) -> dict:
+    """Parse a YAML pipeline config (string or file path) and lint it."""
+    if "\n" not in src and os.path.exists(src):
+        with open(src) as f:
+            src = f.read()
+    raw = yaml.safe_load(src)
+    if not isinstance(raw, dict):
+        raise ConfigError("config must be a mapping")
+    cfg = _walk(raw)
+    unknown = set(cfg) - KNOWN_SECTIONS
+    if unknown:
+        raise ConfigError(f"unknown config sections: {sorted(unknown)}")
+    if "input" not in cfg:
+        raise ConfigError("config requires an `input` section")
+    for section in ("input", "output"):
+        if section in cfg:
+            s = cfg[section]
+            if not isinstance(s, dict) or len(s) != 1:
+                raise ConfigError(
+                    f"`{section}` must contain exactly one component, got "
+                    f"{sorted(s) if isinstance(s, dict) else type(s).__name__}"
+                )
+    procs = (cfg.get("pipeline") or {}).get("processors", [])
+    if not isinstance(procs, list):
+        raise ConfigError("pipeline.processors must be a list")
+    for i, p in enumerate(procs):
+        if not isinstance(p, dict) or len(p) != 1:
+            raise ConfigError(f"processor #{i} must be a single-key mapping")
+    return cfg

@@ -1,0 +1,164 @@
+"""Pipeline builder: validated config -> DataFrame chain -> sink.
+
+The processor table below is the config-facing surface of
+operators/processors.py + the Bloblang compiler; each key cites its
+reference processor (SURVEY §2.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.bloblang import compile_expr, compile_mapping
+from bento_spark.operators import processors as P
+from bento_spark.plans.config import ConfigError, load_config
+from bento_spark.sinks import run_sink
+from bento_spark.sources import build_source
+
+
+def _proc_mapping(df: DataFrame, conf) -> DataFrame:
+    """`mapping` (processor_mapping.go:15): new document."""
+    return compile_mapping(conf if isinstance(conf, str) else conf["query"]).apply(
+        df, new_document=True
+    )
+
+
+def _proc_mutation(df: DataFrame, conf) -> DataFrame:
+    """`mutation` (processor_mutation.go:15): in-place assignment."""
+    return compile_mapping(conf if isinstance(conf, str) else conf["query"]).apply(
+        df, new_document=False
+    )
+
+
+def _proc_filter(df: DataFrame, conf) -> DataFrame:
+    """Root-deletion sugar: keep rows where the check holds (the
+    `mapping` root = deleted() idiom as a direct filter)."""
+    check = conf if isinstance(conf, str) else conf["check"]
+    return df.filter(compile_expr(check, df=df))
+
+
+def _proc_dedupe(df: DataFrame, conf) -> DataFrame:
+    """`dedupe` (processor_dedupe.go:81)."""
+    keys = conf["key"] if isinstance(conf["key"], list) else [conf["key"]]
+    order = [F.col(c) for c in conf.get("order_by", [])] or None
+    return P.dedupe(df, [F.col(k) for k in keys], order_by=order)
+
+
+def _proc_bounds_check(df: DataFrame, conf) -> DataFrame:
+    """`bounds_check` (processor_bounds_check.go:46)."""
+    measure = compile_expr(conf["measure"], df=df)
+    return P.bounds_check(df, measure, conf.get("min"), conf.get("max"))
+
+
+def _proc_sql(df: DataFrame, conf) -> DataFrame:
+    """`sql_select`-style processor (processor_sql_select.go:21) gone
+    Spark-native: the current stream is a view, transform with ANSI SQL."""
+    view = conf.get("view", "stream")
+    q = conf if isinstance(conf, str) else conf["query"]
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(q)
+
+
+def _proc_window_agg(df: DataFrame, conf) -> DataFrame:
+    """`system_window` buffer + group_by_value + fold collapse
+    (buffer_system_window.go:137) as one declarative step."""
+    from bento_spark.streaming import windows as W
+
+    ts = conf["timestamp"]
+    size = conf["size"]
+    slide = conf.get("slide")
+    win = W.sliding(ts, size, slide) if slide else W.tumbling(ts, size)
+    keys = [F.col(k) for k in conf.get("keys", [])]
+    aggs = [
+        compile_expr(a["expr"], df=df).alias(a["name"])
+        if isinstance(a, dict)
+        else F.expr(a)
+        for a in conf["aggs"]
+    ]
+    return W.windowed_agg(
+        df, ts, win, keys, aggs, watermark=conf.get("allowed_lateness")
+    )
+
+
+def _proc_group_by(df: DataFrame, conf) -> DataFrame:
+    """`group_by_value` (processor_group_by_value.go:21): plain column
+    names group directly; anything else is a Bloblang key expression."""
+    import re
+
+    keys = []
+    for i, k in enumerate(conf["keys"]):
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k):
+            keys.append(F.col(k))
+        else:
+            keys.append(compile_expr(k, df=df).alias(f"key_{i}"))
+    aggs = [F.expr(a) for a in conf["aggs"]]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _proc_select_parts(df: DataFrame, conf) -> DataFrame:
+    """`select_parts` (processor_select_parts.go:17)."""
+    order = [F.col(c) for c in conf["order_by"]]
+    return P.select_parts(df, order, conf["parts"])
+
+
+def _proc_catch(df: DataFrame, conf) -> DataFrame:
+    """`catch` (processor_catch.go:13): recovery mapping on errored rows."""
+    plan = compile_mapping(conf if isinstance(conf, str) else conf["query"])
+    assigns, _meta, _dw = plan.compile_for(df)
+    return P.catch_errors(df, dict(assigns))
+
+
+PROCESSORS = {
+    "mapping": _proc_mapping,
+    "mutation": _proc_mutation,
+    "filter": _proc_filter,
+    "dedupe": _proc_dedupe,
+    "bounds_check": _proc_bounds_check,
+    "sql": _proc_sql,
+    "window_agg": _proc_window_agg,
+    "group_by": _proc_group_by,
+    "select_parts": _proc_select_parts,
+    "catch": _proc_catch,
+}
+
+
+@dataclass
+class Pipeline:
+    """A built pipeline: lazily-planned DataFrame + sink config."""
+
+    spark: SparkSession
+    df: DataFrame
+    is_streaming: bool
+    output: tuple[str, dict] | None
+
+    def dataframe(self) -> DataFrame:
+        """The composed (unexecuted) DataFrame — for tests/inspection."""
+        return self.df
+
+    def run(self):
+        """Execute: batch write (blocking) or start the streaming query."""
+        if self.output is None:
+            raise ConfigError("pipeline has no `output` section")
+        name, conf = self.output
+        return run_sink(self.df, self.is_streaming, name, conf)
+
+
+def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
+    cfg = load_config(config) if isinstance(config, str) else config
+    (sname, sconf), = cfg["input"].items()
+    df, streaming = build_source(spark, sname, sconf)
+    for proc in (cfg.get("pipeline") or {}).get("processors", []):
+        (pname, pconf), = proc.items()
+        if pname not in PROCESSORS:
+            raise ConfigError(
+                f"unknown processor {pname!r} (have {sorted(PROCESSORS)})"
+            )
+        df = PROCESSORS[pname](df, pconf)
+    output = None
+    if "output" in cfg:
+        (oname, oconf), = cfg["output"].items()
+        output = (oname, oconf)
+    return Pipeline(spark, df, streaming, output)

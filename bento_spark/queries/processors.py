@@ -272,6 +272,40 @@ root.doubled = this.value * 2
 
 
 @query(
+    "pipeline_yaml",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total
+    FROM events WHERE value >= 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def pipeline_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full declarative surface: YAML config -> source -> Bloblang
+    filter -> group_by -> DataFrame (SURVEY §3.1 lifecycle, one
+    Catalyst plan instead of the reference's goroutine graph)."""
+    from bento_spark.plans import build_pipeline
+
+    p = build_pipeline(
+        spark,
+        f"""
+input:
+  parquet:
+    path: {sf_dir}/events.parquet
+pipeline:
+  processors:
+    - filter: this.value >= 50
+    - group_by:
+        keys: [event_type]
+        aggs:
+          - "count(*) AS n"
+          - "sum(CAST(value AS DECIMAL(18,2))) AS total"
+""",
+    )
+    return p.dataframe().orderBy("event_type")
+
+
+@query(
     "proc_metadata_topic",
     oracle="""
     SELECT event_id, 'events-' || event_type AS topic FROM events

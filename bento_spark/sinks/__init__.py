@@ -1,0 +1,159 @@
+"""Sink registry: config component -> batch write / streaming query.
+
+The reference's 78 outputs (SURVEY §2.4) group into: file-format sinks
+(native writers, dynamic paths via partitionBy on derived columns —
+the `${! interpolation }` pattern), console/noop/memory, and the flow
+patterns `switch` / `fallback` / `broker` implemented in the writer
+layer (foreachBatch for streams, sequential writes for batch). DLQ =
+`reject_errored`: the error-flagged rows go to a second sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+SINKS: dict[str, Callable] = {}
+
+
+def register_sink(name: str):
+    def deco(fn):
+        SINKS[name] = fn
+        return fn
+
+    return deco
+
+
+def run_sink(df: DataFrame, is_streaming: bool, name: str, conf: dict):
+    """Execute the sink. Batch: blocking write, returns None. Streaming:
+    returns the started StreamingQuery (caller stops/awaits)."""
+    if name not in SINKS:
+        raise ValueError(f"unknown output type {name!r} (have {sorted(SINKS)})")
+    return SINKS[name](df, is_streaming, conf or {})
+
+
+def _file_sink(fmt: str):
+    def fn(df: DataFrame, is_streaming: bool, conf: dict):
+        path = conf["path"]
+        mode = conf.get("mode", "append")
+        parts = conf.get("partition_by", [])
+        if is_streaming:
+            w = df.writeStream.format(fmt).option("path", path)
+            w = w.option("checkpointLocation", conf["checkpoint"])
+            if parts:
+                w = w.partitionBy(*parts)
+            if conf.get("available_now", True):
+                w = w.trigger(availableNow=True)
+            return w.start()
+        w = df.write.format(fmt).mode(mode)
+        if parts:
+            w = w.partitionBy(*parts)
+        for k, v in conf.get("options", {}).items():
+            w = w.option(k, v)
+        w.save(path)
+        return None
+
+    return fn
+
+
+register_sink("parquet")(_file_sink("parquet"))
+register_sink("csv")(_file_sink("csv"))
+register_sink("json")(_file_sink("json"))
+
+
+@register_sink("console")
+def _console(df: DataFrame, is_streaming: bool, conf: dict):
+    """`stdout` output (SURVEY §2.4 files/local)."""
+    if is_streaming:
+        return (
+            df.writeStream.format("console")
+            .trigger(availableNow=True)
+            .option("numRows", conf.get("num_rows", 20))
+            .start()
+        )
+    df.show(conf.get("num_rows", 20), truncate=False)
+    return None
+
+
+@register_sink("noop")
+def _noop(df: DataFrame, is_streaming: bool, conf: dict):
+    """`drop` output (output_drop.go:14) / bench target."""
+    if is_streaming:
+        return df.writeStream.format("noop").trigger(availableNow=True).start()
+    df.write.format("noop").mode("overwrite").save()
+    return None
+
+
+@register_sink("memory")
+def _memory(df: DataFrame, is_streaming: bool, conf: dict):
+    """In-memory table (test harness; reference `inproc`-ish)."""
+    name = conf["name"]
+    if is_streaming:
+        return (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(conf.get("output_mode", "append"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    df.createOrReplaceTempView(name)
+    return None
+
+
+@register_sink("switch")
+def _switch(df: DataFrame, is_streaming: bool, conf: dict):
+    """Output `switch` (output_switch.go:164): each case filters the
+    stream into its own sink — N filtered writers off one DataFrame."""
+    from bento_spark.bloblang import compile_expr
+
+    cases = conf.get("cases", [])
+    results = []
+    for case in cases:
+        check = case.get("check")
+        sub = case["output"]
+        (sname, sconf), = sub.items()
+        part = df.filter(compile_expr(check, df=df)) if check else df
+        results.append(run_sink(part, is_streaming, sname, sconf))
+    return results
+
+
+@register_sink("broker")
+def _broker_out(df: DataFrame, is_streaming: bool, conf: dict):
+    """Output `broker` fan_out (output_broker.go:150): every sub-output
+    gets the whole stream."""
+    results = []
+    for sub in conf.get("outputs", []):
+        (sname, sconf), = sub.items()
+        results.append(run_sink(df, is_streaming, sname, sconf))
+    return results
+
+
+@register_sink("fallback")
+def _fallback(df: DataFrame, is_streaming: bool, conf: dict):
+    """`fallback` output (output_fallback.go:18): try outputs in order,
+    first success wins (batch semantics; streaming uses foreachBatch)."""
+    outs = conf.get("outputs", [])
+    if is_streaming:
+        def write_batch(bdf, _epoch):
+            last = None
+            for sub in outs:
+                (sname, sconf), = sub.items()
+                try:
+                    run_sink(bdf, False, sname, sconf)
+                    return
+                except Exception as e:  # noqa: BLE001
+                    last = e
+            if last:
+                raise last
+
+        return df.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    last = None
+    for sub in outs:
+        (sname, sconf), = sub.items()
+        try:
+            run_sink(df, False, sname, sconf)
+            return None
+        except Exception as e:  # noqa: BLE001
+            last = e
+    raise last

@@ -1,0 +1,154 @@
+"""Source registry: config component -> DataFrame.
+
+The reference's 66 inputs (SURVEY §2.3) collapse into groups here:
+file-format sources (parquet/csv/json/lines) map to native Spark
+readers in batch or streaming mode; `generate` maps to spark.range /
+the rate source; `broker` is unionByName; `sequence` an ordered union.
+Queue systems (kafka) pass through to Spark's native connector config.
+
+Each source returns (DataFrame, is_streaming).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SOURCES: dict[str, Callable] = {}
+
+
+def register_source(name: str):
+    def deco(fn):
+        SOURCES[name] = fn
+        return fn
+
+    return deco
+
+
+def build_source(spark: SparkSession, name: str, conf: dict) -> tuple[DataFrame, bool]:
+    if name not in SOURCES:
+        raise ValueError(f"unknown input type {name!r} (have {sorted(SOURCES)})")
+    return SOURCES[name](spark, conf or {})
+
+
+def _file_source(fmt: str):
+    def fn(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+        path = conf["path"]
+        stream = bool(conf.get("stream", False))
+        opts = dict(conf.get("options", {}))
+        reader = spark.readStream if stream else spark.read
+        if stream and "schema" in conf:
+            reader = reader.schema(conf["schema"])
+        elif stream:
+            # file streams require a schema; infer from a batch read once
+            reader = reader.schema(spark.read.format(fmt).options(**opts).load(path).schema)
+        df = reader.format(fmt).options(**opts).load(path)
+        return df, stream
+
+    return fn
+
+
+register_source("parquet")(_file_source("parquet"))
+register_source("csv")(_file_source("csv"))
+register_source("json")(_file_source("json"))
+
+
+@register_source("file")
+def _file_lines(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    """`file` input with the lines scanner (input_file.go:25 +
+    scanner_lines.go): one row per line, metadata carries the path."""
+    from bento_spark.operators.envelope import META
+
+    path = conf["path"]
+    stream = bool(conf.get("stream", False))
+    reader = spark.readStream if stream else spark.read
+    df = reader.format("text").load(path)
+    df = df.withColumnRenamed("value", "content").withColumn(
+        META,
+        F.create_map(F.lit("path"), F.input_file_name()),
+    )
+    return df, stream
+
+
+@register_source("generate")
+def _generate(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    """`generate` input (input_generate.go:87): with `count` -> batch
+    spark.range; without -> the rate source (streaming)."""
+    if "count" in conf:
+        df = spark.range(int(conf["count"])).withColumnRenamed("id", "seq")
+        return df, False
+    rate = spark.readStream.format("rate")
+    if "interval" in conf:
+        # interval like '10ms' -> rowsPerSecond approximation
+        rate = rate.option("rowsPerSecond", conf.get("rows_per_second", 10))
+    else:
+        rate = rate.option("rowsPerSecond", conf.get("rows_per_second", 10))
+    df = rate.load().select(F.col("timestamp").alias("ts"), F.col("value").alias("seq"))
+    return df, True
+
+
+@register_source("broker")
+def _broker(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    """`broker` fan-in (input_broker.go:78) = UNION ALL by name."""
+    subs = conf.get("inputs", [])
+    if not subs:
+        raise ValueError("broker requires `inputs`")
+    dfs, streaming = [], False
+    for sub in subs:
+        (name, sconf), = sub.items()
+        df, s = build_source(spark, name, sconf)
+        dfs.append(df)
+        streaming = streaming or s
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out, streaming
+
+
+@register_source("sequence")
+def _sequence(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    """`sequence` input (input_sequence.go): ordered concatenation —
+    batch-only; order is made explicit with a source index column."""
+    subs = conf.get("inputs", [])
+    dfs = []
+    for i, sub in enumerate(subs):
+        (name, sconf), = sub.items()
+        df, s = build_source(spark, name, sconf)
+        if s:
+            raise ValueError("sequence input is batch-only")
+        dfs.append(df.withColumn("_seq_idx", F.lit(i)))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out, False
+
+
+@register_source("kafka")
+def _kafka(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    """`kafka` input -> Spark's native Kafka source; key/topic/partition/
+    offset/timestamp land in metadata like the reference
+    (input_kafka_franz.go:46-51). Requires the kafka connector jars and
+    a reachable broker (not available in this container - untested)."""
+    from bento_spark.operators.envelope import META
+
+    stream = bool(conf.get("stream", True))
+    reader = (spark.readStream if stream else spark.read).format("kafka")
+    reader = reader.option("subscribe", conf["topics"]).option(
+        "kafka.bootstrap.servers", conf["addresses"]
+    )
+    for k, v in conf.get("options", {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    df = df.select(
+        F.col("value").cast("string").alias("content"),
+        F.create_map(
+            F.lit("kafka_key"), F.col("key").cast("string"),
+            F.lit("kafka_topic"), F.col("topic"),
+            F.lit("kafka_partition"), F.col("partition").cast("string"),
+            F.lit("kafka_offset"), F.col("offset").cast("string"),
+            F.lit("kafka_timestamp"), F.col("timestamp").cast("string"),
+        ).alias(META),
+    )
+    return df, stream
