@@ -1,0 +1,88 @@
+"""Codec processors: compress / decompress / parse_log / grok-style
+extraction (SURVEY §2.1 rows: processor_compress.go:22,
+processor_decompress.go:21, processor_parse_log.go:105,
+processor_grok.go:104).
+
+compress/decompress use Python stdlib codecs (zlib/gzip/bz2/lzma)
+through Arrow-batched pandas UDFs — there is no JVM-side Column
+function for these, so tier-c is the honest mapping; batching keeps it
+off the per-row path. Log/grok parsing is pure regexp_extract
+(tier-a, pushdown-friendly).
+"""
+
+from __future__ import annotations
+
+import bz2 as _bz2
+import gzip as _gzip
+import lzma as _lzma
+import zlib as _zlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_CODECS = {
+    "zlib": (lambda b: _zlib.compress(b, 6), _zlib.decompress),
+    "gzip": (lambda b: _gzip.compress(b, 6, mtime=0), _gzip.decompress),
+    "bz2": (lambda b: _bz2.compress(b), _bz2.decompress),
+    "lzma": (lambda b: _lzma.compress(b), _lzma.decompress),
+}
+
+
+def compress_col(col: Column, algo: str = "zlib") -> Column:
+    """BINARY -> compressed BINARY (deterministic: fixed level, gzip
+    mtime pinned to 0)."""
+    enc, _ = _CODECS[algo]
+
+    @pandas_udf("binary")
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else enc(bytes(b)))
+
+    return run(col)
+
+
+def decompress_col(col: Column, algo: str = "zlib") -> Column:
+    _, dec = _CODECS[algo]
+
+    @pandas_udf("binary")
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else dec(bytes(b)))
+
+    return run(col)
+
+
+# Common Log Format: host ident user [ts] "METHOD path proto" status bytes
+CLF_RE = (
+    r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d{3}) (\d+|-)$'
+)
+
+CLF_FIELDS = [
+    ("host", 1, "string"),
+    ("ident", 2, "string"),
+    ("user", 3, "string"),
+    ("ts_raw", 4, "string"),
+    ("method", 5, "string"),
+    ("path", 6, "string"),
+    ("proto", 7, "string"),
+    ("status", 8, "int"),
+    ("bytes", 9, "string"),
+]
+
+
+def parse_clf(df: DataFrame, col: str) -> DataFrame:
+    """`parse_log` for access logs: pure regexp_extract columns — stays
+    inside whole-stage codegen, no UDF."""
+    out = df
+    for name, idx, typ in CLF_FIELDS:
+        out = out.withColumn(name, F.regexp_extract(F.col(col), CLF_RE, idx).cast(typ))
+    return out
+
+
+def grok_extract(df: DataFrame, col: str, pattern: str, fields: list[tuple[str, int, str]]) -> DataFrame:
+    """grok-style: one compiled regex, named capture groups by index
+    (grok patterns compile down to exactly this shape)."""
+    out = df
+    for name, idx, typ in fields:
+        out = out.withColumn(name, F.regexp_extract(F.col(col), pattern, idx).cast(typ))
+    return out

@@ -18,9 +18,10 @@ Expression-engineering note: intermediate arrays (shingle hashes,
 k-gram hashes) are materialized as real columns before any expression
 that references them repeatedly — a nested lambda re-evaluates its
 captured subtree PER ELEMENT, turning O(n) hashing into O(n*k).
-MinHash uses ONE md5 per shingle plus a universal-hash family
-h_i(x) = (a_i*x + b_i) mod p (p = 2^31-1, products < 2^62 — no
-overflow), not k independent md5s.
+MinHash uses ONE base hash per shingle (xxhash64 by default) plus a
+universal-hash family h_i(x) = (a_i*x + b_i) mod p (p = 2^31-1,
+products < 2^62 — no overflow), with the k mins computed as codegen'd
+aggregates over the exploded (doc, hash) pairs, not k HOF transforms.
 """
 
 from __future__ import annotations
@@ -70,17 +71,23 @@ def jaccard_pairs(
     without a cross join. ``max_df`` drops shingles hotter than the cap
     (bounds bucket size at scale; changes semantics — off by default).
     """
-    sh = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
     )
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
-    inv = sh.select("doc", F.explode("sh").alias("s"))
+    # join on a 64-bit hash of the shingle, not the string: the shuffle
+    # moves 8-byte keys instead of multi-word text (collision probability
+    # across shared-shingle pairs is ~2^-64 — negligible, documented)
+    inv = sh.select("doc", F.explode("sh").alias("s")).select(
+        "doc", F.xxhash64("s").alias("h")
+    )
     if max_df is not None:
-        hot = inv.groupBy("s").count().filter(F.col("count") > max_df).select("s")
-        inv = inv.join(F.broadcast(hot), "s", "left_anti")
+        hot = inv.groupBy("h").count().filter(F.col("count") > max_df).select("h")
+        inv = inv.join(F.broadcast(hot), "h", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -104,17 +111,23 @@ def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature_cols(hs_col: Column, coeffs: list[tuple[int, int]]) -> list[Column]:
-    """sig[i] = min over base hashes h of (a_i*(h mod p) + b_i) mod p.
+def minhash_signatures(
+    inv: DataFrame, coeffs: list[tuple[int, int]]
+) -> DataFrame:
+    """(doc, h) exploded base hashes -> one row per doc with columns
+    s0..s{k-1}: sig[i] = min over h of (a_i*(h mod p) + b_i) mod p.
 
-    ``hs_col`` must be an attribute reference (materialized column of
-    base hashes), not an inline expression — see module docstring.
+    Shaped as ONE groupBy with k codegen'd min-aggregates (map-side
+    partial agg, single shuffle of (doc, h) pairs). The
+    transform-over-array form is interpreted per element by the HOF
+    evaluator — ~100M lambda evals at 5k docs — and was 10x slower.
     """
-
-    def perm(a: int, b: int):
-        return lambda h: (F.lit(a) * (h % MERSENNE31) + F.lit(b)) % MERSENNE31
-
-    return [F.array_min(F.transform(hs_col, perm(a, b))) for a, b in coeffs]
+    hm = (F.col("h") % MERSENNE31 + MERSENNE31) % MERSENNE31  # h may be <0
+    aggs = [
+        F.min((F.lit(a) * hm + F.lit(b)) % MERSENNE31).alias(f"s{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return inv.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -125,7 +138,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 32,
     threshold: float = 0.8,
-    hasher: str = "portable",
+    hasher: str = "fast",
     seed: int = 7,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
@@ -139,20 +152,21 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes, seed)
     base = _base_hash(hasher, "mh")
-    sh = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    hashed = sh.withColumn("hs", F.transform(F.col("sh"), base))
-    sig = hashed.withColumn(
-        "sig", F.array(*minhash_signature_cols(F.col("hs"), coeffs))
-    ).drop("hs")
+    inv = sh.select("doc", F.explode("sh").alias("s")).select(
+        "doc", base(F.col("s")).alias("h")
+    )
+    sig = minhash_signatures(inv, coeffs)
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        ",", *[F.col("sig")[i * r + k].cast("string") for k in range(r)]
+                        ",", *[F.col(f"s{i * r + k}").cast("string") for k in range(r)]
                     )
                 ).alias("bh"),
             )
@@ -198,7 +212,10 @@ def with_simhash(
     sum of +-1 votes from bit j of each distinct shingle's hash. One
     base hash per shingle, materialized before the per-bit aggregates."""
     base = _base_hash(hasher, "sim")
-    tmp = df.withColumn("__hs", F.transform(word_shingles(F.col(text_col), n), base))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tmp = df.repartition(par).withColumn(
+        "__hs", F.transform(word_shingles(F.col(text_col), n), base)
+    )
 
     def vote(j: int):
         return lambda acc, x: acc + F.when(

@@ -166,6 +166,57 @@ def unarchive_json_array(df: DataFrame, json_col: str, element_schema: str) -> D
     ).select(*other, "_el.*")
 
 
+def archive_lines(df: DataFrame, group: Column, sort_by: list[Column], payload: Column) -> DataFrame:
+    """``archive`` format=lines (processor_archive.go:59): batch -> one
+    newline-joined message."""
+    df = ensure_envelope(df)
+    item = F.struct(*sort_by, payload.alias("payload"))
+    return df.groupBy(group.alias("group_key")).agg(
+        F.concat_ws(
+            "\n", F.transform(F.array_sort(F.collect_list(item)), lambda s: s["payload"])
+        ).alias("archived"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def unarchive_lines(df: DataFrame, col: str) -> DataFrame:
+    """``unarchive`` format=lines (processor_unarchive.go:49): split on
+    newline + posexplode, line index preserved."""
+    df = ensure_envelope(df)
+    other = [c for c in df.columns if c != col]
+    return df.select(
+        *other, F.posexplode(F.split(F.col(col), "\n")).alias("line_idx", "line")
+    )
+
+
+def branch(
+    df: DataFrame,
+    child: Callable[[DataFrame], DataFrame],
+    on: list[str],
+    result_cols: list[str],
+) -> DataFrame:
+    """``branch`` processor (processor_branch.go:152): request_map ->
+    child pipeline -> result_map merged onto the original. Spark shape:
+    the child runs on a projection and joins back — the request_map is
+    column pruning, the result_map is the join projection. Broadcast
+    when the child output is dim-sized."""
+    df = ensure_envelope(df)
+    side = child(df)
+    keep = [F.col(c) for c in on + result_cols]
+    return df.join(F.broadcast(side.select(*keep)), on, "left")
+
+
+def cache_get(
+    df: DataFrame, cache_df: DataFrame, key: list[str], value_cols: list[str]
+) -> DataFrame:
+    """``cache`` get (processor_cache.go:154) / ``sql_select`` enrichment
+    (processor_sql_select.go:21): stream-static join against a keyed
+    table; broadcast (dims are small by definition of a cache)."""
+    df = ensure_envelope(df)
+    side = cache_df.select(*key, *value_cols)
+    return df.join(F.broadcast(side), key, "left")
+
+
 def select_parts(df: DataFrame, order_by: list[Column], indexes: list[int]) -> DataFrame:
     """``select_parts`` (processor_select_parts.go:17): batch-positional
     selection becomes an explicit ordering + row_number filter."""

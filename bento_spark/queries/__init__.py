@@ -37,6 +37,7 @@ def load_all() -> None:
         multimodal,
         processors,
         relational,
+        relational2,
         similarity,
         streaming,
         text,

@@ -306,6 +306,176 @@ pipeline:
 
 
 @query(
+    "proc_compress_roundtrip",
+    oracle="SELECT doc_id, text AS rt FROM documents ORDER BY doc_id",
+)
+def proc_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``compress``+``decompress`` (processor_compress.go:22,
+    processor_decompress.go:21) via Arrow-batched pandas UDFs (zlib);
+    the oracle is the identity — the codec round-trip is lossless."""
+    from bento_spark.operators.codecs import compress_col, decompress_col
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = docs.withColumn("z", compress_col(F.encode("text", "UTF-8"), "zlib"))
+    return comp.select(
+        "doc_id", F.decode(decompress_col(F.col("z"), "zlib"), "UTF-8").alias("rt")
+    ).orderBy("doc_id")
+
+
+@query(
+    "proc_parse_log",
+    oracle="""
+    SELECT event_id,
+           'host-' || (user_id % 20) AS host,
+           CASE event_type WHEN 'purchase' THEN 'POST' ELSE 'GET' END AS method,
+           '/api/' || event_type AS path,
+           CASE WHEN value >= 100 THEN 500 ELSE 200 END AS status
+    FROM events ORDER BY event_id
+    """,
+)
+def proc_parse_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_log``/``grok`` (processor_parse_log.go:105,
+    processor_grok.go:104): synthesize access-log lines from events,
+    parse them back with one compiled regex (pure regexp_extract — no
+    UDF), oracle recomputes the fields directly."""
+    from bento_spark.operators.codecs import parse_clf
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        'host-%d - frank [10/Oct/2000:13:55:36 -0700] "%s /api/%s HTTP/1.0" %d 2326',
+        (F.col("user_id") % 20).cast("int"),
+        F.when(F.col("event_type") == "purchase", "POST").otherwise("GET"),
+        F.col("event_type"),
+        F.when(F.col("value") >= 100, 500).otherwise(200).cast("int"),
+    )
+    logs = ev.select("event_id", line.alias("raw"))
+    parsed = parse_clf(logs, "raw")
+    return parsed.select("event_id", "host", "method", "path", "status").orderBy(
+        "event_id"
+    )
+
+
+@query(
+    "proc_lines_roundtrip",
+    oracle="""
+    SELECT d.source, d.doc_id, d.text
+    FROM documents d ORDER BY d.doc_id
+    """,
+)
+def proc_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``archive``/``unarchive`` format=lines round-trip: documents
+    grouped per source into one newline blob, split back out; identity
+    oracle. line_idx maps back to per-group order."""
+    docs = _t(spark, sf_dir, "documents")
+    arch = P.archive_lines(
+        docs,
+        F.col("source"),
+        [F.col("doc_id")],
+        F.concat_ws("\x1f", F.col("doc_id").cast("string"), F.col("text")),
+    )
+    un = P.unarchive_lines(arch.withColumnRenamed("group_key", "source"), "archived")
+    split = F.split(F.col("line"), "\x1f")
+    return un.select(
+        "source",
+        split.getItem(0).cast("long").alias("doc_id"),
+        split.getItem(1).alias("text"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "proc_branch_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value,
+           u.user_total, u.user_events
+    FROM events e
+    JOIN (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS user_total,
+                 count(*) AS user_events
+          FROM events GROUP BY user_id) u
+      USING (user_id)
+    ORDER BY e.event_id
+    """,
+)
+def proc_branch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``branch`` (processor_branch.go:152): request_map (project
+    user_id,value) -> child aggregation -> result_map merged back — an
+    enrichment join with the dim side broadcast."""
+    ev = _t(spark, sf_dir, "events")
+
+    def child(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("user_total"),
+            F.count(F.lit(1)).alias("user_events"),
+        )
+
+    out = P.branch(ev, child, ["user_id"], ["user_total", "user_events"])
+    return out.select(
+        "event_id", "user_id", "value", "user_total", "user_events"
+    ).orderBy("event_id")
+
+
+@query(
+    "proc_cache_lookup",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, c.c_name AS customer_name,
+           n.n_name AS nation
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY orderkey
+    """,
+)
+def proc_cache_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cache`` get / ``sql_select`` enrichment (processor_cache.go:154,
+    processor_sql_select.go:21): per-message lookups become ONE
+    broadcast stream-static join — 10^6 fewer round trips than the
+    reference's per-message query model at scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    step1 = P.cache_get(
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        c,
+        ["c_custkey"],
+        ["c_name", "c_nationkey"],
+    )
+    step2 = P.cache_get(
+        step1.withColumnRenamed("c_nationkey", "n_nationkey"),
+        n,
+        ["n_nationkey"],
+        ["n_name"],
+    )
+    return step2.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("n_name").alias("nation"),
+    ).orderBy("orderkey")
+
+
+@query(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0) AS k_round
+    FROM events ORDER BY event_id
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON via Spark 4 VariantType (SURVEY §1.3: the
+    canonical envelope's dynamic-value representation): parse once to
+    VARIANT, extract typed fields with variant_get — the lazy-JSON
+    model of the reference (internal/message/data.go:57-68) with
+    columnar storage underneath."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        (F.variant_get("v", "$.k", "bigint") % 10 == 0).alias("k_round"),
+    ).orderBy("event_id")
+
+
+@query(
     "proc_metadata_topic",
     oracle="""
     SELECT event_id, 'events-' || event_type AS topic FROM events

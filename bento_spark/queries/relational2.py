@@ -1,0 +1,163 @@
+"""Capability-superset relational queries: as-of join, pivot,
+percentiles, relational set ops. The reference has none of these
+(SURVEY §2.6-2.7: no relational join/ORDER BY/set ops at all) — they
+come with the engine because Spark is the execution layer, and the
+training-data pipelines need them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+
+
+@query(
+    "asof_join_last_login",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(l.ts) FROM events l
+            WHERE l.user_id = e.user_id AND l.event_type = 'login'
+              AND l.ts <= e.ts) AS last_login_ts
+    FROM events e
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_last_login(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (north-star op, SURVEY §2.6): for each purchase, the
+    most recent login at-or-before it, same user.
+
+    Spark shape: ONE pass — no range-join explosion. Tag both sides,
+    union, and take a running max of login timestamps over a
+    user-partitioned time-ordered window. Scales as a single hash
+    shuffle on user_id; a range join would be O(n*m) per user."""
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "login", F.col("ts")).alias("login_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_asof = tagged.withColumn("last_login_ts", F.max("login_ts").over(w))
+    return (
+        with_asof.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_login_ts")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'login') AS login,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (superset): per-user event-type counts as columns. The
+    value list is declared, so Spark skips the extra distinct-values
+    scan and the plan is one partial-aggregated shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "login", "purchase", "signup"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return out.orderBy("user_id")
+
+
+@query(
+    "percentiles_value",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (superset; the reference
+    has no quantiles at all). Spark `percentile` = DuckDB
+    `quantile_cont` (linear interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "set_ops_users",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error')) AS both_n,
+      (SELECT count(*) FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error')) AS only_purchase_n,
+      (SELECT count(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'error')) AS either_n
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational INTERSECT / EXCEPT / UNION (superset — the reference
+    only has array-level set ops, SURVEY §2.7)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    e = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = p.intersect(e).count()
+    only_p = p.exceptAll(e).count()
+    either = p.union(e).distinct().count()
+    return spark.createDataFrame(
+        [(both, only_p, either)], "both_n long, only_purchase_n long, either_n long"
+    )
+
+
+@query(
+    "unarchive_csv_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+)
+def unarchive_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unarchive`` format=csv (processor_unarchive.go:49) + the csv
+    scanner (scanner_csv.go): rows serialized to an embedded CSV blob,
+    parsed back with from_csv — identity oracle."""
+    r = _t(spark, sf_dir, "region")
+    blob = r.select(
+        F.concat_ws(",", F.col("r_regionkey").cast("string"), F.col("r_name")).alias(
+            "line"
+        )
+    )
+    parsed = blob.select(
+        F.from_csv(F.col("line"), "r_regionkey bigint, r_name string").alias("row")
+    ).select("row.*")
+    return parsed.orderBy("r_regionkey")

@@ -1,0 +1,56 @@
+"""Dump formatted physical plans for the headline queries -> PLANS.md.
+
+Evidence artifact: shows PushedFilters / ReadSchema pruning /
+BroadcastHashJoin / partial aggregation per query so plan regressions
+are reviewable in diffs.
+
+Usage: python tools/explain.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top_k_per_group",
+    "proc_cache_lookup",
+    "asof_join_last_login",
+    "window_tumbling_hour",
+    "dedup_minhash_lsh",
+]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or HEADLINE
+
+    import __spark_entry__ as e
+    from bento_spark.session import get_spark
+
+    spark = get_spark("explain")
+    qs = e.queries()
+    out = ["# PLANS — formatted physical plans (sf_dir=%s)\n" % sf_dir]
+    for name in names:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"\n## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
