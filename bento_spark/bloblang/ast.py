@@ -122,5 +122,13 @@ class LetAssign(Node):
 
 
 @dataclass
+class MapDef(Node):
+    """`map name { statements }` (mapping_parser.go:186-220)."""
+
+    name: str
+    statements: list[Node]
+
+
+@dataclass
 class MappingAST(Node):
     statements: list[Node]

@@ -39,9 +39,10 @@ class Env:
 
     vars: dict[str, Column] = field(default_factory=dict)
     df: object = None  # DataFrame | None
+    maps: dict[str, object] = field(default_factory=dict)  # name -> [stmts]
 
     def child(self, more: dict[str, Column]) -> "Env":
-        return Env({**self.vars, **more}, self.df)
+        return Env({**self.vars, **more}, self.df, self.maps)
 
 
 def _type_of(env: Env, col: Column):
@@ -70,6 +71,13 @@ def compile_node(node: A.Node, env: Env) -> Column:
     if isinstance(node, A.This):
         if "this" in env.vars:
             return env.vars["this"]
+        if env.df is not None:
+            # whole document = struct of the data columns
+            from bento_spark.operators.envelope import RESERVED
+
+            return F.struct(
+                *[F.col(c) for c in env.df.columns if c not in RESERVED]
+            )
         raise CompileError(
             "`this` as a whole document has no column form here; use this.<field>"
         )
@@ -215,9 +223,42 @@ def _compile_func(node: A.FuncCall, env: Env) -> Column:
 RAW_RECV_METHODS = {"format"}  # receiver consumed as a raw literal
 
 
+def _apply_named_map(recv: Column, map_name: str, env: Env) -> Column:
+    """Inline a named map: its root assignments evaluate with `this`
+    bound to the receiver; `root = expr` yields a value, `root.f = ...`
+    yields a struct (mapping_parser.go:186-220 named maps + `apply`)."""
+    if map_name not in env.maps:
+        raise CompileError(f"unknown named map {map_name!r}")
+    menv = env.child({"this": recv})
+    fields: list[Column] = []
+    whole: Column | None = None
+    for stmt in env.maps[map_name]:
+        if isinstance(stmt, A.LetAssign):
+            menv = menv.child({stmt.name: compile_node(stmt.expr, menv)})
+            continue
+        if isinstance(stmt, A.Assign):
+            if stmt.target == ():
+                whole = compile_node(stmt.expr, menv)
+            else:
+                fields.append(
+                    compile_node(stmt.expr, menv).alias(".".join(stmt.target))
+                )
+            continue
+        raise CompileError("named maps support let/root statements only")
+    if whole is not None and not fields:
+        return whole
+    if fields:
+        return F.struct(*fields)
+    raise CompileError(f"named map {map_name!r} assigns nothing")
+
+
 def _compile_method(node: A.MethodCall, env: Env) -> Column:
     if node.name == "apply":
-        raise CompileError("named maps (`apply`) are inlined by compile_mapping")
+        if len(node.args) != 1 or not isinstance(node.args[0], A.Lit):
+            raise CompileError("apply() takes a literal map name")
+        return _apply_named_map(
+            compile_node(node.recv, env), str(node.args[0].value), env
+        )
     if node.name not in METHODS:
         raise CompileError(f"unknown method .{node.name}()")
     if node.name in RAW_RECV_METHODS and isinstance(node.recv, A.Lit):
@@ -321,6 +362,9 @@ def _compile_statements(ast: A.MappingAST, env: Env):
     meta: dict[str, Column] = {}
     drop_when: Column | None = None
     for stmt in ast.statements:
+        if isinstance(stmt, A.MapDef):
+            env.maps[stmt.name] = stmt.statements
+            continue
         if isinstance(stmt, A.LetAssign):
             env = env.child({stmt.name: compile_node(stmt.expr, env)})
             continue

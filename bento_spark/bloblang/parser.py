@@ -254,6 +254,25 @@ class Parser:
         return A.MappingAST(stmts)
 
     def statement(self) -> A.Node:
+        # `map name { ... }` named reusable map
+        if self.at("ident", "map"):
+            j = self.i
+            while self.toks[j].kind == "nl":
+                j += 1
+            k = j + 1
+            while self.toks[k].kind == "nl":
+                k += 1
+            if self.toks[k].kind in ("ident", "str"):
+                self.next()  # 'map'
+                name = self.next().text
+                self.expect("op", "{")
+                stmts: list[A.Node] = []
+                while not self.at("op", "}"):
+                    if self.eat("nl"):
+                        continue
+                    stmts.append(self.statement())
+                self.expect("op", "}")
+                return A.MapDef(name, stmts)
         if self.at("kw", "let"):
             self.next()
             name = self.expect("ident").text

@@ -218,3 +218,52 @@ function("counter", "b")(lambda: F.monotonically_increasing_id())
 function("hostname", "b")(lambda: F.lit("localhost"))
 function("throw", "b")(lambda msg: F.raise_error(msg))
 function("deleted", "b")(lambda: F.lit(None))  # special-cased by the compiler
+
+
+# ---- string escapes / urls / paths (methods_strings.go) ------------------
+
+_HTML_ENTITIES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&#34;"), ("'", "&#39;")]
+
+
+@method("escape_html", "b")
+def _escape_html(c: Column) -> Column:
+    for raw, ent in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(raw), F.lit(ent))
+    return c
+
+
+@method("unescape_html", "b")
+def _unescape_html(c: Column) -> Column:
+    for raw, ent in reversed(_HTML_ENTITIES):
+        c = F.replace(c, F.lit(ent), F.lit(raw))
+    return c
+
+
+method("strip_html", "b")(lambda c: F.regexp_replace(c, "<[^>]*>", ""))
+method("escape_url_query", "a")(lambda c: F.url_encode(c))
+method("unescape_url_query", "a")(lambda c: F.url_decode(c))
+method("filepath_join", "a")(lambda c: F.array_join(c, "/"))
+method("filepath_split", "a")(lambda c: F.split(c, "/"))
+method("unquote", "b")(lambda c: F.regexp_replace(F.regexp_replace(c, '^"|"$', ""), '\\\\"', '"'))
+
+
+def _strftime_to_java(fmt: str) -> str:
+    """C strftime -> Java DateTimeFormatter pattern (common subset)."""
+    table = {
+        "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+        "%S": "ss", "%y": "yy", "%j": "DDD", "%b": "MMM", "%B": "MMMM",
+        "%a": "EEE", "%A": "EEEE", "%p": "a", "%z": "Z", "%%": "%",
+    }
+    out = fmt
+    for k, v in table.items():
+        out = out.replace(k, v)
+    return out
+
+
+method("ts_strftime", "b")(lambda c, fmt: F.date_format(c, _strftime_to_java(fmt)))
+method("ts_strptime", "b")(lambda c, fmt: F.to_timestamp(c, _strftime_to_java(fmt)))
+
+# ---- misc coercion -------------------------------------------------------
+
+method("ceil_int", "b")(lambda c: F.ceil(c).cast("long"))
+method("uuid_v4", "a")(lambda _c: F.uuid())  # method alias of the function

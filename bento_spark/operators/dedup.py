@@ -252,9 +252,37 @@ def simhash_pairs(
     assert max_hamming <= bands - 1, "pigeonhole recall needs max_hamming <= bands-1"
     width = bits // bands
     mask = (1 << width) - 1
-    sig = with_simhash(df, text_col, "sig", n, bits, hasher).select(
-        F.col(id_col).alias("doc"), "sig"
+    # explode + codegen'd per-bit vote aggregates (one shuffle); the
+    # aggregate-over-array HOF form interprets ~bits x shingles lambda
+    # steps per doc and was ~5x slower
+    base = _base_hash(hasher, "sim")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    inv = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+        )
+        .select("doc", base(F.col("s")).alias("h"))
     )
+    votes = inv.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig_expr = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(bits)
+        ],
+    )
+    sig = votes.select("doc", sig_expr.alias("sig"))
     slices = F.array(
         *[
             F.struct(

@@ -1,0 +1,98 @@
+"""`http` processor (internal/impl/io/processor_http.go:71): per-batch
+HTTP enrichment, Spark-shaped.
+
+The reference fires one request per message batch; at 100 TB that
+serializes on the network. Here requests run inside mapInPandas with a
+bounded per-partition thread pool — total concurrency =
+partitions x max_conc, back-pressured by Spark's task scheduler, with
+failures flagged on the `_error` column (never a task failure).
+
+The transport is injectable: production uses urllib (stdlib — the
+`requests` package may be absent), tests/offline use a deterministic
+fake. No network exists in this container, so the gate exercises the
+fake transport; the plumbing (batching, pool, error channel) is real.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from collections.abc import Callable, Iterator
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+Transport = Callable[[str, str, str | None], tuple[int, str]]
+"""(method, url, body) -> (status_code, response_body)"""
+
+
+def urllib_transport(method: str, url: str, body: str | None) -> tuple[int, str]:
+    """Stdlib HTTP transport (no external deps)."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=body.encode() if body else None, method=method
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+        return resp.status, resp.read().decode()
+
+
+def fake_echo_transport(method: str, url: str, body: str | None) -> tuple[int, str]:
+    """Deterministic offline transport: echoes a JSON envelope."""
+    return 200, _json.dumps(
+        {"method": method, "url": url, "len": len(body or "")}, sort_keys=True
+    )
+
+
+def http_enrich(
+    df: DataFrame,
+    url_col: str,
+    body_col: str | None = None,
+    method: str = "POST",
+    max_conc: int = 8,
+    transport: Transport = urllib_transport,
+) -> DataFrame:
+    """Per-row HTTP call with bounded per-partition concurrency; adds
+    `http_status INT` and `http_response STRING`, and sets `_error`
+    instead of failing the task."""
+    from bento_spark.operators.envelope import ERROR, META, ensure_envelope
+
+    df = ensure_envelope(df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with ThreadPoolExecutor(max_workers=max_conc) as pool:
+            for pdf in batches:
+                urls = pdf[url_col].tolist()
+                bodies = pdf[body_col].tolist() if body_col else [None] * len(urls)
+
+                def call(args):
+                    url, body = args
+                    try:
+                        status, text = transport(method, url, body)
+                        return status, text, None
+                    except Exception as e:  # noqa: BLE001
+                        return None, None, f"http: {e}"
+
+                results = list(pool.map(call, zip(urls, bodies)))
+                pdf = pdf.copy()
+                pdf["http_status"] = [r[0] for r in results]
+                pdf["http_response"] = [r[1] for r in results]
+                errs = [r[2] for r in results]
+                prev = pdf[ERROR] if ERROR in pdf else None
+                pdf[ERROR] = [
+                    e if e is not None else (prev.iloc[i] if prev is not None else None)
+                    for i, e in enumerate(errs)
+                ]
+                yield pdf
+
+    # _metadata maps don't round-trip pandas cleanly; drop + restore
+    meta_free = df.drop(META)
+    out_schema = (
+        ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in meta_free.schema.fields
+        )
+        + ", http_status int, http_response string"
+    )
+    enriched = meta_free.mapInPandas(run, out_schema)
+    return ensure_envelope(enriched)

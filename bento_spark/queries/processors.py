@@ -476,6 +476,32 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "proc_http_enrich",
+    oracle="""
+    SELECT event_id,
+           200 AS http_status,
+           '{"len": ' || length(props) || ', "method": "POST", "url": "https://svc/api/' || event_type || '"}'
+             AS http_response
+    FROM events ORDER BY event_id
+    """,
+)
+def proc_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``http`` processor (processor_http.go:71): bounded-concurrency
+    enrichment inside mapInPandas, failures -> _error. No network in
+    this container, so the injectable transport is the deterministic
+    echo; the oracle reproduces its envelope byte-for-byte."""
+    from bento_spark.operators.http import fake_echo_transport, http_enrich
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "url", F.concat(F.lit("https://svc/api/"), F.col("event_type"))
+    )
+    out = http_enrich(
+        ev, "url", body_col="props", method="POST", transport=fake_echo_transport
+    )
+    return out.select("event_id", "http_status", "http_response").orderBy("event_id")
+
+
+@query(
     "proc_metadata_topic",
     oracle="""
     SELECT event_id, 'events-' || event_type AS topic FROM events

@@ -142,6 +142,34 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``xml`` processor (internal/impl/xml/processor.go:92): XML ->
+    structured via Spark 4's native from_xml; rows serialized to XML
+    text and parsed back — identity oracle."""
+    n = _t(spark, sf_dir, "nation")
+    xml = n.select(
+        F.format_string(
+            "<nation><n_nationkey>%s</n_nationkey><n_name>%s</n_name>"
+            "<n_regionkey>%s</n_regionkey></nation>",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc", "n_nationkey bigint, n_name string, n_regionkey bigint"
+        ).alias("r")
+    ).select("r.*")
+    return parsed.orderBy("n_nationkey")
+
+
+@query(
     "unarchive_csv_roundtrip",
     oracle="""
     SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey

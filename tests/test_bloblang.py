@@ -120,6 +120,35 @@ root.b = this.a + 1
     assert [r["b"] for r in out] == [11, 21]
 
 
+def test_named_maps(row_df):
+    plan = compile_mapping(
+        """
+map normalize {
+  root.label = this.s.trim().lowercase()
+  root.mag = this.n.abs()
+}
+root.norm = this.apply("normalize")
+root.flat = this.apply("normalize").label
+"""
+    )
+    out = plan.apply(row_df).orderBy("id").collect()
+    assert [r["norm"]["label"] for r in out] == ["hello world", "pad"]
+    assert [r["norm"]["mag"] for r in out] == [7.5, 3.0]
+    assert [r["flat"] for r in out] == ["hello world", "pad"]
+
+
+def test_new_string_methods(row_df):
+    cases = [
+        ('"<b>x</b>".strip_html()', "x"),
+        ('"a&b".escape_html()', "a&amp;b"),
+        ('"a&amp;b".unescape_html()', "a&b"),
+        ('["a","b","c"].filepath_join()', "a/b/c"),
+    ]
+    for src, expected in cases:
+        got = row_df.select(compile_expr(src, df=row_df).alias("o")).first()["o"]
+        assert got == expected, src
+
+
 def test_tier_report():
     from bento_spark.bloblang.stdlib import tier_report
 
