@@ -217,6 +217,41 @@ def cache_get(
     return df.join(F.broadcast(side), key, "left")
 
 
+def json_schema_validate(
+    df: DataFrame, col: str, schema_ddl: str, required: list[str] | None = None
+) -> DataFrame:
+    """``json_schema`` processor (processor_jsonschema.go:93): rows whose
+    JSON fails to parse against the schema — or misses required fields —
+    get the error flag; valid rows get the typed struct in `parsed`."""
+    df = ensure_envelope(df)
+    parsed = F.from_json(F.col(col), schema_ddl)
+    out = df.withColumn("parsed", parsed)
+    bad = F.col("parsed").isNull()
+    for field in required or []:
+        bad = bad | F.col("parsed")[field].isNull()
+    return out.withColumn(
+        ERROR,
+        F.when(ok(df) & bad, F.lit("json_schema: validation failed")).otherwise(
+            F.col(ERROR)
+        ),
+    )
+
+
+def chunk_text(df: DataFrame, col: str, size: int) -> DataFrame:
+    """``chunker`` scanner (scanner_chunker.go): one message -> fixed
+    size chunks with their index; pure substring arithmetic."""
+    df = ensure_envelope(df)
+    n_chunks = F.ceil(F.length(F.col(col)) / F.lit(size)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    other = [c for c in df.columns if c != col]
+    return df.select(
+        *other,
+        F.posexplode(
+            F.transform(idx, lambda i: F.col(col).substr(i * size + 1, F.lit(size)))
+        ).alias("chunk_idx", "chunk"),
+    )
+
+
 def select_parts(df: DataFrame, order_by: list[Column], indexes: list[int]) -> DataFrame:
     """``select_parts`` (processor_select_parts.go:17): batch-positional
     selection becomes an explicit ordering + row_number filter."""

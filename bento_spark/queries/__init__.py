@@ -38,6 +38,7 @@ def load_all() -> None:
         processors,
         relational,
         relational2,
+        relational3,
         similarity,
         streaming,
         text,

@@ -502,6 +502,53 @@ def proc_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "proc_json_schema",
+    oracle="""
+    SELECT event_id,
+           NOT (event_id % 11 = 0) AS valid,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+    FROM events ORDER BY event_id
+    """,
+)
+def proc_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``json_schema`` (processor_jsonschema.go:93): poisoned rows fail
+    schema validation into the error channel; valid rows carry the
+    typed struct."""
+    ev = _t(spark, sf_dir, "events")
+    poisoned = ev.withColumn(
+        "props",
+        F.when(F.col("event_id") % 11 == 0, F.lit('{"wrong": true}')).otherwise(
+            F.col("props")
+        ),
+    )
+    out = P.json_schema_validate(poisoned, "props", "k bigint", required=["k"])
+    return out.select(
+        "event_id",
+        F.col(ERROR).isNull().alias("valid"),
+        F.col("parsed")["k"].alias("k"),
+    ).orderBy("event_id")
+
+
+@query(
+    "proc_chunker",
+    oracle="""
+    SELECT doc_id, i AS chunk_idx,
+           substr(text, i * 100 + 1, 100) AS chunk
+    FROM documents,
+         unnest(range(0, greatest(1, CAST(ceil(length(text) / 100.0) AS INT)))) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def proc_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``chunker`` scanner (scanner_chunker.go): fixed-size text chunks
+    with indexes, one message -> many."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = P.chunk_text(docs, "text", 100)
+    return out.select("doc_id", "chunk_idx", "chunk").orderBy("doc_id", "chunk_idx")
+
+
+@query(
     "proc_metadata_topic",
     oracle="""
     SELECT event_id, 'events-' || event_type AS topic FROM events
