@@ -47,6 +47,29 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def exploded_word_shingles(df, id_col: str, text_col: str, n: int = 3, distinct: bool = True):
+    """(id, shingle) pairs via posexplode + window lead — fully
+    whole-stage-codegen (the array-building ``word_shingles`` pays an
+    interpreted lambda per position, the dominant cost of every
+    shingling pipeline). One narrow explode + one hash shuffle on the
+    doc id; values identical to exploding ``word_shingles``.
+    """
+    from pyspark.sql import Window
+
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    out = (
+        w.select("doc", F.col("pos"), *[p.alias(f"w{i}") for i, p in enumerate(parts)])
+        .filter(F.col(f"w{n-1}").isNotNull())
+        .select("doc", F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("s"))
+    )
+    return out.dropDuplicates(["doc", "s"]) if distinct else out
+
+
 def word_shingles_sql(expr: str, n: int = 3) -> str:
     w = words_sql(expr)
     return (

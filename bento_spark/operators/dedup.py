@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bento_spark.functions.hashing import fast_hash64, hash60
-from bento_spark.functions.textops import word_shingles
+from bento_spark.functions.textops import exploded_word_shingles, word_shingles
 from bento_spark.functions.vectors import as_double, cosine
 
 MERSENNE31 = (1 << 31) - 1
@@ -72,16 +72,12 @@ def jaccard_pairs(
     (bounds bucket size at scale; changes semantics — off by default).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par).select(
-        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
-    )
-    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
+    sh = exploded_word_shingles(df.repartition(par), id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # join on a 64-bit hash of the shingle, not the string: the shuffle
     # moves 8-byte keys instead of multi-word text (collision probability
     # across shared-shingle pairs is ~2^-64 — negligible, documented)
-    inv = sh.select("doc", F.explode("sh").alias("s")).select(
-        "doc", F.xxhash64("s").alias("h")
-    )
+    inv = sh.select("doc", F.xxhash64("s").alias("h"))
     if max_df is not None:
         hot = inv.groupBy("h").count().filter(F.col("count") > max_df).select("h")
         inv = inv.join(F.broadcast(hot), "h", "left_anti")
@@ -147,18 +143,15 @@ def minhash_lsh_pairs(
     1-(1-J^r)^b — with (64, 32): r=2, P(miss at J=0.8) = (1-0.64)^32
     < 1e-13. Candidates come from an equi-join on (band, band_hash) — a
     hash shuffle, never a cross join; verification computes exact
-    Jaccard on the candidate set only (array_intersect of shingle sets).
+    Jaccard on the candidate set only through the exploded shingle
+    index (array-free).
     """
     r = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes, seed)
     base = _base_hash(hasher, "mh")
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par).select(
-        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    inv = sh.select("doc", F.explode("sh").alias("s")).select(
-        "doc", base(F.col("s")).alias("h")
-    )
+    sh = exploded_word_shingles(df.repartition(par), id_col, text_col, n)
+    inv = sh.select("doc", base(F.col("s")).alias("h"))
     sig = minhash_signatures(inv, coeffs)
     band_arr = F.array(
         *[
@@ -190,14 +183,27 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    cand = cand.join(sha, "doc_a").join(shb, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return cand.select(
-        "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    # array-free verification: exact |A ∩ B| for CANDIDATE pairs only,
+    # counted through the exploded shingle index (one 3-way equi-join),
+    # sizes from per-doc counts — no shingle array ever leaves a task.
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = sh.select(F.col("doc").alias("doc_a"), F.xxhash64("s").alias("h"))
+    ib = sh.select(F.col("doc").alias("doc_b"), F.xxhash64("s").alias("h"))
+    common = (
+        cand.join(ia, "doc_a")
+        .join(ib, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def with_simhash(
@@ -257,13 +263,8 @@ def simhash_pairs(
     # steps per doc and was ~5x slower
     base = _base_hash(hasher, "sim")
     par = df.sparkSession.sparkContext.defaultParallelism
-    inv = (
-        df.repartition(par)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-        )
-        .select("doc", base(F.col("s")).alias("h"))
+    inv = exploded_word_shingles(df.repartition(par), id_col, text_col, n).select(
+        "doc", base(F.col("s")).alias("h")
     )
     votes = inv.groupBy("doc").agg(
         *[
