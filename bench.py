@@ -13,12 +13,32 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# one representative per operator family (full correctness coverage is
+# tools/check.py's job; bench tracks the perf-relevant plans)
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q10_returned_items",
     "top_k_per_group",
+    "asof_join_last_login",
+    "window_tumbling_hour",
+    "window_session_user",
+    "proc_mapping_enrich",
+    "bloblang_mapping",
+    "pipeline_yaml",
+    "proc_cache_lookup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "text_quality_score",
+    "text_fingerprint_winnow",
+    "mm_image_features",
 ]
 
 
@@ -29,9 +49,7 @@ def main():
 
     spark = get_spark("bench")
     qs = e.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in sorted(qs) if n not in HEADLINE
-    ]
+    names = [n for n in HEADLINE if n in qs]
     # warm the JVM + parquet footer cache once with the cheapest query
     try:
         qs[names[0]](spark, sf_dir).count()

@@ -52,6 +52,120 @@ def decompress_col(col: Column, algo: str = "zlib") -> Column:
     return run(col)
 
 
+def _mp_encode(obj) -> bytes:
+    """Minimal msgpack encoder (nil/bool/int/float/str/array/map) —
+    enough for the `msgpack` processor's JSON-object surface
+    (internal/impl/msgpack/processor.go:24) without a third-party lib."""
+    import struct
+
+    if obj is None:
+        return b"\xc0"
+    if obj is True:
+        return b"\xc3"
+    if obj is False:
+        return b"\xc2"
+    if isinstance(obj, int):
+        if 0 <= obj <= 0x7F:
+            return struct.pack("B", obj)
+        return b"\xd3" + struct.pack(">q", obj)
+    if isinstance(obj, float):
+        return b"\xcb" + struct.pack(">d", obj)
+    if isinstance(obj, str):
+        b = obj.encode()
+        if len(b) < 32:
+            return struct.pack("B", 0xA0 | len(b)) + b
+        return b"\xdb" + struct.pack(">I", len(b)) + b
+    if isinstance(obj, (list, tuple)):
+        head = (
+            struct.pack("B", 0x90 | len(obj))
+            if len(obj) < 16
+            else b"\xdd" + struct.pack(">I", len(obj))
+        )
+        return head + b"".join(_mp_encode(x) for x in obj)
+    if isinstance(obj, dict):
+        head = (
+            struct.pack("B", 0x80 | len(obj))
+            if len(obj) < 16
+            else b"\xdf" + struct.pack(">I", len(obj))
+        )
+        return head + b"".join(_mp_encode(k) + _mp_encode(v) for k, v in obj.items())
+    raise TypeError(f"msgpack: unsupported type {type(obj)}")
+
+
+def _mp_decode(b: bytes, i: int = 0):
+    import struct
+
+    t = b[i]
+    if t == 0xC0:
+        return None, i + 1
+    if t == 0xC3:
+        return True, i + 1
+    if t == 0xC2:
+        return False, i + 1
+    if t <= 0x7F:
+        return t, i + 1
+    if t == 0xD3:
+        return struct.unpack(">q", b[i + 1 : i + 9])[0], i + 9
+    if t == 0xCB:
+        return struct.unpack(">d", b[i + 1 : i + 9])[0], i + 9
+    if 0xA0 <= t <= 0xBF:
+        n = t & 0x1F
+        return b[i + 1 : i + 1 + n].decode(), i + 1 + n
+    if t == 0xDB:
+        n = struct.unpack(">I", b[i + 1 : i + 5])[0]
+        return b[i + 5 : i + 5 + n].decode(), i + 5 + n
+    if 0x90 <= t <= 0x9F or t == 0xDD:
+        if t == 0xDD:
+            n = struct.unpack(">I", b[i + 1 : i + 5])[0]
+            i += 5
+        else:
+            n, i = t & 0x0F, i + 1
+        out = []
+        for _ in range(n):
+            v, i = _mp_decode(b, i)
+            out.append(v)
+        return out, i
+    if 0x80 <= t <= 0x8F or t == 0xDF:
+        if t == 0xDF:
+            n = struct.unpack(">I", b[i + 1 : i + 5])[0]
+            i += 5
+        else:
+            n, i = t & 0x0F, i + 1
+        out = {}
+        for _ in range(n):
+            k, i = _mp_decode(b, i)
+            v, i = _mp_decode(b, i)
+            out[k] = v
+        return out, i
+    raise ValueError(f"msgpack: bad type byte 0x{t:02x}")
+
+
+def msgpack_encode_col(col: Column) -> Column:
+    """JSON string -> msgpack bytes (`msgpack` processor to_msgpack)."""
+    import json
+
+    @pandas_udf("binary")
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else _mp_encode(json.loads(x)))
+
+    return run(col)
+
+
+def msgpack_decode_col(col: Column) -> Column:
+    """msgpack bytes -> JSON string (`msgpack` processor from_msgpack)."""
+    import json
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None
+            if x is None
+            else json.dumps(_mp_decode(bytes(x))[0], sort_keys=True)
+        )
+
+    return run(col)
+
+
 # Common Log Format: host ident user [ts] "METHOD path proto" status bytes
 CLF_RE = (
     r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d{3}) (\d+|-)$'

@@ -1,0 +1,63 @@
+"""Iterative graph operators: connected components for near-dup
+clustering.
+
+This is the engine's `while` processor (internal/impl/pure/
+processor_while.go:60) made concrete: a driver-side loop around a
+DataFrame fixpoint — each iteration is distributed, only the
+convergence check touches the driver (a count, not data).
+
+Scale notes: min-label propagation converges in O(diameter)
+iterations; near-dup graphs are unions of small cliques (diameter ~1-2)
+so 3-5 rounds suffice at any corpus size. Each round is one join + one
+aggregation on the edge list — no vertex state ever sits on the driver.
+localCheckpoint() truncates the growing lineage so round N doesn't
+re-execute rounds 1..N-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+) -> DataFrame:
+    """(src, dst) undirected edges -> (node, cluster_id=min reachable
+    node id). Exact fixpoint via min-label propagation."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        # materialize once: the edge list is re-joined every iteration,
+        # and without this the whole upstream pipeline (e.g. the Jaccard
+        # candidate generation) re-executes per round
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # candidate labels from neighbors
+        nbr = (
+            und.join(labels, und.a == labels.node)
+            .select(F.col("b").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

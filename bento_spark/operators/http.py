@@ -73,7 +73,8 @@ def http_enrich(
                     except Exception as e:  # noqa: BLE001
                         return None, None, f"http: {e}"
 
-                results = list(pool.map(call, zip(urls, bodies)))
+                chunk = max(1, len(urls) // (max_conc * 8))
+                results = list(pool.map(call, zip(urls, bodies), chunksize=chunk))
                 pdf = pdf.copy()
                 pdf["http_status"] = [r[0] for r in results]
                 pdf["http_response"] = [r[1] for r in results]

@@ -115,6 +115,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+_PAIRS_SUB = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+        >= {J_THRESHOLD}
+)
+"""
+
+_CLUSTERS_SQL = (
+    _PAIRS_SUB
+    + """
+, edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges)
+, reach AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT n AS doc_id, min(m) AS cluster_id, count(*) AS cluster_reach
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+)
+
+
+@query("dedup_clusters", oracle="WITH RECURSIVE " + _CLUSTERS_SQL.lstrip()[len("WITH "):])
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the exact-Jaccard
+    pair graph via driver-loop min-label propagation — the `while`
+    processor (processor_while.go:60) as a distributed fixpoint. The
+    oracle computes the same components with a recursive CTE."""
+    from bento_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", NGRAM, J_THRESHOLD)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    # cluster_reach = component size (every node reaches every other)
+    sizes = comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_reach"))
+    return (
+        comps.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            F.col("cluster_reach").cast("long").alias("cluster_reach"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _COS = cosine_sql("a.v", "b.v")
 _EMB_COS_SQL = f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)

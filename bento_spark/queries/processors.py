@@ -549,6 +549,26 @@ def proc_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "proc_msgpack_roundtrip",
+    oracle="""
+    SELECT event_id, '{"k": ' || json_extract_string(props, '$.k') || '}' AS rt
+    FROM events ORDER BY event_id
+    """,
+)
+def proc_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``msgpack`` processor (internal/impl/msgpack/processor.go:24):
+    JSON -> msgpack bytes -> JSON via the built-in minimal codec;
+    identity oracle (canonical key order)."""
+    from bento_spark.operators.codecs import msgpack_decode_col, msgpack_encode_col
+
+    ev = _t(spark, sf_dir, "events")
+    packed = ev.withColumn("mp", msgpack_encode_col(F.col("props")))
+    return packed.select(
+        "event_id", msgpack_decode_col(F.col("mp")).alias("rt")
+    ).orderBy("event_id")
+
+
+@query(
     "proc_metadata_topic",
     oracle="""
     SELECT event_id, 'events-' || event_type AS topic FROM events
