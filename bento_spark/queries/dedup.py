@@ -66,13 +66,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_lsh", oracle=_JACCARD_EXACT_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(32 bands x 2 rows) candidates, verified with
+    """MinHash(32) + LSH(16 bands x 2 rows) candidates, verified with
     exact Jaccard. Oracle is the brute-force exact pair set: at J>=0.8
-    the banding miss probability is (1-J^2)^32 < 1e-13, so LSH recall on
+    the banding miss probability is (1-J^2)^16 < 1e-7, so LSH recall on
     this (deterministic) corpus is exactly 1 and the outputs coincide."""
     docs = _t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
-        docs, "doc_id", "text", NGRAM, num_hashes=64, bands=32, threshold=J_THRESHOLD
+        docs, "doc_id", "text", NGRAM, num_hashes=32, bands=16, threshold=J_THRESHOLD
     ).orderBy("doc_a", "doc_b")
 
 

@@ -1,0 +1,62 @@
+"""Sink flow patterns: reject_errored DLQ split, fallback ordered retry,
+broker fan-out (SURVEY §2.4 flow control)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.operators import processors as P
+from bento_spark.sinks import run_sink
+
+
+@pytest.fixture()
+def flagged_df(spark):
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "bad"), (3, "ok"), (4, "bad")], "id long, status string"
+    )
+    df = P.ensure_envelope(df)
+    return df.withColumn(
+        "_error",
+        F.when(F.col("status") == "bad", F.lit("boom")).otherwise(F.lit(None)),
+    )
+
+
+def test_reject_errored_dlq(spark, flagged_df, tmp_path):
+    ok_df, dlq_df = P.reject_errored(flagged_df)
+    run_sink(ok_df.drop("_metadata"), False, "json", {"path": str(tmp_path / "ok")})
+    run_sink(dlq_df.drop("_metadata"), False, "json", {"path": str(tmp_path / "dlq")})
+    ok_back = spark.read.json(str(tmp_path / "ok"))
+    dlq_back = spark.read.json(str(tmp_path / "dlq"))
+    assert sorted(r["id"] for r in ok_back.collect()) == [1, 3]
+    assert sorted(r["id"] for r in dlq_back.collect()) == [2, 4]
+    assert all(r["_error"] == "boom" for r in dlq_back.collect())
+
+
+def test_fallback_first_sink_fails(spark, flagged_df, tmp_path):
+    good = str(tmp_path / "good")
+    run_sink(
+        flagged_df.drop("_metadata"),
+        False,
+        "fallback",
+        {
+            "outputs": [
+                # first output fails: parquet into a path occupied by a FILE
+                {"parquet": {"path": __file__, "mode": "error"}},
+                {"json": {"path": good}},
+            ]
+        },
+    )
+    assert spark.read.json(good).count() == 4
+
+
+def test_broker_fan_out(spark, flagged_df, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_sink(
+        flagged_df.drop("_metadata"),
+        False,
+        "broker",
+        {"outputs": [{"json": {"path": a}}, {"json": {"path": b}}]},
+    )
+    assert spark.read.json(a).count() == 4
+    assert spark.read.json(b).count() == 4
