@@ -1,0 +1,45 @@
+"""Keyed state tables: the `cache` resource's write side.
+
+The reference's cache processor set/add ops (processor_cache.go:154)
+write per-message to one of 17 KV backends; the Spark shape is a keyed
+table + batch MERGE: new rows win on key collision. Without Delta in
+this container, MERGE = anti-join + union + atomic directory swap —
+the same semantics, one job, safe against readers of the old snapshot
+(parquet dirs are immutable once written).
+
+In a pipeline this runs inside foreachBatch; the cache GET side is the
+broadcast join in processors.cache_get.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def upsert_parquet(
+    spark: SparkSession, updates: DataFrame, path: str, key: list[str]
+) -> None:
+    """MERGE `updates` into the keyed parquet table at `path`
+    (update-on-match via key anti-join, insert otherwise)."""
+    if os.path.exists(path):
+        old = spark.read.parquet(path)
+        kept = old.join(updates.select(*key), key, "left_anti")
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = updates
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def cache_set(
+    spark: SparkSession, df: DataFrame, path: str, key: list[str]
+) -> None:
+    """`cache` set (processor_cache.go operator=set): alias of upsert."""
+    upsert_parquet(spark, df, path, key)

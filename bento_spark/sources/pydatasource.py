@@ -1,0 +1,120 @@
+"""Custom PySpark DataSource (Spark 4 Python Data Source API) — the
+extension slot for the reference's queue-ish inputs without native
+Spark connectors (SQS, PubSub, MQTT, beanstalkd... SURVEY §2.3/§4:
+"Custom PySpark DataSources for queue-ish sources").
+
+`bento_queue` is a directory-backed message queue with the exact shape
+a remote-queue connector needs:
+
+* batch read: list files -> one InputPartition per file -> rows
+* streaming read: monotonically increasing offsets (file count),
+  initialOffset/latestOffset/partitions(start,end)/commit — the same
+  contract an SQS/PubSub reader implements against sequence numbers,
+  exercised here against a local directory so it runs in-container.
+
+Message files are JSON lines; each row carries (value STRING,
+queue_path STRING, msg_id LONG) — value lifts to typed columns with
+from_json / the Bloblang mapping layer downstream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+SCHEMA = StructType(
+    [
+        StructField("value", StringType()),
+        StructField("queue_path", StringType()),
+        StructField("msg_id", LongType()),
+    ]
+)
+
+
+def _list_messages(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if not f.startswith(".")
+    )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, files: list[str], start_id: int):
+        self.files = files
+        self.start_id = start_id
+
+
+def _read_files(files: list[str], start_id: int):
+    mid = start_id
+    for fp in files:
+        with open(fp) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    yield (line, fp, mid)
+                    mid += 1
+
+
+class QueueBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def partitions(self):
+        return [_FilePartition([f], i) for i, f in enumerate(_list_messages(self.path))]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_files(partition.files, partition.start_id * 1_000_000)
+
+
+class QueueStreamReader(DataSourceStreamReader):
+    """Offset = number of queue files consumed (a sequence number)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        return {"index": len(_list_messages(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_messages(self.path)[start["index"] : end["index"]]
+        if not files:
+            return [_FilePartition([], start["index"])]
+        return [
+            _FilePartition([f], start["index"] + i) for i, f in enumerate(files)
+        ]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_files(partition.files, partition.start_id * 1_000_000)
+
+    def commit(self, end: dict):
+        # a remote queue would ack/delete messages <= end here; the
+        # directory queue leaves them (replay stays possible)
+        pass
+
+
+class BentoQueueDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "bento_queue"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return QueueBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return QueueStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(BentoQueueDataSource)

@@ -1,0 +1,64 @@
+"""Custom Python DataSource (bento_queue): batch + streaming reads with
+offset tracking — the connector contract for queue-ish inputs."""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def _fill_queue(path, n_files=3, per_file=4, start=0):
+    path.mkdir(exist_ok=True)
+    for i in range(n_files):
+        with open(path / f"m{start + i:05d}.jsonl", "w") as f:
+            for j in range(per_file):
+                f.write(json.dumps({"file": start + i, "row": j}) + "\n")
+
+
+def test_batch_read(spark, tmp_path):
+    from bento_spark.sources.pydatasource import register
+
+    register(spark)
+    q = tmp_path / "q"
+    _fill_queue(q, 3, 4)
+    df = spark.read.format("bento_queue").option("path", str(q)).load()
+    rows = df.collect()
+    assert len(rows) == 12
+    assert set(df.columns) == {"value", "queue_path", "msg_id"}
+    parsed = [json.loads(r["value"]) for r in rows]
+    assert {p["file"] for p in parsed} == {0, 1, 2}
+
+
+def test_stream_read_with_new_arrivals(spark, tmp_path):
+    from bento_spark.sources.pydatasource import register
+
+    register(spark)
+    q = tmp_path / "qs"
+    _fill_queue(q, 2, 3)
+    sdf = spark.readStream.format("bento_queue").option("path", str(q)).load()
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName("t_queue_stream")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) n FROM t_queue_stream").collect()[0]["n"]
+            if n >= 6:
+                break
+            time.sleep(0.5)
+        assert n == 6
+        # new messages arrive mid-stream -> picked up by the next offset range
+        _fill_queue(q, 1, 5, start=2)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) n FROM t_queue_stream").collect()[0]["n"]
+            if n >= 11:
+                break
+            time.sleep(0.5)
+        assert n == 11
+    finally:
+        query.stop()

@@ -1,0 +1,34 @@
+"""cache set / MERGE semantics on keyed parquet tables."""
+
+from __future__ import annotations
+
+
+def test_upsert_parquet(spark, tmp_path):
+    from bento_spark.operators.state import upsert_parquet
+
+    path = str(tmp_path / "kv")
+    first = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v long"
+    )
+    upsert_parquet(spark, first, path, ["k"])
+    second = spark.createDataFrame(
+        [("b", 20), ("c", 3)], "k string, v long"
+    )
+    upsert_parquet(spark, second, path, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_cache_get_after_set(spark, tmp_path):
+    from bento_spark.operators.processors import cache_get
+    from bento_spark.operators.state import cache_set
+
+    path = str(tmp_path / "dim")
+    dim = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, label string"
+    )
+    cache_set(spark, dim, path, ["id"])
+    stream = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    out = cache_get(stream, spark.read.parquet(path), ["id"], ["label"])
+    got = {r["id"]: r["label"] for r in out.collect()}
+    assert got == {1: "alpha", 2: "beta", 3: None}
