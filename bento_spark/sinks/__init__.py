@@ -101,6 +101,29 @@ def _memory(df: DataFrame, is_streaming: bool, conf: dict):
     return None
 
 
+@register_sink("kafka")
+def _kafka(df: DataFrame, is_streaming: bool, conf: dict):
+    """`kafka` output -> Spark's native Kafka sink. The interpolated
+    `${! meta("topic") }` pattern is a `topic` COLUMN (read natively by
+    the sink); requires connector jars + a broker (absent in this
+    container — untested passthrough)."""
+    from pyspark.sql import functions as F
+
+    out = df
+    if "topic_column" in conf:
+        out = out.withColumn("topic", F.col(conf["topic_column"]))
+    writer = (out.writeStream if is_streaming else out.write).format("kafka").option(
+        "kafka.bootstrap.servers", conf["addresses"]
+    )
+    if "topic" in conf:
+        writer = writer.option("topic", conf["topic"])
+    if is_streaming:
+        writer = writer.option("checkpointLocation", conf["checkpoint"])
+        return writer.start()
+    writer.save()
+    return None
+
+
 @register_sink("switch")
 def _switch(df: DataFrame, is_streaming: bool, conf: dict):
     """Output `switch` (output_switch.go:164): each case filters the
