@@ -52,6 +52,59 @@ def decompress_col(col: Column, algo: str = "zlib") -> Column:
     return run(col)
 
 
+def tar_archive_col(names: Column, payloads: Column) -> Column:
+    """``archive`` format=tar (processor_archive.go:59): zip of
+    (names array, payload array) -> one deterministic tar BINARY
+    (mtime/uid pinned to 0 so output is byte-stable)."""
+    import io
+    import tarfile
+
+    @pandas_udf("binary")
+    def run(name_s: pd.Series, payload_s: pd.Series) -> pd.Series:
+        out = []
+        for names_row, payloads_row in zip(name_s, payload_s):
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for nm, data in zip(names_row, payloads_row):
+                    data = bytes(data)
+                    info = tarfile.TarInfo(name=nm)
+                    info.size = len(data)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(data))
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return run(names, payloads)
+
+
+def tar_unarchive(df: DataFrame, tar_col: str) -> DataFrame:
+    """``unarchive`` format=tar (processor_unarchive.go:49): one tar
+    BINARY -> one row per member (name, payload)."""
+    import io
+    import tarfile
+
+    other = [c for c in df.columns if c != tar_col]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*other).schema.fields
+    )
+    schema += ", member_name string, payload binary"
+
+    def run(batches):
+        for pdf in batches:
+            rows = {c: [] for c in [*other, "member_name", "payload"]}
+            for _, r in pdf.iterrows():
+                with tarfile.open(fileobj=io.BytesIO(bytes(r[tar_col]))) as tf:
+                    for info in tf.getmembers():
+                        for c in other:
+                            rows[c].append(r[c])
+                        rows["member_name"].append(info.name)
+                        rows["payload"].append(tf.extractfile(info).read())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema)
+
+
 def _mp_encode(obj) -> bytes:
     """Minimal msgpack encoder (nil/bool/int/float/str/array/map) —
     enough for the `msgpack` processor's JSON-object surface

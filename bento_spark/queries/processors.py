@@ -569,6 +569,39 @@ def proc_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "proc_tar_roundtrip",
+    oracle="""
+    SELECT source, doc_id, text FROM documents ORDER BY doc_id
+    """,
+)
+def proc_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``archive``/``unarchive`` format=tar (processor_archive.go:59):
+    documents grouped per source into one deterministic tar (pinned
+    mtime), unpacked back to one row per member — identity oracle."""
+    from bento_spark.operators.codecs import tar_archive_col, tar_unarchive
+
+    docs = _t(spark, sf_dir, "documents")
+    grouped = docs.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", F.col("text").alias("t")))
+        ).alias("items")
+    )
+    tarred = grouped.select(
+        "source",
+        tar_archive_col(
+            F.transform(F.col("items"), lambda s: s["doc_id"].cast("string")),
+            F.transform(F.col("items"), lambda s: F.encode(s["t"], "UTF-8")),
+        ).alias("tar"),
+    )
+    un = tar_unarchive(tarred, "tar")
+    return un.select(
+        "source",
+        F.col("member_name").cast("long").alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+    ).orderBy("doc_id")
+
+
+@query(
     "proc_metadata_topic",
     oracle="""
     SELECT event_id, 'events-' || event_type AS topic FROM events

@@ -1,0 +1,77 @@
+"""Native stream-stream join with watermarks (SURVEY §2.6: the
+reference's cookbook joining-streams pattern — cache set one stream +
+branch/cache get the other — is a real windowed join here)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _events_stream(spark):
+    path = os.path.join(SF_DIR, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_stream_stream_login_purchase_join(spark):
+    logins = (
+        _events_stream(spark)
+        .filter(F.col("event_type") == "login")
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("login_ts"),
+        )
+        .withWatermark("login_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "value")
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        logins,
+        (F.col("user_id") == F.col("l_user"))
+        & (F.col("login_ts") <= F.col("purchase_ts"))
+        & (F.col("login_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT count(*) n FROM t_ss_join"
+    ).collect()[0]["n"]
+
+    # batch oracle: same join on the static table
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    lg = ev.filter(F.col("event_type") == "login").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("login_ts")
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    expected = pu.join(
+        lg,
+        (F.col("user_id") == F.col("l_user"))
+        & (F.col("login_ts") <= F.col("purchase_ts"))
+        & (F.col("login_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).count()
+    assert got == expected
