@@ -40,15 +40,21 @@ class Env:
     vars: dict[str, Column] = field(default_factory=dict)
     df: object = None  # DataFrame | None
     maps: dict[str, object] = field(default_factory=dict)  # name -> [stmts]
+    in_lambda: bool = False  # lambda vars can't be analyzed against df
 
-    def child(self, more: dict[str, Column]) -> "Env":
-        return Env({**self.vars, **more}, self.df, self.maps)
+    def child(self, more: dict[str, Column], in_lambda: bool | None = None) -> "Env":
+        return Env(
+            {**self.vars, **more},
+            self.df,
+            self.maps,
+            self.in_lambda if in_lambda is None else in_lambda,
+        )
 
 
 def _type_of(env: Env, col: Column):
     """Best-effort analysis-time type of an expression (None inside
     lambda bodies, where lambda variables can't be resolved)."""
-    if env.df is None:
+    if env.df is None or env.in_lambda:
         return None
     try:
         return env.df.select(col.alias("__t")).schema[0].dataType
@@ -274,6 +280,17 @@ def _compile_method(node: A.MethodCall, env: Env) -> Column:
         if isinstance(t, (ArrayType, MapType)):
             return F.size(recv)
         return F.length(recv)
+    if node.name == "contains":
+        # polymorphic too: substring on strings, membership on arrays
+        from pyspark.sql.types import ArrayType
+
+        t = _type_of(env, recv)
+        arg = _arg(node.args[0], env)
+        if isinstance(t, ArrayType):
+            from bento_spark.bloblang.stdlib import V
+
+            return F.array_contains(recv, V(arg))
+        return recv.contains(arg)
     _tier, fn = METHODS[node.name]
     args = [_arg(a, env, recv_hint=node.name) for a in node.args]
     return fn(recv, *args)
@@ -287,13 +304,15 @@ def _arg(node: A.Node, env: Env, recv_hint: str | None = None):
         if len(node.params) == 1:
 
             def hof(a: Column) -> Column:
-                return compile_node(node.body, env.child({node.params[0]: a}))
+                return compile_node(
+                    node.body, env.child({node.params[0]: a}, in_lambda=True)
+                )
 
         elif len(node.params) == 2:
 
             def hof(a: Column, b: Column) -> Column:
                 bound = dict(zip(node.params, (a, b)))
-                return compile_node(node.body, env.child(bound))
+                return compile_node(node.body, env.child(bound, in_lambda=True))
 
         else:
             raise CompileError("lambdas support 1 or 2 parameters")

@@ -267,3 +267,21 @@ method("ts_strptime", "b")(lambda c, fmt: F.to_timestamp(c, _strftime_to_java(fm
 
 method("ceil_int", "b")(lambda c: F.ceil(c).cast("long"))
 method("uuid_v4", "a")(lambda _c: F.uuid())  # method alias of the function
+
+
+def _sort_by(c: Column, key_fn) -> Column:
+    """sort_by(lambda): array_sort with a derived-key comparator."""
+
+    def cmp(a: Column, b: Column) -> Column:
+        ka, kb = key_fn(a), key_fn(b)
+        return F.when(ka < kb, -1).when(ka > kb, 1).otherwise(0)
+
+    return F.array_sort(c, cmp)
+
+
+method("sort_by", "b")(_sort_by)
+method("avg", "b")(
+    lambda c: F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    / F.size(c)
+)
+method("find", "b")(lambda c, x: F.array_position(c, V(x)).cast("long") - 1)

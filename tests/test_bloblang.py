@@ -143,6 +143,11 @@ def test_new_string_methods(row_df):
         ('"a&b".escape_html()', "a&amp;b"),
         ('"a&amp;b".unescape_html()', "a&b"),
         ('["a","b","c"].filepath_join()', "a/b/c"),
+        ('["bb","a","ccc"].sort_by(x -> x.length())', ["a", "bb", "ccc"]),
+        ('["bb","a"].contains("a")', True),  # array membership dispatch
+        ('"hello".contains("ell")', True),
+        ("[1, 2, 3].avg()", 2.0),
+        ('["x","y","z"].find("y")', 1),
     ]
     for src, expected in cases:
         got = row_df.select(compile_expr(src, df=row_df).alias("o")).first()["o"]
