@@ -111,8 +111,12 @@ def compile_node(node: A.Node, env: Env) -> Column:
     if isinstance(node, A.Index):
         base = compile_node(node.base, env)
         idx = compile_node(node.index, env)
-        # 0-based, null on out-of-bounds (methods_structured.go index)
-        return F.try_element_at(base, idx + F.lit(1))
+        # 0-based, null on out-of-bounds; negative indices count from the
+        # end (methods_structured.go:699). Spark element_at is 1-based for
+        # positives and already end-relative for negatives.
+        return F.when(idx >= 0, F.try_element_at(base, idx + F.lit(1))).otherwise(
+            F.try_element_at(base, idx)
+        )
     if isinstance(node, A.Var):
         if node.name not in env.vars:
             raise CompileError(f"unknown variable ${node.name}")
@@ -400,9 +404,31 @@ def _compile_statements(ast: A.MappingAST, env: Env):
                     )
                 raise CompileError("field deletion not yet supported")
             if stmt.target == ():
-                dw = _root_delete_condition(stmt.expr, e2)
+                dw, kept = _root_delete_condition(stmt.expr, e2)
                 if dw is not None:
                     drop_when = dw if drop_when is None else (drop_when | dw)
+                    # The non-deleted branch is the root value for surviving
+                    # rows (rows failing it are dropped, so assigning
+                    # unconditionally is safe). Silently discarding it was
+                    # ADVICE r1 bug #3.
+                    if kept is not None and not isinstance(kept, A.This):
+                        if isinstance(kept, A.ObjectLit):
+                            for k, v in kept.entries:
+                                if not isinstance(k, A.Lit) or not isinstance(
+                                    k.value, str
+                                ):
+                                    raise CompileError(
+                                        "root object keys must be strings"
+                                    )
+                            for k, v in kept.entries:
+                                col = compile_node(v, e2)
+                                assigns.append((k.value, col))
+                                assigned[k.value] = col
+                        else:
+                            raise CompileError(
+                                "conditional root value beside deleted() must "
+                                "be `this` or an object literal"
+                            )
                     continue
                 if isinstance(stmt.expr, A.ObjectLit):
                     # root = {...}: each entry becomes a field assignment
@@ -436,11 +462,15 @@ def _is_deleted(node: A.Node) -> bool:
     return isinstance(node, A.FuncCall) and node.name == "deleted"
 
 
-def _root_delete_condition(node: A.Node, env: Env) -> Column | None:
-    """`root = if <cond> { deleted() }` -> drop condition (SURVEY §1.3:
-    Delete at root = df.filter)."""
-    if isinstance(node, A.If) and _is_deleted(node.then) and node.orelse is None:
-        return compile_node(node.cond, env)
+def _root_delete_condition(
+    node: A.Node, env: Env
+) -> tuple[Column | None, A.Node | None]:
+    """`root = if <cond> { deleted() }` -> (drop condition, kept-branch node)
+    (SURVEY §1.3: Delete at root = df.filter). The kept branch (the one
+    that is NOT deleted()) is returned so the caller can apply it as the
+    root value for surviving rows."""
+    if isinstance(node, A.If) and _is_deleted(node.then):
+        return compile_node(node.cond, env), node.orelse
     if isinstance(node, A.If) and node.orelse is not None and _is_deleted(node.orelse):
-        return ~compile_node(node.cond, env)
-    return None
+        return ~compile_node(node.cond, env), node.then
+    return None, None

@@ -169,7 +169,16 @@ method("join", "a")(lambda c, sep: F.array_join(c, sep))
 method("keys", "a")(lambda c: F.map_keys(c))
 method("values", "a")(lambda c: F.map_values(c))
 method("not_empty", "b")(lambda c: F.when(F.size(c) > 0, c))
-method("index", "b")(lambda c, i: F.try_element_at(c, V(i + 1)))  # 0-based, null OOB
+def _index(c, i):
+    """0-based, null OOB; negative counts from the end (methods_structured.go:699)."""
+    if isinstance(i, Column):
+        return F.when(i >= 0, F.try_element_at(c, i + F.lit(1))).otherwise(
+            F.try_element_at(c, i)
+        )
+    return F.try_element_at(c, V(i + 1 if i >= 0 else i))
+
+
+method("index", "b")(_index)
 method("first", "b")(lambda c: F.try_element_at(c, F.lit(1)))
 method("last", "b")(lambda c: F.try_element_at(c, F.lit(-1)))
 method("sum", "b")(

@@ -22,6 +22,10 @@ from bento_spark.queries import query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-sufficient on ANY session (the correctness driver builds its own
+    # plain SparkSession): events.parquet carries TIMESTAMP(NANOS), which
+    # Spark only reads with this runtime-settable legacy conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) parquet arrives as long ns (legacy.parquet.
     # nanosAsLong); truncate to micros with exact integer division —
@@ -39,11 +43,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT
       l_returnflag,
       l_linestatus,
-      sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
-      count(*) AS count_order
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -66,10 +70,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("sum_charge"),
+            # Decimal accumulation is exact/associative; the FINAL cast to
+            # double is canonical so the gate's value hash sees one
+            # representation on both engines (VERDICT r1 #2).
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -193,7 +200,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "top_k_per_group",
     oracle="""
-    SELECT o_custkey AS custkey, o_orderkey AS orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -219,7 +226,7 @@ def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
         )
         .orderBy("custkey", F.desc("totalprice"), "orderkey")
     )
@@ -249,7 +256,7 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_priority",
     oracle="""
     SELECT o_orderstatus AS status, o_orderpriority AS priority,
-           count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY status NULLS FIRST, priority NULLS FIRST
@@ -266,7 +273,7 @@ def rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
         .orderBy(
             F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first()

@@ -53,8 +53,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS name,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            n.n_name AS nation
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -88,7 +88,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("name"),
             F.col("n_name").alias("nation"),
         )
-        .agg(F.sum(price * (F.lit(1) - disc)).alias("revenue"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .select("custkey", "name", "revenue", "nation")
         .orderBy(F.desc("revenue"), "custkey")
         .limit(20)
@@ -99,10 +99,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= DATE '1996-01-01'
       AND l.l_shipdate < DATE '1997-01-01'
@@ -123,8 +123,8 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
         .orderBy("l_linestatus")
     )
@@ -134,10 +134,10 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
            t.sum_qty
     FROM orders o
-    JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
           FROM lineitem GROUP BY l_orderkey
           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) t
       ON o.o_orderkey = t.l_orderkey
@@ -152,13 +152,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 250)
+        .withColumn("sum_qty", F.col("sum_qty").cast("double"))
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
         .select(
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_custkey").alias("custkey"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
             "sum_qty",
         )
         .orderBy(F.desc("totalprice"), "orderkey")
@@ -203,8 +204,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "skew_salted_agg",
     oracle="""
-    SELECT event_type, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -227,6 +228,9 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         partial.groupBy("event_type")
-        .agg(F.sum("pn").alias("n"), F.sum("pt").alias("total"))
+        .agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            F.sum("pt").cast("double").alias("total"),
+        )
         .orderBy("event_type")
     )

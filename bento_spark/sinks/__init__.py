@@ -126,30 +126,106 @@ def _kafka(df: DataFrame, is_streaming: bool, conf: dict):
 
 @register_sink("switch")
 def _switch(df: DataFrame, is_streaming: bool, conf: dict):
-    """Output `switch` (output_switch.go:164): each case filters the
-    stream into its own sink — N filtered writers off one DataFrame."""
+    """Output `switch` (output_switch.go:164): route each row to the FIRST
+    case whose check passes (reference default `continue: false`,
+    output_switch.go:440); a case with `continue: true` lets matching rows
+    also flow to later cases. No-check case is a catch-all."""
+    from pyspark.sql import functions as F
+
     from bento_spark.bloblang import compile_expr
 
     cases = conf.get("cases", [])
     results = []
+    blocked = F.lit(False)  # rows already consumed by a non-continue case
     for case in cases:
         check = case.get("check")
         sub = case["output"]
         (sname, sconf), = sub.items()
-        part = df.filter(compile_expr(check, df=df)) if check else df
+        cond = compile_expr(check, df=df) if check else F.lit(True)
+        part = df.filter(cond & ~blocked)
+        if not case.get("continue", False):
+            blocked = blocked | cond
         results.append(run_sink(part, is_streaming, sname, sconf))
     return results
 
 
 @register_sink("broker")
 def _broker_out(df: DataFrame, is_streaming: bool, conf: dict):
-    """Output `broker` fan_out (output_broker.go:150): every sub-output
-    gets the whole stream."""
+    """Output `broker` (output_broker.go:150). Patterns:
+    - fan_out (default) / fan_out_sequential: every sub-output gets the
+      whole stream; sequential writes strictly in config order
+      (output_broker_fan_out_sequential.go — under Spark the batch write
+      loop is already ordered, so the distinction is that fan_out MAY be
+      reordered in future async impls while sequential never is).
+    - round_robin (output_broker_round_robin.go): rows are dealt to
+      outputs in rotation — deterministic modulo over a stable row
+      number so each output gets ~1/N of rows.
+    - greedy (output_broker_greedy.go): whichever consumer is free takes
+      the next message; under a batch engine the throughput-equivalent
+      is balanced splitting, implemented as round_robin dealing.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    outs = conf.get("outputs", [])
+    pattern = conf.get("pattern", "fan_out")
     results = []
-    for sub in conf.get("outputs", []):
-        (sname, sconf), = sub.items()
-        results.append(run_sink(df, is_streaming, sname, sconf))
-    return results
+    if pattern in ("fan_out", "fan_out_sequential"):
+        for sub in outs:
+            (sname, sconf), = sub.items()
+            results.append(run_sink(df, is_streaming, sname, sconf))
+        return results
+    if pattern in ("round_robin", "greedy"):
+        n = len(outs)
+        if is_streaming:
+            # Deal per micro-batch via foreachBatch (row_number needs a
+            # bounded frame).
+            def write_batch(bdf, _epoch):
+                dealt = bdf.withColumn(
+                    "__slot",
+                    (
+                        F.row_number().over(
+                            Window.orderBy(F.monotonically_increasing_id())
+                        )
+                        % n
+                    ),
+                )
+                for i, sub in enumerate(outs):
+                    (sname, sconf), = sub.items()
+                    run_sink(
+                        dealt.filter(F.col("__slot") == i).drop("__slot"),
+                        False,
+                        sname,
+                        sconf,
+                    )
+
+            return (
+                df.writeStream.foreachBatch(write_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+        # Batch: deal within each partition (row position % n) — every
+        # partition rotates through the outputs, so imbalance is at most
+        # one row per partition and there is NO global sort/shuffle.
+        dealt = df.withColumn(
+            "__slot",
+            (
+                F.row_number().over(
+                    Window.partitionBy(F.spark_partition_id()).orderBy(
+                        F.monotonically_increasing_id()
+                    )
+                )
+                - 1
+            )
+            % n,
+        )
+        for i, sub in enumerate(outs):
+            (sname, sconf), = sub.items()
+            results.append(
+                run_sink(dealt.filter(F.col("__slot") == i).drop("__slot"), False, sname, sconf)
+            )
+        return results
+    raise ValueError(f"unknown broker pattern {pattern!r}")
 
 
 @register_sink("fallback")

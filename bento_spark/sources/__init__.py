@@ -38,6 +38,10 @@ def _file_source(fmt: str):
         path = conf["path"]
         stream = bool(conf.get("stream", False))
         opts = dict(conf.get("options", {}))
+        if fmt == "parquet":
+            # TIMESTAMP(NANOS) parquet (e.g. the events table) needs this
+            # runtime conf; set here so sources work on any caller's session.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         reader = spark.readStream if stream else spark.read
         if stream and "schema" in conf:
             reader = reader.schema(conf["schema"])

@@ -31,7 +31,11 @@ def canon(v):
     if v is None:
         return None
     if isinstance(v, decimal.Decimal):
-        return f"{v.normalize():f}"
+        # Do NOT normalize scale: the driver hashes the raw representation,
+        # so Decimal('138014.00') must NOT compare equal to 138014.0 here
+        # either (VERDICT r1 #3). Gate queries must cast final aggregates
+        # to DOUBLE/BIGINT on both sides instead.
+        return f"dec:{v:f}"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
