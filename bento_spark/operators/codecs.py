@@ -96,6 +96,11 @@ def tar_unarchive(df: DataFrame, tar_col: str) -> DataFrame:
             for _, r in pdf.iterrows():
                 with tarfile.open(fileobj=io.BytesIO(bytes(r[tar_col]))) as tf:
                     for info in tf.getmembers():
+                        # extractfile() is None for non-regular members
+                        # (dirs, symlinks, devices) — skip them rather
+                        # than crash the task (ADVICE r1).
+                        if not info.isreg():
+                            continue
                         for c in other:
                             rows[c].append(r[c])
                         rows["member_name"].append(info.name)

@@ -72,25 +72,50 @@ class QueueBatchReader(DataSourceReader):
         yield from _read_files(partition.files, partition.start_id * 1_000_000)
 
 
+def _file_seq_id(fp: str) -> int:
+    """Deterministic 40-bit id for a queue file (basis for its msg_ids) —
+    stable regardless of what other files exist in the directory, and
+    small enough that id * 1e6 + line stays inside int64."""
+    import hashlib
+
+    return int(hashlib.md5(os.path.basename(fp).encode()).hexdigest()[:10], 16)
+
+
 class QueueStreamReader(DataSourceStreamReader):
-    """Offset = number of queue files consumed (a sequence number)."""
+    """Offset = lexicographic watermark (last consumed filename).
+
+    A positional index into the re-sorted listing breaks the offset
+    contract when a late file sorts before consumed ones (ADVICE r1):
+    the slice shifts, re-delivering old rows and skipping the new file.
+    With a filename watermark, files <= watermark are never re-read; a
+    late out-of-order arrival is surfaced by documented queue semantics:
+    producers must use monotonically sorting names (enforced nowhere
+    better than the offset itself — a late-sorting file is simply picked
+    up as long as it is still > the committed watermark, and is skipped
+    only if it sorts before an already-consumed name, matching at-most-
+    once on misbehaving producers instead of duplicating)."""
 
     def __init__(self, options):
         self.path = options["path"]
 
     def initialOffset(self):
-        return {"index": 0}
+        return {"watermark": ""}
 
     def latestOffset(self):
-        return {"index": len(_list_messages(self.path))}
+        files = _list_messages(self.path)
+        last = os.path.basename(files[-1]) if files else ""
+        return {"watermark": last}
 
     def partitions(self, start: dict, end: dict):
-        files = _list_messages(self.path)[start["index"] : end["index"]]
-        if not files:
-            return [_FilePartition([], start["index"])]
-        return [
-            _FilePartition([f], start["index"] + i) for i, f in enumerate(files)
+        lo, hi = start["watermark"], end["watermark"]
+        files = [
+            f
+            for f in _list_messages(self.path)
+            if lo < os.path.basename(f) <= hi
         ]
+        if not files:
+            return [_FilePartition([], 0)]
+        return [_FilePartition([f], _file_seq_id(f)) for f in files]
 
     def read(self, partition: _FilePartition):
         yield from _read_files(partition.files, partition.start_id * 1_000_000)

@@ -160,3 +160,35 @@ def test_tier_report():
     rep = tier_report()
     assert rep["methods"].get("a", 0) >= 30
     assert rep["methods"].get("c", 0) == 0  # no Python in the hot path
+
+
+def test_negative_index(row_df):
+    # negative indices count from the end (methods_structured.go:699)
+    got = [
+        r["out"]
+        for r in row_df.select(
+            compile_expr("this.arr.index(-1)", df=row_df).alias("out")
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    assert got == ["a", None]
+    got2 = [
+        r["out"]
+        for r in row_df.select(
+            compile_expr("this.arr.index(-3)", df=row_df).alias("out")
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    assert got2 == ["a", None]
+
+
+def test_root_conditional_object_with_deleted(row_df):
+    # the kept branch must be applied to surviving rows, not discarded
+    plan = compile_mapping(
+        'root = if this.id == 1 { {"doubled": this.id * 2} } else { deleted() }'
+    )
+    out = plan.apply(row_df).collect()
+    assert len(out) == 1
+    assert out[0]["doubled"] == 2

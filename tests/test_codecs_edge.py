@@ -1,0 +1,68 @@
+"""Edge cases from round-1 advice: tar members that aren't regular files,
+and queue stream offsets under out-of-order file arrival."""
+
+from __future__ import annotations
+
+import io
+import json
+import tarfile
+
+
+def _tar_with_dir_and_symlink() -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        d = tarfile.TarInfo("subdir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        payload = b"hello"
+        fi = tarfile.TarInfo("subdir/a.txt")
+        fi.size = len(payload)
+        tf.addfile(fi, io.BytesIO(payload))
+        ln = tarfile.TarInfo("subdir/link")
+        ln.type = tarfile.SYMTYPE
+        ln.linkname = "a.txt"
+        tf.addfile(ln)
+    return buf.getvalue()
+
+
+def test_tar_unarchive_skips_non_regular_members(spark):
+    from bento_spark.operators.codecs import tar_unarchive
+
+    df = spark.createDataFrame([(1, _tar_with_dir_and_symlink())], "id long, t binary")
+    out = tar_unarchive(df, "t").collect()
+    assert [(r["member_name"], bytes(r["payload"])) for r in out] == [
+        ("subdir/a.txt", b"hello")
+    ]
+
+
+def test_queue_stream_watermark_offsets(tmp_path):
+    """A late file sorting BEFORE consumed ones must not shift the offset
+    window (no re-delivery of consumed messages)."""
+    from bento_spark.sources.pydatasource import QueueStreamReader
+
+    q = tmp_path / "q"
+    q.mkdir()
+    for name in ("b.jsonl", "c.jsonl"):
+        (q / name).write_text(json.dumps({"f": name}) + "\n")
+
+    r = QueueStreamReader({"path": str(q)})
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert end == {"watermark": "c.jsonl"}
+    first = r.partitions(start, end)
+    consumed = sorted(f for p in first for f in p.files)
+    assert [f.rsplit("/", 1)[-1] for f in consumed] == ["b.jsonl", "c.jsonl"]
+
+    # late-sorting arrival: 'a.jsonl' sorts before the watermark; a NEW
+    # in-window file 'd.jsonl' arrives too
+    (q / "a.jsonl").write_text(json.dumps({"f": "a"}) + "\n")
+    (q / "d.jsonl").write_text(json.dumps({"f": "d"}) + "\n")
+    end2 = r.latestOffset()
+    assert end2 == {"watermark": "d.jsonl"}
+    second = r.partitions(end, end2)
+    names = sorted(
+        f.rsplit("/", 1)[-1] for p in second for f in p.files
+    )
+    # d is delivered exactly once; b/c are NOT re-delivered (the r1 bug
+    # re-delivered c and skipped d when a.jsonl shifted the index window)
+    assert names == ["d.jsonl"]

@@ -60,3 +60,67 @@ def test_broker_fan_out(spark, flagged_df, tmp_path):
     )
     assert spark.read.json(a).count() == 4
     assert spark.read.json(b).count() == 4
+
+
+def test_switch_first_match_only(spark, flagged_df, tmp_path):
+    # overlapping checks must NOT duplicate rows: first matching case wins
+    # (output_switch.go:440, continue defaults to false)
+    a, b, c = str(tmp_path / "sa"), str(tmp_path / "sb"), str(tmp_path / "sc")
+    run_sink(
+        flagged_df.drop("_metadata"),
+        False,
+        "switch",
+        {
+            "cases": [
+                {"check": 'this.id <= 2', "output": {"json": {"path": a}}},
+                {"check": 'this.id <= 3', "output": {"json": {"path": b}}},
+                {"output": {"json": {"path": c}}},  # catch-all
+            ]
+        },
+    )
+    assert sorted(r["id"] for r in spark.read.json(a).collect()) == [1, 2]
+    assert sorted(r["id"] for r in spark.read.json(b).collect()) == [3]
+    assert sorted(r["id"] for r in spark.read.json(c).collect()) == [4]
+
+
+def test_switch_continue_case(spark, flagged_df, tmp_path):
+    # continue: true lets matching rows also reach later cases
+    a, b = str(tmp_path / "ca"), str(tmp_path / "cb")
+    run_sink(
+        flagged_df.drop("_metadata"),
+        False,
+        "switch",
+        {
+            "cases": [
+                {
+                    "check": 'this.id <= 2',
+                    "continue": True,
+                    "output": {"json": {"path": a}},
+                },
+                {"check": 'this.id <= 3', "output": {"json": {"path": b}}},
+            ]
+        },
+    )
+    assert sorted(r["id"] for r in spark.read.json(a).collect()) == [1, 2]
+    assert sorted(r["id"] for r in spark.read.json(b).collect()) == [1, 2, 3]
+
+
+def test_broker_round_robin(spark, tmp_path):
+    df = spark.range(100).withColumnRenamed("id", "n")
+    a, b = str(tmp_path / "rra"), str(tmp_path / "rrb")
+    run_sink(
+        df,
+        False,
+        "broker",
+        {
+            "pattern": "round_robin",
+            "outputs": [{"json": {"path": a}}, {"json": {"path": b}}],
+        },
+    )
+    na = spark.read.json(a).count()
+    nb = spark.read.json(b).count()
+    assert na + nb == 100
+    # dealt, not duplicated; balanced within one row per partition
+    assert abs(na - nb) <= spark.sparkContext.defaultParallelism
+    union = spark.read.json(a).union(spark.read.json(b))
+    assert union.select("n").distinct().count() == 100
