@@ -80,6 +80,29 @@ def word_shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def stopword_hits(col: Column, stops: list[str]) -> Column:
+    """Occurrence count of any of ``stops`` as whole words — pure string
+    ops (replace/length), whole-stage-codegen. Doubling the spaces first
+    makes every word carry its own delimiters, so non-overlapping
+    ``replace`` counts adjacent hits correctly (' a a ' -> ' a  a ').
+    Replaces the interpreted ``F.filter(words, contains)`` lambda that
+    cost a per-word evaluator re-entry (round-1 perf finding)."""
+    padded = F.concat(F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" "))
+    total = None
+    for s in stops:
+        pat = f" {s} "
+        cnt = (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))) / len(pat)
+        total = cnt if total is None else total + cnt
+    return total.cast("int")
+
+
+def mean_word_len(col: Column) -> Column:
+    """Mean word length of a single-space-separated text — pure algebra:
+    sum(len(word)) == len(text) - (n_words - 1). No per-word lambda."""
+    n = F.size(words(col))
+    return (F.length(col) - (n - 1)) / n
+
+
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count."""
     return F.size(words(col))
@@ -122,6 +145,57 @@ def with_winnow_fingerprints(df, text_col: str, out_col: str = "fp", k: int = 5,
     ).otherwise(empty)
     fp = F.array_sort(F.array_distinct(mins))
     return tmp.withColumn(out_col, fp).drop("__wds", "__grams")
+
+
+def winnow_fingerprints_exploded(
+    df, id_col: str, text_col: str, k: int = 5, w: int = 4
+):
+    """(id, fp BIGINT[]) winnowing fingerprints on the codegen path.
+
+    ``with_winnow_fingerprints`` pays two interpreted HOF ``transform``
+    lambdas per document (each position re-enters the evaluator and
+    ``slice``-copies k resp. w elements) — 12.4s / 23% of the round-1
+    bench. Here the whole thing is whole-stage-codegen: posexplode words,
+    k-gram via ``lead`` over (doc, pos), one md5 per gram, window-min
+    over the next w-1 rows, then collect_set per doc. ONE shuffle on the
+    doc id — the window sort is reused by the second window AND the
+    groupBy since all three key on doc. Docs producing no full window
+    are absent from the result (caller left-joins + coalesces to []).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w0"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w0")] + [F.lead("w0", i).over(win) for i in range(1, k)]
+    grams = (
+        base.select(id_col, "pos", *[p.alias(f"t{i}") for i, p in enumerate(parts)])
+        .filter(F.col(f"t{k-1}").isNotNull())
+        .select(
+            id_col,
+            "pos",
+            hash60(F.concat_ws(" ", *[f"t{i}" for i in range(k)])).alias("gh"),
+        )
+    )
+    w_min = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    w_all = Window.partitionBy(id_col)
+    mins = (
+        grams.select(
+            id_col,
+            "pos",
+            F.min("gh").over(w_min).alias("mh"),
+            F.count(F.lit(1)).over(w_all).alias("ng"),
+            F.max("pos").over(w_all).alias("maxpos"),
+        )
+        # only FULL windows of w grams (winnowing definition); ng >= w
+        # guards short docs, pos bound drops the trailing partials
+        .filter((F.col("ng") >= w) & (F.col("pos") <= F.col("maxpos") - (w - 1)))
+    )
+    return mins.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("mh")).alias("fp")
+    )
 
 
 def winnow_fingerprints_table_sql(

@@ -322,10 +322,17 @@ def embedding_cosine_pairs(
     threshold: float = 0.4,
     dim: int | None = None,
     impl: str = "gemm",
+    max_rows: int = 200_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs — O(n^2), inherently a small-corpus
     op (every impl must touch all pairs); the 100 TB path is LSH
     bucketing (operators/similarity.lsh_ann_topk) or minhash on text.
+    ``max_rows`` ENFORCES that routing (round-1 advice: the "route large
+    corpora to LSH" promise had no guard): beyond it, the driver-side
+    index build (collect + broadcast) and the O(n^2) GEMM are both
+    unsound, so the call raises with the LSH pointer instead of OOMing
+    an executor. 200k x 64 doubles ~ 100 MB broadcast — the practical
+    ceiling. Pass a larger max_rows only with driver memory to match.
 
     impl="gemm" (default): broadcast the normalized corpus matrix, then
     one Arrow-batched mapInPandas stage computes block @ corpus.T with
@@ -344,6 +351,14 @@ def embedding_cosine_pairs(
     import pandas as pd
 
     sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n = sdf.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_cosine_pairs is an exact O(n^2) small-corpus op; "
+            f"corpus has {n} rows (> max_rows={max_rows}). Use "
+            f"similarity.lsh_ann_topk (bucketed, scales) or raise max_rows "
+            f"if the driver can hold the broadcast index."
+        )
     rows = sdf.collect()  # corpus index build — the broadcast-dim pattern
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)

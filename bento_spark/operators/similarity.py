@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bento_spark.functions.vectors import as_double, cosine
+from bento_spark.functions.vectors import as_double, dot_expr, l2sq_expr
 
 
 def brute_force_topk(
@@ -39,13 +39,20 @@ def brute_force_topk(
     a static ``dim`` the dot product is codegen'd (see vectors.dot).
     """
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    # Norms are computed ONCE PER ROW on each side before the join; the
+    # per-pair expression is then just the dot product (dim terms, not
+    # 3*dim) — same values, same accumulation order, but a 3x smaller
+    # tree for Catalyst analysis + codegen in the pair stage (the
+    # dominant cost of the whole query at bench scale).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).repartition(par)
+    ).withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim))).repartition(par)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
+    sim = F.round(
+        dot_expr("qv", "cv", dim) / (F.col("qnrm") * F.col("cnrm")), 6
     )
-    sim = F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
@@ -63,21 +70,36 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit j = (vec · plane_j) > 0."""
-    terms = []
+def lsh_bucket(vec_name: str, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit j = (vec · plane_j) > 0.
+
+    Each plane dot product is a static multiply-add chain over literal
+    coefficients (vec[i] * c_i), fully whole-stage-codegen — the
+    zip_with/aggregate HOF form re-enters the interpreted evaluator per
+    element and was the dominant cost of the round-1 LSH probe. The
+    whole bucket is ONE ``F.expr`` (a Column-object chain costs ~2
+    py4j round trips per term at plan-build time — seconds at
+    planes x dim = 256). Left-associative accumulation keeps bit-parity
+    with the oracle's list_reduce."""
+    parts = []
     for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        d = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        terms.append(F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+        d = " + ".join(f"{vec_name}[{i}] * {repr(c)}D" for i, c in enumerate(p))
+        parts.append(f"(CASE WHEN {d} > 0.0D THEN {1 << j} ELSE 0 END)")
+    return F.expr("(" + " + ".join(parts) + ")")
+
+
+def auto_n_planes(
+    n_rows: int, target_bucket: int = 256, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count scaling with corpus size: 2^planes buckets sized
+    ~``target_bucket`` rows. A FIXED plane count makes bucket population
+    (and probe cost) grow linearly with the corpus — LSH in name only at
+    100x scale; log2 scaling keeps the per-probe work constant."""
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(n_rows / target_bucket))))
 
 
 def lsh_ann_topk(
@@ -86,7 +108,7 @@ def lsh_ann_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     dim: int = 64,
     seed: int = 42,
     multiprobe: bool = True,
@@ -96,23 +118,50 @@ def lsh_ann_topk(
     The corpus is bucketed once (narrow map); each query probes its own
     bucket plus the ``n_planes`` hamming-1 buckets, so the join touches
     ~(1+n_planes)/2^n_planes of the corpus instead of all of it.
+    ``n_planes=None`` scales the plane count with the corpus
+    (``auto_n_planes``: ~256-row buckets) — the scale path; a fixed
+    plane count is only for oracle-pinned tests.
     """
+    if n_planes is None:
+        # parquet count() is metadata-only — cheap even at 100 TB
+        n_planes = auto_n_planes(corpus.count())
     planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qbucket", lsh_bucket(F.col("qv"), planes))
-    if multiprobe:
-        probes = F.array(
-            F.col("qbucket"),
-            *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         )
-    else:
-        probes = F.array(F.col("qbucket"))
-    q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
-    sim = F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+        .withColumn("bucket", lsh_bucket("cv", planes))
+        .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("qbucket", lsh_bucket("qv", planes))
+        .withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
+    )
+    # Probe buckets via exploded XOR *deltas*, not N copies of the bucket
+    # expression: `explode(array(qbucket, qbucket^1, ...))` collapses into
+    # one projection repeating the (planes x dim)-term bucket expression
+    # per probe — 6x the whole-query wall clock in codegen/compile alone.
+    # Exploding literal deltas keeps qbucket below the Generate node,
+    # computed once per query row.
+    deltas = [0] + ([1 << j for j in range(n_planes)] if multiprobe else [])
+    q = q.select(
+        "query_id",
+        "qv",
+        "qnrm",
+        "qbucket",
+        F.explode(F.array(*[F.lit(d) for d in deltas])).alias("__delta"),
+    ).select(
+        "query_id",
+        "qv",
+        "qnrm",
+        F.col("qbucket").bitwiseXOR(F.col("__delta")).alias("bucket"),
+    )
+    sim = F.round(
+        dot_expr("qv", "cv", dim) / (F.col("qnrm") * F.col("cnrm")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         c.join(F.broadcast(q), ["bucket"])

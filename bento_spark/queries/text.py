@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 
 from bento_spark.functions.textops import (
     TOKEN_RE,
+    mean_word_len,
+    stopword_hits,
     token_count_re,
     token_count_ws,
+    winnow_fingerprints_exploded,
     winnow_fingerprints_table_sql,
-    with_winnow_fingerprints,
     words,
 )
 from bento_spark.queries import query
@@ -62,13 +64,15 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_cols():
-    """Spark columns for the quality features (lazy — needs a session)."""
+    """Spark columns for the quality features (lazy — needs a session).
+    All codegen: stopword counting via string replace/length, mean word
+    length via the sum(len)=len(text)-(n-1) identity — the round-1
+    per-word HOF lambdas were 3.8s of the bench."""
     w = words(F.col("text"))
     n_words = F.size(w)
     n_uniq = F.size(F.array_distinct(w))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
-    mean_len = F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words
+    n_stop = stopword_hits(F.col("text"), STOPWORDS["en"])
+    mean_len = mean_word_len(F.col("text"))
     uniq_ratio = n_uniq / n_words
     stop_ratio = n_stop / n_words
     score = F.round(
@@ -93,8 +97,7 @@ def _quality_sql() -> str:
       round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uniq_ratio,
       round(len(list_filter(w, x -> list_contains({stoplist}, x)))::DOUBLE / len(w), 6)
         AS stop_ratio,
-      round(list_reduce(list_transform(w, x -> length(x)::DOUBLE), (a,b) -> a + b)
-            / len(w), 6) AS mean_word_len,
+      round((length(text) - len(w) + 1)::DOUBLE / len(w), 6) AS mean_word_len,
       round(0.4e0 * (len(list_distinct(w))::DOUBLE / len(w))
             + 0.4e0 * least((len(list_filter(w, x -> list_contains({stoplist}, x)))::DOUBLE / len(w)) * 5, 1.0e0)
             + 0.2e0 * least(len(w)::DOUBLE / 100.0e0, 1.0e0), 6) AS quality_score
@@ -105,7 +108,7 @@ def _quality_sql() -> str:
     "text_quality_score",
     oracle=f"""
     SELECT doc_id, {_quality_sql()}
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
     ORDER BY doc_id
     """,
 )
@@ -119,14 +122,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_cols():
     w = words(F.col("text"))
     n_words = F.size(w)
-    def contains(arr):
-        # real closure — a default-arg lambda would be read as 2-arity
-        return lambda x: F.array_contains(arr, x)
-
     hits = {}
     for lang in LANG_ORDER:
-        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-        hits[lang] = F.size(F.filter(w, contains(arr)))
+        hits[lang] = stopword_hits(F.col("text"), STOPWORDS[lang])
     cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit(CJK_RE), F.lit(0)))
     expr = F.lit("und")
     for lang in reversed(LANG_ORDER):
@@ -203,11 +201,20 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=5 word-grams, window=4): the rolling-hash
-    document fingerprint; emitted as a joined string for stable hashing."""
+    document fingerprint; emitted as a joined string for stable hashing.
+    Codegen path (posexplode + window lead/min) — the HOF-lambda variant
+    was 23% of the round-1 bench."""
     docs = _t(spark, sf_dir, "documents")
-    fp = with_winnow_fingerprints(docs, "text", "fp", FP_K, FP_W)
-    return fp.select(
-        "doc_id",
-        F.size("fp").cast("int").alias("n_fp"),
-        F.array_join("fp", ",").alias("fp_list"),
-    ).orderBy("doc_id")
+    fp = winnow_fingerprints_exploded(docs, "doc_id", "text", FP_K, FP_W)
+    empty = F.array().cast("array<long>")
+    return (
+        docs.select("doc_id")
+        .join(fp, "doc_id", "left")
+        .select("doc_id", F.coalesce("fp", empty).alias("fp"))
+        .select(
+            "doc_id",
+            F.size("fp").cast("int").alias("n_fp"),
+            F.array_join("fp", ",").alias("fp_list"),
+        )
+        .orderBy("doc_id")
+    )
