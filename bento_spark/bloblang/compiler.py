@@ -202,7 +202,7 @@ def _compile_match(node: A.Match, env: Env) -> Column:
 def _compile_func(node: A.FuncCall, env: Env) -> Column:
     if node.name == "deleted":
         raise CompileError("deleted() is only valid as a whole root/field assignment")
-    if node.name == "meta":
+    if node.name in ("meta", "metadata", "root_meta"):
         if not node.args:
             raise CompileError("meta() requires a key")
         key = node.args[0]
@@ -323,6 +323,12 @@ def _arg(node: A.Node, env: Env, recv_hint: str | None = None):
         return hof
     if isinstance(node, A.Lit):
         return node.value
+    if isinstance(node, A.ArrayLit) and all(
+        isinstance(el, A.Lit) for el in node.items
+    ):
+        # all-literal arrays pass as Python lists (builders like
+        # replace_all_many need the static values)
+        return [el.value for el in node.items]
     return compile_node(node, env)
 
 

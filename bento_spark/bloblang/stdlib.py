@@ -82,7 +82,7 @@ method("split", "a")(lambda c, sep: F.split(c, sep, -1))
 method("replace_all", "a")(lambda c, a, b: F.replace(c, V(a), V(b)))
 method("re_replace_all", "a")(lambda c, p, r: F.regexp_replace(c, p, r))
 method("re_match", "a")(lambda c, p: c.rlike(p))
-method("re_find_all", "a")(lambda c, p: F.regexp_extract_all(c, p, F.lit(0)))
+method("re_find_all", "a")(lambda c, p: F.regexp_extract_all(c, V(p), F.lit(0)))
 method("repeat", "a")(lambda c, n: F.repeat(c, n))
 method("reverse", "a")(lambda c: F.reverse(c))
 method("quote", "b")(lambda c: F.concat(F.lit('"'), F.replace(c, F.lit('"'), F.lit('\\"')), F.lit('"')))
@@ -294,3 +294,444 @@ method("avg", "b")(
     / F.size(c)
 )
 method("find", "b")(lambda c, x: F.array_position(c, V(x)).cast("long") - 1)
+
+
+# ===========================================================================
+# Round-2 stdlib sprint — highest-traffic reference methods/functions
+# (inventories: methods.md 185 / functions.go 43; the round-1 gap).
+# ===========================================================================
+
+import math as _math
+import os as _os
+import re as _re
+
+import pandas as pd  # module-level: pandas_udf string annotations resolve here
+
+# ---- strings (methods_strings.go) ----------------------------------------
+
+method("slug", "b")(
+    lambda c: F.regexp_replace(
+        F.regexp_replace(F.lower(c), "[^a-z0-9]+", "-"), "^-+|-+$", ""
+    )
+)
+
+
+@method("replace_all_many", "b")
+def _replace_all_many(c: Column, pairs: list) -> Column:
+    """replace_all_many(["a","x","b","y"]): flat literal [from, to, ...]
+    list (methods_strings.go replaceAllMany)."""
+    if isinstance(pairs, Column):
+        raise ValueError("replace_all_many requires a literal array")
+    for i in range(0, len(pairs), 2):
+        c = F.replace(c, V(pairs[i]), V(pairs[i + 1]))
+    return c
+
+
+def _pattern_dialects(pattern: str) -> tuple[str, str]:
+    """(python_pattern, java_pattern): Go/Python spell named groups
+    `(?P<n>...)`, the JVM spells them `(?<n>...)` — accept either and
+    emit the right dialect to each engine."""
+    py = pattern.replace("(?<", "(?P<").replace("(?P<=", "(?<=").replace(
+        "(?P<!", "(?<!"
+    )
+    java = py.replace("(?P<", "(?<")
+    return py, java
+
+
+def _group_names(py_pattern: str) -> dict[int, str]:
+    return {v: k for k, v in _re.compile(py_pattern).groupindex.items()}
+
+
+@method("re_find_object", "b")
+def _re_find_object(c: Column, pattern: str) -> Column:
+    """First match -> map of group name/number -> capture
+    (methods_strings.go reFindObject)."""
+    py, java = _pattern_dialects(pattern)
+    n_groups = _re.compile(py).groups
+    names = _group_names(py)
+    entries = []
+    for g in range(0, n_groups + 1):
+        key = names.get(g, str(g))
+        entries += [F.lit(key), F.regexp_extract(c, java, g)]
+    return F.when(c.rlike(java), F.create_map(*entries))
+
+
+@method("re_find_all_submatch", "b")
+def _re_find_all_submatch(c: Column, pattern: str) -> Column:
+    """All matches -> array of [full, group1, ...] arrays
+    (methods_strings.go reFindAllSubmatch)."""
+    py, java = _pattern_dialects(pattern)
+    n_groups = _re.compile(py).groups
+
+    def per_match(m: Column) -> Column:
+        return F.array(*[F.regexp_extract(m, java, g) for g in range(n_groups + 1)])
+
+    return F.transform(F.regexp_extract_all(c, F.lit(java), F.lit(0)), per_match)
+
+
+@method("split_by", "b")
+def _split_by(c: Column, sep) -> Column:
+    return F.split(c, _re.escape(sep) if isinstance(sep, str) else sep, -1)
+
+
+# ---- numbers (methods_numbers.go) ----------------------------------------
+
+method("cos", "a")(lambda c: F.cos(c))
+method("sin", "a")(lambda c: F.sin(c))
+method("tan", "a")(lambda c: F.tan(c))
+method("int8", "a")(lambda c: c.cast("tinyint"))
+method("int16", "a")(lambda c: c.cast("smallint"))
+
+
+def _uint(c: Column, bits: int) -> Column:
+    """Unsigned casts: null (-> error at try boundaries) outside
+    [0, 2^bits); Spark has no unsigned types so the value range is the
+    contract (methods_numbers.go uint*)."""
+    hi = F.lit((1 << bits) - 1) if bits < 64 else None
+    v = c.cast("long")
+    cond = v >= 0 if hi is None else ((v >= 0) & (v <= hi))
+    return F.when(cond, v)
+
+
+method("uint8", "b")(lambda c: _uint(c, 8))
+method("uint16", "b")(lambda c: _uint(c, 16))
+method("uint32", "b")(lambda c: _uint(c, 32))
+method("uint64", "b")(lambda c: _uint(c, 64))
+
+# ---- timestamps (bloblang_time.go) ---------------------------------------
+
+method("ts_unix_nano", "b")(lambda c: F.unix_micros(c.cast("timestamp")) * 1000)
+
+_GO_DUR = {
+    "ns": 1, "us": 10**3, "µs": 10**3, "ms": 10**6,
+    "s": 10**9, "m": 60 * 10**9, "h": 3600 * 10**9,
+}
+
+
+def _go_duration_ns(s: str) -> int:
+    """Go time.ParseDuration subset: "1h30m", "1.5s", "300ms"."""
+    if not _re.fullmatch(r"-?(\d+(\.\d+)?(ns|us|µs|ms|s|m|h))+", s):
+        raise ValueError(f"invalid duration {s!r}")
+    sign = -1 if s.startswith("-") else 1
+    total = 0.0
+    for num, _frac, unit in _re.findall(r"(\d+(\.\d+)?)(ns|us|µs|ms|s|m|h)", s):
+        total += float(num) * _GO_DUR[unit]
+    return sign * int(total)
+
+
+_ISO_DUR_RE = _re.compile(
+    r"(-?)P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _iso_duration(s: str) -> tuple[int, int, int, int, int, float]:
+    m = _ISO_DUR_RE.match(s)
+    if not m or s in ("P", "-P"):
+        raise ValueError(f"invalid ISO-8601 duration {s!r}")
+    neg, y, mo, wk, d, h, mi, sec = m.groups()
+    k = -1 if neg else 1
+    return (
+        k * int(y or 0), k * int(mo or 0), k * (int(wk or 0) * 7 + int(d or 0)),
+        k * int(h or 0), k * int(mi or 0), k * float(sec or 0),
+    )
+
+
+method("parse_duration", "b")(lambda c, *, _s=None: F.lit(_go_duration_ns(c)))
+
+
+@method("parse_duration_iso8601", "b")
+def _parse_duration_iso8601(c) -> Column:
+    """Literal ISO duration -> ns (errors on Y/M like the reference:
+    calendar units have no fixed ns length)."""
+    y, mo, d, h, mi, sec = _iso_duration(c)
+    if y or mo:
+        raise ValueError("years/months not representable as fixed ns")
+    return F.lit(int(((d * 24 + h) * 3600 + mi * 60 + sec) * 10**9))
+
+
+def _ts_shift(c: Column, dur: str, sign: int) -> Column:
+    y, mo, d, h, mi, sec = _iso_duration(dur)
+    iv = F.make_interval(
+        F.lit(sign * y), F.lit(sign * mo), F.lit(0), F.lit(sign * d),
+        F.lit(sign * h), F.lit(sign * mi), F.lit(sign * sec),
+    )
+    return c.cast("timestamp") + iv
+
+
+method("ts_add_iso8601", "b")(lambda c, dur: _ts_shift(c, dur, 1))
+method("ts_sub_iso8601", "b")(lambda c, dur: _ts_shift(c, dur, -1))
+method("ts_sub", "b")(
+    lambda c, other: (
+        F.unix_micros(c.cast("timestamp")) - F.unix_micros(V(other).cast("timestamp"))
+    )
+    * 1000
+)
+
+# format_timestamp* / parse_timestamp* are the documented aliases of the
+# ts_* family (bloblang_time.go registers both spellings)
+method("format_timestamp", "a")(lambda c, fmt: F.date_format(c, fmt))
+method("format_timestamp_strftime", "b")(
+    lambda c, fmt: F.date_format(c, _strftime_to_java(fmt))
+)
+method("format_timestamp_unix", "a")(lambda c: F.unix_timestamp(c))
+method("format_timestamp_unix_milli", "b")(lambda c: F.unix_millis(c.cast("timestamp")))
+method("format_timestamp_unix_micro", "b")(lambda c: F.unix_micros(c.cast("timestamp")))
+method("format_timestamp_unix_nano", "b")(
+    lambda c: F.unix_micros(c.cast("timestamp")) * 1000
+)
+method("parse_timestamp", "a")(lambda c, fmt: F.to_timestamp(c, fmt))
+method("parse_timestamp_strptime", "b")(
+    lambda c, fmt: F.to_timestamp(c, _strftime_to_java(fmt))
+)
+
+# ---- structured (methods_structured.go) ----------------------------------
+
+method("assign", "a")(lambda c, other: F.map_concat(c, other))
+method("map_each_key", "a")(lambda c, fn: F.transform_keys(c, lambda k, _v: fn(k)))
+
+
+@method("get", "b")
+def _get(c: Column, path: str) -> Column:
+    """Dot-path field access on an object (methods_structured.go get)."""
+    for part in path.split("."):
+        c = c[part]
+    return c
+
+
+method("squash", "b")(
+    # array<map> -> one map; duplicate keys follow the session's
+    # spark.sql.mapKeyDedupPolicy (reference: later wins)
+    lambda c: F.map_from_entries(F.flatten(F.transform(c, F.map_entries)))
+)
+method("find_by", "b")(lambda c, fn: F.try_element_at(F.filter(c, fn), F.lit(1)))
+method("find_all_by", "b")(lambda c, fn: F.filter(c, fn))
+method("find_all", "b")(
+    lambda c, x: F.filter(
+        F.sequence(F.lit(0), F.size(c) - 1),
+        lambda i: F.try_element_at(c, i + 1) == V(x),
+    )
+)
+
+# ---- parse / format (bloblang parsing cluster) ----------------------------
+
+method("parse_big_decimal", "b")(lambda c: c.cast("decimal(38,18)"))
+method("format_xml", "b")(lambda c, root="root": F.to_xml(c, {"rootTag": root}))
+method("parse_form_url_encoded", "b")(
+    lambda c: F.transform_values(
+        F.str_to_map(c, F.lit("&"), F.lit("=")), lambda _k, v: F.url_decode(v)
+    )
+)
+
+
+@method("parse_url", "b")
+def _parse_url(c: Column) -> Column:
+    parts = {
+        "scheme": "PROTOCOL", "host": "HOST", "path": "PATH",
+        "query": "QUERY", "fragment": "REF", "user_info": "USERINFO",
+    }
+    entries = []
+    for name, part in parts.items():
+        entries += [F.lit(name), F.parse_url(c, F.lit(part))]
+    return F.create_map(*entries)
+
+
+# ---- encoding / crypto (bloblang_encoding.go) -----------------------------
+
+
+@method("encrypt_aes", "b")
+def _encrypt_aes(c: Column, mode: str, key, iv=None) -> Column:
+    """AES via Spark's native aes_encrypt (GCM/CBC/ECB)."""
+    m = {"cbc": "CBC", "gcm": "GCM", "ecb": "ECB"}.get(mode.lower())
+    if m is None:
+        raise ValueError(f"aes mode {mode!r} not supported (cbc/gcm/ecb)")
+    kwargs = {}
+    if iv is not None:
+        kwargs["iv"] = V(iv).cast("binary")
+    return F.aes_encrypt(
+        c.cast("binary"), V(key).cast("binary"), F.lit(m), F.lit("DEFAULT"), **kwargs
+    )
+
+
+@method("decrypt_aes", "b")
+def _decrypt_aes(c: Column, mode: str, key) -> Column:
+    m = {"cbc": "CBC", "gcm": "GCM", "ecb": "ECB"}.get(mode.lower())
+    if m is None:
+        raise ValueError(f"aes mode {mode!r} not supported (cbc/gcm/ecb)")
+    return F.aes_decrypt(c.cast("binary"), V(key).cast("binary"), F.lit(m))
+
+
+@method("compress", "c")
+def _compress_m(c: Column, algo: str = "gzip") -> Column:
+    from bento_spark.operators.codecs import compress_col
+
+    return compress_col(c.cast("binary"), algo)
+
+
+@method("decompress", "c")
+def _decompress_m(c: Column, algo: str = "gzip") -> Column:
+    from bento_spark.operators.codecs import decompress_col
+
+    return decompress_col(c.cast("binary"), algo)
+
+
+@method("format_msgpack", "c")
+def _format_msgpack(c: Column) -> Column:
+    from bento_spark.operators.codecs import msgpack_encode_col
+
+    return msgpack_encode_col(c)
+
+
+@method("parse_msgpack", "c")
+def _parse_msgpack(c: Column) -> Column:
+    from bento_spark.operators.codecs import msgpack_decode_col
+
+    return msgpack_decode_col(c)
+
+
+def _b64url_decode(s: str) -> bytes:
+    import base64
+
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
+@method("parse_jwt_hs256", "c")
+def _parse_jwt_hs256(c: Column, secret: str) -> Column:
+    """Verify+decode an HS256 JWT -> claims JSON string (null if the
+    signature fails). Python hmac in an Arrow-batched UDF — no native
+    Spark primitive for HMAC."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        import base64
+        import hashlib
+        import hmac as _hmac
+
+        def one(tok):
+            if tok is None:
+                return None
+            try:
+                head, payload, sig = tok.split(".")
+                mac = _hmac.new(
+                    secret.encode(), f"{head}.{payload}".encode(), hashlib.sha256
+                ).digest()
+                expect = base64.urlsafe_b64encode(mac).rstrip(b"=").decode()
+                if not _hmac.compare_digest(expect, sig):
+                    return None
+                return _b64url_decode(payload).decode()
+            except Exception:  # noqa: BLE001
+                return None
+
+        return s.map(one)
+
+    return run(c)
+
+
+@method("sign_jwt_hs256", "c")
+def _sign_jwt_hs256(c: Column, secret: str) -> Column:
+    """Claims JSON string -> signed HS256 JWT."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        import base64
+        import hashlib
+        import hmac as _hmac
+
+        def one(claims):
+            if claims is None:
+                return None
+            enc = lambda b: base64.urlsafe_b64encode(b).rstrip(b"=").decode()  # noqa: E731
+            head = enc(b'{"alg":"HS256","typ":"JWT"}')
+            payload = enc(claims.encode())
+            mac = _hmac.new(
+                secret.encode(), f"{head}.{payload}".encode(), hashlib.sha256
+            ).digest()
+            return f"{head}.{payload}.{enc(mac)}"
+
+        return s.map(one)
+
+    return run(c)
+
+
+# ---- functions (functions.go, io/bloblang.go, env fns) --------------------
+
+function("pi", "a")(lambda: F.lit(_math.pi))
+function("timestamp_unix_milli", "b")(lambda: F.unix_millis(F.current_timestamp()))
+function("timestamp_unix_micro", "b")(lambda: F.unix_micros(F.current_timestamp()))
+function("timestamp_unix_nano", "b")(
+    lambda: F.unix_micros(F.current_timestamp()) * 1000
+)
+
+
+def _uuid_hex() -> Column:
+    return F.replace(F.uuid(), F.lit("-"), F.lit(""))
+
+
+function("nanoid", "b")(
+    # 21 url-safe chars from 16 random bytes (alphabet-compatible subset;
+    # collision resistance equivalent to uuid_v4)
+    lambda: F.substring(
+        F.replace(
+            F.replace(F.base64(F.unhex(_uuid_hex())), F.lit("+"), F.lit("-")),
+            F.lit("/"),
+            F.lit("_"),
+        ),
+        1,
+        21,
+    )
+)
+function("ksuid", "b")(
+    # 27-char sortable id: zero-padded seconds prefix + random tail
+    # (byte-layout differs from segmentio ksuid but sorts by time the
+    # same way and carries 80 random bits)
+    lambda: F.concat(
+        F.lpad(F.unix_timestamp().cast("string"), 10, "0"),
+        F.substring(_uuid_hex(), 1, 17),
+    )
+)
+function("ulid", "b")(
+    # 26-char: 10-digit seconds prefix + 16 random hex (hex ⊂ Crockford
+    # base32 alphabet); time-sortable like a real ULID
+    lambda: F.upper(
+        F.concat(
+            F.lpad(F.unix_timestamp().cast("string"), 10, "0"),
+            F.substring(_uuid_hex(), 1, 16),
+        )
+    )
+)
+function("snowflake_id", "b")(
+    # 41-bit ms timestamp << 22 | 10-bit partition ("machine") id |
+    # 12-bit partition-local sequence — the reference generator's
+    # layout; unique up to 4096 rows/partition/ms
+    lambda: F.shiftleft(F.unix_millis(F.current_timestamp()), 22)
+    + F.shiftleft(F.pmod(F.spark_partition_id().cast("long"), F.lit(1024)), 12)
+    + F.pmod(F.monotonically_increasing_id(), F.lit(1 << 12))
+)
+function("env", "b")(lambda name: F.lit(_os.environ.get(name)))
+
+
+def _read_file(path: str) -> str:
+    with open(path) as f:
+        return f.read()
+
+
+function("file", "b")(lambda path: F.lit(_read_file(path)))
+function("file_rel", "b")(lambda path: F.lit(_read_file(_os.path.join(_os.getcwd(), path))))
+
+
+@function("cosine_similarity", "b")
+def _cosine_similarity(a, b) -> Column:
+    from bento_spark.functions.vectors import as_double, cosine
+
+    return cosine(as_double(V(a)), as_double(V(b)))
+
+
+function("count", "b")(lambda name=None: F.monotonically_increasing_id())
+function("batch_index", "b")(
+    # monotonically_increasing_id = partition_id << 33 | record_no;
+    # the low 33 bits are the record index within its micro-batch
+    # partition — the closest Spark analogue of in-batch position
+    lambda: F.pmod(F.monotonically_increasing_id(), F.lit(1 << 33))
+)

@@ -619,3 +619,51 @@ def proc_metadata_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.col("_metadata")["topic"].alias("topic")
     ).orderBy("event_id")
+
+
+@query(
+    "bloblang_stdlib2",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(source), '[^a-z0-9]+', '-', 'g'), '-') AS slug,
+           substr(text, 1, 12) AS head,
+           CAST(strpos(text, 'value') - 1 AS INT) AS value_at,
+           replace(replace(source, 'src', 'origin-'), '0', 'zero') AS renamed,
+           CASE WHEN doc_id % 300 BETWEEN 0 AND 255 THEN doc_id % 300 END AS u8,
+           CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS INT) AS ta_words,
+           md5(text) AS digest,
+           to_base64(encode(source)) AS b64,
+           CAST(epoch(strptime('2024-03-05 10:30:00', '%Y-%m-%d %H:%M:%S')
+                + INTERVAL 1 DAY + INTERVAL 2 HOUR) AS BIGINT) AS shifted_unix,
+           reverse(repeat(lang, 2)) AS echo
+    FROM documents ORDER BY doc_id
+    """,
+)
+def bloblang_stdlib2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 stdlib surface in one mapping: slug, slice, index_of,
+    replace_all_many, uint8, re_find_all, hash, encode, ts_parse +
+    ts_add_iso8601 + ts_unix, repeat, reverse — each with a hand-written
+    DuckDB twin (reference inventory: methods.md)."""
+    from bento_spark.bloblang import compile_mapping
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = compile_mapping(
+        """
+root.doc_id = this.doc_id
+root.slug = this.source.slug()
+root.head = this.text.slice(0, 12)
+root.value_at = this.text.index_of("value").int32()
+root.renamed = this.source.replace_all_many(["src", "origin-", "0", "zero"])
+root.u8 = (this.doc_id % 300).uint8().int64()
+root.ta_words = this.text.re_find_all("ta[a-z]+").length()
+root.digest = this.text.hash("md5")
+root.b64 = this.source.encode("base64")
+root.shifted_unix = "2024-03-05 10:30:00".ts_parse("yyyy-MM-dd HH:mm:ss").ts_add_iso8601("P1DT2H").ts_unix()
+root.echo = this.lang.repeat(2).reverse()
+"""
+    )
+    out = plan.apply(docs, new_document=True)
+    return out.select(
+        "doc_id", "slug", "head", "value_at", "renamed", "u8",
+        "ta_words", "digest", "b64", "shifted_unix", "echo",
+    ).orderBy("doc_id")

@@ -159,7 +159,15 @@ def test_tier_report():
 
     rep = tier_report()
     assert rep["methods"].get("a", 0) >= 30
-    assert rep["methods"].get("c", 0) == 0  # no Python in the hot path
+    # tier c = Arrow-batched UDFs, ONLY for binary codecs with no JVM
+    # primitive (msgpack/compress/jwt-hmac) — scalar paths stay a/b
+    from bento_spark.bloblang.stdlib import METHODS
+
+    c_methods = {n for n, (t, _) in METHODS.items() if t == "c"}
+    assert c_methods <= {
+        "compress", "decompress", "format_msgpack", "parse_msgpack",
+        "parse_jwt_hs256", "sign_jwt_hs256",
+    }
 
 
 def test_negative_index(row_df):

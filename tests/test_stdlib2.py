@@ -1,0 +1,154 @@
+"""Round-2 Bloblang stdlib sprint: strings, numbers, ts_* family,
+structured, parse/encode, generators (reference inventories
+methods.md / functions.md)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.bloblang import compile_expr
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Hello, World! 2024", "2024-03-05 10:30:00", [1.0, 2.0], "a=1&b=x%20y"),
+            (2, "  café au lait  ", "1999-12-31 23:59:59", [0.0, 1.0], "k=v"),
+        ],
+        "id long, s string, ts string, vec array<double>, form string",
+    )
+
+
+def run1(df, src):
+    return [
+        r["o"]
+        for r in df.select(compile_expr(src, df=df).alias("o")).orderBy(df.id).collect()
+    ]
+
+
+def test_slug(df):
+    assert run1(df, "this.s.slug()") == ["hello-world-2024", "caf-au-lait"]
+
+
+def test_replace_all_many(df):
+    got = run1(df, 'this.s.replace_all_many(["l","L","o","0"])')
+    assert got[0] == "HeLL0, W0rLd! 2024"
+
+
+def test_re_find_object(df):
+    got = run1(df, 'this.s.re_find_object("(?P<word>[A-Z][a-z]+)")')
+    assert got[0]["word"] == "Hello"
+    assert got[0]["0"] == "Hello"
+
+
+def test_re_find_all_submatch(df):
+    got = run1(df, 'this.s.re_find_all_submatch("([A-Z])([a-z]+)")')
+    assert got[0] == [["Hello", "H", "ello"], ["World", "W", "orld"]]
+
+
+def test_trig_and_unsigned(df):
+    assert run1(df, "this.id.cos()")[0] == pytest.approx(0.5403023058681398)
+    assert run1(df, "(this.id - 2).uint8()") == [None, 0]
+    assert run1(df, "this.id.uint16()") == [1, 2]
+
+
+def test_ts_family(df):
+    got = run1(df, 'this.ts.ts_parse("yyyy-MM-dd HH:mm:ss").ts_unix_nano()')
+    assert got[0] == 1709634600 * 10**9
+    got = run1(df, 'this.ts.ts_parse("yyyy-MM-dd HH:mm:ss").ts_add_iso8601("P1DT2H").ts_format("yyyy-MM-dd HH:mm")')
+    assert got[0] == "2024-03-06 12:30"
+    got = run1(df, 'this.ts.parse_timestamp_strptime("%Y-%m-%d %H:%M:%S").format_timestamp_unix()')
+    assert got[0] == 1709634600
+
+
+def test_parse_duration():
+    from bento_spark.bloblang.stdlib import _go_duration_ns, _iso_duration
+
+    assert _go_duration_ns("1h30m") == 5400 * 10**9
+    assert _go_duration_ns("1.5s") == 1_500_000_000
+    assert _iso_duration("P1W2DT3H") == (0, 0, 9, 3, 0, 0.0)
+    with pytest.raises(ValueError):
+        _go_duration_ns("bogus")
+
+
+def test_structured(df):
+    assert run1(df, 'this.vec.find_all_by(v -> v > 0.5)') == [[1.0, 2.0], [1.0]]
+    assert run1(df, 'this.vec.find_by(v -> v > 1.5)') == [2.0, None]
+    assert run1(df, 'this.vec.find_all(1.0)') == [[0], [1]]
+
+
+def test_parse_form_and_url(df):
+    got = run1(df, "this.form.parse_form_url_encoded()")
+    assert got[0] == {"a": "1", "b": "x y"}
+    url_df = df.sparkSession.createDataFrame(
+        [(1, "https://user@example.com/p/q?x=1#frag")], "id long, u string"
+    )
+    got = run1(url_df, "this.u.parse_url()")
+    assert got[0]["host"] == "example.com"
+    assert got[0]["path"] == "/p/q"
+    assert got[0]["query"] == "x=1"
+
+
+def test_aes_roundtrip(df):
+    key = "0123456789abcdef"
+    got = run1(
+        df, f'this.s.encrypt_aes("gcm", "{key}").decrypt_aes("gcm", "{key}").string()'
+    )
+    assert got == ["Hello, World! 2024", "  café au lait  "]
+
+
+def test_compress_method_roundtrip(df):
+    got = run1(df, 'this.s.compress("gzip").decompress("gzip").string()')
+    assert got[0] == "Hello, World! 2024"
+
+
+def test_msgpack_method_roundtrip(spark):
+    jdf = spark.createDataFrame(
+        [(1, json.dumps({"a": 1, "b": "x"}, sort_keys=True))], "id long, j string"
+    )
+    got = run1(jdf, "this.j.format_msgpack().parse_msgpack()")
+    assert json.loads(got[0]) == {"a": 1, "b": "x"}
+
+
+def test_jwt_roundtrip(spark):
+    jdf = spark.createDataFrame([(1, '{"sub":"u1"}')], "id long, claims string")
+    got = run1(jdf, 'this.claims.sign_jwt_hs256("sekrit").parse_jwt_hs256("sekrit")')
+    assert json.loads(got[0]) == {"sub": "u1"}
+    bad = run1(jdf, 'this.claims.sign_jwt_hs256("sekrit").parse_jwt_hs256("wrong")')
+    assert bad == [None]
+
+
+def test_generators(spark):
+    df = spark.range(100)
+    out = df.select(
+        compile_expr("nanoid()", df=df).alias("n"),
+        compile_expr("ksuid()", df=df).alias("k"),
+        compile_expr("ulid()", df=df).alias("u"),
+        compile_expr("snowflake_id()", df=df).alias("s"),
+    ).collect()
+    assert len({r["n"] for r in out}) == 100
+    assert all(len(r["n"]) == 21 for r in out)
+    assert all(len(r["k"]) == 27 for r in out)
+    assert all(len(r["u"]) == 26 for r in out)
+    assert len({r["s"] for r in out}) == 100
+
+
+def test_env_and_pi(spark, monkeypatch):
+    monkeypatch.setenv("BENTO_TEST_VAR", "hello")
+    df = spark.range(1)
+    got = df.select(compile_expr('env("BENTO_TEST_VAR")', df=df).alias("o")).collect()
+    assert got[0]["o"] == "hello"
+    got = df.select(compile_expr("pi()", df=df).alias("o")).collect()
+    assert got[0]["o"] == pytest.approx(3.14159265358979)
+
+
+def test_tier_targets():
+    from bento_spark.bloblang.stdlib import FUNCTIONS, METHODS
+
+    assert len(METHODS) >= 120, len(METHODS)
+    # +4 compiler-special context functions (meta/error/errored/json)
+    assert len(FUNCTIONS) + 4 >= 25, len(FUNCTIONS)
