@@ -1,0 +1,93 @@
+"""Interpolated config fields: ``prefix-${! <bloblang expr> }-suffix``.
+
+The reference makes nearly every sink/processor string option
+per-message dynamic through these (internal/bloblang/field/
+expression.go:41-52; parser internal/bloblang/parser/field_parser.go).
+Under Spark a field compiles to a Column: static text -> literals,
+``${! expr }`` -> the compiled Bloblang expression, concatenated.
+``${{!`` escapes a literal ``${!`` (field_parser.go escape rule).
+
+Sinks consume dynamic fields as DERIVED COLUMNS: a dynamic kafka topic
+becomes the `topic` column the native sink reads; a dynamic file path
+becomes partitionBy columns (hive-style `name=value/` directories —
+the Spark-idiomatic spelling of per-message paths that keeps writes
+distributed instead of one task per distinct path).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ESCAPE = "\x00bento_escaped_interp\x00"
+_FIELD_RE = re.compile(r"\$\{!\s*(.*?)\s*\}")
+
+
+def parse_field(template: str) -> list[tuple[str, str]]:
+    """-> [("static", text) | ("expr", source)] segments."""
+    work = template.replace("${{!", _ESCAPE)
+    out: list[tuple[str, str]] = []
+    pos = 0
+    for m in _FIELD_RE.finditer(work):
+        if m.start() > pos:
+            out.append(("static", work[pos : m.start()]))
+        out.append(("expr", m.group(1)))
+        pos = m.end()
+    if pos < len(work):
+        out.append(("static", work[pos:]))
+    return [
+        (kind, text.replace(_ESCAPE, "${!") if kind == "static" else text)
+        for kind, text in out
+    ]
+
+
+def is_dynamic(template: str) -> bool:
+    return any(kind == "expr" for kind, _ in parse_field(str(template)))
+
+
+def compile_field(template: str, df: DataFrame | None = None) -> Column:
+    """Interpolated string -> one string Column."""
+    from bento_spark.bloblang import compile_expr
+
+    parts = []
+    for kind, text in parse_field(template):
+        if kind == "static":
+            parts.append(F.lit(text))
+        else:
+            parts.append(compile_expr(text, df=df).cast("string"))
+    if not parts:
+        return F.lit("")
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def split_dynamic_path(template: str) -> tuple[str, list[str]]:
+    """Dynamic sink path -> (static base dir, [expr, ...]).
+
+    ``/out/${! meta("topic") }/part-${! this.region }`` ->
+    ``("/out", ['meta("topic")', 'this.region'])``: every expression
+    becomes one partition column, written as hive-style directories
+    under the base. Static text between/after expressions (other than
+    the '/' separators) is folded into the base when it PRECEDES all
+    expressions, and rejected otherwise — a path like ``a-${! x }b``
+    cannot map onto directory partitioning.
+    """
+    segs = parse_field(template)
+    exprs = [t for k, t in segs if k == "expr"]
+    if not exprs:
+        return template, []
+    first_expr = next(i for i, (k, _) in enumerate(segs) if k == "expr")
+    base = "".join(t for _, t in segs[:first_expr]).rstrip("/")
+    # everything after the first expression must be '/'-separated exprs
+    tail = segs[first_expr:]
+    for i, (kind, text) in enumerate(tail):
+        if kind == "expr":
+            continue
+        if not re.fullmatch(r"/+", text) and not (i == len(tail) - 1 and text in ("", "/")):
+            raise ValueError(
+                f"dynamic path {template!r}: static text {text!r} between "
+                "interpolations cannot map to directory partitioning; use "
+                "'/'-separated ${! ... } segments"
+            )
+    return base, exprs

@@ -111,8 +111,21 @@ def _proc_catch(df: DataFrame, conf) -> DataFrame:
     return P.catch_errors(df, dict(assigns))
 
 
+def _proc_metadata(df: DataFrame, conf) -> DataFrame:
+    """Set `_metadata` entries from interpolated field strings — the
+    reference's `${! expr }` config-interpolation surface
+    (field/expression.go:41) applied to metadata assignment."""
+    from bento_spark.bloblang.field import compile_field
+    from bento_spark.operators.envelope import ensure_envelope
+
+    df = ensure_envelope(df)
+    entries = {k: compile_field(str(v), df) for k, v in conf.items()}
+    return P.set_metadata(df, entries)
+
+
 PROCESSORS = {
     "mapping": _proc_mapping,
+    "metadata": _proc_metadata,
     "mutation": _proc_mutation,
     "filter": _proc_filter,
     "dedupe": _proc_dedupe,

@@ -37,7 +37,18 @@ def _file_sink(fmt: str):
     def fn(df: DataFrame, is_streaming: bool, conf: dict):
         path = conf["path"]
         mode = conf.get("mode", "append")
-        parts = conf.get("partition_by", [])
+        parts = list(conf.get("partition_by", []))
+        if "${!" in str(path):
+            # interpolated path (field/expression.go): each ${! expr }
+            # segment becomes a derived partition column -> hive-style
+            # dirs under the static base (distributed dynamic paths)
+            from bento_spark.bloblang.field import compile_field, split_dynamic_path
+
+            path, exprs = split_dynamic_path(path)
+            for i, src in enumerate(exprs):
+                col_name = f"__path{i}"
+                df = df.withColumn(col_name, compile_field(f"${{! {src} }}", df))
+                parts.append(col_name)
         if is_streaming:
             w = df.writeStream.format(fmt).option("path", path)
             w = w.option("checkpointLocation", conf["checkpoint"])
@@ -112,6 +123,12 @@ def _kafka(df: DataFrame, is_streaming: bool, conf: dict):
     out = df
     if "topic_column" in conf:
         out = out.withColumn("topic", F.col(conf["topic_column"]))
+    elif "topic" in conf and "${!" in str(conf["topic"]):
+        # interpolated topic -> the `topic` column the native sink reads
+        from bento_spark.bloblang.field import compile_field
+
+        out = out.withColumn("topic", compile_field(conf["topic"], out))
+        conf = {k: v for k, v in conf.items() if k != "topic"}
     writer = (out.writeStream if is_streaming else out.write).format("kafka").option(
         "kafka.bootstrap.servers", conf["addresses"]
     )

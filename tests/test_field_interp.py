@@ -1,0 +1,77 @@
+"""`${! expr }` interpolated config fields (field/expression.go):
+parser, column compilation, dynamic sink paths, kafka topic columns."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from bento_spark.bloblang.field import (
+    compile_field,
+    is_dynamic,
+    parse_field,
+    split_dynamic_path,
+)
+
+
+def test_parse_field_segments():
+    assert parse_field("plain") == [("static", "plain")]
+    assert parse_field('x-${! this.a }-y') == [
+        ("static", "x-"),
+        ("expr", "this.a"),
+        ("static", "-y"),
+    ]
+    # ${{! escapes a literal ${!
+    assert parse_field("lit-${{!nope}") == [("static", "lit-${!nope}")]
+    assert is_dynamic("${! this.a }")
+    assert not is_dynamic("static only")
+
+
+def test_split_dynamic_path():
+    base, exprs = split_dynamic_path('/out/${! meta("topic") }/${! this.r }')
+    assert base == "/out"
+    assert exprs == ['meta("topic")', "this.r"]
+    base, exprs = split_dynamic_path("/plain/path")
+    assert (base, exprs) == ("/plain/path", [])
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_dynamic_path("/out/a-${! this.x }b")
+
+
+def test_compile_field_column(spark):
+    df = spark.createDataFrame([(1, "click")], "id long, event_type string")
+    out = df.select(
+        compile_field("ev-${! this.event_type }-${! this.id + 1 }", df).alias("o")
+    ).collect()
+    assert out[0]["o"] == "ev-click-2"
+
+
+def test_pipeline_interpolated_path_and_metadata(spark, tmp_path):
+    """The VERDICT-6 contract: a YAML sink path with ${! meta("topic") }
+    writes path-partitioned output with no hand-made column."""
+    from bento_spark.plans.pipeline import build_pipeline
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "click", 5.0), (2, "view", 3.0), (3, "click", 1.0)],
+        "event_id long, event_type string, value double",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    p = build_pipeline(
+        spark,
+        {
+            "input": {"parquet": {"path": src}},
+            "pipeline": {
+                "processors": [
+                    {"metadata": {"topic": "events-${! this.event_type }"}},
+                ]
+            },
+            "output": {"json": {"path": out + '/${! meta("topic") }'}},
+        },
+    )
+    p.run()
+    dirs = sorted(os.path.basename(d) for d in glob.glob(out + "/*") if os.path.isdir(d))
+    assert dirs == ["__path0=events-click", "__path0=events-view"]
+    back = spark.read.json(out + "/__path0=events-click")
+    assert sorted(r["event_id"] for r in back.collect()) == [1, 3]
