@@ -667,3 +667,34 @@ root.echo = this.lang.repeat(2).reverse()
         "doc_id", "slug", "head", "value_at", "renamed", "u8",
         "ta_words", "digest", "b64", "shifted_unix", "echo",
     ).orderBy("doc_id")
+
+
+@query(
+    "proc_avro_roundtrip",
+    oracle="""
+    SELECT event_id, event_type,
+           '{"k": ' || json_extract_string(props, '$.k') || '}' AS rt
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def proc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`avro` processor (internal/impl/avro/processor.go:47): JSON ->
+    Avro OCF bytes (deflate) -> JSON via the pure-Python codec; identity
+    oracle. The container framing (magic, schema metadata, sync markers,
+    compressed blocks) is fully exercised per row."""
+    from bento_spark.operators.avro import avro_ocf_decode_col, avro_ocf_encode_col
+
+    schema = {
+        "type": "record",
+        "name": "props",
+        "fields": [{"name": "k", "type": ["null", "long"]}],
+    }
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    packed = ev.withColumn(
+        "ocf", avro_ocf_encode_col(F.col("props"), schema, codec="deflate")
+    )
+    return packed.select(
+        "event_id",
+        "event_type",
+        F.try_element_at(avro_ocf_decode_col(F.col("ocf")), F.lit(1)).alias("rt"),
+    ).orderBy("event_id")
