@@ -1,0 +1,169 @@
+"""Scanners: one raw blob column -> message parts (SURVEY §2.3).
+
+The reference applies scanners inside inputs (file/socket/sftp...) to
+frame a byte stream into messages (internal/impl/pure/scanner_*.go).
+Under Spark a scanner is a DataFrame op over a content column: framing
+stays on executors, every scanner is either pure expressions
+(codegen) or an Arrow-batched mapInPandas where a real incremental
+parser is required (json/xml document streams).
+
+Implemented here: re_match, skip_bom, json_documents, xml_documents,
+switch, to_the_end. lines/csv/chunker/decompress/tar live in
+sources/codecs/processors (round 1).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skip_bom(col: Column) -> Column:
+    """``skip_bom`` scanner (scanner_skip_bom.go): strip a UTF-8/UTF-16
+    byte-order mark prefix before downstream framing."""
+    # ﻿ escape is interpreted by the JVM regex engine
+    return F.regexp_replace(col, "^\\uFEFF", "")
+
+
+def to_the_end(df: DataFrame, col: str, out_col: str = "part") -> DataFrame:
+    """``to_the_end`` scanner (scanner_to_the_end.go): the whole
+    remaining content is one message."""
+    return df.withColumn(out_col, F.col(col))
+
+
+def re_match(df: DataFrame, id_col: str, col: str, pattern: str) -> DataFrame:
+    """``re_match`` scanner (scanner_regexp.go): a new message begins at
+    every LINE matching the pattern; preceding unmatched lines join the
+    prologue part (part_idx 0 when present).
+
+    Codegen shape: posexplode lines -> running count of boundary
+    matches over (id, line pos) -> group-concat. One shuffle on the
+    blob id; no interpreted lambdas, no Python.
+    """
+    other = [c for c in df.columns if c != col]
+    lines = df.select(
+        *other, F.posexplode(F.split(F.col(col), "\n", -1)).alias("__pos", "__line")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = lines.withColumn(
+        "part_idx",
+        F.sum(F.when(F.col("__line").rlike(pattern), 1).otherwise(0)).over(win),
+    )
+    grouped = (
+        marked.groupBy(*[F.col(c) for c in other if c != col], F.col("part_idx"))
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(F.sort_array(F.collect_list(F.struct("__pos", "__line"))), lambda s: s["__line"])
+            ).alias("part")
+        )
+    )
+    return grouped
+
+
+def json_documents(df: DataFrame, col: str, out_col: str = "part") -> DataFrame:
+    """``json_documents`` scanner (scanner_json_documents.go): a stream
+    of concatenated / whitespace-separated JSON documents -> one row
+    per document (re-serialized canonically). Real incremental parse
+    (json.JSONDecoder.raw_decode) in an Arrow-batched map — multi-line
+    and concatenated docs can't be framed by line splitting."""
+    other = [c for c in df.columns if c != col]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*other).schema.fields
+    )
+    schema += f", {out_col} string"
+
+    def run(batches):
+        dec = json.JSONDecoder()
+        for pdf in batches:
+            rows = {c: [] for c in [*other, out_col]}
+            for _, r in pdf.iterrows():
+                text = r[col]
+                pos = 0
+                while text and pos < len(text):
+                    while pos < len(text) and text[pos].isspace():
+                        pos += 1
+                    if pos >= len(text):
+                        break
+                    obj, pos = dec.raw_decode(text, pos)
+                    for c in other:
+                        rows[c].append(r[c])
+                    rows[out_col].append(json.dumps(obj, sort_keys=True))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema)
+
+
+def xml_documents(df: DataFrame, col: str, out_col: str = "part") -> DataFrame:
+    """``xml_documents`` scanner (internal/impl/xml scanner): a stream of
+    concatenated XML documents -> one row per root element. Depth-
+    tracked scan (handles nested same-name tags, comments, CDATA) in an
+    Arrow-batched map."""
+    import re as _re
+
+    other = [c for c in df.columns if c != col]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*other).schema.fields
+    )
+    schema += f", {out_col} string"
+    tok = _re.compile(
+        r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<\?.*?\?>|<[^>]+>", _re.DOTALL
+    )
+
+    def split_docs(text: str) -> list[str]:
+        docs, depth, start = [], 0, None
+        for m in tok.finditer(text or ""):
+            t = m.group(0)
+            if t.startswith(("<!--", "<![CDATA[", "<?")):
+                continue
+            if t.startswith("</"):
+                depth -= 1
+                if depth == 0 and start is not None:
+                    docs.append(text[start : m.end()].strip())
+                    start = None
+            elif t.endswith("/>"):
+                if depth == 0:
+                    docs.append(t)
+            else:
+                if depth == 0:
+                    start = m.start()
+                depth += 1
+        return docs
+
+    def run(batches):
+        for pdf in batches:
+            rows = {c: [] for c in [*other, out_col]}
+            for _, r in pdf.iterrows():
+                for doc in split_docs(r[col]):
+                    for c in other:
+                        rows[c].append(r[c])
+                    rows[out_col].append(doc)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema)
+
+
+def switch_scanner(
+    df: DataFrame, cases: list[tuple[Column | None, callable]]
+) -> DataFrame:
+    """``switch`` scanner (scanner_switch.go): route each blob to the
+    first sub-scanner whose check passes (None check = catch-all);
+    results union by name. First-match semantics mirror the output
+    switch fix (continue:false default)."""
+    out = None
+    blocked = F.lit(False)
+    for check, scan in cases:
+        cond = check if check is not None else F.lit(True)
+        part = df.filter(cond & ~blocked)
+        blocked = blocked | cond
+        res = scan(part)
+        out = res if out is None else out.unionByName(res, allowMissingColumns=True)
+    return out

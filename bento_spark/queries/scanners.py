@@ -1,0 +1,170 @@
+"""Scanner gate queries: re_match, skip_bom, json_documents,
+xml_documents, switch — one oracle-checked entry per scanner
+(scanner_*.go; lines/csv/chunker/decompress/tar covered in round 1).
+
+Inputs are synthesized FROM the documents table so every oracle is a
+pure DuckDB expression over the same parquet."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.operators import scanners as SC
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+
+_N = 60  # docs used per scanner query — framing logic, not volume
+
+
+@query(
+    "scan_re_match",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, replace(text, ' ', chr(10)) AS content
+      FROM documents WHERE doc_id < {_N}
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(content, chr(10)),
+                    (x, i) -> {{'line': x, 'pos': i}}), recursive := true)
+      FROM src
+    ),
+    marked AS (
+      SELECT doc_id, line, pos,
+             sum(CASE WHEN line = 'key' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS part_idx
+      FROM lines
+    )
+    SELECT doc_id, CAST(part_idx AS BIGINT) AS part_idx,
+           string_agg(line, chr(10) ORDER BY pos) AS part
+    FROM marked GROUP BY doc_id, part_idx
+    ORDER BY doc_id, part_idx
+    """,
+)
+def scan_re_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``re_match`` scanner: new message at every line matching ^key$;
+    posexplode + running-sum window + ordered group-concat (codegen)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _N)
+    src = docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" "), F.lit("\n")).alias("content")
+    )
+    out = SC.re_match(src, "doc_id", "content", "^key$")
+    return out.select(
+        "doc_id", F.col("part_idx").cast("long").alias("part_idx"), "part"
+    ).orderBy("doc_id", "part_idx")
+
+
+@query(
+    "scan_skip_bom",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(chr(65279) || text, '^' || chr(65279), '') AS part
+    FROM documents WHERE doc_id < {_N} ORDER BY doc_id
+    """,
+)
+def scan_skip_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``skip_bom`` + ``to_the_end`` scanners: BOM-prefixed content is
+    stripped, remaining content is one message."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _N)
+    src = docs.select(
+        "doc_id", F.concat(F.lit("﻿"), F.col("text")).alias("content")
+    )
+    out = SC.to_the_end(
+        src.withColumn("content", SC.skip_bom(F.col("content"))), "content"
+    )
+    return out.select("doc_id", F.col("part").alias("part")).orderBy("doc_id")
+
+
+@query(
+    "scan_json_documents",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < {_N})
+    SELECT doc_id, part FROM (
+      SELECT doc_id, 0 AS ord, '{{"chars": ' || n_chars || '}}' AS part FROM src
+      UNION ALL
+      SELECT doc_id, 1 AS ord, '{{"lang": "' || lang || '"}}' AS part FROM src
+    ) ORDER BY doc_id, ord
+    """,
+)
+def scan_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``json_documents`` scanner: concatenated JSON docs (with
+    whitespace between) framed by a real incremental parser."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _N)
+    src = docs.select(
+        "doc_id",
+        F.format_string(
+            '{"chars": %s}  {"lang": "%s"}',
+            F.col("n_chars").cast("string"),
+            F.col("lang"),
+        ).alias("content"),
+    )
+    out = SC.json_documents(src, "content")
+    return out.select("doc_id", "part").orderBy("doc_id", "part")
+
+
+@query(
+    "scan_xml_documents",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < {_N})
+    SELECT doc_id, part FROM (
+      SELECT doc_id, 0 AS ord,
+             '<m id="' || doc_id || '"><v>' || n_chars || '</v></m>' AS part
+      FROM src
+      UNION ALL
+      SELECT doc_id, 1 AS ord, '<l lang="' || lang || '"/>' AS part FROM src
+    ) ORDER BY doc_id, ord
+    """,
+)
+def scan_xml_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``xml_documents`` scanner: concatenated XML roots framed by a
+    depth-tracking scanner (self-closing roots included)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _N)
+    src = docs.select(
+        "doc_id",
+        F.format_string(
+            '<m id="%s"><v>%s</v></m>\n<l lang="%s"/>',
+            F.col("doc_id").cast("string"),
+            F.col("n_chars").cast("string"),
+            F.col("lang"),
+        ).alias("content"),
+    )
+    out = SC.xml_documents(src, "content")
+    return out.select("doc_id", "part").orderBy("doc_id", "part")
+
+
+@query(
+    "scan_switch",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < {_N})
+    SELECT doc_id, part FROM (
+      SELECT doc_id, text AS part FROM src WHERE lang = 'en'
+      UNION ALL
+      SELECT doc_id,
+             unnest([substr(text, 1 + 40 * (i - 1), 40)
+                     FOR i IN range(1, CAST(ceil(length(text) / 40.0) AS BIGINT) + 1)])
+               AS part
+      FROM src WHERE lang != 'en'
+    ) ORDER BY doc_id, part
+    """,
+)
+def scan_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``switch`` scanner: en docs -> to_the_end (one message), other
+    langs -> 40-char chunker; first-match routing, union of results."""
+    from bento_spark.operators.processors import chunk_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _N)
+    src = docs.select("doc_id", "lang", F.col("text").alias("content"))
+    out = SC.switch_scanner(
+        src,
+        [
+            (F.col("lang") == "en", lambda d: SC.to_the_end(d, "content")),
+            (
+                None,
+                lambda d: chunk_text(d, "content", 40).withColumnRenamed(
+                    "chunk", "part"
+                ),
+            ),
+        ],
+    )
+    return out.select("doc_id", "part").orderBy("doc_id", "part")
