@@ -258,3 +258,121 @@ def grok_extract(df: DataFrame, col: str, pattern: str, fields: list[tuple[str, 
     for name, idx, typ in fields:
         out = out.withColumn(name, F.regexp_extract(F.col(col), pattern, idx).cast(typ))
     return out
+
+
+# ---- syslog parse_log (processor_parse_log.go:105) -----------------------
+
+# RFC3164: <PRI>Mmm dd HH:MM:SS host tag[pid]: msg
+SYSLOG_3164_RE = (
+    r"^(?:<(\d{1,3})>)?"
+    r"([A-Z][a-z]{2}\s+\d{1,2}\s\d{2}:\d{2}:\d{2})\s"
+    r"(\S+)\s"
+    r"([^:\[\s]+)(?:\[(\d+)\])?:\s*"
+    r"(.*)$"
+)
+
+# RFC5424: <PRI>VER TS HOST APP PROCID MSGID [SD] MSG
+SYSLOG_5424_RE = (
+    r"^<(\d{1,3})>(\d)\s(\S+)\s(\S+)\s(\S+)\s(\S+)\s(\S+)\s"
+    r"(-|(?:\[.*\]))\s?(.*)$"
+)
+
+
+def parse_syslog(df: DataFrame, col: str, rfc: str = "3164") -> DataFrame:
+    """``parse_log`` format=syslog_rfc3164 / syslog_rfc5424
+    (processor_parse_log.go:105): pure regexp_extract columns plus the
+    PRI split into facility (pri/8) and severity (pri%8) — all codegen.
+    (The previous round shipped Apache CLF under this name; that now
+    lives as ``parse_clf``.)"""
+    c = F.col(col)
+    if rfc == "3164":
+        pri = F.regexp_extract(c, SYSLOG_3164_RE, 1)
+        out = (
+            df.withColumn("priority", pri.cast("int"))
+            .withColumn("timestamp", F.regexp_extract(c, SYSLOG_3164_RE, 2))
+            .withColumn("hostname", F.regexp_extract(c, SYSLOG_3164_RE, 3))
+            .withColumn("appname", F.regexp_extract(c, SYSLOG_3164_RE, 4))
+            .withColumn(
+                "procid", F.regexp_extract(c, SYSLOG_3164_RE, 5).cast("int")
+            )
+            .withColumn("message", F.regexp_extract(c, SYSLOG_3164_RE, 6))
+        )
+    elif rfc == "5424":
+        pri = F.regexp_extract(c, SYSLOG_5424_RE, 1)
+        out = (
+            df.withColumn("priority", pri.cast("int"))
+            .withColumn("version", F.regexp_extract(c, SYSLOG_5424_RE, 2).cast("int"))
+            .withColumn("timestamp", F.regexp_extract(c, SYSLOG_5424_RE, 3))
+            .withColumn("hostname", F.regexp_extract(c, SYSLOG_5424_RE, 4))
+            .withColumn("appname", F.regexp_extract(c, SYSLOG_5424_RE, 5))
+            .withColumn("procid", F.regexp_extract(c, SYSLOG_5424_RE, 6))
+            .withColumn("msgid", F.regexp_extract(c, SYSLOG_5424_RE, 7))
+            .withColumn("structured_data", F.regexp_extract(c, SYSLOG_5424_RE, 8))
+            .withColumn("message", F.regexp_extract(c, SYSLOG_5424_RE, 9))
+        )
+    else:
+        raise ValueError(f"syslog rfc {rfc!r} not supported (3164/5424)")
+    return out.withColumn(
+        "facility", (F.col("priority") / 8).cast("int")
+    ).withColumn("severity", F.col("priority") % 8)
+
+
+# ---- full grok: %{PATTERN:name} library (processor_grok.go:104) ----------
+
+# The standard grok base patterns (public logstash-patterns-core set —
+# the same library the reference embeds).
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "POSINT": r"\d+",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[\w.-]+)",
+    "HOSTNAME": r"[\w.-]+",
+    "USER": r"[\w.-]+",
+    "USERNAME": r"[\w.-]+",
+    "EMAILADDRESS": r"[\w.+-]+@[\w.-]+",
+    "UUID": r"[0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "LOGLEVEL": r"(?:DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|TRACE|CRITICAL)",
+    "QUOTEDSTRING": r'"[^"]*"',
+    "PATH": r"(?:/[\w.-]+)+",
+    "URIPATH": r"(?:/[\w.:;=@#%&!$'()*+,~-]*)+",
+}
+_GROK_REF = _re_mod = None
+
+
+def grok_compile(pattern: str) -> tuple[str, list[str]]:
+    """Expand %{PATTERN:name} / %{PATTERN} references -> (java regex,
+    [field names]). Nested library references expand recursively."""
+    import re as _re
+
+    fields: list[str] = []
+
+    def repl(m):
+        name, field = m.group(1), m.group(2)
+        if name not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        inner = _re.sub(r"%\{(\w+)(?::(\w+))?\}", repl, GROK_PATTERNS[name])
+        if field:
+            fields.append(field)
+            return f"({inner})"
+        return f"(?:{inner})"
+
+    java = _re.sub(r"%\{(\w+)(?::(\w+))?\}", repl, pattern)
+    return java, fields
+
+
+def grok(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """``grok`` processor (processor_grok.go:104): %{PATTERN:name}
+    pattern library -> one regexp per named capture, all codegen."""
+    java, fields = grok_compile(pattern)
+    out = df
+    for i, name in enumerate(fields, start=1):
+        out = out.withColumn(name, F.regexp_extract(F.col(col), java, i))
+    return out

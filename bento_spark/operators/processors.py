@@ -237,6 +237,69 @@ def json_schema_validate(
     )
 
 
+def json_schema_full(df: DataFrame, col: str, schema: dict) -> DataFrame:
+    """``json_schema`` with real JSON-Schema semantics
+    (processor_jsonschema.go:93): type / enum / minimum / maximum /
+    pattern / required over a parsed VARIANT — the round-1 version only
+    checked parse-ability + required fields. All checks are pure
+    expressions on variant_get/schema_of_variant (codegen; no UDF).
+
+    JSON `null` and an absent property are both treated as missing (the
+    variant path returns SQL NULL for either)."""
+    df = ensure_envelope(df)
+    v = F.parse_json(F.col(col))
+    _TYPES = {
+        "integer": ("BIGINT", "INT", "SMALLINT", "TINYINT"),
+        "number": ("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+                   "DECIMAL"),
+        "string": ("STRING",),
+        "boolean": ("BOOLEAN",),
+    }
+    problems: list[Column] = [v.isNull()]  # unparseable JSON
+    required = set(schema.get("required", []))
+    for prop, spec in (schema.get("properties") or {}).items():
+        path = f"$.{prop}"
+        sub = F.try_variant_get(v, path, "variant")
+        present = sub.isNotNull()
+        if prop in required:
+            problems.append(~present)
+        t = spec.get("type")
+        if t in _TYPES:
+            vt = F.schema_of_variant(sub)
+            ok_t = F.lit(False)
+            for allowed in _TYPES[t]:
+                ok_t = ok_t | vt.startswith(allowed)
+            problems.append(present & ~ok_t)
+        elif t == "array":
+            problems.append(present & ~F.schema_of_variant(sub).startswith("ARRAY"))
+        elif t == "object":
+            vt = F.schema_of_variant(sub)
+            problems.append(
+                present & ~(vt.startswith("OBJECT") | vt.startswith("STRUCT"))
+            )
+        if "enum" in spec:
+            sval = F.try_variant_get(v, path, "string")
+            problems.append(present & ~sval.isin([str(x) for x in spec["enum"]]))
+        if "minimum" in spec:
+            nval = F.try_variant_get(v, path, "double")
+            problems.append(present & (nval.isNull() | (nval < spec["minimum"])))
+        if "maximum" in spec:
+            nval = F.try_variant_get(v, path, "double")
+            problems.append(present & (nval.isNull() | (nval > spec["maximum"])))
+        if "pattern" in spec:
+            sval = F.try_variant_get(v, path, "string")
+            problems.append(present & (sval.isNull() | ~sval.rlike(spec["pattern"])))
+    bad = problems[0]
+    for p in problems[1:]:
+        bad = bad | p
+    return df.withColumn(
+        ERROR,
+        F.when(ok(df) & bad, F.lit("json_schema: validation failed")).otherwise(
+            F.col(ERROR)
+        ),
+    )
+
+
 def chunk_text(df: DataFrame, col: str, size: int) -> DataFrame:
     """``chunker`` scanner (scanner_chunker.go): one message -> fixed
     size chunks with their index; pure substring arithmetic."""

@@ -698,3 +698,106 @@ def proc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.try_element_at(avro_ocf_decode_col(F.col("ocf")), F.lit(1)).alias("rt"),
     ).orderBy("event_id")
+
+
+@query(
+    "proc_parse_syslog",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id % 192 AS INT) AS priority,
+           CAST((event_id % 192) // 8 AS INT) AS facility,
+           CAST(event_id % 8 AS BIGINT) AS severity,
+           'host-' || CAST(user_id % 50 AS VARCHAR) AS hostname,
+           'svc_' || event_type AS appname,
+           CAST(user_id % 1000 AS INT) AS procid,
+           event_type || ' fired' AS message
+    FROM events WHERE event_id < 3000 ORDER BY event_id
+    """,
+)
+def proc_parse_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_log`` format=syslog_rfc3164 (processor_parse_log.go:105):
+    lines are synthesized from event columns, parsed back with the pure
+    regexp extractor, and the oracle recomputes every field from the
+    same source columns — full-circle extraction check."""
+    from bento_spark.operators.codecs import parse_syslog
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    line = F.format_string(
+        "<%s>Mar  5 10:30:00 host-%s svc_%s[%s]: %s fired",
+        (F.col("event_id") % 192).cast("string"),
+        (F.col("user_id") % 50).cast("string"),
+        F.col("event_type"),
+        (F.col("user_id") % 1000).cast("string"),
+        F.col("event_type"),
+    )
+    parsed = parse_syslog(ev.withColumn("line", line), "line", rfc="3164")
+    return parsed.select(
+        "event_id", "priority", "facility",
+        F.col("severity").cast("long").alias("severity"),
+        "hostname", "appname", "procid", "message",
+    ).orderBy("event_id")
+
+
+@query(
+    "proc_grok",
+    oracle="""
+    SELECT event_id,
+           '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS client,
+           upper(substr(event_type, 1, 4)) AS method,
+           '/api/' || event_type AS path,
+           CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS bytes
+    FROM events WHERE event_id < 3000 ORDER BY event_id
+    """,
+)
+def proc_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grok`` with the %{PATTERN:name} library (processor_grok.go:104):
+    IP/WORD/URIPATH/NUMBER patterns expanded recursively to one
+    compiled regex; oracle recomputes the fields from source columns."""
+    from bento_spark.operators.codecs import grok
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    line = F.format_string(
+        "%s %s %s %s",
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")),
+        F.upper(F.substring(F.col("event_type"), 1, 4)),
+        F.concat(F.lit("/api/"), F.col("event_type")),
+        F.floor(F.col("value")).cast("long").cast("string"),
+    )
+    out = grok(
+        ev.withColumn("line", line),
+        "line",
+        "%{IP:client} %{WORD:method} %{URIPATH:path} %{NUMBER:bytes}",
+    )
+    return out.select(
+        "event_id", "client", "method", "path", "bytes"
+    ).orderBy("event_id")
+
+
+@query(
+    "proc_json_schema_full",
+    oracle="""
+    SELECT event_id,
+           (json_extract(props, '$.k') IS NOT NULL
+            AND json_type(props, '$.k') IN ('BIGINT', 'INTEGER', 'UBIGINT')
+            AND CAST(json_extract(props, '$.k') AS DOUBLE) BETWEEN 5 AND 90)
+             AS valid
+    FROM events WHERE event_id < 3000 ORDER BY event_id
+    """,
+)
+def proc_json_schema_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ``json_schema`` validation (processor_jsonschema.go:93):
+    type + bounds + required over VARIANT paths, no UDF. Oracle
+    re-validates with DuckDB's json_type/json_extract."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    checked = P.json_schema_full(
+        ev,
+        "props",
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 5, "maximum": 90}},
+        },
+    )
+    return checked.select(
+        "event_id", F.col(ERROR).isNull().alias("valid")
+    ).orderBy("event_id")
