@@ -1,0 +1,360 @@
+"""``jq`` processor: a compiled jq-subset over VARIANT columns.
+
+Reference: internal/impl/pure/processor_jq.go:95 (gojq). Round 1
+claimed "common paths via Bloblang" — this module actually runs jq
+programs. The program compiles ONCE (driver-side) to Column
+expressions over a parsed VARIANT; execution is JVM-side (variant_get
+/ to_json), no Python per row.
+
+Supported subset (the shapes Bento configs actually use):
+  .            identity
+  .a.b  .a[0]  .a["k"]     paths
+  .a[]         iteration — as a TOP-LEVEL pipe stage (explodes rows)
+  e1 | e2      pipes
+  {a: e, b}    object construction (incl. shorthand)
+  [e, ...]     array construction
+  literals     numbers / "strings" / true / false / null
+  e op e       + - * / % == != < <= > >= and or
+  select(e)    filter (drops rows, top-level stage or standalone)
+  length, keys, tostring, tonumber, not, has("k"), e // alt
+
+Unsupported (documented): reduce/foreach, def, variables-as-state,
+regex builtins, recursive descent `..`, nested iteration.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class JqError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<str>"(?:[^"\\]|\\.)*")
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>//|==|!=|<=|>=|\.\.|[.\[\]{}(),:|<>+\-*/%])
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip():
+                raise JqError(f"jq: bad token at {src[pos:pos+10]!r}")
+            break
+        pos = m.end()
+        for kind in ("num", "str", "ident", "op"):
+            if m.group(kind) is not None:
+                out.append((kind, m.group(kind)))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+# ---- AST -----------------------------------------------------------------
+
+
+@dataclass
+class Node:
+    kind: str  # identity|path|iterate|lit|obj|arr|bin|call|pipe
+    value: object = None
+    children: tuple = ()
+
+
+class _Parser:
+    """Tiny Pratt parser for the subset grammar."""
+
+    _BINOPS = {
+        "or": 1, "and": 2, "//": 3,
+        "==": 4, "!=": 4, "<": 4, "<=": 4, ">": 4, ">=": 4,
+        "+": 5, "-": 5, "*": 6, "/": 6, "%": 6,
+    }
+
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise JqError(f"jq: expected {val!r}, got {v!r}")
+
+    def parse_pipeline(self) -> Node:
+        stages = [self.parse_expr()]
+        while self.peek()[1] == "|":
+            self.next()
+            stages.append(self.parse_expr())
+        return stages[0] if len(stages) == 1 else Node("pipe", None, tuple(stages))
+
+    def parse_expr(self, prec: int = 0) -> Node:
+        left = self.parse_postfix()
+        while True:
+            k, v = self.peek()
+            p = self._BINOPS.get(v)
+            if p is None or p <= prec:
+                return left
+            self.next()
+            right = self.parse_expr(p)
+            left = Node("bin", v, (left, right))
+
+    def parse_postfix(self) -> Node:
+        node = self.parse_primary()
+        while True:
+            k, v = self.peek()
+            if v == ".":
+                # .a after expression (rare) — treat as path continuation
+                self.next()
+                k2, name = self.next()
+                if k2 != "ident":
+                    raise JqError("jq: expected field after '.'")
+                node = Node("path", ("field", name), (node,))
+            elif v == "[":
+                self.next()
+                k2, v2 = self.peek()
+                if v2 == "]":
+                    self.next()
+                    node = Node("iterate", None, (node,))
+                elif k2 == "num":
+                    self.next()
+                    self.expect("]")
+                    node = Node("path", ("index", int(v2)), (node,))
+                elif k2 == "str":
+                    self.next()
+                    self.expect("]")
+                    node = Node("path", ("field", v2[1:-1]), (node,))
+                else:
+                    raise JqError("jq: bad subscript")
+            else:
+                return node
+
+    def parse_primary(self) -> Node:
+        k, v = self.next()
+        if v == ".":
+            k2, v2 = self.peek()
+            if k2 == "ident":
+                self.next()
+                return Node("path", ("field", v2), (Node("identity"),))
+            return Node("identity")
+        if k == "num":
+            return Node("lit", float(v) if "." in v else int(v))
+        if k == "str":
+            return Node("lit", v[1:-1].replace('\\"', '"'))
+        if k == "ident":
+            if v in ("true", "false"):
+                return Node("lit", v == "true")
+            if v == "null":
+                return Node("lit", None)
+            if self.peek()[1] == "(":
+                self.next()
+                arg = self.parse_pipeline()
+                self.expect(")")
+                return Node("call", v, (arg,))
+            return Node("call", v, ())
+        if v == "{":
+            entries = []
+            while self.peek()[1] != "}":
+                k2, key = self.next()
+                if k2 == "str":
+                    key = key[1:-1]
+                elif k2 != "ident":
+                    raise JqError("jq: bad object key")
+                if self.peek()[1] == ":":
+                    self.next()
+                    entries.append((key, self.parse_expr()))
+                else:  # shorthand {a}
+                    entries.append(
+                        (key, Node("path", ("field", key), (Node("identity"),)))
+                    )
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect("}")
+            return Node("obj", None, tuple(entries))
+        if v == "[":
+            items = []
+            while self.peek()[1] != "]":
+                items.append(self.parse_expr())
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect("]")
+            return Node("arr", None, tuple(items))
+        if v == "(":
+            inner = self.parse_pipeline()
+            self.expect(")")
+            return inner
+        raise JqError(f"jq: unexpected token {v!r}")
+
+
+def parse_jq(src: str) -> Node:
+    p = _Parser(_tokenize(src))
+    node = p.parse_pipeline()
+    if p.peek()[0] != "eof":
+        raise JqError(f"jq: trailing input at {p.peek()[1]!r}")
+    return node
+
+
+# ---- compile to Columns ---------------------------------------------------
+
+
+def _compile(node: Node, cur: Column) -> Column:
+    """Value-level compilation: `cur` is the current VARIANT input."""
+    if node.kind == "identity":
+        return cur
+    if node.kind == "path":
+        base = _compile(node.children[0], cur)
+        kind, key = node.value
+        if kind == "field":
+            return F.try_variant_get(base, f"$.{key}", "variant")
+        return F.try_variant_get(base, f"$[{key}]", "variant")
+    if node.kind == "lit":
+        return F.parse_json(F.lit("null" if node.value is None else
+                                  __import__("json").dumps(node.value)))
+    if node.kind == "obj":
+        parts = [
+            F.lit(k).alias(f"__k{i}")
+            for i, (k, _) in enumerate(node.children)
+        ]
+        fields = [
+            _to_variant(_compile(v, cur)).alias(k) for k, v in node.children
+        ]
+        del parts
+        return F.parse_json(F.to_json(F.struct(*fields)))
+    if node.kind == "arr":
+        items = [_to_variant(_compile(v, cur)) for v in node.children]
+        return F.parse_json(F.to_json(F.array(*items)))
+    if node.kind == "bin":
+        op = node.value
+        le, ri = node.children
+        if op == "//":
+            return F.coalesce(_compile(le, cur), _compile(ri, cur))
+        lnum = _num(_compile(le, cur))
+        rnum = _num(_compile(ri, cur))
+        if op in ("+", "-", "*", "/", "%"):
+            res = {
+                "+": lnum + rnum, "-": lnum - rnum, "*": lnum * rnum,
+                "/": lnum / rnum, "%": lnum % rnum,
+            }[op]
+            return _v(res)
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            lv, rv = _compile(le, cur), _compile(ri, cur)
+            ln, rn = _num(lv), _num(rv)
+            ls, rs = _str(lv), _str(rv)
+            both_num = ln.isNotNull() & rn.isNotNull()
+
+            def cmp(a, b):
+                return {
+                    "==": a == b, "!=": a != b, "<": a < b,
+                    "<=": a <= b, ">": a > b, ">=": a >= b,
+                }[op]
+
+            # numeric compare when both sides are numbers; else string —
+            # a lexicographic compare of stringified numbers would order
+            # "100" before "50"
+            return _v(F.when(both_num, cmp(ln, rn)).otherwise(cmp(ls, rs)))
+        if op == "and":
+            return _v(_bool(_compile(le, cur)) & _bool(_compile(ri, cur)))
+        if op == "or":
+            return _v(_bool(_compile(le, cur)) | _bool(_compile(ri, cur)))
+    if node.kind == "call":
+        name = node.value
+        if name == "length":
+            arg = cur if not node.children else _compile(node.children[0], cur)
+            arr = F.try_variant_get(arg, "$", "array<variant>")
+            s = F.try_variant_get(arg, "$", "string")
+            return _v(
+                F.when(arr.isNotNull(), F.size(arr)).otherwise(F.length(s))
+            )
+        if name == "keys":
+            arg = cur if not node.children else _compile(node.children[0], cur)
+            m = F.try_variant_get(arg, "$", "map<string,variant>")
+            return _v(F.array_sort(F.map_keys(m)))
+        if name == "tostring":
+            return _v(_str(cur))
+        if name == "tonumber":
+            return _v(_num(cur))
+        if name == "not":
+            return _v(~_bool(cur))
+        if name == "has":
+            key = node.children[0]
+            if key.kind != "lit":
+                raise JqError("jq: has() needs a literal key")
+            return _v(
+                F.try_variant_get(cur, f"$.{key.value}", "variant").isNotNull()
+            )
+        if name == "select":
+            raise JqError("jq: select() only valid as a pipe stage")
+        raise JqError(f"jq: unsupported function {name!r}")
+    if node.kind == "iterate":
+        raise JqError("jq: .[] iteration only supported as a top-level stage")
+    if node.kind == "pipe":
+        for stage in node.children:
+            cur = _compile(stage, cur)
+        return cur
+    raise JqError(f"jq: cannot compile {node.kind}")
+
+
+def _to_variant(c: Column) -> Column:
+    return c
+
+
+def _v(scalar: Column) -> Column:
+    """Scalar Column -> VARIANT (to_json only accepts container types,
+    so route through a one-field struct)."""
+    return F.try_variant_get(
+        F.parse_json(F.to_json(F.struct(scalar.alias("v")))), "$.v", "variant"
+    )
+
+
+def _num(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "double")
+
+
+def _str(v: Column) -> Column:
+    s = F.try_variant_get(v, "$", "string")
+    return F.coalesce(s, F.to_json(v))
+
+
+def _bool(v: Column) -> Column:
+    return F.coalesce(F.try_variant_get(v, "$", "boolean"), v.isNotNull())
+
+
+def jq(df: DataFrame, col: str, program: str, out_col: str = "result") -> DataFrame:
+    """Run a jq program over a JSON string column; emits `out_col` as
+    the result's JSON text. Top-level `select(...)` stages filter rows;
+    a top-level `.path[]` stage explodes rows (one per element)."""
+    ast = parse_jq(program)
+    stages = list(ast.children) if ast.kind == "pipe" else [ast]
+    cur = F.parse_json(F.col(col))
+    tmp = "__jq"
+    df = df.withColumn(tmp, cur)
+    for stage in stages:
+        if stage.kind == "call" and stage.value == "select":
+            cond = _bool(_compile(stage.children[0], F.col(tmp)))
+            df = df.filter(cond)
+        elif stage.kind == "iterate":
+            arr = F.try_variant_get(
+                _compile(stage.children[0], F.col(tmp)), "$", "array<variant>"
+            )
+            df = df.withColumn(tmp, F.explode(arr))
+        else:
+            df = df.withColumn(tmp, _compile(stage, F.col(tmp)))
+    return df.withColumn(out_col, F.to_json(F.col(tmp))).drop(tmp)

@@ -123,9 +123,19 @@ def _proc_metadata(df: DataFrame, conf) -> DataFrame:
     return P.set_metadata(df, entries)
 
 
+def _proc_jq(df: DataFrame, conf) -> DataFrame:
+    """`jq` (processor_jq.go:95): run a jq program over a JSON column."""
+    from bento_spark.operators.jq import jq
+
+    if isinstance(conf, str):
+        conf = {"query": conf}
+    return jq(df, conf.get("column", "props"), conf["query"])
+
+
 PROCESSORS = {
     "mapping": _proc_mapping,
     "metadata": _proc_metadata,
+    "jq": _proc_jq,
     "mutation": _proc_mutation,
     "filter": _proc_filter,
     "dedupe": _proc_dedupe,

@@ -801,3 +801,24 @@ def proc_json_schema_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checked.select(
         "event_id", F.col(ERROR).isNull().alias("valid")
     ).orderBy("event_id")
+
+
+@query(
+    "proc_jq",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS VARCHAR)
+             AS result
+    FROM events
+    WHERE event_id < 3000 AND CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    ORDER BY event_id
+    """,
+)
+def proc_jq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jq`` processor (processor_jq.go:95): a real jq program —
+    select + arithmetic over VARIANT paths, compiled once, JVM-side."""
+    from bento_spark.operators.jq import jq
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    out = jq(ev, "props", "select(.k >= 50) | .k * 2")
+    return out.select("event_id", "result").orderBy("event_id")

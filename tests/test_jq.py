@@ -1,0 +1,77 @@
+"""jq processor subset (processor_jq.go:95): paths, pipes, object/array
+construction, select, iteration, builtins — compiled to VARIANT ops."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bento_spark.operators.jq import JqError, jq, parse_jq
+
+
+@pytest.fixture(scope="module")
+def jdf(spark):
+    rows = [
+        (1, json.dumps({"user": {"name": "ada", "age": 36}, "tags": ["x", "y"], "n": 5})),
+        (2, json.dumps({"user": {"name": "bob", "age": 17}, "tags": [], "n": 2})),
+    ]
+    return spark.createDataFrame(rows, "id long, j string")
+
+
+def run(df, prog):
+    return {
+        r["id"]: (None if r["result"] is None else json.loads(r["result"]))
+        for r in jq(df, "j", prog).collect()
+    }
+
+
+def test_identity_and_paths(jdf):
+    assert run(jdf, ".user.name") == {1: "ada", 2: "bob"}
+    assert run(jdf, '.tags[0]') == {1: "x", 2: None}
+    assert run(jdf, '.user["age"]') == {1: 36, 2: 17}
+
+
+def test_pipe_and_object(jdf):
+    got = run(jdf, '.user | {name, grown: .age >= 18}')
+    assert got == {1: {"name": "ada", "grown": True}, 2: {"name": "bob", "grown": False}}
+
+
+def test_array_construction_and_arith(jdf):
+    got = run(jdf, "[.n, .n * 2, .n + 1]")
+    assert got == {1: [5.0, 10.0, 6.0], 2: [2.0, 4.0, 3.0]}
+
+
+def test_select_filters_rows(jdf):
+    out = jq(jdf, "j", "select(.user.age >= 18) | .user.name")
+    got = {r["id"]: json.loads(r["result"]) for r in out.collect()}
+    assert got == {1: "ada"}
+
+
+def test_iteration_explodes(jdf):
+    out = jq(jdf, "j", ".tags[]").collect()
+    got = sorted((r["id"], json.loads(r["result"])) for r in out)
+    assert got == [(1, "x"), (1, "y")]
+
+
+def test_builtins(jdf):
+    assert run(jdf, ".tags | length") == {1: 2, 2: 0}
+    assert run(jdf, ".user | keys") == {1: ["age", "name"], 2: ["age", "name"]}
+    assert run(jdf, '.missing // "dflt"') == {1: "dflt", 2: "dflt"}
+    assert run(jdf, 'has("tags")') == {1: True, 2: True}
+    assert run(jdf, ".n | tostring") == {1: "5", 2: "2"}
+
+
+def test_parse_errors(jdf):
+    with pytest.raises(JqError):
+        parse_jq(".a &&& b")
+    with pytest.raises(JqError):  # parses, compile rejects unknown fn
+        jq(jdf, "j", ".user | unknown_fn(.b)")
+
+
+def test_numeric_compare_not_lexicographic(spark):
+    rows = [(1, '{"k": 100}'), (2, '{"k": 50}'), (3, '{"k": 7}')]
+    df = spark.createDataFrame(rows, "id long, j string")
+    out = jq(df, "j", "select(.k >= 50) | .k")
+    got = sorted(json.loads(r["result"]) for r in out.collect())
+    assert got == [50, 100]
