@@ -1,0 +1,89 @@
+"""SQL write processors: ``sql_insert`` / ``sql_raw``.
+
+Reference: internal/impl/sql/processor_sql_insert.go (INSERT a row per
+message, pass the message through) and processor_sql_raw.go (arbitrary
+statement). JDBC jars are absent in this container, so the write
+contract targets Spark catalog tables (file-backed; the same
+foreachBatch→write shape a JDBC sink would use — swap the writer when
+jars are present).
+
+Batch: the insert executes when the processor runs (the pipeline is
+built then immediately run). Streaming: wrap the sink side with
+foreachBatch — the processor raises to direct users there rather than
+silently dropping writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sql_insert(
+    df: DataFrame,
+    is_streaming: bool,
+    table: str,
+    columns: list[str],
+    args_mapping: dict[str, str] | None = None,
+) -> DataFrame:
+    """Append `columns` (optionally renamed/derived via Bloblang
+    ``args_mapping``) to a catalog table; messages pass through."""
+    if is_streaming:
+        raise ValueError(
+            "sql_insert on a stream: use the sink layer's foreachBatch "
+            "(run_sink with a `table` output) so inserts commit per "
+            "micro-batch with the checkpoint"
+        )
+    if args_mapping:
+        from bento_spark.bloblang import compile_expr
+
+        out = df.select(
+            *[
+                compile_expr(src, df=df).alias(name)
+                for name, src in args_mapping.items()
+            ]
+        )
+    else:
+        out = df.select(*columns)
+    writer = out.write.mode("append")
+    if "/" in table:  # path-backed
+        writer.parquet(table)
+    else:
+        writer.saveAsTable(table)
+    return df
+
+
+def sql_raw(df: DataFrame, is_streaming: bool, query: str, view: str = "stream") -> DataFrame:
+    """Execute an arbitrary SQL statement with the current stream
+    registered as `view`; messages pass through (processor_sql_raw.go).
+    Statements that RETURN rows should use the `sql` processor
+    (sql_select) instead."""
+    if is_streaming:
+        raise ValueError("sql_raw on a stream: use foreachBatch at the sink")
+    df.createOrReplaceTempView(view)
+    df.sparkSession.sql(query)
+    return df
+
+
+def register_pipeline_processors() -> None:
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    def _proc_sql_insert(df: DataFrame, conf) -> DataFrame:
+        return sql_insert(
+            df,
+            False,
+            conf["table"],
+            conf.get("columns", []),
+            conf.get("args_mapping"),
+        )
+
+    def _proc_sql_raw(df: DataFrame, conf) -> DataFrame:
+        q = conf if isinstance(conf, str) else conf["query"]
+        view = "stream" if isinstance(conf, str) else conf.get("view", "stream")
+        return sql_raw(df, False, q, view)
+
+    PROCESSORS.setdefault("sql_insert", _proc_sql_insert)
+    PROCESSORS.setdefault("sql_raw", _proc_sql_raw)
+
+
+register_pipeline_processors()

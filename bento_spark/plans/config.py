@@ -44,7 +44,7 @@ def _walk(node):
     return node
 
 
-KNOWN_SECTIONS = {"input", "pipeline", "output"}
+KNOWN_SECTIONS = {"input", "pipeline", "output", "tests"}
 
 
 def load_config(src: str) -> dict:
@@ -59,7 +59,9 @@ def load_config(src: str) -> dict:
     unknown = set(cfg) - KNOWN_SECTIONS
     if unknown:
         raise ConfigError(f"unknown config sections: {sorted(unknown)}")
-    if "input" not in cfg:
+    if "input" not in cfg and "tests" not in cfg:
+        # a tests-only config (the reference's unit-test format) feeds
+        # input_batch messages instead of an input component
         raise ConfigError("config requires an `input` section")
     for section in ("input", "output"):
         if section in cfg:

@@ -148,6 +148,9 @@ PROCESSORS = {
 }
 
 
+from bento_spark.operators import sqlproc  # noqa: E402,F401  (registers sql_insert/sql_raw)
+
+
 @dataclass
 class Pipeline:
     """A built pipeline: lazily-planned DataFrame + sink config."""

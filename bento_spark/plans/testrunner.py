@@ -1,0 +1,210 @@
+"""Config unit-test runner: the reference's YAML ``tests:`` format
+(internal/cli/test/case.go:37-110, internal/config/test/) executed
+against the Spark pipeline.
+
+A test case feeds ``input_batch`` messages through the config's
+processors (``target_processors`` JSON pointer, or a
+``target_mapping`` Bloblang source) and checks each output message
+against ordered conditions: content_equals / content_matches /
+json_equals / json_contains / metadata_equals / bloblang.
+
+Message model mapping: a message with ``json_content`` becomes a typed
+row (the engine's document model); raw ``content`` becomes a single
+`content` column. Output conditions that speak JSON read the row
+re-serialized as a JSON object (underscore envelope columns exluded);
+metadata reads the ``_metadata`` map.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.plans.config import load_config
+from bento_spark.plans.pipeline import PROCESSORS
+
+
+class TestFailure(AssertionError):
+    pass
+
+
+def _input_rows(batch: list[dict], base_dir: str) -> tuple[list, bool]:
+    """-> (rows, is_json): rows are dicts (json) or strings (raw)."""
+    rows, kinds = [], set()
+    for msg in batch:
+        meta = {str(k): str(v) for k, v in (msg.get("metadata") or {}).items()}
+        if "json_content" in msg:
+            rows.append((msg["json_content"], meta))
+            kinds.add("json")
+        elif "file_content" in msg:
+            with open(os.path.join(base_dir, msg["file_content"])) as f:
+                rows.append((f.read(), meta))
+            kinds.add("raw")
+        else:
+            rows.append((msg.get("content", ""), meta))
+            kinds.add("raw")
+    if len(kinds) > 1:
+        raise ValueError("mixed json_content and content in one batch")
+    return rows, kinds == {"json"}
+
+
+def _batch_df(spark: SparkSession, rows: list, is_json: bool) -> DataFrame:
+    from bento_spark.operators.envelope import META
+
+    if is_json:
+        # metadata rides as a JSON string (an empty dict defeats type
+        # inference), parsed to the envelope map afterwards
+        docs = [
+            {**doc, "__idx": i, "__meta_json": json.dumps(meta)}
+            for i, (doc, meta) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(docs)
+        meta_col = F.from_json(F.col("__meta_json"), "map<string,string>")
+        return df.withColumn(META, meta_col).drop("__meta_json")
+    df = spark.createDataFrame(
+        [(c, i, m) for i, (c, m) in enumerate(rows)],
+        "content string, __idx long, __meta map<string,string>",
+    )
+    return df.withColumn(META, F.col("__meta")).drop("__meta")
+
+
+def _resolve_processors(cfg: dict, pointer: str, base_dir: str) -> list[dict]:
+    if "#" in pointer:
+        path, pointer = pointer.split("#", 1)
+        cfg = load_config(open(os.path.join(base_dir, path)).read())
+    if not pointer or pointer == "/pipeline/processors":
+        return list((cfg.get("pipeline") or {}).get("processors") or [])
+    m = re.fullmatch(r"/pipeline/processors/(\d+)", pointer)
+    if m:
+        return [(cfg["pipeline"]["processors"])[int(m.group(1))]]
+    raise ValueError(f"unsupported target_processors pointer {pointer!r}")
+
+
+def _row_json(row: dict) -> dict:
+    return {
+        k: v for k, v in row.items() if not k.startswith(("_", "__"))
+    }
+
+
+def _is_subset(small, big) -> bool:
+    if isinstance(small, dict):
+        return isinstance(big, dict) and all(
+            k in big and _is_subset(v, big[k]) for k, v in small.items()
+        )
+    if isinstance(small, list):
+        return isinstance(big, list) and len(small) == len(big) and all(
+            _is_subset(a, b) for a, b in zip(small, big)
+        )
+    if isinstance(small, (int, float)) and isinstance(big, (int, float)):
+        return float(small) == float(big)
+    return small == big
+
+
+def _check_message(cond: dict, row: dict, spark: SparkSession) -> str | None:
+    """-> failure description or None."""
+    content = row.get("content")
+    if content is None:
+        content = json.dumps(_row_json(row), sort_keys=True)
+    if "content_equals" in cond and content != cond["content_equals"]:
+        return f"content_equals: {content!r} != {cond['content_equals']!r}"
+    if "content_matches" in cond and not re.search(cond["content_matches"], content):
+        return f"content_matches: {content!r} !~ {cond['content_matches']!r}"
+    if "json_equals" in cond:
+        got = json.loads(content)
+        if not (_is_subset(cond["json_equals"], got) and _is_subset(got, cond["json_equals"])):
+            return f"json_equals: {got!r} != {cond['json_equals']!r}"
+    if "json_contains" in cond:
+        got = json.loads(content)
+        if not _is_subset(cond["json_contains"], got):
+            return f"json_contains: {got!r} !> {cond['json_contains']!r}"
+    if "metadata_equals" in cond:
+        meta = row.get("_metadata") or {}
+        for k, v in cond["metadata_equals"].items():
+            if meta.get(k) != str(v):
+                return f"metadata_equals: {k}={meta.get(k)!r} != {v!r}"
+    if "bloblang" in cond:
+        from bento_spark.bloblang import compile_expr
+
+        one = spark.createDataFrame([_row_json(row)])
+        got = one.select(
+            compile_expr(cond["bloblang"], df=one).alias("__ok")
+        ).collect()[0]["__ok"]
+        if got is not True:
+            return f"bloblang: {cond['bloblang']!r} -> {got!r}"
+    return None
+
+
+def run_config_tests(
+    spark: SparkSession, config: str | dict, base_dir: str = "."
+) -> list[dict]:
+    """Run every case under ``tests:``; returns [{name, failures}]."""
+    cfg = load_config(config) if isinstance(config, str) else config
+    results = []
+    for case in cfg.get("tests") or []:
+        failures: list[str] = []
+        env = case.get("environment") or {}
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update({k: str(v) for k, v in env.items()})
+        try:
+            in_batches = (
+                case.get("input_batches")
+                or ([case["input_batch"]] if "input_batch" in case else [])
+            )
+            out_batches = case.get("output_batches") or []
+            if case.get("target_mapping"):
+                src = case["target_mapping"]
+                if src.endswith((".blobl", ".txt")):
+                    with open(os.path.join(base_dir, src)) as f:
+                        src = f.read()
+                procs = [{"mapping": src}]
+            else:
+                procs = _resolve_processors(
+                    cfg, case.get("target_processors", "/pipeline/processors"),
+                    base_dir,
+                )
+            # mocks: replace processors by pointer index
+            for key, repl in (case.get("mocks") or {}).items():
+                m = re.fullmatch(r"/pipeline/processors/(\d+)", key)
+                if not m:
+                    raise ValueError(f"unsupported mock pointer {key!r}")
+                procs[int(m.group(1))] = repl
+            for bi, batch in enumerate(in_batches):
+                rows, is_json = _input_rows(batch, base_dir)
+                df = _batch_df(spark, rows, is_json)
+                for proc in procs:
+                    (pname, pconf), = proc.items()
+                    if pname not in PROCESSORS:
+                        raise ValueError(f"unknown processor {pname!r}")
+                    df = PROCESSORS[pname](df, pconf)
+                got = [r.asDict(recursive=True) for r in df.collect()]
+                got.sort(key=lambda r: r.get("__idx", 0))
+                want = out_batches[bi] if bi < len(out_batches) else []
+                if len(got) != len(want):
+                    failures.append(
+                        f"batch {bi}: {len(got)} messages, expected {len(want)}"
+                    )
+                    continue
+                for mi, (cond, row) in enumerate(zip(want, got)):
+                    fail = _check_message(cond, row, spark)
+                    if fail:
+                        failures.append(f"batch {bi} msg {mi}: {fail}")
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        results.append({"name": case.get("name", "?"), "failures": failures})
+    return results
+
+
+def assert_config_tests(spark: SparkSession, config: str | dict, base_dir: str = ".") -> None:
+    results = run_config_tests(spark, config, base_dir)
+    bad = [r for r in results if r["failures"]]
+    if bad:
+        lines = [f"{r['name']}: {f}" for r in bad for f in r["failures"]]
+        raise TestFailure("config tests failed:\n" + "\n".join(lines))

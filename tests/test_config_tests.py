@@ -1,0 +1,126 @@
+"""The reference's YAML `tests:` unit-test format (config/test/case.go)
+running against the Spark pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from bento_spark.plans.testrunner import (
+    TestFailure,
+    assert_config_tests,
+    run_config_tests,
+)
+
+CONFIG = """
+pipeline:
+  processors:
+    - mapping: |
+        root.id = this.id
+        root.loud = this.word.uppercase()
+        root.flagged = this.id > 1
+    - filter: this.flagged == true
+
+tests:
+  - name: maps and filters
+    input_batch:
+      - json_content: {"id": 1, "word": "quiet"}
+      - json_content: {"id": 2, "word": "loud"}
+    output_batches:
+      - - json_equals: {"id": 2, "loud": "LOUD", "flagged": true}
+          bloblang: 'this.loud == "LOUD"'
+
+  - name: first processor only
+    target_processors: /pipeline/processors/0
+    input_batch:
+      - json_content: {"id": 1, "word": "hi"}
+    output_batches:
+      - - json_contains: {"loud": "HI"}
+
+  - name: mocked second processor
+    mocks:
+      /pipeline/processors/1:
+        mapping: |
+          root.id = this.id
+          root.loud = this.loud
+          root.mocked = true
+    input_batch:
+      - json_content: {"id": 1, "word": "x"}
+    output_batches:
+      - - json_contains: {"mocked": true}
+
+  - name: target_mapping inline
+    target_mapping: |
+      root.out = this.a + 1
+    input_batch:
+      - json_content: {"a": 41}
+    output_batches:
+      - - json_equals: {"out": 42}
+
+  - name: environment interpolation
+    environment:
+      GREETING: bonjour
+    target_mapping: |
+      root.msg = env("GREETING")
+    input_batch:
+      - json_content: {"a": 1}
+    output_batches:
+      - - json_equals: {"msg": "bonjour"}
+"""
+
+
+def test_config_tests_pass(spark):
+    results = run_config_tests(spark, CONFIG)
+    assert [r["name"] for r in results] == [
+        "maps and filters",
+        "first processor only",
+        "mocked second processor",
+        "target_mapping inline",
+        "environment interpolation",
+    ]
+    assert all(not r["failures"] for r in results), results
+
+
+def test_config_tests_fail_reported(spark):
+    bad = CONFIG.replace('"LOUD"', '"WRONG"', 1)
+    with pytest.raises(TestFailure) as e:
+        assert_config_tests(spark, bad)
+    assert "maps and filters" in str(e.value)
+
+
+def test_sql_insert_passthrough(spark, tmp_path):
+    """sql_insert (processor_sql_insert.go): rows append to a
+    file-backed table mid-pipeline; messages pass through to the sink."""
+    from bento_spark.plans.pipeline import build_pipeline
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a", 9.0), (2, "b", 3.0)], "id long, name string, v double"
+    ).write.parquet(src)
+    audit = str(tmp_path / "audit")
+    out = str(tmp_path / "out")
+    build_pipeline(
+        spark,
+        {
+            "input": {"parquet": {"path": src}},
+            "pipeline": {
+                "processors": [
+                    {
+                        "sql_insert": {
+                            "table": audit,
+                            "args_mapping": {
+                                "id": "this.id",
+                                "big": "this.v > 5",
+                            },
+                        }
+                    }
+                ]
+            },
+            "output": {"json": {"path": out}},
+        },
+    ).run()
+    audit_back = spark.read.parquet(audit)
+    assert sorted((r["id"], r["big"]) for r in audit_back.collect()) == [
+        (1, True),
+        (2, False),
+    ]
+    assert spark.read.json(out).count() == 2
