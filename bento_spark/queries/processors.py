@@ -822,3 +822,76 @@ def proc_jq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
     out = jq(ev, "props", "select(.k >= 50) | .k * 2")
     return out.select("event_id", "result").orderBy("event_id")
+
+
+@query(
+    "proc_protobuf_roundtrip",
+    oracle="""
+    SELECT event_id, event_type,
+           '{"etype": "' || event_type || '", "k": '
+             || json_extract_string(props, '$.k') || '}' AS rt
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def proc_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``protobuf`` processor (processor_protobuf.go:255): JSON ->
+    wire-format bytes -> JSON via the pure-Python codec (varint tags,
+    length-delimited strings); identity oracle."""
+    from bento_spark.operators.protobuf import pb_decode_col, pb_encode_col
+
+    schema = {"fields": {1: ("etype", "string"), 2: ("k", "int64")}}
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    src = ev.withColumn(
+        "j",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("etype"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+        ),
+    )
+    packed = src.withColumn("pb", pb_encode_col(F.col("j"), schema))
+    return packed.select(
+        "event_id", "event_type", pb_decode_col(F.col("pb"), schema).alias("rt")
+    ).orderBy("event_id")
+
+
+@query(
+    "proc_schema_registry_roundtrip",
+    oracle="""
+    SELECT event_id,
+           '{"k": ' || json_extract_string(props, '$.k')
+             || ', "tag": "' || event_type || '"}' AS rt
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def proc_schema_registry_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``schema_registry_encode``/``decode``
+    (processor_schema_registry_decode.go:80): magic byte + big-endian
+    schema id framing around Avro binary, id-resolved against a
+    registry map; identity oracle."""
+    from bento_spark.operators.protobuf import sr_decode_col, sr_encode_col
+
+    avro_schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [
+            {"name": "k", "type": ["null", "long"]},
+            {"name": "tag", "type": "string"},
+        ],
+    }
+    registry = {7: avro_schema}
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    src = ev.withColumn(
+        "j",
+        F.to_json(
+            F.struct(
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+                F.col("event_type").alias("tag"),
+            )
+        ),
+    )
+    framed = src.withColumn("b", sr_encode_col(F.col("j"), 7, registry))
+    return framed.select(
+        "event_id", sr_decode_col(F.col("b"), registry).alias("rt")
+    ).orderBy("event_id")

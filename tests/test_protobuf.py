@@ -1,0 +1,101 @@
+"""Protobuf wire-format codec + schema-registry framing
+(processor_protobuf.go:255, processor_schema_registry_decode.go:80)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bento_spark.operators.protobuf import (
+    pb_decode,
+    pb_decode_col,
+    pb_encode,
+    pb_encode_col,
+    sr_decode_col,
+    sr_encode_col,
+    sr_unframe,
+)
+
+SCHEMA = {
+    "fields": {
+        1: ("name", "string"),
+        2: ("age", "int64"),
+        3: ("scores", "repeated double"),
+        4: ("tags", "repeated string"),
+        5: ("addr", {"fields": {1: ("city", "string"), 2: ("zip", "int32")}}),
+        6: ("active", "bool"),
+        7: ("delta", "sint64"),
+    }
+}
+
+MSG = {
+    "name": "ada",
+    "age": 36,
+    "scores": [1.5, -2.25],
+    "tags": ["x", "y"],
+    "addr": {"city": "paris", "zip": 75001},
+    "active": True,
+    "delta": -42,
+}
+
+
+def test_roundtrip():
+    assert pb_decode(pb_encode(MSG, SCHEMA), SCHEMA) == MSG
+
+
+def test_negative_int64_and_zigzag():
+    m = {"age": -5, "delta": -1}
+    out = pb_decode(pb_encode(m, SCHEMA), SCHEMA)
+    assert out["age"] == -5 and out["delta"] == -1
+
+
+def test_unknown_fields_skipped():
+    extra_schema = {"fields": {**SCHEMA["fields"], 9: ("extra", "string")}}
+    blob = pb_encode({**MSG, "extra": "ignored"}, extra_schema)
+    out = pb_decode(blob, SCHEMA)
+    assert "extra" not in out and out["name"] == "ada"
+
+
+def test_columns_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, json.dumps(MSG, sort_keys=True))], "id long, j string"
+    )
+    out = df.select(
+        pb_decode_col(pb_encode_col(df.j, SCHEMA), SCHEMA).alias("rt")
+    ).collect()
+    assert json.loads(out[0]["rt"]) == MSG
+
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "ev",
+    "fields": [
+        {"name": "k", "type": ["null", "long"]},
+        {"name": "tag", "type": "string"},
+    ],
+}
+REGISTRY = {7: AVRO_SCHEMA}
+
+
+def test_schema_registry_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5, "tag": "a"}'), (2, '{"k": null, "tag": "b"}')],
+        "id long, j string",
+    )
+    framed = df.select("id", sr_encode_col(df.j, 7, REGISTRY).alias("b"))
+    rows = framed.collect()
+    sid, _ = sr_unframe(bytes(rows[0]["b"]))
+    assert sid == 7
+    back = framed.select(
+        "id", sr_decode_col(framed.b, REGISTRY).alias("j")
+    ).collect()
+    got = {r["id"]: json.loads(r["j"]) for r in back}
+    assert got == {1: {"k": 5, "tag": "a"}, 2: {"k": None, "tag": "b"}}
+
+
+def test_schema_registry_unknown_id(spark):
+    df = spark.createDataFrame([(1, '{"k": 1, "tag": "a"}')], "id long, j string")
+    framed = df.select(sr_encode_col(df.j, 7, REGISTRY).alias("b"))
+    with pytest.raises(Exception, match="unknown schema id|PythonException"):
+        framed.select(sr_decode_col(framed.b, {})).collect()
