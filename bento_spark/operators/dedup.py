@@ -351,15 +351,16 @@ def embedding_cosine_pairs(
     import pandas as pd
 
     sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    n = sdf.count()
-    if n > max_rows:
+    # guard folded into the index-build collect (one job): the limit
+    # caps driver memory, and overflow proves the corpus is too big
+    rows = sdf.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
             f"embedding_cosine_pairs is an exact O(n^2) small-corpus op; "
-            f"corpus has {n} rows (> max_rows={max_rows}). Use "
+            f"corpus exceeds max_rows={max_rows}. Use "
             f"similarity.lsh_ann_topk (bucketed, scales) or raise max_rows "
             f"if the driver can hold the broadcast index."
         )
-    rows = sdf.collect()  # corpus index build — the broadcast-dim pattern
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)

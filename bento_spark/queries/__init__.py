@@ -39,6 +39,7 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         scanners,
         similarity,
         streaming,

@@ -1,0 +1,343 @@
+"""TPC-H-shape round 2: Q7/Q8/Q13/Q15/Q17/Q19/Q22 adapted to the
+testdata schema (no partsupp/commitdate/phone columns — variants note
+the substitution). Spark-first plans: broadcast dims, window/group
+replacements for correlated subqueries, anti-joins for NOT EXISTS.
+
+Output discipline: money aggregates CAST to DOUBLE, counts to BIGINT
+on both engine and oracle sides (round-1 canonicalization lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+
+_DEC = "DECIMAL(18,2)"
+
+
+def _rev_sql(p: str = "l") -> str:
+    return (
+        f"CAST({p}.l_extendedprice AS {_DEC}) * (1 - CAST({p}.l_discount AS {_DEC}))"
+    )
+
+
+def _rev(pref: str = "") -> F.Column:
+    price = F.col(f"{pref}l_extendedprice").cast("decimal(18,2)")
+    disc = F.col(f"{pref}l_discount").cast("decimal(18,2)")
+    return price * (F.lit(1) - disc)
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(sum({_rev_sql()}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      AND l.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    lineitem joins broadcast dims; one shuffle for the final group."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    rpair = (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             {_rev_sql()} AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        AND p.p_type = 'PROMO'
+    )
+    SELECT CAST(o_year AS INT) AS o_year,
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS {_DEC}) END) / sum(volume), 6)
+                AS DOUBLE) AS mkt_share
+    FROM all_nations GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part volume sold into
+    a region, by order year. Exact decimal ratio, rounded once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select(
+        "r_regionkey"
+    )
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = _rev().alias("volume")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("o_year", vol, "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    target = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(F.sum(target) / F.sum("volume"), 6).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority != '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts (non-urgent),
+    customers with zero orders included via the left join."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(
+            F.col("c_count").cast("long").alias("c_count"),
+            F.col("custdist").cast("long").alias("custdist"),
+        )
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum({_rev_sql("lineitem")}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max quarterly revenue. The scalar
+    max subquery becomes an unpartitioned window max over the (small)
+    per-supplier aggregate — no second scan of lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(top, s.s_suppkey == top.supplier_no)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle=f"""
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS {_DEC})) AS {_DEC}) / 7
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(CAST(l2.l_quantity AS {_DEC}))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders. The correlated
+    per-part average becomes ONE window avg over l_partkey — a single
+    lineitem scan instead of the rescan-per-row the subquery implies."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    w = Window.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    with_avg = li.withColumn("part_avg", F.avg(qty).over(w))
+    return (
+        with_avg.join(F.broadcast(p), with_avg.l_partkey == p.p_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(sum({_rev_sql()}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR'd brand/size/quantity predicate stacks
+    (container terms replaced by p_size — testdata has no container).
+    Predicates stay in the join condition so Catalyst can push the
+    part-side brand/size disjunction into the broadcast build."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+        & qty.between(1, 11)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+        & qty.between(10, 20)
+    )
+    cond3 = (
+        (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+        & qty.between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond1 | cond2 | cond3)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '1999-01-01')
+    GROUP BY c.c_nationkey ORDER BY nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone-prefix terms replaced by nation grouping —
+    testdata has no c_phone): above-average-balance customers with no
+    recent (1999+) orders. NOT EXISTS = left_anti join; the scalar
+    average broadcasts via crossJoin of a 1-row aggregate."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+    )
+    avg_bal = c.filter(F.col("bal") > 0).agg(F.avg("bal").alias("ab"))
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
