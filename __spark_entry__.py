@@ -22,9 +22,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Evaluation order: one query per UNIQUE §2 component first (cheap before
+# expensive), redundant relational shapes last — so any driver budget
+# (time or entry cap) covers maximal component breadth. Round 1's file
+# stopped at 50 of 59 entries; everything after rank ~55 here is a
+# variant of an already-covered component.
+_PRIORITY = [
+    # relational core (agg, join+topk)
+    "q1_pricing_summary", "q3_shipping_priority",
+    # LLM-data ops: text analysis (cheap, unique)
+    "text_token_stats", "text_quality_score", "text_language_id",
+    "text_fingerprint_winnow",
+    # windows / streaming semantics
+    "window_tumbling_hour", "window_sliding_hour", "window_session_user",
+    "dedupe_within_window",
+    # multimodal
+    "mm_image_features", "mm_frame_sample",
+    # bloblang + processors (each a distinct §2.1 row)
+    "bloblang_mapping", "bloblang_stdlib2", "proc_mapping_enrich",
+    "proc_switch_route", "proc_try_catch", "proc_dedupe_first",
+    "proc_group_by_value", "proc_select_parts", "proc_bounds_check",
+    "pipeline_yaml", "proc_compress_roundtrip", "proc_parse_log",
+    "proc_parse_syslog", "proc_grok", "proc_branch_enrich",
+    "proc_cache_lookup", "json_variant_extract", "proc_http_enrich",
+    "proc_json_schema", "proc_json_schema_full", "proc_jq",
+    "proc_metadata_topic",
+    # codecs / archives
+    "proc_archive_roundtrip", "proc_tar_roundtrip", "proc_lines_roundtrip",
+    "unarchive_csv_roundtrip", "proc_chunker", "proc_msgpack_roundtrip",
+    "proc_avro_roundtrip", "proc_protobuf_roundtrip",
+    "proc_schema_registry_roundtrip", "xml_roundtrip",
+    # scanners
+    "scan_re_match", "scan_skip_bom", "scan_json_documents",
+    "scan_xml_documents", "scan_switch",
+    # joins / agg variants that are their own §2.6-2.7 rows
+    "asof_join_last_login", "semi_anti_join", "top_k_per_group",
+    "rollup_priority", "pivot_event_types", "percentiles_value",
+    "set_ops_users", "skew_salted_agg",
+    # similarity + dedup (unique but heavier)
+    "dedup_exact", "ann_brute_force_topk", "ann_lsh_topk",
+    "dedup_embedding_cosine", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_clusters",
+    # redundant relational shapes (components already covered above)
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q10_returned_items", "q12_shipmode_priority", "q14_promo_effect",
+    "q18_large_orders", "q7_nation_volume", "q8_market_share",
+    "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
+    "q19_discounted_revenue", "q22_idle_customers",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    rank = {name: i for i, name in enumerate(_PRIORITY)}
+    ordered = sorted(QUERIES, key=lambda n: rank.get(n, len(_PRIORITY)))
+    return {name: QUERIES[name] for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
