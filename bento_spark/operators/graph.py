@@ -34,6 +34,15 @@ def connected_components(
         # candidate generation) re-executes per round
         .localCheckpoint()
     )
+    # Size the loop's shuffle width to the materialized edge count: a
+    # near-dup graph is typically tiny relative to the corpus, and at 32
+    # shuffle partitions the per-round join/agg cost is pure scheduling
+    # overhead. ~100k edges per partition keeps big graphs distributed.
+    n_edges = und.count()
+    par = max(1, min(und.sparkSession.sparkContext.defaultParallelism,
+                     n_edges // 100_000 + 1))
+    if par < und.rdd.getNumPartitions():
+        und = und.coalesce(par).localCheckpoint()
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()

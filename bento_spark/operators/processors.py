@@ -353,6 +353,33 @@ def set_metadata(df: DataFrame, entries: Mapping[str, Column]) -> DataFrame:
     return df.withColumn(META, F.map_concat(F.col(META), F.create_map(*pairs)))
 
 
+def retry(
+    df: DataFrame,
+    child: Callable[[DataFrame], DataFrame],
+    attempts: int = 3,
+) -> DataFrame:
+    """``retry`` processor (internal/impl/pure/processor_retry.go):
+    re-run the child over rows that errored, up to ``attempts`` total
+    applications; rows that succeed keep their first successful result.
+
+    Spark spelling: the retry loop unrolls at PLAN level — each round
+    splits (ok, errored), clears the error flag on the errored slice,
+    re-applies the child, and unions. Deterministic children converge
+    immediately (same in the reference — retrying a pure mapping cannot
+    change the outcome); the processor earns its keep on effectful
+    children (http, cache) where a later application can succeed.
+    Backoff is meaningless under batch re-execution and is dropped.
+    """
+    df = ensure_envelope(df)
+    out = child(df)
+    for _ in range(attempts - 1):
+        out = ensure_envelope(out)
+        good = out.filter(ok(out))
+        bad = out.filter(~ok(out)).withColumn(ERROR, F.lit(None).cast("string"))
+        out = good.unionByName(ensure_envelope(child(bad)))
+    return out
+
+
 def reject_errored(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """``reject_errored`` output wrapper (output_reject.go:18): split the
     stream into (ok, dead-letter) branches — two filtered writers."""

@@ -66,3 +66,36 @@ def test_queue_stream_watermark_offsets(tmp_path):
     # d is delivered exactly once; b/c are NOT re-delivered (the r1 bug
     # re-delivered c and skipped d when a.jsonl shifted the index window)
     assert names == ["d.jsonl"]
+
+
+def test_retry_processor(spark):
+    """retry (processor_retry.go): errored rows get re-applications of
+    the child; each application is tracked via a driver-side counter so
+    convergence is deterministic."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import ERROR
+    from bento_spark.operators.processors import retry
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 99)], "id long, need long"
+    )
+    applications = []
+
+    def flaky_child(d):
+        applications.append(1)
+        n = len(applications)  # 1st, 2nd, 3rd plan application
+        return d.withColumn(
+            ERROR,
+            F.when(F.col("need") > n, F.lit("unavailable")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+
+    out = retry(df, flaky_child, attempts=3).collect()
+    by_id = {r["id"]: r["_error"] for r in out}
+    assert by_id[1] is None  # succeeded on 1st application
+    assert by_id[2] is None  # succeeded on 1st retry
+    assert by_id[3] is None  # succeeded on 2nd retry
+    assert by_id[4] == "unavailable"  # exhausted attempts
+    assert len(applications) == 3
