@@ -735,3 +735,152 @@ function("batch_index", "b")(
     # partition — the closest Spark analogue of in-batch position
     lambda: F.pmod(F.monotonically_increasing_id(), F.lit(1 << 33))
 )
+
+
+# ---- yaml / parquet / diff-patch (round-2 tail) ---------------------------
+
+
+@method("parse_yaml", "c")
+def _parse_yaml(c: Column) -> Column:
+    """YAML document string -> canonical JSON string (methods.md
+    parse_yaml); PyYAML in an Arrow-batched UDF."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        import yaml as _yaml
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else _json.dumps(_yaml.safe_load(x), sort_keys=True)
+        )
+
+    return run(c)
+
+
+@method("format_yaml", "c")
+def _format_yaml(c: Column) -> Column:
+    """JSON string -> YAML document string (methods.md format_yaml)."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        import yaml as _yaml
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else _yaml.safe_dump(_json.loads(x), sort_keys=True, default_flow_style=False)
+        )
+
+    return run(c)
+
+
+@method("parse_parquet", "c")
+def _parse_parquet(c: Column) -> Column:
+    """Parquet file bytes -> array of record-JSON strings (methods.md
+    parse_parquet); pyarrow in an Arrow-batched UDF."""
+    import io as _io
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def run(s: pd.Series) -> pd.Series:
+        import pyarrow.parquet as _pq
+
+        def one(b):
+            if b is None:
+                return None
+            table = _pq.read_table(_io.BytesIO(bytes(b)))
+            return [
+                _json.dumps(rec, sort_keys=True, default=str)
+                for rec in table.to_pylist()
+            ]
+
+        return s.map(one)
+
+    return run(c)
+
+
+def json_diff(a, b):
+    """Structural diff (methods_structured.go diff; jsondiff-style
+    deltas): changed -> [old, new], added -> [new], deleted ->
+    [old, 0, 0]; nested objects recurse."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = {}
+        for k in sorted(set(a) | set(b)):
+            if k not in b:
+                out[k] = [a[k], 0, 0]
+            elif k not in a:
+                out[k] = [b[k]]
+            elif a[k] != b[k]:
+                sub = json_diff(a[k], b[k])
+                out[k] = sub if isinstance(sub, dict) else sub
+        return out
+    return [a, b]
+
+
+def json_patch(a, delta):
+    """Apply a ``json_diff`` delta to ``a`` -> the target document."""
+    if not isinstance(delta, dict):
+        return delta[1]
+    out = dict(a) if isinstance(a, dict) else {}
+    for k, d in delta.items():
+        if isinstance(d, list):
+            if len(d) == 3 and d[1] == 0 and d[2] == 0:
+                out.pop(k, None)
+            elif len(d) == 1:
+                out[k] = d[0]
+            else:
+                out[k] = d[1]
+        else:
+            out[k] = json_patch(out.get(k, {}), d)
+    return out
+
+
+@method("diff", "c")
+def _diff(c: Column, other) -> Column:
+    """this.diff(other): JSON strings -> delta JSON string."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if x is None or y is None
+                else _json.dumps(json_diff(_json.loads(x), _json.loads(y)), sort_keys=True)
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return run(c, V(other))
+
+
+@method("patch", "c")
+def _patch(c: Column, delta) -> Column:
+    """this.patch(delta): apply a diff delta to a JSON string."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(a: pd.Series, d: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if x is None or y is None
+                else _json.dumps(json_patch(_json.loads(x), _json.loads(y)), sort_keys=True)
+                for x, y in zip(a, d)
+            ]
+        )
+
+    return run(c, V(delta))

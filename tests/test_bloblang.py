@@ -166,7 +166,8 @@ def test_tier_report():
     c_methods = {n for n, (t, _) in METHODS.items() if t == "c"}
     assert c_methods <= {
         "compress", "decompress", "format_msgpack", "parse_msgpack",
-        "parse_jwt_hs256", "sign_jwt_hs256",
+        "parse_jwt_hs256", "sign_jwt_hs256", "parse_yaml", "format_yaml",
+        "parse_parquet", "diff", "patch",
     }
 
 

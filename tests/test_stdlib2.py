@@ -152,3 +152,43 @@ def test_tier_targets():
     assert len(METHODS) >= 120, len(METHODS)
     # +4 compiler-special context functions (meta/error/errored/json)
     assert len(FUNCTIONS) + 4 >= 25, len(FUNCTIONS)
+
+
+def test_yaml_roundtrip(spark):
+    ydf = spark.createDataFrame(
+        [(1, "a: 1\nb:\n  - x\n  - y\n")], "id long, y string"
+    )
+    got = run1(ydf, "this.y.parse_yaml()")
+    assert json.loads(got[0]) == {"a": 1, "b": ["x", "y"]}
+    rt = run1(ydf, "this.y.parse_yaml().format_yaml().parse_yaml()")
+    assert json.loads(rt[0]) == {"a": 1, "b": ["x", "y"]}
+
+
+def test_parse_parquet(spark):
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"k": [1, 2], "s": ["a", "b"]}), buf)
+    pdf = spark.createDataFrame([(1, buf.getvalue())], "id long, pq binary")
+    got = run1(pdf, "this.pq.parse_parquet()")
+    assert [json.loads(x) for x in got[0]] == [
+        {"k": 1, "s": "a"},
+        {"k": 2, "s": "b"},
+    ]
+
+
+def test_diff_patch_roundtrip(spark):
+    from bento_spark.bloblang.stdlib import json_diff, json_patch
+
+    a = {"keep": 1, "change": {"x": 1, "y": 2}, "drop": "old"}
+    b = {"keep": 1, "change": {"x": 1, "y": 3}, "add": True}
+    delta = json_diff(a, b)
+    assert json_patch(a, delta) == b
+    ddf = spark.createDataFrame(
+        [(1, json.dumps(a), json.dumps(b))], "id long, a string, b string"
+    )
+    got = run1(ddf, "this.a.patch(this.a.diff(this.b))")
+    assert json.loads(got[0]) == b
