@@ -61,19 +61,75 @@ register_source("json")(_file_source("json"))
 
 @register_source("file")
 def _file_lines(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
-    """`file` input with the lines scanner (input_file.go:25 +
-    scanner_lines.go): one row per line, metadata carries the path."""
+    """`file` input (input_file.go:25) with a configurable scanner
+    (default: lines, scanner_lines.go): metadata carries the path.
+
+    `scanner:` picks the framing, mirroring the reference's input-level
+    scanner config: lines (default) | to_the_end | skip_bom (then
+    lines) | re_match {pattern} | json_documents | xml_documents |
+    chunker {size}. Whole-file scanners read via `wholetext`."""
     from bento_spark.operators.envelope import META
 
     path = conf["path"]
     stream = bool(conf.get("stream", False))
+    scanner_conf = conf.get("scanner", "lines")
+    if isinstance(scanner_conf, dict):
+        (scanner, sconf), = scanner_conf.items()
+    else:
+        scanner, sconf = scanner_conf, {}
     reader = spark.readStream if stream else spark.read
-    df = reader.format("text").load(path)
+    whole_file = scanner != "lines"
+    fmt = reader.format("text")
+    if whole_file:
+        fmt = fmt.option("wholetext", True)
+    df = fmt.load(path)
     df = df.withColumnRenamed("value", "content").withColumn(
         META,
         F.create_map(F.lit("path"), F.input_file_name()),
     )
+    if scanner == "lines":
+        return df, stream
+    from bento_spark.operators import scanners as SC
+    from bento_spark.operators.processors import chunk_text
+
+    if scanner == "skip_bom":
+        df = df.withColumn("content", SC.skip_bom(F.col("content")))
+        other = [c for c in df.columns if c != "content"]
+        df = df.select(
+            *other, F.explode(F.split("content", "\n", -1)).alias("content")
+        )
+    elif scanner == "to_the_end":
+        df = SC.to_the_end(df, "content").drop("content").withColumnRenamed(
+            "part", "content"
+        )
+    elif scanner == "re_match":
+        # line framing: drop the file's single trailing newline so the
+        # last message has no phantom empty line (lines-scanner parity)
+        df = df.withColumn("content", F.regexp_replace("content", "\n$", ""))
+        df = df.withColumn("__file", F.col(META)["path"])
+        df = SC.re_match(df, "__file", "content", sconf["pattern"])
+        df = df.withColumnRenamed("part", "content").drop("__file")
+    elif scanner == "json_documents":
+        df = SC.json_documents(df, "content")
+        df = df.drop("content").withColumnRenamed("part", "content")
+    elif scanner == "xml_documents":
+        df = SC.xml_documents(df, "content")
+        df = df.drop("content").withColumnRenamed("part", "content")
+    elif scanner == "chunker":
+        df = chunk_text(df, "content", int(sconf["size"]))
+        df = df.withColumnRenamed("chunk", "content")
+    else:
+        raise ValueError(f"unknown scanner {scanner!r}")
     return df, stream
+
+
+@register_source("inproc")
+def _inproc(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    """`inproc` / memory input (input_inproc.go): read a temp view
+    registered by an earlier pipeline's `memory` output — the in-process
+    handoff between pipelines."""
+    name = conf["name"] if isinstance(conf, dict) else conf
+    return spark.table(name), False
 
 
 @register_source("generate")

@@ -164,3 +164,37 @@ pipeline:
     assert q.awaitTermination(180)
     n = spark.sql("SELECT sum(n) AS s FROM t_pipe_win").collect()[0]["s"]
     assert n == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_file_source_scanners(spark, tmp_path):
+    """file input scanner config: re_match framing + chunker + inproc
+    handoff between pipelines (input-level scanner parity)."""
+    from bento_spark.sources import build_source
+
+    log = tmp_path / "app.log"
+    log.write_text(
+        "BEGIN job=1\nline a\nline b\nBEGIN job=2\nline c\n"
+    )
+    df, streaming = build_source(
+        spark,
+        "file",
+        {"path": str(log), "scanner": {"re_match": {"pattern": "^BEGIN"}}},
+    )
+    assert not streaming
+    parts = sorted(r["content"] for r in df.collect())
+    assert parts == ["BEGIN job=1\nline a\nline b", "BEGIN job=2\nline c"]
+
+    df2, _ = build_source(
+        spark, "file", {"path": str(log), "scanner": {"chunker": {"size": 10}}}
+    )
+    chunks = [r["content"] for r in df2.collect()]
+    assert "".join(chunks) == log.read_text()
+
+    # inproc handoff: memory sink -> inproc source
+    from bento_spark.sinks import run_sink
+
+    src = spark.createDataFrame([(1, "x")], "id long, s string")
+    run_sink(src, False, "memory", {"name": "t_handoff"})
+    df3, streaming3 = build_source(spark, "inproc", {"name": "t_handoff"})
+    assert not streaming3
+    assert [r["id"] for r in df3.collect()] == [1]
