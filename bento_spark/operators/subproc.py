@@ -1,0 +1,95 @@
+"""``subprocess`` / ``command`` processors: pipe message content
+through an external program, line-per-message.
+
+Reference: internal/impl/pure/processor_subprocess.go (long-lived
+child, one line in -> one line out) and processor_command.go (one
+exec per batch). Spark spelling: ONE child process per partition via
+``mapPartitions`` — the legitimate per-partition imperative case; the
+child amortizes across every row in the partition exactly like the
+reference's long-lived subprocess. Content goes in as newline-joined
+UTF-8, comes back 1:1 by order (count mismatch errors the partition —
+same contract as the reference's codec=lines).
+
+`awk` programs run as subprocess(["awk", prog]) — the reference's awk
+processor is this with a fixed argv.
+"""
+
+from __future__ import annotations
+
+import subprocess as _sp
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+
+def subprocess_processor(
+    df: DataFrame, col: str, argv: list[str], timeout: float = 60.0
+) -> DataFrame:
+    """Replace ``col`` with the child's corresponding output line."""
+    other = [c for c in df.columns if c != col]
+    schema = df.select(*other).schema.add(col, "string")
+
+    def run_partition(rows):
+        rows = list(rows)
+        if not rows:
+            return
+        # trailing newline so N input lines always produce N terminated
+        # output lines (an empty final message would otherwise vanish)
+        payload = (
+            "\n".join("" if r[col] is None else str(r[col]) for r in rows) + "\n"
+        )
+        proc = _sp.run(
+            argv,
+            input=payload.encode(),
+            stdout=_sp.PIPE,
+            stderr=_sp.PIPE,
+            timeout=timeout,
+            check=False,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"subprocess {argv!r} exited {proc.returncode}: "
+                f"{proc.stderr.decode(errors='replace')[:500]}"
+            )
+        out_lines = proc.stdout.decode().split("\n")
+        if out_lines and out_lines[-1] == "":
+            out_lines.pop()
+        if len(out_lines) != len(rows):
+            raise RuntimeError(
+                f"subprocess {argv!r}: {len(rows)} lines in, "
+                f"{len(out_lines)} out — line-per-message contract broken"
+            )
+        for r, line in zip(rows, out_lines):
+            yield Row(**{**{c: r[c] for c in other}, col: line})
+
+    return df.sparkSession.createDataFrame(
+        df.rdd.mapPartitions(run_partition), schema
+    )
+
+
+def awk_processor(df: DataFrame, col: str, program: str) -> DataFrame:
+    """``awk`` processor: the program runs on each message line."""
+    return subprocess_processor(df, col, ["awk", program])
+
+
+def register_pipeline_processors() -> None:
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    def _proc_subprocess(df: DataFrame, conf) -> DataFrame:
+        argv = conf["args"] if isinstance(conf, dict) else conf
+        col = conf.get("column", "content") if isinstance(conf, dict) else "content"
+        if isinstance(argv, str):
+            argv = argv.split()
+        return subprocess_processor(df, col, list(argv))
+
+    def _proc_awk(df: DataFrame, conf) -> DataFrame:
+        prog = conf["program"] if isinstance(conf, dict) else conf
+        col = conf.get("column", "content") if isinstance(conf, dict) else "content"
+        return awk_processor(df, col, prog)
+
+    PROCESSORS.setdefault("subprocess", _proc_subprocess)
+    PROCESSORS.setdefault("command", _proc_subprocess)
+    PROCESSORS.setdefault("awk", _proc_awk)
+
+
+register_pipeline_processors()

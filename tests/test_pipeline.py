@@ -198,3 +198,28 @@ def test_file_source_scanners(spark, tmp_path):
     df3, streaming3 = build_source(spark, "inproc", {"name": "t_handoff"})
     assert not streaming3
     assert [r["id"] for r in df3.collect()] == [1]
+
+
+def test_subprocess_and_awk(spark):
+    """subprocess/command/awk processors: per-partition child process,
+    line-per-message contract (processor_subprocess.go)."""
+    from bento_spark.operators.subproc import awk_processor, subprocess_processor
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "world"), (3, None)], "id long, content string"
+    )
+    out = subprocess_processor(df, "content", ["tr", "a-z", "A-Z"])
+    got = {r["id"]: r["content"] for r in out.collect()}
+    assert got == {1: "HELLO", 2: "WORLD", 3: ""}
+
+    out2 = awk_processor(df.filter("id < 3"), "content", "{print length($0)}")
+    got2 = {r["id"]: r["content"] for r in out2.collect()}
+    assert got2 == {1: "5", 2: "5"}
+
+    import pytest as _pytest
+
+    bad = subprocess_processor(
+        df.filter("id = 1"), "content", ["grep", "nomatch"]
+    )
+    with _pytest.raises(Exception, match="contract broken|exited"):
+        bad.collect()
