@@ -44,7 +44,7 @@ def _walk(node):
     return node
 
 
-KNOWN_SECTIONS = {"input", "pipeline", "output", "tests"}
+KNOWN_SECTIONS = {"input", "pipeline", "output", "tests", "processor_resources"}
 
 
 def load_config(src: str) -> dict:

@@ -173,11 +173,32 @@ class Pipeline:
         return run_sink(self.df, self.is_streaming, name, conf)
 
 
+def _resolve_resource(proc: dict, resources: dict[str, dict]) -> dict:
+    """`{resource: label}` -> the labelled processor definition
+    (reference `processor_resources`, config/reader.go)."""
+    if set(proc) == {"resource"}:
+        label = proc["resource"]
+        if label not in resources:
+            raise ConfigError(
+                f"unknown processor resource {label!r} (have {sorted(resources)})"
+            )
+        return resources[label]
+    return proc
+
+
 def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
     cfg = load_config(config) if isinstance(config, str) else config
+    resources: dict[str, dict] = {}
+    for res in cfg.get("processor_resources") or []:
+        res = dict(res)
+        label = res.pop("label", None)
+        if not label:
+            raise ConfigError("processor_resources entries require a `label`")
+        resources[label] = res
     (sname, sconf), = cfg["input"].items()
     df, streaming = build_source(spark, sname, sconf)
     for proc in (cfg.get("pipeline") or {}).get("processors", []):
+        proc = _resolve_resource(proc, resources)
         (pname, pconf), = proc.items()
         if pname not in PROCESSORS:
             raise ConfigError(

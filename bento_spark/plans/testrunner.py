@@ -81,6 +81,10 @@ def _resolve_processors(cfg: dict, pointer: str, base_dir: str) -> list[dict]:
     m = re.fullmatch(r"/pipeline/processors/(\d+)", pointer)
     if m:
         return [(cfg["pipeline"]["processors"])[int(m.group(1))]]
+    # a bare name targets a processor resource by label (case.go docs)
+    for res in cfg.get("processor_resources") or []:
+        if res.get("label") == pointer:
+            return [{k: v for k, v in res.items() if k != "label"}]
     raise ValueError(f"unsupported target_processors pointer {pointer!r}")
 
 

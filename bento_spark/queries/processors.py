@@ -334,8 +334,9 @@ def proc_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def proc_parse_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``parse_log``/``grok`` (processor_parse_log.go:105,
-    processor_grok.go:104): synthesize access-log lines from events,
+    """Apache CLF access-log parsing (``parse_clf`` in the config
+    surface — the reference's ``parse_log`` means *syslog*, which is
+    `proc_parse_syslog`): synthesize access-log lines from events,
     parse them back with one compiled regex (pure regexp_extract — no
     UDF), oracle recomputes the fields directly."""
     from bento_spark.operators.codecs import parse_clf

@@ -124,3 +124,43 @@ def test_sql_insert_passthrough(spark, tmp_path):
         (2, False),
     ]
     assert spark.read.json(out).count() == 2
+
+
+def test_processor_resources(spark, tmp_path):
+    """processor_resources: labelled definitions reused via
+    {resource: label} in the pipeline, and targetable by bare label in
+    tests (config/reader.go)."""
+    from bento_spark.plans.pipeline import build_pipeline
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string").write.parquet(src)
+    p = build_pipeline(
+        spark,
+        {
+            "processor_resources": [
+                {"label": "upper", "mapping": "root.id = this.id\nroot.up = this.s.uppercase()"}
+            ],
+            "input": {"parquet": {"path": src}},
+            "pipeline": {"processors": [{"resource": "upper"}]},
+        },
+    )
+    got = sorted((r["id"], r["up"]) for r in p.dataframe().collect())
+    assert got == [(1, "X"), (2, "Y")]
+
+    results = run_config_tests(
+        spark,
+        {
+            "processor_resources": [
+                {"label": "upper", "mapping": "root.up = this.s.uppercase()"}
+            ],
+            "tests": [
+                {
+                    "name": "by label",
+                    "target_processors": "upper",
+                    "input_batch": [{"json_content": {"s": "hi"}}],
+                    "output_batches": [[{"json_equals": {"up": "HI"}}]],
+                }
+            ],
+        },
+    )
+    assert results[0]["failures"] == []
