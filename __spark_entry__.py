@@ -37,7 +37,7 @@ _PRIORITY = [
     "window_tumbling_hour", "window_sliding_hour", "window_session_user",
     "dedupe_within_window",
     # multimodal
-    "mm_image_features", "mm_frame_sample",
+    "mm_image_features", "mm_audio_features", "mm_frame_sample",
     # bloblang + processors (each a distinct §2.1 row)
     "bloblang_mapping", "bloblang_stdlib2", "proc_mapping_enrich",
     "proc_switch_route", "proc_try_catch", "proc_dedupe_first",

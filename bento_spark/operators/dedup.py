@@ -118,9 +118,12 @@ def minhash_signatures(
     transform-over-array form is interpreted per element by the HOF
     evaluator — ~100M lambda evals at 5k docs — and was 10x slower.
     """
-    hm = (F.col("h") % MERSENNE31 + MERSENNE31) % MERSENNE31  # h may be <0
+    # ONE F.expr per aggregate (a Column-object chain costs ~2 py4j
+    # round trips per operator — ~1s of plan-build at 64 hashes)
+    p = MERSENNE31
+    hm = f"((h % {p}L + {p}L) % {p}L)"  # h may be <0
     aggs = [
-        F.min((F.lit(a) * hm + F.lit(b)) % MERSENNE31).alias(f"s{i}")
+        F.expr(f"min(({a}L * {hm} + {b}L) % {p}L)").alias(f"s{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return inv.groupBy("doc").agg(*aggs)
@@ -153,19 +156,16 @@ def minhash_lsh_pairs(
     sh = exploded_word_shingles(df.repartition(par), id_col, text_col, n)
     inv = sh.select("doc", base(F.col("s")).alias("h"))
     sig = minhash_signatures(inv, coeffs)
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"s{i * r + k}").cast("string") for k in range(r)]
-                    )
-                ).alias("bh"),
-            )
-            for i in range(bands)
-        ]
+    band_structs = ", ".join(
+        "named_struct('band', {i}, 'bh', md5(concat_ws(',', {cols})))".format(
+            i=i,
+            cols=", ".join(
+                f"CAST(s{i * r + k} AS STRING)" for k in range(r)
+            ),
+        )
+        for i in range(bands)
     )
+    band_arr = F.expr(f"array({band_structs})")
     # bucket WITHOUT the shingle arrays: exploding bands would copy each
     # doc's array `bands` times through the shuffle; arrays are joined
     # back only for the deduplicated candidate pairs.
@@ -266,22 +266,20 @@ def simhash_pairs(
     inv = exploded_word_shingles(df.repartition(par), id_col, text_col, n).select(
         "doc", base(F.col("s")).alias("h")
     )
+    # F.expr strings keep plan build to a handful of py4j calls (the
+    # per-bit Column chains cost ~1s of build at 32 bits)
     votes = inv.groupBy("doc").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
             ).alias(f"v{j}")
             for j in range(bits)
         ]
     )
-    sig_expr = reduce(
-        lambda x, y: x + y,
-        [
-            F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            for j in range(bits)
-        ],
+    sig_expr = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(bits)
+        )
     )
     sig = votes.select("doc", sig_expr.alias("sig"))
     slices = F.array(

@@ -114,6 +114,60 @@ def sample_frames(
     return df.select(id_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes int, sample_rate int, n_samples int, "
+    "duration_ms int, rms double, peak int"
+)
+
+
+def fake_pcm_decode(payload: bytes, sample_rate: int = 16_000) -> dict:
+    """Deterministic STUB audio decode: the payload bytes ARE the
+    16-bit PCM samples (real ffmpeg/soundfile decode slots in here).
+    Loudness stats are computed exactly, so the whole stage is
+    oracle-checkable."""
+    import math
+    import struct
+
+    n = len(payload) // 2
+    samples = struct.unpack(f"<{n}h", payload[: n * 2]) if n else ()
+    sq = sum(s * s for s in samples)
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": n,
+        "duration_ms": (n * 1000) // sample_rate,
+        # math.sqrt (correctly-rounded IEEE sqrt, same as C/JVM/DuckDB
+        # sqrt) of an exact integer quotient — pow(x, 0.5) differs in
+        # the last ulp, and round() diverges between engines
+        "rms": math.sqrt(sq / n) if n else 0.0,
+        "peak": max((abs(s) for s in samples), default=0),
+    }
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str, bin_col: str, decoder=fake_pcm_decode
+) -> DataFrame:
+    """Audio decode + loudness-stat stage: BINARY -> typed feature row
+    (sample counts, duration, RMS, peak). Same narrow Arrow-batched
+    shape as the image stage; the codec is the only stubbed part."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(bytes(b)) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(bytes(b)) for b in pdf[bin_col]],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                    "peak": [f["peak"] for f in feats],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def attach_binary(df: DataFrame, text_col: str, out_col: str = "payload") -> DataFrame:
     """Test helper: materialize a BINARY payload column from text (the
     fixtures carry no real media; plumbing is payload-agnostic)."""

@@ -57,3 +57,41 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(docs, "doc_id", "payload", 256, 2).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, text, length(text) AS nb,
+             CAST(floor(length(text) / 2) AS INT) AS ns
+      FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, nb, ns,
+             [ascii(substr(text, 2*i-1, 1)) + 256 * ascii(substr(text, 2*i, 1))
+              FOR i IN range(1, ns + 1)] AS samples
+      FROM src
+    )
+    SELECT doc_id, CAST(nb AS INT) AS n_bytes,
+           16000 AS sample_rate, ns AS n_samples,
+           CAST((ns * 1000) // 16000 AS INT) AS duration_ms,
+           CASE WHEN ns > 0 THEN sqrt(CAST(list_reduce(
+                  list_transform(samples, x -> CAST(x*x AS BIGINT)),
+                  (a, b) -> a + b) AS DOUBLE) / ns)
+                ELSE 0.0 END AS rms,
+           CAST(CASE WHEN ns > 0 THEN list_max(list_transform(samples, x -> abs(x)))
+                     ELSE 0 END AS INT) AS peak
+    FROM samp ORDER BY doc_id
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode/feature stage over BINARY payloads (STUB codec:
+    payload bytes ARE little-endian 16-bit PCM). Sample count, duration,
+    exact RMS and peak are recomputed independently by the oracle from
+    the same bytes — the Arrow batch shape, schema, and narrow-map
+    partitioning are the real 100 TB plumbing."""
+    docs = _t(spark, sf_dir, "documents")
+    wav = M.attach_binary(docs, "text", "payload")
+    out = M.extract_audio_features(wav, "doc_id", "payload")
+    return out.orderBy("doc_id")

@@ -99,3 +99,14 @@ def test_retry_processor(spark):
     assert by_id[3] is None  # succeeded on 2nd retry
     assert by_id[4] == "unavailable"  # exhausted attempts
     assert len(applications) == 3
+
+
+def test_fake_pcm_decode_edges():
+    from bento_spark.operators.multimodal import fake_pcm_decode
+
+    empty = fake_pcm_decode(b"")
+    assert empty["n_samples"] == 0 and empty["rms"] == 0.0 and empty["peak"] == 0
+    one = fake_pcm_decode(b"\x00\x80")  # -32768 little-endian
+    assert one["peak"] == 32768 and one["n_samples"] == 1
+    odd = fake_pcm_decode(b"abc")  # trailing odd byte ignored
+    assert odd["n_samples"] == 1
