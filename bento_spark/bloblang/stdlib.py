@@ -884,3 +884,13 @@ def _patch(c: Column, delta) -> Column:
         )
 
     return run(c, V(delta))
+
+
+@function("batch_size", "b")
+def _batch_size() -> Column:
+    """Rows in this message's micro-batch partition (the closest Spark
+    analogue of the reference's in-batch size; one window count over
+    the partition id — no shuffle, AQE-local)."""
+    from pyspark.sql.window import Window
+
+    return F.count(F.lit(1)).over(Window.partitionBy(F.spark_partition_id()))

@@ -26,6 +26,10 @@ HEADLINE = [
     "asof_join_last_login",
     "window_tumbling_hour",
     "dedup_minhash_lsh",
+    # round-2 rewrites: codegen winnow, delta-probe LSH, window-avg Q17
+    "text_fingerprint_winnow",
+    "ann_lsh_topk",
+    "q17_small_quantity",
 ]
 
 
