@@ -1,0 +1,71 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's stateful processors (`cache` counters, `dedupe` with
+TTLs, windowed counting — processor_cache.go, processor_dedupe.go:81)
+hold per-key state in a cache resource across messages. The Spark
+spelling is ``applyInPandasWithState``: per-key state lives in the
+checkpoint, survives micro-batches, and times out on watermarks —
+this module provides the generic keyed-accumulator shape those
+processors share.
+
+``keyed_totals`` is the concrete operator: running (count, sum) per
+key, emitting an updated total row per key per micro-batch — the
+streaming analogue of the `cache` counter pattern, and the
+demonstration that arbitrary per-key state machines slot into this
+harness (state schema + update function are the only moving parts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TOTALS_SCHEMA = "key string, n bigint, total double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def keyed_totals(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming per-key running (count, sum): state persists across
+    micro-batches in the checkpoint; one updated row per key per batch.
+
+    Batch DataFrames take the degenerate path (a plain groupBy) so the
+    same call works in both modes, like the window builders."""
+    if not df.isStreaming:
+        from pyspark.sql import functions as F
+
+        return df.groupBy(F.col(key_col).alias("key")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("total"),
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["__v"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    from pyspark.sql import functions as F
+
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    return prepared.groupBy("__k").applyInPandasWithState(
+        update,
+        outputStructType=TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
