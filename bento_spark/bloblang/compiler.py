@@ -230,7 +230,9 @@ def _compile_func(node: A.FuncCall, env: Env) -> Column:
     return fn(*args)
 
 
-RAW_RECV_METHODS = {"format"}  # receiver consumed as a raw literal
+# receiver consumed as a raw literal (these builders need the static
+# Python value — duration strings parse at compile time)
+RAW_RECV_METHODS = {"format", "parse_duration", "parse_duration_iso8601"}
 
 
 def _apply_named_map(recv: Column, map_name: str, env: Env) -> Column:

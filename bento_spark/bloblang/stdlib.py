@@ -322,6 +322,11 @@ def _replace_all_many(c: Column, pairs: list) -> Column:
     list (methods_strings.go replaceAllMany)."""
     if isinstance(pairs, Column):
         raise ValueError("replace_all_many requires a literal array")
+    if len(pairs) % 2:
+        raise ValueError(
+            "replace_all_many takes a flat [from, to, ...] list — got an "
+            f"odd length ({len(pairs)})"
+        )
     for i in range(0, len(pairs), 2):
         c = F.replace(c, V(pairs[i]), V(pairs[i + 1]))
     return c
@@ -437,13 +442,21 @@ def _iso_duration(s: str) -> tuple[int, int, int, int, int, float]:
     )
 
 
-method("parse_duration", "b")(lambda c, *, _s=None: F.lit(_go_duration_ns(c)))
+@method("parse_duration", "b")
+def _parse_duration(c) -> Column:
+    """Literal Go duration -> ns (the receiver must be a static string;
+    RAW_RECV_METHODS passes literals through raw)."""
+    if isinstance(c, Column):
+        raise ValueError("parse_duration requires a literal duration string")
+    return F.lit(_go_duration_ns(c))
 
 
 @method("parse_duration_iso8601", "b")
 def _parse_duration_iso8601(c) -> Column:
     """Literal ISO duration -> ns (errors on Y/M like the reference:
     calendar units have no fixed ns length)."""
+    if isinstance(c, Column):
+        raise ValueError("parse_duration_iso8601 requires a literal duration string")
     y, mo, d, h, mi, sec = _iso_duration(c)
     if y or mo:
         raise ValueError("years/months not representable as fixed ns")
@@ -487,7 +500,16 @@ method("parse_timestamp_strptime", "b")(
 
 # ---- structured (methods_structured.go) ----------------------------------
 
-method("assign", "a")(lambda c, other: F.map_concat(c, other))
+def map_overwrite(base: Column, upd: Column) -> Column:
+    """map_concat with LAST-WINS keys: Spark's default dedup policy
+    throws on duplicates, but Bloblang assign overwrites shared keys.
+    Base entries whose key reappears in upd are dropped first so the
+    concat sees disjoint keys."""
+    kept = F.map_filter(base, lambda k, _v: ~F.array_contains(F.map_keys(upd), k))
+    return F.map_concat(kept, upd)
+
+
+method("assign", "a")(lambda c, other: map_overwrite(c, other))
 method("map_each_key", "a")(lambda c, fn: F.transform_keys(c, lambda k, _v: fn(k)))
 
 
@@ -500,9 +522,18 @@ def _get(c: Column, path: str) -> Column:
 
 
 method("squash", "b")(
-    # array<map> -> one map; duplicate keys follow the session's
-    # spark.sql.mapKeyDedupPolicy (reference: later wins)
-    lambda c: F.map_from_entries(F.flatten(F.transform(c, F.map_entries)))
+    # array<map> -> one map, later maps overwrite earlier keys
+    # (reference semantics) — folded through map_overwrite because
+    # map_from_entries/map_concat throw on duplicate keys; the first
+    # element seeds the fold so the accumulator keeps the maps' type
+    lambda c: F.when(
+        F.size(c) > 0,
+        F.aggregate(
+            F.slice(c, F.lit(2), F.greatest(F.size(c) - 1, F.lit(0))),
+            F.element_at(c, 1),
+            map_overwrite,
+        ),
+    )
 )
 method("find_by", "b")(lambda c, fn: F.try_element_at(F.filter(c, fn), F.lit(1)))
 method("find_all_by", "b")(lambda c, fn: F.filter(c, fn))
@@ -702,10 +733,17 @@ function("ulid", "b")(
     )
 )
 function("snowflake_id", "b")(
-    # 41-bit ms timestamp << 22 | 10-bit partition ("machine") id |
-    # 12-bit partition-local sequence — the reference generator's
-    # layout; unique up to 4096 rows/partition/ms
-    lambda: F.shiftleft(F.unix_millis(F.current_timestamp()), 22)
+    # 41-bit ms timestamp | 10-bit partition ("machine") id | 12-bit
+    # sequence, like the reference generator. current_timestamp() is
+    # FIXED per query, so sequence overflow past 4096 rows/partition
+    # folds into the ms field (ms + seq>>12) — ids stay unique per
+    # partition at any row count, at the cost of timestamps drifting
+    # 1 ms per 4096 rows
+    lambda: F.shiftleft(
+        F.unix_millis(F.current_timestamp())
+        + F.shiftright(F.pmod(F.monotonically_increasing_id(), F.lit(1 << 33)), 12),
+        22,
+    )
     + F.shiftleft(F.pmod(F.spark_partition_id().cast("long"), F.lit(1024)), 12)
     + F.pmod(F.monotonically_increasing_id(), F.lit(1 << 12))
 )

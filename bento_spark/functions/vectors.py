@@ -54,15 +54,6 @@ def dot_expr(a_name: str, b_name: str, dim: int) -> Column:
     return F.expr(terms)
 
 
-def plane_dot_expr(vec_name: str, coeffs: list[float]) -> Column:
-    """vec . literal-coefficients as one ``F.expr`` (same motivation as
-    ``dot_expr``); `repr(x)+'D'` double literals round-trip exactly."""
-    terms = " + ".join(
-        f"{vec_name}[{i}] * {repr(c)}D" for i, c in enumerate(coeffs)
-    )
-    return F.expr(terms)
-
-
 def l2sq_expr(a_name: str, dim: int) -> Column:
     return dot_expr(a_name, a_name, dim)
 

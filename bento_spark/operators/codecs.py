@@ -364,7 +364,11 @@ def grok_compile(pattern: str) -> tuple[str, list[str]]:
             return f"({inner})"
         return f"(?:{inner})"
 
-    java = _re.sub(r"%\{(\w+)(?::(\w+))?\}", repl, pattern)
+    # a bare user capture group '(...)' would shift every %{NAME:field}
+    # group index — neutralize to non-capturing before expansion
+    # (escaped parens and existing (?...) constructs untouched)
+    safe = _re.sub(r"(?<!\\)\((?!\?)", "(?:", pattern)
+    java = _re.sub(r"%\{(\w+)(?::(\w+))?\}", repl, safe)
     return java, fields
 
 

@@ -229,14 +229,9 @@ def _compile(node: Node, cur: Column) -> Column:
         return F.parse_json(F.lit("null" if node.value is None else
                                   __import__("json").dumps(node.value)))
     if node.kind == "obj":
-        parts = [
-            F.lit(k).alias(f"__k{i}")
-            for i, (k, _) in enumerate(node.children)
-        ]
         fields = [
             _to_variant(_compile(v, cur)).alias(k) for k, v in node.children
         ]
-        del parts
         return F.parse_json(F.to_json(F.struct(*fields)))
     if node.kind == "arr":
         items = [_to_variant(_compile(v, cur)) for v in node.children]

@@ -345,12 +345,16 @@ def bounds_check(
 
 
 def set_metadata(df: DataFrame, entries: Mapping[str, Column]) -> DataFrame:
-    """``meta x = ...`` assignment (mapping/assignment.go:73)."""
+    """``meta x = ...`` assignment (mapping/assignment.go:73); re-setting
+    an existing key overwrites it (map_concat alone would throw
+    DUPLICATED_MAP_KEY under Spark's default dedup policy)."""
+    from bento_spark.bloblang.stdlib import map_overwrite
+
     df = ensure_envelope(df)
     pairs: list[Column] = []
     for k, v in entries.items():
         pairs += [F.lit(k), v.cast("string")]
-    return df.withColumn(META, F.map_concat(F.col(META), F.create_map(*pairs)))
+    return df.withColumn(META, map_overwrite(F.col(META), F.create_map(*pairs)))
 
 
 def retry(
@@ -373,7 +377,11 @@ def retry(
     df = ensure_envelope(df)
     out = child(df)
     for _ in range(attempts - 1):
-        out = ensure_envelope(out)
+        # pin the child's outcome before splitting: filtering the same
+        # unpersisted plan twice re-executes a NONDETERMINISTIC child
+        # per branch, and a row flipping outcomes between evaluations
+        # would land in both branches or neither
+        out = ensure_envelope(out).persist()
         good = out.filter(ok(out))
         bad = out.filter(~ok(out)).withColumn(ERROR, F.lit(None).cast("string"))
         out = good.unionByName(ensure_envelope(child(bad)))

@@ -55,18 +55,21 @@ def _input_rows(batch: list[dict], base_dir: str) -> tuple[list, bool]:
 def _batch_df(spark: SparkSession, rows: list, is_json: bool) -> DataFrame:
     from bento_spark.operators.envelope import META
 
+    # the message index rides in _metadata (which every processor —
+    # including new-document mappings — preserves) so output order can
+    # be restored even when the __idx column is mapped away
     if is_json:
         # metadata rides as a JSON string (an empty dict defeats type
         # inference), parsed to the envelope map afterwards
         docs = [
-            {**doc, "__idx": i, "__meta_json": json.dumps(meta)}
+            {**doc, "__idx": i, "__meta_json": json.dumps({**meta, "__idx": str(i)})}
             for i, (doc, meta) in enumerate(rows)
         ]
         df = spark.createDataFrame(docs)
         meta_col = F.from_json(F.col("__meta_json"), "map<string,string>")
         return df.withColumn(META, meta_col).drop("__meta_json")
     df = spark.createDataFrame(
-        [(c, i, m) for i, (c, m) in enumerate(rows)],
+        [(c, i, {**m, "__idx": str(i)}) for i, (c, m) in enumerate(rows)],
         "content string, __idx long, __meta map<string,string>",
     )
     return df.withColumn(META, F.col("__meta")).drop("__meta")
@@ -185,7 +188,14 @@ def run_config_tests(
                         raise ValueError(f"unknown processor {pname!r}")
                     df = PROCESSORS[pname](df, pconf)
                 got = [r.asDict(recursive=True) for r in df.collect()]
-                got.sort(key=lambda r: r.get("__idx", 0))
+
+                def order_key(r: dict):
+                    if r.get("__idx") is not None:
+                        return int(r["__idx"])
+                    meta_idx = (r.get("_metadata") or {}).get("__idx")
+                    return int(meta_idx) if meta_idx is not None else 0
+
+                got.sort(key=order_key)
                 want = out_batches[bi] if bi < len(out_batches) else []
                 if len(got) != len(want):
                     failures.append(

@@ -41,7 +41,7 @@ def keyed_totals(
     if not df.isStreaming:
         from pyspark.sql import functions as F
 
-        return df.groupBy(F.col(key_col).alias("key")).agg(
+        return df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value_col).cast("double")).alias("total"),
         )

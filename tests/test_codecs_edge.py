@@ -110,3 +110,11 @@ def test_fake_pcm_decode_edges():
     assert one["peak"] == 32768 and one["n_samples"] == 1
     odd = fake_pcm_decode(b"abc")  # trailing odd byte ignored
     assert odd["n_samples"] == 1
+
+
+def test_grok_user_capture_group_does_not_shift_fields(spark):
+    from bento_spark.operators.codecs import grok
+
+    df = spark.createDataFrame([(1, "foo GET")], "id long, line string")
+    out = grok(df, "line", "(foo|bar) %{WORD:method}").collect()
+    assert out[0]["method"] == "GET"

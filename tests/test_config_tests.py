@@ -164,3 +164,30 @@ def test_processor_resources(spark, tmp_path):
         },
     )
     assert results[0]["failures"] == []
+
+
+def test_multi_message_order_survives_new_document_mapping(spark):
+    """Mappings drop the __idx column; ordering must survive via
+    _metadata so output conditions pair with the right messages."""
+    results = run_config_tests(
+        spark,
+        {
+            "tests": [
+                {
+                    "name": "ordered",
+                    "target_mapping": "root.out = this.v * 10",
+                    "input_batch": [
+                        {"json_content": {"v": 1}},
+                        {"json_content": {"v": 2}},
+                        {"json_content": {"v": 3}},
+                    ],
+                    "output_batches": [[
+                        {"json_equals": {"out": 10}},
+                        {"json_equals": {"out": 20}},
+                        {"json_equals": {"out": 30}},
+                    ]],
+                }
+            ]
+        },
+    )
+    assert results[0]["failures"] == [], results

@@ -192,3 +192,44 @@ def test_diff_patch_roundtrip(spark):
     )
     got = run1(ddf, "this.a.patch(this.a.diff(this.b))")
     assert json.loads(got[0]) == b
+
+
+def test_parse_duration_methods(spark):
+    df = spark.range(1)
+    got = df.select(
+        compile_expr('"1h30m".parse_duration()', df=df).alias("o")
+    ).collect()
+    assert got[0]["o"] == 5400 * 10**9
+    got = df.select(
+        compile_expr('"PT2H".parse_duration_iso8601()', df=df).alias("o")
+    ).collect()
+    assert got[0]["o"] == 7200 * 10**9
+
+
+def test_assign_overwrites_shared_keys(spark):
+    mdf = spark.createDataFrame(
+        [(1,)], "id long"
+    ).selectExpr("id", "map('a','1','b','2') AS m1", "map('b','9','c','3') AS m2")
+    got = mdf.select(compile_expr("this.m1.assign(this.m2)", df=mdf).alias("o")).collect()
+    assert got[0]["o"] == {"a": "1", "b": "9", "c": "3"}
+
+
+def test_squash_last_wins(spark):
+    mdf = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "id", "array(map('a','1','b','2'), map('b','9')) AS ms"
+    )
+    got = mdf.select(compile_expr("this.ms.squash()", df=mdf).alias("o")).collect()
+    assert got[0]["o"] == {"a": "1", "b": "9"}
+
+
+def test_replace_all_many_odd_length_rejected(df):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="odd length"):
+        run1(df, 'this.s.replace_all_many(["a","x","b"])')
+
+
+def test_snowflake_unique_beyond_sequence_window(spark):
+    df = spark.range(10_000).coalesce(1)  # one partition, > 4096 rows
+    out = df.select(compile_expr("snowflake_id()", df=df).alias("s")).collect()
+    assert len({r["s"] for r in out}) == 10_000
