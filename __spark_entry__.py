@@ -39,7 +39,8 @@ _PRIORITY = [
     # multimodal
     "mm_image_features", "mm_audio_features", "mm_frame_sample",
     # bloblang + processors (each a distinct §2.1 row)
-    "bloblang_mapping", "bloblang_stdlib2", "proc_mapping_enrich",
+    "bloblang_mapping", "bloblang_stdlib2", "bloblang_stdlib3",
+    "proc_mapping_enrich",
     "proc_switch_route", "proc_try_catch", "proc_dedupe_first",
     "proc_group_by_value", "proc_select_parts", "proc_bounds_check",
     "pipeline_yaml", "proc_compress_roundtrip", "proc_parse_log",

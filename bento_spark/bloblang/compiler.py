@@ -127,6 +127,22 @@ def compile_node(node: A.Node, env: Env) -> Column:
     if isinstance(node, A.BinOp):
         left = compile_node(node.left, env)
         right = compile_node(node.right, env)
+        if node.op == "+":
+            # Bloblang `+` concatenates strings (arithmetic.go); dispatch
+            # on literal shape or the analyzed type, numeric otherwise
+            from pyspark.sql.types import StringType
+
+            stringy = (
+                (isinstance(node.left, A.Lit) and isinstance(node.left.value, str))
+                or (
+                    isinstance(node.right, A.Lit)
+                    and isinstance(node.right.value, str)
+                )
+                or isinstance(_type_of(env, left), StringType)
+                or isinstance(_type_of(env, right), StringType)
+            )
+            if stringy:
+                return F.concat(left.cast("string"), right.cast("string"))
         return _binop(node.op, left, right)
     if isinstance(node, A.If):
         cond = compile_node(node.cond, env)
@@ -214,9 +230,28 @@ def _compile_func(node: A.FuncCall, env: Env) -> Column:
     if node.name == "errored":
         return F.col("_error").isNotNull()
     if node.name == "content":
-        raise CompileError("content() requires the raw envelope; use this.<field>")
+        # raw message bytes (functions.go content). A single raw data
+        # column (text/binary sources) IS the content; structured rows
+        # serialize to canonical JSON — the same envelope convention the
+        # archive/unarchive codecs use.
+        if env.df is None:
+            raise CompileError("content() needs a target schema to resolve")
+        from pyspark.sql.types import BinaryType, StringType
+
+        from bento_spark.operators.envelope import data_cols
+
+        cols = data_cols(env.df)
+        if len(cols) == 1 and isinstance(
+            env.df.schema[cols[0]].dataType, (StringType, BinaryType)
+        ):
+            return F.col(cols[0]).cast("binary")
+        return F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary")
     if node.name == "json":
-        if node.args and isinstance(node.args[0], A.Lit):
+        # json() targets the whole source document regardless of mapping
+        # context (functions.go json); with a path it walks dot parts
+        if not node.args:
+            return compile_node(A.This(), env)
+        if isinstance(node.args[0], A.Lit):
             parts = str(node.args[0].value).split(".")
             col = F.col(parts[0])
             for p in parts[1:]:
@@ -241,10 +276,14 @@ def _apply_named_map(recv: Column, map_name: str, env: Env) -> Column:
     yields a struct (mapping_parser.go:186-220 named maps + `apply`)."""
     if map_name not in env.maps:
         raise CompileError(f"unknown named map {map_name!r}")
+    return _apply_stmts(recv, env.maps[map_name], env, f"named map {map_name!r}")
+
+
+def _apply_stmts(recv: Column, stmts, env: Env, what: str) -> Column:
     menv = env.child({"this": recv})
     fields: list[Column] = []
     whole: Column | None = None
-    for stmt in env.maps[map_name]:
+    for stmt in stmts:
         if isinstance(stmt, A.LetAssign):
             menv = menv.child({stmt.name: compile_node(stmt.expr, menv)})
             continue
@@ -261,7 +300,106 @@ def _apply_named_map(recv: Column, map_name: str, env: Env) -> Column:
         return whole
     if fields:
         return F.struct(*fields)
-    raise CompileError(f"named map {map_name!r} assigns nothing")
+    raise CompileError(f"{what} assigns nothing")
+
+
+# methods whose semantics need the analyzed receiver type or the
+# compilation environment; stdlib registers inventory markers for these
+# and _compile_method dispatches here before the registry lookup
+_ENV_METHODS = {
+    "array",
+    "set",
+    "explode",
+    "json_path",
+    "json_schema",
+    "from",
+    "from_all",
+    "bloblang",
+}
+
+
+def _with_field_path(recv: Column, path: str, value: Column) -> Column:
+    # Column.withField resolves dotted names as nested struct paths
+    return recv.withField(path, value)
+
+
+def _batch_list(recv: Column) -> Column:
+    """All values of `recv` across the message batch, in batch order.
+    Batch = the Spark partition (same analogue as batch_index/
+    batch_size): one whole-partition window, sorted by in-batch index —
+    no shuffle (functions.go from/from_all)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.spark_partition_id())
+    idx = F.pmod(F.monotonically_increasing_id(), F.lit(1 << 33))
+    pairs = F.collect_list(F.struct(idx.alias("i"), recv.alias("v"))).over(w)
+    return F.transform(F.array_sort(pairs), lambda x: x["v"])
+
+
+def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
+    from pyspark.sql.types import ArrayType, MapType, StringType
+
+    recv = compile_node(node.recv, env)
+
+    def lit_arg(i: int, what: str) -> object:
+        if len(node.args) <= i or not isinstance(node.args[i], A.Lit):
+            raise CompileError(f"{node.name}() takes a literal {what}")
+        return node.args[i].value
+
+    if node.name == "array":
+        # wrap in an array unless already one (methods_structured.go)
+        t = _type_of(env, recv)
+        return recv if isinstance(t, ArrayType) else F.array(recv)
+    if node.name == "set":
+        path = str(lit_arg(0, "dot path"))
+        value = _arg(node.args[1], env) if len(node.args) > 1 else None
+        from bento_spark.bloblang.stdlib import V, map_overwrite
+
+        t = _type_of(env, recv)
+        if isinstance(t, MapType):
+            return map_overwrite(recv, F.create_map(F.lit(path), V(value)))
+        return _with_field_path(recv, path, V(value))
+    if node.name == "explode":
+        # array at path -> array of docs, each with path replaced by one
+        # element; object at path -> same keyed by the object's keys
+        # (methods_structured.go explode)
+        path = str(lit_arg(0, "dot path"))
+        sub = recv
+        for part in path.split("."):
+            sub = sub[part]
+        t = _type_of(env, sub)
+        if isinstance(t, MapType):
+            return F.map_from_arrays(
+                F.map_keys(sub),
+                F.transform(
+                    F.map_values(sub), lambda v: _with_field_path(recv, path, v)
+                ),
+            )
+        return F.transform(sub, lambda x: _with_field_path(recv, path, x))
+    if node.name == "json_path":
+        path = str(lit_arg(0, "JSONPath expression"))
+        t = _type_of(env, recv)
+        src = recv if isinstance(t, StringType) else F.to_json(recv)
+        return F.get_json_object(src, path)
+    if node.name == "json_schema":
+        import json as _json
+
+        from bento_spark.operators.processors import json_schema_bad
+
+        schema = _json.loads(str(lit_arg(0, "JSON schema string")))
+        t = _type_of(env, recv)
+        src = recv if isinstance(t, StringType) else F.to_json(recv)
+        return F.when(~json_schema_bad(src, schema), recv)
+    if node.name == "from":
+        idx = lit_arg(0, "batch index")
+        return F.element_at(_batch_list(recv), int(idx) + 1)
+    if node.name == "from_all":
+        return _batch_list(recv)
+    if node.name == "bloblang":
+        src = str(lit_arg(0, "mapping string"))
+        ast = parse_mapping(src)
+        return _apply_stmts(recv, ast.statements, env, "bloblang() mapping")
+    raise CompileError(f"unhandled env method {node.name}")  # pragma: no cover
 
 
 def _compile_method(node: A.MethodCall, env: Env) -> Column:
@@ -271,6 +409,8 @@ def _compile_method(node: A.MethodCall, env: Env) -> Column:
         return _apply_named_map(
             compile_node(node.recv, env), str(node.args[0].value), env
         )
+    if node.name in _ENV_METHODS:
+        return _compile_env_method(node, env)
     if node.name not in METHODS:
         raise CompileError(f"unknown method .{node.name}()")
     if node.name in RAW_RECV_METHODS and isinstance(node.recv, A.Lit):
@@ -344,7 +484,8 @@ class MappingPlan:
     source: str
 
     def compile_for(self, df: DataFrame | None):
-        """-> (assigns, meta, drop_when) compiled against df's schema."""
+        """-> (assigns, meta, drop_when, cache_writes) compiled against
+        df's schema."""
         return _compile_statements(self.ast, Env({}, df))
 
     def apply(self, df: DataFrame, new_document: bool = False) -> DataFrame:
@@ -353,7 +494,9 @@ class MappingPlan:
         from bento_spark.operators.envelope import META, ensure_envelope
 
         df = ensure_envelope(df)
-        assigns, meta, drop_when = self.compile_for(df)
+        assigns, meta, drop_when, cache_writes = self.compile_for(df)
+        if cache_writes:
+            _run_cache_writes(df, cache_writes)
         if drop_when is not None:
             df = df.filter(~F.coalesce(drop_when, F.lit(False)))
         if new_document:
@@ -369,6 +512,40 @@ class MappingPlan:
                 pairs += [F.lit(k), v.cast("string")]
             out = out.withColumn(META, F.map_concat(F.col(META), F.create_map(*pairs)))
         return out
+
+
+def _run_cache_writes(
+    df: DataFrame, writes: list[tuple[str, str, Column, Column | None]]
+) -> None:
+    """Apply statement-position cache writes (bloblang_cache.go) to the
+    named cache resources. Batch semantics: one pass over the source
+    rows in batch order (monotonically_increasing_id is globally
+    ordered across partitions), last-set-wins per key, add is
+    insert-if-absent. Caches are keyed lookaside state — collecting the
+    (key, value) projection is the batch equivalent of per-message
+    writes, and is bounded by the cache's own working set."""
+    from bento_spark.bloblang.stdlib_ext import register_cache
+
+    order = F.monotonically_increasing_id().alias("_i")
+    cols: list[Column] = [order]
+    for n, (_op, _res, key, val) in enumerate(writes):
+        cols.append(key.cast("string").alias(f"_k{n}"))
+        cols.append(
+            (val if val is not None else F.lit(None)).cast("string").alias(f"_v{n}")
+        )
+    rows = sorted(df.select(*cols).collect(), key=lambda r: r["_i"])
+    for n, (op, res, _key, _val) in enumerate(writes):
+        snap = register_cache(res)
+        for r in rows:
+            k, v = r[f"_k{n}"], r[f"_v{n}"]
+            if k is None:
+                continue
+            if op == "cache_set":
+                snap[k] = v
+            elif op == "cache_add":
+                snap.setdefault(k, v)
+            else:
+                snap.pop(k, None)
 
 
 def compile_expr(src: str, env: dict[str, Column] | None = None, df: DataFrame | None = None) -> Column:
@@ -392,11 +569,35 @@ def _compile_statements(ast: A.MappingAST, env: Env):
     assigned: dict[str, Column] = {}
     meta: dict[str, Column] = {}
     drop_when: Column | None = None
+    cache_writes: list[tuple[str, str, Column, Column | None]] = []
     for stmt in ast.statements:
         if isinstance(stmt, A.MapDef):
             env.maps[stmt.name] = stmt.statements
             continue
         if isinstance(stmt, A.LetAssign):
+            if isinstance(stmt.expr, A.FuncCall) and stmt.expr.name in (
+                "cache_set",
+                "cache_add",
+                "cache_delete",
+            ):
+                # statement-position cache write (bloblang_cache.go):
+                # collected here, applied through the cache resource
+                # after the batch materializes (MappingPlan.apply)
+                fc = stmt.expr
+                if not fc.args or not isinstance(fc.args[0], A.Lit):
+                    raise CompileError(f"{fc.name}() needs a literal resource name")
+                need = 2 if fc.name == "cache_delete" else 3
+                if len(fc.args) != need:
+                    raise CompileError(f"{fc.name}() takes {need} arguments")
+                e2 = _with_assigned(env, assigned)
+                key = compile_node(fc.args[1], e2)
+                val = (
+                    compile_node(fc.args[2], e2)
+                    if fc.name != "cache_delete"
+                    else None
+                )
+                cache_writes.append((fc.name, str(fc.args[0].value), key, val))
+                continue
             env = env.child({stmt.name: compile_node(stmt.expr, env)})
             continue
         if isinstance(stmt, A.MetaAssign):
@@ -459,7 +660,7 @@ def _compile_statements(ast: A.MappingAST, env: Env):
             assigned[name] = col
             continue
         raise CompileError(f"unsupported statement {stmt!r}")
-    return assigns, meta, drop_when
+    return assigns, meta, drop_when, cache_writes
 
 
 def _with_assigned(env: Env, assigned: dict[str, Column]) -> Env:

@@ -932,3 +932,10 @@ def _batch_size() -> Column:
     from pyspark.sql.window import Window
 
     return F.count(F.lit(1)).over(Window.partitionBy(F.spark_partition_id()))
+
+
+# stdlib_ext registers the JWT family, parse_xml, fake(), tracing and
+# cache functions through the same decorators; import last so both
+# modules feed one registry (circular-safe: ext only needs the
+# decorators defined above).
+from bento_spark.bloblang import stdlib_ext as _ext  # noqa: E402,F401

@@ -1,0 +1,438 @@
+"""Bloblang stdlib, continued: JWT family, XML parsing, regex objects,
+fake data, tracing/context functions, and cache-resource functions.
+
+Registered through the same ``method()`` / ``function()`` decorators as
+stdlib.py (imported from there, at the bottom, so both files feed one
+registry). Reference inventories: methods.md `parse_jwt_*`/`sign_jwt_*`
+(internal/impl/pure/bloblang_jwt.go), `parse_xml` (methods.md),
+`re_find_all_object` (methods_strings.go), functions.md `fake`
+(internal/impl/pure/bloblang_faker.go), tracing/context functions
+(internal/bloblang/query/functions.go), cache functions
+(internal/impl/pure/bloblang_cache.go).
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from bento_spark.bloblang.stdlib import V, function, method
+
+# ---- JWT: HS/RS/ES x 256/384/512 -----------------------------------------
+# One Arrow-batched builder per (mode, family); the reference registers
+# 18 separate bloblang methods (bloblang_jwt.go). HMAC has no native
+# Spark primitive; RSA/ECDSA come from `cryptography` (public PyPI).
+
+_ES_COORD_BYTES = {256: 32, 384: 48, 512: 66}  # P-256 / P-384 / P-521
+
+
+def _jwt_parse_col(c: Column, secret: str, family: str, bits: int) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        import base64
+        import hashlib
+        import hmac as _hmac
+
+        hashers = {256: hashlib.sha256, 384: hashlib.sha384, 512: hashlib.sha512}
+
+        def b64d(x: str) -> bytes:
+            return base64.urlsafe_b64decode(x + "=" * (-len(x) % 4))
+
+        pub = None
+        if family in ("RS", "ES"):
+            from cryptography.hazmat.primitives import serialization
+
+            key = serialization.load_pem_private_key(
+                secret.encode(), password=None
+            ) if "PRIVATE" in secret else serialization.load_pem_public_key(
+                secret.encode()
+            )
+            pub = key.public_key() if hasattr(key, "public_key") else key
+
+        def one(tok):
+            if tok is None:
+                return None
+            try:
+                head, payload, sig = tok.split(".")
+                signing = f"{head}.{payload}".encode()
+                raw = b64d(sig)
+                if family == "HS":
+                    mac = _hmac.new(secret.encode(), signing, hashers[bits]).digest()
+                    if not _hmac.compare_digest(mac, raw):
+                        return None
+                elif family == "RS":
+                    from cryptography.hazmat.primitives import hashes
+                    from cryptography.hazmat.primitives.asymmetric import padding
+
+                    h = {256: hashes.SHA256, 384: hashes.SHA384, 512: hashes.SHA512}
+                    pub.verify(raw, signing, padding.PKCS1v15(), h[bits]())
+                else:  # ES: JWT carries raw r||s, not DER
+                    from cryptography.hazmat.primitives import hashes
+                    from cryptography.hazmat.primitives.asymmetric import ec
+                    from cryptography.hazmat.primitives.asymmetric.utils import (
+                        encode_dss_signature,
+                    )
+
+                    n = _ES_COORD_BYTES[bits]
+                    r = int.from_bytes(raw[:n], "big")
+                    s_ = int.from_bytes(raw[n:], "big")
+                    h = {256: hashes.SHA256, 384: hashes.SHA384, 512: hashes.SHA512}
+                    pub.verify(
+                        encode_dss_signature(r, s_), signing, ec.ECDSA(h[bits]())
+                    )
+                return b64d(payload).decode()
+            except Exception:  # noqa: BLE001 - bad signature/key -> null
+                return None
+
+        return s.map(one)
+
+    return run(c)
+
+
+def _jwt_sign_col(c: Column, secret: str, family: str, bits: int) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    alg = f"{family}{bits}"
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        import base64
+        import hashlib
+        import hmac as _hmac
+
+        hashers = {256: hashlib.sha256, 384: hashlib.sha384, 512: hashlib.sha512}
+
+        def enc(b: bytes) -> str:
+            return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+        priv = None
+        if family in ("RS", "ES"):
+            from cryptography.hazmat.primitives import serialization
+
+            priv = serialization.load_pem_private_key(secret.encode(), password=None)
+
+        head = enc(_json.dumps({"alg": alg, "typ": "JWT"}).encode())
+
+        def one(claims):
+            if claims is None:
+                return None
+            payload = enc(claims.encode())
+            signing = f"{head}.{payload}".encode()
+            if family == "HS":
+                sig = _hmac.new(secret.encode(), signing, hashers[bits]).digest()
+            elif family == "RS":
+                from cryptography.hazmat.primitives import hashes
+                from cryptography.hazmat.primitives.asymmetric import padding
+
+                h = {256: hashes.SHA256, 384: hashes.SHA384, 512: hashes.SHA512}
+                sig = priv.sign(signing, padding.PKCS1v15(), h[bits]())
+            else:
+                from cryptography.hazmat.primitives import hashes
+                from cryptography.hazmat.primitives.asymmetric import ec
+                from cryptography.hazmat.primitives.asymmetric.utils import (
+                    decode_dss_signature,
+                )
+
+                h = {256: hashes.SHA256, 384: hashes.SHA384, 512: hashes.SHA512}
+                der = priv.sign(signing, ec.ECDSA(h[bits]()))
+                r, s_ = decode_dss_signature(der)
+                n = _ES_COORD_BYTES[bits]
+                sig = r.to_bytes(n, "big") + s_.to_bytes(n, "big")
+            return f"{head}.{payload}.{enc(sig)}"
+
+        return s.map(one)
+
+    return run(c)
+
+
+def _register_jwt() -> None:
+    for family in ("hs", "rs", "es"):
+        for bits in (384, 512) if family == "hs" else (256, 384, 512):
+            fam, b = family.upper(), bits
+
+            def parse(c: Column, secret: str, _f=fam, _b=b) -> Column:
+                return _jwt_parse_col(c, secret, _f, _b)
+
+            def sign(c: Column, secret: str, _f=fam, _b=b) -> Column:
+                return _jwt_sign_col(c, secret, _f, _b)
+
+            method(f"parse_jwt_{family}{bits}", "c")(parse)
+            method(f"sign_jwt_{family}{bits}", "c")(sign)
+
+
+_register_jwt()
+
+
+# ---- parse_xml (methods.md; reference uses clbanning/mxj semantics) -------
+
+
+@method("parse_xml", "c")
+def _parse_xml(c: Column) -> Column:
+    """XML document string -> canonical JSON string. Bento's mxj mapping:
+    attributes keyed ``-attr``, text content ``#text``, repeated sibling
+    elements collapse to arrays (internal/impl/pure/bloblang_xml.go)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        import xml.etree.ElementTree as ET
+
+        def elem(e):
+            out: dict = {f"-{k}": v for k, v in e.attrib.items()}
+            kids = list(e)
+            if not kids:
+                text = (e.text or "").strip()
+                if not out:
+                    return text
+                if text:
+                    out["#text"] = text
+                return out
+            for k in kids:
+                v = elem(k)
+                if k.tag in out:
+                    prev = out[k.tag]
+                    out[k.tag] = prev + [v] if isinstance(prev, list) else [prev, v]
+                else:
+                    out[k.tag] = v
+            text = (e.text or "").strip()
+            if text:
+                out["#text"] = text
+            return out
+
+        def one(x):
+            if x is None:
+                return None
+            try:
+                root = ET.fromstring(x)
+                return _json.dumps({root.tag: elem(root)}, sort_keys=True)
+            except ET.ParseError:
+                return None
+
+        return s.map(one)
+
+    return run(c)
+
+
+# ---- re_find_all_object (methods_strings.go) ------------------------------
+
+
+@method("re_find_all_object", "b")
+def _re_find_all_object(c: Column, pattern: str) -> Column:
+    """All matches -> array of {group-name-or-index: submatch} maps.
+    Full matches come from one codegen'd regexp_extract_all; per-match
+    group extraction anchors the same pattern on each match string."""
+    from bento_spark.bloblang.stdlib import _group_names, _pattern_dialects
+
+    py_pat, java_pat = _pattern_dialects(pattern)
+    names = _group_names(py_pat)
+    import re as _re
+
+    n_groups = _re.compile(py_pat).groups
+    keys = [names.get(i, str(i)) for i in range(1, n_groups + 1)]
+    matches = F.regexp_extract_all(c, F.lit(java_pat), F.lit(0))
+    anchored = f"^(?:{java_pat})$"
+
+    def per_match(m: Column) -> Column:
+        pairs = []
+        for i, k in enumerate(keys, start=1):
+            pairs.append(F.lit(k))
+            pairs.append(F.regexp_extract(m, anchored, i))
+        return F.create_map(*pairs)
+
+    return F.transform(matches, per_match)
+
+
+# ---- fake() (functions.md; go-faker in the reference) ---------------------
+
+_FAKE_WORDS = ["alpha", "delta", "omega", "sigma", "kappa", "lumen", "vertex"]
+_FAKE_FIRST = ["Alex", "Sam", "Jordan", "Taylor", "Casey", "Robin", "Dana"]
+_FAKE_LAST = ["Reed", "Hale", "Cruz", "Vega", "Moss", "Lane", "Frost"]
+
+
+def _pick(options: list[str], seed: Column) -> Column:
+    return F.element_at(
+        F.array(*[F.lit(o) for o in options]),
+        (F.pmod(F.hash(seed), F.lit(len(options))) + 1).cast("int"),
+    )
+
+
+@function("fake", "b")
+def _fake(kind: str = "") -> Column:
+    """Deterministic-per-row fake value for a faker function name
+    (functions.md `fake`; go-faker/faker in the reference). Seeded from
+    the row id (monotonically_increasing_id is stable within a row, so
+    composite values like email stay internally consistent); unknown
+    names raise at compile time."""
+    base = F.monotonically_increasing_id()
+
+    def seed(tag: str) -> Column:
+        return F.hash(base, F.lit(tag))
+
+    first, last = _pick(_FAKE_FIRST, seed("fn")), _pick(_FAKE_LAST, seed("ln"))
+    word = _pick(_FAKE_WORDS, seed("w"))
+    octet = lambda n: F.pmod(seed(f"o{n}"), F.lit(256))  # noqa: E731
+    hex16 = lambda n: F.lower(F.hex(F.pmod(seed(f"h{n}"), F.lit(65536))))  # noqa: E731
+    builders = {
+        "name": F.concat_ws(" ", first, last),
+        "first_name": first,
+        "last_name": last,
+        "email": F.concat(F.lower(first), F.lit("."), F.lower(last), F.lit("@"), word, F.lit(".example.com")),
+        "username": F.concat(F.lower(first), F.lit("_"), word),
+        "word": word,
+        "sentence": F.concat_ws(" ", word, _pick(_FAKE_WORDS, seed("s2")), _pick(_FAKE_WORDS, seed("s3"))),
+        "paragraph": F.concat_ws(" ", *[_pick(_FAKE_WORDS, seed(f"p{i}")) for i in range(12)]),
+        "uuid_hyphenated": F.uuid(),
+        "uuid_digit": F.replace(F.uuid(), F.lit("-"), F.lit("")),
+        "ipv4": F.concat_ws(".", octet(0), octet(1), octet(2), octet(3)),
+        "ipv6": F.concat_ws(":", *[hex16(i) for i in range(8)]),
+        "mac_address": F.concat_ws(":", *[F.lpad(F.lower(F.hex(octet(i))), 2, "0") for i in range(6)]),
+        "phone_number": F.concat(F.lit("555-"), F.lpad(F.pmod(seed("ph"), F.lit(10000)).cast("string"), 4, "0")),
+        "latitude": (F.pmod(seed("lat"), F.lit(180000)) / 1000.0 - 90.0),
+        "longitude": (F.pmod(seed("lon"), F.lit(360000)) / 1000.0 - 180.0),
+        "unix_time": F.unix_timestamp(),
+        "date": F.date_format(F.current_date(), "yyyy-MM-dd"),
+        "url": F.concat(F.lit("https://"), word, F.lit(".example.com/"), F.lower(first)),
+        "password": F.substring(F.replace(F.uuid(), F.lit("-"), F.lit("")), 1, 16),
+        "": F.concat_ws(" ", word, first),
+    }
+    if kind not in builders:
+        from bento_spark.bloblang.compiler import CompileError
+
+        raise CompileError(
+            f"fake: unsupported faker function {kind!r} (have {sorted(b for b in builders if b)})"
+        )
+    return builders[kind]
+
+
+# ---- tracing / flow context (functions.go; tracing package) ---------------
+
+function("flow_id", "b")(
+    # assigned at the input layer in the reference; sources here stamp
+    # _metadata.flow_id, and absent metadata degrades to null
+    lambda: F.col("_metadata")["flow_id"]
+)
+function("tracing_id", "b")(
+    lambda: F.coalesce(
+        F.col("_metadata")["trace_id"], F.lit("00000000000000000000000000000000")
+    )
+)
+function("tracing_span", "b")(
+    # text-map formatted span; null when the message carries no span
+    lambda: F.col("_metadata")["traceparent"]
+)
+
+# ---- error-source context (functions.go; message error metadata) ----------
+
+function("error_source_label", "b")(lambda: F.col("_metadata")["error_source_label"])
+function("error_source_path", "b")(lambda: F.col("_metadata")["error_source_path"])
+function("error_source_type", "b")(lambda: F.col("_metadata")["error_source_type"])
+
+# Context functions the compiler resolves against the envelope/schema
+# (compiler.py _compile_func): registered here so the inventory and the
+# dispatch table agree; these builders are the non-special-form mirrors.
+function("meta", "b")(lambda key=None: F.col("_metadata")[key] if key is not None else F.col("_metadata"))
+function("metadata", "b")(lambda key=None: F.col("_metadata")[key] if key is not None else F.col("_metadata"))
+function("root_meta", "b")(lambda key=None: F.col("_metadata")[key] if key is not None else F.col("_metadata"))
+function("error", "a")(lambda: F.col("_error"))
+function("errored", "a")(lambda: F.col("_error").isNotNull())
+
+
+# ---- cache functions (internal/impl/pure/bloblang_cache.go) ---------------
+# Batch semantics: cache_get reads a compile-time snapshot of the named
+# cache resource (same stream-static contract as the `cache` processor);
+# cache_set/add/delete are statement-position writes collected by the
+# mapping and applied through the state store after the batch runs.
+
+CACHE_RESOURCES: dict[str, dict] = {}
+
+
+def register_cache(name: str, initial: dict | None = None) -> dict:
+    """Register (or fetch) a named in-memory cache resource."""
+    return CACHE_RESOURCES.setdefault(name, dict(initial or {}))
+
+
+@function("cache_get", "b")
+def _cache_get(resource: str, key) -> Column:
+    if resource not in CACHE_RESOURCES:
+        from bento_spark.bloblang.compiler import CompileError
+
+        raise CompileError(
+            f"cache_get: unknown cache resource {resource!r} "
+            f"(register_cache() first; have {sorted(CACHE_RESOURCES)})"
+        )
+    snap = CACHE_RESOURCES[resource]
+    if not snap:
+        return F.lit(None).cast("string")
+    pairs: list[Column] = []
+    for k, v in snap.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v if isinstance(v, str) else _json.dumps(v)))
+    return F.element_at(F.create_map(*pairs), V(key))
+
+
+def _statement_only(name: str):
+    def fn(*_a, **_k):
+        from bento_spark.bloblang.compiler import CompileError
+
+        raise CompileError(
+            f"{name}() is statement-position only: use `let _ = {name}(...)` "
+            "so the mapping can collect the write"
+        )
+
+    return fn
+
+
+@function("file_rel_json", "b")
+def _file_rel_json(path: str) -> Column:
+    """Read+parse a JSON file ONCE at compile time -> VARIANT literal
+    (functions.md file_rel_json; cached-parse semantics are free here
+    because compilation happens once per plan)."""
+    import os as _os
+
+    with open(_os.path.join(_os.getcwd(), path)) as fh:
+        doc = fh.read()
+    _json.loads(doc)  # fail at compile time on bad JSON, like the reference
+    return F.parse_json(F.lit(doc))
+
+
+function("cache_set", "b")(_statement_only("cache_set"))
+function("cache_add", "b")(_statement_only("cache_add"))
+function("cache_delete", "b")(_statement_only("cache_delete"))
+
+
+# ---- compiler-dispatched inventory markers --------------------------------
+# These methods need the analyzed receiver type or the compilation
+# environment, so compiler.py:_ENV_METHODS handles them before the
+# registry lookup; the entries below make tier_report()/the inventory
+# reflect that they exist. Calling one directly is a usage bug.
+
+
+def _compiler_dispatched(name: str):
+    def fn(*_a, **_k):  # pragma: no cover - compiler dispatches first
+        raise RuntimeError(f"{name}() is compiled by bloblang.compiler")
+
+    return fn
+
+
+for _name, _tier in [
+    ("apply", "b"),
+    ("array", "b"),
+    ("set", "b"),
+    ("explode", "b"),
+    ("json_path", "b"),
+    ("json_schema", "b"),
+    ("from", "b"),
+    ("from_all", "b"),
+    ("bloblang", "b"),
+]:
+    method(_name, _tier)(_compiler_dispatched(_name))
+
+# content()/json() resolve against the envelope schema, so compiler.py
+# handles them as special forms; markers keep the inventory accurate.
+for _fname in ("content", "json"):
+    function(_fname, "b")(_compiler_dispatched(_fname))

@@ -237,17 +237,15 @@ def json_schema_validate(
     )
 
 
-def json_schema_full(df: DataFrame, col: str, schema: dict) -> DataFrame:
-    """``json_schema`` with real JSON-Schema semantics
-    (processor_jsonschema.go:93): type / enum / minimum / maximum /
-    pattern / required over a parsed VARIANT — the round-1 version only
-    checked parse-ability + required fields. All checks are pure
-    expressions on variant_get/schema_of_variant (codegen; no UDF).
+def json_schema_bad(json_col: Column, schema: dict) -> Column:
+    """True where the JSON string fails the (subset) JSON-Schema: type /
+    enum / minimum / maximum / pattern / required, all as pure
+    expressions over a parsed VARIANT (codegen; no UDF). Shared by the
+    ``json_schema`` processor and the Bloblang ``json_schema`` method.
 
     JSON `null` and an absent property are both treated as missing (the
     variant path returns SQL NULL for either)."""
-    df = ensure_envelope(df)
-    v = F.parse_json(F.col(col))
+    v = F.parse_json(json_col)
     _TYPES = {
         "integer": ("BIGINT", "INT", "SMALLINT", "TINYINT"),
         "number": ("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
@@ -292,6 +290,14 @@ def json_schema_full(df: DataFrame, col: str, schema: dict) -> DataFrame:
     bad = problems[0]
     for p in problems[1:]:
         bad = bad | p
+    return bad
+
+
+def json_schema_full(df: DataFrame, col: str, schema: dict) -> DataFrame:
+    """``json_schema`` with real JSON-Schema semantics
+    (processor_jsonschema.go:93): invalid rows get the error flag."""
+    df = ensure_envelope(df)
+    bad = json_schema_bad(F.col(col), schema)
     return df.withColumn(
         ERROR,
         F.when(ok(df) & bad, F.lit("json_schema: validation failed")).otherwise(

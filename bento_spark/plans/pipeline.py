@@ -107,7 +107,7 @@ def _proc_select_parts(df: DataFrame, conf) -> DataFrame:
 def _proc_catch(df: DataFrame, conf) -> DataFrame:
     """`catch` (processor_catch.go:13): recovery mapping on errored rows."""
     plan = compile_mapping(conf if isinstance(conf, str) else conf["query"])
-    assigns, _meta, _dw = plan.compile_for(df)
+    assigns, _meta, _dw, _cw = plan.compile_for(df)
     return P.catch_errors(df, dict(assigns))
 
 

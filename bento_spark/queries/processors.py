@@ -896,3 +896,69 @@ def proc_schema_registry_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     return framed.select(
         "event_id", sr_decode_col(F.col("b"), registry).alias("rt")
     ).orderBy("event_id")
+
+
+@query(
+    "bloblang_stdlib3",
+    oracle="""
+    SELECT doc_id,
+           '{"d": ' || doc_id || '}' AS claims,
+           lang AS xml_lang,
+           CASE WHEN regexp_extract(text, 'ta[a-z]+') IS NOT NULL
+                THEN regexp_extract(text, 'ta[a-z]+') ELSE '' END AS first_ta,
+           doc_id + 1 AS set_b,
+           CAST(3 AS INT) AS n_exploded,
+           CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german'
+                     WHEN 'es' THEN 'spanish' WHEN 'fr' THEN 'french'
+                     WHEN 'zh' THEN 'chinese' END AS lang_name,
+           CASE WHEN doc_id <= 300 THEN len('{"n": ' || doc_id || '}') ELSE 0 END AS schema_ok,
+           doc_id * 3 AS tripled
+    FROM documents ORDER BY doc_id
+    """,
+)
+def bloblang_stdlib3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 tail of the stdlib in one mapping: the JWT family
+    (HS384 sign->parse roundtrip), parse_xml + json_path, the
+    compiler-dispatched structural methods (set / explode / bloblang),
+    the json_schema method, and cache_get against a registered resource
+    (reference inventories: methods.md, functions.md,
+    internal/impl/pure/bloblang_jwt.go, bloblang_cache.go)."""
+    from bento_spark.bloblang import compile_mapping
+    from bento_spark.bloblang.stdlib_ext import register_cache
+
+    register_cache(
+        "lang_names",
+        {
+            "en": "english",
+            "de": "german",
+            "es": "spanish",
+            "fr": "french",
+            "zh": "chinese",
+        },
+    )
+    docs = _t(spark, sf_dir, "documents")
+    plan = compile_mapping(
+        """
+root.doc_id = this.doc_id
+root.claims = ("{\\"d\\": " + this.doc_id.string() + "}").sign_jwt_hs384("s3").parse_jwt_hs384("s3")
+root.xml_lang = ("<d><l>" + this.lang + "</l></d>").parse_xml().json_path("$.d.l")
+root.first_ta = this.text.re_find_all_object("(?P<w>ta[a-z]+)").index(0).get("w") | ""
+root.set_b = {"a": this.doc_id, "b": 0}.set("b", this.doc_id + 1).get("b")
+root.n_exploded = {"g": this.doc_id, "vals": [1, 2, 3]}.explode("vals").length()
+root.lang_name = cache_get("lang_names", this.lang)
+root.schema_ok = ("{\\"n\\": " + this.doc_id.string() + "}").json_schema("{\\"properties\\": {\\"n\\": {\\"type\\": \\"integer\\", \\"maximum\\": 300}}}").length() | 0
+root.tripled = {"n": this.doc_id}.bloblang("root = this.n * 3")
+"""
+    )
+    out = plan.apply(docs, new_document=True)
+    return out.select(
+        "doc_id",
+        "claims",
+        "xml_lang",
+        "first_ta",
+        F.col("set_b").cast("long").alias("set_b"),
+        F.col("n_exploded").cast("int").alias("n_exploded"),
+        "lang_name",
+        F.col("schema_ok").cast("int").alias("schema_ok"),
+        F.col("tripled").cast("long").alias("tripled"),
+    ).orderBy("doc_id")

@@ -164,11 +164,17 @@ def test_tier_report():
     from bento_spark.bloblang.stdlib import METHODS
 
     c_methods = {n for n, (t, _) in METHODS.items() if t == "c"}
+    jwt = {
+        f"{op}_jwt_{fam}{bits}"
+        for op in ("parse", "sign")
+        for fam in ("hs", "rs", "es")
+        for bits in (256, 384, 512)
+    }
     assert c_methods <= {
         "compress", "decompress", "format_msgpack", "parse_msgpack",
-        "parse_jwt_hs256", "sign_jwt_hs256", "parse_yaml", "format_yaml",
-        "parse_parquet", "diff", "patch",
-    }
+        "parse_yaml", "format_yaml", "parse_parquet", "diff", "patch",
+        "parse_xml",
+    } | jwt
 
 
 def test_negative_index(row_df):

@@ -1,0 +1,298 @@
+"""Tests for the stdlib extension: JWT family, parse_xml,
+re_find_all_object, fake(), context/tracing functions, cache functions,
+and the compiler-dispatched structural methods (array/set/explode/
+json_path/json_schema/from/from_all/bloblang)."""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.bloblang.compiler import (
+    CompileError,
+    compile_expr,
+    compile_mapping,
+)
+from bento_spark.bloblang.stdlib import METHODS
+from bento_spark.bloblang.stdlib_ext import CACHE_RESOURCES, register_cache
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, '<a b="2"><c>x</c><c>y</c></a>', "k1", '{"n": 5}'),
+            (2, "<a><c>z</c></a>", "k2", '{"n": 50}'),
+        ],
+        "id int, xml string, key string, js string",
+    )
+
+
+def _one(df, expr, **extra):
+    out = df
+    for name, e in extra.items():
+        out = out.withColumn(name, compile_expr(e, df=out))
+    return out.withColumn("_r", compile_expr(expr, df=out)).orderBy("id")
+
+
+# ---- JWT ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("alg", ["hs256", "hs384", "hs512"])
+def test_jwt_hmac_roundtrip(df, alg):
+    rows = _one(
+        df,
+        f'this.t.parse_jwt_{alg}("secret")',
+        t=f'this.js.sign_jwt_{alg}("secret")',
+    ).collect()
+    assert rows[0]["_r"] == '{"n": 5}'
+    # wrong secret -> null, not an exception
+    bad = _one(
+        df, f'this.t.parse_jwt_{alg}("other")', t=f'this.js.sign_jwt_{alg}("secret")'
+    ).collect()
+    assert bad[0]["_r"] is None
+
+
+def _rsa_pair():
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    priv = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    ).decode()
+    pub = key.public_key().public_bytes(
+        serialization.Encoding.PEM,
+        serialization.PublicFormat.SubjectPublicKeyInfo,
+    ).decode()
+    return priv, pub
+
+
+def _ec_pem(bits):
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+
+    curve = {256: ec.SECP256R1, 384: ec.SECP384R1, 512: ec.SECP521R1}[bits]()
+    key = ec.generate_private_key(curve)
+    return key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    ).decode()
+
+
+def test_jwt_rs256_roundtrip(df):
+    priv, pub = _rsa_pair()
+    signed = METHODS["sign_jwt_rs256"][1](F.col("js"), priv)
+    out = df.withColumn("t", signed)
+    out = out.withColumn("back", METHODS["parse_jwt_rs256"][1](F.col("t"), pub))
+    rows = out.orderBy("id").collect()
+    assert rows[0]["back"] == '{"n": 5}'
+
+
+@pytest.mark.parametrize("bits", [256, 384, 512])
+def test_jwt_es_roundtrip(df, bits):
+    pem = _ec_pem(bits)
+    signed = METHODS[f"sign_jwt_es{bits}"][1](F.col("js"), pem)
+    out = df.withColumn("t", signed)
+    out = out.withColumn("back", METHODS[f"parse_jwt_es{bits}"][1](F.col("t"), pem))
+    assert out.orderBy("id").collect()[0]["back"] == '{"n": 5}'
+
+
+# ---- parse_xml / re_find_all_object --------------------------------------
+
+
+def test_parse_xml(df):
+    rows = _one(df, "this.xml.parse_xml()").collect()
+    assert json.loads(rows[0]["_r"]) == {"a": {"-b": "2", "c": ["x", "y"]}}
+    assert json.loads(rows[1]["_r"]) == {"a": {"c": "z"}}
+
+
+def test_re_find_all_object(df):
+    rows = _one(
+        df, r'"a=1,b=22".re_find_all_object("(?P<k>[a-z])=(?P<v>\\d+)")'
+    ).collect()
+    assert rows[0]["_r"] == [{"k": "a", "v": "1"}, {"k": "b", "v": "22"}]
+
+
+# ---- fake / tracing / context --------------------------------------------
+
+
+def test_fake_shapes(df):
+    rows = _one(df, 'fake("email")', i='fake("ipv4")', m='fake("mac_address")').collect()
+    assert re.fullmatch(r"[a-z]+\.[a-z]+@[a-z]+\.example\.com", rows[0]["_r"])
+    assert re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", rows[0]["i"])
+    assert re.fullmatch(r"[0-9a-f]{2}(:[0-9a-f]{2}){5}", rows[0]["m"])
+
+
+def test_fake_unknown_raises(df):
+    with pytest.raises(CompileError, match="unsupported faker"):
+        compile_expr('fake("nope")', df=df)
+
+
+def test_tracing_and_error_source(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    df = df.withColumn(
+        "_metadata",
+        F.create_map(F.lit("trace_id"), F.lit("abc"), F.lit("flow_id"), F.lit("f1")),
+    ).withColumn("_error", F.lit(None).cast("string"))
+    row = (
+        df.withColumn("t", compile_expr("tracing_id()", df=df))
+        .withColumn("fl", compile_expr("flow_id()", df=df))
+        .withColumn("esl", compile_expr("error_source_label()", df=df))
+        .collect()[0]
+    )
+    assert row["t"] == "abc" and row["fl"] == "f1" and row["esl"] is None
+
+
+def test_tracing_id_zeroed_without_span(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    df = df.withColumn("_metadata", F.create_map(F.lit("x"), F.lit("y")))
+    row = df.withColumn("t", compile_expr("tracing_id()", df=df)).collect()[0]
+    assert row["t"] == "0" * 32
+
+
+# ---- structural methods ---------------------------------------------------
+
+
+def test_array_wraps_scalars_only(df):
+    rows = _one(df, "this.id.array()", a="[this.id].array()").collect()
+    assert rows[0]["_r"] == [1] and rows[0]["a"] == [1]
+
+
+def test_set_on_struct_and_map(df):
+    rows = _one(df, '{"x": 1, "y": 2}.set("x", 9)').collect()
+    assert rows[0]["_r"].asDict() == {"x": 9, "y": 2}
+    dm = df.withColumn("m", F.create_map(F.lit("a"), F.lit("1")))
+    out = dm.withColumn("s", compile_expr('this.m.set("b", "2")', df=dm)).collect()
+    assert out[0]["s"] == {"a": "1", "b": "2"}
+
+
+def test_explode_array_and_object(df):
+    rows = _one(df, '{"g": this.id, "vals": [1,2]}.explode("vals")').collect()
+    assert [e.asDict(True) for e in rows[0]["_r"]] == [
+        {"g": 1, "vals": 1},
+        {"g": 1, "vals": 2},
+    ]
+
+
+def test_json_path(df):
+    rows = _one(df, 'this.js.json_path("$.n")').collect()
+    assert rows[0]["_r"] == "5" and rows[1]["_r"] == "50"
+
+
+def test_json_schema_method(df):
+    schema = json.dumps(
+        {"properties": {"n": {"type": "integer", "maximum": 10}}}
+    ).replace('"', '\\"')
+    rows = _one(df, f'this.js.json_schema("{schema}")').collect()
+    assert rows[0]["_r"] == '{"n": 5}' and rows[1]["_r"] is None
+
+
+def test_from_and_from_all(df):
+    d1 = df.coalesce(1)
+    out = (
+        d1.withColumn("all", compile_expr("this.id.from_all()", df=d1))
+        .withColumn("f0", compile_expr("this.id.from(0)", df=d1))
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0]["all"] == [1, 2]
+    assert out[1]["f0"] == 1  # row 2 reads row 1's value
+
+
+def test_bloblang_method(df):
+    rows = _one(df, '{"n": this.id}.bloblang("root = this.n + 10")').collect()
+    assert rows[0]["_r"] == 11
+
+
+def test_content_and_json(df):
+    rows = _one(df, "content().string()", j='json("id")').collect()
+    assert json.loads(rows[0]["_r"])["id"] == 1
+    assert rows[0]["j"] == 1
+
+
+def test_content_raw_single_column(spark):
+    df = spark.createDataFrame([("hello",)], "value string")
+    rows = df.withColumn("c", compile_expr("content().string()", df=df)).collect()
+    assert rows[0]["c"] == "hello"
+
+
+# ---- cache functions ------------------------------------------------------
+
+
+def test_cache_set_get_delete(df):
+    CACHE_RESOURCES.pop("t1", None)
+    register_cache("t1", {"seed": "0"})
+    compile_mapping(
+        'let _ = cache_set("t1", this.key, this.id)\nroot.id = this.id'
+    ).apply(df).collect()
+    assert CACHE_RESOURCES["t1"] == {"seed": "0", "k1": "1", "k2": "2"}
+    rows = df.withColumn(
+        "g", compile_expr('cache_get("t1", this.key)', df=df)
+    ).orderBy("id").collect()
+    assert rows[0]["g"] == "1" and rows[1]["g"] == "2"
+    compile_mapping('let _ = cache_delete("t1", this.key)\nroot.id = this.id').apply(
+        df
+    ).collect()
+    assert set(CACHE_RESOURCES["t1"]) == {"seed"}
+
+
+def test_cache_add_is_insert_if_absent(df):
+    CACHE_RESOURCES.pop("t2", None)
+    register_cache("t2", {"k1": "keep"})
+    compile_mapping(
+        'let _ = cache_add("t2", this.key, this.id)\nroot.id = this.id'
+    ).apply(df).collect()
+    assert CACHE_RESOURCES["t2"] == {"k1": "keep", "k2": "2"}
+
+
+def test_cache_get_unknown_resource(df):
+    with pytest.raises(CompileError, match="unknown cache resource"):
+        compile_expr('cache_get("nope", this.key)', df=df)
+
+
+def test_cache_set_expression_position_rejected(df):
+    with pytest.raises(CompileError, match="statement-position"):
+        compile_expr('cache_set("t1", this.key, 1)', df=df)
+
+
+# ---- inventory pin --------------------------------------------------------
+
+
+def test_inventory_vs_reference_docs():
+    """Pin stdlib coverage against the reference's own method/function
+    inventories; the only allowed gaps are the lib-blocked ones
+    documented in COVERAGE.md §2.2."""
+    import os
+
+    docs = "/root/reference/website/docs/guides/bloblang"
+    if not os.path.isdir(docs):
+        pytest.skip("reference docs not present")
+    ref_m = set(
+        re.findall(r"^### `([^`]+)`", open(f"{docs}/methods.md").read(), re.M)
+    )
+    ref_f = set(
+        re.findall(r"^### `([^`]+)`", open(f"{docs}/functions.md").read(), re.M)
+    )
+    from bento_spark.bloblang.stdlib import FUNCTIONS
+
+    blocked = {
+        "compare_argon2",
+        "compare_bcrypt",
+    } | {m for m in ref_m if m.startswith("geoip_")}
+    assert ref_m - set(METHODS) <= blocked
+    assert ref_f - set(FUNCTIONS) == set()
+
+
+def test_string_plus_concatenates(df):
+    rows = _one(df, 'this.key + "-" + this.id.string()').collect()
+    assert rows[0]["_r"] == "k1-1"
+    # numeric + stays numeric
+    nums = _one(df, "this.id + 1").collect()
+    assert nums[0]["_r"] == 2
