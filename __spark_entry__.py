@@ -47,7 +47,7 @@ _PRIORITY = [
     "proc_parse_syslog", "proc_grok", "proc_branch_enrich",
     "proc_cache_lookup", "json_variant_extract", "proc_http_enrich",
     "proc_json_schema", "proc_json_schema_full", "proc_jq",
-    "proc_metadata_topic",
+    "proc_jmespath_collapse", "proc_workflow_dag", "proc_metadata_topic",
     # codecs / archives
     "proc_archive_roundtrip", "proc_tar_roundtrip", "proc_lines_roundtrip",
     "unarchive_csv_roundtrip", "proc_chunker", "proc_msgpack_roundtrip",

@@ -1,0 +1,493 @@
+"""``jmespath`` processor: a compiled JMESPath-subset over VARIANT columns.
+
+Reference: internal/impl/pure/processor_jmespath.go (go-jmespath; the
+message is replaced with the query result). As with the ``jq``
+processor, the query compiles ONCE driver-side to Column expressions
+over a parsed VARIANT; execution stays JVM-side (variant_get /
+higher-order array functions), no Python per row.
+
+Supported subset (the shapes the reference's docs/examples use):
+  @                 current node
+  a.b  a[0]  a[-1]  paths (negative index counts from the end)
+  a[*]  a[]         list projection / flatten-projection
+  a[?expr]          filter projection
+  e1 | e2           pipes (stop projections)
+  {k: e, ...}       multiselect hash
+  .[e1, e2]         multiselect list
+  `json`  'raw'     literals
+  == != < <= > >=   comparators (numeric when both sides numeric)
+  && || !           boolean logic (JMESPath truthiness)
+  functions: length keys values sort join contains max min sum avg
+             abs ceil floor reverse starts_with ends_with to_string
+             to_number type not_null
+
+Unsupported (documented): slices, expression refs (&expr / sort_by),
+object projections (.*), recursive descent, let bindings.
+
+Projections follow JMESPath semantics: the RHS applies per element and
+null results are dropped from the projected list.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class JmesError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<lit>`(?:[^`\\]|\\.)*`)
+    | (?P<raw>'(?:[^'\\]|\\.)*')
+    | (?P<quoted>"(?:[^"\\]|\\.)*")
+    | (?P<num>-?\d+)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>\[\?|\[\*\]|\[\]|==|!=|<=|>=|&&|\|\||[.\[\]{}(),:|<>!@*])
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip():
+                raise JmesError(f"jmespath: bad token at {src[pos:pos+12]!r}")
+            break
+        pos = m.end()
+        for kind in ("lit", "raw", "quoted", "num", "ident", "op"):
+            if m.group(kind) is not None:
+                out.append((kind, m.group(kind)))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+# ---- AST ------------------------------------------------------------------
+
+
+@dataclass
+class N:
+    kind: str  # current|field|index|project|lit|hash|list|bin|not|call|pipe
+    value: object = None
+    children: tuple = ()
+
+
+class _Parser:
+    """Pratt parser; projections capture the rest of their postfix chain
+    as the per-element RHS (JMESPath's projection semantics)."""
+
+    _CMP = {"==", "!=", "<", "<=", ">", ">="}
+
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise JmesError(f"jmespath: expected {val!r}, got {v!r}")
+
+    def parse_pipeline(self) -> N:
+        stages = [self.parse_or()]
+        while self.peek()[1] == "|":
+            self.next()
+            stages.append(self.parse_or())
+        return stages[0] if len(stages) == 1 else N("pipe", None, tuple(stages))
+
+    def parse_or(self) -> N:
+        left = self.parse_and()
+        while self.peek()[1] == "||":
+            self.next()
+            left = N("bin", "||", (left, self.parse_and()))
+        return left
+
+    def parse_and(self) -> N:
+        left = self.parse_cmp()
+        while self.peek()[1] == "&&":
+            self.next()
+            left = N("bin", "&&", (left, self.parse_cmp()))
+        return left
+
+    def parse_cmp(self) -> N:
+        left = self.parse_unary()
+        if self.peek()[1] in self._CMP:
+            _, op = self.next()
+            return N("bin", op, (left, self.parse_unary()))
+        return left
+
+    def parse_unary(self) -> N:
+        if self.peek()[1] == "!":
+            self.next()
+            return N("not", None, (self.parse_unary(),))
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> N:
+        node = self.parse_primary()
+        return self._postfix_chain(node)
+
+    def _postfix_chain(self, node: N) -> N:
+        while True:
+            k, v = self.peek()
+            if v == ".":
+                self.next()
+                k2, v2 = self.peek()
+                if v2 == "[":  # multiselect list `.[e1, e2]`
+                    self.next()
+                    items = []
+                    while self.peek()[1] != "]":
+                        items.append(self.parse_or())
+                        if self.peek()[1] == ",":
+                            self.next()
+                    self.expect("]")
+                    node = N("list", None, (node, *items))
+                elif v2 == "{":
+                    node = self._postfix_chain(self._hash(node))
+                elif k2 in ("ident", "quoted"):
+                    self.next()
+                    name = json.loads(v2) if k2 == "quoted" else v2
+                    node = N("field", name, (node,))
+                else:
+                    raise JmesError(f"jmespath: bad token after '.': {v2!r}")
+            elif v == "[":
+                self.next()
+                k2, v2 = self.peek()
+                if k2 == "num":
+                    self.next()
+                    self.expect("]")
+                    node = N("index", int(v2), (node,))
+                else:
+                    raise JmesError("jmespath: slices are not supported")
+            elif v in ("[*]", "[]") or v == "[?":
+                self.next()
+                cond = None
+                if v == "[?":
+                    cond = self.parse_or()
+                    self.expect("]")
+                rhs = self._projection_rhs()
+                node = N(
+                    "project",
+                    {"flatten": v == "[]", "cond": cond},
+                    (node, rhs) if rhs is not None else (node,),
+                )
+            else:
+                return node
+
+    def _projection_rhs(self) -> N | None:
+        """Parse the remainder of a postfix chain as the per-element
+        expression of a projection; None when the projection ends here."""
+        if self.peek()[1] not in (".", "[", "[*]", "[]", "[?"):
+            return None
+        return self._postfix_chain(N("current"))
+
+    def _hash(self, ctx: N) -> N:
+        self.expect("{")
+        entries = []
+        while self.peek()[1] != "}":
+            k2, key = self.next()
+            if k2 == "quoted":
+                key = json.loads(key)
+            elif k2 != "ident":
+                raise JmesError("jmespath: bad multiselect key")
+            self.expect(":")
+            entries.append((key, self.parse_or()))
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect("}")
+        return N("hash", tuple(entries), (ctx,))
+
+    def parse_primary(self) -> N:
+        k, v = self.next()
+        if v == "@":
+            return N("current")
+        if k == "lit":
+            return N("lit", json.loads(v[1:-1].replace("\\`", "`")))
+        if k == "raw":
+            return N("lit", v[1:-1].replace("\\'", "'"))
+        if k == "quoted":
+            return N("field", json.loads(v), (N("current"),))
+        if k == "num":
+            # bare numbers only appear inside literals in real JMESPath;
+            # accept as a convenience
+            return N("lit", int(v))
+        if k == "ident":
+            if self.peek()[1] == "(":
+                self.next()
+                args = []
+                while self.peek()[1] != ")":
+                    args.append(self.parse_pipeline())
+                    if self.peek()[1] == ",":
+                        self.next()
+                self.expect(")")
+                return N("call", v, tuple(args))
+            return N("field", v, (N("current"),))
+        if v == "{":
+            self.i -= 1
+            return self._hash(N("current"))
+        if v == "[":
+            # top-level multiselect list
+            items = []
+            while self.peek()[1] != "]":
+                items.append(self.parse_or())
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect("]")
+            return N("list", None, (N("current"), *items))
+        if v == "(":
+            inner = self.parse_pipeline()
+            self.expect(")")
+            return inner
+        raise JmesError(f"jmespath: unexpected token {v!r}")
+
+
+def parse_jmespath(src: str) -> N:
+    p = _Parser(_tokenize(src))
+    node = p.parse_pipeline()
+    if p.peek()[0] != "eof":
+        raise JmesError(f"jmespath: trailing input at {p.peek()[1]!r}")
+    return node
+
+
+# ---- compile to Columns ---------------------------------------------------
+
+
+def _scalar_v(scalar: Column) -> Column:
+    """Scalar Column -> VARIANT (to_json only accepts containers, so
+    route through a one-field struct)."""
+    return F.try_variant_get(
+        F.parse_json(F.to_json(F.struct(scalar.alias("v")))), "$.v", "variant"
+    )
+
+
+def _arr_v(arr: Column) -> Column:
+    """array<variant> Column -> VARIANT."""
+    return F.parse_json(F.to_json(arr))
+
+
+def _num(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "double")
+
+
+def _str(v: Column) -> Column:
+    s = F.try_variant_get(v, "$", "string")
+    return F.coalesce(s, F.to_json(v))
+
+
+def _truthy(v: Column) -> Column:
+    """JMESPath truthiness: false for null / false / '' / [] / {}."""
+    b = F.try_variant_get(v, "$", "boolean")
+    s = F.try_variant_get(v, "$", "string")
+    arr = F.try_variant_get(v, "$", "array<variant>")
+    m = F.try_variant_get(v, "$", "map<string,variant>")
+    return (
+        F.when(v.isNull(), F.lit(False))
+        .when(b.isNotNull(), b)
+        .when(s.isNotNull(), F.length(s) > 0)
+        .when(arr.isNotNull(), F.size(arr) > 0)
+        .when(m.isNotNull(), F.size(F.map_keys(m)) > 0)
+        .otherwise(F.lit(True))
+    )
+
+
+def _typed_arrays(v: Column):
+    """sort()/max()/min()/sum() need a typed array. Casting
+    array<variant> keeps the array and nulls out non-conforming
+    ELEMENTS, so "is numeric" = cast succeeded AND no element nulled."""
+    ns = F.try_variant_get(v, "$", "array<double>")
+    ss = F.try_variant_get(v, "$", "array<string>")
+    num_ok = ns.isNotNull() & ~F.exists(ns, lambda x: x.isNull())
+    return num_ok, ns, ss
+
+
+def _compile(node: N, cur: Column) -> Column:
+    if node.kind == "current":
+        return cur
+    if node.kind == "field":
+        base = _compile(node.children[0], cur)
+        return F.try_variant_get(base, f"$.{node.value}", "variant")
+    if node.kind == "index":
+        base = _compile(node.children[0], cur)
+        i = node.value
+        if i >= 0:
+            return F.try_variant_get(base, f"$[{i}]", "variant")
+        arr = F.try_variant_get(base, "$", "array<variant>")
+        return F.try_element_at(arr, F.lit(i))  # negative: from the end
+    if node.kind == "lit":
+        return F.parse_json(F.lit(json.dumps(node.value)))
+    if node.kind == "project":
+        base = _compile(node.children[0], cur)
+        arr = F.try_variant_get(base, "$", "array<variant>")
+        if node.value["flatten"]:
+            inner = F.transform(
+                arr, lambda e: F.try_variant_get(e, "$", "array<variant>")
+            )
+            arr = F.flatten(F.filter(inner, lambda x: x.isNotNull()))
+        cond = node.value["cond"]
+        if cond is not None:
+            arr = F.filter(arr, lambda e: _truthy(_compile(cond, e)))
+        if len(node.children) > 1:
+            rhs = node.children[1]
+            arr = F.transform(arr, lambda e: _compile(rhs, e))
+            arr = F.filter(arr, lambda x: x.isNotNull())  # projections drop nulls
+        return _arr_v(arr)
+    if node.kind == "hash":
+        ctx = _compile(node.children[0], cur)
+        fields = [_compile(e, ctx).alias(k) for k, e in node.value]
+        return F.parse_json(F.to_json(F.struct(*fields)))
+    if node.kind == "list":
+        ctx = _compile(node.children[0], cur)
+        items = [_compile(e, ctx) for e in node.children[1:]]
+        return _arr_v(F.array(*items))
+    if node.kind == "not":
+        return _scalar_v(~_truthy(_compile(node.children[0], cur)))
+    if node.kind == "bin":
+        op = node.value
+        le, ri = (_compile(c, cur) for c in node.children)
+        if op == "&&":
+            # JMESPath && yields the right side when left is truthy
+            return F.when(_truthy(le), ri).otherwise(le)
+        if op == "||":
+            return F.when(_truthy(le), le).otherwise(ri)
+        ln, rn = _num(le), _num(ri)
+        ls, rs = _str(le), _str(ri)
+        both_num = ln.isNotNull() & rn.isNotNull()
+
+        def cmp(a, b):
+            return {
+                "==": a == b, "!=": a != b, "<": a < b,
+                "<=": a <= b, ">": a > b, ">=": a >= b,
+            }[op]
+
+        return _scalar_v(F.when(both_num, cmp(ln, rn)).otherwise(cmp(ls, rs)))
+    if node.kind == "call":
+        return _call(node, cur)
+    if node.kind == "pipe":
+        for stage in node.children:
+            cur = _compile(stage, cur)
+        return cur
+    raise JmesError(f"jmespath: cannot compile {node.kind}")
+
+
+def _call(node: N, cur: Column) -> Column:
+    name = node.value
+    args = [_compile(a, cur) for a in node.children]
+
+    def arg(i):
+        if i >= len(args):
+            raise JmesError(f"jmespath: {name}() missing argument {i}")
+        return args[i]
+
+    if name == "length":
+        v = arg(0)
+        arr = F.try_variant_get(v, "$", "array<variant>")
+        m = F.try_variant_get(v, "$", "map<string,variant>")
+        s = F.try_variant_get(v, "$", "string")
+        return _scalar_v(
+            F.when(arr.isNotNull(), F.size(arr))
+            .when(m.isNotNull(), F.size(F.map_keys(m)))
+            .otherwise(F.length(s))
+        )
+    if name in ("keys", "values"):
+        m = F.try_variant_get(arg(0), "$", "map<string,variant>")
+        if name == "keys":
+            return _arr_v(
+                F.transform(F.array_sort(F.map_keys(m)), lambda k: _scalar_v(k))
+            )
+        ks = F.array_sort(F.map_keys(m))
+        return _arr_v(F.transform(ks, lambda k: F.element_at(m, k)))
+    if name == "sort":
+        num_ok, ns, ss = _typed_arrays(arg(0))
+        return F.when(num_ok, _arr_v(F.transform(
+            F.array_sort(ns), lambda x: _scalar_v(x)
+        ))).otherwise(_arr_v(F.transform(
+            F.array_sort(ss), lambda x: _scalar_v(x)
+        )))
+    if name == "reverse":
+        arr = F.try_variant_get(arg(0), "$", "array<variant>")
+        return _arr_v(F.reverse(arr))
+    if name == "join":
+        sep = F.try_variant_get(arg(0), "$", "string")
+        ss = F.try_variant_get(arg(1), "$", "array<string>")
+        # F.array_join only takes a literal delimiter; call_function
+        # resolves the SQL signature that accepts a Column
+        return _scalar_v(F.call_function("array_join", ss, sep))
+    if name == "contains":
+        subj, search = arg(0), arg(1)
+        arr = F.try_variant_get(subj, "$", "array<variant>")
+        s = F.try_variant_get(subj, "$", "string")
+        needle = F.try_variant_get(search, "$", "string")
+        in_arr = F.exists(
+            arr, lambda e: F.coalesce(_str(e) == _str(search), F.lit(False))
+        )
+        return _scalar_v(
+            F.when(arr.isNotNull(), in_arr).otherwise(s.contains(needle))
+        )
+    if name in ("max", "min", "sum", "avg"):
+        num_ok, ns, ss = _typed_arrays(arg(0))
+        if name == "sum":
+            return _scalar_v(F.coalesce(
+                F.aggregate(ns, F.lit(0.0), lambda acc, x: acc + x), F.lit(0.0)
+            ))
+        if name == "avg":
+            return _scalar_v(
+                F.aggregate(ns, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size(ns)
+            )
+        f = F.array_max if name == "max" else F.array_min
+        return F.when(num_ok, _scalar_v(f(ns))).otherwise(_scalar_v(f(ss)))
+    if name in ("abs", "ceil", "floor"):
+        n = _num(arg(0))
+        out = {"abs": F.abs(n), "ceil": F.ceil(n), "floor": F.floor(n)}[name]
+        return _scalar_v(out)
+    if name in ("starts_with", "ends_with"):
+        s = F.try_variant_get(arg(0), "$", "string")
+        pre = F.try_variant_get(arg(1), "$", "string")
+        return _scalar_v(s.startswith(pre) if name == "starts_with" else s.endswith(pre))
+    if name == "to_string":
+        return _scalar_v(_str(arg(0)))
+    if name == "to_number":
+        return _scalar_v(_num(arg(0)))
+    if name == "type":
+        t = F.schema_of_variant(arg(0))
+        return _scalar_v(
+            F.when(arg(0).isNull(), F.lit("null"))
+            .when(t.startswith("ARRAY"), F.lit("array"))
+            .when(t.startswith("OBJECT") | t.startswith("STRUCT"), F.lit("object"))
+            .when(t.startswith("STRING"), F.lit("string"))
+            .when(t.startswith("BOOLEAN"), F.lit("boolean"))
+            .otherwise(F.lit("number"))
+        )
+    if name == "not_null":
+        return F.coalesce(*[a for a in args])
+    raise JmesError(f"jmespath: unsupported function {name!r}")
+
+
+def jmespath_expr(col: Column | str, query: str) -> Column:
+    """Compile a JMESPath query over a JSON string column; returns the
+    result as a VARIANT Column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _compile(parse_jmespath(query), F.parse_json(c))
+
+
+def jmespath(df: DataFrame, col: str, query: str, out_col: str = "result") -> DataFrame:
+    """``jmespath`` processor: the message (JSON column) is replaced by
+    the query result, serialized back to JSON text — mirroring the
+    reference's replace-document semantics (processor_jmespath.go)."""
+    return df.withColumn(out_col, F.to_json(jmespath_expr(col, query)))

@@ -1,0 +1,184 @@
+"""``workflow`` processor: a DAG of branch stages with automatic
+dependency resolution.
+
+Reference: internal/impl/pure/processor_workflow.go (explicit ``order``
+tiers or auto-resolution) and processor_workflow_branch_map.go (the
+dependency solver runs over each branch's request/result mappings).
+
+Spark shape: a branch derives columns from columns, so a tier of
+independent branches collapses into ONE projection — Catalyst fuses the
+per-branch withColumns into a single whole-stage-codegen'd Project.
+The reference's "execute tiers of branches in parallel" is therefore
+exactly what the optimizer does for free; this module's job is the part
+Catalyst can't know: which branches must be SEQUENCED because one reads
+what another writes. Dependencies are inferred from each branch's
+Bloblang mapping (fields read by any expression vs fields assigned),
+mirroring the reference's request/result-map analysis.
+
+The set of branches that ran is recorded in the envelope metadata under
+``workflow_succeeded`` (processor_workflow.go:85's meta path object),
+so downstream stages can skip already-performed branches.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bento_spark.bloblang import ast as A
+from bento_spark.bloblang.compiler import MappingPlan, compile_mapping
+
+
+class WorkflowError(ValueError):
+    pass
+
+
+@dataclass
+class Branch:
+    """One workflow stage: `apply` transforms the DataFrame; `reads` /
+    `writes` are the top-level fields consumed/produced (the dependency
+    interface, like the reference's request/result mappings)."""
+
+    apply: Callable[[DataFrame], DataFrame]
+    reads: frozenset[str]
+    writes: frozenset[str]
+
+
+def _expr_reads(node: A.Node, out: set[str]) -> None:
+    """Collect top-level document fields read by a Bloblang expression.
+    A bare `this` reads the whole document (sentinel '*')."""
+    if isinstance(node, A.Path):
+        if isinstance(node.base, A.This):
+            if node.parts:
+                out.add(node.parts[0])
+            else:
+                out.add("*")
+            return
+        _expr_reads(node.base, out)
+        return
+    if isinstance(node, A.This):
+        out.add("*")
+        return
+    for attr in ("base", "index", "recv", "left", "right", "operand",
+                 "cond", "then", "orelse", "subject", "expr", "body"):
+        child = getattr(node, attr, None)
+        if isinstance(child, A.Node):
+            _expr_reads(child, out)
+    for attr in ("items", "args", "statements"):
+        for child in getattr(node, attr, []) or []:
+            if isinstance(child, A.Node):
+                _expr_reads(child, out)
+    for attr in ("entries", "cases"):
+        for pair in getattr(node, attr, []) or []:
+            for child in pair:
+                if isinstance(child, A.Node):
+                    _expr_reads(child, out)
+
+
+def mapping_deps(plan: MappingPlan) -> tuple[frozenset[str], frozenset[str]]:
+    """(reads, writes) of a parsed mapping: assignment targets are the
+    result interface, every other path reference is the request
+    interface — the same analysis the reference's dependency solver
+    performs on request/result maps."""
+    reads: set[str] = set()
+    writes: set[str] = set()
+    for stmt in plan.ast.statements:
+        if isinstance(stmt, A.Assign):
+            writes.add(stmt.target[0] if stmt.target else "*")
+            _expr_reads(stmt.expr, reads)
+        elif isinstance(stmt, (A.MetaAssign, A.LetAssign)):
+            _expr_reads(stmt.expr, reads)
+        elif isinstance(stmt, A.MapDef):
+            for sub in stmt.statements:
+                if isinstance(sub, (A.Assign, A.MetaAssign, A.LetAssign)):
+                    _expr_reads(sub.expr, reads)
+    return frozenset(reads), frozenset(writes)
+
+
+def _as_branch(name: str, spec) -> Branch:
+    if isinstance(spec, Branch):
+        return spec
+    if isinstance(spec, str):
+        spec = compile_mapping(spec)
+    if isinstance(spec, MappingPlan):
+        reads, writes = mapping_deps(spec)
+        return Branch(apply=spec.apply, reads=reads, writes=writes)
+    if isinstance(spec, dict):
+        return Branch(
+            apply=spec["apply"],
+            reads=frozenset(spec.get("reads", ())),
+            writes=frozenset(spec.get("writes", ())),
+        )
+    raise WorkflowError(f"workflow: bad branch spec for {name!r}")
+
+
+def resolve_dag(branches: dict[str, Branch]) -> list[list[str]]:
+    """Kahn layering: tier N holds every branch whose dependencies are
+    all in tiers < N (reference: dependencysolver in
+    processor_workflow_branch_map.go). Raises on cycles."""
+    deps: dict[str, set[str]] = {}
+    for name, b in branches.items():
+        deps[name] = {
+            other
+            for other, ob in branches.items()
+            if other != name
+            and (b.reads & ob.writes or ("*" in b.reads and ob.writes))
+        }
+    tiers: list[list[str]] = []
+    done: set[str] = set()
+    remaining = dict(deps)
+    while remaining:
+        tier = sorted(n for n, d in remaining.items() if d <= done)
+        if not tier:
+            raise WorkflowError(
+                f"workflow: circular dependency among {sorted(remaining)}"
+            )
+        tiers.append(tier)
+        done.update(tier)
+        for n in tier:
+            del remaining[n]
+    return tiers
+
+
+def workflow(
+    df: DataFrame,
+    branches: dict[str, object],
+    order: list[list[str]] | None = None,
+) -> DataFrame:
+    """Run the workflow: branches as Bloblang mapping strings /
+    MappingPlans / {apply, reads, writes} dicts / Branch objects.
+    ``order`` (explicit tiers) overrides auto DAG resolution."""
+    from bento_spark.operators.envelope import META, ensure_envelope
+
+    resolved = {name: _as_branch(name, spec) for name, spec in branches.items()}
+    if order is not None:
+        unknown = {n for tier in order for n in tier} - set(resolved)
+        if unknown:
+            raise WorkflowError(f"workflow: unknown branches in order: {sorted(unknown)}")
+        tiers = [list(t) for t in order]
+    else:
+        tiers = resolve_dag(resolved)
+
+    df = ensure_envelope(df)
+    applied: list[str] = []
+    for tier in tiers:
+        for name in tier:
+            df = resolved[name].apply(df)
+            applied.append(name)
+    # meta path object: which branches have been performed
+    # (processor_workflow.go:85) — downstream workflows can skip them
+    from bento_spark.bloblang.stdlib import map_overwrite
+
+    return df.withColumn(
+        META,
+        map_overwrite(
+            F.col(META),
+            F.create_map(
+                F.lit("workflow_succeeded"), F.lit(json.dumps(applied))
+            ),
+        ),
+    )

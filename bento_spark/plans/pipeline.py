@@ -132,10 +132,30 @@ def _proc_jq(df: DataFrame, conf) -> DataFrame:
     return jq(df, conf.get("column", "props"), conf["query"])
 
 
+def _proc_jmespath(df: DataFrame, conf) -> DataFrame:
+    """`jmespath` (processor_jmespath.go): replace the JSON column with
+    the query result."""
+    from bento_spark.operators.jmespath import jmespath
+
+    if isinstance(conf, str):
+        conf = {"query": conf}
+    return jmespath(df, conf.get("column", "props"), conf["query"])
+
+
+def _proc_workflow(df: DataFrame, conf) -> DataFrame:
+    """`workflow` (processor_workflow.go): named Bloblang branches with
+    explicit `order` tiers or automatic DAG resolution."""
+    from bento_spark.operators.workflow import workflow
+
+    return workflow(df, conf["branches"], conf.get("order"))
+
+
 PROCESSORS = {
     "mapping": _proc_mapping,
     "metadata": _proc_metadata,
     "jq": _proc_jq,
+    "jmespath": _proc_jmespath,
+    "workflow": _proc_workflow,
     "mutation": _proc_mutation,
     "filter": _proc_filter,
     "dedupe": _proc_dedupe,

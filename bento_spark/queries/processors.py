@@ -962,3 +962,87 @@ root.tripled = {"n": this.doc_id}.bloblang("root = this.n * 3")
         F.col("schema_ok").cast("int").alias("schema_ok"),
         F.col("tripled").cast("long").alias("tripled"),
     ).orderBy("doc_id")
+
+
+@query(
+    "proc_jmespath_collapse",
+    oracle="""
+    SELECT user_id,
+           coalesce(array_to_string(
+               list_sort(list(event_type) FILTER (WHERE value >= 50.0)), ','
+           ), '') AS types_csv,
+           CAST(count(*) FILTER (WHERE value >= 50.0) AS BIGINT) AS n_big
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def proc_jmespath_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jmespath`` processor (processor_jmespath.go): the documented
+    filter-projection + sort + join shape, run per user document. The
+    program compiles once to VARIANT expressions; the per-user JSON doc
+    is built with collect_list and the whole pipeline is one shuffle."""
+    from bento_spark.operators.jmespath import jmespath_expr
+
+    ev = _t(spark, sf_dir, "events")
+    docs = ev.groupBy("user_id").agg(
+        F.to_json(
+            F.struct(
+                F.collect_list(
+                    F.struct(F.col("event_type").alias("type"), F.col("value"))
+                ).alias("events")
+            )
+        ).alias("doc")
+    )
+    res = jmespath_expr(
+        "doc", "events[?value >= `50`].type | {csv: join(',', sort(@)), n: length(@)}"
+    )
+    docs = docs.withColumn("res", res)
+    return docs.select(
+        "user_id",
+        F.coalesce(
+            F.try_variant_get(F.col("res"), "$.csv", "string"), F.lit("")
+        ).alias("types_csv"),
+        F.try_variant_get(F.col("res"), "$.n", "bigint").alias("n_big"),
+    ).orderBy("user_id")
+
+
+@query(
+    "proc_workflow_dag",
+    oracle="""
+    SELECT CAST(floor((value * 2) / 20) AS BIGINT) AS bucket,
+           event_type = 'click' AS is_click,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value * 2) AS v2_min,
+           max(value * 2) AS v2_max
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def proc_workflow_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``workflow`` processor (processor_workflow.go): three Bloblang
+    branches with auto-resolved DAG — `bucket` reads the field `double`
+    writes, so the solver orders [double, flag] -> [bucket]; each tier
+    fuses into one Catalyst projection. Doubling and min/max keep every
+    double exact, so the oracle compares bit-identical values."""
+    from bento_spark.operators.workflow import workflow
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    wf = workflow(
+        ev,
+        {
+            "double": "root.v2 = this.value * 2",
+            "bucket": "root.bucket = (this.v2 / 20).floor()",
+            "flag": 'root.is_click = this.event_type == "click"',
+        },
+    )
+    return (
+        wf.groupBy("bucket", "is_click")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v2").alias("v2_min"),
+            F.max("v2").alias("v2_max"),
+        )
+        .orderBy("bucket", "is_click")
+    )

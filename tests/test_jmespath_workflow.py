@@ -1,0 +1,198 @@
+"""Tests for the jmespath processor (processor_jmespath.go) and the
+workflow processor's DAG resolution (processor_workflow.go)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+DOC = json.dumps(
+    {
+        "locations": [
+            {"name": "Seattle", "state": "WA"},
+            {"name": "New York", "state": "NY"},
+            {"name": "Bellevue", "state": "WA"},
+            {"name": "Olympia", "state": "WA"},
+        ],
+        "nums": [3, 1, 2],
+        "title": "hello",
+    }
+)
+
+
+def _run(spark, query: str):
+    from bento_spark.operators.jmespath import jmespath_expr
+
+    df = spark.createDataFrame([(DOC,)], "doc string")
+    return df.select(F.to_json(jmespath_expr("doc", query)).alias("r")).first()["r"]
+
+
+class TestJmespath:
+    def test_reference_docs_example(self, spark):
+        # the exact example from processor_jmespath.go's config spec
+        from bento_spark.operators.jmespath import jmespath
+
+        df = spark.createDataFrame([(DOC,)], "doc string")
+        out = jmespath(
+            df, "doc",
+            "locations[?state == 'WA'].name | sort(@) | {Cities: join(', ', @)}",
+        ).first()["result"]
+        assert out == '{"Cities":"Bellevue, Olympia, Seattle"}'
+
+    @pytest.mark.parametrize(
+        "query,expected",
+        [
+            ("length(locations)", "4"),
+            ("locations[0].name", '"Seattle"'),
+            ("locations[-1].state", '"WA"'),
+            ("locations[*].state", '["WA","NY","WA","WA"]'),
+            ("locations[?state != 'WA'] | length(@)", "1"),
+            ("max(locations[*].name)", '"Seattle"'),
+            ("min(nums)", "1"),
+            ("sort(nums)", "[1,2,3]"),
+            ("sum(nums)", "6"),
+            ("avg(nums)", "2"),
+            ("contains(locations[*].state, 'NY')", "true"),
+            ("contains(title, 'ell')", "true"),
+            ("keys(locations[0])", '["name","state"]'),
+            ("values({a: `2`, b: `1`})", "[2,1]"),
+            ("locations[9].name || 'fallback'", '"fallback"'),
+            ("locations[0].name && locations[1].name", '"New York"'),
+            ("!locations", "false"),
+            ("to_string(length(nums))", '"3"'),
+            ("to_number('25')", "25"),
+            ("type(locations)", '"array"'),
+            ("type(title)", '"string"'),
+            ("starts_with(title, 'he')", "true"),
+            ("ends_with(title, 'lo')", "true"),
+            ("reverse(nums)", "[2,1,3]"),
+            ("abs(`-3`)", "3"),
+            ("ceil(`2.2`)", "3"),
+            ("floor(`2.8`)", "2"),
+            ("not_null(locations[9].name, title)", '"hello"'),
+            ("locations[?starts_with(name, 'S')].name", '["Seattle"]'),
+            ("{n: length(nums), t: title}", '{"n":3,"t":"hello"}'),
+            ("nums.[@, @]| length(@)", "2"),
+        ],
+    )
+    def test_shapes(self, spark, query, expected):
+        assert _run(spark, query) == expected
+
+    def test_flatten_projection(self, spark):
+        from bento_spark.operators.jmespath import jmespath_expr
+
+        doc = json.dumps({"m": [[1, 2], [3], [4, 5]]})
+        df = spark.createDataFrame([(doc,)], "doc string")
+        r = df.select(
+            F.to_json(jmespath_expr("doc", "m[] | length(@)")).alias("r")
+        ).first()["r"]
+        assert r == "5"
+
+    def test_unsupported_raises(self):
+        from bento_spark.operators.jmespath import JmesError, parse_jmespath
+
+        with pytest.raises(JmesError):
+            parse_jmespath("locations[0:2]")  # slices unsupported
+        with pytest.raises(JmesError):
+            parse_jmespath("a.b |")
+
+
+class TestWorkflow:
+    BRANCHES = {
+        "bucket": "root.bucket = (this.v2 / 20).floor()",
+        "double": "root.v2 = this.value * 2",
+        "flag": 'root.is_click = this.event_type == "click"',
+    }
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "click", 6.5), (2, "error", 55.0)],
+            "event_id long, event_type string, value double",
+        )
+
+    def test_auto_dag_orders_dependent_branch_last(self):
+        from bento_spark.operators.workflow import _as_branch, resolve_dag
+
+        tiers = resolve_dag(
+            {n: _as_branch(n, s) for n, s in self.BRANCHES.items()}
+        )
+        assert tiers == [["double", "flag"], ["bucket"]]
+
+    def test_executes_in_dependency_order(self, spark):
+        from bento_spark.operators.workflow import workflow
+
+        rows = (
+            workflow(self._df(spark), self.BRANCHES)
+            .select("event_id", "v2", "bucket", "is_click")
+            .orderBy("event_id")
+            .collect()
+        )
+        assert [tuple(r) for r in rows] == [
+            (1, 13.0, 0, True),
+            (2, 110.0, 5, False),
+        ]
+
+    def test_meta_records_succeeded_branches(self, spark):
+        from bento_spark.operators.envelope import META
+        from bento_spark.operators.workflow import workflow
+
+        meta = workflow(self._df(spark), self.BRANCHES).select(META).first()[0]
+        assert json.loads(meta["workflow_succeeded"]) == [
+            "double", "flag", "bucket",
+        ]
+
+    def test_explicit_order_overrides(self, spark):
+        from bento_spark.operators.workflow import workflow
+
+        out = workflow(
+            self._df(spark),
+            self.BRANCHES,
+            order=[["double"], ["bucket"], ["flag"]],
+        )
+        assert "bucket" in out.columns
+
+    def test_cycle_raises(self, spark):
+        from bento_spark.operators.workflow import WorkflowError, workflow
+
+        with pytest.raises(WorkflowError, match="circular"):
+            workflow(
+                self._df(spark),
+                {"a": "root.x = this.y", "b": "root.y = this.x"},
+            )
+
+    def test_unknown_order_name_raises(self, spark):
+        from bento_spark.operators.workflow import WorkflowError, workflow
+
+        with pytest.raises(WorkflowError, match="unknown"):
+            workflow(self._df(spark), self.BRANCHES, order=[["nope"]])
+
+    def test_pipeline_integration(self, spark, tmp_path):
+        from bento_spark.plans.pipeline import build_pipeline
+
+        src = tmp_path / "in.json"
+        src.write_text(
+            '{"event_id": 1, "event_type": "click", "value": 6.5}\n'
+            '{"event_id": 2, "event_type": "error", "value": 55.0}\n'
+        )
+        p = build_pipeline(
+            spark,
+            {
+                "input": {"json": {"path": str(src)}},
+                "pipeline": {
+                    "processors": [
+                        {
+                            "workflow": {
+                                "branches": {
+                                    "double": "root.v2 = this.value * 2",
+                                    "bucket": "root.bucket = (this.v2 / 20).floor()",
+                                }
+                            }
+                        }
+                    ]
+                },
+            },
+        )
+        got = {r["event_id"]: r["bucket"] for r in p.dataframe().collect()}
+        assert got == {1: 0, 2: 5}
