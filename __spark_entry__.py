@@ -28,6 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # stopped at 50 of 59 entries; everything after rank ~55 here is a
 # variant of an already-covered component.
 _PRIORITY = [
+    # ---- first 50: every unique §2 component gets a driver row even if
+    # the driver truncates at 50 entries (round 1 stopped at exactly 50).
+    # Multi-component "gauntlet" queries carry the codec/scanner/parser
+    # families in one slot each; their singles are re-checked below the
+    # fold. ----
     # relational core (agg, join+topk)
     "q1_pricing_summary", "q3_shipping_priority",
     # LLM-data ops: text analysis (cheap, unique)
@@ -38,33 +43,38 @@ _PRIORITY = [
     "dedupe_within_window",
     # multimodal
     "mm_image_features", "mm_audio_features", "mm_frame_sample",
-    # bloblang + processors (each a distinct §2.1 row)
+    # similarity + dedup (first-class LLM-pipeline ops)
+    "dedup_exact", "ann_brute_force_topk", "ann_lsh_topk",
+    "dedup_embedding_cosine", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_clusters",
+    # join / agg planes (§2.6-2.7)
+    "asof_join_last_login", "semi_anti_join", "top_k_per_group",
+    "rollup_priority", "skew_salted_agg",
+    # bloblang (§2.2)
     "bloblang_mapping", "bloblang_stdlib2", "bloblang_stdlib3",
-    "proc_mapping_enrich",
-    "proc_switch_route", "proc_try_catch", "proc_dedupe_first",
-    "proc_group_by_value", "proc_select_parts", "proc_bounds_check",
-    "pipeline_yaml", "proc_compress_roundtrip", "proc_parse_log",
-    "proc_parse_syslog", "proc_grok", "proc_branch_enrich",
+    # processors (each a distinct §2.1 row)
+    "proc_mapping_enrich", "proc_switch_route", "proc_try_catch",
+    "proc_dedupe_first", "proc_group_by_value", "proc_select_parts",
+    "proc_bounds_check", "pipeline_yaml", "proc_workflow_dag",
+    "proc_jmespath_collapse", "proc_jq", "proc_branch_enrich",
     "proc_cache_lookup", "json_variant_extract", "proc_http_enrich",
-    "proc_json_schema", "proc_json_schema_full", "proc_jq",
-    "proc_jmespath_collapse", "proc_workflow_dag", "proc_metadata_topic",
-    # codecs / archives
+    "proc_json_schema_full", "proc_metadata_topic",
+    # consolidated families: syslog+grok+CLF; msgpack+avro+protobuf+
+    # schema-registry+compress; tar+lines+json_array+csv+xml+chunker;
+    # re_match+skip_bom+json_documents+xml_documents+switch
+    "proc_parse_gauntlet", "proc_codec_gauntlet", "proc_archive_gauntlet",
+    "scan_gauntlet",
+    # ---- below the fold: singles already covered by a gauntlet, agg
+    # variants of a covered row, redundant relational shapes ----
+    "pivot_event_types", "percentiles_value", "set_ops_users",
+    "proc_compress_roundtrip", "proc_parse_syslog", "proc_grok",
+    "proc_parse_log", "proc_json_schema",
     "proc_archive_roundtrip", "proc_tar_roundtrip", "proc_lines_roundtrip",
     "unarchive_csv_roundtrip", "proc_chunker", "proc_msgpack_roundtrip",
     "proc_avro_roundtrip", "proc_protobuf_roundtrip",
     "proc_schema_registry_roundtrip", "xml_roundtrip",
-    # scanners
     "scan_re_match", "scan_skip_bom", "scan_json_documents",
     "scan_xml_documents", "scan_switch",
-    # joins / agg variants that are their own §2.6-2.7 rows
-    "asof_join_last_login", "semi_anti_join", "top_k_per_group",
-    "rollup_priority", "pivot_event_types", "percentiles_value",
-    "set_ops_users", "skew_salted_agg",
-    # similarity + dedup (unique but heavier)
-    "dedup_exact", "ann_brute_force_topk", "ann_lsh_topk",
-    "dedup_embedding_cosine", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_clusters",
-    # redundant relational shapes (components already covered above)
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "q12_shipmode_priority", "q14_promo_effect",
     "q18_large_orders", "q7_nation_volume", "q8_market_share",

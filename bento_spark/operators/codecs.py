@@ -85,10 +85,12 @@ def tar_unarchive(df: DataFrame, tar_col: str) -> DataFrame:
 
     other = [c for c in df.columns if c != tar_col]
     schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in df.select(*other).schema.fields
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.select(*other).schema.fields
+        ]
+        + ["member_name string", "payload binary"]
     )
-    schema += ", member_name string, payload binary"
 
     def run(batches):
         for pdf in batches:

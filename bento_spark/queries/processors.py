@@ -1046,3 +1046,314 @@ def proc_workflow_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "is_click")
     )
+
+
+@query(
+    "proc_codec_gauntlet",
+    oracle="""
+    SELECT event_id,
+           '{"k": ' || json_extract_string(props, '$.k') || '}' AS mp_rt,
+           '{"k": ' || json_extract_string(props, '$.k') || '}' AS avro_rt,
+           '{"etype": "' || event_type || '", "k": '
+             || json_extract_string(props, '$.k') || '}' AS pb_rt,
+           '{"k": ' || json_extract_string(props, '$.k')
+             || ', "tag": "' || event_type || '"}' AS sr_rt,
+           props AS gz_rt
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def proc_codec_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five binary codecs round-tripped in ONE gate entry so each keeps
+    a driver-verified row even under a tight per-round entry budget:
+    msgpack (processor.go:24), Avro OCF deflate (avro/processor.go:47),
+    protobuf wire format (processor_protobuf.go:255), schema-registry
+    framing (processor_schema_registry_decode.go:80), and
+    compress/decompress gzip (processor_compress.go:22). Identity
+    oracles; the per-codec queries remain registered individually."""
+    from bento_spark.operators.avro import avro_ocf_decode_col, avro_ocf_encode_col
+    from bento_spark.operators.codecs import (
+        compress_col,
+        decompress_col,
+        msgpack_decode_col,
+        msgpack_encode_col,
+    )
+    from bento_spark.operators.protobuf import (
+        pb_decode_col,
+        pb_encode_col,
+        sr_decode_col,
+        sr_encode_col,
+    )
+
+    avro_schema = {
+        "type": "record",
+        "name": "props",
+        "fields": [{"name": "k", "type": ["null", "long"]}],
+    }
+    pb_schema = {"fields": {1: ("etype", "string"), 2: ("k", "int64")}}
+    sr_schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [
+            {"name": "k", "type": ["null", "long"]},
+            {"name": "tag", "type": "string"},
+        ],
+    }
+    registry = {7: sr_schema}
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    pb_j = F.to_json(
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    sr_j = F.to_json(
+        F.struct(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.col("event_type").alias("tag"),
+        )
+    )
+    return ev.select(
+        "event_id",
+        msgpack_decode_col(msgpack_encode_col(F.col("props"))).alias("mp_rt"),
+        F.try_element_at(
+            avro_ocf_decode_col(
+                avro_ocf_encode_col(F.col("props"), avro_schema, codec="deflate")
+            ),
+            F.lit(1),
+        ).alias("avro_rt"),
+        pb_decode_col(pb_encode_col(pb_j, pb_schema), pb_schema).alias("pb_rt"),
+        sr_decode_col(sr_encode_col(sr_j, 7, registry), registry).alias("sr_rt"),
+        F.decode(
+            decompress_col(
+                compress_col(F.encode("props", "UTF-8"), "gzip"), "gzip"
+            ),
+            "UTF-8",
+        ).alias("gz_rt"),
+    ).orderBy("event_id")
+
+
+@query(
+    "proc_parse_gauntlet",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id % 192 AS INT) AS priority,
+           CAST((event_id % 192) // 8 AS INT) AS facility,
+           CAST(event_id % 8 AS BIGINT) AS severity,
+           'host-' || CAST(user_id % 50 AS VARCHAR) AS hostname,
+           'svc_' || event_type AS appname,
+           event_type || ' fired' AS message,
+           '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS client,
+           upper(substr(event_type, 1, 4)) AS method,
+           CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS bytes,
+           'host-' || (user_id % 20) AS clf_host,
+           CASE WHEN value >= 100 THEN 500 ELSE 200 END AS clf_status
+    FROM events WHERE event_id < 3000 ORDER BY event_id
+    """,
+)
+def proc_parse_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three log parsers in ONE gate entry (entry-budget insurance;
+    singles stay registered): syslog RFC3164 (processor_parse_log.go:105),
+    grok %{PATTERN:name} (processor_grok.go:104), Apache CLF. Each
+    synthesizes its line from event columns and extracts back; the
+    oracle recomputes all fields from the same columns."""
+    from bento_spark.operators.codecs import grok, parse_clf, parse_syslog
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    sys_line = F.format_string(
+        "<%s>Mar  5 10:30:00 host-%s svc_%s[%s]: %s fired",
+        (F.col("event_id") % 192).cast("string"),
+        (F.col("user_id") % 50).cast("string"),
+        F.col("event_type"),
+        (F.col("user_id") % 1000).cast("string"),
+        F.col("event_type"),
+    )
+    grok_line = F.format_string(
+        "%s %s %s %s",
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")),
+        F.upper(F.substring(F.col("event_type"), 1, 4)),
+        F.concat(F.lit("/api/"), F.col("event_type")),
+        F.floor(F.col("value")).cast("long").cast("string"),
+    )
+    clf_line = F.format_string(
+        'host-%d - frank [10/Oct/2000:13:55:36 -0700] "%s /api/%s HTTP/1.0" %d 2326',
+        (F.col("user_id") % 20).cast("int"),
+        F.when(F.col("event_type") == "purchase", "POST").otherwise("GET"),
+        F.col("event_type"),
+        F.when(F.col("value") >= 100, 500).otherwise(200).cast("int"),
+    )
+    step1 = parse_syslog(ev.withColumn("line", sys_line), "line", rfc="3164")
+    step2 = grok(
+        step1.drop("line").withColumn("line", grok_line),
+        "line",
+        "%{IP:client} %{WORD:method} %{URIPATH:path} %{NUMBER:bytes}",
+    )
+    # parse_clf also emits method/path/bytes/host — rename grok's fields
+    # before the CLF stage so both parsers' outputs survive side by side
+    step2 = (
+        step2.drop("line")
+        .withColumnRenamed("method", "g_method")
+        .withColumnRenamed("path", "g_path")
+        .withColumnRenamed("bytes", "g_bytes")
+    )
+    step3 = parse_clf(step2.withColumn("raw", clf_line), "raw")
+    return step3.select(
+        "event_id",
+        "priority", "facility",
+        F.col("severity").cast("long").alias("severity"),
+        "hostname", "appname", "message",
+        "client",
+        F.col("g_method").alias("method"),
+        F.col("g_bytes").alias("bytes"),
+        F.col("host").alias("clf_host"),
+        F.col("status").alias("clf_status"),
+    ).orderBy("event_id")
+
+
+@query(
+    "proc_archive_gauntlet",
+    oracle="""
+    SELECT kind, k1, k2, val FROM (
+      SELECT 'tar' AS kind, doc_id AS k1, CAST(0 AS BIGINT) AS k2, text AS val
+      FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 'lines', doc_id, CAST(0 AS BIGINT), text
+      FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 'json_array', e.event_id, c.n_items, e.event_type
+      FROM events e
+      JOIN (SELECT user_id, count(*) AS n_items FROM events
+            WHERE event_id < 2000 GROUP BY user_id) c USING (user_id)
+      WHERE e.event_id < 2000
+      UNION ALL
+      SELECT 'csv', r_regionkey, CAST(0 AS BIGINT), r_name FROM region
+      UNION ALL
+      SELECT 'xml', n_nationkey, n_regionkey, n_name FROM nation
+      UNION ALL
+      SELECT 'chunker', doc_id, CAST(i AS BIGINT),
+             substr(text, i * 100 + 1, 100)
+      FROM documents,
+           unnest(range(0, greatest(1, CAST(ceil(length(text) / 100.0) AS INT)))) AS t(i)
+      WHERE doc_id < 200
+    ) ORDER BY kind, k1, k2, val
+    """,
+)
+def proc_archive_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six archive/structure codecs in ONE gate entry (entry-budget
+    insurance; singles stay registered): tar and lines archive/unarchive
+    (processor_archive.go:59), json_array round-trip, csv unarchive
+    (processor_unarchive.go:49), native XML (xml/processor.go:92), and
+    the chunker scanner (scanner_chunker.go). Uniform output shape
+    (kind, k1, k2, val); every leg is an identity oracle."""
+    from bento_spark.operators.codecs import tar_archive_col, tar_unarchive
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    zero = F.lit(0).cast("long")
+
+    grouped = docs.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", F.col("text").alias("t")))
+        ).alias("items")
+    )
+    tarred = grouped.select(
+        tar_archive_col(
+            F.transform(F.col("items"), lambda s: s["doc_id"].cast("string")),
+            F.transform(F.col("items"), lambda s: F.encode(s["t"], "UTF-8")),
+        ).alias("tar")
+    )
+    tar_leg = tar_unarchive(tarred, "tar").select(
+        F.lit("tar").alias("kind"),
+        F.col("member_name").cast("long").alias("k1"),
+        zero.alias("k2"),
+        F.decode("payload", "UTF-8").alias("val"),
+    )
+
+    lines_arch = P.archive_lines(
+        docs,
+        F.col("source"),
+        [F.col("doc_id")],
+        F.concat_ws("\x1f", F.col("doc_id").cast("string"), F.col("text")),
+    )
+    lines_split = F.split(F.col("line"), "\x1f")
+    lines_leg = P.unarchive_lines(
+        lines_arch.withColumnRenamed("group_key", "source"), "archived"
+    ).select(
+        F.lit("lines").alias("kind"),
+        lines_split.getItem(0).cast("long").alias("k1"),
+        zero.alias("k2"),
+        lines_split.getItem(1).alias("val"),
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ja = P.archive_json_array(
+        ev, F.col("user_id"), [F.col("event_id")],
+        F.struct("event_id", "event_type"),
+    )
+    ja_leg = P.unarchive_json_array(
+        ja.withColumnRenamed("group_key", "user_id"),
+        "archived",
+        "event_id bigint, event_type string",
+    ).select(
+        F.lit("json_array").alias("kind"),
+        F.col("event_id").alias("k1"),
+        F.col("n_items").cast("long").alias("k2"),
+        F.col("event_type").alias("val"),
+    )
+
+    r = _t(spark, sf_dir, "region")
+    csv_leg = (
+        r.select(
+            F.concat_ws(
+                ",", F.col("r_regionkey").cast("string"), F.col("r_name")
+            ).alias("line")
+        )
+        .select(
+            F.from_csv(F.col("line"), "r_regionkey bigint, r_name string").alias("row")
+        )
+        .select(
+            F.lit("csv").alias("kind"),
+            F.col("row.r_regionkey").alias("k1"),
+            zero.alias("k2"),
+            F.col("row.r_name").alias("val"),
+        )
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    xml_leg = (
+        n.select(
+            F.format_string(
+                "<nation><n_nationkey>%s</n_nationkey><n_name>%s</n_name>"
+                "<n_regionkey>%s</n_regionkey></nation>",
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name"),
+                F.col("n_regionkey").cast("string"),
+            ).alias("doc")
+        )
+        .select(
+            F.from_xml(
+                "doc", "n_nationkey bigint, n_name string, n_regionkey bigint"
+            ).alias("row")
+        )
+        .select(
+            F.lit("xml").alias("kind"),
+            F.col("row.n_nationkey").alias("k1"),
+            F.col("row.n_regionkey").alias("k2"),
+            F.col("row.n_name").alias("val"),
+        )
+    )
+
+    chunk_leg = P.chunk_text(docs.select("doc_id", "text"), "text", 100).select(
+        F.lit("chunker").alias("kind"),
+        F.col("doc_id").alias("k1"),
+        F.col("chunk_idx").cast("long").alias("k2"),
+        F.col("chunk").alias("val"),
+    )
+
+    out = (
+        tar_leg.unionByName(lines_leg)
+        .unionByName(ja_leg)
+        .unionByName(csv_leg)
+        .unionByName(xml_leg)
+        .unionByName(chunk_leg)
+    )
+    return out.orderBy("kind", "k1", "k2", "val")

@@ -168,3 +168,134 @@ def scan_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select("doc_id", "part").orderBy("doc_id", "part")
+
+
+@query(
+    "scan_gauntlet",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, lang, text, n_chars FROM documents WHERE doc_id < {_N}
+    ),
+    rm_lines AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               string_split(replace(text, ' ', chr(10)), chr(10)),
+               (x, i) -> {{'line': x, 'pos': i}}), recursive := true)
+      FROM src
+    ),
+    rm_marked AS (
+      SELECT doc_id, line, pos,
+             sum(CASE WHEN line = 'key' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS part_idx
+      FROM rm_lines
+    )
+    SELECT scanner, doc_id, part_idx, part FROM (
+      SELECT 're_match' AS scanner, doc_id, CAST(part_idx AS BIGINT) AS part_idx,
+             string_agg(line, chr(10) ORDER BY pos) AS part
+      FROM rm_marked GROUP BY doc_id, part_idx
+      UNION ALL
+      SELECT 'skip_bom', doc_id, CAST(0 AS BIGINT),
+             regexp_replace(chr(65279) || text, '^' || chr(65279), '')
+      FROM src
+      UNION ALL
+      SELECT 'json_documents', doc_id, CAST(0 AS BIGINT),
+             '{{"chars": ' || n_chars || '}}' FROM src
+      UNION ALL
+      SELECT 'json_documents', doc_id, CAST(0 AS BIGINT),
+             '{{"lang": "' || lang || '"}}' FROM src
+      UNION ALL
+      SELECT 'xml_documents', doc_id, CAST(0 AS BIGINT),
+             '<m id="' || doc_id || '"><v>' || n_chars || '</v></m>' FROM src
+      UNION ALL
+      SELECT 'xml_documents', doc_id, CAST(0 AS BIGINT),
+             '<l lang="' || lang || '"/>' FROM src
+      UNION ALL
+      SELECT 'switch', doc_id, CAST(0 AS BIGINT), text
+      FROM src WHERE lang = 'en'
+      UNION ALL
+      SELECT 'switch', doc_id, CAST(0 AS BIGINT),
+             unnest([substr(text, 1 + 40 * (i - 1), 40)
+                     FOR i IN range(1, CAST(ceil(length(text) / 40.0) AS BIGINT) + 1)])
+      FROM src WHERE lang != 'en'
+    ) ORDER BY scanner, doc_id, part_idx, part
+    """,
+)
+def scan_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five round-2 scanners in ONE gate entry (re_match, skip_bom +
+    to_the_end, json_documents, xml_documents, switch) so each keeps a
+    driver-verified row under a tight entry budget; the per-scanner
+    queries remain registered individually."""
+    from bento_spark.operators.processors import chunk_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _N)
+    zero = F.lit(0).cast("long")
+
+    rm = SC.re_match(
+        docs.select(
+            "doc_id",
+            F.replace(F.col("text"), F.lit(" "), F.lit("\n")).alias("content"),
+        ),
+        "doc_id", "content", "^key$",
+    ).select(
+        F.lit("re_match").alias("scanner"), "doc_id",
+        F.col("part_idx").cast("long").alias("part_idx"), "part",
+    )
+
+    sb_src = docs.select(
+        "doc_id", F.concat(F.lit("﻿"), F.col("text")).alias("content")
+    )
+    sb = SC.to_the_end(
+        sb_src.withColumn("content", SC.skip_bom(F.col("content"))), "content"
+    ).select(
+        F.lit("skip_bom").alias("scanner"), "doc_id",
+        zero.alias("part_idx"), "part",
+    )
+
+    jd = SC.json_documents(
+        docs.select(
+            "doc_id",
+            F.format_string(
+                '{"chars": %s}  {"lang": "%s"}',
+                F.col("n_chars").cast("string"), F.col("lang"),
+            ).alias("content"),
+        ),
+        "content",
+    ).select(
+        F.lit("json_documents").alias("scanner"), "doc_id",
+        zero.alias("part_idx"), "part",
+    )
+
+    xd = SC.xml_documents(
+        docs.select(
+            "doc_id",
+            F.format_string(
+                '<m id="%s"><v>%s</v></m>\n<l lang="%s"/>',
+                F.col("doc_id").cast("string"),
+                F.col("n_chars").cast("string"),
+                F.col("lang"),
+            ).alias("content"),
+        ),
+        "content",
+    ).select(
+        F.lit("xml_documents").alias("scanner"), "doc_id",
+        zero.alias("part_idx"), "part",
+    )
+
+    sw = SC.switch_scanner(
+        docs.select("doc_id", "lang", F.col("text").alias("content")),
+        [
+            (F.col("lang") == "en", lambda d: SC.to_the_end(d, "content")),
+            (
+                None,
+                lambda d: chunk_text(d, "content", 40).withColumnRenamed(
+                    "chunk", "part"
+                ),
+            ),
+        ],
+    ).select(
+        F.lit("switch").alias("scanner"), "doc_id",
+        zero.alias("part_idx"), "part",
+    )
+
+    out = rm.unionByName(sb).unionByName(jd).unionByName(xd).unionByName(sw)
+    return out.orderBy("scanner", "doc_id", "part_idx", "part")

@@ -35,6 +35,18 @@ def test_tar_unarchive_skips_non_regular_members(spark):
     ]
 
 
+def test_tar_unarchive_blob_only_dataframe(spark):
+    """A DataFrame whose ONLY column is the tar blob must still build a
+    valid output schema (the passthrough-column DDL join is empty)."""
+    from bento_spark.operators.codecs import tar_unarchive
+
+    df = spark.createDataFrame([(_tar_with_dir_and_symlink(),)], "t binary")
+    out = tar_unarchive(df, "t").collect()
+    assert [(r["member_name"], bytes(r["payload"])) for r in out] == [
+        ("subdir/a.txt", b"hello")
+    ]
+
+
 def test_queue_stream_watermark_offsets(tmp_path):
     """A late file sorting BEFORE consumed ones must not shift the offset
     window (no re-delivery of consumed messages)."""
