@@ -47,6 +47,10 @@ def get_spark(app_name: str = "bento_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # long sessions compile hundreds of codegen classes; the JVM
+        # default code cache (~240 MB) fills and disables the JIT, which
+        # silently 5-10x-es late queries — give it headroom
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
