@@ -108,7 +108,7 @@ def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    inv: DataFrame, coeffs: list[tuple[int, int]]
+    inv: DataFrame, coeffs: list[tuple[int, int]], extra_aggs: list | None = None
 ) -> DataFrame:
     """(doc, h) exploded base hashes -> one row per doc with columns
     s0..s{k-1}: sig[i] = min over h of (a_i*(h mod p) + b_i) mod p.
@@ -117,6 +117,10 @@ def minhash_signatures(
     partial agg, single shuffle of (doc, h) pairs). The
     transform-over-array form is interpreted per element by the HOF
     evaluator — ~100M lambda evals at 5k docs — and was 10x slower.
+
+    ``extra_aggs`` ride the same shuffle (e.g. the per-doc shingle
+    count the LSH verifier needs — folding it here saves a second scan
+    + explode of the corpus).
     """
     # ONE F.expr per aggregate (a Column-object chain costs ~2 py4j
     # round trips per operator — ~1s of plan-build at 64 hashes)
@@ -126,7 +130,7 @@ def minhash_signatures(
         F.expr(f"min(({a}L * {hm} + {b}L) % {p}L)").alias(f"s{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return inv.groupBy("doc").agg(*aggs)
+    return inv.groupBy("doc").agg(*aggs, *(extra_aggs or []))
 
 
 def minhash_lsh_pairs(
@@ -155,7 +159,12 @@ def minhash_lsh_pairs(
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = exploded_word_shingles(df.repartition(par), id_col, text_col, n)
     inv = sh.select("doc", base(F.col("s")).alias("h"))
-    sig = minhash_signatures(inv, coeffs)
+    # per-doc shingle count rides the signature shuffle — the verifier
+    # needs it, and a separate groupBy would re-scan + re-explode the
+    # whole corpus
+    sig = minhash_signatures(
+        inv, coeffs, extra_aggs=[F.count(F.lit(1)).alias("n_sh")]
+    )
     band_structs = ", ".join(
         "named_struct('band', {i}, 'bh', md5(concat_ws(',', {cols})))".format(
             i=i,
@@ -185,8 +194,8 @@ def minhash_lsh_pairs(
     )
     # array-free verification: exact |A ∩ B| for CANDIDATE pairs only,
     # counted through the exploded shingle index (one 3-way equi-join),
-    # sizes from per-doc counts — no shingle array ever leaves a task.
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes already computed on the signature shuffle — no extra scan.
+    sizes = sig.select("doc", "n_sh")
     ia = sh.select(F.col("doc").alias("doc_a"), F.xxhash64("s").alias("h"))
     ib = sh.select(F.col("doc").alias("doc_b"), F.xxhash64("s").alias("h"))
     common = (
