@@ -30,6 +30,9 @@ HEADLINE = [
     "text_fingerprint_winnow",
     "ann_lsh_topk",
     "q17_small_quantity",
+    # round-2 additions: DAG workflow, compiled JMESPath
+    "proc_workflow_dag",
+    "proc_jmespath_collapse",
 ]
 
 
