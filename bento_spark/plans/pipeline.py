@@ -208,6 +208,16 @@ def _resolve_resource(proc: dict, resources: dict[str, dict]) -> dict:
 
 def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
     cfg = load_config(config) if isinstance(config, str) else config
+    # shared rate-limit resources (rate_limit_local.go): registered by
+    # label, consumed by sinks via `rate_limit: <label>`
+    from bento_spark.operators.ratelimit import register_rate_limit
+
+    for res in cfg.get("rate_limit_resources") or []:
+        res = dict(res)
+        label = res.pop("label", None)
+        if not label:
+            raise ConfigError("rate_limit_resources entries require a `label`")
+        register_rate_limit(label, res)
     resources: dict[str, dict] = {}
     for res in cfg.get("processor_resources") or []:
         res = dict(res)

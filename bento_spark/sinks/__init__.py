@@ -49,7 +49,29 @@ def _file_sink(fmt: str):
                 col_name = f"__path{i}"
                 df = df.withColumn(col_name, compile_field(f"${{! {src} }}", df))
                 parts.append(col_name)
+        rl = None
+        if "rate_limit" in conf:
+            # `rate_limit: <label>` (processor_rate_limit.go): admission
+            # unit is the batch — the driver blocks until the shared
+            # windowed budget admits the batch's row count
+            from bento_spark.operators.ratelimit import get_rate_limit
+
+            rl = get_rate_limit(conf["rate_limit"])
         if is_streaming:
+            if rl is not None:
+                def write_batch(bdf, _bid, _fmt=fmt, _path=path, _parts=parts):
+                    rows = bdf.count()
+                    rl.throttle(rows)
+                    w = bdf.write.format(_fmt).mode("append")
+                    if _parts:
+                        w = w.partitionBy(*_parts)
+                    w.save(_path)
+
+                w = df.writeStream.foreachBatch(write_batch)
+                w = w.option("checkpointLocation", conf["checkpoint"])
+                if conf.get("available_now", True):
+                    w = w.trigger(availableNow=True)
+                return w.start()
             w = df.writeStream.format(fmt).option("path", path)
             w = w.option("checkpointLocation", conf["checkpoint"])
             if parts:
@@ -57,6 +79,8 @@ def _file_sink(fmt: str):
             if conf.get("available_now", True):
                 w = w.trigger(availableNow=True)
             return w.start()
+        if rl is not None:
+            rl.throttle(df.count())
         w = df.write.format(fmt).mode(mode)
         if parts:
             w = w.partitionBy(*parts)

@@ -1,0 +1,122 @@
+"""Tests for the local rate-limit resource (rate_limit_local.go
+semantics) and its sink integration."""
+
+from __future__ import annotations
+
+import pytest
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 100.0
+        self.slept = []
+
+    def monotonic(self):
+        return self.t
+
+    def sleep(self, s):
+        self.slept.append(s)
+        self.t += s
+
+
+class TestLocalRateLimit:
+    def test_admits_up_to_count_then_blocks(self):
+        from bento_spark.operators.ratelimit import LocalRateLimit
+
+        clk = FakeClock()
+        rl = LocalRateLimit(count=3, interval=1.0, clock=clk)
+        assert rl.access() == 0.0
+        assert rl.access(2) == 0.0
+        wait = rl.access()  # budget exhausted
+        assert wait == pytest.approx(1.0)
+
+    def test_window_resets_after_interval(self):
+        from bento_spark.operators.ratelimit import LocalRateLimit
+
+        clk = FakeClock()
+        rl = LocalRateLimit(count=1, interval=1.0, clock=clk)
+        assert rl.access() == 0.0
+        assert rl.access() > 0
+        clk.t += 1.5
+        assert rl.access() == 0.0
+
+    def test_byte_budget(self):
+        from bento_spark.operators.ratelimit import LocalRateLimit
+
+        clk = FakeClock()
+        rl = LocalRateLimit(count=0, byte_size=100, interval=1.0, clock=clk)
+        assert rl.access(1, 60) == 0.0
+        assert rl.access(1, 60) > 0  # 120 > 100
+        assert rl.access(1, 40) == 0.0
+
+    def test_throttle_sleeps_until_admitted(self):
+        from bento_spark.operators.ratelimit import LocalRateLimit
+
+        clk = FakeClock()
+        rl = LocalRateLimit(count=2, interval=1.0, clock=clk)
+        assert rl.throttle(2) == 0.0
+        slept = rl.throttle(2)  # must wait for the next window
+        assert slept == pytest.approx(1.0)
+        assert clk.slept == [pytest.approx(1.0)]
+
+    def test_oversized_batch_admitted_alone_in_fresh_window(self):
+        from bento_spark.operators.ratelimit import LocalRateLimit
+
+        clk = FakeClock()
+        rl = LocalRateLimit(count=2, interval=1.0, clock=clk)
+        assert rl.access() == 0.0
+        slept = rl.throttle(5)  # larger than any window's budget
+        assert slept == pytest.approx(1.0)
+        # and it consumed the fresh window
+        assert rl.access(2) > 0
+
+    def test_invalid_conf_raises(self):
+        from bento_spark.operators.ratelimit import LocalRateLimit, RateLimitError
+
+        with pytest.raises(RateLimitError):
+            LocalRateLimit(count=-1)
+        with pytest.raises(RateLimitError):
+            LocalRateLimit(interval=0)
+
+    def test_registry_roundtrip(self):
+        from bento_spark.operators.ratelimit import (
+            RateLimitError,
+            get_rate_limit,
+            register_rate_limit,
+        )
+
+        register_rate_limit("t1", {"count": 5, "interval": "2s"})
+        rl = get_rate_limit("t1")
+        assert rl.count == 5 and rl.interval == 2.0
+        with pytest.raises(RateLimitError):
+            get_rate_limit("nope")
+
+
+def test_sink_rate_limit_throttles_batches(spark, tmp_path):
+    """A parquet sink with `rate_limit:` must block between batches per
+    the shared windowed budget (count=rows-per-batch, short interval —
+    two batches must take >= one interval of wall time)."""
+    import time
+
+    from bento_spark.plans.pipeline import build_pipeline
+    from bento_spark.operators.ratelimit import register_rate_limit
+
+    src = tmp_path / "in.json"
+    src.write_text('{"a": 1}\n{"a": 2}\n{"a": 3}\n{"a": 4}\n')
+    register_rate_limit("slow", {"count": 4, "interval": 0.5})
+    out = tmp_path / "out"
+    p = build_pipeline(
+        spark,
+        {
+            "input": {"json": {"path": str(src)}},
+            "output": {
+                "parquet": {"path": str(out), "rate_limit": "slow"}
+            },
+        },
+    )
+    t0 = time.time()
+    p.run()  # batch 1: 4 rows fill the window
+    p.run()  # batch 2: must wait out the remaining interval
+    elapsed = time.time() - t0
+    assert elapsed >= 0.4
+    assert spark.read.parquet(str(out)).count() == 8
