@@ -33,27 +33,30 @@ _PRIORITY = [
     # Multi-component "gauntlet" queries carry the codec/scanner/parser
     # families in one slot each; their singles are re-checked below the
     # fold. ----
-    # relational core (agg, join+topk)
-    "q1_pricing_summary", "q3_shipping_priority",
+    # relational core (agg; joins covered by semi_anti/asof/top_k below)
+    "q1_pricing_summary",
     # LLM-data ops: text analysis (cheap, unique)
     "text_token_stats", "text_quality_score", "text_language_id",
     "text_fingerprint_winnow",
     # windows / streaming semantics
-    "window_tumbling_hour", "window_sliding_hour", "window_session_user",
+    "window_tumbling_hour", "window_session_user",
     "dedupe_within_window",
     # multimodal
-    "mm_image_features", "mm_audio_features", "mm_frame_sample",
+    "mm_image_features", "mm_audio_features",
     # similarity + dedup (first-class LLM-pipeline ops)
     "dedup_exact", "ann_brute_force_topk", "ann_lsh_topk",
     "dedup_embedding_cosine", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_clusters",
+    # training-data corpus prep (each a distinct first-class op)
+    "decontaminate_overlap", "pack_sequences_contiguous", "pii_redact",
+    "quality_repetition_gopher", "sample_stratified_hash",
     # join / agg planes (§2.6-2.7)
     "asof_join_last_login", "semi_anti_join", "top_k_per_group",
     "rollup_priority", "skew_salted_agg",
     # bloblang (§2.2)
-    "bloblang_mapping", "bloblang_stdlib2", "bloblang_stdlib3",
+    "bloblang_mapping", "bloblang_stdlib2",
     # processors (each a distinct §2.1 row)
-    "proc_mapping_enrich", "proc_switch_route", "proc_try_catch",
+    "proc_switch_route", "proc_try_catch",
     "proc_dedupe_first", "proc_group_by_value", "proc_select_parts",
     "proc_bounds_check", "pipeline_yaml", "proc_workflow_dag",
     "proc_jmespath_collapse", "proc_jq", "proc_branch_enrich",
@@ -66,6 +69,8 @@ _PRIORITY = [
     "scan_gauntlet",
     # ---- below the fold: singles already covered by a gauntlet, agg
     # variants of a covered row, redundant relational shapes ----
+    "q3_shipping_priority", "window_sliding_hour", "bloblang_stdlib3",
+    "proc_mapping_enrich", "mm_frame_sample",
     "pivot_event_types", "percentiles_value", "set_ops_users",
     "proc_compress_roundtrip", "proc_parse_syslog", "proc_grok",
     "proc_parse_log", "proc_json_schema",

@@ -1,0 +1,294 @@
+"""Training-data pipeline operators: benchmark decontamination, sequence
+packing, PII redaction, repetition-quality (Gopher-style) signals, and
+deterministic stratified sampling.
+
+These extend the reference surface (SURVEY.md §7 phase 5 — the reference
+has no corpus-preparation operators; its nearest primitives are Bloblang
+``split``/``hash``/``re_replace_all``, internal/bloblang/query/
+methods_strings.go). Everything here is tier-a/b: built-in functions and
+joins only, whole-stage-codegen on the hot path, no Python UDFs.
+
+Scale notes (100 TB):
+* Decontamination joins on 60-bit *hashed* shingles (8-byte keys, never
+  raw n-gram strings) and takes ``broadcast_bench`` — benchmark suites
+  are small (MMLU et al. ≈ 10^5 rows) so the overlap join is map-side;
+  set it False to fall back to a shuffle hash join for huge holdouts.
+* Sequence packing needs a GLOBAL running sum — inherently ordered — so
+  it uses a two-level prefix scan (Blelloch): per-bucket partial sums
+  (parallel), a tiny cumulative pass over the ~n/bucket_width bucket
+  totals, then per-bucket windows with the bucket offset joined back in.
+  No global single-partition window ever sees row-level data; pick
+  ``bucket_width`` so bucket-total count stays driver-small (1e6 rows per
+  bucket => 1e8 docs -> 100 offsets).
+* PII redaction / quality signals / sampling are per-row expressions —
+  embarrassingly parallel, filter-pushdown friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bento_spark.functions.hashing import hash60, hash60_sql
+from bento_spark.functions.textops import exploded_word_shingles, words
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a holdout set)
+# ---------------------------------------------------------------------------
+
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-train-document overlap with a benchmark corpus' word n-grams.
+
+    Returns (doc_id, n_shingles, n_overlap, overlap_ratio, contaminated)
+    — the test-set-decontamination primitive: flag training documents
+    whose k-gram fingerprint substantially appears in an eval set.
+
+    Plan shape: codegen'd shingling (posexplode + window lead), 8-byte
+    hashed join keys, one equi-join + one partial-aggregated groupBy.
+    """
+    tr = exploded_word_shingles(train, id_col, text_col, n=n)
+    bn = (
+        exploded_word_shingles(bench, id_col, text_col, n=n)
+        .select(hash60(F.col("s")).alias("h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_bench:
+        bn = F.broadcast(bn)
+    per = (
+        tr.select("doc", hash60(F.col("s")).alias("h"))
+        .join(bn, "h", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_overlap"),
+        )
+    )
+    ratio = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_overlap").cast("double") / F.col("n_shingles"),
+    ).otherwise(F.lit(0.0))
+    return (
+        train.select(F.col(id_col).alias("doc"))
+        .join(per, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.coalesce(ratio, F.lit(0.0)).alias("overlap_ratio"),
+            (F.coalesce(ratio, F.lit(0.0)) >= threshold).cast("int").alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (contiguous token-budget bins via two-level prefix scan)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: Column,
+    capacity: int = 512,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Assign documents (in ``id_col`` order) to fixed-token-budget
+    training sequences: seq_id = floor(tokens_before / capacity).
+
+    Contiguous packing — the standard at-scale approximation of bin
+    packing (sort once, fill greedily) used when assembling fixed-length
+    training batches from variable-length documents.
+
+    Distributed prefix sum: per-bucket sums in parallel, one tiny
+    cumulative window over bucket totals (n/bucket_width rows), offsets
+    broadcast-joined back, per-bucket running sums under a partitioned
+    window. No row-level data crosses a single-partition boundary.
+    """
+    base = df.select(
+        F.col(id_col),
+        token_col.cast("long").alias("n_tokens"),
+        F.expr(f"{id_col} div {bucket_width}").alias("__bkt"),
+    )
+    btot = base.groupBy("__bkt").agg(F.sum("n_tokens").alias("__bt"))
+    # Bucket-count rows only (n / bucket_width): the one ordered pass.
+    off_w = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "__bkt", F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off")
+    )
+    run_w = (
+        Window.partitionBy("__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    before = F.col("__off") + F.sum("n_tokens").over(run_w) - F.col("n_tokens")
+    return (
+        base.join(F.broadcast(offsets), "__bkt")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            before.alias("__before"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(f"__before div {capacity}").alias("seq_id"),
+            (F.col("__before") % capacity).alias("seq_pos"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str, id_col: str, token_expr: str, capacity: int = 512
+) -> str:
+    """DuckDB twin of ``pack_sequences`` (direct global window — the
+    oracle doesn't need the two-level scan, only identical values)."""
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, CAST({token_expr} AS BIGINT) AS n_tokens FROM {table}
+    ), c AS (
+      SELECT {id_col}, n_tokens,
+             sum(n_tokens) OVER (ORDER BY {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS before
+      FROM t
+    )
+    SELECT {id_col}, n_tokens,
+           before // {capacity} AS seq_id,
+           before % {capacity} AS seq_pos
+    FROM c ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex patterns valid in BOTH Java regex and RE2)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+# Redaction order matters: emails first (they contain dots/digits that
+# the ip/phone patterns could partially match), then ips, then phones.
+PII_PATTERNS = [
+    ("email", EMAIL_RE, "[EMAIL]"),
+    ("ip", IPV4_RE, "[IP]"),
+    ("phone", PHONE_RE, "[PHONE]"),
+]
+
+
+def pii_counts_and_redact(col: Column) -> dict[str, Column]:
+    """Counts per PII kind (on the raw text) + fully redacted text."""
+    out: dict[str, Column] = {}
+    red = col
+    for kind, pat, rep in PII_PATTERNS:
+        out[f"n_{kind}s"] = F.size(
+            F.regexp_extract_all(red, F.lit(pat), F.lit(0))
+        ).cast("int")
+        red = F.regexp_replace(red, pat, rep)
+    out["redacted"] = red
+    return out
+
+
+def pii_sql_fragments(expr: str) -> dict[str, str]:
+    """DuckDB twins (regexp_replace needs the 'g' flag — DuckDB replaces
+    first-match-only by default, Spark replaces all)."""
+    out: dict[str, str] = {}
+    red = expr
+    for kind, pat, rep in PII_PATTERNS:
+        out[f"n_{kind}s"] = (
+            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS INT)"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    out["redacted"] = red
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition-quality signals (Gopher-style filters, Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_n: int = 3,
+    max_top_word_frac: float = 0.2,
+    max_dup_gram_frac: float = 0.3,
+    max_symbols_per_word: float = 0.1,
+) -> DataFrame:
+    """Per-doc repetition/quality metrics + keep flag.
+
+    * top_word_frac — most-frequent-word share of all words;
+    * dup_gram_frac — fraction of word n-grams that are repeats;
+    * symbols_per_word — non-alphanumeric chars per word.
+
+    Two explode→partial-agg pipelines (words, n-grams) joined back on the
+    doc id — linear, one shuffle each, no per-row lambdas.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("__txt"),
+        F.size(words(F.col(text_col))).cast("long").alias("n_words"),
+    )
+    top = (
+        base.select("doc", F.explode(words(F.col("__txt"))).alias("w"))
+        .groupBy("doc", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg(F.max("c").alias("cmax"), F.sum("c").alias("csum"))
+    )
+    grams = (
+        exploded_word_shingles(df, id_col, text_col, n=gram_n, distinct=True)
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    nt = F.greatest(F.col("n_words") - (gram_n - 1), F.lit(0))
+    sym = F.length(F.regexp_replace(F.col("__txt"), "[A-Za-z0-9 ]", ""))
+    top_frac = F.col("cmax").cast("double") / F.col("csum")
+    dup_frac = F.when(
+        nt > 0, (nt - F.coalesce(F.col("nd"), F.lit(0))).cast("double") / nt
+    ).otherwise(F.lit(0.0))
+    spw = sym.cast("double") / F.col("n_words")
+    keep = (
+        (top_frac <= max_top_word_frac)
+        & (dup_frac <= max_dup_gram_frac)
+        & (spw <= max_symbols_per_word)
+    )
+    return (
+        base.join(top, "doc")
+        .join(grams, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            top_frac.alias("top_word_frac"),
+            dup_frac.alias("dup_gram_frac"),
+            spw.alias("symbols_per_word"),
+            keep.cast("int").alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_hash_sample_flag(
+    id_col: Column, pct: int, salt: str = "sample"
+) -> Column:
+    """Deterministic keep-flag: hash60(salt:id) % 100 < pct. Stable
+    across runs/engines/cluster sizes — the reproducible-subsample
+    primitive (no rand(), no seed-per-partition drift)."""
+    return (hash60(id_col.cast("string"), salt=salt) % 100 < pct).cast("int")
+
+
+def stratified_hash_sample_flag_sql(id_expr: str, pct: int, salt: str = "sample") -> str:
+    h = hash60_sql(f"CAST({id_expr} AS VARCHAR)", salt=salt)
+    return f"CAST(CASE WHEN {h} % 100 < {pct} THEN 1 ELSE 0 END AS INT)"

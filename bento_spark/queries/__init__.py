@@ -44,4 +44,5 @@ def load_all() -> None:
         similarity,
         streaming,
         text,
+        traindata,
     )

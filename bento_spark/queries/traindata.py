@@ -1,0 +1,196 @@
+"""Gate queries for the training-data pipeline operators: benchmark
+decontamination, sequence packing, PII redaction, Gopher-style
+repetition filters, and deterministic stratified sampling.
+
+Each oracle is generated from the SAME pattern constants / SQL twins as
+the Spark plan (operators/traindata.py), so query and oracle cannot
+drift. All run on the `documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.functions.hashing import hash60_sql
+from bento_spark.functions.textops import word_shingles_sql, words
+from bento_spark.operators.traindata import (
+    contamination_overlap,
+    pack_sequences,
+    pack_sequences_sql,
+    pii_counts_and_redact,
+    pii_sql_fragments,
+    repetition_signals,
+    stratified_hash_sample_flag,
+    stratified_hash_sample_flag_sql,
+)
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+
+DECON_N, DECON_TAU = 5, 0.5
+PACK_CAP = 512
+SAMPLE_PCT = 20
+GOPHER = dict(gram_n=3, max_top_word_frac=0.2, max_dup_gram_frac=0.3,
+              max_symbols_per_word=0.1)
+
+
+@query(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id, {hash60_sql('s')} AS h
+      FROM (SELECT doc_id, unnest({word_shingles_sql('text', DECON_N)}) AS s
+            FROM documents WHERE doc_id % 10 <> 0)
+    ), bn AS (
+      SELECT DISTINCT {hash60_sql('s')} AS h
+      FROM (SELECT unnest({word_shingles_sql('text', DECON_N)}) AS s
+            FROM documents WHERE doc_id % 10 = 0)
+    ), per AS (
+      SELECT tr.doc_id, count(*) AS n_shingles,
+             coalesce(sum(CASE WHEN bn.h IS NOT NULL THEN 1 END), 0) AS n_overlap
+      FROM tr LEFT JOIN bn ON tr.h = bn.h
+      GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+           CASE WHEN coalesce(n_shingles, 0) > 0
+                THEN coalesce(n_overlap, 0)::DOUBLE / n_shingles
+                ELSE 0.0e0 END AS overlap_ratio,
+           CAST(CASE WHEN coalesce(n_shingles, 0) > 0
+                      AND coalesce(n_overlap, 0)::DOUBLE / n_shingles
+                          >= {DECON_TAU!r}e0
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+    LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs whose 5-gram shingles overlap a benchmark
+    holdout (docs with doc_id % 10 == 0 stand in for the eval set).
+    Hashed 8-byte join keys; benchmark side broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return contamination_overlap(
+        train, bench, "doc_id", "text", n=DECON_N, threshold=DECON_TAU
+    )
+
+
+@query(
+    "pack_sequences_contiguous",
+    oracle=pack_sequences_sql(
+        "documents", "doc_id", "len(string_split(text, ' '))", capacity=PACK_CAP
+    ),
+)
+def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-budget packing of documents into training
+    sequences via the two-level distributed prefix scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", F.size(words(F.col("text"))), capacity=PACK_CAP
+    )
+
+
+_PII = pii_sql_fragments(
+    "concat(text, ' contact user', doc_id, '@mail.example.com or 555-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' from 10.0.', "
+    "CAST(doc_id % 256 AS VARCHAR), '.7')"
+)
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    SELECT doc_id, {_PII['n_emails']} AS n_emails, {_PII['n_ips']} AS n_ips,
+           {_PII['n_phones']} AS n_phones, {_PII['redacted']} AS redacted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + redact emails/IPs/phone fragments. PII is synthesized
+    deterministically per doc (corpus text has none) so the redaction
+    path is actually exercised; patterns valid in Java regex AND RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    c = pii_counts_and_redact(raw)
+    return docs.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+        c["redacted"].alias("redacted"),
+    )
+
+
+@query(
+    "quality_repetition_gopher",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, max(c) AS cmax, sum(c) AS csum
+      FROM (SELECT doc_id, word, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            GROUP BY doc_id, word)
+      GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id,
+             CAST(len({word_shingles_sql('text', 3)}) AS BIGINT) AS nd,
+             greatest(len(string_split(text, ' ')) - 2, 0) AS nt,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+               / len(string_split(text, ' ')) AS spw
+      FROM documents
+    )
+    SELECT u.doc_id,
+           cmax::DOUBLE / csum AS top_word_frac,
+           CASE WHEN nt > 0 THEN (nt - nd)::DOUBLE / nt ELSE 0.0e0 END
+             AS dup_gram_frac,
+           spw AS symbols_per_word,
+           CAST(CASE WHEN cmax::DOUBLE / csum <= {GOPHER['max_top_word_frac']!r}e0
+                      AND (CASE WHEN nt > 0 THEN (nt - nd)::DOUBLE / nt
+                           ELSE 0.0e0 END) <= {GOPHER['max_dup_gram_frac']!r}e0
+                      AND spw <= {GOPHER['max_symbols_per_word']!r}e0
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM u JOIN g USING (doc_id)
+    ORDER BY u.doc_id
+    """,
+)
+def quality_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-word share, duplicate-3-gram
+    fraction, symbols per word, combined keep flag."""
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text", **GOPHER)
+
+
+_FLAG_SQL = stratified_hash_sample_flag_sql("doc_id", SAMPLE_PCT)
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum({_FLAG_SQL}) AS BIGINT) AS n_kept,
+           sum({_FLAG_SQL})::DOUBLE / count(*) AS rate
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% hash sample with per-(lang, source) stratum
+    accounting — reproducible subsampling independent of cluster layout."""
+    docs = _t(spark, sf_dir, "documents")
+    flag = stratified_hash_sample_flag(F.col("doc_id"), SAMPLE_PCT)
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(flag).cast("long").alias("n_kept"),
+        (F.sum(flag).cast("double") / F.count(F.lit(1))).alias("rate"),
+    )
