@@ -57,7 +57,7 @@ _PRIORITY = [
     "bloblang_mapping", "bloblang_stdlib2",
     # processors (each a distinct §2.1 row)
     "proc_switch_route", "proc_try_catch",
-    "proc_dedupe_first", "proc_group_by_value", "proc_select_parts",
+    "proc_kv_enrich", "proc_group_by_value", "proc_select_parts",
     "proc_bounds_check", "pipeline_yaml", "proc_workflow_dag",
     "proc_jmespath_collapse", "proc_jq", "proc_branch_enrich",
     "proc_cache_lookup", "json_variant_extract", "proc_http_enrich",
@@ -70,7 +70,7 @@ _PRIORITY = [
     # ---- below the fold: singles already covered by a gauntlet, agg
     # variants of a covered row, redundant relational shapes ----
     "q3_shipping_priority", "window_sliding_hour", "bloblang_stdlib3",
-    "proc_mapping_enrich", "mm_frame_sample",
+    "proc_mapping_enrich", "mm_frame_sample", "proc_dedupe_first",
     "pivot_event_types", "percentiles_value", "set_ops_users",
     "proc_compress_roundtrip", "proc_parse_syslog", "proc_grok",
     "proc_parse_log", "proc_json_schema",

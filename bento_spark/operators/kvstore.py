@@ -1,0 +1,194 @@
+"""External key-value lookup/write contract — the redis/memcached/mongo
+enrichment pattern — with two working backends: sqlite (file-backed,
+cross-process, stdlib) and an in-memory snapshot (test double).
+
+Reference parity: the `redis` processor (internal/impl/redis/processor.go)
+and the remote-cache-backed `cache` processor
+(internal/impl/pure/processor_cache.go with cache resources under
+internal/impl/{redis,memcached,aws,...}). The Spark-shaped contract is:
+one client per PARTITION (never per row), batched MGET per Arrow batch,
+injectable client factory — the same transport-injection pattern as
+operators/http.py, so a real redis client slots into ``factory`` when
+its library exists without touching the operator.
+
+Scale notes: lookups are a narrow mapInPandas (no shuffle); the KV round
+trip is batched at Arrow-batch granularity so a 1000-executor scan issues
+O(batches) MGETs, not O(rows) GETs. Writes batch per partition. For
+lookup tables that FIT in memory, prefer a broadcast join
+(`processors.cache_get`) — this operator is for stores too large or too
+mutable to snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from collections.abc import Callable, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType, StructType
+
+
+class SqliteKV:
+    """File-backed KV store (stdlib sqlite3). Safe for one writer +
+    many cross-process readers (WAL). The offline stand-in for a remote
+    redis/memcached endpoint — same mget/mset surface."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._con = sqlite3.connect(path, timeout=30)
+        self._con.execute("PRAGMA journal_mode=WAL")
+        self._con.execute(
+            "CREATE TABLE IF NOT EXISTS kv (k TEXT PRIMARY KEY, v TEXT)"
+        )
+        self._con.commit()
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        out: dict[str, str] = {}
+        CHUNK = 500  # sqlite parameter limit is 999
+        uniq = list(dict.fromkeys(keys))
+        for i in range(0, len(uniq), CHUNK):
+            chunk = uniq[i : i + CHUNK]
+            ph = ",".join("?" * len(chunk))
+            for k, v in self._con.execute(
+                f"SELECT k, v FROM kv WHERE k IN ({ph})", chunk
+            ):
+                out[k] = v
+        return [out.get(k) for k in keys]
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        self._con.executemany(
+            "INSERT INTO kv (k, v) VALUES (?, ?) "
+            "ON CONFLICT (k) DO UPDATE SET v = excluded.v",
+            list(pairs),
+        )
+        self._con.commit()
+
+    def close(self) -> None:
+        self._con.close()
+
+
+class MemoryKV:
+    """Snapshot-backed test double: reads see the snapshot captured at
+    factory-build time (closure-shipped to executors); writes stay local
+    to the worker. Use SqliteKV when writes must be visible."""
+
+    def __init__(self, snapshot: dict[str, str] | None = None):
+        self._d = dict(snapshot or {})
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        return [self._d.get(k) for k in keys]
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        self._d.update(pairs)
+
+    def close(self) -> None:
+        pass
+
+
+def kv_enrich(
+    df: DataFrame,
+    factory: Callable[[], object],
+    key_col: str,
+    out_col: str = "kv_value",
+) -> DataFrame:
+    """Append ``out_col`` = store[str(key_col)] (NULL on miss).
+
+    One client per partition, one batched MGET per Arrow batch."""
+    # copy the field list — StructType() keeps the given list by
+    # reference, so .add() would otherwise mutate df's own schema
+    schema = StructType(list(df.schema.fields)).add(out_col, StringType())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = factory()
+        try:
+            for pdf in batches:
+                keys = pdf[key_col].astype(str).tolist()
+                pdf = pdf.copy()
+                pdf[out_col] = pd.array(client.mget(keys), dtype=object)
+                yield pdf
+        finally:
+            client.close()
+
+    return df.mapInPandas(gen, schema)
+
+
+def kv_write(
+    df: DataFrame,
+    factory: Callable[[], object],
+    key_col: str,
+    value_col: str,
+    batch_size: int = 1000,
+) -> None:
+    """Write (key, value) pairs to the store — one client per partition,
+    MSET in ``batch_size`` chunks. Eager (an action, like a sink)."""
+
+    def write_partition(rows) -> None:
+        client = factory()
+        try:
+            buf: list[tuple[str, str]] = []
+            for r in rows:
+                buf.append((str(r[key_col]), str(r[value_col])))
+                if len(buf) >= batch_size:
+                    client.mset(buf)
+                    buf = []
+            if buf:
+                client.mset(buf)
+        finally:
+            client.close()
+
+    df.select(key_col, value_col).foreachPartition(write_partition)
+
+
+def load_cache_from_kv(name: str, path: str) -> dict:
+    """Snapshot a sqlite KV store into a registered Bloblang cache
+    resource (stream-static semantics, bloblang_cache.go parity)."""
+    from bento_spark.bloblang.stdlib_ext import register_cache
+
+    kv = SqliteKV(path)
+    snap = dict(kv._con.execute("SELECT k, v FROM kv"))
+    kv.close()
+    cache = register_cache(name)
+    cache.update(snap)
+    return cache
+
+
+def _client_from_url(url: str):
+    """`sqlite:///abs/path.db` or `memory://` — the offline backends.
+    A `redis://` URL maps to a redis-py client here when that library
+    exists; absent in this container (documented in COVERAGE.md)."""
+    if url.startswith("sqlite:///"):
+        return SqliteKV(url[len("sqlite:///") - 1 :])
+    if url.startswith("memory://"):
+        return MemoryKV()
+    raise ValueError(f"unsupported kv url {url!r} (sqlite:/// or memory://)")
+
+
+def _proc_kv(df: DataFrame, conf: dict) -> DataFrame:
+    """Pipeline processor `kv`: {url, operator: get, key: <col>,
+    result_column} — the config surface of the reference's redis
+    processor, batched per partition."""
+    url = conf["url"]
+    op = conf.get("operator", "get")
+    if op != "get":
+        raise ValueError(
+            "pipeline kv processor supports operator: get "
+            "(writes are sink-side: kv_write)"
+        )
+    return kv_enrich(
+        df,
+        lambda: _client_from_url(url),
+        conf["key"],
+        conf.get("result_column", "kv_value"),
+    )
+
+
+def _register() -> None:
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    PROCESSORS["kv"] = _proc_kv
+    PROCESSORS["redis"] = _proc_kv
+
+
+_register()

@@ -168,6 +168,7 @@ PROCESSORS = {
 }
 
 
+from bento_spark.operators import kvstore  # noqa: E402,F401  (registers kv/redis)
 from bento_spark.operators import sqlproc  # noqa: E402,F401  (registers sql_insert/sql_raw)
 from bento_spark.operators import subproc  # noqa: E402,F401  (registers subprocess/command/awk)
 

@@ -1357,3 +1357,41 @@ def proc_archive_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chunk_leg)
     )
     return out.orderBy("kind", "k1", "k2", "val")
+
+
+@query(
+    "proc_kv_enrich",
+    oracle="""
+    SELECT c.c_custkey AS custkey, n.n_name AS nation_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY custkey
+    """,
+)
+def proc_kv_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External KV lookup contract (`redis` processor shape,
+    internal/impl/redis/processor.go; remote-cache `cache` processor,
+    processor_cache.go): seed a sqlite KV store from the nation table via
+    the distributed writer (kv_write, one client + batched MSET per
+    partition), then enrich customers via per-partition batched MGET
+    (kv_enrich). The sqlite file stands in for the remote endpoint; a
+    redis client drops into the same factory when its library exists."""
+    import hashlib
+    import os
+    import tempfile
+
+    from bento_spark.operators.kvstore import SqliteKV, kv_enrich, kv_write
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bento_kv_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.db",
+    )
+    for p in (path, path + "-wal", path + "-shm"):
+        if os.path.exists(p):
+            os.remove(p)
+    nation = _t(spark, sf_dir, "nation")
+    kv_write(nation, lambda: SqliteKV(path), "n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    out = kv_enrich(cust, lambda: SqliteKV(path), "c_nationkey", "nation_name")
+    return out.select(
+        F.col("c_custkey").alias("custkey"), "nation_name"
+    ).orderBy("custkey")

@@ -1,0 +1,87 @@
+"""KV lookup/write contract tests (operators/kvstore.py): sqlite backend
+roundtrips cross-process, enrichment misses are NULL, pipeline `kv`
+processor wiring."""
+
+from __future__ import annotations
+
+import os
+
+from bento_spark.operators.kvstore import (
+    MemoryKV,
+    SqliteKV,
+    kv_enrich,
+    kv_write,
+    load_cache_from_kv,
+)
+
+
+def test_sqlite_kv_roundtrip(tmp_path):
+    kv = SqliteKV(str(tmp_path / "s.db"))
+    kv.mset([("a", "1"), ("b", "2")])
+    kv.mset([("b", "3")])  # upsert
+    assert kv.mget(["a", "b", "zz"]) == ["1", "3", None]
+    # >500 keys crosses the IN-clause chunking boundary
+    kv.mset([(f"k{i}", str(i)) for i in range(1200)])
+    got = kv.mget([f"k{i}" for i in range(1200)])
+    assert got == [str(i) for i in range(1200)]
+    kv.close()
+
+
+def test_kv_enrich_hits_and_misses(spark, tmp_path):
+    path = str(tmp_path / "e.db")
+    kv = SqliteKV(path)
+    kv.mset([("1", "one"), ("3", "three")])
+    kv.close()
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    out = {r.k: r.v for r in
+           kv_enrich(df, lambda: SqliteKV(path), "k", "v").collect()}
+    assert out == {1: "one", 2: None, 3: "three"}
+
+
+def test_kv_write_visible_to_enrich(spark, tmp_path):
+    path = str(tmp_path / "w.db")
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k long, v string"
+    ).repartition(4)
+    kv_write(src, lambda: SqliteKV(path), "k", "v", batch_size=7)
+    probe = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    out = kv_enrich(probe, lambda: SqliteKV(path), "k", "got").collect()
+    assert all(r.got == f"v{r.k}" for r in out)
+
+
+def test_memory_kv_snapshot(spark):
+    snap = {"10": "x"}
+    df = spark.createDataFrame([(10,), (11,)], "k long")
+    out = {r.k: r.v for r in
+           kv_enrich(df, lambda: MemoryKV(snap), "k", "v").collect()}
+    assert out == {10: "x", 11: None}
+
+
+def test_pipeline_kv_processor(spark, tmp_path):
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    path = str(tmp_path / "p.db")
+    kv = SqliteKV(path)
+    kv.mset([("7", "seven")])
+    kv.close()
+    df = spark.createDataFrame([(7,)], "uid long")
+    out = PROCESSORS["kv"](
+        df, {"url": f"sqlite://{path}", "key": "uid", "result_column": "name"}
+    ).collect()
+    assert out[0].name == "seven"
+    assert "redis" in PROCESSORS  # alias registered
+
+
+def test_load_cache_from_kv(tmp_path):
+    from bento_spark.bloblang.stdlib_ext import CACHE_RESOURCES
+
+    path = str(tmp_path / "c.db")
+    kv = SqliteKV(path)
+    kv.mset([("cc", "vv")])
+    kv.close()
+    name = "kvtest_cache"
+    try:
+        cache = load_cache_from_kv(name, path)
+        assert cache["cc"] == "vv"
+    finally:
+        CACHE_RESOURCES.pop(name, None)
