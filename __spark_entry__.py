@@ -69,6 +69,7 @@ _PRIORITY = [
     "scan_gauntlet",
     # ---- below the fold: singles already covered by a gauntlet, agg
     # variants of a covered row, redundant relational shapes ----
+    "bloblang_geoip",
     "q3_shipping_priority", "window_sliding_hour", "bloblang_stdlib3",
     "proc_mapping_enrich", "mm_frame_sample", "proc_dedupe_first",
     "pivot_event_types", "percentiles_value", "set_ops_users",

@@ -436,3 +436,49 @@ for _name, _tier in [
 # handles them as special forms; markers keep the inventory accurate.
 for _fname in ("content", "json"):
     function(_fname, "b")(_compiler_dispatched(_fname))
+
+
+# ---- geoip_* (MaxMind) ----------------------------------------------------
+# Reference: internal/impl/maxmind/bloblang_geoip.go — each method takes
+# an mmdb path, looks up the IP-string receiver, and returns the record
+# object (here: canonical JSON, like the other tier-c parse methods).
+# The reader is bento_spark.functions.mmdb — a pure-Python implementation
+# of the public MaxMind DB spec (geoip2/maxminddb libs absent); real
+# GeoLite2 files load unchanged, fixtures come from its build_mmdb().
+
+_GEOIP_METHODS = (
+    "geoip_city",
+    "geoip_country",
+    "geoip_asn",
+    "geoip_enterprise",
+    "geoip_anonymous_ip",
+    "geoip_connection_type",
+    "geoip_domain",
+    "geoip_isp",
+)
+
+
+def _register_geoip(name: str) -> None:
+    @method(name, "c")
+    def _geo(c: Column, path: str) -> Column:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def run(s: pd.Series) -> pd.Series:
+            from bento_spark.functions.mmdb import open_mmdb
+
+            db = open_mmdb(path)
+
+            def one(ip):
+                if ip is None:
+                    return None
+                rec = db.get(ip)
+                return None if rec is None else _json.dumps(rec, sort_keys=True)
+
+            return s.map(one)
+
+        return run(c)
+
+
+for _gname in _GEOIP_METHODS:
+    _register_geoip(_gname)

@@ -1,0 +1,314 @@
+"""Pure-Python MaxMind-DB (``.mmdb``) reader + minimal writer.
+
+Implements the public MaxMind DB File Format Specification 2.0
+(https://maxmind.github.io/MaxMind-DB/): binary search tree over IP
+bits, control-byte-typed data section, metadata map after the
+``\\xab\\xcd\\xefMaxMind.com`` marker. Backs the Bloblang ``geoip_*``
+method family (reference: internal/impl/maxmind/bloblang_geoip.go,
+which uses the oschwald/geoip2 reader — absent here, so the format is
+implemented directly from the spec).
+
+The writer emits a small-but-valid subset (24-bit records, pointer-free
+data section) — enough to build fixture databases for tests and demos;
+the reader handles the full format (24/28/32-bit records, pointers,
+extended types) so real GeoLite2 files load unchanged.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import struct
+import time
+from typing import Any
+
+_MARKER = b"\xab\xcd\xefMaxMind.com"
+
+# type codes (spec §"Output Data Section")
+_T_PTR, _T_STR, _T_DOUBLE, _T_BYTES, _T_U16, _T_U32, _T_MAP = 1, 2, 3, 4, 5, 6, 7
+_T_I32, _T_U64, _T_U128, _T_ARR, _T_BOOL, _T_FLOAT = 8, 9, 10, 11, 14, 15
+
+
+class MMDBError(ValueError):
+    pass
+
+
+class MMDBReader:
+    """Random-access reader over an in-memory ``.mmdb`` image."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self.buf = f.read()
+        idx = self.buf.rfind(_MARKER)
+        if idx < 0:
+            raise MMDBError(f"{path}: no MaxMind metadata marker")
+        # metadata is a plain data-section map starting right after the
+        # marker; pointers are not legal there
+        meta, _ = self._decode(idx + len(_MARKER), data_base=idx + len(_MARKER))
+        self.metadata: dict[str, Any] = meta
+        self.node_count: int = meta["node_count"]
+        self.record_size: int = meta["record_size"]
+        self.ip_version: int = meta["ip_version"]
+        if self.record_size not in (24, 28, 32):
+            raise MMDBError(f"unsupported record size {self.record_size}")
+        self._node_bytes = self.record_size * 2 // 8
+        self.tree_size = self.node_count * self._node_bytes
+        self._data_base = self.tree_size + 16  # 16-byte separator
+
+    # -- search tree --------------------------------------------------
+
+    def _record(self, node: int, side: int) -> int:
+        b = self.buf
+        base = node * self._node_bytes
+        if self.record_size == 24:
+            o = base + side * 3
+            return int.from_bytes(b[o : o + 3], "big")
+        if self.record_size == 28:
+            if side == 0:
+                return ((b[base + 3] & 0xF0) << 20) | int.from_bytes(
+                    b[base : base + 3], "big"
+                )
+            return ((b[base + 3] & 0x0F) << 24) | int.from_bytes(
+                b[base + 4 : base + 7], "big"
+            )
+        o = base + side * 4
+        return int.from_bytes(b[o : o + 4], "big")
+
+    def get(self, ip: str) -> Any | None:
+        """Record for ``ip`` (longest-prefix match), or None."""
+        addr = ipaddress.ip_address(ip)
+        if addr.version == 4 and self.ip_version == 6:
+            value = int(ipaddress.IPv6Address("::ffff:" + str(addr)))
+            nbits = 128
+        elif addr.version == 6 and self.ip_version == 4:
+            return None
+        else:
+            value = int(addr)
+            nbits = 32 if addr.version == 4 else 128
+        node = 0
+        for i in range(nbits - 1, -1, -1):
+            node = self._record(node, (value >> i) & 1)
+            if node >= self.node_count:
+                break
+        if node <= self.node_count:  # ran out of bits, or "no data"
+            return None
+        # record > node_count: data offset relative to the separator
+        off = self.tree_size + (node - self.node_count)
+        val, _ = self._decode(off, data_base=self._data_base)
+        return val
+
+    # -- data section decoder -----------------------------------------
+
+    def _decode(self, off: int, data_base: int) -> tuple[Any, int]:
+        b = self.buf
+        ctrl = b[off]
+        off += 1
+        t = ctrl >> 5
+        if t == _T_PTR:
+            sz = (ctrl >> 3) & 0x3
+            v = ctrl & 0x7
+            if sz == 0:
+                p = (v << 8) | b[off]
+                off += 1
+            elif sz == 1:
+                p = ((v << 16) | int.from_bytes(b[off : off + 2], "big")) + 2048
+                off += 2
+            elif sz == 2:
+                p = ((v << 24) | int.from_bytes(b[off : off + 3], "big")) + 526336
+                off += 3
+            else:
+                p = int.from_bytes(b[off : off + 4], "big")
+                off += 4
+            val, _ = self._decode(data_base + p, data_base)
+            return val, off
+        if t == 0:  # extended type
+            t = b[off] + 7
+            off += 1
+        size = ctrl & 0x1F
+        if size == 29:
+            size = 29 + b[off]
+            off += 1
+        elif size == 30:
+            size = 285 + int.from_bytes(b[off : off + 2], "big")
+            off += 2
+        elif size == 31:
+            size = 65821 + int.from_bytes(b[off : off + 3], "big")
+            off += 3
+        if t == _T_STR:
+            return b[off : off + size].decode("utf-8"), off + size
+        if t == _T_DOUBLE:
+            return struct.unpack(">d", b[off : off + 8])[0], off + 8
+        if t == _T_FLOAT:
+            return struct.unpack(">f", b[off : off + 4])[0], off + 4
+        if t == _T_BYTES:
+            return bytes(b[off : off + size]), off + size
+        if t in (_T_U16, _T_U32, _T_U64, _T_U128):
+            return int.from_bytes(b[off : off + size], "big"), off + size
+        if t == _T_I32:
+            return (
+                int.from_bytes(b[off : off + size], "big", signed=True)
+                if size
+                else 0
+            ), off + size
+        if t == _T_BOOL:
+            return size == 1, off  # value lives in the size field
+        if t == _T_MAP:
+            out: dict[str, Any] = {}
+            for _ in range(size):
+                k, off = self._decode(off, data_base)
+                v, off = self._decode(off, data_base)
+                out[k] = v
+            return out, off
+        if t == _T_ARR:
+            arr = []
+            for _ in range(size):
+                v, off = self._decode(off, data_base)
+                arr.append(v)
+            return arr, off
+        raise MMDBError(f"unsupported mmdb type {t} at offset {off}")
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer (fixture databases): 24-bit records, pointer-free data
+# ---------------------------------------------------------------------------
+
+
+def _enc_size(t: int, size: int) -> bytes:
+    ext = b""
+    if t >= 8:
+        ext = bytes([t - 7])
+        t = 0
+    if size < 29:
+        return bytes([(t << 5) | size]) + ext
+    if size < 285:
+        return bytes([(t << 5) | 29]) + ext + bytes([size - 29])
+    return bytes([(t << 5) | 30]) + ext + (size - 285).to_bytes(2, "big")
+
+
+def _enc_value(v: Any) -> bytes:
+    if isinstance(v, bool):
+        b = bytes([(0 << 5) | (1 if v else 0)])
+        return b + bytes([_T_BOOL - 7])  # extended: size byte then type
+    if isinstance(v, str):
+        raw = v.encode("utf-8")
+        return _enc_size(_T_STR, len(raw)) + raw
+    if isinstance(v, bytes):
+        return _enc_size(_T_BYTES, len(v)) + v
+    if isinstance(v, float):
+        return _enc_size(_T_DOUBLE, 8) + struct.pack(">d", v)
+    if isinstance(v, int):
+        if v < 0:
+            return _enc_size(_T_I32, 4) + v.to_bytes(4, "big", signed=True)
+        raw = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big") if v else b""
+        t = _T_U16 if v < 1 << 16 else _T_U32 if v < 1 << 32 else _T_U64
+        return _enc_size(t, len(raw)) + raw
+    if isinstance(v, dict):
+        out = _enc_size(_T_MAP, len(v))
+        for k, vv in v.items():
+            out += _enc_value(str(k)) + _enc_value(vv)
+        return out
+    if isinstance(v, (list, tuple)):
+        out = _enc_size(_T_ARR, len(v))
+        for vv in v:
+            out += _enc_value(vv)
+        return out
+    raise MMDBError(f"cannot encode {type(v).__name__}")
+
+
+def build_mmdb(
+    networks: list[tuple[str, dict]],
+    path: str,
+    database_type: str = "GeoIP2-City",
+    ip_version: int = 4,
+) -> None:
+    """Write a valid ``.mmdb`` containing ``networks`` = [(cidr, record)].
+
+    Networks must be disjoint. 24-bit records; every record is encoded
+    inline (no pointers) — small fixture databases only.
+    """
+    nets = [
+        (ipaddress.ip_network(c), rec) for c, rec in networks
+    ]
+    for n, _ in nets:
+        if (n.version == 4) != (ip_version == 4):
+            raise MMDBError("network family must match ip_version")
+
+    # -- trie ----------------------------------------------------------
+    LEAF = "__leaf__"
+    root: dict = {}
+    for n, rec in nets:
+        bits = int(n.network_address)
+        nbits = 32 if n.version == 4 else 128
+        node = root
+        for i in range(nbits - 1, nbits - 1 - n.prefixlen, -1):
+            bit = (bits >> i) & 1
+            nxt = node.setdefault(bit, {})
+            if LEAF in nxt and i != nbits - n.prefixlen:
+                raise MMDBError("overlapping networks")
+            node = nxt
+        node[LEAF] = rec
+
+    # -- number internal nodes (preorder) ------------------------------
+    order: list[dict] = []
+
+    def walk(nd: dict) -> None:
+        if LEAF in nd:
+            return
+        order.append(nd)
+        for side in (0, 1):
+            if side in nd:
+                walk(nd[side])
+
+    walk(root)
+    node_ids = {id(nd): i for i, nd in enumerate(order)}
+    node_count = len(order)
+
+    # -- data section ---------------------------------------------------
+    data = bytearray()
+    offsets: dict[int, int] = {}
+    for _, rec in nets:
+        if id(rec) not in offsets:
+            offsets[id(rec)] = len(data)
+            data += _enc_value(rec)
+
+    def record_for(nd: dict | None) -> int:
+        if nd is None:
+            return node_count  # "no data"
+        if LEAF in nd:
+            return node_count + 16 + offsets[id(nd[LEAF])]
+        return node_ids[id(nd)]
+
+    tree = bytearray()
+    for nd in order:
+        left = record_for(nd.get(0))
+        right = record_for(nd.get(1))
+        tree += left.to_bytes(3, "big") + right.to_bytes(3, "big")
+
+    meta = {
+        "binary_format_major_version": 2,
+        "binary_format_minor_version": 0,
+        "build_epoch": int(time.time()),
+        "database_type": database_type,
+        "description": {"en": "bento_spark fixture"},
+        "ip_version": ip_version,
+        "languages": ["en"],
+        "node_count": node_count,
+        "record_size": 24,
+    }
+    with open(path, "wb") as f:
+        f.write(bytes(tree))
+        f.write(b"\x00" * 16)
+        f.write(bytes(data))
+        f.write(_MARKER)
+        f.write(_enc_value(meta))
+
+
+_READERS: dict[str, MMDBReader] = {}
+
+
+def open_mmdb(path: str) -> MMDBReader:
+    """Per-process reader cache (one mmap-style image per worker, shared
+    across Arrow batches — the geoip UDFs call this per batch)."""
+    r = _READERS.get(path)
+    if r is None:
+        r = _READERS[path] = MMDBReader(path)
+    return r

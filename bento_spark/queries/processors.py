@@ -1395,3 +1395,48 @@ def proc_kv_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("c_custkey").alias("custkey"), "nation_name"
     ).orderBy("custkey")
+
+
+@query(
+    "bloblang_geoip",
+    oracle="""
+    SELECT c.c_custkey AS custkey, n.n_name AS nation
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY custkey
+    """,
+)
+def bloblang_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip_* Bloblang methods (internal/impl/maxmind/bloblang_geoip.go)
+    over the pure-Python MaxMind-DB reader (functions/mmdb.py): a fixture
+    database maps 10.0.<nationkey>.0/24 to the nation record, customers
+    get a synthetic IP in their nation's block, and geoip_city resolves
+    it back — the oracle is the equivalent relational join."""
+    import hashlib
+    import os
+    import tempfile
+
+    from bento_spark.functions.mmdb import build_mmdb
+    from bento_spark.bloblang.stdlib import METHODS
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bento_geo_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.mmdb",
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    build_mmdb(
+        [(f"10.0.{r.n_nationkey}.0/24", {"city": {"names": {"en": r.n_name}}})
+         for r in nation],
+        path,
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("10.0."), F.col("c_nationkey").cast("string"), F.lit("."),
+            (F.lit(1) + F.col("c_custkey") % 200).cast("string"),
+        ).alias("ip"),
+    )
+    geo = METHODS["geoip_city"][1](F.col("ip"), path)
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.get_json_object(geo, "$.city.names.en").alias("nation"),
+    ).orderBy("custkey")

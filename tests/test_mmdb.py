@@ -1,0 +1,126 @@
+"""MaxMind-DB reader/writer (functions/mmdb.py) and the geoip_* Bloblang
+methods. The writer covers the 24-bit subset; hand-built images cover the
+28/32-bit record layouts and data-section pointers the writer never emits,
+so the reader is proven against the full public spec surface."""
+
+from __future__ import annotations
+
+import json
+
+from bento_spark.bloblang.compiler import compile_expr
+from bento_spark.bloblang.stdlib import METHODS
+from bento_spark.functions.mmdb import MMDBReader, _MARKER, _enc_value, build_mmdb
+
+CITY = {
+    "city": {"names": {"en": "Springfield"}},
+    "location": {"latitude": 1.5, "longitude": -2.25},
+    "country": {"iso_code": "US", "geoname_id": 6252001},
+    "traits": {"is_anycast": True},
+}
+
+
+def test_roundtrip_v4(tmp_path):
+    p = str(tmp_path / "v4.mmdb")
+    build_mmdb(
+        [("1.2.3.0/24", CITY), ("5.6.0.0/16", {"asn": 64512}),
+         ("9.9.9.9/32", {"one": [1, 2.5, "x", False]})],
+        p,
+    )
+    r = MMDBReader(p)
+    assert r.metadata["ip_version"] == 4 and r.record_size == 24
+    assert r.get("1.2.3.200") == CITY
+    assert r.get("1.2.4.0") is None
+    assert r.get("5.6.255.255") == {"asn": 64512}
+    assert r.get("9.9.9.9") == {"one": [1, 2.5, "x", False]}
+    assert r.get("9.9.9.8") is None
+    assert r.get("2001:db8::1") is None  # v6 against a v4 tree
+
+
+def test_roundtrip_v6_with_mapped_v4(tmp_path):
+    p = str(tmp_path / "v6.mmdb")
+    build_mmdb(
+        [("2001:db8::/32", {"cc": "ZZ"}), ("::ffff:1.2.3.0/120", {"cc": "V4"})],
+        p,
+        ip_version=6,
+    )
+    r = MMDBReader(p)
+    assert r.get("2001:db8:1::9") == {"cc": "ZZ"}
+    assert r.get("1.2.3.4") == {"cc": "V4"}  # v4 looked up via ::ffff:
+    assert r.get("abcd::1") is None
+
+
+def _hand_built(tmp_path, record_size: int) -> str:
+    """One-node tree: left -> {'a': <ptr to 'hi'>}, right -> no data.
+    Exercises record widths and pointers the fixture writer never emits."""
+    node_count = 1
+    left, right = node_count + 16 + 0, node_count  # data @0 / no-data
+    if record_size == 28:
+        tree = bytes([0, 0, left, (0 << 4) | 0, 0, 0, right])
+    else:  # 32
+        tree = left.to_bytes(4, "big") + right.to_bytes(4, "big")
+    # data section: map{'a': pointer(size0 -> offset 6)} then string 'hi'
+    data = bytes([0xE1, 0x41, 0x61, 0x20, 0x06, 0x00]) + bytes([0x42]) + b"hi"
+    # offset 5 is padding so the string lands at offset 6
+    meta = {
+        "binary_format_major_version": 2,
+        "binary_format_minor_version": 0,
+        "build_epoch": 0,
+        "database_type": "Test",
+        "description": {"en": "hand"},
+        "ip_version": 4,
+        "languages": ["en"],
+        "node_count": node_count,
+        "record_size": record_size,
+    }
+    p = str(tmp_path / f"hand{record_size}.mmdb")
+    with open(p, "wb") as f:
+        f.write(tree + b"\x00" * 16 + data + _MARKER + _enc_value(meta))
+    return p
+
+
+def test_reader_28bit_records_and_pointers(tmp_path):
+    r = MMDBReader(_hand_built(tmp_path, 28))
+    assert r.get("1.0.0.0") == {"a": "hi"}  # first bit 0 -> left
+    assert r.get("128.0.0.0") is None       # first bit 1 -> no data
+
+
+def test_reader_32bit_records(tmp_path):
+    r = MMDBReader(_hand_built(tmp_path, 32))
+    assert r.get("0.0.0.1") == {"a": "hi"}
+    assert r.get("255.0.0.0") is None
+
+
+def test_reader_rejects_non_mmdb(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"not a database")
+    try:
+        MMDBReader(str(p))
+        raise AssertionError("expected MMDBError")
+    except ValueError:
+        pass
+
+
+def test_geoip_methods_via_bloblang(spark, tmp_path):
+    p = str(tmp_path / "geo.mmdb")
+    build_mmdb([("10.0.0.0/8", CITY)], p)
+    df = spark.createDataFrame([(1, "10.1.2.3"), (2, "192.168.0.1")],
+                               "id int, ip string")
+    out = df.withColumn(
+        "g", compile_expr(f'this.ip.geoip_city("{p}")', df=df)
+    ).orderBy("id").collect()
+    assert json.loads(out[0].g) == CITY
+    assert out[1].g is None
+    # all 8 reference methods registered, tier-c
+    for m in ("geoip_city", "geoip_country", "geoip_asn", "geoip_enterprise",
+              "geoip_anonymous_ip", "geoip_connection_type", "geoip_domain",
+              "geoip_isp"):
+        assert METHODS[m][0] == "c"
+
+
+def test_writer_large_string_sizes(tmp_path):
+    # >29 and >285 byte strings cross the size-encoding breakpoints
+    big, bigger = "x" * 100, "y" * 400
+    p = str(tmp_path / "big.mmdb")
+    build_mmdb([("7.7.7.0/24", {"b": big, "bb": bigger})], p)
+    r = MMDBReader(p)
+    assert r.get("7.7.7.7") == {"b": big, "bb": bigger}
