@@ -170,11 +170,16 @@ def test_tier_report():
         for fam in ("hs", "rs", "es")
         for bits in (256, 384, 512)
     }
+    geoip = {
+        "geoip_city", "geoip_country", "geoip_asn", "geoip_enterprise",
+        "geoip_anonymous_ip", "geoip_connection_type", "geoip_domain",
+        "geoip_isp",
+    }
     assert c_methods <= {
         "compress", "decompress", "format_msgpack", "parse_msgpack",
         "parse_yaml", "format_yaml", "parse_parquet", "diff", "patch",
         "parse_xml",
-    } | jwt
+    } | jwt | geoip
 
 
 def test_negative_index(row_df):
