@@ -482,3 +482,65 @@ def _register_geoip(name: str) -> None:
 
 for _gname in _GEOIP_METHODS:
     _register_geoip(_gname)
+
+
+# ---- password-hash comparison (internal/impl/pure/bloblang_crypto.go) -----
+# compare_argon2: PHC-encoded argon2id via cryptography's OpenSSL-backed
+# Argon2id KDF. The argon2i variant and bcrypt need primitives absent from
+# this container (golang.org/x/crypto equivalents); compare_bcrypt stays a
+# documented gap (COVERAGE.md §2.2) rather than a minutes-per-row pure-
+# Python EksBlowfish.
+
+
+def _parse_phc_argon2(hashed: str):
+    """Parse `$argon2id$v=19$m=...,t=...,p=...$salt$hash` (PHC format)."""
+    import base64
+
+    parts = hashed.split("$")
+    if len(parts) != 6 or parts[1] not in ("argon2id", "argon2i", "argon2d"):
+        raise ValueError(f"not a PHC argon2 string: {hashed[:32]}...")
+    if parts[1] != "argon2id":
+        raise ValueError(
+            f"compare_argon2: only argon2id is supported here ({parts[1]} "
+            "needs primitives absent from this container)"
+        )
+    opts = dict(kv.split("=", 1) for kv in parts[3].split(","))
+
+    def b64(s: str) -> bytes:
+        return base64.b64decode(s + "=" * (-len(s) % 4))
+
+    return {
+        "memory_cost": int(opts["m"]),
+        "iterations": int(opts["t"]),
+        "lanes": int(opts["p"]),
+        "salt": b64(parts[4]),
+        "expect": b64(parts[5]),
+    }
+
+
+@method("compare_argon2", "c")
+def _compare_argon2(c: Column, hashed_secret: str) -> Column:
+    p = _parse_phc_argon2(hashed_secret)  # fail at plan build, not per task
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def run(s: pd.Series) -> pd.Series:
+        import hmac as _hmac
+
+        from cryptography.hazmat.primitives.kdf.argon2 import Argon2id
+
+        def one(secret):
+            if secret is None:
+                return None
+            kdf = Argon2id(
+                salt=p["salt"],
+                length=len(p["expect"]),
+                iterations=p["iterations"],
+                lanes=p["lanes"],
+                memory_cost=p["memory_cost"],
+            )
+            return _hmac.compare_digest(kdf.derive(secret.encode()), p["expect"])
+
+        return s.map(one)
+
+    return run(c)

@@ -283,9 +283,8 @@ def test_inventory_vs_reference_docs():
     from bento_spark.bloblang.stdlib import FUNCTIONS
 
     blocked = {
-        "compare_argon2",
         "compare_bcrypt",
-    } | {m for m in ref_m if m.startswith("geoip_")}
+    }
     assert ref_m - set(METHODS) <= blocked
     assert ref_f - set(FUNCTIONS) == set()
 
@@ -296,3 +295,29 @@ def test_string_plus_concatenates(df):
     # numeric + stays numeric
     nums = _one(df, "this.id + 1").collect()
     assert nums[0]["_r"] == 2
+
+
+# ---- compare_argon2 -------------------------------------------------------
+
+
+def test_compare_argon2(spark):
+    # vector from the reference docs (methods.md compare_argon2 example)
+    phc = (
+        "$argon2id$v=19$m=4096,t=3,p=1$c2FsdHktbWNzYWx0ZmFjZQ"
+        "$RMUMwgtS32/mbszd+ke4o4Ej1jFpYiUqY6MHWa69X7Y"
+    )
+    df = spark.createDataFrame(
+        [(1, "there-are-many-blobs-in-the-sea"), (2, "will-i-ever-find-love"), (3, None)],
+        "id int, secret string",
+    )
+    out = _one(df, f'this.secret.compare_argon2("{phc}")').collect()
+    assert [r["_r"] for r in out] == [True, False, None]
+
+
+def test_compare_argon2_rejects_non_id_variants():
+    from bento_spark.bloblang.stdlib_ext import _parse_phc_argon2
+
+    with pytest.raises(ValueError, match="argon2id"):
+        _parse_phc_argon2("$argon2i$v=19$m=4096,t=3,p=1$c2FsdA$AAAA")
+    with pytest.raises(ValueError, match="PHC"):
+        _parse_phc_argon2("$2y$10$notargon")
