@@ -297,3 +297,25 @@ def _fallback(df: DataFrame, is_streaming: bool, conf: dict):
         except Exception as e:  # noqa: BLE001
             last = e
     raise last
+
+
+@register_sink("connector")
+def _connector(df: DataFrame, is_streaming: bool, conf: dict):
+    """Generic remote-delivery output (the kafka/queue/DB family):
+    `backend:` picks a registered transport (sinks/connector.py), the
+    rest of the conf is the delivery loop's knobs."""
+    from bento_spark.sinks import connector as C
+
+    kw = {
+        k: conf[k]
+        for k in ("batch_size", "retries", "backoff_s", "dlq_path", "envelope")
+        if k in conf
+    }
+    backend = conf["backend"]
+    bconf = conf.get("conf", {})
+    if is_streaming:
+        return C.deliver_stream(
+            df, backend, bconf, checkpoint=conf["checkpoint"], **kw
+        )
+    C.deliver(df, backend, bconf, **kw)
+    return None

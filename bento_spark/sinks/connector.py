@@ -1,0 +1,315 @@
+"""Generic remote-delivery sink contract — the kafka/cloud-queue/DB
+output family, Spark-shaped.
+
+Reference parity: the remote outputs under internal/impl/
+{kafka,aws,gcp,redis,nats,...}/output*.go all reduce to the same loop —
+serialize a batch, hand it to a client, retry with backoff, dead-letter
+what still fails (output_broker / fallback wrap the same loop). This
+module is that loop as a distributed contract:
+
+* serialization happens JVM-side (``to_json(struct(*))``) — Python only
+  ever sees ready-to-send strings;
+* ONE transport per Spark partition (never per row), fed Arrow batches
+  re-chunked to ``batch_size`` records per send;
+* bounded retries with linear backoff; exhausted batches go to a
+  dead-letter ndjson dir when ``dlq_path`` is set, else the task fails
+  (Spark's task retry = at-least-once);
+* each delivery returns a tiny receipt row, so a 1000-executor run
+  ships O(batches) receipts to the driver, never payloads.
+
+Delivery is at-least-once: a retried task re-sends its partition's
+batches. ``envelope=True`` stamps each record with a stable
+``(partition, seq)`` key so an idempotent receiver can dedupe — the
+same contract Bento documents for its queue outputs.
+
+Working offline backends: ``sqlite`` (file-backed table = the JDBC
+stand-in, WAL, cross-process), ``ndjson_dir`` (append-one-object-per-
+batch = the object-store PUT stand-in), ``memory`` (local-mode test
+double), ``http`` (POSTs ndjson bodies through the injectable transport
+of operators/http.py). A kafka-python/boto3 producer drops into
+``register_transport`` unchanged when its library exists.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class DeliveryError(Exception):
+    """Transport failure. ``retryable=False`` skips straight to DLQ."""
+
+    def __init__(self, msg: str, retryable: bool = True):
+        super().__init__(msg)
+        self.retryable = retryable
+
+
+# ---- transport registry ---------------------------------------------------
+
+TRANSPORTS: dict[str, Callable[[dict], "object"]] = {}
+
+
+def register_transport(name: str):
+    def deco(factory):
+        TRANSPORTS[name] = factory
+        return factory
+
+    return deco
+
+
+@register_transport("sqlite")
+def _sqlite_transport(conf: dict):
+    """JDBC-insert stand-in: one WAL connection per partition, one
+    transaction per batch (sql_insert semantics without jars)."""
+    import sqlite3
+
+    class T:
+        def __init__(self):
+            self.con = sqlite3.connect(conf["path"], timeout=30)
+            self.con.execute("PRAGMA journal_mode=WAL")
+            self.con.execute(
+                f"CREATE TABLE IF NOT EXISTS {conf.get('table', 'messages')} "
+                "(v TEXT)"
+            )
+            self.con.commit()
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.con.executemany(
+                    f"INSERT INTO {conf.get('table', 'messages')} VALUES (?)",
+                    [(r,) for r in batch],
+                )
+                self.con.commit()
+            except sqlite3.OperationalError as ex:  # lock contention: retry
+                self.con.rollback()
+                raise DeliveryError(str(ex)) from ex
+
+        def close(self):
+            self.con.close()
+
+    return T()
+
+
+@register_transport("ndjson_dir")
+def _ndjson_transport(conf: dict):
+    """Object-store PUT stand-in: each send writes one immutable object
+    keyed by (pid, seq) — re-sends overwrite idempotently."""
+
+    class T:
+        def __init__(self):
+            os.makedirs(conf["path"], exist_ok=True)
+            self.pid = os.getpid()
+            self.seq = 0
+
+        def send(self, batch: list[str]) -> None:
+            key = f"batch-{self.pid}-{self.seq:06d}.ndjson"
+            tmp = os.path.join(conf["path"], "." + key)
+            with open(tmp, "w") as f:
+                f.write("\n".join(batch) + "\n")
+            os.replace(tmp, os.path.join(conf["path"], key))
+            self.seq += 1
+
+        def close(self):
+            pass
+
+    return T()
+
+
+def _memory_dir(name: str) -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "bento_spark_memsink", name)
+
+
+@register_transport("memory")
+def _memory_transport(conf: dict):
+    """Local-mode test double. PySpark's Python workers are separate
+    processes even on local[*], so 'memory' is really a spill dir the
+    driver reads back via ``memory_sink_contents``."""
+
+    class T:
+        def __init__(self):
+            self.dir = _memory_dir(conf.get("name", "default"))
+            os.makedirs(self.dir, exist_ok=True)
+            self.fail_first = int(conf.get("fail_first", 0))
+            self.fails = 0
+
+        def send(self, batch: list[str]) -> None:
+            if self.fails < self.fail_first:
+                self.fails += 1
+                raise DeliveryError("injected transient failure")
+            if conf.get("always_fail"):
+                raise DeliveryError("injected permanent failure", retryable=True)
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".part")
+            with os.fdopen(fd, "w") as f:
+                f.write("\n".join(batch) + "\n")
+            os.replace(tmp, tmp[: -len(".part")] + ".ndjson")
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("http")
+def _http_transport(conf: dict):
+    """`http_client` output (internal/impl/io/output_http_client.go):
+    one POST per batch, ndjson body, via the injectable transport."""
+    from bento_spark.operators.http import fake_echo_transport, urllib_transport
+
+    send_fn = fake_echo_transport if conf.get("fake") else urllib_transport
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            status, _body = send_fn("POST", conf["url"], "\n".join(batch))
+            if status >= 500:
+                raise DeliveryError(f"HTTP {status}")
+            if status >= 400:
+                raise DeliveryError(f"HTTP {status}", retryable=False)
+
+        def close(self):
+            pass
+
+    return T()
+
+
+def memory_sink_contents(name: str = "default") -> list[str]:
+    d = _memory_dir(name)
+    if not os.path.isdir(d):
+        return []
+    out: list[str] = []
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".ndjson"):
+            with open(os.path.join(d, fn)) as f:
+                out.extend(f.read().splitlines())
+    return out
+
+
+def clear_memory_sink(name: str = "default") -> None:
+    import shutil
+
+    shutil.rmtree(_memory_dir(name), ignore_errors=True)
+
+
+# ---- the delivery loop ----------------------------------------------------
+
+_RECEIPT_SCHEMA = "partition int, batches bigint, delivered bigint, dead bigint"
+
+
+def deliver(
+    df: DataFrame,
+    backend: str,
+    conf: dict | None = None,
+    *,
+    batch_size: int = 500,
+    retries: int = 3,
+    backoff_s: float = 0.05,
+    dlq_path: str | None = None,
+    envelope: bool = False,
+) -> dict:
+    """Serialize every row to JSON and deliver it through ``backend``.
+
+    Blocking action; returns aggregate delivery stats. Rows are
+    serialized JVM-side; the Python delivery loop handles only strings.
+    """
+    if backend not in TRANSPORTS:
+        raise ValueError(f"unknown transport {backend!r} (have {sorted(TRANSPORTS)})")
+    conf = dict(conf or {})
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("v"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        transport = TRANSPORTS[backend](conf)
+        n_batches = n_ok = n_dead = 0
+        try:
+            pending: list[str] = []
+
+            def flush(chunk: list[str]):
+                nonlocal n_batches, n_ok, n_dead
+                if not chunk:
+                    return
+                n_batches += 1
+                if envelope:
+                    # stable (partition, seq) keys let an idempotent
+                    # receiver dedupe re-sent batches after task retries
+                    chunk = [
+                        _json.dumps(
+                            {"p": pid, "seq": n_batches - 1, "i": i, "body": r},
+                            sort_keys=True,
+                        )
+                        for i, r in enumerate(chunk)
+                    ]
+                attempt = 0
+                while True:
+                    try:
+                        transport.send(chunk)
+                        n_ok += len(chunk)
+                        return
+                    except DeliveryError as ex:
+                        attempt += 1
+                        if ex.retryable and attempt <= retries:
+                            time.sleep(backoff_s * attempt)
+                            continue
+                        if dlq_path is None:
+                            raise  # task failure -> Spark retry (at-least-once)
+                        os.makedirs(dlq_path, exist_ok=True)
+                        dead = os.path.join(
+                            dlq_path, f"dead-{pid}-{n_batches:06d}.ndjson"
+                        )
+                        with open(dead, "w") as f:
+                            f.write("\n".join(chunk) + "\n")
+                        n_dead += len(chunk)
+                        return
+
+            for b in batches:
+                pending.extend(b["v"].tolist())
+                while len(pending) >= batch_size:
+                    flush(pending[:batch_size])
+                    pending = pending[batch_size:]
+            flush(pending)
+        finally:
+            transport.close()
+        yield pd.DataFrame(
+            [[pid, n_batches, n_ok, n_dead]],
+            columns=["partition", "batches", "delivered", "dead"],
+        )
+
+    receipts = payload.mapInPandas(run, _RECEIPT_SCHEMA).collect()
+    return {
+        "partitions": len(receipts),
+        "batches": int(sum(r["batches"] for r in receipts)),
+        "delivered": int(sum(r["delivered"] for r in receipts)),
+        "dead": int(sum(r["dead"] for r in receipts)),
+    }
+
+
+def deliver_stream(
+    df: DataFrame,
+    backend: str,
+    conf: dict | None = None,
+    *,
+    checkpoint: str,
+    **kw,
+):
+    """Streaming form: foreachBatch -> the same delivery loop per
+    micro-batch (the reference's output write loop under its input
+    acknowledgement — checkpointed offsets give effective at-least-once)."""
+
+    def handle(bdf: DataFrame, _bid: int):
+        deliver(bdf, backend, conf, **kw)
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

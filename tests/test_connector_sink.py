@@ -1,0 +1,142 @@
+"""Delivery-contract tests for the generic connector sink
+(sinks/connector.py): batching, retry, DLQ, sqlite/ndjson/http
+backends, streaming foreachBatch, and the YAML-registry entry."""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+
+import pytest
+
+from bento_spark.sinks import run_sink
+from bento_spark.sinks.connector import (
+    DeliveryError,
+    clear_memory_sink,
+    deliver,
+    deliver_stream,
+    memory_sink_contents,
+)
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(2)
+
+
+def test_memory_delivery_and_batching(df):
+    clear_memory_sink("t1")
+    stats = deliver(df, "memory", {"name": "t1"}, batch_size=30)
+    got = [json.loads(r) for r in memory_sink_contents("t1")]
+    assert stats["delivered"] == 100 and stats["dead"] == 0
+    assert sorted(r["id"] for r in got) == list(range(100))
+    # 2 partitions x ceil(50/30) batches
+    assert stats["batches"] == 4 and stats["partitions"] == 2
+
+
+def test_transient_failures_retry(df):
+    clear_memory_sink("t2")
+    stats = deliver(
+        df, "memory", {"name": "t2", "fail_first": 2}, batch_size=100, backoff_s=0.0
+    )
+    assert stats["delivered"] == 100 and stats["dead"] == 0
+
+
+def test_permanent_failure_goes_to_dlq(df, tmp_path):
+    clear_memory_sink("t3")
+    dlq = str(tmp_path / "dlq")
+    stats = deliver(
+        df,
+        "memory",
+        {"name": "t3", "always_fail": True},
+        batch_size=50,
+        retries=1,
+        backoff_s=0.0,
+        dlq_path=dlq,
+    )
+    assert stats["delivered"] == 0 and stats["dead"] == 100
+    dead = []
+    for f in os.listdir(dlq):
+        dead += [json.loads(x) for x in open(os.path.join(dlq, f)).read().splitlines()]
+    assert sorted(r["id"] for r in dead) == list(range(100))
+
+
+def test_no_dlq_raises(df):
+    clear_memory_sink("t4")
+    with pytest.raises(Exception, match="injected permanent"):
+        deliver(
+            df, "memory", {"name": "t4", "always_fail": True}, retries=0, backoff_s=0.0
+        )
+
+
+def test_sqlite_backend(df, tmp_path):
+    path = str(tmp_path / "out.db")
+    stats = deliver(df, "sqlite", {"path": path, "table": "msgs"}, batch_size=40)
+    assert stats["delivered"] == 100
+    rows = sqlite3.connect(path).execute("SELECT v FROM msgs").fetchall()
+    assert sorted(json.loads(v)["id"] for (v,) in rows) == list(range(100))
+
+
+def test_ndjson_dir_backend(df, tmp_path):
+    out = str(tmp_path / "objs")
+    deliver(df, "ndjson_dir", {"path": out}, batch_size=25)
+    recs = []
+    for f in sorted(os.listdir(out)):
+        assert not f.startswith(".")  # no torn temp objects visible
+        recs += open(os.path.join(out, f)).read().splitlines()
+    assert sorted(json.loads(r)["id"] for r in recs) == list(range(100))
+
+
+def test_http_backend_fake(df):
+    # fake echo transport: 200 for every POST -> all delivered
+    stats = deliver(df, "http", {"url": "http://x/ingest", "fake": True})
+    assert stats["delivered"] == 100
+
+
+def test_envelope_keys(df):
+    clear_memory_sink("t5")
+    deliver(df, "memory", {"name": "t5"}, batch_size=30, envelope=True)
+    got = [json.loads(r) for r in memory_sink_contents("t5")]
+    keys = {(r["p"], r["seq"], r["i"]) for r in got}
+    assert len(keys) == 100  # unique, stable dedupe keys
+    assert all(json.loads(r["body"])["id"] in range(100) for r in got)
+
+
+def test_unknown_backend(df):
+    with pytest.raises(ValueError, match="unknown transport"):
+        deliver(df, "nope")
+
+
+def test_registry_entry(df):
+    clear_memory_sink("t6")
+    run_sink(
+        df,
+        False,
+        "connector",
+        {"backend": "memory", "conf": {"name": "t6"}, "batch_size": 10},
+    )
+    assert len(memory_sink_contents("t6")) == 100
+
+
+def test_streaming_delivery(spark, tmp_path):
+    clear_memory_sink("t7")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"id": i}) + "\n")
+    sdf = spark.readStream.schema("id long").json(src)
+    q = deliver_stream(
+        sdf,
+        "memory",
+        {"name": "t7"},
+        checkpoint=str(tmp_path / "ck"),
+        batch_size=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [json.loads(r) for r in memory_sink_contents("t7")]
+    assert sorted(r["id"] for r in got) == list(range(10))
