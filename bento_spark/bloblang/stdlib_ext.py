@@ -486,10 +486,10 @@ for _gname in _GEOIP_METHODS:
 
 # ---- password-hash comparison (internal/impl/pure/bloblang_crypto.go) -----
 # compare_argon2: PHC-encoded argon2id via cryptography's OpenSSL-backed
-# Argon2id KDF. The argon2i variant and bcrypt need primitives absent from
-# this container (golang.org/x/crypto equivalents); compare_bcrypt stays a
-# documented gap (COVERAGE.md §2.2) rather than a minutes-per-row pure-
-# Python EksBlowfish.
+# Argon2id KDF. The argon2i variant needs primitives absent from this
+# container. compare_bcrypt rides glibc/libxcrypt's native $2b$ support
+# through the stdlib `crypt` module (verified against the libxcrypt
+# test-suite vector).
 
 
 def _parse_phc_argon2(hashed: str):
@@ -540,6 +540,37 @@ def _compare_argon2(c: Column, hashed_secret: str) -> Column:
                 memory_cost=p["memory_cost"],
             )
             return _hmac.compare_digest(kdf.derive(secret.encode()), p["expect"])
+
+        return s.map(one)
+
+    return run(c)
+
+
+@method("compare_bcrypt", "c")
+def _compare_bcrypt(c: Column, hashed_secret: str) -> Column:
+    """`"...".compare_bcrypt(hash)` — bcrypt verify via libxcrypt's native
+    Blowfish crypt ($2a/$2b/$2y), the same algorithm golang.org/x/crypto/
+    bcrypt implements for the reference (bloblang_crypto.go)."""
+    if not hashed_secret.startswith(("$2a$", "$2b$", "$2y$", "$2x$")):
+        raise ValueError(
+            f"compare_bcrypt: not a bcrypt hash: {hashed_secret[:8]!r}..."
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def run(s: pd.Series) -> pd.Series:
+        import hmac as _hmac
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", DeprecationWarning)
+            import crypt as _crypt
+
+        def one(secret):
+            if secret is None:
+                return None
+            got = _crypt.crypt(secret, hashed_secret)
+            return got is not None and _hmac.compare_digest(got, hashed_secret)
 
         return s.map(one)
 

@@ -72,12 +72,22 @@ def _sqlite_transport(conf: dict):
     class T:
         def __init__(self):
             self.con = sqlite3.connect(conf["path"], timeout=30)
-            self.con.execute("PRAGMA journal_mode=WAL")
-            self.con.execute(
-                f"CREATE TABLE IF NOT EXISTS {conf.get('table', 'messages')} "
-                "(v TEXT)"
-            )
-            self.con.commit()
+            # concurrent partitions race on the WAL switch (exclusive
+            # lock) and the DDL — retry instead of failing the task
+            for attempt in range(10):
+                try:
+                    self.con.execute("PRAGMA journal_mode=WAL")
+                    self.con.execute(
+                        f"CREATE TABLE IF NOT EXISTS "
+                        f"{conf.get('table', 'messages')} (v TEXT)"
+                    )
+                    self.con.commit()
+                    break
+                except sqlite3.OperationalError:
+                    if attempt == 9:
+                        raise
+                    self.con.rollback()
+                    time.sleep(0.05 * (attempt + 1))
 
         def send(self, batch: list[str]) -> None:
             try:

@@ -178,7 +178,7 @@ def test_tier_report():
     assert c_methods <= {
         "compress", "decompress", "format_msgpack", "parse_msgpack",
         "parse_yaml", "format_yaml", "parse_parquet", "diff", "patch",
-        "parse_xml",
+        "parse_xml", "compare_argon2", "compare_bcrypt",
     } | jwt | geoip
 
 

@@ -282,10 +282,7 @@ def test_inventory_vs_reference_docs():
     )
     from bento_spark.bloblang.stdlib import FUNCTIONS
 
-    blocked = {
-        "compare_bcrypt",
-    }
-    assert ref_m - set(METHODS) <= blocked
+    assert ref_m - set(METHODS) == set()
     assert ref_f - set(FUNCTIONS) == set()
 
 
@@ -321,3 +318,21 @@ def test_compare_argon2_rejects_non_id_variants():
         _parse_phc_argon2("$argon2i$v=19$m=4096,t=3,p=1$c2FsdA$AAAA")
     with pytest.raises(ValueError, match="PHC"):
         _parse_phc_argon2("$2y$10$notargon")
+
+
+def test_compare_bcrypt(spark):
+    # "U*U" vector from the libxcrypt test suite (ka_bcrypt_b.c)
+    h = "$2b$05$CCCCCCCCCCCCCCCCCCCCC.E5YPO9kmyuRGyh0XouQYb4YMJKvyOeW"
+    df = spark.createDataFrame(
+        [(1, "U*U"), (2, "wrong"), (3, None)], "id int, secret string"
+    )
+    out = _one(df, f'this.secret.compare_bcrypt("{h}")').collect()
+    assert [r["_r"] for r in out] == [True, False, None]
+
+
+def test_compare_bcrypt_rejects_non_bcrypt():
+    from bento_spark.bloblang.stdlib_ext import _compare_bcrypt
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="bcrypt"):
+        _compare_bcrypt(F.col("x"), "$argon2id$nope")
