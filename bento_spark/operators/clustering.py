@@ -1,0 +1,163 @@
+"""Distributed k-means (Lloyd) over embedding columns.
+
+Training-data pipelines cluster corpus embeddings to balance data
+mixtures, pick semantic-dedup representatives, and build curriculum
+buckets. Reference anchor: Bento's embedding processors stop at
+transport (nlp_* plugins); clustering is part of this engine's
+LLM-pipeline superset (SURVEY.md §2.8).
+
+Spark-first shape, sized for 100 TB:
+
+* per-iteration state is O(k * dim) doubles on the driver — centers
+  ship to executors inside the assignment closure (no join, no
+  broadcast table);
+* assignment is an Arrow-batched vectorized distance kernel (the MLlib
+  broadcast-centers + BLAS shape); each Lloyd iteration is ONE scan:
+  assign + a narrow per-(cluster, dim) partial ``avg`` aggregate
+  (map-side combine reduces every partition to k*dim rows before the
+  shuffle);
+* distances fold over dims sequentially, bit-identical to the DuckDB
+  oracle's ``list_reduce`` fold, so the iterative algorithm is
+  hash-checkable end-to-end;
+* center coordinates are rounded (HALF_UP, 6 dp) after every update on
+  BOTH sides, which pins the engines' float aggregation orders to the
+  same value and keeps iterations from drifting apart.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, centers: list[list[float]]
+) -> Column:
+    """``struct(d, c)`` of the nearest center (ties -> lowest cluster
+    id; numpy argmin takes the first minimum).
+
+    Arrow-batched numpy rather than codegen: a statically expanded
+    k*dim expression tree costs ~5 s of Catalyst/Janino compile *per
+    center refresh* (every Lloyd iteration embeds new literals), while
+    the batched form is compile-free and does the distance math
+    vectorized over rows — the same shape MLlib uses (broadcast centers
+    + BLAS). The fold over dims is an explicit sequential loop so every
+    distance is bit-identical to the DuckDB oracle's ``list_reduce``
+    left fold; only the across-rows direction is vectorized."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.asarray(c, dtype=np.float64) for c in centers]
+
+    @pandas_udf("struct<d: double, c: int>")
+    def run(s: pd.Series) -> pd.DataFrame:
+        if len(s) == 0:
+            return pd.DataFrame(
+                {"d": pd.Series([], dtype="float64"),
+                 "c": pd.Series([], dtype="int32")}
+            )
+        X = np.stack(s.to_numpy()).astype(np.float64)
+        n, dim = X.shape
+        dists = []
+        for c in C:
+            acc = np.zeros(n)
+            for i in range(dim):  # sequential over dims = left fold
+                t = X[:, i] - c[i]
+                acc = acc + t * t
+            dists.append(acc)
+        D = np.stack(dists, axis=1)
+        cl = np.argmin(D, axis=1)
+        return pd.DataFrame(
+            {"d": D[np.arange(n), cl], "c": cl.astype("int32")}
+        )
+
+    return run(F.col(vec_col))
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd k-means; returns ``(id, cluster, dist)`` after ``iters``
+    center updates. Init = the embeddings of the k smallest ids
+    (deterministic, cluster j <- j-th smallest id)."""
+    init = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need >= {k} rows to init {k} centers")
+    centers = [[float(x) for x in r[vec_col]] for r in init]
+
+    for _ in range(iters):
+        best = assign_clusters(df, vec_col, centers)
+        # posexplode -> narrow (cluster, dim) aggregate: one small
+        # expression to compile (vs 64 wide agg columns), and partial
+        # avg combines to k*dim rows per partition before the shuffle
+        updated = (
+            df.select(
+                best["c"].alias("cluster"),
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "i", "x"
+                ),
+            )
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("x"), 6).alias("a"))
+            .collect()
+        )
+        seen = {r["cluster"] for r in updated}
+        if len(seen) < k:
+            # an emptied cluster would silently desync from the oracle
+            raise ValueError(f"cluster emptied: {len(seen)} of {k} left")
+        by_cl: dict[int, list[float]] = {j: [0.0] * dim for j in range(k)}
+        for r in updated:
+            by_cl[r["cluster"]][r["i"]] = r["a"]
+        centers = [by_cl[j] for j in range(k)]
+
+    best = assign_clusters(df, vec_col, centers)
+    return df.select(
+        F.col(id_col),
+        best["c"].cast("int").alias("cluster"),
+        F.round(best["d"], 6).alias("dist"),
+    )
+
+
+def kmeans_sql(
+    table: str, id_col: str, vec_col: str, dim: int, k: int = 4, iters: int = 2
+) -> str:
+    """DuckDB twin of :func:`kmeans_lloyd`: same init, same fold order,
+    same per-update rounding, unrolled one CTE pair per iteration."""
+    dist = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> (v[i] - cv[i]) * (v[i] - cv[i])), (x, y) -> x + y)"
+    )
+    ctes = [
+        f"e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table})",
+        f"c0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cl, v AS cv "
+        f"FROM (SELECT id, v FROM e ORDER BY id LIMIT {k}))",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"a{it} AS (SELECT id, cl FROM ("
+            f"SELECT id, cl, row_number() OVER (PARTITION BY id "
+            f"ORDER BY {dist}, cl) AS rn FROM e CROSS JOIN c{it}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{it + 1} AS (SELECT cl, list(a ORDER BY i) AS cv FROM ("
+            f"SELECT a{it}.cl AS cl, i, round(avg(v[i]), 6) AS a "
+            f"FROM a{it} JOIN e USING (id) CROSS JOIN range(1, {dim + 1}) t(i) "
+            f"GROUP BY a{it}.cl, i) GROUP BY cl)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT id AS {id_col}, CAST(cl AS INT) AS cluster, round(dist, 6) AS dist
+    FROM (SELECT id, cl, {dist} AS dist,
+                 row_number() OVER (PARTITION BY id ORDER BY {dist}, cl) AS rn
+          FROM e CROSS JOIN c{iters}) WHERE rn = 1
+    ORDER BY {id_col}
+    """
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from bento_spark.functions.hashing import hash60_sql
 from bento_spark.functions.textops import word_shingles_sql, words
+from bento_spark.operators.clustering import kmeans_lloyd, kmeans_sql
 from bento_spark.operators.traindata import (
     contamination_overlap,
     pack_sequences,
@@ -170,6 +171,101 @@ def quality_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, symbols per word, combined keep flag."""
     docs = _t(spark, sf_dir, "documents")
     return repetition_signals(docs, "doc_id", "text", **GOPHER)
+
+
+KM_K, KM_ITERS, KM_DIM = 4, 2, 64
+
+
+@query(
+    "kmeans_embedding_mixture",
+    oracle=kmeans_sql(
+        "embeddings", "vec_id", "embedding", dim=KM_DIM, k=KM_K, iters=KM_ITERS
+    ),
+)
+def kmeans_embedding_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embeddings table (data-mixture /
+    semantic-bucket clustering). Centers live on the driver as O(k*dim)
+    literals; each iteration is one codegen scan + a k-row aggregate.
+    The DuckDB oracle unrolls the SAME iterations CTE-by-CTE, so the
+    whole iterative algorithm is hash-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(
+        emb, "vec_id", "embedding", dim=KM_DIM, k=KM_K, iters=KM_ITERS
+    )
+
+
+SHUF_SEED, SHUF_SHARDS = "shuf42", 64
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    SELECT doc_id, CAST(doc_id % {SHUF_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id % {SHUF_SHARDS}
+             ORDER BY md5('{SHUF_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents ORDER BY doc_id
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: shard by id, order within
+    each shard by a seeded md5 key. Reproducible independent of cluster
+    layout; one shuffle on the shard key. SHUF_SHARDS scales with corpus
+    size (64 here; thousands at 100 TB so no shard outgrows a task)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.lit(f"{SHUF_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    shard = (F.col("doc_id") % SHUF_SHARDS).cast("int")
+    w = Window.partitionBy(shard).orderBy(key, F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@query(
+    "dedup_incremental_snapshot",
+    oracle="""
+    WITH store AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 = 0
+    ), incoming AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0
+    ), fresh AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM incoming WHERE fp NOT IN (SELECT fp FROM store)
+    )
+    SELECT doc_id, fp FROM fresh WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: new docs anti-joined against an existing
+    fingerprint store (docs with doc_id % 3 == 0 stand in for prior
+    snapshots), then first-writer-wins within the batch. The store side
+    is fingerprints only — prior snapshots are never re-read at scale."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    store = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    fresh = incoming.join(store, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
 
 
 _FLAG_SQL = stratified_hash_sample_flag_sql("doc_id", SAMPLE_PCT)

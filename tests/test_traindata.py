@@ -100,3 +100,29 @@ def test_stratified_sample_flag_deterministic(spark):
     n2 = df.select(F.sum(flag).alias("n")).collect()[0].n
     assert n1 == n2
     assert 120 <= n1 <= 280  # ~20% of 1000, deterministic binomial-ish
+
+
+def test_kmeans_lloyd_separated_clusters(spark):
+    from bento_spark.operators.clustering import kmeans_lloyd
+
+    # two tight blobs far apart in 4-d; k=2 must split them exactly
+    rows = []
+    for i in range(20):
+        base = [0.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [10.0, 10.0, 10.0, 10.0]
+        rows.append((i, [b + 0.01 * (i % 5) for b in base]))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = {r.id: r for r in kmeans_lloyd(df, "id", "v", dim=4, k=2, iters=3).collect()}
+    blob0 = {out[i].cluster for i in range(0, 20, 2)}
+    blob1 = {out[i].cluster for i in range(1, 20, 2)}
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+    assert all(out[i].dist < 1.0 for i in range(20))
+
+
+def test_kmeans_raises_on_too_few_rows(spark):
+    from bento_spark.operators.clustering import kmeans_lloyd
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "id long, v array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="init"):
+        kmeans_lloyd(df, "id", "v", dim=2, k=4, iters=1)
