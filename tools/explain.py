@@ -33,6 +33,10 @@ HEADLINE = [
     # round-2 additions: DAG workflow, compiled JMESPath
     "proc_workflow_dag",
     "proc_jmespath_collapse",
+    # round-2 training-data additions
+    "kmeans_embedding_mixture",
+    "corpus_shuffle_shards",
+    "dedup_incremental_snapshot",
 ]
 
 
