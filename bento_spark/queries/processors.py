@@ -21,7 +21,7 @@ from bento_spark.queries.relational import _t
            user_id,
            upper(event_type) AS kind,
            CAST(json_extract_string(props, '$.k') AS INT) AS k,
-           CAST(value AS DECIMAL(18,2)) AS amount,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS amount,
            CAST(date_trunc('day', ts) AS DATE) AS day
     FROM events WHERE event_type <> 'error' ORDER BY event_id
     """,
@@ -37,7 +37,7 @@ def proc_mapping_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id": F.col("user_id"),
             "kind": F.upper("event_type"),
             "k": F.get_json_object("props", "$.k").cast("int"),
-            "amount": F.col("value").cast("decimal(18,2)"),
+            "amount": F.col("value").cast("decimal(18,2)").cast("double"),
             "day": F.date_trunc("day", "ts").cast("date"),
         },
         drop_when=F.col("event_type") == "error",
@@ -144,7 +144,7 @@ def proc_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            count(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -159,7 +159,7 @@ def proc_group_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         [
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         ],
     )
@@ -170,7 +170,7 @@ def proc_group_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proc_archive_roundtrip",
     oracle="""
     SELECT e.user_id, e.event_id, e.event_type,
-           CAST(e.value AS DECIMAL(18,2)) AS value,
+           CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
            c.n_items
     FROM events e
     JOIN (SELECT user_id, count(*) AS n_items FROM events GROUP BY user_id) c
@@ -200,7 +200,7 @@ def proc_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
         "n_items",
     ).orderBy("event_id")
 
@@ -275,7 +275,7 @@ root.doubled = this.value * 2
     "pipeline_yaml",
     oracle="""
     SELECT event_type, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM events WHERE value >= 50
     GROUP BY event_type ORDER BY event_type
     """,
@@ -299,7 +299,7 @@ pipeline:
         keys: [event_type]
         aggs:
           - "count(*) AS n"
-          - "sum(CAST(value AS DECIMAL(18,2))) AS total"
+          - "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total"
 """,
     )
     return p.dataframe().orderBy("event_type")
@@ -389,7 +389,7 @@ def proc_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.user_id, e.value,
            u.user_total, u.user_events
     FROM events e
-    JOIN (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS user_total,
+    JOIN (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total,
                  count(*) AS user_events
           FROM events GROUP BY user_id) u
       USING (user_id)
@@ -404,7 +404,7 @@ def proc_branch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def child(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id").agg(
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("user_total"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("user_total"),
             F.count(F.lit(1)).alias("user_events"),
         )
 

@@ -169,12 +169,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_effect",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                   ELSE 0 END)
-           / sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 6) AS promo_revenue
+                   ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= DATE '1995-09-01'
       AND l.l_shipdate < DATE '1995-10-01'
@@ -194,9 +194,10 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias(
-                "promo_revenue"
-            )
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue")
         )
     )
 

@@ -102,9 +102,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND p.p_type = 'PROMO'
     )
     SELECT CAST(o_year AS INT) AS o_year,
-           CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                               ELSE CAST(0 AS {_DEC}) END) / sum(volume), 6)
-                AS DOUBLE) AS mkt_share
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS {_DEC}) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM all_nations GROUP BY o_year ORDER BY o_year
     """,
 )
@@ -141,7 +141,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.groupBy("o_year")
         .agg(
-            F.round(F.sum(target) / F.sum("volume"), 6).cast("double").alias("mkt_share")
+            F.round(
+                F.sum(target).cast("double") / F.sum("volume").cast("double"), 6
+            ).alias("mkt_share")
         )
         .orderBy("o_year")
     )

@@ -113,7 +113,7 @@ def scan_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM src
       UNION ALL
       SELECT doc_id, 1 AS ord, '<l lang="' || lang || '"/>' AS part FROM src
-    ) ORDER BY doc_id, ord
+    ) ORDER BY doc_id, part
     """,
 )
 def scan_xml_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,7 +27,7 @@ from bento_spark.streaming import windows as W
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
            event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     ORDER BY window_start, event_type
@@ -44,7 +44,7 @@ def window_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("event_type")],
         [
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         ],
     )
     return out.select(
@@ -64,7 +64,7 @@ def window_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start,
            window_start + INTERVAL '1 hour' AS window_end,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM buckets
     GROUP BY 1, 2 ORDER BY window_start
     """,
@@ -81,7 +81,7 @@ def window_sliding_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         [],
         [
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         ],
     )
     return out.select("window_start", "window_end", "n", "total_value").orderBy(

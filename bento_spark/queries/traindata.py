@@ -76,7 +76,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     return contamination_overlap(
         train, bench, "doc_id", "text", n=DECON_N, threshold=DECON_TAU
-    )
+    ).orderBy("doc_id")
 
 
 @query(
@@ -91,7 +91,7 @@ def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return pack_sequences(
         docs, "doc_id", F.size(words(F.col("text"))), capacity=PACK_CAP
-    )
+    ).orderBy("doc_id")
 
 
 _PII = pii_sql_fragments(
@@ -131,7 +131,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["n_ips"].alias("n_ips"),
         c["n_phones"].alias("n_phones"),
         c["redacted"].alias("redacted"),
-    )
+    ).orderBy("doc_id")
 
 
 @query(
@@ -170,7 +170,7 @@ def quality_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: top-word share, duplicate-3-gram
     fraction, symbols per word, combined keep flag."""
     docs = _t(spark, sf_dir, "documents")
-    return repetition_signals(docs, "doc_id", "text", **GOPHER)
+    return repetition_signals(docs, "doc_id", "text", **GOPHER).orderBy("doc_id")
 
 
 KM_K, KM_ITERS, KM_DIM = 4, 2, 64
@@ -225,7 +225,7 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
-    )
+    ).orderBy("doc_id")
 
 
 @query(
@@ -265,6 +265,7 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "fp")
+        .orderBy("doc_id")
     )
 
 
@@ -289,4 +290,4 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(flag).cast("long").alias("n_kept"),
         (F.sum(flag).cast("double") / F.count(F.lit(1))).alias("rate"),
-    )
+    ).orderBy("lang", "source")

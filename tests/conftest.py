@@ -18,6 +18,21 @@ def spark():
     yield s
 
 
+def fix_ts(df, col: str = "ts"):
+    """Normalize the events ts column to TIMESTAMP regardless of how the
+    source inferred it: raw bigint ns (legacy nanosAsLong set), or
+    TIMESTAMP_NTZ (conf unset — depends on which test touched the shared
+    session first). Keeps tests order-independent."""
+    from pyspark.sql import functions as F
+
+    t = dict(df.dtypes)[col]
+    if t == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if t != "timestamp":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

@@ -149,7 +149,9 @@ pipeline:
 
     from bento_spark.streaming import windows as W
 
-    df = p.dataframe().withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from tests.conftest import fix_ts
+
+    df = fix_ts(p.dataframe())
     agg = W.windowed_agg(
         df,
         "ts",

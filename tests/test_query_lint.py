@@ -1,0 +1,36 @@
+"""Gate-query lint: the driver hashes Spark-side Decimals raw while
+floating DuckDB-side decimals (VERDICT r1 #3, r2 #2), so ANY DecimalType
+column in a gate query's output schema is an automatic driver hash-fail.
+This test builds every registered query's plan at sf0.001 and rejects
+DecimalType outputs — the registration-time lint the round-2 verdict
+asked for, enforced where the schema actually exists.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def _all_queries():
+    from bento_spark.queries import QUERIES, load_all
+
+    load_all()
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _all_queries())
+def test_no_decimal_output(spark, name):
+    from bento_spark.queries import QUERIES
+
+    df = QUERIES[name](spark, SF_DIR)
+    bad = [
+        f.name for f in df.schema.fields if "decimal" in f.dataType.simpleString()
+    ]
+    assert not bad, (
+        f"query {name!r} emits DecimalType columns {bad}: cast final "
+        "decimal aggregates to DOUBLE (and CAST ... AS DOUBLE in the oracle)"
+    )

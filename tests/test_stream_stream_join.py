@@ -8,7 +8,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, fix_ts
 
 
 def _events_stream(spark):
@@ -19,7 +19,7 @@ def _events_stream(spark):
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_DIR)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return fix_ts(sdf)
 
 
 def test_stream_stream_login_purchase_join(spark):
@@ -58,9 +58,7 @@ def test_stream_stream_login_purchase_join(spark):
     ).collect()[0]["n"]
 
     # batch oracle: same join on the static table
-    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = fix_ts(spark.read.parquet(os.path.join(SF_DIR, "events.parquet")))
     lg = ev.filter(F.col("event_type") == "login").select(
         F.col("user_id").alias("l_user"), F.col("ts").alias("login_ts")
     )

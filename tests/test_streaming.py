@@ -9,7 +9,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, fix_ts
 
 
 def _events_stream(spark):
@@ -21,7 +21,7 @@ def _events_stream(spark):
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_DIR)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return fix_ts(sdf)
 
 
 def _events_batch(spark):
