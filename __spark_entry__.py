@@ -28,21 +28,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # stopped at 50 of 59 entries; everything after rank ~55 here is a
 # variant of an already-covered component.
 _PRIORITY = [
-    # ---- first 50: every unique §2 component gets a driver row even if
-    # the driver truncates at 50 entries (round 1 stopped at exactly 50).
-    # Multi-component "gauntlet" queries carry the codec/scanner/parser
-    # families in one slot each; their singles are re-checked below the
-    # fold. ----
+    # ---- first 50: every unique §2 component family gets a driver row
+    # even when the driver truncates at 50 entries. Fingerprint gauntlets
+    # (queries/gauntlets.py) carry whole families in one slot each:
+    # relational_gauntlet = q3..q22 + pivot/percentiles/set-ops,
+    # proc_flow_gauntlet = switch/try/select_parts/bounds/group_by_value/
+    # variant/metadata/json_schema, mm_gauntlet = image+audio+frames.
+    # Their member singles are re-checked row-level below the fold. ----
     # relational core (agg; joins covered by semi_anti/asof/top_k below)
     "q1_pricing_summary",
     # LLM-data ops: text analysis (cheap, unique)
     "text_token_stats", "text_quality_score", "text_language_id",
     "text_fingerprint_winnow",
     # windows / streaming semantics
-    "window_tumbling_hour", "window_session_user",
+    "window_tumbling_hour", "window_sliding_hour", "window_session_user",
     "dedupe_within_window",
-    # multimodal
-    "mm_image_features", "mm_audio_features",
+    # multimodal (image/audio features + frame sampling in one slot)
+    "mm_gauntlet",
     # similarity + dedup (first-class LLM-pipeline ops)
     "dedup_exact", "ann_brute_force_topk", "ann_lsh_topk",
     "dedup_embedding_cosine", "dedup_simhash", "dedup_ngram_jaccard",
@@ -50,28 +52,32 @@ _PRIORITY = [
     # training-data corpus prep (each a distinct first-class op)
     "decontaminate_overlap", "pack_sequences_contiguous", "pii_redact",
     "quality_repetition_gopher", "sample_stratified_hash",
+    "kmeans_embedding_mixture", "corpus_shuffle_shards",
+    "dedup_incremental_snapshot", "embed_project_topk",
     # join / agg planes (§2.6-2.7)
     "asof_join_last_login", "semi_anti_join", "top_k_per_group",
     "rollup_priority", "skew_salted_agg",
     # bloblang (§2.2)
-    "bloblang_mapping", "bloblang_stdlib2",
-    # processors (each a distinct §2.1 row)
-    "proc_switch_route", "proc_try_catch",
-    "proc_kv_enrich", "proc_group_by_value", "proc_select_parts",
-    "proc_bounds_check", "pipeline_yaml", "proc_workflow_dag",
+    "bloblang_mapping", "bloblang_stdlib2", "bloblang_stdlib3",
+    "bloblang_geoip",
+    # processors (distinct §2.1 planes; simple per-row ones gauntleted)
+    "proc_flow_gauntlet",
+    "proc_kv_enrich", "pipeline_yaml", "proc_workflow_dag",
     "proc_jmespath_collapse", "proc_jq", "proc_branch_enrich",
-    "proc_cache_lookup", "json_variant_extract", "proc_http_enrich",
-    "proc_json_schema_full", "proc_metadata_topic",
-    # consolidated families: syslog+grok+CLF; msgpack+avro+protobuf+
-    # schema-registry+compress; tar+lines+json_array+csv+xml+chunker;
-    # re_match+skip_bom+json_documents+xml_documents+switch
+    "proc_cache_lookup", "proc_http_enrich",
+    # consolidated codec/scanner/parser families
     "proc_parse_gauntlet", "proc_codec_gauntlet", "proc_archive_gauntlet",
     "scan_gauntlet",
-    # ---- below the fold: singles already covered by a gauntlet, agg
-    # variants of a covered row, redundant relational shapes ----
-    "bloblang_geoip",
-    "q3_shipping_priority", "window_sliding_hour", "bloblang_stdlib3",
-    "proc_mapping_enrich", "mm_frame_sample", "proc_dedupe_first",
+    # relational breadth: 18 TPC-H-shape + superset queries in one slot
+    "relational_gauntlet",
+    # ---- below the fold: member singles of the gauntlets above plus
+    # variants of already-covered rows (row-level re-checked locally) ----
+    "proc_switch_route", "proc_try_catch", "proc_group_by_value",
+    "proc_select_parts", "proc_bounds_check", "json_variant_extract",
+    "proc_metadata_topic", "proc_json_schema_full",
+    "mm_image_features", "mm_audio_features", "mm_frame_sample",
+    "q3_shipping_priority",
+    "proc_mapping_enrich", "proc_dedupe_first",
     "pivot_event_types", "percentiles_value", "set_ops_users",
     "proc_compress_roundtrip", "proc_parse_syslog", "proc_grok",
     "proc_parse_log", "proc_json_schema",

@@ -1,0 +1,117 @@
+"""Deterministic text featurizer behind the batch-inference UDF shape.
+
+The reference ships four HuggingFace inference processors
+(internal/impl/huggingface/processor_feature_extraction.go:18 et al.)
+that turn text into embedding vectors via an ONNX session. No model
+runtime exists in this container, so the *slot* is made real with a
+deterministic model: hashed word-n-gram sign projection ("feature
+hashing", Weinberger et al. 2009) — text -> n-gram occurrences ->
+hash60 bucket + sign -> dense vector. It is a genuine (if simple)
+embedding: cosine similarity reflects n-gram overlap, so the output
+feeds the existing ANN / embedding-dedup operators end-to-end, and —
+unlike a neural model — it has an exact DuckDB oracle.
+
+Execution shape is the production one for ANY batched model:
+``pyspark.ml.functions.predict_batch_udf`` (Arrow batches -> numpy in,
+numpy out), exactly how an ONNX/torch encoder would slot in; swap
+``make_embed_fn`` for a real model loader and nothing else changes.
+A ``pandas_udf`` fallback covers sessions where the ml module is
+unavailable.
+
+Scale notes (100 TB): embedding is embarrassingly parallel (one
+mapInPandas-style pass, no shuffle); all arithmetic downstream of the
+hash is integer-exact in double, so results are bit-identical across
+engines, run counts, and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+from bento_spark.functions.hashing import hash60_sql
+
+
+def make_embed_fn(dim: int = 64, n: int = 2, salt: str = "emb"):
+    """Batch predict_fn: ndarray[str] (N,) -> ndarray[float64] (N, dim).
+
+    The predict_batch_udf contract — a real encoder would load its
+    session here instead of closing over a hash function.
+    """
+
+    def predict(batch: np.ndarray) -> np.ndarray:
+        out = np.zeros((len(batch), dim), dtype=np.float64)
+        for row, text in enumerate(batch):
+            ws = (text or "").split(" ")
+            for i in range(len(ws) - n + 1):
+                s = f"{salt}:" + " ".join(ws[i : i + n])
+                h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                out[row, h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
+        return out
+
+    return predict
+
+
+def hashed_ngram_embedder(dim: int = 64, n: int = 2, salt: str = "emb"):
+    """Column -> Column UDF producing ``array<double>`` embeddings.
+
+    Prefers the real ``predict_batch_udf`` (the ml-inference execution
+    path); falls back to an equivalent Arrow-batched pandas_udf.
+    """
+    try:
+        from pyspark.ml.functions import predict_batch_udf
+
+        return predict_batch_udf(
+            lambda: make_embed_fn(dim, n, salt),
+            return_type=ArrayType(DoubleType()),
+            batch_size=1024,
+        )
+    except Exception:  # pragma: no cover - ml module always present in CI
+        fn = make_embed_fn(dim, n, salt)
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def embed(texts: pd.Series) -> pd.Series:
+            mat = fn(texts.to_numpy())
+            return pd.Series(list(mat))
+
+        return embed
+
+
+def embedding_sql_cte(
+    table: str,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    n: int = 2,
+    salt: str = "emb",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin as CTE body: long-form ``(id, bucket, val)`` rows plus
+    per-id L2 norms. All-occurrence (non-distinct) n-grams, same hash and
+    sign as ``make_embed_fn`` — values are signed integer counts, so
+    every downstream double is exact and engine-independent.
+    """
+    w = f"string_split({text_col}, ' ')"
+    grams = (
+        f"[array_to_string(({w})[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, len({w}) - {n - 2})]"
+    )
+    h = hash60_sql("s", salt=salt)
+    return f"""
+    __tok AS (
+      SELECT {id_col} AS id, unnest({grams}) AS s
+      FROM {table} WHERE {where} AND len({w}) >= {n}
+    ),
+    __emb AS (
+      SELECT id, h % {dim} AS bucket,
+             sum(CASE WHEN (h // {dim}) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS val
+      FROM (SELECT id, {h} AS h FROM __tok)
+      GROUP BY 1, 2
+    ),
+    __nrm AS (
+      SELECT id, sqrt(sum(val * val)) AS nrm FROM __emb GROUP BY id
+    )"""

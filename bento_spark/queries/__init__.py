@@ -46,3 +46,4 @@ def load_all() -> None:
         text,
         traindata,
     )
+    from bento_spark.queries import gauntlets  # noqa: F401  (last: wraps the above)

@@ -1,0 +1,168 @@
+"""Fingerprint gauntlets: fold many per-component queries into one
+driver row each, so every SURVEY §2 component family gets checked inside
+the driver's 50-entry window (round-2 verdict item #4 — 47 registered
+queries had no driver row).
+
+Each member query is reduced to one row ``(q, n, chk)``:
+
+* ``n``    — row count;
+* ``chk``  — sum over rows of ``hash60(canonical_line) % MOD`` where the
+  canonical line concatenates every column under a per-type treatment
+  that is string-identical in Spark and DuckDB:
+    s   ints/strings/dates/booleans  -> CAST AS VARCHAR
+    d2  exact-2-decimal doubles      -> CAST(round(v*100)  AS BIGINT)
+    d6  6-decimal / identical-double -> CAST(round(v*1e6)  AS BIGINT)
+
+The oracle for a gauntlet is generated from the member queries' OWN
+registered oracles (wrapped in the same reduction), so the two sides
+cannot drift: a gauntlet hash-match implies each member still matches
+its oracle up to the 1/MOD collision odds per member.
+
+The member singles stay registered below the driver's fold for full
+row-level local verification via tools/check.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.functions.hashing import hash60, hash60_sql
+from bento_spark.queries import ORACLES, QUERIES, query
+
+# Member modules must be imported (and thus registered) before the
+# gauntlet oracles are assembled below.
+from bento_spark.queries import (  # noqa: F401  (import order matters)
+    multimodal,
+    processors,
+    relational,
+    relational2,
+    relational3,
+    relational4,
+)
+
+MOD = 1_000_000_007
+
+# col treatments per member query, in canonical column order
+_REL_SPEC: dict[str, list[tuple[str, str]]] = {
+    "q3_shipping_priority": [("orderkey", "s"), ("revenue", "d2"), ("orderdate", "s")],
+    "q4_order_priority": [("o_orderpriority", "s"), ("order_count", "s")],
+    "q5_local_supplier_volume": [("nation", "s"), ("revenue", "d2")],
+    "q6_forecast_revenue": [("revenue", "d2")],
+    "q7_nation_volume": [
+        ("supp_nation", "s"), ("cust_nation", "s"), ("l_year", "s"), ("revenue", "d2"),
+    ],
+    "q8_market_share": [("o_year", "s"), ("mkt_share", "d6")],
+    "q10_returned_items": [
+        ("custkey", "s"), ("name", "s"), ("revenue", "d2"), ("nation", "s"),
+    ],
+    "q12_shipmode_priority": [
+        ("l_linestatus", "s"), ("high_line_count", "s"), ("low_line_count", "s"),
+    ],
+    "q13_customer_distribution": [("c_count", "s"), ("custdist", "s")],
+    "q14_promo_effect": [("promo_revenue", "d6")],
+    "q15_top_supplier": [("s_suppkey", "s"), ("s_name", "s"), ("total_revenue", "d2")],
+    "q17_small_quantity": [("avg_yearly", "d6")],
+    "q18_large_orders": [
+        ("orderkey", "s"), ("custkey", "s"), ("totalprice", "d2"), ("sum_qty", "d2"),
+    ],
+    "q19_discounted_revenue": [("revenue", "d2")],
+    "q22_idle_customers": [("nationkey", "s"), ("numcust", "s"), ("totacctbal", "d2")],
+    "pivot_event_types": [
+        ("user_id", "s"), ("click", "s"), ("error", "s"),
+        ("login", "s"), ("purchase", "s"), ("signup", "s"),
+    ],
+    "percentiles_value": [
+        ("event_type", "s"), ("p50", "d6"), ("p95", "d6"), ("p99", "d6"),
+    ],
+    "set_ops_users": [("both_n", "s"), ("only_purchase_n", "s"), ("either_n", "s")],
+}
+
+_PROC_SPEC: dict[str, list[tuple[str, str]]] = {
+    "proc_switch_route": [("event_id", "s"), ("route", "s"), ("commission", "d6")],
+    "proc_try_catch": [("event_id", "s"), ("k", "s"), ("was_errored", "s")],
+    "proc_select_parts": [("event_id", "s"), ("event_type", "s")],
+    "proc_bounds_check": [("event_id", "s"), ("value", "d2")],
+    "proc_group_by_value": [
+        ("event_type", "s"), ("n", "s"), ("total_value", "d2"), ("n_users", "s"),
+    ],
+    "json_variant_extract": [("event_id", "s"), ("k", "s"), ("k_round", "s")],
+    "proc_metadata_topic": [("event_id", "s"), ("topic", "s")],
+    "proc_json_schema_full": [("event_id", "s"), ("valid", "s")],
+}
+
+_MM_SPEC: dict[str, list[tuple[str, str]]] = {
+    "mm_image_features": [
+        ("doc_id", "s"), ("n_bytes", "s"), ("width", "s"),
+        ("height", "s"), ("channels", "s"), ("phash", "s"),
+    ],
+    "mm_audio_features": [
+        ("doc_id", "s"), ("n_bytes", "s"), ("sample_rate", "s"),
+        ("n_samples", "s"), ("duration_ms", "s"), ("rms", "d6"), ("peak", "s"),
+    ],
+    "mm_frame_sample": [
+        ("doc_id", "s"), ("frame_idx", "s"), ("n_frames", "s"), ("frame_hash", "s"),
+    ],
+}
+
+
+def _treat_spark(col: str, kind: str) -> F.Column:
+    c = F.col(col)
+    if kind == "d2":
+        return F.round(c * 100).cast("bigint").cast("string")
+    if kind == "d6":
+        return F.round(c * 1_000_000).cast("bigint").cast("string")
+    return c.cast("string")
+
+
+def _treat_sql(col: str, kind: str) -> str:
+    if kind == "d2":
+        return f"CAST(CAST(round({col} * 100) AS BIGINT) AS VARCHAR)"
+    if kind == "d6":
+        return f"CAST(CAST(round({col} * 1000000) AS BIGINT) AS VARCHAR)"
+    return f"CAST({col} AS VARCHAR)"
+
+
+def _fp_spark(spark: SparkSession, sf_dir: str, name: str, cols) -> DataFrame:
+    df = QUERIES[name](spark, sf_dir)
+    line = F.concat_ws("|", *[_treat_spark(c, k) for c, k in cols])
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(hash60(line) % MOD), F.lit(0)).cast("long").alias("chk"),
+    ).select(F.lit(name).alias("q"), "n", "chk")
+
+
+def _fp_sql(name: str, cols) -> str:
+    line = "concat_ws('|', " + ", ".join(_treat_sql(c, k) for c, k in cols) + ")"
+    return (
+        f"SELECT '{name}' AS q, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(coalesce(sum({hash60_sql(line)} % {MOD}), 0) AS BIGINT) AS chk "
+        f"FROM ({ORACLES[name]}) __t"
+    )
+
+
+def _gauntlet_oracle(spec: dict[str, list[tuple[str, str]]]) -> str:
+    return "\nUNION ALL\n".join(_fp_sql(n, cols) for n, cols in spec.items()) + (
+        "\nORDER BY q"
+    )
+
+
+def _gauntlet_query(spec):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = [_fp_spark(spark, sf_dir, n, cols) for n, cols in spec.items()]
+        return reduce(lambda a, b: a.union(b), parts).orderBy("q")
+
+    return run
+
+
+relational_gauntlet = query("relational_gauntlet", oracle=_gauntlet_oracle(_REL_SPEC))(
+    _gauntlet_query(_REL_SPEC)
+)
+proc_flow_gauntlet = query("proc_flow_gauntlet", oracle=_gauntlet_oracle(_PROC_SPEC))(
+    _gauntlet_query(_PROC_SPEC)
+)
+mm_gauntlet = query("mm_gauntlet", oracle=_gauntlet_oracle(_MM_SPEC))(
+    _gauntlet_query(_MM_SPEC)
+)

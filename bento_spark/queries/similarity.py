@@ -101,6 +101,59 @@ ORDER BY query_id, rank
 """
 
 
+EMB_DIM, EMB_N, EMB_K, EMB_QMOD = 64, 2, 5, 50
+
+
+def _embed_topk_oracle() -> str:
+    from bento_spark.operators.featurize import embedding_sql_cte
+
+    cte = embedding_sql_cte("documents", "doc_id", "text", EMB_DIM, EMB_N)
+    return f"""
+WITH {cte},
+dots AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id, sum(q.val * c.val) AS dot
+  FROM __emb q JOIN __emb c USING (bucket)
+  WHERE q.id % {EMB_QMOD} = 0 AND q.id <> c.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT qn.id AS query_id, cn.id AS neighbor_id,
+         round(coalesce(d.dot, 0) / (qn.nrm * cn.nrm), 6) AS cos_sim
+  FROM __nrm qn
+  JOIN __nrm cn ON qn.id % {EMB_QMOD} = 0 AND qn.id <> cn.id
+  LEFT JOIN dots d ON d.query_id = qn.id AND d.neighbor_id = cn.id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {EMB_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("embed_project_topk", oracle=_embed_topk_oracle())
+def embed_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> embedding -> ANN in one pipeline: the model-inference slot
+    (reference huggingface processor_feature_extraction.go:18) filled
+    with the deterministic hashed-n-gram sign projection
+    (operators/featurize.py), then exact cosine top-5 over the fresh
+    vectors. Every downstream double is integer-exact, so the whole
+    text->vector->topk path is hash-checked against DuckDB."""
+    from bento_spark.operators.featurize import hashed_ngram_embedder
+
+    embed = hashed_ngram_embedder(EMB_DIM, EMB_N)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", embed(F.col("text")).alias("vec")
+    )
+    queries = docs.filter(F.col("doc_id") % EMB_QMOD == 0)
+    df = S.brute_force_topk(docs, queries, "doc_id", "vec", EMB_K, dim=EMB_DIM)
+    return df.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 @query("ann_lsh_topk", oracle=_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH (4 deterministic hyperplanes) + hamming-1 multiprobe

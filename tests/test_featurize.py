@@ -1,0 +1,53 @@
+"""Hashed n-gram embedding featurizer: determinism, the batch-inference
+UDF contract, and end-to-end compatibility with the similarity ops."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bento_spark.operators.featurize import hashed_ngram_embedder, make_embed_fn
+
+
+def test_predict_fn_deterministic_and_shaped():
+    fn = make_embed_fn(dim=16, n=2)
+    batch = np.array(["a b c a b", "x y", "", "single"])
+    out = fn(batch)
+    assert out.shape == (4, 16)
+    # repeat bigram "a b" contributes twice to the same signed bucket
+    again = fn(batch)
+    assert np.array_equal(out, again)
+    # fewer words than n => zero vector
+    assert not out[2].any() and not out[3].any()
+    # integer-valued by construction (signed counts)
+    assert np.array_equal(out, np.round(out))
+
+
+def test_embedder_udf_matches_predict_fn(spark):
+    texts = ["the quick brown fox", "jumps over the lazy dog", "the the the"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    got = {
+        r["id"]: r["v"]
+        for r in df.select("id", hashed_ngram_embedder(8, 2)(F.col("t")).alias("v")).collect()
+    }
+    want = make_embed_fn(8, 2)(np.array(texts))
+    for i in range(len(texts)):
+        assert got[i] == list(want[i])
+
+
+def test_embeddings_feed_ann(spark):
+    from bento_spark.operators.similarity import brute_force_topk
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma epsilon",
+        "zeta eta theta iota",
+        "zeta eta theta kappa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, t string"
+    ).select("doc_id", hashed_ngram_embedder(32, 2)(F.col("t")).alias("vec"))
+    top = brute_force_topk(df, df, "doc_id", "vec", k=1, dim=32)
+    nn = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    # texts sharing 2 of 3 bigrams are nearest neighbors of each other
+    assert nn[0] == 1 and nn[1] == 0 and nn[2] == 3 and nn[3] == 2
