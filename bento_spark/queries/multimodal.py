@@ -8,6 +8,7 @@ explosion) is what's being verified.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bento_spark.operators import multimodal as M
 from bento_spark.queries import query
@@ -17,23 +18,38 @@ from bento_spark.queries.relational import _t
 @query(
     "mm_image_features",
     oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h FROM documents
+    ), p AS (
+      SELECT doc_id, w, h,
+             array_to_string(
+               [chr(CAST(32 + (doc_id + j) % 95 AS INT))
+                FOR j IN range(0, 3 * w * h)], '') AS pixstr
+      FROM d
+    )
     SELECT doc_id,
-           CAST(strlen(text) AS INT) AS n_bytes,
-           CAST(64 + h % 448 AS INT) AS width,
-           CAST(64 + (h // 448) % 448 AS INT) AS height,
-           3 AS channels,
-           substr(md5(text), 1, 16) AS phash
-    FROM (SELECT doc_id, text,
-                 CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
-          FROM documents)
-    ORDER BY doc_id
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 3 + strlen(CAST(w AS VARCHAR)) + 1
+                     + strlen(CAST(h AS VARCHAR)) + 1 + 4 + 3 * w * h
+                ELSE 54 + h * ((3 * w + 3) // 4 * 4) END AS INT) AS n_bytes,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS channels,
+           substr(md5(pixstr), 1, 16) AS phash
+    FROM p ORDER BY doc_id
     """,
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode+featurize plumbing (Arrow-batched mapInPandas,
-    stubbed codec — operators/multimodal.py)."""
-    docs = M.attach_binary(_t(spark, sf_dir, "documents"), "text")
-    return M.extract_image_features(docs, "doc_id", "payload").orderBy("doc_id")
+    """REAL image decode end-to-end: per-doc pixels are encoded into an
+    actual container (even doc_ids binary PPM, odd 24-bit BMP), then
+    decoded back by the pure-Python codec (operators/multimodal.py
+    decode_image) inside the Arrow-batched feature stage. The oracle
+    recomputes width/height, the container byte size, and the md5 of the
+    logical RGB pixels — so a decoder bug in header parse, BGR order,
+    bottom-up flip, or row padding is a hash mismatch."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.withColumn("payload", M.synth_image_udf()(F.col("doc_id")))
+    return M.extract_image_features(
+        imgs, "doc_id", "payload", decoder=M.real_decode
+    ).orderBy("doc_id")
 
 
 @query(

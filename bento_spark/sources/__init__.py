@@ -185,23 +185,44 @@ def _sequence(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     return out, False
 
 
-@register_source("kafka")
-def _kafka(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
-    """`kafka` input -> Spark's native Kafka source; key/topic/partition/
-    offset/timestamp land in metadata like the reference
-    (input_kafka_franz.go:46-51). Requires the kafka connector jars and
-    a reachable broker (not available in this container - untested)."""
+# Spark's Kafka source wire schema (what format("kafka").load() yields).
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_reader_options(conf: dict) -> dict:
+    """Reference kafka config -> Spark Kafka source options
+    (input_kafka_franz.go:46-51 field names). Pure so the mapping is
+    contract-testable without a broker (tests/test_kafka_contract.py)."""
+
+    def _csv(v):
+        return ",".join(v) if isinstance(v, (list, tuple)) else str(v)
+
+    opts = {
+        "subscribe": _csv(conf["topics"]),
+        "kafka.bootstrap.servers": _csv(conf["addresses"]),
+    }
+    if "consumer_group" in conf:
+        opts["kafka.group.id"] = conf["consumer_group"]
+    if "start_from_oldest" in conf:
+        opts["startingOffsets"] = (
+            "earliest" if conf["start_from_oldest"] else "latest"
+        )
+    opts.update(conf.get("options", {}))
+    return opts
+
+
+def kafka_wire_projection(df: DataFrame) -> DataFrame:
+    """Kafka wire rows -> the engine envelope: value becomes `content`,
+    key/topic/partition/offset/timestamp land in metadata exactly like
+    the reference (input_kafka_franz.go:46-51). Applies to ANY DataFrame
+    with KAFKA_WIRE_SCHEMA — the native connector's output or a fake
+    transport in tests."""
     from bento_spark.operators.envelope import META
 
-    stream = bool(conf.get("stream", True))
-    reader = (spark.readStream if stream else spark.read).format("kafka")
-    reader = reader.option("subscribe", conf["topics"]).option(
-        "kafka.bootstrap.servers", conf["addresses"]
-    )
-    for k, v in conf.get("options", {}).items():
-        reader = reader.option(k, v)
-    df = reader.load()
-    df = df.select(
+    return df.select(
         F.col("value").cast("string").alias("content"),
         F.create_map(
             F.lit("kafka_key"), F.col("key").cast("string"),
@@ -211,4 +232,16 @@ def _kafka(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
             F.lit("kafka_timestamp"), F.col("timestamp").cast("string"),
         ).alias(META),
     )
-    return df, stream
+
+
+@register_source("kafka")
+def _kafka(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    """`kafka` input -> Spark's native Kafka source via the option
+    mapping + wire projection above. The projection and options are
+    contract-tested against a fake wire transport; the native connector
+    path needs the kafka jars and a reachable broker (absent here)."""
+    stream = bool(conf.get("stream", True))
+    reader = (spark.readStream if stream else spark.read).format("kafka")
+    for k, v in kafka_reader_options(conf).items():
+        reader = reader.option(k, v)
+    return kafka_wire_projection(reader.load()), stream

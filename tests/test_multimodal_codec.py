@@ -1,0 +1,58 @@
+"""Pure-Python image codec: PPM/BMP encode-decode roundtrips, BMP row
+padding and bottom-up handling, container-independent pixel hashing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from bento_spark.operators.multimodal import (
+    decode_image,
+    encode_bmp24,
+    encode_ppm,
+    real_decode,
+)
+
+
+def _pix(w, h, seed=0):
+    return bytes((seed + j) % 256 for j in range(3 * w * h))
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (4, 4), (5, 3), (16, 10)])
+def test_ppm_roundtrip(w, h):
+    pix = _pix(w, h, 7)
+    d = decode_image(encode_ppm(w, h, pix))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["pixels"] == pix
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (4, 4), (5, 3), (16, 10)])
+def test_bmp_roundtrip_with_padding(w, h):
+    # w=1,3,5 exercise nonzero row padding; decode must undo BGR + flip
+    pix = _pix(w, h, 13)
+    d = decode_image(encode_bmp24(w, h, pix))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["pixels"] == pix
+
+
+def test_same_image_hashes_identically_across_containers():
+    pix = _pix(5, 3, 99)
+    a = real_decode(encode_ppm(5, 3, pix))
+    b = real_decode(encode_bmp24(5, 3, pix))
+    assert a == b
+    assert a["phash"] == hashlib.md5(pix).hexdigest()[:16]
+
+
+def test_ppm_comment_and_whitespace_header():
+    pix = _pix(2, 2)
+    raw = b"P6\n# a comment\n 2  2\n255\n" + pix
+    d = decode_image(raw)
+    assert (d["width"], d["height"]) == (2, 2) and d["pixels"] == pix
+
+
+def test_unsupported_container_rejected():
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_image(b"\x89PNG\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6\n4 4\n255\n\x00\x01")

@@ -252,6 +252,39 @@ def test_cache_add_is_insert_if_absent(df):
     assert CACHE_RESOURCES["t2"] == {"k1": "keep", "k2": "2"}
 
 
+def test_cache_set_last_writer_wins_distributed(spark):
+    # duplicate keys across partitions: the key-partitioned reduction must
+    # pick the row with the highest batch position, matching per-message
+    # order semantics, while collecting only one row per distinct key
+    from bento_spark.bloblang.compiler import compile_mapping
+
+    CACHE_RESOURCES.pop("t3", None)
+    register_cache("t3")
+    d = spark.createDataFrame(
+        [(i, f"k{i % 3}", str(i)) for i in range(30)], "id long, key string, v string"
+    ).repartition(4, "id")
+    compile_mapping('let _ = cache_set("t3", this.key, this.v)\nroot.id = this.id').apply(
+        d
+    ).collect()
+    # one surviving value per key; add semantics keep the first instead
+    assert set(CACHE_RESOURCES["t3"]) == {"k0", "k1", "k2"}
+
+
+def test_cache_set_max_keys_cap_enforced(spark):
+    from bento_spark.bloblang.compiler import _run_cache_writes
+    from pyspark.sql import functions as F
+
+    CACHE_RESOURCES.pop("t4", None)
+    register_cache("t4")
+    d = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    with pytest.raises(ValueError, match="max_keys"):
+        _run_cache_writes(
+            d,
+            [("cache_set", "t4", F.col("id").cast("string"), F.lit("x"))],
+            max_keys=3,
+        )
+
+
 def test_cache_get_unknown_resource(df):
     with pytest.raises(CompileError, match="unknown cache resource"):
         compile_expr('cache_get("nope", this.key)', df=df)
