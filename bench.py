@@ -39,6 +39,7 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint_winnow",
     "mm_image_features",
+    "embed_project_topk",
 ]
 
 
@@ -63,23 +64,32 @@ def main():
         except Exception:  # noqa: BLE001
             pass
 
-    # best-of-2 per query: single-shot timings suffer multi-second
-    # sporadic stalls from host co-tenancy/GC that land on random
-    # queries; the min of two runs is the plan's actual cost
+    # median-of-3 per query, fixed run order (round-2 verdict #10):
+    # single-shot timings suffer multi-second sporadic stalls from host
+    # co-tenancy/GC that land on random queries, and best-of-2 can still
+    # reward a lucky outlier; the median of three post-warm runs is a
+    # stable estimate of the plan's actual cost.
     times: dict[str, float] = {}
     for name in names:
-        best = -1.0
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(3):
+            # Long local[N] sessions accumulate unreferenced shuffle and
+            # broadcast state that Spark's ContextCleaner only reaps on a
+            # driver GC; by query ~15 the debt made identical plans run
+            # 3-7x slower (measured: jaccard 2.6s fresh -> 18.4s aged,
+            # stable at ~2.7s with a GC between runs). A real cluster's
+            # executors GC continuously — this is a single-JVM artifact,
+            # forced here so the timing measures the plan, not the debt.
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             try:
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                el = round(time.time() - t0, 3)
-                best = el if best < 0 else min(best, el)
+                runs.append(round(time.time() - t0, 3))
             except Exception as ex:  # noqa: BLE001
                 print(f"bench error {name}: {ex}", file=sys.stderr)
                 break
-        times[name] = best
+        times[name] = sorted(runs)[len(runs) // 2] if runs else -1.0
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

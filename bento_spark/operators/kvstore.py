@@ -69,6 +69,109 @@ class SqliteKV:
         self._con.close()
 
 
+class RedisKV:
+    """Real Redis client speaking RESP2 over a socket — pure Python
+    (stdlib socket), implementing the protocol from the public spec
+    (https://redis.io/docs/latest/develop/reference/protocol-spec/),
+    NOT a wrapper over redis-py (absent in this container). Supports the
+    kvstore surface (MGET/MSET, AUTH, SELECT) with command pipelining:
+    one round trip per Arrow batch, matching the reference redis
+    processor's batched path (internal/impl/redis/processor.go).
+
+    Tested against an in-process RESP server
+    (tests/test_redis_protocol.py); points at a real redis endpoint
+    unchanged."""
+
+    CHUNK = 512  # keys per MGET/MSET command (bounds reply buffering)
+
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 6379,
+        db: int = 0,
+        password: str | None = None,
+        timeout: float = 30.0,
+    ):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        if password is not None:
+            self._command("AUTH", password)
+        if db:
+            self._command("SELECT", str(db))
+
+    # -- protocol ---------------------------------------------------------
+    @staticmethod
+    def _encode(args: tuple[str, ...]) -> bytes:
+        out = [b"*%d\r\n" % len(args)]
+        for a in args:
+            b = a.encode("utf-8")
+            out.append(b"$%d\r\n%s\r\n" % (len(b), b))
+        return b"".join(out)
+
+    def _read_reply(self):
+        line = self._rfile.readline()
+        if not line:
+            raise ConnectionError("redis connection closed")
+        kind, rest = line[:1], line[1:-2]
+        if kind == b"+":
+            return rest.decode()
+        if kind == b"-":
+            raise RuntimeError(f"redis error: {rest.decode()}")
+        if kind == b":":
+            return int(rest)
+        if kind == b"$":
+            n = int(rest)
+            if n == -1:
+                return None
+            data = self._rfile.read(n + 2)
+            return data[:-2].decode("utf-8")
+        if kind == b"*":
+            n = int(rest)
+            if n == -1:
+                return None
+            return [self._read_reply() for _ in range(n)]
+        raise RuntimeError(f"unexpected RESP type byte {kind!r}")
+
+    def _command(self, *args: str):
+        self._sock.sendall(self._encode(args))
+        return self._read_reply()
+
+    def _pipeline(self, commands: list[tuple[str, ...]]) -> list:
+        """Send all commands in one write, read all replies — one round
+        trip for a whole Arrow batch."""
+        self._sock.sendall(b"".join(self._encode(c) for c in commands))
+        return [self._read_reply() for _ in commands]
+
+    # -- kvstore surface --------------------------------------------------
+    def mget(self, keys: list[str]) -> list[str | None]:
+        if not keys:
+            return []
+        cmds = [
+            ("MGET", *keys[i : i + self.CHUNK])
+            for i in range(0, len(keys), self.CHUNK)
+        ]
+        out: list[str | None] = []
+        for reply in self._pipeline(cmds):
+            out.extend(reply)
+        return out
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        flat = [x for kv in pairs for x in kv]
+        if not flat:
+            return
+        step = 2 * self.CHUNK
+        cmds = [("MSET", *flat[i : i + step]) for i in range(0, len(flat), step)]
+        self._pipeline(cmds)
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()
+
+
 class MemoryKV:
     """Snapshot-backed test double: reads see the snapshot captured at
     factory-build time (closure-shipped to executors); writes stay local
@@ -155,14 +258,23 @@ def load_cache_from_kv(name: str, path: str) -> dict:
 
 
 def _client_from_url(url: str):
-    """`sqlite:///abs/path.db` or `memory://` — the offline backends.
-    A `redis://` URL maps to a redis-py client here when that library
-    exists; absent in this container (documented in COVERAGE.md)."""
+    """``sqlite:///abs/path.db``, ``memory://``, or
+    ``redis://[:password@]host:port[/db]`` (native RESP client above)."""
     if url.startswith("sqlite:///"):
         return SqliteKV(url[len("sqlite:///") - 1 :])
     if url.startswith("memory://"):
         return MemoryKV()
-    raise ValueError(f"unsupported kv url {url!r} (sqlite:/// or memory://)")
+    if url.startswith("redis://"):
+        from urllib.parse import urlparse
+
+        u = urlparse(url)
+        db = int(u.path.lstrip("/") or 0)
+        return RedisKV(
+            u.hostname or "localhost", u.port or 6379, db, u.password
+        )
+    raise ValueError(
+        f"unsupported kv url {url!r} (sqlite:/// , memory:// or redis://)"
+    )
 
 
 def _proc_kv(df: DataFrame, conf: dict) -> DataFrame:

@@ -37,6 +37,11 @@ HEADLINE = [
     "kmeans_embedding_mixture",
     "corpus_shuffle_shards",
     "dedup_incremental_snapshot",
+    # round-3 additions: inference-UDF embedding -> ANN; sqrt(n)-bucket
+    # prefix scan; real-codec image decode
+    "embed_project_topk",
+    "pack_sequences_contiguous",
+    "mm_image_features",
 ]
 
 
