@@ -180,8 +180,8 @@ def pack_sequences_sql(
       FROM t
     )
     SELECT {id_col}, n_tokens,
-           before // {capacity} AS seq_id,
-           before % {capacity} AS seq_pos
+           CAST(before // {capacity} AS BIGINT) AS seq_id,
+           CAST(before % {capacity} AS BIGINT) AS seq_pos
     FROM c ORDER BY {id_col}
     """
 

@@ -22,6 +22,12 @@ def _all_queries():
     return sorted(QUERIES)
 
 
+def _all_oracles():
+    import __spark_entry__ as e
+
+    return sorted(e.oracle_sql())
+
+
 @pytest.mark.parametrize("name", _all_queries())
 def test_no_decimal_output(spark, name):
     from bento_spark.queries import QUERIES
@@ -33,4 +39,49 @@ def test_no_decimal_output(spark, name):
     assert not bad, (
         f"query {name!r} emits DecimalType columns {bad}: cast final "
         "decimal aggregates to DOUBLE (and CAST ... AS DOUBLE in the oracle)"
+    )
+
+
+# --- Oracle-side dual of the above (VERDICT r3 #1/#2): the driver
+# materializes oracle results via Arrow, where DuckDB HUGEINT (e.g. any
+# windowed sum(BIGINT) arithmetic) surfaces as decimal128(38,0) and gets
+# floated — mismatching Spark int64. .fetchall() hides this (hugeint →
+# Python int), which is exactly how pack_sequences_contiguous passed
+# locally but failed the driver in round 3. DESCRIBE gives the output
+# types without executing the query.
+
+_DECIMALISH = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.fixture(scope="module")
+def duck_con():
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _all_oracles())
+def test_no_decimal_oracle_output(duck_con, name):
+    import __spark_entry__ as e
+
+    sql = e.oracle_sql()[name]
+    desc = duck_con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in desc
+        if any(typ.upper().startswith(d) for d in _DECIMALISH)
+    ]
+    assert not bad, (
+        f"oracle for {name!r} emits {bad}: via Arrow these are decimal128 "
+        "and the driver floats them — CAST to BIGINT/DOUBLE in the SQL"
     )

@@ -110,11 +110,25 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # Materialize via Arrow, exactly like the driver: DuckDB
+            # HUGEINT surfaces as decimal128(38,0) here but as Python int
+            # via .fetchall() — the round-3 pack_sequences blind spot.
+            tbl = con.execute(oracles[name]).arrow()
+            dcols = list(tbl.column_names)
+            drows = list(
+                zip(*[tbl.column(i).to_pylist() for i in range(tbl.num_columns)])
+            ) if tbl.num_columns else []
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        bad_duck = [
+            f.name for f in tbl.schema if "decimal" in str(f.type).lower()
+        ]
+        if bad_duck:
+            print(f"FAIL  {name}: oracle Arrow output has decimal columns "
+                  f"{bad_duck} (DuckDB HUGEINT/DECIMAL — driver floats these; "
+                  "CAST to BIGINT/DOUBLE in the oracle SQL)")
             n_fail += 1
             continue
         problems = []
