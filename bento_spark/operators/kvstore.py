@@ -69,6 +69,12 @@ class SqliteKV:
         self._con.close()
 
 
+class RedisError(RuntimeError):
+    """A RESP ``-ERR ...`` reply. Raised only AFTER every reply of the
+    surrounding pipeline has been drained, so the connection stays in
+    protocol sync for subsequent commands."""
+
+
 class RedisKV:
     """Real Redis client speaking RESP2 over a socket — pure Python
     (stdlib socket), implementing the protocol from the public spec
@@ -111,6 +117,10 @@ class RedisKV:
         return b"".join(out)
 
     def _read_reply(self):
+        """One RESP reply. Error replies are RETURNED as RedisError (not
+        raised) so pipelined readers can drain every outstanding reply
+        before surfacing the first failure — raising mid-pipeline would
+        leave unread replies on the socket and desync the connection."""
         line = self._rfile.readline()
         if not line:
             raise ConnectionError("redis connection closed")
@@ -118,7 +128,7 @@ class RedisKV:
         if kind == b"+":
             return rest.decode()
         if kind == b"-":
-            raise RuntimeError(f"redis error: {rest.decode()}")
+            return RedisError(f"redis error: {rest.decode()}")
         if kind == b":":
             return int(rest)
         if kind == b"$":
@@ -126,6 +136,8 @@ class RedisKV:
             if n == -1:
                 return None
             data = self._rfile.read(n + 2)
+            if len(data) != n + 2:
+                raise ConnectionError("redis connection closed mid-reply")
             return data[:-2].decode("utf-8")
         if kind == b"*":
             n = int(rest)
@@ -136,13 +148,21 @@ class RedisKV:
 
     def _command(self, *args: str):
         self._sock.sendall(self._encode(args))
-        return self._read_reply()
+        reply = self._read_reply()
+        if isinstance(reply, RedisError):
+            raise reply
+        return reply
 
     def _pipeline(self, commands: list[tuple[str, ...]]) -> list:
         """Send all commands in one write, read all replies — one round
-        trip for a whole Arrow batch."""
+        trip for a whole Arrow batch. All replies are drained before the
+        first error (if any) is raised, keeping the connection usable."""
         self._sock.sendall(b"".join(self._encode(c) for c in commands))
-        return [self._read_reply() for _ in commands]
+        replies = [self._read_reply() for _ in commands]
+        for r in replies:
+            if isinstance(r, RedisError):
+                raise r
+        return replies
 
     # -- kvstore surface --------------------------------------------------
     def mget(self, keys: list[str]) -> list[str | None]:

@@ -1,0 +1,231 @@
+"""RedisKV wire-protocol tests against an in-process RESP2 server.
+
+The server below implements the subset of the public RESP2 protocol
+(https://redis.io/docs/latest/develop/reference/protocol-spec/) that
+RedisKV speaks — GET/SET/MGET/MSET/AUTH/SELECT/PING plus error replies,
+bulk-nil, and abrupt connection drops — entirely on stdlib socketserver,
+so the client's framing (pipelining across the CHUNK=512 command
+boundary, partial reads, binary-safe bulk strings, multibyte UTF-8) is
+exercised with no redis binary in the container. A `dribble` mode sends
+replies one byte at a time to force every partial-read path.
+"""
+
+from __future__ import annotations
+
+import socketserver
+import threading
+
+import pytest
+
+from bento_spark.operators.kvstore import RedisError, RedisKV, _client_from_url
+
+
+def _bulk(s: str | None) -> bytes:
+    if s is None:
+        return b"$-1\r\n"
+    b = s.encode("utf-8")
+    return b"$%d\r\n%s\r\n" % (len(b), b)
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def _read_command(self) -> list[str] | None:
+        line = self.rfile.readline()
+        if not line:
+            return None
+        assert line[:1] == b"*", line
+        args = []
+        for _ in range(int(line[1:-2])):
+            head = self.rfile.readline()
+            assert head[:1] == b"$", head
+            n = int(head[1:-2])
+            args.append(self.rfile.read(n + 2)[:-2].decode("utf-8"))
+        return args
+
+    def _send(self, payload: bytes) -> None:
+        if self.server.dribble:
+            for i in range(len(payload)):
+                self.wfile.write(payload[i : i + 1])
+                self.wfile.flush()
+        else:
+            self.wfile.write(payload)
+            self.wfile.flush()
+
+    def handle(self) -> None:
+        srv = self.server
+        authed = srv.password is None
+        db = 0
+        while True:
+            cmd = self._read_command()
+            if cmd is None:
+                return
+            name = cmd[0].upper()
+            if name == "AUTH":
+                if cmd[1] == srv.password:
+                    authed = True
+                    self._send(b"+OK\r\n")
+                else:
+                    self._send(b"-ERR invalid password\r\n")
+                continue
+            if not authed:
+                self._send(b"-NOAUTH Authentication required.\r\n")
+                continue
+            if name == "SELECT":
+                db = int(cmd[1])
+                self._send(b"+OK\r\n")
+            elif name == "PING":
+                self._send(b"+PONG\r\n")
+            elif name == "SET":
+                srv.data.setdefault(db, {})[cmd[1]] = cmd[2]
+                self._send(b"+OK\r\n")
+            elif name == "MSET":
+                d = srv.data.setdefault(db, {})
+                for i in range(1, len(cmd), 2):
+                    d[cmd[i]] = cmd[i + 1]
+                self._send(b"+OK\r\n")
+            elif name == "GET":
+                self._send(_bulk(srv.data.get(db, {}).get(cmd[1])))
+            elif name == "MGET":
+                d = srv.data.get(db, {})
+                out = [b"*%d\r\n" % (len(cmd) - 1)]
+                out += [_bulk(d.get(k)) for k in cmd[1:]]
+                self._send(b"".join(out))
+            elif name == "DROP":
+                # test hook: hang up mid-conversation without a reply
+                self.connection.close()
+                return
+            elif name == "HALFDROP":
+                # test hook: die inside a bulk reply body
+                self.wfile.write(b"$100\r\nonly-a-few-bytes")
+                self.wfile.flush()
+                self.connection.close()
+                return
+            else:
+                self._send(b"-ERR unknown command '%s'\r\n" % name.encode())
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, password: str | None = None, dribble: bool = False):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.password = password
+        self.dribble = dribble
+        self.data: dict[int, dict[str, str]] = {}
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def port(self) -> int:
+        return self.server_address[1]
+
+    def stop(self) -> None:
+        self.shutdown()
+        self.server_close()
+
+
+@pytest.fixture()
+def server():
+    srv = _Server()
+    yield srv
+    srv.stop()
+
+
+def test_mset_mget_roundtrip_across_chunk_boundary(server):
+    """1200 keys → 3 pipelined MGET commands (CHUNK=512) in one write."""
+    kv = RedisKV(port=server.port)
+    n = 2 * RedisKV.CHUNK + 176
+    pairs = [(f"k{i}", f"v{i}") for i in range(n)]
+    kv.mset(pairs)
+    keys = [k for k, _ in pairs] + ["missing1", "missing2"]
+    got = kv.mget(keys)
+    assert got == [v for _, v in pairs] + [None, None]
+    kv.close()
+
+
+def test_binary_safe_and_multibyte_values(server):
+    kv = RedisKV(port=server.port)
+    vals = {"a": "line1\r\nline2", "b": "café ☃ \U0001f600", "c": ""}
+    kv.mset(vals.items())
+    assert kv.mget(["a", "b", "c"]) == [vals["a"], vals["b"], vals["c"]]
+    kv.close()
+
+
+def test_bulk_nil_miss(server):
+    kv = RedisKV(port=server.port)
+    assert kv.mget(["nope"]) == [None]
+    kv.close()
+
+
+def test_dribbled_replies_one_byte_at_a_time():
+    srv = _Server(dribble=True)
+    try:
+        kv = RedisKV(port=srv.port)
+        kv.mset([("x", "hello world"), ("y", "1234567890")])
+        assert kv.mget(["x", "missing", "y"]) == ["hello world", None, "1234567890"]
+        kv.close()
+    finally:
+        srv.stop()
+
+
+def test_auth_select_success_and_failure():
+    srv = _Server(password="s3cret")
+    try:
+        kv = RedisKV(port=srv.port, db=3, password="s3cret")
+        kv.mset([("k", "v")])
+        assert kv.mget(["k"]) == ["v"]
+        assert srv.data == {3: {"k": "v"}}  # landed in the SELECTed db
+        kv.close()
+        with pytest.raises(RedisError, match="invalid password"):
+            RedisKV(port=srv.port, password="wrong")
+        unauthed = RedisKV(port=srv.port)  # no AUTH sent at connect
+        with pytest.raises(RedisError, match="NOAUTH"):
+            unauthed.mget(["k"])  # first command is rejected
+        unauthed.close()
+    finally:
+        srv.stop()
+
+
+def test_error_mid_pipeline_drains_and_stays_in_sync(server):
+    """A -ERR in the middle of a pipeline must drain the remaining
+    replies before raising; otherwise the next command reads a stale
+    reply (the desync bug)."""
+    kv = RedisKV(port=server.port)
+    with pytest.raises(RedisError, match="unknown command"):
+        kv._pipeline([("SET", "a", "1"), ("BADCMD",), ("SET", "b", "2")])
+    # connection still in protocol sync: both SETs applied, PING works
+    assert kv._command("PING") == "PONG"
+    assert kv.mget(["a", "b"]) == ["1", "2"]
+    kv.close()
+
+
+def test_connection_drop_raises_connection_error(server):
+    kv = RedisKV(port=server.port)
+    with pytest.raises(ConnectionError):
+        kv._command("DROP")
+    kv2 = RedisKV(port=server.port)
+    with pytest.raises(ConnectionError):
+        kv2._command("HALFDROP")
+
+
+def test_client_from_url_redis(server):
+    kv = _client_from_url(f"redis://127.0.0.1:{server.port}/0")
+    assert isinstance(kv, RedisKV)
+    kv.mset([("u", "w")])
+    assert kv.mget(["u"]) == ["w"]
+    kv.close()
+
+
+def test_kv_enrich_via_redis_url(spark, server):
+    """End-to-end: mapInPandas partitions each open their own RESP
+    connection and batch MGETs through it."""
+    from bento_spark.operators.kvstore import kv_enrich
+
+    RedisKV(port=server.port).mset([(f"id{i}", f"name{i}") for i in range(0, 50, 2)])
+    url = f"redis://127.0.0.1:{server.port}"
+    df = spark.range(50).selectExpr("concat('id', id) AS k")
+    out = kv_enrich(df, lambda: _client_from_url(url), "k", "who")
+    rows = {r["k"]: r["who"] for r in out.collect()}
+    assert len(rows) == 50
+    for i in range(50):
+        assert rows[f"id{i}"] == (f"name{i}" if i % 2 == 0 else None)
