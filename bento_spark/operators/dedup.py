@@ -62,14 +62,25 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 5000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs via inverted index.
 
     candidate pairs = docs sharing >= 1 shingle (sufficient for J > 0);
     |A ∩ B| from the index, |A|,|B| from per-doc sizes — exact Jaccard
-    without a cross join. ``max_df`` drops shingles hotter than the cap
-    (bounds bucket size at scale; changes semantics — off by default).
+    without a cross join.
+
+    ``max_df`` drops shingles hotter than the cap from the INDEX (doc
+    sizes keep them): the self-join on a shingle appearing in d docs
+    produces d^2/2 candidate rows, so one boilerplate 3-gram shared by
+    1M documents would alone emit 5e11 rows — the cap bounds the worst
+    bucket at max_df^2/2 regardless of corpus size. On by default (the
+    scale-safe choice); pass ``max_df=None`` for exact Jaccard on
+    corpora known to be free of hot shingles. With the cap, pairs whose
+    overlap is ONLY hot shingles are missed and J is undercounted by
+    the hot overlap — the standard precision/recall trade every
+    inverted-index near-dup system makes (cf. the reference dedupe
+    processor's bounded-key semantics, processor_dedupe.go).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = exploded_word_shingles(df.repartition(par), id_col, text_col, n)

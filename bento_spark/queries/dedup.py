@@ -57,11 +57,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_EXACT_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3gram Jaccard pairs via inverted index (no cross join)."""
+    """Exact word-3gram Jaccard pairs via inverted index (no cross join).
+
+    ``max_df=None`` (explicit): the oracle is EXACT Jaccard, so the gate
+    pins the exact path; the operator's default is a max_df=5000 index
+    cap, which on this 500-doc fixture could never bind anyway."""
     docs = _t(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "doc_id", "text", NGRAM, J_THRESHOLD).orderBy(
-        "doc_a", "doc_b"
-    )
+    return D.jaccard_pairs(
+        docs, "doc_id", "text", NGRAM, J_THRESHOLD, max_df=None
+    ).orderBy("doc_a", "doc_b")
 
 
 @query("dedup_minhash_lsh", oracle=_JACCARD_EXACT_SQL)
@@ -152,7 +156,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bento_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, "doc_id", "text", NGRAM, J_THRESHOLD)
+    # max_df=None: exact pair graph to match the recursive-CTE oracle
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", NGRAM, J_THRESHOLD, max_df=None)
     comps = connected_components(pairs, "doc_a", "doc_b")
     # cluster_reach = component size (every node reaches every other)
     sizes = comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_reach"))

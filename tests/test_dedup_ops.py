@@ -1,0 +1,48 @@
+"""Unit tests for jaccard_pairs' max_df index cap (scale guard).
+
+The cap bounds the inverted-index self-join's worst bucket at
+max_df^2/2 rows; semantics: hot shingles leave the INDEX but stay in
+the per-doc sizes, so J is undercounted by exactly the hot overlap.
+"""
+
+from __future__ import annotations
+
+from bento_spark.operators.dedup import jaccard_pairs
+
+
+def _docs(spark):
+    # "common words here" is a 3-gram shared by ALL four docs (df=4);
+    # docs 1/2 additionally share their remaining shingles (exact J=1).
+    rows = [
+        (1, "common words here alpha beta gamma"),
+        (2, "common words here alpha beta gamma"),
+        (3, "common words here delta epsilon zeta"),
+        (4, "common words here eta theta iota"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pairs(df, **kw):
+    out = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.05, **kw)
+    return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+
+
+def test_default_cap_is_on_and_inert_at_small_df(spark):
+    docs = _docs(spark)
+    exact = _pairs(docs, max_df=None)
+    default = _pairs(docs)  # max_df=5000 — can't bind with df<=4
+    assert default == exact
+    assert exact[(1, 2)] == 1.0
+    # every pair co-shingles via the hot 3-gram chain
+    assert set(exact) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+
+def test_binding_cap_drops_hot_shingle_pairs(spark):
+    docs = _docs(spark)
+    capped = _pairs(docs, max_df=3)  # df=4 shingles leave the index
+    # 3-4, 1-3 etc. overlapped ONLY via hot shingles -> no candidate row
+    assert (3, 4) not in capped
+    # 1-2 still found through their private shingles, J undercounted
+    # (hot overlap excluded from n_common but sizes keep all shingles)
+    assert (1, 2) in capped
+    assert 0 < capped[(1, 2)] < 1.0
