@@ -44,12 +44,26 @@ def brute_force_topk(
     # 3*dim) — same values, same accumulation order, but a 3x smaller
     # tree for Catalyst analysis + codegen in the pair stage (the
     # dominant cost of the whole query at bench scale).
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim))).repartition(par)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
+    # Zero-norm vectors (e.g. an empty document embedded to all-zeros)
+    # have undefined cosine; unguarded they'd divide to NaN, which sorts
+    # ABOVE every real similarity under DESC and tops every ranking.
+    # Excluded on both sides — same semantics as the SQL oracles, whose
+    # norm CTEs never produce such rows.
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
+        .filter(F.col("cnrm") > 0)
+        .repartition(par)
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
+        .filter(F.col("qnrm") > 0)
+    )
     sim = F.round(
         dot_expr("qv", "cv", dim) / (F.col("qnrm") * F.col("cnrm")), 6
     )
@@ -132,6 +146,7 @@ def lsh_ann_topk(
         )
         .withColumn("bucket", lsh_bucket("cv", planes))
         .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
+        .filter(F.col("cnrm") > 0)  # zero-norm: cosine undefined (NaN)
     )
     q = (
         queries.select(
@@ -139,6 +154,7 @@ def lsh_ann_topk(
         )
         .withColumn("qbucket", lsh_bucket("qv", planes))
         .withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
+        .filter(F.col("qnrm") > 0)  # zero-norm: cosine undefined (NaN)
     )
     # Probe buckets via exploded XOR *deltas*, not N copies of the bucket
     # expression: `explode(array(qbucket, qbucket^1, ...))` collapses into

@@ -1,0 +1,51 @@
+"""Zero-norm guard in similarity search: cosine with an all-zero vector
+is 0/0 = NaN, and NaN sorts ABOVE every real value under DESC — so one
+empty-document embedding would top every ranking. Both operators must
+exclude zero-norm rows on both sides (matching the SQL oracles, whose
+norm CTEs never emit such rows)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bento_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+
+DIM = 4
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_excludes_zero_norm(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id").isin(0, 3))
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=3, dim=DIM)
+    rows = out.collect()
+    # no NaN anywhere, id 3 never appears as query or neighbor
+    assert all(not math.isnan(r["cos_sim"]) for r in rows)
+    assert all(r["neighbor_id"] != 3 for r in rows)
+    assert {r["query_id"] for r in rows} == {0}
+    top = [r["neighbor_id"] for r in rows if r["query_id"] == 0]
+    assert top[0] == 1  # closest by cosine, not a NaN artifact
+
+
+def test_lsh_excludes_zero_norm(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id").isin(0, 3))
+    out = lsh_ann_topk(
+        emb, queries, "vec_id", "embedding", k=3, n_planes=2, dim=DIM
+    )
+    rows = out.collect()
+    assert all(not math.isnan(r["cos_sim"]) for r in rows)
+    assert all(r["neighbor_id"] != 3 for r in rows)
+    assert {r["query_id"] for r in rows} <= {0}
