@@ -6,14 +6,17 @@ The reference's nearest surface is the HuggingFace NLP processors
 message); this module is the training-data superset: decode /
 feature-extract / resize / frame-sample stages shaped for 100 TB.
 
-Image decode is REAL: ``decode_image`` is a pure-Python binary-PPM (P6)
-and 24-bit-BMP decoder (header parse, BGR->RGB, bottom-up flip, row
-padding), no external codec needed; JPEG/PNG would slot into the same
-``decoder=`` parameter when a codec library is present. ``fake_decode``
-remains as the payload-agnostic plumbing stub; audio decode treats the
-payload as raw 16-bit PCM (a real container parser slots in the same
-way). Schema, Arrow batch shape, partitioning, and row-multiplying
-frame extraction are the production distributed plumbing.
+Image decode is REAL: ``decode_image`` is a pure-Python decoder for
+binary PPM (P6), 24-bit uncompressed BMP (header parse, BGR->RGB,
+bottom-up flip, row padding), and 8-bit RGB/RGBA PNG (stdlib zlib
+inflate + all five row filters: None/Sub/Up/Average/Paeth) — the three
+containers cover what synthetic and real corpora actually carry without
+any codec dependency; JPEG would slot into the same ``decoder=``
+parameter when a codec library is present. ``fake_decode`` remains as
+the payload-agnostic plumbing stub; audio decode treats the payload as
+raw 16-bit PCM (a real container parser slots in the same way). Schema,
+Arrow batch shape, partitioning, and row-multiplying frame extraction
+are the production distributed plumbing.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python
 overhead); stages are narrow (no shuffle) and preserve the input
@@ -81,12 +84,139 @@ def encode_bmp24(w: int, h: int, pix: bytes) -> bytes:
     return header + info + b"".join(rows)
 
 
-def decode_image(payload: bytes) -> dict:
-    """REAL pure-Python image decode for binary PPM (P6) and 24-bit BMP
-    (the round-2 verdict's pil_decode slot — no external codec needed).
-    Returns width/height/channels plus the decoded RGB top-down pixel
-    bytes, so features downstream are computed from actual pixels."""
+def encode_png(
+    w: int,
+    h: int,
+    pix: bytes,
+    channels: int = 3,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """8-bit RGB/RGBA PNG from top-down pixel bytes.
+
+    ``row_filters`` cycles filter types (0..4) across scanlines so a
+    decoder must genuinely reverse Sub/Up/Average/Paeth, not just pass
+    rows through. The IDAT zlib stream uses STORED (uncompressed)
+    deflate blocks built by hand: any inflater reads it, and the output
+    byte size is the closed form ``68 + h*(channels*w+1)`` for one-block
+    payloads — which is what lets a SQL oracle recompute n_bytes without
+    running zlib."""
     import struct
+    import zlib
+
+    ch = channels
+    if ch not in (3, 4):
+        raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
+    if len(pix) != ch * w * h:
+        raise ValueError(f"pix must be w*h*{ch} bytes")
+    stride = ch * w
+    lines = []
+    prev = bytes(stride)
+    for y in range(h):
+        cur = pix[y * stride : (y + 1) * stride]
+        f = row_filters[y % len(row_filters)] if row_filters else 0
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            enc = bytes(
+                (cur[x] - (cur[x - ch] if x >= ch else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif f == 2:  # Up
+            enc = bytes((cur[x] - prev[x]) & 0xFF for x in range(stride))
+        elif f == 3:  # Average
+            enc = bytes(
+                (cur[x] - ((cur[x - ch] if x >= ch else 0) + prev[x]) // 2) & 0xFF
+                for x in range(stride)
+            )
+        elif f == 4:  # Paeth
+            out = bytearray(stride)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (cur[x] - pred) & 0xFF
+            enc = bytes(out)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        lines.append(bytes([f]) + enc)
+        prev = cur
+    raw = b"".join(lines)
+    # zlib stream with stored deflate blocks: deterministic byte-for-byte
+    blocks = []
+    for i in range(0, len(raw), 0xFFFF):
+        part = raw[i : i + 0xFFFF]
+        final = i + 0xFFFF >= len(raw)
+        blocks.append(
+            struct.pack("<BHH", 1 if final else 0, len(part), 0xFFFF ^ len(part))
+            + part
+        )
+    z = b"\x78\x01" + b"".join(blocks) + struct.pack(">I", zlib.adler32(raw))
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", z)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_defilter(raw: bytes, w: int, h: int, ch: int) -> bytes:
+    """Reverse the PNG per-row filters (spec §9: None/Sub/Up/Average/
+    Paeth) over the inflated scanline stream."""
+    stride = ch * w
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("truncated PNG scanline data")
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + (a + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return bytes(out)
+
+
+def decode_image(payload: bytes) -> dict:
+    """REAL pure-Python image decode for binary PPM (P6), 24-bit
+    uncompressed BMP, and 8-bit RGB/RGBA PNG (the round-2 verdict's
+    pil_decode slot — no external codec needed; PNG inflates via stdlib
+    zlib and reverses all five row filters). Returns width/height/
+    channels plus the decoded top-down pixel bytes (RGB or RGBA), so
+    features downstream are computed from actual pixels."""
+    import struct
+    import zlib
 
     if payload[:2] == b"P6":
         # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
@@ -117,6 +247,11 @@ def decode_image(payload: bytes) -> dict:
         planes, bpp = struct.unpack_from("<HH", payload, 26)
         if bpp != 24:
             raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0:  # BI_RGB only — RLE/bitfields are not raw BGR
+            raise ValueError(
+                f"compressed BMP not supported (biCompression={compression})"
+            )
         bottom_up, h = h > 0, abs(h)
         row_size = (3 * w + 3) // 4 * 4
         out = bytearray(3 * w * h)
@@ -127,7 +262,45 @@ def decode_image(payload: bytes) -> dict:
                 b, g, r = row[3 * x : 3 * x + 3]
                 out[3 * (y * w + x) : 3 * (y * w + x) + 3] = bytes((r, g, b))
         return {"width": w, "height": h, "channels": 3, "pixels": bytes(out)}
-    raise ValueError("unsupported image container (PPM P6 / 24-bit BMP)")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        pos, w = 8, None
+        color_type, idat = None, []
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if len(data) != ln:
+                raise ValueError("truncated PNG chunk")
+            if ctype == b"IHDR":
+                w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8:
+                    raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+                if color_type not in (2, 6):
+                    raise ValueError(
+                        f"only RGB/RGBA PNG supported, got color type {color_type}"
+                    )
+                if interlace:
+                    raise ValueError("interlaced (Adam7) PNG not supported")
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln  # len + type + data + crc
+        if w is None:
+            raise ValueError("PNG missing IHDR")
+        ch = 3 if color_type == 2 else 4
+        raw = zlib.decompress(b"".join(idat))
+        return {
+            "width": w,
+            "height": h,
+            "channels": ch,
+            "pixels": _png_defilter(raw, w, h, ch),
+        }
+    raise ValueError(
+        "unsupported image container (PPM P6 / 24-bit BMP / 8-bit RGB(A) PNG)"
+    )
 
 
 def real_decode(payload: bytes) -> dict:
@@ -263,10 +436,13 @@ def attach_binary(df: DataFrame, text_col: str, out_col: str = "payload") -> Dat
 
 def synth_image_udf():
     """Fixture generator: a REAL encoded image per row id — printable-
-    ASCII pixel bytes derived from the id, even ids packed as binary PPM,
-    odd ids as 24-bit BMP. Printable pixels keep the DuckDB oracle able
-    to rebuild the exact pixel string with chr(); alternating containers
-    make the decoder prove both header formats on every run."""
+    ASCII pixel bytes derived from the id, packed round-robin by
+    ``id % 3`` as binary PPM / 24-bit BMP / 8-bit RGB PNG (scanline
+    filters cycling None/Sub/Up/Average/Paeth, stored-deflate IDAT so
+    the container size is a closed form). Printable pixels keep the
+    DuckDB oracle able to rebuild the exact pixel string with chr();
+    rotating containers make the decoder prove all three header formats
+    — and PNG defiltering — on every run."""
     import pandas as pd
 
     @F.pandas_udf("binary")
@@ -276,7 +452,13 @@ def synth_image_udf():
             i = int(i)
             w, h = 4 + i % 13, 4 + i % 7
             pix = bytes(32 + (i + j) % 95 for j in range(3 * w * h))
-            out.append(encode_ppm(w, h, pix) if i % 2 == 0 else encode_bmp24(w, h, pix))
+            m = i % 3
+            if m == 0:
+                out.append(encode_ppm(w, h, pix))
+            elif m == 1:
+                out.append(encode_bmp24(w, h, pix))
+            else:
+                out.append(encode_png(w, h, pix, row_filters=[0, 1, 2, 3, 4]))
         return pd.Series(out)
 
     return synth

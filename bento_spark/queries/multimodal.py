@@ -28,10 +28,11 @@ from bento_spark.queries.relational import _t
       FROM d
     )
     SELECT doc_id,
-           CAST(CASE WHEN doc_id % 2 = 0
-                THEN 3 + strlen(CAST(w AS VARCHAR)) + 1
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 3 + strlen(CAST(w AS VARCHAR)) + 1
                      + strlen(CAST(h AS VARCHAR)) + 1 + 4 + 3 * w * h
-                ELSE 54 + h * ((3 * w + 3) // 4 * 4) END AS INT) AS n_bytes,
+                WHEN 1 THEN 54 + h * ((3 * w + 3) // 4 * 4)
+                ELSE 68 + h * (3 * w + 1) END AS INT) AS n_bytes,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS channels,
            substr(md5(pixstr), 1, 16) AS phash
     FROM p ORDER BY doc_id
@@ -39,12 +40,15 @@ from bento_spark.queries.relational import _t
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: per-doc pixels are encoded into an
-    actual container (even doc_ids binary PPM, odd 24-bit BMP), then
-    decoded back by the pure-Python codec (operators/multimodal.py
-    decode_image) inside the Arrow-batched feature stage. The oracle
-    recomputes width/height, the container byte size, and the md5 of the
-    logical RGB pixels — so a decoder bug in header parse, BGR order,
-    bottom-up flip, or row padding is a hash mismatch."""
+    actual container (doc_id % 3 rotates binary PPM / 24-bit BMP /
+    8-bit RGB PNG with cycling scanline filters), then decoded back by
+    the pure-Python codec (operators/multimodal.py decode_image) inside
+    the Arrow-batched feature stage. The oracle recomputes width/height,
+    the container byte size (PNG's stored-deflate IDAT makes it the
+    closed form 68 + h*(3w+1)), and the md5 of the logical RGB pixels —
+    so a decoder bug in header parse, BGR order, bottom-up flip, row
+    padding, zlib framing, or any of the five PNG filters is a hash
+    mismatch."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     imgs = docs.withColumn("payload", M.synth_image_udf()(F.col("doc_id")))
     return M.extract_image_features(

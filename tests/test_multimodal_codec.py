@@ -1,15 +1,19 @@
-"""Pure-Python image codec: PPM/BMP encode-decode roundtrips, BMP row
-padding and bottom-up handling, container-independent pixel hashing."""
+"""Pure-Python image codec: PPM/BMP/PNG encode-decode roundtrips, BMP
+row padding and bottom-up handling, PNG zlib framing and all five
+scanline filters, container-independent pixel hashing."""
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import pytest
 
 from bento_spark.operators.multimodal import (
     decode_image,
     encode_bmp24,
+    encode_png,
     encode_ppm,
     real_decode,
 )
@@ -40,8 +44,80 @@ def test_same_image_hashes_identically_across_containers():
     pix = _pix(5, 3, 99)
     a = real_decode(encode_ppm(5, 3, pix))
     b = real_decode(encode_bmp24(5, 3, pix))
-    assert a == b
+    c = real_decode(encode_png(5, 3, pix, row_filters=[0, 1, 2, 3, 4]))
+    assert a == b == c
     assert a["phash"] == hashlib.md5(pix).hexdigest()[:16]
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("w,h", [(1, 1), (5, 3), (16, 10)])
+def test_png_roundtrip_each_filter(filt, w, h):
+    pix = _pix(w, h, 31)
+    d = decode_image(encode_png(w, h, pix, row_filters=[filt]))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["pixels"] == pix
+
+
+def test_png_rgba_roundtrip():
+    w, h = 4, 3
+    pix = bytes((11 + j) % 256 for j in range(4 * w * h))
+    d = decode_image(encode_png(w, h, pix, channels=4, row_filters=[4, 2]))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 4)
+    assert d["pixels"] == pix
+
+
+def test_png_stored_deflate_size_closed_form():
+    """The SQL oracle relies on n_bytes = 68 + h*(3w+1) for one-block
+    stored-deflate PNGs."""
+    for w, h in [(1, 1), (5, 3), (16, 10)]:
+        raw = encode_png(w, h, _pix(w, h), row_filters=[0, 1, 2, 3, 4])
+        assert len(raw) == 68 + h * (3 * w + 1)
+
+
+def test_png_real_zlib_stream_also_decodes():
+    """decode_image must accept ANY valid zlib stream, not just our
+    stored-block encoder's output — re-deflate the IDAT at level 9."""
+    w, h = 7, 5
+    pix = _pix(w, h, 3)
+    payload = bytearray(encode_png(w, h, pix, row_filters=[1, 4]))
+    # splice: signature(8) + IHDR chunk(25), then IDAT
+    (idat_len,) = struct.unpack_from(">I", payload, 33)
+    idat = bytes(payload[41 : 41 + idat_len])
+    recompressed = zlib.compress(zlib.decompress(idat), 9)
+    new_idat = (
+        struct.pack(">I", len(recompressed))
+        + b"IDAT"
+        + recompressed
+        + struct.pack(">I", zlib.crc32(b"IDAT" + recompressed))
+    )
+    spliced = bytes(payload[:33]) + new_idat + bytes(payload[45 + idat_len :])
+    d = decode_image(spliced)
+    assert d["pixels"] == pix
+
+
+def test_png_rejects_unsupported_variants():
+    pix = _pix(2, 2)
+    good = bytearray(encode_png(2, 2, pix))
+    # depth byte is at offset 8+8+8 = 24 (sig + len/type + w + h)
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_image(bytes(bad_depth))
+    bad_color = bytearray(good)
+    bad_color[25] = 3  # palette
+    with pytest.raises(ValueError, match="RGB"):
+        decode_image(bytes(bad_color))
+    interlaced = bytearray(good)
+    interlaced[28] = 1
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_image(bytes(interlaced))
+
+
+def test_compressed_bmp_rejected():
+    raw = bytearray(encode_bmp24(3, 2, _pix(3, 2)))
+    struct.pack_into("<I", raw, 30, 1)  # biCompression = BI_RLE8
+    with pytest.raises(ValueError, match="compressed BMP"):
+        decode_image(bytes(raw))
 
 
 def test_ppm_comment_and_whitespace_header():
