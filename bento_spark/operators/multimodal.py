@@ -12,11 +12,12 @@ bottom-up flip, row padding), and 8-bit RGB/RGBA PNG (stdlib zlib
 inflate + all five row filters: None/Sub/Up/Average/Paeth) — the three
 containers cover what synthetic and real corpora actually carry without
 any codec dependency; JPEG would slot into the same ``decoder=``
-parameter when a codec library is present. ``fake_decode`` remains as
-the payload-agnostic plumbing stub; audio decode treats the payload as
-raw 16-bit PCM (a real container parser slots in the same way). Schema,
-Arrow batch shape, partitioning, and row-multiplying frame extraction
-are the production distributed plumbing.
+parameter when a codec library is present. Audio decode is likewise
+REAL for RIFF/WAVE (``decode_wav``: chunk walk, fmt validation, 16-bit
+PCM stats); ``fake_decode`` / ``fake_pcm_decode`` remain as the
+payload-agnostic plumbing stubs for headerless bytes. Schema, Arrow
+batch shape, partitioning, and row-multiplying frame extraction are the
+production distributed plumbing.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python
 overhead); stages are narrow (no shuffle) and preserve the input
@@ -403,6 +404,84 @@ def fake_pcm_decode(payload: bytes, sample_rate: int = 16_000) -> dict:
     }
 
 
+def encode_wav(
+    pcm: bytes, sample_rate: int, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Canonical RIFF/WAVE container (PCM format 1) around raw
+    little-endian PCM bytes. 44-byte header for the 16-byte fmt chunk,
+    so the container size is the closed form ``44 + len(pcm)`` — SQL-
+    oracle-computable, like encode_png's stored-deflate IDAT."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        sample_rate,
+        sample_rate * channels * bits // 8,  # byte rate
+        channels * bits // 8,  # block align
+        bits,
+    )
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(pcm))
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL RIFF/WAVE container parse: chunk walk (word-aligned, so
+    LIST/fact/etc. metadata chunks are skipped correctly), fmt fields
+    validated (PCM format 1, 16-bit), loudness stats computed from the
+    data chunk — sample_rate/duration come from the CONTAINER, not an
+    assumed constant, unlike the bare-PCM stub ``fake_pcm_decode``."""
+    import math
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"truncated RIFF chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("RIFF/WAVE missing fmt or data chunk")
+    audio_format, channels, sample_rate, _brate, _balign, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1:
+        raise ValueError(f"only PCM (format 1) supported, got {audio_format}")
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got {bits}")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2]) if n else ()
+    sq = sum(s * s for s in samples)
+    frames = n // max(channels, 1)
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": n,
+        "duration_ms": (frames * 1000) // sample_rate,
+        "rms": math.sqrt(sq / n) if n else 0.0,
+        "peak": max((abs(s) for s in samples), default=0),
+    }
+
+
 def extract_audio_features(
     df: DataFrame, id_col: str, bin_col: str, decoder=fake_pcm_decode
 ) -> DataFrame:
@@ -432,6 +511,25 @@ def attach_binary(df: DataFrame, text_col: str, out_col: str = "payload") -> Dat
     """Test helper: materialize a BINARY payload column from text (the
     fixtures carry no real media; plumbing is payload-agnostic)."""
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def synth_wav_udf():
+    """Fixture generator: a REAL RIFF/WAVE container per row — the text
+    bytes (truncated to an even length) are the 16-bit PCM payload, and
+    the sample rate varies by ``doc_id % 3`` (8000/12000/16000) so the
+    decoder's fmt-chunk parse provably feeds the output columns."""
+    import pandas as pd
+
+    @F.pandas_udf("binary")
+    def synth(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            pcm = t.encode("utf-8")
+            pcm = pcm[: len(pcm) // 2 * 2]
+            out.append(encode_wav(pcm, 8000 + (int(i) % 3) * 4000))
+        return pd.Series(out)
+
+    return synth
 
 
 def synth_image_udf():

@@ -83,19 +83,20 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_audio_features",
     oracle="""
     WITH src AS (
-      SELECT doc_id, text, length(text) AS nb,
+      SELECT doc_id, text,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sr,
              CAST(floor(length(text) / 2) AS INT) AS ns
       FROM documents
     ),
     samp AS (
-      SELECT doc_id, nb, ns,
+      SELECT doc_id, sr, ns,
              [ascii(substr(text, 2*i-1, 1)) + 256 * ascii(substr(text, 2*i, 1))
               FOR i IN range(1, ns + 1)] AS samples
       FROM src
     )
-    SELECT doc_id, CAST(nb AS INT) AS n_bytes,
-           16000 AS sample_rate, ns AS n_samples,
-           CAST((ns * 1000) // 16000 AS INT) AS duration_ms,
+    SELECT doc_id, CAST(44 + 2 * ns AS INT) AS n_bytes,
+           sr AS sample_rate, ns AS n_samples,
+           CAST((ns * 1000) // sr AS INT) AS duration_ms,
            CASE WHEN ns > 0 THEN sqrt(CAST(list_reduce(
                   list_transform(samples, x -> CAST(x*x AS BIGINT)),
                   (a, b) -> a + b) AS DOUBLE) / ns)
@@ -106,12 +107,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio decode/feature stage over BINARY payloads (STUB codec:
-    payload bytes ARE little-endian 16-bit PCM). Sample count, duration,
-    exact RMS and peak are recomputed independently by the oracle from
-    the same bytes — the Arrow batch shape, schema, and narrow-map
-    partitioning are the real 100 TB plumbing."""
-    docs = _t(spark, sf_dir, "documents")
-    wav = M.attach_binary(docs, "text", "payload")
-    out = M.extract_audio_features(wav, "doc_id", "payload")
+    """REAL audio container decode end-to-end: each doc's text bytes are
+    wrapped in an actual RIFF/WAVE container (canonical 44-byte header,
+    per-row sample rate 8000/12000/16000 by doc_id % 3), then parsed
+    back by decode_wav — sample_rate and duration_ms come from the fmt
+    chunk, n_bytes from the container, and the oracle recomputes every
+    stat from the same bytes. A header-parse, chunk-walk, or fmt-field
+    bug is a hash mismatch."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wav = docs.select("doc_id", M.synth_wav_udf()("doc_id", "text").alias("payload"))
+    out = M.extract_audio_features(wav, "doc_id", "payload", decoder=M.decode_wav)
     return out.orderBy("doc_id")

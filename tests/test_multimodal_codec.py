@@ -12,9 +12,11 @@ import pytest
 
 from bento_spark.operators.multimodal import (
     decode_image,
+    decode_wav,
     encode_bmp24,
     encode_png,
     encode_ppm,
+    encode_wav,
     real_decode,
 )
 
@@ -118,6 +120,69 @@ def test_compressed_bmp_rejected():
     struct.pack_into("<I", raw, 30, 1)  # biCompression = BI_RLE8
     with pytest.raises(ValueError, match="compressed BMP"):
         decode_image(bytes(raw))
+
+
+# --- RIFF/WAVE ------------------------------------------------------------
+
+def _pcm(samples):
+    return struct.pack(f"<{len(samples)}h", *samples)
+
+
+def test_wav_roundtrip_stats():
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    d = decode_wav(encode_wav(_pcm(samples), 8000))
+    assert d["sample_rate"] == 8000
+    assert d["n_samples"] == 6
+    assert d["peak"] == 32768
+    assert d["duration_ms"] == (6 * 1000) // 8000
+    import math
+
+    assert d["rms"] == math.sqrt(sum(s * s for s in samples) / 6)
+
+
+def test_wav_sample_rate_comes_from_container():
+    pcm = _pcm([1, 2, 3, 4])
+    assert decode_wav(encode_wav(pcm, 44100))["sample_rate"] == 44100
+    assert decode_wav(encode_wav(pcm, 16000))["duration_ms"] == 0
+
+
+def test_wav_container_size_closed_form():
+    pcm = _pcm(list(range(10)))
+    assert len(encode_wav(pcm, 8000)) == 44 + len(pcm)
+
+
+def test_wav_skips_metadata_chunks_with_odd_length_padding():
+    """A LIST chunk with odd body length must be skipped with its pad
+    byte, or every later chunk misparses."""
+    base = encode_wav(_pcm([5, -5]), 8000)
+    fmt_chunk = base[12:36]  # 'fmt ' + size + 16 bytes
+    data_chunk = base[36:]
+    meta = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    body = fmt_chunk + meta + data_chunk
+    raw = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    d = decode_wav(raw)
+    assert d["n_samples"] == 2 and d["peak"] == 5
+
+
+def test_wav_rejections():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    raw = bytearray(encode_wav(_pcm([1, 2]), 8000))
+    struct.pack_into("<H", raw, 20, 3)  # fmt tag = IEEE float
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(raw))
+    raw = bytearray(encode_wav(_pcm([1, 2]), 8000))
+    struct.pack_into("<H", raw, 34, 8)  # bits per sample
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_wav(bytes(raw))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(encode_wav(_pcm([1, 2]), 8000)[:-1])
+
+
+def test_wav_stereo_duration_uses_frames():
+    # 4 samples over 2 channels = 2 frames; at 1000 Hz that's 2 ms
+    d = decode_wav(encode_wav(_pcm([1, 2, 3, 4]), 1000, channels=2))
+    assert d["n_samples"] == 4 and d["duration_ms"] == 2
 
 
 def test_ppm_comment_and_whitespace_header():
