@@ -323,12 +323,20 @@ def chunk_text(df: DataFrame, col: str, size: int) -> DataFrame:
 
 def select_parts(df: DataFrame, order_by: list[Column], indexes: list[int]) -> DataFrame:
     """``select_parts`` (processor_select_parts.go:17): batch-positional
-    selection becomes an explicit ordering + row_number filter."""
+    selection becomes an explicit ordering + row_number filter.
+
+    Scale shape: positions are bounded by max(indexes), so the input is
+    first cut to the max(indexes)+1 smallest rows — Spark plans
+    ``orderBy().limit(m)`` as TakeOrderedAndProject (per-partition
+    partial top-k merged on the driver, no global sort). The global
+    row_number window that assigns positions then runs over at most m
+    rows, not the corpus."""
     df = ensure_envelope(df)
-    w = Window.orderBy(*order_by)
     wanted = [i + 1 for i in indexes]  # reference is 0-based
+    top = df.orderBy(*order_by).limit(max(wanted))
+    w = Window.orderBy(*order_by)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        top.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn").isin(wanted))
         .drop("__rn")
     )

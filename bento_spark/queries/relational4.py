@@ -206,18 +206,23 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with max quarterly revenue. The scalar
-    max subquery becomes an unpartitioned window max over the (small)
-    per-supplier aggregate — no second scan of lineitem."""
+    max subquery becomes a 1-row aggregate broadcast-joined back onto
+    the per-supplier revenue — a distributed max + BroadcastHashJoin,
+    instead of the unpartitioned window max that would serialize every
+    supplier's row through one task at scale. The revenue agg subtree
+    appears twice in the static plan (a second pushed-filter lineitem
+    scan — the standard TPC-H Q15 trade; AQE can reuse the exchange at
+    runtime), which beats single-partitioning ~n_suppliers rows."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev()).alias("total_revenue")
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("mx", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("mx")
-    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("__mx")
+    ).drop("__mx")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         s.join(top, s.s_suppkey == top.supplier_no)

@@ -1,0 +1,128 @@
+"""Plan-regression gate (VERDICT r3 #7): every registered query's
+physical plan must stay free of the three scale-killers — CartesianProduct,
+BroadcastNestedLoopJoin, and single-partition Window — except the
+explicitly documented patterns below. The round-3 verdict's manual plan
+audit, made permanent: a rewrite that silently degrades a join to a
+nested loop or loses a window's partitioning turns this red.
+
+Self-tests at the bottom plant each regression in a synthetic plan and
+assert the detector fires (and does NOT fire on partitioned windows /
+broadcast hash joins, the shapes it must never confuse).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from planguard import formatted_plan, plan_violations  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+# Broadcast side is a BOUNDED row set, so the nested loop is O(corpus * k):
+#   - ann_brute_force_topk / embed_project_topk: the documented brute-force
+#     pattern — a small broadcast query set against one corpus scan, with
+#     lsh_ann_topk as the large-query-set scale path (VERDICT r3 plan audit);
+#   - q22_idle_customers (+ its gauntlet): a 1-row scalar-subquery broadcast
+#     (global avg(acctbal)) — the standard Spark plan for scalar subqueries.
+ALLOW_BNLJ = {
+    "ann_brute_force_topk",
+    "embed_project_topk",
+    "q22_idle_customers",
+    "relational_gauntlet",
+}
+
+# Window input is PROVABLY bounded before the single partition:
+#   - pack_sequences_contiguous: the offsets window runs over ~sqrt(n)
+#     bucket-total rows by construction (operators/traindata.py);
+#   - proc_select_parts (+ its gauntlet): the positional row_number runs
+#     after orderBy().limit(max_index+1) — TakeOrderedAndProject cuts the
+#     input to a constant before the window.
+ALLOW_GLOBAL_WINDOW = {
+    "pack_sequences_contiguous",
+    "proc_select_parts",
+    "proc_flow_gauntlet",
+}
+
+
+def _all_queries():
+    from bento_spark.queries import QUERIES, load_all
+
+    load_all()
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _all_queries())
+def test_no_scale_killers_in_plan(spark, name):
+    from bento_spark.queries import QUERIES
+
+    plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+    bad = plan_violations(
+        plan,
+        allow_bnlj=name in ALLOW_BNLJ,
+        allow_global_window=name in ALLOW_GLOBAL_WINDOW,
+    )
+    assert not bad, (
+        f"query {name!r} plan contains {bad} — a scale-killer at 100x data. "
+        "Fix the plan, or (only for a provably bounded input) add the query "
+        "to the allowlist with a justification."
+    )
+
+
+# --- detector self-tests: planted regressions must turn red ---------------
+
+
+def test_detects_planted_cartesian_product(spark):
+    # with a broadcastable side Spark plans BNLJ instead, so disable
+    # auto-broadcast to get the true CartesianProduct physical node
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(3).crossJoin(spark.range(3))
+        assert "CartesianProduct" in plan_violations(formatted_plan(df))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_detects_planted_bnlj(spark):
+    a, b = spark.range(10).alias("a"), spark.range(10).alias("b")
+    from pyspark.sql import functions as F
+
+    df = a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+    assert "BroadcastNestedLoopJoin" in plan_violations(formatted_plan(df))
+
+
+def test_detects_planted_global_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy("id")
+    df = spark.range(10).withColumn("rn", F.row_number().over(w))
+    assert "single-partition Window" in plan_violations(formatted_plan(df))
+    # global UNORDERED window (q15's old shape) must also be caught
+    df2 = spark.range(10).withColumn("mx", F.max("id").over(Window.partitionBy()))
+    assert "single-partition Window" in plan_violations(formatted_plan(df2))
+
+
+def test_does_not_flag_partitioned_shapes(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    # partitioned + ordered window
+    w1 = Window.partitionBy("g").orderBy("id")
+    assert plan_violations(formatted_plan(df.withColumn("rn", F.row_number().over(w1)))) == []
+    # partitioned, UNORDERED window (q17's shape — 2 bracket groups, no
+    # ASC/DESC: the parser must not mistake it for a global window)
+    w2 = Window.partitionBy("g")
+    assert plan_violations(formatted_plan(df.withColumn("mx", F.max("id").over(w2)))) == []
+    # broadcast hash equi-join is fine
+    dim = spark.range(5).withColumnRenamed("id", "g2")
+    j = df.join(F.broadcast(dim), df.g == dim.g2)
+    assert plan_violations(formatted_plan(j)) == []

@@ -1,0 +1,90 @@
+"""Plan-regression guard: assert the physical plans of registered
+queries stay free of the three scale-killers —
+
+* ``CartesianProduct``  — O(n*m) row explosion, never acceptable;
+* ``BroadcastNestedLoopJoin`` — per-row scan of a broadcast side;
+  acceptable ONLY for the documented brute-force top-k pattern (a
+  deliberately broadcast, bounded query set against one corpus scan);
+* single-partition ``Window`` (empty partition spec) — serializes the
+  whole input through one task; acceptable ONLY where the input is
+  provably bounded (e.g. pack_sequences' sqrt(n)-row bucket offsets).
+
+Used by tests/test_plan_guard.py (red on a planted regression) and
+importable for ad-hoc audits. Detection is on `explain("formatted")`
+output: node headlines for the joins, the Window detail section's
+`Arguments:` bracket groups for the partition spec (2 top-level groups
+= [exprs], [order] = global; 3 = partitioned).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split `[a], [b], [c]` into top-level bracket groups (nested
+    brackets, e.g. array indexing `x#3[0]`, stay inside their group)."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def plan_violations(
+    plan: str,
+    allow_bnlj: bool = False,
+    allow_global_window: bool = False,
+) -> list[str]:
+    """Return scale-killer findings in a formatted plan (empty = clean)."""
+    out = []
+    if re.search(r"\bCartesianProduct\b", plan):
+        out.append("CartesianProduct")
+    if not allow_bnlj and re.search(r"\bBroadcastNestedLoopJoin\b", plan):
+        out.append("BroadcastNestedLoopJoin")
+    if not allow_global_window:
+        # Detail sections look like:  "(11) Window\nInput ...\nArguments: ..."
+        # Arguments shapes (windowExprs always first, empty specs OMITTED):
+        #   [exprs], [part], [order] -> partitioned + ordered   (3 groups)
+        #   [exprs], [part]          -> partitioned, no order   (2, no ASC/DESC)
+        #   [exprs], [order]         -> GLOBAL ordered window   (2, ASC/DESC)
+        #   [exprs]                  -> GLOBAL unordered window (1)
+        for m in re.finditer(r"\(\d+\) Window\n((?:.+\n)*?)\n", plan + "\n"):
+            arg_line = next(
+                (
+                    ln[len("Arguments: ") :]
+                    for ln in m.group(1).splitlines()
+                    if ln.startswith("Arguments: ")
+                ),
+                None,
+            )
+            if arg_line is None:
+                continue
+            groups = _top_level_groups(arg_line)
+            is_global = len(groups) == 1 or (
+                len(groups) == 2
+                and re.search(r"(ASC|DESC) NULLS", groups[-1]) is not None
+            )
+            if is_global:
+                out.append("single-partition Window")
+                break
+    return out
