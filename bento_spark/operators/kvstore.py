@@ -192,6 +192,92 @@ class RedisKV:
             self._sock.close()
 
 
+class MemcachedKV:
+    """Real memcached client speaking the text protocol over a socket —
+    pure Python (stdlib socket), implementing the public protocol spec
+    (https://github.com/memcached/memcached/blob/master/doc/protocol.txt),
+    NOT a wrapper over pymemcache (absent in this container). Reference
+    parity: the memcached cache resource
+    (internal/impl/memcached/cache.go). Reads batch as one multi-key
+    ``get``; writes pipeline ``set ... noreply`` and sync with a final
+    ``version`` round trip, so an Arrow batch costs one round trip per
+    CHUNK on each path.
+
+    Tested against an in-process text-protocol server
+    (tests/test_memcached_protocol.py); points at a real memcached
+    endpoint unchanged."""
+
+    CHUNK = 512  # keys per multi-get / sets per sync (bounds buffering)
+
+    def __init__(self, host: str = "localhost", port: int = 11211,
+                 timeout: float = 30.0):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+
+    @staticmethod
+    def _key_bytes(key: str) -> bytes:
+        b = key.encode("utf-8")
+        if len(b) > 250 or any(c <= 32 or c == 127 for c in b):
+            raise ValueError(
+                f"invalid memcached key {key!r} (max 250 bytes, no "
+                "whitespace/control chars — protocol.txt 'Keys')"
+            )
+        return b
+
+    def _read_line(self) -> bytes:
+        line = self._rfile.readline()
+        if not line:
+            raise ConnectionError("memcached connection closed")
+        if line.startswith((b"ERROR", b"CLIENT_ERROR", b"SERVER_ERROR")):
+            raise RuntimeError(f"memcached error: {line[:-2].decode()}")
+        return line[:-2]
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        out: dict[str, str] = {}
+        uniq = list(dict.fromkeys(keys))
+        for i in range(0, len(uniq), self.CHUNK):
+            chunk = uniq[i : i + self.CHUNK]
+            req = b"get " + b" ".join(self._key_bytes(k) for k in chunk) + b"\r\n"
+            self._sock.sendall(req)
+            while True:
+                line = self._read_line()
+                if line == b"END":
+                    break
+                # VALUE <key> <flags> <bytes>
+                _, key, _flags, n = line.split(b" ")[:4]
+                data = self._rfile.read(int(n) + 2)
+                if len(data) != int(n) + 2:
+                    raise ConnectionError("memcached connection closed mid-value")
+                out[key.decode("utf-8")] = data[:-2].decode("utf-8")
+        return [out.get(k) for k in keys]
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        buf, n_buf = [], 0
+        for k, v in pairs:
+            kb, vb = self._key_bytes(k), v.encode("utf-8")
+            buf.append(b"set %s 0 0 %d noreply\r\n%s\r\n" % (kb, len(vb), vb))
+            n_buf += 1
+            if n_buf >= self.CHUNK:
+                self._flush_sets(buf)
+                buf, n_buf = [], 0
+        if buf:
+            self._flush_sets(buf)
+
+    def _flush_sets(self, buf: list[bytes]) -> None:
+        # noreply sets + one version round trip: confirms the server
+        # consumed the whole pipeline (and surfaces protocol errors)
+        self._sock.sendall(b"".join(buf) + b"version\r\n")
+        self._read_line()
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()
+
+
 class MemoryKV:
     """Snapshot-backed test double: reads see the snapshot captured at
     factory-build time (closure-shipped to executors); writes stay local
@@ -278,8 +364,9 @@ def load_cache_from_kv(name: str, path: str) -> dict:
 
 
 def _client_from_url(url: str):
-    """``sqlite:///abs/path.db``, ``memory://``, or
-    ``redis://[:password@]host:port[/db]`` (native RESP client above)."""
+    """``sqlite:///abs/path.db``, ``memory://``,
+    ``redis://[:password@]host:port[/db]`` (native RESP client above),
+    or ``memcached://host:port`` (native text-protocol client above)."""
     if url.startswith("sqlite:///"):
         return SqliteKV(url[len("sqlite:///") - 1 :])
     if url.startswith("memory://"):
@@ -292,8 +379,14 @@ def _client_from_url(url: str):
         return RedisKV(
             u.hostname or "localhost", u.port or 6379, db, u.password
         )
+    if url.startswith("memcached://"):
+        from urllib.parse import urlparse
+
+        u = urlparse(url)
+        return MemcachedKV(u.hostname or "localhost", u.port or 11211)
     raise ValueError(
-        f"unsupported kv url {url!r} (sqlite:/// , memory:// or redis://)"
+        f"unsupported kv url {url!r} "
+        "(sqlite:/// , memory://, redis:// or memcached://)"
     )
 
 
