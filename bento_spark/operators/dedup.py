@@ -39,6 +39,21 @@ from bento_spark.functions.vectors import as_double, cosine
 MERSENNE31 = (1 << 31) - 1
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread ``df`` across all cores ONLY when its scan yields fewer
+    partitions than ``defaultParallelism`` — the local single-parquet
+    case, where the downstream explode/join would otherwise run on one
+    task. At cluster scale the file splits (maxPartitionBytes) already
+    exceed the core count, so this is a no-op — an UNCONDITIONAL
+    ``repartition()`` here would be a full shuffle of the corpus before
+    any work starts, the kind of hidden 100-TB exchange the plan guard
+    exists to catch. Partition-count probe is plan-only (no job)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep one row per distinct content (lowest id), count the group.
 
@@ -82,8 +97,7 @@ def jaccard_pairs(
     inverted-index near-dup system makes (cf. the reference dedupe
     processor's bounded-key semantics, processor_dedupe.go).
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = exploded_word_shingles(df.repartition(par), id_col, text_col, n)
+    sh = exploded_word_shingles(ensure_parallelism(df), id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # join on a 64-bit hash of the shingle, not the string: the shuffle
     # moves 8-byte keys instead of multi-word text (collision probability
@@ -167,8 +181,7 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes, seed)
     base = _base_hash(hasher, "mh")
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = exploded_word_shingles(df.repartition(par), id_col, text_col, n)
+    sh = exploded_word_shingles(ensure_parallelism(df), id_col, text_col, n)
     inv = sh.select("doc", base(F.col("s")).alias("h"))
     # per-doc shingle count rides the signature shuffle — the verifier
     # needs it, and a separate groupBy would re-scan + re-explode the
@@ -238,8 +251,7 @@ def with_simhash(
     sum of +-1 votes from bit j of each distinct shingle's hash. One
     base hash per shingle, materialized before the per-bit aggregates."""
     base = _base_hash(hasher, "sim")
-    par = df.sparkSession.sparkContext.defaultParallelism
-    tmp = df.repartition(par).withColumn(
+    tmp = ensure_parallelism(df).withColumn(
         "__hs", F.transform(word_shingles(F.col(text_col), n), base)
     )
 
@@ -282,8 +294,7 @@ def simhash_pairs(
     # aggregate-over-array HOF form interprets ~bits x shingles lambda
     # steps per doc and was ~5x slower
     base = _base_hash(hasher, "sim")
-    par = df.sparkSession.sparkContext.defaultParallelism
-    inv = exploded_word_shingles(df.repartition(par), id_col, text_col, n).select(
+    inv = exploded_word_shingles(ensure_parallelism(df), id_col, text_col, n).select(
         "doc", base(F.col("s")).alias("h")
     )
     # F.expr strings keep plan build to a handful of py4j calls (the
@@ -384,7 +395,6 @@ def embedding_cosine_pairs(
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     sc = df.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
-    par = sc.defaultParallelism
 
     def run(batches):
         cids, cmat = b_ids.value, b_mat.value
@@ -404,7 +414,7 @@ def embedding_cosine_pairs(
                 }
             )
 
-    return sdf.repartition(par).mapInPandas(
+    return ensure_parallelism(sdf).mapInPandas(
         run, "id_a bigint, id_b bigint, cos_sim double"
     )
 
@@ -421,8 +431,7 @@ def _embedding_cosine_pairs_expr(
     v = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", F.sqrt(l2sq(F.col("v"), dim)))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    a, b = v.repartition(par).alias("a"), v.alias("b")
+    a, b = ensure_parallelism(v).alias("a"), v.alias("b")
     c = dot(F.col("a.v"), F.col("b.v"), dim) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))

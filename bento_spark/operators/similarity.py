@@ -38,7 +38,8 @@ def brute_force_topk(
     exactly once with no shuffle before the bounded top-k window. With
     a static ``dim`` the dot product is codegen'd (see vectors.dot).
     """
-    par = corpus.sparkSession.sparkContext.defaultParallelism
+    from bento_spark.operators.dedup import ensure_parallelism
+
     # Norms are computed ONCE PER ROW on each side before the join; the
     # per-pair expression is then just the dot product (dim terms, not
     # 3*dim) — same values, same accumulation order, but a 3x smaller
@@ -49,13 +50,12 @@ def brute_force_topk(
     # ABOVE every real similarity under DESC and tops every ranking.
     # Excluded on both sides — same semantics as the SQL oracles, whose
     # norm CTEs never produce such rows.
-    c = (
+    c = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         )
         .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
         .filter(F.col("cnrm") > 0)
-        .repartition(par)
     )
     q = (
         queries.select(
