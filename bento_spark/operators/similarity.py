@@ -49,20 +49,25 @@ def brute_force_topk(
     # have undefined cosine; unguarded they'd divide to NaN, which sorts
     # ABOVE every real similarity under DESC and tops every ranking.
     # Excluded on both sides — same semantics as the SQL oracles, whose
-    # norm CTEs never produce such rows.
+    # norm CTEs never produce such rows. The guard is exists(x != 0),
+    # NOT cnrm > 0: a predicate on cnrm is pushed below the projection
+    # and re-derived over the RAW column, where every subscript of the
+    # 64-term sum re-casts the whole array (measured 3.5x on the whole
+    # query); exists() is one short-circuiting array pass.
+    nonzero = lambda v: F.exists(v, lambda x: x != 0)  # noqa: E731
     c = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         )
+        .filter(nonzero("cv"))
         .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
-        .filter(F.col("cnrm") > 0)
     )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
         )
+        .filter(nonzero("qv"))
         .withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
-        .filter(F.col("qnrm") > 0)
     )
     sim = F.round(
         dot_expr("qv", "cv", dim) / (F.col("qnrm") * F.col("cnrm")), 6
@@ -144,17 +149,17 @@ def lsh_ann_topk(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         )
+        .filter(F.exists("cv", lambda x: x != 0))  # zero-norm: NaN cosine
         .withColumn("bucket", lsh_bucket("cv", planes))
         .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
-        .filter(F.col("cnrm") > 0)  # zero-norm: cosine undefined (NaN)
     )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
         )
+        .filter(F.exists("qv", lambda x: x != 0))  # zero-norm: NaN cosine
         .withColumn("qbucket", lsh_bucket("qv", planes))
         .withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
-        .filter(F.col("qnrm") > 0)  # zero-norm: cosine undefined (NaN)
     )
     # Probe buckets via exploded XOR *deltas*, not N copies of the bucket
     # expression: `explode(array(qbucket, qbucket^1, ...))` collapses into
