@@ -27,14 +27,22 @@ Transport = Callable[[str, str, str | None], tuple[int, str]]
 
 
 def urllib_transport(method: str, url: str, body: str | None) -> tuple[int, str]:
-    """Stdlib HTTP transport (no external deps)."""
+    """Stdlib HTTP transport (no external deps). Non-2xx responses are
+    RETURNED as (status, body) per the Transport contract — urlopen's
+    HTTPError is itself the response object — so callers decide whether
+    a 4xx/5xx is an error (kvstore raises, http_enrich records the
+    status and lets the pipeline's _error conventions apply)."""
+    import urllib.error
     import urllib.request
 
     req = urllib.request.Request(
         url, data=body.encode() if body else None, method=method
     )
-    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
-        return resp.status, resp.read().decode()
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
 
 
 def fake_echo_transport(method: str, url: str, body: str | None) -> tuple[int, str]:

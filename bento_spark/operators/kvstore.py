@@ -278,6 +278,79 @@ class MemcachedKV:
             self._sock.close()
 
 
+class EsKV:
+    """Elasticsearch lookup/write over the public REST API — ``_mget``
+    for batched reads, ``_bulk`` (NDJSON index actions) for writes —
+    through the same injectable stdlib-HTTP transport as
+    operators/http.py (no elasticsearch-py in this container; a real
+    cluster needs only the base_url). Reference parity: the
+    elasticsearch output / processor family
+    (internal/impl/elasticsearch/output.go).
+
+    Values live in the document source under ``"v"``; one round trip
+    per CHUNK ids keeps the Arrow-batch cost profile identical to the
+    redis/memcached backends. Tested against an in-process HTTP server
+    (tests/test_es_kv.py)."""
+
+    CHUNK = 512
+
+    def __init__(self, base_url: str, index: str, transport=None):
+        from bento_spark.operators.http import urllib_transport
+
+        self.base = base_url.rstrip("/")
+        self.index = index
+        self._transport = transport or urllib_transport
+
+    def _call(self, method: str, path: str, body: str) -> dict:
+        import json
+
+        status, text = self._transport(method, self.base + path, body)
+        if status >= 300:
+            raise RuntimeError(f"elasticsearch {path}: HTTP {status}: {text[:200]}")
+        return json.loads(text)
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        import json
+
+        out: dict[str, str] = {}
+        uniq = list(dict.fromkeys(keys))
+        for i in range(0, len(uniq), self.CHUNK):
+            chunk = uniq[i : i + self.CHUNK]
+            resp = self._call(
+                "POST", f"/{self.index}/_mget", json.dumps({"ids": chunk})
+            )
+            for doc in resp["docs"]:
+                if doc.get("found"):
+                    out[doc["_id"]] = doc["_source"]["v"]
+        return [out.get(k) for k in keys]
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        import json
+
+        buf: list[str] = []
+        for k, v in pairs:
+            buf.append(json.dumps({"index": {"_index": self.index, "_id": k}}))
+            buf.append(json.dumps({"v": v}))
+            if len(buf) >= 2 * self.CHUNK:
+                self._flush_bulk(buf)
+                buf = []
+        if buf:
+            self._flush_bulk(buf)
+
+    def _flush_bulk(self, buf: list[str]) -> None:
+        resp = self._call("POST", "/_bulk", "\n".join(buf) + "\n")
+        if resp.get("errors"):
+            bad = [
+                it["index"]
+                for it in resp.get("items", [])
+                if it.get("index", {}).get("error")
+            ][:3]
+            raise RuntimeError(f"elasticsearch _bulk item failures: {bad}")
+
+    def close(self) -> None:
+        pass  # stateless HTTP transport
+
+
 class MemoryKV:
     """Snapshot-backed test double: reads see the snapshot captured at
     factory-build time (closure-shipped to executors); writes stay local
@@ -384,9 +457,15 @@ def _client_from_url(url: str):
 
         u = urlparse(url)
         return MemcachedKV(u.hostname or "localhost", u.port or 11211)
+    if url.startswith("es://"):
+        from urllib.parse import urlparse
+
+        u = urlparse(url)
+        index = u.path.lstrip("/") or "bento"
+        return EsKV(f"http://{u.hostname or 'localhost'}:{u.port or 9200}", index)
     raise ValueError(
         f"unsupported kv url {url!r} "
-        "(sqlite:/// , memory://, redis:// or memcached://)"
+        "(sqlite:/// , memory://, redis://, memcached:// or es://host:port/index)"
     )
 
 
