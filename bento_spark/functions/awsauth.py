@@ -1,0 +1,76 @@
+"""AWS Signature Version 4 request signing — pure stdlib (hmac/hashlib),
+implementing the public signing spec
+(https://docs.aws.amazon.com/IAM/latest/UserGuide/create-signed-request.html),
+NOT a boto3 wrapper (absent in this container).
+
+Shared by every AWS-shaped connector (DynamoDB today; S3/SQS/Kinesis
+slot in with their service names). The signature is deterministic given
+(request, credentials, timestamp), which is what lets the in-process
+test servers VERIFY signatures by recomputing them with the shared
+secret — a stronger check than asserting a header merely exists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+from urllib.parse import quote
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+
+def signing_key(secret_key: str, date: str, region: str, service: str) -> bytes:
+    """kSigning = HMAC-chain over date/region/service/aws4_request."""
+    k = _hmac(("AWS4" + secret_key).encode("utf-8"), date)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    return _hmac(k, "aws4_request")
+
+
+def sign_request(
+    method: str,
+    host: str,
+    path: str,
+    headers: dict[str, str],
+    body: bytes,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    service: str,
+    amz_date: str,
+) -> dict[str, str]:
+    """Return ``headers`` plus ``x-amz-date`` and ``Authorization``
+    (AWS4-HMAC-SHA256). ``amz_date`` is ``YYYYMMDDTHHMMSSZ`` — passed
+    in, not read from a clock, so signing is a pure function."""
+    date = amz_date[:8]
+    payload_hash = hashlib.sha256(body).hexdigest()
+    all_headers = {**{k.lower(): v for k, v in headers.items()},
+                   "host": host, "x-amz-date": amz_date}
+    signed = ";".join(sorted(all_headers))
+    canonical_headers = "".join(
+        f"{k}:{all_headers[k].strip()}\n" for k in sorted(all_headers)
+    )
+    canonical = "\n".join(
+        [method, quote(path, safe="/-_.~"), "", canonical_headers, signed,
+         payload_hash]
+    )
+    scope = f"{date}/{region}/{service}/aws4_request"
+    to_sign = "\n".join(
+        ["AWS4-HMAC-SHA256", amz_date, scope,
+         hashlib.sha256(canonical.encode("utf-8")).hexdigest()]
+    )
+    sig = hmac.new(
+        signing_key(secret_key, date, region, service),
+        to_sign.encode("utf-8"),
+        hashlib.sha256,
+    ).hexdigest()
+    auth = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed}, Signature={sig}"
+    )
+    out = dict(headers)
+    out["x-amz-date"] = amz_date
+    out["Authorization"] = auth
+    return out

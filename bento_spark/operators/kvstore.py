@@ -351,6 +351,129 @@ class EsKV:
         pass  # stateless HTTP transport
 
 
+class DynamoKV:
+    """DynamoDB client over the public low-level JSON API
+    (BatchGetItem/BatchWriteItem, x-amz-json-1.0) with REAL SigV4
+    request signing (bento_spark/functions/awsauth.py) — pure stdlib,
+    NOT a boto3 wrapper (absent in this container). Reference parity:
+    the aws_dynamodb output / dynamodb cache
+    (internal/impl/aws/output_dynamodb.go, cache_dynamodb.go).
+
+    Honors the protocol's hard batch limits (100 keys per BatchGetItem,
+    25 puts per BatchWriteItem) and retries UnprocessedKeys /
+    UnprocessedItems — the partial-success contract real DynamoDB
+    exercises under throttling. Items are {k: S, v: S}. Tested against
+    an in-process HTTP server that VERIFIES each signature by
+    recomputing it with the shared secret (tests/test_dynamo_kv.py)."""
+
+    CHUNK_GET = 100  # BatchGetItem protocol limit
+    CHUNK_PUT = 25  # BatchWriteItem protocol limit
+
+    def __init__(
+        self,
+        base_url: str,
+        table: str,
+        region: str = "us-east-1",
+        access_key: str = "local",
+        secret_key: str = "local",
+        max_retries: int = 5,
+    ):
+        from urllib.parse import urlparse
+
+        self.base = base_url.rstrip("/")
+        self.host = urlparse(self.base).netloc
+        self.table = table
+        self.region = region
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.max_retries = max_retries
+
+    def _call(self, target: str, payload: dict) -> dict:
+        import json
+        import time
+        import urllib.error
+        import urllib.request
+
+        from bento_spark.functions.awsauth import sign_request
+
+        body = json.dumps(payload).encode("utf-8")
+        amz_date = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        headers = sign_request(
+            "POST",
+            self.host,
+            "/",
+            {
+                "content-type": "application/x-amz-json-1.0",
+                "x-amz-target": f"DynamoDB_20120810.{target}",
+            },
+            body,
+            self.access_key,
+            self.secret_key,
+            self.region,
+            "dynamodb",
+            amz_date,
+        )
+        req = urllib.request.Request(
+            self.base + "/", data=body, headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(
+                f"dynamodb {target}: HTTP {e.code}: {e.read().decode()[:200]}"
+            ) from e
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        out: dict[str, str] = {}
+        uniq = list(dict.fromkeys(keys))
+        for i in range(0, len(uniq), self.CHUNK_GET):
+            pending = [{"k": {"S": k}} for k in uniq[i : i + self.CHUNK_GET]]
+            for attempt in range(self.max_retries + 1):
+                resp = self._call(
+                    "BatchGetItem",
+                    {"RequestItems": {self.table: {"Keys": pending}}},
+                )
+                for item in resp.get("Responses", {}).get(self.table, []):
+                    out[item["k"]["S"]] = item["v"]["S"]
+                pending = (
+                    resp.get("UnprocessedKeys", {})
+                    .get(self.table, {})
+                    .get("Keys", [])
+                )
+                if not pending:
+                    break
+            else:
+                raise RuntimeError(
+                    f"dynamodb BatchGetItem: {len(pending)} keys still "
+                    f"unprocessed after {self.max_retries} retries"
+                )
+        return [out.get(k) for k in keys]
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        puts = [
+            {"PutRequest": {"Item": {"k": {"S": k}, "v": {"S": v}}}}
+            for k, v in pairs
+        ]
+        for i in range(0, len(puts), self.CHUNK_PUT):
+            pending = puts[i : i + self.CHUNK_PUT]
+            for attempt in range(self.max_retries + 1):
+                resp = self._call(
+                    "BatchWriteItem", {"RequestItems": {self.table: pending}}
+                )
+                pending = resp.get("UnprocessedItems", {}).get(self.table, [])
+                if not pending:
+                    break
+            else:
+                raise RuntimeError(
+                    f"dynamodb BatchWriteItem: {len(pending)} items still "
+                    f"unprocessed after {self.max_retries} retries"
+                )
+
+    def close(self) -> None:
+        pass  # stateless HTTP
+
+
 class MemoryKV:
     """Snapshot-backed test double: reads see the snapshot captured at
     factory-build time (closure-shipped to executors); writes stay local
@@ -463,9 +586,22 @@ def _client_from_url(url: str):
         u = urlparse(url)
         index = u.path.lstrip("/") or "bento"
         return EsKV(f"http://{u.hostname or 'localhost'}:{u.port or 9200}", index)
+    if url.startswith("dynamodb://"):
+        import os as _os
+        from urllib.parse import parse_qs, urlparse
+
+        u = urlparse(url)
+        qs = parse_qs(u.query)
+        return DynamoKV(
+            f"http://{u.hostname or 'localhost'}:{u.port or 8000}",
+            u.path.lstrip("/") or "bento",
+            region=qs.get("region", ["us-east-1"])[0],
+            access_key=_os.environ.get("AWS_ACCESS_KEY_ID", "local"),
+            secret_key=_os.environ.get("AWS_SECRET_ACCESS_KEY", "local"),
+        )
     raise ValueError(
-        f"unsupported kv url {url!r} "
-        "(sqlite:/// , memory://, redis://, memcached:// or es://host:port/index)"
+        f"unsupported kv url {url!r} (sqlite:/// , memory://, redis://, "
+        "memcached://, es://host:port/index or dynamodb://host:port/table)"
     )
 
 
