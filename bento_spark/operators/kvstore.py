@@ -586,6 +586,15 @@ def _client_from_url(url: str):
         u = urlparse(url)
         index = u.path.lstrip("/") or "bento"
         return EsKV(f"http://{u.hostname or 'localhost'}:{u.port or 9200}", index)
+    if url.startswith("mongodb://"):
+        from urllib.parse import urlparse
+
+        from bento_spark.operators.mongokv import MongoKV
+
+        u = urlparse(url)
+        parts = (u.path.lstrip("/") or "bento.kv").split(".", 1)
+        db, coll = parts[0], parts[1] if len(parts) > 1 else "kv"
+        return MongoKV(u.hostname or "localhost", u.port or 27017, db, coll)
     if url.startswith("dynamodb://"):
         import os as _os
         from urllib.parse import parse_qs, urlparse
@@ -601,7 +610,8 @@ def _client_from_url(url: str):
         )
     raise ValueError(
         f"unsupported kv url {url!r} (sqlite:/// , memory://, redis://, "
-        "memcached://, es://host:port/index or dynamodb://host:port/table)"
+        "memcached://, es://host:port/index, mongodb://host:port/db.coll "
+        "or dynamodb://host:port/table)"
     )
 
 

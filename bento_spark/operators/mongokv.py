@@ -1,0 +1,207 @@
+"""MongoDB client speaking OP_MSG over a socket — pure Python (stdlib
+socket/struct), implementing the public wire protocol
+(https://www.mongodb.com/docs/manual/reference/mongodb-wire-protocol/,
+opcode 2013, kind-0 sections) and the subset of BSON
+(https://bsonspec.org/spec.html) its commands need — NOT a pymongo
+wrapper (absent in this container). Reference parity: the mongodb
+processor / cache / output family (internal/impl/mongodb/).
+
+KV surface: reads are one ``find`` with ``{_id: {$in: [...]}}`` per
+CHUNK (with a ``getMore`` loop for cursors a real server may return);
+writes are one ``update`` command with upsert=true per CHUNK — so an
+Arrow batch costs O(batches) round trips like the redis/memcached/es/
+dynamo backends. Tested against an in-process wire-protocol server
+plus byte-pinned BSON vectors (tests/test_mongo_kv.py).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterable
+
+# --- minimal BSON codec ----------------------------------------------------
+
+
+def bson_encode(doc: dict) -> bytes:
+    """Encode a dict to BSON (subset: str, int->int64, float, bool,
+    None, dict, list). Key order is preserved (command name must be the
+    first key in a MongoDB command document)."""
+    out = bytearray()
+    for k, v in doc.items():
+        key = k.encode("utf-8") + b"\x00"
+        if isinstance(v, bool):  # before int (bool is an int subclass)
+            out += b"\x08" + key + (b"\x01" if v else b"\x00")
+        elif isinstance(v, str):
+            b = v.encode("utf-8") + b"\x00"
+            out += b"\x02" + key + struct.pack("<i", len(b)) + b
+        elif isinstance(v, int):
+            out += b"\x12" + key + struct.pack("<q", v)
+        elif isinstance(v, float):
+            out += b"\x01" + key + struct.pack("<d", v)
+        elif v is None:
+            out += b"\x0a" + key
+        elif isinstance(v, dict):
+            out += b"\x03" + key + bson_encode(v)
+        elif isinstance(v, (list, tuple)):
+            out += b"\x04" + key + bson_encode(
+                {str(i): x for i, x in enumerate(v)}
+            )
+        else:
+            raise TypeError(f"unsupported BSON type {type(v).__name__}")
+    return struct.pack("<i", len(out) + 5) + bytes(out) + b"\x00"
+
+
+def bson_decode(buf: bytes, offset: int = 0) -> tuple[dict, int]:
+    """Decode one BSON document starting at ``offset``; returns
+    (doc, next_offset). Subset: double, string, doc, array, bool, null,
+    int32, int64 — what command replies actually contain."""
+    (total,) = struct.unpack_from("<i", buf, offset)
+    end = offset + total - 1  # position of trailing \x00
+    pos = offset + 4
+    doc: dict = {}
+    while pos < end:
+        t = buf[pos]
+        pos += 1
+        z = buf.index(b"\x00", pos)
+        key = buf[pos:z].decode("utf-8")
+        pos = z + 1
+        if t == 0x01:
+            (doc[key],) = struct.unpack_from("<d", buf, pos)
+            pos += 8
+        elif t == 0x02:
+            (n,) = struct.unpack_from("<i", buf, pos)
+            doc[key] = buf[pos + 4 : pos + 4 + n - 1].decode("utf-8")
+            pos += 4 + n
+        elif t in (0x03, 0x04):
+            sub, pos = bson_decode(buf, pos)
+            doc[key] = (
+                [sub[str(i)] for i in range(len(sub))] if t == 0x04 else sub
+            )
+        elif t == 0x08:
+            doc[key] = buf[pos] == 1
+            pos += 1
+        elif t == 0x0A:
+            doc[key] = None
+        elif t == 0x10:
+            (doc[key],) = struct.unpack_from("<i", buf, pos)
+            pos += 4
+        elif t == 0x12:
+            (doc[key],) = struct.unpack_from("<q", buf, pos)
+            pos += 8
+        else:
+            raise ValueError(f"unsupported BSON type byte 0x{t:02x}")
+    return doc, end + 1
+
+
+# --- OP_MSG framing --------------------------------------------------------
+
+OP_MSG = 2013
+
+
+class MongoKV:
+    """kvstore-surface client (mget/mset/close) for a MongoDB endpoint.
+
+    Documents are ``{_id: <key>, v: <value>}`` in ``db.coll``."""
+
+    CHUNK = 512
+
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 27017,
+        db: str = "bento",
+        coll: str = "kv",
+        timeout: float = 30.0,
+    ):
+        import socket
+
+        self.db = db
+        self.coll = coll
+        self._req_id = 0
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+
+    def _command(self, doc: dict) -> dict:
+        self._req_id += 1
+        body = b"\x00\x00\x00\x00" + b"\x00" + bson_encode(doc)  # flags + kind0
+        header = struct.pack("<iiii", 16 + len(body), self._req_id, 0, OP_MSG)
+        self._sock.sendall(header + body)
+        raw = self._rfile.read(4)
+        if len(raw) != 4:
+            raise ConnectionError("mongodb connection closed")
+        (total,) = struct.unpack("<i", raw)
+        rest = self._rfile.read(total - 4)
+        if len(rest) != total - 4:
+            raise ConnectionError("mongodb connection closed mid-message")
+        _req, _resp_to, opcode = struct.unpack_from("<iii", rest, 0)
+        if opcode != OP_MSG:
+            raise RuntimeError(f"unexpected opcode {opcode}")
+        # flags(4) + kind byte(1) then the body document
+        if rest[16] != 0:
+            raise RuntimeError("only kind-0 OP_MSG sections supported")
+        reply, _ = bson_decode(rest, 17)
+        if reply.get("ok") != 1:
+            raise RuntimeError(
+                f"mongodb command failed: {reply.get('codeName') or reply}"
+            )
+        return reply
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        out: dict[str, str] = {}
+        uniq = list(dict.fromkeys(keys))
+        for i in range(0, len(uniq), self.CHUNK):
+            chunk = uniq[i : i + self.CHUNK]
+            reply = self._command(
+                {
+                    "find": self.coll,
+                    "filter": {"_id": {"$in": chunk}},
+                    "batchSize": len(chunk),
+                    "$db": self.db,
+                }
+            )
+            cursor = reply["cursor"]
+            batch = cursor.get("firstBatch", [])
+            while True:
+                for d in batch:
+                    out[d["_id"]] = d["v"]
+                cid = cursor.get("id", 0)
+                if not cid:
+                    break
+                reply = self._command(
+                    {"getMore": cid, "collection": self.coll, "$db": self.db}
+                )
+                cursor = reply["cursor"]
+                batch = cursor.get("nextBatch", [])
+        return [out.get(k) for k in keys]
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        buf = []
+        for k, v in pairs:
+            buf.append(
+                {"q": {"_id": k}, "u": {"$set": {"v": v}}, "upsert": True}
+            )
+            if len(buf) >= self.CHUNK:
+                self._flush(buf)
+                buf = []
+        if buf:
+            self._flush(buf)
+
+    def _flush(self, updates: list[dict]) -> None:
+        reply = self._command(
+            {
+                "update": self.coll,
+                "updates": updates,
+                "ordered": True,
+                "$db": self.db,
+            }
+        )
+        if reply.get("writeErrors"):
+            raise RuntimeError(
+                f"mongodb update writeErrors: {reply['writeErrors'][:3]}"
+            )
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()
