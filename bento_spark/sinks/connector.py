@@ -191,6 +191,86 @@ def _http_transport(conf: dict):
     return T()
 
 
+@register_transport("sqs")
+def _sqs_transport(conf: dict):
+    """``aws_sqs`` output (internal/impl/aws/output_sqs.go):
+    SendMessageBatch through the public JSON API with REAL SigV4
+    signing (functions/awsauth.py) — no boto3. Honors the protocol's
+    10-entries-per-call limit. Entries failing with SenderFault=false
+    (throttling/internal) raise a retryable DeliveryError so the
+    delivery loop's backoff re-sends the batch (at-least-once; envelope
+    keys let receivers dedupe); SenderFault=true and 4xx are
+    non-retryable (straight to DLQ)."""
+    import json
+    import urllib.error
+    import urllib.request
+    from urllib.parse import urlparse
+
+    endpoint = conf["endpoint"].rstrip("/")
+    queue_url = conf["queue_url"]
+    region = conf.get("region", "us-east-1")
+    access = conf.get("access_key") or os.environ.get("AWS_ACCESS_KEY_ID", "local")
+    secret = conf.get("secret_key") or os.environ.get(
+        "AWS_SECRET_ACCESS_KEY", "local"
+    )
+    host = urlparse(endpoint).netloc
+
+    def call(entries: list[dict]) -> dict:
+        from bento_spark.functions.awsauth import sign_request
+
+        body = json.dumps({"QueueUrl": queue_url, "Entries": entries}).encode()
+        amz = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        headers = sign_request(
+            "POST",
+            host,
+            "/",
+            {
+                "content-type": "application/x-amz-json-1.0",
+                "x-amz-target": "AmazonSQS.SendMessageBatch",
+            },
+            body,
+            access,
+            secret,
+            region,
+            "sqs",
+            amz,
+        )
+        req = urllib.request.Request(
+            endpoint + "/", data=body, headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            raise DeliveryError(
+                f"sqs HTTP {e.code}: {e.read().decode()[:200]}",
+                retryable=e.code >= 500,
+            ) from e
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            for i in range(0, len(batch), 10):  # SendMessageBatch limit
+                chunk = batch[i : i + 10]
+                resp = call(
+                    [
+                        {"Id": str(j), "MessageBody": m}
+                        for j, m in enumerate(chunk)
+                    ]
+                )
+                failed = resp.get("Failed") or []
+                if failed:
+                    sender_fault = any(f.get("SenderFault") for f in failed)
+                    raise DeliveryError(
+                        f"sqs: {len(failed)} entries failed: {failed[:3]}",
+                        retryable=not sender_fault,
+                    )
+
+        def close(self):
+            pass
+
+    return T()
+
+
 def memory_sink_contents(name: str = "default") -> list[str]:
     d = _memory_dir(name)
     if not os.path.isdir(d):
