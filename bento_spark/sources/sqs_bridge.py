@@ -1,0 +1,128 @@
+"""SQS -> staging-directory bridge for the queue data source.
+
+The reference's ``aws_sqs`` input (internal/impl/aws/input_sqs.go)
+acks each message after downstream delivery. Spark's Structured
+Streaming contract instead requires REPLAYABLE offsets, which a
+destructive ReceiveMessage API cannot provide — so the standard
+adaptation is a drain bridge: receive a batch, append it DURABLY to
+the staging directory (atomic tmp+rename), and only then
+DeleteMessageBatch. A crash between write and delete re-delivers the
+batch on the next drain — at-least-once, the same guarantee the
+reference documents, with envelope/msg-id dedupe downstream
+(``dedupe`` processor / dropDuplicatesWithinWatermark).
+
+The staged directory is then a replayable source:
+``spark.read/readStream.format("bento_queue").option("path", dir)``
+(sources/pydatasource.py). Wire protocol: public SQS JSON API
+(ReceiveMessage / DeleteMessageBatch) with real SigV4 signing
+(functions/awsauth.py) — no boto3. Tested against an in-process,
+signature-verifying server (tests/test_sqs_bridge.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class SqsBridge:
+    def __init__(
+        self,
+        endpoint: str,
+        queue_url: str,
+        region: str = "us-east-1",
+        access_key: str | None = None,
+        secret_key: str | None = None,
+    ):
+        from urllib.parse import urlparse
+
+        self.endpoint = endpoint.rstrip("/")
+        self.host = urlparse(self.endpoint).netloc
+        self.queue_url = queue_url
+        self.region = region
+        self.access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID", "local")
+        self.secret_key = secret_key or os.environ.get(
+            "AWS_SECRET_ACCESS_KEY", "local"
+        )
+
+    def _call(self, target: str, payload: dict) -> dict:
+        import urllib.error
+        import urllib.request
+
+        from bento_spark.functions.awsauth import sign_request
+
+        body = json.dumps(payload).encode("utf-8")
+        amz = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        headers = sign_request(
+            "POST",
+            self.host,
+            "/",
+            {
+                "content-type": "application/x-amz-json-1.0",
+                "x-amz-target": f"AmazonSQS.{target}",
+            },
+            body,
+            self.access_key,
+            self.secret_key,
+            self.region,
+            "sqs",
+            amz,
+        )
+        req = urllib.request.Request(
+            self.endpoint + "/", data=body, headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=35) as resp:  # noqa: S310
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(
+                f"sqs {target}: HTTP {e.code}: {e.read().decode()[:200]}"
+            ) from e
+
+    def drain(
+        self,
+        out_dir: str,
+        max_batches: int | None = None,
+        wait_time_s: int = 0,
+    ) -> int:
+        """Receive until the queue is empty (or ``max_batches``), staging
+        each batch as one atomic JSONL file BEFORE deleting it from the
+        queue. Returns the number of messages staged."""
+        os.makedirs(out_dir, exist_ok=True)
+        total = n_batch = 0
+        while max_batches is None or n_batch < max_batches:
+            resp = self._call(
+                "ReceiveMessage",
+                {
+                    "QueueUrl": self.queue_url,
+                    "MaxNumberOfMessages": 10,  # protocol limit
+                    "WaitTimeSeconds": wait_time_s,
+                },
+            )
+            msgs = resp.get("Messages") or []
+            if not msgs:
+                break
+            n_batch += 1
+            # durable staging first (tmp + rename = atomic on POSIX)...
+            key = f"sqs-{int(time.time() * 1000)}-{n_batch:06d}.jsonl"
+            tmp = os.path.join(out_dir, "." + key)
+            with open(tmp, "w") as f:
+                for m in msgs:
+                    f.write(m["Body"].replace("\n", " ") + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(out_dir, key))
+            # ...then delete; a crash in between re-delivers (at-least-once)
+            self._call(
+                "DeleteMessageBatch",
+                {
+                    "QueueUrl": self.queue_url,
+                    "Entries": [
+                        {"Id": str(i), "ReceiptHandle": m["ReceiptHandle"]}
+                        for i, m in enumerate(msgs)
+                    ],
+                },
+            )
+            total += len(msgs)
+        return total
