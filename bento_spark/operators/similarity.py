@@ -31,13 +31,21 @@ def brute_force_topk(
     vec_col: str,
     k: int = 10,
     dim: int | None = None,
+    prefiltered_nonzero: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query vector (the recall=1 baseline).
 
     ``queries`` must be small (it is broadcast); the corpus is scanned
     exactly once with no shuffle before the bounded top-k window. With
     a static ``dim`` the dot product is codegen'd (see vectors.dot).
-    """
+
+    ``prefiltered_nonzero=True`` skips the zero-norm guard: when
+    ``vec_col`` is a Python-UDF output (e.g. the featurizer), a filter
+    referencing it is inlined by Catalyst into a SECOND ArrowEvalPython
+    node — the whole corpus gets embedded twice. Callers that already
+    exclude zero vectors upstream (e.g. a token-count prefilter
+    matching the featurizer's support) pass True to keep one UDF eval
+    per branch."""
     from bento_spark.operators.dedup import ensure_parallelism
 
     # Norms are computed ONCE PER ROW on each side before the join; the
@@ -55,20 +63,18 @@ def brute_force_topk(
     # 64-term sum re-casts the whole array (measured 3.5x on the whole
     # query); exists() is one short-circuiting array pass.
     nonzero = lambda v: F.exists(v, lambda x: x != 0)  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    if not prefiltered_nonzero:
+        c, q = c.filter(nonzero("cv")), q.filter(nonzero("qv"))
     c = ensure_parallelism(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-        )
-        .filter(nonzero("cv"))
-        .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
+        c.withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
     )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        )
-        .filter(nonzero("qv"))
-        .withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
-    )
+    q = q.withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
     sim = F.round(
         dot_expr("qv", "cv", dim) / (F.col("qnrm") * F.col("cnrm")), 6
     )

@@ -144,11 +144,21 @@ def embed_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bento_spark.operators.featurize import hashed_ngram_embedder
 
     embed = hashed_ngram_embedder(EMB_DIM, EMB_N)
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", embed(F.col("text")).alias("vec")
+    # Pre-filter to the featurizer's support (>= n tokens), exactly the
+    # oracle CTE's WHERE len >= n — and pass prefiltered_nonzero so the
+    # operator skips its exists() guard, which would otherwise inline
+    # the featurizer UDF into a second ArrowEvalPython per branch and
+    # embed the whole corpus twice (4 UDF evals -> 2).
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.size(F.split(F.col("text"), " ")) >= EMB_N)
+        .select("doc_id", embed(F.col("text")).alias("vec"))
     )
     queries = docs.filter(F.col("doc_id") % EMB_QMOD == 0)
-    df = S.brute_force_topk(docs, queries, "doc_id", "vec", EMB_K, dim=EMB_DIM)
+    df = S.brute_force_topk(
+        docs, queries, "doc_id", "vec", EMB_K, dim=EMB_DIM,
+        prefiltered_nonzero=True,
+    )
     return df.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
