@@ -1,0 +1,277 @@
+"""Kafka producer speaking the public wire protocol over a socket —
+pure Python (stdlib socket/struct), implementing Metadata v0 and
+Produce v3 with message-format-v2 record batches per the public
+protocol guide (https://kafka.apache.org/protocol) and KIP-98's batch
+layout — NOT a kafka-python/franz wrapper (absent in this container).
+Reference parity: the kafka/kafka_franz outputs
+(internal/impl/kafka/output_kafka_franz.go).
+
+Correctness anchors that are NOT self-referential: CRC32C (Castagnoli)
+is pinned to its public test vector, zigzag varints to the protocol
+doc's examples (tests/test_kafka_wire.py), and the in-process broker
+decodes batches with its own independently written parser and verifies
+the checksum before accepting.
+
+Scale shape: one client per Spark partition (the connector-transport
+contract), one Produce request per batch — the same O(batches) round
+trips as every other transport in sinks/connector.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# --- CRC32C (Castagnoli), bit-reflected, poly 0x1EDC6F41 -------------------
+
+_CRC32C_TABLE = []
+
+
+def _crc32c_table() -> list[int]:
+    global _CRC32C_TABLE
+    if not _CRC32C_TABLE:
+        poly = 0x82F63B78  # reflected 0x1EDC6F41
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    return _CRC32C_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    tbl = _crc32c_table()
+    c = 0xFFFFFFFF
+    for b in data:
+        c = tbl[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+# --- varints ---------------------------------------------------------------
+
+
+def zigzag_encode(n: int) -> bytes:
+    """Signed -> zigzag unsigned varint (protocol 'varint')."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+# --- primitive writers -----------------------------------------------------
+
+
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode("utf-8")
+    return struct.pack(">h", len(b)) + b
+
+
+def _bytes32(b: bytes) -> bytes:
+    return struct.pack(">i", len(b)) + b
+
+
+# --- record batch (message format v2) --------------------------------------
+
+
+def encode_record_batch(
+    records: list[tuple[bytes | None, bytes]],
+    base_timestamp: int = 0,
+) -> bytes:
+    """One v2 RecordBatch: header + varint-framed records, CRC32C over
+    everything AFTER the crc field (partitionLeaderEpoch/magic are
+    deliberately outside the checksum, per the spec)."""
+    recs = bytearray()
+    for i, (key, value) in enumerate(records):
+        body = bytearray()
+        body += b"\x00"  # record attributes
+        body += zigzag_encode(0)  # timestampDelta
+        body += zigzag_encode(i)  # offsetDelta
+        if key is None:
+            body += zigzag_encode(-1)
+        else:
+            body += zigzag_encode(len(key)) + key
+        body += zigzag_encode(len(value)) + value
+        body += zigzag_encode(0)  # headers count
+        recs += zigzag_encode(len(body)) + body
+    n = len(records)
+    after_crc = (
+        struct.pack(">hiqqqhii", 0, n - 1, base_timestamp, base_timestamp,
+                    -1, -1, -1, n)
+        + bytes(recs)
+    )
+    # attributes=0, lastOffsetDelta, base/maxTimestamp, producerId=-1,
+    # producerEpoch=-1, baseSequence=-1, recordCount
+    crc = crc32c(after_crc)
+    batch_tail = struct.pack(">ibI", 0, 2, crc) + after_crc
+    # partitionLeaderEpoch=0, magic=2, crc
+    return struct.pack(">qi", 0, len(batch_tail)) + batch_tail
+    # baseOffset=0, batchLength
+
+
+# --- client ----------------------------------------------------------------
+
+API_PRODUCE, API_METADATA = 0, 3
+
+
+class KafkaError(RuntimeError):
+    def __init__(self, code: int, where: str):
+        super().__init__(f"kafka error code {code} in {where}")
+        self.code = code
+
+
+class KafkaProducerClient:
+    """Minimal produce-path client: Metadata v0 for leader discovery,
+    Produce v3 (acks configurable, message format v2)."""
+
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 9092,
+        client_id: str = "bento-spark",
+        acks: int = -1,
+        timeout_ms: int = 30_000,
+        socket_timeout: float = 30.0,
+    ):
+        import socket
+
+        self.client_id = client_id
+        self.acks = acks
+        self.timeout_ms = timeout_ms
+        self._corr = 0
+        self._sock = socket.create_connection((host, port), timeout=socket_timeout)
+        self._rfile = self._sock.makefile("rb")
+
+    def _request(
+        self, api_key: int, api_version: int, body: bytes,
+        expect_response: bool = True,
+    ) -> bytes:
+        self._corr += 1
+        header = (
+            struct.pack(">hhi", api_key, api_version, self._corr)
+            + _str(self.client_id)
+        )
+        msg = header + body
+        self._sock.sendall(struct.pack(">i", len(msg)) + msg)
+        if not expect_response:  # acks=0 produce: broker sends nothing
+            return b""
+        raw = self._rfile.read(4)
+        if len(raw) != 4:
+            raise ConnectionError("kafka connection closed")
+        (size,) = struct.unpack(">i", raw)
+        resp = self._rfile.read(size)
+        if len(resp) != size:
+            raise ConnectionError("kafka connection closed mid-response")
+        (corr,) = struct.unpack_from(">i", resp, 0)
+        if corr != self._corr:
+            raise RuntimeError(f"correlation mismatch {corr} != {self._corr}")
+        return resp[4:]
+
+    def metadata(self, topic: str) -> dict:
+        """Metadata v0 -> {partition_id: leader_node, ...} + brokers."""
+        body = struct.pack(">i", 1) + _str(topic)
+        resp = self._request(API_METADATA, 0, body)
+        pos = 0
+        (n_brokers,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        brokers = {}
+        for _ in range(n_brokers):
+            (node,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            (hlen,) = struct.unpack_from(">h", resp, pos)
+            host = resp[pos + 2 : pos + 2 + hlen].decode()
+            pos += 2 + hlen
+            (port,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            brokers[node] = (host, port)
+        (n_topics,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        parts = {}
+        for _ in range(n_topics):
+            (terr,) = struct.unpack_from(">h", resp, pos)
+            pos += 2
+            (tlen,) = struct.unpack_from(">h", resp, pos)
+            tname = resp[pos + 2 : pos + 2 + tlen].decode()
+            pos += 2 + tlen
+            (n_parts,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            for _ in range(n_parts):
+                perr, pid, leader = struct.unpack_from(">hii", resp, pos)
+                pos += 10
+                for label in ("replicas", "isr"):
+                    (cnt,) = struct.unpack_from(">i", resp, pos)
+                    pos += 4 + 4 * cnt
+                if tname == topic:
+                    if perr:
+                        raise KafkaError(perr, f"metadata partition {pid}")
+                    parts[pid] = leader
+            if terr:
+                raise KafkaError(terr, f"metadata topic {tname}")
+        return {"brokers": brokers, "partitions": parts}
+
+    def produce(
+        self,
+        topic: str,
+        partition: int,
+        records: list[tuple[bytes | None, bytes]],
+    ) -> int:
+        """Produce v3; returns the assigned base offset (acks != 0)."""
+        batch = encode_record_batch(records)
+        body = (
+            _str(None)  # transactional_id
+            + struct.pack(">hi", self.acks, self.timeout_ms)
+            + struct.pack(">i", 1)  # one topic
+            + _str(topic)
+            + struct.pack(">i", 1)  # one partition
+            + struct.pack(">i", partition)
+            + _bytes32(batch)
+        )
+        resp = self._request(
+            API_PRODUCE, 3, body, expect_response=self.acks != 0
+        )
+        if self.acks == 0:
+            return -1
+        pos = 0
+        (n_topics,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        base_offset = -1
+        for _ in range(n_topics):
+            (tlen,) = struct.unpack_from(">h", resp, pos)
+            pos += 2 + tlen
+            (n_parts,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            for _ in range(n_parts):
+                # partition(4) error(2) base_offset(8) log_append_time(8)
+                (pid,) = struct.unpack_from(">i", resp, pos)
+                err, boff, _lat = struct.unpack_from(">hqq", resp, pos + 4)
+                pos += 4 + 2 + 8 + 8
+                if err:
+                    raise KafkaError(err, f"produce {topic}/{pid}")
+                base_offset = boff
+        return base_offset
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()

@@ -191,6 +191,51 @@ def _http_transport(conf: dict):
     return T()
 
 
+@register_transport("kafka")
+def _kafka_transport(conf: dict):
+    """``kafka``/``kafka_franz`` output
+    (internal/impl/kafka/output_kafka_franz.go): real wire-protocol
+    producer (operators/kafka_wire.py — Metadata v0 + Produce v3,
+    message-format-v2 batches, CRC32C). One connection per Spark
+    partition; each send is ONE Produce request; messages round-robin
+    across the topic's partitions from metadata. Retriable broker codes
+    (leader moves, timeouts, ISR shortfalls) map to retryable
+    DeliveryError for the loop's backoff; the rest dead-letter."""
+    from bento_spark.operators.kafka_wire import KafkaError, KafkaProducerClient
+
+    RETRIABLE = {5, 6, 7, 19, 20}  # leader/timeout/replication transients
+
+    class T:
+        def __init__(self):
+            self.client = KafkaProducerClient(
+                conf.get("host", "localhost"),
+                int(conf.get("port", 9092)),
+                client_id=conf.get("client_id", "bento-spark"),
+                acks=int(conf.get("acks", -1)),
+            )
+            self.topic = conf["topic"]
+            md = self.client.metadata(self.topic)
+            self.partitions = sorted(md["partitions"]) or [0]
+            self.rr = 0
+
+        def send(self, batch: list[str]) -> None:
+            part = self.partitions[self.rr % len(self.partitions)]
+            self.rr += 1
+            try:
+                self.client.produce(
+                    self.topic, part, [(None, v.encode("utf-8")) for v in batch]
+                )
+            except KafkaError as ex:
+                raise DeliveryError(
+                    str(ex), retryable=ex.code in RETRIABLE
+                ) from ex
+
+        def close(self):
+            self.client.close()
+
+    return T()
+
+
 @register_transport("sqs")
 def _sqs_transport(conf: dict):
     """``aws_sqs`` output (internal/impl/aws/output_sqs.go):

@@ -1,0 +1,271 @@
+"""Kafka wire-protocol tests: public CRC32C / zigzag-varint vectors, an
+independent record-batch parser, an in-process broker (Metadata v0 +
+Produce v3) that checksums and decodes every batch before accepting it,
+error-code propagation, acks=0 fire-and-forget, and the Spark deliver()
+loop end-to-end through the kafka transport."""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import struct
+import threading
+
+import pytest
+
+from bento_spark.operators.kafka_wire import (
+    KafkaError,
+    KafkaProducerClient,
+    crc32c,
+    encode_record_batch,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+# --- public vectors --------------------------------------------------------
+
+
+def test_crc32c_public_vector():
+    # RFC 3720 / Castagnoli reference vector
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_zigzag_public_vectors():
+    # protobuf/kafka zigzag examples: 0->0, -1->1, 1->2, -2->3, 150->300
+    assert zigzag_encode(0) == b"\x00"
+    assert zigzag_encode(-1) == b"\x01"
+    assert zigzag_encode(1) == b"\x02"
+    assert zigzag_encode(-2) == b"\x03"
+    assert zigzag_encode(150) == b"\xac\x02"
+    for n in (0, -1, 1, 63, -64, 64, 12345, -98765, 2**40):
+        assert zigzag_decode(zigzag_encode(n), 0) == (n, len(zigzag_encode(n)))
+
+
+# --- independent batch parser (used by the in-process broker) -------------
+
+
+def parse_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes]]:
+    base_offset, batch_len = struct.unpack_from(">qi", buf, 0)
+    assert len(buf) == 12 + batch_len, "batchLength must cover the tail"
+    _epoch, magic, crc = struct.unpack_from(">ibI", buf, 12)
+    assert magic == 2, "message format v2 required"
+    after = buf[21:]
+    assert crc32c(after) == crc, "CRC32C mismatch"
+    (attrs, last_delta, _bts, _mts, pid, pep, bseq, count) = struct.unpack_from(
+        ">hiqqqhii", after, 0
+    )
+    assert attrs == 0 and pid == -1 and pep == -1 and bseq == -1
+    pos, out = 40, []  # 2+4+8+8+8+2+4+4 header bytes after the crc
+    for i in range(count):
+        _ln, pos = zigzag_decode(after, pos)
+        assert after[pos] == 0  # record attributes
+        pos += 1
+        _tsd, pos = zigzag_decode(after, pos)
+        offd, pos = zigzag_decode(after, pos)
+        assert offd == i
+        klen, pos = zigzag_decode(after, pos)
+        key = None if klen == -1 else after[pos : pos + klen]
+        pos += max(klen, 0)
+        vlen, pos = zigzag_decode(after, pos)
+        value = after[pos : pos + vlen]
+        pos += vlen
+        hdrs, pos = zigzag_decode(after, pos)
+        assert hdrs == 0
+        out.append((key, value))
+    assert last_delta == count - 1
+    return out
+
+
+def test_record_batch_roundtrip_via_independent_parser():
+    records = [(None, b"v0"), (b"k1", "caf\xe9 ☃".encode()), (b"", b"")]
+    assert parse_record_batch(encode_record_batch(records)) == [
+        (None, b"v0"),
+        (b"k1", "caf\xe9 ☃".encode()),
+        (b"", b""),
+    ]
+
+
+def test_corrupted_batch_fails_crc():
+    raw = bytearray(encode_record_batch([(None, b"x")]))
+    raw[-1] ^= 0xFF
+    with pytest.raises(AssertionError, match="CRC32C"):
+        parse_record_batch(bytes(raw))
+
+
+# --- in-process broker -----------------------------------------------------
+
+
+def _rd_str(buf, pos):
+    (n,) = struct.unpack_from(">h", buf, pos)
+    if n == -1:
+        return None, pos + 2
+    return buf[pos + 2 : pos + 2 + n].decode(), pos + 2 + n
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        srv = self.server
+        while True:
+            raw = self.rfile.read(4)
+            if len(raw) < 4:
+                return
+            (size,) = struct.unpack(">i", raw)
+            req = self.rfile.read(size)
+            api, ver, corr = struct.unpack_from(">hhi", req, 0)
+            _cid, pos = _rd_str(req, 8)
+            if api == 3:  # Metadata v0
+                # brokers: count=1, node_id=1, host, port
+                body = struct.pack(">ii", 1, 1) + _enc_str("127.0.0.1") + struct.pack(
+                    ">i", srv.server_address[1]
+                )
+                parts = b""
+                for p in range(srv.n_partitions):
+                    parts += struct.pack(">hii", 0, p, 1)
+                    parts += struct.pack(">ii", 1, 1)  # replicas [1]
+                    parts += struct.pack(">ii", 1, 1)  # isr [1]
+                body += (
+                    struct.pack(">i", 1)
+                    + struct.pack(">h", 0)
+                    + _enc_str(srv.topic)
+                    + struct.pack(">i", srv.n_partitions)
+                    + parts
+                )
+                self._respond(corr, body)
+            elif api == 0:  # Produce v3
+                _txn, pos2 = _rd_str(req, pos)
+                acks, _timeout = struct.unpack_from(">hi", req, pos2)
+                pos2 += 6
+                (_ntop,) = struct.unpack_from(">i", req, pos2)
+                pos2 += 4
+                topic, pos2 = _rd_str(req, pos2)
+                (_nparts,) = struct.unpack_from(">i", req, pos2)
+                pos2 += 4
+                (partition,) = struct.unpack_from(">i", req, pos2)
+                pos2 += 4
+                (blen,) = struct.unpack_from(">i", req, pos2)
+                batch = req[pos2 + 4 : pos2 + 4 + blen]
+                err = srv.error_script.pop(0) if srv.error_script else 0
+                base = -1
+                if not err:
+                    recs = parse_record_batch(batch)  # crc-verified decode
+                    plog = srv.log.setdefault(partition, [])
+                    base = len(plog)
+                    plog.extend(recs)
+                if acks == 0:
+                    continue  # protocol: no response at acks=0
+                body = (
+                    struct.pack(">i", 1)
+                    + _enc_str(topic)
+                    + struct.pack(">i", 1)
+                    + struct.pack(">ihqq", partition, err, base, -1)
+                    + struct.pack(">i", 0)  # throttle_time_ms
+                )
+                self._respond(corr, body)
+            else:
+                return
+
+    def _respond(self, corr, body):
+        msg = struct.pack(">i", corr) + body
+        self.wfile.write(struct.pack(">i", len(msg)) + msg)
+        self.wfile.flush()
+
+
+def _enc_str(s):
+    b = s.encode()
+    return struct.pack(">h", len(b)) + b
+
+
+class _Broker(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, topic="t1", n_partitions=3):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.topic = topic
+        self.n_partitions = n_partitions
+        self.log: dict[int, list] = {}
+        self.error_script: list[int] = []
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+
+    @property
+    def port(self):
+        return self.server_address[1]
+
+    def stop(self):
+        self.shutdown()
+        self.server_close()
+
+
+@pytest.fixture()
+def broker():
+    b = _Broker()
+    yield b
+    b.stop()
+
+
+def test_metadata_discovery(broker):
+    c = KafkaProducerClient(port=broker.port)
+    md = c.metadata("t1")
+    assert md["partitions"] == {0: 1, 1: 1, 2: 1}
+    assert md["brokers"][1] == ("127.0.0.1", broker.port)
+    c.close()
+
+
+def test_produce_roundtrip_and_offsets(broker):
+    c = KafkaProducerClient(port=broker.port)
+    assert c.produce("t1", 0, [(None, b"a"), (b"k", b"b")]) == 0
+    assert c.produce("t1", 0, [(None, b"c")]) == 2  # base offset advances
+    assert broker.log[0] == [(None, b"a"), (b"k", b"b"), (None, b"c")]
+    c.close()
+
+
+def test_produce_error_code_raises(broker):
+    broker.error_script = [6]  # NOT_LEADER_FOR_PARTITION
+    c = KafkaProducerClient(port=broker.port)
+    with pytest.raises(KafkaError) as ei:
+        c.produce("t1", 0, [(None, b"x")])
+    assert ei.value.code == 6
+    c.close()
+
+
+def test_acks0_fire_and_forget(broker):
+    c = KafkaProducerClient(port=broker.port, acks=0)
+    assert c.produce("t1", 1, [(None, b"noack")]) == -1
+    c.produce("t1", 1, [(None, b"noack2")])  # connection still usable
+    c.close()
+    import time
+
+    for _ in range(50):  # server applies asynchronously
+        if len(broker.log.get(1, [])) == 2:
+            break
+        time.sleep(0.05)
+    assert [v for _, v in broker.log[1]] == [b"noack", b"noack2"]
+
+
+def test_deliver_end_to_end_round_robins_partitions(spark, broker):
+    from bento_spark.sinks.connector import deliver
+
+    df = spark.range(40).selectExpr("id", "concat('m', id) AS msg").coalesce(2)
+    stats = deliver(
+        df, "kafka",
+        {"host": "127.0.0.1", "port": broker.port, "topic": "t1"},
+        batch_size=10,
+    )
+    assert stats["delivered"] == 40 and stats["dead"] == 0
+    vals = [json.loads(v.decode())["msg"] for p in broker.log.values() for _, v in p]
+    assert sorted(vals) == sorted(f"m{i}" for i in range(40))
+    assert len(broker.log) >= 2  # round-robined across partitions
+
+
+def test_deliver_retries_transient_broker_error(spark, broker):
+    from bento_spark.sinks.connector import deliver
+
+    broker.error_script = [7]  # REQUEST_TIMED_OUT -> retryable
+    df = spark.range(6).coalesce(1).selectExpr("id")
+    stats = deliver(
+        df, "kafka",
+        {"host": "127.0.0.1", "port": broker.port, "topic": "t1"},
+        batch_size=10,
+    )
+    assert stats["delivered"] == 6 and stats["dead"] == 0
