@@ -97,6 +97,7 @@ def _bytes32(b: bytes) -> bytes:
 def encode_record_batch(
     records: list[tuple[bytes | None, bytes]],
     base_timestamp: int = 0,
+    base_offset: int = 0,
 ) -> bytes:
     """One v2 RecordBatch: header + varint-framed records, CRC32C over
     everything AFTER the crc field (partitionLeaderEpoch/magic are
@@ -125,13 +126,56 @@ def encode_record_batch(
     crc = crc32c(after_crc)
     batch_tail = struct.pack(">ibI", 0, 2, crc) + after_crc
     # partitionLeaderEpoch=0, magic=2, crc
-    return struct.pack(">qi", 0, len(batch_tail)) + batch_tail
-    # baseOffset=0, batchLength
+    return struct.pack(">qi", base_offset, len(batch_tail)) + batch_tail
+    # baseOffset (producers send 0; brokers set the real one), batchLength
+
+
+def decode_record_batches(buf: bytes) -> list[tuple[int, bytes | None, bytes]]:
+    """Decode a Fetch record_set: zero or more concatenated v2
+    RecordBatches -> [(absolute_offset, key, value), ...]. CRC32C is
+    verified per batch; a trailing partial batch (the broker may cut
+    one off at max_bytes) is skipped, per the protocol's guidance."""
+    out: list[tuple[int, bytes | None, bytes]] = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
+        if pos + 12 + batch_len > len(buf):
+            break  # partial trailing batch
+        _epoch, magic, crc = struct.unpack_from(">ibI", buf, pos + 12)
+        if magic != 2:
+            raise ValueError(f"unsupported message format magic {magic}")
+        after = buf[pos + 21 : pos + 12 + batch_len]
+        if crc32c(after) != crc:
+            raise ValueError("record batch CRC32C mismatch")
+        (_attrs, _ld, _bts, _mts, _pid, _pep, _bseq, count) = struct.unpack_from(
+            ">hiqqqhii", after, 0
+        )
+        p = 40
+        for _ in range(count):
+            _ln, p = zigzag_decode(after, p)
+            p += 1  # record attributes
+            _tsd, p = zigzag_decode(after, p)
+            offd, p = zigzag_decode(after, p)
+            klen, p = zigzag_decode(after, p)
+            key = None if klen == -1 else after[p : p + klen]
+            p += max(klen, 0)
+            vlen, p = zigzag_decode(after, p)
+            value = after[p : p + vlen]
+            p += vlen
+            n_hdr, p = zigzag_decode(after, p)
+            for _h in range(n_hdr):
+                hk, p = zigzag_decode(after, p)
+                p += max(hk, 0)
+                hv, p = zigzag_decode(after, p)
+                p += max(hv, 0)
+            out.append((base_offset + offd, key, value))
+        pos += 12 + batch_len
+    return out
 
 
 # --- client ----------------------------------------------------------------
 
-API_PRODUCE, API_METADATA = 0, 3
+API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA = 0, 1, 2, 3
 
 
 class KafkaError(RuntimeError):
@@ -269,6 +313,63 @@ class KafkaProducerClient:
                     raise KafkaError(err, f"produce {topic}/{pid}")
                 base_offset = boff
         return base_offset
+
+    def list_offsets(self, topic: str, partition: int, timestamp: int = -1) -> int:
+        """ListOffsets v1: timestamp -1 = latest (log end offset),
+        -2 = earliest. Returns the single offset."""
+        body = (
+            struct.pack(">i", -1)  # replica_id
+            + struct.pack(">i", 1)
+            + _str(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iq", partition, timestamp)
+        )
+        resp = self._request(API_LIST_OFFSETS, 1, body)
+        pos = 4  # skip topic array count (1)
+        (tlen,) = struct.unpack_from(">h", resp, pos)
+        pos += 2 + tlen
+        pos += 4  # partition array count (1)
+        pid, err = struct.unpack_from(">ih", resp, pos)
+        _ts, offset = struct.unpack_from(">qq", resp, pos + 6)
+        if err:
+            raise KafkaError(err, f"list_offsets {topic}/{pid}")
+        return offset
+
+    def fetch(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        max_bytes: int = 1 << 20,
+        max_wait_ms: int = 500,
+    ) -> tuple[list[tuple[int, bytes | None, bytes]], int]:
+        """Fetch v4 from ``offset``; returns (records, high_watermark)
+        where records are (absolute_offset, key, value)."""
+        body = (
+            struct.pack(">iiii", -1, max_wait_ms, 1, max_bytes)
+            # replica_id, max_wait, min_bytes=1, max_bytes
+            + b"\x00"  # isolation_level: read_uncommitted
+            + struct.pack(">i", 1)
+            + _str(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iqi", partition, offset, max_bytes)
+        )
+        resp = self._request(API_FETCH, 4, body)
+        pos = 4  # throttle_time_ms
+        pos += 4  # topic array count (1)
+        (tlen,) = struct.unpack_from(">h", resp, pos)
+        pos += 2 + tlen
+        pos += 4  # partition array count (1)
+        pid, err = struct.unpack_from(">ih", resp, pos)
+        hw, _lso = struct.unpack_from(">qq", resp, pos + 6)
+        pos += 6 + 16
+        (n_aborted,) = struct.unpack_from(">i", resp, pos)
+        pos += 4 + max(n_aborted, 0) * 16
+        (rlen,) = struct.unpack_from(">i", resp, pos)
+        record_set = resp[pos + 4 : pos + 4 + max(rlen, 0)]
+        if err:
+            raise KafkaError(err, f"fetch {topic}/{pid}")
+        return decode_record_batches(record_set), hw
 
     def close(self) -> None:
         try:

@@ -132,6 +132,44 @@ class _Handler(socketserver.StreamRequestHandler):
                     + parts
                 )
                 self._respond(corr, body)
+            elif api == 2:  # ListOffsets v1
+                pos2 = pos + 4 + 4  # replica_id, topic count
+                topic, pos2 = _rd_str(req, pos2)
+                pos2 += 4  # partition count
+                partition, ts = struct.unpack_from(">iq", req, pos2)
+                log = srv.log.get(partition, [])
+                off = 0 if ts == -2 else len(log)
+                body = (
+                    struct.pack(">i", 1)
+                    + _enc_str(topic)
+                    + struct.pack(">i", 1)
+                    + struct.pack(">ihqq", partition, 0, -1, off)
+                )
+                self._respond(corr, body)
+            elif api == 1:  # Fetch v4
+                pos2 = pos + 4 + 4 + 4 + 4 + 1 + 4
+                # replica, max_wait, min_bytes, max_bytes, isolation, topics
+                topic, pos2 = _rd_str(req, pos2)
+                pos2 += 4  # partition count
+                partition, foff, _pmax = struct.unpack_from(">iqi", req, pos2)
+                log = srv.log.get(partition, [])
+                from bento_spark.operators.kafka_wire import encode_record_batch
+
+                chunk = log[foff : foff + srv.fetch_page]
+                rset = (
+                    encode_record_batch(chunk, base_offset=foff) if chunk else b""
+                )
+                body = (
+                    struct.pack(">i", 0)  # throttle
+                    + struct.pack(">i", 1)
+                    + _enc_str(topic)
+                    + struct.pack(">i", 1)
+                    + struct.pack(">ihqq", partition, 0, len(log), len(log))
+                    + struct.pack(">i", 0)  # aborted txns
+                    + struct.pack(">i", len(rset))
+                    + rset
+                )
+                self._respond(corr, body)
             elif api == 0:  # Produce v3
                 _txn, pos2 = _rd_str(req, pos)
                 acks, _timeout = struct.unpack_from(">hi", req, pos2)
@@ -186,6 +224,7 @@ class _Broker(socketserver.ThreadingTCPServer):
         self.n_partitions = n_partitions
         self.log: dict[int, list] = {}
         self.error_script: list[int] = []
+        self.fetch_page = 1000  # records per Fetch response
         threading.Thread(target=self.serve_forever, daemon=True).start()
 
     @property
@@ -256,6 +295,101 @@ def test_deliver_end_to_end_round_robins_partitions(spark, broker):
     vals = [json.loads(v.decode())["msg"] for p in broker.log.values() for _, v in p]
     assert sorted(vals) == sorted(f"m{i}" for i in range(40))
     assert len(broker.log) >= 2  # round-robined across partitions
+
+
+def test_list_offsets_and_fetch(broker):
+    c = KafkaProducerClient(port=broker.port)
+    c.produce("t1", 0, [(None, b"a"), (b"k1", b"b"), (None, b"c")])
+    assert c.list_offsets("t1", 0, -2) == 0  # earliest
+    assert c.list_offsets("t1", 0, -1) == 3  # latest
+    recs, hw = c.fetch("t1", 0, 1)
+    assert hw == 3
+    assert recs == [(1, b"k1", b"b"), (2, None, b"c")]
+    c.close()
+
+
+def test_fetch_pages_through_the_log(broker):
+    broker.fetch_page = 4  # force multiple fetches per range
+    c = KafkaProducerClient(port=broker.port)
+    c.produce("t1", 0, [(None, f"m{i}".encode()) for i in range(10)])
+    c.close()
+    from bento_spark.sources.kafka_source import _Range, _read_range
+
+    rows = list(_read_range(_Range("127.0.0.1", broker.port, "t1", 0, 0, 10)))
+    assert [r[1] for r in rows] == [f"m{i}" for i in range(10)]
+    assert [r[3] for r in rows] == list(range(10))
+
+
+def test_spark_batch_read_bento_kafka(spark, broker):
+    from bento_spark.operators.kafka_wire import KafkaProducerClient as KPC
+    from bento_spark.sources.kafka_source import register
+
+    c = KPC(port=broker.port)
+    for p in range(3):
+        c.produce("t1", p, [(None, f"p{p}-{i}".encode()) for i in range(5)])
+    c.close()
+    register(spark)
+    df = (
+        spark.read.format("bento_kafka")
+        .option("host", "127.0.0.1")
+        .option("port", str(broker.port))
+        .option("topic", "t1")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 15
+    assert {r["value"] for r in rows} == {f"p{p}-{i}" for p in range(3) for i in range(5)}
+    assert {r["partition"] for r in rows} == {0, 1, 2}
+    assert all(r["offset"] in range(5) for r in rows)
+
+
+def test_spark_stream_read_bento_kafka_with_new_arrivals(spark, broker):
+    import time
+
+    from bento_spark.operators.kafka_wire import KafkaProducerClient as KPC
+    from bento_spark.sources.kafka_source import register
+
+    register(spark)
+    c = KPC(port=broker.port)
+    c.produce("t1", 0, [(None, b"first-0"), (None, b"first-1")])
+    sdf = (
+        spark.readStream.format("bento_kafka")
+        .option("host", "127.0.0.1")
+        .option("port", str(broker.port))
+        .option("topic", "t1")
+        .load()
+    )
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName("t_kafka_stream")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def count():
+            return spark.sql(
+                "SELECT count(*) n FROM t_kafka_stream"
+            ).collect()[0]["n"]
+
+        deadline = time.time() + 60
+        while time.time() < deadline and count() < 2:
+            time.sleep(0.5)
+        assert count() == 2
+        # new messages mid-stream -> next offset range picks them up
+        c.produce("t1", 1, [(None, b"late-0"), (None, b"late-1"), (None, b"late-2")])
+        deadline = time.time() + 60
+        while time.time() < deadline and count() < 5:
+            time.sleep(0.5)
+        assert count() == 5
+        vals = {
+            r["value"]
+            for r in spark.sql("SELECT value FROM t_kafka_stream").collect()
+        }
+        assert vals == {"first-0", "first-1", "late-0", "late-1", "late-2"}
+    finally:
+        query.stop()
+        c.close()
 
 
 def test_deliver_retries_transient_broker_error(spark, broker):
