@@ -1,0 +1,151 @@
+"""NATS client speaking the public text protocol over a socket —
+pure Python (stdlib socket), per the protocol docs
+(https://docs.nats.io/reference/reference-protocols/nats-protocol):
+INFO/CONNECT handshake, PUB with byte-count framing, SUB/MSG delivery,
+PING/PONG keepalive — NOT a nats-py wrapper (absent in this
+container). Reference parity: the nats input/output
+(internal/impl/nats/).
+
+Publishing uses ``verbose: true`` so every PUB is +OK/-ERR acked — one
+round trip per message batch via pipelining (send N PUBs, read N
+acks), same O(batches) cost shape as the other transports. The
+subscriber side drains MSG frames for the staging-bridge pattern
+(non-replayable delivery -> durable staging, like sources/sqs_bridge).
+Tested against an in-process server (tests/test_nats_wire.py).
+"""
+
+from __future__ import annotations
+
+import json
+
+
+class NatsError(RuntimeError):
+    pass
+
+
+class NatsClient:
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 4222,
+        name: str = "bento-spark",
+        timeout: float = 30.0,
+    ):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        info = self._read_line()
+        if not info.startswith(b"INFO "):
+            raise NatsError(f"expected INFO, got {info[:40]!r}")
+        self.server_info = json.loads(info[5:])
+        connect = {
+            "verbose": True,  # every PUB acked with +OK
+            "pedantic": False,
+            "tls_required": False,
+            "name": name,
+            "lang": "python",
+            "version": "0",
+            "protocol": 0,
+        }
+        self._sock.sendall(
+            b"CONNECT " + json.dumps(connect).encode() + b"\r\n"
+        )
+        self._expect_ok()
+
+    # -- framing ------------------------------------------------------------
+    def _read_line(self) -> bytes:
+        line = self._rfile.readline()
+        if not line:
+            raise ConnectionError("nats connection closed")
+        return line[:-2]
+
+    def _expect_ok(self) -> None:
+        line = self._read_line()
+        if line.startswith(b"-ERR"):
+            raise NatsError(line.decode())
+        if line == b"PING":  # keepalive may interleave
+            self._sock.sendall(b"PONG\r\n")
+            self._expect_ok()
+            return
+        if line != b"+OK":
+            raise NatsError(f"expected +OK, got {line[:40]!r}")
+
+    # -- publish ------------------------------------------------------------
+    def publish(self, subject: str, payloads: list[bytes]) -> None:
+        """Pipelined PUBs: one write for the whole batch, then drain the
+        +OK acks (verbose mode) — errors surface after the drain so the
+        connection stays in sync (same discipline as RedisKV)."""
+        out = bytearray()
+        for p in payloads:
+            out += b"PUB %s %d\r\n%s\r\n" % (subject.encode(), len(p), p)
+        self._sock.sendall(bytes(out))
+        first_err: NatsError | None = None
+        for _ in payloads:
+            try:
+                self._expect_ok()
+            except NatsError as e:
+                first_err = first_err or e
+        if first_err:
+            raise first_err
+
+    # -- subscribe/drain ----------------------------------------------------
+    def subscribe(self, subject: str, sid: str = "1") -> None:
+        self._sock.sendall(b"SUB %s %s\r\n" % (subject.encode(), sid.encode()))
+        self._expect_ok()
+
+    def next_msg(self) -> tuple[str, bytes] | None:
+        """One MSG frame -> (subject, payload); None on PING-only
+        traffic timeouts are the caller's concern (socket timeout)."""
+        while True:
+            line = self._read_line()
+            if line == b"PING":
+                self._sock.sendall(b"PONG\r\n")
+                continue
+            if line.startswith(b"MSG "):
+                parts = line.split(b" ")
+                # MSG <subject> <sid> [reply-to] <#bytes>
+                n = int(parts[-1])
+                payload = self._rfile.read(n + 2)
+                if len(payload) != n + 2:
+                    raise ConnectionError("nats connection closed mid-payload")
+                return parts[1].decode(), payload[:-2]
+            if line.startswith(b"-ERR"):
+                raise NatsError(line.decode())
+            # +OK or other control chatter: keep reading
+
+    def drain_to_dir(self, subject: str, out_dir: str, max_msgs: int) -> int:
+        """Staging-bridge: receive up to ``max_msgs`` and append them
+        durably (atomic tmp+rename), one file per drain call — NATS core
+        is at-most-once fire-and-forget, so durability starts at the
+        staging write (the reference's nats input has the same
+        semantics)."""
+        import os
+        import time
+
+        self.subscribe(subject)
+        os.makedirs(out_dir, exist_ok=True)
+        msgs: list[bytes] = []
+        try:
+            while len(msgs) < max_msgs:
+                got = self.next_msg()
+                if got is None:
+                    break
+                msgs.append(got[1])
+        except (TimeoutError, OSError):
+            pass  # socket timeout = drained what was available
+        if msgs:
+            key = f"nats-{int(time.time() * 1000)}-{len(msgs)}.jsonl"
+            tmp = os.path.join(out_dir, "." + key)
+            with open(tmp, "wb") as f:
+                f.write(b"\n".join(m.replace(b"\n", b" ") for m in msgs) + b"\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(out_dir, key))
+        return len(msgs)
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()

@@ -236,6 +236,36 @@ def _kafka_transport(conf: dict):
     return T()
 
 
+@register_transport("nats")
+def _nats_transport(conf: dict):
+    """``nats`` output (internal/impl/nats/output.go): pipelined
+    verbose-mode PUBs through the from-scratch text-protocol client
+    (operators/nats_wire.py); -ERR replies surface after the ack drain
+    and are retryable (core NATS errors are connection-state, not
+    payload, problems)."""
+    from bento_spark.operators.nats_wire import NatsClient, NatsError
+
+    class T:
+        def __init__(self):
+            self.client = NatsClient(
+                conf.get("host", "localhost"), int(conf.get("port", 4222))
+            )
+            self.subject = conf["subject"]
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.client.publish(
+                    self.subject, [v.encode("utf-8") for v in batch]
+                )
+            except NatsError as ex:
+                raise DeliveryError(str(ex)) from ex
+
+        def close(self):
+            self.client.close()
+
+    return T()
+
+
 @register_transport("sqs")
 def _sqs_transport(conf: dict):
     """``aws_sqs`` output (internal/impl/aws/output_sqs.go):

@@ -1,0 +1,149 @@
+"""NatsClient tests against an in-process NATS text-protocol server:
+INFO/CONNECT handshake, pipelined verbose PUB acks, -ERR drain
+discipline, PING/PONG interleave, SUB/MSG delivery, the staging drain,
+and the Spark deliver() loop end-to-end."""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import threading
+
+import pytest
+
+from bento_spark.operators.nats_wire import NatsClient, NatsError
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        srv = self.server
+        self.wfile.write(b'INFO {"server_id":"inproc","max_payload":1048576}\r\n')
+        self.wfile.flush()
+        subs = {}
+        while True:
+            line = self.rfile.readline()
+            if not line:
+                return
+            line = line[:-2]
+            if line.startswith(b"CONNECT "):
+                srv.connects.append(json.loads(line[8:]))
+                self.wfile.write(b"+OK\r\n")
+            elif line.startswith(b"PUB "):
+                _, subject, n = line.split(b" ")
+                payload = self.rfile.read(int(n) + 2)[:-2]
+                if srv.ping_before_ack:
+                    srv.ping_before_ack = False
+                    self.wfile.write(b"PING\r\n")
+                    self.wfile.flush()
+                    assert self.rfile.readline() == b"PONG\r\n"
+                if srv.reject_payloads and payload in srv.reject_payloads:
+                    self.wfile.write(b"-ERR 'Maximum Payload Violation'\r\n")
+                else:
+                    srv.messages.setdefault(subject.decode(), []).append(payload)
+                    # deliver to live subscribers on this connection
+                    for sid, subj in subs.items():
+                        if subj == subject:
+                            self.wfile.write(
+                                b"MSG %s %s %d\r\n%s\r\n"
+                                % (subject, sid, len(payload), payload)
+                            )
+                    self.wfile.write(b"+OK\r\n")
+                self.wfile.flush()
+            elif line.startswith(b"SUB "):
+                _, subject, sid = line.split(b" ")
+                subs[sid] = subject
+                # replay what's already published (test convenience)
+                self.wfile.write(b"+OK\r\n")
+                for p in srv.messages.get(subject.decode(), []):
+                    self.wfile.write(
+                        b"MSG %s %s %d\r\n%s\r\n" % (subject, sid, len(p), p)
+                    )
+                self.wfile.flush()
+            elif line == b"PONG":
+                pass
+            else:
+                self.wfile.write(b"-ERR 'Unknown Protocol Operation'\r\n")
+                self.wfile.flush()
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.messages: dict[str, list[bytes]] = {}
+        self.connects: list[dict] = []
+        self.reject_payloads: set[bytes] = set()
+        self.ping_before_ack = False
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+
+    @property
+    def port(self):
+        return self.server_address[1]
+
+    def stop(self):
+        self.shutdown()
+        self.server_close()
+
+
+@pytest.fixture()
+def server():
+    srv = _Server()
+    yield srv
+    srv.stop()
+
+
+def test_handshake_and_pipelined_publish(server):
+    c = NatsClient(port=server.port)
+    assert server.connects[0]["verbose"] is True
+    c.publish("orders", [b"a", b"b", "caf\xe9 ☃".encode()])
+    assert server.messages["orders"] == [b"a", b"b", "caf\xe9 ☃".encode()]
+    c.close()
+
+
+def test_err_is_raised_after_draining_all_acks(server):
+    server.reject_payloads = {b"bad"}
+    c = NatsClient(port=server.port)
+    with pytest.raises(NatsError, match="Maximum Payload"):
+        c.publish("s", [b"ok1", b"bad", b"ok2"])
+    # acks fully drained -> connection still usable
+    c.publish("s", [b"ok3"])
+    assert b"ok3" in server.messages["s"]
+    c.close()
+
+
+def test_ping_interleaved_with_acks(server):
+    server.ping_before_ack = True
+    c = NatsClient(port=server.port)
+    c.publish("s", [b"x"])  # client must PONG then read the +OK
+    assert server.messages["s"] == [b"x"]
+    c.close()
+
+
+def test_subscribe_and_drain_to_dir(server, tmp_path):
+    pub = NatsClient(port=server.port)
+    pub.publish("feed", [json.dumps({"i": i}).encode() for i in range(7)])
+    pub.close()
+    sub = NatsClient(port=server.port)
+    n = sub.drain_to_dir("feed", str(tmp_path), max_msgs=7)
+    sub.close()
+    assert n == 7
+    files = list(tmp_path.glob("nats-*.jsonl"))
+    assert len(files) == 1
+    lines = files[0].read_bytes().decode().splitlines()
+    assert [json.loads(x)["i"] for x in lines] == list(range(7))
+
+
+def test_deliver_end_to_end_via_nats_transport(spark, server):
+    from bento_spark.sinks.connector import deliver
+
+    df = spark.range(25).selectExpr("id", "concat('n', id) AS msg")
+    stats = deliver(
+        df, "nats",
+        {"host": "127.0.0.1", "port": server.port, "subject": "spark.out"},
+        batch_size=10,
+    )
+    assert stats["delivered"] == 25 and stats["dead"] == 0
+    got = {json.loads(m)["msg"] for m in server.messages["spark.out"]}
+    assert got == {f"n{i}" for i in range(25)}
