@@ -1,0 +1,127 @@
+"""MQTT 3.1.1 client over a socket — pure Python (stdlib socket),
+implementing the public OASIS spec (mqtt-v3.1.1-os: fixed headers with
+remaining-length varints, CONNECT/CONNACK, PUBLISH QoS 0/1 with
+PUBACK, DISCONNECT) — NOT a paho wrapper (absent in this container).
+Reference parity: the mqtt input/output (internal/impl/mqtt/).
+
+QoS 1 publishes are pipelined per batch: one write for N PUBLISHes,
+then N PUBACKs matched BY PACKET ID (the spec allows out-of-order
+acks) — one round trip per Arrow batch, the same cost shape as every
+other transport. Tested against an in-process broker
+(tests/test_mqtt_wire.py) including out-of-order acks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+CONNECT, CONNACK, PUBLISH, PUBACK, DISCONNECT = 1, 2, 3, 4, 14
+
+
+def encode_remaining_length(n: int) -> bytes:
+    """Spec §2.2.3: 7-bit groups, MSB = continuation (max 4 bytes)."""
+    out = bytearray()
+    while True:
+        b = n % 128
+        n //= 128
+        out.append(b | 0x80 if n else b)
+        if not n:
+            return bytes(out)
+
+
+def decode_remaining_length(read_byte) -> int:
+    mult, value = 1, 0
+    for _ in range(4):
+        b = read_byte()
+        value += (b & 0x7F) * mult
+        if not b & 0x80:
+            return value
+        mult *= 128
+    raise ValueError("malformed remaining length (>4 bytes)")
+
+
+def _mqtt_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+class MqttError(RuntimeError):
+    pass
+
+
+class MqttClient:
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 1883,
+        client_id: str = "bento-spark",
+        keepalive: int = 60,
+        timeout: float = 30.0,
+    ):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self._packet_id = 0
+        var = _mqtt_str("MQTT") + bytes([4, 0x02]) + struct.pack(">H", keepalive)
+        # protocol level 4 = 3.1.1; flags: clean session
+        payload = _mqtt_str(client_id)
+        self._send_packet(CONNECT, 0, var + payload)
+        ptype, _flags, body = self._read_packet()
+        if ptype != CONNACK:
+            raise MqttError(f"expected CONNACK, got type {ptype}")
+        if body[1] != 0:
+            raise MqttError(f"connection refused, return code {body[1]}")
+
+    def _send_packet(self, ptype: int, flags: int, body: bytes) -> None:
+        self._sock.sendall(
+            bytes([(ptype << 4) | flags]) + encode_remaining_length(len(body)) + body
+        )
+
+    def _read_packet(self) -> tuple[int, int, bytes]:
+        first = self._rfile.read(1)
+        if not first:
+            raise ConnectionError("mqtt connection closed")
+        n = decode_remaining_length(
+            lambda: (self._rfile.read(1) or b"\xff")[0]
+        )
+        body = self._rfile.read(n)
+        if len(body) != n:
+            raise ConnectionError("mqtt connection closed mid-packet")
+        return first[0] >> 4, first[0] & 0x0F, body
+
+    def publish(
+        self, topic: str, payloads: list[bytes], qos: int = 1
+    ) -> None:
+        """Pipelined PUBLISH batch. QoS 0 = fire-and-forget; QoS 1 =
+        collect PUBACKs matched by packet id (out-of-order legal)."""
+        if qos not in (0, 1):
+            raise ValueError("only QoS 0/1 supported (no QoS 2 exactly-once)")
+        out = bytearray()
+        waiting: set[int] = set()
+        for p in payloads:
+            var = _mqtt_str(topic)
+            if qos == 1:
+                self._packet_id = self._packet_id % 0xFFFF + 1
+                var += struct.pack(">H", self._packet_id)
+                waiting.add(self._packet_id)
+            body = var + p
+            out += bytes([(PUBLISH << 4) | (qos << 1)])
+            out += encode_remaining_length(len(body)) + body
+        self._sock.sendall(bytes(out))
+        while waiting:
+            ptype, _f, body = self._read_packet()
+            if ptype != PUBACK:
+                raise MqttError(f"expected PUBACK, got type {ptype}")
+            (pid,) = struct.unpack(">H", body[:2])
+            waiting.discard(pid)
+
+    def close(self) -> None:
+        try:
+            self._send_packet(DISCONNECT, 0, b"")
+        except OSError:
+            pass
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()

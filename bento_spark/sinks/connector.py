@@ -236,6 +236,38 @@ def _kafka_transport(conf: dict):
     return T()
 
 
+@register_transport("mqtt")
+def _mqtt_transport(conf: dict):
+    """``mqtt`` output (internal/impl/mqtt/output.go): QoS-1 pipelined
+    PUBLISH batches through the from-scratch 3.1.1 client
+    (operators/mqtt_wire.py); every message is PUBACK-confirmed before
+    the batch counts as delivered."""
+    from bento_spark.operators.mqtt_wire import MqttClient, MqttError
+
+    class T:
+        def __init__(self):
+            self.client = MqttClient(
+                conf.get("host", "localhost"),
+                int(conf.get("port", 1883)),
+                client_id=conf.get("client_id", "bento-spark"),
+            )
+            self.topic = conf["topic"]
+            self.qos = int(conf.get("qos", 1))
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.client.publish(
+                    self.topic, [v.encode("utf-8") for v in batch], qos=self.qos
+                )
+            except MqttError as ex:
+                raise DeliveryError(str(ex)) from ex
+
+        def close(self):
+            self.client.close()
+
+    return T()
+
+
 @register_transport("nats")
 def _nats_transport(conf: dict):
     """``nats`` output (internal/impl/nats/output.go): pipelined
