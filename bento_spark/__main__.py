@@ -1,0 +1,142 @@
+"""CLI — parity with the reference binary's top entry points
+(SURVEY §3: cmd/bento, internal/cli):
+
+  python -m bento_spark run CONFIG        # bento -c config.yaml
+  python -m bento_spark lint CONFIG...    # bento lint
+  python -m bento_spark test CONFIG...    # bento test (YAML `tests:`)
+  python -m bento_spark blobl 'MAPPING'   # bento blobl (stdin JSON lines)
+  python -m bento_spark echo CONFIG       # bento echo (normalized config)
+
+Each subcommand is a thin veneer over the library (plans/pipeline.py,
+plans/testrunner.py, bloblang/) — the CLI owns no logic beyond argv
+parsing, exit codes, and line IO, so everything it does is covered by
+the same tests as the programmatic surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(existing=None):
+    if existing is not None:
+        return existing
+    from bento_spark.session import get_spark
+
+    return get_spark("bento-spark-cli")
+
+
+def cmd_run(args, spark=None) -> int:
+    from bento_spark.plans.pipeline import build_pipeline
+
+    pipe = build_pipeline(_spark(spark), args.config)
+    result = pipe.run()
+    if pipe.is_streaming and result is not None:
+        result.awaitTermination(args.timeout if args.timeout > 0 else None)
+    return 0
+
+
+def cmd_lint(args, spark=None) -> int:
+    """Build (never execute) each config; report the first error."""
+    from bento_spark.plans.pipeline import build_pipeline
+
+    rc = 0
+    for path in args.configs:
+        try:
+            build_pipeline(_spark(spark), path)
+            print(f"{path}: OK")
+        except Exception as ex:  # noqa: BLE001 - lint reports, not raises
+            print(f"{path}: {ex}")
+            rc = 1
+    return rc
+
+
+def cmd_test(args, spark=None) -> int:
+    import os
+
+    from bento_spark.plans.testrunner import run_config_tests
+
+    rc = 0
+    for path in args.configs:
+        results = run_config_tests(
+            _spark(spark), path, base_dir=os.path.dirname(path) or "."
+        )
+        for case in results:
+            status = "ok" if not case["failures"] else "FAIL"
+            print(f"{path} :: {case['name']} ... {status}")
+            for f in case["failures"]:
+                print(f"  {f}")
+                rc = 1
+    return rc
+
+
+def cmd_blobl(args, spark=None) -> int:
+    """Apply a mapping to JSON documents, one per input line."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.bloblang import compile_mapping
+
+    lines = [
+        ln
+        for ln in (
+            open(args.file).read() if args.file else sys.stdin.read()
+        ).splitlines()
+        if ln.strip()
+    ]
+    if not lines:
+        return 0
+    s = _spark(spark)
+    df = s.read.json(s.sparkContext.parallelize(lines))
+    out = compile_mapping(args.mapping).apply(df, new_document=True)
+    cols = [c for c in out.columns if not c.startswith("_")]  # drop envelope
+    for row in out.select(
+        F.to_json(F.struct(*cols)).alias("j")
+    ).collect():
+        print(row["j"])
+    return 0
+
+
+def cmd_echo(args, spark=None) -> int:
+    from bento_spark.plans.config import load_config
+
+    print(json.dumps(load_config(args.config), indent=2, sort_keys=True))
+    return 0
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    p = argparse.ArgumentParser(prog="bento_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("run", help="build and execute a YAML pipeline")
+    sp.add_argument("config")
+    sp.add_argument(
+        "--timeout", type=float, default=0,
+        help="streaming: seconds to run before returning (0 = forever)",
+    )
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("lint", help="validate configs without executing")
+    sp.add_argument("configs", nargs="+")
+    sp.set_defaults(fn=cmd_lint)
+
+    sp = sub.add_parser("test", help="run YAML `tests:` blocks")
+    sp.add_argument("configs", nargs="+")
+    sp.set_defaults(fn=cmd_test)
+
+    sp = sub.add_parser("blobl", help="map JSON lines from stdin/file")
+    sp.add_argument("mapping")
+    sp.add_argument("-f", "--file", default=None)
+    sp.set_defaults(fn=cmd_blobl)
+
+    sp = sub.add_parser("echo", help="print the normalized config")
+    sp.add_argument("config")
+    sp.set_defaults(fn=cmd_echo)
+
+    args = p.parse_args(argv)
+    return args.fn(args, spark=spark)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,6 +41,9 @@ class Env:
     df: object = None  # DataFrame | None
     maps: dict[str, object] = field(default_factory=dict)  # name -> [stmts]
     in_lambda: bool = False  # lambda vars can't be analyzed against df
+    # zero-arg function overrides (e.g. generate's deterministic
+    # counter()); checked before the global stdlib registry
+    functions: dict[str, Column] = field(default_factory=dict)
 
     def child(self, more: dict[str, Column], in_lambda: bool | None = None) -> "Env":
         return Env(
@@ -48,6 +51,7 @@ class Env:
             self.df,
             self.maps,
             self.in_lambda if in_lambda is None else in_lambda,
+            self.functions,
         )
 
 
@@ -258,6 +262,8 @@ def _compile_func(node: A.FuncCall, env: Env) -> Column:
                 col = col[p]
             return col
         raise CompileError("json() requires a literal path in column mode")
+    if node.name in env.functions and not node.args:
+        return env.functions[node.name]
     if node.name not in FUNCTIONS:
         raise CompileError(f"unknown function {node.name}()")
     _tier, fn = FUNCTIONS[node.name]
@@ -482,11 +488,14 @@ class MappingPlan:
 
     ast: A.MappingAST
     source: str
+    overrides: dict | None = None  # zero-arg function substitutions
 
     def compile_for(self, df: DataFrame | None):
         """-> (assigns, meta, drop_when, cache_writes) compiled against
         df's schema."""
-        return _compile_statements(self.ast, Env({}, df))
+        return _compile_statements(
+            self.ast, Env({}, df, functions=self.overrides or {})
+        )
 
     def apply(self, df: DataFrame, new_document: bool = False) -> DataFrame:
         """Run the mapping: `mutation` semantics by default, `mapping`
@@ -587,10 +596,12 @@ def compile_expr(src: str, env: dict[str, Column] | None = None, df: DataFrame |
     return compile_node(parse_expr(src), Env(env or {}, df))
 
 
-def compile_mapping(src: str) -> MappingPlan:
+def compile_mapping(src: str, overrides: dict | None = None) -> MappingPlan:
     """Parse a Bloblang mapping (sequence of root/meta/let statements);
-    compilation to Columns is deferred to apply()/compile_for(df)."""
-    return MappingPlan(parse_mapping(src), src)
+    compilation to Columns is deferred to apply()/compile_for(df).
+    ``overrides`` substitutes zero-arg functions with fixed Columns
+    (e.g. the generate input's deterministic ``counter()``)."""
+    return MappingPlan(parse_mapping(src), src, overrides)
 
 
 def _compile_statements(ast: A.MappingAST, env: Env):

@@ -111,8 +111,23 @@ def _is_subset(small, big) -> bool:
     return small == big
 
 
+_KNOWN_CONDITIONS = {
+    "content_equals", "content_matches", "json_equals", "json_contains",
+    "metadata_equals", "bloblang",
+}
+
+
 def _check_message(cond: dict, row: dict, spark: SparkSession) -> str | None:
     """-> failure description or None."""
+    unknown = set(cond) - _KNOWN_CONDITIONS
+    if unknown:
+        # an unrecognized (e.g. misspelled) condition must FAIL, not
+        # silently pass with zero predicates — mirrors the reference's
+        # strict test-case schema (internal/config/test/case.go)
+        return (
+            f"unknown output condition(s) {sorted(unknown)} "
+            f"(known: {sorted(_KNOWN_CONDITIONS)})"
+        )
     content = row.get("content")
     if content is None:
         content = json.dumps(_row_json(row), sort_keys=True)

@@ -135,18 +135,31 @@ def _inproc(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
 @register_source("generate")
 def _generate(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     """`generate` input (input_generate.go:87): with `count` -> batch
-    spark.range; without -> the rate source (streaming)."""
+    spark.range; without -> the rate source (streaming). A ``mapping:``
+    shapes each generated message (the reference applies the Bloblang
+    mapping per tick; ``counter()`` = the 1-based generation index,
+    matching bloblang_counters.go semantics for the generate idiom)."""
     if "count" in conf:
         df = spark.range(int(conf["count"])).withColumnRenamed("id", "seq")
-        return df, False
-    rate = spark.readStream.format("rate")
-    if "interval" in conf:
-        # interval like '10ms' -> rowsPerSecond approximation
-        rate = rate.option("rowsPerSecond", conf.get("rows_per_second", 10))
+        streaming = False
     else:
+        rate = spark.readStream.format("rate")
         rate = rate.option("rowsPerSecond", conf.get("rows_per_second", 10))
-    df = rate.load().select(F.col("timestamp").alias("ts"), F.col("value").alias("seq"))
-    return df, True
+        df = rate.load().select(
+            F.col("timestamp").alias("ts"), F.col("value").alias("seq")
+        )
+        streaming = True
+    if conf.get("mapping"):
+        from bento_spark.bloblang import compile_mapping
+
+        # generate's counter() is deterministic (the row's generation
+        # index), not the session-global monotonic id the standalone
+        # bloblang function uses — substitute before compiling
+        plan = compile_mapping(
+            conf["mapping"], overrides={"counter": (F.col("seq") + 1)}
+        )
+        df = plan.apply(df, new_document=True)
+    return df, streaming
 
 
 @register_source("broker")

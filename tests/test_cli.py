@@ -1,0 +1,112 @@
+"""CLI (`python -m bento_spark`) tests — run/lint/test/blobl/echo
+subcommands driven through main() with the shared session injected."""
+
+from __future__ import annotations
+
+import json
+
+from bento_spark.__main__ import main
+
+GOOD_CONFIG = """
+input:
+  generate:
+    count: 5
+    mapping: |
+      root.n = counter()
+pipeline:
+  processors:
+    - mapping: |
+        root.n = this.n
+        root.sq = this.n * this.n
+output:
+  memory:
+    name: cli_test_sink
+"""
+
+BAD_CONFIG = """
+input:
+  generate:
+    count: 1
+pipeline:
+  processors:
+    - no_such_processor: {}
+output:
+  memory: {name: x}
+"""
+
+TESTED_CONFIG = """
+pipeline:
+  processors:
+    - mapping: |
+        root.loud = this.word.uppercase()
+tests:
+  - name: uppercases
+    input_batch:
+      - json_content: {word: "hi"}
+    output_batches:
+      - - json_equals: {loud: "HI"}
+  - name: fails on purpose
+    input_batch:
+      - json_content: {word: "hi"}
+    output_batches:
+      - - json_equals: {loud: "nope"}
+"""
+
+
+def test_cli_run_and_memory_sink(spark, tmp_path, capsys):
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(GOOD_CONFIG)
+    assert main(["run", str(cfg)], spark=spark) == 0
+    rows = spark.table("cli_test_sink").collect()
+    assert sorted(r["sq"] for r in rows) == [1, 4, 9, 16, 25]
+
+
+def test_cli_lint_good_and_bad(spark, tmp_path, capsys):
+    good, bad = tmp_path / "good.yaml", tmp_path / "bad.yaml"
+    good.write_text(GOOD_CONFIG)
+    bad.write_text(BAD_CONFIG)
+    assert main(["lint", str(good)], spark=spark) == 0
+    assert "OK" in capsys.readouterr().out
+    assert main(["lint", str(good), str(bad)], spark=spark) == 1
+    out = capsys.readouterr().out
+    assert "OK" in out and "no_such_processor" in out
+
+
+def test_cli_test_runner_exit_codes(spark, tmp_path, capsys):
+    cfg = tmp_path / "t.yaml"
+    cfg.write_text(TESTED_CONFIG)
+    assert main(["test", str(cfg)], spark=spark) == 1  # one case fails
+    out = capsys.readouterr().out
+    assert "uppercases ... ok" in out
+    assert "fails on purpose ... FAIL" in out
+
+
+def test_cli_blobl_maps_json_lines(spark, tmp_path, capsys):
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        "\n".join(json.dumps({"name": n, "x": i}) for i, n in enumerate("abc"))
+    )
+    rc = main(
+        [
+            "blobl",
+            'root.who = this.name.uppercase()\nroot.double = this.x * 2',
+            "-f",
+            str(src),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert lines == [
+        {"who": "A", "double": 0},
+        {"who": "B", "double": 2},
+        {"who": "C", "double": 4},
+    ]
+
+
+def test_cli_echo_normalizes(spark, tmp_path, capsys):
+    cfg = tmp_path / "e.yaml"
+    cfg.write_text(GOOD_CONFIG)
+    assert main(["echo", str(cfg)], spark=spark) == 0
+    parsed = json.loads(capsys.readouterr().out)
+    assert parsed["output"]["memory"]["name"] == "cli_test_sink"
