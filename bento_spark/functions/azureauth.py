@@ -1,0 +1,72 @@
+"""Azure Storage Shared Key authorization — pure stdlib (hmac/hashlib/
+base64), implementing the public spec
+(https://learn.microsoft.com/en-us/rest/api/storageservices/authorize-with-shared-key)
+for the 2015-02-21+ string-to-sign shape — NOT an azure-sdk wrapper
+(absent in this container).
+
+Like functions/awsauth.py, signing is a pure function of
+(request, credentials) so the in-process test servers VERIFY each
+signature by recomputation with the shared key.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+from urllib.parse import parse_qsl, urlparse
+
+
+def string_to_sign(
+    method: str,
+    url: str,
+    headers: dict[str, str],
+    account: str,
+    content_length: str = "",
+) -> str:
+    """Shared Key string-to-sign: 12 standard-header slots + the
+    canonicalized x-ms-* headers + canonicalized resource."""
+    h = {k.lower(): v.strip() for k, v in headers.items()}
+    ms = "".join(
+        f"{k}:{h[k]}\n" for k in sorted(h) if k.startswith("x-ms-")
+    )
+    u = urlparse(url)
+    resource = f"/{account}{u.path}"
+    for k, v in sorted(parse_qsl(u.query, keep_blank_values=True)):
+        resource += f"\n{k.lower()}:{v}"
+    slots = [
+        method.upper(),
+        h.get("content-encoding", ""),
+        h.get("content-language", ""),
+        content_length,  # "" (not "0") for empty bodies, per 2015-02-21
+        h.get("content-md5", ""),
+        h.get("content-type", ""),
+        "",  # Date: empty when x-ms-date is set
+        h.get("if-modified-since", ""),
+        h.get("if-match", ""),
+        h.get("if-none-match", ""),
+        h.get("if-unmodified-since", ""),
+        h.get("range", ""),
+    ]
+    return "\n".join(slots) + "\n" + ms + resource
+
+
+def sign_request(
+    method: str,
+    url: str,
+    headers: dict[str, str],
+    body: bytes,
+    account: str,
+    key_b64: str,
+) -> dict[str, str]:
+    """Return ``headers`` + ``Authorization: SharedKey account:sig``."""
+    content_length = str(len(body)) if body else ""
+    sts = string_to_sign(method, url, headers, account, content_length)
+    sig = base64.b64encode(
+        hmac.new(
+            base64.b64decode(key_b64), sts.encode("utf-8"), hashlib.sha256
+        ).digest()
+    ).decode()
+    out = dict(headers)
+    out["Authorization"] = f"SharedKey {account}:{sig}"
+    return out

@@ -236,6 +236,32 @@ def _kafka_transport(conf: dict):
     return T()
 
 
+@register_transport("azure_queue")
+def _azure_queue_transport(conf: dict):
+    """``azure_queue_storage`` output (internal/impl/azure/): Put
+    Message through the public REST API with REAL Shared Key signing
+    (functions/azureauth.py); HTTP 5xx raise retryable, 4xx dead-letter."""
+    from bento_spark.sources.azure_queue import AzureQueueClient
+
+    class T:
+        def __init__(self):
+            self.client = AzureQueueClient(
+                conf["endpoint"], conf["account"], conf["key"], conf["queue"]
+            )
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.client.put_messages(batch)
+            except RuntimeError as ex:
+                retryable = "HTTP 5" in str(ex)
+                raise DeliveryError(str(ex), retryable=retryable) from ex
+
+        def close(self):
+            pass
+
+    return T()
+
+
 @register_transport("mqtt")
 def _mqtt_transport(conf: dict):
     """``mqtt`` output (internal/impl/mqtt/output.go): QoS-1 pipelined

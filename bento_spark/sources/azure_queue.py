@@ -1,0 +1,122 @@
+"""Azure Queue Storage client + staging bridge — public REST API
+(Put Message / Get Messages / Delete Message, XML bodies, base64
+message text) with REAL Shared Key signing (functions/azureauth.py) —
+no azure-storage-queue SDK. Reference parity: the
+azure_queue_storage input/output (internal/impl/azure/).
+
+Same architecture as the SQS bridge (sources/sqs_bridge.py): Azure
+queue reads are destructive two-phase (get makes messages invisible,
+delete with the pop receipt consumes them), which cannot satisfy
+Spark's replayable-offset contract directly — so ``drain`` stages each
+batch durably (atomic tmp+rename+fsync) BEFORE deleting, and the
+staging dir is then a replayable ``bento_queue`` source. A crash
+between stage and delete re-delivers after the visibility timeout:
+at-least-once, the reference's guarantee. Tested against an in-process
+signature-verifying server (tests/test_azure_queue.py).
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import re
+import time
+from xml.sax.saxutils import escape
+
+
+class AzureQueueClient:
+    def __init__(
+        self,
+        endpoint: str,  # http://host:port (emulator) or https://acct.queue...
+        account: str,
+        key_b64: str,
+        queue: str,
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.account = account
+        self.key_b64 = key_b64
+        self.queue = queue
+
+    def _call(self, method: str, path_qs: str, body: bytes = b"") -> bytes:
+        import urllib.error
+        import urllib.request
+
+        from bento_spark.functions.azureauth import sign_request
+
+        url = f"{self.endpoint}/{self.account}/{self.queue}{path_qs}"
+        headers = {
+            "x-ms-date": time.strftime(
+                "%a, %d %b %Y %H:%M:%S GMT", time.gmtime()
+            ),
+            "x-ms-version": "2021-12-02",
+        }
+        if body:
+            headers["content-type"] = "application/xml"
+        signed = sign_request(
+            method, url, headers, body, self.account, self.key_b64
+        )
+        req = urllib.request.Request(
+            url, data=body or None, headers=signed, method=method
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(
+                f"azure queue {method} {path_qs}: HTTP {e.code}: "
+                f"{e.read().decode()[:200]}"
+            ) from e
+
+    def put_messages(self, messages: list[str]) -> None:
+        for m in messages:  # the API is single-message per PUT
+            b64 = base64.b64encode(m.encode("utf-8")).decode()
+            xml = (
+                "<QueueMessage><MessageText>"
+                + escape(b64)
+                + "</MessageText></QueueMessage>"
+            )
+            self._call("POST", "/messages", xml.encode())
+
+    def get_messages(self, n: int = 32) -> list[tuple[str, str, str]]:
+        """-> [(message_id, pop_receipt, text)]; max 32 per call (API)."""
+        raw = self._call("GET", f"/messages?numofmessages={min(n, 32)}")
+        out = []
+        for blk in re.findall(b"<QueueMessage>(.*?)</QueueMessage>", raw, re.S):
+            mid = re.search(b"<MessageId>(.*?)</MessageId>", blk).group(1)
+            pop = re.search(b"<PopReceipt>(.*?)</PopReceipt>", blk).group(1)
+            txt = re.search(b"<MessageText>(.*?)</MessageText>", blk).group(1)
+            out.append(
+                (
+                    mid.decode(),
+                    pop.decode(),
+                    base64.b64decode(txt).decode("utf-8"),
+                )
+            )
+        return out
+
+    def delete_message(self, message_id: str, pop_receipt: str) -> None:
+        self._call(
+            "DELETE", f"/messages/{message_id}?popreceipt={pop_receipt}"
+        )
+
+    def drain(self, out_dir: str, max_batches: int | None = None) -> int:
+        """Stage-durably-then-delete (see module docstring)."""
+        os.makedirs(out_dir, exist_ok=True)
+        total = n_batch = 0
+        while max_batches is None or n_batch < max_batches:
+            msgs = self.get_messages(32)
+            if not msgs:
+                break
+            n_batch += 1
+            key = f"azq-{int(time.time() * 1000)}-{n_batch:06d}.jsonl"
+            tmp = os.path.join(out_dir, "." + key)
+            with open(tmp, "w") as f:
+                for _mid, _pop, text in msgs:
+                    f.write(text.replace("\n", " ") + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(out_dir, key))
+            for mid, pop, _ in msgs:
+                self.delete_message(mid, pop)
+            total += len(msgs)
+        return total
