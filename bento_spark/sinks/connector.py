@@ -236,6 +236,35 @@ def _kafka_transport(conf: dict):
     return T()
 
 
+@register_transport("gcp_pubsub")
+def _gcp_pubsub_transport(conf: dict):
+    """``gcp_pubsub`` output (internal/impl/gcp/): topics.publish over
+    the public REST API (emulator-compatible; injectable bearer-token
+    provider for real GCP). 5xx retryable, 4xx dead-letter."""
+    from bento_spark.sources.gcp_pubsub import PubSubClient
+
+    class T:
+        def __init__(self):
+            self.client = PubSubClient(
+                conf["endpoint"], conf["project"],
+                token_provider=conf.get("token_provider"),
+            )
+            self.topic = conf["topic"]
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.client.publish(self.topic, batch)
+            except RuntimeError as ex:
+                raise DeliveryError(
+                    str(ex), retryable="HTTP 5" in str(ex)
+                ) from ex
+
+        def close(self):
+            pass
+
+    return T()
+
+
 @register_transport("azure_queue")
 def _azure_queue_transport(conf: dict):
     """``azure_queue_storage`` output (internal/impl/azure/): Put

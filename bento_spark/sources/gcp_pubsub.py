@@ -1,0 +1,118 @@
+"""GCP Pub/Sub client + staging bridge — public REST API
+(projects.topics.publish / subscriptions.pull / acknowledge, base64
+data, https://cloud.google.com/pubsub/docs/reference/rest) — no
+google-cloud-pubsub SDK. Reference parity: the gcp_pubsub input/output
+(internal/impl/gcp/).
+
+Auth: an injectable ``token_provider`` supplies the ``Bearer`` token
+per request. Against the official emulator (PUBSUB_EMULATOR_HOST
+contract) no token is required, which is exactly what the in-process
+test server replicates; against real GCP, plug a provider that mints
+OAuth tokens (an RSA/JWT service-account flow needs a crypto runtime
+this container doesn't have — the request layer is identical either
+way, and the server test verifies the Bearer header when a provider is
+set).
+
+Delivery: pull/ack is destructive two-phase like SQS/Azure, so ingest
+uses the same stage-durably-then-ack drain; unacked messages redeliver
+after the ack deadline (at-least-once — the reference documents the
+same for its gcp_pubsub input).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+from collections.abc import Callable
+
+
+class PubSubClient:
+    def __init__(
+        self,
+        endpoint: str,
+        project: str,
+        token_provider: Callable[[], str] | None = None,
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.project = project
+        self.token_provider = token_provider
+
+    def _call(self, path: str, payload: dict) -> dict:
+        import urllib.error
+        import urllib.request
+
+        body = json.dumps(payload).encode("utf-8")
+        headers = {"content-type": "application/json"}
+        if self.token_provider is not None:
+            headers["Authorization"] = f"Bearer {self.token_provider()}"
+        req = urllib.request.Request(
+            f"{self.endpoint}/v1/projects/{self.project}/{path}",
+            data=body,
+            headers=headers,
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+                return json.loads(resp.read().decode("utf-8") or "{}")
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(
+                f"pubsub {path}: HTTP {e.code}: {e.read().decode()[:200]}"
+            ) from e
+
+    def publish(self, topic: str, messages: list[str]) -> list[str]:
+        resp = self._call(
+            f"topics/{topic}:publish",
+            {
+                "messages": [
+                    {"data": base64.b64encode(m.encode("utf-8")).decode()}
+                    for m in messages
+                ]
+            },
+        )
+        return resp.get("messageIds", [])
+
+    def pull(self, subscription: str, max_messages: int = 100) -> list[tuple[str, str]]:
+        """-> [(ack_id, text)]"""
+        resp = self._call(
+            f"subscriptions/{subscription}:pull",
+            {"maxMessages": max_messages},
+        )
+        out = []
+        for rm in resp.get("receivedMessages", []):
+            data = base64.b64decode(rm["message"].get("data", "")).decode("utf-8")
+            out.append((rm["ackId"], data))
+        return out
+
+    def acknowledge(self, subscription: str, ack_ids: list[str]) -> None:
+        if ack_ids:
+            self._call(
+                f"subscriptions/{subscription}:acknowledge",
+                {"ackIds": ack_ids},
+            )
+
+    def drain(
+        self, subscription: str, out_dir: str, max_batches: int | None = None
+    ) -> int:
+        """Stage-durably-then-ack (same contract as the SQS/Azure
+        bridges): a crash between stage and ack redelivers after the
+        ack deadline — at-least-once."""
+        os.makedirs(out_dir, exist_ok=True)
+        total = n_batch = 0
+        while max_batches is None or n_batch < max_batches:
+            msgs = self.pull(subscription)
+            if not msgs:
+                break
+            n_batch += 1
+            key = f"pubsub-{int(time.time() * 1000)}-{n_batch:06d}.jsonl"
+            tmp = os.path.join(out_dir, "." + key)
+            with open(tmp, "w") as f:
+                for _ack, text in msgs:
+                    f.write(text.replace("\n", " ") + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(out_dir, key))
+            self.acknowledge(subscription, [a for a, _ in msgs])
+            total += len(msgs)
+        return total
