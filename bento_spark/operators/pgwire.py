@@ -1,0 +1,248 @@
+"""PostgreSQL client speaking the v3 wire protocol over a socket —
+pure Python (stdlib socket/struct/hashlib), implementing the public
+protocol (https://www.postgresql.org/docs/current/protocol.html):
+startup, SCRAM-SHA-256 authentication (RFC 5802/7677 via
+hashlib.pbkdf2_hmac — the channel-binding-less 'n,,' flow), the simple
+query protocol (Query -> RowDescription/DataRow/CommandComplete), and
+error surfacing — NOT a psycopg wrapper (absent in this container).
+Reference parity: the sql_select / sql_insert / sql_raw component
+family (internal/impl/sql/).
+
+Results come back text-format; values are Python strings (or None) —
+the callers (stream-static enrichment, connector sink) cast via Spark
+schemas, keeping this client a pure transport.
+
+Scale note: this client serves the reference's ENRICHMENT shapes —
+small dimension reads (broadcast into stream-static joins) and batched
+writes from executor partitions. Bulk table scans at cluster scale go
+through Spark's JDBC/connector readers; that split is the same one the
+reference documents for sql_select vs. bulk ingestion.
+
+Tested against an in-process server that performs REAL server-side
+SCRAM verification (derives StoredKey from the salted password and
+checks the client proof) — tests/test_pgwire.py.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import os
+import struct
+
+
+class PgError(RuntimeError):
+    def __init__(self, fields: dict[str, str]):
+        self.fields = fields
+        super().__init__(
+            f"{fields.get('S', 'ERROR')} {fields.get('C', '?????')}: "
+            f"{fields.get('M', 'unknown')}"
+        )
+
+
+# --- SCRAM-SHA-256 (RFC 5802/7677) ----------------------------------------
+
+
+def scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
+    return hashlib.pbkdf2_hmac(
+        "sha256", password.encode("utf-8"), salt, iterations
+    )
+
+
+def scram_client_proof(
+    salted: bytes, auth_message: str
+) -> tuple[bytes, bytes]:
+    """-> (client_proof, expected_server_signature)."""
+    client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+    stored_key = hashlib.sha256(client_key).digest()
+    client_sig = hmac.new(
+        stored_key, auth_message.encode("utf-8"), hashlib.sha256
+    ).digest()
+    proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+    server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+    server_sig = hmac.new(
+        server_key, auth_message.encode("utf-8"), hashlib.sha256
+    ).digest()
+    return proof, server_sig
+
+
+class PostgresClient:
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 5432,
+        user: str = "postgres",
+        password: str = "",
+        database: str = "postgres",
+        timeout: float = 30.0,
+    ):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        params = f"user\x00{user}\x00database\x00{database}\x00\x00".encode()
+        body = struct.pack(">i", 196608) + params  # protocol 3.0
+        self._sock.sendall(struct.pack(">i", len(body) + 4) + body)
+        self._authenticate(user, password)
+        # drain ParameterStatus/BackendKeyData until ReadyForQuery
+        while True:
+            t, payload = self._read_message()
+            if t == b"Z":
+                break
+            if t == b"E":
+                raise PgError(self._parse_error(payload))
+
+    # -- framing ------------------------------------------------------------
+    def _read_message(self) -> tuple[bytes, bytes]:
+        head = self._rfile.read(5)
+        if len(head) != 5:
+            raise ConnectionError("postgres connection closed")
+        t, n = head[:1], struct.unpack(">i", head[1:])[0]
+        payload = self._rfile.read(n - 4)
+        if len(payload) != n - 4:
+            raise ConnectionError("postgres connection closed mid-message")
+        return t, payload
+
+    def _send_message(self, t: bytes, payload: bytes) -> None:
+        self._sock.sendall(t + struct.pack(">i", len(payload) + 4) + payload)
+
+    @staticmethod
+    def _parse_error(payload: bytes) -> dict[str, str]:
+        fields = {}
+        for part in payload.split(b"\x00"):
+            if part:
+                fields[chr(part[0])] = part[1:].decode("utf-8", "replace")
+        return fields
+
+    # -- auth ---------------------------------------------------------------
+    def _authenticate(self, user: str, password: str) -> None:
+        t, payload = self._read_message()
+        if t == b"E":
+            raise PgError(self._parse_error(payload))
+        assert t == b"R", f"expected auth request, got {t!r}"
+        (code,) = struct.unpack_from(">i", payload, 0)
+        if code == 0:  # trust
+            return
+        if code != 10:
+            raise PgError(
+                {"M": f"unsupported auth request code {code} "
+                      "(SCRAM-SHA-256 or trust only)"}
+            )
+        mechs = payload[4:].split(b"\x00")
+        if b"SCRAM-SHA-256" not in mechs:
+            raise PgError({"M": f"server offers {mechs}, need SCRAM-SHA-256"})
+        cnonce = base64.b64encode(os.urandom(18)).decode()
+        client_first_bare = f"n={user},r={cnonce}"
+        initial = f"n,,{client_first_bare}".encode()
+        self._send_message(
+            b"p",
+            b"SCRAM-SHA-256\x00" + struct.pack(">i", len(initial)) + initial,
+        )
+        t, payload = self._read_message()
+        if t == b"E":
+            raise PgError(self._parse_error(payload))
+        (code,) = struct.unpack_from(">i", payload, 0)
+        assert code == 11, "expected SASLContinue"
+        server_first = payload[4:].decode()
+        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
+        snonce, salt, iters = attrs["r"], attrs["s"], int(attrs["i"])
+        if not snonce.startswith(cnonce):
+            raise PgError({"M": "server nonce does not extend client nonce"})
+        salted = scram_salted_password(
+            password, base64.b64decode(salt), iters
+        )
+        client_final_bare = f"c=biws,r={snonce}"
+        auth_message = f"{client_first_bare},{server_first},{client_final_bare}"
+        proof, server_sig = scram_client_proof(salted, auth_message)
+        final = f"{client_final_bare},p={base64.b64encode(proof).decode()}"
+        self._send_message(b"p", final.encode())
+        t, payload = self._read_message()
+        if t == b"E":
+            raise PgError(self._parse_error(payload))
+        (code,) = struct.unpack_from(">i", payload, 0)
+        assert code == 12, "expected SASLFinal"
+        v = dict(
+            kv.split("=", 1) for kv in payload[4:].decode().split(",")
+        )["v"]
+        if base64.b64decode(v) != server_sig:
+            raise PgError({"M": "server signature mismatch (MITM?)"})
+        t, payload = self._read_message()  # AuthenticationOk
+        assert t == b"R" and struct.unpack_from(">i", payload, 0)[0] == 0
+
+    # -- simple query protocol ---------------------------------------------
+    def query(self, sql: str) -> tuple[list[str], list[tuple]]:
+        """Simple-query round trip -> (column_names, rows). Rows hold
+        text-format values as str (None for NULL). DDL/DML return
+        ([], []) with the command tag discarded."""
+        self._send_message(b"Q", sql.encode("utf-8") + b"\x00")
+        cols: list[str] = []
+        rows: list[tuple] = []
+        err: PgError | None = None
+        while True:
+            t, payload = self._read_message()
+            if t == b"T":  # RowDescription
+                (n,) = struct.unpack_from(">h", payload, 0)
+                pos = 2
+                cols = []
+                for _ in range(n):
+                    z = payload.index(b"\x00", pos)
+                    cols.append(payload[pos:z].decode("utf-8"))
+                    pos = z + 1 + 18  # fixed per-field descriptor block
+            elif t == b"D":  # DataRow
+                (n,) = struct.unpack_from(">h", payload, 0)
+                pos = 2
+                vals = []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from(">i", payload, pos)
+                    pos += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(payload[pos : pos + ln].decode("utf-8"))
+                        pos += ln
+                rows.append(tuple(vals))
+            elif t == b"E":
+                err = PgError(self._parse_error(payload))
+            elif t == b"Z":  # ReadyForQuery — end of cycle
+                if err:
+                    raise err
+                return cols, rows
+            # 'C' CommandComplete / 'N' notices / others: skip
+
+    def execute(self, sql: str) -> None:
+        self.query(sql)
+
+    def close(self) -> None:
+        try:
+            self._send_message(b"X", b"")  # Terminate
+        except OSError:
+            pass
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()
+
+
+def postgres_df(spark, factory, sql: str, schema: str | None = None):
+    """``sql_select`` enrichment shape: run ``sql`` on the DRIVER via a
+    pgwire client and return a DataFrame (all-string columns unless
+    ``schema`` is given — pgwire simple queries are text-format; cast
+    downstream). Small dimension tables only: the result is meant to be
+    broadcast into a stream-static join, the reference's sql_select
+    pattern (processor_sql.go). Bulk scans belong to JDBC readers."""
+    client = factory()
+    try:
+        cols, rows = client.query(sql)
+    finally:
+        client.close()
+    schema = schema or ", ".join(f"`{c}` string" for c in cols)
+    return spark.createDataFrame(rows, schema)
+
+
+def pg_quote(v: str | None) -> str:
+    """Literal-quote a text value for an INSERT (single-quote doubling;
+    the only escaping standard_conforming_strings needs)."""
+    if v is None:
+        return "NULL"
+    return "'" + v.replace("'", "''") + "'"

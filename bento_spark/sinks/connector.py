@@ -236,6 +236,47 @@ def _kafka_transport(conf: dict):
     return T()
 
 
+@register_transport("postgres")
+def _postgres_transport(conf: dict):
+    """``sql_insert``/``sql_raw`` output against a real PostgreSQL
+    endpoint (internal/impl/sql/output_sql_insert.go): one multi-row
+    INSERT per batch over the from-scratch pgwire client
+    (operators/pgwire.py, SCRAM-SHA-256). Connection-class errors
+    (SQLSTATE 08xxx) and socket drops retry; constraint/data errors
+    dead-letter."""
+    from bento_spark.operators.pgwire import PgError, PostgresClient, pg_quote
+
+    table = conf.get("table", "messages")
+    column = conf.get("column", "v")
+
+    class T:
+        def __init__(self):
+            self.client = PostgresClient(
+                conf.get("host", "localhost"),
+                int(conf.get("port", 5432)),
+                user=conf.get("user", "postgres"),
+                password=conf.get("password", ""),
+                database=conf.get("database", "postgres"),
+            )
+
+        def send(self, batch: list[str]) -> None:
+            values = ", ".join(f"({pg_quote(v)})" for v in batch)
+            try:
+                self.client.execute(
+                    f"INSERT INTO {table} ({column}) VALUES {values}"
+                )
+            except PgError as ex:
+                retryable = ex.fields.get("C", "").startswith("08")
+                raise DeliveryError(str(ex), retryable=retryable) from ex
+            except ConnectionError as ex:
+                raise DeliveryError(str(ex)) from ex
+
+        def close(self):
+            self.client.close()
+
+    return T()
+
+
 @register_transport("gcp_pubsub")
 def _gcp_pubsub_transport(conf: dict):
     """``gcp_pubsub`` output (internal/impl/gcp/): topics.publish over
