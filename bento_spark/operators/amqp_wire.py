@@ -1,0 +1,367 @@
+"""AMQP 0-9-1 client over a socket — pure Python (stdlib socket),
+implementing the public OASIS/RabbitMQ spec (amqp0-9-1.pdf: framing
+with 0xCE frame-end octets, Connection/Channel/Queue/Basic/Confirm
+method classes, content header + body frames split at the negotiated
+frame-max, PLAIN SASL) — NOT a pika wrapper (absent in this
+container). Reference parity: the amqp_0_9 input/output
+(internal/impl/amqp09/).
+
+Delivery semantics match the other wire transports:
+
+* publishes use RabbitMQ **publisher confirms** (Confirm.Select, then
+  Basic.Ack frames from the broker, which may carry multiple=1 to ack
+  a delivery-tag prefix) — one pipelined write for N messages, then
+  drain acks until every tag is covered; a Basic.Nack or a
+  channel/connection Close surfaces as AmqpError AFTER the drain.
+* consumes use the polling Basic.Get + Basic.Ack pair with a
+  stage-durably-then-ack drain (``drain_to_dir``), the same
+  adaptation every destructive-read queue needs to meet Spark's
+  replayable-offset source contract (see sources/sqs_bridge.py).
+
+Tested against an in-process broker that decodes every frame,
+enforces frame-end octets and frame-max, and serves Basic.Get
+(tests/test_amqp_wire.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+FRAME_METHOD, FRAME_HEADER, FRAME_BODY, FRAME_HEARTBEAT = 1, 2, 3, 8
+FRAME_END = 0xCE
+
+# (class, method) ids from the spec's amqp0-9-1 XML
+CONNECTION_START = (10, 10)
+CONNECTION_START_OK = (10, 11)
+CONNECTION_TUNE = (10, 30)
+CONNECTION_TUNE_OK = (10, 31)
+CONNECTION_OPEN = (10, 40)
+CONNECTION_OPEN_OK = (10, 41)
+CONNECTION_CLOSE = (10, 50)
+CONNECTION_CLOSE_OK = (10, 51)
+CHANNEL_OPEN = (20, 10)
+CHANNEL_OPEN_OK = (20, 11)
+CHANNEL_CLOSE = (20, 40)
+CHANNEL_CLOSE_OK = (20, 41)
+QUEUE_DECLARE = (50, 10)
+QUEUE_DECLARE_OK = (50, 11)
+BASIC_PUBLISH = (60, 40)
+BASIC_GET = (60, 70)
+BASIC_GET_OK = (60, 71)
+BASIC_GET_EMPTY = (60, 72)
+BASIC_ACK = (60, 80)
+BASIC_NACK = (60, 120)
+CONFIRM_SELECT = (85, 10)
+CONFIRM_SELECT_OK = (85, 11)
+
+
+def shortstr(s: str) -> bytes:
+    b = s.encode("utf-8")
+    if len(b) > 255:
+        raise ValueError("shortstr > 255 bytes")
+    return bytes([len(b)]) + b
+
+
+def longstr(b: bytes) -> bytes:
+    return struct.pack(">I", len(b)) + b
+
+
+def encode_table(d: dict) -> bytes:
+    """Field table, the value types this client emits: longstr ('S'),
+    boolean ('t'), long-long-int ('l'). Enough for client-properties
+    and queue arguments; decode_table accepts a superset."""
+    out = bytearray()
+    for k, v in d.items():
+        out += shortstr(k)
+        if isinstance(v, bool):
+            out += b"t" + bytes([1 if v else 0])
+        elif isinstance(v, int):
+            out += b"l" + struct.pack(">q", v)
+        elif isinstance(v, str):
+            out += b"S" + longstr(v.encode("utf-8"))
+        elif isinstance(v, bytes):
+            out += b"S" + longstr(v)
+        elif isinstance(v, dict):
+            out += b"F" + encode_table(v)
+        else:
+            raise TypeError(f"unsupported table value type {type(v)}")
+    return longstr(bytes(out))
+
+
+def decode_table(buf: bytes, pos: int) -> tuple[dict, int]:
+    (size,) = struct.unpack_from(">I", buf, pos)
+    pos += 4
+    end = pos + size
+    out: dict = {}
+    while pos < end:
+        klen = buf[pos]
+        key = buf[pos + 1 : pos + 1 + klen].decode("utf-8")
+        pos += 1 + klen
+        tag = buf[pos : pos + 1]
+        pos += 1
+        if tag == b"S":
+            (n,) = struct.unpack_from(">I", buf, pos)
+            out[key] = buf[pos + 4 : pos + 4 + n].decode("utf-8", "replace")
+            pos += 4 + n
+        elif tag == b"t":
+            out[key] = bool(buf[pos])
+            pos += 1
+        elif tag == b"l":
+            (out[key],) = struct.unpack_from(">q", buf, pos)
+            pos += 8
+        elif tag == b"I":
+            (out[key],) = struct.unpack_from(">i", buf, pos)
+            pos += 4
+        elif tag == b"F":
+            out[key], pos = decode_table(buf, pos)
+        else:
+            raise ValueError(f"unsupported field-table type {tag!r}")
+    return out, end
+
+
+class AmqpError(RuntimeError):
+    pass
+
+
+class AmqpClient:
+    """One connection, one channel (id 1) — the shape every transport
+    partition needs. Frame-max is honored on publish (body split)."""
+
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 5672,
+        user: str = "guest",
+        password: str = "guest",
+        vhost: str = "/",
+        timeout: float = 30.0,
+        confirms: bool = True,
+    ):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self.frame_max = 131072
+        self._next_tag = 1  # broker-assigned publish confirm tags count from 1
+        self._sock.sendall(b"AMQP\x00\x00\x09\x01")
+        cid, body = self._expect_method(CONNECTION_START, channel=0)
+        # Start args (version octets, server-properties table, mechanisms,
+        # locales) are informational for this client; PLAIN is mandatory
+        # for RabbitMQ default installs.
+        props = encode_table({"product": "bento-spark", "version": "0.9.1"})
+        response = b"\x00" + user.encode() + b"\x00" + password.encode()
+        self._send_method(
+            0,
+            CONNECTION_START_OK,
+            props + shortstr("PLAIN") + longstr(response) + shortstr("en_US"),
+        )
+        _, body = self._expect_method(CONNECTION_TUNE, channel=0)
+        channel_max, frame_max, heartbeat = struct.unpack_from(">HIH", body, 0)
+        if frame_max:
+            self.frame_max = min(self.frame_max, frame_max)
+        self._send_method(
+            0,
+            CONNECTION_TUNE_OK,
+            struct.pack(">HIH", channel_max or 1, self.frame_max, 0),
+        )
+        self._send_method(0, CONNECTION_OPEN, shortstr(vhost) + shortstr("") + b"\x00")
+        self._expect_method(CONNECTION_OPEN_OK, channel=0)
+        self._send_method(1, CHANNEL_OPEN, shortstr(""))
+        self._expect_method(CHANNEL_OPEN_OK, channel=1)
+        self.confirms = confirms
+        if confirms:
+            self._send_method(1, CONFIRM_SELECT, b"\x00")  # nowait=0
+            self._expect_method(CONFIRM_SELECT_OK, channel=1)
+
+    # ---- framing -------------------------------------------------------
+    def _send_frame(self, ftype: int, channel: int, payload: bytes) -> None:
+        self._sock.sendall(
+            struct.pack(">BHI", ftype, channel, len(payload))
+            + payload
+            + bytes([FRAME_END])
+        )
+
+    def _send_method(self, channel: int, cm: tuple[int, int], args: bytes) -> None:
+        self._send_frame(FRAME_METHOD, channel, struct.pack(">HH", *cm) + args)
+
+    def _read_frame(self) -> tuple[int, int, bytes]:
+        head = self._rfile.read(7)
+        if len(head) != 7:
+            raise ConnectionError("amqp connection closed")
+        ftype, channel, size = struct.unpack(">BHI", head)
+        payload = self._rfile.read(size)
+        endb = self._rfile.read(1)
+        if len(payload) != size or not endb:
+            raise ConnectionError("amqp connection closed mid-frame")
+        if endb[0] != FRAME_END:
+            raise AmqpError(f"bad frame-end octet 0x{endb[0]:02x}")
+        return ftype, channel, payload
+
+    def _read_method(self) -> tuple[int, tuple[int, int], bytes]:
+        """Next method frame, skipping heartbeats; raises on broker
+        Close (sending the CloseOk the spec requires first)."""
+        while True:
+            ftype, channel, payload = self._read_frame()
+            if ftype == FRAME_HEARTBEAT:
+                continue
+            if ftype != FRAME_METHOD:
+                raise AmqpError(f"unexpected frame type {ftype}")
+            cm = struct.unpack_from(">HH", payload, 0)
+            body = payload[4:]
+            if cm == CONNECTION_CLOSE or cm == CHANNEL_CLOSE:
+                code, pos = struct.unpack_from(">H", body, 0)[0], 2
+                tlen = body[pos]
+                text = body[pos + 1 : pos + 1 + tlen].decode("utf-8", "replace")
+                ok = CONNECTION_CLOSE_OK if cm == CONNECTION_CLOSE else CHANNEL_CLOSE_OK
+                try:
+                    self._send_method(channel, ok, b"")
+                except OSError:
+                    pass
+                raise AmqpError(f"broker closed ({code}): {text}")
+            return channel, cm, body
+
+    def _expect_method(
+        self, want: tuple[int, int], channel: int
+    ) -> tuple[int, bytes]:
+        ch, cm, body = self._read_method()
+        if cm != want or ch != channel:
+            raise AmqpError(f"expected {want} on ch{channel}, got {cm} on ch{ch}")
+        return ch, body
+
+    # ---- operations ----------------------------------------------------
+    def queue_declare(self, queue: str, durable: bool = True) -> tuple[str, int]:
+        """Returns (queue_name, message_count)."""
+        bits = 0x02 if durable else 0
+        self._send_method(
+            1,
+            QUEUE_DECLARE,
+            struct.pack(">H", 0) + shortstr(queue) + bytes([bits]) + encode_table({}),
+        )
+        _, body = self._expect_method(QUEUE_DECLARE_OK, channel=1)
+        nlen = body[0]
+        name = body[1 : 1 + nlen].decode("utf-8")
+        msgs, _consumers = struct.unpack_from(">II", body, 1 + nlen)
+        return name, msgs
+
+    def _content_frames(self, channel: int, payload: bytes) -> bytes:
+        """Header frame + body frames (split at frame-max − 8 overhead),
+        pre-serialized so a batch is ONE sendall."""
+        header = struct.pack(">HHQH", 60, 0, len(payload), 0)  # no properties
+        out = bytearray(
+            struct.pack(">BHI", FRAME_HEADER, channel, len(header))
+            + header
+            + bytes([FRAME_END])
+        )
+        chunk = self.frame_max - 8
+        for i in range(0, len(payload), chunk):  # empty body: header only, per spec
+            part = payload[i : i + chunk]
+            out += struct.pack(">BHI", FRAME_BODY, channel, len(part))
+            out += part + bytes([FRAME_END])
+        return bytes(out)
+
+    def publish(
+        self, exchange: str, routing_key: str, payloads: list[bytes]
+    ) -> None:
+        """Pipelined publish batch; with confirms on, drains broker
+        Basic.Acks (multiple=1 acks a tag prefix) until every message
+        in the batch is confirmed. Basic.Nack → AmqpError."""
+        out = bytearray()
+        first_tag = self._next_tag
+        for p in payloads:
+            args = struct.pack(">H", 0) + shortstr(exchange) + shortstr(routing_key)
+            args += b"\x00"  # mandatory=0 immediate=0
+            method = struct.pack(">HH", *BASIC_PUBLISH) + args
+            out += struct.pack(">BHI", FRAME_METHOD, 1, len(method))
+            out += method + bytes([FRAME_END])
+            out += self._content_frames(1, p)
+            self._next_tag += 1
+        self._sock.sendall(bytes(out))
+        if not self.confirms:
+            return
+        outstanding = set(range(first_tag, self._next_tag))
+        nacked: list[int] = []
+        while outstanding:
+            _, cm, body = self._read_method()
+            if cm not in (BASIC_ACK, BASIC_NACK):
+                raise AmqpError(f"expected Basic.Ack/Nack, got {cm}")
+            tag, bits = struct.unpack_from(">QB", body, 0)
+            covered = (
+                {t for t in outstanding if t <= tag} if bits & 0x01 else {tag}
+            )
+            if cm == BASIC_NACK:
+                nacked.extend(sorted(covered))
+            outstanding -= covered
+        if nacked:
+            raise AmqpError(f"broker nacked delivery tags {nacked}")
+
+    def get(self, queue: str) -> tuple[int, bytes] | None:
+        """One Basic.Get poll → (delivery_tag, body) or None if empty.
+        Does NOT ack — callers ack after durably staging (at-least-once)."""
+        self._send_method(1, BASIC_GET, struct.pack(">H", 0) + shortstr(queue) + b"\x00")
+        _, cm, body = self._read_method()
+        if cm == BASIC_GET_EMPTY:
+            return None
+        if cm != BASIC_GET_OK:
+            raise AmqpError(f"expected Basic.GetOk, got {cm}")
+        (tag,) = struct.unpack_from(">Q", body, 0)
+        ftype, _, payload = self._read_frame()
+        if ftype != FRAME_HEADER:
+            raise AmqpError("expected content header frame")
+        (body_size,) = struct.unpack_from(">Q", payload, 4)
+        data = bytearray()
+        while len(data) < body_size:
+            ftype, _, part = self._read_frame()
+            if ftype != FRAME_BODY:
+                raise AmqpError("expected content body frame")
+            data += part
+        return tag, bytes(data)
+
+    def ack(self, delivery_tag: int) -> None:
+        self._send_method(1, BASIC_ACK, struct.pack(">QB", delivery_tag, 0))
+
+    def drain_to_dir(self, queue: str, out_dir: str, max_msgs: int) -> int:
+        """Stage-durably-then-ack drain: each message is appended to an
+        ndjson staging file (fsync'd) BEFORE its Basic.Ack — a crash
+        between stage and ack redelivers (at-least-once), the contract
+        sources/pydatasource.py's replayable offsets need."""
+        import json
+        import os
+        import uuid
+
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"amqp-{uuid.uuid4().hex}.ndjson")
+        n = 0
+        tmp: list[tuple[int, bytes]] = []
+        while n < max_msgs:
+            got = self.get(queue)
+            if got is None:
+                break
+            tmp.append(got)
+            n += 1
+        if tmp:
+            with open(path, "w", encoding="utf-8") as f:
+                for tag, data in tmp:
+                    f.write(
+                        json.dumps(
+                            {"value": data.decode("utf-8", "replace"), "tag": tag}
+                        )
+                        + "\n"
+                    )
+                f.flush()
+                os.fsync(f.fileno())
+            for tag, _ in tmp:
+                self.ack(tag)
+        return n
+
+    def close(self) -> None:
+        try:
+            self._send_method(
+                0, CONNECTION_CLOSE, struct.pack(">H", 0) + shortstr("") + b"\x00\x00"
+            )
+            self._expect_method(CONNECTION_CLOSE_OK, channel=0)
+        except (OSError, ConnectionError, AmqpError):
+            pass
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()

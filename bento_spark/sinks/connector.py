@@ -394,6 +394,45 @@ def _nats_transport(conf: dict):
     return T()
 
 
+@register_transport("amqp_0_9")
+def _amqp_transport(conf: dict):
+    """``amqp_0_9`` output (internal/impl/amqp09/output.go): pipelined
+    Basic.Publish batches with publisher confirms through the
+    from-scratch 0-9-1 wire client (operators/amqp_wire.py); every
+    message is broker-confirmed (Basic.Ack, multiple-flag aware)
+    before the batch counts as delivered; Basic.Nack and channel
+    closes surface as retryable DeliveryErrors."""
+    from bento_spark.operators.amqp_wire import AmqpClient, AmqpError
+
+    class T:
+        def __init__(self):
+            self.client = AmqpClient(
+                conf.get("host", "localhost"),
+                int(conf.get("port", 5672)),
+                user=conf.get("user", "guest"),
+                password=conf.get("password", "guest"),
+                vhost=conf.get("vhost", "/"),
+            )
+            self.exchange = conf.get("exchange", "")
+            self.routing_key = conf["routing_key"]
+            if conf.get("declare_queue", True) and not self.exchange:
+                self.client.queue_declare(self.routing_key)
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.client.publish(
+                    self.exchange, self.routing_key,
+                    [v.encode("utf-8") for v in batch],
+                )
+            except AmqpError as ex:
+                raise DeliveryError(str(ex)) from ex
+
+        def close(self):
+            self.client.close()
+
+    return T()
+
+
 @register_transport("sqs")
 def _sqs_transport(conf: dict):
     """``aws_sqs`` output (internal/impl/aws/output_sqs.go):
