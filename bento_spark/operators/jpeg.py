@@ -1,0 +1,591 @@
+"""Baseline JPEG (ITU-T T.81) codec — pure Python + numpy, no codec
+library. Decoder covers the baseline sequential DCT process: DQT
+(8/16-bit tables), SOF0, DHT, DRI/RSTn restart intervals, interleaved
+MCUs with arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0),
+byte-stuffing removal, huffman + magnitude decoding, dequantization,
+de-zigzag, float IDCT (separable DCT-III matrix), box upsampling of
+subsampled chroma, and JFIF YCbCr->RGB. Grayscale (1-component) and
+3-component images both decode.
+
+Encoders exist for test fixtures and the oracle-checked gate query:
+
+* ``encode_jpeg_gray`` — a REAL baseline grayscale encoder (FDCT,
+  quantization with the Annex K luminance table scaled by quality,
+  run-length AC with ZRL/EOB, byte stuffing) for lossy roundtrip
+  tests (decode(encode(x)) ~ x within quantization error).
+* ``encode_jpeg_const_blocks`` — constant 8x8 blocks with an all-ones
+  quant table: every DCT coefficient quantizes EXACTLY (DC-only
+  blocks), so decode is bit-exact and a SQL oracle can reconstruct
+  the decoded pixels without running a codec — the same trick
+  encode_png's stored-deflate IDAT uses for byte-exact sizes.
+
+Reference parity: the multimodal superset brief (the reference engine
+has no image pipeline; internal/impl/huggingface is its closest
+media-adjacent surface). Spec: the public T.81 standard — tables
+K.1-K.4 (quant), K.3-K.6 (huffman bits/values), section F.2
+(decoding procedures).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---- Annex K standard tables ------------------------------------------
+
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+
+# DC luminance: BITS (codes per length 1..16) + HUFFVAL
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+# AC luminance (Annex K.3.3.2)
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+# Chrominance DC/AC (Annex K.3.3.1/K.3.3.2) — used by the color fixtures
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = (
+            (np.sqrt(0.5) if _u == 0 else 1.0)
+            * np.cos((2 * _x + 1) * _u * np.pi / 16)
+            / 2
+        )
+
+
+def idct2(coef: np.ndarray) -> np.ndarray:
+    """8x8 2-D inverse DCT (type III), separable matrix form."""
+    return _C.T @ coef @ _C
+
+
+def fdct2(block: np.ndarray) -> np.ndarray:
+    """8x8 2-D forward DCT (type II)."""
+    return _C @ block @ _C.T
+
+
+class JpegError(ValueError):
+    pass
+
+
+# ---- huffman ----------------------------------------------------------
+
+
+def build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol map per T.81 C.2 canonical assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (length, code), the encoder-side inverse."""
+    return {v: (ln, c) for (ln, c), v in build_huffman(bits, vals).items()}
+
+
+class BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-stuffing removal; stops at (and reports) marker bytes."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                # past a marker: feed 0 bits (spec: decoder pads) — the
+                # MCU loop terminates via counts, not the bitstream
+                self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by restart()
+                    self.marker = nxt
+                    continue
+                else:
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid huffman code")
+
+    def restart(self) -> None:
+        """Discard pad bits, consume the RSTn marker, realign to a
+        byte. The marker may not have been scanned yet (pad bits can
+        still be buffered without triggering a _fill past it)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is None:
+            if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+                raise JpegError("expected RSTn marker")
+            self.marker = self.data[self.pos + 1]
+        if not 0xD0 <= self.marker <= 0xD7:
+            raise JpegError(f"expected RSTn marker, got 0x{self.marker:02X}")
+        self.pos += 2  # past FF Dn (pos always points at the FF here)
+        self.marker = None
+
+
+def extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ---- decoder ----------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JPEG -> {width, height, channels, pixels} (top-down
+    RGB bytes for 3-component, luma bytes for grayscale)."""
+    if payload[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    restart_interval = 0
+    frame = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq:
+                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(
+                        np.int32
+                    )
+                    i += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                huff[(tc, th)] = build_huffman(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            precision = seg[0]
+            if precision != 8:
+                raise JpegError(f"only 8-bit precision supported, got {precision}")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise JpegError(f"unsupported SOF marker 0xFF{marker:02X} (not baseline)")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append(
+                    {"comp": comp, "dc": tdta >> 4, "ac": tdta & 0x0F}
+                )
+            data_start = pos + 2 + seglen
+            return _decode_scan(
+                payload, data_start, frame, scan, qt, huff, restart_interval
+            )
+        pos += 2 + seglen
+    raise JpegError("no SOS marker found")
+
+
+def _decode_scan(payload, data_start, frame, scan, qt, huff, restart_interval):
+    w, h = frame["w"], frame["h"]
+    comps = [s["comp"] for s in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        pw, ph = mcux * c["h"] * 8, mcuy * c["v"] * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    br = BitReader(payload, data_start)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.restart()
+                pred = [0] * len(comps)
+            for ci, s in enumerate(scan):
+                c = s["comp"]
+                q = qt[c["tq"]]
+                dct = huff[(0, s["dc"])]
+                act = huff[(1, s["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = br.decode_symbol(dct)
+                        diff = extend(br.receive(t), t)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_symbol(act)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC run past block end")
+                            zz[k] = extend(br.receive(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * q
+                        block = idct2(coef.reshape(8, 8)) + 128.0
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
+            mcu_count += 1
+    # upsample to full resolution (box replication), crop, clamp
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return {"width": w, "height": h, "channels": 1, "pixels": gray.tobytes()}
+    if len(full) != 3:
+        raise JpegError(f"unsupported component count {len(full)}")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(x), 0, 255).astype(np.uint8) for x in (r, g, b)], axis=-1
+    )
+    return {"width": w, "height": h, "channels": 3, "pixels": rgb.tobytes()}
+
+
+# ---- encoders (fixtures) ----------------------------------------------
+
+
+class BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
+    body = bytes([tq]) + bytes(int(x) for x in table)
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _emit_coeff(bw: BitWriter, codes, v: int, run: int = -1) -> None:
+    s = _category(v)
+    sym = s if run < 0 else (run << 4) | s
+    ln, code = codes[sym]
+    bw.write(code, ln)
+    if s:
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def encode_jpeg_gray(pix: bytes, w: int, h: int, quality: int = 75) -> bytes:
+    """REAL baseline grayscale encoder: FDCT + Annex K luminance quant
+    (quality-scaled per the public IJG formula), run-length AC coding.
+    Lossy — pairs with decode_jpeg in roundtrip-tolerance tests."""
+    if len(pix) != w * h:
+        raise ValueError("pix must be w*h luma bytes")
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qtab = np.clip((QT_LUMA * scale + 50) // 100, 1, 255).astype(np.int32)
+    img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w).astype(np.float64)
+    bw_, bh_ = (w + 7) // 8 * 8, (h + 7) // 8 * 8
+    padded = np.pad(img, ((0, bh_ - h), (0, bw_ - w)), mode="edge")
+    dc_codes = huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw = BitWriter()
+    pred = 0
+    qzz = qtab[ZIGZAG]  # DQT stores the table in zigzag order
+    for by in range(bh_ // 8):
+        for bx in range(bw_ // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = fdct2(block)
+            quant = np.round(coef / qtab.reshape(8, 8)).astype(np.int64)
+            zz = quant.reshape(64)[ZIGZAG]
+            _emit_coeff(bw, dc_codes, int(zz[0]) - pred)
+            pred = int(zz[0])
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                _emit_coeff(bw, ac_codes, int(zz[k]), run)
+                run = 0
+            if last_nz < 63:
+                ln, code = ac_codes[0x00]
+                bw.write(code, ln)
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _dqt_segment(0, qzz)
+        + sof
+        + _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + sos
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_const_blocks(
+    block_vals: list[list[int]], restart_interval: int = 0
+) -> bytes:
+    """Grayscale baseline JPEG where each 8x8 block is the constant
+    value block_vals[by][bx], quant table all ones: DC = 8*(v-128)
+    exactly, no AC — decode_jpeg reproduces every pixel EXACTLY, which
+    is what lets the gate query's DuckDB oracle rebuild the decoded
+    image with chr()/repeat() (see queries/multimodal.py)."""
+    nby, nbx = len(block_vals), len(block_vals[0])
+    w, h = nbx * 8, nby * 8
+    dc_codes = huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw = BitWriter()
+    pred = 0
+    chunks = []
+    nmcu = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and nmcu and nmcu % restart_interval == 0:
+                chunks.append(bw.flush())
+                chunks.append(
+                    bytes([0xFF, 0xD0 + ((nmcu // restart_interval) - 1) % 8])
+                )
+                bw = BitWriter()
+                pred = 0
+            dc = 8 * (block_vals[by][bx] - 128)
+            _emit_coeff(bw, dc_codes, dc - pred)
+            pred = dc
+            ln, code = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+            nmcu += 1
+    chunks.append(bw.flush())
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + _dqt_segment(0, np.ones(64, dtype=np.int32))
+        + sof
+        + _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + dri
+        + sos
+        + b"".join(chunks)
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_const_color(
+    ycbcr_mcus: list[list[tuple[list[int], int, int]]]
+) -> bytes:
+    """4:2:0 color baseline JPEG from per-MCU constants: each entry is
+    ([y0,y1,y2,y3], cb, cr) — four constant 16x16/4 luma blocks plus one
+    constant chroma pair per MCU (all-ones quant, DC-only). Exercises
+    interleaved multi-component MCU decode + chroma box upsampling with
+    exactly predictable output."""
+    nmy, nmx = len(ycbcr_mcus), len(ycbcr_mcus[0])
+    w, h = nmx * 16, nmy * 16
+    dcl = huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    acl = huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dcc = huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    acc = huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    bw = BitWriter()
+    pred = [0, 0, 0]
+    for my in range(nmy):
+        for mx in range(nmx):
+            ys, cb, cr = ycbcr_mcus[my][mx]
+            for yv in ys:
+                dc = 8 * (yv - 128)
+                _emit_coeff(bw, dcl, dc - pred[0])
+                pred[0] = dc
+                ln, code = acl[0x00]
+                bw.write(code, ln)
+            for ci, cv in ((1, cb), (2, cr)):
+                dc = 8 * (cv - 128)
+                _emit_coeff(bw, dcc, dc - pred[ci])
+                pred[ci] = dc
+                ln, code = acc[0x00]
+                bw.write(code, ln)
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3)
+        + bytes([1, 0x22, 0])  # Y 2x2 sampling
+        + bytes([2, 0x11, 0])  # Cb
+        + bytes([3, 0x11, 0])  # Cr
+    )
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">HB", 6 + 2 * 3, 3)
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11])
+        + bytes([0, 63, 0])
+    )
+    return (
+        b"\xff\xd8"
+        + _dqt_segment(0, np.ones(64, dtype=np.int32))
+        + sof
+        + _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + sos
+        + bw.flush()
+        + b"\xff\xd9"
+    )

@@ -10,9 +10,10 @@ Image decode is REAL: ``decode_image`` is a pure-Python decoder for
 binary PPM (P6), 24-bit uncompressed BMP (header parse, BGR->RGB,
 bottom-up flip, row padding), and 8-bit RGB/RGBA PNG (stdlib zlib
 inflate + all five row filters: None/Sub/Up/Average/Paeth) — the three
-containers cover what synthetic and real corpora actually carry without
-any codec dependency; JPEG would slot into the same ``decoder=``
-parameter when a codec library is present. Audio decode is likewise
+containers plus baseline JPEG (operators/jpeg.py: huffman + IDCT +
+4:2:0 upsampling + restart markers, pure Python/numpy) cover what
+synthetic and real corpora actually carry without any codec
+dependency. Audio decode is likewise
 REAL for RIFF/WAVE (``decode_wav``: chunk walk, fmt validation, 16-bit
 PCM stats); ``fake_decode`` / ``fake_pcm_decode`` remain as the
 payload-agnostic plumbing stubs for headerless bytes. Schema, Arrow
@@ -299,8 +300,12 @@ def decode_image(payload: bytes) -> dict:
             "channels": ch,
             "pixels": _png_defilter(raw, w, h, ch),
         }
+    if payload[:2] == b"\xff\xd8":
+        from bento_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(
-        "unsupported image container (PPM P6 / 24-bit BMP / 8-bit RGB(A) PNG)"
+        "unsupported image container (PPM P6 / 24-bit BMP / 8-bit RGB(A) PNG / JPEG)"
     )
 
 
@@ -527,6 +532,35 @@ def synth_wav_udf():
             pcm = t.encode("utf-8")
             pcm = pcm[: len(pcm) // 2 * 2]
             out.append(encode_wav(pcm, 8000 + (int(i) % 3) * 4000))
+        return pd.Series(out)
+
+    return synth
+
+
+def synth_jpeg_udf():
+    """Fixture generator: a REAL baseline JPEG per row id — constant
+    8x8 blocks (all-ones quant table, DC-only) whose values derive from
+    the id, so huffman + IDCT decode is bit-exact and the DuckDB oracle
+    can rebuild the decoded pixels with chr()/repeat(). Every 5th doc
+    adds a DRI/RSTn restart interval, exercising the restart path in
+    the gate."""
+    import pandas as pd
+
+    from bento_spark.operators.jpeg import encode_jpeg_const_blocks
+
+    @F.pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            nbx, nby = 2 + i % 3, 1 + i % 2
+            vals = [
+                [32 + (i + 7 * (by * nbx + bx)) % 95 for bx in range(nbx)]
+                for by in range(nby)
+            ]
+            out.append(
+                encode_jpeg_const_blocks(vals, restart_interval=3 if i % 5 == 0 else 0)
+            )
         return pd.Series(out)
 
     return synth

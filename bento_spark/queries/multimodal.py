@@ -57,6 +57,44 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_jpeg_features",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 2 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby FROM documents
+    ), p AS (
+      SELECT doc_id, nbx, nby,
+        array_to_string([
+          array_to_string([
+            repeat(chr(CAST(32 + (doc_id + 7*((y//8)*nbx + bx)) % 95 AS INT)), 8)
+            FOR bx IN range(0, nbx)], '')
+          FOR y IN range(0, 8*nby)], '') AS pixstr
+      FROM g
+    )
+    SELECT doc_id, CAST(8*nbx AS INT) AS width, CAST(8*nby AS INT) AS height,
+           1 AS channels, substr(md5(pixstr), 1, 16) AS phash
+    FROM p ORDER BY doc_id
+    """,
+)
+def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end-to-end: per-doc constant-block
+    grayscale JPEGs (all-ones quant table makes the DCT path bit-exact;
+    every 5th doc carries a DRI restart interval) are huffman-decoded,
+    dequantized, and IDCT'd back to pixels by the pure-Python codec
+    (operators/jpeg.py) inside the Arrow-batched feature stage. The
+    oracle rebuilds the decoded pixel string with chr()/repeat() and
+    hashes it — a bug in huffman tables, DC prediction, restart
+    handling, zigzag, or the IDCT is a hash mismatch. n_bytes is
+    excluded: huffman-coded container length has no SQL closed form
+    (unlike PNG's stored-deflate IDAT)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.withColumn("payload", M.synth_jpeg_udf()(F.col("doc_id")))
+    feats = M.extract_image_features(imgs, "doc_id", "payload", decoder=M.real_decode)
+    return feats.select("doc_id", "width", "height", "channels", "phash").orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "mm_frame_sample",
     oracle="""
     WITH d AS (

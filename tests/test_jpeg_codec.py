@@ -1,0 +1,154 @@
+"""Baseline JPEG codec tests (operators/jpeg.py): bit-exact decode of
+constant-block fixtures (incl. restart markers and decode_image
+dispatch), lossy encoder roundtrip within quantization error, 4:2:0
+color MCU interleave + chroma upsampling, and rejection paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bento_spark.operators.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    JpegError,
+    build_huffman,
+    decode_jpeg,
+    encode_jpeg_const_blocks,
+    encode_jpeg_const_color,
+    encode_jpeg_gray,
+    fdct2,
+    huffman_codes,
+    idct2,
+)
+
+
+def test_huffman_canonical_assignment():
+    # T.81 C.2: first DC luminance codes are 00, 010, 011, ... lengths 2,3,...
+    table = build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)
+    inv = huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    assert inv[0] == (2, 0b00)
+    assert inv[1] == (3, 0b010)
+    assert inv[5] == (3, 0b110)
+    assert inv[11] == (9, 0b111111110)
+    assert len(table) == 12
+    ac = build_huffman(AC_LUMA_BITS, AC_LUMA_VALS)
+    assert len(ac) == 162
+    assert huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)[0x00] == (4, 0b1010)  # EOB
+
+
+def test_dct_roundtrip_identity():
+    rng = np.random.default_rng(3)
+    block = rng.uniform(-128, 127, (8, 8))
+    assert np.allclose(idct2(fdct2(block)), block, atol=1e-9)
+
+
+def _const_expect(vals):
+    return np.repeat(np.repeat(np.array(vals, dtype=np.uint8), 8, 0), 8, 1)
+
+
+def test_const_blocks_bit_exact():
+    vals = [[32 + (5 + 7 * (by * 3 + bx)) % 95 for bx in range(3)] for by in range(2)]
+    d = decode_jpeg(encode_jpeg_const_blocks(vals))
+    assert (d["width"], d["height"], d["channels"]) == (24, 16, 1)
+    pix = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(16, 24)
+    assert (pix == _const_expect(vals)).all()
+
+
+def test_restart_markers_reset_dc_prediction():
+    vals = [[10 + 23 * ((by * 4 + bx) % 11) for bx in range(4)] for by in range(3)]
+    plain = decode_jpeg(encode_jpeg_const_blocks(vals))
+    for interval in (1, 2, 3, 5):
+        d = decode_jpeg(encode_jpeg_const_blocks(vals, restart_interval=interval))
+        assert d["pixels"] == plain["pixels"], f"interval={interval}"
+
+
+def test_decode_image_dispatches_jpeg():
+    from bento_spark.operators.multimodal import decode_image
+
+    vals = [[100, 200], [50, 150]]
+    d = decode_image(encode_jpeg_const_blocks(vals))
+    assert (d["width"], d["height"], d["channels"]) == (16, 16, 1)
+
+
+def test_lossy_roundtrip_within_quant_error():
+    w, h = 40, 24
+    img = np.add.outer(np.arange(h) * 3, np.arange(w) * 2).astype(np.uint8)
+    for q in (95, 75, 50):
+        d = decode_jpeg(encode_jpeg_gray(img.tobytes(), w, h, quality=q))
+        assert (d["width"], d["height"]) == (w, h)
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w).astype(int)
+        err = np.abs(got - img.astype(int))
+        bound = 3 if q >= 75 else 12
+        assert err.max() <= bound, f"q={q} max err {err.max()}"
+
+
+def test_lossy_roundtrip_nonaligned_noise():
+    rng = np.random.default_rng(11)
+    w, h = 37, 19  # forces edge-padded partial blocks
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg_gray(img.tobytes(), w, h, quality=90))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w).astype(int)
+    # white noise is the worst case for DCT coding; bound is loose but
+    # catches structural bugs (misaligned blocks score ~80+ mean error)
+    assert np.abs(got - img.astype(int)).mean() < 20
+
+
+def test_color_420_upsampling_and_interleave():
+    mcus = [
+        [([40, 80, 120, 160], 100, 140), ([200, 60, 90, 130], 90, 160)],
+        [([15, 240, 33, 77], 128, 128), ([55, 66, 77, 88], 150, 110)],
+    ]
+    d = decode_jpeg(encode_jpeg_const_color(mcus))
+    assert (d["width"], d["height"], d["channels"]) == (32, 32, 3)
+    rgb = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(32, 32, 3)
+
+    def conv(y, cb, cr):
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        return [int(np.clip(round(x), 0, 255)) for x in (r, g, b)]
+
+    # each Y block is 8x8; chroma constants cover the whole 16x16 MCU
+    for my, mx, ys, cb, cr in [
+        (0, 0, [40, 80, 120, 160], 100, 140),
+        (0, 1, [200, 60, 90, 130], 90, 160),
+        (1, 1, [55, 66, 77, 88], 150, 110),
+    ]:
+        base_y, base_x = my * 16, mx * 16
+        for bi, (dy, dx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+            # sample all four corners of the luma block
+            for oy, ox in [(0, 0), (7, 7), (3, 5)]:
+                got = rgb[base_y + dy + oy, base_x + dx + ox].tolist()
+                assert got == conv(ys[bi], cb, cr), (my, mx, bi)
+
+
+def test_grayscale_zero_and_max_values_clamp():
+    d = decode_jpeg(encode_jpeg_const_blocks([[0, 255]]))
+    pix = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 16)
+    assert (pix[:, :8] == 0).all() and (pix[:, 8:] == 255).all()
+
+
+def test_progressive_rejected():
+    buf = bytearray(encode_jpeg_const_blocks([[64]]))
+    i = buf.index(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(JpegError, match="not baseline"):
+        decode_jpeg(bytes(buf))
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"\x89PNG1234")
+
+
+def test_truncated_scan_raises_or_pads_never_hangs():
+    buf = encode_jpeg_const_blocks([[60, 70], [80, 90]])
+    # cut mid-entropy-data: decoder must terminate (padded zero bits)
+    cut = buf[: len(buf) - 6]
+    try:
+        decode_jpeg(cut)
+    except (JpegError, ValueError):
+        pass  # raising is fine; hanging/crashing is not
