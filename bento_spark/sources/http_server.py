@@ -1,0 +1,255 @@
+"""http_server / websocket inputs: push-based ingest bridged to the
+replayable staging directory the ``bento_queue`` data source reads.
+
+The reference's ``http_server`` input (internal/impl/io/
+input_http_server.go:178) turns POST bodies into messages and 200s
+after downstream ack; its ``websocket`` input does the same over
+RFC 6455 frames. Spark's source contract needs REPLAYABLE offsets, so
+the adaptation mirrors every destructive/push input here: stage each
+request DURABLY (atomic tmp+rename into the staging dir), then
+acknowledge — the producer's 200/ack means "durably staged", and
+`spark.read/readStream.format("bento_queue")` replays from the
+directory (sources/pydatasource.py).
+
+Both servers are pure stdlib:
+
+* ``HttpIngestServer`` — ThreadingHTTPServer; each POST body becomes
+  one staged message (or N, with ``split_lines``); request path and
+  selected headers land in the envelope metadata the way the
+  reference stamps http_server metadata fields.
+* ``WebSocketIngestServer`` — a from-scratch RFC 6455 server over
+  socketserver: real opening handshake (Sec-WebSocket-Accept =
+  b64(sha1(key + GUID))), client-to-server frame parse with the
+  mandatory masking, 7/16/64-bit payload lengths, fragmented
+  continuation frames, ping->pong, close handshake. Text/binary
+  messages are staged per-message.
+
+sync_response (request/reply with processed results) remains out of
+scope — that is a service-layer pattern, documented in COVERAGE.md.
+Tested in tests/test_http_server_input.py, including crash-safety
+(staged-before-200) and a Spark end-to-end read.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import struct
+import threading
+import uuid
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _stage(out_dir: str, records: list[dict]) -> str:
+    """Durable atomic append: write-to-tmp, fsync, rename. The rename
+    is the commit point; readers never observe partial files."""
+    import time
+
+    os.makedirs(out_dir, exist_ok=True)
+    # time-ordered names keep the staging dir's lexicographic listing in
+    # arrival order (the queue source lists sorted), uuid suffix dedupes
+    # same-nanosecond writers
+    name = f"push-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.ndjson"
+    tmp = os.path.join(out_dir, f".{name}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(out_dir, name)
+    os.rename(tmp, final)
+    return final
+
+
+class HttpIngestServer:
+    """POST-to-staging bridge. 200 is sent only AFTER the body is
+    durably staged; a crash before the rename leaves nothing partial
+    and the producer retries (at-least-once)."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        path: str = "/post",
+        split_lines: bool = False,
+        meta_headers: tuple[str, ...] = ("Content-Type",),
+    ):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        bridge = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                if self.path.split("?")[0] != bridge.path:
+                    self.send_error(404, "unknown ingest path")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    self.send_error(411, "Content-Length required")
+                    return
+                body = self.rfile.read(n)
+                meta = {
+                    "http_server_request_path": self.path,
+                    "http_server_verb": "POST",
+                }
+                for h in bridge.meta_headers:
+                    v = self.headers.get(h)
+                    if v is not None:
+                        meta[h.lower().replace("-", "_")] = v
+                text = body.decode("utf-8", "replace")
+                values = (
+                    [ln for ln in text.split("\n") if ln]
+                    if bridge.split_lines
+                    else [text]
+                )
+                _stage(
+                    bridge.out_dir,
+                    [{"value": v, "metadata": meta} for v in values],
+                )
+                bridge.received += len(values)
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.out_dir = out_dir
+        self.path = path
+        self.split_lines = split_lines
+        self.meta_headers = meta_headers
+        self.received = 0
+        self._srv = ThreadingHTTPServer((host, port), Handler)
+        self._srv.daemon_threads = True
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+
+    @property
+    def port(self) -> int:
+        return self._srv.server_address[1]
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+class WebSocketIngestServer:
+    """RFC 6455 server staging every received text/binary message. Frames
+    from clients MUST be masked (§5.1) — unmasked frames close the
+    connection with status 1002 as the spec requires."""
+
+    def __init__(self, out_dir: str, host: str = "127.0.0.1", port: int = 0):
+        import socketserver
+
+        bridge = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                # ---- opening handshake (HTTP/1.1 Upgrade) ----
+                request_line = self.rfile.readline().decode("latin-1").strip()
+                headers = {}
+                while True:
+                    line = self.rfile.readline().decode("latin-1").strip()
+                    if not line:
+                        break
+                    k, _, v = line.partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                key = headers.get("sec-websocket-key")
+                if (
+                    not request_line.startswith("GET")
+                    or headers.get("upgrade", "").lower() != "websocket"
+                    or not key
+                ):
+                    self.wfile.write(
+                        b"HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n\r\n"
+                    )
+                    return
+                accept = base64.b64encode(
+                    hashlib.sha1((key + _WS_GUID).encode()).digest()
+                ).decode()
+                self.wfile.write(
+                    (
+                        "HTTP/1.1 101 Switching Protocols\r\n"
+                        "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                        f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+                    ).encode()
+                )
+                # ---- frame loop ----
+                fragments: list[bytes] = []
+                while True:
+                    head = self.rfile.read(2)
+                    if len(head) < 2:
+                        return
+                    fin = head[0] & 0x80
+                    opcode = head[0] & 0x0F
+                    masked = head[1] & 0x80
+                    ln = head[1] & 0x7F
+                    if ln == 126:
+                        (ln,) = struct.unpack(">H", self.rfile.read(2))
+                    elif ln == 127:
+                        (ln,) = struct.unpack(">Q", self.rfile.read(8))
+                    if not masked:  # §5.1: server MUST fail the connection
+                        self._close(1002)
+                        return
+                    mask = self.rfile.read(4)
+                    data = bytearray(self.rfile.read(ln))
+                    for i in range(len(data)):
+                        data[i] ^= mask[i % 4]
+                    if opcode == 0x8:  # close
+                        self._close(1000)
+                        return
+                    if opcode == 0x9:  # ping -> pong with same payload
+                        self._send_frame(0xA, bytes(data))
+                        continue
+                    if opcode == 0xA:  # pong
+                        continue
+                    fragments.append(bytes(data))
+                    if not fin:
+                        continue  # continuation frames accumulate
+                    payload = b"".join(fragments)
+                    fragments = []
+                    _stage(
+                        bridge.out_dir,
+                        [
+                            {
+                                "value": payload.decode("utf-8", "replace"),
+                                "metadata": {"websocket_opcode": opcode},
+                            }
+                        ],
+                    )
+                    bridge.received += 1
+
+            def _send_frame(self, opcode: int, payload: bytes):
+                head = bytes([0x80 | opcode])
+                n = len(payload)
+                if n < 126:
+                    head += bytes([n])
+                elif n < 1 << 16:
+                    head += bytes([126]) + struct.pack(">H", n)
+                else:
+                    head += bytes([127]) + struct.pack(">Q", n)
+                self.wfile.write(head + payload)
+
+            def _close(self, status: int):
+                self._send_frame(0x8, struct.pack(">H", status))
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.out_dir = out_dir
+        self.received = 0
+        self._srv = Server((host, port), Handler)
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+
+    @property
+    def port(self) -> int:
+        return self._srv.server_address[1]
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()

@@ -1,0 +1,205 @@
+"""http_server / websocket ingest bridges (sources/http_server.py):
+durable staging before ack, metadata stamping, RFC 6455 handshake
+pinned to the spec's published example vector, masking enforcement,
+fragmentation, ping/pong, and a Spark bento_queue end-to-end read."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import socket
+import struct
+import urllib.error
+import urllib.request
+
+import pytest
+
+from bento_spark.sources.http_server import (
+    _WS_GUID,
+    HttpIngestServer,
+    WebSocketIngestServer,
+)
+
+
+def _post(port, path, body: bytes, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, headers=headers or {}
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return resp.status
+
+
+def _staged(tmp_path):
+    rows = []
+    for p in sorted(tmp_path.glob("*.ndjson")):
+        rows += [json.loads(ln) for ln in p.read_text().splitlines()]
+    return rows
+
+
+def test_post_staged_durably_with_metadata(tmp_path):
+    srv = HttpIngestServer(str(tmp_path), meta_headers=("Content-Type", "X-Tenant"))
+    try:
+        assert (
+            _post(
+                srv.port,
+                "/post",
+                b'{"k": 1}',
+                {"Content-Type": "application/json", "X-Tenant": "acme"},
+            )
+            == 200
+        )
+        rows = _staged(tmp_path)
+        assert len(rows) == 1 and rows[0]["value"] == '{"k": 1}'
+        md = rows[0]["metadata"]
+        assert md["http_server_request_path"] == "/post"
+        assert md["content_type"] == "application/json"
+        assert md["x_tenant"] == "acme"
+        # no visible partial files: tmp names are dot-prefixed, which the
+        # queue source's lister skips
+        assert not [p for p in tmp_path.iterdir() if p.name.startswith(".")]
+    finally:
+        srv.stop()
+
+
+def test_split_lines_mode(tmp_path):
+    srv = HttpIngestServer(str(tmp_path), split_lines=True)
+    try:
+        _post(srv.port, "/post", b"a\nb\nc\n")
+        assert [r["value"] for r in _staged(tmp_path)] == ["a", "b", "c"]
+        assert srv.received == 3
+    finally:
+        srv.stop()
+
+
+def test_unknown_path_404_and_nothing_staged(tmp_path):
+    srv = HttpIngestServer(str(tmp_path))
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv.port, "/other", b"x")
+        assert ei.value.code == 404
+        assert _staged(tmp_path) == []
+    finally:
+        srv.stop()
+
+
+# ---- websocket ---------------------------------------------------------
+
+
+class _WsClient:
+    def __init__(self, port):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        self.rfile = self.sock.makefile("rb")
+        key = "dGhlIHNhbXBsZSBub25jZQ=="  # RFC 6455 §1.3 example key
+        self.sock.sendall(
+            (
+                f"GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        status = self.rfile.readline().decode()
+        assert "101" in status, status
+        self.headers = {}
+        while True:
+            line = self.rfile.readline().decode().strip()
+            if not line:
+                break
+            k, _, v = line.partition(":")
+            self.headers[k.strip().lower()] = v.strip()
+
+    def send_frame(self, payload: bytes, opcode=0x1, fin=True, mask=True):
+        head = bytes([(0x80 if fin else 0) | opcode])
+        n = len(payload)
+        mbit = 0x80 if mask else 0
+        if n < 126:
+            head += bytes([mbit | n])
+        elif n < 1 << 16:
+            head += bytes([mbit | 126]) + struct.pack(">H", n)
+        else:
+            head += bytes([mbit | 127]) + struct.pack(">Q", n)
+        if mask:
+            mk = b"\x12\x34\x56\x78"
+            body = bytes(b ^ mk[i % 4] for i, b in enumerate(payload))
+            self.sock.sendall(head + mk + body)
+        else:
+            self.sock.sendall(head + payload)
+
+    def read_frame(self):
+        head = self.rfile.read(2)
+        opcode = head[0] & 0x0F
+        n = head[1] & 0x7F
+        if n == 126:
+            (n,) = struct.unpack(">H", self.rfile.read(2))
+        elif n == 127:
+            (n,) = struct.unpack(">Q", self.rfile.read(8))
+        return opcode, self.rfile.read(n)
+
+    def close(self):
+        self.sock.close()
+
+
+def test_handshake_accept_matches_rfc_example(tmp_path):
+    srv = WebSocketIngestServer(str(tmp_path))
+    try:
+        c = _WsClient(srv.port)
+        # RFC 6455 §1.3: this exact accept value for the example key
+        assert c.headers["sec-websocket-accept"] == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+        expected = base64.b64encode(
+            hashlib.sha1(("dGhlIHNhbXBsZSBub25jZQ==" + _WS_GUID).encode()).digest()
+        ).decode()
+        assert c.headers["sec-websocket-accept"] == expected
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_messages_fragmentation_ping_and_16bit_length(tmp_path):
+    srv = WebSocketIngestServer(str(tmp_path))
+    try:
+        c = _WsClient(srv.port)
+        c.send_frame(b"hello")
+        c.send_frame(b"frag-", fin=False)
+        c.send_frame(b"mented", opcode=0x0, fin=True)  # continuation
+        c.send_frame(b"pingpayload", opcode=0x9)
+        op, payload = c.read_frame()
+        assert op == 0xA and payload == b"pingpayload"  # pong echoes
+        big = b"x" * 300  # forces the 126/16-bit length path
+        c.send_frame(big)
+        c.send_frame(b"", opcode=0x8)  # close handshake
+        op, _ = c.read_frame()
+        assert op == 0x8
+        vals = [r["value"] for r in _staged(tmp_path)]
+        assert vals == ["hello", "frag-mented", "x" * 300]
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_unmasked_frame_fails_connection_1002(tmp_path):
+    srv = WebSocketIngestServer(str(tmp_path))
+    try:
+        c = _WsClient(srv.port)
+        c.send_frame(b"bad", mask=False)
+        op, payload = c.read_frame()
+        assert op == 0x8 and struct.unpack(">H", payload)[0] == 1002
+        assert _staged(tmp_path) == []
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_spark_reads_staged_pushes_end_to_end(spark, tmp_path):
+    from bento_spark.sources.pydatasource import register
+
+    register(spark)
+    srv = HttpIngestServer(str(tmp_path), split_lines=True)
+    try:
+        for batch in range(3):
+            body = "\n".join(f"m{batch}-{i}" for i in range(10)).encode()
+            _post(srv.port, "/post", body)
+    finally:
+        srv.stop()
+    df = spark.read.format("bento_queue").option("path", str(tmp_path)).load()
+    vals = {json.loads(r.value)["value"] for r in df.collect()}
+    assert vals == {f"m{b}-{i}" for b in range(3) for i in range(10)}
