@@ -1,0 +1,164 @@
+"""beanstalkd client — pure Python (stdlib socket), implementing the
+public beanstalkd text protocol (github.com/beanstalkd/beanstalkd/
+blob/master/doc/protocol.txt: put/reserve-with-timeout/delete/release,
+use/watch tube selection, CRLF framing with byte-counted job bodies) —
+NOT a greenstalk/pystalkd wrapper (absent in this container).
+Reference parity: the beanstalkd input/output
+(internal/impl/beanstalkd/).
+
+Jobs are byte-counted so binary-safe bodies work; the consume side is
+the stage-durably-then-delete drain (reserve -> fsync to staging ->
+delete), matching every other destructive-read transport. Tested
+against an in-process beanstalkd (tests/test_beanstalk_wire.py)
+including TTR redelivery of undeleted jobs.
+"""
+
+from __future__ import annotations
+
+import json
+
+
+class BeanstalkError(RuntimeError):
+    pass
+
+
+class BeanstalkClient:
+    def __init__(
+        self, host: str = "localhost", port: int = 11300, timeout: float = 30.0
+    ):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+
+    def _line(self) -> list[str]:
+        raw = self._rfile.readline()
+        if not raw:
+            raise ConnectionError("beanstalkd connection closed")
+        parts = raw.decode("utf-8").rstrip("\r\n").split(" ")
+        if parts[0] in (
+            "OUT_OF_MEMORY",
+            "INTERNAL_ERROR",
+            "BAD_FORMAT",
+            "UNKNOWN_COMMAND",
+            "EXPECTED_CRLF",
+            "JOB_TOO_BIG",
+            "DRAINING",
+            "NOT_FOUND",
+            "DEADLINE_SOON",
+        ):
+            raise BeanstalkError(parts[0])
+        return parts
+
+    def use(self, tube: str) -> None:
+        self._sock.sendall(f"use {tube}\r\n".encode())
+        if self._line()[0] != "USING":
+            raise BeanstalkError("use failed")
+
+    def watch(self, tube: str) -> None:
+        self._sock.sendall(f"watch {tube}\r\n".encode())
+        if self._line()[0] != "WATCHING":
+            raise BeanstalkError("watch failed")
+
+    def put(
+        self, body: bytes, pri: int = 1024, delay: int = 0, ttr: int = 60
+    ) -> int:
+        self._sock.sendall(
+            f"put {pri} {delay} {ttr} {len(body)}\r\n".encode() + body + b"\r\n"
+        )
+        parts = self._line()
+        if parts[0] == "BURIED":
+            raise BeanstalkError(f"job buried (id {parts[1]})")
+        if parts[0] != "INSERTED":
+            raise BeanstalkError(f"put failed: {parts[0]}")
+        return int(parts[1])
+
+    def put_batch(self, bodies: list[bytes], **kw) -> list[int]:
+        """Pipelined puts: one write for N jobs, then N INSERTED lines
+        — one round trip per Arrow batch like every other transport."""
+        if not bodies:
+            return []
+        out = bytearray()
+        for b in bodies:
+            pri, delay, ttr = kw.get("pri", 1024), kw.get("delay", 0), kw.get("ttr", 60)
+            out += f"put {pri} {delay} {ttr} {len(b)}\r\n".encode() + b + b"\r\n"
+        self._sock.sendall(bytes(out))
+        ids = []
+        errors = []
+        for _ in bodies:  # drain ALL replies before raising (no desync)
+            try:
+                parts = self._line()
+                if parts[0] == "INSERTED":
+                    ids.append(int(parts[1]))
+                else:
+                    errors.append(parts[0])
+            except BeanstalkError as ex:
+                errors.append(str(ex))
+        if errors:
+            raise BeanstalkError(f"{len(errors)} puts failed: {errors[0]}")
+        return ids
+
+    def reserve(self, timeout_s: int = 0) -> tuple[int, bytes] | None:
+        self._sock.sendall(f"reserve-with-timeout {timeout_s}\r\n".encode())
+        parts = self._line()
+        if parts[0] == "TIMED_OUT":
+            return None
+        if parts[0] != "RESERVED":
+            raise BeanstalkError(f"reserve failed: {parts[0]}")
+        job_id, nbytes = int(parts[1]), int(parts[2])
+        body = self._rfile.read(nbytes)
+        self._rfile.read(2)  # trailing CRLF
+        if len(body) != nbytes:
+            raise ConnectionError("beanstalkd connection closed mid-job")
+        return job_id, body
+
+    def delete(self, job_id: int) -> None:
+        self._sock.sendall(f"delete {job_id}\r\n".encode())
+        if self._line()[0] != "DELETED":
+            raise BeanstalkError("delete failed")
+
+    def release(self, job_id: int, pri: int = 1024, delay: int = 0) -> None:
+        self._sock.sendall(f"release {job_id} {pri} {delay}\r\n".encode())
+        if self._line()[0] != "RELEASED":
+            raise BeanstalkError("release failed")
+
+    def drain_to_dir(self, out_dir: str, max_msgs: int) -> int:
+        """Stage-durably-then-delete drain (at-least-once; see
+        sources/sqs_bridge.py): reserved jobs are fsync'd to staging
+        BEFORE their deletes — a crash in between means TTR expiry
+        redelivers them."""
+        import os
+        import uuid
+
+        staged: list[tuple[int, bytes]] = []
+        while len(staged) < max_msgs:
+            got = self.reserve(timeout_s=0)
+            if got is None:
+                break
+            staged.append(got)
+        if staged:
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"beanstalk-{uuid.uuid4().hex}.ndjson")
+            with open(path, "w", encoding="utf-8") as f:
+                for jid, body in staged:
+                    f.write(
+                        json.dumps(
+                            {"value": body.decode("utf-8", "replace"), "job_id": jid}
+                        )
+                        + "\n"
+                    )
+                f.flush()
+                os.fsync(f.fileno())
+            for jid, _ in staged:
+                self.delete(jid)
+        return len(staged)
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(b"quit\r\n")
+        except OSError:
+            pass
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()

@@ -394,6 +394,63 @@ def _nats_transport(conf: dict):
     return T()
 
 
+@register_transport("nsq")
+def _nsq_transport(conf: dict):
+    """``nsq`` output (internal/impl/nsq/output.go): one MPUB frame
+    per batch through the from-scratch TCP client
+    (operators/nsq_wire.py); the broker's OK confirms the whole batch
+    (NSQ has no per-message acks on publish)."""
+    from bento_spark.operators.nsq_wire import NsqClient, NsqError
+
+    class T:
+        def __init__(self):
+            self.client = NsqClient(
+                conf.get("host", "localhost"), int(conf.get("port", 4150))
+            )
+            self.topic = conf["topic"]
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.client.publish(
+                    self.topic, [v.encode("utf-8") for v in batch]
+                )
+            except NsqError as ex:
+                raise DeliveryError(str(ex)) from ex
+
+        def close(self):
+            self.client.close()
+
+    return T()
+
+
+@register_transport("beanstalkd")
+def _beanstalkd_transport(conf: dict):
+    """``beanstalkd`` output (internal/impl/beanstalkd/output.go):
+    pipelined puts through the from-scratch text-protocol client
+    (operators/beanstalk_wire.py); every INSERTED is drained before
+    errors surface, so the connection never desyncs."""
+    from bento_spark.operators.beanstalk_wire import BeanstalkClient, BeanstalkError
+
+    class T:
+        def __init__(self):
+            self.client = BeanstalkClient(
+                conf.get("host", "localhost"), int(conf.get("port", 11300))
+            )
+            if conf.get("tube"):
+                self.client.use(conf["tube"])
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.client.put_batch([v.encode("utf-8") for v in batch])
+            except BeanstalkError as ex:
+                raise DeliveryError(str(ex)) from ex
+
+        def close(self):
+            self.client.close()
+
+    return T()
+
+
 @register_transport("amqp_0_9")
 def _amqp_transport(conf: dict):
     """``amqp_0_9`` output (internal/impl/amqp09/output.go): pipelined
