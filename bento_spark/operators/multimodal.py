@@ -256,14 +256,20 @@ def decode_image(payload: bytes) -> dict:
             )
         bottom_up, h = h > 0, abs(h)
         row_size = (3 * w + 3) // 4 * 4
-        out = bytearray(3 * w * h)
-        for y in range(h):
-            src_y = (h - 1 - y) if bottom_up else y
-            row = payload[off + src_y * row_size : off + src_y * row_size + 3 * w]
-            for x in range(w):
-                b, g, r = row[3 * x : 3 * x + 3]
-                out[3 * (y * w + x) : 3 * (y * w + x) + 3] = bytes((r, g, b))
-        return {"width": w, "height": h, "channels": 3, "pixels": bytes(out)}
+        import numpy as np
+
+        if off + row_size * h > len(payload):
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(payload, np.uint8, count=row_size * h, offset=off)
+        img = rows.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+        if bottom_up:
+            img = img[::-1]
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "pixels": img[:, :, ::-1].tobytes(),  # BGR -> RGB
+        }
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         pos, w = 8, None
         color_type, idat = None, []

@@ -310,3 +310,193 @@ def stratified_hash_sample_flag(
 def stratified_hash_sample_flag_sql(id_expr: str, pct: int, salt: str = "sample") -> str:
     h = hash60_sql(f"CAST({id_expr} AS VARCHAR)", salt=salt)
     return f"CAST(CASE WHEN {h} % 100 < {pct} THEN 1 ELSE 0 END AS INT)"
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (exact substring dedup, word-granular)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 5,
+    salt: str = "span",
+):
+    """Corpus-wide duplicated-span detection — the Spark expression of
+    exact-substring training-data dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"), word-granular instead
+    of suffix-array byte-granular: a rolling window of ``w`` consecutive
+    words is *duplicated* when its hash occurs more than once in the
+    corpus; per document, duplicated window ranges [pos, pos+w-1] are
+    merged into maximal spans (gaps-and-islands).
+
+    Returns (dup_positions, spans):
+    * dup_positions: (doc, pos) of every duplicated window start
+      (0-based word index).
+    * spans: (doc, span_start, span_end, n_dup_windows) with word-index
+      bounds inclusive — all occurrences are flagged (the aggressive
+      both-copies variant; keep-one policies filter on top).
+
+    Plan shape (100 TB): tokenization is one narrow posexplode; window
+    grams come from ``lead`` over a per-doc window (one doc-keyed
+    shuffle); global duplicate detection is ONE groupBy on an 8-byte
+    hash with map-side partial counts; the join back is an equi-join on
+    the same hash (AQE handles hot-shingle skew); island merging is a
+    per-doc window over ONLY the duplicated positions (a tiny fraction
+    of the corpus). Nothing is quadratic — unlike pairwise Jaccard,
+    cost is linear in total duplicated windows.
+    """
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "wd"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("wd")] + [F.lead("wd", i).over(win) for i in range(1, w)]
+    grams = (
+        toks.select(
+            "doc", "pos", *[p.alias(f"w{i}") for i, p in enumerate(parts)]
+        )
+        .filter(F.col(f"w{w-1}").isNotNull())
+        .select(
+            "doc",
+            "pos",
+            hash60(
+                F.concat_ws(" ", *[f"w{i}" for i in range(w)]), salt=salt
+            ).alias("h"),
+        )
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    dup = grams.join(hot, "h").select("doc", "pos")
+    prev_end = F.max(F.col("pos") + (w - 1)).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "new_isl", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).withColumn("isl", F.sum("new_isl").over(win))
+    spans = spans_from_islands(isl, w)
+    return dup, spans
+
+
+def spans_from_islands(isl: DataFrame, w: int) -> DataFrame:
+    return isl.groupBy("doc", "isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (w - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_windows"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 5,
+    salt: str = "span",
+) -> DataFrame:
+    """Per-document span-removal summary: (doc, n_spans, removed_words,
+    clean_hash) where clean_hash is md5 of the text with every
+    duplicated span's words deleted (md5 keeps the gate row compact; the
+    clean text itself is one alias away). Documents with nothing
+    removed hash their original text; a fully-duplicated document
+    hashes the empty string.
+
+    The rebuild is pure built-ins: covered word indexes are the
+    exploded [pos, pos+w-1] ranges of duplicated windows (distinct), an
+    anti-join drops them, and the surviving words re-assemble with
+    array_sort(collect_list(struct(pos, word))) — no Python UDF.
+    """
+    dup, spans = duplicate_spans(df, id_col, text_col, w=w, salt=salt)
+    covered = dup.select(
+        "doc", F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias("pos")
+    ).distinct()
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "wd"),
+    )
+    clean = (
+        toks.join(covered, ["doc", "pos"], "left_anti")
+        .groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "wd"))),
+                    lambda s: s["wd"],
+                ),
+                " ",
+            ).alias("clean_text")
+        )
+    )
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    per_doc_spans = spans.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(span_len).alias("removed_words"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(per_doc_spans, "doc", "left")
+        .join(clean, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("removed_words"), F.lit(0))
+            .cast("long")
+            .alias("removed_words"),
+            F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_hash"),
+        )
+    )
+
+
+def duplicate_spans_sql(
+    table: str, id_expr: str, text_expr: str, w: int = 5, salt: str = "span"
+) -> dict[str, str]:
+    """DuckDB CTE fragments mirroring duplicate_spans /
+    remove_duplicate_spans bit-for-bit (0-based positions, same
+    hash60 portable hash, same island condition), for oracle assembly."""
+    gram = f"array_to_string(ws[i : i + {w - 1}], ' ')"
+    h = hash60_sql(gram, salt=salt)
+    return {
+        "toks": f"""
+          SELECT {id_expr} AS doc, ws FROM (
+            SELECT {id_expr}, string_split({text_expr}, ' ') AS ws FROM {table}
+          ) _t({id_expr}, ws)
+        """,
+        "grams": f"""
+          SELECT doc, i - 1 AS pos, h FROM (
+            SELECT doc, unnest([{{'i': i, 'h': {h}}}
+                   FOR i IN range(1, len(ws) - {w - 2})], recursive := true)
+            FROM toks WHERE len(ws) >= {w}
+          )
+        """,
+        "dup": """
+          SELECT doc, pos FROM grams
+          WHERE h IN (SELECT h FROM grams GROUP BY h HAVING count(*) > 1)
+        """,
+        "flags": f"""
+          SELECT doc, pos,
+                 CASE WHEN pos > coalesce(max(pos + {w - 1}) OVER (
+                       PARTITION BY doc ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS new_isl
+          FROM dup
+        """,
+        "isl": """
+          SELECT doc, pos,
+                 sum(new_isl) OVER (PARTITION BY doc ORDER BY pos) AS isl
+          FROM flags
+        """,
+        "spans": f"""
+          SELECT doc, isl, min(pos) AS span_start,
+                 max(pos) + {w - 1} AS span_end,
+                 count(*) AS n_dup_windows
+          FROM isl GROUP BY doc, isl
+        """,
+    }

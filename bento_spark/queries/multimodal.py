@@ -49,7 +49,11 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a decoder bug in header parse, BGR order, bottom-up flip, row
     padding, zlib framing, or any of the five PNG filters is a hash
     mismatch."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    # parallelize BELOW the synth/decode UDFs: the local scan is one
+    # file split, and both stages are pure-Python per-row work
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
     imgs = docs.withColumn("payload", M.synth_image_udf()(F.col("doc_id")))
     return M.extract_image_features(
         imgs, "doc_id", "payload", decoder=M.real_decode
@@ -86,7 +90,9 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling, zigzag, or the IDCT is a hash mismatch. n_bytes is
     excluded: huffman-coded container length has no SQL closed form
     (unlike PNG's stored-deflate IDAT)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
     imgs = docs.withColumn("payload", M.synth_jpeg_udf()(F.col("doc_id")))
     feats = M.extract_image_features(imgs, "doc_id", "payload", decoder=M.real_decode)
     return feats.select("doc_id", "width", "height", "channels", "phash").orderBy(
@@ -152,7 +158,9 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk, n_bytes from the container, and the oracle recomputes every
     stat from the same bytes. A header-parse, chunk-walk, or fmt-field
     bug is a hash mismatch."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     wav = docs.select("doc_id", M.synth_wav_udf()("doc_id", "text").alias("payload"))
     out = M.extract_audio_features(wav, "doc_id", "payload", decoder=M.decode_wav)
     return out.orderBy("doc_id")

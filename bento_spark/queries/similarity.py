@@ -141,6 +141,7 @@ def embed_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/featurize.py), then exact cosine top-5 over the fresh
     vectors. Every downstream double is integer-exact, so the whole
     text->vector->topk path is hash-checked against DuckDB."""
+    from bento_spark.operators.dedup import ensure_parallelism
     from bento_spark.operators.featurize import hashed_ngram_embedder
 
     embed = hashed_ngram_embedder(EMB_DIM, EMB_N)
@@ -149,11 +150,15 @@ def embed_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator skips its exists() guard, which would otherwise inline
     # the featurizer UDF into a second ArrowEvalPython per branch and
     # embed the whole corpus twice (4 UDF evals -> 2).
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.size(F.split(F.col("text"), " ")) >= EMB_N)
-        .select("doc_id", embed(F.col("text")).alias("vec"))
-    )
+    # ensure_parallelism sits BELOW the featurizer: a small local scan
+    # is 1-2 file splits, and an exchange placed above the UDF would
+    # leave the expensive Python stage serial while parallelizing only
+    # the cheap join after it.
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(
+            F.size(F.split(F.col("text"), " ")) >= EMB_N
+        )
+    ).select("doc_id", embed(F.col("text")).alias("vec"))
     queries = docs.filter(F.col("doc_id") % EMB_QMOD == 0)
     df = S.brute_force_topk(
         docs, queries, "doc_id", "vec", EMB_K, dim=EMB_DIM,

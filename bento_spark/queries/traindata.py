@@ -17,6 +17,9 @@ from bento_spark.functions.textops import word_shingles_sql, words
 from bento_spark.operators.clustering import kmeans_lloyd, kmeans_sql
 from bento_spark.operators.traindata import (
     contamination_overlap,
+    duplicate_spans,
+    duplicate_spans_sql,
+    remove_duplicate_spans,
     pack_sequences,
     pack_sequences_sql,
     pii_counts_and_redact,
@@ -291,3 +294,91 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(flag).cast("long").alias("n_kept"),
         (F.sum(flag).cast("double") / F.count(F.lit(1))).alias("rate"),
     ).orderBy("lang", "source")
+
+
+SPAN_W = 5
+
+
+def _span_ctes() -> str:
+    f = duplicate_spans_sql("documents", "doc_id", "text", w=SPAN_W)
+    return (
+        f"toks AS ({f['toks']}), grams AS ({f['grams']}), dup AS ({f['dup']}), "
+        f"flags AS ({f['flags']}), isl AS ({f['isl']}), spans AS ({f['spans']})"
+    )
+
+
+@query(
+    "dedup_span_windows",
+    oracle=f"""
+    WITH {_span_ctes()}
+    SELECT doc AS doc_id, CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end,
+           CAST(n_dup_windows AS BIGINT) AS n_dup_windows
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, detection half (Lee et al. 2021 shape,
+    word-granular): rolling {SPAN_W}-word window hashes, corpus-wide
+    duplicate counts via ONE 8-byte-key groupBy, per-doc gaps-and-
+    islands merge of duplicated ranges into maximal spans. The oracle
+    replays the identical pipeline from the shared SQL twins
+    (operators/traindata.py duplicate_spans_sql), same portable hash,
+    same island condition."""
+    _, spans = duplicate_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", w=SPAN_W
+    )
+    return spans.select(
+        F.col("doc").alias("doc_id"),
+        F.col("span_start").cast("long"),
+        F.col("span_end").cast("long"),
+        F.col("n_dup_windows").cast("long"),
+    ).orderBy("doc_id", "span_start")
+
+
+@query(
+    "dedup_span_clean",
+    oracle=f"""
+    WITH {_span_ctes()},
+    covered AS (
+      SELECT DISTINCT doc, unnest(range(pos, pos + {SPAN_W})) AS cpos FROM dup
+    ),
+    tokpos AS (
+      SELECT doc, i - 1 AS pos, ws[i] AS wd
+      FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    clean AS (
+      SELECT t.doc,
+             coalesce(string_agg(t.wd, ' ' ORDER BY t.pos)
+                      FILTER (WHERE c.cpos IS NULL), '') AS clean_text
+      FROM tokpos t LEFT JOIN covered c ON t.doc = c.doc AND t.pos = c.cpos
+      GROUP BY t.doc
+    ),
+    per_doc AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(span_end - span_start + 1) AS BIGINT) AS removed_words
+      FROM spans GROUP BY doc
+    )
+    SELECT d.doc_id, coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.removed_words, 0) AS removed_words,
+           md5(coalesce(c.clean_text, '')) AS clean_hash
+    FROM documents d
+    LEFT JOIN per_doc p ON d.doc_id = p.doc
+    LEFT JOIN clean c ON d.doc_id = c.doc
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, removal half: every duplicated window's
+    word range is cut from its document and the surviving words
+    re-assemble in order with pure built-ins (anti-join +
+    array_sort(collect_list(struct))) — no Python UDF. Output is the
+    per-doc summary (span count, words removed, md5 of cleaned text);
+    the oracle rebuilds the cleaned text independently with a lateral
+    unnest + filtered string_agg."""
+    out = remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", w=SPAN_W
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"), "n_spans", "removed_words", "clean_hash"
+    ).orderBy("doc_id")
