@@ -185,6 +185,35 @@ class RedisKV:
         cmds = [("MSET", *flat[i : i + step]) for i in range(0, len(flat), step)]
         self._pipeline(cmds)
 
+    # -- generic command surface (redis_* components build on this) ------
+    def command(self, *args: str):
+        """One command, one reply (error replies raise). The redis_list /
+        redis_streams / redis_pubsub / redis_scan / redis_hash components
+        (sources/redis_bridge.py, sinks/connector.py) drive the protocol
+        through this and :meth:`pipeline` rather than re-implementing
+        RESP framing per component."""
+        return self._command(*args)
+
+    def pipeline(self, commands: list[tuple[str, ...]]) -> list:
+        """Pipelined commands: one write, all replies drained, first
+        error raised only after the connection is back in sync."""
+        return self._pipeline(commands)
+
+    def read_push(self, timeout: float | None = None):
+        """One server-initiated push message (SUBSCRIBE delivery).
+        Returns the decoded reply array, or None on read timeout —
+        the pub/sub drain's idle-stop condition."""
+        import socket as _socket
+
+        old = self._sock.gettimeout()
+        try:
+            self._sock.settimeout(timeout)
+            return self._read_reply()
+        except (_socket.timeout, TimeoutError):
+            return None
+        finally:
+            self._sock.settimeout(old)
+
     def close(self) -> None:
         try:
             self._rfile.close()

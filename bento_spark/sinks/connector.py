@@ -490,6 +490,123 @@ def _amqp_transport(conf: dict):
     return T()
 
 
+def _redis_conf_client(conf: dict):
+    from bento_spark.operators.kvstore import RedisKV
+
+    if "client" in conf:  # injected test double
+        return conf["client"]
+    return RedisKV(
+        conf.get("host", "localhost"),
+        int(conf.get("port", 6379)),
+        db=int(conf.get("db", 0)),
+        password=conf.get("password"),
+    )
+
+
+@register_transport("redis_list")
+def _redis_list_transport(conf: dict):
+    """``redis_list`` output (internal/impl/redis/output_list.go): one
+    multi-value RPUSH per delivery batch over the from-scratch RESP2
+    client — a whole Spark batch is one round trip. Connection failures
+    surface as retryable DeliveryError (transient by nature for a TCP
+    queue push)."""
+    client = _redis_conf_client(conf)
+    key = conf["key"]
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            try:
+                client.command("RPUSH", key, *batch)
+            except ConnectionError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            client.close()
+
+    return T()
+
+
+@register_transport("redis_pubsub")
+def _redis_pubsub_transport(conf: dict):
+    """``redis_pubsub`` output (internal/impl/redis/output_pubsub.go):
+    pipelined PUBLISH per message — one round trip per batch,
+    fire-and-forget delivery semantics exactly like the reference."""
+    client = _redis_conf_client(conf)
+    channel = conf["channel"]
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            try:
+                client.pipeline([("PUBLISH", channel, m) for m in batch])
+            except ConnectionError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            client.close()
+
+    return T()
+
+
+@register_transport("redis_streams")
+def _redis_streams_transport(conf: dict):
+    """``redis_streams`` output (internal/impl/redis/output_streams.go):
+    pipelined ``XADD stream * body <msg>`` — server-assigned entry IDs,
+    one round trip per batch. The body lands under the configured field
+    name (default ``body``), matching the reference's body_key."""
+    client = _redis_conf_client(conf)
+    stream = conf["stream"]
+    body_key = conf.get("body_key", "body")
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            try:
+                client.pipeline(
+                    [("XADD", stream, "*", body_key, m) for m in batch]
+                )
+            except ConnectionError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            client.close()
+
+    return T()
+
+
+@register_transport("redis_hash")
+def _redis_hash_transport(conf: dict):
+    """``redis_hash`` output (internal/impl/redis/output_hash.go): each
+    JSON row becomes one HSET; the hash field is the row's
+    ``key_field`` JSON attribute (the reference interpolates a key the
+    same way), fields_mapping = the whole row by default. Pipelined —
+    one round trip per batch."""
+    import json as _j
+
+    client = _redis_conf_client(conf)
+    key = conf["key"]
+    key_field = conf.get("key_field", "id")
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            cmds = []
+            for m in batch:
+                row = _j.loads(m)
+                if key_field not in row:
+                    raise DeliveryError(
+                        f"redis_hash: row missing key_field {key_field!r}",
+                        retryable=False,
+                    )
+                cmds.append(("HSET", key, str(row[key_field]), m))
+            try:
+                client.pipeline(cmds)
+            except ConnectionError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            client.close()
+
+    return T()
+
+
 @register_transport("sqs")
 def _sqs_transport(conf: dict):
     """``aws_sqs`` output (internal/impl/aws/output_sqs.go):

@@ -1,0 +1,246 @@
+"""Redis component family: list / streams / pub-sub / scan inputs.
+
+Reference components (one module here per input, sink transports in
+sinks/connector.py):
+
+- ``redis_list``    — internal/impl/redis/input_list.go (BLPOP loop)
+- ``redis_streams`` — internal/impl/redis/input_streams.go (XREADGROUP)
+- ``redis_pubsub``  — internal/impl/redis/input_pubsub.go (SUBSCRIBE)
+- ``redis_scan``    — internal/impl/redis/input_scan.go (SCAN + GET)
+
+All ride the from-scratch RESP2 client (operators/kvstore.RedisKV) via
+its generic ``command``/``pipeline`` surface — no new protocol code.
+
+Spark adaptation (same shape as the SQS/Azure/PubSub bridges): Spark
+Structured Streaming needs REPLAYABLE offsets, which destructive pops
+and fire-and-forget pushes cannot provide, so each input drains into
+the durable staging directory read by the ``bento_queue`` data source
+(sources/pydatasource.py):
+
+- list:    the classic Redis reliable-queue pattern — ``RPOPLPUSH src
+  processing`` (non-lossy move), stage durably (tmp + fsync + rename),
+  then remove from the processing list. A crash between move and stage
+  leaves messages on ``processing``; the next drain recovers them first
+  → at-least-once.
+- streams: stream entry IDs are already replayable cursors — ``XRANGE``
+  from a cursor persisted AFTER the staged batch is durable; a crash
+  between stage and cursor write re-delivers → at-least-once.
+- pubsub:  fire-and-forget by protocol (no replay exists server-side);
+  staged on arrival — same best-effort guarantee the reference
+  documents for its pubsub input.
+- scan:    a bounded snapshot read (cursor iteration + pipelined GETs),
+  exposed as rows for ``spark.createDataFrame`` — the reference's
+  batch-walk-the-keyspace input.
+
+Tested against an in-process RESP2 server implementing these commands
+(tests/test_redis_components.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _client(url_or_client):
+    from bento_spark.operators.kvstore import RedisKV, _client_from_url
+
+    if isinstance(url_or_client, str):
+        return _client_from_url(url_or_client)
+    if isinstance(url_or_client, RedisKV):
+        return url_or_client
+    return url_or_client  # injected test double with the same surface
+
+
+def _stage(out_dir: str, prefix: str, seq: int, lines: list[str]) -> None:
+    """One atomic, durable JSONL file per drained batch."""
+    os.makedirs(out_dir, exist_ok=True)
+    key = f"{prefix}-{int(time.time() * 1000)}-{seq:06d}.jsonl"
+    tmp = os.path.join(out_dir, "." + key)
+    with open(tmp, "w") as f:
+        for line in lines:
+            f.write(line.replace("\n", " ") + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(out_dir, key))
+
+
+class RedisListBridge:
+    """``redis_list`` input: reliable-queue drain of a Redis list.
+
+    ``LMOVE key key:processing LEFT RIGHT`` moves each message
+    non-destructively from the queue head (FIFO, like the reference's
+    BLPOP) to a processing list; the batch is staged durably; only then
+    are the entries dropped from the processing list (one LREM per
+    entry, pipelined). Crash-recovery: a drain first re-stages anything
+    left on the processing list from a previous crash
+    (at-least-once)."""
+
+    BATCH = 256  # LMOVE round-trip pipeline width
+
+    def __init__(self, url_or_client, key: str):
+        self.client = _client(url_or_client)
+        self.key = key
+        self.processing = key + ":processing"
+
+    def _recover(self, out_dir: str) -> int:
+        left = self.client.command("LRANGE", self.processing, "0", "-1")
+        if not left:
+            return 0
+        _stage(out_dir, "redis-list-recovered", 0, list(left))
+        self.client.command("DEL", self.processing)
+        return len(left)
+
+    def drain(self, out_dir: str, max_messages: int | None = None) -> int:
+        total = self._recover(out_dir)
+        seq = 0
+        while max_messages is None or total < max_messages:
+            width = self.BATCH
+            if max_messages is not None:
+                width = min(width, max_messages - total)
+            replies = self.client.pipeline(
+                [("LMOVE", self.key, self.processing, "LEFT", "RIGHT")]
+                * width
+            )
+            batch = [r for r in replies if r is not None]
+            if not batch:
+                break
+            seq += 1
+            _stage(out_dir, "redis-list", seq, batch)
+            self.client.pipeline(
+                [("LREM", self.processing, "1", v) for v in batch]
+            )
+            total += len(batch)
+        return total
+
+
+class RedisStreamsBridge:
+    """``redis_streams`` input: XRANGE pages from a durable cursor.
+
+    The cursor (last staged entry ID) lives in ``<out_dir>/.cursor-
+    <stream>`` and is advanced only AFTER the staged file is durable, so
+    a crash between the two re-delivers the page. Entry bodies are
+    staged as JSON objects ``{"id": .., <field>: <value>, ..}`` —
+    the reference stamps the entry ID as metadata the same way."""
+
+    COUNT = 500  # entries per XRANGE page
+
+    def __init__(self, url_or_client, stream: str):
+        self.client = _client(url_or_client)
+        self.stream = stream
+
+    def _cursor_path(self, out_dir: str) -> str:
+        safe = self.stream.replace("/", "_")
+        return os.path.join(out_dir, f".cursor-{safe}")
+
+    @staticmethod
+    def _next_id(entry_id: str) -> str:
+        """Exclusive resume point: smallest ID after ``entry_id``."""
+        ms, _, seq = entry_id.partition("-")
+        return f"{ms}-{int(seq) + 1}"
+
+    def drain(self, out_dir: str, max_pages: int | None = None) -> int:
+        os.makedirs(out_dir, exist_ok=True)
+        cur_path = self._cursor_path(out_dir)
+        start = "-"
+        if os.path.exists(cur_path):
+            with open(cur_path) as f:
+                start = self._next_id(f.read().strip())
+        total = page = 0
+        while max_pages is None or page < max_pages:
+            reply = self.client.command(
+                "XRANGE", self.stream, start, "+", "COUNT", str(self.COUNT)
+            )
+            if not reply:
+                break
+            page += 1
+            lines = []
+            for entry_id, fields in reply:
+                body = {"id": entry_id}
+                for i in range(0, len(fields), 2):
+                    body[fields[i]] = fields[i + 1]
+                lines.append(json.dumps(body, sort_keys=True))
+            _stage(out_dir, "redis-stream", page, lines)
+            last_id = reply[-1][0]
+            tmp = cur_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(last_id)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, cur_path)
+            start = self._next_id(last_id)
+            total += len(reply)
+        return total
+
+
+class RedisPubSubBridge:
+    """``redis_pubsub`` input: SUBSCRIBE and stage pushes on arrival.
+
+    Pub/sub has no server-side replay, so this is best-effort by
+    protocol (exactly the reference's guarantee). The drain stops after
+    ``idle_timeout_s`` without a push and CLOSES the connection (a read
+    timeout can abandon a partial frame, so the connection is not
+    reused)."""
+
+    def __init__(self, url_or_client, channels: list[str]):
+        self.client = _client(url_or_client)
+        self.channels = channels
+
+    def drain(
+        self,
+        out_dir: str,
+        max_messages: int | None = None,
+        idle_timeout_s: float = 1.0,
+    ) -> int:
+        client = self.client
+        # one SUBSCRIBE per channel -> exactly one confirmation push each
+        acks = client.pipeline([("SUBSCRIBE", ch) for ch in self.channels])
+        for ack in acks:
+            if not ack or ack[0] != "subscribe":
+                raise RuntimeError(f"unexpected SUBSCRIBE reply: {ack!r}")
+        total = seq = 0
+        try:
+            while max_messages is None or total < max_messages:
+                push = client.read_push(timeout=idle_timeout_s)
+                if push is None:
+                    break
+                if push[0] != "message":
+                    continue  # e.g. late subscribe acks
+                _, channel, payload = push
+                seq += 1
+                _stage(
+                    out_dir,
+                    "redis-pubsub",
+                    seq,
+                    [json.dumps({"channel": channel, "body": payload},
+                                sort_keys=True)],
+                )
+                total += 1
+        finally:
+            client.close()
+        return total
+
+
+def redis_scan_pairs(
+    url_or_client, match: str = "*", count: int = 500
+) -> list[tuple[str, str]]:
+    """``redis_scan`` input: full-keyspace snapshot as (key, value) rows.
+
+    SCAN cursor iteration (guaranteed-terminating per the public SCAN
+    contract) with one pipelined GET wave per page. Feed the result to
+    ``spark.createDataFrame(rows, "key string, value string")``."""
+    client = _client(url_or_client)
+    out: list[tuple[str, str]] = []
+    cursor = "0"
+    while True:
+        cursor, keys = client.command(
+            "SCAN", cursor, "MATCH", match, "COUNT", str(count)
+        )
+        if keys:
+            values = client.pipeline([("GET", k) for k in keys])
+            out.extend(
+                (k, v) for k, v in zip(keys, values) if v is not None
+            )
+        if cursor == "0":
+            return out
