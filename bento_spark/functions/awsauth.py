@@ -29,6 +29,16 @@ def signing_key(secret_key: str, date: str, region: str, service: str) -> bytes:
     return _hmac(k, "aws4_request")
 
 
+def canonical_query(query: dict[str, str] | None) -> str:
+    """Spec §'canonical query string': keys and values URI-encoded
+    (unreserved chars only), pairs sorted by encoded key."""
+    if not query:
+        return ""
+    enc = [(quote(k, safe="-_.~"), quote(str(v), safe="-_.~"))
+           for k, v in query.items()]
+    return "&".join(f"{k}={v}" for k, v in sorted(enc))
+
+
 def sign_request(
     method: str,
     host: str,
@@ -40,10 +50,12 @@ def sign_request(
     region: str,
     service: str,
     amz_date: str,
+    query: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Return ``headers`` plus ``x-amz-date`` and ``Authorization``
     (AWS4-HMAC-SHA256). ``amz_date`` is ``YYYYMMDDTHHMMSSZ`` — passed
-    in, not read from a clock, so signing is a pure function."""
+    in, not read from a clock, so signing is a pure function.
+    ``query`` feeds the canonical query string (S3 list/REST calls)."""
     date = amz_date[:8]
     payload_hash = hashlib.sha256(body).hexdigest()
     all_headers = {**{k.lower(): v for k, v in headers.items()},
@@ -53,8 +65,8 @@ def sign_request(
         f"{k}:{all_headers[k].strip()}\n" for k in sorted(all_headers)
     )
     canonical = "\n".join(
-        [method, quote(path, safe="/-_.~"), "", canonical_headers, signed,
-         payload_hash]
+        [method, quote(path, safe="/-_.~"), canonical_query(query),
+         canonical_headers, signed, payload_hash]
     )
     scope = f"{date}/{region}/{service}/aws4_request"
     to_sign = "\n".join(

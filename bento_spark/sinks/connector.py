@@ -607,6 +607,241 @@ def _redis_hash_transport(conf: dict):
     return T()
 
 
+@register_transport("s3")
+def _s3_transport(conf: dict):
+    """``aws_s3`` output (internal/impl/aws/output_s3.go): one NDJSON
+    object per delivery batch (the reference's batching+archive form)
+    at ``<path_prefix>/part-<partition>-<seq>.ndjson``, PUT through the
+    SigV4-signed S3 REST client. 5xx → retryable DeliveryError; 4xx is
+    a caller error (straight to DLQ)."""
+    from pyspark import TaskContext
+
+    from bento_spark.sources.aws_s3 import S3Client, S3Error
+
+    client = S3Client(
+        conf["endpoint"],
+        conf["bucket"],
+        region=conf.get("region", "us-east-1"),
+        access_key=conf.get("access_key"),
+        secret_key=conf.get("secret_key"),
+    )
+    prefix = conf.get("path_prefix", "out").strip("/")
+
+    class T:
+        def __init__(self):
+            ctx = TaskContext.get()
+            self.pid = ctx.partitionId() if ctx else 0
+            self.seq = 0
+
+        def send(self, batch: list[str]) -> None:
+            key = f"{prefix}/part-{self.pid:05d}-{self.seq:06d}.ndjson"
+            self.seq += 1
+            try:
+                client.put_object(
+                    key, ("\n".join(batch) + "\n").encode("utf-8"),
+                    content_type="application/x-ndjson",
+                )
+            except S3Error as ex:
+                raise DeliveryError(
+                    str(ex), retryable=ex.status >= 500
+                ) from ex
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("kinesis")
+def _kinesis_transport(conf: dict):
+    """``aws_kinesis`` output (internal/impl/aws/output_kinesis.go):
+    PutRecords through the SigV4-signed JSON API, honoring the 500-
+    records-per-call protocol limit. Partition key = a stable hash of
+    the record body (even shard spread) unless ``partition_key_field``
+    names a JSON attribute. Per-record throttles
+    (FailedRecordCount > 0) re-send ONLY the failed records — the
+    API's documented retry contract."""
+    import hashlib as _hl
+    import json as _j
+
+    from bento_spark.sources.aws_kinesis import KinesisClient, KinesisError
+
+    client = KinesisClient(
+        conf["endpoint"],
+        conf["stream"],
+        region=conf.get("region", "us-east-1"),
+        access_key=conf.get("access_key"),
+        secret_key=conf.get("secret_key"),
+    )
+    pk_field = conf.get("partition_key_field")
+
+    def pkey(m: str) -> str:
+        if pk_field:
+            return str(_j.loads(m).get(pk_field, ""))
+        return _hl.sha256(m.encode("utf-8")).hexdigest()[:16]
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            for i in range(0, len(batch), 500):  # PutRecords limit
+                chunk = [(pkey(m), m.encode("utf-8"))
+                         for m in batch[i : i + 500]]
+                for attempt in range(5):
+                    try:
+                        resp = client.put_records(chunk)
+                    except KinesisError as ex:
+                        raise DeliveryError(
+                            str(ex), retryable=ex.status >= 500
+                        ) from ex
+                    if not resp.get("FailedRecordCount"):
+                        break
+                    # keep only the per-record failures for the re-send
+                    chunk = [
+                        rec
+                        for rec, r in zip(chunk, resp["Records"])
+                        if "ErrorCode" in r
+                    ]
+                    time.sleep(0.05 * (attempt + 1))
+                else:
+                    raise DeliveryError(
+                        f"kinesis: {len(chunk)} records still throttled",
+                        retryable=True,
+                    )
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("kinesis_firehose")
+def _firehose_transport(conf: dict):
+    """``aws_kinesis_firehose`` output
+    (internal/impl/aws/output_kinesis_firehose.go): PutRecordBatch
+    (Firehose_20150804) with the same 500-record limit and per-record
+    failure re-send loop as kinesis. Records are newline-terminated so
+    the delivery stream concatenates to valid NDJSON."""
+    import base64 as _b64
+
+    from bento_spark.sources.aws_kinesis import KinesisError, _aws_json
+    from urllib.parse import urlparse
+
+    endpoint = conf["endpoint"].rstrip("/")
+    host = urlparse(endpoint).netloc
+    stream = conf["stream"]
+    kw = dict(
+        region=conf.get("region", "us-east-1"),
+        service="firehose",
+        access_key=conf.get("access_key")
+        or os.environ.get("AWS_ACCESS_KEY_ID", "local"),
+        secret_key=conf.get("secret_key")
+        or os.environ.get("AWS_SECRET_ACCESS_KEY", "local"),
+    )
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            for i in range(0, len(batch), 500):  # PutRecordBatch limit
+                recs = [
+                    {"Data": _b64.b64encode(
+                        (m + "\n").encode("utf-8")).decode("ascii")}
+                    for m in batch[i : i + 500]
+                ]
+                for attempt in range(5):
+                    try:
+                        resp = _aws_json(
+                            endpoint, host,
+                            "Firehose_20150804.PutRecordBatch",
+                            {"DeliveryStreamName": stream,
+                             "Records": recs},
+                            **kw,
+                        )
+                    except KinesisError as ex:
+                        raise DeliveryError(
+                            str(ex), retryable=ex.status >= 500
+                        ) from ex
+                    if not resp.get("FailedPutCount"):
+                        break
+                    recs = [
+                        rec
+                        for rec, r in zip(
+                            recs, resp["RequestResponses"]
+                        )
+                        if "ErrorCode" in r
+                    ]
+                    time.sleep(0.05 * (attempt + 1))
+                else:
+                    raise DeliveryError(
+                        f"firehose: {len(recs)} records still failing",
+                        retryable=True,
+                    )
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("sns")
+def _sns_transport(conf: dict):
+    """``aws_sns`` output (internal/impl/aws/output_sns.go): one
+    Publish per message through SNS's Query protocol (form-encoded
+    ``Action=Publish``, XML reply), SigV4-signed. SNS has no batch
+    publish in the Query API, so a delivery batch is a loop of signed
+    POSTs on one connection-per-partition."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from bento_spark.functions.awsauth import sign_request
+
+    endpoint = conf["endpoint"].rstrip("/")
+    host = urllib.parse.urlparse(endpoint).netloc
+    topic_arn = conf["topic_arn"]
+    region = conf.get("region", "us-east-1")
+    access = conf.get("access_key") or os.environ.get(
+        "AWS_ACCESS_KEY_ID", "local"
+    )
+    secret = conf.get("secret_key") or os.environ.get(
+        "AWS_SECRET_ACCESS_KEY", "local"
+    )
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            for m in batch:
+                body = urllib.parse.urlencode(
+                    {
+                        "Action": "Publish",
+                        "Version": "2010-03-31",
+                        "TopicArn": topic_arn,
+                        "Message": m,
+                    }
+                ).encode("utf-8")
+                amz = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+                headers = sign_request(
+                    "POST", host, "/",
+                    {"content-type":
+                     "application/x-www-form-urlencoded"},
+                    body, access, secret, region, "sns", amz,
+                )
+                req = urllib.request.Request(
+                    endpoint + "/", data=body, headers=headers,
+                    method="POST",
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=30):  # noqa: S310
+                        pass
+                except urllib.error.HTTPError as e:
+                    raise DeliveryError(
+                        f"sns HTTP {e.code}: "
+                        f"{e.read().decode()[:200]}",
+                        retryable=e.code >= 500,
+                    ) from e
+
+        def close(self):
+            pass
+
+    return T()
+
+
 @register_transport("sqs")
 def _sqs_transport(conf: dict):
     """``aws_sqs`` output (internal/impl/aws/output_sqs.go):
