@@ -607,6 +607,310 @@ def _redis_hash_transport(conf: dict):
     return T()
 
 
+@register_transport("duckdb_append")
+def _duckdb_transport(conf: dict):
+    """``duckdb_append`` output (internal/impl/duckdb/output.go,
+    Appender API): REAL — duckdb ships in-container. Each delivery
+    batch appends parsed JSON rows to ``table`` (created from
+    ``columns`` on first write) in the database file at ``path``.
+
+    DuckDB allows ONE read-write process per file, and Spark partitions
+    deliver in parallel — so each append takes an exclusive flock on a
+    sidecar lock file and opens/closes the connection inside it.
+    Parallel partitions serialize on the lock: correct single-writer
+    semantics, documented cost. At scale, point each partition at its
+    own file (path pattern) or coalesce(1) upstream."""
+    import json as _j
+
+    path = conf["path"]
+    table = conf["table"]
+    columns = conf["columns"]  # ordered names; JSON rows supply values
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            import fcntl
+
+            import duckdb
+
+            rows = [
+                tuple(_j.loads(m).get(c) for c in columns) for m in batch
+            ]
+            with open(path + ".lock", "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                con = duckdb.connect(path)
+                try:
+                    cols = ", ".join(f'"{c}"' for c in columns)
+                    con.execute(
+                        f'CREATE TABLE IF NOT EXISTS "{table}" ('
+                        + ", ".join(f'"{c}" VARCHAR' for c in columns)
+                        + ")"
+                    )
+                    ph = ", ".join("?" for _ in columns)
+                    con.executemany(
+                        f'INSERT INTO "{table}" ({cols}) VALUES ({ph})',
+                        [tuple(None if v is None else str(v) for v in r)
+                         for r in rows],
+                    )
+                finally:
+                    con.close()
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("slack_webhook")
+def _slack_webhook_transport(conf: dict):
+    """``slack_webhook`` output (internal/impl/slack/output_webhook.go):
+    one ``{"text": ...}`` POST per message to the incoming-webhook URL.
+    Slack rate-limits with 429 → retryable."""
+    import urllib.error
+    import urllib.request
+
+    url = conf["webhook"]
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            for m in batch:
+                body = _json.dumps({"text": m}).encode("utf-8")
+                req = urllib.request.Request(
+                    url, data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=30):  # noqa: S310
+                        pass
+                except urllib.error.HTTPError as e:
+                    raise DeliveryError(
+                        f"slack HTTP {e.code}",
+                        retryable=e.code == 429 or e.code >= 500,
+                    ) from e
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("datadog_logs")
+def _datadog_logs_transport(conf: dict):
+    """``datadog_logs`` output (internal/impl/datadog/output_logs.go):
+    one gzip'd JSON-array POST per batch to /api/v2/logs with the
+    DD-API-KEY header — the log-intake public API shape, batch-level
+    like the reference's batching policy."""
+    import gzip as _gz
+    import urllib.error
+    import urllib.request
+
+    endpoint = conf["endpoint"].rstrip("/")
+    api_key = conf.get("api_key", "")
+    meta = {
+        k: conf[k]
+        for k in ("source", "service", "hostname")
+        if conf.get(k)
+    }
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            events = [
+                {"message": m,
+                 **({"ddsource": meta["source"]} if "source" in meta else {}),
+                 **({"service": meta["service"]} if "service" in meta else {}),
+                 **({"hostname": meta["hostname"]} if "hostname" in meta else {})}
+                for m in batch
+            ]
+            body = _gz.compress(_json.dumps(events).encode("utf-8"))
+            req = urllib.request.Request(
+                endpoint + "/api/v2/logs", data=body,
+                headers={
+                    "Content-Type": "application/json",
+                    "Content-Encoding": "gzip",
+                    "DD-API-KEY": api_key,
+                },
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=30):  # noqa: S310
+                    pass
+            except urllib.error.HTTPError as e:
+                raise DeliveryError(
+                    f"datadog HTTP {e.code}",
+                    retryable=e.code == 429 or e.code >= 500,
+                ) from e
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("splunk_hec")
+def _splunk_hec_transport(conf: dict):
+    """``splunk_hec`` output (internal/impl/splunk/output.go): one POST
+    per batch of concatenated ``{"event": ...}`` objects to the HTTP
+    Event Collector with ``Authorization: Splunk <token>`` — HEC's
+    documented multi-event body format."""
+    import urllib.error
+    import urllib.request
+
+    url = conf["url"].rstrip("/")
+    token = conf["token"]
+    extra = {
+        k: conf[f"event_{k}"]
+        for k in ("host", "source", "sourcetype", "index")
+        if conf.get(f"event_{k}")
+    }
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            body = "".join(
+                _json.dumps({"event": m, **extra}) for m in batch
+            ).encode("utf-8")
+            req = urllib.request.Request(
+                url + "/services/collector/event", data=body,
+                headers={"Authorization": f"Splunk {token}"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=30):  # noqa: S310
+                    pass
+            except urllib.error.HTTPError as e:
+                raise DeliveryError(
+                    f"splunk HTTP {e.code}",
+                    retryable=e.code == 429 or e.code >= 500,
+                ) from e
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("pusher")
+def _pusher_transport(conf: dict):
+    """``pusher`` output (internal/impl/pusher/output.go): POSTs events
+    to /apps/<app_id>/events with Pusher's REAL HMAC request auth (the
+    public scheme: body_md5 + auth_* query params, signature =
+    HMAC-SHA256 over ``POST\\n<path>\\n<sorted query>``) — the test
+    server verifies it by recomputation. Events batch 10 per call (the
+    API's batch limit)."""
+    import hashlib as _hl
+    import hmac as _hmac
+    import urllib.error
+    import urllib.request
+
+    endpoint = conf["endpoint"].rstrip("/")
+    app_id = conf["app_id"]
+    key, secret = conf["key"], conf["secret"]
+    channel, event = conf["channel"], conf["event"]
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            for i in range(0, len(batch), 10):  # events API batch limit
+                body = _json.dumps(
+                    {
+                        "batch": [
+                            {"name": event, "channel": channel, "data": m}
+                            for m in batch[i : i + 10]
+                        ]
+                    }
+                ).encode("utf-8")
+                path = f"/apps/{app_id}/batch_events"
+                params = {
+                    "auth_key": key,
+                    "auth_timestamp": str(int(time.time())),
+                    "auth_version": "1.0",
+                    "body_md5": _hl.md5(body).hexdigest(),
+                }
+                qs = "&".join(
+                    f"{k}={params[k]}" for k in sorted(params)
+                )
+                to_sign = f"POST\n{path}\n{qs}"
+                sig = _hmac.new(
+                    secret.encode(), to_sign.encode(), _hl.sha256
+                ).hexdigest()
+                req = urllib.request.Request(
+                    f"{endpoint}{path}?{qs}&auth_signature={sig}",
+                    data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=30):  # noqa: S310
+                        pass
+                except urllib.error.HTTPError as e:
+                    raise DeliveryError(
+                        f"pusher HTTP {e.code}",
+                        retryable=e.code >= 500,
+                    ) from e
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("questdb")
+def _questdb_transport(conf: dict):
+    """``questdb`` output (internal/impl/questdb/output.go): InfluxDB
+    Line Protocol over TCP — the ingestion path QuestDB documents.
+    Each JSON row becomes one ILP line (``table col1="s",col2=1i``);
+    strings are quote-escaped, ints get the ``i`` suffix, bools t/f,
+    name chars escaped per the ILP spec. One socket write per batch,
+    server-assigned timestamps."""
+    import socket as _socket
+
+    host, port = conf["address"].rsplit(":", 1)
+    table = conf["table"]
+
+    def _escape_name(s: str) -> str:
+        return (
+            s.replace("\\", "\\\\").replace(",", "\\,")
+            .replace(" ", "\\ ").replace("=", "\\=")
+        )
+
+    def _field(v) -> str | None:
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "t" if v else "f"
+        if isinstance(v, int):
+            return f"{v}i"
+        if isinstance(v, float):
+            return repr(v)
+        s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+        return f'"{s}"'
+
+    class T:
+        def __init__(self):
+            self.sock = _socket.create_connection(
+                (host, int(port)), timeout=30
+            )
+
+        def send(self, batch: list[str]) -> None:
+            lines = []
+            for m in batch:
+                row = _json.loads(m)
+                fields = ",".join(
+                    f"{_escape_name(k)}={f}"
+                    for k, v in row.items()
+                    if (f := _field(v)) is not None
+                )
+                if fields:
+                    lines.append(f"{_escape_name(table)} {fields}\n")
+            try:
+                self.sock.sendall("".join(lines).encode("utf-8"))
+            except OSError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            self.sock.close()
+
+    return T()
+
+
 @register_transport("s3")
 def _s3_transport(conf: dict):
     """``aws_s3`` output (internal/impl/aws/output_s3.go): one NDJSON
