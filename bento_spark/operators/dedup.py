@@ -63,6 +63,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         n_files = 0
     if n_files >= par:
         return df
+    # A plan that already redistributes (an upstream repartition from a
+    # caller, or any shuffle-producing join/aggregate) is genuinely
+    # spread regardless of file count — stacking another exchange on it
+    # would shuffle the (often UDF-widened) intermediate a second time.
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if "Repartition" in plan or "Join" in plan or "Aggregate" in plan:
+            return df
+    except Exception:
+        pass
     return df.repartition(par)
 
 
