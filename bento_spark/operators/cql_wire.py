@@ -1,0 +1,251 @@
+"""Cassandra CQL native-protocol v4 client — pure stdlib sockets.
+
+Reference components: ``cassandra`` input (run a CQL query, stream the
+rows) and ``cassandra`` output (batched INSERTs) —
+internal/impl/cassandra/output.go. This implements the public protocol
+spec (native_protocol_v4.spec in the Cassandra source tree): the
+9-byte frame header (version 0x04/0x84, flags, stream id, opcode,
+length), STARTUP/READY handshake, QUERY with CONSISTENCY, and RESULT
+decoding — Rows results with full column-spec metadata and per-type
+value decoding; NOT a wrapper over the DataStax driver (absent in this
+container).
+
+Writes use one ``BEGIN UNLOGGED BATCH … APPLY BATCH`` QUERY frame per
+delivery batch with client-side literal quoting (same adaptation as
+the postgres transport — no prepared-statement round trip per batch),
+so a Spark partition's batch is one frame each way. Tested against an
+in-process frame-decoding server (tests/test_cql_wire.py).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+# opcodes (spec §2.4)
+OP_ERROR = 0x00
+OP_STARTUP = 0x01
+OP_READY = 0x02
+OP_AUTHENTICATE = 0x03
+OP_QUERY = 0x07
+OP_RESULT = 0x08
+
+# result kinds (§4.2.5)
+RESULT_VOID = 0x0001
+RESULT_ROWS = 0x0002
+RESULT_SET_KEYSPACE = 0x0003
+
+# CQL type option ids (§4.2.5.2)
+TYPE_ASCII = 0x0001
+TYPE_BIGINT = 0x0002
+TYPE_BLOB = 0x0003
+TYPE_BOOLEAN = 0x0004
+TYPE_DOUBLE = 0x0007
+TYPE_FLOAT = 0x0008
+TYPE_INT = 0x0009
+TYPE_TIMESTAMP = 0x000B
+TYPE_VARCHAR = 0x000D
+TYPE_SMALLINT = 0x0013
+TYPE_TINYINT = 0x0014
+
+CONSISTENCY_QUORUM = 0x0004
+CONSISTENCY_ONE = 0x0001
+
+
+class CqlError(RuntimeError):
+    def __init__(self, code: int, message: str):
+        super().__init__(f"cql error 0x{code:04x}: {message}")
+        self.code = code
+
+
+def _decode_value(type_id: int, data: bytes | None):
+    if data is None:
+        return None
+    if type_id in (TYPE_ASCII, TYPE_VARCHAR):
+        return data.decode("utf-8")
+    if type_id in (TYPE_BIGINT, TYPE_TIMESTAMP):
+        return struct.unpack(">q", data)[0]
+    if type_id == TYPE_INT:
+        return struct.unpack(">i", data)[0]
+    if type_id == TYPE_SMALLINT:
+        return struct.unpack(">h", data)[0]
+    if type_id == TYPE_TINYINT:
+        return struct.unpack(">b", data)[0]
+    if type_id == TYPE_BOOLEAN:
+        return data != b"\x00"
+    if type_id == TYPE_DOUBLE:
+        return struct.unpack(">d", data)[0]
+    if type_id == TYPE_FLOAT:
+        return struct.unpack(">f", data)[0]
+    return data  # blob / unmapped types stay raw
+
+
+def quote_literal(v) -> str:
+    """Client-side CQL literal (single-quote doubling, like the pgwire
+    transport) — lets one BATCH frame carry a whole delivery batch."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+class CqlClient:
+    def __init__(
+        self, host: str = "localhost", port: int = 9042,
+        timeout: float = 30.0,
+    ):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self._stream = 0
+        self._startup()
+
+    # -- framing (§2) -----------------------------------------------------
+    def _send_frame(self, opcode: int, body: bytes) -> int:
+        self._stream = (self._stream + 1) % 32768
+        header = struct.pack(
+            ">BBhBI", 0x04, 0x00, self._stream, opcode, len(body)
+        )
+        self._sock.sendall(header + body)
+        return self._stream
+
+    def _read_frame(self) -> tuple[int, int, bytes]:
+        header = self._rfile.read(9)
+        if len(header) != 9:
+            raise ConnectionError("cql connection closed mid-frame")
+        version, _flags, stream, opcode, length = struct.unpack(
+            ">BBhBI", header
+        )
+        if version != 0x84:
+            raise CqlError(0, f"unexpected response version 0x{version:02x}")
+        body = self._rfile.read(length)
+        if len(body) != length:
+            raise ConnectionError("cql connection closed mid-body")
+        return stream, opcode, body
+
+    # -- primitives (§3) --------------------------------------------------
+    @staticmethod
+    def _string(s: str) -> bytes:
+        b = s.encode("utf-8")
+        return struct.pack(">H", len(b)) + b
+
+    @staticmethod
+    def _long_string(s: str) -> bytes:
+        b = s.encode("utf-8")
+        return struct.pack(">I", len(b)) + b
+
+    @staticmethod
+    def _read_string(body: bytes, off: int) -> tuple[str, int]:
+        (n,) = struct.unpack_from(">H", body, off)
+        off += 2
+        return body[off : off + n].decode("utf-8"), off + n
+
+    @staticmethod
+    def _read_bytes(body: bytes, off: int) -> tuple[bytes | None, int]:
+        (n,) = struct.unpack_from(">i", body, off)
+        off += 4
+        if n < 0:
+            return None, off
+        return body[off : off + n], off + n
+
+    # -- handshake (§4.1.1) ----------------------------------------------
+    def _startup(self) -> None:
+        opts = {"CQL_VERSION": "3.0.0"}
+        body = struct.pack(">H", len(opts))
+        for k, v in opts.items():
+            body += self._string(k) + self._string(v)
+        self._send_frame(OP_STARTUP, body)
+        _, opcode, rbody = self._read_frame()
+        if opcode == OP_ERROR:
+            self._raise_error(rbody)
+        if opcode == OP_AUTHENTICATE:
+            raise CqlError(0, "server requires authentication (not configured)")
+        if opcode != OP_READY:
+            raise CqlError(0, f"unexpected startup opcode 0x{opcode:02x}")
+
+    def _raise_error(self, body: bytes):
+        (code,) = struct.unpack_from(">i", body, 0)
+        msg, _ = self._read_string(body, 4)
+        raise CqlError(code, msg)
+
+    # -- query (§4.1.4 / §4.2.5) -----------------------------------------
+    def execute(
+        self, query: str, consistency: int = CONSISTENCY_ONE
+    ) -> list[dict]:
+        body = self._long_string(query) + struct.pack(
+            ">HB", consistency, 0x00
+        )
+        self._send_frame(OP_QUERY, body)
+        _, opcode, rbody = self._read_frame()
+        if opcode == OP_ERROR:
+            self._raise_error(rbody)
+        if opcode != OP_RESULT:
+            raise CqlError(0, f"unexpected opcode 0x{opcode:02x}")
+        (kind,) = struct.unpack_from(">i", rbody, 0)
+        if kind != RESULT_ROWS:
+            return []
+        off = 4
+        (flags,) = struct.unpack_from(">i", rbody, off)
+        off += 4
+        (col_count,) = struct.unpack_from(">i", rbody, off)
+        off += 4
+        global_spec = bool(flags & 0x0001)
+        if global_spec:
+            _, off = self._read_string(rbody, off)  # keyspace
+            _, off = self._read_string(rbody, off)  # table
+        cols: list[tuple[str, int]] = []
+        for _ in range(col_count):
+            if not global_spec:
+                _, off = self._read_string(rbody, off)
+                _, off = self._read_string(rbody, off)
+            name, off = self._read_string(rbody, off)
+            (type_id,) = struct.unpack_from(">H", rbody, off)
+            off += 2
+            cols.append((name, type_id))
+        (row_count,) = struct.unpack_from(">i", rbody, off)
+        off += 4
+        rows = []
+        for _ in range(row_count):
+            row = {}
+            for name, type_id in cols:
+                data, off = self._read_bytes(rbody, off)
+                row[name] = _decode_value(type_id, data)
+            rows.append(row)
+        return rows
+
+    def insert_batch(
+        self, table: str, columns: list[str], rows: list[list]
+    ) -> None:
+        """One UNLOGGED BATCH frame per delivery batch (unlogged =
+        the reference output's default batch type for throughput)."""
+        if not rows:
+            return
+        stmts = [
+            f"INSERT INTO {table} ({', '.join(columns)}) VALUES "
+            f"({', '.join(quote_literal(v) for v in r)})"
+            for r in rows
+        ]
+        self.execute(
+            "BEGIN UNLOGGED BATCH " + "; ".join(stmts) + "; APPLY BATCH"
+        )
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()
+
+
+def cassandra_rows(
+    host: str, port: int, query: str
+) -> list[dict]:
+    """``cassandra`` input: run one CQL query, return plain dict rows
+    for ``spark.createDataFrame``. Bounded-result semantics (dimension
+    loads / enrichment tables) — large scans belong on object storage."""
+    client = CqlClient(host, port)
+    try:
+        return client.execute(query)
+    finally:
+        client.close()

@@ -607,6 +607,46 @@ def _redis_hash_transport(conf: dict):
     return T()
 
 
+@register_transport("cassandra")
+def _cassandra_transport(conf: dict):
+    """``cassandra`` output (internal/impl/cassandra/output.go): one
+    UNLOGGED BATCH of INSERTs per delivery batch over the from-scratch
+    CQL native-protocol v4 client (operators/cql_wire.py). Row values
+    come from JSON attributes named by ``columns`` with client-side
+    literal quoting. Unavailable/Overloaded/WriteTimeout/ReadTimeout
+    error codes (0x1000/0x1001/0x1100/0x1200) are the protocol's
+    transients → retryable."""
+    import json as _j
+
+    from bento_spark.operators.cql_wire import CqlClient, CqlError
+
+    RETRIABLE = {0x1000, 0x1001, 0x1100, 0x1200}
+    client = CqlClient(
+        conf.get("host", "localhost"), int(conf.get("port", 9042))
+    )
+    table = conf["table"]
+    columns = conf["columns"]
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            rows = [
+                [_j.loads(m).get(c) for c in columns] for m in batch
+            ]
+            try:
+                client.insert_batch(table, columns, rows)
+            except CqlError as ex:
+                raise DeliveryError(
+                    str(ex), retryable=ex.code in RETRIABLE
+                ) from ex
+            except ConnectionError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            client.close()
+
+    return T()
+
+
 @register_transport("duckdb_append")
 def _duckdb_transport(conf: dict):
     """``duckdb_append`` output (internal/impl/duckdb/output.go,
