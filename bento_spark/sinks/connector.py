@@ -951,6 +951,83 @@ def _questdb_transport(conf: dict):
     return T()
 
 
+def _object_put_transport(client, prefix: str):
+    """One NDJSON object per delivery batch at
+    ``<prefix>/part-<partition>-<seq>.ndjson`` — the batching+archive
+    form every object-store output shares (s3 / gcp_cloud_storage /
+    azure_blob_storage / hdfs). 5xx → retryable DeliveryError."""
+    from pyspark import TaskContext
+
+    from bento_spark.sources.objectstore import ObjectStoreError
+
+    class T:
+        def __init__(self):
+            ctx = TaskContext.get()
+            self.pid = ctx.partitionId() if ctx else 0
+            self.seq = 0
+
+        def send(self, batch: list[str]) -> None:
+            key = f"{prefix}/part-{self.pid:05d}-{self.seq:06d}.ndjson"
+            self.seq += 1
+            try:
+                client.put_object(
+                    key, ("\n".join(batch) + "\n").encode("utf-8"),
+                    content_type="application/x-ndjson",
+                )
+            except ObjectStoreError as ex:
+                raise DeliveryError(
+                    str(ex), retryable=ex.status >= 500
+                ) from ex
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("gcp_cloud_storage")
+def _gcs_transport(conf: dict):
+    """``gcp_cloud_storage`` output
+    (internal/impl/gcp/output_cloud_storage.go): media upload through
+    the public JSON API (sources/objectstore.GcsClient) — emulator
+    no-auth contract, injectable bearer-token provider for real GCP."""
+    from bento_spark.sources.objectstore import GcsClient
+
+    client = GcsClient(
+        conf["endpoint"], conf["bucket"],
+        token_provider=conf.get("token_provider"),
+    )
+    return _object_put_transport(client, conf.get("path_prefix", "out"))
+
+
+@register_transport("azure_blob_storage")
+def _azure_blob_transport(conf: dict):
+    """``azure_blob_storage`` output
+    (internal/impl/azure/output_blob_storage.go): Put Blob
+    (BlockBlob) with REAL Shared Key signing on every request
+    (sources/objectstore.AzureBlobClient)."""
+    from bento_spark.sources.objectstore import AzureBlobClient
+
+    client = AzureBlobClient(
+        conf["endpoint"], conf["account"], conf["key"], conf["container"]
+    )
+    return _object_put_transport(client, conf.get("path_prefix", "out"))
+
+
+@register_transport("hdfs")
+def _hdfs_transport(conf: dict):
+    """``hdfs`` output (internal/impl/hdfs/output.go): CREATE through
+    the public WebHDFS REST API incl. the namenode's two-step 307
+    redirect (sources/objectstore.WebHdfsClient)."""
+    from bento_spark.sources.objectstore import WebHdfsClient
+
+    client = WebHdfsClient(
+        conf["endpoint"], conf.get("base_path", "/"),
+        user=conf.get("user", "spark"),
+    )
+    return _object_put_transport(client, conf.get("path_prefix", "out"))
+
+
 @register_transport("s3")
 def _s3_transport(conf: dict):
     """``aws_s3`` output (internal/impl/aws/output_s3.go): one NDJSON

@@ -148,48 +148,15 @@ class S3Bridge:
     Non-destructive and replayable by nature (objects persist); an
     ETag manifest (``.s3-manifest`` in the staging dir, atomically
     rewritten) makes re-drains incremental — only new or changed
-    objects are downloaded, the reference's poll-a-bucket loop."""
+    objects are downloaded, the reference's poll-a-bucket loop. The
+    mirroring itself is the shared ObjectStoreBridge
+    (sources/objectstore.py), same as the GCS/Azure-blob/HDFS inputs."""
 
     def __init__(self, client: S3Client):
+        from bento_spark.sources.objectstore import ObjectStoreBridge
+
+        self._bridge = ObjectStoreBridge(client, manifest_name=".s3-manifest")
         self.client = client
 
-    def _manifest_path(self, out_dir: str) -> str:
-        return os.path.join(out_dir, ".s3-manifest")
-
-    def _load_manifest(self, out_dir: str) -> dict[str, str]:
-        path = self._manifest_path(out_dir)
-        seen: dict[str, str] = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                for line in f:
-                    key, _, etag = line.rstrip("\n").rpartition("\t")
-                    if key:
-                        seen[key] = etag
-        return seen
-
     def drain(self, out_dir: str, prefix: str = "") -> int:
-        os.makedirs(out_dir, exist_ok=True)
-        seen = self._load_manifest(out_dir)
-        n = 0
-        for obj in self.client.list_objects(prefix):
-            key, etag = obj["key"], obj["etag"]
-            if seen.get(key) == etag:
-                continue
-            data = self.client.get_object(key)
-            local = os.path.join(out_dir, key.replace("/", "__"))
-            tmp = local + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, local)
-            seen[key] = etag
-            n += 1
-        mtmp = self._manifest_path(out_dir) + ".tmp"
-        with open(mtmp, "w") as f:
-            for key, etag in sorted(seen.items()):
-                f.write(f"{key}\t{etag}\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(mtmp, self._manifest_path(out_dir))
-        return n
+        return self._bridge.drain(out_dir, prefix)
