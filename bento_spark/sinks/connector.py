@@ -607,6 +607,78 @@ def _redis_hash_transport(conf: dict):
     return T()
 
 
+@register_transport("socket")
+def _socket_transport(conf: dict):
+    """``socket`` output (internal/impl/io/output_socket.go): newline-
+    framed writes over one TCP connection per Spark partition
+    (sources/socket_input.SocketWriter). Connection failures are
+    transient by nature → retryable."""
+    from bento_spark.sources.socket_input import SocketWriter
+
+    writer = SocketWriter(
+        conf.get("host", "localhost"), int(conf["port"])
+    )
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            try:
+                writer.send_lines(batch)
+            except OSError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            writer.close()
+
+    return T()
+
+
+def _kv_store_transport(conf: dict):
+    """Shared shape for the store-keyed outputs (``elasticsearch`` /
+    ``opensearch`` / ``mongodb`` / ``aws_dynamodb`` / ``cache``,
+    internal/impl/{elasticsearch,mongodb,aws,pure}/output_*.go): each
+    JSON row upserts under the id taken from its ``key_field``
+    attribute (the reference interpolates document ids the same way),
+    value = the full row. Rides the kvstore URL factory, so every REAL
+    protocol client behind it (ES `_bulk`, Mongo OP_MSG upserts,
+    DynamoDB BatchWriteItem, redis/memcached/sqlite) is a valid
+    destination; write failures surface per the client's error model
+    and route retryable."""
+    import json as _j
+
+    from bento_spark.operators.kvstore import _client_from_url
+
+    client = _client_from_url(conf["url"])
+    key_field = conf.get("key_field", "id")
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            pairs = []
+            for m in batch:
+                row = _j.loads(m)
+                if key_field not in row:
+                    raise DeliveryError(
+                        f"kv output: row missing key_field {key_field!r}",
+                        retryable=False,
+                    )
+                pairs.append((str(row[key_field]), m))
+            try:
+                client.mset(pairs)
+            except ConnectionError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+            except RuntimeError as ex:
+                raise DeliveryError(str(ex), retryable=False) from ex
+
+        def close(self):
+            client.close()
+
+    return T()
+
+
+for _name in ("elasticsearch", "opensearch", "mongodb", "aws_dynamodb",
+              "cache"):
+    register_transport(_name)(_kv_store_transport)
+
+
 @register_transport("cassandra")
 def _cassandra_transport(conf: dict):
     """``cassandra`` output (internal/impl/cassandra/output.go): one

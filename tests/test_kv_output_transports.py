@@ -1,0 +1,64 @@
+"""Store-keyed output transports (elasticsearch / opensearch / mongodb
+/ aws_dynamodb / cache) — rows upsert under their key_field id through
+the kvstore URL factory. Exercised against the sqlite and memory
+backends (the protocol clients behind es:// mongodb:// dynamodb://
+redis:// have their own wire tests); covers the missing-key error
+route and a Spark deliver() end-to-end."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bento_spark.operators.kvstore import SqliteKV
+from bento_spark.sinks.connector import TRANSPORTS, DeliveryError
+
+
+def test_upserts_by_key_field(tmp_path):
+    db = str(tmp_path / "kv.db")
+    t = TRANSPORTS["elasticsearch"](
+        {"url": f"sqlite://{db}", "key_field": "doc"}
+    )
+    rows = [json.dumps({"doc": f"d{i}", "v": i}) for i in range(3)]
+    t.send(rows)
+    # same id again -> overwrite, not duplicate
+    t.send([json.dumps({"doc": "d1", "v": 99})])
+    t.close()
+    kv = SqliteKV(db)
+    assert kv.mget(["d0", "d1", "d2"]) == [
+        rows[0],
+        json.dumps({"doc": "d1", "v": 99}),
+        rows[2],
+    ]
+    kv.close()
+
+
+def test_missing_key_field_not_retryable():
+    t = TRANSPORTS["mongodb"]({"url": "memory://"})
+    with pytest.raises(DeliveryError) as ei:
+        t.send([json.dumps({"nope": 1})])
+    assert not ei.value.retryable
+    t.close()
+
+
+def test_all_five_names_registered():
+    for name in ("elasticsearch", "opensearch", "mongodb",
+                 "aws_dynamodb", "cache"):
+        assert name in TRANSPORTS
+
+
+def test_deliver_end_to_end(spark, tmp_path):
+    from bento_spark.sinks.connector import deliver
+
+    db = str(tmp_path / "sink.db")
+    df = spark.range(25).selectExpr(
+        "cast(id as string) AS id", "id * 2 AS double"
+    )
+    stats = deliver(
+        df, "cache", {"url": f"sqlite://{db}"}, batch_size=10
+    )
+    assert stats["delivered"] == 25
+    kv = SqliteKV(db)
+    assert json.loads(kv.mget(["7"])[0])["double"] == 14
+    kv.close()

@@ -1,0 +1,156 @@
+"""socket / socket_server / stdin / file_tail inputs and the socket
+output transport — real TCP sockets, durable staging, the file-tail
+byte cursor (partial trailing line, crash redelivery, truncation
+reset)."""
+
+from __future__ import annotations
+
+import io
+import os
+import socket
+import threading
+import time
+
+from bento_spark.sinks.connector import TRANSPORTS
+from bento_spark.sources.socket_input import (
+    FileTailBridge,
+    SocketIngestServer,
+    socket_drain,
+    stdin_drain,
+)
+
+
+def _staged(out_dir) -> list[str]:
+    lines = []
+    for f in sorted(os.listdir(out_dir)):
+        if f.startswith("."):
+            continue
+        lines.extend(
+            open(os.path.join(out_dir, f)).read().splitlines()
+        )
+    return lines
+
+
+# -- socket_server input --------------------------------------------------
+
+
+def test_socket_server_stages_connections(tmp_path):
+    out = str(tmp_path / "staged")
+    srv = SocketIngestServer(out)
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port)) as s:
+            s.sendall(b"one\ntwo\n")
+        with socket.create_connection(("127.0.0.1", srv.port)) as s:
+            s.sendall(b"three\n")
+        deadline = time.time() + 3
+        while time.time() < deadline and len(
+            _staged(out) if os.path.isdir(out) else []
+        ) < 3:
+            time.sleep(0.02)
+    finally:
+        srv.stop()
+    assert sorted(_staged(out)) == ["one", "three", "two"]
+
+
+# -- socket (client) input ------------------------------------------------
+
+
+def test_socket_drain_reads_until_eof(tmp_path):
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+
+    def serve():
+        conn, _ = lsock.accept()
+        conn.sendall(b"a\nb\nc\n")
+        conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    out = str(tmp_path / "staged")
+    n = socket_drain("127.0.0.1", port, out)
+    lsock.close()
+    assert n == 3
+    assert _staged(out) == ["a", "b", "c"]
+
+
+# -- stdin input ----------------------------------------------------------
+
+
+def test_stdin_drain_batches(tmp_path):
+    out = str(tmp_path / "staged")
+    stream = io.StringIO("".join(f"line-{i}\n" for i in range(600)))
+    assert stdin_drain(stream, out) == 600
+    assert len(_staged(out)) == 600
+    # 600 lines over batch=256 -> 3 staged files
+    files = [f for f in os.listdir(out) if not f.startswith(".")]
+    assert len(files) == 3
+
+
+# -- file_tail input ------------------------------------------------------
+
+
+def test_file_tail_cursor_and_partial_line(tmp_path):
+    log = tmp_path / "app.log"
+    out = str(tmp_path / "staged")
+    log.write_text("l1\nl2\npartial")
+    bridge = FileTailBridge(str(log))
+    assert bridge.drain(out) == 2  # partial line NOT staged
+    assert _staged(out) == ["l1", "l2"]
+    # the partial line completes + one more
+    with open(log, "a") as f:
+        f.write("-done\nl3\n")
+    assert bridge.drain(out) == 2
+    assert _staged(out) == ["l1", "l2", "partial-done", "l3"]
+    # nothing new
+    assert bridge.drain(out) == 0
+
+
+def test_file_tail_crash_redelivers(tmp_path):
+    log = tmp_path / "a.log"
+    out = tmp_path / "staged"
+    log.write_text("x\n")
+    bridge = FileTailBridge(str(log))
+    bridge.drain(str(out))
+    (out / f".cursor-tail-a.log").unlink()  # crash before cursor write
+    assert bridge.drain(str(out)) == 1  # at-least-once redelivery
+
+
+def test_file_tail_truncation_resets(tmp_path):
+    log = tmp_path / "b.log"
+    out = str(tmp_path / "staged")
+    log.write_text("old1\nold2\n")
+    bridge = FileTailBridge(str(log))
+    assert bridge.drain(out) == 2
+    log.write_text("new\n")  # rotation: file shrank below cursor
+    assert bridge.drain(out) == 1
+    assert _staged(out)[-1] == "new"
+
+
+# -- socket output transport ----------------------------------------------
+
+
+def test_socket_transport_line_framing(tmp_path):
+    received: list[bytes] = []
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+
+    def serve():
+        conn, _ = lsock.accept()
+        while True:
+            data = conn.recv(4096)
+            if not data:
+                break
+            received.append(data)
+        conn.close()
+
+    t_thread = threading.Thread(target=serve, daemon=True)
+    t_thread.start()
+    t = TRANSPORTS["socket"]({"host": "127.0.0.1", "port": port})
+    t.send(['{"a":1}', "with\nnewline"])
+    t.close()
+    t_thread.join(timeout=3)
+    lsock.close()
+    assert b"".join(received) == b'{"a":1}\nwith newline\n'
