@@ -1,0 +1,192 @@
+"""NATS JetStream layer over the core NATS text-protocol client.
+
+Reference components:
+- ``nats_jetstream`` input/output (internal/impl/nats/input_jetstream.go,
+  output_jetstream.go)
+- ``nats_kv`` cache/input/output (internal/impl/nats/kv.go) — a KV
+  bucket IS a JetStream stream ``KV_<bucket>`` keyed by subject
+  ``$KV.<bucket>.<key>`` with last-value semantics.
+- ``nats_stream`` (STAN) is deprecated upstream — JetStream is its
+  documented replacement; COVERAGE.md records the mapping.
+
+JetStream is plain NATS messaging on reserved ``$JS.`` subjects (the
+public JetStream wire API — JSON requests via request/reply):
+
+- publish     = PUB <subject> with a reply inbox; the server answers a
+  PubAck JSON (``{"stream":..,"seq":..}``) — at-least-once, unlike
+  core NATS fire-and-forget.
+- pull fetch  = PUB ``$JS.API.CONSUMER.MSG.NEXT.<stream>.<consumer>``
+  ``{"batch":n,"no_wait":true}``; deliveries arrive as MSG frames
+  whose REPLY-TO is the per-message ``$JS.ACK...`` address.
+- ack         = PUB ``+ACK`` to that reply address AFTER durable
+  staging (stage-then-ack = the same at-least-once adaptation as the
+  SQS/AMQP bridges).
+- KV get      = ``$JS.API.STREAM.MSG.GET.KV_<bucket>``
+  ``{"last_by_subj": "$KV.<bucket>.<key>"}`` (base64 data in the JSON
+  reply); KV put = JetStream publish to the key's subject.
+
+Tested against an in-process JetStream-aware NATS server
+(tests/test_jetstream.py): PubAck plumbing, pull+ack redelivery of
+unacked messages, KV last-value reads.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+
+from bento_spark.operators.nats_wire import NatsClient, NatsError
+
+_INBOX_SID = "9001"
+
+
+class JetStreamClient:
+    def __init__(self, host: str = "localhost", port: int = 4222,
+                 name: str = "bento-spark-js"):
+        # verbose=False: the PubAck JSON reply IS the ack on a
+        # JetStream connection — +OK chatter would interleave with the
+        # pipelined ack MSG frames and desync the reader.
+        self.nc = NatsClient(host, port, name=name, verbose=False)
+        self.inbox = f"_INBOX.bento.{os.getpid()}.{id(self) & 0xFFFF:x}"
+        self.nc.subscribe(self.inbox, sid=_INBOX_SID)
+
+    # -- request/reply ----------------------------------------------------
+    def _request(self, subject: str, payload: bytes) -> dict:
+        self.nc.publish_with_reply(subject, self.inbox, payload)
+        _, _, data = self.nc.next_msg_full()
+        resp = json.loads(data) if data else {}
+        if isinstance(resp.get("error"), dict):
+            raise NatsError(
+                f"jetstream error {resp['error'].get('code')}: "
+                f"{resp['error'].get('description')}"
+            )
+        return resp
+
+    # -- publish (at-least-once) ------------------------------------------
+    def publish(self, subject: str, payloads: list[bytes]) -> list[int]:
+        """Pipelined JetStream publishes: N PUBs carrying the shared
+        reply inbox, then N PubAck JSON replies drained IN ORDER (one
+        inbox, ordered acks — the protocol guarantees reply order per
+        connection). Returns the stream sequence of each message."""
+        for p in payloads:
+            self.nc.publish_with_reply(subject, self.inbox, p)
+        seqs = []
+        for _ in payloads:
+            _, _, data = self.nc.next_msg_full()
+            ack = json.loads(data)
+            if isinstance(ack.get("error"), dict):
+                raise NatsError(
+                    f"jetstream pub error: {ack['error'].get('description')}"
+                )
+            seqs.append(int(ack["seq"]))
+        return seqs
+
+    # -- pull consume ------------------------------------------------------
+    def fetch(
+        self, stream: str, consumer: str, batch: int = 256
+    ) -> list[tuple[str, bytes]]:
+        """One MSG.NEXT request -> up to ``batch`` (ack_subject,
+        payload) deliveries. ``no_wait`` makes an empty stream answer
+        with a 404 status message instead of blocking."""
+        req = json.dumps({"batch": batch, "no_wait": True}).encode()
+        self.nc.publish_with_reply(
+            f"$JS.API.CONSUMER.MSG.NEXT.{stream}.{consumer}",
+            self.inbox,
+            req,
+        )
+        out: list[tuple[str, bytes]] = []
+        while len(out) < batch:
+            try:
+                got = self.nc.next_msg_full()
+            except (TimeoutError, OSError):
+                break
+            if got is None:
+                break
+            subject, reply, payload = got
+            if reply is None or not reply.startswith("$JS.ACK."):
+                # status frame (404 no messages / 408 timeout) ends it
+                break
+            out.append((reply, payload))
+            if len(out) == batch:
+                break
+        return out
+
+    def ack(self, ack_subjects: list[str]) -> None:
+        self.nc.publish_many_to(ack_subjects, b"+ACK")
+
+    def drain(
+        self, stream: str, consumer: str, out_dir: str,
+        max_batches: int | None = None,
+    ) -> int:
+        """Stage-then-ack pull loop: each fetched batch is durably
+        staged (atomic tmp+fsync+rename) BEFORE its acks are sent — a
+        crash in between redelivers on the next drain (at-least-once,
+        the reference input's guarantee)."""
+        os.makedirs(out_dir, exist_ok=True)
+        total = n_batch = 0
+        while max_batches is None or n_batch < max_batches:
+            fetched = self.fetch(stream, consumer)
+            if not fetched:
+                break
+            n_batch += 1
+            key = f"js-{stream}-{int(time.time()*1000)}-{n_batch:06d}.jsonl"
+            tmp = os.path.join(out_dir, "." + key)
+            with open(tmp, "wb") as f:
+                for _, payload in fetched:
+                    f.write(payload.replace(b"\n", b" ") + b"\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(out_dir, key))
+            self.ack([a for a, _ in fetched])
+            total += len(fetched)
+        return total
+
+    def close(self) -> None:
+        self.nc.close()
+
+
+class NatsKV:
+    """``nats_kv`` over JetStream: get = last message for the key's
+    subject, put = JetStream publish to it. Carries the kvstore
+    mget/mset contract so it drops into the shared factory
+    (``nats://host:port/bucket`` URLs)."""
+
+    def __init__(self, host: str = "localhost", port: int = 4222,
+                 bucket: str = "bento"):
+        self.js = JetStreamClient(host, port)
+        self.bucket = bucket
+
+    def _subject(self, key: str) -> str:
+        return f"$KV.{self.bucket}.{key}"
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        out: list[str | None] = []
+        for key in keys:
+            req = json.dumps(
+                {"last_by_subj": self._subject(key)}
+            ).encode()
+            try:
+                resp = self.js._request(
+                    f"$JS.API.STREAM.MSG.GET.KV_{self.bucket}", req
+                )
+            except NatsError:
+                out.append(None)  # no message for subject = miss
+                continue
+            msg = resp.get("message") or {}
+            data = msg.get("data")
+            out.append(
+                None if data is None
+                else base64.b64decode(data).decode("utf-8")
+            )
+        return out
+
+    def mset(self, pairs) -> None:
+        for key, value in pairs:
+            self.js.publish(
+                self._subject(key), [value.encode("utf-8")]
+            )
+
+    def close(self) -> None:
+        self.js.close()

@@ -637,10 +637,20 @@ def _client_from_url(url: str):
             access_key=_os.environ.get("AWS_ACCESS_KEY_ID", "local"),
             secret_key=_os.environ.get("AWS_SECRET_ACCESS_KEY", "local"),
         )
+    if url.startswith("nats://"):
+        from urllib.parse import urlparse
+
+        from bento_spark.operators.jetstream import NatsKV
+
+        u = urlparse(url)
+        return NatsKV(
+            u.hostname or "localhost", u.port or 4222,
+            bucket=u.path.lstrip("/") or "bento",
+        )
     raise ValueError(
         f"unsupported kv url {url!r} (sqlite:/// , memory://, redis://, "
-        "memcached://, es://host:port/index, mongodb://host:port/db.coll "
-        "or dynamodb://host:port/table)"
+        "memcached://, es://host:port/index, mongodb://host:port/db.coll, "
+        "dynamodb://host:port/table or nats://host:port/bucket)"
     )
 
 

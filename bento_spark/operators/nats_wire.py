@@ -30,17 +30,22 @@ class NatsClient:
         port: int = 4222,
         name: str = "bento-spark",
         timeout: float = 30.0,
+        verbose: bool = True,
     ):
         import socket
 
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._rfile = self._sock.makefile("rb")
+        self.verbose = verbose
         info = self._read_line()
         if not info.startswith(b"INFO "):
             raise NatsError(f"expected INFO, got {info[:40]!r}")
         self.server_info = json.loads(info[5:])
+        # verbose=True: every command +OK-acked (core transports).
+        # verbose=False: JetStream connections — PubAck MSG frames are
+        # the real acks, and +OK chatter would interleave with them.
         connect = {
-            "verbose": True,  # every PUB acked with +OK
+            "verbose": verbose,
             "pedantic": False,
             "tls_required": False,
             "name": name,
@@ -51,7 +56,8 @@ class NatsClient:
         self._sock.sendall(
             b"CONNECT " + json.dumps(connect).encode() + b"\r\n"
         )
-        self._expect_ok()
+        if verbose:
+            self._expect_ok()
 
     # -- framing ------------------------------------------------------------
     def _read_line(self) -> bytes:
@@ -92,11 +98,19 @@ class NatsClient:
     # -- subscribe/drain ----------------------------------------------------
     def subscribe(self, subject: str, sid: str = "1") -> None:
         self._sock.sendall(b"SUB %s %s\r\n" % (subject.encode(), sid.encode()))
-        self._expect_ok()
+        if self.verbose:
+            self._expect_ok()
 
     def next_msg(self) -> tuple[str, bytes] | None:
         """One MSG frame -> (subject, payload); None on PING-only
         traffic timeouts are the caller's concern (socket timeout)."""
+        got = self.next_msg_full()
+        return None if got is None else (got[0], got[2])
+
+    def next_msg_full(self) -> tuple[str, str | None, bytes] | None:
+        """One MSG frame -> (subject, reply_to, payload). The reply-to
+        subject carries JetStream's per-message ack address
+        (operators/jetstream.py) — core-NATS callers use next_msg."""
         while True:
             line = self._read_line()
             if line == b"PING":
@@ -106,13 +120,48 @@ class NatsClient:
                 parts = line.split(b" ")
                 # MSG <subject> <sid> [reply-to] <#bytes>
                 n = int(parts[-1])
+                reply = parts[3].decode() if len(parts) == 5 else None
                 payload = self._rfile.read(n + 2)
                 if len(payload) != n + 2:
                     raise ConnectionError("nats connection closed mid-payload")
-                return parts[1].decode(), payload[:-2]
+                return parts[1].decode(), reply, payload[:-2]
             if line.startswith(b"-ERR"):
                 raise NatsError(line.decode())
             # +OK or other control chatter: keep reading
+
+    def publish_many_to(self, subjects: list[str], payload: bytes) -> None:
+        """Pipelined PUBs of one payload to many subjects (JetStream
+        batch acks): one write, all +OK replies drained before any
+        error surfaces — the RedisKV pipelining discipline."""
+        if not subjects:
+            return
+        out = bytearray()
+        for s in subjects:
+            out += b"PUB %s %d\r\n%s\r\n" % (s.encode(), len(payload), payload)
+        self._sock.sendall(bytes(out))
+        if not self.verbose:
+            return
+        first_err: NatsError | None = None
+        for _ in subjects:
+            try:
+                self._expect_ok()
+            except NatsError as e:
+                first_err = first_err or e
+        if first_err:
+            raise first_err
+
+    def publish_with_reply(
+        self, subject: str, reply: str, payload: bytes
+    ) -> None:
+        """One PUB carrying a reply-to subject (request half of the
+        NATS request/reply pattern; JetStream API calls ride this).
+        Verbose-mode +OK is drained by the caller's next read loop."""
+        self._sock.sendall(
+            b"PUB %s %s %d\r\n%s\r\n"
+            % (subject.encode(), reply.encode(), len(payload), payload)
+        )
+        if self.verbose:
+            self._expect_ok()
 
     def drain_to_dir(self, subject: str, out_dir: str, max_msgs: int) -> int:
         """Staging-bridge: receive up to ``max_msgs`` and append them

@@ -607,6 +607,37 @@ def _redis_hash_transport(conf: dict):
     return T()
 
 
+@register_transport("nats_jetstream")
+def _nats_jetstream_transport(conf: dict):
+    """``nats_jetstream`` output (internal/impl/nats/output_jetstream.go):
+    at-least-once JetStream publishes — N pipelined PUBs carrying the
+    reply inbox, N PubAck JSON replies drained in order
+    (operators/jetstream.py). A missing/err ack is retryable (the
+    stream may be catching up); envelope keys let receivers dedupe the
+    re-send."""
+    from bento_spark.operators.jetstream import JetStreamClient
+    from bento_spark.operators.nats_wire import NatsError
+
+    client = JetStreamClient(
+        conf.get("host", "localhost"), int(conf.get("port", 4222))
+    )
+    subject = conf["subject"]
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            try:
+                client.publish(
+                    subject, [m.encode("utf-8") for m in batch]
+                )
+            except (NatsError, ConnectionError, OSError) as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            client.close()
+
+    return T()
+
+
 @register_transport("socket")
 def _socket_transport(conf: dict):
     """``socket`` output (internal/impl/io/output_socket.go): newline-
