@@ -607,6 +607,65 @@ def _redis_hash_transport(conf: dict):
     return T()
 
 
+@register_transport("gcp_bigquery")
+def _bigquery_transport(conf: dict):
+    """``gcp_bigquery`` output (internal/impl/gcp/output_bigquery.go):
+    one tabledata.insertAll per delivery batch with STABLE per-row
+    insertIds (partition/seq/index) so the API's best-effort dedupe
+    absorbs task-retry re-sends. Rows failing with transient reasons
+    re-raise retryable; schema/invalid reasons dead-letter."""
+    import json as _j
+
+    from pyspark import TaskContext
+
+    from bento_spark.sources.gcp_bigquery import (
+        BigQueryClient,
+        BigQueryError,
+    )
+
+    client = BigQueryClient(
+        conf["endpoint"], conf.get("project", "local"),
+        token_provider=conf.get("token_provider"),
+    )
+    dataset, table = conf["dataset"], conf["table"]
+
+    class T:
+        def __init__(self):
+            ctx = TaskContext.get()
+            self.pid = ctx.partitionId() if ctx else 0
+            self.seq = 0
+
+        def send(self, batch: list[str]) -> None:
+            self.seq += 1
+            rows = [_j.loads(m) for m in batch]
+            ids = [
+                f"p{self.pid}-b{self.seq}-r{i}"
+                for i in range(len(rows))
+            ]
+            try:
+                errors = client.insert_all(dataset, table, rows, ids)
+            except BigQueryError as ex:
+                raise DeliveryError(
+                    str(ex), retryable=ex.status >= 500
+                ) from ex
+            if errors:
+                reasons = {
+                    e.get("reason", "")
+                    for err in errors
+                    for e in err.get("errors", [])
+                }
+                transient = reasons <= {"backendError", "timeout", "stopped"}
+                raise DeliveryError(
+                    f"bigquery: {len(errors)} rows failed ({reasons})",
+                    retryable=transient,
+                )
+
+        def close(self):
+            pass
+
+    return T()
+
+
 @register_transport("nats_jetstream")
 def _nats_jetstream_transport(conf: dict):
     """``nats_jetstream`` output (internal/impl/nats/output_jetstream.go):

@@ -1,0 +1,137 @@
+"""BigQuery client — public REST API, stdlib HTTP.
+
+Reference components:
+- ``gcp_bigquery`` output          (internal/impl/gcp/output_bigquery.go)
+  → tabledata.insertAll (streaming inserts, per-row insertId dedupe,
+  per-row error surfacing).
+- ``gcp_bigquery_select`` input    (input_bigquery_select.go)
+  → jobs.query (synchronous query API, pageToken pagination, typed
+  row decode from the schema the response carries).
+- ``gcp_bigquery_write_api``       — the gRPC Storage Write API needs
+  an HTTP/2+protobuf-descriptor runtime absent here; insertAll is the
+  REST-complete equivalent surface (COVERAGE.md records this).
+
+Auth follows the emulator contract (no-auth) with an injectable
+bearer-token provider for real GCP — the same shape as
+sources/gcp_pubsub.py. Tested against an in-process server
+(tests/test_bigquery.py).
+"""
+
+from __future__ import annotations
+
+import json
+
+
+class BigQueryError(RuntimeError):
+    def __init__(self, status: int, body: str):
+        super().__init__(f"bigquery HTTP {status}: {body[:200]}")
+        self.status = status
+
+
+class BigQueryClient:
+    def __init__(
+        self, endpoint: str, project: str, token_provider=None
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.project = project
+        self.token_provider = token_provider
+
+    def _call(self, path: str, payload: dict) -> dict:
+        import urllib.error
+        import urllib.request
+
+        body = json.dumps(payload).encode("utf-8")
+        headers = {"Content-Type": "application/json"}
+        if self.token_provider is not None:
+            headers["Authorization"] = f"Bearer {self.token_provider()}"
+        req = urllib.request.Request(
+            f"{self.endpoint}/bigquery/v2/projects/{self.project}{path}",
+            data=body, headers=headers, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            raise BigQueryError(
+                e.code, e.read().decode("utf-8", "replace")
+            ) from e
+
+    # -- streaming inserts ------------------------------------------------
+    def insert_all(
+        self, dataset: str, table: str, rows: list[dict],
+        insert_ids: list[str] | None = None,
+    ) -> list[dict]:
+        """tabledata.insertAll; returns the per-row insertErrors list
+        (empty = all rows landed). ``insert_ids`` are the API's
+        best-effort dedupe keys — stable ids make task retries safe."""
+        payload = {
+            "kind": "bigquery#tableDataInsertAllRequest",
+            "rows": [
+                {
+                    "json": row,
+                    **(
+                        {"insertId": insert_ids[i]}
+                        if insert_ids
+                        else {}
+                    ),
+                }
+                for i, row in enumerate(rows)
+            ],
+        }
+        resp = self._call(
+            f"/datasets/{dataset}/tables/{table}/insertAll", payload
+        )
+        return resp.get("insertErrors", [])
+
+    # -- synchronous query ------------------------------------------------
+    def query(self, sql: str, max_results: int = 10000) -> list[dict]:
+        """jobs.query with pageToken pagination; rows decode through
+        the response's own schema (BigQuery's f/v wire shape, INTEGER/
+        FLOAT/BOOLEAN coerced, NULLs preserved)."""
+        resp = self._call(
+            "/queries",
+            {"query": sql, "useLegacySql": False,
+             "maxResults": max_results},
+        )
+        fields = resp["schema"]["fields"]
+        out = [self._decode_row(r, fields) for r in resp.get("rows", [])]
+        job_id = resp.get("jobReference", {}).get("jobId")
+        token = resp.get("pageToken")
+        while token:
+            page = self._call(
+                "/queries/getResults",
+                {"jobId": job_id, "pageToken": token,
+                 "maxResults": max_results},
+            )
+            out.extend(
+                self._decode_row(r, fields)
+                for r in page.get("rows", [])
+            )
+            token = page.get("pageToken")
+        return out
+
+    @staticmethod
+    def _decode_row(row: dict, fields: list[dict]) -> dict:
+        out = {}
+        for f, cell in zip(fields, row["f"]):
+            v = cell.get("v")
+            if v is None:
+                out[f["name"]] = None
+            elif f["type"] in ("INTEGER", "INT64"):
+                out[f["name"]] = int(v)
+            elif f["type"] in ("FLOAT", "FLOAT64", "NUMERIC"):
+                out[f["name"]] = float(v)
+            elif f["type"] in ("BOOLEAN", "BOOL"):
+                out[f["name"]] = v in (True, "true")
+            else:
+                out[f["name"]] = v
+        return out
+
+
+def bigquery_rows(
+    endpoint: str, project: str, sql: str, token_provider=None
+) -> list[dict]:
+    """``gcp_bigquery_select`` input: run one query, return dict rows
+    for ``spark.createDataFrame`` — bounded dimension loads; corpus-
+    scale data belongs in exported parquet on object storage."""
+    return BigQueryClient(endpoint, project, token_provider).query(sql)

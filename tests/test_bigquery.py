@@ -1,0 +1,169 @@
+"""BigQuery client tests against an in-process REST server: insertAll
+with stable insertIds (retry dedupe observable server-side), per-row
+error routing (transient vs invalid), jobs.query typed decode with
+pageToken pagination, and the sink transport through deliver()."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from bento_spark.sinks.connector import TRANSPORTS, DeliveryError
+from bento_spark.sources.gcp_bigquery import (
+    BigQueryClient,
+    bigquery_rows,
+)
+
+PAGE = 2
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def _json(self, payload: dict, status: int = 200):
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        srv = self.server
+        body = json.loads(
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        )
+        if self.path.endswith("/insertAll"):
+            errors = []
+            for i, row in enumerate(body["rows"]):
+                iid = row.get("insertId")
+                if srv.fail_reason and i == 0:
+                    errors.append(
+                        {"index": i,
+                         "errors": [{"reason": srv.fail_reason}]}
+                    )
+                    continue
+                if iid and iid in srv.seen_ids:
+                    continue  # dedupe on insertId
+                if iid:
+                    srv.seen_ids.add(iid)
+                srv.rows.append(row["json"])
+            srv.fail_reason = None
+            return self._json({"insertErrors": errors})
+        if self.path.endswith("/queries"):
+            srv.queries.append(body["query"])
+            rows = srv.table
+            return self._json(
+                {
+                    "schema": {"fields": srv.schema},
+                    "jobReference": {"jobId": "job-1"},
+                    "rows": rows[:PAGE],
+                    **({"pageToken": "2"} if len(rows) > PAGE else {}),
+                }
+            )
+        if self.path.endswith("/queries/getResults"):
+            start = int(body["pageToken"])
+            rows = srv.table[start : start + PAGE]
+            nxt = start + PAGE
+            return self._json(
+                {
+                    "rows": rows,
+                    **(
+                        {"pageToken": str(nxt)}
+                        if nxt < len(srv.table)
+                        else {}
+                    ),
+                }
+            )
+        return self._json({"error": "unknown"}, 404)
+
+
+class _Server(ThreadingHTTPServer):
+    def __init__(self):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.rows: list[dict] = []
+        self.seen_ids: set[str] = set()
+        self.queries: list[str] = []
+        self.fail_reason: str | None = None
+        self.schema = [
+            {"name": "id", "type": "INTEGER"},
+            {"name": "name", "type": "STRING"},
+            {"name": "score", "type": "FLOAT"},
+            {"name": "ok", "type": "BOOLEAN"},
+        ]
+        self.table = [
+            {"f": [{"v": "1"}, {"v": "a"}, {"v": "0.5"}, {"v": "true"}]},
+            {"f": [{"v": "2"}, {"v": None}, {"v": "1.5"}, {"v": "false"}]},
+            {"f": [{"v": "3"}, {"v": "c"}, {"v": None}, {"v": "true"}]},
+            {"f": [{"v": "4"}, {"v": "d"}, {"v": "2.0"}, {"v": "false"}]},
+            {"f": [{"v": "5"}, {"v": "e"}, {"v": "3.5"}, {"v": "true"}]},
+        ]
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+
+    @property
+    def url(self):
+        return f"http://127.0.0.1:{self.server_address[1]}"
+
+    def stop(self):
+        self.shutdown()
+        self.server_close()
+
+
+@pytest.fixture
+def server():
+    srv = _Server()
+    yield srv
+    srv.stop()
+
+
+def test_query_typed_decode_with_pagination(server):
+    rows = bigquery_rows(server.url, "proj", "SELECT * FROM t")
+    assert len(rows) == 5  # 3 pages of 2/2/1
+    assert rows[0] == {"id": 1, "name": "a", "score": 0.5, "ok": True}
+    assert rows[1]["name"] is None
+    assert rows[2]["score"] is None
+    assert isinstance(rows[4]["score"], float)
+
+
+def test_insert_ids_dedupe_resends(server):
+    c = BigQueryClient(server.url, "proj")
+    rows = [{"id": 1}, {"id": 2}]
+    assert c.insert_all("ds", "t", rows, ["a-0", "a-1"]) == []
+    # a task retry re-sends with the SAME ids -> no duplicates land
+    assert c.insert_all("ds", "t", rows, ["a-0", "a-1"]) == []
+    assert server.rows == rows
+
+
+def test_transport_routes_reasons(server):
+    t = TRANSPORTS["gcp_bigquery"](
+        {"endpoint": server.url, "dataset": "ds", "table": "t"}
+    )
+    t.send(['{"id":1}'])
+    assert server.rows == [{"id": 1}]
+
+    server.fail_reason = "backendError"
+    with pytest.raises(DeliveryError) as ei:
+        t.send(['{"id":2}'])
+    assert ei.value.retryable
+
+    server.fail_reason = "invalid"
+    with pytest.raises(DeliveryError) as ei:
+        t.send(['{"id":3}'])
+    assert not ei.value.retryable
+    t.close()
+
+
+def test_deliver_end_to_end(spark, server):
+    from bento_spark.sinks.connector import deliver
+
+    df = spark.range(30).selectExpr("id", "concat('n', id) AS name")
+    stats = deliver(
+        df, "gcp_bigquery",
+        {"endpoint": server.url, "dataset": "ds", "table": "t"},
+        batch_size=10,
+    )
+    assert stats["delivered"] == 30
+    assert len(server.rows) == 30
