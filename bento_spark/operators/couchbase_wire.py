@@ -1,0 +1,182 @@
+"""Couchbase KV client — the memcached BINARY protocol, pure stdlib.
+
+Reference component: ``couchbase`` output / cache
+(internal/impl/couchbase/output.go). Couchbase's data plane IS the
+public memcached binary protocol (24-byte header: magic 0x80/0x81,
+opcode, key/extras lengths, vbucket, body length, opaque, CAS) plus
+SASL PLAIN auth (opcodes 0x20/0x21) and Select Bucket (0x89); NOT a
+couchbase-sdk wrapper (absent in this container).
+
+vBucket ids follow the public mapping (CRC32 of the key, folded to
+``% n_vbuckets``) — the in-process test server recomputes and verifies
+every id. Reads/writes pipeline per Arrow batch with distinct opaque
+correlation ids; misses are status 0x0001 (KEY_ENOENT), temporary
+failures (0x0086) surface for the delivery loop's retry.
+
+Carries the kvstore mget/mset contract, so ``couchbase://user:pass@
+host:port/bucket`` drops into the shared factory and the store-keyed
+output transport. Tested in tests/test_couchbase_wire.py.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import zlib
+
+MAGIC_REQ = 0x80
+MAGIC_RES = 0x81
+
+OP_GET = 0x00
+OP_SET = 0x01
+OP_SASL_LIST = 0x20
+OP_SASL_AUTH = 0x21
+OP_SELECT_BUCKET = 0x89
+
+STATUS_OK = 0x0000
+STATUS_KEY_ENOENT = 0x0001
+STATUS_AUTH_ERROR = 0x0020
+STATUS_ETMPFAIL = 0x0086
+
+N_VBUCKETS = 1024
+
+
+class CouchbaseError(RuntimeError):
+    def __init__(self, status: int, message: str = ""):
+        super().__init__(f"couchbase status 0x{status:04x} {message}")
+        self.status = status
+
+
+def vbucket_id(key: str, n_vbuckets: int = N_VBUCKETS) -> int:
+    """The public Couchbase vBucket mapping: CRC32 of the key, upper
+    16 bits, modulo the vBucket count."""
+    crc = zlib.crc32(key.encode("utf-8")) & 0xFFFFFFFF
+    return (crc >> 16) & (n_vbuckets - 1)
+
+
+class CouchbaseKV:
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 11210,
+        bucket: str = "default",
+        username: str | None = None,
+        password: str | None = None,
+        timeout: float = 30.0,
+    ):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self._opaque = 0
+        if username is not None:
+            self._sasl_auth(username, password or "")
+        self._select_bucket(bucket)
+
+    # -- framing ----------------------------------------------------------
+    def _request(
+        self, opcode: int, key: bytes = b"", extras: bytes = b"",
+        value: bytes = b"", vbucket: int = 0,
+    ) -> bytes:
+        self._opaque = (self._opaque + 1) & 0xFFFFFFFF
+        body_len = len(extras) + len(key) + len(value)
+        return struct.pack(
+            ">BBHBBHIIQ",
+            MAGIC_REQ, opcode, len(key), len(extras), 0, vbucket,
+            body_len, self._opaque, 0,
+        ) + extras + key + value
+
+    def _read_response(self) -> tuple[int, int, int, bytes, bytes]:
+        """-> (opcode, status, opaque, extras+key stripped value, raw key)"""
+        header = self._rfile.read(24)
+        if len(header) != 24:
+            raise ConnectionError("couchbase connection closed mid-header")
+        magic, opcode, key_len, extras_len, _, status, body_len, opaque, _ = (
+            struct.unpack(">BBHBBHIIQ", header)
+        )
+        if magic != MAGIC_RES:
+            raise CouchbaseError(0, f"bad response magic 0x{magic:02x}")
+        body = self._rfile.read(body_len)
+        if len(body) != body_len:
+            raise ConnectionError("couchbase connection closed mid-body")
+        key = body[extras_len : extras_len + key_len]
+        value = body[extras_len + key_len :]
+        return opcode, status, opaque, value, key
+
+    def _round_trip(self, request: bytes):
+        self._sock.sendall(request)
+        _, status, _, value, _ = self._read_response()
+        if status != STATUS_OK:
+            raise CouchbaseError(status, value.decode("utf-8", "replace"))
+        return value
+
+    # -- auth / bucket -----------------------------------------------------
+    def _sasl_auth(self, username: str, password: str) -> None:
+        mechs = self._round_trip(self._request(OP_SASL_LIST)).decode()
+        if "PLAIN" not in mechs.split():
+            raise CouchbaseError(0, f"PLAIN not offered (got {mechs!r})")
+        token = b"\x00" + username.encode() + b"\x00" + password.encode()
+        self._round_trip(
+            self._request(OP_SASL_AUTH, key=b"PLAIN", value=token)
+        )
+
+    def _select_bucket(self, bucket: str) -> None:
+        self._round_trip(
+            self._request(OP_SELECT_BUCKET, key=bucket.encode())
+        )
+
+    # -- kvstore surface ---------------------------------------------------
+    def mget(self, keys: list[str]) -> list[str | None]:
+        if not keys:
+            return []
+        reqs, opaques = [], []
+        for k in keys:
+            reqs.append(
+                self._request(
+                    OP_GET, key=k.encode("utf-8"),
+                    vbucket=vbucket_id(k),
+                )
+            )
+            opaques.append(self._opaque)
+        self._sock.sendall(b"".join(reqs))
+        by_opaque: dict[int, str | None] = {}
+        first_err: CouchbaseError | None = None
+        for _ in keys:
+            _, status, opaque, value, _ = self._read_response()
+            if status == STATUS_OK:
+                by_opaque[opaque] = value.decode("utf-8")
+            elif status == STATUS_KEY_ENOENT:
+                by_opaque[opaque] = None
+            else:
+                by_opaque[opaque] = None
+                first_err = first_err or CouchbaseError(status)
+        if first_err:
+            raise first_err
+        return [by_opaque[o] for o in opaques]
+
+    def mset(self, pairs) -> None:
+        reqs = []
+        extras = struct.pack(">II", 0, 0)  # flags=0, no expiry
+        for k, v in pairs:
+            reqs.append(
+                self._request(
+                    OP_SET, key=k.encode("utf-8"), extras=extras,
+                    value=v.encode("utf-8"), vbucket=vbucket_id(k),
+                )
+            )
+        if not reqs:
+            return
+        self._sock.sendall(b"".join(reqs))
+        first_err: CouchbaseError | None = None
+        for _ in reqs:
+            _, status, _, value, _ = self._read_response()
+            if status != STATUS_OK:
+                first_err = first_err or CouchbaseError(
+                    status, value.decode("utf-8", "replace")
+                )
+        if first_err:
+            raise first_err
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()

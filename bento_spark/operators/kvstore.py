@@ -637,6 +637,17 @@ def _client_from_url(url: str):
             access_key=_os.environ.get("AWS_ACCESS_KEY_ID", "local"),
             secret_key=_os.environ.get("AWS_SECRET_ACCESS_KEY", "local"),
         )
+    if url.startswith("couchbase://"):
+        from urllib.parse import urlparse
+
+        from bento_spark.operators.couchbase_wire import CouchbaseKV
+
+        u = urlparse(url)
+        return CouchbaseKV(
+            u.hostname or "localhost", u.port or 11210,
+            bucket=u.path.lstrip("/") or "default",
+            username=u.username, password=u.password,
+        )
     if url.startswith("nats://"):
         from urllib.parse import urlparse
 

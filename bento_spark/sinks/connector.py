@@ -765,7 +765,7 @@ def _kv_store_transport(conf: dict):
 
 
 for _name in ("elasticsearch", "opensearch", "mongodb", "aws_dynamodb",
-              "cache"):
+              "cache", "couchbase"):
     register_transport(_name)(_kv_store_transport)
 
 
