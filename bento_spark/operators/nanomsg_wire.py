@@ -1,0 +1,104 @@
+"""nanomsg/nng client speaking the SP TCP mapping — pure stdlib.
+
+Reference components: ``nanomsg`` input+output
+(internal/impl/nanomsg/). Implements the public SP protocol's TCP
+mapping (https://github.com/nanomsg/nanomsg/blob/master/rfc/
+sp-tcp-mapping-01.txt): the 8-byte connection header
+(``\\x00SP\\x00`` + 2-byte protocol number + 2 reserved bytes) with
+peer-protocol validation, then length-prefixed messages (8-byte BE
+size + body) — NOT a nanomsg binding (absent in this container).
+
+Protocol numbers per the SP RFCs: PAIR=16, PUB=32, SUB=33, REQ=48,
+REP=49, PUSH=80, PULL=81. A peer must speak the protocol's partner
+(PUSH<->PULL, PUB<->SUB, PAIR<->PAIR) or the connection is rejected —
+the same validation nanomsg itself performs. Tested against an
+in-process peer (tests/test_zmtp_wire.py).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import time
+
+PROTOCOLS = {
+    "PAIR": 16,
+    "PUB": 32,
+    "SUB": 33,
+    "REQ": 48,
+    "REP": 49,
+    "PUSH": 80,
+    "PULL": 81,
+}
+PARTNER = {16: 16, 32: 33, 33: 32, 48: 49, 49: 48, 80: 81, 81: 80}
+
+
+class NanomsgError(RuntimeError):
+    pass
+
+
+class NanomsgSocket:
+    def __init__(
+        self, host: str, port: int, socket_type: str,
+        timeout: float = 30.0,
+    ):
+        if socket_type not in PROTOCOLS:
+            raise ValueError(f"unsupported socket type {socket_type!r}")
+        self.proto = PROTOCOLS[socket_type]
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self._sock.sendall(
+            b"\x00SP\x00" + struct.pack(">H", self.proto) + b"\x00\x00"
+        )
+        peer = self._rfile.read(8)
+        if len(peer) != 8 or peer[:4] != b"\x00SP\x00":
+            raise NanomsgError(f"bad SP header {peer!r}")
+        (peer_proto,) = struct.unpack(">H", peer[4:6])
+        if peer_proto != PARTNER[self.proto]:
+            raise NanomsgError(
+                f"peer protocol {peer_proto} incompatible with "
+                f"{socket_type}"
+            )
+
+    def send(self, payload: bytes) -> None:
+        self._sock.sendall(struct.pack(">Q", len(payload)) + payload)
+
+    def recv(self) -> bytes:
+        head = self._rfile.read(8)
+        if len(head) != 8:
+            raise ConnectionError("nanomsg connection closed")
+        (size,) = struct.unpack(">Q", head)
+        body = self._rfile.read(size)
+        if len(body) != size:
+            raise ConnectionError("nanomsg connection closed mid-message")
+        return body
+
+    def drain_to_dir(self, out_dir: str, max_msgs: int = 10000) -> int:
+        """PULL/SUB staging bridge — at-most-once by protocol, so
+        durability starts at the staging write."""
+        os.makedirs(out_dir, exist_ok=True)
+        msgs: list[bytes] = []
+        try:
+            while len(msgs) < max_msgs:
+                msgs.append(self.recv())
+        except (TimeoutError, OSError, ConnectionError):
+            pass
+        if msgs:
+            key = f"nanomsg-{int(time.time() * 1000)}-{len(msgs)}.jsonl"
+            tmp = os.path.join(out_dir, "." + key)
+            with open(tmp, "wb") as f:
+                f.write(
+                    b"\n".join(m.replace(b"\n", b" ") for m in msgs)
+                    + b"\n"
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(out_dir, key))
+        return len(msgs)
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()

@@ -1,0 +1,182 @@
+"""ZeroMQ client speaking ZMTP 3.0 — pure stdlib sockets.
+
+Reference components: ``zmq4`` / ``zmq4n`` input+output
+(internal/impl/zeromq/). Implements the public ZMTP 3.0 spec
+(https://rfc.zeromq.org/spec/23/): the 64-byte greeting (signature
+0xFF..0x7F, version 3.0, NULL mechanism, as-server flag), the READY
+command handshake carrying Socket-Type metadata, short/long message
+framing (MORE/LONG/COMMAND flag bits), and ZMTP-3.0 SUB subscriptions
+(a ``\\x01<topic>`` message) — NOT a pyzmq wrapper (absent in this
+container).
+
+Socket-type pairing is validated exactly as libzmq does: the peer's
+READY Socket-Type must be compatible (PUSH<->PULL, PUB<->SUB) or the
+connection is dropped. PUSH output sends one multipart message per
+payload; PULL/SUB inputs drain frames into the durable staging dir
+(ZeroMQ has no replay — at-most-once by protocol, same as the
+reference's zmq input). Tested against an in-process ZMTP peer that
+byte-checks the greeting (tests/test_zmtp_wire.py).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import time
+
+COMPATIBLE = {
+    "PUSH": {"PULL"},
+    "PULL": {"PUSH"},
+    "PUB": {"SUB"},
+    "SUB": {"PUB"},
+    "PAIR": {"PAIR"},
+}
+
+
+class ZmtpError(RuntimeError):
+    pass
+
+
+class ZmtpSocket:
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        socket_type: str,
+        timeout: float = 30.0,
+    ):
+        if socket_type not in COMPATIBLE:
+            raise ValueError(f"unsupported socket type {socket_type!r}")
+        self.socket_type = socket_type
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self._greeting()
+        self._handshake()
+
+    # -- greeting (spec §: version negotiation) ---------------------------
+    def _greeting(self) -> None:
+        sig = b"\xff" + b"\x00" * 8 + b"\x7f"
+        mech = b"NULL" + b"\x00" * 16
+        self._sock.sendall(sig + bytes([3, 0]) + mech + b"\x00" + b"\x00" * 31)
+        peer = self._rfile.read(64)
+        if len(peer) != 64:
+            raise ConnectionError("zmtp peer closed during greeting")
+        if peer[0] != 0xFF or peer[9] != 0x7F:
+            raise ZmtpError(f"bad greeting signature {peer[:10]!r}")
+        if peer[10] < 3:
+            raise ZmtpError(f"peer ZMTP version {peer[10]} < 3")
+        peer_mech = peer[12:32].rstrip(b"\x00")
+        if peer_mech != b"NULL":
+            raise ZmtpError(f"unsupported mechanism {peer_mech!r}")
+
+    # -- READY handshake --------------------------------------------------
+    def _metadata(self) -> bytes:
+        out = b""
+        for name, value in (("Socket-Type", self.socket_type),):
+            nb, vb = name.encode(), value.encode()
+            out += bytes([len(nb)]) + nb + struct.pack(">I", len(vb)) + vb
+        return out
+
+    def _handshake(self) -> None:
+        body = b"\x05READY" + self._metadata()
+        self._sock.sendall(bytes([0x04, len(body)]) + body)
+        flags, frame = self._read_frame()
+        if not flags & 0x04 or not frame.startswith(b"\x05READY"):
+            raise ZmtpError(f"expected READY, got {frame[:20]!r}")
+        meta, peer_type = frame[6:], None
+        i = 0
+        while i < len(meta):
+            nlen = meta[i]
+            name = meta[i + 1 : i + 1 + nlen].decode()
+            i += 1 + nlen
+            (vlen,) = struct.unpack_from(">I", meta, i)
+            value = meta[i + 4 : i + 4 + vlen].decode()
+            i += 4 + vlen
+            if name.lower() == "socket-type":
+                peer_type = value
+        if peer_type not in COMPATIBLE[self.socket_type]:
+            raise ZmtpError(
+                f"incompatible peer socket type {peer_type!r} for "
+                f"{self.socket_type}"
+            )
+
+    # -- framing ----------------------------------------------------------
+    def _read_frame(self) -> tuple[int, bytes]:
+        head = self._rfile.read(1)
+        if not head:
+            raise ConnectionError("zmtp connection closed")
+        flags = head[0]
+        if flags & 0x02:  # LONG
+            (size,) = struct.unpack(">Q", self._rfile.read(8))
+        else:
+            size = self._rfile.read(1)[0]
+        body = self._rfile.read(size)
+        if len(body) != size:
+            raise ConnectionError("zmtp connection closed mid-frame")
+        return flags, body
+
+    def _send_frame(self, body: bytes, more: bool = False) -> None:
+        flags = 0x01 if more else 0x00
+        if len(body) > 255:
+            self._sock.sendall(
+                bytes([flags | 0x02]) + struct.pack(">Q", len(body)) + body
+            )
+        else:
+            self._sock.sendall(bytes([flags, len(body)]) + body)
+
+    # -- messaging --------------------------------------------------------
+    def send_multipart(self, parts: list[bytes]) -> None:
+        for part in parts[:-1]:
+            self._send_frame(part, more=True)
+        self._send_frame(parts[-1], more=False)
+
+    def recv_multipart(self) -> list[bytes]:
+        parts = []
+        while True:
+            flags, body = self._read_frame()
+            if flags & 0x04:  # command frame (PING etc.) — skip
+                continue
+            parts.append(body)
+            if not flags & 0x01:
+                return parts
+
+    def subscribe(self, topic: bytes = b"") -> None:
+        """ZMTP 3.0 SUB subscription: a \\x01-prefixed message."""
+        if self.socket_type != "SUB":
+            raise ZmtpError("subscribe() is SUB-only")
+        self._send_frame(b"\x01" + topic)
+
+    def drain_to_dir(
+        self, out_dir: str, max_msgs: int = 10000
+    ) -> int:
+        """PULL/SUB staging bridge: receive until idle timeout, stage
+        durably. ZeroMQ delivery is at-most-once (no replay exists) —
+        durability starts at the staging write, like the core-NATS
+        bridge."""
+        os.makedirs(out_dir, exist_ok=True)
+        msgs: list[bytes] = []
+        try:
+            while len(msgs) < max_msgs:
+                parts = self.recv_multipart()
+                msgs.append(b"\x1f".join(parts))
+        except (TimeoutError, OSError, ConnectionError):
+            pass  # idle/EOF = drained what was available
+        if msgs:
+            key = f"zmq-{int(time.time() * 1000)}-{len(msgs)}.jsonl"
+            tmp = os.path.join(out_dir, "." + key)
+            with open(tmp, "wb") as f:
+                f.write(
+                    b"\n".join(m.replace(b"\n", b" ") for m in msgs)
+                    + b"\n"
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(out_dir, key))
+        return len(msgs)
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()

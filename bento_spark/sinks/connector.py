@@ -607,6 +607,65 @@ def _redis_hash_transport(conf: dict):
     return T()
 
 
+@register_transport("zmq4")
+def _zmq_transport(conf: dict):
+    """``zmq4`` output (internal/impl/zeromq/output.go): one ZMTP 3.0
+    message per payload over a PUSH (or PUB) socket
+    (operators/zmtp_wire.py). ZeroMQ delivery is fire-and-forget;
+    connection failures are the retryable class."""
+    from bento_spark.operators.zmtp_wire import ZmtpSocket
+
+    sock = ZmtpSocket(
+        conf.get("host", "localhost"), int(conf["port"]),
+        conf.get("socket_type", "PUSH"),
+    )
+    topic = conf.get("topic", "")
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            try:
+                for m in batch:
+                    parts = (
+                        [topic.encode(), m.encode("utf-8")]
+                        if topic
+                        else [m.encode("utf-8")]
+                    )
+                    sock.send_multipart(parts)
+            except OSError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            sock.close()
+
+    return T()
+
+
+@register_transport("nanomsg")
+def _nanomsg_transport(conf: dict):
+    """``nanomsg`` output (internal/impl/nanomsg/output.go): length-
+    prefixed SP messages over a PUSH (or PUB) socket
+    (operators/nanomsg_wire.py)."""
+    from bento_spark.operators.nanomsg_wire import NanomsgSocket
+
+    sock = NanomsgSocket(
+        conf.get("host", "localhost"), int(conf["port"]),
+        conf.get("socket_type", "PUSH"),
+    )
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            try:
+                for m in batch:
+                    sock.send(m.encode("utf-8"))
+            except OSError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            sock.close()
+
+    return T()
+
+
 @register_transport("gcp_bigquery")
 def _bigquery_transport(conf: dict):
     """``gcp_bigquery`` output (internal/impl/gcp/output_bigquery.go):
