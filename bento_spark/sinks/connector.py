@@ -607,6 +607,85 @@ def _redis_hash_transport(conf: dict):
     return T()
 
 
+@register_transport("discord")
+def _discord_transport(conf: dict):
+    """``discord`` output (internal/impl/discord/output.go): one
+    channel-message POST per message (``{"content": ...}``, Bot
+    token) — or a webhook URL when ``webhook`` is set. 429 honors the
+    API's retry signal."""
+    import urllib.error
+    import urllib.request
+
+    if "webhook" in conf:
+        url = conf["webhook"]
+        headers = {"Content-Type": "application/json"}
+    else:
+        url = (
+            f"{conf['endpoint'].rstrip('/')}/api/v10/channels/"
+            f"{conf['channel_id']}/messages"
+        )
+        headers = {
+            "Content-Type": "application/json",
+            "Authorization": f"Bot {conf['token']}",
+        }
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            for m in batch:
+                body = _json.dumps({"content": m}).encode("utf-8")
+                req = urllib.request.Request(
+                    url, data=body, headers=headers, method="POST"
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=30):  # noqa: S310
+                        pass
+                except urllib.error.HTTPError as e:
+                    raise DeliveryError(
+                        f"discord HTTP {e.code}",
+                        retryable=e.code == 429 or e.code >= 500,
+                    ) from e
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("etcd")
+def _etcd_transport(conf: dict):
+    """``etcd`` output side (kv put over the grpc-gateway JSON API):
+    rows upsert under their key_field id, like the store-keyed
+    sinks."""
+    import json as _j
+
+    from bento_spark.sources.watch_inputs import EtcdKV
+
+    client = EtcdKV(conf["endpoint"])
+    key_field = conf.get("key_field", "id")
+    prefix = conf.get("prefix", "")
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            pairs = []
+            for m in batch:
+                row = _j.loads(m)
+                if key_field not in row:
+                    raise DeliveryError(
+                        f"etcd: row missing key_field {key_field!r}",
+                        retryable=False,
+                    )
+                pairs.append((prefix + str(row[key_field]), m))
+            try:
+                client.mset(pairs)
+            except OSError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            client.close()
+
+    return T()
+
+
 @register_transport("zmq4")
 def _zmq_transport(conf: dict):
     """``zmq4`` output (internal/impl/zeromq/output.go): one ZMTP 3.0

@@ -1,0 +1,367 @@
+"""Watch/poll input family: etcd, kubernetes_watch, fsevent, discord,
+twitter_search.
+
+Reference components (internal/impl/{etcd,kubernetes,io,discord,
+twitter}/):
+- ``etcd`` input — watch a key prefix for changes. etcd v3's API is
+  gRPC, whose official HTTP face is the grpc-gateway JSON API
+  (``/v3/kv/range``, ``/v3/kv/put``, ``/v3/watch`` — base64 keys and
+  values); that is what this speaks. EtcdKV also carries the kvstore
+  mget/mset contract (``etcd://host:port`` URLs).
+- ``kubernetes_watch`` input — the public watch API
+  (``?watch=true``): a chunked stream of one-JSON-per-line events
+  with a resourceVersion cursor for resumption.
+- ``fsevent`` input — filesystem change events. No inotify binding
+  in-container, so a poll-based scan (mtime+size manifest) emits the
+  same created/modified event stream; the manifest is durable so
+  re-drains are incremental.
+- ``discord`` input/output — the public REST API: channel-message
+  polling with an ``after=<id>`` snowflake cursor (input), webhook /
+  channel-message POST (output transport in sinks/connector.py).
+- ``twitter_search`` input — the recent-search REST API with a
+  ``since_id`` cursor.
+
+All five stage into the durable staging dir (atomic tmp+fsync+rename)
+with their cursor persisted AFTER the staged batch — the same
+at-least-once shape as every other bridge. Bearer/token auth rides
+injectable headers, so the in-process test servers exercise the real
+request shapes. Tested in tests/test_watch_inputs.py.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+
+
+def _stage(out_dir: str, prefix: str, seq: int, lines: list[str]) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    key = f"{prefix}-{int(time.time() * 1000)}-{seq:06d}.jsonl"
+    tmp = os.path.join(out_dir, "." + key)
+    with open(tmp, "w") as f:
+        for line in lines:
+            f.write(line.replace("\n", " ") + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(out_dir, key))
+
+
+def _write_cursor(path: str, value: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(value)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _read_cursor(path: str) -> str | None:
+    if os.path.exists(path):
+        with open(path) as f:
+            return f.read().strip() or None
+    return None
+
+
+def _post_json(url: str, payload: dict, headers: dict | None = None) -> dict:
+    import urllib.request
+
+    body = json.dumps(payload).encode("utf-8")
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+        return json.loads(resp.read().decode("utf-8") or "{}")
+
+
+def _get_json(url: str, headers: dict | None = None):
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=headers or {}, method="GET")
+    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+        return json.loads(resp.read().decode("utf-8") or "{}")
+
+
+# -- etcd -----------------------------------------------------------------
+
+
+class EtcdKV:
+    """etcd v3 over the grpc-gateway JSON API. Carries the kvstore
+    mget/mset contract; range reads batch one key per call (the
+    gateway's range is per-key unless using key ranges)."""
+
+    def __init__(self, endpoint: str):
+        self.endpoint = endpoint.rstrip("/")
+
+    @staticmethod
+    def _b64(s: str) -> str:
+        return base64.b64encode(s.encode("utf-8")).decode("ascii")
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        out: list[str | None] = []
+        for key in keys:
+            resp = _post_json(
+                f"{self.endpoint}/v3/kv/range",
+                {"key": self._b64(key)},
+            )
+            kvs = resp.get("kvs") or []
+            out.append(
+                base64.b64decode(kvs[0]["value"]).decode("utf-8")
+                if kvs
+                else None
+            )
+        return out
+
+    def mset(self, pairs) -> None:
+        for key, value in pairs:
+            _post_json(
+                f"{self.endpoint}/v3/kv/put",
+                {"key": self._b64(key), "value": self._b64(value)},
+            )
+
+    def range_prefix(self, prefix: str) -> list[tuple[str, str, int]]:
+        """All (key, value, mod_revision) under a prefix — range_end =
+        prefix with its last byte +1, the protocol's prefix idiom."""
+        end = prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else "\x00"
+        resp = _post_json(
+            f"{self.endpoint}/v3/kv/range",
+            {"key": self._b64(prefix), "range_end": self._b64(end)},
+        )
+        return [
+            (
+                base64.b64decode(kv["key"]).decode("utf-8"),
+                base64.b64decode(kv["value"]).decode("utf-8"),
+                int(kv.get("mod_revision", 0)),
+            )
+            for kv in resp.get("kvs") or []
+        ]
+
+    def close(self) -> None:
+        pass
+
+
+class EtcdWatchBridge:
+    """``etcd`` input: poll-the-prefix watch with a durable
+    mod_revision cursor — only keys whose mod_revision advanced past
+    the cursor are staged (the watch API's semantics expressed over
+    range reads, which the gateway serves statelessly)."""
+
+    def __init__(self, client: EtcdKV, prefix: str):
+        self.client = client
+        self.prefix = prefix
+
+    def drain(self, out_dir: str) -> int:
+        os.makedirs(out_dir, exist_ok=True)
+        cur_path = os.path.join(out_dir, ".cursor-etcd")
+        since = int(_read_cursor(cur_path) or 0)
+        rows = self.client.range_prefix(self.prefix)
+        fresh = [(k, v, r) for k, v, r in rows if r > since]
+        if not fresh:
+            return 0
+        _stage(
+            out_dir, "etcd", 1,
+            [
+                json.dumps(
+                    {"key": k, "value": v, "mod_revision": r},
+                    sort_keys=True,
+                )
+                for k, v, r in sorted(fresh, key=lambda x: x[2])
+            ],
+        )
+        _write_cursor(cur_path, str(max(r for _, _, r in fresh)))
+        return len(fresh)
+
+
+# -- kubernetes_watch -----------------------------------------------------
+
+
+class K8sWatchBridge:
+    """``kubernetes_watch`` input: GET ``<path>?watch=true[&resource
+    Version=N]`` and stream one-JSON-per-line events until the server
+    closes or the read times out. The resourceVersion of the last
+    staged event is the durable resume cursor, exactly the API's
+    documented resumption contract."""
+
+    def __init__(self, endpoint: str, path: str, token: str | None = None):
+        self.endpoint = endpoint.rstrip("/")
+        self.path = path
+        self.token = token
+
+    def drain(self, out_dir: str, max_events: int | None = None) -> int:
+        import urllib.request
+
+        os.makedirs(out_dir, exist_ok=True)
+        cur_path = os.path.join(out_dir, ".cursor-k8s")
+        rv = _read_cursor(cur_path)
+        url = f"{self.endpoint}{self.path}?watch=true"
+        if rv:
+            url += f"&resourceVersion={rv}"
+        headers = (
+            {"Authorization": f"Bearer {self.token}"} if self.token else {}
+        )
+        req = urllib.request.Request(url, headers=headers)
+        lines: list[str] = []
+        last_rv = rv
+        try:
+            with urllib.request.urlopen(req, timeout=10) as resp:  # noqa: S310
+                while max_events is None or len(lines) < max_events:
+                    raw = resp.readline()
+                    if not raw:
+                        break
+                    event = json.loads(raw)
+                    lines.append(json.dumps(event, sort_keys=True))
+                    last_rv = (
+                        event.get("object", {})
+                        .get("metadata", {})
+                        .get("resourceVersion", last_rv)
+                    )
+        except (TimeoutError, OSError):
+            pass  # idle watch = drained what was available
+        if lines:
+            _stage(out_dir, "k8s-watch", 1, lines)
+            if last_rv:
+                _write_cursor(cur_path, str(last_rv))
+        return len(lines)
+
+
+# -- fsevent --------------------------------------------------------------
+
+
+class FsEventBridge:
+    """``fsevent`` input: poll-scan a directory tree; files whose
+    (mtime_ns, size) changed since the durable manifest emit
+    created/modified events. Deletions emit deleted events. Poll-based
+    because no inotify binding ships in-container — same event
+    stream, bounded latency = the poll interval."""
+
+    def __init__(self, watch_dir: str):
+        self.watch_dir = watch_dir
+
+    def drain(self, out_dir: str) -> int:
+        os.makedirs(out_dir, exist_ok=True)
+        man_path = os.path.join(out_dir, ".manifest-fsevent")
+        seen: dict[str, str] = {}
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                for line in f:
+                    p, _, sig = line.rstrip("\n").rpartition("\t")
+                    if p:
+                        seen[p] = sig
+        events: list[str] = []
+        current: dict[str, str] = {}
+        for root, _dirs, files in os.walk(self.watch_dir):
+            for name in files:
+                path = os.path.join(root, name)
+                rel = os.path.relpath(path, self.watch_dir)
+                st = os.stat(path)
+                sig = f"{st.st_mtime_ns}:{st.st_size}"
+                current[rel] = sig
+                if rel not in seen:
+                    events.append(
+                        json.dumps(
+                            {"op": "created", "path": rel},
+                            sort_keys=True,
+                        )
+                    )
+                elif seen[rel] != sig:
+                    events.append(
+                        json.dumps(
+                            {"op": "modified", "path": rel},
+                            sort_keys=True,
+                        )
+                    )
+        for rel in sorted(set(seen) - set(current)):
+            events.append(
+                json.dumps({"op": "deleted", "path": rel}, sort_keys=True)
+            )
+        if events:
+            _stage(out_dir, "fsevent", 1, sorted(events))
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            for p, sig in sorted(current.items()):
+                f.write(f"{p}\t{sig}\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, man_path)
+        return len(events)
+
+
+# -- discord --------------------------------------------------------------
+
+
+class DiscordBridge:
+    """``discord`` input: poll channel messages with the ``after=<id>``
+    snowflake cursor (the public GET /channels/<id>/messages contract,
+    ``Authorization: Bot <token>``), oldest-first staging."""
+
+    def __init__(self, endpoint: str, channel_id: str, token: str):
+        self.endpoint = endpoint.rstrip("/")
+        self.channel_id = channel_id
+        self.token = token
+
+    def drain(self, out_dir: str, limit: int = 100) -> int:
+        os.makedirs(out_dir, exist_ok=True)
+        cur_path = os.path.join(out_dir, ".cursor-discord")
+        after = _read_cursor(cur_path)
+        url = (
+            f"{self.endpoint}/api/v10/channels/{self.channel_id}"
+            f"/messages?limit={limit}"
+        )
+        if after:
+            url += f"&after={after}"
+        msgs = _get_json(
+            url, {"Authorization": f"Bot {self.token}"}
+        )
+        if not msgs:
+            return 0
+        msgs.sort(key=lambda m: int(m["id"]))  # API returns newest-first
+        _stage(
+            out_dir, "discord", 1,
+            [json.dumps(m, sort_keys=True) for m in msgs],
+        )
+        _write_cursor(cur_path, msgs[-1]["id"])
+        return len(msgs)
+
+
+# -- twitter_search -------------------------------------------------------
+
+
+class TwitterSearchBridge:
+    """``twitter_search`` input: the recent-search REST API
+    (GET /2/tweets/search/recent?query=..&since_id=..) with bearer
+    auth; newest id persists as the durable cursor so each drain
+    stages only fresh tweets — the reference input's polling loop."""
+
+    def __init__(self, endpoint: str, query: str, bearer_token: str):
+        self.endpoint = endpoint.rstrip("/")
+        self.query = query
+        self.bearer_token = bearer_token
+
+    def drain(self, out_dir: str) -> int:
+        from urllib.parse import quote
+
+        os.makedirs(out_dir, exist_ok=True)
+        cur_path = os.path.join(out_dir, ".cursor-twitter")
+        since = _read_cursor(cur_path)
+        url = (
+            f"{self.endpoint}/2/tweets/search/recent"
+            f"?query={quote(self.query, safe='')}"
+        )
+        if since:
+            url += f"&since_id={since}"
+        resp = _get_json(
+            url, {"Authorization": f"Bearer {self.bearer_token}"}
+        )
+        tweets = resp.get("data") or []
+        if not tweets:
+            return 0
+        tweets.sort(key=lambda t: int(t["id"]))
+        _stage(
+            out_dir, "twitter", 1,
+            [json.dumps(t, sort_keys=True) for t in tweets],
+        )
+        _write_cursor(cur_path, tweets[-1]["id"])
+        return len(tweets)
