@@ -1,0 +1,348 @@
+"""Cache resources — the policy layer of the reference's cache plane.
+
+The reference ships 16 cache backends (website/docs/components/caches/).
+The remote ones (redis, memcached, mongodb, aws_dynamodb, couchbase,
+nats_kv, sql, ...) are REAL protocol clients in `operators/kvstore.py`
+and friends; this module adds the remaining *in-process policy* caches
+and thin KV adapters so every reference cache name resolves:
+
+* ``noop``       — always miss, writes dropped (caches/noop.md)
+* ``lru``        — bounded LRU (caches/lru.md; cap field ``cap``)
+* ``ttlru``      — LRU + per-entry TTL (caches/ttlru.md; ``default_ttl``)
+* ``ristretto``  — frequency-based admission in the spirit of the public
+  TinyLFU design the upstream ristretto library implements (Einziger et
+  al., "TinyLFU: A Highly Efficient Cache Admission Policy", 2015): a
+  doorkeeper counter sketch decides whether a new key may displace the
+  coldest resident; counters halve periodically so the sketch ages.
+* ``multilevel`` — read-through / write-through across levels
+  (caches/multilevel.md): gets probe L0..Ln, hits back-fill upper
+  levels, sets write through every level.
+* ``file``       — one file per key under a root dir (caches/file.md),
+  atomic tmp+rename writes, path-traversal guarded.
+* ``aws_s3`` / ``gcp_cloud_storage`` — object-per-key adapters over the
+  REAL S3/GCS REST clients (sources/aws_s3.py, sources/objectstore.py),
+  the shape of caches/aws_s3.md.
+
+All implement the engine-wide KV contract (mget/mset/close, optional
+mdel) so they slot into `kv_enrich`, the `cache` processor, Bloblang
+cache functions, and the store-keyed sinks unchanged. These are
+DRIVER/WORKER-LOCAL caches: under Spark each task process keeps its own
+instance (exactly like the reference's per-process memory caches) — a
+shared cache across executors is what the remote backends are for.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import OrderedDict
+from collections.abc import Iterable
+
+
+class NoopKV:
+    """`noop` cache: every read misses, writes vanish."""
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        return [None for _ in keys]
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        pass
+
+    def mdel(self, keys: list[str]) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+class LruKV:
+    """`lru` cache: bounded, least-recently-used eviction."""
+
+    def __init__(self, cap: int = 1000):
+        if cap <= 0:
+            raise ValueError("lru cap must be positive")
+        self.cap = cap
+        self._d: OrderedDict[str, str] = OrderedDict()
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        out = []
+        for k in keys:
+            if k in self._d:
+                self._d.move_to_end(k)
+                out.append(self._d[k])
+            else:
+                out.append(None)
+        return out
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        for k, v in pairs:
+            self._d[k] = v
+            self._d.move_to_end(k)
+            while len(self._d) > self.cap:
+                self._d.popitem(last=False)
+
+    def mdel(self, keys: list[str]) -> None:
+        for k in keys:
+            self._d.pop(k, None)
+
+    def close(self) -> None:
+        self._d.clear()
+
+
+class TtlruKV:
+    """`ttlru` cache: LRU with per-entry expiry. Expired entries read
+    as misses and are reaped lazily on access."""
+
+    def __init__(self, cap: int = 1024, default_ttl_s: float = 300.0, clock=None):
+        if cap <= 0:
+            raise ValueError("ttlru cap must be positive")
+        self.cap = cap
+        self.ttl = float(default_ttl_s)
+        self._clock = clock or time.monotonic
+        self._d: OrderedDict[str, tuple[str, float]] = OrderedDict()
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        now = self._clock()
+        out = []
+        for k in keys:
+            hit = self._d.get(k)
+            if hit is None:
+                out.append(None)
+                continue
+            v, dead = hit
+            if now >= dead:
+                del self._d[k]
+                out.append(None)
+                continue
+            self._d.move_to_end(k)
+            out.append(v)
+        return out
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        now = self._clock()
+        for k, v in pairs:
+            self._d[k] = (v, now + self.ttl)
+            self._d.move_to_end(k)
+            while len(self._d) > self.cap:
+                self._d.popitem(last=False)
+
+    def mdel(self, keys: list[str]) -> None:
+        for k in keys:
+            self._d.pop(k, None)
+
+    def close(self) -> None:
+        self._d.clear()
+
+
+class RistrettoKV:
+    """`ristretto` cache: LRU storage + TinyLFU-style admission.
+
+    A plain counter table (halved every ``age_every`` touches, the
+    classic aging trick that keeps the sketch fresh) estimates access
+    frequency. When the cache is full, a NEW key is admitted only if its
+    estimated frequency beats the coldest resident's — one-hit wonders
+    never displace a warm working set, which is the property the
+    upstream library's admission policy exists to provide. Updates to
+    resident keys always succeed."""
+
+    def __init__(self, cap: int = 1024, age_every: int = 10_000):
+        if cap <= 0:
+            raise ValueError("ristretto cap must be positive")
+        self.cap = cap
+        self.age_every = age_every
+        self._d: OrderedDict[str, str] = OrderedDict()
+        self._freq: dict[str, int] = {}
+        self._touches = 0
+
+    def _touch(self, k: str) -> None:
+        self._touches += 1
+        self._freq[k] = self._freq.get(k, 0) + 1
+        if self._touches >= self.age_every:
+            self._touches = 0
+            self._freq = {k: c // 2 for k, c in self._freq.items() if c > 1}
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        out = []
+        for k in keys:
+            self._touch(k)
+            if k in self._d:
+                self._d.move_to_end(k)
+                out.append(self._d[k])
+            else:
+                out.append(None)
+        return out
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        for k, v in pairs:
+            self._touch(k)
+            if k in self._d:
+                self._d[k] = v
+                self._d.move_to_end(k)
+                continue
+            if len(self._d) >= self.cap:
+                victim = next(iter(self._d))
+                if self._freq.get(k, 0) <= self._freq.get(victim, 0):
+                    continue  # not admitted
+                self._d.popitem(last=False)
+            self._d[k] = v
+
+    def mdel(self, keys: list[str]) -> None:
+        for k in keys:
+            self._d.pop(k, None)
+
+    def close(self) -> None:
+        self._d.clear()
+        self._freq.clear()
+
+
+class MultilevelKV:
+    """`multilevel` cache: read-through with upper-level back-fill,
+    write-through to every level. Levels are any KV-contract objects
+    (e.g. [LruKV(256), RedisKV(...)]) — the hot-and-cold pattern from
+    caches/multilevel.md."""
+
+    def __init__(self, levels: list):
+        if not levels:
+            raise ValueError("multilevel needs at least one level")
+        self.levels = list(levels)
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        found: dict[str, str] = {}
+        missing = list(dict.fromkeys(keys))
+        fill: list[list[tuple[str, str]]] = []  # per-upper-level back-fill
+        for li, lvl in enumerate(self.levels):
+            if not missing:
+                break
+            got = lvl.mget(missing)
+            hits = [(k, v) for k, v in zip(missing, got) if v is not None]
+            if hits and li > 0:
+                fill.append(hits)
+            found.update(hits)
+            missing = [k for k, v in zip(missing, got) if v is None]
+        for hits in fill:
+            for upper in self.levels[: len(self.levels) - 1]:
+                upper.mset(hits)
+        return [found.get(k) for k in keys]
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        pairs = list(pairs)
+        for lvl in self.levels:
+            lvl.mset(pairs)
+
+    def mdel(self, keys: list[str]) -> None:
+        for lvl in self.levels:
+            if hasattr(lvl, "mdel"):
+                lvl.mdel(keys)
+
+    def close(self) -> None:
+        for lvl in self.levels:
+            lvl.close()
+
+
+class FileKV:
+    """`file` cache: one file per key relative to a root directory,
+    atomic tmp+rename writes. Key = relative path (caches/file.md);
+    escapes above the root are rejected."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        p = os.path.abspath(os.path.join(self.root, key))
+        if not p.startswith(self.root + os.sep):
+            raise ValueError(f"file cache key escapes root: {key!r}")
+        return p
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        out = []
+        for k in keys:
+            try:
+                with open(self._path(k), encoding="utf-8") as f:
+                    out.append(f.read())
+            except FileNotFoundError:
+                out.append(None)
+        return out
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        for k, v in pairs:
+            p = self._path(k)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = f"{p}.tmp.{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(v)
+            os.replace(tmp, p)
+
+    def mdel(self, keys: list[str]) -> None:
+        for k in keys:
+            try:
+                os.unlink(self._path(k))
+            except FileNotFoundError:
+                pass
+
+    def close(self) -> None:
+        pass
+
+
+class ObjectStoreKV:
+    """`aws_s3` / `gcp_cloud_storage` caches: object-per-key over any
+    client exposing get_object/put_object (sources/aws_s3.py S3Client,
+    sources/objectstore.py GcsClient/AzureBlobClient/WebHdfsClient)."""
+
+    def __init__(self, client, prefix: str = "cache/"):
+        self.client = client
+        self.prefix = prefix
+
+    def mget(self, keys: list[str]) -> list[str | None]:
+        out = []
+        for k in keys:
+            try:
+                out.append(self.client.get_object(self.prefix + k).decode("utf-8"))
+            except Exception:  # noqa: BLE001 — any miss/404 flavor
+                out.append(None)
+        return out
+
+    def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
+        for k, v in pairs:
+            self.client.put_object(self.prefix + k, v.encode("utf-8"))
+
+    def close(self) -> None:
+        pass
+
+
+def cache_from_conf(conf: dict | str):
+    """Build a cache resource from its YAML config form, e.g.
+    ``{lru: {cap: 500}}``, ``{multilevel: [{lru: {cap: 10}},
+    {sqlite: {path: ...}}]}``, or a KV URL string (delegates to
+    kvstore._client_from_url for the remote backends)."""
+    if isinstance(conf, str):
+        from bento_spark.operators.kvstore import _client_from_url
+
+        return _client_from_url(conf)
+    (name, c), = conf.items()
+    c = c or {}
+    if name == "noop":
+        return NoopKV()
+    if name == "memory":
+        from bento_spark.operators.kvstore import MemoryKV
+
+        return MemoryKV(c.get("init_values"))
+    if name == "lru":
+        return LruKV(int(c.get("cap", 1000)))
+    if name == "ttlru":
+        return TtlruKV(int(c.get("cap", 1024)), float(c.get("default_ttl", 300)))
+    if name == "ristretto":
+        return RistrettoKV(int(c.get("cap", 1024)))
+    if name == "file":
+        return FileKV(c["directory"])
+    if name == "multilevel":
+        return MultilevelKV([cache_from_conf(level) for level in c])
+    if name == "sqlite":
+        from bento_spark.operators.kvstore import SqliteKV
+
+        return SqliteKV(c["path"])
+    if name == "url":
+        from bento_spark.operators.kvstore import _client_from_url
+
+        return _client_from_url(c if isinstance(c, str) else c["url"])
+    raise ValueError(f"unknown cache backend {name!r}")

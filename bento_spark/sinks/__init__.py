@@ -319,3 +319,113 @@ def _connector(df: DataFrame, is_streaming: bool, conf: dict):
         )
     C.deliver(df, backend, bconf, **kw)
     return None
+
+class RejectedError(RuntimeError):
+    """Raised by the `reject` output: the delivery layer treats it like
+    any other failed write (at-least-once retry / DLQ routing), which is
+    the Spark-side equivalent of the reference's upstream nack."""
+
+
+@register_sink("reject")
+def _reject(df: DataFrame, is_streaming: bool, conf: dict):
+    """`reject` output (output_reject.go:18): every message routed here
+    is nacked with an (interpolated) reason. Bento pushes the nack back
+    to the input's ack channel; a checkpoint-based engine has no
+    per-message nack, so the honest mapping is: materialize the reason
+    per row into a rejection record, then fail the write (raising
+    RejectedError) so the delivery layer's retry/DLQ contract kicks in.
+    `dlq_path` captures the rejected rows + reasons durably first —
+    with it set, reject behaves as a terminal DLQ route (no raise),
+    which is the pattern the reference docs recommend pairing with
+    `switch` for invalid-message routing."""
+    from pyspark.sql import functions as F
+
+    reason = conf.get("reason", "message rejected")
+    out = df
+    if "${!" in str(reason):
+        from bento_spark.bloblang.field import compile_field
+
+        out = df.withColumn("_reject_reason", compile_field(reason, df))
+    else:
+        out = df.withColumn("_reject_reason", F.lit(str(reason)))
+
+    def write_rejections(bdf):
+        n = bdf.count()
+        if n == 0:
+            return
+        if "dlq_path" in conf:
+            bdf.write.mode("append").parquet(conf["dlq_path"])
+            return
+        sample = [r["_reject_reason"] for r in bdf.select("_reject_reason").head(3)]
+        raise RejectedError(f"{n} message(s) rejected: {sample}")
+
+    if is_streaming:
+        return (
+            out.writeStream.foreachBatch(lambda bdf, _e: write_rejections(bdf))
+            .trigger(availableNow=True)
+            .start()
+        )
+    write_rejections(out)
+    return None
+
+
+@register_sink("reject_errored")
+def _reject_errored(df: DataFrame, is_streaming: bool, conf: dict):
+    """`reject_errored` output (output_reject_errored.go): wrap a child
+    output; rows whose `_error` column is set are rejected (routed to
+    the `reject` sink above — durable DLQ with `dlq_path`, else raise)
+    while clean rows flow to the child."""
+    from bento_spark.operators.processors import reject_errored as _split
+
+    (sname, sconf), = conf["output"].items()
+    ok_df, bad_df = _split(df)
+    res = run_sink(ok_df, is_streaming, sname, sconf)
+    rej_conf = {"reason": conf.get("reason", "${! error() }")}
+    if "dlq_path" in conf:
+        rej_conf["dlq_path"] = conf["dlq_path"]
+    rej = run_sink(bad_df, is_streaming, "reject", rej_conf)
+    return [res, rej] if is_streaming else None
+
+
+@register_sink("drop_on")
+def _drop_on(df: DataFrame, is_streaming: bool, conf: dict):
+    """`drop_on` output (output_drop_on.go): wrap a child output and
+    DROP messages in conditions where the reference would otherwise
+    retry forever: `error: true` swallows child write failures (the
+    batch is dropped, delivery continues), `error_patterns` narrows the
+    swallow to matching failure text. `back_pressure` (drop when the
+    child blocks) has no analog under a pull-based batch engine —
+    ingestion backpressure is governed by trigger sizing — and is
+    accepted but ignored (documented no-op)."""
+    import re as _re
+
+    (sname, sconf), = conf["output"].items()
+    swallow = bool(conf.get("error", False))
+    pats = [_re.compile(p) for p in conf.get("error_patterns", [])]
+
+    def matches(exc: Exception) -> bool:
+        if not swallow and not pats:
+            return False
+        if pats:
+            return any(p.search(str(exc)) for p in pats)
+        return True
+
+    if is_streaming:
+        def write_batch(bdf, _epoch):
+            try:
+                run_sink(bdf, False, sname, sconf)
+            except Exception as e:  # noqa: BLE001
+                if not matches(e):
+                    raise
+
+        return (
+            df.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        run_sink(df, False, sname, sconf)
+    except Exception as e:  # noqa: BLE001
+        if not matches(e):
+            raise
+    return None

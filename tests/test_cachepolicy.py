@@ -1,0 +1,164 @@
+"""Cache policy resources (caches/{lru,ttlru,ristretto,multilevel,file,
+noop}.md) + the object-store KV adapter + config construction."""
+
+from __future__ import annotations
+
+import pytest
+
+from bento_spark.operators.cachepolicy import (
+    FileKV,
+    LruKV,
+    MultilevelKV,
+    NoopKV,
+    ObjectStoreKV,
+    RistrettoKV,
+    TtlruKV,
+    cache_from_conf,
+)
+
+
+def test_noop_always_misses():
+    c = NoopKV()
+    c.mset([("a", "1")])
+    assert c.mget(["a", "b"]) == [None, None]
+
+
+def test_lru_eviction_order():
+    c = LruKV(cap=2)
+    c.mset([("a", "1"), ("b", "2")])
+    assert c.mget(["a"]) == ["1"]  # a now most-recent
+    c.mset([("c", "3")])  # evicts b
+    assert c.mget(["a", "b", "c"]) == ["1", None, "3"]
+
+
+def test_lru_update_does_not_grow():
+    c = LruKV(cap=2)
+    c.mset([("a", "1"), ("b", "2"), ("a", "9")])
+    assert c.mget(["a", "b"]) == ["9", "2"]
+
+
+def test_lru_delete():
+    c = LruKV(cap=4)
+    c.mset([("a", "1")])
+    c.mdel(["a", "zz"])
+    assert c.mget(["a"]) == [None]
+
+
+def test_ttlru_expiry():
+    t = [0.0]
+    c = TtlruKV(cap=10, default_ttl_s=5, clock=lambda: t[0])
+    c.mset([("a", "1")])
+    assert c.mget(["a"]) == ["1"]
+    t[0] = 4.9
+    assert c.mget(["a"]) == ["1"]
+    t[0] = 5.1
+    assert c.mget(["a"]) == [None]  # expired and reaped
+    assert "a" not in c._d
+
+
+def test_ttlru_lru_eviction_still_applies():
+    c = TtlruKV(cap=2, default_ttl_s=1000)
+    c.mset([("a", "1"), ("b", "2"), ("c", "3")])
+    assert c.mget(["a", "b", "c"]) == [None, "2", "3"]
+
+
+def test_ristretto_admission_rejects_cold_key():
+    c = RistrettoKV(cap=2)
+    # warm up a and b with reads
+    c.mset([("a", "1"), ("b", "2")])
+    for _ in range(5):
+        c.mget(["a", "b"])
+    # cold newcomer: frequency 1 vs victim's 6 -> not admitted
+    c.mset([("cold", "x")])
+    assert c.mget(["cold"]) == [None]
+    assert c.mget(["a", "b"]) == ["1", "2"]
+
+
+def test_ristretto_admits_hot_key():
+    c = RistrettoKV(cap=2)
+    c.mset([("a", "1"), ("b", "2")])
+    # make "hot" hotter than the LRU victim before inserting it
+    for _ in range(10):
+        c.mget(["hot"])
+    c.mset([("hot", "x")])
+    assert c.mget(["hot"]) == ["x"]
+    assert len(c._d) == 2
+
+
+def test_ristretto_updates_resident_key():
+    c = RistrettoKV(cap=2)
+    c.mset([("a", "1"), ("b", "2"), ("a", "9")])
+    assert c.mget(["a"]) == ["9"]
+
+
+def test_multilevel_backfill_and_write_through():
+    hot, cold = LruKV(cap=10), LruKV(cap=10)
+    c = MultilevelKV([hot, cold])
+    cold.mset([("k", "v")])
+    assert c.mget(["k", "miss"]) == ["v", None]
+    # hit was back-filled into the hot level
+    assert hot.mget(["k"]) == ["v"]
+    c.mset([("w", "1")])
+    assert hot.mget(["w"]) == ["1"]
+    assert cold.mget(["w"]) == ["1"]
+    c.mdel(["w"])
+    assert c.mget(["w"]) == [None]
+
+
+def test_file_kv_roundtrip_and_traversal_guard(tmp_path):
+    c = FileKV(str(tmp_path / "root"))
+    c.mset([("a/b.txt", "hello"), ("top", "t")])
+    assert c.mget(["a/b.txt", "top", "nope"]) == ["hello", "t", None]
+    c.mdel(["top", "nope"])
+    assert c.mget(["top"]) == [None]
+    with pytest.raises(ValueError, match="escapes root"):
+        c.mget(["../../etc/passwd"])
+
+
+def test_file_kv_atomic_overwrite(tmp_path):
+    c = FileKV(str(tmp_path))
+    c.mset([("k", "v1")])
+    c.mset([("k", "v2")])
+    assert c.mget(["k"]) == ["v2"]
+    # no tmp litter
+    leftovers = [p for p in (tmp_path).iterdir() if ".tmp." in p.name]
+    assert not leftovers
+
+
+def test_objectstore_kv_adapter():
+    class FakeClient:
+        def __init__(self):
+            self.objs = {}
+
+        def get_object(self, key):
+            return self.objs[key]
+
+        def put_object(self, key, body, content_type="application/octet-stream"):
+            self.objs[key] = body
+
+    cl = FakeClient()
+    c = ObjectStoreKV(cl, prefix="cache/")
+    c.mset([("k", "v")])
+    assert cl.objs["cache/k"] == b"v"
+    assert c.mget(["k", "missing"]) == ["v", None]
+
+
+def test_cache_from_conf_variants(tmp_path):
+    assert isinstance(cache_from_conf({"noop": {}}), NoopKV)
+    assert isinstance(cache_from_conf({"lru": {"cap": 5}}), LruKV)
+    assert isinstance(cache_from_conf({"ttlru": {"cap": 5, "default_ttl": 1}}), TtlruKV)
+    assert isinstance(cache_from_conf({"ristretto": {}}), RistrettoKV)
+    f = cache_from_conf({"file": {"directory": str(tmp_path / "fc")}})
+    assert isinstance(f, FileKV)
+    ml = cache_from_conf(
+        {"multilevel": [{"lru": {"cap": 2}}, {"file": {"directory": str(tmp_path / "ml")}}]}
+    )
+    assert isinstance(ml, MultilevelKV)
+    ml.mset([("a", "1")])
+    assert ml.mget(["a"]) == ["1"]
+    # URL string delegates to the kvstore factory
+    mem = cache_from_conf("memory://")
+    mem.mset([("x", "y")])
+    assert mem.mget(["x"]) == ["y"]
+    with pytest.raises(ValueError, match="unknown cache backend"):
+        cache_from_conf({"wat": {}})

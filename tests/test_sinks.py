@@ -124,3 +124,86 @@ def test_broker_round_robin(spark, tmp_path):
     assert abs(na - nb) <= spark.sparkContext.defaultParallelism
     union = spark.read.json(a).union(spark.read.json(b))
     assert union.select("n").distinct().count() == 100
+
+
+def test_reject_sink_raises_with_reason(spark, flagged_df):
+    from bento_spark.sinks import RejectedError
+
+    bad = flagged_df.filter(F.col("_error").isNotNull())
+    with pytest.raises(RejectedError, match="rejected"):
+        run_sink(bad, False, "reject", {"reason": "${! error() }"})
+
+
+def test_reject_sink_dlq_path(spark, flagged_df, tmp_path):
+    bad = flagged_df.filter(F.col("_error").isNotNull()).drop("_metadata")
+    run_sink(
+        bad, False, "reject",
+        {"reason": "${! error() }", "dlq_path": str(tmp_path / "rej")},
+    )
+    back = spark.read.parquet(str(tmp_path / "rej"))
+    assert back.count() == 2
+    assert set(r["_reject_reason"] for r in back.collect()) == {"boom"}
+
+
+def test_reject_errored_sink_wrapper(spark, flagged_df, tmp_path):
+    run_sink(
+        flagged_df.drop("_metadata"),
+        False,
+        "reject_errored",
+        {
+            "output": {"json": {"path": str(tmp_path / "ok")}},
+            "dlq_path": str(tmp_path / "dlq"),
+        },
+    )
+    ok_back = spark.read.json(str(tmp_path / "ok"))
+    dlq_back = spark.read.parquet(str(tmp_path / "dlq"))
+    assert sorted(r["id"] for r in ok_back.collect()) == [1, 3]
+    assert sorted(r["id"] for r in dlq_back.collect()) == [2, 4]
+
+
+def test_drop_on_swallows_child_error(spark, flagged_df, tmp_path):
+    # child fails (reject with no dlq raises); drop_on error:true swallows
+    run_sink(
+        flagged_df,
+        False,
+        "drop_on",
+        {"error": True, "output": {"reject": {"reason": "nope"}}},
+    )
+    # without error:true the failure propagates
+    from bento_spark.sinks import RejectedError
+
+    with pytest.raises(RejectedError):
+        run_sink(
+            flagged_df,
+            False,
+            "drop_on",
+            {"output": {"reject": {"reason": "nope"}}},
+        )
+
+
+def test_drop_on_error_patterns(spark, flagged_df):
+    from bento_spark.sinks import RejectedError
+
+    # pattern matches -> swallowed
+    run_sink(
+        flagged_df,
+        False,
+        "drop_on",
+        {
+            "error": True,
+            "error_patterns": ["rejected"],
+            "output": {"reject": {"reason": "nope"}},
+        },
+    )
+    # pattern doesn't match -> propagates
+    with pytest.raises(RejectedError):
+        run_sink(
+            flagged_df,
+            False,
+            "drop_on",
+            {
+                "error": True,
+                "error_patterns": ["no-such-text"],
+                "output": {"reject": {"reason": "nope"}},
+            },
+        )
