@@ -21,6 +21,7 @@ mutable to snapshot.
 
 from __future__ import annotations
 
+import json as _json
 import os
 import sqlite3
 from collections.abc import Callable, Iterable, Iterator
@@ -198,6 +199,14 @@ class RedisKV:
         """Pipelined commands: one write, all replies drained, first
         error raised only after the connection is back in sync."""
         return self._pipeline(commands)
+
+    def pipeline_raw(self, commands: list[tuple[str, ...]]) -> list:
+        """Like :meth:`pipeline` but per-command errors are RETURNED as
+        RedisError values instead of raised — callers that map failures
+        onto a per-row error channel (redis_script_enrich) need every
+        reply, not just the first failure."""
+        self._sock.sendall(b"".join(self._encode(c) for c in commands))
+        return [self._read_reply() for _ in commands]
 
     def read_push(self, timeout: float | None = None):
         """One server-initiated push message (SUBSCRIBE delivery).
@@ -548,6 +557,69 @@ def kv_enrich(
     return df.mapInPandas(gen, schema)
 
 
+def redis_script_enrich(
+    df: DataFrame,
+    factory: Callable[[], "RedisKV"],
+    script: str,
+    keys_cols: list[str],
+    args_cols: list[str] | None = None,
+    out_col: str = "script_result",
+) -> DataFrame:
+    """``redis_script`` processor (internal/impl/redis/script_processor.go:70):
+    run a Lua script per message with KEYS/ARGV built from row columns
+    (the Spark form of keys_mapping/args_mapping) and the reply in
+    ``out_col``.
+
+    One client per partition; the script is SCRIPT LOADed once per
+    partition (so the per-row commands are sha-addressed EVALSHA — the
+    reference's evalsha-with-fallback without ever hitting NOSCRIPT),
+    then one pipelined round trip per Arrow batch. Script errors land in
+    the ``_error`` column, never a task failure."""
+    from bento_spark.operators.envelope import ERROR, ensure_envelope
+
+    df = ensure_envelope(df)
+    args_cols = args_cols or []
+    schema = StructType(list(df.schema.fields)).add(out_col, StringType())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = factory()
+        try:
+            sha = client.command("SCRIPT", "LOAD", script)
+            for pdf in batches:
+                cmds = []
+                for _, row in pdf.iterrows():
+                    keys = [str(row[c]) for c in keys_cols]
+                    args = [str(row[c]) for c in args_cols]
+                    cmds.append(("EVALSHA", sha, str(len(keys)), *keys, *args))
+                CH = RedisKV.CHUNK
+                replies: list = []
+                for i in range(0, len(cmds), CH):
+                    replies.extend(client.pipeline_raw(cmds[i : i + CH]))
+                out, errs = [], []
+                for r in replies:
+                    if isinstance(r, RedisError):
+                        out.append(None)
+                        errs.append(str(r))
+                    elif isinstance(r, (list, int)):
+                        out.append(_json.dumps(r))
+                        errs.append(None)
+                    else:
+                        out.append(r)
+                        errs.append(None)
+                pdf = pdf.copy()
+                pdf[out_col] = pd.array(out, dtype=object)
+                prev = pdf[ERROR].tolist()
+                pdf[ERROR] = pd.array(
+                    [e if e is not None else p for e, p in zip(errs, prev)],
+                    dtype=object,
+                )
+                yield pdf
+        finally:
+            client.close()
+
+    return df.mapInPandas(gen, schema)
+
+
 def kv_write(
     df: DataFrame,
     factory: Callable[[], object],
@@ -687,8 +759,20 @@ def _proc_kv(df: DataFrame, conf: dict) -> DataFrame:
 def _register() -> None:
     from bento_spark.plans.pipeline import PROCESSORS
 
+    def _proc_redis_script(df: DataFrame, conf: dict) -> DataFrame:
+        url = conf["url"]
+        return redis_script_enrich(
+            df,
+            lambda: _client_from_url(url),
+            conf["script"],
+            list(conf.get("keys", [])),
+            list(conf.get("args", [])),
+            conf.get("result_column", "script_result"),
+        )
+
     PROCESSORS["kv"] = _proc_kv
     PROCESSORS["redis"] = _proc_kv
+    PROCESSORS["redis_script"] = _proc_redis_script
 
 
 _register()

@@ -163,6 +163,38 @@ class NatsClient:
         if self.verbose:
             self._expect_ok()
 
+    def request(self, subject: str, payload: bytes, timeout: float = 5.0) -> bytes:
+        """One request/reply round trip (the core-NATS pattern the
+        `nats_request_reply` processor rides): publish with a unique
+        inbox reply subject, wait for the single MSG on it."""
+        import socket as _socket
+
+        self._inbox_seq = getattr(self, "_inbox_seq", 0) + 1
+        inbox = f"_INBOX.{id(self)}.{self._inbox_seq}"
+        sid = f"rr{self._inbox_seq}"
+        self._sock.sendall(b"SUB %s %s\r\n" % (inbox.encode(), sid.encode()))
+        if self.verbose:
+            self._expect_ok()
+        self.publish_with_reply(subject, inbox, payload)
+        old = self._sock.gettimeout()
+        try:
+            self._sock.settimeout(timeout)
+            while True:
+                got = self.next_msg_full()
+                if got is None:
+                    raise NatsError("request timed out")
+                subj, _reply, body = got
+                if subj == inbox:
+                    break
+        except (_socket.timeout, TimeoutError) as e:
+            raise NatsError(f"request to {subject!r} timed out") from e
+        finally:
+            self._sock.settimeout(old)
+        self._sock.sendall(b"UNSUB %s\r\n" % sid.encode())
+        if self.verbose:
+            self._expect_ok()
+        return body
+
     def drain_to_dir(self, subject: str, out_dir: str, max_msgs: int) -> int:
         """Staging-bridge: receive up to ``max_msgs`` and append them
         durably (atomic tmp+rename), one file per drain call — NATS core
@@ -198,3 +230,79 @@ class NatsClient:
             self._rfile.close()
         finally:
             self._sock.close()
+
+
+def request_reply_enrich(
+    df,
+    factory,
+    subject: str,
+    body_col: str,
+    out_col: str = "reply",
+    timeout: float = 5.0,
+):
+    """`nats_request_reply` processor
+    (internal/impl/nats/processor_request_reply.go): send each message
+    body as a request on ``subject``, store the responder's reply in
+    ``out_col``. One connection per partition; requests are serial per
+    partition (request/reply is RPC — parallelism comes from partition
+    count, exactly like the reference's per-message loop), timeouts and
+    NATS errors land in `_error`, never a task failure."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructType
+
+    from bento_spark.operators.envelope import ERROR, ensure_envelope
+
+    df = ensure_envelope(df)
+    schema = StructType(list(df.schema.fields)).add(out_col, StringType())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = factory()
+        try:
+            for pdf in batches:
+                out, errs = [], []
+                for body in pdf[body_col].astype(str).tolist():
+                    try:
+                        out.append(
+                            client.request(
+                                subject, body.encode("utf-8"), timeout=timeout
+                            ).decode("utf-8")
+                        )
+                        errs.append(None)
+                    except NatsError as e:
+                        out.append(None)
+                        errs.append(str(e))
+                pdf = pdf.copy()
+                pdf[out_col] = pd.array(out, dtype=object)
+                prev = pdf[ERROR].tolist()
+                pdf[ERROR] = pd.array(
+                    [e if e is not None else p for e, p in zip(errs, prev)],
+                    dtype=object,
+                )
+                yield pdf
+        finally:
+            client.close()
+
+    return df.mapInPandas(gen, schema)
+
+
+def _register() -> None:
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    def _proc_request_reply(df, conf):
+        host = conf.get("host", "localhost")
+        port = int(conf.get("port", 4222))
+        return request_reply_enrich(
+            df,
+            lambda: NatsClient(host, port),
+            conf["subject"],
+            conf.get("body", "content"),
+            conf.get("result_column", "reply"),
+            float(conf.get("timeout", 5.0)),
+        )
+
+    PROCESSORS["nats_request_reply"] = _proc_request_reply
+
+
+_register()

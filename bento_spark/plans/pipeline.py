@@ -168,7 +168,11 @@ PROCESSORS = {
 }
 
 
-from bento_spark.operators import kvstore  # noqa: E402,F401  (registers kv/redis)
+from bento_spark.operators import awssvc  # noqa: E402,F401  (registers aws_lambda/aws_dynamodb_partiql/aws_bedrock_invoke)
+from bento_spark.operators import kvstore  # noqa: E402,F401  (registers kv/redis/redis_script)
+from bento_spark.operators import nats_wire  # noqa: E402,F401  (registers nats_request_reply)
+from bento_spark.operators import sentry  # noqa: E402,F401  (registers sentry_capture)
+from bento_spark.operators import snowplow  # noqa: E402,F401  (registers opensnowcat)
 from bento_spark.operators import sqlproc  # noqa: E402,F401  (registers sql_insert/sql_raw)
 from bento_spark.operators import subproc  # noqa: E402,F401  (registers subprocess/command/awk)
 

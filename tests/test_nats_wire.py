@@ -29,7 +29,9 @@ class _Handler(socketserver.StreamRequestHandler):
                 srv.connects.append(json.loads(line[8:]))
                 self.wfile.write(b"+OK\r\n")
             elif line.startswith(b"PUB "):
-                _, subject, n = line.split(b" ")
+                parts = line.split(b" ")
+                subject, n = parts[1], parts[-1]
+                reply_to = parts[2] if len(parts) == 4 else None
                 payload = self.rfile.read(int(n) + 2)[:-2]
                 if srv.ping_before_ack:
                     srv.ping_before_ack = False
@@ -47,7 +49,19 @@ class _Handler(socketserver.StreamRequestHandler):
                                 b"MSG %s %s %d\r\n%s\r\n"
                                 % (subject, sid, len(payload), payload)
                             )
+                    # request/reply: a registered responder answers PUBs
+                    # carrying a reply-to inbox (after the +OK ack below)
+                    resp = None
+                    if reply_to is not None and srv.responder is not None:
+                        resp = srv.responder(subject.decode(), payload)
                     self.wfile.write(b"+OK\r\n")
+                    if resp is not None:
+                        for sid, subj in subs.items():
+                            if subj == reply_to:
+                                self.wfile.write(
+                                    b"MSG %s %s %d\r\n%s\r\n"
+                                    % (reply_to, sid, len(resp), resp)
+                                )
                 self.wfile.flush()
             elif line.startswith(b"SUB "):
                 _, subject, sid = line.split(b" ")
@@ -58,6 +72,10 @@ class _Handler(socketserver.StreamRequestHandler):
                     self.wfile.write(
                         b"MSG %s %s %d\r\n%s\r\n" % (subject, sid, len(p), p)
                     )
+                self.wfile.flush()
+            elif line.startswith(b"UNSUB "):
+                subs.pop(line.split(b" ")[1], None)
+                self.wfile.write(b"+OK\r\n")
                 self.wfile.flush()
             elif line == b"PONG":
                 pass
@@ -76,6 +94,7 @@ class _Server(socketserver.ThreadingTCPServer):
         self.connects: list[dict] = []
         self.reject_payloads: set[bytes] = set()
         self.ping_before_ack = False
+        self.responder = None  # (subject, payload) -> reply bytes | None
         threading.Thread(target=self.serve_forever, daemon=True).start()
 
     @property
@@ -147,3 +166,39 @@ def test_deliver_end_to_end_via_nats_transport(spark, server):
     assert stats["delivered"] == 25 and stats["dead"] == 0
     got = {json.loads(m)["msg"] for m in server.messages["spark.out"]}
     assert got == {f"n{i}" for i in range(25)}
+
+
+def test_request_reply_single(server):
+    server.responder = lambda subj, payload: b"echo:" + payload
+    c = NatsClient("127.0.0.1", server.port)
+    assert c.request("svc.echo", b"hi") == b"echo:hi"
+    assert c.request("svc.echo", b"again") == b"echo:again"
+    c.close()
+
+
+def test_request_reply_timeout(server):
+    server.responder = None  # nobody answers
+    c = NatsClient("127.0.0.1", server.port)
+    with pytest.raises(NatsError, match="timed out"):
+        c.request("svc.void", b"hello", timeout=0.3)
+    c.close()
+
+
+def test_nats_request_reply_processor(spark, server):
+    """nats_request_reply processor end-to-end: per-partition
+    connections, serial RPC per row, reply column + _error channel."""
+    server.responder = lambda subj, payload: b"[" + payload + b"]"
+    from bento_spark.operators.nats_wire import request_reply_enrich
+
+    port = server.port
+    df = spark.range(12).selectExpr("concat('m', id) AS body")
+    out = request_reply_enrich(
+        df,
+        lambda: NatsClient("127.0.0.1", port),
+        "svc.wrap",
+        "body",
+        "reply",
+        timeout=5.0,
+    )
+    rows = {r["body"]: (r["reply"], r["_error"]) for r in out.collect()}
+    assert rows == {f"m{i}": (f"[m{i}]", None) for i in range(12)}

@@ -89,6 +89,34 @@ class _Handler(socketserver.StreamRequestHandler):
                 out = [b"*%d\r\n" % (len(cmd) - 1)]
                 out += [_bulk(d.get(k)) for k in cmd[1:]]
                 self._send(b"".join(out))
+            elif name == "SCRIPT" and len(cmd) >= 3 and cmd[1].upper() == "LOAD":
+                import hashlib
+
+                sha = hashlib.sha1(cmd[2].encode("utf-8")).hexdigest()
+                srv.scripts[sha] = cmd[2]
+                self._send(_bulk(sha))
+            elif name == "EVALSHA":
+                sha, nkeys = cmd[1], int(cmd[2])
+                keys = cmd[3 : 3 + nkeys]
+                argv = cmd[3 + nkeys :]
+                script = srv.scripts.get(sha)
+                if script is None:
+                    self._send(b"-NOSCRIPT No matching script.\r\n")
+                # the one script the processor test loads: GET KEYS[1],
+                # append ARGV[1] (a mini Lua interpreter is out of scope
+                # — the server executes this known script's semantics)
+                elif "redis.call('GET', KEYS[1])" in script:
+                    base = srv.data.get(db, {}).get(keys[0])
+                    if base is None:
+                        self._send(b"$-1\r\n")
+                    else:
+                        self._send(_bulk(base + argv[0]))
+                elif "return 1 + tonumber(ARGV[1])" in script:
+                    self._send(b":%d\r\n" % (1 + int(argv[0])))
+                elif "error(" in script:
+                    self._send(b"-ERR user script failed\r\n")
+                else:
+                    self._send(b"-ERR unknown test script\r\n")
             elif name == "DROP":
                 # test hook: hang up mid-conversation without a reply
                 self.connection.close()
@@ -112,6 +140,7 @@ class _Server(socketserver.ThreadingTCPServer):
         self.password = password
         self.dribble = dribble
         self.data: dict[int, dict[str, str]] = {}
+        self.scripts: dict[str, str] = {}
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
         self._thread.start()
 
@@ -229,3 +258,47 @@ def test_kv_enrich_via_redis_url(spark, server):
     assert len(rows) == 50
     for i in range(50):
         assert rows[f"id{i}"] == (f"name{i}" if i % 2 == 0 else None)
+
+
+SCRIPT_APPEND = "return redis.call('GET', KEYS[1]) .. ARGV[1]"
+SCRIPT_INCR = "return 1 + tonumber(ARGV[1])"
+SCRIPT_FAIL = "error('nope')"
+
+
+def test_redis_script_enrich_bulk_reply(spark, server):
+    """redis_script processor: SCRIPT LOAD once per partition, pipelined
+    EVALSHA per batch, string replies in the result column."""
+    from bento_spark.operators.kvstore import redis_script_enrich
+
+    RedisKV(port=server.port).mset([(f"k{i}", f"v{i}") for i in range(20)])
+    url = f"redis://127.0.0.1:{server.port}"
+    df = spark.range(20).selectExpr("concat('k', id) AS key", "concat('-', id) AS suffix")
+    out = redis_script_enrich(
+        df, lambda: _client_from_url(url), SCRIPT_APPEND, ["key"], ["suffix"], "res"
+    )
+    rows = {r["key"]: r["res"] for r in out.collect()}
+    assert rows == {f"k{i}": f"v{i}-{i}" for i in range(20)}
+
+
+def test_redis_script_enrich_integer_reply_and_pipeline_processor(spark, server):
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    url = f"redis://127.0.0.1:{server.port}"
+    df = spark.range(5).selectExpr("cast(id AS string) AS n")
+    out = PROCESSORS["redis_script"](
+        df, {"url": url, "script": SCRIPT_INCR, "args": ["n"], "result_column": "r"}
+    )
+    got = {r["n"]: r["r"] for r in out.collect()}
+    assert got == {str(i): str(i + 1) for i in range(5)}  # int reply JSON-encoded
+
+
+def test_redis_script_error_lands_in_error_column(spark, server):
+    from bento_spark.operators.kvstore import redis_script_enrich
+
+    url = f"redis://127.0.0.1:{server.port}"
+    df = spark.range(4).selectExpr("cast(id AS string) AS n")
+    out = redis_script_enrich(
+        df, lambda: _client_from_url(url), SCRIPT_FAIL, [], ["n"], "r"
+    ).collect()
+    assert all(r["r"] is None for r in out)
+    assert all(r["_error"] and "user script failed" in r["_error"] for r in out)

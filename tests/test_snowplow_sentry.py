@@ -1,0 +1,153 @@
+"""opensnowcat enriched-TSV processor (pure Column plan) and
+sentry_capture (event POST + passthrough)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from bento_spark.operators.snowplow import COLUMNS, opensnowcat
+
+
+def _tsv(**fields) -> str:
+    vals = [""] * len(COLUMNS)
+    for k, v in fields.items():
+        vals[COLUMNS.index(k)] = str(v)
+    return "\t".join(vals)
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        (1, _tsv(app_id="shop", event="page_view", user_ipaddress="10.0.0.1",
+                 user_id="alice", page_url="https://x/a")),
+        (2, _tsv(app_id="shop", event="transaction", user_ipaddress="192.168.1.9",
+                 user_id="bob", tr_total="42.5")),
+        (3, _tsv(app_id="bot", event="page_view", user_ipaddress="10.0.0.3",
+                 useragent="EvilBot/1.0", user_id="carol")),
+    ]
+    return spark.createDataFrame(rows, "id long, content string")
+
+
+def test_tsv_to_json(events):
+    out = {r["id"]: json.loads(r["event_out"])
+           for r in opensnowcat(events).collect()}
+    assert out[1]["app_id"] == "shop" and out[1]["user_id"] == "alice"
+    assert out[2]["tr_total"] == "42.5"
+    # empty fields omitted from the JSON (reference SDK behavior)
+    assert "geo_city" not in out[1]
+
+
+def test_filters_drop_matching_events(events):
+    out = opensnowcat(events, filters={"useragent": ["Bot"]}).collect()
+    assert sorted(r["id"] for r in out) == [1, 2]
+
+
+def test_hash_and_redact_transforms(events):
+    import hashlib
+
+    out = {r["id"]: json.loads(r["event_out"]) for r in opensnowcat(
+        events,
+        transforms={
+            "user_ipaddress": {"type": "hash", "algorithm": "sha256", "salt": "s!"},
+            "user_id": {"type": "redact"},
+        },
+    ).collect()}
+    assert out[1]["user_ipaddress"] == hashlib.sha256(b"s!10.0.0.1").hexdigest()
+    assert out[1]["user_id"] == "[REDACTED]"
+    # null fields stay null (absent), not hashed empty strings
+    assert "geo_city" not in out[1]
+
+
+def test_tsv_output_roundtrip(events):
+    out = opensnowcat(events, output_format="tsv").collect()
+    row1 = next(r for r in out if r["id"] == 1)
+    assert row1["event_out"] == row1["content"]  # no transforms = identity
+
+
+def test_unknown_field_raises(events):
+    with pytest.raises(ValueError, match="unknown enriched-TSV field"):
+        opensnowcat(events, filters={"nope": ["x"]}).collect()
+
+
+def test_no_udf_in_plan(events):
+    plan = opensnowcat(
+        events, transforms={"user_id": {"type": "hash"}}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---- sentry_capture -------------------------------------------------------
+
+
+class _SentryHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        self.server.events.append((self.path, json.loads(body)))
+        payload = b'{"id":"x"}'
+        code = 429 if self.server.reject else 200
+        self.send_response(code)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+
+class _SentryServer(ThreadingHTTPServer):
+    def __init__(self):
+        super().__init__(("127.0.0.1", 0), _SentryHandler)
+        self.events = []
+        self.reject = False
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+
+
+@pytest.fixture()
+def sentry_server():
+    srv = _SentryServer()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_sentry_capture_posts_and_passes_through(spark, sentry_server):
+    from bento_spark.operators.sentry import sentry_capture
+
+    port = sentry_server.server_address[1]
+    dsn = f"http://pubkey@127.0.0.1:{port}/42"
+    df = spark.range(5).selectExpr("id", "concat('oops-', id) AS msg")
+    out = sentry_capture(
+        df, dsn, "msg", level="error", environment="test",
+        tags_cols={"rowid": "id"},
+    ).collect()
+    assert sorted(r["id"] for r in out) == list(range(5))  # passthrough
+    assert all(r["_error"] is None for r in out)
+    assert len(sentry_server.events) == 5
+    path, ev = sentry_server.events[0]
+    assert path.startswith("/api/42/store/?sentry_key=pubkey")
+    assert ev["level"] == "error" and ev["environment"] == "test"
+    assert ev["message"].startswith("oops-")
+    assert "rowid" in ev["tags"]
+
+
+def test_sentry_capture_failure_flags_error(spark, sentry_server):
+    from bento_spark.operators.sentry import sentry_capture
+
+    sentry_server.reject = True
+    port = sentry_server.server_address[1]
+    df = spark.range(2).selectExpr("id", "string(id) AS msg")
+    out = sentry_capture(df, f"http://k@127.0.0.1:{port}/1", "msg").collect()
+    assert all(r["_error"] == "sentry HTTP 429" for r in out)
+
+
+def test_dsn_validation():
+    from bento_spark.operators.sentry import parse_dsn
+
+    url, key = parse_dsn("https://abc@o1.ingest.sentry.io/123")
+    assert url == "https://o1.ingest.sentry.io/api/123/store/" and key == "abc"
+    with pytest.raises(ValueError, match="invalid sentry DSN"):
+        parse_dsn("https://sentry.io/nope")
