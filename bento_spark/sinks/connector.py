@@ -1775,3 +1775,85 @@ def deliver_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+@register_transport("azure_table_storage")
+def _azure_table_transport(conf: dict):
+    """``azure_table_storage`` output (internal/impl/azure/
+    output_table_storage.go): InsertOrReplace entities through the
+    Table-service REST API with the table-variant Shared Key signing
+    (operators/azuredata.py). Rows are JSON objects; PartitionKey /
+    RowKey come from the configured fields (default partition/row keys
+    mirror the reference's interpolated defaults)."""
+    import json as _json
+
+    from bento_spark.operators.azuredata import AzureTableClient
+
+    pk_field = conf.get("partition_key_field", "PartitionKey")
+    rk_field = conf.get("row_key_field", "RowKey")
+
+    class T:
+        def __init__(self):
+            self.client = AzureTableClient(
+                conf["endpoint"], conf["account"], conf["key"], conf["table"]
+            )
+
+        def send(self, batch: list[str]) -> None:
+            for msg in batch:
+                try:
+                    doc = _json.loads(msg)
+                except ValueError as ex:
+                    raise DeliveryError(
+                        f"azure_table: not JSON: {ex}", retryable=False
+                    ) from ex
+                entity = dict(doc)
+                entity["PartitionKey"] = str(doc.get(pk_field, "default"))
+                entity["RowKey"] = str(doc.get(rk_field, ""))
+                try:
+                    self.client.upsert_entity(entity)
+                except RuntimeError as ex:
+                    retryable = "HTTP 5" in str(ex) or "HTTP 429" in str(ex)
+                    raise DeliveryError(str(ex), retryable=retryable) from ex
+
+        def close(self):
+            pass
+
+    return T()
+
+
+@register_transport("azure_cosmosdb")
+def _azure_cosmos_transport(conf: dict):
+    """``azure_cosmosdb`` output (internal/impl/azure/output_cosmosdb.go):
+    upsert JSON documents through the Cosmos REST API with master-key
+    auth (operators/azuredata.py); partition key value from the
+    configured document field."""
+    import json as _json
+
+    from bento_spark.operators.azuredata import CosmosClient
+
+    pk_field = conf.get("partition_key_field", "id")
+
+    class T:
+        def __init__(self):
+            self.client = CosmosClient(
+                conf["endpoint"], conf["key"], conf["database"], conf["container"]
+            )
+
+        def send(self, batch: list[str]) -> None:
+            for msg in batch:
+                try:
+                    doc = _json.loads(msg)
+                except ValueError as ex:
+                    raise DeliveryError(
+                        f"cosmosdb: not JSON: {ex}", retryable=False
+                    ) from ex
+                try:
+                    self.client.upsert_document(doc, doc.get(pk_field))
+                except RuntimeError as ex:
+                    retryable = "HTTP 5" in str(ex) or "HTTP 429" in str(ex)
+                    raise DeliveryError(str(ex), retryable=retryable) from ex
+
+        def close(self):
+            pass
+
+    return T()
