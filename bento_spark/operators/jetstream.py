@@ -190,3 +190,123 @@ class NatsKV:
 
     def close(self) -> None:
         self.js.close()
+
+
+class NatsObjectStore:
+    """``nats_object_store`` input/output
+    (website/docs/components/{inputs,outputs}/nats_object_store.md): the
+    JetStream object-store layering — an object is chunked onto a chunk
+    subject and described by a metadata message on a name-keyed subject
+    (the public ADR-20 design: $O.<bucket>.C.* chunks, $O.<bucket>.M.*
+    metadata).
+
+    put(): publish each chunk to ``$O.{bucket}.C.{nuid}`` collecting the
+    PubAck stream sequences, then publish metadata JSON (name, size,
+    sha-256 digest, chunk seqs) to ``$O.{bucket}.M.{name}`` — readers
+    fetch chunks directly by stream sequence via the public
+    ``$JS.API.STREAM.MSG.GET.OBJ_{bucket}`` direct-get API (seq form),
+    which replaces the ordered-consumer replay the Go client uses with
+    an equally-public, simpler retrieval path.
+
+    get(): last-by-subject metadata lookup, then per-seq chunk fetches,
+    digest-verified reassembly."""
+
+    CHUNK = 128 * 1024  # default object chunk size (ADR-20's 128k)
+
+    def __init__(self, host: str = "localhost", port: int = 4222,
+                 bucket: str = "bento", chunk_size: int | None = None):
+        self.js = JetStreamClient(host, port)
+        self.bucket = bucket
+        self.chunk_size = chunk_size or self.CHUNK
+        self.stream = f"OBJ_{bucket}"
+
+    def put(self, name: str, data: bytes) -> dict:
+        import hashlib
+        import uuid
+
+        nuid = uuid.uuid4().hex
+        chunks = [
+            data[i : i + self.chunk_size]
+            for i in range(0, len(data), self.chunk_size)
+        ] or [b""]
+        seqs = self.js.publish(f"$O.{self.bucket}.C.{nuid}", chunks)
+        meta = {
+            "name": name,
+            "bucket": self.bucket,
+            "nuid": nuid,
+            "size": len(data),
+            "chunks": len(chunks),
+            "chunk_seqs": seqs,
+            "digest": "SHA-256=" + hashlib.sha256(data).hexdigest(),
+        }
+        self.js.publish(
+            f"$O.{self.bucket}.M.{name}",
+            [json.dumps(meta, sort_keys=True).encode("utf-8")],
+        )
+        return meta
+
+    def get_meta(self, name: str) -> dict:
+        try:
+            resp = self.js._request(
+                f"$JS.API.STREAM.MSG.GET.{self.stream}",
+                json.dumps(
+                    {"last_by_subj": f"$O.{self.bucket}.M.{name}"}
+                ).encode(),
+            )
+        except NatsError as e:
+            if "404" in str(e):
+                raise NatsError(
+                    f"object {name!r} not found in {self.bucket!r}"
+                ) from e
+            raise
+        msg = resp.get("message") or {}
+        if not msg.get("data"):
+            raise NatsError(f"object {name!r} not found in {self.bucket!r}")
+        return json.loads(base64.b64decode(msg["data"]))
+
+    def get(self, name: str) -> bytes:
+        import hashlib
+
+        meta = self.get_meta(name)
+        parts = []
+        for seq in meta["chunk_seqs"]:
+            resp = self.js._request(
+                f"$JS.API.STREAM.MSG.GET.{self.stream}",
+                json.dumps({"seq": seq}).encode(),
+            )
+            msg = resp.get("message") or {}
+            parts.append(base64.b64decode(msg.get("data") or ""))
+        data = b"".join(parts)
+        want = meta.get("digest", "")
+        got = "SHA-256=" + hashlib.sha256(data).hexdigest()
+        if want and want != got:
+            raise NatsError(
+                f"object {name!r} digest mismatch: {got} != {want}"
+            )
+        if meta.get("size") is not None and len(data) != meta["size"]:
+            raise NatsError(
+                f"object {name!r} size mismatch: {len(data)} != {meta['size']}"
+            )
+        return data
+
+    def drain_to_dir(self, out_dir: str, names: list[str]) -> int:
+        """`nats_object_store` input: stage named objects durably
+        (atomic tmp+rename), one file per object."""
+        import os as _os
+
+        _os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for name in names:
+            data = self.get(name)
+            safe = name.replace("/", "_")
+            tmp = _os.path.join(out_dir, "." + safe)
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                _os.fsync(f.fileno())
+            _os.replace(tmp, _os.path.join(out_dir, safe))
+            n += 1
+        return n
+
+    def close(self) -> None:
+        self.js.close()

@@ -246,3 +246,83 @@ def pg_quote(v: str | None) -> str:
     if v is None:
         return "NULL"
     return "'" + v.replace("'", "''") + "'"
+
+
+def _stream_query(client: PostgresClient, sql: str):
+    """Incremental simple-query: yield (cols, row) as each DataRow
+    arrives instead of buffering to completion — the shape a
+    never-terminating CockroachDB CHANGEFEED query requires. Ends on
+    ReadyForQuery (finite queries) or when the caller abandons the
+    generator and closes the connection (infinite feeds)."""
+    client._send_message(b"Q", sql.encode("utf-8") + b"\x00")
+    cols: list[str] = []
+    while True:
+        t, payload = client._read_message()
+        if t == b"T":
+            (n,) = struct.unpack_from(">h", payload, 0)
+            pos = 2
+            cols = []
+            for _ in range(n):
+                z = payload.index(b"\x00", pos)
+                cols.append(payload[pos:z].decode("utf-8"))
+                pos = z + 1 + 18
+        elif t == b"D":
+            (n,) = struct.unpack_from(">h", payload, 0)
+            pos = 2
+            vals = []
+            for _ in range(n):
+                (ln,) = struct.unpack_from(">i", payload, pos)
+                pos += 4
+                if ln == -1:
+                    vals.append(None)
+                else:
+                    vals.append(payload[pos : pos + ln].decode("utf-8"))
+                    pos += ln
+            yield cols, tuple(vals)
+        elif t == b"E":
+            raise PgError(client._parse_error(payload))
+        elif t == b"Z":
+            return
+
+
+def cockroachdb_changefeed_drain(
+    factory,
+    table: str,
+    out_dir: str,
+    max_rows: int = 10_000,
+) -> int:
+    """``cockroachdb_changefeed`` input
+    (internal/impl/cockroachdb/input_changefeed.go): run
+    ``EXPERIMENTAL CHANGEFEED FOR TABLE <t>`` — a never-ending pgwire
+    query whose DataRows are change events (table, key, value columns,
+    value = the row's JSON envelope) — and stage each event durably as
+    NDJSON (atomic tmp+rename per drain call). The feed is abandoned by
+    closing the connection once ``max_rows`` events are staged; a
+    restart resumes from the reference's cursor pattern (the caller
+    passes a cursor option in ``table`` when needed).
+    """
+    import json as _json
+    import os as _os
+    import time as _time
+
+    _os.makedirs(out_dir, exist_ok=True)
+    client = factory()
+    events: list[str] = []
+    try:
+        for cols, row in _stream_query(
+            client, f"EXPERIMENTAL CHANGEFEED FOR TABLE {table}"
+        ):
+            events.append(_json.dumps(dict(zip(cols, row)), sort_keys=True))
+            if len(events) >= max_rows:
+                break
+    finally:
+        client.close()  # ends the infinite feed
+    if events:
+        name = f"changefeed-{int(_time.time() * 1000)}-{len(events)}.ndjson"
+        tmp = _os.path.join(out_dir, "." + name)
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(events) + "\n")
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmp, _os.path.join(out_dir, name))
+    return len(events)

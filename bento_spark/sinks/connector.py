@@ -902,8 +902,11 @@ def _kv_store_transport(conf: dict):
     return T()
 
 
-for _name in ("elasticsearch", "opensearch", "mongodb", "aws_dynamodb",
-              "cache", "couchbase"):
+for _name in ("elasticsearch", "elasticsearch_v2", "opensearch", "mongodb",
+              "aws_dynamodb", "cache", "couchbase"):
+    # elasticsearch_v2 (internal/impl/elasticsearch/output_v2.go) is the
+    # reference's modern-client rewrite of the same _bulk upsert wire
+    # call — both names resolve to the one EsKV-backed transport here
     register_transport(_name)(_kv_store_transport)
 
 
@@ -1855,5 +1858,59 @@ def _azure_cosmos_transport(conf: dict):
 
         def close(self):
             pass
+
+    return T()
+
+
+@register_transport("aws_s3_stream")
+def _s3_stream_transport(conf: dict):
+    """``aws_s3_stream`` output (internal/impl/aws/output_s3_stream.go):
+    ONE growing NDJSON object per partition via the multipart-upload
+    API (S3StreamWriter) instead of an object per batch — the shape for
+    long-running appends where object-per-batch would litter millions
+    of tiny objects. Parts flush at ``part_size`` (protocol min 5 MiB;
+    configurable down for tests), close() completes the upload
+    atomically; a failure before completion aborts, never leaving a
+    partial object."""
+    from pyspark import TaskContext
+
+    from bento_spark.sources.aws_s3 import S3Client, S3Error, S3StreamWriter
+
+    client = S3Client(
+        conf["endpoint"],
+        conf["bucket"],
+        region=conf.get("region", "us-east-1"),
+        access_key=conf.get("access_key"),
+        secret_key=conf.get("secret_key"),
+    )
+    prefix = conf.get("path_prefix", "stream").strip("/")
+    part_size = int(conf.get("part_size", S3StreamWriter.PART_MIN))
+
+    class T:
+        def __init__(self):
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx else 0
+            attempt = ctx.attemptNumber() if ctx else 0
+            # attempt-suffixed keys: a retried task writes a NEW object,
+            # the completed one from the failed attempt never exists
+            # (multipart atomicity), so no duplicate-partial risk
+            key = f"{prefix}/part-{pid:05d}-a{attempt}.ndjson"
+            try:
+                self.w = S3StreamWriter(client, key, part_size)
+            except S3Error as ex:
+                raise DeliveryError(str(ex), retryable=ex.status >= 500) from ex
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.w.write(("\n".join(batch) + "\n").encode("utf-8"))
+            except S3Error as ex:
+                raise DeliveryError(str(ex), retryable=ex.status >= 500) from ex
+
+        def close(self):
+            try:
+                self.w.close()
+            except S3Error as ex:
+                self.w.abort()
+                raise DeliveryError(str(ex), retryable=ex.status >= 500) from ex
 
     return T()

@@ -66,6 +66,21 @@ class S3Client:
         body: bytes = b"",
         content_type: str | None = None,
     ) -> tuple[int, bytes]:
+        status, _headers, rbody = self._call_h(
+            method, path, query=query, body=body, content_type=content_type
+        )
+        return status, rbody
+
+    def _call_h(
+        self,
+        method: str,
+        path: str,
+        query: dict[str, str] | None = None,
+        body: bytes = b"",
+        content_type: str | None = None,
+    ) -> tuple[int, dict, bytes]:
+        """Like _call but also returns response headers (multipart
+        needs each UploadPart's ETag)."""
         import urllib.error
         import urllib.request
         from urllib.parse import quote
@@ -90,13 +105,16 @@ class S3Client:
         qs = canonical_query(query)
         if qs:
             url += "?" + qs
+        # body or None: urllib injects a Content-Type header for any
+        # non-None data (even b""), which would break the signature for
+        # empty-body POSTs (CreateMultipartUpload)
         req = urllib.request.Request(
-            url, data=body if method == "PUT" else None,
+            url, data=(body or None) if method in ("PUT", "POST") else None,
             headers=signed, method=method,
         )
         try:
             with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
-                return resp.status, resp.read()
+                return resp.status, dict(resp.headers), resp.read()
         except urllib.error.HTTPError as e:
             raise S3Error(e.code, e.read().decode("utf-8", "replace")) from e
 
@@ -139,6 +157,110 @@ class S3Client:
         )
         if status not in (200, 201):
             raise S3Error(status, "unexpected PUT status")
+
+    # -- multipart API (the aws_s3_stream output rides this) --------------
+    def create_multipart(self, key: str) -> str:
+        """CreateMultipartUpload -> UploadId."""
+        _s, body = self._call(
+            "POST", f"/{self.bucket}/{key}", query={"uploads": ""}
+        )
+        ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+        upload_id = ET.fromstring(body.decode("utf-8")).findtext(f"{ns}UploadId")
+        if not upload_id:
+            raise S3Error(500, "CreateMultipartUpload returned no UploadId")
+        return upload_id
+
+    def upload_part(
+        self, key: str, upload_id: str, part_number: int, data: bytes
+    ) -> str:
+        """UploadPart -> ETag (needed for the completion manifest)."""
+        status, headers, _b = self._call_h(
+            "PUT", f"/{self.bucket}/{key}",
+            query={"partNumber": str(part_number), "uploadId": upload_id},
+            body=data, content_type="application/octet-stream",
+        )
+        if status != 200:
+            raise S3Error(status, "unexpected UploadPart status")
+        etag = {k.lower(): v for k, v in headers.items()}.get("etag", "")
+        return etag.strip('"')
+
+    def complete_multipart(
+        self, key: str, upload_id: str, parts: list[tuple[int, str]]
+    ) -> None:
+        """CompleteMultipartUpload with the ordered (part, etag) manifest."""
+        xml = "".join(
+            f"<Part><PartNumber>{n}</PartNumber><ETag>\"{e}\"</ETag></Part>"
+            for n, e in sorted(parts)
+        )
+        body = (
+            '<CompleteMultipartUpload xmlns='
+            '"http://s3.amazonaws.com/doc/2006-03-01/">'
+            f"{xml}</CompleteMultipartUpload>"
+        ).encode("utf-8")
+        status, _b = self._call(
+            "POST", f"/{self.bucket}/{key}",
+            query={"uploadId": upload_id}, body=body,
+            content_type="application/xml",
+        )
+        if status != 200:
+            raise S3Error(status, "unexpected CompleteMultipartUpload status")
+
+    def abort_multipart(self, key: str, upload_id: str) -> None:
+        self._call(
+            "DELETE", f"/{self.bucket}/{key}", query={"uploadId": upload_id}
+        )
+
+
+class S3StreamWriter:
+    """`aws_s3_stream` output core (internal/impl/aws/output_s3_stream.go,
+    output_s3_stream_writer.go): append records to ONE growing S3 object
+    via the multipart-upload API instead of one object per batch.
+
+    Records buffer locally until ``part_size`` (protocol minimum 5 MiB
+    for every part but the last), each flush is an UploadPart, and
+    close() completes the upload with the ordered ETag manifest — a
+    crash before close() leaves an abortable incomplete upload, never a
+    half-written object (the API's atomicity contract)."""
+
+    PART_MIN = 5 * 1024 * 1024
+
+    def __init__(self, client: S3Client, key: str, part_size: int | None = None):
+        self.client = client
+        self.key = key
+        self.part_size = max(part_size or self.PART_MIN, 1)
+        self.upload_id = client.create_multipart(key)
+        self.buf = bytearray()
+        self.parts: list[tuple[int, str]] = []
+        self.closed = False
+
+    def write(self, data: bytes) -> None:
+        self.buf += data
+        while len(self.buf) >= self.part_size:
+            self._flush_part(self.part_size)
+
+    def _flush_part(self, n: int) -> None:
+        chunk = bytes(self.buf[:n])
+        del self.buf[:n]
+        etag = self.client.upload_part(
+            self.key, self.upload_id, len(self.parts) + 1, chunk
+        )
+        self.parts.append((len(self.parts) + 1, etag))
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        if self.buf:
+            self._flush_part(len(self.buf))
+        if not self.parts:  # nothing written: abort the empty upload
+            self.client.abort_multipart(self.key, self.upload_id)
+        else:
+            self.client.complete_multipart(self.key, self.upload_id, self.parts)
+        self.closed = True
+
+    def abort(self) -> None:
+        if not self.closed:
+            self.client.abort_multipart(self.key, self.upload_id)
+            self.closed = True
 
 
 class S3Bridge:

@@ -30,7 +30,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _verify(self, method: str, body: bytes) -> bool:
         u = urlparse(self.path)
-        query = dict(parse_qsl(u.query)) or None
+        query = dict(parse_qsl(u.query, keep_blank_values=True)) or None
         headers = {
             "x-amz-content-sha256":
                 self.headers.get("x-amz-content-sha256", ""),
@@ -104,15 +104,77 @@ class _Handler(BaseHTTPRequestHandler):
         if srv.fail_500_once:
             srv.fail_500_once = False
             return self._reply(500, b"<Error>InternalError</Error>")
-        bucket, key = self.path.lstrip("/").split("/", 1)
+        u = urlparse(self.path)
+        q = dict(parse_qsl(u.query))
+        bucket, key = u.path.lstrip("/").split("/", 1)
+        if "uploadId" in q:  # UploadPart
+            up = srv.uploads[q["uploadId"]]
+            assert up["key"] == key
+            etag = f"etag-{q['partNumber']}-{len(body)}"
+            up["parts"][int(q["partNumber"])] = (etag, body)
+            self.send_response(200)
+            self.send_header("ETag", f'"{etag}"')
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return None
         srv.objects.setdefault(bucket, {})[key] = body
         return self._reply(200, b"")
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        if not self._verify("POST", body):
+            return self._reply(403, b"<Error>SignatureDoesNotMatch</Error>")
+        srv = self.server
+        u = urlparse(self.path)
+        q = dict(parse_qsl(u.query, keep_blank_values=True))
+        bucket, key = u.path.lstrip("/").split("/", 1)
+        if "uploads" in q:  # CreateMultipartUpload
+            uid = f"up-{len(srv.uploads) + 1}"
+            srv.uploads[uid] = {"bucket": bucket, "key": key, "parts": {}}
+            xml = (
+                '<InitiateMultipartUploadResult xmlns='
+                '"http://s3.amazonaws.com/doc/2006-03-01/">'
+                f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                f"<UploadId>{uid}</UploadId>"
+                "</InitiateMultipartUploadResult>"
+            )
+            return self._reply(200, xml.encode())
+        if "uploadId" in q:  # CompleteMultipartUpload
+            up = srv.uploads.pop(q["uploadId"])
+            # manifest must list every part in order with matching etags
+            import re as _re
+
+            listed = _re.findall(
+                r"<PartNumber>(\d+)</PartNumber><ETag>\"([^\"]+)\"</ETag>",
+                body.decode(),
+            )
+            assert [int(n) for n, _ in listed] == sorted(up["parts"])
+            for n, e in listed:
+                assert up["parts"][int(n)][0] == e
+            srv.objects.setdefault(bucket, {})[key] = b"".join(
+                up["parts"][n][1] for n in sorted(up["parts"])
+            )
+            return self._reply(200, b"<CompleteMultipartUploadResult/>")
+        return self._reply(400, b"<Error>BadRequest</Error>")
+
+    def do_DELETE(self):
+        if not self._verify("DELETE", b""):
+            return self._reply(403, b"<Error>SignatureDoesNotMatch</Error>")
+        u = urlparse(self.path)
+        q = dict(parse_qsl(u.query))
+        if "uploadId" in q:  # AbortMultipartUpload
+            self.server.uploads.pop(q["uploadId"], None)
+            self.server.aborted.append(q["uploadId"])
+            return self._reply(204, b"")
+        return self._reply(400, b"<Error>BadRequest</Error>")
 
 
 class _Server(ThreadingHTTPServer):
     def __init__(self):
         super().__init__(("127.0.0.1", 0), _Handler)
         self.objects: dict[str, dict[str, bytes]] = {}
+        self.uploads: dict[str, dict] = {}
+        self.aborted: list[str] = []
         self.fail_500_once = False
         threading.Thread(target=self.serve_forever, daemon=True).start()
 
@@ -216,3 +278,48 @@ def test_transport_one_object_per_batch_with_retry(server):
         )
         t2.send(["x"])
     assert ei.value.retryable  # 5xx -> the delivery loop's backoff re-sends
+
+
+def test_multipart_upload_roundtrip(server):
+    c = _client(server)
+    from bento_spark.sources.aws_s3 import S3StreamWriter
+
+    w = S3StreamWriter(c, "big/object.ndjson", part_size=10)
+    w.write(b"0123456789ABCDEF")  # flushes one 10-byte part, buffers 6
+    w.write(b"xyz")
+    w.close()  # final 9-byte part + completion
+    assert server.objects["data"]["big/object.ndjson"] == b"0123456789ABCDEFxyz"
+    assert not server.uploads  # completed upload removed
+
+
+def test_multipart_abort_on_empty(server):
+    from bento_spark.sources.aws_s3 import S3StreamWriter
+
+    c = _client(server)
+    w = S3StreamWriter(c, "never/written.ndjson", part_size=10)
+    w.close()  # nothing written -> abort, no object
+    assert "never/written.ndjson" not in server.objects.get("data", {})
+    assert server.aborted
+
+
+def test_s3_stream_transport(server):
+    from bento_spark.sinks.connector import TRANSPORTS
+
+    t = TRANSPORTS["aws_s3_stream"](
+        {
+            "endpoint": f"http://127.0.0.1:{server.port}",
+            "bucket": "sink",
+            "path_prefix": "stream",
+            "part_size": 8,
+            "region": REGION,
+            "access_key": ACCESS,
+            "secret_key": SECRET,
+        }
+    )
+    t.send(['{"a":1}', '{"a":2}'])
+    t.send(['{"a":3}'])
+    t.close()
+    objs = server.objects["sink"]
+    (key,) = [k for k in objs if k.startswith("stream/")]
+    assert key == "stream/part-00000-a0.ndjson"
+    assert objs[key] == b'{"a":1}\n{"a":2}\n{"a":3}\n'

@@ -97,12 +97,23 @@ class _Handler(socketserver.StreamRequestHandler):
                     ]
                     srv.acked.append((stream, int(seq)))
                     continue
-                if subject.startswith("$JS.API.STREAM.MSG.GET.KV_"):
-                    bucket = subject.rsplit("KV_", 1)[1]
+                if subject.startswith("$JS.API.STREAM.MSG.GET."):
+                    stream = subject[len("$JS.API.STREAM.MSG.GET."):]
                     req = json.loads(payload)
-                    key_subject = req["last_by_subj"]
-                    val = srv.kv.get(bucket, {}).get(key_subject)
                     sid = subs.get(reply, "9001")
+                    val = None
+                    subj = None
+                    if "last_by_subj" in req:
+                        subj = req["last_by_subj"]
+                        if stream.startswith("KV_"):
+                            val = srv.kv.get(stream[3:], {}).get(subj)
+                        else:
+                            val = srv.last.get(stream, {}).get(subj)
+                    elif "seq" in req:
+                        got = srv.byseq.get(stream, {}).get(int(req["seq"]))
+                        if got is not None:
+                            subj, data = got
+                            val = (int(req["seq"]), data)
                     if val is None:
                         resp = {
                             "error": {
@@ -114,7 +125,7 @@ class _Handler(socketserver.StreamRequestHandler):
                         seq, data = val
                         resp = {
                             "message": {
-                                "subject": key_subject,
+                                "subject": subj,
                                 "seq": seq,
                                 "data": base64.b64encode(data).decode(),
                             }
@@ -134,6 +145,17 @@ class _Handler(socketserver.StreamRequestHandler):
                             srv.seq, payload,
                         )
                         stream = f"KV_{bucket}"
+                    elif subject.startswith("$O."):
+                        # object store: chunks addressable by stream seq,
+                        # metadata by last-message-for-subject
+                        bucket = subject.split(".")[1]
+                        stream = f"OBJ_{bucket}"
+                        srv.last.setdefault(stream, {})[subject] = (
+                            srv.seq, payload,
+                        )
+                        srv.byseq.setdefault(stream, {})[srv.seq] = (
+                            subject, payload,
+                        )
                     else:
                         stream = srv.subject_stream.get(subject, "S")
                         srv.pending.setdefault(stream, []).append(
@@ -153,6 +175,8 @@ class _Server(socketserver.ThreadingTCPServer):
         super().__init__(("127.0.0.1", 0), _Handler)
         self.pending: dict[str, list] = {}
         self.kv: dict[str, dict] = {}
+        self.last: dict[str, dict] = {}  # OBJ streams: subject -> (seq, data)
+        self.byseq: dict[str, dict] = {}  # OBJ streams: seq -> (subject, data)
         self.acked: list = []
         self.subject_stream: dict[str, str] = {}
         self.reject_subjects: set[str] = set()
@@ -236,3 +260,63 @@ def test_jetstream_transport(server):
     t.send(['{"id":1}', '{"id":2}'])
     t.close()
     assert [d for _, d in server.pending["S"]] == [b'{"id":1}', b'{"id":2}']
+
+
+def test_object_store_put_get_chunked(server):
+    from bento_spark.operators.jetstream import NatsObjectStore
+
+    st = NatsObjectStore(port=server.port, bucket="models", chunk_size=10)
+    data = bytes(range(256)) * 3  # 768 bytes -> 77 chunks
+    meta = st.put("weights.bin", data)
+    assert meta["chunks"] == 77 and meta["size"] == 768
+    assert st.get("weights.bin") == data
+    st.close()
+
+
+def test_object_store_overwrite_latest_wins(server):
+    from bento_spark.operators.jetstream import NatsObjectStore
+
+    st = NatsObjectStore(port=server.port, bucket="b", chunk_size=100)
+    st.put("doc", b"version-1")
+    st.put("doc", b"version-two")
+    assert st.get("doc") == b"version-two"
+    st.close()
+
+
+def test_object_store_missing_raises(server):
+    from bento_spark.operators.jetstream import NatsObjectStore
+    from bento_spark.operators.nats_wire import NatsError
+
+    st = NatsObjectStore(port=server.port, bucket="b")
+    with pytest.raises(NatsError, match="not found"):
+        st.get("nope")
+    st.close()
+
+
+def test_object_store_digest_check(server):
+    from bento_spark.operators.jetstream import NatsObjectStore
+    from bento_spark.operators.nats_wire import NatsError
+
+    st = NatsObjectStore(port=server.port, bucket="b", chunk_size=4)
+    meta = st.put("obj", b"hello world")
+    # corrupt one chunk in the server's stream storage
+    stream = "OBJ_b"
+    seq = meta["chunk_seqs"][1]
+    subj, _ = server.byseq[stream][seq]
+    server.byseq[stream][seq] = (subj, b"XXXX")
+    with pytest.raises(NatsError, match="digest mismatch"):
+        st.get("obj")
+    st.close()
+
+
+def test_object_store_drain_to_dir(server, tmp_path):
+    from bento_spark.operators.jetstream import NatsObjectStore
+
+    st = NatsObjectStore(port=server.port, bucket="b", chunk_size=8)
+    st.put("a/b.txt", b"alpha")
+    st.put("c.txt", b"gamma")
+    n = st.drain_to_dir(str(tmp_path), ["a/b.txt", "c.txt"])
+    assert n == 2
+    assert (tmp_path / "a_b.txt").read_bytes() == b"alpha"
+    assert (tmp_path / "c.txt").read_bytes() == b"gamma"
+    st.close()

@@ -16,6 +16,7 @@ import os
 import socketserver
 import sqlite3
 import struct
+import time
 import threading
 
 import pytest
@@ -119,6 +120,30 @@ class _Handler(socketserver.StreamRequestHandler):
                 self._send(b"Z", b"I")
                 continue
             sql = payload[:-1].decode()
+            if sql.startswith("EXPERIMENTAL CHANGEFEED FOR"):
+                # a changefeed never completes: emit (table, key, value)
+                # DataRows as srv.feed_rows grows; no CommandComplete,
+                # no ReadyForQuery — the client hangs up when done
+                fields = bytearray(struct.pack(">h", 3))
+                for name in ("table", "key", "value"):
+                    fields += name.encode() + b"\x00"
+                    fields += struct.pack(">ihihih", 0, 0, 25, -1, -1, 0)
+                self._send(b"T", bytes(fields))
+                sent = 0
+                try:
+                    while True:
+                        with srv.lock:
+                            todo = srv.feed_rows[sent:]
+                        for row in todo:
+                            data = bytearray(struct.pack(">h", len(row)))
+                            for v in row:
+                                b = str(v).encode()
+                                data += struct.pack(">i", len(b)) + b
+                            self._send(b"D", bytes(data))
+                            sent += 1
+                        time.sleep(0.01)
+                except (ConnectionError, BrokenPipeError, OSError):
+                    return
             try:
                 with srv.lock:
                     cur = srv.db.execute(sql)
@@ -158,6 +183,7 @@ class _Server(socketserver.ThreadingTCPServer):
         super().__init__(("127.0.0.1", 0), _Handler)
         self.db = sqlite3.connect(":memory:", check_same_thread=False)
         self.lock = threading.Lock()
+        self.feed_rows: list[tuple] = []  # changefeed events
         threading.Thread(target=self.serve_forever, daemon=True).start()
 
     @property
@@ -242,3 +268,33 @@ def test_deliver_end_to_end_via_postgres_transport(spark, server):
         rows = server.db.execute("SELECT v FROM messages").fetchall()
     notes = {json.loads(v)["note"] for (v,) in rows}
     assert notes == {f"it's {i}" for i in range(17)}  # quoting survived
+
+
+def test_changefeed_drain(server, tmp_path):
+    import json as _json
+
+    from bento_spark.operators.pgwire import cockroachdb_changefeed_drain
+
+    server.feed_rows = [
+        ("users", '["u1"]', _json.dumps({"after": {"id": "u1", "n": 1}})),
+        ("users", '["u2"]', _json.dumps({"after": {"id": "u2", "n": 2}})),
+        ("users", '["u1"]', _json.dumps({"after": {"id": "u1", "n": 3}})),
+    ]
+    n = cockroachdb_changefeed_drain(
+        lambda: _client(server), "users", str(tmp_path), max_rows=3
+    )
+    assert n == 3
+    (f,) = tmp_path.glob("changefeed-*.ndjson")
+    events = [_json.loads(x) for x in f.read_text().splitlines()]
+    assert [e["key"] for e in events] == ['["u1"]', '["u2"]', '["u1"]']
+    assert _json.loads(events[2]["value"])["after"]["n"] == 3
+
+
+def test_changefeed_stops_at_max_rows(server, tmp_path):
+    from bento_spark.operators.pgwire import cockroachdb_changefeed_drain
+
+    server.feed_rows = [("t", f'["k{i}"]', "{}") for i in range(10)]
+    n = cockroachdb_changefeed_drain(
+        lambda: _client(server), "t", str(tmp_path), max_rows=4
+    )
+    assert n == 4  # feed abandoned mid-stream by closing the connection
