@@ -1,0 +1,332 @@
+"""Neo4j Bolt client — PackStream + the Bolt message protocol from the
+public specs (https://neo4j.com/docs/bolt/current/), pure stdlib, NOT a
+neo4j-driver wrapper (absent in this container).
+
+Reference parity: the `cypher` output
+(website/docs/components/outputs/cypher.md) writes messages through
+parameterized Cypher; the input direction loads bounded query results
+for broadcast enrichment (the cassandra_rows/postgres_df shape).
+
+Wire layers implemented here:
+* PackStream v1: null/bool/ints (tiny through 64-bit)/float/string/
+  list/map/struct markers, big-endian.
+* Chunked framing: each message split into <=65535-byte chunks, 2-byte
+  size headers, 0x0000 terminator.
+* Bolt handshake: magic 0x6060B017 + four proposed versions, server
+  picks one (we propose 4.4 and 5.x; the message flow we use is
+  identical across them).
+* Messages: HELLO/SUCCESS, RUN/SUCCESS, PULL{n:-1}/RECORD*/SUCCESS,
+  RESET, GOODBYE; FAILURE surfaces code+message and is cleared with
+  RESET so the connection stays usable.
+
+One UNWIND $rows RUN per delivery batch (the reference's
+args_mapping-per-message collapses to one parameterized statement,
+which is also how you'd batch writes against a real cluster at scale).
+Tested against an in-process Bolt server with an independent PackStream
+decoder (tests/test_bolt_wire.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAGIC = b"\x60\x60\xb0\x17"
+
+
+class BoltError(RuntimeError):
+    def __init__(self, code: str, message: str):
+        super().__init__(f"{code}: {message}")
+        self.code = code
+
+
+# ---------------------------------------------------------------------------
+# PackStream
+# ---------------------------------------------------------------------------
+
+def pack(value) -> bytes:
+    """Encode one value to PackStream bytes."""
+    if value is None:
+        return b"\xc0"
+    if value is True:
+        return b"\xc3"
+    if value is False:
+        return b"\xc2"
+    if isinstance(value, int):
+        if -16 <= value < 128:
+            return struct.pack(">b", value)
+        if -128 <= value < 128:
+            return b"\xc8" + struct.pack(">b", value)
+        if -32768 <= value < 32768:
+            return b"\xc9" + struct.pack(">h", value)
+        if -2147483648 <= value < 2147483648:
+            return b"\xca" + struct.pack(">i", value)
+        return b"\xcb" + struct.pack(">q", value)
+    if isinstance(value, float):
+        return b"\xc1" + struct.pack(">d", value)
+    if isinstance(value, str):
+        b = value.encode("utf-8")
+        n = len(b)
+        if n < 16:
+            return bytes([0x80 + n]) + b
+        if n < 256:
+            return b"\xd0" + struct.pack(">B", n) + b
+        if n < 65536:
+            return b"\xd1" + struct.pack(">H", n) + b
+        return b"\xd2" + struct.pack(">I", n) + b
+    if isinstance(value, bytes):
+        n = len(value)
+        if n < 256:
+            return b"\xcc" + struct.pack(">B", n) + value
+        if n < 65536:
+            return b"\xcd" + struct.pack(">H", n) + value
+        return b"\xce" + struct.pack(">I", n) + value
+    if isinstance(value, (list, tuple)):
+        n = len(value)
+        if n < 16:
+            head = bytes([0x90 + n])
+        elif n < 256:
+            head = b"\xd4" + struct.pack(">B", n)
+        elif n < 65536:
+            head = b"\xd5" + struct.pack(">H", n)
+        else:
+            head = b"\xd6" + struct.pack(">I", n)
+        return head + b"".join(pack(v) for v in value)
+    if isinstance(value, dict):
+        n = len(value)
+        if n < 16:
+            head = bytes([0xA0 + n])
+        elif n < 256:
+            head = b"\xd8" + struct.pack(">B", n)
+        elif n < 65536:
+            head = b"\xd9" + struct.pack(">H", n)
+        else:
+            head = b"\xda" + struct.pack(">I", n)
+        return head + b"".join(pack(k) + pack(v) for k, v in value.items())
+    raise TypeError(f"cannot pack {type(value).__name__}")
+
+
+def pack_struct(tag: int, *fields) -> bytes:
+    """Structure marker (0xB0+n) + signature byte + fields."""
+    if len(fields) >= 16:
+        raise ValueError("bolt structs cap at 15 fields")
+    return bytes([0xB0 + len(fields), tag]) + b"".join(pack(f) for f in fields)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        if len(b) != n:
+            raise ValueError("packstream truncated")
+        self.pos += n
+        return b
+
+    def unpack(self):
+        m = self.take(1)[0]
+        if m <= 0x7F:
+            return m
+        if m >= 0xF0:
+            return m - 0x100
+        if 0x80 <= m < 0x90:
+            return self.take(m - 0x80).decode("utf-8")
+        if 0x90 <= m < 0xA0:
+            return [self.unpack() for _ in range(m - 0x90)]
+        if 0xA0 <= m < 0xB0:
+            return {self.unpack(): self.unpack() for _ in range(m - 0xA0)}
+        if 0xB0 <= m < 0xC0:
+            n, tag = m - 0xB0, self.take(1)[0]
+            return Structure(tag, [self.unpack() for _ in range(n)])
+        if m == 0xC0:
+            return None
+        if m == 0xC1:
+            return struct.unpack(">d", self.take(8))[0]
+        if m == 0xC2:
+            return False
+        if m == 0xC3:
+            return True
+        if m == 0xC8:
+            return struct.unpack(">b", self.take(1))[0]
+        if m == 0xC9:
+            return struct.unpack(">h", self.take(2))[0]
+        if m == 0xCA:
+            return struct.unpack(">i", self.take(4))[0]
+        if m == 0xCB:
+            return struct.unpack(">q", self.take(8))[0]
+        if m == 0xCC:
+            return self.take(struct.unpack(">B", self.take(1))[0])
+        if m == 0xCD:
+            return self.take(struct.unpack(">H", self.take(2))[0])
+        if m == 0xCE:
+            return self.take(struct.unpack(">I", self.take(4))[0])
+        if m == 0xD0:
+            return self.take(struct.unpack(">B", self.take(1))[0]).decode()
+        if m == 0xD1:
+            return self.take(struct.unpack(">H", self.take(2))[0]).decode()
+        if m == 0xD2:
+            return self.take(struct.unpack(">I", self.take(4))[0]).decode()
+        if m == 0xD4:
+            return [self.unpack() for _ in range(struct.unpack(">B", self.take(1))[0])]
+        if m == 0xD5:
+            return [self.unpack() for _ in range(struct.unpack(">H", self.take(2))[0])]
+        if m == 0xD6:
+            return [self.unpack() for _ in range(struct.unpack(">I", self.take(4))[0])]
+        if m == 0xD8:
+            return {
+                self.unpack(): self.unpack()
+                for _ in range(struct.unpack(">B", self.take(1))[0])
+            }
+        if m == 0xD9:
+            return {
+                self.unpack(): self.unpack()
+                for _ in range(struct.unpack(">H", self.take(2))[0])
+            }
+        raise ValueError(f"unknown packstream marker 0x{m:02x}")
+
+
+class Structure:
+    def __init__(self, tag: int, fields: list):
+        self.tag = tag
+        self.fields = fields
+
+    def __repr__(self):
+        return f"Structure(0x{self.tag:02x}, {self.fields!r})"
+
+
+def unpack(data: bytes):
+    return _Reader(data).unpack()
+
+
+# Bolt message signatures
+HELLO, GOODBYE, RESET = 0x01, 0x02, 0x0F
+RUN, PULL = 0x10, 0x3F
+SUCCESS, RECORD, IGNORED, FAILURE = 0x70, 0x71, 0x7E, 0x7F
+
+
+class BoltClient:
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 7687,
+        user: str = "neo4j",
+        password: str = "",
+        timeout: float = 30.0,
+    ):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        # handshake: magic + 4 proposed versions (5.0, 4.4, 4.3, none)
+        self._sock.sendall(
+            MAGIC
+            + struct.pack(">I", 0x00000005)
+            + struct.pack(">I", 0x00000404)
+            + struct.pack(">I", 0x00000304)
+            + struct.pack(">I", 0)
+        )
+        chosen = self._rfile.read(4)
+        if len(chosen) != 4 or chosen == b"\x00\x00\x00\x00":
+            raise BoltError("Handshake", f"no common version ({chosen!r})")
+        self.version = chosen
+        meta = self._exchange(pack_struct(HELLO, {
+            "user_agent": "bento-spark/1.0",
+            "scheme": "basic",
+            "principal": user,
+            "credentials": password,
+        }))
+        self.server = meta.get("server", "")
+
+    # -- chunked framing ---------------------------------------------------
+    def _send_msg(self, payload: bytes) -> None:
+        out = bytearray()
+        for i in range(0, len(payload), 0xFFFF):
+            chunk = payload[i : i + 0xFFFF]
+            out += struct.pack(">H", len(chunk)) + chunk
+        out += b"\x00\x00"
+        self._sock.sendall(bytes(out))
+
+    def _recv_msg(self):
+        buf = bytearray()
+        while True:
+            head = self._rfile.read(2)
+            if len(head) != 2:
+                raise ConnectionError("bolt connection closed")
+            (n,) = struct.unpack(">H", head)
+            if n == 0:
+                if buf:
+                    return unpack(bytes(buf))
+                continue  # leading noop chunk
+            data = self._rfile.read(n)
+            if len(data) != n:
+                raise ConnectionError("bolt connection closed mid-chunk")
+            buf += data
+
+    def _exchange(self, payload: bytes) -> dict:
+        """Send one message, expect SUCCESS (FAILURE raises after a
+        RESET round trip so the connection stays usable)."""
+        self._send_msg(payload)
+        msg = self._recv_msg()
+        if msg.tag == SUCCESS:
+            return msg.fields[0] if msg.fields else {}
+        if msg.tag == FAILURE:
+            meta = msg.fields[0] if msg.fields else {}
+            self._send_msg(pack_struct(RESET))
+            reset = self._recv_msg()  # SUCCESS clearing the failure
+            if reset.tag != SUCCESS:
+                raise ConnectionError("bolt RESET failed")
+            raise BoltError(
+                meta.get("code", "Neo.Unknown"), meta.get("message", "")
+            )
+        raise BoltError("Protocol", f"unexpected reply 0x{msg.tag:02x}")
+
+    # -- queries -----------------------------------------------------------
+    def run(self, cypher: str, params: dict | None = None) -> tuple[list[str], list[list]]:
+        """RUN + PULL(-1) -> (field_names, records)."""
+        meta = self._exchange(pack_struct(RUN, cypher, params or {}, {}))
+        fields = meta.get("fields", [])
+        self._send_msg(pack_struct(PULL, {"n": -1}))
+        records: list[list] = []
+        while True:
+            msg = self._recv_msg()
+            if msg.tag == RECORD:
+                records.append(msg.fields[0])
+            elif msg.tag == SUCCESS:
+                return fields, records
+            elif msg.tag == FAILURE:
+                meta = msg.fields[0] if msg.fields else {}
+                self._send_msg(pack_struct(RESET))
+                self._recv_msg()
+                raise BoltError(
+                    meta.get("code", "Neo.Unknown"), meta.get("message", "")
+                )
+            else:
+                raise BoltError("Protocol", f"unexpected 0x{msg.tag:02x}")
+
+    def close(self) -> None:
+        try:
+            self._send_msg(pack_struct(GOODBYE))
+        except OSError:
+            pass
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()
+
+
+def neo4j_rows(spark, conf: dict):
+    """`cypher` input direction: bounded query -> DataFrame (dimension
+    loads for broadcast enrichment)."""
+    client = BoltClient(
+        conf.get("host", "localhost"), int(conf.get("port", 7687)),
+        conf.get("user", "neo4j"), conf.get("password", ""),
+    )
+    try:
+        fields, records = client.run(conf["query"], conf.get("params"))
+    finally:
+        client.close()
+    data = [tuple(None if v is None else str(v) for v in r) for r in records]
+    return spark.createDataFrame(
+        data, ", ".join(f"`{f}` string" for f in fields)
+    )

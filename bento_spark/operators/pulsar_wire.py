@@ -1,0 +1,318 @@
+"""Apache Pulsar client — the public binary protocol
+(https://pulsar.apache.org/docs/developing-binary-protocol/), pure
+Python on the repo's own protobuf wire codec (operators/protobuf.py)
+and CRC32C (operators/kafka_wire.py), NOT a pulsar-client wrapper
+(absent in this container).
+
+Reference parity: the `pulsar` input/output
+(internal/impl/pulsar/input.go, output.go).
+
+Wire shape implemented:
+* simple command frame:  [totalSize][commandSize][BaseCommand]
+* payload command frame: ... + [0x0e01][CRC32C][metadataSize]
+  [MessageMetadata][payload] — the checksum covers everything after
+  itself, exactly per the protocol doc, and is VERIFIED on both sides.
+* command flow: CONNECT/CONNECTED, PRODUCER/PRODUCER_SUCCESS, pipelined
+  SEND/SEND_RECEIPT matched by sequence_id (receipts may arrive
+  out-of-order; all receipts are drained before the first SEND_ERROR
+  raises), SUBSCRIBE/SUCCESS + FLOW permits, MESSAGE + individual ACK,
+  PING/PONG keepalive interleave, CLOSE_PRODUCER.
+
+Message schemas below transcribe the public PulsarApi.proto field
+numbers (BaseCommand sub-command field numbers equal their Type enum
+values). The in-process test broker (tests/test_pulsar_wire.py)
+re-parses every frame with the same public numbering and re-computes
+each checksum.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from bento_spark.operators.kafka_wire import crc32c
+from bento_spark.operators.protobuf import pb_decode, pb_encode
+
+MAGIC = b"\x0e\x01"
+
+# BaseCommand.Type enum values (PulsarApi.proto)
+CONNECT, CONNECTED = 2, 3
+SUBSCRIBE, PRODUCER, SEND, SEND_RECEIPT, SEND_ERROR = 4, 5, 6, 7, 8
+MESSAGE, ACK, FLOW = 9, 10, 11
+SUCCESS, ERROR = 13, 14
+CLOSE_PRODUCER, PRODUCER_SUCCESS = 15, 17
+PING, PONG = 18, 19
+
+MESSAGE_ID = {"fields": {1: ("ledgerId", "uint64"), 2: ("entryId", "uint64"),
+                         3: ("partition", "int32"), 4: ("batch_index", "int32")}}
+
+BASE_COMMAND = {"fields": {
+    1: ("type", "int32"),
+    2: ("connect", {"fields": {1: ("client_version", "string"),
+                               4: ("protocol_version", "int32")}}),
+    3: ("connected", {"fields": {1: ("server_version", "string"),
+                                 2: ("protocol_version", "int32")}}),
+    4: ("subscribe", {"fields": {1: ("topic", "string"),
+                                 2: ("subscription", "string"),
+                                 3: ("subType", "int32"),
+                                 4: ("consumer_id", "uint64"),
+                                 5: ("request_id", "uint64"),
+                                 6: ("consumer_name", "string")}}),
+    5: ("producer", {"fields": {1: ("topic", "string"),
+                                2: ("producer_id", "uint64"),
+                                3: ("request_id", "uint64"),
+                                4: ("producer_name", "string")}}),
+    6: ("send", {"fields": {1: ("producer_id", "uint64"),
+                            2: ("sequence_id", "uint64"),
+                            3: ("num_messages", "int32")}}),
+    7: ("send_receipt", {"fields": {1: ("producer_id", "uint64"),
+                                    2: ("sequence_id", "uint64"),
+                                    3: ("message_id", MESSAGE_ID)}}),
+    8: ("send_error", {"fields": {1: ("producer_id", "uint64"),
+                                  2: ("sequence_id", "uint64"),
+                                  3: ("error", "int32"),
+                                  4: ("message", "string")}}),
+    9: ("message", {"fields": {1: ("consumer_id", "uint64"),
+                               2: ("message_id", MESSAGE_ID),
+                               3: ("redelivery_count", "uint32")}}),
+    10: ("ack", {"fields": {1: ("consumer_id", "uint64"),
+                            2: ("ack_type", "int32"),
+                            3: ("message_id", MESSAGE_ID)}}),
+    11: ("flow", {"fields": {1: ("consumer_id", "uint64"),
+                             2: ("messagePermits", "uint32")}}),
+    13: ("success", {"fields": {1: ("request_id", "uint64")}}),
+    14: ("error", {"fields": {1: ("request_id", "uint64"),
+                              2: ("error", "int32"),
+                              3: ("message", "string")}}),
+    15: ("close_producer", {"fields": {1: ("producer_id", "uint64"),
+                                       2: ("request_id", "uint64")}}),
+    17: ("producer_success", {"fields": {1: ("request_id", "uint64"),
+                                         2: ("producer_name", "string")}}),
+}}
+
+METADATA = {"fields": {1: ("producer_name", "string"),
+                       2: ("sequence_id", "uint64"),
+                       3: ("publish_time", "uint64")}}
+
+
+class PulsarError(RuntimeError):
+    pass
+
+
+def encode_frame(cmd: dict, metadata: dict | None = None,
+                 payload: bytes = b"") -> bytes:
+    """One wire frame. With metadata: the payload-command form with
+    magic + CRC32C(metadataSize..payload)."""
+    cbytes = pb_encode(cmd, BASE_COMMAND)
+    body = struct.pack(">I", len(cbytes)) + cbytes
+    if metadata is not None:
+        mbytes = pb_encode(metadata, METADATA)
+        checked = struct.pack(">I", len(mbytes)) + mbytes + payload
+        body += MAGIC + struct.pack(">I", crc32c(checked)) + checked
+    return struct.pack(">I", len(body)) + body
+
+
+def decode_frame(body: bytes) -> tuple[dict, dict | None, bytes]:
+    """(command, metadata|None, payload) from a frame body (after
+    totalSize). Verifies the payload checksum when present."""
+    (csize,) = struct.unpack_from(">I", body, 0)
+    cmd = pb_decode(body[4 : 4 + csize], BASE_COMMAND)
+    rest = body[4 + csize :]
+    if not rest:
+        return cmd, None, b""
+    if rest[:2] != MAGIC:
+        raise PulsarError(f"bad payload magic {rest[:2]!r}")
+    (crc,) = struct.unpack_from(">I", rest, 2)
+    checked = rest[6:]
+    if crc32c(checked) != crc:
+        raise PulsarError("payload checksum mismatch")
+    (msize,) = struct.unpack_from(">I", checked, 0)
+    meta = pb_decode(checked[4 : 4 + msize], METADATA)
+    return cmd, meta, checked[4 + msize :]
+
+
+class PulsarClient:
+    def __init__(self, host: str = "localhost", port: int = 6650,
+                 timeout: float = 30.0):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self._seq = 0
+        self._req = 0
+        self._send_frame({"type": CONNECT, "connect": {
+            "client_version": "bento-spark/1.0", "protocol_version": 21,
+        }})
+        cmd = self._next_command()
+        if cmd["type"] != CONNECTED:
+            raise PulsarError(f"expected CONNECTED, got {cmd}")
+        self.server_version = cmd.get("connected", {}).get("server_version", "")
+
+    # -- framing ----------------------------------------------------------
+    def _send_frame(self, cmd: dict, metadata: dict | None = None,
+                    payload: bytes = b"") -> None:
+        self._sock.sendall(encode_frame(cmd, metadata, payload))
+
+    def _read_frame(self) -> tuple[dict, dict | None, bytes]:
+        head = self._rfile.read(4)
+        if len(head) != 4:
+            raise ConnectionError("pulsar connection closed")
+        (total,) = struct.unpack(">I", head)
+        body = self._rfile.read(total)
+        if len(body) != total:
+            raise ConnectionError("pulsar connection closed mid-frame")
+        return decode_frame(body)
+
+    def _next_command(self) -> dict:
+        """Next non-keepalive command (PINGs answered inline)."""
+        while True:
+            cmd, _meta, _payload = self._read_frame()
+            if cmd["type"] == PING:
+                self._send_frame({"type": PONG})
+                continue
+            return cmd
+
+    # -- producer ---------------------------------------------------------
+    def create_producer(self, topic: str, producer_id: int = 1) -> str:
+        self._req += 1
+        self._send_frame({"type": PRODUCER, "producer": {
+            "topic": topic, "producer_id": producer_id,
+            "request_id": self._req,
+        }})
+        cmd = self._next_command()
+        if cmd["type"] == ERROR:
+            raise PulsarError(cmd.get("error", {}).get("message", "producer"))
+        if cmd["type"] != PRODUCER_SUCCESS:
+            raise PulsarError(f"expected PRODUCER_SUCCESS, got {cmd['type']}")
+        self.producer_name = cmd["producer_success"].get("producer_name", "")
+        self.producer_id = producer_id
+        return self.producer_name
+
+    def send(self, payloads: list[bytes]) -> None:
+        """Pipelined SENDs (one write), receipts drained and matched by
+        sequence_id (out-of-order receipts fine); after all replies are
+        in, the first SEND_ERROR raises — drain-before-raise."""
+        import time as _time
+
+        if not payloads:
+            return
+        t = int(_time.time() * 1000)
+        frames = bytearray()
+        seqs = []
+        for p in payloads:
+            self._seq += 1
+            seqs.append(self._seq)
+            frames += encode_frame(
+                {"type": SEND, "send": {
+                    "producer_id": self.producer_id,
+                    "sequence_id": self._seq, "num_messages": 1,
+                }},
+                {"producer_name": self.producer_name,
+                 "sequence_id": self._seq, "publish_time": t},
+                p,
+            )
+        self._sock.sendall(bytes(frames))
+        waiting = set(seqs)
+        first_err: PulsarError | None = None
+        while waiting:
+            cmd = self._next_command()
+            if cmd["type"] == SEND_RECEIPT:
+                waiting.discard(cmd["send_receipt"]["sequence_id"])
+            elif cmd["type"] == SEND_ERROR:
+                se = cmd["send_error"]
+                waiting.discard(se["sequence_id"])
+                first_err = first_err or PulsarError(
+                    f"send error seq={se['sequence_id']}: "
+                    f"{se.get('message', '')}"
+                )
+            else:
+                raise PulsarError(f"unexpected command {cmd['type']}")
+        if first_err:
+            raise first_err
+
+    def close_producer(self) -> None:
+        self._req += 1
+        self._send_frame({"type": CLOSE_PRODUCER, "close_producer": {
+            "producer_id": getattr(self, "producer_id", 1),
+            "request_id": self._req,
+        }})
+        self._next_command()  # SUCCESS
+
+    # -- consumer ---------------------------------------------------------
+    def subscribe(self, topic: str, subscription: str,
+                  consumer_id: int = 1, permits: int = 1000) -> None:
+        self._req += 1
+        self._send_frame({"type": SUBSCRIBE, "subscribe": {
+            "topic": topic, "subscription": subscription,
+            "subType": 1,  # Shared
+            "consumer_id": consumer_id, "request_id": self._req,
+            "consumer_name": "bento-spark",
+        }})
+        cmd = self._next_command()
+        if cmd["type"] != SUCCESS:
+            raise PulsarError(f"subscribe failed: {cmd}")
+        self.consumer_id = consumer_id
+        self._send_frame({"type": FLOW, "flow": {
+            "consumer_id": consumer_id, "messagePermits": permits,
+        }})
+
+    def receive(self) -> tuple[dict, bytes] | None:
+        """One MESSAGE -> (message_id, payload); None on read timeout
+        (drained)."""
+        import socket as _socket
+
+        try:
+            while True:
+                cmd, _meta, payload = self._read_frame()
+                if cmd["type"] == PING:
+                    self._send_frame({"type": PONG})
+                    continue
+                if cmd["type"] == MESSAGE:
+                    return cmd["message"]["message_id"], payload
+                raise PulsarError(f"unexpected command {cmd['type']}")
+        except (_socket.timeout, TimeoutError):
+            return None
+
+    def ack(self, message_id: dict) -> None:
+        self._send_frame({"type": ACK, "ack": {
+            "consumer_id": self.consumer_id, "ack_type": 0,  # Individual
+            "message_id": message_id,
+        }})
+
+    def drain_to_dir(self, out_dir: str, max_msgs: int = 10_000,
+                     idle_timeout: float = 1.0) -> int:
+        """Stage-then-ack drain (at-least-once): each message is durably
+        written BEFORE its ACK — unacked messages redeliver."""
+        import os
+        import time as _time
+
+        os.makedirs(out_dir, exist_ok=True)
+        old = self._sock.gettimeout()
+        self._sock.settimeout(idle_timeout)
+        n = 0
+        try:
+            while n < max_msgs:
+                got = self.receive()
+                if got is None:
+                    break
+                mid, payload = got
+                name = (
+                    f"pulsar-{mid.get('ledgerId', 0)}-"
+                    f"{mid.get('entryId', n)}.bin"
+                )
+                tmp = os.path.join(out_dir, "." + name)
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, os.path.join(out_dir, name))
+                self.ack(mid)
+                n += 1
+        finally:
+            self._sock.settimeout(old)
+        return n
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()

@@ -1914,3 +1914,84 @@ def _s3_stream_transport(conf: dict):
                 raise DeliveryError(str(ex), retryable=ex.status >= 500) from ex
 
     return T()
+
+
+@register_transport("cypher")
+def _cypher_transport(conf: dict):
+    """``cypher`` output (website/docs/components/outputs/cypher.md):
+    write each delivery batch with ONE parameterized statement —
+    ``UNWIND $rows AS row <query>`` — over the from-scratch Bolt/
+    PackStream client (operators/bolt_wire.py). The reference binds
+    args per message; collapsing a batch into UNWIND is the documented
+    neo4j bulk-write idiom and turns N round trips into one. Transient
+    cluster errors (Neo.TransientError.*) are retryable; Cypher/client
+    errors dead-letter."""
+    import json as _json
+
+    from bento_spark.operators.bolt_wire import BoltClient, BoltError
+
+    query = conf["query"]  # e.g. "MERGE (n:Doc {id: row.id}) SET n += row"
+
+    class T:
+        def __init__(self):
+            self.client = BoltClient(
+                conf.get("host", "localhost"), int(conf.get("port", 7687)),
+                conf.get("user", "neo4j"), conf.get("password", ""),
+            )
+
+        def send(self, batch: list[str]) -> None:
+            rows = []
+            for m in batch:
+                try:
+                    rows.append(_json.loads(m))
+                except ValueError as ex:
+                    raise DeliveryError(
+                        f"cypher: not JSON: {ex}", retryable=False
+                    ) from ex
+            try:
+                self.client.run(
+                    f"UNWIND $rows AS row {query}", {"rows": rows}
+                )
+            except BoltError as ex:
+                retryable = ex.code.startswith("Neo.TransientError")
+                raise DeliveryError(str(ex), retryable=retryable) from ex
+            except ConnectionError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            self.client.close()
+
+    return T()
+
+
+@register_transport("pulsar")
+def _pulsar_transport(conf: dict):
+    """``pulsar`` output (internal/impl/pulsar/output.go): pipelined
+    SENDs through the from-scratch binary-protocol client
+    (operators/pulsar_wire.py); every message is SEND_RECEIPT-confirmed
+    before the delivery batch acks, SEND_ERROR raises retryable (broker
+    transient) after the receipt drain."""
+    from bento_spark.operators.pulsar_wire import PulsarClient, PulsarError
+
+    class T:
+        def __init__(self):
+            self.client = PulsarClient(
+                conf.get("host", "localhost"), int(conf.get("port", 6650))
+            )
+            self.client.create_producer(conf["topic"])
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.client.send([m.encode("utf-8") for m in batch])
+            except PulsarError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+            except ConnectionError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            try:
+                self.client.close_producer()
+            finally:
+                self.client.close()
+
+    return T()
