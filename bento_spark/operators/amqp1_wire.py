@@ -1,0 +1,417 @@
+"""AMQP 1.0 client — the OASIS AMQP 1.0 core protocol from the public
+spec (http://docs.oasis-open.org/amqp/core/v1.0/os/amqp-core-complete-v1.0-os.pdf),
+pure stdlib, NOT a python-qpid/azure-amqp wrapper (absent in this
+container). Distinct from the 0-9-1 protocol in operators/amqp_wire.py —
+1.0 is a different wire format entirely (described types, links,
+delivery dispositions).
+
+Reference parity: the `amqp_1` input/output
+(internal/impl/amqp1/{input,output}.go).
+
+Implemented layers:
+* type codec — the primitive format codes the performatives need
+  (null/bool/ubyte/ushort/uint/ulong incl. small+zero forms, string8/32,
+  symbol8/32, binary8/32, list0/8/32, map8/32) plus described types
+  (0x00 descriptor + value); encoder picks compact forms, decoder
+  accepts all.
+* framing — [size][doff=2][type=0][channel] + performative + payload.
+* connection bootstrap — protocol header exchange, open/begin/attach
+  handshakes.
+* sender link — waits for initial flow credit, then pipelined unsettled
+  transfers (delivery-tag per message, data-section payload) with
+  disposition draining: range-coalesced accepted/rejected outcomes are
+  matched to delivery-ids, every outstanding delivery drained before
+  the first rejection raises.
+* receiver link — grants link-credit via flow, stages each transfer
+  durably, THEN settles with an accepted disposition (at-least-once).
+
+Tested against an in-process broker that re-parses every frame and
+coalesces dispositions into ranges (tests/test_amqp1_wire.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+AMQP_HEADER = b"AMQP\x00\x01\x00\x00"
+
+# performative descriptors (ulong)
+OPEN, BEGIN, ATTACH, FLOW, TRANSFER, DISPOSITION, DETACH, END, CLOSE = (
+    0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18,
+)
+SOURCE, TARGET = 0x28, 0x29
+ACCEPTED, REJECTED = 0x24, 0x25
+DATA_SECTION = 0x75
+
+
+class Amqp1Error(RuntimeError):
+    pass
+
+
+class Described:
+    def __init__(self, descriptor: int, value):
+        self.descriptor = descriptor
+        self.value = value
+
+    def __repr__(self):
+        return f"Described(0x{self.descriptor:02x}, {self.value!r})"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Described)
+            and other.descriptor == self.descriptor
+            and other.value == self.value
+        )
+
+
+class Symbol(str):
+    """AMQP symbol (ASCII token) — distinct format code from string."""
+
+
+def encode(v) -> bytes:
+    if v is None:
+        return b"\x40"
+    if v is True:
+        return b"\x41"
+    if v is False:
+        return b"\x42"
+    if isinstance(v, Described):
+        return b"\x00" + encode(v.descriptor) + encode(v.value)
+    if isinstance(v, int):
+        if v == 0:
+            return b"\x44"  # ulong0
+        if 0 < v < 256:
+            return b"\x53" + struct.pack(">B", v)  # smallulong
+        return b"\x80" + struct.pack(">Q", v)  # ulong
+    if isinstance(v, Symbol):
+        b = v.encode("ascii")
+        if len(b) < 256:
+            return b"\xa3" + struct.pack(">B", len(b)) + b
+        return b"\xb3" + struct.pack(">I", len(b)) + b
+    if isinstance(v, str):
+        b = v.encode("utf-8")
+        if len(b) < 256:
+            return b"\xa1" + struct.pack(">B", len(b)) + b
+        return b"\xb1" + struct.pack(">I", len(b)) + b
+    if isinstance(v, bytes):
+        if len(v) < 256:
+            return b"\xa0" + struct.pack(">B", len(v)) + v
+        return b"\xb0" + struct.pack(">I", len(v)) + v
+    if isinstance(v, (list, tuple)):
+        if not v:
+            return b"\x45"  # list0
+        body = b"".join(encode(x) for x in v)
+        if len(body) + 1 < 256 and len(v) < 256:
+            return b"\xc0" + struct.pack(">BB", len(body) + 1, len(v)) + body
+        return b"\xd0" + struct.pack(">II", len(body) + 4, len(v)) + body
+    if isinstance(v, dict):
+        body = b"".join(encode(k) + encode(x) for k, x in v.items())
+        n = 2 * len(v)
+        if len(body) + 1 < 256 and n < 256:
+            return b"\xc1" + struct.pack(">BB", len(body) + 1, n) + body
+        return b"\xd1" + struct.pack(">II", len(body) + 4, n) + body
+    raise TypeError(f"cannot encode {type(v).__name__}")
+
+
+class _Rd:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.p = pos
+
+    def take(self, n: int) -> bytes:
+        b = self.d[self.p : self.p + n]
+        if len(b) != n:
+            raise Amqp1Error("truncated amqp value")
+        self.p += n
+        return b
+
+    def decode(self):
+        code = self.take(1)[0]
+        if code == 0x00:  # described
+            desc = self.decode()
+            return Described(desc, self.decode())
+        if code == 0x40:
+            return None
+        if code == 0x41:
+            return True
+        if code == 0x42:
+            return False
+        if code == 0x56:
+            return self.take(1)[0] != 0
+        if code == 0x43 or code == 0x44:
+            return 0
+        if code in (0x50, 0x52, 0x53):  # ubyte / smalluint / smallulong
+            return self.take(1)[0]
+        if code == 0x60:
+            return struct.unpack(">H", self.take(2))[0]
+        if code == 0x70:
+            return struct.unpack(">I", self.take(4))[0]
+        if code == 0x80:
+            return struct.unpack(">Q", self.take(8))[0]
+        if code in (0x54, 0x55):  # smallint / smalllong
+            return struct.unpack(">b", self.take(1))[0]
+        if code == 0x71:
+            return struct.unpack(">i", self.take(4))[0]
+        if code == 0x81:
+            return struct.unpack(">q", self.take(8))[0]
+        if code == 0xA0:
+            return self.take(self.take(1)[0])
+        if code == 0xB0:
+            return self.take(struct.unpack(">I", self.take(4))[0])
+        if code == 0xA1:
+            return self.take(self.take(1)[0]).decode("utf-8")
+        if code == 0xB1:
+            return self.take(struct.unpack(">I", self.take(4))[0]).decode()
+        if code == 0xA3:
+            return Symbol(self.take(self.take(1)[0]).decode("ascii"))
+        if code == 0xB3:
+            return Symbol(
+                self.take(struct.unpack(">I", self.take(4))[0]).decode()
+            )
+        if code == 0x45:
+            return []
+        if code == 0xC0:
+            _size, n = self.take(1)[0], self.take(1)[0]
+            return [self.decode() for _ in range(n)]
+        if code == 0xD0:
+            _size = struct.unpack(">I", self.take(4))[0]
+            n = struct.unpack(">I", self.take(4))[0]
+            return [self.decode() for _ in range(n)]
+        if code == 0xC1:
+            _size, n = self.take(1)[0], self.take(1)[0]
+            kv = [self.decode() for _ in range(n)]
+            return dict(zip(kv[0::2], kv[1::2]))
+        if code == 0xD1:
+            _size = struct.unpack(">I", self.take(4))[0]
+            n = struct.unpack(">I", self.take(4))[0]
+            kv = [self.decode() for _ in range(n)]
+            return dict(zip(kv[0::2], kv[1::2]))
+        raise Amqp1Error(f"unknown format code 0x{code:02x}")
+
+
+def decode(data: bytes):
+    return _Rd(data).decode()
+
+
+def encode_frame(channel: int, performative: Described,
+                 payload: bytes = b"") -> bytes:
+    body = encode(performative) + payload
+    return struct.pack(">IBBH", 8 + len(body), 2, 0, channel) + body
+
+
+def decode_frame(data: bytes) -> tuple[int, Described | None, bytes]:
+    """(channel, performative, payload) from one full frame."""
+    size, doff, ftype, channel = struct.unpack_from(">IBBH", data, 0)
+    if ftype != 0:
+        raise Amqp1Error(f"unsupported frame type {ftype}")
+    body = data[4 * doff : size]
+    if not body:
+        return channel, None, b""  # empty (keepalive) frame
+    rd = _Rd(body)
+    perf = rd.decode()
+    return channel, perf, body[rd.p :]
+
+
+def _field(lst: list, i: int, default=None):
+    return lst[i] if i < len(lst) else default
+
+
+class Amqp1Client:
+    """One connection, one session, one link (sender or receiver)."""
+
+    def __init__(self, host: str = "localhost", port: int = 5672,
+                 container: str = "bento-spark", timeout: float = 30.0):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self._sock.sendall(AMQP_HEADER)
+        hdr = self._rfile.read(8)
+        if hdr != AMQP_HEADER:
+            raise Amqp1Error(f"protocol header mismatch: {hdr!r}")
+        self._send(OPEN, [container])
+        perf, _ = self._expect(OPEN)
+        self.peer_container = _field(perf.value, 0)
+        # begin: [remote-channel, next-outgoing-id, incoming-window,
+        #         outgoing-window]
+        self._send(BEGIN, [None, 0, 2048, 2048])
+        self._expect(BEGIN)
+        self._delivery_id = 0
+        self.credit = 0
+
+    def _send(self, descriptor: int, fields: list, payload: bytes = b"") -> None:
+        self._sock.sendall(
+            encode_frame(0, Described(descriptor, fields), payload)
+        )
+
+    def _read_frame(self) -> tuple[Described | None, bytes]:
+        head = self._rfile.read(4)
+        if len(head) != 4:
+            raise ConnectionError("amqp1 connection closed")
+        (size,) = struct.unpack(">I", head)
+        rest = self._rfile.read(size - 4)
+        if len(rest) != size - 4:
+            raise ConnectionError("amqp1 connection closed mid-frame")
+        _ch, perf, payload = decode_frame(head + rest)
+        return perf, payload
+
+    def _expect(self, descriptor: int) -> tuple[Described, bytes]:
+        while True:
+            perf, payload = self._read_frame()
+            if perf is None:
+                continue  # keepalive
+            if perf.descriptor == CLOSE:
+                err = _field(perf.value, 0)
+                raise Amqp1Error(f"connection closed by peer: {err!r}")
+            if perf.descriptor == descriptor:
+                return perf, payload
+            # stash nothing: handshake flows are strictly ordered
+            raise Amqp1Error(
+                f"expected 0x{descriptor:02x}, got 0x{perf.descriptor:02x}"
+            )
+
+    # -- sender ------------------------------------------------------------
+    def attach_sender(self, address: str, name: str = "bento-sender") -> None:
+        # [name, handle, role(false=sender), snd-settle-mode(0=unsettled),
+        #  rcv-settle-mode, source, target]
+        self._send(ATTACH, [
+            name, 0, False, 0, 0,
+            Described(SOURCE, []),
+            Described(TARGET, [address]),
+        ])
+        self._expect(ATTACH)
+        perf, _ = self._expect(FLOW)  # initial credit grant
+        self.credit = _field(perf.value, 6, 0)
+
+    def send(self, payloads: list[bytes]) -> None:
+        """Pipelined unsettled transfers; dispositions drained until
+        every delivery-id is settled (ranges coalesced by the peer are
+        expanded), first rejected outcome raises AFTER the drain."""
+        if not payloads:
+            return
+        out = bytearray()
+        ids = []
+        for p in payloads:
+            did = self._delivery_id
+            self._delivery_id += 1
+            ids.append(did)
+            # [handle, delivery-id, delivery-tag, message-format,
+            #  settled, more]
+            perf = Described(TRANSFER, [
+                0, did, struct.pack(">I", did), 0, False, False,
+            ])
+            section = encode(Described(DATA_SECTION, p))
+            out += encode_frame(0, perf, section)
+        self._sock.sendall(bytes(out))
+        waiting = set(ids)
+        first_err: Amqp1Error | None = None
+        while waiting:
+            perf, _ = self._read_frame()
+            if perf is None:
+                continue
+            if perf.descriptor != DISPOSITION:
+                if perf.descriptor == FLOW:  # credit top-up mid-stream
+                    self.credit = _field(perf.value, 6, self.credit)
+                    continue
+                raise Amqp1Error(
+                    f"unexpected performative 0x{perf.descriptor:02x}"
+                )
+            # [role, first, last, settled, state]
+            first = _field(perf.value, 1, 0)
+            last = _field(perf.value, 2, first)
+            if last is None:
+                last = first
+            state = _field(perf.value, 4)
+            rejected = (
+                isinstance(state, Described) and state.descriptor == REJECTED
+            )
+            for did in range(first, last + 1):
+                waiting.discard(did)
+                if rejected and first_err is None:
+                    first_err = Amqp1Error(f"delivery {did} rejected")
+        if first_err:
+            raise first_err
+
+    # -- receiver ----------------------------------------------------------
+    def attach_receiver(self, address: str, credit: int = 500,
+                        name: str = "bento-receiver") -> None:
+        self._send(ATTACH, [
+            name, 0, True, 0, 0,
+            Described(SOURCE, [address]),
+            Described(TARGET, []),
+        ])
+        self._expect(ATTACH)
+        # grant credit: [next-incoming-id, incoming-window,
+        #   next-outgoing-id, outgoing-window, handle, delivery-count,
+        #   link-credit]
+        self._send(FLOW, [0, 2048, 0, 2048, 0, 0, credit])
+
+    def receive(self) -> tuple[int, bytes] | None:
+        """One transfer -> (delivery_id, data-section payload); None on
+        read timeout (drained)."""
+        import socket as _socket
+
+        try:
+            while True:
+                perf, payload = self._read_frame()
+                if perf is None:
+                    continue
+                if perf.descriptor == TRANSFER:
+                    did = _field(perf.value, 1, 0)
+                    section = decode(payload)
+                    if not (isinstance(section, Described)
+                            and section.descriptor == DATA_SECTION):
+                        raise Amqp1Error(f"unexpected section {section!r}")
+                    return did, section.value
+                raise Amqp1Error(
+                    f"unexpected performative 0x{perf.descriptor:02x}"
+                )
+        except (_socket.timeout, TimeoutError):
+            return None
+
+    def settle(self, delivery_id: int) -> None:
+        """Accepted disposition from the receiver role."""
+        self._send(DISPOSITION, [
+            True, delivery_id, delivery_id, True,
+            Described(ACCEPTED, []),
+        ])
+
+    def drain_to_dir(self, out_dir: str, max_msgs: int = 10_000,
+                     idle_timeout: float = 1.0) -> int:
+        """Stage-then-settle drain: each message durably written BEFORE
+        its accepted disposition (unsettled deliveries redeliver —
+        at-least-once, the reference input's contract)."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        old = self._sock.gettimeout()
+        self._sock.settimeout(idle_timeout)
+        n = 0
+        try:
+            while n < max_msgs:
+                got = self.receive()
+                if got is None:
+                    break
+                did, data = got
+                name = f"amqp1-{did:08d}.bin"
+                tmp = os.path.join(out_dir, "." + name)
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, os.path.join(out_dir, name))
+                self.settle(did)
+                n += 1
+        finally:
+            self._sock.settimeout(old)
+        return n
+
+    def close(self) -> None:
+        try:
+            self._send(CLOSE, [])
+        except OSError:
+            pass
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()

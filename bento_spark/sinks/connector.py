@@ -1995,3 +1995,33 @@ def _pulsar_transport(conf: dict):
                 self.client.close()
 
     return T()
+
+
+@register_transport("amqp_1")
+def _amqp1_transport(conf: dict):
+    """``amqp_1`` output (internal/impl/amqp1/output.go): unsettled
+    transfers through the from-scratch AMQP 1.0 client
+    (operators/amqp1_wire.py); every delivery is disposition-confirmed
+    (accepted) before the batch acks, rejections raise after the
+    disposition drain."""
+    from bento_spark.operators.amqp1_wire import Amqp1Client, Amqp1Error
+
+    class T:
+        def __init__(self):
+            self.client = Amqp1Client(
+                conf.get("host", "localhost"), int(conf.get("port", 5672))
+            )
+            self.client.attach_sender(conf["address"])
+
+        def send(self, batch: list[str]) -> None:
+            try:
+                self.client.send([m.encode("utf-8") for m in batch])
+            except Amqp1Error as ex:
+                raise DeliveryError(str(ex), retryable="rejected" not in str(ex)) from ex
+            except ConnectionError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            self.client.close()
+
+    return T()

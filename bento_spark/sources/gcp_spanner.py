@@ -1,0 +1,162 @@
+"""`gcp_spanner_cdc` input — Cloud Spanner change streams over the
+public REST API (spanner.googleapis.com/$discovery: sessions.create +
+sessions.executeStreamingSql reading the change stream's table-valued
+function), pure stdlib.
+
+Reference parity: internal/impl/gcp/ (spanner CDC input;
+website/docs/components/inputs/gcp_spanner_cdc.md).
+
+A change stream is queried as
+``SELECT ChangeRecord FROM READ_<stream>(start_timestamp => @start,
+heartbeat_milliseconds => @hb)``; each result row carries
+data_change_record / heartbeat_record / child_partitions_record
+objects (the public change-stream record model). This client:
+
+* creates a session, issues executeStreamingSql, and walks the
+  PartialResultSet JSON chunks (``chunkedValue`` continuation handled by
+  concatenating string pieces per the API contract's resume semantics);
+* surfaces data-change records as JSON events and tracks the max
+  commit_timestamp as the restart cursor — the same
+  cursor-checkpointing discipline as the reference input;
+* stages events durably (atomic tmp+rename) before the cursor file
+  advances, so a crash replays from the last checkpoint
+  (at-least-once).
+
+Auth: injectable ``token_provider`` Bearer token, same contract as
+sources/gcp_pubsub.py (emulator/in-process servers need none).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+from collections.abc import Callable
+
+
+class SpannerError(RuntimeError):
+    pass
+
+
+class SpannerChangeStreamClient:
+    def __init__(
+        self,
+        endpoint: str,  # http://host:port (emulator/test) or https://spanner.googleapis.com
+        database: str,  # projects/p/instances/i/databases/d
+        token_provider: Callable[[], str] | None = None,
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.database = database
+        self.token_provider = token_provider
+
+    def _call(self, path: str, payload: dict) -> list | dict:
+        url = f"{self.endpoint}/v1/{path}"
+        headers = {"Content-Type": "application/json"}
+        if self.token_provider:
+            headers["Authorization"] = f"Bearer {self.token_provider()}"
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode("utf-8"),
+            headers=headers, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            raise SpannerError(
+                f"spanner {path}: HTTP {e.code}: {e.read().decode()[:200]}"
+            ) from e
+
+    def create_session(self) -> str:
+        resp = self._call(f"{self.database}/sessions", {})
+        return resp["name"]
+
+    def read_change_stream(
+        self, stream: str, start_timestamp: str,
+        heartbeat_ms: int = 10_000,
+    ) -> tuple[list[dict], str | None]:
+        """One executeStreamingSql pass over the change stream TVF ->
+        (data_change_records, max_commit_timestamp)."""
+        session = self.create_session()
+        sql = (
+            f"SELECT ChangeRecord FROM READ_{stream}("
+            "start_timestamp => @start, end_timestamp => NULL, "
+            "partition_token => NULL, "
+            "heartbeat_milliseconds => @hb)"
+        )
+        resp = self._call(f"{session}:executeStreamingSql", {
+            "sql": sql,
+            "params": {"start": start_timestamp, "hb": str(heartbeat_ms)},
+            "paramTypes": {
+                "start": {"code": "TIMESTAMP"},
+                "hb": {"code": "INT64"},
+            },
+        })
+        # streaming REST returns a JSON ARRAY of PartialResultSet
+        chunks = resp if isinstance(resp, list) else [resp]
+        values: list = []
+        carry: str | None = None
+        for prs in chunks:
+            vals = list(prs.get("values", []))
+            if carry is not None and vals:
+                first = vals.pop(0)
+                if not isinstance(first, str):
+                    raise SpannerError("chunkedValue continuation not a string")
+                values.append(carry + first)
+                carry = None
+            if prs.get("chunkedValue") and vals:
+                carry = vals.pop()
+            values.extend(vals)
+        if carry is not None:
+            values.append(carry)
+        events: list[dict] = []
+        max_commit: str | None = None
+        for v in values:
+            rec = json.loads(v) if isinstance(v, str) else v
+            for dcr in rec.get("data_change_record") or []:
+                events.append(dcr)
+                ts = dcr.get("commit_timestamp")
+                if ts and (max_commit is None or ts > max_commit):
+                    max_commit = ts
+            # heartbeat_record advances the cursor with no data
+            for hb in rec.get("heartbeat_record") or []:
+                ts = hb.get("timestamp")
+                if ts and (max_commit is None or ts > max_commit):
+                    max_commit = ts
+        return events, max_commit
+
+    def drain_to_dir(
+        self, stream: str, out_dir: str,
+        start_timestamp: str = "1970-01-01T00:00:00Z",
+    ) -> int:
+        """Cursor-checkpointed drain: events staged durably FIRST, then
+        the cursor file advances (crash between the two replays —
+        at-least-once)."""
+        os.makedirs(out_dir, exist_ok=True)
+        cursor_path = os.path.join(out_dir, ".spanner-cursor")
+        start = start_timestamp
+        if os.path.exists(cursor_path):
+            with open(cursor_path, encoding="utf-8") as f:
+                start = f.read().strip() or start
+        events, max_commit = self.read_change_stream(stream, start)
+        if events:
+            import time
+
+            name = f"spanner-{int(time.time() * 1000)}-{len(events)}.jsonl"
+            tmp = os.path.join(out_dir, "." + name)
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(
+                    "\n".join(json.dumps(e, sort_keys=True) for e in events)
+                    + "\n"
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(out_dir, name))
+        if max_commit:
+            tmp = cursor_path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(max_commit)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, cursor_path)
+        return len(events)
