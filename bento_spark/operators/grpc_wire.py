@@ -1,0 +1,340 @@
+"""gRPC unary client over a from-scratch HTTP/2 layer — RFC 7540
+framing + RFC 7541 HPACK (literal encoding, full decode incl. static
+table, dynamic-table insertion, and integer continuation), plus the
+gRPC HTTP/2 mapping (grpc.io PROTOCOL-HTTP2 doc): 5-byte
+length-prefixed messages, te:trailers, grpc-status in trailers.
+Pure stdlib; message bodies ride the repo's own protobuf codec
+(operators/protobuf.py).
+
+Reference parity: the `grpc_client` input/output
+(website/docs/components/inputs/grpc_client.md).
+
+Scope notes (documented limitations, honest by construction):
+* client-side HPACK always emits literal-without-indexing with plain
+  (non-huffman) string encoding — valid HPACK any server accepts;
+* the decoder handles indexed (static+dynamic), both literal forms,
+  and table-size updates, but NOT huffman-coded literals (H bit set
+  raises) — fine against servers configured without huffman and the
+  in-process test server; a real grpc-go endpoint may huffman-encode,
+  in which case this client reports a clear error rather than garbage;
+* one request per stream, streams multiplexed sequentially (unary
+  calls only — the reference component's request/response mode).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# RFC 7541 Appendix A — static table (1-based)
+STATIC_TABLE = [
+    (":authority", ""), (":method", "GET"), (":method", "POST"),
+    (":path", "/"), (":path", "/index.html"), (":scheme", "http"),
+    (":scheme", "https"), (":status", "200"), (":status", "204"),
+    (":status", "206"), (":status", "304"), (":status", "400"),
+    (":status", "404"), (":status", "500"), ("accept-charset", ""),
+    ("accept-encoding", "gzip, deflate"), ("accept-language", ""),
+    ("accept-ranges", ""), ("accept", ""), ("access-control-allow-origin", ""),
+    ("age", ""), ("allow", ""), ("authorization", ""), ("cache-control", ""),
+    ("content-disposition", ""), ("content-encoding", ""),
+    ("content-language", ""), ("content-length", ""), ("content-location", ""),
+    ("content-range", ""), ("content-type", ""), ("cookie", ""), ("date", ""),
+    ("etag", ""), ("expect", ""), ("expires", ""), ("from", ""), ("host", ""),
+    ("if-match", ""), ("if-modified-since", ""), ("if-none-match", ""),
+    ("if-range", ""), ("if-unmodified-since", ""), ("last-modified", ""),
+    ("link", ""), ("location", ""), ("max-forwards", ""),
+    ("proxy-authenticate", ""), ("proxy-authorization", ""), ("range", ""),
+    ("referer", ""), ("refresh", ""), ("retry-after", ""), ("server", ""),
+    ("set-cookie", ""), ("strict-transport-security", ""),
+    ("transfer-encoding", ""), ("user-agent", ""), ("vary", ""), ("via", ""),
+    ("www-authenticate", ""),
+]
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+DATA, HEADERS, RST_STREAM, SETTINGS, PING, GOAWAY, WINDOW_UPDATE = (
+    0x0, 0x1, 0x3, 0x4, 0x6, 0x7, 0x8,
+)
+FLAG_END_STREAM, FLAG_END_HEADERS, FLAG_ACK = 0x1, 0x4, 0x1
+
+
+class GrpcError(RuntimeError):
+    def __init__(self, status: int, message: str):
+        super().__init__(f"grpc-status {status}: {message}")
+        self.status = status
+
+
+class H2Error(RuntimeError):
+    pass
+
+
+# --- HPACK -----------------------------------------------------------------
+
+def _int_encode(value: int, prefix_bits: int, first_byte: int = 0) -> bytes:
+    limit = (1 << prefix_bits) - 1
+    if value < limit:
+        return bytes([first_byte | value])
+    out = bytearray([first_byte | limit])
+    value -= limit
+    while value >= 128:
+        out.append((value % 128) + 128)
+        value //= 128
+    out.append(value)
+    return bytes(out)
+
+
+def _int_decode(data: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
+    limit = (1 << prefix_bits) - 1
+    value = data[pos] & limit
+    pos += 1
+    if value < limit:
+        return value, pos
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        value += (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return value, pos
+
+
+def _str_encode(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _int_encode(len(b), 7) + b  # H bit 0 = plain
+
+
+def _str_decode(data: bytes, pos: int) -> tuple[str, int]:
+    huffman = bool(data[pos] & 0x80)
+    n, pos = _int_decode(data, pos, 7)
+    raw = data[pos : pos + n]
+    pos += n
+    if huffman:
+        raise H2Error(
+            "huffman-coded HPACK literal not supported by this client"
+        )
+    return raw.decode("utf-8"), pos
+
+
+def hpack_encode(headers: list[tuple[str, str]]) -> bytes:
+    """Literal-without-indexing for every field (0x00 prefix) — the
+    always-valid lowest-common-denominator encoding."""
+    out = bytearray()
+    for name, value in headers:
+        out += b"\x00" + _str_encode(name.lower()) + _str_encode(value)
+    return bytes(out)
+
+
+class HpackDecoder:
+    def __init__(self):
+        self.dynamic: list[tuple[str, str]] = []
+
+    def _lookup(self, idx: int) -> tuple[str, str]:
+        if 1 <= idx <= len(STATIC_TABLE):
+            return STATIC_TABLE[idx - 1]
+        didx = idx - len(STATIC_TABLE) - 1
+        if 0 <= didx < len(self.dynamic):
+            return self.dynamic[didx]
+        raise H2Error(f"HPACK index {idx} out of range")
+
+    def decode(self, data: bytes) -> list[tuple[str, str]]:
+        out = []
+        pos = 0
+        while pos < len(data):
+            b = data[pos]
+            if b & 0x80:  # indexed
+                idx, pos = _int_decode(data, pos, 7)
+                out.append(self._lookup(idx))
+            elif b & 0x40:  # literal with incremental indexing
+                idx, pos = _int_decode(data, pos, 6)
+                name = self._lookup(idx)[0] if idx else None
+                if name is None:
+                    name, pos = _str_decode(data, pos)
+                value, pos = _str_decode(data, pos)
+                self.dynamic.insert(0, (name, value))
+                out.append((name, value))
+            elif b & 0x20:  # dynamic table size update
+                _size, pos = _int_decode(data, pos, 5)
+            else:  # literal without indexing / never indexed (4-bit prefix)
+                idx, pos = _int_decode(data, pos, 4)
+                name = self._lookup(idx)[0] if idx else None
+                if name is None:
+                    name, pos = _str_decode(data, pos)
+                value, pos = _str_decode(data, pos)
+                out.append((name, value))
+        return out
+
+
+# --- HTTP/2 framing --------------------------------------------------------
+
+def encode_h2_frame(ftype: int, flags: int, stream: int, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))[1:]
+        + bytes([ftype, flags])
+        + struct.pack(">I", stream)
+        + payload
+    )
+
+
+class GrpcClient:
+    def __init__(self, host: str = "localhost", port: int = 50051,
+                 authority: str | None = None, timeout: float = 30.0):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self.authority = authority or f"{host}:{port}"
+        self._stream_id = -1  # client streams are odd: 1, 3, 5, ...
+        self._decoder = HpackDecoder()
+        self._sock.sendall(
+            PREFACE + encode_h2_frame(SETTINGS, 0, 0, b"")
+        )
+        # server SETTINGS -> our ACK; server ACKs ours (order may vary)
+        acked = got_settings = False
+        while not (acked and got_settings):
+            ftype, flags, _stream, payload = self._read_frame()
+            if ftype == SETTINGS and not flags & FLAG_ACK:
+                got_settings = True
+                self._sock.sendall(encode_h2_frame(SETTINGS, FLAG_ACK, 0, b""))
+            elif ftype == SETTINGS and flags & FLAG_ACK:
+                acked = True
+            elif ftype == GOAWAY:
+                raise H2Error(f"GOAWAY during handshake: {payload[8:]!r}")
+
+    def _read_frame(self) -> tuple[int, int, int, bytes]:
+        head = self._rfile.read(9)
+        if len(head) != 9:
+            raise ConnectionError("h2 connection closed")
+        n = struct.unpack(">I", b"\x00" + head[:3])[0]
+        ftype, flags = head[3], head[4]
+        stream = struct.unpack(">I", head[5:9])[0] & 0x7FFFFFFF
+        payload = self._rfile.read(n)
+        if len(payload) != n:
+            raise ConnectionError("h2 connection closed mid-frame")
+        return ftype, flags, stream, payload
+
+    def request(self, path: str, message: bytes,
+                metadata: list[tuple[str, str]] | None = None) -> bytes:
+        """One unary call: HEADERS + DATA(grpc frame, END_STREAM) ->
+        response message bytes; non-zero grpc-status raises GrpcError."""
+        self._stream_id += 2
+        sid = self._stream_id
+        headers = [
+            (":method", "POST"), (":scheme", "http"),
+            (":path", path), (":authority", self.authority),
+            ("content-type", "application/grpc"),
+            ("te", "trailers"),
+            ("user-agent", "bento-spark-grpc/1.0"),
+        ] + list(metadata or [])
+        body = b"\x00" + struct.pack(">I", len(message)) + message
+        self._sock.sendall(
+            encode_h2_frame(HEADERS, FLAG_END_HEADERS, sid,
+                            hpack_encode(headers))
+            + encode_h2_frame(DATA, FLAG_END_STREAM, sid, body)
+        )
+        resp_headers: dict[str, str] = {}
+        data = bytearray()
+        while True:
+            ftype, flags, stream, payload = self._read_frame()
+            if ftype == PING and not flags & FLAG_ACK:
+                self._sock.sendall(encode_h2_frame(PING, FLAG_ACK, 0, payload))
+                continue
+            if ftype in (SETTINGS, WINDOW_UPDATE):
+                continue
+            if ftype == GOAWAY:
+                raise H2Error(f"GOAWAY: {payload[8:]!r}")
+            if stream != sid:
+                continue  # stale frames from an aborted stream
+            if ftype == RST_STREAM:
+                (code,) = struct.unpack(">I", payload)
+                raise H2Error(f"RST_STREAM error code {code}")
+            if ftype == HEADERS:
+                for k, v in self._decoder.decode(payload):
+                    resp_headers[k] = v
+                if flags & FLAG_END_STREAM:
+                    break  # trailers (or trailers-only response)
+            elif ftype == DATA:
+                data += payload
+                if flags & FLAG_END_STREAM:
+                    break
+        status = int(resp_headers.get("grpc-status", "0"))
+        if status != 0:
+            from urllib.parse import unquote
+
+            raise GrpcError(
+                status, unquote(resp_headers.get("grpc-message", ""))
+            )
+        if resp_headers.get(":status", "200") != "200":
+            raise H2Error(f"HTTP status {resp_headers.get(':status')}")
+        if not data:
+            return b""
+        compressed = data[0]
+        (n,) = struct.unpack(">I", bytes(data[1:5]))
+        if compressed:
+            raise GrpcError(12, "compressed grpc frames not supported")
+        return bytes(data[5 : 5 + n])
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(
+                encode_h2_frame(GOAWAY, 0, 0, struct.pack(">II", 0, 0))
+            )
+        except OSError:
+            pass
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()
+
+
+def grpc_enrich(
+    df,
+    factory,
+    path: str,
+    request_schema: dict,
+    response_schema: dict,
+    body_col: str = "content",
+    out_col: str = "grpc_response",
+):
+    """`grpc_client` processor shape: per-row unary call — the request
+    built from the row's JSON via the protobuf codec, the response
+    decoded back to JSON. One connection per partition; gRPC errors
+    land in `_error`, never a task failure."""
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructType
+
+    from bento_spark.operators.envelope import ERROR, ensure_envelope
+    from bento_spark.operators.protobuf import pb_decode, pb_encode
+
+    df = ensure_envelope(df)
+    schema = StructType(list(df.schema.fields)).add(out_col, StringType())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = factory()
+        try:
+            for pdf in batches:
+                out, errs = [], []
+                for body in pdf[body_col].astype(str).tolist():
+                    try:
+                        msg = pb_encode(_json.loads(body), request_schema)
+                        resp = client.request(path, msg)
+                        out.append(_json.dumps(
+                            pb_decode(resp, response_schema), sort_keys=True
+                        ))
+                        errs.append(None)
+                    except (GrpcError, H2Error, ValueError) as e:
+                        out.append(None)
+                        errs.append(f"grpc: {e}")
+                pdf = pdf.copy()
+                pdf[out_col] = pd.array(out, dtype=object)
+                prev = pdf[ERROR].tolist()
+                pdf[ERROR] = pd.array(
+                    [e if e is not None else p for e, p in zip(errs, prev)],
+                    dtype=object,
+                )
+                yield pdf
+        finally:
+            client.close()
+
+    return df.mapInPandas(gen, schema)
