@@ -215,6 +215,17 @@ class GrpcClient:
                 metadata: list[tuple[str, str]] | None = None) -> bytes:
         """One unary call: HEADERS + DATA(grpc frame, END_STREAM) ->
         response message bytes; non-zero grpc-status raises GrpcError."""
+        msgs = self._call_raw(path, message, metadata)
+        return msgs[0] if msgs else b""
+
+    def request_stream(self, path: str, message: bytes,
+                       metadata: list[tuple[str, str]] | None = None) -> list[bytes]:
+        """Server-streaming call: returns EVERY length-prefixed response
+        message (ReadRows/MutateRows-style RPCs stream many)."""
+        return self._call_raw(path, message, metadata)
+
+    def _call_raw(self, path: str, message: bytes,
+                  metadata: list[tuple[str, str]] | None = None) -> list[bytes]:
         self._stream_id += 2
         sid = self._stream_id
         headers = [
@@ -264,13 +275,20 @@ class GrpcClient:
             )
         if resp_headers.get(":status", "200") != "200":
             raise H2Error(f"HTTP status {resp_headers.get(':status')}")
-        if not data:
-            return b""
-        compressed = data[0]
-        (n,) = struct.unpack(">I", bytes(data[1:5]))
-        if compressed:
-            raise GrpcError(12, "compressed grpc frames not supported")
-        return bytes(data[5 : 5 + n])
+        return self._split_frames(bytes(data))
+
+    @staticmethod
+    def _split_frames(data: bytes) -> list[bytes]:
+        msgs = []
+        pos = 0
+        while pos < len(data):
+            compressed = data[pos]
+            (n,) = struct.unpack(">I", data[pos + 1 : pos + 5])
+            if compressed:
+                raise GrpcError(12, "compressed grpc frames not supported")
+            msgs.append(data[pos + 5 : pos + 5 + n])
+            pos += 5 + n
+        return msgs
 
     def close(self) -> None:
         try:

@@ -148,8 +148,11 @@ def pb_encode(obj: dict, schema: dict) -> bytes:
         val = obj.get(name)
         if val is None:
             continue
-        rep = isinstance(t, str) and t.startswith("repeated ")
-        base = t[len("repeated "):] if rep else t
+        # repeated nested messages: a dict schema with "repeated": True
+        rep = (isinstance(t, str) and t.startswith("repeated ")) or (
+            isinstance(t, dict) and t.get("repeated")
+        )
+        base = t[len("repeated "):] if isinstance(t, str) and rep else t
         if rep and _wire_type(base) != 2:
             # packed numeric repeated field
             body = bytearray()
@@ -189,8 +192,10 @@ def pb_decode(buf: bytes, schema: dict) -> dict:
                 raise ValueError(f"protobuf: bad wire type {wt}")
             continue
         name, t = fields[num]
-        rep = isinstance(t, str) and t.startswith("repeated ")
-        base = t[len("repeated "):] if rep else t
+        rep = (isinstance(t, str) and t.startswith("repeated ")) or (
+            isinstance(t, dict) and t.get("repeated")
+        )
+        base = t[len("repeated "):] if isinstance(t, str) and rep else t
         if rep and _wire_type(base) != 2 and wt == 2:
             n, pos = _read_varint(buf, pos)
             end = pos + n

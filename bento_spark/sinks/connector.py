@@ -2025,3 +2025,7 @@ def _amqp1_transport(conf: dict):
             self.client.close()
 
     return T()
+
+
+# transports defined next to their protocol clients
+from bento_spark.operators import bigtable as _bigtable  # noqa: E402,F401  (registers gcp_bigtable)

@@ -1,0 +1,211 @@
+"""gcp_bigtable transport against an in-process gRPC/HTTP-2 server
+implementing MutateRows: streamed MutateRowsResponse messages split
+across multiple grpc frames, per-entry status codes, retryable-vs-
+dead routing, and repeated-nested-message protobuf encoding."""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import struct
+import threading
+
+import pytest
+
+from bento_spark.operators.bigtable import (
+    MUTATE_ROWS_REQUEST,
+    MUTATE_ROWS_RESPONSE,
+    BigtableWriter,
+)
+from bento_spark.operators.grpc_wire import (
+    DATA,
+    FLAG_ACK,
+    FLAG_END_HEADERS,
+    FLAG_END_STREAM,
+    HEADERS,
+    PREFACE,
+    SETTINGS,
+    GrpcClient,
+    HpackDecoder,
+    _int_encode,
+    encode_h2_frame,
+)
+from bento_spark.operators.protobuf import pb_decode, pb_encode
+from bento_spark.sinks.connector import TRANSPORTS, DeliveryError
+
+
+def _lit(name: str, value: str) -> bytes:
+    nb, vb = name.encode(), value.encode()
+    return (b"\x40" + _int_encode(len(nb), 7) + nb
+            + _int_encode(len(vb), 7) + vb)
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def _frame(self, ftype, flags, stream, payload):
+        self.wfile.write(encode_h2_frame(ftype, flags, stream, payload))
+        self.wfile.flush()
+
+    def _read(self):
+        head = self.rfile.read(9)
+        if len(head) != 9:
+            return None
+        n = struct.unpack(">I", b"\x00" + head[:3])[0]
+        return (head[3], head[4],
+                struct.unpack(">I", head[5:9])[0] & 0x7FFFFFFF,
+                self.rfile.read(n))
+
+    def handle(self):
+        srv = self.server
+        assert self.rfile.read(len(PREFACE)) == PREFACE
+        self._read()
+        self._frame(SETTINGS, 0, 0, b"")
+        self._frame(SETTINGS, FLAG_ACK, 0, b"")
+        self._read()
+        decoder = HpackDecoder()
+        while True:
+            got = self._read()
+            if got is None:
+                return
+            ftype, flags, stream, payload = got
+            if ftype == 0x7:
+                return
+            if ftype == HEADERS:
+                hdrs = dict(decoder.decode(payload))
+                assert hdrs[":path"] == "/google.bigtable.v2.Bigtable/MutateRows"
+            elif ftype == DATA:
+                (n,) = struct.unpack(">I", payload[1:5])
+                req = pb_decode(payload[5 : 5 + n], MUTATE_ROWS_REQUEST)
+                srv.tables.setdefault(req["table_name"], [])
+                statuses = []
+                for i, e in enumerate(req.get("entries", [])):
+                    key = e["row_key"]
+                    if key in srv.fail_keys:
+                        code, msg = srv.fail_keys[key]
+                        statuses.append({"index": i, "status": {
+                            "code": code, "message": msg}})
+                        continue
+                    srv.tables[req["table_name"]].append(e)
+                    statuses.append({"index": i, "status": {"code": 0}})
+                # stream the response in TWO messages (splits the entry
+                # list) to exercise request_stream reassembly
+                half = max(1, len(statuses) // 2)
+                self._frame(HEADERS, FLAG_END_HEADERS, stream,
+                            b"\x88" + _lit("content-type", "application/grpc"))
+                for part in (statuses[:half], statuses[half:]):
+                    if not part:
+                        continue
+                    body = pb_encode({"entries": part}, MUTATE_ROWS_RESPONSE)
+                    self._frame(DATA, 0, stream,
+                                b"\x00" + struct.pack(">I", len(body)) + body)
+                self._frame(HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM,
+                            stream, _lit("grpc-status", "0"))
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.tables: dict[str, list] = {}
+        self.fail_keys: dict[bytes, tuple[int, str]] = {}
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+
+    @property
+    def port(self):
+        return self.server_address[1]
+
+    def stop(self):
+        self.shutdown()
+        self.server_close()
+
+
+@pytest.fixture()
+def server():
+    srv = _Server()
+    yield srv
+    srv.stop()
+
+
+TABLE = "projects/p/instances/i/tables/events"
+
+
+def test_repeated_nested_message_roundtrip():
+    req = {
+        "table_name": TABLE,
+        "entries": [
+            {"row_key": b"r1", "mutations": [
+                {"set_cell": {"family_name": "cf",
+                              "column_qualifier": b"c1",
+                              "timestamp_micros": -1, "value": b"v1"}},
+                {"set_cell": {"family_name": "cf",
+                              "column_qualifier": b"c2",
+                              "timestamp_micros": -1, "value": b"v2"}},
+            ]},
+            {"row_key": b"r2", "mutations": [
+                {"set_cell": {"family_name": "cf",
+                              "column_qualifier": b"c1",
+                              "timestamp_micros": -1, "value": b"x"}},
+            ]},
+        ],
+    }
+    back = pb_decode(pb_encode(req, MUTATE_ROWS_REQUEST), MUTATE_ROWS_REQUEST)
+    assert len(back["entries"]) == 2
+    assert len(back["entries"][0]["mutations"]) == 2
+    assert back["entries"][1]["mutations"][0]["set_cell"]["value"] == b"x"
+
+
+def test_mutate_rows_streamed_response(server):
+    c = GrpcClient("127.0.0.1", server.port)
+    w = BigtableWriter(c, TABLE)
+    failed = w.mutate_rows([
+        (b"k1", {"cf": {"a": b"1", "b": b"2"}}),
+        (b"k2", {"cf": {"a": b"3"}}),
+        (b"k3", {"cf": {"a": b"4"}}),
+    ])
+    assert failed == []
+    keys = [e["row_key"] for e in server.tables[TABLE]]
+    assert keys == [b"k1", b"k2", b"k3"]
+    c.close()
+
+
+def test_partial_failures_reported(server):
+    server.fail_keys = {b"k2": (14, "unavailable")}
+    c = GrpcClient("127.0.0.1", server.port)
+    w = BigtableWriter(c, TABLE)
+    failed = w.mutate_rows([
+        (b"k1", {"cf": {"a": b"1"}}),
+        (b"k2", {"cf": {"a": b"2"}}),
+    ])
+    assert failed == [(1, 14, "unavailable")]
+    c.close()
+
+
+def test_bigtable_transport(server):
+    t = TRANSPORTS["gcp_bigtable"]({
+        "host": "127.0.0.1", "port": server.port,
+        "table": TABLE, "key_field": "id", "column_family": "d",
+    })
+    t.send([json.dumps({"id": f"u{i}", "n": i}) for i in range(4)])
+    t.close()
+    entries = server.tables[TABLE]
+    assert [e["row_key"] for e in entries] == [b"u0", b"u1", b"u2", b"u3"]
+    cells = {m["set_cell"]["column_qualifier"]: m["set_cell"]["value"]
+             for m in entries[2]["mutations"]}
+    assert cells == {b"id": b"u2", b"n": b"2"}
+
+
+def test_bigtable_transport_retryable_vs_dead(server):
+    server.fail_keys = {b"bad": (3, "invalid argument")}
+    t = TRANSPORTS["gcp_bigtable"]({
+        "host": "127.0.0.1", "port": server.port,
+        "table": TABLE, "key_field": "id",
+    })
+    with pytest.raises(DeliveryError) as ei:
+        t.send([json.dumps({"id": "bad"})])
+    assert not ei.value.retryable  # INVALID_ARGUMENT dead-letters
+    server.fail_keys = {b"slow": (14, "unavailable")}
+    with pytest.raises(DeliveryError) as ei:
+        t.send([json.dumps({"id": "slow"})])
+    assert ei.value.retryable  # UNAVAILABLE re-sends
+    t.close()
