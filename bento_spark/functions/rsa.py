@@ -1,0 +1,141 @@
+"""Minimal RSA (RSASSA-PKCS1-v1_5 / RS256) — pure Python number theory,
+implementing the public PKCS #1 v2.2 spec (RFC 8017) and just enough
+DER (X.690) to fingerprint a SubjectPublicKeyInfo the way Snowflake
+key-pair auth requires. No crypto library exists in this container;
+RSA signing is modular exponentiation + deterministic padding, which
+stdlib integers do exactly.
+
+Used by the `snowflake_put` output's JWT auth (operators/snowflake.py).
+The in-process test server VERIFIES signatures with the public
+exponent only — an independent check of the whole sign path
+(tests/test_snowflake.py).
+
+NOT a general-purpose crypto library: no blinding/constant-time
+hardening (irrelevant for signing one's own outbound JWTs), no
+encryption, no PSS.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import secrets
+
+# EMSA-PKCS1-v1_5 DigestInfo prefix for SHA-256 (RFC 8017 §9.2 note 1)
+_SHA256_PREFIX = bytes.fromhex(
+    "3031300d060960864801650304020105000420"
+)
+
+
+def _miller_rabin(n: int, rounds: int = 40) -> bool:
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for _ in range(rounds):
+        a = secrets.randbelow(n - 3) + 2
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = pow(x, 2, n)
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _gen_prime(bits: int) -> int:
+    while True:
+        p = secrets.randbits(bits) | (1 << (bits - 1)) | 1
+        if _miller_rabin(p):
+            return p
+
+
+def generate_keypair(bits: int = 2048) -> tuple[int, int, int]:
+    """(n, e, d) with e = 65537."""
+    e = 65537
+    while True:
+        p = _gen_prime(bits // 2)
+        q = _gen_prime(bits // 2)
+        if p == q:
+            continue
+        n = p * q
+        phi = (p - 1) * (q - 1)
+        if phi % e == 0:
+            continue
+        d = pow(e, -1, phi)
+        return n, e, d
+
+
+def _emsa_pkcs1_v15(message: bytes, k: int) -> int:
+    digest = hashlib.sha256(message).digest()
+    t = _SHA256_PREFIX + digest
+    if k < len(t) + 11:
+        raise ValueError("RSA modulus too small for SHA-256 signature")
+    em = b"\x00\x01" + b"\xff" * (k - len(t) - 3) + b"\x00" + t
+    return int.from_bytes(em, "big")
+
+
+def sign_rs256(message: bytes, n: int, d: int) -> bytes:
+    k = (n.bit_length() + 7) // 8
+    m = _emsa_pkcs1_v15(message, k)
+    return pow(m, d, n).to_bytes(k, "big")
+
+
+def verify_rs256(message: bytes, signature: bytes, n: int, e: int) -> bool:
+    k = (n.bit_length() + 7) // 8
+    if len(signature) != k:
+        return False
+    m = pow(int.from_bytes(signature, "big"), e, n)
+    return m == _emsa_pkcs1_v15(message, k)
+
+
+# --- DER (X.690) for the public-key fingerprint ----------------------------
+
+def _der_len(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    b = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(b)]) + b
+
+
+def _der_int(v: int) -> bytes:
+    b = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big")
+    if b[0] & 0x80:
+        b = b"\x00" + b
+    return b"\x02" + _der_len(len(b)) + b
+
+
+def spki_der(n: int, e: int) -> bytes:
+    """SubjectPublicKeyInfo DER for an RSA public key — the structure
+    whose SHA-256 is Snowflake's public-key fingerprint."""
+    rsa_pub = _der_int(n) + _der_int(e)
+    rsa_pub = b"\x30" + _der_len(len(rsa_pub)) + rsa_pub
+    bitstr = b"\x00" + rsa_pub  # 0 unused bits
+    bitstr = b"\x03" + _der_len(len(bitstr)) + bitstr
+    # AlgorithmIdentifier: OID 1.2.840.113549.1.1.1 (rsaEncryption) + NULL
+    alg = bytes.fromhex("300d06092a864886f70d0101010500")
+    body = alg + bitstr
+    return b"\x30" + _der_len(len(body)) + body
+
+
+def jwt_rs256(payload: dict, n: int, d: int) -> str:
+    """Compact-serialized RS256 JWT."""
+    import base64
+    import json
+
+    def b64u(b: bytes) -> str:
+        return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+    head = b64u(json.dumps(
+        {"alg": "RS256", "typ": "JWT"}, separators=(",", ":")
+    ).encode())
+    body = b64u(json.dumps(payload, separators=(",", ":")).encode())
+    signing_input = f"{head}.{body}".encode()
+    return f"{head}.{body}.{b64u(sign_rs256(signing_input, n, d))}"

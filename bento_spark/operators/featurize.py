@@ -43,14 +43,32 @@ def make_embed_fn(dim: int = 64, n: int = 2, salt: str = "emb"):
     session here instead of closing over a hash function.
     """
 
+    prefix = f"{salt}:".encode()
+    md5 = hashlib.md5
+    # n-gram -> (bucket, sign) memo, shared across the worker's batches:
+    # natural text repeats n-grams heavily, and the md5 is the whole
+    # cost of this model. int.from_bytes(digest[:8]) >> 4 is exactly
+    # int(hexdigest()[:15], 16) — first 15 hex chars — without the hex
+    # string round trip. Values are bit-identical to the original form
+    # (and to hash60_sql's oracle); only the arithmetic route changed.
+    memo: dict[str, tuple[int, float]] = {}
+
     def predict(batch: np.ndarray) -> np.ndarray:
+        if len(memo) > 2_000_000:  # bound worker memory on huge vocab
+            memo.clear()
         out = np.zeros((len(batch), dim), dtype=np.float64)
         for row, text in enumerate(batch):
             ws = (text or "").split(" ")
             for i in range(len(ws) - n + 1):
-                s = f"{salt}:" + " ".join(ws[i : i + n])
-                h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                out[row, h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
+                g = " ".join(ws[i : i + n])
+                v = memo.get(g)
+                if v is None:
+                    h = int.from_bytes(
+                        md5(prefix + g.encode()).digest()[:8], "big"
+                    ) >> 4
+                    v = (h % dim, 1.0 if (h // dim) % 2 == 0 else -1.0)
+                    memo[g] = v
+                out[row, v[0]] += v[1]
         return out
 
     return predict

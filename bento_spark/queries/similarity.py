@@ -118,7 +118,7 @@ dots AS (
 ),
 pairs AS (
   SELECT qn.id AS query_id, cn.id AS neighbor_id,
-         round(coalesce(d.dot, 0) / (qn.nrm * cn.nrm), 6) AS cos_sim
+         coalesce(d.dot, 0) / (qn.nrm * cn.nrm) AS cos_sim
   FROM __nrm qn
   JOIN __nrm cn ON qn.id % {EMB_QMOD} = 0 AND qn.id <> cn.id
   LEFT JOIN dots d ON d.query_id = qn.id AND d.neighbor_id = cn.id
@@ -140,30 +140,31 @@ def embed_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the deterministic hashed-n-gram sign projection
     (operators/featurize.py), then exact cosine top-5 over the fresh
     vectors. Every downstream double is integer-exact, so the whole
-    text->vector->topk path is hash-checked against DuckDB."""
+    text->vector->topk path is hash-checked against DuckDB.
+
+    Runs on the GEMM fast path (brute_force_topk_gemm): the featurizer
+    emits integer count vectors, whose dot products are order-
+    independent-exact in float64 — so one BLAS matmul per Arrow batch
+    replaces the 50M-pair codegen join, only (partitions x nq x k)
+    candidates reach the exchange, and cos_sim stays UNROUNDED on both
+    sides (integer-exact doubles need no rounding shield; the float
+    `embeddings` table queries keep the codegen + round form)."""
     from bento_spark.operators.dedup import ensure_parallelism
     from bento_spark.operators.featurize import hashed_ngram_embedder
 
     embed = hashed_ngram_embedder(EMB_DIM, EMB_N)
     # Pre-filter to the featurizer's support (>= n tokens), exactly the
-    # oracle CTE's WHERE len >= n — and pass prefiltered_nonzero so the
-    # operator skips its exists() guard, which would otherwise inline
-    # the featurizer UDF into a second ArrowEvalPython per branch and
-    # embed the whole corpus twice (4 UDF evals -> 2).
-    # ensure_parallelism sits BELOW the featurizer: a small local scan
-    # is 1-2 file splits, and an exchange placed above the UDF would
-    # leave the expensive Python stage serial while parallelizing only
-    # the cheap join after it.
+    # oracle CTE's WHERE len >= n. ensure_parallelism sits BELOW the
+    # featurizer: a small local scan is 1-2 file splits, and an exchange
+    # placed above the UDF would leave the expensive Python stage serial
+    # while parallelizing only the cheap join after it.
     docs = ensure_parallelism(
         _t(spark, sf_dir, "documents").filter(
             F.size(F.split(F.col("text"), " ")) >= EMB_N
         )
     ).select("doc_id", embed(F.col("text")).alias("vec"))
     queries = docs.filter(F.col("doc_id") % EMB_QMOD == 0)
-    df = S.brute_force_topk(
-        docs, queries, "doc_id", "vec", EMB_K, dim=EMB_DIM,
-        prefiltered_nonzero=True,
-    )
+    df = S.brute_force_topk_gemm(docs, queries, "doc_id", "vec", EMB_K)
     return df.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
