@@ -184,12 +184,21 @@ def _png_defilter(raw: bytes, w: int, h: int, ch: int) -> bytes:
         ftype = raw[pos]
         row = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
-        if ftype == 1:  # Sub
-            for x in range(ch, stride):
-                row[x] = (row[x] + row[x - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                row[x] = (row[x] + prev[x]) & 0xFF
+        if ftype == 1:  # Sub — per-channel prefix sum mod 256
+            import numpy as np
+
+            arr = np.frombuffer(bytes(row), dtype=np.uint8).reshape(w, ch)
+            row = bytearray(
+                np.cumsum(arr, axis=0, dtype=np.uint64)
+                .astype(np.uint8).tobytes()
+            )
+        elif ftype == 2:  # Up — vectorized add mod 256
+            import numpy as np
+
+            row = bytearray(
+                (np.frombuffer(bytes(row), dtype=np.uint8)
+                 + np.frombuffer(bytes(prev), dtype=np.uint8)).tobytes()
+            )
         elif ftype == 3:  # Average
             for x in range(stride):
                 a = row[x - ch] if x >= ch else 0
