@@ -115,3 +115,65 @@ def get_rate_limit(name: str) -> LocalRateLimit:
             f"unknown rate_limit resource {name!r} (have {sorted(_RESOURCES)})"
         )
     return _RESOURCES[name]
+
+
+class RedisRateLimit:
+    """``redis`` rate limit (internal/impl/redis/rate_limit.go): a
+    DISTRIBUTED windowed budget shared by every process pointing at the
+    same key — the cross-executor form the local limiter cannot give.
+
+    Each window is one Redis key ``<prefix>:<floor(now/interval)>``:
+    INCRBY-then-check (atomic — concurrent clients over-increment
+    rather than double-admit, the same conservative bias as the
+    reference), EXPIRE stamped on first touch so windows self-clean.
+    Same access()/throttle() contract as LocalRateLimit, so the sink
+    `rate_limit:` label and the processor both take either."""
+
+    def __init__(self, client, count: int = 1000, interval: float = 1.0,
+                 key_prefix: str = "bento_rl", clock=time):
+        if interval <= 0:
+            raise RateLimitError("rate_limit: interval must be positive")
+        self.client = client  # RedisKV (generic command surface)
+        self.count = count
+        self.interval = interval
+        self.key_prefix = key_prefix
+        self.clock = clock
+
+    def _key(self, now: float) -> str:
+        return f"{self.key_prefix}:{int(now // self.interval)}"
+
+    def access(self, n: int = 1, nbytes: int = 0) -> float:
+        now = self.clock.time() if hasattr(self.clock, "time") else time.time()
+        key = self._key(now)
+        used = int(self.client.command("INCRBY", key, str(n)))
+        if used == n:  # first touch of this window: stamp the TTL
+            self.client.command(
+                "EXPIRE", key, str(max(1, int(self.interval * 2)))
+            )
+        if self.count and used > self.count:
+            return max(0.0, (int(now // self.interval) + 1) * self.interval - now)
+        return 0.0
+
+    def throttle(self, n: int = 1, nbytes: int = 0) -> float:
+        slept = 0.0
+        while True:
+            wait = self.access(n, nbytes)
+            if wait == 0.0:
+                return slept
+            self.clock.sleep(wait)
+            slept += wait
+
+
+def register_redis_rate_limit(name: str, conf: dict) -> RedisRateLimit:
+    """`rate_limit_resources:` entry with `redis:` backend: {url, count,
+    interval, key_prefix}."""
+    from bento_spark.operators.kvstore import _client_from_url
+
+    rl = RedisRateLimit(
+        _client_from_url(conf["url"]),
+        count=int(conf.get("count", 1000)),
+        interval=float(str(conf.get("interval", 1.0)).rstrip("s")),
+        key_prefix=conf.get("key_prefix", "bento_rl"),
+    )
+    _RESOURCES[name] = rl  # type: ignore[assignment]
+    return rl

@@ -89,6 +89,13 @@ class _Handler(socketserver.StreamRequestHandler):
                 out = [b"*%d\r\n" % (len(cmd) - 1)]
                 out += [_bulk(d.get(k)) for k in cmd[1:]]
                 self._send(b"".join(out))
+            elif name == "INCRBY":
+                d = srv.data.setdefault(db, {})
+                d[cmd[1]] = str(int(d.get(cmd[1], "0")) + int(cmd[2]))
+                self._send(b":%d\r\n" % int(d[cmd[1]]))
+            elif name == "EXPIRE":
+                srv.expires[cmd[1]] = int(cmd[2])
+                self._send(b":1\r\n")
             elif name == "SCRIPT" and len(cmd) >= 3 and cmd[1].upper() == "LOAD":
                 import hashlib
 
@@ -141,6 +148,7 @@ class _Server(socketserver.ThreadingTCPServer):
         self.dribble = dribble
         self.data: dict[int, dict[str, str]] = {}
         self.scripts: dict[str, str] = {}
+        self.expires: dict[str, int] = {}
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
         self._thread.start()
 
