@@ -1750,12 +1750,23 @@ def deliver(
         )
 
     receipts = payload.mapInPandas(run, _RECEIPT_SCHEMA).collect()
-    return {
+    stats = {
         "partitions": len(receipts),
         "batches": int(sum(r["batches"] for r in receipts)),
         "delivered": int(sum(r["delivered"] for r in receipts)),
         "dead": int(sum(r["dead"] for r in receipts)),
     }
+    # the reference's output metrics (output_sent / output_error),
+    # recorded on the engine-wide registry any configured metrics
+    # emitter flushes (bento_spark/observability.py)
+    from bento_spark.observability import default_registry
+
+    reg = default_registry()
+    reg.counter("output.sent", stats["delivered"], output=backend)
+    if stats["dead"]:
+        reg.counter("output.error", stats["dead"], output=backend)
+    reg.counter("output.batches", stats["batches"], output=backend)
+    return stats
 
 
 def deliver_stream(
