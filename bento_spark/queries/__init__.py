@@ -42,6 +42,7 @@ def load_all() -> None:
         relational4,
         scanners,
         similarity,
+        snowplow,
         streaming,
         text,
         traindata,

@@ -1,0 +1,88 @@
+"""Gate query for the `opensnowcat` processor: enriched-TSV events are
+CONSTRUCTED from the documents table (shared field spec renders both
+the Spark expression and the DuckDB SQL), pushed through the REAL
+processor (split -> 131 named fields -> filters -> salted hash +
+redact transforms -> TSV re-serialization), and hash-compared against
+an oracle that builds the expected OUTPUT line directly — a green row
+certifies the parse/transform/serialize pipeline, not a coincidence."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.operators.snowplow import COLUMNS, opensnowcat
+from bento_spark.queries import query
+
+SALT = "pii!"
+
+# field -> (spark_sql_expr, duckdb_expr) — identical text works in both
+_FIELDS = {
+    "app_id": "source",
+    "platform": "lang",
+    "event": "'page_view'",
+    "event_id": "concat('e', doc_id)",
+    "user_id": "concat('u', cast(doc_id % 97 AS string))",
+    "user_ipaddress": (
+        "concat('10.', cast(doc_id % 7 AS string), '.0.',"
+        " cast(doc_id % 251 AS string))"
+    ),
+    "useragent": (
+        "CASE WHEN doc_id % 11 = 0 THEN 'EvilBot/2.0'"
+        " ELSE 'Mozilla/5.0' END"
+    ),
+    "tr_total": "cast(doc_id % 500 AS string)",
+    "geo_country": "upper(substr(lang, 1, 2))",
+}
+
+
+def _tsv_args() -> list[str]:
+    """The 131 concat_ws arguments in wire order ('' for unset)."""
+    by_name = dict(_FIELDS)
+    return [by_name.get(c, "''") for c in COLUMNS]
+
+
+def _tsv_args_transformed() -> list[str]:
+    """The EXPECTED OUTPUT fields: hash + redact applied directly."""
+    by_name = dict(_FIELDS)
+    by_name["user_ipaddress"] = (
+        f"sha256(concat('{SALT}', {by_name['user_ipaddress']}))"
+    )
+    by_name["user_id"] = "'[REDACTED]'"
+    return [by_name.get(c, "''") for c in COLUMNS]
+
+
+def _oracle() -> str:
+    mk_out = "concat_ws(chr(9), " + ", ".join(_tsv_args_transformed()) + ")"
+    ua = _FIELDS["useragent"]
+    return f"""
+SELECT doc_id, {mk_out} AS event_out
+FROM documents
+WHERE ({ua}) NOT LIKE '%Bot%'
+ORDER BY doc_id
+"""
+
+
+@query("proc_opensnowcat", oracle=_oracle())
+def proc_opensnowcat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> synthetic enriched-TSV lines -> the REAL
+    `opensnowcat` processor (drop bot useragents, salted-sha256 the IP,
+    redact the user id, re-serialize as TSV)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Spark's concat_ws skips NULLs (misaligning the TSV); every arg
+    # here is non-null by construction, so wire order is preserved.
+    tsv = F.expr("concat_ws(chr(9), " + ", ".join(_tsv_args()) + ")")
+    events = docs.select("doc_id", tsv.alias("content"))
+    out = opensnowcat(
+        events,
+        content_col="content",
+        output_format="tsv",
+        out_col="event_out",
+        filters={"useragent": ["Bot"]},
+        transforms={
+            "user_ipaddress": {"type": "hash", "algorithm": "sha256",
+                               "salt": SALT},
+            "user_id": {"type": "redact"},
+        },
+    )
+    return out.select("doc_id", "event_out").orderBy("doc_id")
