@@ -34,6 +34,7 @@ from __future__ import annotations
 import struct
 
 AMQP_HEADER = b"AMQP\x00\x01\x00\x00"
+SASL_HEADER = b"AMQP\x03\x01\x00\x00"
 
 # performative descriptors (ulong)
 OPEN, BEGIN, ATTACH, FLOW, TRANSFER, DISPOSITION, DETACH, END, CLOSE = (
@@ -42,6 +43,8 @@ OPEN, BEGIN, ATTACH, FLOW, TRANSFER, DISPOSITION, DETACH, END, CLOSE = (
 SOURCE, TARGET = 0x28, 0x29
 ACCEPTED, REJECTED = 0x24, 0x25
 DATA_SECTION = 0x75
+# SASL performatives (spec §5.3: frame type 1)
+SASL_MECHANISMS, SASL_INIT, SASL_OUTCOME = 0x40, 0x41, 0x44
 
 
 class Amqp1Error(RuntimeError):
@@ -200,9 +203,10 @@ def encode_frame(channel: int, performative: Described,
 
 
 def decode_frame(data: bytes) -> tuple[int, Described | None, bytes]:
-    """(channel, performative, payload) from one full frame."""
+    """(channel, performative, payload) from one full frame (AMQP type
+    0 and SASL type 1 frames share the layout)."""
     size, doff, ftype, channel = struct.unpack_from(">IBBH", data, 0)
-    if ftype != 0:
+    if ftype not in (0, 1):
         raise Amqp1Error(f"unsupported frame type {ftype}")
     body = data[4 * doff : size]
     if not body:
@@ -210,6 +214,11 @@ def decode_frame(data: bytes) -> tuple[int, Described | None, bytes]:
     rd = _Rd(body)
     perf = rd.decode()
     return channel, perf, body[rd.p :]
+
+
+def encode_sasl_frame(performative: Described) -> bytes:
+    body = encode(performative)
+    return struct.pack(">IBBH", 8 + len(body), 2, 1, 0) + body
 
 
 def _field(lst: list, i: int, default=None):
@@ -220,11 +229,14 @@ class Amqp1Client:
     """One connection, one session, one link (sender or receiver)."""
 
     def __init__(self, host: str = "localhost", port: int = 5672,
-                 container: str = "bento-spark", timeout: float = 30.0):
+                 container: str = "bento-spark", timeout: float = 30.0,
+                 user: str | None = None, password: str | None = None):
         import socket
 
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._rfile = self._sock.makefile("rb")
+        if user is not None:
+            self._sasl(user, password or "")
         self._sock.sendall(AMQP_HEADER)
         hdr = self._rfile.read(8)
         if hdr != AMQP_HEADER:
@@ -238,6 +250,32 @@ class Amqp1Client:
         self._expect(BEGIN)
         self._delivery_id = 0
         self.credit = 0
+
+    def _sasl(self, user: str, password: str) -> None:
+        """SASL layer (spec §5.3): header exchange, mechanisms, PLAIN
+        init (authzid NUL authcid NUL passwd — RFC 4616), outcome code
+        0 = ok. Runs BEFORE the AMQP header exchange."""
+        self._sock.sendall(SASL_HEADER)
+        hdr = self._rfile.read(8)
+        if hdr != SASL_HEADER:
+            raise Amqp1Error(f"SASL header mismatch: {hdr!r}")
+        perf, _ = self._read_frame()
+        if perf is None or perf.descriptor != SASL_MECHANISMS:
+            raise Amqp1Error(f"expected sasl-mechanisms, got {perf!r}")
+        mechs = perf.value[0] if perf.value else []
+        mechs = mechs if isinstance(mechs, list) else [mechs]
+        if Symbol("PLAIN") not in mechs and "PLAIN" not in [str(m) for m in mechs]:
+            raise Amqp1Error(f"server offers no PLAIN mechanism: {mechs!r}")
+        resp = b"\x00" + user.encode("utf-8") + b"\x00" + password.encode("utf-8")
+        self._sock.sendall(encode_sasl_frame(
+            Described(SASL_INIT, [Symbol("PLAIN"), resp, "bento-spark"])
+        ))
+        perf, _ = self._read_frame()
+        if perf is None or perf.descriptor != SASL_OUTCOME:
+            raise Amqp1Error(f"expected sasl-outcome, got {perf!r}")
+        code = _field(perf.value, 0, 1)
+        if code != 0:
+            raise Amqp1Error(f"SASL auth failed (code {code})")
 
     def _send(self, descriptor: int, fields: list, payload: bytes = b"") -> None:
         self._sock.sendall(

@@ -242,3 +242,63 @@ def test_amqp1_transport_spark_deliver(spark, server):
     assert stats["delivered"] == 15 and stats["dead"] == 0
     got = {json.loads(p)["msg"] for p in server.queues["spark.q"]}
     assert got == {f"a{i}" for i in range(15)}
+
+
+class _SaslHandler(_Handler):
+    """Broker requiring a SASL PLAIN handshake before AMQP."""
+
+    def handle(self):
+        from bento_spark.operators.amqp1_wire import (
+            SASL_HEADER,
+            SASL_INIT,
+            SASL_MECHANISMS,
+            SASL_OUTCOME,
+            encode_sasl_frame,
+        )
+
+        srv = self.server
+        assert self.rfile.read(8) == SASL_HEADER
+        self.wfile.write(SASL_HEADER)
+        self.wfile.flush()
+        self.wfile.write(encode_sasl_frame(
+            Described(SASL_MECHANISMS, [[Symbol("PLAIN"), Symbol("ANONYMOUS")]])
+        ))
+        self.wfile.flush()
+        got = self._read()
+        perf, _ = got
+        assert perf.descriptor == SASL_INIT
+        mech, resp = perf.value[0], perf.value[1]
+        assert str(mech) == "PLAIN"
+        _z, user, pw = resp.split(b"\x00")
+        ok = (user.decode(), pw.decode()) == (srv.sasl_user, srv.sasl_pass)
+        self.wfile.write(encode_sasl_frame(
+            Described(SASL_OUTCOME, [0 if ok else 1])
+        ))
+        self.wfile.flush()
+        if not ok:
+            return
+        super().handle()  # proceed to the AMQP layer
+
+
+def test_sasl_plain_then_amqp():
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _SaslHandler)
+    srv.allow_reuse_address = True
+    srv.daemon_threads = True
+    srv.queues, srv.settled = {}, []
+    srv.reject_payloads, srv.credit, srv.coalesce = set(), 100, 1
+    srv.container = ""
+    srv.sasl_user, srv.sasl_pass = "svc", "pw!"
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c = Amqp1Client("127.0.0.1", srv.server_address[1],
+                        user="svc", password="pw!")
+        c.attach_sender("q")
+        c.send([b"authed"])
+        assert srv.queues["q"] == [b"authed"]
+        c.close()
+        with pytest.raises((Amqp1Error, ConnectionError)):
+            Amqp1Client("127.0.0.1", srv.server_address[1],
+                        user="svc", password="wrong")
+    finally:
+        srv.shutdown()
+        srv.server_close()
