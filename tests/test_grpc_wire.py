@@ -218,3 +218,32 @@ def test_grpc_enrich_processor(spark, server):
     got = {r["id"]: json.loads(r["resp"])["y"] for r in out}
     assert got == {i: 2 * i for i in range(8)}
     assert all(r["_error"] is None for r in out)
+
+
+def test_huffman_decode_rfc_vectors():
+    from bento_spark.operators.grpc_wire import H2Error, huffman_decode
+
+    # RFC 7541 Appendix C examples
+    assert huffman_decode(bytes.fromhex("f1e3c2e5f23a6ba0ab90f4ff")) == b"www.example.com"
+    assert huffman_decode(bytes.fromhex("a8eb10649cbf")) == b"no-cache"
+    assert huffman_decode(
+        bytes.fromhex("d07abe941054d444a8200595040b8166e082a62d1bff")
+    ) == b"Mon, 21 Oct 2013 20:13:21 GMT"
+    assert huffman_decode(
+        bytes.fromhex("9d29ad171863c78f0b97c8e9ae82ae43d3")
+    ) == b"https://www.example.com"
+    with pytest.raises(H2Error, match="EOS symbol"):
+        huffman_decode(b"\xff\xff\xff\xff\xff")  # decodes the EOS code
+
+
+def test_decoder_accepts_huffman_coded_literals():
+    from bento_spark.operators.grpc_wire import HpackDecoder
+
+    # literal-without-indexing, huffman-coded name and value:
+    # name 'no-cache'? use value example: header ("cache-control","no-cache")
+    name = bytes.fromhex("a8eb10649cbf")  # 'no-cache' huffman
+    block = (b"\x00"
+             + bytes([0x80 | len(name)]) + name
+             + bytes([0x80 | len(name)]) + name)
+    d = HpackDecoder()
+    assert d.decode(block) == [("no-cache", "no-cache")]
