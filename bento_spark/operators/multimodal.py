@@ -609,3 +609,135 @@ def synth_image_udf():
         return pd.Series(out)
 
     return synth
+
+
+# ---------------------------------------------------------------------------
+# video: YUV4MPEG2 (Y4M) — a REAL container for the video slot
+# ---------------------------------------------------------------------------
+
+def encode_y4m(frames: list[bytes], width: int, height: int,
+               fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Minimal Y4M writer (the public YUV4MPEG2 format: plain-text
+    stream header, per-frame FRAME markers, raw planar YUV). C420
+    chroma planes are constant mid-gray (0x80) — the luma plane carries
+    the content, which is what the feature stage reads."""
+    if any(len(f) != width * height for f in frames):
+        raise ValueError("y4m: every luma plane must be width*height bytes")
+    head = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C420\n"
+    chroma = b"\x80" * ((width // 2) * (height // 2))
+    out = bytearray(head.encode("ascii"))
+    for y in frames:
+        out += b"FRAME\n" + y + chroma + chroma
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """Parse a YUV4MPEG2 stream: header parameters (W/H/F/C), then the
+    FRAME sections' luma planes. Returns width/height/fps/colorspace
+    plus the list of Y planes. C420 and C444 subsampling supported;
+    anything else is rejected loudly (no silent garbage)."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "strict")
+    parts = header.split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError(f"not a YUV4MPEG2 stream: {parts[0]!r}")
+    width = height = None
+    fps = (25, 1)
+    colorspace = "C420"
+    for p in parts[1:]:
+        if p.startswith("W"):
+            width = int(p[1:])
+        elif p.startswith("H"):
+            height = int(p[1:])
+        elif p.startswith("F"):
+            num, den = p[1:].split(":")
+            fps = (int(num), int(den))
+        elif p.startswith("C"):
+            colorspace = p
+    if not width or not height:
+        raise ValueError("y4m: missing W/H in stream header")
+    if colorspace.startswith("C420"):
+        chroma = 2 * ((width // 2) * (height // 2))
+    elif colorspace == "C444":
+        chroma = 2 * width * height
+    else:
+        raise ValueError(f"y4m: unsupported colorspace {colorspace}")
+    ysize = width * height
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("y4m: expected FRAME marker")
+        pos = fnl + 1
+        if pos + ysize + chroma > len(payload):
+            raise ValueError("y4m: truncated frame data")
+        frames.append(payload[pos : pos + ysize])
+        pos += ysize + chroma
+    return {
+        "width": width, "height": height,
+        "fps_num": fps[0], "fps_den": fps[1],
+        "colorspace": colorspace, "frames": frames,
+    }
+
+
+VIDEO_FEATURES_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames int, width int, height int, "
+    "luma_sum bigint, frame_hash string"
+)
+
+
+def video_frame_features(
+    df: DataFrame, id_col: str, bin_col: str, every_k: int = 2
+) -> DataFrame:
+    """Video feature stage: decode the REAL Y4M container per row, keep
+    every ``every_k``-th frame, emit integer-exact luma sums + plane
+    hashes — the decode/feature shape a frame-level training pipeline
+    needs (narrow row-multiplying mapInPandas, no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "n_frames", "width", "height",
+                "luma_sum", "frame_hash",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                v = decode_y4m(bytes(payload))
+                n = len(v["frames"])
+                for i in range(0, n, every_k):
+                    y = v["frames"][i]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(n)
+                    out["width"].append(v["width"])
+                    out["height"].append(v["height"])
+                    out["luma_sum"].append(sum(y))
+                    out["frame_hash"].append(hashlib.md5(y).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
+
+
+def synth_y4m_udf(width: int = 8, height: int = 8):
+    """Fixture generator: a REAL YUV4MPEG2 container per row — frame
+    count = doc_id % 4 + 2, each luma plane a 64-byte window of the
+    text repeated cyclically (so the oracle can rebuild every plane
+    with repeat+substr). Requires (doc_id, text) columns."""
+    ysize = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("ascii")
+                n_frames = int(doc_id) % 4 + 2
+                need = ysize * n_frames
+                rep = (raw * (need // len(raw) + 2))[:need + ysize]
+                frames = [rep[i * ysize : (i + 1) * ysize]
+                          for i in range(n_frames)]
+                payloads.append(encode_y4m(frames, width, height))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return gen

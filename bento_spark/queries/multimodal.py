@@ -164,3 +164,43 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav = docs.select("doc_id", M.synth_wav_udf()("doc_id", "text").alias("payload"))
     out = M.extract_audio_features(wav, "doc_id", "payload", decoder=M.decode_wav)
     return out.orderBy("doc_id")
+
+
+@query(
+    "mm_video_y4m",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 4 + 2 AS INT) AS n_frames,
+             repeat(text,
+                    CAST(64 * (doc_id % 4 + 2) // strlen(text) + 2 AS INT)
+             ) AS rep
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx, n_frames,
+           8 AS width, 8 AS height,
+           CAST(list_reduce(
+             list_transform(range(1, 65),
+                            j -> ascii(substr(rep, CAST(i * 64 + j AS INT), 1))),
+             (a, b) -> a + b) AS BIGINT) AS luma_sum,
+           md5(substr(rep, CAST(i * 64 + 1 AS INT), 64)) AS frame_hash
+    FROM d, unnest(range(0, n_frames, 2)) AS t(i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video slot with a REAL container: per-doc YUV4MPEG2 streams
+    (header + FRAME markers + planar YUV, built by synth_y4m_udf) are
+    decoded by the real Y4M parser, every 2nd frame's integer-exact
+    luma sum + plane hash emitted — the oracle rebuilds each plane from
+    the same cyclic text windows, so a hash match certifies the
+    container writer AND parser end-to-end."""
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    schema = "doc_id bigint, text string, payload binary"
+    with_payload = docs.select("doc_id", "text").mapInPandas(
+        M.synth_y4m_udf(8, 8), schema
+    )
+    return M.video_frame_features(
+        with_payload, "doc_id", "payload", every_k=2
+    ).orderBy("doc_id", "frame_idx")

@@ -197,3 +197,60 @@ def test_unsupported_container_rejected():
         decode_image(b"\x89PNG\r\n")
     with pytest.raises(ValueError, match="truncated"):
         decode_image(b"P6\n4 4\n255\n\x00\x01")
+
+
+# ---- Y4M (YUV4MPEG2) ------------------------------------------------------
+
+def test_y4m_roundtrip_c420():
+    from bento_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = [bytes(range(64)), bytes(range(64, 128)), b"\x7f" * 64]
+    p = encode_y4m(frames, 8, 8, fps=(30, 1))
+    v = decode_y4m(p)
+    assert v["width"] == 8 and v["height"] == 8
+    assert (v["fps_num"], v["fps_den"]) == (30, 1)
+    assert v["colorspace"] == "C420"
+    assert v["frames"] == frames
+
+
+def test_y4m_c444_supported():
+    from bento_spark.operators.multimodal import decode_y4m
+
+    y = bytes(64)
+    payload = (b"YUV4MPEG2 W8 H8 F25:1 C444\n"
+               + b"FRAME\n" + y + b"\x80" * 64 + b"\x80" * 64)
+    v = decode_y4m(payload)
+    assert v["frames"] == [y]
+
+
+def test_y4m_errors():
+    import pytest as _pytest
+
+    from bento_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    with _pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF nope\nFRAME\n")
+    with _pytest.raises(ValueError, match="unsupported colorspace"):
+        decode_y4m(b"YUV4MPEG2 W8 H8 C410\nFRAME\n" + bytes(200))
+    with _pytest.raises(ValueError, match="truncated frame"):
+        decode_y4m(b"YUV4MPEG2 W8 H8\nFRAME\n" + bytes(10))
+    with _pytest.raises(ValueError, match="expected FRAME"):
+        decode_y4m(b"YUV4MPEG2 W2 H2\nXRAME\n" + bytes(6))
+    with _pytest.raises(ValueError, match="luma plane"):
+        encode_y4m([b"short"], 8, 8)
+
+
+def test_video_frame_features(spark):
+    from bento_spark.operators.multimodal import (
+        encode_y4m,
+        video_frame_features,
+    )
+
+    frames = [bytes([i] * 64) for i in range(5)]
+    payload = encode_y4m(frames, 8, 8)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = video_frame_features(df, "doc_id", "payload", every_k=2).collect()
+    assert [(r["frame_idx"], r["luma_sum"]) for r in rows] == [
+        (0, 0), (2, 2 * 64), (4, 4 * 64)]
+    assert all(r["n_frames"] == 5 and r["width"] == 8 for r in rows)
