@@ -162,3 +162,109 @@ def _register() -> None:
 
 
 _register()
+
+
+# --- ReadRows (the input direction) ----------------------------------------
+
+STRING_VALUE = {"fields": {1: ("value", "string")}}
+BYTES_VALUE = {"fields": {1: ("value", "bytes")}}
+
+READ_ROWS_REQUEST = {"fields": {
+    1: ("table_name", "string"),
+    2: ("rows", {"fields": {1: ("row_keys", "repeated bytes")}}),
+    4: ("rows_limit", "int64"),
+}}
+
+READ_ROWS_RESPONSE = {"fields": {
+    1: ("chunks", {"repeated": True, "fields": {
+        1: ("row_key", "bytes"),
+        2: ("family_name", STRING_VALUE),
+        3: ("qualifier", BYTES_VALUE),
+        4: ("timestamp_micros", "int64"),
+        6: ("value", "bytes"),
+        8: ("reset_row", "bool"),
+        9: ("commit_row", "bool"),
+    }}),
+}}
+
+
+class BigtableReader:
+    """ReadRows with the protocol's chunk-merge semantics: a CellChunk
+    omits row_key/family/qualifier when unchanged from the previous
+    chunk (the stream is delta-compressed), reset_row discards the
+    in-progress row, commit_row finalizes it — the public ReadRows
+    state machine (bigtable.proto CellChunk docs)."""
+
+    def __init__(self, grpc_client, table_name: str):
+        self.client = grpc_client
+        self.table_name = table_name
+
+    def read_rows(
+        self, row_keys: list[bytes] | None = None, limit: int = 0
+    ) -> list[tuple[bytes, dict[str, dict[bytes, bytes]]]]:
+        from bento_spark.operators.protobuf import pb_decode, pb_encode
+
+        req: dict = {"table_name": self.table_name}
+        if row_keys:
+            req["rows"] = {"row_keys": row_keys}
+        if limit:
+            req["rows_limit"] = limit
+        out: list[tuple[bytes, dict]] = []
+        cur_key: bytes | None = None
+        cur_fam: str | None = None
+        cur_qual: bytes | None = None
+        cur_cells: dict[str, dict[bytes, bytes]] = {}
+        for msg in self.client.request_stream(
+            "/google.bigtable.v2.Bigtable/ReadRows",
+            pb_encode(req, READ_ROWS_REQUEST),
+        ):
+            resp = pb_decode(msg, READ_ROWS_RESPONSE)
+            for ch in resp.get("chunks", []):
+                if ch.get("reset_row"):
+                    cur_key, cur_fam, cur_qual, cur_cells = None, None, None, {}
+                    continue
+                if ch.get("row_key"):
+                    cur_key = ch["row_key"]
+                if ch.get("family_name"):
+                    cur_fam = ch["family_name"]["value"]
+                if ch.get("qualifier") is not None:
+                    cur_qual = ch["qualifier"].get("value", b"")
+                if cur_key is None or cur_fam is None or cur_qual is None:
+                    raise RuntimeError("bigtable: chunk before key/family/qualifier")
+                if "value" in ch:
+                    cur_cells.setdefault(cur_fam, {})[cur_qual] = ch["value"]
+                if ch.get("commit_row"):
+                    out.append((cur_key, cur_cells))
+                    cur_key, cur_fam, cur_qual, cur_cells = None, None, None, {}
+        if cur_key is not None:
+            raise RuntimeError("bigtable: stream ended mid-row (no commit_row)")
+        return out
+
+
+def bigtable_rows(spark, conf: dict):
+    """`gcp_bigtable` input direction: bounded ReadRows -> DataFrame
+    (row_key string + one string column per qualifier of the configured
+    family) — dimension loads for broadcast enrichment, the
+    cassandra_rows/postgres_df shape."""
+    from bento_spark.operators.grpc_wire import GrpcClient
+
+    client = GrpcClient(conf.get("host", "localhost"), int(conf.get("port", 8086)))
+    try:
+        reader = BigtableReader(client, conf["table"])
+        rows = reader.read_rows(
+            [k.encode() for k in conf.get("row_keys", [])] or None,
+            int(conf.get("limit", 0)),
+        )
+    finally:
+        client.close()
+    family = conf.get("column_family", "cf")
+    quals = sorted({q for _k, fams in rows for q in fams.get(family, {})})
+    data = [
+        tuple([k.decode("utf-8")] + [
+            fams.get(family, {}).get(q, b"").decode("utf-8") or None
+            for q in quals
+        ])
+        for k, fams in rows
+    ]
+    cols = ", ".join(["row_key string"] + [f"`{q.decode()}` string" for q in quals])
+    return spark.createDataFrame(data, cols)

@@ -71,7 +71,50 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
             if ftype == HEADERS:
                 hdrs = dict(decoder.decode(payload))
-                assert hdrs[":path"] == "/google.bigtable.v2.Bigtable/MutateRows"
+                assert hdrs[":path"].startswith("/google.bigtable.v2.Bigtable/")
+                self.path = hdrs[":path"]
+            elif ftype == DATA and self.path.endswith("/ReadRows"):
+                from bento_spark.operators.bigtable import (
+                    READ_ROWS_REQUEST,
+                    READ_ROWS_RESPONSE,
+                )
+
+                (n,) = struct.unpack(">I", payload[1:5])
+                req = pb_decode(payload[5 : 5 + n], READ_ROWS_REQUEST)
+                want = set(req.get("rows", {}).get("row_keys", []))
+                entries = [
+                    e for e in srv.tables.get(req["table_name"], [])
+                    if not want or e["row_key"] in want
+                ]
+                limit = req.get("rows_limit", 0)
+                if limit:
+                    entries = entries[:limit]
+                # delta-compressed chunk stream: key/family only on
+                # change, one commit_row per row, split into 2 messages
+                chunks = []
+                for e in entries:
+                    cells = e["mutations"]
+                    for i, m in enumerate(cells):
+                        sc = m["set_cell"]
+                        ch = {"qualifier": {"value": sc["column_qualifier"]},
+                              "value": sc["value"]}
+                        if i == 0:
+                            ch["row_key"] = e["row_key"]
+                            ch["family_name"] = {"value": sc["family_name"]}
+                        if i == len(cells) - 1:
+                            ch["commit_row"] = True
+                        chunks.append(ch)
+                half = max(1, len(chunks) // 2)
+                self._frame(HEADERS, FLAG_END_HEADERS, stream,
+                            b"\x88" + _lit("content-type", "application/grpc"))
+                for part in (chunks[:half], chunks[half:]):
+                    if not part:
+                        continue
+                    body = pb_encode({"chunks": part}, READ_ROWS_RESPONSE)
+                    self._frame(DATA, 0, stream,
+                                b"\x00" + struct.pack(">I", len(body)) + body)
+                self._frame(HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM,
+                            stream, _lit("grpc-status", "0"))
             elif ftype == DATA:
                 (n,) = struct.unpack(">I", payload[1:5])
                 req = pb_decode(payload[5 : 5 + n], MUTATE_ROWS_REQUEST)
@@ -209,3 +252,44 @@ def test_bigtable_transport_retryable_vs_dead(server):
         t.send([json.dumps({"id": "slow"})])
     assert ei.value.retryable  # UNAVAILABLE re-sends
     t.close()
+
+
+def test_read_rows_chunk_merge(server):
+    from bento_spark.operators.bigtable import BigtableReader
+
+    c = GrpcClient("127.0.0.1", server.port)
+    w = BigtableWriter(c, TABLE)
+    w.mutate_rows([
+        (b"r1", {"cf": {"a": b"1", "b": b"2"}}),
+        (b"r2", {"cf": {"a": b"3"}}),
+        (b"r3", {"cf": {"a": b"4", "c": b"5"}}),
+    ])
+    r = BigtableReader(c, TABLE)
+    rows = r.read_rows()
+    assert [(k, fams["cf"]) for k, fams in rows] == [
+        (b"r1", {b"a": b"1", b"b": b"2"}),
+        (b"r2", {b"a": b"3"}),
+        (b"r3", {b"a": b"4", b"c": b"5"}),
+    ]
+    # keyed + limited reads
+    rows = r.read_rows(row_keys=[b"r2"])
+    assert [k for k, _f in rows] == [b"r2"]
+    rows = r.read_rows(limit=2)
+    assert len(rows) == 2
+    c.close()
+
+
+def test_bigtable_rows_input_df(spark, server):
+    from bento_spark.operators.bigtable import bigtable_rows
+
+    c = GrpcClient("127.0.0.1", server.port)
+    BigtableWriter(c, TABLE).mutate_rows([
+        (b"u1", {"cf": {"name": b"alice", "age": b"30"}}),
+        (b"u2", {"cf": {"name": b"bob"}}),
+    ])
+    c.close()
+    df = bigtable_rows(spark, {
+        "host": "127.0.0.1", "port": server.port, "table": TABLE,
+    })
+    rows = {r["row_key"]: (r["name"], r["age"]) for r in df.collect()}
+    assert rows == {"u1": ("alice", "30"), "u2": ("bob", None)}
