@@ -258,3 +258,91 @@ def _kafka(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     for k, v in kafka_reader_options(conf).items():
         reader = reader.option(k, v)
     return kafka_wire_projection(reader.load()), stream
+
+
+# --- dimension-load sources (bounded remote reads for enrichment) ----------
+# Each wraps a REAL protocol client's bounded-read loader so YAML
+# pipelines can pull broadcast-join dimensions straight from the remote
+# system (the reference's sql_select/cassandra/mongodb-style inputs).
+
+@register_source("sql_select")
+def _sql_select(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    """`sql_select` input (input_sql_select.go:29): postgres via the
+    from-scratch pgwire client; sqlite files directly."""
+    driver = conf.get("driver", "postgres")
+    if driver == "postgres":
+        from bento_spark.operators.pgwire import PostgresClient, postgres_df
+
+        def factory():
+            return PostgresClient(
+                conf.get("host", "localhost"), int(conf.get("port", 5432)),
+                conf.get("user", "postgres"), conf.get("password", ""),
+                conf.get("database", "postgres"),
+            )
+
+        return postgres_df(spark, factory, conf["query"]), False
+    if driver == "sqlite":
+        import sqlite3
+
+        con = sqlite3.connect(conf["path"])
+        try:
+            cur = con.execute(conf["query"])
+            cols = [d[0] for d in cur.description]
+            rows = [tuple(str(v) if v is not None else None for v in r)
+                    for r in cur.fetchall()]
+        finally:
+            con.close()
+        return spark.createDataFrame(
+            rows, ", ".join(f"`{c}` string" for c in cols)
+        ), False
+    raise ValueError(f"sql_select: unknown driver {driver!r}")
+
+
+@register_source("cassandra")
+def _cassandra_src(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    from bento_spark.operators.cql_wire import cassandra_rows
+
+    return cassandra_rows(spark, conf), False
+
+
+@register_source("azure_table_storage")
+def _azure_table_src(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    from bento_spark.operators.azuredata import table_storage_df
+
+    return table_storage_df(spark, conf), False
+
+
+@register_source("azure_cosmosdb")
+def _cosmos_src(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    from bento_spark.operators.azuredata import cosmosdb_df
+
+    return cosmosdb_df(spark, conf), False
+
+
+@register_source("cypher")
+def _cypher_src(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    from bento_spark.operators.bolt_wire import neo4j_rows
+
+    return neo4j_rows(spark, conf), False
+
+
+@register_source("gcp_bigtable")
+def _bigtable_src(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    from bento_spark.operators.bigtable import bigtable_rows
+
+    return bigtable_rows(spark, conf), False
+
+
+@register_source("gcp_bigquery_select")
+def _bq_src(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    from bento_spark.sources.gcp_bigquery import bigquery_rows
+
+    rows = bigquery_rows(conf["endpoint"], conf["project"], conf["query"])
+    if not rows:
+        raise ValueError("gcp_bigquery_select: empty result, no schema")
+    cols = sorted({k for r in rows for k in r})
+    data = [tuple(None if r.get(c) is None else str(r[c]) for c in cols)
+            for r in rows]
+    return spark.createDataFrame(
+        data, ", ".join(f"`{c}` string" for c in cols)
+    ), False

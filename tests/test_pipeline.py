@@ -225,3 +225,26 @@ def test_subprocess_and_awk(spark):
     )
     with _pytest.raises(Exception, match="contract broken|exited"):
         bad.collect()
+
+
+def test_sql_select_source_sqlite(spark, tmp_path):
+    """`sql_select` dimension source (sqlite driver) through the YAML
+    source registry."""
+    import sqlite3
+
+    db = str(tmp_path / "dims.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE colors (id INTEGER, name TEXT)")
+    con.executemany("INSERT INTO colors VALUES (?, ?)",
+                    [(1, "red"), (2, "green"), (3, None)])
+    con.commit()
+    con.close()
+    from bento_spark.sources import build_source
+
+    df, streaming = build_source(spark, "sql_select", {
+        "driver": "sqlite", "path": db,
+        "query": "SELECT id, name FROM colors ORDER BY id",
+    })
+    assert not streaming
+    rows = [(r["id"], r["name"]) for r in df.collect()]
+    assert rows == [("1", "red"), ("2", "green"), ("3", None)]
