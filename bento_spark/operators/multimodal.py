@@ -118,13 +118,21 @@ def encode_png(
         f = row_filters[y % len(row_filters)] if row_filters else 0
         if f == 0:
             enc = cur
-        elif f == 1:  # Sub
-            enc = bytes(
-                (cur[x] - (cur[x - ch] if x >= ch else 0)) & 0xFF
-                for x in range(stride)
+        elif f == 1:  # Sub — vectorized per-channel difference
+            import numpy as np
+
+            arr = np.frombuffer(cur, dtype=np.uint8)
+            left = np.concatenate(
+                [np.zeros(ch, dtype=np.uint8), arr[:-ch]]
             )
-        elif f == 2:  # Up
-            enc = bytes((cur[x] - prev[x]) & 0xFF for x in range(stride))
+            enc = (arr - left).tobytes()
+        elif f == 2:  # Up — vectorized wrapping subtract
+            import numpy as np
+
+            enc = (
+                np.frombuffer(cur, dtype=np.uint8)
+                - np.frombuffer(bytes(prev), dtype=np.uint8)
+            ).tobytes()
         elif f == 3:  # Average
             enc = bytes(
                 (cur[x] - ((cur[x - ch] if x >= ch else 0) + prev[x]) // 2) & 0xFF
