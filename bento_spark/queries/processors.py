@@ -1440,3 +1440,48 @@ def bloblang_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey"),
         F.get_json_object(geo, "$.city.names.en").alias("nation"),
     ).orderBy("custkey")
+
+
+@query(
+    "proc_awk",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_fields
+    FROM documents ORDER BY doc_id
+    """,
+)
+def proc_awk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`awk` processor (internal/impl/awk/processor.go:374) — REAL
+    /usr/bin/awk per partition: '{print NF}' counts each document's
+    fields. The oracle's split-count matches because fixture text is
+    strictly single-spaced (awk default-FS blank-run semantics =
+    split(' ') there); a hash match certifies the line-per-message
+    pipe framing end to end."""
+    from bento_spark.operators.subproc import awk_processor
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = awk_processor(docs, "text", "{print NF}")
+    return out.select(
+        "doc_id", F.col("text").cast("bigint").alias("n_fields")
+    ).orderBy("doc_id")
+
+
+@query(
+    "proc_subprocess",
+    oracle="""
+    SELECT doc_id, upper(text) AS shouted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def proc_subprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`subprocess`/`command` processor (internal/impl/io/
+    processor_subprocess.go:92) — a REAL OS child (/usr/bin/tr a-z A-Z)
+    transforms each message line; oracle = upper(text) (fixture text is
+    pure ASCII, where tr and SQL upper agree byte-for-byte)."""
+    from bento_spark.operators.subproc import subprocess_processor
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = subprocess_processor(docs, "text", ["tr", "a-z", "A-Z"])
+    return out.select(
+        "doc_id", F.col("text").alias("shouted")
+    ).orderBy("doc_id")
