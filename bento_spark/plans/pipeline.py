@@ -170,6 +170,7 @@ PROCESSORS = {
 
 from bento_spark.operators import awssvc  # noqa: E402,F401  (registers aws_lambda/aws_dynamodb_partiql/aws_bedrock_invoke)
 from bento_spark.operators import azuredata  # noqa: E402,F401  (registers azure_cosmosdb)
+from bento_spark.operators import jsproc  # noqa: E402,F401  (registers javascript)
 from bento_spark.operators import kvstore  # noqa: E402,F401  (registers kv/redis/redis_script)
 from bento_spark.operators import nats_wire  # noqa: E402,F401  (registers nats_request_reply)
 from bento_spark.operators import sentry  # noqa: E402,F401  (registers sentry_capture)

@@ -1,0 +1,88 @@
+"""`javascript` processor on a REAL node runtime: the reference's
+bento.v0_* message API, string + structured mutation, metadata access,
+per-message error capture, and the pipeline registration."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+node_missing = shutil.which("node") is None
+pytestmark = pytest.mark.skipif(node_missing, reason="node runtime absent")
+
+
+@pytest.fixture()
+def msgs(spark):
+    from bento_spark.operators.envelope import ensure_envelope
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"n": 3}'), (2, '{"n": 5}'), (3, "not json")],
+        "id long, content string",
+    ).coalesce(2)
+    df = ensure_envelope(df)
+    return df.withColumn(
+        "_metadata", F.create_map(F.lit("topic"), F.concat(F.lit("t"), "id"))
+    )
+
+
+def test_string_api(spark, msgs):
+    from bento_spark.operators.jsproc import javascript_processor
+
+    out = javascript_processor(
+        msgs, 'bento.v0_msg_set_string(bento.v0_msg_as_string() + "!");'
+    ).collect()
+    got = {r["id"]: r["content"] for r in out}
+    assert got == {1: '{"n": 3}!', 2: '{"n": 5}!', 3: "not json!"}
+    assert all(r["_error"] is None for r in out)
+
+
+def test_structured_api_and_error_channel(spark, msgs):
+    from bento_spark.operators.jsproc import javascript_processor
+
+    code = """
+    const o = bento.v0_msg_as_structured();
+    o.n = o.n * 10;
+    bento.v0_msg_set_structured(o);
+    """
+    rows = {r["id"]: r for r in javascript_processor(msgs, code).collect()}
+    assert json.loads(rows[1]["content"])["n"] == 30
+    assert json.loads(rows[2]["content"])["n"] == 50
+    # row 3 isn't JSON: the script error lands on THAT row only
+    assert rows[3]["content"] == "not json"
+    assert rows[3]["_error"].startswith("javascript:")
+    assert rows[1]["_error"] is None
+
+
+def test_meta_api(spark, msgs):
+    from bento_spark.operators.jsproc import javascript_processor
+
+    code = """
+    if (bento.v0_msg_exists_meta("topic")) {
+      bento.v0_msg_set_meta("echo", bento.v0_msg_get_meta("topic"));
+    }
+    bento.v0_msg_set_string(bento.v0_msg_get_meta("topic"));
+    """
+    rows = {r["id"]: r for r in javascript_processor(msgs, code).collect()}
+    assert rows[2]["content"] == "t2"
+    assert rows[2]["_metadata"]["echo"] == "t2"
+
+
+def test_v0_fetch_errors_cleanly(spark, msgs):
+    from bento_spark.operators.jsproc import javascript_processor
+
+    out = javascript_processor(
+        msgs, 'bento.v0_fetch("http://x", {}, "GET", "");'
+    ).collect()
+    assert all("v0_fetch" in r["_error"] for r in out)
+
+
+def test_pipeline_registration(spark, msgs):
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    out = PROCESSORS["javascript"](
+        msgs, {"code": 'bento.v0_msg_set_string("X");'}
+    ).collect()
+    assert all(r["content"] == "X" for r in out)
