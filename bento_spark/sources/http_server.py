@@ -253,3 +253,104 @@ class WebSocketIngestServer:
     def stop(self) -> None:
         self._srv.shutdown()
         self._srv.server_close()
+
+
+class SyncResponseServer:
+    """`http_server` (sync mode) + `sync_response` output
+    (internal/impl/pure/processor_sync_response.go:14,
+    input_http_server.go's sync_response wiring): the HTTP response IS
+    the processed message.
+
+    Each POST becomes a one-row DataFrame (content + path/header
+    metadata), runs through the configured pipeline processor chain
+    (the same `pipeline.processors:` config the batch engine runs), and
+    the resulting content is the HTTP body — 200 on success, 500 with
+    the `_error` text when the pipeline flagged the message. Faithful
+    request/reply semantics at per-request micro-batch latency; bulk
+    traffic belongs on the staged ingest path (HttpIngestServer)."""
+
+    def __init__(self, spark, processors: list[dict],
+                 host: str = "127.0.0.1", port: int = 0):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from bento_spark.operators.envelope import ERROR, META, ensure_envelope
+        from bento_spark.plans.pipeline import PROCESSORS
+
+        for proc in processors:
+            (pname, _), = proc.items()
+            if pname not in PROCESSORS:
+                raise ValueError(f"unknown processor {pname!r}")
+
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode("utf-8", "replace")
+                meta = {"http_server_request_path": self.path}
+                for h in ("Content-Type", "User-Agent"):
+                    if self.headers.get(h):
+                        meta[h.lower().replace("-", "_")] = self.headers[h]
+                try:
+                    # lift a JSON body into typed columns (the document
+                    # shape the Bloblang compiler reads as this.<field>);
+                    # non-JSON bodies stay raw in `content`
+                    doc = None
+                    try:
+                        parsed = json.loads(body)
+                        if isinstance(parsed, dict) and parsed:
+                            doc = parsed
+                    except ValueError:
+                        pass
+                    if doc is not None:
+                        df = spark.createDataFrame([{
+                            **doc, "content": body, "_metadata": meta,
+                        }])
+                    else:
+                        df = spark.createDataFrame(
+                            [(body, meta)],
+                            "content string, _metadata map<string,string>",
+                        )
+                    df = ensure_envelope(df)
+                    for proc in processors:
+                        (pname, pconf), = proc.items()
+                        df = PROCESSORS[pname](df, pconf)
+                    rows = df.collect()
+                except Exception as e:  # noqa: BLE001 — surface as 500
+                    return self._reply(500, f"pipeline error: {e}")
+                if not rows:  # message dropped (deleted()/filtered)
+                    return self._reply(204, "")
+                row = rows[0].asDict(recursive=True)
+                err = row.get(ERROR)
+                if err:
+                    return self._reply(500, str(err))
+                # the processed document is the response: raw content if
+                # the chain kept a content column, else the mapped
+                # fields as a JSON object (a new-document mapping lifts
+                # the message into typed columns)
+                if row.get("content") is not None:
+                    return self._reply(200, str(row["content"]))
+                doc = {k: v for k, v in row.items()
+                       if k not in (META, ERROR, "content")}
+                self._reply(200, json.dumps(doc, sort_keys=True, default=str))
+
+            def _reply(self, code: int, text: str):
+                data = text.encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self._srv = ThreadingHTTPServer((host, port), Handler)
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+
+    @property
+    def port(self) -> int:
+        return self._srv.server_address[1]
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()

@@ -203,3 +203,51 @@ def test_spark_reads_staged_pushes_end_to_end(spark, tmp_path):
     df = spark.read.format("bento_queue").option("path", str(tmp_path)).load()
     vals = {json.loads(r.value)["value"] for r in df.collect()}
     assert vals == {f"m{b}-{i}" for b in range(3) for i in range(10)}
+
+
+def test_sync_response_server(spark):
+    """Request/reply: the POST body runs through the pipeline processor
+    chain and the processed content IS the HTTP response."""
+    import urllib.request
+
+    from bento_spark.sources.http_server import SyncResponseServer
+
+    srv = SyncResponseServer(spark, [
+        {"mapping": 'root.reply = this.name.uppercase() + "/" + meta("http_server_request_path")'},
+    ])
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/shout",
+            data=b'{"name": "world"}', method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            import json as _json
+
+            assert _json.loads(resp.read())["reply"] == "WORLD//v1/shout"
+    finally:
+        srv.stop()
+
+
+def test_sync_response_error_is_500(spark):
+    import urllib.error
+    import urllib.request
+
+    from bento_spark.sources.http_server import SyncResponseServer
+
+    srv = SyncResponseServer(spark, [
+        {"mapping": 'root.x = throw("boom")'},
+    ])
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/x", data=b"not json", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 500
+        assert raised
+    finally:
+        srv.stop()
