@@ -101,6 +101,13 @@ def test_influxdb_tcp(reg):
     try:
         n = influxdb_flush(reg, "127.0.0.1", srv.server_address[1])
         assert n == 4
+        # the handler thread appends after the client closes — wait
+        import time
+
+        for _ in range(100):
+            if got:
+                break
+            time.sleep(0.02)
     finally:
         srv.shutdown()
         srv.server_close()
