@@ -22,7 +22,10 @@ Message schemas below transcribe the public PulsarApi.proto field
 numbers (BaseCommand sub-command field numbers equal their Type enum
 values). The in-process test broker (tests/test_pulsar_wire.py)
 re-parses every frame with the same public numbering and re-computes
-each checksum.
+each checksum — which certifies the framing/checksum/flow machinery but
+NOT the transcription itself (the .proto is not vendored in this
+container); a number found to differ from upstream PulsarApi.proto is
+a one-line schema fix with no machinery change.
 """
 
 from __future__ import annotations
