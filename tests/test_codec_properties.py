@@ -1,0 +1,242 @@
+"""Property-based roundtrips (hypothesis) over the from-scratch wire
+codecs: PackStream, AMQP 1.0 types, the protobuf dict codec, HPACK
+integers + header blocks, RESP bulk framing, Y4M, PNG filter cycles,
+and msgpack. Randomized structural inputs catch the length-boundary
+and sign-edge cases example tests miss; every property is a strict
+encode->decode == identity check."""
+
+from __future__ import annotations
+
+import json
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# -- shared strategies ------------------------------------------------------
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.text(max_size=40),
+)
+
+
+def json_values(max_depth=3):
+    return st.recursive(
+        json_scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=5),
+            st.dictionaries(st.text(max_size=10), inner, max_size=5),
+        ),
+        max_leaves=12,
+    )
+
+
+# -- PackStream (Bolt) ------------------------------------------------------
+
+packstream_values = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=300),
+        st.binary(max_size=300),
+    ),
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=6),
+        st.dictionaries(st.text(max_size=8), inner, max_size=6),
+    ),
+    max_leaves=20,
+)
+
+
+@SETTINGS
+@given(packstream_values)
+def test_packstream_roundtrip(v):
+    from bento_spark.operators.bolt_wire import pack, unpack
+
+    assert unpack(pack(v)) == v
+
+
+# -- AMQP 1.0 types ---------------------------------------------------------
+
+amqp_values = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=0, max_value=2**63 - 1),
+        st.text(max_size=300),
+        st.binary(max_size=300),
+    ),
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=6),
+        st.dictionaries(st.text(max_size=8), inner, max_size=6),
+    ),
+    max_leaves=20,
+)
+
+
+@SETTINGS
+@given(amqp_values)
+def test_amqp1_type_roundtrip(v):
+    from bento_spark.operators.amqp1_wire import decode, encode
+
+    assert decode(encode(v)) == v
+
+
+@SETTINGS
+@given(st.integers(min_value=0, max_value=0x30), amqp_values)
+def test_amqp1_described_roundtrip(descriptor, v):
+    from bento_spark.operators.amqp1_wire import Described, decode, encode
+
+    d = Described(descriptor, v)
+    assert decode(encode(d)) == d
+
+
+# -- HPACK ------------------------------------------------------------------
+
+@SETTINGS
+@given(st.integers(min_value=0, max_value=2**28),
+       st.integers(min_value=1, max_value=8))
+def test_hpack_integer_roundtrip(value, prefix):
+    from bento_spark.operators.grpc_wire import _int_decode, _int_encode
+
+    data = _int_encode(value, prefix)
+    got, pos = _int_decode(data, 0, prefix)
+    assert got == value and pos == len(data)
+
+
+header_name = st.text(
+    alphabet=string.ascii_lowercase + "-", min_size=1, max_size=20
+)
+header_value = st.text(
+    alphabet=string.printable.replace("\r", "").replace("\n", ""),
+    max_size=60,
+)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(header_name, header_value), max_size=8))
+def test_hpack_header_block_roundtrip(headers):
+    from bento_spark.operators.grpc_wire import HpackDecoder, hpack_encode
+
+    got = HpackDecoder().decode(hpack_encode(headers))
+    assert got == [(n.lower(), v) for n, v in headers]
+
+
+# -- protobuf dict codec ----------------------------------------------------
+
+PB_SCHEMA = {"fields": {
+    1: ("a", "int64"), 2: ("b", "string"), 3: ("c", "bytes"),
+    4: ("d", "repeated int64"), 5: ("e", "bool"),
+    6: ("f", {"fields": {1: ("x", "sint64"), 2: ("y", "double")}}),
+    7: ("g", {"repeated": True, "fields": {1: ("k", "string"),
+                                           2: ("v", "uint64")}}),
+}}
+
+pb_messages = st.fixed_dictionaries({}, optional={
+    "a": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "b": st.text(max_size=60),
+    "c": st.binary(max_size=60),
+    "d": st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                  min_size=1, max_size=6),
+    "e": st.booleans(),
+    "f": st.fixed_dictionaries({
+        "x": st.integers(min_value=-(2**62), max_value=2**62),
+        "y": st.floats(allow_nan=False, allow_infinity=False),
+    }),
+    "g": st.lists(st.fixed_dictionaries({
+        "k": st.text(max_size=10),
+        "v": st.integers(min_value=0, max_value=2**63 - 1),
+    }), min_size=1, max_size=4),
+})
+
+
+@SETTINGS
+@given(pb_messages)
+def test_protobuf_roundtrip(msg):
+    from bento_spark.operators.protobuf import pb_decode, pb_encode
+
+    assert pb_decode(pb_encode(msg, PB_SCHEMA), PB_SCHEMA) == msg
+
+
+# -- Y4M --------------------------------------------------------------------
+
+@SETTINGS
+@given(
+    st.integers(min_value=1, max_value=8).map(lambda n: 2 * n),  # even w
+    st.integers(min_value=1, max_value=8).map(lambda n: 2 * n),  # even h
+    st.integers(min_value=1, max_value=4),
+    st.data(),
+)
+def test_y4m_roundtrip(w, h, n_frames, data):
+    from bento_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = [
+        data.draw(st.binary(min_size=w * h, max_size=w * h))
+        for _ in range(n_frames)
+    ]
+    v = decode_y4m(encode_y4m(frames, w, h))
+    assert v["frames"] == frames and (v["width"], v["height"]) == (w, h)
+
+
+# -- PNG filter cycles ------------------------------------------------------
+
+@SETTINGS
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+    st.data(),
+)
+def test_png_filter_roundtrip(w, h, filters, data):
+    from bento_spark.operators.multimodal import decode_image, encode_png
+
+    pix = data.draw(st.binary(min_size=3 * w * h, max_size=3 * w * h))
+    img = decode_image(encode_png(w, h, pix, row_filters=filters))
+    assert (img["width"], img["height"]) == (w, h)
+    assert img["pixels"] == pix  # every filter cycle reverses exactly
+
+
+# -- RESP pipeline framing --------------------------------------------------
+
+@SETTINGS
+@given(st.lists(
+    st.text(alphabet=string.printable, max_size=50), min_size=1, max_size=20,
+))
+def test_resp_mset_mget_values(values):
+    """Binary-safe RESP bulk strings through a live socket pair."""
+    from tests.test_redis_protocol import _Server
+
+    from bento_spark.operators.kvstore import RedisKV
+
+    srv = _Server()
+    try:
+        kv = RedisKV(port=srv.port)
+        pairs = [(f"k{i}", v) for i, v in enumerate(values)]
+        kv.mset(pairs)
+        assert kv.mget([k for k, _ in pairs]) == [v for _, v in pairs]
+        kv.close()
+    finally:
+        srv.stop()
+
+
+# -- msgpack ---------------------------------------------------------------
+
+@SETTINGS
+@given(json_values())
+def test_msgpack_roundtrip(v):
+    from bento_spark.operators.codecs import _mp_decode, _mp_encode
+
+    buf = _mp_encode(v)
+    got, pos = _mp_decode(buf)
+    assert got == v and pos == len(buf)
