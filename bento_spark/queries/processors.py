@@ -1485,3 +1485,30 @@ def proc_subprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("text").alias("shouted")
     ).orderBy("doc_id")
+
+
+@query(
+    "proc_javascript",
+    oracle="""
+    SELECT doc_id,
+           upper(text) || ':' || CAST(strlen(text) AS VARCHAR) AS content
+    FROM documents ORDER BY doc_id
+    """,
+)
+def proc_javascript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`javascript` processor (internal/impl/javascript/processor.go:107)
+    on the REAL node runtime: the reference's bento.v0_msg_* API
+    uppercases each document and appends its length; oracle =
+    upper(text) || strlen (ASCII fixtures, where JS toUpperCase and SQL
+    upper agree)."""
+    from bento_spark.operators.jsproc import javascript_processor
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text AS content"
+    )
+    out = javascript_processor(
+        docs,
+        'const s = bento.v0_msg_as_string();'
+        'bento.v0_msg_set_string(s.toUpperCase() + ":" + s.length);',
+    )
+    return out.select("doc_id", "content").orderBy("doc_id")
