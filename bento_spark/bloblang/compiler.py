@@ -83,11 +83,9 @@ def compile_node(node: A.Node, env: Env) -> Column:
             return env.vars["this"]
         if env.df is not None:
             # whole document = struct of the data columns
-            from bento_spark.operators.envelope import RESERVED
+            from bento_spark.operators.envelope import data_cols
 
-            return F.struct(
-                *[F.col(c) for c in env.df.columns if c not in RESERVED]
-            )
+            return F.struct(*[F.col(c) for c in data_cols(env.df)])
         raise CompileError(
             "`this` as a whole document has no column form here; use this.<field>"
         )
@@ -509,6 +507,35 @@ class MappingPlan:
         if drop_when is not None:
             df = df.filter(~F.coalesce(drop_when, F.lit(False)))
         if new_document:
+            # `root = this` rebinds the document to a passthrough: keep
+            # every data column, with LATER assignments overlaying it
+            # (executor.go's root rebind) — earlier assigns are discarded
+            # exactly as a later `root = this` discards them per message
+            root_this_at = [i for i, (n, _c) in enumerate(assigns)
+                            if n == "__root_this__"]
+            if not assigns and drop_when is not None:
+                # conditional-delete-only mapping (`root = if ... {
+                # deleted() }`): survivors pass through unchanged
+                assigns = [("__root_this__", F.lit(True))]
+                root_this_at = [0]
+            if root_this_at:
+                overlay = assigns[root_this_at[-1] + 1 :]
+                from bento_spark.operators.envelope import RESERVED
+
+                out = df
+                for n, c in overlay:
+                    out = out.withColumn(n, c)
+                keep = [c for c in out.columns
+                        if c not in RESERVED and c != "__root_this__"]
+                out = out.select(*keep, F.col(META), F.col("_error"))
+                if meta:
+                    pairs: list[Column] = []
+                    for k, v in meta.items():
+                        pairs += [F.lit(k), v.cast("string")]
+                    out = out.withColumn(
+                        META, F.map_concat(F.col(META), F.create_map(*pairs))
+                    )
+                return out
             cols = [c.alias(n) for n, c in assigns]
             out = df.select(*cols, F.col(META), F.col("_error"))
         else:
@@ -604,6 +631,22 @@ def compile_mapping(src: str, overrides: dict | None = None) -> MappingPlan:
     return MappingPlan(parse_mapping(src), src, overrides)
 
 
+def _serialize_root(col: Column, env: Env) -> Column:
+    """Root-scalar serialization: strings pass through, everything else
+    becomes its JSON text (the reference re-serializes a structured
+    root to bytes when content is read — data.go:32-37)."""
+    dt = _type_of(env, col)
+    from pyspark.sql import types as T
+
+    if dt is None or isinstance(dt, T.StringType):
+        return col
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return F.to_json(col)
+    if isinstance(dt, T.BooleanType):
+        return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    return col.cast("string")
+
+
 def _compile_statements(ast: A.MappingAST, env: Env):
     """Statement ordering follows executor.go:42-65: later statements see
     earlier assignments (we substitute the compiled expression — later
@@ -693,19 +736,64 @@ def _compile_statements(ast: A.MappingAST, env: Env):
                         assigns.append((k.value, col))
                         assigned[k.value] = col
                     continue
-                raise CompileError(
-                    "root assignment must be an object literal or a "
-                    "conditional deleted()"
-                )
+                if isinstance(stmt.expr, A.This):
+                    # root = this: the current document passes through;
+                    # later assignments overlay it (mapping semantics
+                    # become mutation-shaped — executor.go root rebind)
+                    assigns.append(("__root_this__", F.lit(True)))
+                    continue
+                # root = <expr>: the document becomes a SCALAR/array —
+                # serialized into the content column (the reference's
+                # raw-bytes root form; message_expansion/csv fixtures)
+                col = compile_node(stmt.expr, e2)
+                assigns.append(("content", _serialize_root(col, e2)))
+                assigned["content"] = assigns[-1][1]
+                continue
             if len(stmt.target) > 1:
-                raise CompileError("nested assignment targets not yet supported")
+                # nested target (`root.doc.count = X` / naked
+                # `doc.count = X`): rebuild the top-level field with
+                # withField chains (assignment.go JSON-path set). The
+                # base resolves to the prior assignment of that field,
+                # else the existing column, else a fresh struct.
+                head, *rest = stmt.target
+                if head in assigned:
+                    base = assigned[head]
+                elif env.df is not None and head in env.df.columns:
+                    base = F.col(head)
+                else:
+                    base = None
+                val = compile_node(stmt.expr, e2)
+                if base is None:
+                    # build a nested struct from scratch
+                    for part in reversed(rest):
+                        val = F.struct(val.alias(part))
+                    col = val
+                else:
+                    path = ".".join(
+                        f"`{p}`" if "." in p else p for p in rest
+                    )
+                    col = base.withField(path, val)
+                _upsert_assign(assigns, head, col)
+                assigned[head] = col
+                continue
             name = stmt.target[0]
             col = compile_node(stmt.expr, e2)
-            assigns.append((name, col))
+            _upsert_assign(assigns, name, col)
             assigned[name] = col
             continue
         raise CompileError(f"unsupported statement {stmt!r}")
     return assigns, meta, drop_when, cache_writes
+
+
+def _upsert_assign(assigns: list, name: str, col: Column) -> None:
+    """Re-assigning a field replaces its slot (keeping first-assignment
+    ORDER, executor.go statement semantics) instead of duplicating the
+    output column."""
+    for i, (n, _c) in enumerate(assigns):
+        if n == name:
+            assigns[i] = (name, col)
+            return
+    assigns.append((name, col))
 
 
 def _with_assigned(env: Env, assigned: dict[str, Column]) -> Env:

@@ -102,6 +102,19 @@ class Parser:
             if t.kind == "op" and t.text == ".":
                 self.next(skip_nl=False)
                 name = self.next()
+                if name.kind == "num":
+                    # numeric path segment (`this.0`) = array index
+                    # (query parser path literals)
+                    node = A.Index(node, A.Lit(int(float(name.text))))
+                    continue
+                if name.kind == "str":
+                    # quoted segment (`this."service.name"`) — a field
+                    # whose name contains dots (mapping_parser.go)
+                    if isinstance(node, A.Path):
+                        node = A.Path(node.base, [*node.parts, name.text])
+                    else:
+                        node = A.Path(node, [name.text])
+                    continue
                 if name.kind not in ("ident", "kw"):
                     raise ParseError(f"expected field/method after '.' at {name.pos}")
                 if self.at("op", "("):
@@ -295,8 +308,43 @@ class Parser:
                 parts.append(self.expect("ident").text)
             self.expect("op", "=")
             return A.Assign(tuple(parts), self.expr())
+        # naked path assignment: `foo = ...` / `foo.bar = ...` is
+        # shorthand for `root.foo...` (mapping/assignment.go — the
+        # reference accepts naked targets everywhere)
+        if self.at("ident"):
+            save = self.i
+            parts = [self.next().text]
+            while (self.peek(skip_nl=False).kind == "op"
+                   and self.peek(skip_nl=False).text == "."
+                   and self.peek2_is_ident()):
+                self.next(skip_nl=False)
+                parts.append(self.expect("ident").text)
+            if self.peek(skip_nl=False).kind == "op" and self.peek(
+                skip_nl=False
+            ).text == "=":
+                self.next(skip_nl=False)
+                return A.Assign(tuple(parts), self.expr())
+            self.i = save  # not an assignment after all
         t = self.peek()
         raise ParseError(f"expected statement, got {t.text!r} at {t.pos}")
+
+    def peek2_is_ident(self) -> bool:
+        """Is the token after the upcoming '.' an identifier?"""
+        j = self.i
+        toks = self.toks
+        # skip to the '.' (peek already verified), then check the next
+        seen_dot = False
+        while j < len(toks):
+            t = toks[j]
+            if t.kind == "nl":
+                return False
+            if not seen_dot:
+                if t.kind == "op" and t.text == ".":
+                    seen_dot = True
+                j += 1
+                continue
+            return t.kind == "ident"
+        return False
 
 
 def parse_expr(src: str) -> A.Node:

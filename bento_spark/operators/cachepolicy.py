@@ -310,6 +310,19 @@ class ObjectStoreKV:
         pass
 
 
+def parse_duration_s(v) -> float:
+    """'500ms' / '30s' / '1m' / '2h' / bare numbers -> seconds (the
+    reference's duration-string config fields)."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = str(v).strip()
+    units = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+    for suffix in ("ms", "s", "m", "h"):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * units[suffix]
+    return float(s)
+
+
 def cache_from_conf(conf: dict | str):
     """Build a cache resource from its YAML config form, e.g.
     ``{lru: {cap: 500}}``, ``{multilevel: [{lru: {cap: 10}},
@@ -330,7 +343,7 @@ def cache_from_conf(conf: dict | str):
     if name == "lru":
         return LruKV(int(c.get("cap", 1000)))
     if name == "ttlru":
-        return TtlruKV(int(c.get("cap", 1024)), float(c.get("default_ttl", 300)))
+        return TtlruKV(int(c.get("cap", 1024)), parse_duration_s(c.get("default_ttl", 300)))
     if name == "ristretto":
         return RistrettoKV(int(c.get("cap", 1024)))
     if name == "file":

@@ -52,5 +52,10 @@ def guard(df: DataFrame, col: str, expr: Column) -> Column:
 
 
 def data_cols(df: DataFrame) -> list[str]:
-    """The non-envelope (document) columns."""
-    return [c for c in df.columns if c not in RESERVED]
+    """The non-envelope (document) columns. ``__``-prefixed columns are
+    engine bookkeeping (the test runner's __idx, window scratch cols) —
+    never part of the document."""
+    return [
+        c for c in df.columns
+        if c not in RESERVED and not c.startswith("__")
+    ]

@@ -44,7 +44,13 @@ def _walk(node):
     return node
 
 
-KNOWN_SECTIONS = {"input", "pipeline", "output", "tests", "processor_resources"}
+KNOWN_SECTIONS = {
+    "input", "pipeline", "output", "tests", "processor_resources",
+    "cache_resources", "output_resources", "rate_limit_resources",
+    # service-level observability sections (flushed via
+    # bento_spark/observability.py); accepted wherever present
+    "metrics", "tracer", "logger", "http",
+}
 
 
 def load_config(src: str) -> dict:
@@ -59,10 +65,9 @@ def load_config(src: str) -> dict:
     unknown = set(cfg) - KNOWN_SECTIONS
     if unknown:
         raise ConfigError(f"unknown config sections: {sorted(unknown)}")
-    if "input" not in cfg and "tests" not in cfg:
-        # a tests-only config (the reference's unit-test format) feeds
-        # input_batch messages instead of an input component
-        raise ConfigError("config requires an `input` section")
+    # `input` is required only at BUILD time (build_pipeline checks);
+    # processor-only / resource-only configs are legitimate lint and
+    # unit-test targets (the reference lints them the same way)
     for section in ("input", "output"):
         if section in cfg:
             s = cfg[section]
@@ -75,6 +80,11 @@ def load_config(src: str) -> dict:
     if not isinstance(procs, list):
         raise ConfigError("pipeline.processors must be a list")
     for i, p in enumerate(procs):
-        if not isinstance(p, dict) or len(p) != 1:
+        # one component key, optionally plus `label:` (the reference
+        # labels processors for mocks/metrics — case.go mock pointers)
+        ok = isinstance(p, dict) and (
+            len(p) == 1 or (len(p) == 2 and "label" in p)
+        )
+        if not ok:
             raise ConfigError(f"processor #{i} must be a single-key mapping")
     return cfg

@@ -40,8 +40,68 @@ def _proc_filter(df: DataFrame, conf) -> DataFrame:
     return df.filter(compile_expr(check, df=df))
 
 
+#: named cache resources (`cache_resources:` — caches/about.md); the
+#: test runner re-registers per case so cross-batch state is scoped
+CACHE_RESOURCES: dict[str, object] = {}
+
+
+def register_cache_resources(confs: list[dict] | None) -> None:
+    from bento_spark.operators.cachepolicy import cache_from_conf
+
+    for res in confs or []:
+        res = dict(res)
+        label = res.pop("label", None)
+        if not label:
+            raise ConfigError("cache_resources entries require a `label`")
+        CACHE_RESOURCES[label] = cache_from_conf(res)
+
+
 def _proc_dedupe(df: DataFrame, conf) -> DataFrame:
-    """`dedupe` (processor_dedupe.go:81)."""
+    """`dedupe` (processor_dedupe.go:81). Two forms:
+
+    * column keys -> distributed dropDuplicates (the Spark-native form);
+    * ``cache:`` label + interpolated ``key`` -> the reference's
+      cache-backed add-op dedupe, which persists across BATCHES. The
+      distinct keys (only the key column, deduped) are checked against
+      the named cache driver-side and the admitted set marks the cache;
+      bounded at 1M distinct keys per batch — corpus-scale dedup
+      belongs on `dropDuplicatesWithinWatermark` / the dedup operator
+      suite, which this form intentionally is not."""
+    if "cache" in conf:
+        from bento_spark.bloblang.field import compile_field
+
+        cache = CACHE_RESOURCES.get(conf["cache"])
+        if cache is None:
+            raise ConfigError(
+                f"unknown cache resource {conf['cache']!r} "
+                f"(have {sorted(CACHE_RESOURCES)})"
+            )
+        key = conf.get("key", "${! content() }")
+        df = df.withColumn("__dedupe_key", compile_field(str(key), df))
+        keys = [r[0] for r in df.select("__dedupe_key").distinct().limit(
+            1_000_001).collect()]
+        if len(keys) > 1_000_000:
+            raise ConfigError(
+                "cache-backed dedupe exceeds 1M distinct keys per batch; "
+                "use dropDuplicates/dedup operators for corpus-scale"
+            )
+        hits = cache.mget(keys)
+        fresh = [k for k, h in zip(keys, hits) if h is None]
+        cache.mset([(k, "1") for k in fresh])
+        out = df.filter(F.col("__dedupe_key").isin(fresh)) if fresh else (
+            df.limit(0)
+        )
+        # batch-order survivor: FIFO keeps the first occurrence (the
+        # default), strategy: LIFO the last (processor_dedupe.go
+        # strategy field); order = __idx when the test runner stamps it
+        order_col = "__idx" if "__idx" in df.columns else None
+        lifo = str(conf.get("strategy", "FIFO")).upper() == "LIFO"
+        order = None
+        if order_col:
+            c = F.col(order_col)
+            order = [c.desc() if lifo else c]
+        out = P.dedupe(out, [F.col("__dedupe_key")], order_by=order)
+        return out.drop("__dedupe_key")
     keys = conf["key"] if isinstance(conf["key"], list) else [conf["key"]]
     order = [F.col(c) for c in conf.get("order_by", [])] or None
     return P.dedupe(df, [F.col(k) for k in keys], order_by=order)
@@ -152,6 +212,7 @@ def _proc_workflow(df: DataFrame, conf) -> DataFrame:
 
 PROCESSORS = {
     "mapping": _proc_mapping,
+    "bloblang": _proc_mapping,  # legacy alias (processor_bloblang.go:18)
     "metadata": _proc_metadata,
     "jq": _proc_jq,
     "jmespath": _proc_jmespath,
@@ -219,6 +280,7 @@ def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
     # label, consumed by sinks via `rate_limit: <label>`
     from bento_spark.operators.ratelimit import register_rate_limit
 
+    register_cache_resources(cfg.get("cache_resources"))
     for res in cfg.get("rate_limit_resources") or []:
         res = dict(res)
         label = res.pop("label", None)
@@ -232,6 +294,8 @@ def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
         if not label:
             raise ConfigError("processor_resources entries require a `label`")
         resources[label] = res
+    if "input" not in cfg:
+        raise ConfigError("config requires an `input` section to run")
     (sname, sconf), = cfg["input"].items()
     df, streaming = build_source(spark, sname, sconf)
     for proc in (cfg.get("pipeline") or {}).get("processors", []):
@@ -247,3 +311,27 @@ def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
         (oname, oconf), = cfg["output"].items()
         output = (oname, oconf)
     return Pipeline(spark, df, streaming, output)
+
+
+def _proc_try(df: DataFrame, conf) -> DataFrame:
+    """`try` with child processors (processor_try.go:15): children run
+    guarded on rows whose `_error` is clear; an errored row passes
+    through untouched. Under the column engine children apply to the
+    whole frame and `_error`-flagged rows keep their prior values via
+    the processors' own when(ok) guards — so composition = sequential
+    application of the children."""
+    from bento_spark.operators.envelope import ensure_envelope
+
+    out = ensure_envelope(df)
+    for child in conf if isinstance(conf, list) else [conf]:
+        (pname, pconf), = (
+            child.items() if len(child) == 1
+            else ((k, v) for k, v in child.items() if k != "label")
+        )
+        if pname not in PROCESSORS:
+            raise ConfigError(f"unknown processor {pname!r} in try")
+        out = PROCESSORS[pname](out, pconf)
+    return out
+
+
+PROCESSORS["try"] = _proc_try

@@ -49,6 +49,21 @@ def _input_rows(batch: list[dict], base_dir: str) -> tuple[list, bool]:
             kinds.add("raw")
     if len(kinds) > 1:
         raise ValueError("mixed json_content and content in one batch")
+    if kinds == {"raw"}:
+        # the reference parses content lazily on first structured
+        # access; lift eagerly when EVERY message is a JSON object so
+        # `this.<field>` resolves (non-object/malformed rows keep the
+        # raw form and the content() surface)
+        lifted = []
+        for c, m in rows:
+            try:
+                doc = json.loads(c)
+            except ValueError:
+                return rows, False
+            if not isinstance(doc, dict) or not doc:
+                return rows, False
+            lifted.append((doc, m))
+        return lifted, True
     return rows, kinds == {"json"}
 
 
@@ -84,6 +99,15 @@ def _resolve_processors(cfg: dict, pointer: str, base_dir: str) -> list[dict]:
     m = re.fullmatch(r"/pipeline/processors/(\d+)", pointer)
     if m:
         return [(cfg["pipeline"]["processors"])[int(m.group(1))]]
+    if pointer == "/processor_resources":
+        return [
+            {k: v for k, v in res.items() if k != "label"}
+            for res in cfg.get("processor_resources") or []
+        ]
+    m = re.fullmatch(r"/processor_resources/(\d+)", pointer)
+    if m:
+        res = (cfg.get("processor_resources") or [])[int(m.group(1))]
+        return [{k: v for k, v in res.items() if k != "label"}]
     # a bare name targets a processor resource by label (case.go docs)
     for res in cfg.get("processor_resources") or []:
         if res.get("label") == pointer:
@@ -113,11 +137,12 @@ def _is_subset(small, big) -> bool:
 
 _KNOWN_CONDITIONS = {
     "content_equals", "content_matches", "json_equals", "json_contains",
-    "metadata_equals", "bloblang",
+    "metadata_equals", "bloblang", "file_equals", "file_json_equals",
 }
 
 
-def _check_message(cond: dict, row: dict, spark: SparkSession) -> str | None:
+def _check_message(cond: dict, row: dict, spark: SparkSession,
+                   base_dir: str = ".") -> str | None:
     """-> failure description or None."""
     unknown = set(cond) - _KNOWN_CONDITIONS
     if unknown:
@@ -130,9 +155,22 @@ def _check_message(cond: dict, row: dict, spark: SparkSession) -> str | None:
         )
     content = row.get("content")
     if content is None:
-        content = json.dumps(_row_json(row), sort_keys=True)
-    if "content_equals" in cond and content != cond["content_equals"]:
+        content = json.dumps(
+            _row_json(row), sort_keys=True, separators=(",", ":")
+        )
+    if "content_equals" in cond and content != str(cond["content_equals"]):
         return f"content_equals: {content!r} != {cond['content_equals']!r}"
+    if "file_equals" in cond:
+        with open(os.path.join(base_dir, cond["file_equals"])) as fh:
+            want = fh.read()
+        if content != want:
+            return f"file_equals: {content!r} != {want!r}"
+    if "file_json_equals" in cond:
+        with open(os.path.join(base_dir, cond["file_json_equals"])) as fh:
+            want = json.load(fh)
+        got = json.loads(content)
+        if not (_is_subset(want, got) and _is_subset(got, want)):
+            return f"file_json_equals: {got!r} != {want!r}"
     if "content_matches" in cond and not re.search(cond["content_matches"], content):
         return f"content_matches: {content!r} !~ {cond['content_matches']!r}"
     if "json_equals" in cond:
@@ -161,22 +199,65 @@ def _check_message(cond: dict, row: dict, spark: SparkSession) -> str | None:
 
 
 def run_config_tests(
-    spark: SparkSession, config: str | dict, base_dir: str = "."
+    spark: SparkSession, config: str | dict, base_dir: str | None = None
 ) -> list[dict]:
-    """Run every case under ``tests:``; returns [{name, failures}]."""
+    """Run every case under ``tests:``; returns [{name, failures}].
+
+    When ``config`` is a file path, relative resources
+    (target_mapping ./x.blobl, file mocks) resolve against its
+    directory — the reference test runner's behavior."""
+    if base_dir is None:
+        base_dir = (
+            os.path.dirname(os.path.abspath(config))
+            if isinstance(config, str) and os.path.exists(config)
+            else "."
+        )
+    sibling_path = None
     cfg = load_config(config) if isinstance(config, str) else config
+    if (
+        isinstance(config, str)
+        and os.path.exists(config)
+        and "pipeline" not in cfg
+        and "processor_resources" not in cfg
+        and config.endswith("_bento_test.yaml")
+    ):
+        # the reference's sibling convention: X_bento_test.yaml holds
+        # the tests for X.yaml
+        sibling = config[: -len("_bento_test.yaml")] + ".yaml"
+        if os.path.exists(sibling):
+            target = load_config(sibling)
+            cfg = {**target, "tests": cfg.get("tests")}
+            sibling_path = sibling
     results = []
+    raw_src = None
+    if isinstance(config, str):
+        raw_src = (
+            open(config).read() if os.path.exists(config) else config
+        )
     for case in cfg.get("tests") or []:
         failures: list[str] = []
         env = case.get("environment") or {}
         saved = {k: os.environ.get(k) for k in env}
         os.environ.update({k: str(v) for k, v in env.items()})
+        # env interpolation (`${FOO:default}`) happens at config PARSE
+        # time — re-parse under this case's environment so per-case
+        # variables take effect (reader.go behavior)
+        if raw_src is not None and env:
+            case_cfg = load_config(raw_src)
+            if sibling_path is not None:
+                case_cfg = {
+                    **load_config(sibling_path),
+                    "tests": case_cfg.get("tests"),
+                }
+        else:
+            case_cfg = cfg
         try:
             in_batches = (
                 case.get("input_batches")
                 or ([case["input_batch"]] if "input_batch" in case else [])
             )
             out_batches = case.get("output_batches") or []
+            ccfg = case_cfg
             if case.get("target_mapping"):
                 src = case["target_mapping"]
                 if src.endswith((".blobl", ".txt")):
@@ -185,15 +266,42 @@ def run_config_tests(
                 procs = [{"mapping": src}]
             else:
                 procs = _resolve_processors(
-                    cfg, case.get("target_processors", "/pipeline/processors"),
+                    ccfg, case.get("target_processors", "/pipeline/processors"),
                     base_dir,
                 )
-            # mocks: replace processors by pointer index
+            # fresh cache-resource state per case (the reference scopes
+            # cache state to each test case)
+            from bento_spark.plans.pipeline import (
+                CACHE_RESOURCES,
+                register_cache_resources,
+            )
+
+            CACHE_RESOURCES.clear()
+            register_cache_resources(ccfg.get("cache_resources"))
+            # strip labels: `label:` names a processor for mocks, it is
+            # not config
+            labels: dict[str, int] = {}
+            for i, proc in enumerate(procs):
+                if isinstance(proc, dict) and len(proc) == 2 and "label" in proc:
+                    labels[proc["label"]] = i
+                    procs[i] = {
+                        k: v for k, v in proc.items() if k != "label"
+                    }
+                elif isinstance(proc, dict) and len(proc) == 1:
+                    (pn, pc), = proc.items()
+                    if isinstance(pc, dict) and pc.get("label"):
+                        labels[pc["label"]] = i
+            # mocks: replace processors by pointer index OR by label
             for key, repl in (case.get("mocks") or {}).items():
                 m = re.fullmatch(r"/pipeline/processors/(\d+)", key)
-                if not m:
+                if m:
+                    procs[int(m.group(1))] = repl
+                elif key == "/pipeline/processors/-":
+                    procs.append(repl)
+                elif key in labels:
+                    procs[labels[key]] = repl
+                else:
                     raise ValueError(f"unsupported mock pointer {key!r}")
-                procs[int(m.group(1))] = repl
             for bi, batch in enumerate(in_batches):
                 rows, is_json = _input_rows(batch, base_dir)
                 df = _batch_df(spark, rows, is_json)
@@ -218,7 +326,7 @@ def run_config_tests(
                     )
                     continue
                 for mi, (cond, row) in enumerate(zip(want, got)):
-                    fail = _check_message(cond, row, spark)
+                    fail = _check_message(cond, row, spark, base_dir)
                     if fail:
                         failures.append(f"batch {bi} msg {mi}: {fail}")
         finally:
