@@ -70,7 +70,22 @@ def compile_node(node: A.Node, env: Env) -> Column:
     if isinstance(node, A.Lit):
         return F.lit(node.value)
     if isinstance(node, A.ArrayLit):
-        return F.array(*[compile_node(i, env) for i in node.items])
+        items = [compile_node(i, env) for i in node.items]
+        arr = F.array(*items)
+        if items and env.df is not None and not env.in_lambda and (
+            _type_of(env, arr) is None
+        ):
+            # heterogeneous elements (dynamic JSON array): lift every
+            # element to VARIANT — Spark 4's dynamic type — so strings
+            # and numbers coexist and serialize natively
+            items = [i.cast("variant") for i in items]
+            arr = F.array(*items)
+        if any(_conditional_element(i) for i in node.items):
+            # deleted()/if-without-else elements read as NULL; the
+            # reference OMITS them from the array (Delete/Nothing in a
+            # literal — literals.go) — compact the nulls away
+            arr = F.array_compact(arr)
+        return arr
     if isinstance(node, A.ObjectLit):
         cols = []
         for k, v in node.entries:
@@ -163,6 +178,21 @@ def compile_node(node: A.Node, env: Env) -> Column:
     raise CompileError(f"cannot compile node {node!r}")
 
 
+def _conditional_element(node: A.Node) -> bool:
+    """Array-literal elements whose value may be Delete/Nothing: a
+    deleted() call, an if without else, or a match with a deleted
+    branch."""
+    if _is_deleted(node):
+        return True
+    if isinstance(node, A.If):
+        return node.orelse is None or _is_deleted(node.then) or (
+            isinstance(node.orelse, A.Node) and _is_deleted(node.orelse)
+        )
+    if isinstance(node, A.Match):
+        return any(_is_deleted(v) for _c, v in node.cases)
+    return False
+
+
 def _binop(op: str, left: Column, right: Column) -> Column:
     if op == "+":
         return left + right
@@ -219,7 +249,12 @@ def _compile_match(node: A.Match, env: Env) -> Column:
 
 def _compile_func(node: A.FuncCall, env: Env) -> Column:
     if node.name == "deleted":
-        raise CompileError("deleted() is only valid as a whole root/field assignment")
+        # value-position deleted(): the field/element reads as absent —
+        # NULL serializes as an omitted JSON field (type_helpers.go
+        # Delete at non-root targets). Root-position deletion is
+        # extracted into the mapping's drop condition BEFORE this
+        # compiles (see _root_delete_condition).
+        return F.lit(None)
     if node.name in ("meta", "metadata", "root_meta"):
         if not node.args:
             raise CompileError("meta() requires a key")
@@ -227,6 +262,12 @@ def _compile_func(node: A.FuncCall, env: Env) -> Column:
         if not isinstance(key, A.Lit):
             raise CompileError("meta key must be a literal")
         return F.col("_metadata")[key.value]
+    if node.name == "batch_index" and env.df is not None and (
+        "__idx" in env.df.columns
+    ):
+        # the unit-test runner stamps the true in-batch index; prefer it
+        # over the partition-local monotonic analogue
+        return F.col("__idx")
     if node.name == "error":
         return F.col("_error")
     if node.name == "errored":
@@ -449,6 +490,17 @@ def _compile_method(node: A.MethodCall, env: Env) -> Column:
 def _arg(node: A.Node, env: Env, recv_hint: str | None = None):
     """Method args: literals pass as Python values (some builders need
     static strings/ints), lambdas become Column->Column callables."""
+    if recv_hint == "fold" and not isinstance(node, (A.Lambda, A.Lit)):
+        # fold's reducer may be a bare expression over the implicit
+        # `tally`/`value` context (methods_structured.go fold docs)
+        body = node
+
+        def hof(a: Column, b: Column) -> Column:
+            return compile_node(
+                body, env.child({"tally": a, "value": b}, in_lambda=True)
+            )
+
+        return hof
     if isinstance(node, A.Lambda):
         # pyspark validates HOF signatures: positional params only
         if len(node.params) == 1:
@@ -491,9 +543,10 @@ class MappingPlan:
     def compile_for(self, df: DataFrame | None):
         """-> (assigns, meta, drop_when, cache_writes) compiled against
         df's schema."""
-        return _compile_statements(
+        assigns, meta, drop_when, cache_writes, _err = _compile_statements(
             self.ast, Env({}, df, functions=self.overrides or {})
         )
+        return assigns, meta, drop_when, cache_writes
 
     def apply(self, df: DataFrame, new_document: bool = False) -> DataFrame:
         """Run the mapping: `mutation` semantics by default, `mapping`
@@ -501,7 +554,18 @@ class MappingPlan:
         from bento_spark.operators.envelope import META, ensure_envelope
 
         df = ensure_envelope(df)
-        assigns, meta, drop_when, cache_writes = self.compile_for(df)
+        assigns, meta, drop_when, cache_writes, error_sets = (
+            _compile_statements(
+                self.ast, Env({}, df, functions=self.overrides or {})
+            )
+        )
+        if error_sets:
+            err = error_sets[0]
+            for e in error_sets[1:]:
+                err = F.coalesce(err, e)
+            df = df.withColumn(
+                "_error", F.coalesce(F.col("_error"), err)
+            )
         if cache_writes:
             _run_cache_writes(df, cache_writes)
         if drop_when is not None:
@@ -513,9 +577,9 @@ class MappingPlan:
             # exactly as a later `root = this` discards them per message
             root_this_at = [i for i, (n, _c) in enumerate(assigns)
                             if n == "__root_this__"]
-            if not assigns and drop_when is not None:
-                # conditional-delete-only mapping (`root = if ... {
-                # deleted() }`): survivors pass through unchanged
+            if not assigns:
+                # no root assignments (conditional-delete-only or
+                # meta-only mapping): the document passes through
                 assigns = [("__root_this__", F.lit(True))]
                 root_this_at = [0]
             if root_this_at:
@@ -658,6 +722,7 @@ def _compile_statements(ast: A.MappingAST, env: Env):
     meta: dict[str, Column] = {}
     drop_when: Column | None = None
     cache_writes: list[tuple[str, str, Column, Column | None]] = []
+    error_sets: list[Column] = []  # per-row mapping failures (throw)
     for stmt in ast.statements:
         if isinstance(stmt, A.MapDef):
             env.maps[stmt.name] = stmt.statements
@@ -689,7 +754,14 @@ def _compile_statements(ast: A.MappingAST, env: Env):
             env = env.child({stmt.name: compile_node(stmt.expr, env)})
             continue
         if isinstance(stmt, A.MetaAssign):
-            meta[stmt.key] = compile_node(stmt.expr, _with_assigned(env, assigned))
+            v = compile_node(stmt.expr, _with_assigned(env, assigned))
+            t = _type_of(env, v)
+            from pyspark.sql import types as T
+
+            if isinstance(t, (T.ArrayType, T.MapType, T.StructType,
+                              T.VariantType)):
+                v = F.to_json(v)
+            meta[stmt.key] = v
             continue
         if isinstance(stmt, A.Assign):
             e2 = _with_assigned(env, assigned)
@@ -701,6 +773,15 @@ def _compile_statements(ast: A.MappingAST, env: Env):
                     )
                 raise CompileError("field deletion not yet supported")
             if stmt.target == ():
+                if (isinstance(stmt.expr, A.FuncCall)
+                        and stmt.expr.name == "throw"):
+                    msg = compile_node(stmt.expr.args[0], e2)
+                    error_sets.append(F.concat(
+                        F.lit("failed assignment (line 1): "),
+                        msg.cast("string"),
+                    ))
+                    assigns.append(("__root_this__", F.lit(True)))
+                    continue
                 dw, kept = _root_delete_condition(stmt.expr, e2)
                 if dw is not None:
                     drop_when = dw if drop_when is None else (drop_when | dw)
@@ -722,10 +803,12 @@ def _compile_statements(ast: A.MappingAST, env: Env):
                                 assigns.append((k.value, col))
                                 assigned[k.value] = col
                         else:
-                            raise CompileError(
-                                "conditional root value beside deleted() must "
-                                "be `this` or an object literal"
+                            # arbitrary kept expression -> scalar root
+                            col = compile_node(kept, e2)
+                            _upsert_assign(
+                                assigns, "content", _serialize_root(col, e2)
                             )
+                            assigned["content"] = assigns[-1][1]
                     continue
                 if isinstance(stmt.expr, A.ObjectLit):
                     # root = {...}: each entry becomes a field assignment
@@ -782,7 +865,7 @@ def _compile_statements(ast: A.MappingAST, env: Env):
             assigned[name] = col
             continue
         raise CompileError(f"unsupported statement {stmt!r}")
-    return assigns, meta, drop_when, cache_writes
+    return assigns, meta, drop_when, cache_writes, error_sets
 
 
 def _upsert_assign(assigns: list, name: str, col: Column) -> None:
@@ -815,4 +898,39 @@ def _root_delete_condition(
         return compile_node(node.cond, env), node.orelse
     if isinstance(node, A.If) and node.orelse is not None and _is_deleted(node.orelse):
         return ~compile_node(node.cond, env), node.then
+    if isinstance(node, A.Match) and node.subject is None:
+        del_conds = [
+            compile_node(c, env)
+            for c, v in node.cases
+            if c is not None and _is_deleted(v)
+        ]
+        default_deleted = any(
+            c is None and _is_deleted(v) for c, v in node.cases
+        )
+        if del_conds or default_deleted:
+            kept_cases = [
+                (c, v) for c, v in node.cases if not _is_deleted(v)
+            ]
+            dw = None
+            for c in del_conds:
+                cc = F.coalesce(c, F.lit(False))
+                dw = cc if dw is None else (dw | cc)
+            if default_deleted:
+                # default => deleted(): drop unless a kept case matches
+                keep = None
+                for c, v in kept_cases:
+                    if c is None:
+                        continue
+                    cc = F.coalesce(compile_node(c, env), F.lit(False))
+                    keep = cc if keep is None else (keep | cc)
+                nd = ~keep if keep is not None else F.lit(True)
+                dw = nd if dw is None else (dw | nd)
+            kept: A.Node | None = None
+            if kept_cases:
+                kept = (
+                    kept_cases[0][1]
+                    if len(kept_cases) == 1 and kept_cases[0][0] is None
+                    else A.Match(None, kept_cases)
+                )
+            return dw, kept
     return None, None

@@ -99,6 +99,12 @@ class Parser:
             # NOTE: no newline skipping before '.' — a newline ends a
             # statement in a mapping, like the reference's parser.
             t = self.peek(skip_nl=False)
+            if t.kind == "num" and t.text.startswith("."):
+                # the lexer reads `.0` as one number token; after an
+                # expression it is an array-index path segment
+                self.next(skip_nl=False)
+                node = A.Index(node, A.Lit(int(t.text[1:])))
+                continue
             if t.kind == "op" and t.text == ".":
                 self.next(skip_nl=False)
                 name = self.next()

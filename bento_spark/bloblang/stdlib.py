@@ -188,7 +188,13 @@ method("map_each", "a")(lambda c, fn: F.transform(c, fn))
 method("filter", "a")(lambda c, fn: F.filter(c, fn))
 method("any", "a")(lambda c, fn: F.exists(c, fn))
 method("all", "a")(lambda c, fn: F.forall(c, fn))
-method("fold", "b")(lambda c, init, fn: F.aggregate(c, V(init), fn))
+method("fold", "b")(lambda c, init, fn: F.aggregate(
+    c,
+    # python-int init accumulates over BIGINT elements — match types
+    V(init).cast("long") if isinstance(init, int)
+    and not isinstance(init, bool) else V(init),
+    fn,
+))
 method("zip", "a")(lambda c, other: F.arrays_zip(c, other))
 method("enumerated", "b")(
     lambda c: F.zip_with(
@@ -701,16 +707,17 @@ def _uuid_hex() -> Column:
 
 
 function("nanoid", "b")(
-    # 21 url-safe chars from 16 random bytes (alphabet-compatible subset;
-    # collision resistance equivalent to uuid_v4)
-    lambda: F.substring(
+    # url-safe chars from random bytes (alphabet-compatible subset;
+    # collision resistance equivalent to uuid_v4); optional length arg
+    # per the reference's nanoid(length) form
+    lambda n=None: F.substring(
         F.replace(
             F.replace(F.base64(F.unhex(_uuid_hex())), F.lit("+"), F.lit("-")),
             F.lit("/"),
             F.lit("_"),
         ),
         1,
-        21,
+        int(n) if n is not None else 21,
     )
 )
 function("ksuid", "b")(

@@ -74,13 +74,20 @@ def _batch_df(spark: SparkSession, rows: list, is_json: bool) -> DataFrame:
     # including new-document mappings — preserves) so output order can
     # be restored even when the __idx column is mapped away
     if is_json:
-        # metadata rides as a JSON string (an empty dict defeats type
-        # inference), parsed to the envelope map afterwards
+        # schema via spark.read.json: nested dicts become STRUCTS and
+        # heterogeneous documents merge into one nullable schema (dict
+        # inference would type them as maps or fail outright); metadata
+        # rides as a JSON string, parsed to the envelope map afterwards
         docs = [
-            {**doc, "__idx": i, "__meta_json": json.dumps({**meta, "__idx": str(i)})}
+            json.dumps({
+                **doc, "__idx": i,
+                "__raw": json.dumps(doc, sort_keys=True,
+                                    separators=(",", ":")),
+                "__meta_json": json.dumps({**meta, "__idx": str(i)}),
+            })
             for i, (doc, meta) in enumerate(rows)
         ]
-        df = spark.createDataFrame(docs)
+        df = spark.read.json(spark.sparkContext.parallelize(docs, 1))
         meta_col = F.from_json(F.col("__meta_json"), "map<string,string>")
         return df.withColumn(META, meta_col).drop("__meta_json")
     df = spark.createDataFrame(
@@ -115,10 +122,44 @@ def _resolve_processors(cfg: dict, pointer: str, base_dir: str) -> list[dict]:
     raise ValueError(f"unsupported target_processors pointer {pointer!r}")
 
 
+def _to_py(v):
+    if hasattr(v, "toPython"):  # VariantVal
+        return v.toPython()
+    if isinstance(v, dict):
+        return {k: _to_py(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_to_py(x) for x in v]
+    return v
+
+
+def _prune_merged_nulls(doc, original):
+    """Drop None-valued fields that the row's ORIGINAL document never
+    had — they are schema-union artifacts of batching heterogeneous
+    JSON docs into one DataFrame, not data (the reference's documents
+    never gain fields). Explicitly-assigned nulls (field present in the
+    original, or original unknown) are kept."""
+    if not isinstance(doc, dict):
+        return doc
+    orig = original if isinstance(original, dict) else {}
+    out = {}
+    for k, v in doc.items():
+        if v is None and k not in orig and original is not None:
+            continue
+        out[k] = _prune_merged_nulls(v, orig.get(k))
+    return out
+
+
 def _row_json(row: dict) -> dict:
-    return {
-        k: v for k, v in row.items() if not k.startswith(("_", "__"))
+    doc = {
+        k: _to_py(v) for k, v in row.items() if not k.startswith(("_", "__"))
     }
+    raw = row.get("__raw")
+    if raw is not None:
+        try:
+            return _prune_merged_nulls(doc, json.loads(raw))
+        except ValueError:
+            pass
+    return _prune_merged_nulls(doc, None)
 
 
 def _is_subset(small, big) -> bool:
@@ -153,7 +194,8 @@ def _check_message(cond: dict, row: dict, spark: SparkSession,
             f"unknown output condition(s) {sorted(unknown)} "
             f"(known: {sorted(_KNOWN_CONDITIONS)})"
         )
-    content = row.get("content")
+    data_keys = [k for k in row if not k.startswith(("_", "__"))]
+    content = row.get("content") if data_keys == ["content"] else None
     if content is None:
         content = json.dumps(
             _row_json(row), sort_keys=True, separators=(",", ":")
@@ -300,6 +342,10 @@ def run_config_tests(
                     procs.append(repl)
                 elif key in labels:
                     procs[labels[key]] = repl
+                elif any(p == {"resource": key} for p in procs):
+                    procs = [
+                        repl if p == {"resource": key} else p for p in procs
+                    ]
                 else:
                     raise ValueError(f"unsupported mock pointer {key!r}")
             for bi, batch in enumerate(in_batches):
