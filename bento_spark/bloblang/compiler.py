@@ -44,15 +44,49 @@ class Env:
     # zero-arg function overrides (e.g. generate's deterministic
     # counter()); checked before the global stdlib registry
     functions: dict[str, Column] = field(default_factory=dict)
+    # static types of lambda vars (HOF element types) — the analysis
+    # bridge _type_of cannot provide inside lambda bodies
+    var_types: dict[str, object] = field(default_factory=dict)
 
-    def child(self, more: dict[str, Column], in_lambda: bool | None = None) -> "Env":
+    def child(self, more: dict[str, Column], in_lambda: bool | None = None,
+              var_types: dict | None = None) -> "Env":
         return Env(
             {**self.vars, **more},
             self.df,
             self.maps,
             self.in_lambda if in_lambda is None else in_lambda,
             self.functions,
+            {**self.var_types, **(var_types or {})},
         )
+
+
+def _ast_type(node: A.Node, env: Env):
+    """Static type of simple AST shapes inside lambdas: a bare lambda
+    var (its registered element type) or `this` bound to one."""
+    from pyspark.sql import types as T
+
+    def walk(n, t):
+        if t is None:
+            return None
+        return t
+
+    if isinstance(n := node, A.Path) and isinstance(n.base, A.This):
+        head, *rest = n.parts
+        t = env.var_types.get(head)
+        if t is None and "this" in env.var_types:
+            t = env.var_types["this"]
+            rest = [head, *rest]
+        for p in rest:
+            if isinstance(t, T.StructType) and p in t.fieldNames():
+                t = t[p].dataType
+            elif isinstance(t, T.MapType):
+                t = t.valueType
+            else:
+                return None
+        return t
+    if isinstance(node, A.This):
+        return env.var_types.get("this")
+    return None
 
 
 def _type_of(env: Env, col: Column):
@@ -72,13 +106,33 @@ def compile_node(node: A.Node, env: Env) -> Column:
     if isinstance(node, A.ArrayLit):
         items = [compile_node(i, env) for i in node.items]
         arr = F.array(*items)
-        if items and env.df is not None and not env.in_lambda and (
-            _type_of(env, arr) is None
-        ):
+        hetero = False
+        if items and env.df is not None and not env.in_lambda:
+            if _type_of(env, arr) is None:
+                hetero = True
+            else:
+                ts = [_type_of(env, i) for i in items]
+                solid = [t for t in ts if t is not None]
+                from pyspark.sql.types import NullType
+
+                solid = [t for t in solid if not isinstance(t, NullType)]
+                hetero = len({t.simpleString() for t in solid}) > 1
+        if hetero:
             # heterogeneous elements (dynamic JSON array): lift every
-            # element to VARIANT — Spark 4's dynamic type — so strings
-            # and numbers coexist and serialize natively
-            items = [i.cast("variant") for i in items]
+            # element to VARIANT — Spark 4's dynamic type — so strings,
+            # numbers, and objects coexist and serialize natively
+            # (structs can't CAST to variant; they go via JSON)
+            def _to_variant(col, node_):
+                t = _type_of(env, col)
+                from pyspark.sql import types as T
+
+                if isinstance(t, (T.ArrayType, T.MapType, T.StructType)):
+                    return F.parse_json(F.to_json(col))
+                return col.cast("variant")
+
+            items = [
+                _to_variant(c, n) for c, n in zip(items, node.items)
+            ]
             arr = F.array(*items)
         if any(_conditional_element(i) for i in node.items):
             # deleted()/if-without-else elements read as NULL; the
@@ -97,6 +151,10 @@ def compile_node(node: A.Node, env: Env) -> Column:
         if "this" in env.vars:
             return env.vars["this"]
         if env.df is not None:
+            if "__document" in env.df.columns:
+                # a lifted top-level-array document (testrunner
+                # _input_rows): `this` IS the array
+                return F.col("__document")
             # whole document = struct of the data columns
             from bento_spark.operators.envelope import data_cols
 
@@ -360,6 +418,13 @@ _ENV_METHODS = {
     "from",
     "from_all",
     "bloblang",
+    "sum",
+    "catch",
+    "keys",
+    "key_values",
+    "without",
+    "with",
+    "merge",
 }
 
 
@@ -379,6 +444,21 @@ def _batch_list(recv: Column) -> Column:
     idx = F.pmod(F.monotonically_increasing_id(), F.lit(1 << 33))
     pairs = F.collect_list(F.struct(idx.alias("i"), recv.alias("v"))).over(w)
     return F.transform(F.array_sort(pairs), lambda x: x["v"])
+
+
+def _batch_list_env(recv: Column, env: Env) -> Column:
+    """_batch_list, but when the unit-test runner's __idx column is
+    present the batch is the WHOLE frame in true batch order (one
+    window, exact) instead of the partition-local approximation."""
+    if env.df is not None and "__idx" in env.df.columns:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(F.lit(1))
+        pairs = F.collect_list(
+            F.struct(F.col("__idx").alias("i"), recv.alias("v"))
+        ).over(w)
+        return F.transform(F.array_sort(pairs), lambda x: x["v"])
+    return _batch_list(recv)
 
 
 def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
@@ -435,11 +515,95 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
         t = _type_of(env, recv)
         src = recv if isinstance(t, StringType) else F.to_json(recv)
         return F.when(~json_schema_bad(src, schema), recv)
+    if node.name in ("keys", "key_values", "without", "with", "merge"):
+        from pyspark.sql import types as T
+
+        t = _type_of(env, recv)
+        if t is None:
+            t = _ast_type(node.recv, env)
+        if node.name == "merge":
+            other = _arg(node.args[0], env)
+            if not isinstance(other, Column):
+                other = F.lit(other)
+            ot = _type_of(env, other) or _ast_type(node.args[0], env)
+            if isinstance(t, T.StructType) and isinstance(ot, T.StructType):
+                # struct merge: right-hand fields win (methods
+                # _structured.go merge)
+                names = [n for n in t.fieldNames()
+                         if n not in ot.fieldNames()]
+                return F.struct(
+                    *[recv[n].alias(n) for n in names],
+                    *[other[n].alias(n) for n in ot.fieldNames()],
+                )
+            from bento_spark.bloblang.stdlib import METHODS as _M
+
+            _tier, fn = _M["merge"]
+            return fn(recv, other)
+        if isinstance(t, T.StructType):
+            names = t.fieldNames()
+            if node.name == "keys":
+                return F.array(*[F.lit(n) for n in sorted(names)])
+            if node.name == "key_values":
+                # values stringified: a struct's fields are
+                # heterogeneous, and key_values consumers format them
+                # (csv_formatter) — string scalars round-trip exactly
+                return F.array(*[
+                    F.struct(
+                        F.lit(n).alias("key"),
+                        recv[n].cast("string").alias("value"),
+                    )
+                    for n in sorted(names)
+                ])
+            args = [str(_arg(a, env)) for a in node.args]
+            if node.name == "without":
+                keep = [n for n in names if n not in args]
+            else:  # with
+                keep = [n for n in names if n in args]
+            return F.struct(*[recv[n].alias(n) for n in keep])
+        # map receivers use the registered map-based builders
+        from bento_spark.bloblang.stdlib import METHODS as _M
+
+        _tier, fn = _M[node.name]
+        return fn(recv, *[_arg(a, env) for a in node.args])
+    if node.name == "sum":
+        # integer arrays sum as BIGINT, everything else as DOUBLE (the
+        # reference preserves int arithmetic until overflow —
+        # arithmetic.go:161)
+        from pyspark.sql import types as T
+
+        t = _type_of(env, recv)
+        if isinstance(t, T.ArrayType) and isinstance(
+            t.elementType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return F.aggregate(
+                recv, F.lit(0).cast("long"), lambda a, x: a + x
+            )
+        return F.aggregate(
+            recv, F.lit(0.0), lambda a, x: a + x.cast("double")
+        )
+    if node.name == "catch":
+        # dynamic-typed recovery: when the fallback's type differs from
+        # the expression's, both sides lift to VARIANT (the engine's
+        # dynamic type) so e.g. bool-or-"failed" fits one column
+        from pyspark.sql import types as T
+
+        fallback = _arg(node.args[0], env) if node.args else F.lit(None)
+        if not isinstance(fallback, Column):
+            fallback = F.lit(fallback)
+        rt, ft = _type_of(env, recv), _type_of(env, fallback)
+        if rt is not None and ft is not None and rt != ft:
+            def to_var(c, t):
+                if isinstance(t, (T.ArrayType, T.MapType, T.StructType)):
+                    return F.parse_json(F.to_json(c))
+                return c.cast("variant")
+
+            return F.coalesce(to_var(recv, rt), to_var(fallback, ft))
+        return F.coalesce(recv, fallback)
     if node.name == "from":
         idx = lit_arg(0, "batch index")
-        return F.element_at(_batch_list(recv), int(idx) + 1)
+        return F.element_at(_batch_list_env(recv, env), int(idx) + 1)
     if node.name == "from_all":
-        return _batch_list(recv)
+        return _batch_list_env(recv, env)
     if node.name == "bloblang":
         src = str(lit_arg(0, "mapping string"))
         ast = parse_mapping(src)
@@ -483,13 +647,43 @@ def _compile_method(node: A.MethodCall, env: Env) -> Column:
             return F.array_contains(recv, V(arg))
         return recv.contains(arg)
     _tier, fn = METHODS[node.name]
-    args = [_arg(a, env, recv_hint=node.name) for a in node.args]
+    elem_t = None
+    from pyspark.sql import types as T
+
+    rt = _type_of(env, recv)
+    if rt is None:
+        rt = _ast_type(node.recv, env)
+    if isinstance(rt, T.ArrayType):
+        elem_t = rt.elementType
+    args = [
+        _arg(a, env, recv_hint=node.name, elem_type=elem_t)
+        for a in node.args
+    ]
     return fn(recv, *args)
 
 
-def _arg(node: A.Node, env: Env, recv_hint: str | None = None):
+def _arg(node: A.Node, env: Env, recv_hint: str | None = None,
+         elem_type=None):
     """Method args: literals pass as Python values (some builders need
-    static strings/ints), lambdas become Column->Column callables."""
+    static strings/ints), lambdas become Column->Column callables.
+    ``elem_type`` is the receiver's array element type, registered as
+    the lambda var's static type for struct-aware methods inside."""
+    if recv_hint in (
+        "map_each", "filter", "any", "all", "find", "find_all",
+        "find_by", "find_all_by", "map_each_key", "sort_by",
+    ) and not isinstance(node, (A.Lambda, A.Lit)):
+        # bare expression argument: the element binds as `this`
+        # (query_expression_parser.go context methods)
+        body = node
+
+        def hof1(a: Column) -> Column:
+            return compile_node(
+                body,
+                env.child({"this": a}, in_lambda=True,
+                          var_types={"this": elem_type}),
+            )
+
+        return hof1
     if recv_hint == "fold" and not isinstance(node, (A.Lambda, A.Lit)):
         # fold's reducer may be a bare expression over the implicit
         # `tally`/`value` context (methods_structured.go fold docs)
@@ -507,7 +701,9 @@ def _arg(node: A.Node, env: Env, recv_hint: str | None = None):
 
             def hof(a: Column) -> Column:
                 return compile_node(
-                    node.body, env.child({node.params[0]: a}, in_lambda=True)
+                    node.body,
+                    env.child({node.params[0]: a}, in_lambda=True,
+                              var_types={node.params[0]: elem_type}),
                 )
 
         elif len(node.params) == 2:
@@ -543,8 +739,10 @@ class MappingPlan:
     def compile_for(self, df: DataFrame | None):
         """-> (assigns, meta, drop_when, cache_writes) compiled against
         df's schema."""
-        assigns, meta, drop_when, cache_writes, _err = _compile_statements(
-            self.ast, Env({}, df, functions=self.overrides or {})
+        assigns, meta, drop_when, cache_writes, _err, _nn = (
+            _compile_statements(
+                self.ast, Env({}, df, functions=self.overrides or {})
+            )
         )
         return assigns, meta, drop_when, cache_writes
 
@@ -554,7 +752,7 @@ class MappingPlan:
         from bento_spark.operators.envelope import META, ensure_envelope
 
         df = ensure_envelope(df)
-        assigns, meta, drop_when, cache_writes, error_sets = (
+        assigns, meta, drop_when, cache_writes, error_sets, nothing_names = (
             _compile_statements(
                 self.ast, Env({}, df, functions=self.overrides or {})
             )
@@ -568,8 +766,17 @@ class MappingPlan:
             )
         if cache_writes:
             _run_cache_writes(df, cache_writes)
+        drop_col = None
         if drop_when is not None:
-            df = df.filter(~F.coalesce(drop_when, F.lit(False)))
+            # evaluate the drop condition BEFORE projection but filter
+            # AFTER assignments: batch-scoped expressions (from_all,
+            # sum over the batch) in assignments must see every row —
+            # the reference runs statements sequentially with the
+            # delete usually last
+            drop_col = "__drop__"
+            df = df.withColumn(
+                drop_col, F.coalesce(drop_when, F.lit(False))
+            )
         if new_document:
             # `root = this` rebinds the document to a passthrough: keep
             # every data column, with LATER assignments overlaying it
@@ -589,8 +796,11 @@ class MappingPlan:
                 out = df
                 for n, c in overlay:
                     out = out.withColumn(n, c)
+                if drop_col is not None:
+                    out = out.filter(~F.col(drop_col))
                 keep = [c for c in out.columns
-                        if c not in RESERVED and c != "__root_this__"]
+                        if c not in RESERVED
+                        and c not in ("__root_this__", "__drop__")]
                 out = out.select(*keep, F.col(META), F.col("_error"))
                 if meta:
                     pairs: list[Column] = []
@@ -600,12 +810,28 @@ class MappingPlan:
                         META, F.map_concat(F.col(META), F.create_map(*pairs))
                     )
                 return out
-            cols = [c.alias(n) for n, c in assigns]
-            out = df.select(*cols, F.col(META), F.col("_error"))
+            # materialize assignments BEFORE the drop filter so
+            # batch-scoped expressions saw every row, then project
+            out = df
+            for n, c in assigns:
+                out = out.withColumn(n, c)
+            if drop_col is not None:
+                out = out.filter(~F.col(drop_col))
+            sel = [F.col(n) for n, _c in assigns]
+            if nothing_names:
+                # rider for the serializer: null values of these fields
+                # are Nothing (conditionally absent), not data
+                sel.append(
+                    F.array(*[F.lit(n) for n in sorted(nothing_names)])
+                    .alias("__nothing")
+                )
+            out = out.select(*sel, F.col(META), F.col("_error"))
         else:
             out = df
             for n, c in assigns:
                 out = out.withColumn(n, c)
+            if drop_col is not None:
+                out = out.filter(~F.col(drop_col)).drop(drop_col)
         if meta:
             pairs: list[Column] = []
             for k, v in meta.items():
@@ -723,6 +949,7 @@ def _compile_statements(ast: A.MappingAST, env: Env):
     drop_when: Column | None = None
     cache_writes: list[tuple[str, str, Column, Column | None]] = []
     error_sets: list[Column] = []  # per-row mapping failures (throw)
+    nothing_names: set[str] = set()  # Nothing-capable assigned fields
     for stmt in ast.statements:
         if isinstance(stmt, A.MapDef):
             env.maps[stmt.name] = stmt.statements
@@ -816,6 +1043,8 @@ def _compile_statements(ast: A.MappingAST, env: Env):
                         if not isinstance(k, A.Lit) or not isinstance(k.value, str):
                             raise CompileError("root object keys must be strings")
                         col = compile_node(v, e2)
+                        if _conditional_element(v):
+                            nothing_names.add(k.value)
                         assigns.append((k.value, col))
                         assigned[k.value] = col
                     continue
@@ -861,11 +1090,13 @@ def _compile_statements(ast: A.MappingAST, env: Env):
                 continue
             name = stmt.target[0]
             col = compile_node(stmt.expr, e2)
+            if _conditional_element(stmt.expr):
+                nothing_names.add(name)
             _upsert_assign(assigns, name, col)
             assigned[name] = col
             continue
         raise CompileError(f"unsupported statement {stmt!r}")
-    return assigns, meta, drop_when, cache_writes, error_sets
+    return assigns, meta, drop_when, cache_writes, error_sets, nothing_names
 
 
 def _upsert_assign(assigns: list, name: str, col: Column) -> None:

@@ -145,6 +145,18 @@ class Parser:
         args: list[A.Node] = []
         if not self.at("op", ")"):
             while True:
+                # named-argument form `name: expr` (the reference's
+                # named params); arguments keep their written order
+                if self.at("ident"):
+                    j = self.i
+                    while self.toks[j].kind == "nl":
+                        j += 1
+                    k = j + 1
+                    while self.toks[k].kind == "nl":
+                        k += 1
+                    if self.toks[k].kind == "op" and self.toks[k].text == ":":
+                        self.next()  # name
+                        self.next()  # ':'
                 args.append(self.lambda_or_expr())
                 if not self.eat("op", ","):
                     break
@@ -314,6 +326,16 @@ class Parser:
                 parts.append(self.expect("ident").text)
             self.expect("op", "=")
             return A.Assign(tuple(parts), self.expr())
+        # statement-position cache writes: `cache_set(...)` without a
+        # `let _ =` binder (bloblang_cache.go statement functions)
+        if self.at("ident") and self.peek().text in (
+            "cache_set", "cache_add", "cache_delete"
+        ):
+            save = self.i
+            name = self.next()
+            if self.at("op", "("):
+                return A.LetAssign("_", A.FuncCall(name.text, self.call_args()))
+            self.i = save
         # naked path assignment: `foo = ...` / `foo.bar = ...` is
         # shorthand for `root.foo...` (mapping/assignment.go — the
         # reference accepts naked targets everywhere)

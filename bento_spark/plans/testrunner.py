@@ -55,14 +55,24 @@ def _input_rows(batch: list[dict], base_dir: str) -> tuple[list, bool]:
         # `this.<field>` resolves (non-object/malformed rows keep the
         # raw form and the content() surface)
         lifted = []
+        kinds2 = set()
         for c, m in rows:
             try:
                 doc = json.loads(c)
             except ValueError:
                 return rows, False
-            if not isinstance(doc, dict) or not doc:
+            if isinstance(doc, dict) and doc:
+                kinds2.add("obj")
+                lifted.append((doc, m))
+            elif isinstance(doc, list):
+                # top-level ARRAY document: rides in the __document
+                # column the compiler resolves `this` to
+                kinds2.add("arr")
+                lifted.append(({"__document": doc}, m))
+            else:
                 return rows, False
-            lifted.append((doc, m))
+        if len(kinds2) != 1:
+            return rows, False
         return lifted, True
     return rows, kinds == {"json"}
 
@@ -93,7 +103,7 @@ def _batch_df(spark: SparkSession, rows: list, is_json: bool) -> DataFrame:
     df = spark.createDataFrame(
         [(c, i, {**m, "__idx": str(i)}) for i, (c, m) in enumerate(rows)],
         "content string, __idx long, __meta map<string,string>",
-    )
+    ).coalesce(1)  # one batch = one partition (batch-scoped functions)
     return df.withColumn(META, F.col("__meta")).drop("__meta")
 
 
@@ -153,6 +163,9 @@ def _row_json(row: dict) -> dict:
     doc = {
         k: _to_py(v) for k, v in row.items() if not k.startswith(("_", "__"))
     }
+    for n in row.get("__nothing") or []:
+        if doc.get(n, "") is None:
+            doc.pop(n, None)
     raw = row.get("__raw")
     if raw is not None:
         try:
@@ -226,12 +239,26 @@ def _check_message(cond: dict, row: dict, spark: SparkSession,
     if "metadata_equals" in cond:
         meta = row.get("_metadata") or {}
         for k, v in cond["metadata_equals"].items():
-            if meta.get(k) != str(v):
-                return f"metadata_equals: {k}={meta.get(k)!r} != {v!r}"
+            got_v = meta.get(k)
+            if isinstance(v, (dict, list)):
+                # structured metadata compares structurally (the
+                # reference's metadata holds any JSON value; ours
+                # serializes it — parse back for the comparison)
+                try:
+                    parsed = json.loads(got_v) if got_v is not None else None
+                except ValueError:
+                    parsed = got_v
+                if not (_is_subset(v, parsed) and _is_subset(parsed, v)):
+                    return f"metadata_equals: {k}={parsed!r} != {v!r}"
+            elif got_v != str(v):
+                return f"metadata_equals: {k}={got_v!r} != {v!r}"
     if "bloblang" in cond:
         from bento_spark.bloblang import compile_expr
 
-        one = spark.createDataFrame([_row_json(row)])
+        doc = _row_json(row) or {"__empty": ""}
+        one = spark.createDataFrame([doc]).withColumn(
+            "_error", F.lit(row.get("_error")).cast("string")
+        )
         got = one.select(
             compile_expr(cond["bloblang"], df=one).alias("__ok")
         ).collect()[0]["__ok"]
