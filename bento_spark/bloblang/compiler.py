@@ -86,6 +86,15 @@ def _ast_type(node: A.Node, env: Env):
         return t
     if isinstance(node, A.This):
         return env.var_types.get("this")
+    if isinstance(node, A.Var):
+        return env.var_types.get(node.name)
+    if isinstance(node, A.Index):
+        from pyspark.sql import types as T
+
+        bt = _ast_type(node.base, env)
+        if isinstance(bt, T.ArrayType):
+            return bt.elementType
+        return None
     return None
 
 
@@ -185,10 +194,17 @@ def compile_node(node: A.Node, env: Env) -> Column:
         return col
     if isinstance(node, A.Index):
         base = compile_node(node.base, env)
-        idx = compile_node(node.index, env)
         # 0-based, null on out-of-bounds; negative indices count from the
         # end (methods_structured.go:699). Spark element_at is 1-based for
-        # positives and already end-relative for negatives.
+        # positives and already end-relative for negatives. A literal
+        # index picks its branch statically (the dead 0-index branch
+        # would fail analysis and poison type resolution).
+        if isinstance(node.index, A.Lit) and isinstance(node.index.value, int):
+            i = node.index.value
+            return F.try_element_at(
+                base, F.lit(i + 1) if i >= 0 else F.lit(i)
+            )
+        idx = compile_node(node.index, env)
         return F.when(idx >= 0, F.try_element_at(base, idx + F.lit(1))).otherwise(
             F.try_element_at(base, idx)
         )
@@ -978,7 +994,10 @@ def _compile_statements(ast: A.MappingAST, env: Env):
                 )
                 cache_writes.append((fc.name, str(fc.args[0].value), key, val))
                 continue
-            env = env.child({stmt.name: compile_node(stmt.expr, env)})
+            col = compile_node(stmt.expr, env)
+            env = env.child(
+                {stmt.name: col}, var_types={stmt.name: _type_of(env, col)}
+            )
             continue
         if isinstance(stmt, A.MetaAssign):
             v = compile_node(stmt.expr, _with_assigned(env, assigned))

@@ -335,3 +335,65 @@ def _proc_try(df: DataFrame, conf) -> DataFrame:
 
 
 PROCESSORS["try"] = _proc_try
+
+
+def _proc_unarchive(df: DataFrame, conf) -> DataFrame:
+    """`unarchive` (processor_unarchive.go:49) in the config surface:
+    json_array explodes one message into its elements (element schema
+    inferred from the data — spark.read.json over a bounded sample, the
+    dynamic-document answer to the reference's schemaless split);
+    lines splits on newlines."""
+    from bento_spark.operators.envelope import ensure_envelope
+
+    if isinstance(conf, str):
+        conf = {"format": conf}
+    fmt = conf.get("format", "json_array")
+    col = conf.get("column", "content")
+    df = ensure_envelope(df)
+    other = [c for c in df.columns if c != col]
+    if fmt == "lines":
+        return df.select(
+            *other, F.explode(F.split(F.col(col), "\n", -1)).alias(col)
+        )
+    if fmt == "json_array":
+        spark = df.sparkSession
+        sample = [r[0] for r in df.select(col).limit(20).collect() if r[0]]
+        if not sample:
+            return df.limit(0)
+        elem_schema = spark.read.json(
+            spark.sparkContext.parallelize(sample, 1)
+        ).schema
+        from pyspark.sql.types import ArrayType
+
+        exploded = df.select(
+            *other,
+            F.explode(
+                F.from_json(F.col(col), ArrayType(elem_schema))
+            ).alias("__el"),
+        )
+        return exploded.select(*other, "__el.*")
+    raise ConfigError(f"unarchive: unknown format {fmt!r}")
+
+
+PROCESSORS["unarchive"] = _proc_unarchive
+
+
+def _proc_archive(df: DataFrame, conf) -> DataFrame:
+    """`archive` (processor_archive.go:59): batch -> one message."""
+    from bento_spark.operators import processors as _P
+
+    if isinstance(conf, str):
+        conf = {"format": conf}
+    fmt = conf.get("format", "json_array")
+    col = conf.get("column", "content")
+    order = F.col(conf.get("order_by", "__idx")) if (
+        conf.get("order_by", "__idx") in df.columns
+    ) else F.monotonically_increasing_id()
+    if fmt == "json_array":
+        return _P.archive_json_array(df, F.lit(1), [order], F.col(col))
+    if fmt == "lines":
+        return _P.archive_lines(df, F.lit(1), [order], F.col(col))
+    raise ConfigError(f"archive: unknown format {fmt!r}")
+
+
+PROCESSORS["archive"] = _proc_archive

@@ -402,6 +402,10 @@ def run_config_tests(
                     fail = _check_message(cond, row, spark, base_dir)
                     if fail:
                         failures.append(f"batch {bi} msg {mi}: {fail}")
+        except Exception as e:  # noqa: BLE001 — a broken case must not
+            # abort the file's remaining cases (the reference runner
+            # reports per-case errors the same way)
+            failures.append(f"case error: {str(e)[:300]}")
         finally:
             for k, v in saved.items():
                 if v is None:
