@@ -234,6 +234,30 @@ def compile_node(node: A.Node, env: Env) -> Column:
             )
             if stringy:
                 return F.concat(left.cast("string"), right.cast("string"))
+        if node.op == "|":
+            # coalesce across DIFFERENT type families (dynamic
+            # documents): lift both sides to VARIANT, like catch.
+            # Same-family types (int|bigint etc.) coerce natively.
+            from pyspark.sql import types as T2
+
+            def _family(t):
+                if isinstance(t, T2.NumericType):
+                    return "num"
+                return t.simpleString()
+
+            lt, rt = _type_of(env, left), _type_of(env, right)
+            if (lt is not None and rt is not None
+                    and not isinstance(lt, T2.NullType)
+                    and not isinstance(rt, T2.NullType)
+                    and _family(lt) != _family(rt)):
+                from pyspark.sql import types as T
+
+                def _v(c, t):
+                    if isinstance(t, (T.ArrayType, T.MapType, T.StructType)):
+                        return F.parse_json(F.to_json(c))
+                    return c.cast("variant")
+
+                return F.coalesce(_v(left, lt), _v(right, rt))
         return _binop(node.op, left, right)
     if isinstance(node, A.If):
         cond = compile_node(node.cond, env)
@@ -304,11 +328,17 @@ def _compile_match(node: A.Match, env: Env) -> Column:
     expr: Column | None = None
     default: Column | None = None
     whens: list[tuple[Column, Column]] = []
+    senv = env if subj is None else env.child(
+        {"this": subj},
+        var_types={"this": _ast_type(node.subject, env)} if subj is not None
+        else None,
+    )
     for cond_node, value_node in node.cases:
         if cond_node is None:
-            default = compile_node(value_node, env)
+            # the default branch sees the subject as `this` too
+            default = compile_node(value_node, senv)
             continue
-        cenv = env if subj is None else env.child({"this": subj})
+        cenv = senv
         cond = compile_node(cond_node, cenv)
         # literal cases test equality against the subject
         if subj is not None and isinstance(cond_node, A.Lit):
@@ -675,7 +705,16 @@ def _compile_method(node: A.MethodCall, env: Env) -> Column:
         _arg(a, env, recv_hint=node.name, elem_type=elem_t)
         for a in node.args
     ]
-    return fn(recv, *args)
+    out = fn(recv, *args)
+    if node.name == "map_each" and node.args and _conditional_element(
+        node.args[0].body if isinstance(node.args[0], A.Lambda)
+        else node.args[0]
+    ):
+        # deleted()/if-without-else in the element mapping: those
+        # elements are OMITTED (Delete/Nothing in map_each —
+        # methods_structured.go), i.e. filter-while-transforming
+        out = F.array_compact(out)
+    return out
 
 
 def _arg(node: A.Node, env: Env, recv_hint: str | None = None,

@@ -225,6 +225,8 @@ class Parser:
                     items.append(self.expr())
                     if not self.eat("op", ","):
                         break
+                    if self.at("op", "]"):  # trailing comma
+                        break
             self.expect("op", "]")
             return A.ArrayLit(items)
         if t.kind == "op" and t.text == "{":
@@ -235,6 +237,8 @@ class Parser:
                     self.expect("op", ":")
                     entries.append((k, self.expr()))
                     if not self.eat("op", ","):
+                        break
+                    if self.at("op", "}"):  # trailing comma
                         break
             self.expect("op", "}")
             return A.ObjectLit(entries)

@@ -59,7 +59,11 @@ def tier_report() -> dict[str, dict[str, int]]:
 method("uppercase", "a")(lambda c: F.upper(c))
 method("lowercase", "a")(lambda c: F.lower(c))
 method("capitalize", "a")(lambda c: F.initcap(c))
-method("trim", "a")(lambda c: F.trim(c))
+method("trim", "a")(
+    # optional cutset arg (methods_strings.go trim): btrim strips the
+    # given characters from both ends
+    lambda c, cutset=None: F.trim(c) if cutset is None else F.btrim(c, V(cutset))
+)
 method("trim_prefix", "b")(
     lambda c, p: F.when(
         c.startswith(p), c.substr(F.length(V(p)) + 1, F.length(c))
@@ -92,7 +96,12 @@ method("format", "b")(
     lambda fmt, *args: F.format_string(str(fmt).replace("%v", "%s"), *[V(a) for a in args])
 )
 method("string", "a")(lambda c: c.cast("string"))
-method("number", "a")(lambda c: c.cast("double"))
+method("number", "a")(
+    # optional default (methods.go number): unparseable input falls
+    # back instead of erroring
+    lambda c, default=None: c.cast("double") if default is None
+    else F.coalesce(c.try_cast("double"), V(default).cast("double"))
+)
 method("bool", "a")(lambda c: c.cast("boolean"))
 method("bytes", "a")(lambda c: c.cast("binary"))
 

@@ -1,0 +1,195 @@
+"""Minimal proto3 schema parser -> the protobuf dict-codec schemas
+(operators/protobuf.py).
+
+The reference's `protobuf` processor compiles .proto files at config
+time (internal/impl/protobuf/processor_protobuf.go:255 with
+import_paths); this parser covers the proto3 subset those configs use:
+packages, imports (resolved across the given import paths), nested
+messages, repeated fields, scalar types, message-type fields, enums
+(as int32), and the well-known Timestamp/Any/Duration shapes. JSON
+field names follow the protobuf JSON mapping (lowerCamelCase), which is
+what the from_json/to_json operators speak.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+SCALARS = {
+    "double": "double", "float": "float",
+    "int32": "int32", "int64": "int64",
+    "uint32": "uint32", "uint64": "uint64",
+    "sint32": "sint32", "sint64": "sint64",
+    "fixed32": "fixed32", "fixed64": "fixed64",
+    "sfixed32": "fixed32", "sfixed64": "fixed64",
+    "bool": "bool", "string": "string", "bytes": "bytes",
+}
+
+WELL_KNOWN = {
+    "google.protobuf.Timestamp": {"fields": {
+        1: ("seconds", "int64"), 2: ("nanos", "int32"),
+    }},
+    "google.protobuf.Duration": {"fields": {
+        1: ("seconds", "int64"), 2: ("nanos", "int32"),
+    }},
+    "google.protobuf.Any": {"fields": {
+        1: ("typeUrl", "string"), 2: ("value", "bytes"),
+    }},
+}
+
+
+def _json_name(snake: str) -> str:
+    parts = snake.split("_")
+    return parts[0] + "".join(p.title() for p in parts[1:])
+
+
+def _strip_comments(src: str) -> str:
+    src = re.sub(r"//[^\n]*", "", src)
+    return re.sub(r"/\*.*?\*/", "", src, flags=re.S)
+
+
+class ProtoRegistry:
+    """Parsed messages: fully-qualified name -> raw field specs; schemas
+    resolve lazily (handles forward/cross-file references)."""
+
+    def __init__(self):
+        self.raw: dict[str, list[tuple[int, str, str, bool]]] = {}
+        self.packages: dict[str, str] = {}  # fqname -> package
+        self.enums: set[str] = set()
+
+    def parse_file(self, path: str, import_paths: list[str]) -> None:
+        with open(path, encoding="utf-8") as f:
+            src = _strip_comments(f.read())
+        pkg = ""
+        m = re.search(r"\bpackage\s+([\w.]+)\s*;", src)
+        if m:
+            pkg = m.group(1)
+        for imp in re.findall(r'\bimport\s+"([^"]+)"\s*;', src):
+            if imp.startswith("google/protobuf/"):
+                continue  # well-known types are built in
+            for base in import_paths + [os.path.dirname(path)]:
+                cand = os.path.join(base, imp)
+                if os.path.exists(cand):
+                    self.parse_file(cand, import_paths)
+                    break
+        self._parse_messages(src, pkg, prefix=pkg)
+
+    def _parse_messages(self, src: str, pkg: str, prefix: str) -> None:
+        i = 0
+        while True:
+            m = re.search(r"\b(message|enum)\s+(\w+)\s*\{", src[i:])
+            if not m:
+                return
+            start = i + m.end()
+            depth = 1
+            j = start
+            while depth and j < len(src):
+                if src[j] == "{":
+                    depth += 1
+                elif src[j] == "}":
+                    depth -= 1
+                j += 1
+            body = src[start : j - 1]
+            name = (prefix + "." if prefix else "") + m.group(2)
+            if m.group(1) == "enum":
+                self.enums.add(name)
+            else:
+                self._parse_message_body(name, body, pkg)
+            i = j
+
+    def _parse_message_body(self, fqname: str, body: str, pkg: str) -> None:
+        # nested messages/enums first (and blank them out of the field scan)
+        inner = body
+        while True:
+            m = re.search(r"\b(message|enum)\s+(\w+)\s*\{", inner)
+            if not m:
+                break
+            start = m.end()
+            depth = 1
+            j = start
+            while depth and j < len(inner):
+                if inner[j] == "{":
+                    depth += 1
+                elif inner[j] == "}":
+                    depth -= 1
+                j += 1
+            child = fqname + "." + m.group(2)
+            if m.group(1) == "enum":
+                self.enums.add(child)
+            else:
+                self._parse_message_body(child, inner[start : j - 1], pkg)
+            inner = inner[: m.start()] + inner[j:]
+        fields = []
+        for fm in re.finditer(
+            r"(repeated\s+)?([\w.]+)\s+(\w+)\s*=\s*(\d+)\s*(?:\[[^\]]*\])?\s*;",
+            inner,
+        ):
+            rep, ftype, fname, num = (
+                bool(fm.group(1)), fm.group(2), fm.group(3), int(fm.group(4)),
+            )
+            if ftype in ("option", "reserved", "syntax", "oneof"):
+                continue
+            fields.append((num, fname, ftype, rep))
+        self.raw[fqname] = fields
+        self.packages[fqname] = pkg
+
+    def _resolve_type(self, t: str, scope: str) -> str | None:
+        """Field type -> fully-qualified message name (or None = scalar)."""
+        if t in SCALARS:
+            return None
+        if t in WELL_KNOWN:
+            return t
+        candidates = []
+        parts = scope.split(".")
+        for k in range(len(parts), -1, -1):
+            candidates.append(".".join(parts[:k] + [t]))
+        for c in candidates:
+            if c in self.raw or c in self.enums or c in WELL_KNOWN:
+                return c
+        if t in self.raw or t in self.enums:
+            return t
+        raise ValueError(f"unresolved protobuf type {t!r} in {scope!r}")
+
+    def schema(self, fqname: str, _depth: int = 0) -> dict:
+        """Dict-codec schema with protobuf-JSON (lowerCamelCase) names."""
+        if _depth > 16:
+            raise ValueError(f"protobuf message nesting too deep at {fqname}")
+        if fqname in WELL_KNOWN:
+            return WELL_KNOWN[fqname]
+        if fqname not in self.raw:
+            raise ValueError(
+                f"unknown protobuf message {fqname!r} "
+                f"(have {sorted(self.raw)})"
+            )
+        fields: dict[int, tuple[str, object]] = {}
+        for num, fname, ftype, rep in self.raw[fqname]:
+            jname = _json_name(fname)
+            resolved = self._resolve_type(ftype, fqname)
+            if resolved is None:
+                t: object = SCALARS[ftype]
+                if rep:
+                    t = f"repeated {t}"
+            elif resolved in self.enums:
+                t = "repeated enum" if rep else "enum"
+            else:
+                t = dict(self.schema(resolved, _depth + 1))
+                if rep:
+                    t = {**t, "repeated": True}
+            fields[num] = (jname, t)
+        return {"fields": fields}
+
+
+def load_message_schema(
+    message: str, import_paths: list[str]
+) -> dict:
+    """Parse every .proto under the import paths and return the schema
+    for ``message`` (package-qualified, e.g. ``testing.House``)."""
+    reg = ProtoRegistry()
+    for base in import_paths:
+        if not os.path.isdir(base):
+            continue
+        for fn in sorted(os.listdir(base)):
+            if fn.endswith(".proto"):
+                reg.parse_file(os.path.join(base, fn), import_paths)
+    return reg.schema(message)

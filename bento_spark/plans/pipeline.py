@@ -19,17 +19,49 @@ from bento_spark.sinks import run_sink
 from bento_spark.sources import build_source
 
 
+def _lift_content(df: DataFrame) -> DataFrame:
+    """Mid-pipeline re-lift: when the document is a single JSON-text
+    `content` column (e.g. after a to_json codec step), parse it into
+    typed columns so `this.<field>` resolves — the engine's answer to
+    the reference's lazy dual representation (data.go:57-68). Schema is
+    inferred from a bounded sample; non-JSON content stays raw."""
+    import json as _json
+
+    from bento_spark.operators.envelope import data_cols
+
+    if data_cols(df) != ["content"]:
+        return df
+    sample = [r[0] for r in df.select("content").limit(20).collect()]
+    docs = []
+    for c in sample:
+        try:
+            d = _json.loads(c) if c is not None else None
+        except ValueError:
+            return df
+        if not isinstance(d, dict) or not d:
+            return df
+        docs.append(c)
+    if not docs:
+        return df
+    spark = df.sparkSession
+    schema = spark.read.json(spark.sparkContext.parallelize(docs, 1)).schema
+    other = [c for c in df.columns if c != "content"]
+    return df.select(
+        *other, F.from_json(F.col("content"), schema).alias("__doc")
+    ).select(*other, "__doc.*")
+
+
 def _proc_mapping(df: DataFrame, conf) -> DataFrame:
     """`mapping` (processor_mapping.go:15): new document."""
     return compile_mapping(conf if isinstance(conf, str) else conf["query"]).apply(
-        df, new_document=True
+        _lift_content(df), new_document=True
     )
 
 
 def _proc_mutation(df: DataFrame, conf) -> DataFrame:
     """`mutation` (processor_mutation.go:15): in-place assignment."""
     return compile_mapping(conf if isinstance(conf, str) else conf["query"]).apply(
-        df, new_document=False
+        _lift_content(df), new_document=False
     )
 
 
@@ -165,7 +197,27 @@ def _proc_select_parts(df: DataFrame, conf) -> DataFrame:
 
 
 def _proc_catch(df: DataFrame, conf) -> DataFrame:
-    """`catch` (processor_catch.go:13): recovery mapping on errored rows."""
+    """`catch` (processor_catch.go:13): recovery on errored rows — a
+    mapping string, or child processors (the reference's list form)
+    whose mappings apply to errored rows then clear the flag."""
+    if isinstance(conf, list):
+        out = df
+        for child in conf:
+            (pname, pconf), = (
+                child.items() if len(child) == 1
+                else ((k, v) for k, v in child.items() if k != "label")
+            )
+            if pname in ("bloblang", "mapping", "mutation"):
+                plan = compile_mapping(
+                    pconf if isinstance(pconf, str) else pconf["query"]
+                )
+                assigns, _m, _d, _c = plan.compile_for(out)
+                out = P.catch_errors(out, dict(assigns))
+            else:
+                raise ConfigError(
+                    f"catch children support mappings, got {pname!r}"
+                )
+        return out
     plan = compile_mapping(conf if isinstance(conf, str) else conf["query"])
     assigns, _meta, _dw, _cw = plan.compile_for(df)
     return P.catch_errors(df, dict(assigns))
@@ -397,3 +449,65 @@ def _proc_archive(df: DataFrame, conf) -> DataFrame:
 
 
 PROCESSORS["archive"] = _proc_archive
+
+
+#: resolution root for config-relative paths (import_paths etc.); the
+#: test runner points it at the config file's directory
+CURRENT_BASE_DIR: list[str] = ["."]
+
+
+def _resolve_path(p: str) -> str:
+    import os
+
+    cands = [p, os.path.join(CURRENT_BASE_DIR[0], p)]
+    base = os.path.abspath(CURRENT_BASE_DIR[0])
+    for _ in range(5):
+        cands.append(os.path.join(base, p))
+        base = os.path.dirname(base)
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return p
+
+
+def _proc_protobuf(df: DataFrame, conf) -> DataFrame:
+    """`protobuf` processor (processor_protobuf.go:255): from_json /
+    to_json against a message compiled from .proto files (import_paths
+    searched config-relative; functions/protoparse.py), speaking the
+    protobuf-JSON lowerCamelCase mapping. from_json leaves the wire
+    bytes in the content column (BINARY); to_json restores JSON text."""
+    from bento_spark.functions.protoparse import load_message_schema
+    from bento_spark.operators.protobuf import pb_decode_col, pb_encode_col
+
+    schema = load_message_schema(
+        conf["message"],
+        [_resolve_path(p) for p in conf.get("import_paths", [])],
+    )
+    col = conf.get("column", "content")
+    op = conf["operator"]
+    if op == "from_json":
+        from bento_spark.operators.envelope import data_cols, ensure_envelope
+
+        df = ensure_envelope(df)
+        if col in df.columns:
+            src = F.col(col)
+        elif "__raw" in df.columns:
+            src = F.col("__raw")
+        else:
+            src = F.to_json(
+                F.struct(*[F.col(c) for c in data_cols(df)])
+            )
+        keep = [c for c in df.columns
+                if c.startswith("_") and not c.startswith("__")]
+        idx = [c for c in df.columns if c == "__idx"]
+        return df.select(
+            *idx, pb_encode_col(src, schema).alias(col), *keep
+        )
+    if op == "to_json":
+        return df.withColumn(
+            col, pb_decode_col(F.col(col).cast("binary"), schema)
+        )
+    raise ConfigError(f"protobuf: unknown operator {op!r}")
+
+
+PROCESSORS["protobuf"] = _proc_protobuf

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bento_spark.plans.config import load_config
-from bento_spark.plans.pipeline import PROCESSORS
+from bento_spark.plans.pipeline import CURRENT_BASE_DIR, PROCESSORS
 
 
 class TestFailure(AssertionError):
@@ -175,6 +175,26 @@ def _row_json(row: dict) -> dict:
     return _prune_merged_nulls(doc, None)
 
 
+def _canon_json(v):
+    if isinstance(v, float) and v.is_integer():
+        return int(v)  # Go marshals float64(6) as 6
+    if isinstance(v, dict):
+        return {k: _canon_json(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_canon_json(x) for x in v]
+    return v
+
+
+def _json_equivalent(a: str, b: str) -> bool:
+    """Byte-unequal content may still be the same JSON value (key
+    order, float formatting — both sides are Go-marshaled in the
+    reference)."""
+    try:
+        return _canon_json(json.loads(a)) == _canon_json(json.loads(b))
+    except ValueError:
+        return False
+
+
 def _is_subset(small, big) -> bool:
     if isinstance(small, dict):
         return isinstance(big, dict) and all(
@@ -214,7 +234,8 @@ def _check_message(cond: dict, row: dict, spark: SparkSession,
             _row_json(row), sort_keys=True, separators=(",", ":")
         )
     if "content_equals" in cond and content != str(cond["content_equals"]):
-        return f"content_equals: {content!r} != {cond['content_equals']!r}"
+        if not _json_equivalent(content, str(cond["content_equals"])):
+            return f"content_equals: {content!r} != {cond['content_equals']!r}"
     if "file_equals" in cond:
         with open(os.path.join(base_dir, cond["file_equals"])) as fh:
             want = fh.read()
@@ -230,12 +251,18 @@ def _check_message(cond: dict, row: dict, spark: SparkSession,
         return f"content_matches: {content!r} !~ {cond['content_matches']!r}"
     if "json_equals" in cond:
         got = json.loads(content)
-        if not (_is_subset(cond["json_equals"], got) and _is_subset(got, cond["json_equals"])):
-            return f"json_equals: {got!r} != {cond['json_equals']!r}"
+        want = cond["json_equals"]
+        if isinstance(want, str):  # the condition may be JSON text
+            want = json.loads(want)
+        if not (_is_subset(want, got) and _is_subset(got, want)):
+            return f"json_equals: {got!r} != {want!r}"
     if "json_contains" in cond:
         got = json.loads(content)
-        if not _is_subset(cond["json_contains"], got):
-            return f"json_contains: {got!r} !> {cond['json_contains']!r}"
+        want = cond["json_contains"]
+        if isinstance(want, str):
+            want = json.loads(want)
+        if not _is_subset(want, got):
+            return f"json_contains: {got!r} !> {want!r}"
     if "metadata_equals" in cond:
         meta = row.get("_metadata") or {}
         for k, v in cond["metadata_equals"].items():
@@ -298,6 +325,7 @@ def run_config_tests(
             cfg = {**target, "tests": cfg.get("tests")}
             sibling_path = sibling
     results = []
+    CURRENT_BASE_DIR[0] = base_dir
     raw_src = None
     if isinstance(config, str):
         raw_src = (
