@@ -83,6 +83,13 @@ def register_pipeline_processors() -> None:
         return subprocess_processor(df, col, list(argv))
 
     def _proc_awk(df: DataFrame, conf) -> DataFrame:
+        program = conf if isinstance(conf, str) else conf.get("program", conf)
+        if isinstance(program, str) and any(
+            fn in program for fn in (
+                "json_get", "json_set", "metadata_get", "metadata_set",
+            )
+        ):
+            return awk_bento_processor(df, program)
         prog = conf["program"] if isinstance(conf, dict) else conf
         col = conf.get("column", "content") if isinstance(conf, dict) else "content"
         return awk_processor(df, col, prog)
@@ -93,3 +100,130 @@ def register_pipeline_processors() -> None:
 
 
 register_pipeline_processors()
+
+
+_AWK_PRELUDE = r'''
+function json_get(k,   re, s) {
+  re = "\"" k "\"[ \t]*:[ \t]*"
+  if (match(__doc, re)) {
+    s = substr(__doc, RSTART + RLENGTH)
+    if (substr(s, 1, 1) == "\"") {
+      s = substr(s, 2)
+      sub(/".*/, "", s)
+      return s
+    }
+    sub(/[,}\]].*/, "", s)
+    return s + 0
+  }
+  return ""
+}
+function json_set(k, v,   re) {
+  re = "\"" k "\"[ \t]*:[ \t]*(\"[^\"]*\"|[^,}\\]]+)"
+  if (!sub(re, "\"" k "\":\"" v "\"", __doc)) {
+    if (__doc == "{}") { __doc = "{\"" k "\":\"" v "\"}" }
+    else { sub(/}$/, ",\"" k "\":\"" v "\"}", __doc) }
+  }
+  return ""
+}
+function json_set_int(k, v,   re) {
+  re = "\"" k "\"[ \t]*:[ \t]*(\"[^\"]*\"|[^,}\\]]+)"
+  if (!sub(re, "\"" k "\":" (v + 0), __doc)) {
+    if (__doc == "{}") { __doc = "{\"" k "\":" (v + 0) "}" }
+    else { sub(/}$/, ",\"" k "\":" (v + 0) "}", __doc) }
+  }
+  return ""
+}
+function metadata_get(k) { return __meta[k] }
+function metadata_set(k, v) { __meta[k] = v; return "" }
+{
+  # line framing: b64-free "metaJSON \t doc"; flat string-valued meta
+  __tab = index($0, "\t")
+  __mjson = substr($0, 1, __tab - 1)
+  __doc = substr($0, __tab + 1)
+  delete __meta
+  __rest = __mjson
+  while (match(__rest, /"[^"]+"[ \t]*:[ \t]*"[^"]*"/)) {
+    __pair = substr(__rest, RSTART, RLENGTH)
+    __rest = substr(__rest, RSTART + RLENGTH)
+    __mk = __pair; sub(/^"/, "", __mk); sub(/".*/, "", __mk)
+    __mv = __pair; sub(/^"[^"]+"[ \t]*:[ \t]*"/, "", __mv); sub(/"$/, "", __mv)
+    __meta[__mk] = __mv
+  }
+  $0 = __doc
+}
+'''
+
+_AWK_EPILOGUE = "\n{ print __doc }\n"
+
+
+def awk_bento_processor(
+    df: DataFrame, program: str, content_col: str = "content",
+    timeout: float = 60.0,
+) -> DataFrame:
+    """The reference's awk DIALECT (internal/impl/awk/processor.go:374):
+    the user program calls json_get / json_set / json_set_int /
+    metadata_get / metadata_set against the message. Implemented as a
+    generated PURE-AWK prelude providing those functions over FLAT
+    single-line JSON documents (regex field extraction/replacement —
+    the documented subset; nested documents belong in Bloblang), fed
+    as "metaJSON<TAB>doc" lines so metadata rides per message. One
+    real /usr/bin/awk per partition, 1:1 line framing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import META, data_cols, ensure_envelope
+
+    df = ensure_envelope(df)
+    # the document's raw JSON: the content column, the lifted row's
+    # original text, or the re-serialized document
+    if content_col not in df.columns:
+        if "__raw" in df.columns:
+            df = df.withColumn(content_col, F.col("__raw"))
+        else:
+            df = df.withColumn(
+                content_col,
+                F.to_json(F.struct(*[F.col(c) for c in data_cols(df)])),
+            )
+        # the awk output REPLACES the document
+        df = df.select(
+            *[c for c in df.columns
+              if c == content_col or c.startswith("_")],
+        )
+    full = _AWK_PRELUDE + program + _AWK_EPILOGUE
+    other = [c for c in df.columns if c != content_col]
+    schema = df.select(*other).schema.add(content_col, "string")
+
+    def run_partition(rows):
+        rows = list(rows)
+        if not rows:
+            return
+        lines = []
+        for r in rows:
+            meta = dict(r[META]) if META in r.__fields__ and r[META] else {}
+            doc = "" if r[content_col] is None else str(r[content_col])
+            lines.append(
+                _json.dumps(meta, separators=(",", ":")) + "\t"
+                + doc.replace("\n", " ")
+            )
+        proc = _sp.run(
+            ["awk", full],
+            input=("\n".join(lines) + "\n").encode(),
+            stdout=_sp.PIPE, stderr=_sp.PIPE, timeout=timeout, check=False,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"awk dialect exited {proc.returncode}: "
+                f"{proc.stderr.decode(errors='replace')[:500]}"
+            )
+        out_lines = proc.stdout.decode().splitlines()
+        if len(out_lines) != len(rows):
+            raise RuntimeError(
+                f"awk dialect: {len(rows)} in, {len(out_lines)} out"
+            )
+        for r, line in zip(rows, out_lines):
+            yield Row(**{**{c: r[c] for c in other}, content_col: line})
+
+    return df.sparkSession.createDataFrame(
+        df.rdd.mapPartitions(run_partition), schema
+    )

@@ -34,8 +34,10 @@ def _lift_content(df: DataFrame) -> DataFrame:
     sample = [r[0] for r in df.select("content").limit(20).collect()]
     docs = []
     for c in sample:
+        if c is None:
+            continue  # errored rows (null content) lift to null fields
         try:
-            d = _json.loads(c) if c is not None else None
+            d = _json.loads(c)
         except ValueError:
             return df
         if not isinstance(d, dict) or not d:
@@ -486,7 +488,13 @@ def _proc_protobuf(df: DataFrame, conf) -> DataFrame:
     col = conf.get("column", "content")
     op = conf["operator"]
     if op == "from_json":
+        import json as _json
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
         from bento_spark.operators.envelope import data_cols, ensure_envelope
+        from bento_spark.operators.protobuf import pb_encode
 
         df = ensure_envelope(df)
         if col in df.columns:
@@ -497,11 +505,37 @@ def _proc_protobuf(df: DataFrame, conf) -> DataFrame:
             src = F.to_json(
                 F.struct(*[F.col(c) for c in data_cols(df)])
             )
+        known = {name for _n, (name, _t) in schema["fields"].items()}
+
+        @pandas_udf("struct<bin: binary, err: string>")
+        def encode_strict(s):
+            bins, errs = [], []
+            for x in s:
+                try:
+                    doc = _json.loads(x)
+                    # the reference's descriptor-backed conversion
+                    # REJECTS unknown fields (processor_protobuf.go)
+                    for k in doc:
+                        if k not in known:
+                            raise ValueError(f'unknown field "{k}"')
+                    bins.append(pb_encode(doc, schema))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001
+                    bins.append(None)
+                    errs.append(str(e))
+            return pd.DataFrame({"bin": bins, "err": errs})
+
         keep = [c for c in df.columns
                 if c.startswith("_") and not c.startswith("__")]
         idx = [c for c in df.columns if c == "__idx"]
-        return df.select(
-            *idx, pb_encode_col(src, schema).alias(col), *keep
+        enc = df.select(
+            *idx, encode_strict(src).alias("__enc"), *keep
+        )
+        return enc.select(
+            *idx,
+            F.col("__enc.bin").alias(col),
+            *[c for c in keep if c != "_error"],
+            F.coalesce(F.col("_error"), F.col("__enc.err")).alias("_error"),
         )
     if op == "to_json":
         return df.withColumn(
