@@ -1,0 +1,446 @@
+"""Tier-c fallback: a Python-value Bloblang interpreter for mappings
+the Column compiler cannot express — today that means RECURSIVE named
+maps over arbitrary-depth dynamic JSON (walk-the-document transforms).
+
+This is exactly the escape hatch SURVEY §7 phase 1 planned ("unsupported
+nodes compile to a mapInPandas stage over the envelope"): the mapping's
+AST runs per message over plain Python values inside an Arrow-batched
+UDF — the same execution model as the reference's tree-walking
+interpreter (internal/bloblang/mapping/executor.go:115), traded in
+ONLY when compilation raises. The hot path stays compiled; a pipeline
+only pays interpreter cost for the mappings that need it, and the
+stage is still embarrassingly parallel (narrow, no shuffle).
+
+The interpreted surface covers the dynamic-document subset recursion
+needs (type dispatch, map_each over objects/arrays, apply, or/catch,
+string escapes, arithmetic); anything outside it raises a clear
+error rather than silently diverging from the compiled semantics.
+"""
+
+from __future__ import annotations
+
+import html
+import json
+from typing import Any
+
+from bento_spark.bloblang import ast as A
+
+
+class InterpError(ValueError):
+    pass
+
+
+class _DeletedV:
+    """The Delete sentinel (value/type_helpers.go:74)."""
+
+
+class _NothingV:
+    """The Nothing sentinel (assignment skipped)."""
+
+
+DELETED_V = _DeletedV()
+NOTHING_V = _NothingV()
+MAX_APPLY_DEPTH = 64
+
+
+def _node_src(node: A.Node) -> str:
+    """Render simple receiver chains back to source-ish text for
+    reference-compatible error messages (`this.0`, `this.foo.bar`)."""
+    if isinstance(node, A.This):
+        return "this"
+    if isinstance(node, A.Path):
+        return ".".join([_node_src(node.base), *node.parts])
+    if isinstance(node, A.Index) and isinstance(node.index, A.Lit):
+        return f"{_node_src(node.base)}.{node.index.value}"
+    if isinstance(node, A.MethodCall):
+        return f"{_node_src(node.recv)}.{node.name}(...)"
+    return "this"
+
+
+def _btype(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, bytes):
+        return "bytes"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    return "unknown"
+
+
+class Interp:
+    def __init__(self, maps: dict[str, list], meta: dict[str, str],
+                 content: str = ""):
+        self.maps = maps
+        self.meta = meta
+        self.content = content
+        self.depth = 0
+
+    # -- expressions -------------------------------------------------------
+    def eval(self, node: A.Node, this: Any, vars_: dict[str, Any]) -> Any:
+        if isinstance(node, A.Lit):
+            return node.value
+        if isinstance(node, A.ArrayLit):
+            out = []
+            for i in node.items:
+                v = self.eval(i, this, vars_)
+                if v is DELETED_V or v is NOTHING_V:
+                    continue
+                out.append(v)
+            return out
+        if isinstance(node, A.ObjectLit):
+            out = {}
+            for k, v in node.entries:
+                key = self.eval(k, this, vars_)
+                val = self.eval(v, this, vars_)
+                if val is DELETED_V or val is NOTHING_V:
+                    continue
+                out[key] = val
+            return out
+        if isinstance(node, A.This):
+            return this
+        if isinstance(node, A.Path):
+            if isinstance(node.base, A.This):
+                head, *rest = node.parts
+                if head in vars_:
+                    cur = vars_[head]
+                elif isinstance(this, dict):
+                    cur = this.get(head)
+                else:
+                    cur = None
+                parts = rest
+            else:
+                cur = self.eval(node.base, this, vars_)
+                parts = node.parts
+            for p in parts:
+                cur = cur.get(p) if isinstance(cur, dict) else None
+            return cur
+        if isinstance(node, A.Index):
+            base = self.eval(node.base, this, vars_)
+            idx = self.eval(node.index, this, vars_)
+            if isinstance(base, list) and isinstance(idx, int):
+                if -len(base) <= idx < len(base):
+                    return base[idx]
+            return None
+        if isinstance(node, A.Var):
+            if node.name not in vars_:
+                raise InterpError(f"unknown variable ${node.name}")
+            return vars_[node.name]
+        if isinstance(node, A.UnOp):
+            v = self.eval(node.operand, this, vars_)
+            return (not v) if node.op == "!" else -v
+        if isinstance(node, A.BinOp):
+            if node.op == "|":
+                left = self.eval(node.left, this, vars_)
+                if left is not None and left is not NOTHING_V:
+                    return left
+                return self.eval(node.right, this, vars_)
+            left = self.eval(node.left, this, vars_)
+            right = self.eval(node.right, this, vars_)
+            return self._binop(node.op, left, right)
+        if isinstance(node, A.If):
+            if self.eval(node.cond, this, vars_):
+                return self.eval(node.then, this, vars_)
+            if isinstance(node.orelse, A.Node):
+                return self.eval(node.orelse, this, vars_)
+            return NOTHING_V
+        if isinstance(node, A.Match):
+            subj = (
+                self.eval(node.subject, this, vars_)
+                if node.subject is not None else None
+            )
+            ctx = subj if node.subject is not None else this
+            for cond, value in node.cases:
+                if cond is None:
+                    return self.eval(value, ctx, vars_)
+                if isinstance(cond, A.Lit) and node.subject is not None:
+                    if subj == cond.value:
+                        return self.eval(value, ctx, vars_)
+                    continue
+                if self.eval(cond, ctx, vars_):
+                    return self.eval(value, ctx, vars_)
+            return NOTHING_V
+        if isinstance(node, A.FuncCall):
+            return self._func(node, this, vars_)
+        if isinstance(node, A.MethodCall):
+            return self._method(node, this, vars_)
+        raise InterpError(f"interpreter cannot evaluate {node!r}")
+
+    @staticmethod
+    def _binop(op: str, a: Any, b: Any) -> Any:
+        if op == "+":
+            if isinstance(a, str) or isinstance(b, str):
+                return f"{a}{b}"
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "%":
+            return a % b
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == ">":
+            return a > b
+        if op == "<":
+            return a < b
+        if op == ">=":
+            return a >= b
+        if op == "<=":
+            return a <= b
+        if op == "&&":
+            return bool(a) and bool(b)
+        if op == "||":
+            return bool(a) or bool(b)
+        raise InterpError(f"unknown operator {op}")
+
+    def _func(self, node: A.FuncCall, this: Any, vars_: dict) -> Any:
+        if node.name == "deleted":
+            return DELETED_V
+        if node.name == "content":
+            return self.content
+        if node.name in ("meta", "metadata"):
+            key = self.eval(node.args[0], this, vars_) if node.args else None
+            return self.meta.get(key) if key is not None else dict(self.meta)
+        if node.name == "throw":
+            raise InterpError(str(self.eval(node.args[0], this, vars_)))
+        raise InterpError(f"interpreter function {node.name}() unsupported")
+
+    def _method(self, node: A.MethodCall, this: Any, vars_: dict) -> Any:
+        name = node.name
+        if name == "apply":
+            map_name = self.eval(node.args[0], this, vars_)
+            return self.apply_map(
+                str(map_name), self.eval(node.recv, this, vars_)
+            )
+        if name in ("or", "catch"):
+            try:
+                recv = self.eval(node.recv, this, vars_)
+            except InterpError:
+                recv = None
+            if recv is None or recv is NOTHING_V:
+                return self.eval(node.args[0], this, vars_)
+            return recv
+        recv = self.eval(node.recv, this, vars_)
+        if name == "type":
+            return _btype(recv)
+        if name == "map_each":
+            fn = node.args[0]
+            if isinstance(recv, list):
+                out = []
+                for el in recv:
+                    v = self._call_fn(fn, el, vars_)
+                    if v is DELETED_V or v is NOTHING_V:
+                        continue
+                    out.append(v)
+                return out
+            if isinstance(recv, dict):
+                # object map_each: element = {key, value}; the result
+                # replaces the VALUE (methods_structured.go map_each)
+                out = {}
+                for k, v in recv.items():
+                    el = {"key": k, "value": v}
+                    nv = self._call_fn(fn, el, vars_)
+                    if nv is DELETED_V or nv is NOTHING_V:
+                        continue
+                    out[k] = nv
+                return out
+            raise InterpError(
+                f"expected array value, got {_btype(recv)} from "
+                f"field `{_node_src(node.recv)}`"
+            )
+        if name == "filter" and isinstance(recv, list):
+            fn = node.args[0]
+            return [el for el in recv if self._call_fn(fn, el, vars_)]
+        if name == "unescape_html":
+            return html.unescape(str(recv))
+        if name == "escape_html":
+            return html.escape(str(recv), quote=False)
+        if name == "uppercase":
+            return str(recv).upper()
+        if name == "lowercase":
+            return str(recv).lower()
+        if name == "trim":
+            cut = (
+                str(self.eval(node.args[0], this, vars_))
+                if node.args else None
+            )
+            return str(recv).strip(cut) if cut else str(recv).strip()
+        if name == "string":
+            if isinstance(recv, (dict, list)):
+                return json.dumps(recv, separators=(",", ":"))
+            return str(recv)
+        if name == "number":
+            try:
+                return float(recv)
+            except (TypeError, ValueError):
+                if node.args:
+                    return self.eval(node.args[0], this, vars_)
+                raise InterpError(f"not a number: {recv!r}") from None
+        if name == "length":
+            return len(recv)
+        if name == "keys":
+            if not isinstance(recv, dict):
+                raise InterpError(
+                    f"expected object value, got {_btype(recv)} from "
+                    f"field `{_node_src(node.recv)}`"
+                )
+            return sorted(recv.keys())
+        if name == "values" and isinstance(recv, dict):
+            return [recv[k] for k in sorted(recv)]
+        if name == "not_null":
+            if recv is None:
+                raise InterpError("value is null")
+            return recv
+        raise InterpError(f"interpreter method {name}() unsupported")
+
+    def _call_fn(self, fn: A.Node, element: Any, vars_: dict) -> Any:
+        if isinstance(fn, A.Lambda):
+            return self.eval(
+                fn.body, element, {**vars_, fn.params[0]: element}
+            )
+        # bare expression: the element binds as `this`
+        return self.eval(fn, element, vars_)
+
+    # -- maps / mappings ---------------------------------------------------
+    def apply_map(self, name: str, value: Any) -> Any:
+        if name not in self.maps:
+            raise InterpError(f"unknown named map {name!r}")
+        self.depth += 1
+        if self.depth > MAX_APPLY_DEPTH:
+            raise InterpError(
+                f"named-map recursion deeper than {MAX_APPLY_DEPTH}"
+            )
+        try:
+            return self.run_statements(self.maps[name], value)
+        finally:
+            self.depth -= 1
+
+    def run_statements(self, stmts: list, this: Any) -> Any:
+        root: Any = NOTHING_V
+        vars_: dict[str, Any] = {}
+        for stmt in stmts:
+            if isinstance(stmt, A.MapDef):
+                self.maps[stmt.name] = stmt.statements
+                continue
+            if isinstance(stmt, A.LetAssign):
+                vars_[stmt.name] = self.eval(stmt.expr, this, vars_)
+                continue
+            if isinstance(stmt, A.MetaAssign):
+                v = self.eval(stmt.expr, this, vars_)
+                if v is not NOTHING_V and v is not DELETED_V:
+                    self.meta[stmt.key] = (
+                        v if isinstance(v, str)
+                        else json.dumps(v, separators=(",", ":"))
+                    )
+                continue
+            if isinstance(stmt, A.Assign):
+                v = self.eval(stmt.expr, this, vars_)
+                if stmt.target == ():
+                    if v is DELETED_V:
+                        return DELETED_V
+                    if v is not NOTHING_V:
+                        root = v
+                    continue
+                if v is NOTHING_V:
+                    continue
+                if root is NOTHING_V or not isinstance(root, dict):
+                    root = {} if root is NOTHING_V else root
+                    if not isinstance(root, dict):
+                        root = {}
+                cur = root
+                for p in stmt.target[:-1]:
+                    cur = cur.setdefault(p, {})
+                if v is DELETED_V:
+                    cur.pop(stmt.target[-1], None)
+                else:
+                    cur[stmt.target[-1]] = v
+                continue
+            raise InterpError(f"interpreter statement {stmt!r} unsupported")
+        return this if root is NOTHING_V else root
+
+
+def interpret_mapping(src: str, content: str, meta: dict[str, str]) -> Any:
+    """Run a mapping over one message (Python values). ``this`` is the
+    lazily-parsed content (data.go:57-68); the return value is the new
+    document (DELETED_V = message dropped)."""
+    from bento_spark.bloblang.parser import parse_mapping
+
+    ast = parse_mapping(src)
+    try:
+        doc: Any = json.loads(content)
+    except (ValueError, TypeError):
+        doc = None  # non-JSON content: `this` reads null, content() raw
+    it = Interp({}, dict(meta or {}), content)
+    # pre-register named maps so statement order doesn't matter
+    for stmt in ast.statements:
+        if isinstance(stmt, A.MapDef):
+            it.maps[stmt.name] = stmt.statements
+    stmts = [s for s in ast.statements if not isinstance(s, A.MapDef)]
+    out = it.run_statements(stmts, doc)
+    if out is doc and doc is None:
+        out = content  # nothing assigned over raw content
+    return out, it.meta
+
+
+def interpreted_mapping_df(df, src: str, content_col: str = "content"):
+    """Arrow-batched interpreter stage: one python pass per message,
+    narrow (no shuffle) — the tier-c fallback `mapping` uses when
+    compilation raises on recursion."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import META, ensure_envelope
+
+    df = ensure_envelope(df)
+    has_idx = "__idx" in df.columns
+    cols = "content string, _metadata map<string,string>, _error string" + (
+        ", __idx long" if has_idx else ""
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"content": [], "_metadata": [], "_error": []}
+            if has_idx:
+                out["__idx"] = []
+            for _, row in pdf.iterrows():
+                meta = dict(row[META]) if row[META] is not None else {}
+                content = row.get(content_col)
+                if content is None and "__raw" in row:
+                    content = row["__raw"]
+                err = row.get("_error")
+                try:
+                    doc, meta = interpret_mapping(
+                        src, "" if content is None else str(content), meta
+                    )
+                    if doc is DELETED_V:
+                        continue
+                    text = (
+                        doc if isinstance(doc, str)
+                        else json.dumps(doc, separators=(",", ":"),
+                                        sort_keys=True)
+                    )
+                except InterpError as e:
+                    text = content
+                    err = err or f"failed assignment (line 1): {e}"
+                out["content"].append(text)
+                out["_metadata"].append(meta)
+                out["_error"].append(err)
+                if has_idx:
+                    out["__idx"].append(row["__idx"])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, cols)

@@ -54,10 +54,24 @@ def _lift_content(df: DataFrame) -> DataFrame:
 
 
 def _proc_mapping(df: DataFrame, conf) -> DataFrame:
-    """`mapping` (processor_mapping.go:15): new document."""
-    return compile_mapping(conf if isinstance(conf, str) else conf["query"]).apply(
-        _lift_content(df), new_document=True
-    )
+    """`mapping` (processor_mapping.go:15): new document. Mappings the
+    Column compiler cannot express (recursive named maps walking
+    arbitrary-depth JSON) fall back to the tier-c Arrow-batched
+    interpreter (bloblang/interp.py) — per-message tree walking, the
+    reference's own execution model, traded in only on demand."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    src = conf if isinstance(conf, str) else conf["query"]
+    lifted = _lift_content(df)
+    try:
+        return compile_mapping(src).apply(lifted, new_document=True)
+    except (RecursionError, AnalysisException):
+        # recursion the column engine can't inline, or a per-message
+        # dynamic type error (the reference surfaces those on each
+        # message's error, not as config failures)
+        from bento_spark.bloblang.interp import interpreted_mapping_df
+
+        return interpreted_mapping_df(df, src)
 
 
 def _proc_mutation(df: DataFrame, conf) -> DataFrame:

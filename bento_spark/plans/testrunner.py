@@ -91,8 +91,12 @@ def _batch_df(spark: SparkSession, rows: list, is_json: bool) -> DataFrame:
         docs = [
             json.dumps({
                 **doc, "__idx": i,
-                "__raw": json.dumps(doc, sort_keys=True,
-                                    separators=(",", ":")),
+                # the array-lift wrapper is transport, not document —
+                # __raw records the true original
+                "__raw": json.dumps(
+                    doc["__document"] if set(doc) == {"__document"} else doc,
+                    sort_keys=True, separators=(",", ":"),
+                ),
                 "__meta_json": json.dumps({**meta, "__idx": str(i)}),
             })
             for i, (doc, meta) in enumerate(rows)

@@ -3,17 +3,14 @@
 strongest end-to-end parity evidence there is: the upstream project's
 golden inputs/outputs, untouched.
 
-31 of the 33 test-bearing fixtures pass (pinned below so regressions
-gate CI). The two exceptions are documented dynamic-typing frontiers:
-
-* ``bloblang/walk_json.yaml`` — a RECURSIVE named map over
-  arbitrary-depth JSON; a compile-to-columns engine cannot inline
-  unbounded recursion (the reference interprets per message).
-* ``bloblang/csv_formatter_test.yaml`` case "Empty" — asserts the
-  interpreter's exact runtime error text for a null structural access
-  (`expected object value, got null from field ...`); our analysis
-  rejects the plan instead of producing that per-message string.
-  (Case "Consistent objects" passes.)
+ALL 33 test-bearing fixtures pass (pinned below so regressions gate
+CI). The last two — recursive named maps over arbitrary-depth JSON and
+interpreter-exact runtime error text — ride the tier-c Arrow-batched
+interpreter fallback (bloblang/interp.py): mappings the Column
+compiler cannot express (RecursionError) or that hit per-message
+dynamic type errors (AnalysisException) re-run as per-message tree
+walking, the reference's own execution model, traded in only on
+demand.
 """
 
 from __future__ import annotations
@@ -27,12 +24,7 @@ from bento_spark.plans.testrunner import run_config_tests
 
 REF = "/root/reference/config/test"
 
-KNOWN_GAPS = {
-    "bloblang/walk_json.yaml": "recursive named map (unbounded inlining)",
-    "bloblang/csv_formatter_test.yaml": (
-        "one case asserts interpreter-exact runtime error text"
-    ),
-}
+KNOWN_GAPS: dict[str, str] = {}
 
 
 def _fixtures():
