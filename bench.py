@@ -43,6 +43,38 @@ HEADLINE = [
 ]
 
 
+# Reference wall-clock for one canary run on an otherwise-idle 32-thread
+# host (median of repeated runs, measured on the round-5 build machine).
+# The canary workload below is constant-size — independent of SF, of the
+# query set, and of any code in this repo — so canary_sec / CANARY_REF_SEC
+# estimates how contended the host was DURING the bench. Recalibrate only
+# if the canary workload itself changes.
+CANARY_REF_SEC = 0.55
+
+
+def run_canary(spark) -> float:
+    """Fixed-size in-memory aggregate; times host/JVM health, not our code.
+
+    spark.range is generated in-memory (no IO), the agg is one codegen'd
+    stage with a tiny shuffle — its wall-clock moves only with host
+    co-tenancy, CPU throttling, or JVM pressure. Round-4's driver bench
+    showed a uniform ~2-4x inflation across byte-identical queries caused
+    by a co-tenanted host; this canary makes that failure mode detectable
+    from the emitted JSON itself (see README "Reading bench output").
+    """
+    from pyspark.sql import functions as F
+
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.time()
+    (
+        spark.range(0, 200_000_000, 1, 32)
+        .groupBy((F.col("id") % 1024).alias("k"))
+        .agg(F.sum(F.col("id") * 3 + 1).alias("s"), F.count("*").alias("c"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return round(time.time() - t0, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as e
@@ -63,6 +95,10 @@ def main():
             qs[name](spark, warm).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass
+
+    # Canary before the suite (post-warm, so codegen of range/agg is paid).
+    run_canary(spark)  # warm the canary's own codegen
+    canary_pre = run_canary(spark)
 
     # median-of-3 per query, fixed run order (round-2 verdict #10):
     # single-shot timings suffer multi-second sporadic stalls from host
@@ -91,6 +127,12 @@ def main():
                 break
         times[name] = sorted(runs)[len(runs) // 2] if runs else -1.0
     total = round(sum(t for t in times.values() if t >= 0), 3)
+
+    canary_post = run_canary(spark)
+    canary_sec = round((canary_pre + canary_post) / 2, 3)
+    # noise_factor ~1.0 on a quiet host; >1.3 means the run was contended
+    # and `value` overstates the code's cost — read normalized_total_sec.
+    noise_factor = round(max(canary_sec / CANARY_REF_SEC, 1.0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -100,6 +142,12 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "canary_pre_sec": canary_pre,
+                "canary_post_sec": canary_post,
+                "canary_sec": canary_sec,
+                "canary_ref_sec": CANARY_REF_SEC,
+                "noise_factor": noise_factor,
+                "normalized_total_sec": round(total / noise_factor, 3),
             }
         )
     )

@@ -205,6 +205,7 @@ def brute_force_topk_gemm(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Exact cosine top-k via per-partition numpy GEMM — the
     INTEGER-VECTOR fast path.
@@ -235,22 +236,42 @@ def brute_force_topk_gemm(
     the argpartition-by-cosine prefilter keeps the full tie group at
     the k-th cosine, then the (cos, id) sort truncates it back to k —
     tie-heavy data (e.g. many zero-similarity pairs) costs one sort of
-    the tie group, never an unbounded candidate set."""
+    the tie group, never an unbounded candidate set.
+
+    BOUNDED-QUERY CONTRACT — ``max_queries`` is ENFORCED, mirroring
+    dedup_embedding_cosine's ``max_rows`` routing: the query matrix is
+    collected to the driver and shipped to every task, so an unbounded
+    query set turns both the driver collect and the per-task GEMM into
+    O(corpus) at a fixed query fraction. Callers with larger query sets
+    belong on ``lsh_ann_topk`` (bucketed equi-join, no driver
+    materialization). Q ships via ``SparkContext.broadcast`` — one
+    torrent transfer per executor, not a copy serialized into every
+    task binary."""
     from pyspark.sql.types import (
         DoubleType, LongType, StructField, StructType,
     )
 
     q_rows = queries.select(
         F.col(id_col).cast("long"), as_double(F.col(vec_col))
-    ).collect()
+    ).limit(max_queries + 1).collect()
     if not q_rows:
         raise ValueError("brute_force_topk_gemm: empty query set")
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_gemm: query set exceeds max_queries="
+            f"{max_queries}; the GEMM path materializes Q on the driver "
+            f"and broadcasts it to every task, so it is for BOUNDED query "
+            f"sets only — use lsh_ann_topk for large query sets (bucketed "
+            f"equi-join, fully distributed), or raise max_queries "
+            f"explicitly if the memory cost is understood"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((Q * Q).sum(axis=1))
     keep = q_norm > 0
     q_ids, Q, q_norm = q_ids[keep], Q[keep], q_norm[keep]
     nq = len(q_ids)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, q_norm))
 
     out_schema = StructType([
         StructField("query_id", LongType()),
@@ -261,6 +282,7 @@ def brute_force_topk_gemm(
     def gen(batches):
         import pandas as pd
 
+        q_ids, Q, q_norm = bc.value
         # per-query candidate buffers across the partition's batches
         cand: list[list[tuple[float, int]]] = [[] for _ in range(nq)]
         for pdf in batches:

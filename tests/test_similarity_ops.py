@@ -49,3 +49,27 @@ def test_lsh_excludes_zero_norm(spark):
     assert all(not math.isnan(r["cos_sim"]) for r in rows)
     assert all(r["neighbor_id"] != 3 for r in rows)
     assert {r["query_id"] for r in rows} <= {0}
+
+
+def test_gemm_max_queries_guard(spark):
+    """brute_force_topk_gemm materializes + broadcasts Q, so it must
+    REFUSE unbounded query sets (round-4 verdict #2) and point large
+    callers at lsh_ann_topk instead of silently scaling O(corpus)."""
+    import pytest
+
+    from bento_spark.operators.similarity import brute_force_topk_gemm
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk_gemm(emb, emb, "vec_id", "embedding", k=2, max_queries=3)
+    # within bounds it runs and matches the codegen path on integer vecs
+    ints = spark.createDataFrame(
+        [(i, [float(x) for x in ((i + 1, i % 3, 2, 0))]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    q = ints.filter(F.col("vec_id") < 2)
+    got = brute_force_topk_gemm(ints, q, "vec_id", "embedding", k=3, max_queries=10)
+    ref = brute_force_topk(ints, q, "vec_id", "embedding", k=3, dim=4)
+    g = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    r = {(r.query_id, r.rank): r.neighbor_id for r in ref.collect()}
+    assert g == r
