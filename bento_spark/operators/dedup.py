@@ -67,13 +67,46 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     # caller, or any shuffle-producing join/aggregate) is genuinely
     # spread regardless of file count — stacking another exchange on it
     # would shuffle the (often UDF-widened) intermediate a second time.
+    # The probe walks the analyzed plan's NODE TYPES (nodeName per
+    # logical operator class) rather than substring-matching the
+    # rendered plan string: a column or alias containing "Join" or
+    # "Aggregate" (`JoinKey`, `pre_Aggregate`) must not suppress a
+    # needed repartition (round-4 verdict #6).
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if "Repartition" in plan or "Join" in plan or "Aggregate" in plan:
+        if _plan_redistributes(df._jdf.queryExecution().analyzed()):
             return df
     except Exception:
         pass
     return df.repartition(par)
+
+
+_REDISTRIBUTING_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Distinct",
+        # NOT Window: a global (unpartitioned) Window concentrates
+        # everything on one partition — the opposite of redistributed.
+    }
+)
+
+
+def _plan_redistributes(jplan) -> bool:
+    """True if any logical node in the tree is a shuffle-introducing
+    operator class (checked by ``nodeName`` — the operator's class
+    name, immune to column naming)."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _REDISTRIBUTING_NODES:
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:

@@ -65,12 +65,31 @@ def _proc_mapping(df: DataFrame, conf) -> DataFrame:
     lifted = _lift_content(df)
     try:
         return compile_mapping(src).apply(lifted, new_document=True)
-    except (RecursionError, AnalysisException):
+    except (RecursionError, AnalysisException) as ex:
         # recursion the column engine can't inline, or a per-message
         # dynamic type error (the reference surfaces those on each
         # message's error, not as config failures)
-        from bento_spark.bloblang.interp import interpreted_mapping_df
+        #
+        # The trade-in is a 10-100x perf cliff (codegen'd Columns ->
+        # per-message Python tree walk) that stays RESULT-correct, so
+        # it must never happen silently: every engagement is counted in
+        # the default MetricsRegistry and logged with the mapping
+        # source. tests/test_interp_fallback_gate.py asserts the gate /
+        # bench mappings never engage it — a compiler regression that
+        # demotes a hot path turns CI red instead of just slow.
+        import logging
 
+        from bento_spark.bloblang.interp import interpreted_mapping_df
+        from bento_spark.observability import default_registry
+
+        default_registry().counter(
+            "bloblang.interpreter_fallback", reason=type(ex).__name__
+        )
+        logging.getLogger("bento_spark.bloblang").warning(
+            "mapping fell back to the tier-c interpreter (%s); source: %.200s",
+            type(ex).__name__,
+            src,
+        )
         return interpreted_mapping_df(df, src)
 
 

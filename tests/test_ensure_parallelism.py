@@ -1,0 +1,41 @@
+"""ensure_parallelism's "already redistributes" probe must inspect plan
+NODE TYPES, not the rendered plan string (round-4 verdict #6): a column
+named `JoinKey` renders the substring "Join" into the plan text, which
+the old substring probe read as an upstream join and silently skipped a
+needed repartition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bento_spark.operators.dedup import ensure_parallelism
+
+
+def test_join_like_column_name_does_not_suppress(spark):
+    par = spark.sparkContext.defaultParallelism
+    # LocalRelation: zero input files, no shuffle anywhere in the plan —
+    # but both column names embed redistributing-operator substrings.
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(20)], ["JoinKey", "pre_Aggregate"]
+    ).select("JoinKey", (F.col("pre_Aggregate") + 1).alias("AggregateOut"))
+    out = ensure_parallelism(df)
+    assert out.rdd.getNumPartitions() == par, (
+        "repartition was suppressed by a column NAME matching an "
+        "operator substring"
+    )
+
+
+def test_real_aggregate_suppresses_repartition(spark):
+    df = (
+        spark.createDataFrame([(i, i % 3) for i in range(20)], ["id", "k"])
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+    out = ensure_parallelism(df)
+    assert out is df, "an actual Aggregate upstream must skip the exchange"
+
+
+def test_real_repartition_suppresses(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], ["id"]).repartition(4)
+    out = ensure_parallelism(df)
+    assert out is df
