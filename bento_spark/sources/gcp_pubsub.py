@@ -7,11 +7,11 @@ google-cloud-pubsub SDK. Reference parity: the gcp_pubsub input/output
 Auth: an injectable ``token_provider`` supplies the ``Bearer`` token
 per request. Against the official emulator (PUBSUB_EMULATOR_HOST
 contract) no token is required, which is exactly what the in-process
-test server replicates; against real GCP, plug a provider that mints
-OAuth tokens (an RSA/JWT service-account flow needs a crypto runtime
-this container doesn't have — the request layer is identical either
-way, and the server test verifies the Bearer header when a provider is
-set).
+test server replicates; against real GCP, plug
+``functions.gcpauth.service_account_token_provider`` — the real
+RS256 JWT-bearer flow over the from-scratch signer, verified
+end-to-end in tests/test_gcpauth.py (signature-checking token server
+feeding this client's Bearer header).
 
 Delivery: pull/ack is destructive two-phase like SQS/Azure, so ingest
 uses the same stage-durably-then-ack drain; unacked messages redeliver

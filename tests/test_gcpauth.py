@@ -1,0 +1,168 @@
+"""Real GCP service-account OAuth (round-4 verdict #4): the JWT-bearer
+token flow runs against an in-process token endpoint that VERIFIES the
+RS256 signature bit-for-bit with the matching public key and checks the
+claim set before minting an access token — then the token flows into a
+GCP client's Authorization header. Also pins the PKCS#8 PEM round-trip
+the credentials file path depends on."""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from bento_spark.functions.gcpauth import (
+    GRANT_TYPE,
+    parse_pkcs8_rsa_pem,
+    pkcs8_rsa_pem,
+    service_account_token_provider,
+)
+from bento_spark.functions.rsa import generate_keypair, verify_rs256
+
+KEY = generate_keypair(1024)  # module-level: one keygen for all tests
+
+
+def _b64u_dec(s: str) -> bytes:
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
+class _TokenHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        srv = self.server
+        form = urllib.parse.parse_qs(
+            self.rfile.read(int(self.headers.get("Content-Length", 0))).decode()
+        )
+        try:
+            assert form["grant_type"] == [GRANT_TYPE]
+            head_b64, body_b64, sig_b64 = form["assertion"][0].split(".")
+            n, e, _d = srv.key
+            assert verify_rs256(
+                f"{head_b64}.{body_b64}".encode(), _b64u_dec(sig_b64), n, e
+            ), "bad RS256 signature"
+            assert json.loads(_b64u_dec(head_b64)) == {
+                "alg": "RS256", "typ": "JWT",
+            }
+            claims = json.loads(_b64u_dec(body_b64))
+            assert claims["iss"] == srv.expect_email
+            assert claims["aud"] == srv.token_uri
+            assert claims["scope"] == srv.expect_scope
+            assert claims["exp"] > claims["iat"]
+        except (AssertionError, KeyError, ValueError) as ex:
+            self._reply(400, {"error": "invalid_grant", "detail": str(ex)})
+            return
+        srv.grants += 1
+        self._reply(
+            200,
+            {"access_token": f"tok-{srv.grants}", "expires_in": 3600,
+             "token_type": "Bearer"},
+        )
+
+    def _reply(self, code, obj):
+        data = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("content-type", "application/json")
+        self.send_header("content-length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+@pytest.fixture
+def token_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _TokenHandler)
+    srv.key = KEY
+    srv.grants = 0
+    srv.expect_email = "svc@proj.iam.gserviceaccount.com"
+    srv.expect_scope = "https://www.googleapis.com/auth/pubsub"
+    srv.token_uri = f"http://127.0.0.1:{srv.server_address[1]}/token"
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _creds(srv) -> dict:
+    n, e, d = KEY
+    return {
+        "type": "service_account",
+        "client_email": srv.expect_email,
+        "private_key": pkcs8_rsa_pem(n, e, d),
+        "token_uri": srv.token_uri,
+    }
+
+
+def test_pem_roundtrip():
+    n, e, d = KEY
+    assert parse_pkcs8_rsa_pem(pkcs8_rsa_pem(n, e, d)) == (n, e, d)
+
+
+def test_token_flow_signature_verified(token_server):
+    fake_now = [1_700_000_000.0]
+    provider = service_account_token_provider(
+        _creds(token_server),
+        scope=token_server.expect_scope,
+        now=lambda: fake_now[0],
+    )
+    assert provider() == "tok-1"
+    assert token_server.grants == 1
+    # cached: no second grant inside the lifetime
+    assert provider() == "tok-1"
+    assert token_server.grants == 1
+    # refresh after expiry margin
+    fake_now[0] += 3600
+    assert provider() == "tok-2"
+    assert token_server.grants == 2
+
+
+def test_rejects_wrong_key(token_server):
+    n, e, d = generate_keypair(1024)
+    creds = _creds(token_server)
+    creds["private_key"] = pkcs8_rsa_pem(n, e, d)  # key the server doesn't trust
+    provider = service_account_token_provider(
+        creds, scope=token_server.expect_scope
+    )
+    with pytest.raises(Exception, match="400|invalid_grant"):
+        provider()
+
+
+def test_provider_feeds_gcp_client_header(token_server):
+    """End-to-end: the minted token arrives as the Bearer header on a
+    real GCP client request (PubSubClient publish)."""
+    from bento_spark.sources.gcp_pubsub import PubSubClient
+
+    seen = {}
+
+    class _PS(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            seen["auth"] = self.headers.get("Authorization")
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            data = json.dumps({"messageIds": ["1"]}).encode()
+            self.send_response(200)
+            self.send_header("content-length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    ps = ThreadingHTTPServer(("127.0.0.1", 0), _PS)
+    threading.Thread(target=ps.serve_forever, daemon=True).start()
+    try:
+        provider = service_account_token_provider(
+            json.dumps(_creds(token_server)),  # JSON-text credential form
+            scope=token_server.expect_scope,
+        )
+        client = PubSubClient(
+            f"http://127.0.0.1:{ps.server_address[1]}", "proj",
+            token_provider=provider,
+        )
+        client.publish("topic1", ["hello"])
+        assert seen["auth"] == "Bearer tok-1"
+    finally:
+        ps.shutdown()
