@@ -278,6 +278,43 @@ class GrpcClient:
         message (ReadRows/MutateRows-style RPCs stream many)."""
         return self._call_raw(path, message, metadata)
 
+    def request_client_stream(
+        self, path: str, messages: list[bytes],
+        metadata: list[tuple[str, str]] | None = None,
+    ) -> list[bytes]:
+        """Client-/bidi-streaming call (AppendRows-style): each message
+        goes as its own grpc frame across DATA frames (chunked to the
+        16 KiB default max frame size), END_STREAM after the last, then
+        every response message is read back. Send-then-drain halves the
+        duplex: fine for RPCs whose responses are small acks (AppendRows
+        returns per-request offsets), since the server can always sink
+        our DATA while we send; a response stream larger than the
+        socket buffers would need interleaved reads."""
+        if not messages:
+            raise ValueError("client stream needs at least one message")
+        self._stream_id += 2
+        sid = self._stream_id
+        headers = [
+            (":method", "POST"), (":scheme", "http"),
+            (":path", path), (":authority", self.authority),
+            ("content-type", "application/grpc"),
+            ("te", "trailers"),
+            ("user-agent", "bento-spark-grpc/1.0"),
+        ] + list(metadata or [])
+        out = bytearray(
+            encode_h2_frame(HEADERS, FLAG_END_HEADERS, sid, hpack_encode(headers))
+        )
+        for i, message in enumerate(messages):
+            body = b"\x00" + struct.pack(">I", len(message)) + message
+            chunks = [body[o:o + 16384] for o in range(0, len(body), 16384)]
+            for j, chunk in enumerate(chunks):
+                last = i == len(messages) - 1 and j == len(chunks) - 1
+                out += encode_h2_frame(
+                    DATA, FLAG_END_STREAM if last else 0, sid, chunk
+                )
+        self._sock.sendall(bytes(out))
+        return self._drain_response(sid)
+
     def _call_raw(self, path: str, message: bytes,
                   metadata: list[tuple[str, str]] | None = None) -> list[bytes]:
         self._stream_id += 2
@@ -295,6 +332,9 @@ class GrpcClient:
                             hpack_encode(headers))
             + encode_h2_frame(DATA, FLAG_END_STREAM, sid, body)
         )
+        return self._drain_response(sid)
+
+    def _drain_response(self, sid: int) -> list[bytes]:
         resp_headers: dict[str, str] = {}
         data = bytearray()
         while True:

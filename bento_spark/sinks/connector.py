@@ -2039,5 +2039,6 @@ def _amqp1_transport(conf: dict):
 
 
 # transports defined next to their protocol clients
+from bento_spark.operators import bigquery_write as _bqw  # noqa: E402,F401  (registers gcp_bigquery_write_api)
 from bento_spark.operators import bigtable as _bigtable  # noqa: E402,F401  (registers gcp_bigtable)
 from bento_spark.operators import snowflake as _snowflake  # noqa: E402,F401  (registers snowflake_put)
