@@ -40,9 +40,10 @@ _PRIORITY = [
     # LLM-data ops: text analysis (cheap, unique)
     "text_token_stats", "text_quality_score", "text_language_id",
     "text_fingerprint_winnow",
-    # windows / streaming semantics
-    "window_tumbling_hour", "window_sliding_hour", "window_session_user",
-    "dedupe_within_window",
+    # windows / streaming semantics (incl. the REAL checkpoint-restart
+    # Structured Streaming run — round-4 verdict #7)
+    "window_tumbling_hour", "window_session_user",
+    "dedupe_within_window", "stream_recovery_window",
     # multimodal (image/audio features + frame sampling in one slot)
     "mm_gauntlet",
     # similarity + dedup (first-class LLM-pipeline ops)
@@ -52,19 +53,19 @@ _PRIORITY = [
     # training-data corpus prep (each a distinct first-class op)
     "decontaminate_overlap", "pack_sequences_contiguous", "pii_redact",
     "quality_repetition_gopher", "sample_stratified_hash",
-    "kmeans_embedding_mixture", "corpus_shuffle_shards",
-    "dedup_incremental_snapshot", "embed_project_topk",
+    "kmeans_embedding_mixture", "embed_project_topk",
+    "dedup_span_clean",
     # join / agg planes (§2.6-2.7)
     "asof_join_last_login", "semi_anti_join", "top_k_per_group",
     "rollup_priority", "skew_salted_agg",
     # bloblang (§2.2)
-    "bloblang_mapping", "bloblang_stdlib2", "bloblang_stdlib3",
-    "bloblang_geoip",
+    "bloblang_mapping", "bloblang_stdlib2", "bloblang_geoip",
     # processors (distinct §2.1 planes; simple per-row ones gauntleted)
     "proc_flow_gauntlet",
     "proc_kv_enrich", "pipeline_yaml", "proc_workflow_dag",
     "proc_jmespath_collapse", "proc_jq", "proc_branch_enrich",
-    "proc_cache_lookup", "proc_http_enrich",
+    "proc_cache_lookup", "proc_http_enrich", "proc_javascript",
+    "mm_video_y4m",
     # consolidated codec/scanner/parser families
     "proc_parse_gauntlet", "proc_codec_gauntlet", "proc_archive_gauntlet",
     "scan_gauntlet",
@@ -72,6 +73,8 @@ _PRIORITY = [
     "relational_gauntlet",
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
+    "window_sliding_hour", "bloblang_stdlib3", "corpus_shuffle_shards",
+    "dedup_incremental_snapshot",
     "proc_switch_route", "proc_try_catch", "proc_group_by_value",
     "proc_select_parts", "proc_bounds_check", "json_variant_extract",
     "proc_metadata_topic", "proc_json_schema_full",

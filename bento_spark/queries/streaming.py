@@ -164,3 +164,131 @@ def dedupe_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "window_start")
     )
+
+
+@query(
+    "stream_recovery_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_recovery_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run inside the gate: file source ->
+    watermark -> tumbling window agg -> parquet sink with checkpoint,
+    KILLED mid-stream and RESTARTED from the checkpoint, the recovered
+    sink hash-matched against the batch oracle.
+
+    This is the engine's delivery contract made checkable (SURVEY §1.1:
+    the reference's transaction/ack model maps to checkpoint +
+    exactly-once file sink): state restore + the sink's _spark_metadata
+    transaction log must together yield exactly the batch answer even
+    though the first attempt died between microbatches.
+
+    Mechanics: events are staged as six TIME-RANGED files (watermark
+    advances monotonically file to file; mtime + lexicographic name fix
+    the FileStreamSource order) plus a far-future sentinel row whose
+    arrival pushes the watermark past every real window so append mode
+    emits them all; the sentinel's own window stays unemitted. Run 1
+    processes one file per trigger and is stopped after >=2 committed
+    batches; run 2 resumes availableNow from the checkpoint."""
+    import os
+    import shutil
+    import time as _time
+
+    base = f"/tmp/bento_spark_gate/stream_recovery_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, sink, ckpt = f"{base}/input", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(in_dir)
+
+    # withWatermark requires TIMESTAMP (not NTZ) — normalize explicitly
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds() + 1
+    n_slices = 6
+    for i in range(n_slices):
+        a = lo + __import__("datetime").timedelta(seconds=span * i / n_slices)
+        b = lo + __import__("datetime").timedelta(seconds=span * (i + 1) / n_slices)
+        part = ev.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b)))
+        tmp = f"{base}/tmp_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{src}", f"{in_dir}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+    flush = spark.createDataFrame(
+        [(hi + __import__("datetime").timedelta(hours=3), "__flush", 0.0)],
+        schema=ev.schema,
+    )
+    tmp = f"{base}/tmp_f"
+    flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.rename(f"{tmp}/{src}", f"{in_dir}/99_flush.parquet")
+    shutil.rmtree(tmp)
+    t0 = _time.time()
+    for i, name in enumerate(sorted(os.listdir(in_dir))):
+        os.utime(f"{in_dir}/{name}", (t0 + 10 * i, t0 + 10 * i))
+
+    def build_stream():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        win = F.window("ts", "1 hour")
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(win.alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+
+    # run 1: live trigger, killed after the second committed batch
+    q1 = (
+        build_stream()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        p = q1.lastProgress
+        if p is not None and p["batchId"] >= 1:
+            break
+        _time.sleep(0.1)
+    q1.stop()
+    q1.awaitTermination(30)
+
+    # run 2: recover from the checkpoint, drain everything, terminate
+    q2 = (
+        build_stream()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+
+    out = spark.read.parquet(sink).filter(F.col("event_type") != "__flush")
+    return out.orderBy("window_start", "event_type")

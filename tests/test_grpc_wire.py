@@ -247,3 +247,50 @@ def test_decoder_accepts_huffman_coded_literals():
              + bytes([0x80 | len(name)]) + name)
     d = HpackDecoder()
     assert d.decode(block) == [("no-cache", "no-cache")]
+
+
+def test_huffman_encode_rfc_vectors():
+    """RFC 7541 Appendix C huffman ENCODING vectors (C.4 / C.6) — the
+    encoder must produce the exact spec bytes, including EOS-prefix
+    padding of the final partial byte."""
+    from bento_spark.operators.grpc_wire import huffman_encode
+
+    assert huffman_encode(b"www.example.com") == bytes.fromhex(
+        "f1e3c2e5f23a6ba0ab90f4ff"
+    )
+    assert huffman_encode(b"no-cache") == bytes.fromhex("a8eb10649cbf")
+    assert huffman_encode(b"custom-key") == bytes.fromhex("25a849e95ba97d7f")
+    assert huffman_encode(b"custom-value") == bytes.fromhex("25a849e95bb8e8b4bf")
+    assert huffman_encode(b"302") == bytes.fromhex("6402")
+    assert huffman_encode(b"private") == bytes.fromhex("aec3771a4b")
+    assert huffman_encode(b"Mon, 21 Oct 2013 20:13:21 GMT") == bytes.fromhex(
+        "d07abe941054d444a8200595040b8166e082a62d1bff"
+    )
+    assert huffman_encode(b"https://www.example.com") == bytes.fromhex(
+        "9d29ad171863c78f0b97c8e9ae82ae43d3"
+    )
+
+
+def test_hpack_encode_huffman_when_shorter_roundtrip():
+    """hpack_encode picks the huffman form only when strictly shorter,
+    and HpackDecoder round-trips the result — wire bytes decoded by the
+    same decoder the in-process servers use."""
+    from bento_spark.operators.grpc_wire import (
+        HpackDecoder,
+        hpack_encode,
+        huffman_encode,
+    )
+
+    headers = [
+        (":path", "/google.bigtable.v2.Bigtable/MutateRows"),  # shrinks
+        ("x-sym", "###"),  # huffman EXPANDS (# is 12 bits): stays plain
+    ]
+    blob = hpack_encode(headers)
+    assert HpackDecoder().decode(blob) == headers
+    # the compressible path actually shipped huffman-coded: its encoded
+    # form (with H bit set) appears in the blob, the plain bytes do not
+    hpath = huffman_encode(b"/google.bigtable.v2.Bigtable/MutateRows")
+    assert hpath in blob
+    assert b"/google.bigtable" not in blob
+    # the incompressible value shipped plain
+    assert b"###" in blob
