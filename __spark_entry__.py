@@ -73,6 +73,7 @@ _PRIORITY = [
     "relational_gauntlet",
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
+    "ann_ivf_topk",
     "window_sliding_hour", "bloblang_stdlib3", "corpus_shuffle_shards",
     "dedup_incremental_snapshot",
     "proc_switch_route", "proc_try_catch", "proc_group_by_value",

@@ -331,3 +331,115 @@ def brute_force_topk_gemm(
     return candidates.withColumn(
         "rank", F.row_number().over(w)
     ).filter(F.col("rank") <= k)
+
+
+def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic Gaussian cell centroids for a seeded IVF index.
+
+    Random centroids give a valid Voronoi partition (coarse-quantizer
+    recall is lower than trained k-means, but the partition/probe
+    mechanics — the part that must scale — are identical); callers with
+    a training budget pass k-means centroids from operators/clustering
+    instead. The gate query uses the seeded form so the DuckDB oracle
+    can embed the SAME centroids as literals (the LSH-planes trick)."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_cells, dim))]
+
+
+def ivf_cell(vec_name: str, centroids: list[list[float]]) -> Column:
+    """Coarse-quantizer cell id: argmax_j cos(vec, centroid_j), as ONE
+    codegen'd expression (dot products over literal coefficients, like
+    lsh_bucket — no UDF, no join against a centroid table). Centroid
+    norms are constant, so cos ranking = dot/|c_j| ranking; ties take
+    the LOWEST cell index (first matching WHEN), mirroring the oracle's
+    CASE order."""
+    import math
+
+    dots = []
+    for cent in centroids:
+        nrm = math.sqrt(sum(x * x for x in cent))
+        d = " + ".join(
+            f"{vec_name}[{i}] * {repr(c)}D" for i, c in enumerate(cent)
+        )
+        dots.append(f"(({d}) / {repr(nrm)}D)")
+    g = "greatest(" + ", ".join(dots) + ")"
+    whens = " ".join(f"WHEN {d} THEN {j}" for j, d in enumerate(dots))
+    return F.expr(f"CASE {g} {whens} END")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate cosine top-k: coarse-quantize the corpus into
+    Voronoi cells once (narrow map — one literal argmax expression per
+    row, no shuffle), probe each query's ``nprobe`` nearest cells, and
+    search exactly within the probed cells.
+
+    100 TB design: the index pass adds ONE int column during the scan;
+    the join is a broadcast equi-join on cell id touching
+    ~nprobe/n_cells of the corpus; n_cells scales with corpus size the
+    same way auto_n_planes does for LSH (cells ~ rows/target so
+    per-probe work stays constant). No driver state beyond the
+    centroid list itself."""
+    if centroids is None:
+        centroids = ivf_centroids(dim, n_cells, seed)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .filter(F.exists("cv", lambda x: x != 0))  # zero-norm: NaN cosine
+        .withColumn("cell", ivf_cell("cv", centroids))
+        .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .filter(F.exists("qv", lambda x: x != 0))
+        .withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
+    )
+    # probe cells: rank ALL cell affinities per query (small side only —
+    # the corpus never explodes), keep the top nprobe
+    import math
+
+    affin = []
+    for j, cent in enumerate(centroids):
+        nrm = math.sqrt(sum(x * x for x in cent))
+        d = " + ".join(f"qv[{i}] * {repr(c)}D" for i, c in enumerate(cent))
+        affin.append(f"named_struct('d', ({d}) / {repr(nrm)}D, 'j', {j})")
+    q = (
+        q.select(
+            "query_id", "qv", "qnrm",
+            F.explode(F.expr("array(" + ", ".join(affin) + ")")).alias("a"),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("a.d"), F.asc("a.j")
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "qv", "qnrm", F.col("a.j").alias("cell"))
+    )
+    sim = F.round(
+        dot_expr("qv", "cv", dim) / (F.col("qnrm") * F.col("cnrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

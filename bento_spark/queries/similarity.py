@@ -187,3 +187,70 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
+
+
+IVF_CELLS, IVF_NPROBE, IVF_SEED = 8, 2, 7
+
+
+def _ivf_oracle() -> str:
+    """Same seeded centroids as literals; DuckDB re-derives cell
+    assignment (CASE greatest over left-assoc dot chains — bit-identical
+    to the Spark codegen, the LSH-planes technique) and probes the top
+    nprobe cells per query."""
+    import math
+
+    cents = S.ivf_centroids(DIM, IVF_CELLS, IVF_SEED)
+
+    def aff(vec: str, cent: list[float]) -> str:
+        nrm = math.sqrt(sum(x * x for x in cent))
+        return f"({_dot_plane_sql(vec, cent)} / {_f(nrm)})"
+
+    c_affs = [aff("cv", c) for c in cents]
+    cell_case = (
+        "CASE greatest(" + ", ".join(c_affs) + ") "
+        + " ".join(f"WHEN {d} THEN {j}" for j, d in enumerate(c_affs))
+        + " END"
+    )
+    q_aff_structs = ", ".join(
+        f"struct_pack(j := {j}, d := {aff('qv', c)})"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}),
+     qa AS (SELECT query_id, qv, u.j AS cell, u.d AS d FROM (
+            SELECT query_id, qv, unnest([{q_aff_structs}]) AS u FROM q0)),
+     q AS (SELECT query_id, qv, cell FROM (
+             SELECT query_id, qv, cell,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY d DESC, cell) AS pr
+             FROM qa) WHERE pr <= {IVF_NPROBE}),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                  {cell_case} AS cell FROM embeddings)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, round({_COS}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({_COS}, 6) DESC, neighbor_id) AS rank
+  FROM q JOIN c USING (cell) WHERE query_id != neighbor_id
+) WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: seeded Voronoi coarse quantizer (8 cells,
+    nprobe=2) — the third ANN strategy beside brute-force and sign-LSH
+    (operators/similarity.ivf_topk; see its 100 TB notes: one narrow
+    index pass, broadcast probe join touching ~nprobe/n_cells of the
+    corpus). The oracle embeds the SAME centroids as SQL literals, so
+    cell assignment, probing, and ranking are all hash-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    df = S.ivf_topk(
+        emb, queries, "vec_id", "embedding", K,
+        n_cells=IVF_CELLS, nprobe=IVF_NPROBE, dim=DIM, seed=IVF_SEED,
+    )
+    return df.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")

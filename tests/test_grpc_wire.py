@@ -200,6 +200,13 @@ def test_ping_interleaved_mid_response(server):
     resp = c.request("/svc/M", pb_encode({"x": 3}, REQ_SCHEMA))
     assert pb_decode(resp, RESP_SCHEMA)["y"] == 6
     c.close()
+    # the PONG is on the wire before close(), but the server THREAD may
+    # not have read it yet — poll briefly instead of racing it
+    import time as _t
+
+    deadline = _t.time() + 5
+    while server.pongs != 1 and _t.time() < deadline:
+        _t.sleep(0.02)
     assert server.pongs == 1
 
 

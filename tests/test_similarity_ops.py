@@ -73,3 +73,28 @@ def test_gemm_max_queries_guard(spark):
     g = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
     r = {(r.query_id, r.rank): r.neighbor_id for r in ref.collect()}
     assert g == r
+
+
+def test_ivf_topk_basic(spark):
+    """IVF returns valid, deterministic rankings: no NaN, no self-pairs,
+    no zero-norm ids, <= k per query, ranks contiguous from 1, and two
+    runs with the same seed agree exactly (seeded centroids)."""
+    from bento_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id").isin(0, 3))
+    kw = dict(k=3, n_cells=2, nprobe=2, dim=DIM, seed=7)
+    rows = ivf_topk(emb, queries, "vec_id", "embedding", **kw).collect()
+    assert all(not math.isnan(r["cos_sim"]) for r in rows)
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    assert all(r["neighbor_id"] != 3 for r in rows)  # zero vector excluded
+    assert {r["query_id"] for r in rows} == {0}
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(ranks) + 1))
+    # nprobe = n_cells probes everything -> equals brute force here
+    ref = brute_force_topk(emb, queries, "vec_id", "embedding", k=3, dim=DIM)
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in rows} == {
+        (r.query_id, r.rank, r.neighbor_id) for r in ref.collect()
+    }
+    again = ivf_topk(emb, queries, "vec_id", "embedding", **kw).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
