@@ -42,6 +42,8 @@ HEADLINE = [
     "embed_project_topk",
     "pack_sequences_contiguous",
     "mm_image_features",
+    # round-5 addition: IVF coarse-quantizer ANN
+    "ann_ivf_topk",
 ]
 
 
