@@ -80,6 +80,7 @@ _PRIORITY = [
     "proc_select_parts", "proc_bounds_check", "json_variant_extract",
     "proc_metadata_topic", "proc_json_schema_full",
     "mm_image_features", "mm_audio_features", "mm_frame_sample",
+    "mm_image_resize",
     "q3_shipping_priority",
     "proc_mapping_enrich", "proc_dedupe_first",
     "pivot_event_types", "percentiles_value", "set_ops_users",

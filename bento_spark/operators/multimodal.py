@@ -749,3 +749,52 @@ def synth_y4m_udf(width: int = 8, height: int = 8):
             yield pdf
 
     return gen
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, channels int, phash string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    out_w: int,
+    out_h: int,
+) -> DataFrame:
+    """Decode + nearest-neighbor resize stage (the reference-adjacent
+    multimodal `resize` slot this module's docstring promises): BINARY
+    container -> RGB pixels -> (out_h, out_w, 3) via integer floor
+    index mapping (src = dst * src_dim // dst_dim) -> md5 of the
+    resized pixels.
+
+    Nearest-neighbor with pure integer index math keeps the stage
+    BIT-EXACT (the gate oracle rebuilds the same mapping in SQL);
+    interpolating kernels belong behind a real image lib. One
+    Arrow-batched narrow map, no shuffle — embarrassingly parallel at
+    any scale like the decode stage it extends."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": pdf[id_col].astype("int64"), "width": [],
+                    "height": [], "channels": [], "phash": []}
+            for b in pdf[bin_col]:
+                d = decode_image(bytes(b))
+                w, h, ch = d["width"], d["height"], d["channels"]
+                pix = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+                    h, w, ch
+                )
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                res = pix[ys][:, xs]
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["channels"].append(ch)
+                rows["phash"].append(
+                    hashlib.md5(res.tobytes()).hexdigest()[:16]
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(run, RESIZED_SCHEMA)

@@ -204,3 +204,40 @@ def mm_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_frame_features(
         with_payload, "doc_id", "payload", every_k=2
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "mm_image_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h FROM documents
+    ), p AS (
+      SELECT doc_id, w, h,
+             array_to_string([
+               array_to_string([
+                 array_to_string([
+                   chr(CAST(32 + (doc_id
+                        + 3 * ((y2 * h // 4) * w + (x2 * w // 5)) + c) % 95
+                        AS INT))
+                   FOR c IN range(0, 3)], '')
+                 FOR x2 IN range(0, 5)], '')
+               FOR y2 IN range(0, 4)], '') AS pixstr
+      FROM d
+    )
+    SELECT doc_id, 5 AS width, 4 AS height, 3 AS channels,
+           substr(md5(pixstr), 1, 16) AS phash
+    FROM p ORDER BY doc_id
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize to 5x4 over the rotating
+    PPM/BMP/PNG containers (operators/multimodal.resize_images). The
+    oracle rebuilds the integer floor index mapping
+    (src = dst*src_dim//dst_dim) against the synthesizer's closed-form
+    pixels and hashes the resized image — container parse, pixel order,
+    AND the resample mapping are all in the hash."""
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    imgs = docs.withColumn("payload", M.synth_image_udf()(F.col("doc_id")))
+    return M.resize_images(imgs, "doc_id", "payload", 5, 4).orderBy("doc_id")
