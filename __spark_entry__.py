@@ -38,8 +38,8 @@ _PRIORITY = [
     # relational core (agg; joins covered by semi_anti/asof/top_k below)
     "q1_pricing_summary",
     # LLM-data ops: text analysis (cheap, unique)
-    "text_token_stats", "text_quality_score", "text_language_id",
-    "text_fingerprint_winnow",
+    "text_token_stats", "text_language_id",
+    "text_fingerprint_winnow", "text_quality_classifier",
     # windows / streaming semantics (incl. the REAL checkpoint-restart
     # Structured Streaming run — round-4 verdict #7)
     "window_tumbling_hour", "window_session_user",
@@ -73,7 +73,7 @@ _PRIORITY = [
     "relational_gauntlet",
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
-    "ann_ivf_topk",
+    "ann_ivf_topk", "text_quality_score",
     "window_sliding_hour", "bloblang_stdlib3", "corpus_shuffle_shards",
     "dedup_incremental_snapshot",
     "proc_switch_route", "proc_try_catch", "proc_group_by_value",

@@ -218,3 +218,76 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- model-based quality filter (fastText-style linear head) -------------
+
+CLF_DIM, CLF_N, CLF_SEED = 64, 2, 11
+
+
+def _clf_weights() -> tuple[list[float], float]:
+    """Seeded Gaussian weights + bias for the linear quality head. A
+    trained classifier drops into the same shape; the seeded form keeps
+    the gate oracle exact (weights embedded as literals on both sides,
+    the LSH-planes technique). Thresholding the RAW logit (not a
+    sigmoid) keeps the comparison free of transcendental functions
+    whose last-bit rounding differs across libms."""
+    import numpy as np
+
+    rng = np.random.default_rng(CLF_SEED)
+    return [float(x) for x in rng.standard_normal(CLF_DIM)], float(
+        rng.standard_normal()
+    )
+
+
+def _clf_oracle() -> str:
+    from bento_spark.operators.featurize import embedding_sql_cte
+
+    w, b = _clf_weights()
+    cte = embedding_sql_cte("documents", "doc_id", "text", CLF_DIM, CLF_N)
+
+    def _f(x: float) -> str:
+        r = repr(x)
+        return r if "e" in r or "E" in r else r + "e0"
+
+    dense_cols = ", ".join(
+        f"coalesce(max(CASE WHEN bucket = {j} THEN val END), 0) AS v{j}"
+        for j in range(CLF_DIM)
+    )
+    logit = " + ".join(f"v{j} * {_f(w[j])}" for j in range(CLF_DIM))
+    return f"""
+WITH {cte},
+__dense AS (SELECT id, {dense_cols} FROM __emb GROUP BY id)
+SELECT id AS doc_id, ({logit}) + {_f(b)} AS logit,
+       (({logit}) + {_f(b)}) > 0 AS keep
+FROM __dense ORDER BY doc_id
+"""
+
+
+@query("text_quality_classifier", oracle=_clf_oracle())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText-classifier slot of a
+    training-data pipeline (hashed n-gram features x linear head, the
+    CCNet/fastText quality-filter shape): the existing featurizer
+    (operators/featurize.py, real predict_batch_udf path) produces
+    integer count vectors; the logit is ONE codegen'd literal dot chain
+    (no UDF after the featurizer), so score and keep-decision are
+    hash-checked against the oracle recomputing the same weights.
+
+    100 TB: featurize + score is a narrow map; the filter is a Column
+    predicate Catalyst pushes wherever it helps. No shuffle at all."""
+    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.featurize import hashed_ngram_embedder
+
+    w, b = _clf_weights()
+    embed = hashed_ngram_embedder(CLF_DIM, CLF_N)
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(
+            F.size(F.split(F.col("text"), " ")) >= CLF_N
+        )
+    ).select("doc_id", embed(F.col("text")).alias("vec"))
+    logit_sql = " + ".join(f"vec[{j}] * {w[j]!r}D" for j in range(CLF_DIM))
+    scored = docs.select(
+        "doc_id", F.expr(f"({logit_sql}) + {b!r}D").alias("logit")
+    )
+    return scored.withColumn("keep", F.col("logit") > 0).orderBy("doc_id")
