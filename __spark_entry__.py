@@ -44,6 +44,7 @@ _PRIORITY = [
     # Structured Streaming run — round-4 verdict #7)
     "window_tumbling_hour", "window_session_user",
     "dedupe_within_window", "stream_recovery_window",
+    "stream_stateful_totals",
     # multimodal (image/audio features + frame sampling in one slot)
     "mm_gauntlet",
     # similarity + dedup (first-class LLM-pipeline ops)
@@ -63,7 +64,7 @@ _PRIORITY = [
     # processors (distinct §2.1 planes; simple per-row ones gauntleted)
     "proc_flow_gauntlet",
     "proc_kv_enrich", "pipeline_yaml", "proc_workflow_dag",
-    "proc_jmespath_collapse", "proc_jq", "proc_branch_enrich",
+    "proc_jq", "proc_branch_enrich",
     "proc_cache_lookup", "proc_http_enrich", "proc_javascript",
     "mm_video_y4m",
     # consolidated codec/scanner/parser families
@@ -73,7 +74,7 @@ _PRIORITY = [
     "relational_gauntlet",
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
-    "ann_ivf_topk", "text_quality_score",
+    "ann_ivf_topk", "text_quality_score", "proc_jmespath_collapse",
     "window_sliding_hour", "bloblang_stdlib3", "corpus_shuffle_shards",
     "dedup_incremental_snapshot",
     "proc_switch_route", "proc_try_catch", "proc_group_by_value",

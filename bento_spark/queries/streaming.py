@@ -166,6 +166,46 @@ def dedupe_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_time_slices(
+    spark: SparkSession, ev: DataFrame, base: str,
+    n_slices: int = 6, sentinel: tuple | None = None,
+):
+    """Stage a batch DataFrame as n time-ranged parquet files (plus an
+    optional far-future sentinel row) under ``base``/input, ordered by
+    both mtime and lexicographic name so FileStreamSource processes
+    them monotonically in event time. Returns the input dir."""
+    import datetime
+    import os
+    import shutil
+    import time as _time
+
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = f"{base}/input"
+    os.makedirs(in_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds() + 1
+    for i in range(n_slices):
+        a = lo + datetime.timedelta(seconds=span * i / n_slices)
+        b = lo + datetime.timedelta(seconds=span * (i + 1) / n_slices)
+        part = ev.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b)))
+        tmp = f"{base}/tmp_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{src}", f"{in_dir}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+    if sentinel is not None:
+        flush = spark.createDataFrame([sentinel], schema=ev.schema)
+        tmp = f"{base}/tmp_f"
+        flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{src}", f"{in_dir}/99_flush.parquet")
+        shutil.rmtree(tmp)
+    t0 = _time.time()
+    for i, name in enumerate(sorted(os.listdir(in_dir))):
+        os.utime(f"{in_dir}/{name}", (t0 + 10 * i, t0 + 10 * i))
+    return in_dir
+
+
 @query(
     "stream_recovery_window",
     oracle="""
@@ -197,43 +237,21 @@ def stream_recovery_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits them all; the sentinel's own window stays unemitted. Run 1
     processes one file per trigger and is stopped after >=2 committed
     batches; run 2 resumes availableNow from the checkpoint."""
+    import datetime
     import os
-    import shutil
     import time as _time
 
     base = f"/tmp/bento_spark_gate/stream_recovery_{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
-    in_dir, sink, ckpt = f"{base}/input", f"{base}/sink", f"{base}/ckpt"
-    os.makedirs(in_dir)
-
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
     # withWatermark requires TIMESTAMP (not NTZ) — normalize explicitly
     ev = _t(spark, sf_dir, "events").select(
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo).total_seconds() + 1
-    n_slices = 6
-    for i in range(n_slices):
-        a = lo + __import__("datetime").timedelta(seconds=span * i / n_slices)
-        b = lo + __import__("datetime").timedelta(seconds=span * (i + 1) / n_slices)
-        part = ev.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b)))
-        tmp = f"{base}/tmp_{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.rename(f"{tmp}/{src}", f"{in_dir}/{i:02d}.parquet")
-        shutil.rmtree(tmp)
-    flush = spark.createDataFrame(
-        [(hi + __import__("datetime").timedelta(hours=3), "__flush", 0.0)],
-        schema=ev.schema,
+    hi = ev.agg(F.max("ts")).first()[0]
+    in_dir = _stage_time_slices(
+        spark, ev, base,
+        sentinel=(hi + datetime.timedelta(hours=3), "__flush", 0.0),
     )
-    tmp = f"{base}/tmp_f"
-    flush.coalesce(1).write.mode("overwrite").parquet(tmp)
-    src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    os.rename(f"{tmp}/{src}", f"{in_dir}/99_flush.parquet")
-    shutil.rmtree(tmp)
-    t0 = _time.time()
-    for i, name in enumerate(sorted(os.listdir(in_dir))):
-        os.utime(f"{in_dir}/{name}", (t0 + 10 * i, t0 + 10 * i))
 
     def build_stream():
         stream = (
@@ -292,3 +310,71 @@ def stream_recovery_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = spark.read.parquet(sink).filter(F.col("event_type") != "__flush")
     return out.orderBy("window_start", "event_type")
+
+
+_STATEFUL_RUN = [0]  # memory-sink query names must be unique per process
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           count(*) AS n,
+           CAST(sum(floor(value)) AS DOUBLE) AS total
+    FROM events GROUP BY 1 ORDER BY key
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming in the gate: applyInPandasWithState
+    (streaming/stateful.keyed_totals — the reference's cache-counter
+    processor shape, SURVEY §2.5) over six time-sliced files processed
+    one per micro-batch, update-mode emissions into a memory sink; the
+    LAST emission per key must equal the batch groupBy — which can only
+    happen if per-key state genuinely persists across micro-batches in
+    the checkpoint.
+
+    Exactness: per-row addends are floor(value) — integer-valued
+    doubles, whose sum is IEEE-exact in ANY accumulation order — so the
+    incremental pandas accumulation hash-matches the oracle's one-shot
+    SQL sum with no decimal shield."""
+    import os
+
+    from bento_spark.streaming.stateful import keyed_totals
+
+    base = (
+        "/tmp/bento_spark_gate/stream_stateful_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        F.floor("value").alias("value"),
+    )
+    in_dir = _stage_time_slices(spark, ev, base)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    totals = keyed_totals(stream, "user_id", "value")
+    _STATEFUL_RUN[0] += 1
+    qname = f"stateful_totals_{_STATEFUL_RUN[0]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql import Window as Wnd
+
+    emissions = spark.table(qname)
+    w = Wnd.partitionBy("key").orderBy(F.desc("n"))
+    return (
+        emissions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "n", "total")
+        .orderBy("key")
+    )
