@@ -78,11 +78,12 @@ def test_corpus_accounting_pinned():
     assert sorted(without) == [
         "awk.yaml",                      # tests run via awk_bento_test.yaml
         "cookbooks/filtering.yaml",      # docs cookbook, no tests anywhere
-        "resources/other_mappings.yaml", # resource-only config, no tests
+        "resources/other_mappings.yaml", # tests run via its _bento_test sibling
         "unit_test_example.yaml",        # tests run via its _bento_test sibling
     ]
-    # the two sibling-covered ones really are covered: their _bento_test
-    # companions exist and carry tests
-    for base in ("awk.yaml", "unit_test_example.yaml"):
+    # the three sibling-covered ones really are covered: their
+    # _bento_test companions exist and carry tests
+    for base in ("awk.yaml", "unit_test_example.yaml",
+                 "resources/other_mappings.yaml"):
         sib = base[:-len(".yaml")] + "_bento_test.yaml"
         assert sib in with_tests, f"{sib} missing — {base} tests dropped"
