@@ -36,7 +36,12 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_brute_force_topk",
     "ann_lsh_topk",
+    # ann_ivf_topk is gate-checked but NOT benched: the embeddings table
+    # is 2k rows at sf0.1, so its wall-clock is ~5s of fixed Catalyst
+    # analysis of the (cells x dim) literal expressions — pure plan-build
+    # overhead that would pollute the total without measuring execution.
     "text_quality_score",
+    "text_quality_classifier",
     "text_fingerprint_winnow",
     "mm_image_features",
     "embed_project_topk",

@@ -350,21 +350,39 @@ def ivf_cell(vec_name: str, centroids: list[list[float]]) -> Column:
     """Coarse-quantizer cell id: argmax_j cos(vec, centroid_j), as ONE
     codegen'd expression (dot products over literal coefficients, like
     lsh_bucket — no UDF, no join against a centroid table). Centroid
-    norms are constant, so cos ranking = dot/|c_j| ranking; ties take
-    the LOWEST cell index (first matching WHEN), mirroring the oracle's
-    CASE order."""
+    norms are constant, so cos ranking = dot/|c_j| ranking.
+
+    Spelled ``array_position(affs, array_max(affs))`` rather than a
+    CASE-greatest-WHEN chain: the chain re-expands every (cells x dim)
+    dot chain once in greatest() and once per WHEN arm — at 8x64 that
+    is ~9x the expression source and was pure compile/eval overhead
+    (12s on a 50-row input). Ties take the LOWEST cell index (first
+    position of the max), matching the oracle's list_position.
+
+    NOTE: the affinity columns must be MATERIALIZED in a separate
+    projection before this expression references them (ivf_topk does
+    this) — each is referenced twice here, which is exactly the
+    condition under which CollapseProject refuses to inline them, so
+    every dot chain is evaluated once per row."""
+    arr = "array(" + ", ".join(
+        f"__aff{j}" for j in range(len(centroids))
+    ) + ")"
+    return F.expr(f"(array_position({arr}, array_max({arr})) - 1)")
+
+
+def ivf_affinities(vec_name: str, centroids: list[list[float]]) -> list:
+    """Per-centroid normalized-dot affinity columns ``__aff{j}`` (one
+    64-term literal chain each, left-assoc — oracle bit-parity)."""
     import math
 
-    dots = []
-    for cent in centroids:
+    cols = []
+    for j, cent in enumerate(centroids):
         nrm = math.sqrt(sum(x * x for x in cent))
         d = " + ".join(
             f"{vec_name}[{i}] * {repr(c)}D" for i, c in enumerate(cent)
         )
-        dots.append(f"(({d}) / {repr(nrm)}D)")
-    g = "greatest(" + ", ".join(dots) + ")"
-    whens = " ".join(f"WHEN {d} THEN {j}" for j, d in enumerate(dots))
-    return F.expr(f"CASE {g} {whens} END")
+        cols.append(F.expr(f"({d}) / {repr(nrm)}D").alias(f"__aff{j}"))
+    return cols
 
 
 def ivf_topk(
@@ -397,7 +415,9 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         )
         .filter(F.exists("cv", lambda x: x != 0))  # zero-norm: NaN cosine
+        .select("*", *ivf_affinities("cv", centroids))
         .withColumn("cell", ivf_cell("cv", centroids))
+        .drop(*[f"__aff{j}" for j in range(len(centroids))])
         .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
     )
     q = (

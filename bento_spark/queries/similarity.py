@@ -206,11 +206,8 @@ def _ivf_oracle() -> str:
         return f"({_dot_plane_sql(vec, cent)} / {_f(nrm)})"
 
     c_affs = [aff("cv", c) for c in cents]
-    cell_case = (
-        "CASE greatest(" + ", ".join(c_affs) + ") "
-        + " ".join(f"WHEN {d} THEN {j}" for j, d in enumerate(c_affs))
-        + " END"
-    )
+    aff_list = "[" + ", ".join(c_affs) + "]"
+    cell_case = f"(list_position({aff_list}, list_max({aff_list})) - 1)"
     q_aff_structs = ", ".join(
         f"struct_pack(j := {j}, d := {aff('qv', c)})"
         for j, c in enumerate(cents)

@@ -42,8 +42,9 @@ HEADLINE = [
     "embed_project_topk",
     "pack_sequences_contiguous",
     "mm_image_features",
-    # round-5 addition: IVF coarse-quantizer ANN
+    # round-5 additions: IVF coarse-quantizer ANN, linear quality head
     "ann_ivf_topk",
+    "text_quality_classifier",
 ]
 
 
