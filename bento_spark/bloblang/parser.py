@@ -101,14 +101,46 @@ class Parser:
             t = self.peek(skip_nl=False)
             if t.kind == "num" and t.text.startswith("."):
                 # the lexer reads `.0` as one number token; after an
-                # expression it is an array-index path segment
+                # expression it is an array-index path segment — unless
+                # an ident abuts it (`.30d`), which is a digit-leading
+                # FIELD name (this.install.30d, a legal JSON key)
                 self.next(skip_nl=False)
+                nxt = self.peek(skip_nl=False)
+                if (
+                    nxt.kind in ("ident", "kw")
+                    and nxt.pos == t.pos + len(t.text)
+                    and t.text.count(".") == 1
+                ):
+                    self.next(skip_nl=False)
+                    seg = t.text[1:] + nxt.text
+                    if isinstance(node, A.Path):
+                        node = A.Path(node.base, [*node.parts, seg])
+                    else:
+                        node = A.Path(node, [seg])
+                    continue
                 node = A.Index(node, A.Lit(int(t.text[1:])))
                 continue
             if t.kind == "op" and t.text == ".":
                 self.next(skip_nl=False)
                 name = self.next()
                 if name.kind == "num":
+                    nxt = self.peek(skip_nl=False)
+                    if (
+                        nxt.kind in ("ident", "kw")
+                        and nxt.pos == name.pos + len(name.text)
+                        and "." not in name.text
+                    ):
+                        # digit-leading FIELD name (`this.install.30d`):
+                        # the lexer split it into num+ident; adjacency
+                        # (no gap between tokens) distinguishes it from
+                        # an index followed by a new statement
+                        self.next(skip_nl=False)
+                        seg = name.text + nxt.text
+                        if isinstance(node, A.Path):
+                            node = A.Path(node.base, [*node.parts, seg])
+                        else:
+                            node = A.Path(node, [seg])
+                        continue
                     # numeric path segment (`this.0`) = array index
                     # (query parser path literals)
                     node = A.Index(node, A.Lit(int(float(name.text))))

@@ -358,4 +358,31 @@ def cache_from_conf(conf: dict | str):
         from bento_spark.operators.kvstore import _client_from_url
 
         return _client_from_url(c if isinstance(c, str) else c["url"])
+    if name in ("redis", "memcached"):
+        # reference cache configs: {redis: {url: "tcp://host:6379"}}
+        # (caches/redis.md) — normalize the tcp:// scheme and defer the
+        # real socket client so lint/build never dials
+        from bento_spark.operators.kvstore import _client_from_url
+
+        url = c.get("url", f"{name}://localhost")
+        if url.startswith("tcp://"):
+            url = f"{name}://" + url[len("tcp://"):]
+        return LazyKV(lambda: _client_from_url(url))
     raise ValueError(f"unknown cache backend {name!r}")
+
+
+class LazyKV:
+    """Defers backend construction to first use: remote cache backends
+    (redis/memcached — real socket clients that dial in __init__) must
+    not connect at config-BUILD time, or `lint` of a config pointing at
+    a placeholder endpoint would fail before any data flows. Proxies
+    the whole KV surface via __getattr__."""
+
+    def __init__(self, factory):
+        self._factory = factory
+        self._client = None
+
+    def __getattr__(self, name):
+        if self._client is None:
+            self._client = self._factory()
+        return getattr(self._client, name)

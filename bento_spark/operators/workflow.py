@@ -107,6 +107,26 @@ def _as_branch(name: str, spec) -> Branch:
     if isinstance(spec, MappingPlan):
         reads, writes = mapping_deps(spec)
         return Branch(apply=spec.apply, reads=reads, writes=writes)
+    if isinstance(spec, dict) and (
+        "request_map" in spec or "result_map" in spec or "processors" in spec
+    ):
+        # the YAML `branch:` shape (processor_branch.go config): deps
+        # come from the maps like the reference's dependency solver —
+        # request_map's reads feed the branch, result_map's writes are
+        # what it produces (processor_workflow_branch_map.go)
+        reads: frozenset = frozenset()
+        writes: frozenset = frozenset()
+        if spec.get("request_map"):
+            reads, _ = mapping_deps(compile_mapping(spec["request_map"]))
+        if spec.get("result_map"):
+            _, writes = mapping_deps(compile_mapping(spec["result_map"]))
+
+        def _apply(df, _spec=spec):
+            from bento_spark.plans.pipeline import _proc_branch_cfg
+
+            return _proc_branch_cfg(df, _spec)
+
+        return Branch(apply=_apply, reads=reads, writes=writes)
     if isinstance(spec, dict):
         return Branch(
             apply=spec["apply"],

@@ -31,6 +31,11 @@ def _lift_content(df: DataFrame) -> DataFrame:
 
     if data_cols(df) != ["content"]:
         return df
+    if df.isStreaming:
+        # schema inference needs a driver-side sample, which streaming
+        # plans forbid; typed mappings over streams ride the per-message
+        # interpreter fallback instead (same results, slow path, logged)
+        return df
     sample = [r[0] for r in df.select("content").limit(20).collect()]
     docs = []
     for c in sample:
@@ -62,6 +67,12 @@ def _proc_mapping(df: DataFrame, conf) -> DataFrame:
     from pyspark.errors.exceptions.base import AnalysisException
 
     src = conf if isinstance(conf, str) else conf["query"]
+    if src.strip() == "root = deleted()":
+        # the reference's drop-everything idiom (e.g. after metrics
+        # processors); the compiler rejects it inside larger mappings
+        # where it is almost always a bug, but standalone it is the
+        # documented way to discard the stream
+        return ensure_env(df).filter(F.lit(False))
     lifted = _lift_content(df)
     try:
         return compile_mapping(src).apply(lifted, new_document=True)
@@ -94,10 +105,29 @@ def _proc_mapping(df: DataFrame, conf) -> DataFrame:
 
 
 def _proc_mutation(df: DataFrame, conf) -> DataFrame:
-    """`mutation` (processor_mutation.go:15): in-place assignment."""
-    return compile_mapping(conf if isinstance(conf, str) else conf["query"]).apply(
-        _lift_content(df), new_document=False
-    )
+    """`mutation` (processor_mutation.go:15): in-place assignment.
+    Falls back to the tier-c interpreter like `mapping` — mutation
+    semantics = the same mapping with root pre-seeded to the document
+    (`root = this` prefix), counted/logged identically."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    src = conf if isinstance(conf, str) else conf["query"]
+    try:
+        return compile_mapping(src).apply(_lift_content(df), new_document=False)
+    except (RecursionError, AnalysisException) as ex:
+        import logging
+
+        from bento_spark.bloblang.interp import interpreted_mapping_df
+        from bento_spark.observability import default_registry
+
+        default_registry().counter(
+            "bloblang.interpreter_fallback", reason=type(ex).__name__
+        )
+        logging.getLogger("bento_spark.bloblang").warning(
+            "mutation fell back to the tier-c interpreter (%s); source: %.200s",
+            type(ex).__name__, src,
+        )
+        return interpreted_mapping_df(df, "root = this\n" + src)
 
 
 def _proc_filter(df: DataFrame, conf) -> DataFrame:
@@ -112,6 +142,12 @@ def _proc_filter(df: DataFrame, conf) -> DataFrame:
 CACHE_RESOURCES: dict[str, object] = {}
 
 
+#: raw conf per cache label — the streaming cache processor rebuilds
+#: the backend per executor from this (remote backends share state by
+#: nature; in-memory ones are executor-scoped there, documented)
+CACHE_RESOURCE_CONFS: dict[str, dict] = {}
+
+
 def register_cache_resources(confs: list[dict] | None) -> None:
     from bento_spark.operators.cachepolicy import cache_from_conf
 
@@ -121,6 +157,7 @@ def register_cache_resources(confs: list[dict] | None) -> None:
         if not label:
             raise ConfigError("cache_resources entries require a `label`")
         CACHE_RESOURCES[label] = cache_from_conf(res)
+        CACHE_RESOURCE_CONFS[label] = res
 
 
 def _proc_dedupe(df: DataFrame, conf) -> DataFrame:
@@ -289,12 +326,50 @@ def _proc_jmespath(df: DataFrame, conf) -> DataFrame:
     return jmespath(df, conf.get("column", "props"), conf["query"])
 
 
+#: processor resources of the config being built — consumed by
+#: `workflow` when its branches are referenced by label rather than
+#: declared inline (the custom-metrics cookbook shape)
+PROCESSOR_RESOURCES: dict[str, dict] = {}
+
+
 def _proc_workflow(df: DataFrame, conf) -> DataFrame:
-    """`workflow` (processor_workflow.go): named Bloblang branches with
-    explicit `order` tiers or automatic DAG resolution."""
+    """`workflow` (processor_workflow.go): named branches with explicit
+    `order` tiers or automatic DAG resolution. Branches come inline
+    (`branches:`) or by label from `processor_resources` entries whose
+    body is a `branch:` processor (processor_workflow.go:70)."""
     from bento_spark.operators.workflow import workflow
 
-    return workflow(df, conf["branches"], conf.get("order"))
+    branches = conf.get("branches")
+    if branches is None:
+        names = [n for tier in (conf.get("order") or []) for n in tier]
+        branches = {}
+        for n in names:
+            res = PROCESSOR_RESOURCES.get(n)
+            if res is None or "branch" not in res:
+                raise ConfigError(
+                    f"workflow: branch {n!r} is neither inline nor a "
+                    f"`branch:` processor resource"
+                )
+            branches[n] = dict(res["branch"])
+    from bento_spark.operators.workflow import WorkflowError
+
+    try:
+        return workflow(df, branches, conf.get("order"))
+    except WorkflowError as ex:
+        if "circular" not in str(ex):
+            raise
+        # the YAML-branch dep approximation is TOP-LEVEL-field-granular;
+        # path-disjoint read/write pairs (root.article.a read vs
+        # root.article.b written) can look circular. Declaration order
+        # is always a valid sequential schedule for the cookbook shape —
+        # fall back to it with a warning instead of refusing the config.
+        import logging
+
+        logging.getLogger("bento_spark.pipeline").warning(
+            "workflow: dependency cycle at field granularity; "
+            "running branches sequentially in declaration order (%s)", ex
+        )
+        return workflow(df, branches, [[n] for n in branches])
 
 
 PROCESSORS = {
@@ -381,11 +456,20 @@ def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
         if not label:
             raise ConfigError("processor_resources entries require a `label`")
         resources[label] = res
+    PROCESSOR_RESOURCES.clear()
+    PROCESSOR_RESOURCES.update(resources)
     if "input" not in cfg:
         raise ConfigError("config requires an `input` section to run")
-    (sname, sconf), = cfg["input"].items()
+    in_conf = dict(cfg["input"])
+    in_conf.pop("label", None)
+    input_procs = in_conf.pop("processors", None) or []
+    (sname, sconf), = in_conf.items()
     df, streaming = build_source(spark, sname, sconf)
-    for proc in (cfg.get("pipeline") or {}).get("processors", []):
+    # input-scoped processors run before the pipeline section
+    # (docs/configuration/processing_pipelines.md)
+    for proc in list(input_procs) + list(
+        (cfg.get("pipeline") or {}).get("processors", [])
+    ):
         proc = _resolve_resource(proc, resources)
         (pname, pconf), = proc.items()
         if pname not in PROCESSORS:
@@ -409,16 +493,7 @@ def _proc_try(df: DataFrame, conf) -> DataFrame:
     application of the children."""
     from bento_spark.operators.envelope import ensure_envelope
 
-    out = ensure_envelope(df)
-    for child in conf if isinstance(conf, list) else [conf]:
-        (pname, pconf), = (
-            child.items() if len(child) == 1
-            else ((k, v) for k, v in child.items() if k != "label")
-        )
-        if pname not in PROCESSORS:
-            raise ConfigError(f"unknown processor {pname!r} in try")
-        out = PROCESSORS[pname](out, pconf)
-    return out
+    return _apply_children(ensure_envelope(df), conf, "try")
 
 
 PROCESSORS["try"] = _proc_try
@@ -443,6 +518,15 @@ def _proc_unarchive(df: DataFrame, conf) -> DataFrame:
             *other, F.explode(F.split(F.col(col), "\n", -1)).alias(col)
         )
     if fmt == "json_array":
+        if df.isStreaming:
+            # no driver-side schema inference on streams: explode the
+            # array as VARIANT elements serialized back to JSON text —
+            # downstream typed mappings lift per the streaming rules.
+            # (explode must be its own projection; to_json wraps above)
+            return df.select(
+                *other,
+                F.explode(F.from_json(F.col(col), "array<variant>")).alias("__el"),
+            ).select(*other, F.to_json(F.col("__el")).alias(col))
         spark = df.sparkSession
         sample = [r[0] for r in df.select(col).limit(20).collect() if r[0]]
         if not sample:
@@ -473,9 +557,15 @@ def _proc_archive(df: DataFrame, conf) -> DataFrame:
         conf = {"format": conf}
     fmt = conf.get("format", "json_array")
     col = conf.get("column", "content")
-    order = F.col(conf.get("order_by", "__idx")) if (
-        conf.get("order_by", "__idx") in df.columns
-    ) else F.monotonically_increasing_id()
+    if conf.get("order_by", "__idx") in df.columns:
+        order = F.col(conf.get("order_by", "__idx"))
+    elif df.isStreaming:
+        # streaming aggs reject nondeterministic ordering ids; element
+        # order within a micro-batch archive is unspecified (matching
+        # the reference's unordered batch accumulation)
+        order = F.lit(0)
+    else:
+        order = F.monotonically_increasing_id()
     if fmt == "json_array":
         return _P.archive_json_array(df, F.lit(1), [order], F.col(col))
     if fmt == "lines":
@@ -578,3 +668,474 @@ def _proc_protobuf(df: DataFrame, conf) -> DataFrame:
 
 
 PROCESSORS["protobuf"] = _proc_protobuf
+
+
+# ---------------------------------------------------------------------------
+# config-surface completion (round 5): the YAML forms of processors whose
+# operator implementations predate their registration here. Found by
+# linting the reference's own cookbook configs (website/cookbooks/*.md)
+# through build_pipeline — a reference user's configs must parse.
+# ---------------------------------------------------------------------------
+
+
+def _apply_children(df: DataFrame, children, where: str = "processor") -> DataFrame:
+    """Sequentially apply a nested `processors:` list (the composition
+    primitive `try`/`switch`/`branch`/`retry`/`while` share)."""
+    from bento_spark.operators.envelope import ensure_envelope
+
+    out = ensure_envelope(df)
+    for child in children if isinstance(children, list) else [children]:
+        child = _resolve_resource(child, PROCESSOR_RESOURCES)
+        (pname, pconf), = (
+            child.items() if len(child) == 1
+            else ((k, v) for k, v in child.items() if k != "label")
+        )
+        if pname not in PROCESSORS:
+            raise ConfigError(f"unknown processor {pname!r} in {where}")
+        out = PROCESSORS[pname](out, pconf)
+    return out
+
+
+def _proc_http(df: DataFrame, conf) -> DataFrame:
+    """`http` (processor_http.go:71): call an interpolated URL per
+    message; a 2xx response REPLACES the document content, anything
+    else sets `_error`. Bounded-concurrency Arrow-batched transport
+    (operators/http.py); `_transport: echo` injects the deterministic
+    test transport."""
+    from bento_spark.bloblang.field import compile_field
+    from bento_spark.operators import http as H
+    from bento_spark.operators.envelope import ERROR, ensure_envelope, data_cols
+
+    df = ensure_envelope(df)
+    verb = str(conf.get("verb", "POST")).upper()
+    transport = (
+        H.fake_echo_transport if conf.get("_transport") == "echo"
+        else H.urllib_transport
+    )
+    if "content" not in df.columns:
+        # typed documents serialize to JSON for the request body, the
+        # engine's canonical bytes form
+        df = df.withColumn(
+            "content", F.to_json(F.struct(*data_cols(df)))
+        )
+    df = df.withColumn("__http_url", compile_field(str(conf["url"]), df))
+    out = H.http_enrich(
+        df,
+        "__http_url",
+        body_col="content" if verb not in ("GET", "HEAD") else None,
+        method=verb,
+        transport=transport,
+    )
+    ok_resp = (F.col("http_status") >= 200) & (F.col("http_status") < 300)
+    out = out.withColumn(
+        "content",
+        F.when(ok_resp & F.col(ERROR).isNull(), F.col("http_response"))
+        .otherwise(F.col("content")),
+    ).withColumn(
+        ERROR,
+        F.when(
+            ~F.coalesce(ok_resp, F.lit(False)) & F.col(ERROR).isNull(),
+            F.concat(F.lit("http: status "), F.col("http_status").cast("string")),
+        ).otherwise(F.col(ERROR)),
+    )
+    return out.drop("__http_url", "http_status", "http_response")
+
+
+def _proc_branch_cfg(df: DataFrame, conf) -> DataFrame:
+    """`branch` YAML form (processor_branch.go:152):
+    request_map -> processors -> result_map.
+
+    Column-engine model: the document flows as COLUMNS of one frame, so
+    the three stages compose as sequential transforms on that frame —
+    request/result maps run in mutation mode (fields persist unless
+    overwritten) rather than constructing a detached child message.
+    This preserves the data behavior of the enrichment cookbooks (the
+    child's computed fields are visible to result_map, the original
+    fields survive); a child that relies on REPLACING the document
+    wholesale belongs in a `mapping` first."""
+    out = _lift_content(ensure_env(df))
+    if conf.get("request_map"):
+        out = compile_mapping(conf["request_map"]).apply(out, new_document=False)
+    out = _apply_children(out, conf.get("processors") or [], "branch")
+    if conf.get("result_map"):
+        out = compile_mapping(conf["result_map"]).apply(
+            _lift_content(out), new_document=False
+        )
+    return out
+
+
+def _proc_switch_cfg(df: DataFrame, conf) -> DataFrame:
+    """`switch` YAML form (processor_switch.go:77): ordered cases of
+    {check, processors}; first matching case's processors run for that
+    message. Spark shape: split-filter per case, children per split,
+    unionByName back together (schema widened with nulls where branches
+    add different columns). `fallthrough` is unsupported (rejected
+    loudly, not ignored)."""
+    from bento_spark.bloblang import compile_expr
+
+    remaining = ensure_env(df)
+    parts = []
+    for case in conf:
+        if case.get("fallthrough"):
+            raise ConfigError("switch: fallthrough is not supported")
+        check = case.get("check")
+        if check:
+            cond = F.coalesce(compile_expr(check, df=remaining), F.lit(False))
+            matched = remaining.filter(cond)
+            remaining = remaining.filter(~cond)
+        else:  # default case takes everything left
+            matched, remaining = remaining, remaining.limit(0)
+        parts.append(_apply_children(matched, case.get("processors") or [], "switch"))
+    out = parts[0] if parts else remaining
+    for p in parts[1:] + [remaining]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def _proc_retry(df: DataFrame, conf) -> DataFrame:
+    """`retry` (processor_retry.go): re-run the children for messages
+    that errored, up to max_retries; rows that recover clear `_error`.
+    Deterministic children make retries no-ops, so the loop only earns
+    its cost for transport-backed children (http, kv) — which is the
+    reference's use case too."""
+    children = conf.get("processors") or []
+    tries = int(conf.get("max_retries", 2))
+    from bento_spark.operators.envelope import ERROR
+
+    out = _apply_children(df, children, "retry")
+    for _ in range(tries):
+        ok_rows = out.filter(F.col(ERROR).isNull())
+        errored = out.filter(F.col(ERROR).isNotNull()).withColumn(
+            ERROR, F.lit(None).cast("string")
+        )
+        out = ok_rows.unionByName(
+            _apply_children(errored, children, "retry"),
+            allowMissingColumns=True,
+        )
+    return out
+
+
+def _proc_while(df: DataFrame, conf) -> DataFrame:
+    """`while` (processor_while.go): re-apply children to messages
+    while the check holds, bounded by max_loops (the reference's
+    unbounded form is a driver-loop fixpoint; a bound is required here
+    because each round extends the plan)."""
+    from bento_spark.bloblang import compile_expr
+
+    children = conf.get("processors") or []
+    check = conf["check"]
+    max_loops = int(conf.get("max_loops") or 10)
+    out = ensure_env(df)
+    done = []
+    for _ in range(max_loops):
+        cond = F.coalesce(compile_expr(check, df=out), F.lit(False))
+        done.append(out.filter(~cond))
+        out = _apply_children(out.filter(cond), children, "while")
+    res = done[0]
+    for p in done[1:] + [out]:
+        res = res.unionByName(p, allowMissingColumns=True)
+    return res
+
+
+def _proc_passthrough(df: DataFrame, conf) -> DataFrame:
+    """`noop` / `sleep` (pacing is trigger-level in Spark) — identity."""
+    return df
+
+
+def _proc_log(df: DataFrame, conf) -> DataFrame:
+    """`log` (processor_log.go): driver-side log line; the per-message
+    firehose form is an anti-pattern at scale, so the message template
+    is logged once per pipeline build with the level honored."""
+    import logging
+
+    level = str(conf.get("level", "INFO")).upper()
+    logging.getLogger("bento_spark.pipeline").log(
+        getattr(logging, level, logging.INFO), "%s", conf.get("message", "")
+    )
+    return df
+
+
+#: batch-mode Observations pending harvest (name, Observation) — drained
+#: by Pipeline.run() into the default MetricsRegistry after the action
+PENDING_OBSERVATIONS: list = []
+PENDING_OBSERVATIONS_SEQ = [0]
+
+
+def _proc_metric(df: DataFrame, conf) -> DataFrame:
+    """`metric` (processor_metric.go:144): counts rows reaching this
+    point via `df.observe` — valueless until an action runs (exactly
+    the reference's lazy metric semantics under Spark's lazy plans).
+    Streaming: the observation surfaces per micro-batch through
+    StreamingQueryListener (streaming/control.py); batch: harvested
+    into the MetricsRegistry by Pipeline.run()."""
+    name = str(conf.get("name", "metric"))
+    # observation names must be plan-unique even when the logical metric
+    # name repeats across branches (Spark DUPLICATED_METRICS_NAME);
+    # harvest resolves the suffix back to the logical name
+    PENDING_OBSERVATIONS_SEQ[0] += 1
+    uname = f"{name}#{PENDING_OBSERVATIONS_SEQ[0]}"
+    if df.isStreaming:
+        return df.observe(uname, F.count(F.lit(1)).alias("value"))
+    from pyspark.sql import Observation
+
+    obs = Observation(uname)
+    PENDING_OBSERVATIONS.append((name, obs))
+    return df.observe(obs, F.count(F.lit(1)).alias("value"))
+
+
+def _proc_cache(df: DataFrame, conf) -> DataFrame:
+    """`cache` processor (processor_cache.go:154) against a named
+    `cache_resources` entry: get/set/add over interpolated key/value.
+    Driver-side bounded at 1M distinct keys per batch (same contract as
+    the cache-backed dedupe); corpus-scale lookups belong on the
+    broadcast-join `sql_select`/kv path."""
+    from bento_spark.bloblang.field import compile_field
+    from bento_spark.operators.envelope import ERROR, ensure_envelope
+
+    df = ensure_envelope(df)
+    cache = CACHE_RESOURCES.get(conf["resource"])
+    if cache is None:
+        raise ConfigError(
+            f"unknown cache resource {conf['resource']!r} "
+            f"(have {sorted(CACHE_RESOURCES)})"
+        )
+    op = conf.get("operator", "get")
+    if df.isStreaming:
+        return _proc_cache_streaming(df, conf)
+    key = compile_field(str(conf.get("key", "${! content() }")), df)
+    df = df.withColumn("__cache_key", key)
+    if op in ("set", "add"):
+        value = compile_field(str(conf.get("value", "${! content() }")), df)
+        df = df.withColumn("__cache_val", value)
+        rows = df.select("__cache_key", "__cache_val").dropDuplicates(
+            ["__cache_key"]).limit(1_000_001).collect()
+        if len(rows) > 1_000_000:
+            raise ConfigError("cache processor exceeds 1M keys per batch")
+        pairs = [(r[0], r[1]) for r in rows]
+        existed: set = set()
+        if op == "add":
+            hits = cache.mget([k for k, _ in pairs])
+            existed = {k for (k, _), h in zip(pairs, hits) if h is not None}
+            pairs = [(k, v) for k, v in pairs if k not in existed]
+        cache.mset(pairs)
+        out = df
+        if existed:
+            out = out.withColumn(
+                ERROR,
+                F.when(
+                    F.col("__cache_key").isin(list(existed))
+                    & F.col(ERROR).isNull(),
+                    F.lit("cache add: key already exists"),
+                ).otherwise(F.col(ERROR)),
+            )
+        return out.drop("__cache_key", "__cache_val")
+    if op == "get":
+        keys = [r[0] for r in df.select("__cache_key").distinct()
+                .limit(1_000_001).collect()]
+        if len(keys) > 1_000_000:
+            raise ConfigError("cache processor exceeds 1M keys per batch")
+        vals = cache.mget(keys)
+        spark = df.sparkSession
+        side = spark.createDataFrame(
+            [(k, v) for k, v in zip(keys, vals)],
+            "__cache_key string, __cache_hit string",
+        )
+        out = df.join(F.broadcast(side), "__cache_key", "left")
+        out = out.withColumn(
+            "content",
+            F.when(F.col("__cache_hit").isNotNull(), F.col("__cache_hit"))
+            .otherwise(F.col("content") if "content" in df.columns else F.lit(None)),
+        ).withColumn(
+            ERROR,
+            F.when(
+                F.col("__cache_hit").isNull() & F.col(ERROR).isNull(),
+                F.lit("cache get: key does not exist"),
+            ).otherwise(F.col(ERROR)),
+        )
+        return out.drop("__cache_key", "__cache_hit")
+    raise ConfigError(f"cache operator {op!r} not supported (get/set/add)")
+
+
+def _proc_cache_streaming(df: DataFrame, conf) -> DataFrame:
+    """Streaming form of the `cache` processor: per-partition
+    mapInPandas with the backend rebuilt from its raw conf on each
+    executor (driver-side collects are illegal on streams). Remote
+    backends (redis/memcached/...) behave exactly like the reference —
+    shared state over the wire; in-memory backends become
+    executor-scoped, which matches the reference's per-process scope in
+    spirit but not across executors (documented)."""
+    from bento_spark.bloblang.field import compile_field
+    from bento_spark.operators.envelope import ERROR, ensure_envelope
+
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    df = ensure_envelope(df)
+    rconf = CACHE_RESOURCE_CONFS.get(conf["resource"])
+    if rconf is None:
+        raise ConfigError(f"unknown cache resource {conf['resource']!r}")
+    op = conf.get("operator", "get")
+    if op not in ("get", "set", "add"):
+        raise ConfigError(f"cache operator {op!r} not supported (get/set/add)")
+    key_tpl = str(conf.get("key", "${! content() }"))
+    val_tpl = str(conf.get("value", "${! content() }"))
+    interp_key = interp_val = None
+    try:
+        df = df.withColumn("__cache_key", compile_field(key_tpl, df))
+        if op in ("set", "add"):
+            df = df.withColumn("__cache_val", compile_field(val_tpl, df))
+    except AnalysisException:
+        # the template's expression needs the typed document, which
+        # streaming frames can't lift — evaluate per message with the
+        # tier-c interpreter inside the same mapInPandas (counted like
+        # every other interpreter engagement)
+        from bento_spark.observability import default_registry
+
+        default_registry().counter(
+            "bloblang.interpreter_fallback", reason="cache_field"
+        )
+        df = df.drop("__cache_key", "__cache_val")
+        interp_key = _interp_field_fn(key_tpl)
+        if op in ("set", "add"):
+            interp_val = _interp_field_fn(val_tpl)
+        df = df.withColumn("__cache_key", F.lit(None).cast("string"))
+        if op in ("set", "add"):
+            df = df.withColumn("__cache_val", F.lit(None).cast("string"))
+    has_content = "content" in df.columns
+    schema = df.schema
+    from bento_spark.operators.envelope import META as _META
+
+    def run(batches):
+        from bento_spark.operators.cachepolicy import cache_from_conf
+
+        cache = cache_from_conf(rconf)
+        for pdf in batches:
+            if interp_key is not None:
+                metas = pdf[_META] if _META in pdf else [{}] * len(pdf)
+                pdf["__cache_key"] = [
+                    interp_key(c, m)
+                    for c, m in zip(pdf.get("content", [""] * len(pdf)), metas)
+                ]
+                if interp_val is not None:
+                    pdf["__cache_val"] = [
+                        interp_val(c, m)
+                        for c, m in zip(pdf.get("content", [""] * len(pdf)), metas)
+                    ]
+            keys = pdf["__cache_key"].tolist()
+            if op == "get":
+                vals = cache.mget(keys)
+                hit = [v is not None for v in vals]
+                if has_content:
+                    pdf["content"] = [
+                        v if h else c
+                        for v, h, c in zip(vals, hit, pdf["content"])
+                    ]
+                pdf[ERROR] = [
+                    e if h else (e or "cache get: key does not exist")
+                    for h, e in zip(hit, pdf[ERROR])
+                ]
+            else:
+                pairs = list(zip(keys, pdf["__cache_val"].tolist()))
+                if op == "add":
+                    hits = cache.mget(keys)
+                    existed = {k for k, h in zip(keys, hits) if h is not None}
+                    pairs = [(k, v) for k, v in pairs if k not in existed]
+                    pdf[ERROR] = [
+                        e or ("cache add: key already exists" if k in existed else None)
+                        for k, e in zip(keys, pdf[ERROR])
+                    ]
+                cache.mset(pairs)
+            yield pdf
+        if hasattr(cache, "close"):
+            try:
+                cache.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+    out = df.mapInPandas(run, schema)
+    return out.drop("__cache_key", *(
+        ["__cache_val"] if op in ("set", "add") else []
+    ))
+
+
+def _interp_field_fn(template: str):
+    """Per-message interpolation evaluator: `a-${! expr }-b` becomes the
+    mapping `root = "a-" + (expr).string() + "-b"` run through the
+    tier-c interpreter."""
+    import json as _json
+
+    from bento_spark.bloblang.field import parse_field
+    from bento_spark.bloblang.interp import interpret_mapping
+
+    parts = [
+        _json.dumps(text) if kind == "static" else f"({text}).string()"
+        for kind, text in parse_field(template)
+    ]
+    src = "root = " + (" + ".join(parts) if parts else '""')
+
+    def fn(content, meta):
+        v = interpret_mapping(src, content if content is not None else "", dict(meta or {}))
+        return v if isinstance(v, str) else _json.dumps(v)
+
+    return fn
+
+
+def _proc_group_by_value(df: DataFrame, conf) -> DataFrame:
+    """`group_by_value` (processor_group_by_value.go): stamp the
+    interpolated grouping value as metadata `group` — downstream sinks
+    partition on it (the reference's dynamic-output idiom)."""
+    value = conf.get("value") if isinstance(conf, dict) else conf
+    return _proc_metadata(df, {"group": value})
+
+
+def _proc_compress(df: DataFrame, conf) -> DataFrame:
+    """`compress` (processor_compress.go:22): content -> BINARY."""
+    from bento_spark.operators.codecs import compress_col
+    from bento_spark.operators.envelope import ensure_envelope
+
+    df = ensure_envelope(df)
+    algo = conf.get("algorithm", "gzip") if isinstance(conf, dict) else conf
+    return df.withColumn(
+        "content", compress_col(F.encode("content", "UTF-8"), algo)
+    )
+
+
+def _proc_decompress(df: DataFrame, conf) -> DataFrame:
+    """`decompress` (processor_decompress.go:21): BINARY -> content."""
+    from bento_spark.operators.codecs import decompress_col
+    from bento_spark.operators.envelope import ensure_envelope
+
+    df = ensure_envelope(df)
+    algo = conf.get("algorithm", "gzip") if isinstance(conf, dict) else conf
+    return df.withColumn(
+        "content", F.decode(decompress_col(F.col("content"), algo), "UTF-8")
+    )
+
+
+def ensure_env(df: DataFrame) -> DataFrame:
+    from bento_spark.operators.envelope import ensure_envelope
+
+    return ensure_envelope(df)
+
+
+PROCESSORS.update({
+    "http": _proc_http,
+    "branch": _proc_branch_cfg,
+    "switch": _proc_switch_cfg,
+    "retry": _proc_retry,
+    "while": _proc_while,
+    "noop": _proc_passthrough,
+    "sleep": _proc_passthrough,
+    "log": _proc_log,
+    "metric": _proc_metric,
+    "cache": _proc_cache,
+    "group_by_value": _proc_group_by_value,
+    "compress": _proc_compress,
+    "decompress": _proc_decompress,
+    # composition sugar: a list of children applied in order
+    "for_each": lambda df, conf: _apply_children(df, conf, "for_each"),
+    "processors": lambda df, conf: _apply_children(df, conf, "processors"),
+    "parallel": lambda df, conf: _apply_children(
+        df, (conf or {}).get("processors", conf) if isinstance(conf, dict) else conf,
+        "parallel",
+    ),
+})

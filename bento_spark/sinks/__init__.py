@@ -165,6 +165,50 @@ def _kafka(df: DataFrame, is_streaming: bool, conf: dict):
     return None
 
 
+# franz-go-backed variants share the kafka config surface
+register_sink("kafka_franz")(_kafka)
+register_sink("redpanda")(_kafka)
+register_sink("redpanda_common")(_kafka)
+
+
+@register_sink("drop")
+def _drop(df: DataFrame, is_streaming: bool, conf: dict):
+    """`drop` output (output_drop.go): discard after processing — the
+    noop format still materializes the plan so processors run."""
+    if is_streaming:
+        return df.writeStream.format("noop").option(
+            "checkpointLocation", conf.get("checkpoint", "/tmp/bento_drop_ckpt")
+        ).start()
+    df.write.format("noop").mode("overwrite").save()
+    return None
+
+
+def _transport_sink(backend: str):
+    """Named remote outputs (discord/slack/...) delegate to the generic
+    connector delivery loop with their conf as the transport conf."""
+
+    def fn(df: DataFrame, is_streaming: bool, conf: dict):
+        from bento_spark.sinks import connector as C
+
+        conf = dict(conf or {})
+        kw = {
+            k: conf.pop(k)
+            for k in ("batch_size", "retries", "backoff_s", "dlq_path", "envelope")
+            if k in conf
+        }
+        if is_streaming:
+            return C.deliver_stream(
+                df, backend, conf, checkpoint=conf.pop("checkpoint"), **kw
+            )
+        C.deliver(df, backend, conf, **kw)
+        return None
+
+    return fn
+
+
+register_sink("discord")(_transport_sink("discord"))
+
+
 @register_sink("switch")
 def _switch(df: DataFrame, is_streaming: bool, conf: dict):
     """Output `switch` (output_switch.go:164): route each row to the FIRST
