@@ -416,11 +416,25 @@ class Pipeline:
         return self.df
 
     def run(self):
-        """Execute: batch write (blocking) or start the streaming query."""
+        """Execute: batch write (blocking) or start the streaming query.
+        Batch runs then harvest any `metric` observations into the
+        default MetricsRegistry (observe values only exist after an
+        action)."""
         if self.output is None:
             raise ConfigError("pipeline has no `output` section")
         name, conf = self.output
-        return run_sink(self.df, self.is_streaming, name, conf)
+        result = run_sink(self.df, self.is_streaming, name, conf)
+        if not self.is_streaming and PENDING_OBSERVATIONS:
+            from bento_spark.observability import default_registry
+
+            reg = default_registry()
+            while PENDING_OBSERVATIONS:
+                mname, obs = PENDING_OBSERVATIONS.pop(0)
+                try:
+                    reg.counter(mname, float(obs.get.get("value", 0)))
+                except Exception:  # noqa: BLE001 - observation not materialized
+                    pass
+        return result
 
 
 def _resolve_resource(proc: dict, resources: dict[str, dict]) -> dict:

@@ -73,3 +73,30 @@ def test_cookbook_accounting():
     assert len(blocks) == 29, f"cookbook corpus changed: {len(blocks)} blocks"
     full = [b for _, _, b in blocks if re.search(r"^input\s*:", b, re.M)]
     assert len(full) == 15  # 14 build + 1 known limitation
+
+
+def test_metric_processor_harvests_to_registry(spark):
+    """`metric` counts rows through its point in the plan; batch runs
+    harvest the observation into the MetricsRegistry after the sink
+    action (values can only exist post-action under lazy plans)."""
+    from bento_spark.observability import default_registry
+    from bento_spark.plans.pipeline import build_pipeline
+
+    before = default_registry().snapshot()["counters"].get("cb_metric_t", 0)
+    p = build_pipeline(spark, """
+input:
+  generate:
+    count: 5
+    mapping: 'root.v = counter()'
+pipeline:
+  processors:
+    - filter: this.v <= 3
+    - metric:
+        type: counter
+        name: cb_metric_t
+output:
+  noop: {}
+""")
+    p.run()
+    after = default_registry().snapshot()["counters"].get("cb_metric_t", 0)
+    assert after - before == 3  # counted AFTER the filter
