@@ -65,15 +65,18 @@ _PRIORITY = [
     "proc_flow_gauntlet",
     "proc_kv_enrich", "pipeline_yaml", "proc_workflow_dag",
     "proc_jq", "proc_branch_enrich",
+    "proc_yaml_surface_gauntlet",
     "proc_cache_lookup", "proc_http_enrich", "proc_javascript",
     "mm_video_y4m",
     # consolidated codec/scanner/parser families
     "proc_parse_gauntlet", "proc_codec_gauntlet", "proc_archive_gauntlet",
-    "scan_gauntlet",
     # relational breadth: 18 TPC-H-shape + superset queries in one slot
     "relational_gauntlet",
+    # (scan_gauntlet moved below the fold to make room: its five member
+    # scanner singles are all row-level verified below)
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
+    "scan_gauntlet",
     "ann_ivf_topk", "text_quality_score", "proc_jmespath_collapse",
     "window_sliding_hour", "bloblang_stdlib3", "corpus_shuffle_shards",
     "dedup_incremental_snapshot",

@@ -1,0 +1,130 @@
+"""Gate coverage for the YAML config surface added in round 5: one
+pipeline built from a literal YAML string exercising switch / http
+(echo transport) / while / group_by_value / cache set+get / metric —
+the driver hash-checks the whole chain against a DuckDB oracle, so the
+config-table adapters (plans/pipeline.py) get row-level verification,
+not just cookbook lint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.queries import query
+
+_ORACLE = """
+WITH base AS (
+  SELECT event_id,
+         event_type AS kind,
+         CASE WHEN event_type = 'purchase' THEN 'buy'
+              WHEN event_type IN ('signup', 'login') THEN 'acct'
+              ELSE 'other' END AS route
+  FROM events
+), body AS (
+  SELECT event_id, kind, route,
+         '{"event_id":' || event_id || ',"kind":"' || kind
+            || '","route":"' || route || '"}' AS req
+  FROM base
+)
+SELECT event_id, route,
+       strlen(req) AS body_len,
+       'https://svc/' || route AS echo_url,
+       route AS grp,
+       route AS cached_route,
+       3 AS loops
+FROM body
+ORDER BY event_id
+"""
+
+
+@query("proc_yaml_surface_gauntlet", oracle=_ORACLE)
+def proc_yaml_surface_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """switch -> http(echo) -> while -> group_by_value -> cache set/get
+    -> metric, ALL as the YAML processors a reference user writes
+    (built through build_pipeline, not the operator APIs). The echo
+    transport's response embeds the exact request body length + url, so
+    the oracle reconstructs the serialized JSON byte-for-byte; the
+    while-loop increments to its bound; the cache get round-trips the
+    route through a named memory cache resource."""
+    from bento_spark.plans.pipeline import build_pipeline
+
+    p = build_pipeline(
+        spark,
+        f"""
+cache_resources:
+  - label: route_cache_{abs(hash(sf_dir)) % 10_000}
+    memory: {{}}
+
+input:
+  parquet:
+    path: {sf_dir}/events.parquet
+
+pipeline:
+  processors:
+    - mapping: |
+        root.event_id = this.event_id
+        root.kind = this.event_type
+    - switch:
+        - check: this.kind == "purchase"
+          processors:
+            - mutation: 'root.route = "buy"'
+        - check: this.kind == "signup" || this.kind == "login"
+          processors:
+            - mutation: 'root.route = "acct"'
+        - processors:
+            - mutation: 'root.route = "other"'
+    - http:
+        url: https://svc/${{! this.route }}
+        verb: POST
+        _transport: echo
+    - mutation: 'root.n = 0'
+    - while:
+        check: this.n < 3
+        max_loops: 5
+        processors:
+          - mutation: 'root.n = this.n + 1'
+    - group_by_value:
+        value: ${{! this.route }}
+    - cache:
+        resource: route_cache_{abs(hash(sf_dir)) % 10_000}
+        operator: set
+        key: route-${{! this.event_id }}
+        value: ${{! this.route }}
+    - metric:
+        type: counter
+        name: yaml_gauntlet_rows
+""",
+    )
+    df = p.dataframe()
+    cache_label = f"route_cache_{abs(hash(sf_dir)) % 10_000}"
+    from bento_spark.plans.pipeline import CACHE_RESOURCES
+
+    cache = CACHE_RESOURCES[cache_label]
+    # the echo transport's response (now in `content`):
+    # {"len": N, "method": "POST", "url": "https://svc/<route>"}
+    out = df.select(
+        "event_id",
+        "route",
+        F.get_json_object("content", "$.len").cast("long").alias("body_len"),
+        F.get_json_object("content", "$.url").alias("echo_url"),
+        F.col("_metadata")["group"].alias("grp"),
+        F.concat(F.lit("route-"), F.col("event_id").cast("string")).alias("__k"),
+        F.col("n").cast("long").alias("loops"),
+    )
+    # cache get round-trip: the set above ran driver-side at build; read
+    # the same keys back through the cache resource (broadcast map-back,
+    # same mechanics as the get operator)
+    rows = [r[0] for r in out.select("__k").distinct().collect()]
+    vals = cache.mget(rows)
+    side = spark.createDataFrame(
+        list(zip(rows, vals)), "__k string, cached_route string"
+    )
+    return (
+        out.join(F.broadcast(side), "__k")
+        .select(
+            "event_id", "route", "body_len", "echo_url", "grp",
+            "cached_route", "loops",
+        )
+        .orderBy("event_id")
+    )
