@@ -781,6 +781,10 @@ def _arg(node: A.Node, env: Env, recv_hint: str | None = None,
     return compile_node(node, env)
 
 
+#: assign-name prefix marking an ordered top-level field deletion
+DELETE_PREFIX = "__delete_field__:"
+
+
 @dataclass
 class MappingPlan:
     """Parsed mapping; column compilation happens at apply() time so it
@@ -850,7 +854,10 @@ class MappingPlan:
 
                 out = df
                 for n, c in overlay:
-                    out = out.withColumn(n, c)
+                    if n.startswith(DELETE_PREFIX):
+                        out = out.drop(n[len(DELETE_PREFIX):])
+                    else:
+                        out = out.withColumn(n, c)
                 if drop_col is not None:
                     out = out.filter(~F.col(drop_col))
                 keep = [c for c in out.columns
@@ -868,11 +875,16 @@ class MappingPlan:
             # materialize assignments BEFORE the drop filter so
             # batch-scoped expressions saw every row, then project
             out = df
+            kept: dict[str, bool] = {}
             for n, c in assigns:
-                out = out.withColumn(n, c)
+                if n.startswith(DELETE_PREFIX):
+                    kept.pop(n[len(DELETE_PREFIX):], None)
+                else:
+                    out = out.withColumn(n, c)
+                    kept[n] = True
             if drop_col is not None:
                 out = out.filter(~F.col(drop_col))
-            sel = [F.col(n) for n, _c in assigns]
+            sel = [F.col(n) for n in kept]
             if nothing_names:
                 # rider for the serializer: null values of these fields
                 # are Nothing (conditionally absent), not data
@@ -884,7 +896,10 @@ class MappingPlan:
         else:
             out = df
             for n, c in assigns:
-                out = out.withColumn(n, c)
+                if n.startswith(DELETE_PREFIX):
+                    out = out.drop(n[len(DELETE_PREFIX):])
+                else:
+                    out = out.withColumn(n, c)
             if drop_col is not None:
                 out = out.filter(~F.col(drop_col)).drop(drop_col)
         if meta:
@@ -1056,7 +1071,16 @@ def _compile_statements(ast: A.MappingAST, env: Env):
                         "unconditional root = deleted() drops everything; "
                         "use a conditional"
                     )
-                raise CompileError("field deletion not yet supported")
+                if len(stmt.target) == 1:
+                    # top-level field deletion (`root.tmp = deleted()`):
+                    # an ordered marker — apply() drops the column at
+                    # this point in the sequence, so a later assignment
+                    # of the same name recreates it (executor order)
+                    assigns.append(
+                        (DELETE_PREFIX + stmt.target[0], F.lit(True))
+                    )
+                    continue
+                raise CompileError("nested field deletion not yet supported")
             if stmt.target == ():
                 if (isinstance(stmt.expr, A.FuncCall)
                         and stmt.expr.name == "throw"):

@@ -286,8 +286,19 @@ def _proc_catch(df: DataFrame, conf) -> DataFrame:
                 assigns, _m, _d, _c = plan.compile_for(out)
                 out = P.catch_errors(out, dict(assigns))
             else:
-                raise ConfigError(
-                    f"catch children support mappings, got {pname!r}"
+                # general children (log/http/...): split-apply-union —
+                # the children run on the ERRORED subset only, then the
+                # flag clears (processor_catch.go semantics)
+                from bento_spark.operators.envelope import ERROR, ensure_envelope
+
+                out = ensure_envelope(out)
+                errored = out.filter(F.col(ERROR).isNotNull())
+                ok_rows = out.filter(F.col(ERROR).isNull())
+                recovered = _apply_children(
+                    errored, [child], "catch"
+                ).withColumn(ERROR, F.lit(None).cast("string"))
+                out = ok_rows.unionByName(
+                    recovered, allowMissingColumns=True
                 )
         return out
     plan = compile_mapping(conf if isinstance(conf, str) else conf["query"])
@@ -770,12 +781,64 @@ def _proc_branch_cfg(df: DataFrame, conf) -> DataFrame:
     out = _lift_content(ensure_env(df))
     if conf.get("request_map"):
         out = compile_mapping(conf["request_map"]).apply(out, new_document=False)
-    out = _apply_children(out, conf.get("processors") or [], "branch")
+    children = _rewrite_archive_roundtrip(list(conf.get("processors") or []))
+    out = _apply_children(out, children, "branch")
     if conf.get("result_map"):
         out = compile_mapping(conf["result_map"]).apply(
             _lift_content(out), new_document=False
         )
     return out
+
+
+def _rewrite_archive_roundtrip(children: list) -> list:
+    """Branch children of the shape ``archive(json_array) -> transport
+    -> unarchive(json_array)`` exist in the reference to COALESCE the
+    batch into one service call — a physical optimization of its
+    one-message-at-a-time engine. This engine's transports are already
+    Arrow-batched with bounded concurrency, so the pair rewrites to
+    per-message array framing: each document is wrapped as a 1-element
+    JSON array before the transport and unwrapped after — the same
+    request/response semantics PER ELEMENT, with the batching decided
+    by the engine instead of the config (SURVEY §0: the reference
+    defines what to compute, not how)."""
+    fmt = lambda c: (c if isinstance(c, dict) else {}).get("format", "json_array")  # noqa: E731
+    arch = [i for i, ch in enumerate(children)
+            if "archive" in ch and fmt(ch["archive"]) == "json_array"]
+    unarch = [i for i, ch in enumerate(children)
+              if "unarchive" in ch and fmt(ch["unarchive"]) == "json_array"]
+    if arch and unarch and arch[0] < unarch[-1]:
+        children = list(children)
+        children[arch[0]] = {"__wrap_json_array": {}}
+        children[unarch[-1]] = {"__unwrap_json_array": {}}
+    return children
+
+
+def _proc_wrap_json_array(df: DataFrame, conf) -> DataFrame:
+    from bento_spark.operators.envelope import data_cols, ensure_envelope
+
+    df = ensure_envelope(df)
+    if "content" not in df.columns:
+        cols = data_cols(df)
+        df = df.withColumn("content", F.to_json(F.struct(*cols))).drop(*cols)
+    return df.withColumn(
+        "content", F.concat(F.lit("["), F.col("content"), F.lit("]"))
+    )
+
+
+def _proc_unwrap_json_array(df: DataFrame, conf) -> DataFrame:
+    from bento_spark.operators.envelope import ensure_envelope
+
+    df = ensure_envelope(df)
+    return df.withColumn(
+        "content",
+        F.to_json(
+            F.element_at(F.from_json(F.col("content"), "array<variant>"), 1)
+        ),
+    )
+
+
+PROCESSORS["__wrap_json_array"] = _proc_wrap_json_array
+PROCESSORS["__unwrap_json_array"] = _proc_unwrap_json_array
 
 
 def _proc_switch_cfg(df: DataFrame, conf) -> DataFrame:

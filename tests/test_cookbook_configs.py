@@ -3,18 +3,16 @@ through the YAML engine — config-surface parity evidence beyond the
 golden test corpus: these are the documents users copy configs from, so
 "a reference user could paste their config here" is tested literally.
 
-Round-5 state, pinned: 29 yaml blocks across 7 cookbooks; 14 are full
-configs and ALL build (http/branch/switch/retry/while/cache/metric/
+Round-5 state, pinned: 29 yaml blocks across 7 cookbooks; ALL 15 full
+configs build (http/branch/switch/retry/while/cache/metric/
 group_by_value processors, http_client/discord/kafka_franz inputs,
 drop/discord/kafka_franz outputs, redis cache backend, input-level and
 broker-sub-input processors, workflow branches-by-resource, streaming-
-safe lift/unarchive/archive/cache paths, digit-leading field names);
-14 are prose fragments with no `input:` section (not runnable configs);
-1 is the enrichments full-workflow block, a KNOWN LIMITATION — its
-branch children include archive->http->unarchive, which needs true
-branch isolation (a detached child frame joined back by row) that the
-shared-frame branch model does not provide. If that block starts
-building, this test flags it so the limitation note gets removed.
+safe lift/unarchive/archive/cache paths, digit-leading field names,
+top-level field deletion, general catch children, and the
+archive->transport->unarchive pair in branches rewritten to per-message
+array framing since the transports are Arrow-batched already); the
+other 14 blocks are prose fragments with no `input:` section.
 """
 
 from __future__ import annotations
@@ -37,8 +35,7 @@ def _blocks():
     return out
 
 
-# the one full config that needs cross-archive branch isolation
-KNOWN_LIMITATION = {("enrichments.md", 3)}
+KNOWN_LIMITATION: set = set()  # empty since round 5 — all blocks build
 
 
 @pytest.mark.parametrize(
@@ -72,7 +69,7 @@ def test_cookbook_accounting():
     blocks = _blocks()
     assert len(blocks) == 29, f"cookbook corpus changed: {len(blocks)} blocks"
     full = [b for _, _, b in blocks if re.search(r"^input\s*:", b, re.M)]
-    assert len(full) == 15  # 14 build + 1 known limitation
+    assert len(full) == 15  # every one builds
 
 
 def test_metric_processor_harvests_to_registry(spark):
