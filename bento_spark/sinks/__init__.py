@@ -209,6 +209,94 @@ def _transport_sink(backend: str):
 register_sink("discord")(_transport_sink("discord"))
 
 
+# Every delivery-loop transport under its REFERENCE output name
+# (website/docs/components/outputs/) — a reference user's
+# `output: {aws_s3: {...}}` must resolve without knowing about the
+# generic `connector:` spelling. Differing names map explicitly; the
+# rest are identity. Registration is name-level only: nothing dials
+# until the pipeline RUNS (transports construct inside the delivery
+# loop), so `lint` stays offline.
+_TRANSPORT_OUTPUTS = {
+    "amqp_0_9": "amqp_0_9",
+    "amqp_1": "amqp_1",
+    "aws_dynamodb": "aws_dynamodb",
+    "aws_kinesis": "kinesis",
+    "aws_kinesis_firehose": "kinesis_firehose",
+    "aws_s3": "s3",
+    "aws_s3_stream": "aws_s3_stream",
+    "aws_sns": "sns",
+    "aws_sqs": "sqs",
+    "azure_blob_storage": "azure_blob_storage",
+    "azure_cosmosdb": "azure_cosmosdb",
+    "azure_queue_storage": "azure_queue",
+    "azure_table_storage": "azure_table_storage",
+    "beanstalkd": "beanstalkd",
+    "cache": "cache",
+    "cassandra": "cassandra",
+    "couchbase": "couchbase",
+    "cypher": "cypher",
+    "datadog_logs": "datadog_logs",
+    "duckdb_append": "duckdb_append",
+    "elasticsearch": "elasticsearch",
+    "elasticsearch_v2": "elasticsearch_v2",
+    "gcp_bigquery": "gcp_bigquery",
+    "gcp_bigquery_write_api": "gcp_bigquery_write_api",
+    "gcp_bigtable": "gcp_bigtable",
+    "gcp_cloud_storage": "gcp_cloud_storage",
+    "gcp_pubsub": "gcp_pubsub",
+    "hdfs": "hdfs",
+    "http_client": "http",
+    "mongodb": "mongodb",
+    "mqtt": "mqtt",
+    "nanomsg": "nanomsg",
+    "nats": "nats",
+    "nats_jetstream": "nats_jetstream",
+    "nsq": "nsq",
+    "opensearch": "opensearch",
+    "pulsar": "pulsar",
+    "pusher": "pusher",
+    "questdb": "questdb",
+    "redis_hash": "redis_hash",
+    "redis_list": "redis_list",
+    "redis_pubsub": "redis_pubsub",
+    "redis_streams": "redis_streams",
+    "slack_webhook": "slack_webhook",
+    "snowflake_put": "snowflake_put",
+    "socket": "socket",
+    "splunk_hec": "splunk_hec",
+    "sql_insert": "postgres",
+    "sql_raw": "postgres",
+    "zmq4": "zmq4",
+    "zmq4n": "nanomsg",
+}
+for _oname, _tname in _TRANSPORT_OUTPUTS.items():
+    if _oname not in SINKS:
+        register_sink(_oname)(_transport_sink(_tname))
+
+
+@register_sink("file")
+def _file_out(df: DataFrame, is_streaming: bool, conf: dict):
+    """`file` output (output_file.go): one message per line as text —
+    the document serializes to `content` if typed; interpolated paths
+    ride the shared dynamic-partition mechanics."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import data_cols, ensure_envelope
+
+    df = ensure_envelope(df)
+    if "content" not in df.columns:
+        cols = data_cols(df)
+        df = df.withColumn("content", F.to_json(F.struct(*cols))).drop(*cols)
+    df = df.select(F.col("content").alias("value"))
+    return _file_sink("text")(df, is_streaming, conf)
+
+
+register_sink("stdout")(SINKS["console"])  # output_stdout.go alias
+register_sink("inproc")(SINKS["memory"])   # in-process handoff
+register_sink("sql")(SINKS["sql_insert"])  # legacy alias (output_sql.go)
+register_sink("nats_stream")(SINKS["nats_jetstream"])  # STAN is EOL; JetStream succeeds it
+
+
 @register_sink("switch")
 def _switch(df: DataFrame, is_streaming: bool, conf: dict):
     """Output `switch` (output_switch.go:164): route each row to the FIRST

@@ -448,3 +448,8 @@ def _discord(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
             )
 
     return spark.range(1).mapInPandas(gen, "content string"), False
+
+
+# bridge-backed inputs under their reference names (registration only —
+# module at sources/yaml_inputs.py)
+from bento_spark.sources import yaml_inputs as _yaml_inputs  # noqa: E402,F401

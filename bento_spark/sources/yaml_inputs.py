@@ -1,0 +1,302 @@
+"""YAML registration for the bridge-backed inputs — the config-layer
+glue between the reference's input names (website/docs/components/
+inputs/) and the repo's wire-protocol bridges (sources/*_bridge, the
+objectstore mirror, the watch/poll family, sockets).
+
+Every bridge shares one contract: ``drain(out_dir)`` stages messages
+durably (atomic rename, cursor/ack AFTER staging = at-least-once) into
+a directory the ``bento_queue`` Python Data Source reads back as
+replayable offsets. The generic adapter here builds the bridge from the
+YAML conf, drains once (batch) or on a daemon interval (``stream:
+true``), and hands the staging dir to the data source — so
+``input: {aws_sqs: {...}}`` works exactly like the reference against a
+real endpoint.
+
+Construction is EAGER at build time (the drain dials the remote) —
+same behavior as the dimension-load inputs (sql_select/cassandra):
+an input IS a remote read; there is nothing lazy to defer to. `lint`
+of configs with placeholder endpoints should use `bento lint`-style
+build of the processor sections only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bento_spark.sources import register_source
+
+
+def _staging_dir(name: str, conf: dict) -> str:
+    if conf.get("staging_dir"):
+        return conf["staging_dir"]
+    h = hashlib.md5(
+        repr(sorted(conf.items())).encode(), usedforsecurity=False
+    ).hexdigest()[:10]
+    d = f"/tmp/bento_spark_stage/{name}-{h}"
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _read_staged(spark: SparkSession, path: str, stream: bool):
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import META
+    from bento_spark.sources.pydatasource import BentoQueueDataSource
+
+    spark.dataSource.register(BentoQueueDataSource)
+    reader = (spark.readStream if stream else spark.read).format(
+        "bento_queue"
+    ).option("path", path)
+    # queue rows -> the engine envelope: value becomes `content`,
+    # provenance lands in metadata (same shape as the kafka projection)
+    df = reader.load().select(
+        F.col("value").alias("content"),
+        F.create_map(
+            F.lit("queue_path"), F.col("queue_path"),
+            F.lit("msg_id"), F.col("msg_id").cast("string"),
+        ).alias(META),
+    )
+    return df, stream
+
+
+def _bridge_source(name: str, make_bridge, drain_kwargs=None):
+    """Generic bridge input: build client+bridge from conf, drain to
+    the staging dir, read it back through bento_queue. ``stream: true``
+    keeps draining on ``drain_interval_s`` in a daemon thread while the
+    streaming query consumes the growing directory."""
+
+    def fn(spark: SparkSession, conf: dict):
+        staging = _staging_dir(name, conf)
+        bridge = make_bridge(conf)
+        kwargs = (drain_kwargs or (lambda c: {}))(conf)
+        bridge_drain = getattr(bridge, "drain", None) or bridge.drain_to_dir
+        bridge_drain(staging, **kwargs)
+        stream = bool(conf.get("stream", False))
+        if stream:
+            interval = float(conf.get("drain_interval_s", 5))
+            stop = threading.Event()
+
+            def loop():
+                while not stop.wait(interval):
+                    try:
+                        bridge_drain(staging, **kwargs)
+                    except Exception:  # noqa: BLE001 - transient remote errors
+                        pass
+
+            threading.Thread(target=loop, daemon=True).start()
+        return _read_staged(spark, staging, stream)
+
+    register_source(name)(fn)
+    return fn
+
+
+# -- AWS --------------------------------------------------------------------
+
+def _sqs(conf):
+    from bento_spark.sources.sqs_bridge import SqsBridge
+
+    return SqsBridge(
+        conf.get("endpoint") or "https://sqs.{r}.amazonaws.com".format(
+            r=conf.get("region", "us-east-1")
+        ),
+        conf.get("url") or conf["queue_url"],
+        conf.get("region", "us-east-1"),
+        conf.get("access_key"),
+        conf.get("secret_key"),
+    )
+
+
+_bridge_source("aws_sqs", _sqs)
+
+
+def _s3(conf):
+    from bento_spark.sources.aws_s3 import S3Bridge, S3Client
+
+    return S3Bridge(S3Client(
+        conf.get("endpoint") or "https://s3.{r}.amazonaws.com".format(
+            r=conf.get("region", "us-east-1")
+        ),
+        conf["bucket"],
+        conf.get("region", "us-east-1"),
+        conf.get("access_key"),
+        conf.get("secret_key"),
+    ))
+
+
+_bridge_source("aws_s3", _s3, lambda c: {"prefix": c.get("prefix", "")})
+
+
+def _kinesis(conf):
+    from bento_spark.sources.aws_kinesis import KinesisBridge, KinesisClient
+
+    streams = conf.get("streams") or [conf.get("stream_name", "")]
+    return KinesisBridge(KinesisClient(
+        conf.get("endpoint") or "https://kinesis.{r}.amazonaws.com".format(
+            r=conf.get("region", "us-east-1")
+        ),
+        streams[0],
+        conf.get("region", "us-east-1"),
+        conf.get("access_key"),
+        conf.get("secret_key"),
+    ))
+
+
+_bridge_source("aws_kinesis", _kinesis)
+
+
+# -- GCP / Azure / HDFS -----------------------------------------------------
+
+def _gcp_token_provider(conf):
+    creds = conf.get("credentials_json")
+    if not creds:
+        return None
+    from bento_spark.functions.gcpauth import service_account_token_provider
+
+    return service_account_token_provider(creds)
+
+
+class _PubSubDrain:
+    def __init__(self, client, subscription):
+        self.client, self.subscription = client, subscription
+
+    def drain(self, out_dir: str) -> int:
+        return self.client.drain(self.subscription, out_dir)
+
+
+def _pubsub(conf):
+    from bento_spark.sources.gcp_pubsub import PubSubClient
+
+    return _PubSubDrain(
+        PubSubClient(
+            conf.get("endpoint") or "https://pubsub.googleapis.com",
+            conf["project"],
+            token_provider=_gcp_token_provider(conf),
+        ),
+        conf["subscription"],
+    )
+
+
+_bridge_source("gcp_pubsub", _pubsub)
+
+
+def _gcs(conf):
+    from bento_spark.sources.objectstore import GcsClient, ObjectStoreBridge
+
+    return ObjectStoreBridge(GcsClient(
+        conf.get("endpoint") or "https://storage.googleapis.com",
+        conf["bucket"],
+        token_provider=_gcp_token_provider(conf),
+    ))
+
+
+_bridge_source("gcp_cloud_storage", _gcs, lambda c: {"prefix": c.get("prefix", "")})
+
+
+def _azure_blob(conf):
+    from bento_spark.sources.objectstore import AzureBlobClient, ObjectStoreBridge
+
+    return ObjectStoreBridge(AzureBlobClient(
+        conf["endpoint"], conf["storage_account"],
+        conf.get("storage_access_key", ""), conf["container"],
+    ))
+
+
+_bridge_source("azure_blob_storage", _azure_blob,
+               lambda c: {"prefix": c.get("prefix", "")})
+
+
+def _hdfs(conf):
+    from bento_spark.sources.objectstore import ObjectStoreBridge, WebHdfsClient
+
+    return ObjectStoreBridge(WebHdfsClient(
+        conf["endpoint"], conf.get("directory", "/"), conf.get("user", "spark")
+    ))
+
+
+_bridge_source("hdfs", _hdfs)
+
+
+def _azure_queue(conf):
+    from bento_spark.sources.azure_queue import AzureQueueClient
+
+    return AzureQueueClient(
+        conf["endpoint"], conf["storage_account"],
+        conf.get("storage_access_key", ""), conf["queue_name"],
+    )
+
+
+_bridge_source("azure_queue_storage", _azure_queue)
+
+
+# -- Redis ------------------------------------------------------------------
+
+def _redis_list(conf):
+    from bento_spark.sources.redis_bridge import RedisListBridge
+
+    return RedisListBridge(conf["url"], conf["key"])
+
+
+_bridge_source("redis_list", _redis_list)
+
+
+def _redis_streams(conf):
+    from bento_spark.sources.redis_bridge import RedisStreamsBridge
+
+    streams = conf.get("streams") or [conf["stream"]]
+    return RedisStreamsBridge(conf["url"], streams[0])
+
+
+_bridge_source("redis_streams", _redis_streams)
+
+
+def _redis_pubsub(conf):
+    from bento_spark.sources.redis_bridge import RedisPubSubBridge
+
+    return RedisPubSubBridge(conf["url"], list(conf.get("channels", [])))
+
+
+_bridge_source("redis_pubsub", _redis_pubsub)
+
+
+# -- watch / poll family ----------------------------------------------------
+
+def _etcd(conf):
+    from bento_spark.sources.watch_inputs import EtcdKV, EtcdWatchBridge
+
+    return EtcdWatchBridge(EtcdKV(conf["endpoint"]), conf.get("prefix", ""))
+
+
+_bridge_source("etcd", _etcd)
+
+
+def _k8s(conf):
+    from bento_spark.sources.watch_inputs import K8sWatchBridge
+
+    return K8sWatchBridge(
+        conf["endpoint"], conf["path"], conf.get("token")
+    )
+
+
+_bridge_source("kubernetes_watch", _k8s)
+
+
+def _fsevent(conf):
+    from bento_spark.sources.watch_inputs import FsEventBridge
+
+    return FsEventBridge(conf["path"])
+
+
+_bridge_source("fsevent", _fsevent)
+
+
+def _file_tail(conf):
+    from bento_spark.sources.socket_input import FileTailBridge
+
+    return FileTailBridge(conf["path"])
+
+
+_bridge_source("file_tail", _file_tail)

@@ -164,3 +164,31 @@ def test_staged_dir_reads_back_via_bento_queue_source(spark, server, tmp_path):
     assert len(rows) == 12
     users = {json.loads(r["value"])["user"] for r in rows}
     assert users == {f"u{i}" for i in range(12)}
+
+
+def test_yaml_input_aws_sqs_end_to_end(spark, server, tmp_path):
+    """`input: {aws_sqs: {...}}` — the reference's YAML spelling —
+    drains the real wire protocol into staging and reads back through
+    the pipeline engine (round-5 yaml_inputs registration)."""
+    import json as _json
+
+    from bento_spark.plans.pipeline import build_pipeline
+
+    msgs = [_json.dumps({"i": i}) for i in range(7)]
+    server.seed(msgs)
+    p = build_pipeline(spark, f"""
+input:
+  aws_sqs:
+    endpoint: http://127.0.0.1:{server.port}
+    url: {QURL}
+    region: {REGION}
+    access_key: {ACCESS}
+    secret_key: {SECRET}
+    staging_dir: {tmp_path}/stage
+pipeline:
+  processors:
+    - mapping: 'root.double = this.i * 2'
+""")
+    rows = sorted(r["double"] for r in p.dataframe().collect())
+    assert rows == [0, 2, 4, 6, 8, 10, 12]
+    assert server.queue == {}  # staged-then-deleted by the drain
