@@ -111,7 +111,7 @@ class Assign(Node):
 
 @dataclass
 class MetaAssign(Node):
-    key: str
+    key: str | None  # None = bare `meta = ...` (deleted() wipes all)
     expr: Node
 
 

@@ -400,6 +400,17 @@ def _compile_func(node: A.FuncCall, env: Env) -> Column:
             return compile_node(A.This(), env)
         if isinstance(node.args[0], A.Lit):
             parts = str(node.args[0].value).split(".")
+            if env.df is not None and parts[0] not in env.df.columns:
+                if "content" in env.df.columns:
+                    # content-only document (unlifted): walk the JSON
+                    # text directly — the reference's json() is always
+                    # a raw document access, independent of context
+                    return F.get_json_object(
+                        F.col("content"), "$." + ".".join(parts)
+                    )
+                # typed document without the field: dynamic semantics —
+                # a missing path is null, not a compile failure
+                return F.lit(None).cast("string")
             col = F.col(parts[0])
             for p in parts[1:]:
                 col = col[p]
@@ -785,6 +796,29 @@ def _arg(node: A.Node, env: Env, recv_hint: str | None = None,
 DELETE_PREFIX = "__delete_field__:"
 
 
+def _meta_apply(meta: dict) -> Column:
+    """Fold meta statements onto the _metadata map: wipe-all resets it,
+    None values delete single keys, the rest overwrite."""
+    from bento_spark.operators.envelope import META
+
+    col = F.col(META)
+    if "__wipe_all__" in meta:
+        col = F.create_map().cast("map<string,string>")
+        meta = {k: v for k, v in meta.items() if k != "__wipe_all__"}
+    dels = [k for k, v in meta.items() if v is None]
+    if dels:
+        col = F.map_filter(col, lambda k, _v: ~k.isin(dels))
+    pairs: list[Column] = []
+    for k, v in meta.items():
+        if v is not None:
+            pairs += [F.lit(k), v.cast("string")]
+    if pairs:
+        from bento_spark.bloblang.stdlib import map_overwrite
+
+        col = map_overwrite(col, F.create_map(*pairs))
+    return col
+
+
 @dataclass
 class MappingPlan:
     """Parsed mapping; column compilation happens at apply() time so it
@@ -865,12 +899,7 @@ class MappingPlan:
                         and c not in ("__root_this__", "__drop__")]
                 out = out.select(*keep, F.col(META), F.col("_error"))
                 if meta:
-                    pairs: list[Column] = []
-                    for k, v in meta.items():
-                        pairs += [F.lit(k), v.cast("string")]
-                    out = out.withColumn(
-                        META, F.map_concat(F.col(META), F.create_map(*pairs))
-                    )
+                    out = out.withColumn(META, _meta_apply(meta))
                 return out
             # materialize assignments BEFORE the drop filter so
             # batch-scoped expressions saw every row, then project
@@ -903,10 +932,7 @@ class MappingPlan:
             if drop_col is not None:
                 out = out.filter(~F.col(drop_col)).drop(drop_col)
         if meta:
-            pairs: list[Column] = []
-            for k, v in meta.items():
-                pairs += [F.lit(k), v.cast("string")]
-            out = out.withColumn(META, F.map_concat(F.col(META), F.create_map(*pairs)))
+            out = out.withColumn(META, _meta_apply(meta))
         return out
 
 
@@ -987,8 +1013,19 @@ def compile_mapping(src: str, overrides: dict | None = None) -> MappingPlan:
     """Parse a Bloblang mapping (sequence of root/meta/let statements);
     compilation to Columns is deferred to apply()/compile_for(df).
     ``overrides`` substitutes zero-arg functions with fixed Columns
-    (e.g. the generate input's deterministic ``counter()``)."""
-    return MappingPlan(parse_mapping(src), src, overrides)
+    (e.g. the generate input's deterministic ``counter()``).
+
+    A source that is a bare EXPRESSION (`{"id": this.doc.id}` — the
+    request_map shorthand several reference docs use) parses as
+    `root = <expr>`."""
+    from bento_spark.bloblang.parser import ParseError
+
+    try:
+        return MappingPlan(parse_mapping(src), src, overrides)
+    except ParseError:
+        return MappingPlan(
+            parse_mapping("root = " + src), src, overrides
+        )
 
 
 def _serialize_root(col: Column, env: Env) -> Column:
@@ -1054,6 +1091,17 @@ def _compile_statements(ast: A.MappingAST, env: Env):
             )
             continue
         if isinstance(stmt, A.MetaAssign):
+            if _is_deleted(stmt.expr):
+                if stmt.key is None:
+                    meta.clear()
+                    meta["__wipe_all__"] = F.lit(True)
+                else:
+                    meta[stmt.key] = None  # single-key delete marker
+                continue
+            if stmt.key is None:
+                raise CompileError(
+                    "bare `meta = <expr>` only supports deleted()"
+                )
             v = compile_node(stmt.expr, _with_assigned(env, assigned))
             t = _type_of(env, v)
             from pyspark.sql import types as T

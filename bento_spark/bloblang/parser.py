@@ -347,6 +347,11 @@ class Parser:
             return A.LetAssign(name, self.expr())
         if self.at("kw", "meta"):
             self.next()
+            if self.at("op", "="):
+                # bare `meta = <expr>`: assigning deleted() wipes ALL
+                # metadata (metadata_parser.go root-meta assignment)
+                self.next()
+                return A.MetaAssign(None, self.expr())
             key = self.next()
             if key.kind == "str" or key.kind == "ident":
                 self.expect("op", "=")

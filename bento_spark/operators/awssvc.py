@@ -265,16 +265,24 @@ def _register() -> None:
             "secret_key": conf.get("secret_key", "local"),
         }
 
+    def _ep(conf, svc):
+        # endpoint optional in configs (the reference derives it from
+        # the region); explicit endpoints point at emulators/tests
+        return conf.get("endpoint") or "https://{s}.{r}.amazonaws.com".format(
+            s=svc, r=conf.get("region", "us-east-1")
+        )
+
     PROCESSORS["aws_lambda"] = lambda df, conf: lambda_invoke_enrich(
-        df, conf["endpoint"], conf["function"], conf.get("body", "content"),
+        df, _ep(conf, "lambda"), conf["function"], conf.get("body", "content"),
         conf.get("result_column", "lambda_result"), **_creds(conf),
     )
     PROCESSORS["aws_dynamodb_partiql"] = lambda df, conf: dynamodb_partiql(
-        df, conf["endpoint"], conf["query"], list(conf.get("args", [])),
+        df, _ep(conf, "dynamodb"), conf["query"], list(conf.get("args", [])),
         conf.get("result_column", "partiql_result"), **_creds(conf),
     )
     PROCESSORS["aws_bedrock_invoke"] = lambda df, conf: bedrock_invoke_enrich(
-        df, conf["endpoint"], conf["model"], conf.get("body", "content"),
+        df, _ep(conf, "bedrock-runtime"), conf.get("model") or conf.get("model_id", ""),
+        conf.get("body", "content"),
         conf.get("result_column", "model_response"), **_creds(conf),
     )
 

@@ -133,3 +133,138 @@ def embedding_sql_cte(
     __nrm AS (
       SELECT id, sqrt(sum(val * val)) AS nrm FROM __emb GROUP BY id
     )"""
+
+
+# ---------------------------------------------------------------------------
+# nlp_* processors (huggingface plugin family) — the model-inference
+# slots with a DETERMINISTIC stand-in model (no ONNX/torch runtime in
+# this container; reference internal/impl/huggingface/*.go). The
+# plumbing is the real inference execution path (Arrow-batched UDFs
+# over text), and a real ORT session drops into the same functions.
+# ---------------------------------------------------------------------------
+
+_EMOTION_LABELS = ["joy", "neutral", "anger", "surprise", "sadness"]
+
+
+def _det_score(text: str, label: str) -> float:
+    import hashlib as _h
+
+    d = _h.md5(f"{label}:{text}".encode(), usedforsecurity=False).digest()
+    return int.from_bytes(d[:4], "big") / 0xFFFFFFFF
+
+
+def nlp_classify_text(df, text_col: str, out_col: str = "labels",
+                      labels: list[str] | None = None):
+    """`nlp_classify_text` (processor_classify_text.go): text ->
+    [{Label, Score}] sorted by score desc (the docs' output shape)."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    labels = labels or _EMOTION_LABELS
+
+    @F.pandas_udf("string")
+    def run(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            scored = sorted(
+                ({"Label": lb, "Score": round(_det_score(t or "", lb), 8)}
+                 for lb in labels),
+                key=lambda d: -d["Score"],
+            )
+            out.append(_json.dumps(scored, separators=(",", ":")))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, run(F.col(text_col)))
+
+
+def nlp_classify_tokens(df, text_col: str, out_col: str = "entities"):
+    """`nlp_classify_tokens`: per-token entity tags (NER shape) —
+    capitalized tokens tag deterministically."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def run(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ents = []
+            pos = 0
+            for tok in (t or "").split(" "):
+                if tok[:1].isupper():
+                    ents.append({
+                        "Entity": "B-ENT", "Word": tok, "Start": pos,
+                        "End": pos + len(tok),
+                        "Score": round(_det_score(t or "", tok), 8),
+                    })
+                pos += len(tok) + 1
+            out.append(_json.dumps(ents, separators=(",", ":")))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, run(F.col(text_col)))
+
+
+def nlp_zero_shot_classify(df, text_col: str, candidates: list[str],
+                           out_col: str = "classification"):
+    """`nlp_zero_shot_classify`: rank the configured candidate labels."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def run(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            scores = {c: round(_det_score(t or "", c), 8) for c in candidates}
+            ranked = sorted(scores, key=lambda c: -scores[c])
+            out.append(_json.dumps(
+                {"sequence": t, "labels": ranked,
+                 "scores": [scores[c] for c in ranked]},
+                separators=(",", ":"),
+            ))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, run(F.col(text_col)))
+
+
+def _register_nlp() -> None:
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import ensure_envelope
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    def _text_in(df):
+        df = ensure_envelope(df)
+        if "content" not in df.columns:
+            from bento_spark.operators.envelope import data_cols
+
+            cols = data_cols(df)
+            df = df.withColumn("content", F.to_json(F.struct(*cols))).drop(*cols)
+        return df
+
+    PROCESSORS["nlp_classify_text"] = lambda df, conf: (
+        _text_in(df).transform(lambda d: nlp_classify_text(d, "content"))
+        .withColumn("content", F.col("labels")).drop("labels")
+    )
+    PROCESSORS["nlp_classify_tokens"] = lambda df, conf: (
+        _text_in(df).transform(lambda d: nlp_classify_tokens(d, "content"))
+        .withColumn("content", F.col("entities")).drop("entities")
+    )
+    PROCESSORS["nlp_zero_shot_classify"] = lambda df, conf: (
+        _text_in(df).transform(lambda d: nlp_zero_shot_classify(
+            d, "content", list(conf.get("labels") or conf.get("candidate_labels") or ["a", "b"])
+        )).withColumn("content", F.col("classification")).drop("classification")
+    )
+    PROCESSORS["nlp_extract_features"] = lambda df, conf: (
+        _text_in(df)
+        .withColumn("content", F.to_json(
+            hashed_ngram_embedder(int(conf.get("dim", 64)))(F.col("content"))
+        ))
+    )
+
+
+_register_nlp()

@@ -740,8 +740,16 @@ def _client_from_url(url: str):
 def _proc_kv(df: DataFrame, conf: dict) -> DataFrame:
     """Pipeline processor `kv`: {url, operator: get, key: <col>,
     result_column} — the config surface of the reference's redis
-    processor, batched per partition."""
+    processor, batched per partition. The reference's generic
+    ``command`` form ({command, args_mapping}) routes through
+    redis_command_enrich (one pipelined command per message)."""
     url = conf["url"]
+    if "command" in conf:
+        return redis_command_enrich(
+            df, lambda: _client_from_url(url), conf["command"],
+            conf.get("args_mapping", "root = []"),
+            conf.get("result_column", "redis_result"),
+        )
     op = conf.get("operator", "get")
     if op != "get":
         raise ValueError(
@@ -754,6 +762,52 @@ def _proc_kv(df: DataFrame, conf: dict) -> DataFrame:
         conf["key"],
         conf.get("result_column", "kv_value"),
     )
+
+
+def redis_command_enrich(df, client_factory, command: str,
+                         args_mapping: str, result_column: str):
+    """Generic redis command per message (processor form): args from a
+    Bloblang args_mapping evaluated per message via the tier-c
+    interpreter (commands are config-chosen, args data-driven), one
+    pipelined command per row, replies into ``result_column``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bento_spark.bloblang.interp import interpret_mapping
+    from bento_spark.operators.envelope import META, ensure_envelope
+
+    df = ensure_envelope(df)
+    if "content" not in df.columns:
+        from bento_spark.operators.envelope import data_cols
+
+        cols = data_cols(df)
+        df = df.withColumn("content", F.to_json(F.struct(*cols)))
+    src = args_mapping if args_mapping.strip().startswith("root") else (
+        "root = " + args_mapping
+    )
+    out_schema = df.schema.add(result_column, "string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory()
+        for pdf in batches:
+            metas = pdf[META] if META in pdf else [{} for _ in range(len(pdf))]
+            results = []
+            for content, meta in zip(pdf["content"], metas):
+                args = interpret_mapping(src, content or "", dict(meta or {}))
+                reply = client._command(
+                    command.upper(), *[str(a) for a in (args or [])]
+                )
+                results.append(
+                    reply if isinstance(reply, str) else repr(reply)
+                    if reply is not None else None
+                )
+            pdf = pdf.copy()
+            pdf[result_column] = results
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
 
 
 def _register() -> None:

@@ -76,6 +76,23 @@ def register_pipeline_processors() -> None:
     from bento_spark.plans.pipeline import PROCESSORS
 
     def _proc_subprocess(df: DataFrame, conf) -> DataFrame:
+        if isinstance(conf, dict) and "name" in conf and "args" not in conf:
+            # the `command` doc shape: {name, args_mapping: '["-h"]'}
+            # (processor_command.go) — static-literal args only; dynamic
+            # per-message argv would need one process per message, which
+            # the reference's own docs warn against
+            import json as _json
+
+            am = conf.get("args_mapping") or "[]"
+            am = am.split("=", 1)[1].strip() if am.strip().startswith("root") else am
+            try:
+                extra = _json.loads(am.replace("'", '"'))
+            except ValueError as ex:
+                raise ValueError(
+                    "command: args_mapping must be a literal array here"
+                ) from ex
+            argv = [conf["name"], *[str(a) for a in extra]]
+            return subprocess_processor(df, conf.get("column", "content"), argv)
         argv = conf["args"] if isinstance(conf, dict) else conf
         col = conf.get("column", "content") if isinstance(conf, dict) else "content"
         if isinstance(argv, str):

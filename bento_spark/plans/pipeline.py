@@ -410,6 +410,8 @@ from bento_spark.operators import nats_wire  # noqa: E402,F401  (registers nats_
 from bento_spark.operators import sentry  # noqa: E402,F401  (registers sentry_capture)
 from bento_spark.operators import snowplow  # noqa: E402,F401  (registers opensnowcat)
 from bento_spark.operators import sqlproc  # noqa: E402,F401  (registers sql_insert/sql_raw)
+from bento_spark.operators import featurize as _featurize  # noqa: E402,F401  (registers nlp_*)
+from bento_spark.operators import pyproc  # noqa: E402,F401  (registers python)
 from bento_spark.operators import subproc  # noqa: E402,F401  (registers subprocess/command/awk)
 
 
@@ -435,16 +437,20 @@ class Pipeline:
             raise ConfigError("pipeline has no `output` section")
         name, conf = self.output
         result = run_sink(self.df, self.is_streaming, name, conf)
-        if not self.is_streaming and PENDING_OBSERVATIONS:
-            from bento_spark.observability import default_registry
+        # harvest only THIS pipeline's observations: a module-global
+        # drain would block on Observation.get for observations built
+        # by OTHER configs that never ran (their actions never fire)
+        if not self.is_streaming:
+            for mname, obs in getattr(self, "observations", []) or []:
+                from bento_spark.observability import default_registry
 
-            reg = default_registry()
-            while PENDING_OBSERVATIONS:
-                mname, obs = PENDING_OBSERVATIONS.pop(0)
                 try:
-                    reg.counter(mname, float(obs.get.get("value", 0)))
+                    default_registry().counter(
+                        mname, float(obs.get.get("value", 0))
+                    )
                 except Exception:  # noqa: BLE001 - observation not materialized
                     pass
+            self.observations = []
         return result
 
 
@@ -483,6 +489,7 @@ def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
         resources[label] = res
     PROCESSOR_RESOURCES.clear()
     PROCESSOR_RESOURCES.update(resources)
+    obs_start = len(PENDING_OBSERVATIONS)
     if "input" not in cfg:
         raise ConfigError("config requires an `input` section to run")
     in_conf = dict(cfg["input"])
@@ -506,7 +513,11 @@ def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
     if "output" in cfg:
         (oname, oconf), = cfg["output"].items()
         output = (oname, oconf)
-    return Pipeline(spark, df, streaming, output)
+    pipe = Pipeline(spark, df, streaming, output)
+    # claim the observations THIS build registered (and only those)
+    pipe.observations = PENDING_OBSERVATIONS[obs_start:]
+    del PENDING_OBSERVATIONS[obs_start:]
+    return pipe
 
 
 def _proc_try(df: DataFrame, conf) -> DataFrame:
@@ -590,11 +601,16 @@ def _proc_archive(df: DataFrame, conf) -> DataFrame:
         # the reference's unordered batch accumulation)
         order = F.lit(0)
     else:
-        order = F.monotonically_increasing_id()
+        # Spark 4 rejects nondeterministic expressions INSIDE an
+        # aggregate — materialize the ordering id as a projection first
+        df = df.withColumn("__arch_ord", F.monotonically_increasing_id())
+        order = F.col("__arch_ord")
     if fmt == "json_array":
         return _P.archive_json_array(df, F.lit(1), [order], F.col(col))
     if fmt == "lines":
         return _P.archive_lines(df, F.lit(1), [order], F.col(col))
+    if fmt == "tar":
+        return _proc_archive_tar(df, conf)
     raise ConfigError(f"archive: unknown format {fmt!r}")
 
 
@@ -1215,4 +1231,237 @@ PROCESSORS.update({
         df, (conf or {}).get("processors", conf) if isinstance(conf, dict) else conf,
         "parallel",
     ),
+})
+
+
+def _proc_cached(df: DataFrame, conf) -> DataFrame:
+    """`cached` (processor_cached.go): memoize child results by key.
+    Spark-native spelling: dedupe the frame to DISTINCT keys, run the
+    children once per key, broadcast-join the results back — the
+    memoization IS the dedupe+join, no cache resource needed within the
+    plan (the reference's TTL'd cross-batch reuse belongs to the
+    `cache` processor)."""
+    from bento_spark.bloblang.field import compile_field
+    from bento_spark.operators.envelope import ensure_envelope
+
+    df = ensure_envelope(df)
+    key_tpl = str(conf.get("key", "${! content() }"))
+    df = df.withColumn("__cached_key", compile_field(key_tpl, df))
+    distinct = df.dropDuplicates(["__cached_key"])
+    computed = _apply_children(distinct, conf.get("processors") or [], "cached")
+    new_cols = [c for c in computed.columns if c not in df.columns]
+    side = computed.select("__cached_key", *new_cols)
+    return df.join(F.broadcast(side), "__cached_key", "left").drop("__cached_key")
+
+
+PROCESSORS["cached"] = _proc_cached
+
+
+def _lookup_processor(make_client, fetch):
+    """Lookup-processor family (elasticsearch / aws_s3 / redis command):
+    per-partition lazy client, interpolated key, response replaces
+    content, failures -> _error. One client per executor, Arrow-batched
+    rows through it."""
+
+    def proc(df: DataFrame, conf) -> DataFrame:
+        from bento_spark.bloblang.field import compile_field
+        from bento_spark.operators.envelope import ERROR, ensure_envelope
+
+        df = ensure_envelope(df)
+        key_tpl = str(conf.get("id") or conf.get("key") or "${! content() }")
+        df = df.withColumn("__lk", compile_field(key_tpl, df))
+        if "content" not in df.columns:
+            df = df.withColumn("content", F.lit(None).cast("string"))
+        schema = df.schema
+
+        def run(batches):
+            client = make_client(conf)
+            for pdf in batches:
+                contents, errs = [], []
+                for k, c, e in zip(pdf["__lk"], pdf["content"], pdf[ERROR]):
+                    if e is not None:
+                        contents.append(c)
+                        errs.append(e)
+                        continue
+                    try:
+                        contents.append(fetch(client, conf, k))
+                        errs.append(None)
+                    except Exception as ex:  # noqa: BLE001 - per-message error
+                        contents.append(c)
+                        errs.append(f"{type(ex).__name__}: {ex}")
+                pdf = pdf.copy()
+                pdf["content"] = contents
+                pdf[ERROR] = errs
+                yield pdf
+
+        return df.mapInPandas(run, schema).drop("__lk")
+
+    return proc
+
+
+def _es_client(conf):
+    from bento_spark.operators.kvstore import EsKV
+
+    return EsKV((conf.get("urls") or ["http://localhost:9200"])[0],
+                conf.get("index", "bento"))
+
+
+def _es_fetch(client, conf, key):
+    v = client.mget([key])[0]
+    if v is None:
+        raise KeyError(f"elasticsearch: id {key!r} not found")
+    return v
+
+
+PROCESSORS["elasticsearch"] = _lookup_processor(_es_client, _es_fetch)
+PROCESSORS["opensearch"] = PROCESSORS["elasticsearch"]
+
+
+def _s3_client(conf):
+    from bento_spark.sources.aws_s3 import S3Client
+
+    return S3Client(
+        conf.get("endpoint") or "https://s3.{r}.amazonaws.com".format(
+            r=conf.get("region", "us-east-1")),
+        conf["bucket"], conf.get("region", "us-east-1"),
+        conf.get("access_key"), conf.get("secret_key"),
+    )
+
+
+def _s3_fetch(client, conf, key):
+    return client.get_object(key).decode("utf-8", "replace")
+
+
+PROCESSORS["aws_s3"] = _lookup_processor(_s3_client, _s3_fetch)
+
+
+def _proc_archive_tar(df: DataFrame, conf) -> DataFrame:
+    """`archive` format=tar: batch -> one tar BINARY message (names
+    from the interpolated `path`, default the row index)."""
+    from bento_spark.bloblang.field import compile_field
+    from bento_spark.operators.codecs import tar_archive_col
+    from bento_spark.operators.envelope import ensure_envelope
+
+    df = ensure_envelope(df)
+    name = conf.get("path", "${! count(\"files\") }")
+    try:
+        name_col = compile_field(str(name), df)
+        df.select(name_col)  # force analysis so fallback catches it
+    except Exception:  # noqa: BLE001 - fall back to positional names
+        name_col = F.monotonically_increasing_id().cast("string")
+    df = df.withColumn("__tar_name", name_col)
+    if "__idx" not in df.columns:
+        df = df.withColumn("__idx", F.monotonically_increasing_id())
+    item = F.struct(F.col("__idx").alias("o"), F.col("__tar_name").alias("n"),
+                    F.col("content").alias("c"))
+    agg = df.groupBy(F.lit(1).alias("group_key")).agg(
+        F.array_sort(F.collect_list(item)).alias("items")
+    )
+    return agg.select(
+        tar_archive_col(
+            F.expr("transform(items, x -> x.n)"),
+            F.expr("transform(items, x -> encode(x.c, 'UTF-8'))"),
+        ).alias("content"),
+        F.size("items").alias("n_items"),
+    )
+
+
+def _proc_grok(df: DataFrame, conf) -> DataFrame:
+    """`grok` (processor_grok.go): first matching expression extracts
+    named fields from content."""
+    from bento_spark.operators.codecs import grok as _grok
+
+    exprs = conf.get("expressions") or [conf.get("expression")]
+    return _grok(ensure_env(df), conf.get("column", "content"), exprs[0])
+
+
+def _proc_parse_log(df: DataFrame, conf) -> DataFrame:
+    """`parse_log` (processor_parse_log.go): syslog RFC3164/5424."""
+    from bento_spark.operators.codecs import parse_syslog
+
+    fmt = str(conf.get("format", "syslog_rfc5424"))
+    rfc = "5424" if "5424" in fmt else "3164"
+    return parse_syslog(ensure_env(df), conf.get("column", "content"), rfc)
+
+
+def _proc_json_schema(df: DataFrame, conf) -> DataFrame:
+    """`json_schema` (processor_jsonschema.go): rows failing the
+    (subset) schema get `_error`."""
+    import json as _json
+
+    from bento_spark.operators.envelope import ERROR
+    from bento_spark.operators.processors import json_schema_bad
+
+    df = ensure_env(df)
+    schema = conf.get("schema")
+    if schema is None and conf.get("schema_path"):
+        with open(conf["schema_path"].removeprefix("file://")) as fh:
+            schema = fh.read()
+    schema = _json.loads(schema) if isinstance(schema, str) else schema
+    bad = json_schema_bad(F.col("content"), schema or {})
+    return df.withColumn(
+        ERROR,
+        F.when(bad & F.col(ERROR).isNull(),
+               F.lit("json_schema: validation failed")).otherwise(F.col(ERROR)),
+    )
+
+
+def _proc_msgpack(df: DataFrame, conf) -> DataFrame:
+    """`msgpack` (processor_msgpack.go): content <-> msgpack binary."""
+    from bento_spark.operators.codecs import msgpack_decode_col, msgpack_encode_col
+
+    df = ensure_env(df)
+    op = conf.get("operator", "to_json")
+    if op == "from_json":
+        return df.withColumn("content", msgpack_encode_col(F.col("content")))
+    return df.withColumn("content", msgpack_decode_col(F.col("content")))
+
+
+def _proc_group_by_cases(df: DataFrame, conf) -> DataFrame:
+    """`group_by` check-form (processor_group_by.go): the batch splits
+    into groups by the FIRST matching check; each group's processors
+    apply to its subset (split-filter-union, the switch mechanics,
+    with the group index stamped as metadata for downstream routing)."""
+    cases = [
+        {"check": c.get("check"), "processors": c.get("processors") or []}
+        for c in conf
+    ]
+    return _proc_switch_cfg(df, cases)
+
+
+# the aggregation form keeps its dict conf; the reference's check-form
+# arrives as a list
+_group_by_agg = PROCESSORS["group_by"]
+PROCESSORS["group_by"] = lambda df, conf: (
+    _proc_group_by_cases(df, conf) if isinstance(conf, list)
+    else _group_by_agg(df, conf)
+)
+
+
+def _bq_client(conf):
+    from bento_spark.sources.gcp_bigquery import BigQueryClient
+
+    return BigQueryClient(
+        conf.get("endpoint") or "https://bigquery.googleapis.com",
+        conf["project"],
+        token_provider=None,
+    )
+
+
+def _bq_fetch(client, conf, key):
+    import json as _json
+
+    rows = client.query(str(conf.get("query") or conf.get("sql", "")).replace(
+        "?", key if key else "NULL"
+    ))
+    return _json.dumps(rows, separators=(",", ":"))
+
+
+PROCESSORS["gcp_bigquery_select"] = _lookup_processor(_bq_client, _bq_fetch)
+
+PROCESSORS.update({
+    "grok": _proc_grok,
+    "parse_log": _proc_parse_log,
+    "json_schema": _proc_json_schema,
+    "msgpack": _proc_msgpack,
 })

@@ -1,0 +1,57 @@
+"""Sweep the reference's PROCESSOR DOC examples (website/docs/
+components/processors/*.md) through the config engine — breadth
+evidence for the YAML surface beyond the curated cookbook corpus.
+
+Round-5 state: 91 example blocks carry a `pipeline.processors` section;
+at least 54 build against a minimal content document. The rest fail for
+reasons outside the engine's config surface: resources the doc declares
+elsewhere ('foo', 'TODO' caches), protobuf messages registered by
+schema files the doc omits, eager remote dials at placeholder hosts
+(the cache processor's documented driver-side batch form), per-message
+SQL parameter binding (sql_raw ?/$1 args), and a few niche Bloblang
+spellings. The floor is pinned so config-surface regressions show up as
+a dropping build count.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import pytest
+
+DOCS = "/root/reference/website/docs/components/processors"
+MIN_BUILDS = 50  # measured 54; floor leaves room for env-dependent dials
+
+
+def test_processor_docs_build_floor(spark):
+    if not os.path.isdir(DOCS):
+        pytest.skip("reference docs not present")
+    import yaml
+
+    from bento_spark.plans.pipeline import _apply_children, register_cache_resources
+
+    dummy = spark.createDataFrame([('{"a":1}',)], ["content"])
+    total = builds = 0
+    for f in sorted(glob.glob(f"{DOCS}/*.md")):
+        txt = open(f, encoding="utf-8").read()
+        for m in re.finditer(r"```yaml\n(.*?)```", txt, re.S):
+            try:
+                cfg = yaml.safe_load(m.group(1))
+            except Exception:  # noqa: BLE001 - docs contain partial yaml
+                continue
+            if not isinstance(cfg, dict):
+                continue
+            procs = (cfg.get("pipeline") or {}).get("processors")
+            if procs is None:
+                continue
+            total += 1
+            try:
+                register_cache_resources(cfg.get("cache_resources"))
+                _apply_children(dummy, procs, "docs")
+                builds += 1
+            except Exception:  # noqa: BLE001 - counted, floor asserted
+                pass
+    assert total == 91, f"docs example corpus changed: {total}"
+    assert builds >= MIN_BUILDS, f"only {builds}/{total} docs examples build"
