@@ -1,0 +1,191 @@
+"""Batch re-chunking operators: `split` and `insert_part`.
+
+Reference: internal/impl/pure/processor_split.go (flush-before-add
+next-fit packing: a new batch starts when count would exceed ``size`` or
+bytes would exceed ``byte_size``) and processor_insert_part.go
+(positional insert with negative-from-end indexing, metadata copied
+from the first pre-existing message).
+
+Spark spelling — a "batch" is not a physical unit here (the DataFrame
+is the stream); the split materializes as an explicit ``batch_index``
+column that downstream batch-scoped operators (archive grouping, sink
+``maxRecordsPerFile``-style file splitting, per-batch aggregation)
+group on. That keeps the operator declarative: assigning the index is
+one window/prefix-scan, no data movement beyond what the ordering
+already requires.
+
+Scale shapes:
+
+* count-based split is the closed form ``(row_number - 1) div size`` —
+  computed with the same two-level sqrt(n) prefix scan as
+  ``pack_sequences`` (no global single-partition window).
+* byte-based split is next-fit packing, which is inherently a
+  sequential recurrence (each boundary depends on the running total
+  SINCE the previous boundary — no prefix-sum closed form). It runs as
+  an ``applyInPandas`` per batch group: the reference's incoming batch
+  is a bounded in-memory entity by definition (ProcessBatch holds it in
+  RAM), so per-group sequential packing is scale-faithful — the
+  parallelism is ACROSS batches, exactly like the reference's pipeline
+  workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bento_spark.operators.envelope import META, ensure_envelope
+
+
+def _dense_position(df: DataFrame, order_by: list[Column]) -> DataFrame:
+    """0-based dense position in ``order_by`` order via the two-level
+    sqrt(n) scan: per-range counts -> one small offsets window ->
+    per-range row_number. Avoids a global single-partition row_number
+    over the corpus (the round-2 scale-killer class)."""
+    import math
+
+    tagged = df.withColumn("__ord", F.struct(*order_by))
+    n = tagged.count()
+    if n == 0:
+        return tagged.withColumn("__pos", F.lit(0).cast("long"))
+    n_ranges = max(1, math.isqrt(n))
+    # range id from ntile over a sampled ordering would need its own
+    # sort; instead hash-free range assignment via percent_rank is
+    # another window. For the position we only need SOME balanced
+    # range split that respects the order: use range partitioning by
+    # the ordering struct (repartitionByRange plans a sampled range
+    # exchange, order-respecting by construction).
+    parted = tagged.repartitionByRange(n_ranges, F.col("__ord")).withColumn(
+        "__rid", F.spark_partition_id()
+    )
+    counts = parted.groupBy("__rid").agg(F.count(F.lit(1)).alias("__cnt"))
+    off_w = Window.orderBy("__rid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__rid", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")
+    )
+    in_w = Window.partitionBy("__rid").orderBy("__ord")
+    return (
+        parted.join(F.broadcast(offsets), "__rid")
+        .withColumn(
+            "__pos", (F.row_number().over(in_w) - 1 + F.col("__off")).cast("long")
+        )
+        .drop("__rid", "__off")
+    )
+
+
+def split_batches(
+    df: DataFrame, order_by: list[Column], size: int,
+    out_col: str = "batch_index",
+) -> DataFrame:
+    """`split` with a discrete ``size`` (processor_split.go:72): batch
+    index = position div size — exact (flush happens precisely every
+    ``size`` messages; the remainder forms the final short batch)."""
+    if size <= 0:
+        raise ValueError("split: size must be positive")
+    out = _dense_position(ensure_envelope(df), order_by)
+    return out.withColumn(out_col, F.expr(f"__pos div {size}")).drop(
+        "__pos", "__ord"
+    )
+
+
+def split_batches_bytes(
+    df: DataFrame,
+    order_by: list[Column],
+    byte_size: int,
+    size: int = 0,
+    content_col: str = "content",
+    out_col: str = "batch_index",
+    group_col: Column | None = None,
+) -> DataFrame:
+    """`split` with ``byte_size`` (processor_split.go:71-85): next-fit —
+    before adding a message, flush when the count has reached ``size``
+    or the byte total would exceed ``byte_size``; a single over-size
+    message still ships (alone, with the reference's warning).
+
+    Sequential recurrence per batch group (see module docstring);
+    groups default to one global batch, matching a whole-frame call.
+    """
+    if byte_size <= 0:
+        raise ValueError("split: byte_size must be positive")
+    # positions first (a struct column is an unsortable dict inside the
+    # pandas group) — the long __pos is what the group sorts on
+    df = _dense_position(ensure_envelope(df), order_by).drop("__ord")
+    group = group_col if group_col is not None else F.lit(0)
+    df = df.withColumn("__grp", group)
+    schema_out = df.drop("__grp", "__pos").schema.add(out_col, "long")
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("__pos").reset_index(drop=True)
+        idx, count, acc, batch = [], 0, 0, 0
+        for c in pdf[content_col]:
+            blen = len(c.encode("utf-8") if isinstance(c, str) else (c or b""))
+            if (size > 0 and count >= size) or (
+                count > 0 and acc + blen > byte_size
+            ):
+                batch += 1
+                count, acc = 0, 0
+            idx.append(batch)
+            count += 1
+            acc += blen
+        out = pdf.drop(columns=["__grp", "__pos"])
+        out[out_col] = pd.Series(idx, dtype="int64")
+        return out
+
+    return df.groupBy("__grp").applyInPandas(pack, schema_out)
+
+
+def insert_part(
+    df: DataFrame,
+    order_by: list[Column],
+    index: int,
+    content: Column,
+) -> DataFrame:
+    """`insert_part` (processor_insert_part.go): one synthetic message
+    enters the batch at ``index`` (negative = from the end, -1 = last;
+    past-the-end clamps per the reference: positive appends, negative
+    prepends). Metadata copies from the FIRST pre-existing message.
+
+    Spelling: the new row is a 1-row frame unioned in with an explicit
+    ``part_index`` ordering — positions come from the same bounded
+    ordering the batch-positional operators use, so the union is the
+    only work (no shuffle beyond the position scan).
+
+    Returns the frame with a ``part_index`` column reflecting the
+    post-insert ordering (0-based, the reference's indexing).
+    """
+    df = ensure_envelope(df)
+    pos = _dense_position(df, order_by)
+    n = pos.count()
+    at = index if index >= 0 else n + index + 1
+    at = max(0, min(n, at))
+    first_meta = (
+        pos.orderBy("__pos").select(META).limit(1).collect()
+    )
+    meta_val = first_meta[0][0] if first_meta else {}
+    spark = df.sparkSession
+    base = pos.withColumn(
+        "part_index",
+        F.when(F.col("__pos") >= at, F.col("__pos") + 1).otherwise(
+            F.col("__pos")
+        ),
+    ).drop("__pos", "__ord")
+    new_row = (
+        spark.range(1)
+        .select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in base.schema.fields
+                if f.name not in ("part_index", META, "content")
+            ],
+            content.cast("string").alias("content"),
+            F.lit(at).cast("long").alias("part_index"),
+            F.map_from_arrays(
+                F.lit([k for k in (meta_val or {})]),
+                F.lit([v for v in (meta_val or {}).values()]),
+            ).cast("map<string,string>").alias(META),
+        )
+        .select(*base.columns)
+    )
+    return base.unionByName(new_row)

@@ -605,10 +605,14 @@ def _proc_archive(df: DataFrame, conf) -> DataFrame:
         # aggregate — materialize the ordering id as a projection first
         df = df.withColumn("__arch_ord", F.monotonically_increasing_id())
         order = F.col("__arch_ord")
+    # a preceding `split` stamps __batch: each split batch archives to
+    # its own message (the reference's batch->one-message contract
+    # applied per re-chunked batch)
+    group = F.col("__batch") if "__batch" in df.columns else F.lit(1)
     if fmt == "json_array":
-        return _P.archive_json_array(df, F.lit(1), [order], F.col(col))
+        return _P.archive_json_array(df, group, [order], F.col(col))
     if fmt == "lines":
-        return _P.archive_lines(df, F.lit(1), [order], F.col(col))
+        return _P.archive_lines(df, group, [order], F.col(col))
     if fmt == "tar":
         return _proc_archive_tar(df, conf)
     raise ConfigError(f"archive: unknown format {fmt!r}")
@@ -1465,3 +1469,58 @@ PROCESSORS.update({
     "json_schema": _proc_json_schema,
     "msgpack": _proc_msgpack,
 })
+
+
+def _proc_split(df: DataFrame, conf) -> DataFrame:
+    """`split` (processor_split.go): re-chunk the stream into batches of
+    `size` messages (exact closed form) or `byte_size` bytes (next-fit
+    recurrence). The batch lands as the bookkeeping column ``__batch``
+    that downstream batch-scoped stages key on — `archive` emits one
+    message per split batch, sinks can partition output files by it."""
+    from bento_spark.operators.batching import split_batches, split_batches_bytes
+
+    conf = conf or {}
+    size = int(conf.get("size", 1) or 0)
+    byte_size = int(conf.get("byte_size", 0) or 0)
+    df = ensure_env(df)
+    if "__idx" not in df.columns:
+        df = df.withColumn("__idx", F.monotonically_increasing_id())
+    order = [F.col("__idx")]
+    if byte_size > 0:
+        return split_batches_bytes(
+            df, order, byte_size, size=size, out_col="__batch"
+        )
+    if size <= 0:
+        raise ConfigError("split: size or byte_size must be positive")
+    return split_batches(df, order, size, out_col="__batch")
+
+
+def _proc_insert_part(df: DataFrame, conf) -> DataFrame:
+    """`insert_part` (processor_insert_part.go): insert one interpolated
+    message at `index` (negative = from the end). The content template
+    evaluates against the FIRST pre-existing message (the reference
+    copies that message's metadata; batch-level functions like
+    batch_size() are constant across the batch)."""
+    from bento_spark.bloblang.field import compile_field
+    from bento_spark.operators.batching import insert_part as _ip
+
+    conf = conf or {}
+    df = ensure_env(df)
+    if "__idx" not in df.columns:
+        df = df.withColumn("__idx", F.monotonically_increasing_id())
+    tpl = str(conf.get("content", ""))
+    try:
+        first = (
+            df.withColumn("__ipc", compile_field(tpl, df))
+            .orderBy("__idx").select("__ipc").limit(1).collect()
+        )
+        content_val = first[0][0] if first else tpl
+    except Exception:  # noqa: BLE001 - non-interpolable template
+        content_val = tpl
+    return _ip(
+        df, [F.col("__idx")], int(conf.get("index", -1)), F.lit(content_val)
+    )
+
+
+PROCESSORS["split"] = _proc_split
+PROCESSORS["insert_part"] = _proc_insert_part

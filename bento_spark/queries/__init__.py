@@ -33,6 +33,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import all query modules (idempotent)."""
     from bento_spark.queries import (  # noqa: F401
+        batching,
         configsurface,
         dedup,
         multimodal,

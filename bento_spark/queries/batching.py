@@ -1,0 +1,133 @@
+"""Batch re-chunking queries — `split` and `insert_part`
+(SURVEY.md §2.1 composition rows) over the `documents` table, each with
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.operators import batching as B
+from bento_spark.queries import query
+from bento_spark.queries.relational import _t
+
+
+@query(
+    "proc_split_batches",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY doc_id) - 1 AS p
+      FROM documents
+    )
+    SELECT CAST(p // 7 AS BIGINT) AS batch_index,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM pos GROUP BY 1 ORDER BY batch_index
+    """,
+)
+def proc_split_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``split`` size-form (processor_split.go:72): exact re-batching
+    every 7 messages, remainder as the final short batch. The batch
+    index comes from the distributed two-level position scan (no global
+    single-partition window) — per-batch stats prove the boundaries."""
+    docs = _t(spark, sf_dir, "documents")
+    out = B.split_batches(docs, [F.col("doc_id")], 7)
+    return (
+        out.groupBy("batch_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("batch_index")
+    )
+
+
+@query(
+    "proc_split_byte_batches",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text,
+             CAST(strlen(text) AS BIGINT) AS blen,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    s AS (
+      SELECT rn, doc_id, blen, 0 AS batch, blen AS acc
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.rn, t.doc_id, t.blen,
+             CASE WHEN s.acc + t.blen > 4000 THEN s.batch + 1
+                  ELSE s.batch END,
+             CASE WHEN s.acc + t.blen > 4000 THEN t.blen
+                  ELSE s.acc + t.blen END
+      FROM t JOIN s ON t.rn = s.rn + 1
+    )
+    SELECT CAST(batch AS BIGINT) AS batch_index,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(sum(blen) AS BIGINT) AS total_bytes,
+           min(doc_id) AS first_doc
+    FROM s GROUP BY 1 ORDER BY batch_index
+    """,
+)
+def proc_split_byte_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``split`` byte_size-form (processor_split.go:71-85): next-fit
+    packing — flush before the message that would push the running byte
+    total past 4000. The recurrence runs per batch group (sequential
+    inside, parallel across groups — the reference's execution shape);
+    the oracle is the same recurrence as a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    out = B.split_batches_bytes(docs, [F.col("doc_id")], byte_size=4000)
+    return (
+        out.groupBy("batch_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("batch_index")
+    )
+
+
+@query(
+    "proc_insert_part",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, substr(text, 1, 16) AS body,
+             row_number() OVER (ORDER BY doc_id) - 1 AS p,
+             count(*) OVER () AS n
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT CAST(p AS BIGINT) AS part_index, body FROM batch
+    UNION ALL
+    SELECT CAST(n AS BIGINT), 'part-count: ' || CAST(n AS VARCHAR)
+    FROM batch WHERE p = 0
+    ORDER BY part_index
+    """,
+)
+def proc_insert_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``insert_part`` (processor_insert_part.go): append a synthetic
+    trailer message at index -1 whose content interpolates the batch
+    size (the docs' batch_size() idiom)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.substring("text", 1, 16).alias("body"))
+    )
+    n = docs.count()
+    out = B.insert_part(
+        docs.select("doc_id", F.col("body").alias("content")),
+        [F.col("doc_id")],
+        -1,
+        F.lit(f"part-count: {n}"),
+    )
+    return out.select(
+        "part_index", F.col("content").alias("body")
+    ).orderBy("part_index")

@@ -1,0 +1,149 @@
+"""`split` / `insert_part` — batch re-chunking semantics pinned against
+the reference's ProcessBatch loops (processor_split.go:61-91,
+processor_insert_part.go)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.operators.batching import (
+    insert_part,
+    split_batches,
+    split_batches_bytes,
+)
+
+
+def _docs(spark, n, body="m"):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(body), F.col("id")).alias("content"),
+    )
+
+
+def _ref_next_fit(lengths, byte_size, size=0):
+    """The reference's exact loop (processor_split.go:71-85)."""
+    out, count, acc, batch = [], 0, 0, 0
+    for blen in lengths:
+        if (size > 0 and count >= size) or (count > 0 and acc + blen > byte_size):
+            batch += 1
+            count, acc = 0, 0
+        out.append(batch)
+        count += 1
+        acc += blen
+    return out
+
+
+def test_split_size_exact_remainder(spark):
+    # the docs' example: 95 parts at size 10 -> 9 batches of 10 + one of 5
+    out = split_batches(_docs(spark, 95), [F.col("doc_id")], 10)
+    counts = dict(
+        (r[0], r[1])
+        for r in out.groupBy("batch_index").count().collect()
+    )
+    assert counts == {i: 10 for i in range(9)} | {9: 5}
+
+
+def test_split_size_respects_order(spark):
+    out = split_batches(_docs(spark, 30), [F.col("doc_id")], 7)
+    rows = out.orderBy("doc_id").select("doc_id", "batch_index").collect()
+    assert all(r["batch_index"] == r["doc_id"] // 7 for r in rows)
+
+
+def test_split_bytes_matches_reference_loop(spark):
+    df = _docs(spark, 40)  # contents m0..m39: lengths 2,2,...,3,3...
+    lengths = [len(f"m{i}") for i in range(40)]
+    expected = _ref_next_fit(lengths, byte_size=11)
+    out = split_batches_bytes(df, [F.col("doc_id")], byte_size=11)
+    got = [r[0] for r in out.orderBy("doc_id").select("batch_index").collect()]
+    assert got == expected
+
+
+def test_split_bytes_and_size_combined(spark):
+    df = _docs(spark, 25)
+    lengths = [len(f"m{i}") for i in range(25)]
+    expected = _ref_next_fit(lengths, byte_size=100, size=4)
+    out = split_batches_bytes(df, [F.col("doc_id")], byte_size=100, size=4)
+    got = [r[0] for r in out.orderBy("doc_id").select("batch_index").collect()]
+    assert got == expected
+
+
+def test_split_bytes_oversize_single_message_ships_alone(spark):
+    df = spark.createDataFrame(
+        [(0, "aa"), (1, "x" * 50), (2, "bb")], "doc_id long, content string"
+    )
+    out = split_batches_bytes(df, [F.col("doc_id")], byte_size=10)
+    got = [r[0] for r in out.orderBy("doc_id").select("batch_index").collect()]
+    assert got == [0, 1, 2]  # the over-size part flushes before AND after
+
+
+def test_split_rejects_nonpositive(spark):
+    with pytest.raises(ValueError):
+        split_batches(_docs(spark, 3), [F.col("doc_id")], 0)
+    with pytest.raises(ValueError):
+        split_batches_bytes(_docs(spark, 3), [F.col("doc_id")], 0)
+
+
+@pytest.mark.parametrize(
+    ("index", "expect_pos"),
+    [(-1, 5), (0, 0), (2, 2), (-3, 3), (-100, 0), (100, 5)],
+)
+def test_insert_part_positions(spark, index, expect_pos):
+    out = insert_part(_docs(spark, 5), [F.col("doc_id")], index, F.lit("NEW"))
+    rows = out.orderBy("part_index").collect()
+    assert [r["part_index"] for r in rows] == list(range(6))
+    assert rows[expect_pos]["content"] == "NEW"
+    others = [r["content"] for r in rows if r["content"] != "NEW"]
+    assert others == [f"m{i}" for i in range(5)]  # original order kept
+
+
+def test_insert_part_copies_first_metadata(spark):
+    df = _docs(spark, 3).withColumn(
+        "_metadata",
+        F.create_map(F.lit("topic"), F.concat(F.lit("t"), F.col("doc_id"))),
+    )
+    out = insert_part(df, [F.col("doc_id")], -1, F.lit("NEW"))
+    new = out.filter(F.col("content") == "NEW").collect()[0]
+    assert new["_metadata"] == {"topic": "t0"}  # from the FIRST message
+
+
+def test_yaml_split_then_archive_one_message_per_batch(spark, tmp_path):
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(f'{{"v": {i}}}' for i in range(23)))
+    from bento_spark.plans.pipeline import build_pipeline
+
+    pipe = build_pipeline(
+        spark,
+        {
+            "input": {"file": {"path": str(src)}},
+            "pipeline": {
+                "processors": [
+                    {"split": {"size": 10}},
+                    {"archive": {"format": "json_array", "column": "content"}},
+                ]
+            },
+        },
+    )
+    rows = pipe.df.orderBy("group_key").collect()
+    assert [r["n_items"] for r in rows] == [10, 10, 3]
+
+
+def test_yaml_insert_part_interpolated(spark, tmp_path):
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(f'{{"v": {i}}}' for i in range(4)))
+    from bento_spark.plans.pipeline import build_pipeline
+
+    pipe = build_pipeline(
+        spark,
+        {
+            "input": {"file": {"path": str(src)}},
+            "pipeline": {
+                "processors": [
+                    {"insert_part": {"index": 0, "content": "header"}},
+                ]
+            },
+        },
+    )
+    rows = pipe.df.orderBy("part_index").collect()
+    assert len(rows) == 5
+    assert rows[0]["content"] == "header" and rows[0]["part_index"] == 0

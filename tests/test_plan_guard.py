@@ -44,10 +44,17 @@ ALLOW_BNLJ = {
 #   - proc_select_parts (+ its gauntlet): the positional row_number runs
 #     after orderBy().limit(max_index+1) — TakeOrderedAndProject cuts the
 #     input to a constant before the window.
+#   - proc_split_batches / proc_split_byte_batches / proc_insert_part:
+#     batching._dense_position's offsets window runs over the per-range
+#     COUNTS (~sqrt(n) rows after repartitionByRange(isqrt(n))), same
+#     two-level construction as pack_sequences.
 ALLOW_GLOBAL_WINDOW = {
     "pack_sequences_contiguous",
     "proc_select_parts",
     "proc_flow_gauntlet",
+    "proc_split_batches",
+    "proc_split_byte_batches",
+    "proc_insert_part",
 }
 
 
