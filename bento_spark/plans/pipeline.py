@@ -437,6 +437,12 @@ class Pipeline:
             raise ConfigError("pipeline has no `output` section")
         name, conf = self.output
         result = run_sink(self.df, self.is_streaming, name, conf)
+        # delivery ack: the sqlite buffer deletes its staged messages
+        # only after the sink action succeeds (buffer_sqlite.go
+        # delivery guarantees — a crash before this point replays)
+        ack = getattr(self, "buffer_ack", None)
+        if ack is not None and not self.is_streaming:
+            ack()
         # harvest only THIS pipeline's observations: a module-global
         # drain would block on Observation.get for observations built
         # by OTHER configs that never ran (their actions never fire)
@@ -497,23 +503,59 @@ def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
     input_procs = in_conf.pop("processors", None) or []
     (sname, sconf), = in_conf.items()
     df, streaming = build_source(spark, sname, sconf)
-    # input-scoped processors run before the pipeline section
-    # (docs/configuration/processing_pipelines.md)
-    for proc in list(input_procs) + list(
-        (cfg.get("pipeline") or {}).get("processors", [])
-    ):
-        proc = _resolve_resource(proc, resources)
-        (pname, pconf), = proc.items()
-        if pname not in PROCESSORS:
-            raise ConfigError(
-                f"unknown processor {pname!r} (have {sorted(PROCESSORS)})"
-            )
-        df = PROCESSORS[pname](df, pconf)
+
+    def _apply(df, procs):
+        for proc in procs:
+            proc = _resolve_resource(proc, resources)
+            (pname, pconf), = proc.items()
+            if pname not in PROCESSORS:
+                raise ConfigError(
+                    f"unknown processor {pname!r} (have {sorted(PROCESSORS)})"
+                )
+            df = PROCESSORS[pname](df, pconf)
+        return df
+
+    # input-scoped processors run before the buffer and pipeline
+    # sections (docs/configuration/processing_pipelines.md)
+    df = _apply(df, list(input_procs))
+    buffer_ack = None
+    if "buffer" in cfg and cfg["buffer"]:
+        (bname, bconf), = dict(cfg["buffer"]).items()
+        bconf = bconf or {}
+        if bname in ("memory", "none"):
+            # in-process decoupling only (buffer_memory.go/buffer_none
+            # .go): Spark's micro-batch execution already decouples
+            # input from processing; no durability to add
+            pass
+        elif bname == "sqlite":
+            # input->db is the input-level ack; db->sink delivery acks
+            # (deletes) only after the sink action succeeds
+            # (buffer_sqlite.go delivery guarantees)
+            from bento_spark.streaming.buffers import SqliteBuffer
+
+            if streaming:
+                raise ConfigError(
+                    "buffer sqlite: streaming inputs carry their own "
+                    "durable cursors; the sqlite buffer is the batch/"
+                    "single-node profile"
+                )
+            buf = SqliteBuffer(_resolve_path(bconf["path"]))
+            df = _apply(df, bconf.get("pre_processors") or [])
+            buf.stage(df, batch_col="__batch")
+            high = buf.max_id()
+            df = _apply(buf.replay(spark), bconf.get("post_processors") or [])
+            buffer_ack = lambda: buf.ack(high)  # noqa: E731
+        elif bname == "system_window":
+            df = _buffer_system_window(df, bconf)
+        else:
+            raise ConfigError(f"unknown buffer {bname!r}")
+    df = _apply(df, list((cfg.get("pipeline") or {}).get("processors", [])))
     output = None
     if "output" in cfg:
         (oname, oconf), = cfg["output"].items()
         output = (oname, oconf)
     pipe = Pipeline(spark, df, streaming, output)
+    pipe.buffer_ack = buffer_ack
     # claim the observations THIS build registered (and only those)
     pipe.observations = PENDING_OBSERVATIONS[obs_start:]
     del PENDING_OBSERVATIONS[obs_start:]
@@ -1524,3 +1566,66 @@ def _proc_insert_part(df: DataFrame, conf) -> DataFrame:
 
 PROCESSORS["split"] = _proc_split
 PROCESSORS["insert_part"] = _proc_insert_part
+
+
+def _buffer_system_window(df: DataFrame, conf) -> DataFrame:
+    """`system_window` buffer (buffer_system_window.go): allocate each
+    message to its tumbling/sliding window and stamp the reference's
+    `window_end_timestamp` metadata (RFC3339). Sliding windows (slide <
+    size) multiply-deliver — Spark's window projection explodes a row
+    into every window it belongs to, the buffer's documented behavior.
+    Downstream batch-scoped stages key on ``__batch`` (= the window), so
+    `archive`/group aggregation flush per window like the reference's
+    per-window batches. `allowed_lateness` applies as the watermark in
+    streaming mode (the flush-delay role it plays in the reference)."""
+    from bento_spark.operators.cachepolicy import parse_duration_s
+    from bento_spark.operators.envelope import META
+    from bento_spark.streaming.windows import sliding, tumbling
+
+    def _iv(v):
+        # Go duration strings ("1h", "500ms") -> Spark interval strings
+        return f"{int(parse_duration_s(v) * 1000)} milliseconds"
+
+    conf = conf or {}
+    size = _iv(conf.get("size", "1h"))
+    slide = conf.get("slide")
+    offset = conf.get("offset")
+    if slide:
+        slide = _iv(slide)
+    if offset:
+        offset = _iv(offset)
+    tsm = str(conf.get("timestamp_mapping", "")).strip()
+    df = ensure_env(df)
+    if tsm and tsm != "root = now()":
+        expr_src = tsm.removeprefix("root").lstrip().removeprefix("=").strip()
+        ts = compile_expr(expr_src, df=_lift_content(df))
+        df = _lift_content(df)
+    else:
+        # processing time; fixed at plan time so every row of the batch
+        # shares one deterministic allocation instant
+        ts = F.current_timestamp()
+    df = df.withColumn("__swts", ts.cast("timestamp"))
+    if df.isStreaming and conf.get("allowed_lateness"):
+        df = df.withWatermark("__swts", _iv(conf["allowed_lateness"]))
+    win = (
+        sliding("__swts", size, slide, offset)
+        if slide
+        else tumbling("__swts", size, offset)
+    )
+    df = df.withColumn("__win", win)
+    return (
+        df.withColumn(
+            META,
+            F.map_concat(
+                F.col(META),
+                F.create_map(
+                    F.lit("window_end_timestamp"),
+                    F.date_format(
+                        F.col("__win.end"), "yyyy-MM-dd'T'HH:mm:ssXXX"
+                    ),
+                ),
+            ),
+        )
+        .withColumn("__batch", F.unix_timestamp(F.col("__win.end")))
+        .drop("__swts", "__win")
+    )

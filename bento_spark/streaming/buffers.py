@@ -1,0 +1,181 @@
+"""Buffers: `sqlite` (durable), `memory` / `none` (passthrough).
+
+Reference: internal/impl/sql/buffer_sqlite.go — messages ack at the
+input level once INSERTed, stay in the database until delivered, and a
+restart resumes from the oldest undelivered message (at-least-once,
+bounded by disk durability). internal/impl/pure/buffer_memory.go /
+buffer_none.go — in-process decoupling only, no delivery guarantee
+across restarts.
+
+Spark spelling — the buffer file is a SINGLE-NODE artifact in the
+reference too (a local SQLite db next to the process), so the driver
+owns it: staging iterates the upstream frame with ``toLocalIterator``
+(one partition at a time on the driver, never a whole-frame collect)
+into one INSERT transaction, and replay re-enters Spark as a
+parallelized frame. At cluster scale the durable-buffer role belongs to
+Structured Streaming's checkpoint/WAL (sources/sinks in this repo
+already carry durable cursors); this buffer exists for parity with the
+reference's single-node deployment profile and is honest about that
+scope. ``memory``/``none`` map to Spark's own micro-batch decoupling —
+a real passthrough, documented as such.
+
+The db schema keeps the reference's contract: rowid ordering IS the
+consumption order; the `batch` column preserves logical batch
+association across the buffer (buffer_sqlite.go "Batching" docs).
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.operators.envelope import ERROR, META, data_cols, ensure_envelope
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS messages (
+  id INTEGER PRIMARY KEY AUTOINCREMENT,
+  batch INTEGER NOT NULL,
+  content BLOB,
+  kind TEXT NOT NULL DEFAULT 't',
+  meta TEXT NOT NULL DEFAULT '{}'
+);
+"""
+
+
+class SqliteBuffer:
+    """Durable message buffer over a local SQLite file (stdlib
+    sqlite3; WAL journal so a reader crash never corrupts the store)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        con = self._connect()
+        con.executescript(_SCHEMA)
+        con.commit()
+        con.close()
+
+    def _connect(self) -> sqlite3.Connection:
+        con = sqlite3.connect(self.path)
+        con.execute("PRAGMA journal_mode=WAL")
+        return con
+
+    # -- write side --------------------------------------------------
+    def stage(self, df: DataFrame, batch_col: str | None = None) -> int:
+        """INSERT every message; commit = the input-level ack point.
+        Returns the number of rows staged. The document serializes to
+        its JSON content form (typed rows via to_json), metadata to a
+        JSON object — the same wire shape every content-oriented stage
+        uses."""
+        df = ensure_envelope(df)
+        cols = data_cols(df)
+        kind = "t"
+        if cols == ["content"]:
+            payload = F.col("content")
+            if dict(df.dtypes)["content"] == "binary":
+                kind = "b"  # opaque bytes (e.g. a compress pre_processor)
+        else:
+            payload = F.to_json(F.struct(*cols))
+        proj = df.select(
+            payload.alias("c"),
+            F.to_json(F.col(META)).alias("m"),
+            (F.col(batch_col) if batch_col and batch_col in df.columns
+             else F.lit(0)).cast("long").alias("b"),
+        )
+        con = self._connect()
+        n = 0
+        try:
+            cur = con.cursor()
+            for row in proj.toLocalIterator():
+                c = row["c"]
+                blob = c.encode("utf-8") if isinstance(c, str) else c
+                cur.execute(
+                    "INSERT INTO messages (batch, content, kind, meta)"
+                    " VALUES (?,?,?,?)",
+                    (row["b"], blob, kind, row["m"] or "{}"),
+                )
+                n += 1
+            con.commit()  # ack point: all-or-nothing per staging call
+        finally:
+            con.close()
+        return n
+
+    # -- read side ---------------------------------------------------
+    def pending(self) -> int:
+        con = self._connect()
+        try:
+            return con.execute("SELECT count(*) FROM messages").fetchone()[0]
+        finally:
+            con.close()
+
+    def max_id(self) -> int:
+        con = self._connect()
+        try:
+            row = con.execute("SELECT coalesce(max(id), 0) FROM messages").fetchone()
+            return int(row[0])
+        finally:
+            con.close()
+
+    def replay(self, spark: SparkSession, chunk: int = 10_000) -> DataFrame:
+        """All undelivered messages, oldest first, as an envelope frame
+        (``content`` + ``_metadata`` + the preserved batch id in
+        ``__batch``). Reads in bounded chunks — the buffer file is a
+        single-node store, so the driver pass is inherent; rows are
+        parallelized out to the cluster immediately."""
+        con = self._connect()
+        rows = []
+        try:
+            cur = con.execute(
+                "SELECT id, batch, content, kind, meta FROM messages ORDER BY id"
+            )
+            while True:
+                got = cur.fetchmany(chunk)
+                if not got:
+                    break
+                rows.extend(got)
+        finally:
+            con.close()
+        binary = any(k == "b" for (_i, _b, _c, k, _m) in rows)
+        ctype = "binary" if binary else "string"
+        schema = (
+            f"id long, __batch long, content {ctype}, "
+            "_metadata map<string,string>"
+        )
+        if not rows:
+            df = spark.createDataFrame([], schema)
+            return df.withColumn(ERROR, F.lit(None).cast("string")).drop("id")
+
+        def conv(c):
+            if c is None:
+                return None
+            raw = (
+                bytes(c) if isinstance(c, (bytes, bytearray))
+                else str(c).encode("utf-8")
+            )
+            return raw if binary else raw.decode("utf-8")
+
+        data = [
+            (i, b, conv(c), json.loads(m or "{}"))
+            for (i, b, c, _k, m) in rows
+        ]
+        df = spark.createDataFrame(data, schema)
+        return df.withColumn(ERROR, F.lit(None).cast("string")).drop("id")
+
+    # -- ack side ----------------------------------------------------
+    def ack(self, up_to_id: int | None = None) -> int:
+        """Delete delivered messages (everything <= ``up_to_id``; None =
+        everything that existed — the post-sink ack). Returns rows
+        removed. Crash before this call leaves them for replay."""
+        con = self._connect()
+        try:
+            if up_to_id is None:
+                cur = con.execute("DELETE FROM messages")
+            else:
+                cur = con.execute(
+                    "DELETE FROM messages WHERE id <= ?", (up_to_id,)
+                )
+            con.commit()
+            return cur.rowcount
+        finally:
+            con.close()
