@@ -1184,10 +1184,27 @@ def _compile_statements(ast: A.MappingAST, env: Env):
                     # become mutation-shaped — executor.go root rebind)
                     assigns.append(("__root_this__", F.lit(True)))
                     continue
-                # root = <expr>: the document becomes a SCALAR/array —
-                # serialized into the content column (the reference's
-                # raw-bytes root form; message_expansion/csv fixtures)
+                # root = <expr>
                 col = compile_node(stmt.expr, e2)
+                t = _type_of(e2, col)
+                from pyspark.sql import types as T
+
+                if isinstance(t, T.StructType):
+                    # OBJECT root (e.g. `root = this.obj`): the object's
+                    # fields become the document's fields — earlier
+                    # assigns are discarded (executor.go root rebind)
+                    # and later `root.z = ...` statements overlay them.
+                    # NOT the scalar serialization path; divergence
+                    # caught by test_bloblang_differential curated #6.
+                    assigns.clear()
+                    assigned.clear()
+                    for f in t.fields:
+                        assigns.append((f.name, col[f.name]))
+                        assigned[f.name] = col[f.name]
+                    continue
+                # the document becomes a SCALAR/array — serialized into
+                # the content column (the reference's raw-bytes root
+                # form; message_expansion/csv fixtures)
                 assigns.append(("content", _serialize_root(col, e2)))
                 assigned["content"] = assigns[-1][1]
                 continue

@@ -184,9 +184,19 @@ class Interp:
         if op == "*":
             return a * b
         if op == "/":
+            # always float division (query/arithmetic.go ArithmeticDiv
+            # "Only executes on float values")
             return a / b
         if op == "%":
-            return a % b
+            # truncated modulo (Go %; also Spark's %) — Python's % is
+            # floored and diverges for negative operands: the compiler
+            # yields -3 % 7 == -3, Python -3 % 7 == 4
+            import math
+
+            m = math.fmod(a, b)
+            if isinstance(a, int) and isinstance(b, int):
+                return int(m)
+            return m
         if op == "==":
             return a == b
         if op == "!=":
@@ -303,6 +313,10 @@ class Interp:
             if recv is None:
                 raise InterpError("value is null")
             return recv
+        args = [self.eval(a, this, vars_) for a in node.args]
+        out = _simple_method(name, recv, args)
+        if out is not _NO_METHOD:
+            return out
         raise InterpError(f"interpreter method {name}() unsupported")
 
     def _call_fn(self, fn: A.Node, element: Any, vars_: dict) -> Any:
@@ -444,3 +458,168 @@ def interpreted_mapping_df(df, src: str, content_col: str = "content"):
             yield pd.DataFrame(out)
 
     return df.mapInPandas(gen, cols)
+
+
+_NO_METHOD = object()
+
+
+def _round_half_away(x: float) -> float:
+    """Go bloblang round(): half away from zero (methods_number.go) —
+    NOT Python's banker's rounding."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _simple_method(name: str, recv: Any, args: list) -> Any:
+    """Receiver+args -> value methods shared with the Column compiler
+    (stdlib.py) — semantics pinned to the reference's methods_*.go and
+    cross-checked compiler-vs-interpreter by
+    tests/test_bloblang_differential.py."""
+    import math
+
+    # ---- strings ----------------------------------------------------
+    if name == "replace_all":
+        return str(recv).replace(str(args[0]), str(args[1]))
+    if name == "contains":
+        if isinstance(recv, str):
+            return str(args[0]) in recv
+        if isinstance(recv, (list, tuple)):
+            return args[0] in recv
+    if name == "has_prefix":
+        return str(recv).startswith(str(args[0]))
+    if name == "has_suffix":
+        return str(recv).endswith(str(args[0]))
+    if name == "trim_prefix":
+        s = str(recv)
+        p = str(args[0])
+        return s[len(p):] if s.startswith(p) else s
+    if name == "trim_suffix":
+        s = str(recv)
+        p = str(args[0])
+        return s[: -len(p)] if p and s.endswith(p) else s
+    if name == "index_of":
+        return str(recv).find(str(args[0]))
+    if name == "capitalize":
+        s = str(recv)
+        return s[:1].upper() + s[1:]
+    if name == "reverse":
+        if isinstance(recv, list):
+            return list(reversed(recv))
+        return str(recv)[::-1]
+    if name == "split":
+        return str(recv).split(str(args[0]))
+    if name == "slice":
+        lo = int(args[0])
+        hi = int(args[1]) if len(args) > 1 else None
+        seq = recv if isinstance(recv, list) else str(recv)
+        n = len(seq)
+        if lo < 0:
+            lo = max(0, n + lo)
+        if hi is None:
+            hi = n
+        elif hi < 0:
+            hi = n + hi
+        return seq[lo:hi]
+    if name == "re_match":
+        import re as _re
+
+        return bool(_re.search(str(args[0]), str(recv)))
+    if name == "re_replace_all":
+        import re as _re
+
+        return _re.sub(str(args[0]), str(args[1]).replace("$", "\\"),
+                       str(recv))
+    if name == "quote":
+        return json.dumps(str(recv))
+    if name == "unquote":
+        return json.loads(str(recv))
+    # ---- numbers ----------------------------------------------------
+    if name == "abs":
+        return abs(recv)
+    if name == "floor":
+        f = math.floor(float(recv))
+        return f if isinstance(recv, float) else int(f)
+    if name == "ceil":
+        c = math.ceil(float(recv))
+        return c if isinstance(recv, float) else int(c)
+    if name == "round":
+        return _round_half_away(float(recv))
+    if name == "sqrt":
+        return math.sqrt(float(recv))
+    if name == "log":
+        return math.log(float(recv))
+    if name == "log10":
+        return math.log10(float(recv))
+    if name == "max" and not args and isinstance(recv, list):
+        return max(recv)
+    if name == "min" and not args and isinstance(recv, list):
+        return min(recv)
+    if name == "int64" or name == "int32":
+        return int(float(recv))
+    if name == "float64" or name == "float32":
+        return float(recv)
+    # ---- arrays -----------------------------------------------------
+    if isinstance(recv, list):
+        if name == "sort":
+            return sorted(recv)
+        if name == "join":
+            sep = str(args[0]) if args else ""
+            return sep.join(str(x) for x in recv)
+        if name == "sum":
+            return sum(recv)
+        if name == "unique":
+            seen, out = set(), []
+            for x in recv:
+                k = json.dumps(x, sort_keys=True) if isinstance(
+                    x, (dict, list)) else x
+                if k not in seen:
+                    seen.add(k)
+                    out.append(x)
+            return out
+        if name == "flatten":
+            out = []
+            for x in recv:
+                out.extend(x if isinstance(x, list) else [x])
+            return out
+        if name == "append":
+            return list(recv) + list(args)
+        if name == "concat":
+            out = list(recv)
+            for a in args:
+                out.extend(a if isinstance(a, list) else [a])
+            return out
+        if name == "index":
+            i = int(args[0])
+            n = len(recv)
+            if i < 0:
+                i += n
+            if 0 <= i < n:
+                return recv[i]
+            raise InterpError("index out of bounds")
+        if name == "enumerated":
+            return [{"index": i, "value": v} for i, v in enumerate(recv)]
+    # ---- objects ----------------------------------------------------
+    if isinstance(recv, dict):
+        if name == "get":
+            cur: Any = recv
+            for part in str(args[0]).split("."):
+                if not isinstance(cur, dict) or part not in cur:
+                    return None
+                cur = cur[part]
+            return cur
+        if name == "exists":
+            cur: Any = recv
+            for part in str(args[0]).split("."):
+                if not isinstance(cur, dict) or part not in cur:
+                    return False
+                cur = cur[part]
+            return True
+        if name == "merge":
+            out = dict(recv)
+            out.update(args[0] or {})
+            return out
+        if name == "without":
+            drop = {str(a) for a in args}
+            return {k: v for k, v in recv.items() if k not in drop}
+    return _NO_METHOD

@@ -1,0 +1,229 @@
+"""Differential testing: the Column COMPILER (tier a/b) vs the
+per-message INTERPRETER (tier c, bloblang/interp.py) must agree on
+every mapping both can execute — the interpreter is the fallback the
+compiler trades into at runtime, so any divergence is a silent
+wrong-answer bug, not a style difference.
+
+Strategy: a seeded generator builds typed random expressions (int /
+float / string / bool slots so no expression is a type error), packs
+them ~24 at a time into one object mapping (ONE compiled plan and one
+interpreted walk cover 24 expressions x all docs), and compares the
+JSON documents both engines produce. Plus a curated corpus of the
+constructs randomized generation reaches poorly (match, named maps,
+let, coalesce chains, deleted()-omission).
+
+Ground-truth notes pinned from the reference (query/arithmetic.go):
+`/` is ALWAYS float division; `%` is integer-only."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.bloblang import compile_mapping
+from bento_spark.bloblang.interp import interpret_mapping
+
+DOCS = [
+    {"a": 7, "b": 2.5, "c": -3, "s": "Hello World", "t": "spark",
+     "arr": [3, 1, 2], "obj": {"x": 4, "y": "zed"}, "flag": True},
+    {"a": 0, "b": -1.25, "c": 9, "s": "", "t": "Ünïcødé",
+     "arr": [10], "obj": {"x": -2, "y": ""}, "flag": False},
+    {"a": 1234, "b": 0.5, "c": 1, "s": "a b  c", "t": "xyz",
+     "arr": [5, 5, 0, -7], "obj": {"x": 0, "y": "Y"}, "flag": True},
+]
+
+
+class Gen:
+    """Typed expression generator over the DOCS schema."""
+
+    def __init__(self, seed: int):
+        self.r = random.Random(seed)
+
+    def int_expr(self, d: int) -> str:
+        r = self.r
+        if d <= 0:
+            return r.choice(["this.a", "this.c", "this.obj.x",
+                             str(r.randint(-9, 9))])
+        k = r.randrange(6)
+        if k < 3:
+            op = r.choice(["+", "-", "*"])
+            return f"({self.int_expr(d-1)} {op} {self.int_expr(d-1)})"
+        if k == 3:
+            # % is integer-only; keep the divisor nonzero
+            return f"({self.int_expr(d-1)} % {r.randint(1, 7)})"
+        if k == 4:
+            return f"({self.str_expr(d-1)}).length()"
+        return (f"(if {self.bool_expr(d-1)} {{ {self.int_expr(d-1)} }} "
+                f"else {{ {self.int_expr(d-1)} }})")
+
+    def float_expr(self, d: int) -> str:
+        r = self.r
+        if d <= 0:
+            return r.choice(["this.b", f"{r.uniform(-4, 4):.3f}"])
+        k = r.randrange(4)
+        if k < 2:
+            op = r.choice(["+", "-", "*"])
+            a = r.choice([self.float_expr(d-1), self.int_expr(d-1)])
+            return f"({a} {op} {self.float_expr(d-1)})"
+        if k == 2:
+            # reference: / is always float division, nonzero divisor
+            return f"({self.int_expr(d-1)} / {r.randint(1, 9)})"
+        return f"({self.float_expr(d-1)}).abs()"
+
+    def str_expr(self, d: int) -> str:
+        r = self.r
+        if d <= 0:
+            lit = r.choice(["x", "AbC", " ", ""])
+            return r.choice(["this.s", "this.t", "this.obj.y", f'"{lit}"'])
+        k = r.randrange(5)
+        if k == 0:
+            return f"({self.str_expr(d-1)} + {self.str_expr(d-1)})"
+        if k == 1:
+            return f"({self.str_expr(d-1)}).uppercase()"
+        if k == 2:
+            return f"({self.str_expr(d-1)}).lowercase()"
+        if k == 3:
+            return f"({self.str_expr(d-1)}).trim()"
+        return (f"(if {self.bool_expr(d-1)} {{ {self.str_expr(d-1)} }} "
+                f"else {{ {self.str_expr(d-1)} }})")
+
+    def bool_expr(self, d: int) -> str:
+        r = self.r
+        if d <= 0:
+            return r.choice(["this.flag", "true", "false"])
+        k = r.randrange(4)
+        if k == 0:
+            op = r.choice(["==", "!=", ">", "<", ">=", "<="])
+            return f"({self.int_expr(d-1)} {op} {self.int_expr(d-1)})"
+        if k == 1:
+            op = r.choice(["==", "!="])
+            return f"({self.str_expr(d-1)} {op} {self.str_expr(d-1)})"
+        if k == 2:
+            op = r.choice(["&&", "||"])
+            return f"({self.bool_expr(d-1)} {op} {self.bool_expr(d-1)})"
+        return f"!({self.bool_expr(d-1)})"
+
+    def any_expr(self, d: int) -> str:
+        return self.r.choice(
+            [self.int_expr, self.float_expr, self.str_expr, self.bool_expr]
+        )(d)
+
+
+def _canon(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    if isinstance(v, dict):
+        return {k: _canon(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_canon(x) for x in v]
+    return v
+
+
+def _canon_num(v):
+    # ints and int-valued floats compare equal across engines (the
+    # compiler's Column types vs the interpreter's Python numbers)
+    c = _canon(v)
+    if isinstance(c, float) and c.is_integer():
+        return c
+    return c
+
+
+def _compiled(spark, src: str, docs=DOCS) -> list[dict]:
+    """Run the mapping through the COLUMN compiler over typed rows."""
+    sc = spark.sparkContext
+    raw = [json.dumps(d) for d in docs]
+    df = spark.read.json(sc.parallelize(raw, 1))
+    df = df.select(F.monotonically_increasing_id().alias("__docid"), "*")
+    out = compile_mapping(src).apply(df, new_document=True)
+    rows = out.orderBy("__docid").collect() if "__docid" in out.columns \
+        else out.collect()
+    res = []
+    for row in rows:
+        d = row.asDict(recursive=True)
+        res.append({k: v for k, v in d.items()
+                    if not k.startswith(("_", "__"))})
+    return res
+
+
+def _interpreted(src: str, docs=DOCS) -> list[dict]:
+    res = []
+    for d in docs:
+        out, _meta = interpret_mapping(src, json.dumps(d), {})
+        res.append(out)
+    return res
+
+
+def _assert_agree(spark, src: str):
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    try:
+        comp = _compiled(spark, src)
+    except (RecursionError, AnalysisException) as ex:  # pragma: no cover
+        pytest.skip(f"compiler declined (legit fallback): {ex}")
+    interp = _interpreted(src)
+    for i, (c, p) in enumerate(zip(comp, interp)):
+        # compiled rows may carry schema-union nulls for keys the
+        # mapping never assigned on this doc; interpreter output is
+        # the authoritative key set
+        c = {k: v for k, v in c.items() if k in p or v is not None}
+        assert _canon_num(c) == _canon_num(p), (
+            f"doc {i}: compiler {c!r} != interpreter {p!r}\nmapping:\n{src}"
+        )
+
+
+SEEDS = list(range(8))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_expressions_agree(spark, seed):
+    g = Gen(seed)
+    lines = [f'  "e{i}": {g.any_expr(3)},' for i in range(24)]
+    src = "root = {\n" + "\n".join(lines) + "\n}"
+    _assert_agree(spark, src)
+
+
+CURATED = [
+    # coalesce over a missing field
+    'root = {"r": this.missing | this.a, "s": this.missing | "dflt"}',
+    # match expression
+    '''root = {"m": match this.a {
+      this > 100 => "big",
+      this == 0 => "zero",
+      _ => "small"
+    }}''',
+    # let variables
+    'let v = this.a * 2\nroot = {"r": $v + 1, "q": $v * $v}',
+    # string method chains
+    'root = {"r": this.s.uppercase().replace_all("L", "_").length()}',
+    # number methods
+    'root = {"f": (this.a / 4).floor(), "c": (this.a / 4).ceil(),'
+    ' "r2": (this.b * 3.0).round()}',
+    # array ops
+    'root = {"n": this.arr.length(), "s": this.arr.sort(),'
+    ' "j": this.arr.join(",")}',
+    # object spread / field assignment forms
+    'root = this.obj\nroot.z = this.a + 1',
+    # conditional deletion via Nothing-omission
+    'root = {"keep": this.a, "maybe": if this.flag { this.s }}',
+    # boolean logic + comparison mix
+    'root = {"r": (this.a > 3 && this.s.length() > 0) || this.flag}',
+    # nested object literal
+    'root = {"o": {"i": this.obj.x, "s": this.obj.y.uppercase()},'
+    ' "t": [this.a, this.c]}',
+    # content()-independent: slices
+    'root = {"r": this.s.slice(0, 3)}',
+    # numeric formatting parity
+    'root = {"r": this.b + this.a, "neg": -this.c}',
+]
+
+
+@pytest.mark.parametrize("idx", range(len(CURATED)))
+def test_curated_constructs_agree(spark, idx):
+    _assert_agree(spark, CURATED[idx])
