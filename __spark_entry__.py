@@ -51,11 +51,13 @@ _PRIORITY = [
     "dedup_exact", "ann_brute_force_topk", "ann_lsh_topk",
     "dedup_embedding_cosine", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_clusters",
-    # training-data corpus prep (each a distinct first-class op)
+    # training-data corpus prep (each a distinct first-class op; r5 adds
+    # SemDeDup cluster-pruned semantic dedup and the unigram-LM
+    # perplexity-proxy quality score)
     "decontaminate_overlap", "pack_sequences_contiguous", "pii_redact",
     "quality_repetition_gopher", "sample_stratified_hash",
     "kmeans_embedding_mixture", "embed_project_topk",
-    "dedup_span_clean",
+    "dedup_span_clean", "dedup_semantic_clustered", "text_unigram_logprob",
     # join / agg planes (§2.6-2.7)
     "asof_join_last_login", "semi_anti_join", "top_k_per_group",
     "rollup_priority", "skew_salted_agg",
@@ -64,9 +66,9 @@ _PRIORITY = [
     # processors (distinct §2.1 planes; simple per-row ones gauntleted)
     "proc_flow_gauntlet",
     "proc_kv_enrich", "pipeline_yaml", "proc_workflow_dag",
-    "proc_jq", "proc_branch_enrich",
+    "proc_jq",
     "proc_yaml_surface_gauntlet",
-    "proc_cache_lookup", "proc_http_enrich", "proc_javascript",
+    "proc_cache_lookup", "proc_javascript",
     "mm_video_y4m",
     # consolidated codec/scanner/parser families
     "proc_parse_gauntlet", "proc_codec_gauntlet", "proc_archive_gauntlet",
@@ -77,6 +79,11 @@ _PRIORITY = [
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
     "scan_gauntlet",
+    # (branch + http singles demoted r5 for the two new LLM-pipeline
+    # rows: both re-covered by proc_yaml_surface_gauntlet's
+    # switch/http/while chain and proc_workflow_dag's branch mechanics)
+    "proc_branch_enrich", "proc_http_enrich",
+    "proc_split_batches", "proc_split_byte_batches", "proc_insert_part",
     "ann_ivf_topk", "text_quality_score", "proc_jmespath_collapse",
     "window_sliding_hour", "bloblang_stdlib3", "corpus_shuffle_shards",
     "dedup_incremental_snapshot",

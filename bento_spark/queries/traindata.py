@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from bento_spark.functions.hashing import hash60_sql
 from bento_spark.functions.textops import word_shingles_sql, words
-from bento_spark.operators.clustering import kmeans_lloyd, kmeans_sql
+from bento_spark.operators.clustering import (
+    kmeans_lloyd,
+    kmeans_sql,
+    semdedup,
+    semdedup_sql,
+)
 from bento_spark.operators.traindata import (
     contamination_overlap,
     duplicate_spans,
@@ -382,3 +387,27 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc").alias("doc_id"), "n_spans", "removed_words", "clean_hash"
     ).orderBy("doc_id")
+
+
+SEMD_K, SEMD_ITERS, SEMD_THR = 4, 2, 0.92
+
+
+@query(
+    "dedup_semantic_clustered",
+    oracle=semdedup_sql(
+        "embeddings", "vec_id", "embedding", dim=KM_DIM,
+        k=SEMD_K, iters=SEMD_ITERS, threshold=SEMD_THR,
+    ),
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, prune
+    cosine near-duplicates WITHIN clusters only — the pair join is an
+    equi-join on cluster id, never cross-cluster, so the quadratic term
+    is bounded by cluster size (k scales with the corpus; the paper
+    runs 50k clusters at LAION scale). Oracle unrolls the identical
+    kmeans iterations then applies the same dominance rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, "vec_id", "embedding", dim=KM_DIM,
+        k=SEMD_K, iters=SEMD_ITERS, threshold=SEMD_THR,
+    ).orderBy("vec_id")
