@@ -45,6 +45,10 @@ HEADLINE = [
     # round-5 additions: IVF coarse-quantizer ANN, linear quality head
     "ann_ivf_topk",
     "text_quality_classifier",
+    # round-5 additions: batch re-chunking, SemDeDup, unigram-LM score
+    "proc_split_batches",
+    "dedup_semantic_clustered",
+    "text_unigram_logprob",
 ]
 
 
