@@ -174,6 +174,38 @@ class MongoKV:
                 batch = cursor.get("nextBatch", [])
         return [out.get(k) for k in keys]
 
+    def scan(self, filter_doc: dict | None = None,
+             limit: int = 100_000) -> list[str]:
+        """`mongodb` INPUT shape (input/mongodb.md): read whole
+        documents (find + getMore paging), each serialized to its JSON
+        text form — bounded dimension loads, the cassandra_rows
+        pattern."""
+        import json as _json
+
+        out: list[str] = []
+        reply = self._command({
+            "find": self.coll,
+            "filter": filter_doc or {},
+            "batchSize": min(limit, 1000),
+            "$db": self.db,
+        })
+        cursor = reply["cursor"]
+        batch = cursor.get("firstBatch", [])
+        while len(out) < limit:
+            for d in batch:
+                out.append(_json.dumps(d, separators=(",", ":"), default=str))
+                if len(out) >= limit:
+                    break
+            cid = cursor.get("id", 0)
+            if not cid or len(out) >= limit:
+                break
+            reply = self._command(
+                {"getMore": cid, "collection": self.coll, "$db": self.db}
+            )
+            cursor = reply["cursor"]
+            batch = cursor.get("nextBatch", [])
+        return out
+
     def mset(self, pairs: Iterable[tuple[str, str]]) -> None:
         buf = []
         for k, v in pairs:

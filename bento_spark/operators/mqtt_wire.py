@@ -16,6 +16,7 @@ from __future__ import annotations
 import struct
 
 CONNECT, CONNACK, PUBLISH, PUBACK, DISCONNECT = 1, 2, 3, 4, 14
+SUBSCRIBE, SUBACK = 8, 9
 
 
 def encode_remaining_length(n: int) -> bytes:
@@ -115,6 +116,71 @@ class MqttClient:
                 raise MqttError(f"expected PUBACK, got type {ptype}")
             (pid,) = struct.unpack(">H", body[:2])
             waiting.discard(pid)
+
+    def subscribe(self, topic: str, qos: int = 1) -> None:
+        """SUBSCRIBE one filter (spec 3.8: packet id + topic filter +
+        requested QoS; flags nibble MUST be 0b0010), wait for SUBACK
+        with the matching id and a granted-QoS return code."""
+        self._packet_id = self._packet_id % 0xFFFF + 1
+        pid = self._packet_id
+        body = struct.pack(">H", pid) + _mqtt_str(topic) + bytes([qos])
+        self._send_packet(SUBSCRIBE, 0x02, body)
+        ptype, _f, resp = self._read_packet()
+        if ptype != SUBACK:
+            raise MqttError(f"expected SUBACK, got type {ptype}")
+        (rpid,) = struct.unpack(">H", resp[:2])
+        if rpid != pid:
+            raise MqttError(f"SUBACK packet id {rpid} != {pid}")
+        if resp[2] == 0x80:
+            raise MqttError("subscription rejected (return code 0x80)")
+
+    def drain_to_dir(self, out_dir: str, max_msgs: int = 10_000,
+                     idle_timeout: float = 1.0) -> int:
+        """Stage-then-ack PUBLISH drain (at-least-once for QoS 1): each
+        message is durably written BEFORE its PUBACK goes out, so a
+        crash mid-drain redelivers. Stops on idle timeout or max."""
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(out_dir, exist_ok=True)
+        self._sock.settimeout(idle_timeout)
+        n = 0
+        try:
+            while n < max_msgs:
+                try:
+                    ptype, flags, body = self._read_packet()
+                except (TimeoutError, OSError):
+                    break
+                if ptype != PUBLISH:
+                    continue
+                qos = (flags >> 1) & 0x3
+                (tlen,) = struct.unpack(">H", body[:2])
+                topic = body[2 : 2 + tlen].decode("utf-8", "replace")
+                pos = 2 + tlen
+                pid = None
+                if qos >= 1:
+                    (pid,) = struct.unpack(">H", body[pos : pos + 2])
+                    pos += 2
+                payload = body[pos:]
+                del topic  # provenance rides queue_path (bridge contract)
+                tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}")
+                final = _os.path.join(
+                    out_dir, f"mqtt-{_uuid.uuid4().hex}.ndjson"
+                )
+                with open(tmp, "w") as fh:
+                    fh.write(
+                        payload.decode("utf-8", "replace").replace("\n", " ")
+                        + "\n"
+                    )
+                    fh.flush()
+                    _os.fsync(fh.fileno())
+                _os.replace(tmp, final)  # durable BEFORE the ack
+                if pid is not None:
+                    self._send_packet(PUBACK, 0, struct.pack(">H", pid))
+                n += 1
+        finally:
+            self._sock.settimeout(None)
+        return n
 
     def close(self) -> None:
         try:

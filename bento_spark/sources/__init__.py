@@ -453,3 +453,4 @@ def _discord(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
 # bridge-backed inputs under their reference names (registration only —
 # module at sources/yaml_inputs.py)
 from bento_spark.sources import yaml_inputs as _yaml_inputs  # noqa: E402,F401
+from bento_spark.sources import yaml_inputs2 as _yaml_inputs2  # noqa: E402,F401

@@ -69,6 +69,8 @@ class QueueBatchReader(DataSourceReader):
         return [_FilePartition([f], i) for i, f in enumerate(_list_messages(self.path))]
 
     def read(self, partition: _FilePartition):
+        if partition is None:  # Spark calls read(None) for 0 partitions
+            return
         yield from _read_files(partition.files, partition.start_id * 1_000_000)
 
 
@@ -118,6 +120,8 @@ class QueueStreamReader(DataSourceStreamReader):
         return [_FilePartition([f], _file_seq_id(f)) for f in files]
 
     def read(self, partition: _FilePartition):
+        if partition is None:  # Spark calls read(None) for 0 partitions
+            return
         yield from _read_files(partition.files, partition.start_id * 1_000_000)
 
     def commit(self, end: dict):

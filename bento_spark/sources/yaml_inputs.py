@@ -32,6 +32,7 @@ from bento_spark.sources import register_source
 
 def _staging_dir(name: str, conf: dict) -> str:
     if conf.get("staging_dir"):
+        os.makedirs(conf["staging_dir"], exist_ok=True)
         return conf["staging_dir"]
     h = hashlib.md5(
         repr(sorted(conf.items())).encode(), usedforsecurity=False

@@ -1,0 +1,655 @@
+"""YAML registration, part 2: the broker/DB/socket input names the
+reference documents (website/docs/components/inputs/) mapped onto the
+repo's from-scratch wire clients. Same contract as yaml_inputs.py —
+every adapter drains durably (stage-then-ack, at-least-once) into the
+bento_queue staging dir, batch once or on a daemon interval with
+``stream: true``.
+
+URL parsing follows each component's reference fields (`urls:` lists,
+`nsqd_tcp_address`, `pulsar://`... — the docs' own config shapes).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+from pyspark.sql import SparkSession
+
+from bento_spark.sources import register_source
+from bento_spark.sources.yaml_inputs import _bridge_source, _read_staged, _staging_dir
+
+
+def _hostport(conf, key="urls", default_port=0, scheme=None):
+    """First entry of a reference `urls:` list (or `url:`) -> (host,
+    port, parsed) — the parsed result keeps credentials/path for
+    adapters that need them."""
+    urls = conf.get(key) or ([conf["url"]] if conf.get("url") else [])
+    if not urls:
+        raise KeyError(f"{key} (or url) required")
+    u = urlparse(urls[0] if "://" in urls[0] else f"{scheme or 'tcp'}://{urls[0]}")
+    return u.hostname or "localhost", u.port or default_port, u
+
+
+class _Drain:
+    """Adapter: bind a client method + fixed args to the bridge
+    contract ``drain(out_dir)``."""
+
+    def __init__(self, fn, *args, **kwargs):
+        self._fn, self._args, self._kw = fn, args, kwargs
+
+    def drain(self, out_dir: str, **kw) -> int:
+        # positional args that come BEFORE out_dir in the client method
+        return self._fn(*self._args, out_dir, **self._kw, **kw)
+
+
+class _DrainAfter:
+    """Like _Drain but out_dir is the FIRST positional argument."""
+
+    def __init__(self, fn, **kwargs):
+        self._fn, self._kw = fn, kwargs
+
+    def drain(self, out_dir: str, **kw) -> int:
+        return self._fn(out_dir, **self._kw, **kw)
+
+
+# -- message brokers (wire clients in operators/) ---------------------------
+
+def _amqp09(conf):
+    from bento_spark.operators.amqp_wire import AmqpClient
+
+    host, port, u = _hostport(conf, default_port=5672, scheme="amqp")
+    c = AmqpClient(host=host, port=port, user=u.username or "guest",
+                   password=u.password or "guest",
+                   vhost=(u.path or "/").lstrip("/") or "/")
+    return _Drain(c.drain_to_dir, conf.get("queue", ""),
+                  max_msgs=int(conf.get("max_msgs", 10_000)))
+
+
+_bridge_source("amqp_0_9", _amqp09)
+
+
+def _amqp1(conf):
+    from bento_spark.operators.amqp1_wire import Amqp1Client
+
+    host, port, u = _hostport(conf, default_port=5672, scheme="amqp")
+    c = Amqp1Client(host=host, port=port, user=u.username,
+                    password=u.password)
+    c.attach_receiver(conf.get("source_address") or conf.get("queue", ""))
+    return _DrainAfter(c.drain_to_dir,
+                       max_msgs=int(conf.get("max_msgs", 10_000)))
+
+
+_bridge_source("amqp_1", _amqp1)
+
+
+def _beanstalkd(conf):
+    from bento_spark.operators.beanstalk_wire import BeanstalkClient
+
+    addr = conf.get("address", "localhost:11300")
+    host, _, port = addr.partition(":")
+    c = BeanstalkClient(host=host or "localhost", port=int(port or 11300))
+    if conf.get("tube"):
+        c.watch(conf["tube"])
+    return _DrainAfter(c.drain_to_dir,
+                       max_msgs=int(conf.get("max_msgs", 10_000)))
+
+
+_bridge_source("beanstalkd", _beanstalkd)
+
+
+def _mqtt(conf):
+    from bento_spark.operators.mqtt_wire import MqttClient
+
+    host, port, _u = _hostport(conf, default_port=1883, scheme="tcp")
+    c = MqttClient(host=host, port=port,
+                   client_id=conf.get("client_id", "bento-spark"))
+    topics = conf.get("topics") or [conf.get("topic", "#")]
+    for t in topics:
+        c.subscribe(t, qos=int(conf.get("qos", 1)))
+    return _DrainAfter(c.drain_to_dir,
+                       idle_timeout=float(conf.get("idle_timeout_s", 1.0)))
+
+
+_bridge_source("mqtt", _mqtt)
+
+
+def _nats(conf):
+    from bento_spark.operators.nats_wire import NatsClient
+
+    host, port, _u = _hostport(conf, default_port=4222, scheme="nats")
+    c = NatsClient(host=host, port=port)
+    return _Drain(c.drain_to_dir, conf.get("subject", ">"),
+                  max_msgs=int(conf.get("max_msgs", 10_000)))
+
+
+_bridge_source("nats", _nats)
+
+
+def _nats_jetstream(conf):
+    from bento_spark.operators.jetstream import JetStreamClient
+
+    host, port, _u = _hostport(conf, default_port=4222, scheme="nats")
+    c = JetStreamClient(host=host, port=port)
+    return _Drain(
+        c.drain, conf.get("stream", ""),
+        conf.get("durable") or conf.get("consumer", "bento-spark"),
+    )
+
+
+_bridge_source("nats_jetstream", _nats_jetstream)
+# `nats_stream` (STAN) is deprecated upstream; its documented
+# replacement is JetStream — same client serves both names
+_bridge_source("nats_stream", _nats_jetstream)
+
+
+def _nats_object_store(conf):
+    from bento_spark.operators.jetstream import NatsObjectStore
+
+    host, port, _u = _hostport(conf, default_port=4222, scheme="nats")
+    c = NatsObjectStore(host=host, port=port, bucket=conf["bucket"])
+    return _DrainAfter(c.drain_to_dir, names=list(conf.get("names", [])))
+
+
+_bridge_source("nats_object_store", _nats_object_store)
+
+
+def _nsq(conf):
+    from bento_spark.operators.nsq_wire import NsqClient
+
+    addr = conf.get("nsqd_tcp_address") or conf.get("address", "localhost:4150")
+    host, _, port = addr.partition(":")
+    c = NsqClient(host=host or "localhost", port=int(port or 4150))
+    return _Drain(c.drain_to_dir, conf["topic"],
+                  conf.get("channel", "bento-spark"),
+                  max_msgs=int(conf.get("max_msgs", 10_000)))
+
+
+_bridge_source("nsq", _nsq)
+
+
+def _pulsar(conf):
+    from bento_spark.operators.pulsar_wire import PulsarClient
+
+    host, port, _u = _hostport(conf, default_port=6650, scheme="pulsar")
+    c = PulsarClient(host=host, port=port)
+    topics = conf.get("topics") or [conf["topic"]]
+    c.subscribe(topics[0], conf.get("subscription_name", "bento-spark"))
+    return _DrainAfter(c.drain_to_dir,
+                       idle_timeout=float(conf.get("idle_timeout_s", 1.0)))
+
+
+_bridge_source("pulsar", _pulsar)
+
+
+def _zmq(conf):
+    from bento_spark.operators.zmtp_wire import ZmtpSocket
+
+    host, port, _u = _hostport(conf, default_port=5555)
+    sock = ZmtpSocket(host, port, conf.get("socket_type", "PULL").upper())
+    if sock.socket_type == "SUB":
+        for t in conf.get("sub_filters") or [""]:
+            sock.subscribe(t.encode("utf-8") if isinstance(t, str) else t)
+    return _DrainAfter(sock.drain_to_dir)
+
+
+_bridge_source("zmq4", _zmq)
+_bridge_source("zmq4n", _zmq)
+
+
+def _nanomsg(conf):
+    from bento_spark.operators.nanomsg_wire import NanomsgSocket
+
+    host, port, _u = _hostport(conf, default_port=5555)
+    sock = NanomsgSocket(host, port, conf.get("socket_type", "PULL").upper())
+    return _DrainAfter(sock.drain_to_dir)
+
+
+_bridge_source("nanomsg", _nanomsg)
+
+
+# -- change streams ----------------------------------------------------------
+
+def _cockroach(conf):
+    from bento_spark.operators.pgwire import PgClient, cockroachdb_changefeed_drain
+
+    host, port, u = _hostport(conf, key="dsn_list",
+                              default_port=26257, scheme="postgres")
+    factory = lambda: PgClient(  # noqa: E731
+        host=host, port=port, user=u.username or "root",
+        password=u.password or "",
+        database=(u.path or "/defaultdb").lstrip("/") or "defaultdb",
+    )
+    tables = conf.get("tables") or [conf["table"]]
+    return _Drain(
+        lambda out: cockroachdb_changefeed_drain(
+            factory, tables[0], out,
+            max_rows=int(conf.get("max_rows", 10_000)),
+        )
+    )
+
+
+_bridge_source("cockroachdb_changefeed", _cockroach)
+
+
+def _spanner_cdc(conf):
+    from bento_spark.sources.gcp_spanner import SpannerChangeStreamClient
+    from bento_spark.sources.yaml_inputs import _gcp_token_provider
+
+    c = SpannerChangeStreamClient(
+        conf.get("endpoint") or "https://spanner.googleapis.com",
+        conf["database"],
+        token_provider=_gcp_token_provider(conf),
+    )
+    return _Drain(c.drain_to_dir, conf["stream"])
+
+
+_bridge_source("gcp_spanner_cdc", _spanner_cdc)
+
+
+def _twitter(conf):
+    from bento_spark.sources.watch_inputs import TwitterSearchBridge
+
+    return TwitterSearchBridge(
+        conf.get("endpoint") or "https://api.twitter.com",
+        conf["query"], conf.get("token", ""),
+    )
+
+
+_bridge_source("twitter_search", _twitter)
+
+
+# -- server-style inputs (the SERVER stages; no drain loop) ------------------
+
+def _server_source(name: str, start_server, envelope: bool = False):
+    """http_server / websocket / socket_server: start the ingest
+    server writing into the staging dir, then read the directory —
+    streaming-first (batch form reads whatever has arrived, plus an
+    optional ``serve_s`` grace window for tests/one-shots)."""
+
+    def fn(spark: SparkSession, conf: dict):
+        conf = dict(conf or {})
+        staging = _staging_dir(name, conf)
+        server = start_server(staging, conf)
+        stream = bool(conf.get("stream", False))
+        wait = float(conf.get("serve_s", 0))
+        if wait:
+            import time
+
+            time.sleep(wait)
+        df, streaming = _read_staged(spark, staging, stream)
+        if envelope:
+            # http_server/_websocket stage {"value","metadata"} JSON
+            # envelopes (meta headers matter there); unwrap to the row
+            from pyspark.sql import functions as F
+
+            from bento_spark.operators.envelope import META
+
+            df = df.select(
+                F.get_json_object(F.col("content"), "$.value").alias(
+                    "content"
+                ),
+                F.coalesce(
+                    F.from_json(
+                        F.get_json_object(F.col("content"), "$.metadata"),
+                        "map<string,string>",
+                    ),
+                    F.create_map().cast("map<string,string>"),
+                ).alias(META),
+            )
+        df._bento_server = server  # keep it alive and reachable
+        return df, streaming
+
+    register_source(name)(fn)
+    return fn
+
+
+def _http_server(staging, conf):
+    from bento_spark.sources.http_server import HttpIngestServer
+
+    return HttpIngestServer(
+        staging,
+        host=conf.get("host", "127.0.0.1"),
+        port=int(conf.get("port", conf.get("address", "0:0").split(":")[-1] or 0)),
+        path=conf.get("path", "/post"),
+    )
+
+
+_server_source("http_server", _http_server, envelope=True)
+
+
+def _websocket(staging, conf):
+    from bento_spark.sources.http_server import WebSocketIngestServer
+
+    return WebSocketIngestServer(
+        staging,
+        host=conf.get("host", "127.0.0.1"),
+        port=int(conf.get("port", 0)),
+    )
+
+
+_server_source("websocket", _websocket, envelope=True)
+
+
+def _socket_server(staging, conf):
+    from bento_spark.sources.socket_input import SocketIngestServer
+
+    addr = conf.get("address", "127.0.0.1:0")
+    host, _, port = addr.rpartition(":")
+    return SocketIngestServer(staging, host=host or "127.0.0.1",
+                              port=int(port or 0))
+
+
+_server_source("socket_server", _socket_server)
+
+
+# -- local process inputs ----------------------------------------------------
+
+@register_source("stdin")
+def _stdin(spark: SparkSession, conf: dict):
+    """`stdin` input (input_stdin.go): read lines from the process's
+    stdin until EOF — a batch read by nature under Spark (the driver
+    owns the fd)."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import META
+
+    lines = [ln.rstrip("\n") for ln in sys.stdin]
+    df = spark.createDataFrame(
+        [(ln,) for ln in lines] or [("",)], "content string"
+    )
+    if not lines:
+        df = df.limit(0)
+    return df.withColumn(
+        META, F.create_map().cast("map<string,string>")
+    ), False
+
+
+@register_source("subprocess")
+def _subprocess_input(spark: SparkSession, conf: dict):
+    """`subprocess` input (input_subprocess.go): run the command, one
+    message per stdout line. The child runs on the driver (it is ONE
+    process by definition); rows parallelize out afterward."""
+    import subprocess as sp
+
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import META
+
+    args = [conf["name"], *map(str, conf.get("args", []))]
+    out = sp.run(args, capture_output=True, text=True, timeout=float(
+        conf.get("timeout_s", 60)), check=False)
+    lines = [ln for ln in out.stdout.split("\n") if ln != ""]
+    df = spark.createDataFrame([(ln,) for ln in lines] or [("",)],
+                               "content string")
+    if not lines:
+        df = df.limit(0)
+    return df.withColumn(
+        META, F.create_map().cast("map<string,string>")
+    ), False
+
+
+@register_source("socket")
+def _socket_client(spark: SparkSession, conf: dict):
+    """`socket` input (client form): connect out, read line-framed
+    messages until EOF/idle, stage durably, read back."""
+    import socket as _socket
+
+    staging = _staging_dir("socket", conf)
+    addr = conf.get("address", "localhost:0")
+    host, _, port = addr.rpartition(":")
+    s = _socket.create_connection(
+        (host or "localhost", int(port)), timeout=float(
+            conf.get("idle_timeout_s", 2.0))
+    )
+    import os as _os
+    import uuid as _uuid
+
+    buf = b""
+    lines: list[str] = []
+    try:
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n" in buf:
+                ln, buf = buf.split(b"\n", 1)
+                lines.append(ln.decode("utf-8", "replace"))
+    except (TimeoutError, OSError):
+        pass
+    finally:
+        s.close()
+    if buf:
+        lines.append(buf.decode("utf-8", "replace"))
+    if lines:
+        tmp = _os.path.join(staging, f".tmp-{_uuid.uuid4().hex}")
+        final = _os.path.join(staging, f"socket-{_uuid.uuid4().hex}.ndjson")
+        with open(tmp, "w") as fh:
+            for ln in lines:
+                fh.write(ln.replace("\n", " ") + "\n")
+        _os.replace(tmp, final)
+    return _read_staged(spark, staging, bool(conf.get("stream", False)))
+
+
+# -- DB pulls ----------------------------------------------------------------
+
+@register_source("redis_scan")
+def _redis_scan(spark: SparkSession, conf: dict):
+    """`redis_scan` input (input_scan.go): full-keyspace snapshot."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import META
+    from bento_spark.sources.redis_bridge import redis_scan_pairs
+
+    rows = redis_scan_pairs(conf["url"], match=conf.get("match", "*"))
+    df = spark.createDataFrame(rows or [("", "")], "key string, value string")
+    if not rows:
+        df = df.limit(0)
+    return df.select(
+        F.col("value").alias("content"),
+        F.create_map(F.lit("redis_key"), F.col("key")).alias(META),
+    ), False
+
+
+@register_source("mongodb")
+def _mongodb_input(spark: SparkSession, conf: dict):
+    """`mongodb` input: bounded collection read (find with paging) for
+    dimension loads — the cassandra_rows shape."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import META
+    from bento_spark.operators.mongokv import MongoKV
+
+    u = urlparse(conf["url"] if "://" in conf.get("url", "")
+                 else f"mongodb://{conf.get('url', 'localhost:27017')}")
+    db, _, coll = (conf.get("database", ""), "", conf.get("collection", ""))
+    if not db and u.path.lstrip("/"):
+        db, _, coll = u.path.lstrip("/").partition(".")
+    kv = MongoKV(u.hostname or "localhost", u.port or 27017,
+                 db or "test", coll or "docs")
+    docs = kv.scan(limit=int(conf.get("limit", 100_000)))
+    df = spark.createDataFrame([(d,) for d in docs] or [("",)],
+                               "content string")
+    if not docs:
+        df = df.limit(0)
+    return df.withColumn(
+        META, F.create_map().cast("map<string,string>")
+    ), False
+
+
+@register_source("sql_raw")
+def _sql_raw_input(spark: SparkSession, conf: dict):
+    """`sql_raw` input: arbitrary SQL via pgwire (postgres driver) or
+    a file-backed catalog query otherwise."""
+    driver = conf.get("driver", "")
+    if driver == "postgres":
+        from bento_spark.operators.pgwire import PgClient, postgres_df
+
+        u = urlparse(conf["dsn"])
+        factory = lambda: PgClient(  # noqa: E731
+            host=u.hostname or "localhost", port=u.port or 5432,
+            user=u.username or "postgres", password=u.password or "",
+            database=(u.path or "/postgres").lstrip("/"),
+        )
+        return postgres_df(spark, factory, conf["query"]), False
+    return spark.sql(conf["query"]), False
+
+
+# -- composition -------------------------------------------------------------
+
+@register_source("batched")
+def _batched(spark: SparkSession, conf: dict):
+    """`batched` input (input_batched.go): wrap a child input and
+    re-batch by the policy's count — the `split` machinery stamps the
+    batch id downstream stages key on."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.batching import split_batches
+    from bento_spark.sources import build_source
+
+    (cname, cconf), = dict(conf["child"]).items()
+    df, streaming = build_source(spark, cname, cconf)
+    count = int((conf.get("policy") or {}).get("count", 0))
+    if count > 0 and not streaming:
+        df = df.withColumn("__ord0", F.monotonically_increasing_id())
+        df = split_batches(df, [F.col("__ord0")], count, out_col="__batch")
+        df = df.drop("__ord0")
+    return df, streaming
+
+
+@register_source("read_until")
+def _read_until(spark: SparkSession, conf: dict):
+    """`read_until` (input_read_until.go): consume the child until the
+    check matches; the matching message is the last delivered. Batch
+    form: a cumulative any-match window cut — no driver loop."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bento_spark.bloblang import compile_expr
+    from bento_spark.sources import build_source
+
+    (cname, cconf), = dict(conf["input"]).items()
+    df, streaming = build_source(spark, cname, cconf)
+    if streaming:
+        raise ValueError(
+            "read_until: batch-form only (a streaming query stops via "
+            "its own trigger/timeout controls)"
+        )
+    from bento_spark.plans.pipeline import _lift_content
+
+    df = _lift_content(df)
+    check = compile_expr(str(conf["check"]), df=df)
+    df = df.withColumn("__ru_ord", F.monotonically_increasing_id())
+    w = Window.orderBy("__ru_ord").rowsBetween(Window.unboundedPreceding, -1)
+    hit_before = F.coalesce(
+        F.max(check.cast("int")).over(w), F.lit(0)
+    )
+    return (
+        df.withColumn("__before", hit_before)
+        .filter(F.col("__before") == 0)
+        .drop("__before", "__ru_ord")
+    ), False
+
+
+@register_source("dynamic")
+def _dynamic(spark: SparkSession, conf: dict):
+    """`dynamic` input: of the configured child inputs, build the
+    (single) enabled one — runtime add/remove via REST is the
+    reference's ops surface; under a declarative plan the config IS
+    the runtime state."""
+    from bento_spark.sources import build_source
+
+    inputs = conf.get("inputs") or {}
+    if not inputs:
+        raise ValueError("dynamic: no inputs configured")
+    name = conf.get("active") or sorted(inputs)[0]
+    (cname, cconf), = dict(inputs[name]).items()
+    return build_source(spark, cname, cconf)
+
+
+#: labelled input resources (`input_resources:`)
+INPUT_RESOURCES: dict[str, dict] = {}
+
+
+@register_source("resource")
+def _resource_input(spark: SparkSession, conf: dict):
+    """`resource` input: indirection through a labelled definition."""
+    from bento_spark.sources import build_source
+
+    label = conf if isinstance(conf, str) else conf["resource"]
+    if label not in INPUT_RESOURCES:
+        raise ValueError(
+            f"unknown input resource {label!r} (have {sorted(INPUT_RESOURCES)})"
+        )
+    (cname, cconf), = dict(INPUT_RESOURCES[label]).items()
+    return build_source(spark, cname, cconf)
+
+
+def _service_bus(conf):
+    from bento_spark.operators.azuredata import ServiceBusQueueClient
+
+    return _DrainAfter(ServiceBusQueueClient(
+        conf["endpoint"], conf["queue"],
+        conf.get("key_name", "RootManageSharedAccessKey"),
+        conf.get("key", ""),
+    ).drain_to_dir)
+
+
+_bridge_source("azure_service_bus_queue", _service_bus)
+
+
+def _nats_kv(conf):
+    """`nats_kv` input: a KV bucket IS the JetStream stream
+    ``KV_<bucket>`` (public ADR-8 layering) — drain it like any other
+    stream; each staged message is one key revision."""
+    from bento_spark.operators.jetstream import JetStreamClient
+
+    host, port, _u = _hostport(conf, default_port=4222, scheme="nats")
+    c = JetStreamClient(host=host, port=port)
+    return _Drain(
+        c.drain, f"KV_{conf['bucket']}",
+        conf.get("durable", "bento-spark"),
+    )
+
+
+_bridge_source("nats_kv", _nats_kv)
+
+
+def _grpc_client(conf):
+    """`grpc_client` input: invoke the RPC (unary or server-streaming)
+    over the from-scratch HTTP/2+HPACK client and stage every response
+    message."""
+    from bento_spark.operators.grpc_wire import GrpcClient
+
+    host, port, _u = _hostport(conf, default_port=443, scheme="http")
+
+    class _GrpcDrain:
+        def drain(self, out_dir: str) -> int:
+            import os as _os
+            import uuid as _uuid
+
+            c = GrpcClient(host, port)
+            try:
+                req = conf.get("request_body", "")
+                body = req.encode() if isinstance(req, str) else bytes(req)
+                msgs = c.request_client_stream(conf["rpc"], [body])
+            finally:
+                c.close()
+            n = 0
+            for m in msgs:
+                tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}")
+                final = _os.path.join(out_dir, f"grpc-{_uuid.uuid4().hex}.ndjson")
+                with open(tmp, "w") as fh:
+                    fh.write(
+                        m.decode("utf-8", "replace").replace("\n", " ") + "\n"
+                    )
+                _os.replace(tmp, final)
+                n += 1
+            return n
+
+    return _GrpcDrain()
+
+
+_bridge_source("grpc_client", _grpc_client)

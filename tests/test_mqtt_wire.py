@@ -76,6 +76,31 @@ class _Handler(socketserver.StreamRequestHandler):
                             self.wfile.write(bytes([0x40, 2]) + struct.pack(">H", p))
                         srv.pending_acks.clear()
                         self.wfile.flush()
+            elif ptype == 8:  # SUBSCRIBE
+                (pid,) = struct.unpack_from(">H", body, 0)
+                (tlen,) = struct.unpack_from(">H", body, 2)
+                topic = body[4 : 4 + tlen].decode()
+                qos = body[4 + tlen]
+                assert flags == 0x02  # spec 3.8.1: reserved flags 0010
+                self.wfile.write(bytes([0x90, 3]) + struct.pack(">H", pid)
+                                 + bytes([min(qos, 1)]))
+                self.wfile.flush()
+                # deliver everything queued on that topic as QoS-1
+                # PUBLISHes; the client must PUBACK each AFTER staging
+                dpid = 100
+                for payload in srv.messages.get(topic, []):
+                    var = struct.pack(">H", len(topic)) + topic.encode()
+                    var += struct.pack(">H", dpid)
+                    pkt_body = var + payload
+                    self.wfile.write(bytes([0x32]))
+                    self.wfile.write(
+                        encode_remaining_length(len(pkt_body)) + pkt_body
+                    )
+                    dpid += 1
+                self.wfile.flush()
+            elif ptype == 4:  # PUBACK from a consuming client
+                (apid,) = struct.unpack_from(">H", body, 0)
+                srv.consumer_acks.append(apid)
             elif ptype == 14:  # DISCONNECT
                 # flush any stragglers before the client goes away
                 for p in srv.pending_acks:
@@ -90,6 +115,7 @@ class _Server(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
     def __init__(self):
+        self.consumer_acks = []
         super().__init__(("127.0.0.1", 0), _Handler)
         self.messages: dict[str, list[bytes]] = {}
         self.pending_acks: list[int] = []
@@ -159,3 +185,23 @@ def test_deliver_end_to_end_via_mqtt_transport(spark, server):
     assert stats["delivered"] == 30 and stats["dead"] == 0
     got = {json.loads(m)["msg"] for m in server.messages["spark/out"]}
     assert got == {f"q{i}" for i in range(30)}
+
+
+def test_subscribe_drain_stage_then_ack(server, tmp_path):
+    c = MqttClient(port=server.port)
+    c.publish("jobs", [b"j1", b"j2", b"j3"])
+    c.close()
+    consumer = MqttClient(port=server.port, client_id="drainer")
+    consumer.subscribe("jobs")
+    out = tmp_path / "stage"
+    out.mkdir()
+    n = consumer.drain_to_dir(str(out), idle_timeout=0.3)
+    consumer.close()
+    assert n == 3
+    staged = sorted(
+        ln.rstrip("\n")
+        for f in out.glob("*.ndjson") for ln in open(f)
+    )
+    assert staged == ["j1", "j2", "j3"]
+    # every delivery was PUBACK'd (ids 100..102), AFTER staging
+    assert sorted(server.consumer_acks) == [100, 101, 102]

@@ -1,0 +1,205 @@
+"""The round-5 input registrations (sources/yaml_inputs2.py): every
+reference input name resolves, and the adapter glue works end-to-end
+for the local-process, composition, and server-style families (the
+wire clients behind the broker adapters are protocol-tested in their
+own modules — here the test is the YAML name -> bridge -> staged-frame
+path)."""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import socket
+import urllib.request
+
+import pytest
+
+from bento_spark.plans.pipeline import build_pipeline
+from bento_spark.sources import SOURCES, build_source
+
+DOCS = "/root/reference/website/docs/components/inputs"
+
+#: genuinely unimplementable in-container, documented in COVERAGE.md
+KNOWN_ABSENT = {
+    "s2",    # gRPC SDK protocol; descriptors not vendored
+    "sftp",  # SSH transport out of scope (no from-scratch SSH)
+}
+
+
+def test_every_documented_input_name_registered():
+    if not os.path.isdir(DOCS):
+        pytest.skip("reference docs absent")
+    names = {
+        os.path.basename(f)[:-3]
+        for f in glob.glob(f"{DOCS}/*.md")
+        if not f.endswith("about.md")
+    }
+    missing = sorted(names - set(SOURCES) - KNOWN_ABSENT)
+    assert not missing, f"documented inputs with no registration: {missing}"
+
+
+def test_subprocess_input(spark):
+    df, streaming = build_source(
+        spark, "subprocess", {"name": "printf", "args": ["a\\nbb\\nccc"]}
+    )
+    assert not streaming
+    got = sorted(r["content"] for r in df.collect())
+    assert got == ["a", "bb", "ccc"]
+
+
+def test_stdin_input(spark, monkeypatch):
+    import sys
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO("one\ntwo\n"))
+    df, _ = build_source(spark, "stdin", {})
+    assert sorted(r["content"] for r in df.collect()) == ["one", "two"]
+
+
+def test_http_server_input_roundtrip(spark, tmp_path):
+    df, _ = build_source(
+        spark, "http_server",
+        {"staging_dir": str(tmp_path / "stage"), "path": "/post"},
+    )
+    srv = df._bento_server
+    for body in (b"alpha", b"beta"):
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/post", data=body, timeout=5
+        )
+    # re-read the staging dir (the server staged synchronously pre-200)
+    df2, _ = build_source(
+        spark, "http_server",
+        {"staging_dir": str(tmp_path / "stage"), "path": "/post"},
+    )
+    got = sorted(r["content"] for r in df2.collect())
+    assert got == ["alpha", "beta"]
+    srv.stop()
+    df2._bento_server.stop()
+
+
+def test_socket_server_input(spark, tmp_path):
+    df, _ = build_source(
+        spark, "socket_server",
+        {"staging_dir": str(tmp_path / "stage"), "address": "127.0.0.1:0"},
+    )
+    srv = df._bento_server
+    with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as s:
+        s.sendall(b"m1\nm2\nm3\n")
+    import time
+
+    # the handler flushes at client EOF; wait for the staged file
+    # BEFORE stopping (stop() can beat the accept of a just-made
+    # connection, in which case its data is never handled)
+    for _ in range(50):
+        if list((tmp_path / "stage").glob("*.jsonl")):
+            break
+        time.sleep(0.1)
+    srv.stop()
+    df2, _ = build_source(
+        spark, "socket_server",
+        {"staging_dir": str(tmp_path / "stage"), "address": "127.0.0.1:0"},
+    )
+    got = sorted(r["content"] for r in df2.collect())
+    assert got == ["m1", "m2", "m3"]
+    df2._bento_server.stop()
+
+
+def _write_child(tmp_path, n=9):
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(f'{{"v": {i}}}' for i in range(n)))
+    return {"file": {"path": str(src)}}
+
+
+def test_batched_input_stamps_batch(spark, tmp_path):
+    df, streaming = build_source(
+        spark, "batched",
+        {"child": _write_child(tmp_path), "policy": {"count": 4}},
+    )
+    assert not streaming
+    counts = {r["__batch"]: r["count"]
+              for r in df.groupBy("__batch").count().collect()}
+    assert counts == {0: 4, 1: 4, 2: 1}
+
+
+def test_read_until_cuts_at_check(spark, tmp_path):
+    df, _ = build_source(
+        spark, "read_until",
+        {"input": _write_child(tmp_path),
+         "check": "this.v == 4"},
+    )
+    vals = sorted(r["v"] for r in df.collect())
+    # delivered THROUGH the matching message, nothing after
+    assert vals == [0, 1, 2, 3, 4]
+
+
+def test_dynamic_picks_active_child(spark, tmp_path):
+    df, _ = build_source(
+        spark, "dynamic",
+        {"inputs": {"a": _write_child(tmp_path, 3)}, "active": "a"},
+    )
+    assert df.count() == 3
+
+
+def test_resource_input_lookup(spark, tmp_path):
+    from bento_spark.sources.yaml_inputs2 import INPUT_RESOURCES
+
+    INPUT_RESOURCES["my_in"] = _write_child(tmp_path, 5)
+    try:
+        df, _ = build_source(spark, "resource", {"resource": "my_in"})
+        assert df.count() == 5
+    finally:
+        INPUT_RESOURCES.pop("my_in", None)
+
+
+def test_resource_input_unknown_label_raises(spark):
+    with pytest.raises(ValueError):
+        build_source(spark, "resource", {"resource": "nope"})
+
+
+def test_mqtt_input_end_to_end(spark, tmp_path):
+    """The mqtt YAML input against the in-process broker: publish,
+    then `input: {mqtt: ...}` drains with stage-then-PUBACK."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "mqtt_broker_fixture",
+        os.path.join(os.path.dirname(__file__), "test_mqtt_wire.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    srv = mod._Server()
+    try:
+        from bento_spark.operators.mqtt_wire import MqttClient
+
+        c = MqttClient(port=srv.port)
+        c.publish("t/in", [b"x1", b"x2"])
+        c.close()
+        df, _ = build_source(
+            spark, "mqtt",
+            {
+                "urls": [f"tcp://127.0.0.1:{srv.port}"],
+                "topics": ["t/in"],
+                "idle_timeout_s": 0.3,
+                "staging_dir": str(tmp_path / "stage"),
+            },
+        )
+        got = sorted(r["content"] for r in df.collect())
+        assert got == ["x1", "x2"]
+    finally:
+        srv.stop()
+
+
+def test_yaml_pipeline_with_subprocess_input(spark):
+    pipe = build_pipeline(
+        spark,
+        {
+            "input": {"subprocess": {"name": "printf",
+                                     "args": ['{"n": 1}\\n{"n": 2}']}},
+            "pipeline": {"processors": [
+                {"mapping": 'root = {"n2": this.n * 2}'},
+            ]},
+        },
+    )
+    vals = sorted(r["n2"] for r in pipe.df.collect())
+    assert vals == [2, 4]
