@@ -1629,3 +1629,4 @@ def _buffer_system_window(df: DataFrame, conf) -> DataFrame:
         .withColumn("__batch", F.unix_timestamp(F.col("__win.end")))
         .drop("__swts", "__win")
     )
+from bento_spark.plans import processors2 as _processors2  # noqa: E402,F401  (part-2 processor names)

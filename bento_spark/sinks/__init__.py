@@ -561,3 +561,8 @@ def _drop_on(df: DataFrame, is_streaming: bool, conf: dict):
         if not matches(e):
             raise
     return None
+
+
+# part-2 registrations (websocket/grpc/nats_kv/object_store/subprocess
+# transports + dynamic/resource/retry/sync_response/http_server sinks)
+from bento_spark.sinks import yaml_outputs2 as _yaml_outputs2  # noqa: E402,F401

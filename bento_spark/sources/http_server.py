@@ -354,3 +354,88 @@ class SyncResponseServer:
     def stop(self) -> None:
         self._srv.shutdown()
         self._srv.server_close()
+
+
+class WebSocketClient:
+    """RFC 6455 CLIENT: opening handshake (§4.1 — random
+    Sec-WebSocket-Key, Accept verified against the GUID digest) and
+    MASKED data frames (§5.1-5.3: every client-to-server frame carries
+    a 4-byte mask). The `websocket` output's transport; verified
+    against WebSocketIngestServer, whose spec-mandated 1002 close on
+    unmasked frames proves the masking is real."""
+
+    def __init__(self, host: str, port: int, path: str = "/",
+                 timeout: float = 30.0):
+        import os as _os
+        import socket as _socket
+
+        self._sock = _socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        key = base64.b64encode(_os.urandom(16)).decode()
+        self._sock.sendall(
+            (
+                f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        status = self._rfile.readline().decode("latin-1")
+        if " 101 " not in status:
+            raise ConnectionError(f"websocket handshake refused: {status!r}")
+        accept = None
+        while True:
+            line = self._rfile.readline().decode("latin-1").strip()
+            if not line:
+                break
+            k, _, v = line.partition(":")
+            if k.strip().lower() == "sec-websocket-accept":
+                accept = v.strip()
+        want = base64.b64encode(
+            hashlib.sha1((key + _WS_GUID).encode()).digest()
+        ).decode()
+        if accept != want:
+            raise ConnectionError(
+                f"Sec-WebSocket-Accept mismatch: {accept!r} != {want!r}"
+            )
+
+    def send_text(self, payloads: list[str]) -> None:
+        import os as _os
+
+        out = bytearray()
+        for p in payloads:
+            data = p.encode("utf-8")
+            mask = _os.urandom(4)
+            head = bytearray([0x80 | 0x1])  # FIN + text
+            n = len(data)
+            if n < 126:
+                head.append(0x80 | n)
+            elif n < 1 << 16:
+                head.append(0x80 | 126)
+                head += struct.pack(">H", n)
+            else:
+                head.append(0x80 | 127)
+                head += struct.pack(">Q", n)
+            head += mask
+            masked = bytearray(data)
+            for i in range(len(masked)):
+                masked[i] ^= mask[i % 4]
+            out += head + masked
+        self._sock.sendall(bytes(out))
+
+    def close(self) -> None:
+        import os as _os
+
+        try:
+            mask = _os.urandom(4)
+            body = bytearray(struct.pack(">H", 1000))
+            for i in range(len(body)):
+                body[i] ^= mask[i % 4]
+            self._sock.sendall(bytes([0x88, 0x80 | 2]) + mask + bytes(body))
+        except OSError:
+            pass
+        try:
+            self._rfile.close()
+            self._sock.close()
+        except OSError:
+            pass
