@@ -493,6 +493,22 @@ def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
         if not label:
             raise ConfigError("processor_resources entries require a `label`")
         resources[label] = res
+    # labelled input/output definitions (`input_resources:` /
+    # `output_resources:`, config/resources) consumed by the `resource`
+    # input and output components
+    from bento_spark.sinks.yaml_outputs2 import OUTPUT_RESOURCES
+    from bento_spark.sources.yaml_inputs2 import INPUT_RESOURCES
+
+    for section, store in (
+        ("input_resources", INPUT_RESOURCES),
+        ("output_resources", OUTPUT_RESOURCES),
+    ):
+        for res in cfg.get(section) or []:
+            res = dict(res)
+            label = res.pop("label", None)
+            if not label:
+                raise ConfigError(f"{section} entries require a `label`")
+            store[label] = res
     PROCESSOR_RESOURCES.clear()
     PROCESSOR_RESOURCES.update(resources)
     obs_start = len(PENDING_OBSERVATIONS)

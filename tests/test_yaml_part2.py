@@ -276,3 +276,26 @@ def test_http_server_output_serves_results(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_config_input_output_resources_sections(spark, tmp_path):
+    """`input_resources:` / `output_resources:` config sections feed the
+    `resource` input and output components end-to-end."""
+    from bento_spark.plans.pipeline import build_pipeline
+
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"v": 1}\n{"v": 2}')
+    out_dir = tmp_path / "out"
+    cfg = {
+        "input_resources": [
+            {"label": "src_a", "file": {"path": str(src)}},
+        ],
+        "output_resources": [
+            {"label": "dst_a", "parquet": {"path": str(out_dir)}},
+        ],
+        "input": {"resource": {"resource": "src_a"}},
+        "output": {"resource": {"resource": "dst_a"}},
+    }
+    pipe = build_pipeline(spark, cfg)
+    pipe.run()
+    assert spark.read.parquet(str(out_dir)).count() == 2
