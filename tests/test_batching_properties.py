@@ -1,0 +1,91 @@
+"""Property-based checks (hypothesis) for the batch re-chunking
+operators: the distributed implementations must agree with the
+reference's sequential ProcessBatch loops on ARBITRARY inputs, not
+just the curated cases in test_batching.py."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bento_spark.operators.batching import insert_part, split_batches, split_batches_bytes
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df_of(spark, lengths):
+    rows = [(i, "x" * n) for i, n in enumerate(lengths)]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def _ref_next_fit(lengths, byte_size, size=0):
+    out, count, acc, batch = [], 0, 0, 0
+    for blen in lengths:
+        if (size > 0 and count >= size) or (count > 0 and acc + blen > byte_size):
+            batch += 1
+            count, acc = 0, 0
+        out.append(batch)
+        count += 1
+        acc += blen
+    return out
+
+
+@_SETTINGS
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                     max_size=60),
+    byte_size=st.integers(min_value=1, max_value=80),
+    size=st.integers(min_value=0, max_value=7),
+)
+def test_byte_split_matches_reference_loop(spark, lengths, byte_size, size):
+    out = split_batches_bytes(
+        _df_of(spark, lengths), [F.col("doc_id")],
+        byte_size=byte_size, size=size,
+    )
+    got = [r[0] for r in out.orderBy("doc_id").select("batch_index").collect()]
+    assert got == _ref_next_fit(lengths, byte_size, size)
+
+
+@_SETTINGS
+@given(
+    n=st.integers(min_value=1, max_value=80),
+    size=st.integers(min_value=1, max_value=12),
+)
+def test_size_split_shape(spark, n, size):
+    out = split_batches(
+        _df_of(spark, [1] * n), [F.col("doc_id")], size
+    )
+    rows = out.orderBy("doc_id").select("doc_id", "batch_index").collect()
+    assert [r["batch_index"] for r in rows] == [i // size for i in range(n)]
+
+
+@_SETTINGS
+@given(
+    n=st.integers(min_value=1, max_value=20),
+    index=st.integers(min_value=-25, max_value=25),
+)
+def test_insert_part_position_clamps(spark, n, index):
+    out = insert_part(
+        _df_of(spark, [1] * n), [F.col("doc_id")], index, F.lit("NEW")
+    )
+    rows = out.orderBy("part_index").collect()
+    assert [r["part_index"] for r in rows] == list(range(n + 1))
+    at = index if index >= 0 else n + index + 1
+    at = max(0, min(n, at))
+    assert rows[at]["content"] == "NEW"
+    # originals keep their relative order
+    originals = [r["doc_id"] for r in rows if r["content"] != "NEW"]
+    assert originals == sorted(originals)
+
+
+@pytest.mark.parametrize("n", [0])
+def test_byte_split_empty_frame(spark, n):
+    df = spark.createDataFrame([], "doc_id long, content string")
+    out = split_batches_bytes(df, [F.col("doc_id")], byte_size=10)
+    assert out.count() == 0
