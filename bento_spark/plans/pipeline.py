@@ -993,8 +993,41 @@ def _proc_while(df: DataFrame, conf) -> DataFrame:
 
 
 def _proc_passthrough(df: DataFrame, conf) -> DataFrame:
-    """`noop` / `sleep` (pacing is trigger-level in Spark) — identity."""
+    """`noop` — identity."""
     return df
+
+
+def _proc_sleep(df: DataFrame, conf) -> DataFrame:
+    """`sleep` (processor_sleep.go): pause for `duration` once per
+    batch execution — the reference is a BatchProcessor that sleeps per
+    ProcessBatch call; here the unit is the Arrow batch, so the pacing
+    profile matches (one pause per batch, workers pace independently —
+    the reference's pipeline workers do too). Primary streaming pacing
+    remains trigger intervals; this is the config-compatible throttle.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bento_spark.operators.cachepolicy import parse_duration_s
+    from bento_spark.operators.envelope import ensure_envelope
+
+    dur = parse_duration_s(
+        conf.get("duration", "0s") if isinstance(conf, dict) else conf
+    )
+    if dur <= 0:
+        return df
+    df = ensure_envelope(df)
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        for pdf in batches:
+            _time.sleep(dur)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
 
 
 def _proc_log(df: DataFrame, conf) -> DataFrame:
@@ -1279,7 +1312,7 @@ PROCESSORS.update({
     "retry": _proc_retry,
     "while": _proc_while,
     "noop": _proc_passthrough,
-    "sleep": _proc_passthrough,
+    "sleep": _proc_sleep,
     "log": _proc_log,
     "metric": _proc_metric,
     "cache": _proc_cache,

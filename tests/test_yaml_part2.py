@@ -299,3 +299,17 @@ def test_config_input_output_resources_sections(spark, tmp_path):
     pipe = build_pipeline(spark, cfg)
     pipe.run()
     assert spark.read.parquet(str(out_dir)).count() == 2
+
+
+def test_sleep_processor_paces_per_batch(spark):
+    import time
+
+    df = _content_df(spark, ["a", "b"]).coalesce(1)
+    t0 = time.time()
+    out = P.PROCESSORS["sleep"](df, {"duration": "300ms"}).collect()
+    assert len(out) == 2
+    assert time.time() - t0 >= 0.3  # one pause per Arrow batch
+
+    # zero duration stays a no-op identity plan
+    out2 = P.PROCESSORS["sleep"](df, {"duration": "0s"})
+    assert out2.count() == 2
