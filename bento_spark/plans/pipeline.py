@@ -1009,12 +1009,36 @@ def _proc_sleep(df: DataFrame, conf) -> DataFrame:
 
     import pandas as pd
 
+    from bento_spark.bloblang.field import compile_field, is_dynamic
     from bento_spark.operators.cachepolicy import parse_duration_s
     from bento_spark.operators.envelope import ensure_envelope
 
-    dur = parse_duration_s(
-        conf.get("duration", "0s") if isinstance(conf, dict) else conf
-    )
+    raw = conf.get("duration", "0s") if isinstance(conf, dict) else conf
+    if isinstance(raw, str) and is_dynamic(raw):
+        # Interpolated duration (processor_sleep.go resolves the field
+        # against the batch): carry the resolved string as a column and
+        # sleep per batch on its first row's value at execution time.
+        df = ensure_envelope(df)
+        dur_col = "__sleep_dur"
+        with_dur = df.withColumn(dur_col, compile_field(raw, df))
+        schema = df.schema
+
+        def run_dyn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import time as _time
+
+            for pdf in batches:
+                if len(pdf):
+                    try:
+                        d = parse_duration_s(pdf[dur_col].iloc[0])
+                    except (ValueError, TypeError):
+                        d = 0.0
+                    if d > 0:
+                        _time.sleep(d)
+                yield pdf.drop(columns=[dur_col])
+
+        return with_dur.mapInPandas(run_dyn, schema)
+
+    dur = parse_duration_s(raw)
     if dur <= 0:
         return df
     df = ensure_envelope(df)
