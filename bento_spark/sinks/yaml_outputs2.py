@@ -331,3 +331,49 @@ for _name in ("websocket", "nats_kv", "nats_object_store", "grpc_client",
               "subprocess"):
     if _name not in SINKS:
         register_sink(_name)(_transport_sink(_name))
+
+
+@register_transport("sftp")
+def _sftp_transport(conf: dict):
+    """``sftp`` output (internal/impl/sftp/output.go writer.go): append
+    newline-framed messages to `path` over the from-scratch SSH2/SFTP
+    client (operators/ssh_wire.py), creating parent directories like
+    the reference's writer. Static path = the reference's lines codec
+    on one remote file; connection failures route retryable."""
+    from posixpath import dirname
+
+    from bento_spark.operators.ssh_wire import SSHError, connect_sftp
+
+    creds = conf.get("credentials", {}) or {}
+    pem = None
+    if creds.get("private_key_file"):
+        with open(creds["private_key_file"]) as fh:
+            pem = fh.read()
+
+    class T:
+        def __init__(self):
+            self._t, self._cli = connect_sftp(
+                conf["address"],
+                creds.get("username", ""),
+                password=creds.get("password"),
+                private_key_pem=pem,
+            )
+            parent = dirname(conf["path"])
+            if parent:
+                self._cli.mkdirs(parent)
+
+        def send(self, batch: list[str]) -> None:
+            data = "".join(m + "\n" for m in batch).encode()
+            try:
+                self._cli.write_file(conf["path"], data, append=True)
+            except (SSHError, OSError) as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            self._t.close()
+
+    return T()
+
+
+if "sftp" not in SINKS:
+    register_sink("sftp")(_transport_sink("sftp"))

@@ -653,3 +653,32 @@ def _grpc_client(conf):
 
 
 _bridge_source("grpc_client", _grpc_client)
+
+
+# -- sftp (from-scratch SSH2 transport, operators/ssh_wire.py) --------------
+
+def _sftp(conf):
+    """``sftp`` input (internal/impl/sftp/input.go): glob `paths` on
+    the remote, mirror matching files into the staging dir (size+mtime
+    manifest makes watcher re-polls incremental, like the reference's
+    watcher cache), then the staged files flow through the scanner
+    path. `stream: true` + `drain_interval_s` is the watcher loop."""
+    from bento_spark.operators.ssh_wire import sftp_mirror
+
+    creds = conf.get("credentials", {}) or {}
+    pem = None
+    if creds.get("private_key_file"):
+        with open(creds["private_key_file"]) as fh:
+            pem = fh.read()
+    return _Drain(
+        sftp_mirror,
+        conf["address"],
+        creds.get("username", ""),
+        list(conf.get("paths") or []),
+        password=creds.get("password"),
+        private_key_pem=pem,
+        delete_on_finish=bool(conf.get("delete_on_finish", False)),
+    )
+
+
+_bridge_source("sftp", _sftp)

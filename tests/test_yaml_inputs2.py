@@ -24,7 +24,6 @@ DOCS = "/root/reference/website/docs/components/inputs"
 #: genuinely unimplementable in-container, documented in COVERAGE.md
 KNOWN_ABSENT = {
     "s2",    # gRPC SDK protocol; descriptors not vendored
-    "sftp",  # SSH transport out of scope (no from-scratch SSH)
 }
 
 
