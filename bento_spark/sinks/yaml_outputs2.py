@@ -377,3 +377,43 @@ def _sftp_transport(conf: dict):
 
 if "sftp" not in SINKS:
     register_sink("sftp")(_transport_sink("sftp"))
+
+
+@register_transport("s2")
+def _s2_transport(conf: dict):
+    """``s2`` output (internal/impl/s2/output.go): one Append batch per
+    message batch to a single stream; `fencing_token` rides every
+    append (exclusive-writer enforcement is server-side)."""
+    import base64
+
+    from bento_spark.sources.s2_bridge import S2Client, S2Error
+
+    client = S2Client(
+        conf["basin"], conf.get("access_token", ""), conf.get("endpoint")
+    )
+    stream = conf["stream"]
+    fencing = conf.get("fencing_token")
+
+    class T:
+        def send(self, batch: list[str]) -> None:
+            records = [
+                {"body": base64.b64encode(m.encode()).decode()} for m in batch
+            ]
+            try:
+                client.append(stream, records, fencing_token=fencing)
+            except S2Error as ex:
+                # 5xx/429 are transient; 4xx (bad token, fencing) are not
+                raise DeliveryError(
+                    str(ex), retryable=ex.status >= 500 or ex.status == 429
+                ) from ex
+            except OSError as ex:
+                raise DeliveryError(str(ex), retryable=True) from ex
+
+        def close(self):
+            pass
+
+    return T()
+
+
+if "s2" not in SINKS:
+    register_sink("s2")(_transport_sink("s2"))

@@ -1,0 +1,201 @@
+"""S2 (s2.dev) stream-store input/output — closes the reference's `s2`
+components (internal/impl/s2/{input,output}.go, which ride the
+s2-sdk-go "bentobox" plugin). That SDK is a gRPC client; the service
+also fronts the same operations over its public HTTP surface, which is
+what this client speaks (stdlib HTTP + Bearer auth, injectable
+endpoint — the same emulator-endpoint contract the GCS/S3 bridges
+use). The BEHAVIORAL contract is taken from the reference docs
+(website/docs/components/inputs/s2.md, outputs/s2.md):
+
+input:
+- `streams` is a list of stream names OR a prefix string ending in `/`
+  — prefixes are re-discovered every `update_streams_interval`.
+- a named `cache` resource persists the per-stream **next seq_num**
+  cursor so the input resumes after the last acknowledged record; the
+  cursor is stored AFTER records are durably staged (at-least-once).
+- `start_seq_num: earliest|latest` seeds streams with no cursor.
+- metadata: `s2_basin`, `s2_stream`, `s2_seq_num` (string), all record
+  headers loosely stringified; a command record (empty header name)
+  lands under `s2_command` instead.
+
+output:
+- one append batch per message batch to a single `stream`; metadata
+  attributes become record headers; optional `fencing_token` is sent
+  with every append and enforces exclusive writers server-side.
+
+Scale note: like every bridge input, S2 feeds the staging dir and the
+distributed plan reads staged files — per-record Python work happens
+once at ingest, not inside the query plan.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import urllib.error
+import urllib.request
+import uuid
+from urllib.parse import quote
+
+
+class S2Error(RuntimeError):
+    def __init__(self, status: int, body: str):
+        super().__init__(f"s2 HTTP {status}: {body[:200]}")
+        self.status = status
+
+
+class S2Client:
+    """Minimal S2 REST client: ListStreams / CheckTail / Read / Append.
+
+    `endpoint` defaults to the public per-basin host; tests inject an
+    in-process server URL (which verifies the Bearer token on every
+    request)."""
+
+    def __init__(self, basin: str, access_token: str, endpoint: str | None = None):
+        self.basin = basin
+        self.base = (endpoint or f"https://{basin}.b.aws.s2.dev").rstrip("/")
+        self._auth = {"Authorization": f"Bearer {access_token}"}
+
+    def _req(self, method: str, path: str, payload: dict | None = None) -> dict:
+        req = urllib.request.Request(
+            self.base + path,
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers={**self._auth, "Content-Type": "application/json"},
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as ex:
+            raise S2Error(ex.code, ex.read().decode("utf-8", "replace")) from ex
+
+    def list_streams(self, prefix: str = "") -> list[str]:
+        out = self._req(
+            "GET", f"/v1alpha/streams?prefix={quote(prefix, safe='')}"
+        )
+        return [
+            s["name"] if isinstance(s, dict) else s
+            for s in out.get("streams", [])
+        ]
+
+    def check_tail(self, stream: str) -> int:
+        out = self._req(
+            "GET", f"/v1alpha/streams/{quote(stream, safe='')}/records/tail"
+        )
+        return int(out.get("next_seq_num", 0))
+
+    def read(self, stream: str, seq_num: int, count: int = 1000) -> list[dict]:
+        out = self._req(
+            "GET",
+            f"/v1alpha/streams/{quote(stream, safe='')}/records"
+            f"?seq_num={seq_num}&count={count}",
+        )
+        return out.get("records", [])
+
+    def append(
+        self,
+        stream: str,
+        records: list[dict],
+        fencing_token: str | None = None,
+    ) -> dict:
+        payload: dict = {"records": records}
+        if fencing_token:
+            payload["fencing_token"] = fencing_token
+        return self._req(
+            "POST", f"/v1alpha/streams/{quote(stream, safe='')}/records", payload
+        )
+
+
+def _b64(s: bytes | str) -> str:
+    if isinstance(s, str):
+        s = s.encode()
+    return base64.b64encode(s).decode()
+
+
+def _unb64(s: str) -> bytes:
+    return base64.b64decode(s)
+
+
+class S2Bridge:
+    """Drain S2 streams into the staging dir with cache-backed cursors
+    (the s2-bentobox resume contract)."""
+
+    def __init__(
+        self,
+        client: S2Client,
+        streams: list[str] | str,
+        cache,
+        start_seq_num: str = "earliest",
+        batch_count: int = 1000,
+    ):
+        self.client = client
+        self.streams = streams
+        self.cache = cache
+        self.start_seq_num = start_seq_num
+        self.batch_count = batch_count
+
+    def _discover(self) -> list[str]:
+        if isinstance(self.streams, str):
+            return self.client.list_streams(self.streams)
+        return list(self.streams)
+
+    def _cursor_key(self, stream: str) -> str:
+        return f"s2_seq_num_{self.client.basin}_{stream}"
+
+    def _start_for(self, stream: str) -> int:
+        (val,) = self.cache.mget([self._cursor_key(stream)])
+        if val is not None:
+            v = val.decode() if isinstance(val, (bytes, bytearray)) else str(val)
+            return int(v)
+        seed = self.client.check_tail(stream) if self.start_seq_num == "latest" else 0
+        # persist the seed immediately: a `latest` seed that isn't
+        # stored would re-seed at the NEW tail next poll and skip
+        # everything appended in between
+        self.cache.mset([(self._cursor_key(stream), str(seed))])
+        return seed
+
+    def drain(self, out_dir: str) -> int:
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for stream in self._discover():
+            seq = self._start_for(stream)
+            while True:
+                records = self.client.read(stream, seq, self.batch_count)
+                if not records:
+                    break
+                lines = []
+                for rec in records:
+                    rseq = int(rec.get("seq_num", seq))
+                    meta = {
+                        "s2_basin": self.client.basin,
+                        "s2_stream": stream,
+                        "s2_seq_num": str(rseq),
+                    }
+                    for pair in rec.get("headers", []):
+                        name = _unb64(pair[0]).decode("utf-8", "replace")
+                        value = _unb64(pair[1]).decode("utf-8", "replace")
+                        # command record: empty header name (docs note)
+                        meta["s2_command" if name == "" else name] = value
+                    body = _unb64(rec.get("body", ""))
+                    lines.append(json.dumps({
+                        "content": body.decode("utf-8", "replace"),
+                        "meta": meta,
+                    }))
+                    seq = rseq + 1
+                tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
+                final = os.path.join(
+                    out_dir,
+                    f"s2-{stream.replace('/', '__')}-{seq}.ndjson",
+                )
+                with open(tmp, "w") as fh:
+                    fh.write("\n".join(lines) + "\n")
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, final)
+                # cursor stored only after the stage file is durable
+                self.cache.mset([(self._cursor_key(stream), str(seq))])
+                n += len(records)
+                if len(records) < self.batch_count:
+                    break
+        return n

@@ -682,3 +682,57 @@ def _sftp(conf):
 
 
 _bridge_source("sftp", _sftp)
+
+
+# -- s2 (stream store; REST client in sources/s2_bridge.py) -----------------
+
+def _s2(conf):
+    """``s2`` input (internal/impl/s2/input.go): stream list or prefix
+    discovery, cache-backed seq_num cursors, earliest/latest seeding."""
+    from bento_spark.sources.s2_bridge import S2Bridge, S2Client
+
+    cache_conf = conf.get("cache")
+    if isinstance(cache_conf, str):
+        from bento_spark.plans.pipeline import CACHE_RESOURCES
+
+        if cache_conf in CACHE_RESOURCES:
+            cache = CACHE_RESOURCES[cache_conf]
+        else:
+            from bento_spark.operators.cachepolicy import cache_from_conf
+
+            cache = cache_from_conf(cache_conf)  # KV URL form
+    elif cache_conf:
+        from bento_spark.operators.cachepolicy import cache_from_conf
+
+        cache = cache_from_conf(cache_conf)
+    else:
+        raise KeyError("s2 input requires a `cache` resource (reference docs)")
+    client = S2Client(
+        conf["basin"], conf.get("access_token", ""), conf.get("endpoint")
+    )
+    return S2Bridge(
+        client,
+        conf.get("streams") if conf.get("streams") is not None else [],
+        cache,
+        start_seq_num=str(conf.get("start_seq_num", "earliest")),
+    )
+
+
+_inner_s2 = _bridge_source("s2", _s2)
+
+
+@register_source("s2")  # wrap: staged JSON envelope -> content + merged meta
+def _s2_source(spark: SparkSession, conf: dict):
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import META
+
+    df, stream = _inner_s2(spark, conf)
+    parsed = F.from_json(
+        F.col("content"), "struct<content:string, meta:map<string,string>>"
+    )
+    df = df.select(
+        parsed["content"].alias("content"),
+        F.map_concat(F.col(META), parsed["meta"]).alias(META),
+    )
+    return df, stream

@@ -21,10 +21,9 @@ from bento_spark.sources import SOURCES, build_source
 
 DOCS = "/root/reference/website/docs/components/inputs"
 
-#: genuinely unimplementable in-container, documented in COVERAGE.md
-KNOWN_ABSENT = {
-    "s2",    # gRPC SDK protocol; descriptors not vendored
-}
+#: every documented input name now registers — the set stays so a
+#: future regression names its exception explicitly
+KNOWN_ABSENT: set[str] = set()
 
 
 def test_every_documented_input_name_registered():

@@ -38,7 +38,7 @@ def test_every_documented_processor_name_registered():
 def test_every_documented_output_name_registered():
     if not os.path.isdir(ODOCS):
         pytest.skip("reference docs absent")
-    missing = sorted(_names(ODOCS) - set(SINKS) - {"s2"})
+    missing = sorted(_names(ODOCS) - set(SINKS))
     assert not missing, f"documented outputs unregistered: {missing}"
 
 
