@@ -1,0 +1,827 @@
+"""From-scratch WebAssembly interpreter — closes the reference's `wasm`
+processor (internal/impl/wasm/processor_wazero.go), which executes a
+module function per message via the wazero runtime. No WASM runtime
+exists in this container, so this is one, implemented directly from the
+public WebAssembly Core Specification (W3C, release 2.0 binary format):
+
+- binary decoding: LEB128, all MVP sections (type/import/function/
+  table/memory/global/export/start/elem/code/data) + DataCount;
+- execution: tree-walking interpreter over structured instructions with
+  label-indexed branch unwinding, full i32/i64 integer ops (wrap
+  semantics via masking, trap on div-by-zero and INT_MIN/-1), f32/f64
+  (f32 rounded through IEEE-754 single via struct), comparisons,
+  conversions incl. saturating truncation (0xFC 0..7), sign-extension
+  ops (0xC0-0xC4), memory.copy/fill/init + data.drop (bulk memory),
+  call / call_indirect with type checking, globals, memory.grow with
+  limits, br_table, select;
+- host imports as plain Python callables keyed by (module, name) — the
+  bento ABI (operators/processors wasm form) and minimal WASI stubs
+  ride this.
+
+Traps raise WasmTrap; the processor maps them to the `_error` channel
+per message like every other per-message failure in the engine.
+
+Scale note: interpretation is the slow path by construction (the
+reference says the same of its per-message wazero calls); the processor
+runs it inside mapInPandas, so modules execute partition-parallel, and
+hot paths belong on Bloblang/Column plans. This exists for config
+parity and for genuinely-custom guest logic.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+__all__ = ["WasmModule", "WasmInstance", "WasmTrap"]
+
+
+class WasmTrap(RuntimeError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# decoding helpers
+# ---------------------------------------------------------------------------
+
+class _R:
+    def __init__(self, data: bytes, off: int = 0):
+        self.d = data
+        self.o = off
+
+    def byte(self) -> int:
+        b = self.d[self.o]
+        self.o += 1
+        return b
+
+    def bytes(self, n: int) -> bytes:
+        v = self.d[self.o: self.o + n]
+        if len(v) != n:
+            raise WasmTrap("unexpected end of module")
+        self.o += n
+        return v
+
+    def u32(self) -> int:
+        result = shift = 0
+        while True:
+            b = self.byte()
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return result
+            shift += 7
+
+    def s_leb(self, bits: int) -> int:
+        result = shift = 0
+        while True:
+            b = self.byte()
+            result |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                if shift < bits and b & 0x40:
+                    result |= -1 << shift
+                return result
+
+    def s32(self) -> int:
+        return self.s_leb(32)
+
+    def s64(self) -> int:
+        return self.s_leb(64)
+
+    def f32(self) -> float:
+        return struct.unpack("<f", self.bytes(4))[0]
+
+    def f64(self) -> float:
+        return struct.unpack("<d", self.bytes(8))[0]
+
+    def name(self) -> str:
+        return self.bytes(self.u32()).decode("utf-8")
+
+    def eof(self) -> bool:
+        return self.o >= len(self.d)
+
+
+_BLOCK_OPS = {0x02, 0x03, 0x04}
+_MEM_LOAD = {
+    0x28: ("i32", 4, False), 0x29: ("i64", 8, False),
+    0x2A: ("f32", 4, False), 0x2B: ("f64", 8, False),
+    0x2C: ("i32", 1, True), 0x2D: ("i32", 1, False),
+    0x2E: ("i32", 2, True), 0x2F: ("i32", 2, False),
+    0x30: ("i64", 1, True), 0x31: ("i64", 1, False),
+    0x32: ("i64", 2, True), 0x33: ("i64", 2, False),
+    0x34: ("i64", 4, True), 0x35: ("i64", 4, False),
+}
+_MEM_STORE = {
+    0x36: ("i32", 4), 0x37: ("i64", 8), 0x38: ("f32", 4), 0x39: ("f64", 8),
+    0x3A: ("i32", 1), 0x3B: ("i32", 2),
+    0x3C: ("i64", 1), 0x3D: ("i64", 2), 0x3E: ("i64", 4),
+}
+
+
+def _parse_expr(r: _R, stop=(0x0B,)) -> tuple[list, int]:
+    """Structured-instruction parse: returns (instrs, terminator)."""
+    out: list = []
+    while True:
+        op = r.byte()
+        if op in stop:
+            return out, op
+        if op in _BLOCK_OPS:
+            bt = r.s32()  # blocktype (value type or -64 for empty)
+            if op == 0x04:  # if
+                body, term = _parse_expr(r, stop=(0x05, 0x0B))
+                els: list = []
+                if term == 0x05:
+                    els, _ = _parse_expr(r)
+                out.append((op, bt, body, els))
+            else:
+                body, _ = _parse_expr(r)
+                out.append((op, bt, body))
+        elif op in (0x0C, 0x0D, 0x10):  # br, br_if, call
+            out.append((op, r.u32()))
+        elif op == 0x0E:  # br_table
+            targets = [r.u32() for _ in range(r.u32())]
+            out.append((op, targets, r.u32()))
+        elif op == 0x11:  # call_indirect
+            out.append((op, r.u32(), r.u32()))
+        elif op in (0x20, 0x21, 0x22, 0x23, 0x24):  # local/global access
+            out.append((op, r.u32()))
+        elif op in _MEM_LOAD or op in _MEM_STORE:
+            r.u32()  # align hint
+            out.append((op, r.u32()))  # offset
+        elif op in (0x3F, 0x40):  # memory.size / grow
+            r.byte()
+            out.append((op,))
+        elif op == 0x41:
+            out.append((op, r.s32() & 0xFFFFFFFF))
+        elif op == 0x42:
+            out.append((op, r.s64() & 0xFFFFFFFFFFFFFFFF))
+        elif op == 0x43:
+            out.append((op, r.f32()))
+        elif op == 0x44:
+            out.append((op, r.f64()))
+        elif op == 0xFC:
+            sub = r.u32()
+            if sub in (8, 9):  # memory.init / data.drop
+                idx = r.u32()
+                if sub == 8:
+                    r.byte()
+                out.append((0xFC, sub, idx))
+            elif sub in (10, 11):  # memory.copy / fill
+                r.byte()
+                if sub == 10:
+                    r.byte()
+                out.append((0xFC, sub))
+            else:  # saturating truncations 0..7
+                out.append((0xFC, sub))
+        elif op == 0x1C:  # select t (typed)
+            n = r.u32()
+            for _ in range(n):
+                r.byte()
+            out.append((0x1B,))
+        else:
+            out.append((op,))
+
+
+class _Func:
+    __slots__ = ("typeidx", "locals", "body", "host", "name")
+
+    def __init__(self, typeidx, locals_=None, body=None, host=None, name=""):
+        self.typeidx = typeidx
+        self.locals = locals_ or []
+        self.body = body
+        self.host = host
+        self.name = name
+
+
+class WasmModule:
+    """Decoded module (shareable across instances)."""
+
+    def __init__(self, binary: bytes):
+        r = _R(binary)
+        if r.bytes(4) != b"\x00asm" or r.bytes(4) != b"\x01\x00\x00\x00":
+            raise WasmTrap("not a wasm module")
+        self.types: list[tuple[list, list]] = []
+        self.imports: list[tuple[str, str, int]] = []  # funcs only tracked
+        self.funcs: list[_Func] = []
+        self.tables: list[list] = []
+        self.mem_limits = (0, None)
+        self.globals: list[tuple[int, bool, list]] = []
+        self.exports: dict[str, tuple[int, int]] = {}
+        self.start: int | None = None
+        self.elems: list[tuple[list, list[int]]] = []
+        self.datas: list[tuple[list | None, bytes]] = []
+        n_imported = 0
+        func_types: list[int] = []
+        while not r.eof():
+            sid = r.byte()
+            size = r.u32()
+            body = _R(r.bytes(size))
+            if sid == 1:
+                for _ in range(body.u32()):
+                    if body.byte() != 0x60:
+                        raise WasmTrap("bad functype")
+                    params = [body.byte() for _ in range(body.u32())]
+                    results = [body.byte() for _ in range(body.u32())]
+                    self.types.append((params, results))
+            elif sid == 2:
+                for _ in range(body.u32()):
+                    mod, name = body.name(), body.name()
+                    kind = body.byte()
+                    if kind == 0:
+                        ti = body.u32()
+                        self.funcs.append(_Func(ti, host=(mod, name), name=name))
+                        n_imported += 1
+                    elif kind == 1:
+                        body.byte()
+                        self._limits(body)
+                        self.tables.append([])
+                    elif kind == 2:
+                        self.mem_limits = self._limits(body)
+                    elif kind == 3:
+                        body.byte()
+                        body.byte()
+                        self.globals.append((0x7F, True, [(0x41, 0)]))
+            elif sid == 3:
+                func_types = [body.u32() for _ in range(body.u32())]
+            elif sid == 4:
+                for _ in range(body.u32()):
+                    body.byte()  # 0x70 funcref
+                    lo, _hi = self._limits(body)
+                    self.tables.append([None] * lo)
+            elif sid == 5:
+                for _ in range(body.u32()):
+                    self.mem_limits = self._limits(body)
+            elif sid == 6:
+                for _ in range(body.u32()):
+                    vt = body.byte()
+                    mut = body.byte() == 1
+                    expr, _ = _parse_expr(body)
+                    self.globals.append((vt, mut, expr))
+            elif sid == 7:
+                for _ in range(body.u32()):
+                    name = body.name()
+                    kind = body.byte()
+                    self.exports[name] = (kind, body.u32())
+            elif sid == 8:
+                self.start = body.u32()
+            elif sid == 9:
+                for _ in range(body.u32()):
+                    flavor = body.u32()
+                    if flavor != 0:
+                        raise WasmTrap(f"elem flavor {flavor} unsupported")
+                    expr, _ = _parse_expr(body)
+                    idxs = [body.u32() for _ in range(body.u32())]
+                    self.elems.append((expr, idxs))
+            elif sid == 10:
+                entries = body.u32()
+                for i in range(entries):
+                    sz = body.u32()
+                    code = _R(body.bytes(sz))
+                    locals_: list[int] = []
+                    for _ in range(code.u32()):
+                        cnt = code.u32()
+                        vt = code.byte()
+                        locals_ += [vt] * cnt
+                    expr, _ = _parse_expr(code)
+                    self.funcs.append(_Func(func_types[i], locals_, expr))
+            elif sid == 11:
+                for _ in range(body.u32()):
+                    flavor = body.u32()
+                    if flavor == 0:
+                        expr, _ = _parse_expr(body)
+                        self.datas.append((expr, body.bytes(body.u32())))
+                    elif flavor == 1:  # passive
+                        self.datas.append((None, body.bytes(body.u32())))
+                    else:
+                        body.u32()
+                        expr, _ = _parse_expr(body)
+                        self.datas.append((expr, body.bytes(body.u32())))
+            # sid 0 (custom), 12 (datacount): skipped
+
+    @staticmethod
+    def _limits(r: _R) -> tuple[int, int | None]:
+        flag = r.byte()
+        lo = r.u32()
+        hi = r.u32() if flag & 1 else None
+        return lo, hi
+
+
+# -- numeric helpers --------------------------------------------------------
+
+_M32 = 0xFFFFFFFF
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _sx(v: int, bits: int) -> int:
+    m = 1 << (bits - 1)
+    return ((v & ((1 << bits) - 1)) ^ m) - m
+
+
+def _f32(v: float) -> float:
+    return struct.unpack("<f", struct.pack("<f", v))[0]
+
+
+def _idiv(a: int, b: int) -> int:
+    if b == 0:
+        raise WasmTrap("integer divide by zero")
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _irem(a: int, b: int) -> int:
+    if b == 0:
+        raise WasmTrap("integer divide by zero")
+    rm = abs(a) % abs(b)
+    return -rm if a < 0 else rm
+
+
+def _trunc(v: float, bits: int, signed: bool, sat: bool) -> int:
+    if math.isnan(v):
+        if sat:
+            return 0
+        raise WasmTrap("invalid conversion to integer")
+    t = math.trunc(v)
+    lo = -(1 << (bits - 1)) if signed else 0
+    hi = (1 << (bits - 1)) - 1 if signed else (1 << bits) - 1
+    if t < lo or t > hi:
+        if sat:
+            t = min(max(t, lo), hi)
+        else:
+            raise WasmTrap("integer overflow in trunc")
+    return t & ((1 << bits) - 1)
+
+
+class _Branch(Exception):
+    def __init__(self, depth: int):
+        self.depth = depth
+
+
+class _Return(Exception):
+    pass
+
+
+class WasmInstance:
+    """One instantiated module: linear memory, globals, tables, and an
+    invoke() entry point. `imports` maps (module, name) -> callable
+    receiving (instance, *args) and returning None | int | float |
+    tuple."""
+
+    PAGE = 65536
+
+    def __init__(self, module: WasmModule, imports: dict | None = None):
+        self.m = module
+        self.imports = imports or {}
+        lo, hi = module.mem_limits
+        self.mem = bytearray(lo * self.PAGE)
+        self.mem_max = hi
+        self.globals: list = []
+        for vt, _mut, expr in module.globals:
+            self.globals.append(self._const_expr(expr))
+        self.tables = [list(t) for t in module.tables]
+        self.dropped_data: set[int] = set()
+        for expr, idxs in module.elems:
+            base = self._const_expr(expr)
+            table = self.tables[0]
+            if base + len(idxs) > len(table):
+                table.extend([None] * (base + len(idxs) - len(table)))
+            for i, fi in enumerate(idxs):
+                table[base + i] = fi
+        for di, (expr, data) in enumerate(module.datas):
+            if expr is None:
+                continue
+            base = self._const_expr(expr)
+            if base + len(data) > len(self.mem):
+                raise WasmTrap("data segment out of bounds")
+            self.mem[base: base + len(data)] = data
+        if module.start is not None:
+            self.call_index(module.start, [])
+
+    def _const_expr(self, expr: list):
+        vals: list = []
+        for ins in expr:
+            if ins[0] in (0x41, 0x42, 0x43, 0x44):
+                vals.append(ins[1])
+            elif ins[0] == 0x23:
+                vals.append(self.globals[ins[1]])
+            else:
+                raise WasmTrap("unsupported const expr")
+        return vals[-1] if vals else 0
+
+    # -- public API --
+    def invoke(self, name: str, *args):
+        exp = self.m.exports.get(name)
+        if exp is None or exp[0] != 0:
+            raise WasmTrap(f"no exported function {name!r}")
+        return self.call_index(exp[1], list(args))
+
+    def memory_read(self, ptr: int, n: int) -> bytes:
+        if ptr + n > len(self.mem):
+            raise WasmTrap("out of bounds memory read")
+        return bytes(self.mem[ptr: ptr + n])
+
+    def memory_write(self, ptr: int, data: bytes):
+        if ptr + len(data) > len(self.mem):
+            raise WasmTrap("out of bounds memory write")
+        self.mem[ptr: ptr + len(data)] = data
+
+    # -- execution --
+    def call_index(self, idx: int, args: list):
+        f = self.m.funcs[idx]
+        params, results = self.m.types[f.typeidx]
+        if f.host is not None:
+            fn = self.imports.get(f.host)
+            if fn is None:
+                raise WasmTrap(f"unresolved import {f.host}")
+            out = fn(self, *args)
+            if out is None:
+                out = ()
+            elif not isinstance(out, tuple):
+                out = (out,)
+            return out[0] if len(out) == 1 else (None if not out else out)
+        locals_ = list(args)
+        for vt in f.locals:
+            locals_.append(0.0 if vt in (0x7D, 0x7C) else 0)
+        stack: list = []
+        try:
+            self._exec(f.body, stack, locals_)
+        except _Return:
+            pass
+        except _Branch:
+            pass  # br out of function body = return
+        if not results:
+            return None
+        return stack[-1] if len(results) == 1 else tuple(stack[-len(results):])
+
+    def _exec(self, instrs: list, stack: list, locals_: list):  # noqa: C901
+        mem = self.mem
+        for ins in instrs:
+            op = ins[0]
+            if op == 0x41 or op == 0x42 or op == 0x43 or op == 0x44:
+                stack.append(ins[1])
+            elif op == 0x20:
+                stack.append(locals_[ins[1]])
+            elif op == 0x21:
+                locals_[ins[1]] = stack.pop()
+            elif op == 0x22:
+                locals_[ins[1]] = stack[-1]
+            elif op == 0x23:
+                stack.append(self.globals[ins[1]])
+            elif op == 0x24:
+                self.globals[ins[1]] = stack.pop()
+            elif op == 0x02:  # block
+                try:
+                    self._exec(ins[2], stack, locals_)
+                except _Branch as b:
+                    if b.depth:
+                        raise _Branch(b.depth - 1) from None
+            elif op == 0x03:  # loop
+                while True:
+                    try:
+                        self._exec(ins[2], stack, locals_)
+                        break
+                    except _Branch as b:
+                        if b.depth:
+                            raise _Branch(b.depth - 1) from None
+                        continue  # br 0 in a loop = continue
+            elif op == 0x04:  # if
+                cond = stack.pop()
+                try:
+                    self._exec(ins[2] if cond else ins[3], stack, locals_)
+                except _Branch as b:
+                    if b.depth:
+                        raise _Branch(b.depth - 1) from None
+            elif op == 0x0C:
+                raise _Branch(ins[1])
+            elif op == 0x0D:
+                if stack.pop():
+                    raise _Branch(ins[1])
+            elif op == 0x0E:
+                i = stack.pop()
+                targets, default = ins[1], ins[2]
+                raise _Branch(targets[i] if i < len(targets) else default)
+            elif op == 0x0F:
+                raise _Return()
+            elif op == 0x10:
+                self._do_call(ins[1], stack)
+            elif op == 0x11:
+                ti = stack.pop()
+                table = self.tables[0]
+                if ti >= len(table) or table[ti] is None:
+                    raise WasmTrap("undefined table element")
+                fi = table[ti]
+                if self.m.funcs[fi].typeidx != ins[1]:
+                    raise WasmTrap("indirect call type mismatch")
+                self._do_call(fi, stack)
+            elif op == 0x1A:
+                stack.pop()
+            elif op == 0x1B:
+                c = stack.pop()
+                b = stack.pop()
+                a = stack.pop()
+                stack.append(a if c else b)
+            elif op in _MEM_LOAD:
+                vt, width, signed = _MEM_LOAD[op]
+                addr = stack.pop() + ins[1]
+                if addr < 0 or addr + width > len(mem):
+                    raise WasmTrap("out of bounds memory access")
+                raw = bytes(mem[addr: addr + width])
+                if vt == "f32":
+                    stack.append(struct.unpack("<f", raw)[0])
+                elif vt == "f64":
+                    stack.append(struct.unpack("<d", raw)[0])
+                else:
+                    v = int.from_bytes(raw, "little", signed=signed)
+                    mask = _M32 if vt == "i32" else _M64
+                    stack.append(v & mask)
+            elif op in _MEM_STORE:
+                vt, width = _MEM_STORE[op]
+                val = stack.pop()
+                addr = stack.pop() + ins[1]
+                if addr < 0 or addr + width > len(mem):
+                    raise WasmTrap("out of bounds memory access")
+                if vt == "f32":
+                    mem[addr: addr + 4] = struct.pack("<f", val)
+                elif vt == "f64":
+                    mem[addr: addr + 8] = struct.pack("<d", val)
+                else:
+                    mem[addr: addr + width] = (val & ((1 << (8 * width)) - 1)
+                                               ).to_bytes(width, "little")
+            elif op == 0x3F:
+                stack.append(len(mem) // self.PAGE)
+            elif op == 0x40:
+                delta = stack.pop()
+                cur = len(mem) // self.PAGE
+                new = cur + delta
+                if self.mem_max is not None and new > self.mem_max:
+                    stack.append(_M32)  # -1
+                else:
+                    mem.extend(bytes(delta * self.PAGE))
+                    self.mem = mem
+                    stack.append(cur)
+            elif op == 0x45:
+                stack.append(int(stack.pop() == 0))
+            elif 0x46 <= op <= 0x4F:
+                b = stack.pop()
+                a = stack.pop()
+                stack.append(self._cmp32(op, a, b))
+            elif op == 0x50:
+                stack.append(int(stack.pop() == 0))
+            elif 0x51 <= op <= 0x5A:
+                b = stack.pop()
+                a = stack.pop()
+                stack.append(self._cmp64(op, a, b))
+            elif 0x5B <= op <= 0x66:
+                b = stack.pop()
+                a = stack.pop()
+                k = (op - 0x5B) % 6
+                stack.append(int(
+                    a == b if k == 0 else a != b if k == 1 else a < b
+                    if k == 2 else a > b if k == 3 else a <= b if k == 4
+                    else a >= b
+                ))
+            elif 0x67 <= op <= 0x78:
+                self._i32_op(op, stack)
+            elif 0x79 <= op <= 0x8A:
+                self._i64_op(op, stack)
+            elif 0x8B <= op <= 0xA6:
+                self._f_op(op, stack)
+            elif 0xA7 <= op <= 0xC4:
+                self._conv_op(op, stack)
+            elif op == 0xFC:
+                self._fc_op(ins, stack)
+            elif op == 0x00:
+                raise WasmTrap("unreachable")
+            elif op == 0x01:
+                pass
+            else:
+                raise WasmTrap(f"unsupported opcode 0x{op:02x}")
+
+    def _do_call(self, idx: int, stack: list):
+        params, results = self.m.types[self.m.funcs[idx].typeidx]
+        args = stack[len(stack) - len(params):] if params else []
+        del stack[len(stack) - len(params):]
+        out = self.call_index(idx, args)
+        if len(results) == 1:
+            stack.append(out)
+        elif results:
+            stack.extend(out)
+
+    @staticmethod
+    def _cmp32(op: int, a: int, b: int) -> int:
+        sa, sb = _sx(a, 32), _sx(b, 32)
+        return int({
+            0x46: a == b, 0x47: a != b, 0x48: sa < sb, 0x49: a < b,
+            0x4A: sa > sb, 0x4B: a > b, 0x4C: sa <= sb, 0x4D: a <= b,
+            0x4E: sa >= sb, 0x4F: a >= b,
+        }[op])
+
+    @staticmethod
+    def _cmp64(op: int, a: int, b: int) -> int:
+        sa, sb = _sx(a, 64), _sx(b, 64)
+        return int({
+            0x51: a == b, 0x52: a != b, 0x53: sa < sb, 0x54: a < b,
+            0x55: sa > sb, 0x56: a > b, 0x57: sa <= sb, 0x58: a <= b,
+            0x59: sa >= sb, 0x5A: a >= b,
+        }[op])
+
+    @staticmethod
+    def _int_op(op_base: int, op: int, stack: list, bits: int):
+        mask = (1 << bits) - 1
+        k = op - op_base
+        if k == 0:  # clz
+            v = stack.pop()
+            stack.append(bits if v == 0 else bits - v.bit_length())
+            return
+        if k == 1:  # ctz
+            v = stack.pop()
+            stack.append(bits if v == 0 else (v & -v).bit_length() - 1)
+            return
+        if k == 2:  # popcnt
+            stack.append(bin(stack.pop()).count("1"))
+            return
+        b = stack.pop()
+        a = stack.pop()
+        sa, sb = _sx(a, bits), _sx(b, bits)
+        shift = b % bits
+        if k == 3:
+            r = a + b
+        elif k == 4:
+            r = a - b
+        elif k == 5:
+            r = a * b
+        elif k == 6:
+            r = _idiv(sa, sb)
+            if r == 1 << (bits - 1):  # INT_MIN / -1
+                raise WasmTrap("integer overflow")
+        elif k == 7:
+            r = _idiv(a, b) if b else _idiv(1, 0)
+        elif k == 8:
+            r = _irem(sa, sb)
+        elif k == 9:
+            r = _irem(a, b) if b else _irem(1, 0)
+        elif k == 10:
+            r = a & b
+        elif k == 11:
+            r = a | b
+        elif k == 12:
+            r = a ^ b
+        elif k == 13:
+            r = a << shift
+        elif k == 14:
+            r = sa >> shift
+        elif k == 15:
+            r = a >> shift
+        elif k == 16:
+            r = (a << shift) | (a >> (bits - shift)) if shift else a
+        elif k == 17:
+            r = (a >> shift) | (a << (bits - shift)) if shift else a
+        else:
+            raise WasmTrap(f"bad int op {op:#x}")
+        stack.append(r & mask)
+
+    def _i32_op(self, op: int, stack: list):
+        self._int_op(0x67, op, stack, 32)
+
+    def _i64_op(self, op: int, stack: list):
+        self._int_op(0x79, op, stack, 64)
+
+    @staticmethod
+    def _f_op(op: int, stack: list):
+        is32 = op <= 0x98
+        base = 0x8B if is32 else 0x99
+        k = op - base
+        rnd = _f32 if is32 else (lambda x: x)
+        if k <= 6:  # unary
+            v = stack.pop()
+            if k == 0:
+                r = abs(v)
+            elif k == 1:
+                r = -v
+            elif k == 2:
+                r = math.ceil(v) if math.isfinite(v) else v
+            elif k == 3:
+                r = math.floor(v) if math.isfinite(v) else v
+            elif k == 4:
+                r = math.trunc(v) if math.isfinite(v) else v
+            elif k == 5:
+                r = round(v)  # round-half-even = nearest
+            else:
+                r = math.sqrt(v) if v >= 0 else math.nan
+            stack.append(rnd(float(r)))
+            return
+        b = stack.pop()
+        a = stack.pop()
+        if k == 7:
+            r = a + b
+        elif k == 8:
+            r = a - b
+        elif k == 9:
+            r = a * b
+        elif k == 10:
+            try:
+                r = a / b
+            except ZeroDivisionError:
+                r = math.nan if a == 0 else math.copysign(math.inf, a) * math.copysign(1, b)
+        elif k == 11:
+            r = min(a, b) if not (math.isnan(a) or math.isnan(b)) else math.nan
+        elif k == 12:
+            r = max(a, b) if not (math.isnan(a) or math.isnan(b)) else math.nan
+        elif k == 13:
+            r = math.copysign(abs(a), b)
+        else:
+            raise WasmTrap(f"bad float op {op:#x}")
+        stack.append(rnd(float(r)))
+
+    @staticmethod
+    def _conv_op(op: int, stack: list):
+        v = stack.pop()
+        if op == 0xA7:  # i32.wrap_i64
+            stack.append(v & _M32)
+        elif op in (0xA8, 0xA9):  # i32.trunc_f32
+            stack.append(_trunc(v, 32, op == 0xA8, False))
+        elif op in (0xAA, 0xAB):  # i32.trunc_f64
+            stack.append(_trunc(v, 32, op == 0xAA, False))
+        elif op == 0xAC:
+            stack.append(_sx(v, 32) & _M64)
+        elif op == 0xAD:
+            stack.append(v & _M64)
+        elif op in (0xAE, 0xAF):
+            stack.append(_trunc(v, 64, op == 0xAE, False))
+        elif op in (0xB0, 0xB1):
+            stack.append(_trunc(v, 64, op == 0xB0, False))
+        elif op == 0xB2:
+            stack.append(_f32(float(_sx(v, 32))))
+        elif op == 0xB3:
+            stack.append(_f32(float(v)))
+        elif op == 0xB4:
+            stack.append(_f32(float(_sx(v, 64))))
+        elif op == 0xB5:
+            stack.append(_f32(float(v)))
+        elif op == 0xB6:  # f32.demote_f64
+            stack.append(_f32(v))
+        elif op == 0xB7:
+            stack.append(float(_sx(v, 32)))
+        elif op == 0xB8:
+            stack.append(float(v))
+        elif op == 0xB9:
+            stack.append(float(_sx(v, 64)))
+        elif op == 0xBA:
+            stack.append(float(v))
+        elif op == 0xBB:  # f64.promote_f32
+            stack.append(float(v))
+        elif op == 0xBC:  # i32.reinterpret_f32
+            stack.append(struct.unpack("<I", struct.pack("<f", v))[0])
+        elif op == 0xBD:
+            stack.append(struct.unpack("<Q", struct.pack("<d", v))[0])
+        elif op == 0xBE:
+            stack.append(struct.unpack("<f", struct.pack("<I", v))[0])
+        elif op == 0xBF:
+            stack.append(struct.unpack("<d", struct.pack("<Q", v))[0])
+        elif op == 0xC0:
+            stack.append(_sx(v, 8) & _M32)
+        elif op == 0xC1:
+            stack.append(_sx(v, 16) & _M32)
+        elif op == 0xC2:
+            stack.append(_sx(v, 8) & _M64)
+        elif op == 0xC3:
+            stack.append(_sx(v, 16) & _M64)
+        elif op == 0xC4:
+            stack.append(_sx(v, 32) & _M64)
+        else:
+            raise WasmTrap(f"unsupported conversion 0x{op:02x}")
+
+    def _fc_op(self, ins: tuple, stack: list):
+        sub = ins[1]
+        if sub <= 7:  # saturating truncations
+            v = stack.pop()
+            bits = 32 if sub <= 3 else 64
+            signed = sub % 2 == 0
+            stack.append(_trunc(v, bits, signed, True))
+        elif sub == 8:  # memory.init
+            n = stack.pop()
+            src = stack.pop()
+            dst = stack.pop()
+            di = ins[2]
+            if di in self.dropped_data:
+                raise WasmTrap("data segment dropped")
+            data = self.m.datas[di][1]
+            if src + n > len(data) or dst + n > len(self.mem):
+                raise WasmTrap("out of bounds memory.init")
+            self.mem[dst: dst + n] = data[src: src + n]
+        elif sub == 9:
+            self.dropped_data.add(ins[2])
+        elif sub == 10:  # memory.copy
+            n = stack.pop()
+            src = stack.pop()
+            dst = stack.pop()
+            if src + n > len(self.mem) or dst + n > len(self.mem):
+                raise WasmTrap("out of bounds memory.copy")
+            self.mem[dst: dst + n] = self.mem[src: src + n]
+        elif sub == 11:  # memory.fill
+            n = stack.pop()
+            val = stack.pop()
+            dst = stack.pop()
+            if dst + n > len(self.mem):
+                raise WasmTrap("out of bounds memory.fill")
+            self.mem[dst: dst + n] = bytes([val & 0xFF]) * n
+        else:
+            raise WasmTrap(f"unsupported 0xFC op {sub}")

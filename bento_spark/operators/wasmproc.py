@@ -1,0 +1,167 @@
+"""`wasm` processor (internal/impl/wasm/processor_wazero.go) on the
+from-scratch interpreter in operators/wasm_vm.py.
+
+Faithful ABI (functions.go): host module ``bento_wasm`` exports
+``v0_msg_as_bytes`` / ``v0_msg_set_bytes`` / ``v0_msg_get_meta`` /
+``v0_msg_set_meta``; packed returns are ``ptr<<32 | len`` (ptrLen,
+functions.go:11); in-bound buffers are allocated with the guest's own
+``malloc``/``free`` (Go) or ``allocate``/``deallocate`` (Rust) exports
+and freed after the call (processor_wazero.go:128-132, 223-236); the
+configured ``function`` (default ``process``) runs once per message.
+
+Spark integration: one interpreter instance per partition inside
+mapInPandas (the reference pools one runtime per thread for the same
+reason — module state is not thread-safe), module bytes shipped in the
+task closure so executors don't need the file. Guest traps and ABI
+errors land in the per-message `_error` channel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+from bento_spark.operators.wasm_vm import WasmInstance, WasmModule, WasmTrap
+
+
+class BentoWasmRunner:
+    """One module instance + the bento_wasm host ABI."""
+
+    def __init__(self, module_bytes: bytes, function: str = "process"):
+        self.module = WasmModule(module_bytes)
+        self.function = function
+        imports = {
+            ("bento_wasm", "v0_msg_as_bytes"): self._as_bytes,
+            ("bento_wasm", "v0_msg_set_bytes"): self._set_bytes,
+            ("bento_wasm", "v0_msg_get_meta"): self._get_meta,
+            ("bento_wasm", "v0_msg_set_meta"): self._set_meta,
+            # minimal WASI so wasi-targeting modules instantiate; only
+            # the calls a pure transform actually makes are meaningful
+            ("wasi_snapshot_preview1", "fd_write"): lambda inst, *a: 0,
+            ("wasi_snapshot_preview1", "proc_exit"): self._proc_exit,
+            ("wasi_snapshot_preview1", "environ_get"): lambda inst, *a: 0,
+            ("wasi_snapshot_preview1", "environ_sizes_get"): self._zero2,
+            ("wasi_snapshot_preview1", "args_get"): lambda inst, *a: 0,
+            ("wasi_snapshot_preview1", "args_sizes_get"): self._zero2,
+            ("wasi_snapshot_preview1", "random_get"): lambda inst, *a: 0,
+            ("wasi_snapshot_preview1", "clock_time_get"): lambda inst, *a: 0,
+        }
+        self.inst = WasmInstance(self.module, imports)
+        exports = self.module.exports
+        if function not in exports:
+            raise WasmTrap(f"module exports no function {function!r}")
+        if "malloc" in exports:
+            self._alloc, self._free = "malloc", "free"
+        elif "allocate" in exports:
+            self._alloc, self._free = "allocate", "deallocate"
+        else:
+            self._alloc = self._free = None
+        self._content = b""
+        self._meta: dict[str, str] = {}
+        self._to_free: list[int] = []
+        self._err: str | None = None
+
+    # -- host ABI --
+    def _allocate_inbound(self, data: bytes) -> int:
+        if self._alloc is None:
+            raise WasmTrap("module exports no allocator (malloc/allocate)")
+        ptr = self.inst.invoke(self._alloc, len(data))
+        self.inst.memory_write(ptr, data)
+        self._to_free.append(ptr)
+        return ptr
+
+    def _as_bytes(self, inst: WasmInstance) -> int:
+        ptr = self._allocate_inbound(self._content)
+        return (ptr << 32) | len(self._content)
+
+    def _set_bytes(self, inst: WasmInstance, ptr: int, size: int) -> None:
+        self._content = inst.memory_read(ptr, size)
+
+    def _get_meta(self, inst: WasmInstance, kptr: int, ksize: int) -> int:
+        key = inst.memory_read(kptr, ksize).decode("utf-8", "replace")
+        val = self._meta.get(key, "").encode()
+        ptr = self._allocate_inbound(val)
+        return (ptr << 32) | len(val)
+
+    def _set_meta(self, inst: WasmInstance, kptr: int, ksize: int,
+                  vptr: int, vsize: int) -> None:
+        key = inst.memory_read(kptr, ksize).decode("utf-8", "replace")
+        self._meta[key] = inst.memory_read(vptr, vsize).decode("utf-8", "replace")
+
+    def _proc_exit(self, inst: WasmInstance, code: int = 0):
+        raise WasmTrap(f"proc_exit({code})")
+
+    @staticmethod
+    def _zero2(inst: WasmInstance, a: int = 0, b: int = 0) -> int:
+        inst.memory_write(a, b"\x00\x00\x00\x00")
+        inst.memory_write(b, b"\x00\x00\x00\x00")
+        return 0
+
+    # -- per-message entry --
+    def run(self, content: bytes, meta: dict[str, str]) -> tuple[bytes, dict]:
+        self._content = content
+        self._meta = dict(meta)
+        self._to_free = []
+        try:
+            self.inst.invoke(self.function)
+        finally:
+            if self._free:
+                for ptr in self._to_free:
+                    try:
+                        self.inst.invoke(self._free, ptr)
+                    except WasmTrap:
+                        pass
+        return self._content, self._meta
+
+
+def wasm_processor(df: DataFrame, conf: dict) -> DataFrame:
+    """YAML `wasm` processor: run `function` from `module_path` per
+    message; content and metadata mutations flow back, traps -> _error."""
+    import pandas as pd
+
+    from bento_spark.operators.envelope import ERROR, META, ensure_envelope
+
+    with open(conf["module_path"], "rb") as fh:
+        module_bytes = fh.read()
+    function = conf.get("function", "process")
+    # fail fast on a bad module/function at build time, like the
+    # reference's constructor instantiating one runner up front
+    BentoWasmRunner(module_bytes, function)
+
+    df = ensure_envelope(df)
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        runner = BentoWasmRunner(module_bytes, function)
+        for pdf in batches:
+            contents = []
+            metas = []
+            errs = []
+            for content, meta, err in zip(
+                pdf["content"], pdf[META], pdf[ERROR]
+            ):
+                meta = dict(meta) if meta is not None else {}
+                if err is not None:
+                    contents.append(content)
+                    metas.append(meta)
+                    errs.append(err)
+                    continue
+                try:
+                    out, new_meta = runner.run(
+                        str(content).encode(), meta
+                    )
+                    contents.append(out.decode("utf-8", "replace"))
+                    metas.append(new_meta)
+                    errs.append(None)
+                except WasmTrap as ex:
+                    contents.append(content)
+                    metas.append(meta)
+                    errs.append(f"wasm: {ex}")
+            pdf = pdf.copy()
+            pdf["content"] = contents
+            pdf[META] = metas
+            pdf[ERROR] = errs
+            yield pdf
+
+    return df.mapInPandas(run, schema)

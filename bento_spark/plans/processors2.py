@@ -4,8 +4,9 @@ existing operator library — store lookups (couchbase / mongodb /
 nats_kv / nats_object_store), codecs (avro OCF, parquet via pyarrow,
 schema-registry framing, dynamic xml), per-message SQL (sql_select),
 file operations, Go-template transforms, rate_limit admission, and the
-resource indirection. `wasm` stays the one documented absence (no WASM
-runtime in-container).
+resource indirection — and `wasm`, running per-message guest
+functions on the from-scratch interpreter (operators/wasm_vm.py +
+wasmproc.py), which closes the processor inventory at 79/79.
 """
 
 from __future__ import annotations
@@ -559,3 +560,14 @@ def _proc_sync_response(df: DataFrame, conf) -> DataFrame:
 
 
 PROCESSORS["sync_response"] = _proc_sync_response
+
+
+# ---- wasm (from-scratch interpreter, operators/wasm_vm.py) -----------------
+
+def _proc_wasm(df: DataFrame, conf) -> DataFrame:
+    from bento_spark.operators.wasmproc import wasm_processor
+
+    return wasm_processor(df, conf)
+
+
+PROCESSORS["wasm"] = _proc_wasm

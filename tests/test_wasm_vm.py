@@ -1,0 +1,327 @@
+"""The from-scratch WASM interpreter (operators/wasm_vm.py) and the
+bento `wasm` processor ABI (operators/wasmproc.py).
+
+Modules are hand-assembled here from the W3C binary format — no wasm
+toolchain exists in this container, so the test IS the assembler:
+section/LEB framing built up from bytes, which doubles as an
+independent check of the decoder (encoder and decoder only agree if
+both follow the spec)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bento_spark.operators.wasm_vm import WasmInstance, WasmModule, WasmTrap
+from bento_spark.operators.wasmproc import BentoWasmRunner
+
+# ---------------------------------------------------------------------------
+# tiny assembler
+# ---------------------------------------------------------------------------
+
+I32, I64, F32, F64 = 0x7F, 0x7E, 0x7D, 0x7C
+
+
+def leb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def sleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        done = (n == 0 and not b & 0x40) or (n == -1 and b & 0x40)
+        out.append(b if done else b | 0x80)
+        if done:
+            return bytes(out)
+
+
+def name(s: str) -> bytes:
+    return leb(len(s)) + s.encode()
+
+
+def vec(items: list[bytes]) -> bytes:
+    return leb(len(items)) + b"".join(items)
+
+
+def sec(sid: int, payload: bytes) -> bytes:
+    return bytes([sid]) + leb(len(payload)) + payload
+
+
+def functype(params: list[int], results: list[int]) -> bytes:
+    return b"\x60" + vec([bytes([p]) for p in params]) + vec(
+        [bytes([r]) for r in results]
+    )
+
+
+def code(locals_: list[int], body: bytes) -> bytes:
+    entry = vec([leb(1) + bytes([vt]) for vt in locals_]) + body + b"\x0b"
+    return leb(len(entry)) + entry
+
+
+def module(*sections: bytes) -> bytes:
+    return b"\x00asm\x01\x00\x00\x00" + b"".join(sections)
+
+
+def i32c(n: int) -> bytes:
+    return b"\x41" + sleb(n)
+
+
+LG, LS = b"\x20", b"\x21"  # local.get/set (+ index byte)
+
+
+# ---------------------------------------------------------------------------
+# interpreter core
+# ---------------------------------------------------------------------------
+
+
+def _math_module() -> bytes:
+    types = sec(1, vec([
+        functype([I32], [I32]),          # t0
+        functype([I32, I32], [I32]),     # t1
+    ]))
+    funcs = sec(3, vec([leb(0), leb(0), leb(1)]))
+    mem = sec(5, vec([b"\x00" + leb(1)]))
+    exports = sec(7, vec([
+        name("fact") + b"\x00" + leb(0),
+        name("pick") + b"\x00" + leb(1),
+        name("memrt") + b"\x00" + leb(2),
+    ]))
+    # iterative factorial: locals [acc i32]
+    fact = code([I32], bytes.fromhex(
+        "41 01 21 01"            # acc = 1
+        "02 40 03 40"            # block loop
+        "20 00 45 0d 01"         # if n == 0 br 1
+        "20 01 20 00 6c 21 01"   # acc *= n
+        "20 00 41 01 6b 21 00"   # n -= 1
+        "0c 00 0b 0b"            # br 0; end loop; end block
+        "20 01"                  # acc
+        .replace(" ", "")
+    ))
+    # br_table dispatch: 0->10, 1->20, default->30
+    pick = code([], bytes.fromhex(
+        "02 40 02 40 02 40"
+        "20 00"
+        "0e 02 00 01 02"         # br_table [0,1] default 2
+        "0b"
+        "41 0a 0f"               # 10; return
+        "0b"
+        "41 14 0f"               # 20; return
+        "0b"
+        "41 1e"                  # 30
+        .replace(" ", "")
+    ))
+    # memory roundtrip: store a at addr b, grow 1 page, load back + size
+    memrt = code([I32], bytes.fromhex(
+        "20 01 20 00 36 02 00"   # store i32 a at addr b (offset 0)
+        "41 01 40 00 1a"         # memory.grow 1; drop old size
+        "20 01 28 02 00"         # load
+        "3f 00"                  # memory.size (now 2)
+        "6a"                     # add
+        .replace(" ", "")
+    ))
+    codesec = sec(10, vec([fact, pick, memrt]))
+    return module(types, funcs, mem, exports, codesec)
+
+
+def test_factorial_loop_and_branch():
+    inst = WasmInstance(WasmModule(_math_module()))
+    assert inst.invoke("fact", 0) == 1
+    assert inst.invoke("fact", 5) == 120
+    assert inst.invoke("fact", 10) == 3628800
+
+
+def test_br_table():
+    inst = WasmInstance(WasmModule(_math_module()))
+    assert inst.invoke("pick", 0) == 10
+    assert inst.invoke("pick", 1) == 20
+    assert inst.invoke("pick", 2) == 30
+    assert inst.invoke("pick", 9) == 30
+
+
+def test_memory_store_load_grow():
+    inst = WasmInstance(WasmModule(_math_module()))
+    # value 7 at addr 100 -> 7 + new page count 2
+    assert inst.invoke("memrt", 7, 100) == 9
+
+
+def test_integer_semantics():
+    # one function per op via a generic (a, b) -> a OP b module
+    def binop_mod(opcode: int) -> bytes:
+        types = sec(1, vec([functype([I32, I32], [I32])]))
+        funcs = sec(3, vec([leb(0)]))
+        exports = sec(7, vec([name("f") + b"\x00" + leb(0)]))
+        body = code([], b"\x20\x00\x20\x01" + bytes([opcode]))
+        return module(types, funcs, exports, sec(10, vec([body])))
+
+    div_s = WasmInstance(WasmModule(binop_mod(0x6D)))
+    assert div_s.invoke("f", 7, 2) == 3
+    assert div_s.invoke("f", (-7) & 0xFFFFFFFF, 2) == (-3) & 0xFFFFFFFF
+    with pytest.raises(WasmTrap):
+        div_s.invoke("f", 1, 0)
+    with pytest.raises(WasmTrap):  # INT_MIN / -1 overflows
+        div_s.invoke("f", 0x80000000, 0xFFFFFFFF)
+    rem_s = WasmInstance(WasmModule(binop_mod(0x6F)))
+    assert rem_s.invoke("f", (-7) & 0xFFFFFFFF, 2) == (-1) & 0xFFFFFFFF
+    shr_s = WasmInstance(WasmModule(binop_mod(0x75)))
+    assert shr_s.invoke("f", 0x80000000, 1) == 0xC0000000
+    rotl = WasmInstance(WasmModule(binop_mod(0x77)))
+    assert rotl.invoke("f", 0x80000001, 1) == 0x00000003
+    add = WasmInstance(WasmModule(binop_mod(0x6A)))
+    assert add.invoke("f", 0xFFFFFFFF, 1) == 0  # wraparound
+
+
+def test_call_indirect_and_globals():
+    # table [f0, f1]; dispatch(i, x) = table[i](x); global counter bumps
+    types = sec(1, vec([
+        functype([I32], [I32]),        # t0: the table entries
+        functype([I32, I32], [I32]),   # t1: dispatch
+    ]))
+    funcs = sec(3, vec([leb(0), leb(0), leb(1)]))
+    table = sec(4, vec([b"\x70\x00" + leb(2)]))
+    globals_ = sec(6, vec([bytes([I32, 1]) + i32c(0) + b"\x0b"]))
+    exports = sec(7, vec([
+        name("dispatch") + b"\x00" + leb(2),
+        name("counter") + b"\x03" + leb(0),
+    ]))
+    elems = sec(9, vec([leb(0) + i32c(0) + b"\x0b" + vec([leb(0), leb(1)])]))
+    dbl = code([], b"\x20\x00\x41\x02\x6c")          # x * 2
+    inc = code([], b"\x20\x00\x41\x01\x6a")          # x + 1
+    dispatch = code([], (
+        b"\x23\x00\x41\x01\x6a\x24\x00"              # counter += 1
+        + b"\x20\x01\x20\x00"                        # push x, then i
+        + b"\x11" + leb(0) + b"\x00"                 # call_indirect t0
+    ))
+    m = module(types, funcs, table, globals_, exports, elems,
+               sec(10, vec([dbl, inc, dispatch])))
+    inst = WasmInstance(WasmModule(m))
+    assert inst.invoke("dispatch", 0, 21) == 42
+    assert inst.invoke("dispatch", 1, 21) == 22
+    assert inst.globals[0] == 2
+    with pytest.raises(WasmTrap):
+        inst.invoke("dispatch", 5, 1)  # out-of-table
+
+
+def test_sign_extension_and_sat_trunc():
+    # f(x) = i32.extend8_s(x)
+    types = sec(1, vec([functype([I32], [I32])]))
+    funcs = sec(3, vec([leb(0)]))
+    exports = sec(7, vec([name("f") + b"\x00" + leb(0)]))
+    body = code([], b"\x20\x00\xc0")
+    inst = WasmInstance(WasmModule(module(
+        types, funcs, exports, sec(10, vec([body]))
+    )))
+    assert inst.invoke("f", 0x80) == 0xFFFFFF80
+    assert inst.invoke("f", 0x7F) == 0x7F
+    # g(x f64) = i32.trunc_sat_f64_s
+    types = sec(1, vec([functype([F64], [I32])]))
+    funcs = sec(3, vec([leb(0)]))
+    exports = sec(7, vec([name("g") + b"\x00" + leb(0)]))
+    body = code([], b"\x20\x00\xfc" + leb(2))
+    inst = WasmInstance(WasmModule(module(
+        types, funcs, exports, sec(10, vec([body]))
+    )))
+    assert inst.invoke("g", 3.9) == 3
+    assert inst.invoke("g", -3.9) == (-3) & 0xFFFFFFFF
+    assert inst.invoke("g", 1e20) == 0x7FFFFFFF  # saturates
+    assert inst.invoke("g", float("nan")) == 0
+
+
+# ---------------------------------------------------------------------------
+# the bento ABI module: uppercase + set_meta through real host calls
+# ---------------------------------------------------------------------------
+
+
+def bento_upper_module() -> bytes:
+    types = sec(1, vec([
+        functype([], [I64]),                  # t0 v0_msg_as_bytes
+        functype([I32, I32], []),             # t1 v0_msg_set_bytes
+        functype([I32, I32, I32, I32], []),   # t2 v0_msg_set_meta
+        functype([I32], [I32]),               # t3 malloc
+        functype([I32], []),                  # t4 free
+        functype([], []),                     # t5 process
+    ]))
+    imports = sec(2, vec([
+        name("bento_wasm") + name("v0_msg_as_bytes") + b"\x00" + leb(0),
+        name("bento_wasm") + name("v0_msg_set_bytes") + b"\x00" + leb(1),
+        name("bento_wasm") + name("v0_msg_set_meta") + b"\x00" + leb(2),
+    ]))
+    funcs = sec(3, vec([leb(3), leb(4), leb(5)]))  # malloc free process
+    mem = sec(5, vec([b"\x00" + leb(1)]))
+    globals_ = sec(6, vec([bytes([I32, 1]) + i32c(1024) + b"\x0b"]))
+    exports = sec(7, vec([
+        name("malloc") + b"\x00" + leb(3),
+        name("free") + b"\x00" + leb(4),
+        name("process") + b"\x00" + leb(5),
+    ]))
+    data = sec(11, vec([leb(0) + i32c(0) + b"\x0b" + leb(7) + b"wasmyes"]))
+
+    # malloc(size): bump allocator on global 0; locals [ret i32]
+    malloc = code([I32], (
+        b"\x23\x00\x21\x01"            # ret = bump
+        b"\x23\x00\x20\x00\x6a\x24\x00"  # bump += size
+        b"\x20\x01"                    # ret
+    ))
+    free = code([], b"")
+    # process(): fetch message, uppercase ASCII in place, write back,
+    # then set_meta("wasm", "yes") from the data segment
+    process = code([I64, I32, I32, I32, I32, I32], bytes.fromhex((
+        "10 00"                 # call as_bytes -> i64 ptrlen
+        "21 00"                 # local 0 = pl
+        "20 00 42 20 88 a7 21 01"   # ptr = wrap(pl >> 32)
+        "20 00 a7 21 02"            # len = wrap(pl)
+        "41 00 21 03"               # i = 0
+        "02 40 03 40"
+        "20 03 20 02 4f 0d 01"      # if i >= len br out
+        "20 01 20 03 6a 21 04"      # addr = ptr + i
+        "20 04 2d 00 00 21 05"      # b = load8_u(addr)
+        "20 05 41 e1 00 4f"         # b >= 'a'
+        "20 05 41 fa 00 4d"         # b <= 'z'
+        "71 04 40"                  # and; if
+        "20 04 20 05 41 20 6b 3a 00 00"  # store8 addr, b-32
+        "0b"
+        "20 03 41 01 6a 21 03"      # i += 1
+        "0c 00 0b 0b"
+        "20 01 20 02 10 01"         # set_bytes(ptr, len)
+        "41 00 41 04 41 04 41 03 10 02"  # set_meta(0,4, 4,3)
+    ).replace(" ", "")))
+    codesec = sec(10, vec([malloc, free, process]))
+    return module(types, imports, funcs, mem, globals_, exports, data, codesec)
+
+
+def test_bento_runner_uppercase_and_meta():
+    runner = BentoWasmRunner(bento_upper_module())
+    out, meta = runner.run(b"hello, World 42!", {"k": "v"})
+    assert out == b"HELLO, WORLD 42!"
+    assert meta == {"k": "v", "wasm": "yes"}
+    # second message reuses the instance (pool semantics)
+    out2, meta2 = runner.run(b"abc", {})
+    assert out2 == b"ABC"
+    assert meta2 == {"wasm": "yes"}
+
+
+def test_bento_runner_missing_function():
+    with pytest.raises(WasmTrap, match="no function"):
+        BentoWasmRunner(bento_upper_module(), function="nope")
+
+
+def test_wasm_processor_end_to_end(spark, tmp_path):
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    path = tmp_path / "upper.wasm"
+    path.write_bytes(bento_upper_module())
+    df = spark.createDataFrame(
+        [("hello",), ("wOrld",)], ["content"]
+    )
+    out = PROCESSORS["wasm"](df, {"module_path": str(path)})
+    rows = {r["content"]: dict(r["_metadata"] or {}) for r in out.collect()}
+    assert set(rows) == {"HELLO", "WORLD"}
+    assert all(m.get("wasm") == "yes" for m in rows.values())

@@ -31,7 +31,7 @@ def _names(d):
 def test_every_documented_processor_name_registered():
     if not os.path.isdir(PDOCS):
         pytest.skip("reference docs absent")
-    missing = sorted(_names(PDOCS) - set(P.PROCESSORS) - {"wasm"})
+    missing = sorted(_names(PDOCS) - set(P.PROCESSORS))
     assert not missing, f"documented processors unregistered: {missing}"
 
 
