@@ -60,7 +60,7 @@ _PRIORITY = [
     "dedup_span_clean", "dedup_semantic_clustered", "text_unigram_logprob",
     # join / agg planes (§2.6-2.7)
     "asof_join_last_login", "semi_anti_join", "top_k_per_group",
-    "rollup_priority", "skew_salted_agg",
+    "skew_salted_agg",
     # bloblang (§2.2)
     "bloblang_mapping", "bloblang_stdlib2", "bloblang_geoip",
     # processors (distinct §2.1 planes; simple per-row ones gauntleted)
@@ -68,7 +68,7 @@ _PRIORITY = [
     "proc_kv_enrich", "pipeline_yaml", "proc_workflow_dag",
     "proc_jq",
     "proc_yaml_surface_gauntlet",
-    "proc_cache_lookup", "proc_javascript",
+    "proc_cache_lookup", "proc_javascript", "proc_wasm",
     "mm_video_y4m",
     # consolidated codec/scanner/parser families
     "proc_parse_gauntlet", "proc_codec_gauntlet", "proc_archive_gauntlet",
@@ -84,7 +84,7 @@ _PRIORITY = [
     # switch/http/while chain and proc_workflow_dag's branch mechanics)
     "proc_branch_enrich", "proc_http_enrich",
     "proc_split_batches", "proc_split_byte_batches", "proc_insert_part",
-    "ann_ivf_topk", "text_quality_score", "proc_jmespath_collapse",
+    "rollup_priority", "ann_ivf_topk", "text_quality_score", "proc_jmespath_collapse",
     "window_sliding_hour", "bloblang_stdlib3", "corpus_shuffle_shards",
     "dedup_incremental_snapshot",
     "proc_switch_route", "proc_try_catch", "proc_group_by_value",

@@ -165,3 +165,107 @@ def wasm_processor(df: DataFrame, conf: dict) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# example guest module (the reference ships example modules under
+# public/wasm/ for the same purpose: a runnable ABI demonstration)
+# ---------------------------------------------------------------------------
+
+def example_uppercase_module() -> bytes:
+    """Hand-assembled guest: bump-allocator ``malloc``/``free`` and a
+    ``process`` that uppercases ASCII a-z in place via the v0_msg ABI,
+    then sets meta ``wasm=yes``. Used by the `proc_wasm` gate query and
+    the ABI tests; assembly follows the W3C binary format directly."""
+    I32, I64 = 0x7F, 0x7E
+
+    def leb(n: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                return bytes(out)
+
+    def sleb(n: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            done = (n == 0 and not b & 0x40) or (n == -1 and b & 0x40)
+            out.append(b if done else b | 0x80)
+            if done:
+                return bytes(out)
+
+    def name(s: str) -> bytes:
+        return leb(len(s)) + s.encode()
+
+    def vec(items: list) -> bytes:
+        return leb(len(items)) + b"".join(items)
+
+    def sec(sid: int, payload: bytes) -> bytes:
+        return bytes([sid]) + leb(len(payload)) + payload
+
+    def functype(params: list, results: list) -> bytes:
+        return (b"\x60" + vec([bytes([p]) for p in params])
+                + vec([bytes([r]) for r in results]))
+
+    def code(locals_: list, body: bytes) -> bytes:
+        entry = vec([leb(1) + bytes([vt]) for vt in locals_]) + body + b"\x0b"
+        return leb(len(entry)) + entry
+
+    types = sec(1, vec([
+        functype([], [I64]),                  # v0_msg_as_bytes
+        functype([I32, I32], []),             # v0_msg_set_bytes
+        functype([I32, I32, I32, I32], []),   # v0_msg_set_meta
+        functype([I32], [I32]),               # malloc
+        functype([I32], []),                  # free
+        functype([], []),                     # process
+    ]))
+    imports = sec(2, vec([
+        name("bento_wasm") + name("v0_msg_as_bytes") + b"\x00" + leb(0),
+        name("bento_wasm") + name("v0_msg_set_bytes") + b"\x00" + leb(1),
+        name("bento_wasm") + name("v0_msg_set_meta") + b"\x00" + leb(2),
+    ]))
+    funcs = sec(3, vec([leb(3), leb(4), leb(5)]))
+    mem = sec(5, vec([b"\x00" + leb(4)]))  # 256 KiB arena
+    globals_ = sec(6, vec([bytes([I32, 1]) + b"\x41" + sleb(1024) + b"\x0b"]))
+    exports = sec(7, vec([
+        name("malloc") + b"\x00" + leb(3),
+        name("free") + b"\x00" + leb(4),
+        name("process") + b"\x00" + leb(5),
+    ]))
+    data = sec(11, vec([leb(0) + b"\x41" + sleb(0) + b"\x0b"
+                        + leb(7) + b"wasmyes"]))
+    malloc = code([I32], (
+        b"\x23\x00\x21\x01"
+        b"\x23\x00\x20\x00\x6a\x24\x00"
+        b"\x20\x01"
+    ))
+    free = code([], b"")
+    # process starts by resetting the bump pointer: free is a no-op,
+    # so the arena is per-call (otherwise a long message stream would
+    # exhaust linear memory — the allocator IS the guest's contract)
+    process = code([I64, I32, I32, I32, I32, I32], bytes.fromhex((
+        "41 80 08 24 00"        # bump = 1024
+        "10 00 21 00"
+        "20 00 42 20 88 a7 21 01"
+        "20 00 a7 21 02"
+        "41 00 21 03"
+        "02 40 03 40"
+        "20 03 20 02 4f 0d 01"
+        "20 01 20 03 6a 21 04"
+        "20 04 2d 00 00 21 05"
+        "20 05 41 e1 00 4f"
+        "20 05 41 fa 00 4d"
+        "71 04 40"
+        "20 04 20 05 41 20 6b 3a 00 00"
+        "0b"
+        "20 03 41 01 6a 21 03"
+        "0c 00 0b 0b"
+        "20 01 20 02 10 01"
+        "41 00 41 04 41 04 41 03 10 02"
+    ).replace(" ", "")))
+    return (b"\x00asm\x01\x00\x00\x00" + types + imports + funcs + mem
+            + globals_ + exports + data + sec(10, vec([malloc, free, process])))

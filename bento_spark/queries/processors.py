@@ -1512,3 +1512,36 @@ def proc_javascript(spark: SparkSession, sf_dir: str) -> DataFrame:
         'bento.v0_msg_set_string(s.toUpperCase() + ":" + s.length);',
     )
     return out.select("doc_id", "content").orderBy("doc_id")
+
+
+@query(
+    "proc_wasm",
+    oracle="""
+    SELECT doc_id, upper(text) AS content
+    FROM documents ORDER BY doc_id
+    """,
+)
+def proc_wasm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`wasm` processor (internal/impl/wasm/processor_wazero.go) on the
+    from-scratch interpreter (operators/wasm_vm.py): a hand-assembled
+    guest module uppercases each document in its own linear memory via
+    the real bento_wasm host ABI (v0_msg_as_bytes -> guest malloc ->
+    mutate -> v0_msg_set_bytes). Oracle = upper(text) (ASCII fixtures,
+    where the guest's a-z fold and SQL upper agree byte-for-byte)."""
+    import tempfile
+
+    from bento_spark.operators.wasmproc import (
+        example_uppercase_module,
+        wasm_processor,
+    )
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text AS content"
+    )
+    with tempfile.NamedTemporaryFile(
+        suffix=".wasm", delete=False
+    ) as fh:
+        fh.write(example_uppercase_module())
+        module_path = fh.name
+    out = wasm_processor(docs, {"module_path": module_path})
+    return out.select("doc_id", "content").orderBy("doc_id")
