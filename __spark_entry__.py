@@ -41,8 +41,9 @@ _PRIORITY = [
     "text_token_stats", "text_language_id",
     "text_fingerprint_winnow", "text_quality_classifier",
     # windows / streaming semantics (incl. the REAL checkpoint-restart
-    # Structured Streaming run — round-4 verdict #7)
-    "window_tumbling_hour", "window_session_user",
+    # Structured Streaming run — round-4 verdict #7; session windows
+    # ride below the fold, the window family keeps 4 rows here)
+    "window_tumbling_hour",
     "dedupe_within_window", "stream_recovery_window",
     "stream_stateful_totals",
     # multimodal (image/audio features + frame sampling in one slot)
@@ -52,17 +53,20 @@ _PRIORITY = [
     "dedup_embedding_cosine", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_clusters",
     # training-data corpus prep (each a distinct first-class op; r5 adds
-    # SemDeDup cluster-pruned semantic dedup and the unigram-LM
-    # perplexity-proxy quality score)
+    # SemDeDup cluster-pruned semantic dedup, the unigram-LM
+    # perplexity-proxy quality score, BM25 retrieval, distributed BPE
+    # merge learning, and DSIR importance resampling; kmeans itself
+    # rides below the fold — dedup_semantic_clustered re-runs it)
     "decontaminate_overlap", "pack_sequences_contiguous", "pii_redact",
     "quality_repetition_gopher", "sample_stratified_hash",
-    "kmeans_embedding_mixture", "embed_project_topk",
+    "embed_project_topk",
     "dedup_span_clean", "dedup_semantic_clustered", "text_unigram_logprob",
+    "text_bm25_topk", "text_bpe_merges", "sample_dsir_importance",
     # join / agg planes (§2.6-2.7)
     "asof_join_last_login", "semi_anti_join", "top_k_per_group",
     "skew_salted_agg",
-    # bloblang (§2.2)
-    "bloblang_mapping", "bloblang_stdlib2", "bloblang_geoip",
+    # bloblang (§2.2; the stdlib breadth rows ride below the fold)
+    "bloblang_mapping", "bloblang_geoip",
     # processors (distinct §2.1 planes; simple per-row ones gauntleted)
     "proc_flow_gauntlet",
     "proc_kv_enrich", "pipeline_yaml", "proc_workflow_dag",
@@ -79,6 +83,8 @@ _PRIORITY = [
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
     "scan_gauntlet",
+    "window_session_user", "bloblang_stdlib2", "kmeans_embedding_mixture",
+    "text_bpe_tokenize",
     # (branch + http singles demoted r5 for the two new LLM-pipeline
     # rows: both re-covered by proc_yaml_surface_gauntlet's
     # switch/http/while chain and proc_workflow_dag's branch mechanics)

@@ -1,0 +1,227 @@
+"""Byte-pair-encoding tokenizer: distributed merge learning + encoding.
+
+The tokenizer-training slot of an LLM data pipeline (Sennrich et al.
+2016). The reference has no tokenizer; its closest surface is
+Bloblang's ``split`` (internal/bloblang/query/methods_strings.go) —
+this is the north-star superset (SURVEY.md §7 phase 5).
+
+Algorithm (the canonical map-reduce BPE):
+
+* The corpus collapses to a **distinct-word vocabulary with
+  frequencies** — BPE statistics only ever need (word, freq), so a
+  100 TB corpus becomes a vocabulary-sized table after one groupBy.
+* Each word's segmentation is a single STRING with every symbol
+  delimited by its own comma pair: ``"ab" -> ",,a,,b,,"``. Because
+  each symbol owns BOTH its delimiters, one left-to-right
+  non-overlapping ``replace(",a,,b,", ",ab,")`` applies a merge to
+  every occurrence — including adjacent ones — and resolves overlaps
+  greedily left-to-right, exactly like reference BPE implementations.
+  ``replace`` has identical scan-and-continue semantics in Spark
+  (UTF8String.replace) and DuckDB, so learn and oracle can't drift.
+* One merge iteration = slice/zip/explode the symbol lists (pure
+  codegen, no HOF lambda), ONE groupBy(pair) sum(freq) shuffle, and an
+  O(1) argmax collect (count desc, pair asc — total order, so ties
+  are deterministic). The driver holds only the merge table
+  (n_merges rows), never corpus state.
+* Encoding a document stream = explode words and equi-join the learned
+  vocabulary segmentation — no per-token Python, no UDF.
+
+Only lowercase-alphabetic words participate (the delimiter encoding
+reserves ','; digits/punctuation pass through untouched upstream) —
+the same normalization most public BPE recipes apply before merging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "^[a-z]+$"
+
+
+def _sym_init(word: Column) -> Column:
+    """',,'-delimited character symbols: 'ab' -> ',,a,,b,,'."""
+    return F.concat(F.lit(",,"), F.regexp_replace(word, "(.)", "$1,,"))
+
+
+def _sym_list(syms: Column) -> Column:
+    """Symbol list from the delimited string: ',,a,,b,,' -> [a, b]."""
+    return F.split(F.trim(syms, F.lit(",")), ",,")
+
+
+def bpe_vocab(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms) vocabulary of lowercase-alphabetic words."""
+    return (
+        corpus.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike(WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", _sym_init(F.col("word")))
+    )
+
+
+def bpe_learn(
+    vocab: DataFrame, n_merges: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` merges; returns (merges, final vocab).
+
+    merges[i] = (left, right, pair_count) in learned order. The final
+    vocab carries the fully-merged ``syms`` segmentation per word.
+    """
+    vocab = vocab.persist()
+    vocab.count()  # materialize once; iterations replay from here
+    merges: list[tuple[str, str, int]] = []
+    cur = vocab
+    for _ in range(n_merges):
+        lst = _sym_list(F.col("syms"))
+        n = F.size(lst)
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(lst, 1, n - 1).alias("a"),
+                    F.slice(lst, 2, n - 1).alias("b"),
+                )
+            ).alias("p"),
+        ).filter(F.col("p.b").isNotNull())
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.concat_ws(" ", "a", "b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((a, b, c))
+        cur = cur.withColumn(
+            "syms",
+            F.replace(
+                F.col("syms"),
+                F.lit(f",{a},,{b},"),
+                F.lit(f",{a}{b},"),
+            ),
+        )
+    return merges, cur
+
+
+def bpe_token_counts(
+    corpus: DataFrame, final_vocab: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token counts using the learned segmentation.
+
+    Returns (id, n_words, n_bpe_tokens, tokens_per_word): alphabetic
+    words only, one explode + one equi-join against the vocabulary.
+    """
+    seg = final_vocab.select(
+        "word", F.size(_sym_list(F.col("syms"))).alias("n_syms")
+    )
+    stream = corpus.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word").rlike(WORD_RE))
+    return (
+        stream.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("n_syms").cast("int").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_syms") / F.count(F.lit(1)), 6
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins — the identical algorithm as one CTE chain (iterations
+# unrolled; materialized so each level evaluates exactly once)
+# ---------------------------------------------------------------------------
+
+
+def bpe_sql_ctes(corpus_sql: str, n_merges: int) -> str:
+    """CTE chain learning ``n_merges`` merges over ``corpus_sql``
+    (must select a ``text`` column). Exposes per-iteration ``b{i}``
+    (pair, c, pat, rep) and the final vocabulary ``v{n_merges}``
+    (word, freq, syms)."""
+    parts = [
+        f"""v0 AS MATERIALIZED (
+      SELECT word, count(*) AS freq,
+             ',,' || regexp_replace(word, '(.)', '\\1,,', 'g') AS syms
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM ({corpus_sql}))
+      WHERE regexp_matches(word, '{WORD_RE}')
+      GROUP BY word)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT a, b, c,
+             ',' || a || ',,' || b || ',' AS pat,
+             ',' || a || b || ',' AS rep
+      FROM (
+        SELECT string_split(pair, ' ')[1] AS a,
+               string_split(pair, ' ')[2] AS b,
+               sum(freq) AS c
+        FROM (
+          SELECT freq,
+                 unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))])
+                   AS pair
+          FROM (SELECT freq, string_split(trim(syms, ','), ',,') AS l
+                FROM v{i}))
+        GROUP BY pair)
+      ORDER BY c DESC, a || ' ' || b LIMIT 1)"""
+        )
+        parts.append(
+            f"""v{i + 1} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(syms, (SELECT pat FROM b{i}),
+                     (SELECT rep FROM b{i})) AS syms
+      FROM v{i})"""
+        )
+    return ",\n    ".join(parts)
+
+
+def bpe_merges_sql(corpus_sql: str, n_merges: int) -> str:
+    """Full DuckDB query: the learned merge table
+    (rank, left_sym, right_sym, merged, pair_count)."""
+    ctes = bpe_sql_ctes(corpus_sql, n_merges)
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, a, b, c FROM b{i}" for i in range(n_merges)
+    )
+    return f"""
+    WITH {ctes}
+    SELECT CAST(rank AS INT) AS rank, a AS left_sym, b AS right_sym,
+           a || b AS merged, CAST(c AS BIGINT) AS pair_count
+    FROM ({rows})
+    ORDER BY rank
+    """
+
+
+def bpe_token_counts_sql(
+    corpus_sql: str, n_merges: int, id_col: str = "doc_id"
+) -> str:
+    """Full DuckDB query matching :func:`bpe_token_counts`."""
+    ctes = bpe_sql_ctes(corpus_sql, n_merges)
+    return f"""
+    WITH {ctes},
+    seg AS (
+      SELECT word, len(string_split(trim(syms, ','), ',,')) AS n_syms
+      FROM v{n_merges}),
+    stream AS (
+      SELECT {id_col}, word FROM (
+        SELECT {id_col}, unnest(string_split(lower(text), ' ')) AS word
+        FROM ({corpus_sql}))
+      WHERE regexp_matches(word, '{WORD_RE}'))
+    SELECT {id_col},
+           CAST(count(*) AS INT) AS n_words,
+           CAST(sum(n_syms) AS INT) AS n_bpe_tokens,
+           round(sum(n_syms)::DOUBLE / count(*), 6) AS tokens_per_word
+    FROM stream JOIN seg USING (word)
+    GROUP BY {id_col}
+    ORDER BY {id_col}
+    """

@@ -1,0 +1,200 @@
+"""Sparse lexical retrieval: BM25 top-k over an inverted index.
+
+The text-retrieval slot of a training-data pipeline (query-document
+relevance for decontamination triage, nearest-neighbor mining for
+dataset curation, RAG-corpus indexing). The reference has no retrieval
+operator — this is the north-star superset (SURVEY.md §7 phase 5);
+its closest primitive is Bloblang's ``contains`` (reference:
+internal/bloblang/query/methods_strings.go).
+
+Distributed shape, designed for the 100 TB corpus / small query set
+regime:
+
+1. ONE narrow explode of the corpus into (doc, dl, token) rows — the
+   document length rides the row so no separate doc-length join.
+2. A **broadcast semi-join against the query vocabulary prunes the
+   token stream before anything shuffles** — only tokens that appear
+   in some query survive, so the one tf groupBy shuffles a sliver of
+   the corpus no matter how big the corpus is.
+3. Document frequencies for those (few) terms come from the same
+   pruned stream — a second small shuffle keyed by token.
+4. Scoring joins tf rows to the tiny (qid, token, idf) table —
+   broadcast again — then ONE groupBy (qid, doc) and a per-query
+   top-k window over the already-aggregated candidates.
+
+Corpus-wide scalars N (doc count) and avgdl are exact integers
+collected once on the driver (O(1) rows — the kmeans-init precedent);
+embedding them as literals keeps every join a pure equi-join (a 1-row
+crossJoin would plan as BroadcastNestedLoopJoin, which the plan guard
+rejects).
+
+No UDF anywhere; every expression is whole-stage-codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Okapi BM25 constants (the standard defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _toks(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` corpus docs per query by Okapi BM25.
+
+    ``corpus``: (doc_id, text); ``queries``: (qid, qtext). Returns
+    (qid, rank, doc_id, score) — score rounded to 6 dp BEFORE ranking so
+    the ordering is reproducible across engines (ln() may differ in the
+    last ulp between libms).
+    """
+    # exact corpus scalars, collected once (two ints — no float fold)
+    stats = corpus.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(_toks(F.col("text")))).alias("sum_dl"),
+    ).first()
+    n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"])
+    avgdl = sum_dl / n_docs  # IEEE double division — identical in SQL
+
+    # distinct query terms (tiny by contract; broadcast everywhere)
+    qterms = (
+        queries.select(
+            F.col("qid"), F.explode(_toks(F.col("qtext"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .dropDuplicates(["qid", "tok"])
+    )
+    qvocab = qterms.select("tok").distinct()
+
+    # corpus token stream, PRUNED to query vocabulary before any shuffle
+    stream = (
+        corpus.select(
+            "doc_id",
+            F.size(_toks(F.col("text"))).alias("dl"),
+            F.explode(_toks(F.col("text"))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .join(F.broadcast(qvocab), "tok")
+    )
+    tf = stream.groupBy("doc_id", "dl", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # document frequency per (query-)term, from the pruned stream
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "tok",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+
+    contrib = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(idf), "tok")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("qid", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("score")
+    )
+    win = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )
+
+
+def _f(x: float) -> str:
+    """Float literal that DuckDB types as DOUBLE, never DECIMAL."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def bm25_topk_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`.
+
+    ``corpus_sql`` must select (doc_id, text); ``queries_sql`` must
+    select (qid, qtext). Same tokenization, same N/avgdl derivation
+    (exact integer aggregates), same 6-dp pre-rank rounding.
+    """
+    return f"""
+    WITH corpus AS MATERIALIZED ({corpus_sql}),
+    q AS MATERIALIZED ({queries_sql}),
+    stats AS (
+      SELECT count(*) AS n,
+             sum(len(string_split(lower(text), ' '))) AS sum_dl
+      FROM corpus),
+    qterms AS (
+      SELECT DISTINCT qid, tok FROM (
+        SELECT qid, unnest(string_split(lower(qtext), ' ')) AS tok FROM q)
+      WHERE tok <> ''),
+    qvocab AS (SELECT DISTINCT tok FROM qterms),
+    stream AS (
+      SELECT doc_id, dl, tok FROM (
+        SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM corpus)
+      WHERE tok <> '' AND tok IN (SELECT tok FROM qvocab)),
+    tf AS (
+      SELECT doc_id, dl, tok, count(*) AS tf
+      FROM stream GROUP BY doc_id, dl, tok),
+    idf AS (
+      SELECT tok,
+             ln(1.0e0 + ((SELECT n FROM stats)::DOUBLE - df + 0.5e0)
+                        / (df + 0.5e0)) AS idf
+      FROM (SELECT tok, count(*) AS df FROM tf GROUP BY tok)),
+    scored AS (
+      SELECT qid, doc_id,
+             round(sum(idf * (tf * {_f(k1 + 1.0)})
+                       / (tf + {_f(k1)} * ({_f(1.0 - b)}
+                          + {_f(b)} * dl / ((SELECT sum_dl FROM stats)::DOUBLE
+                                          / (SELECT n FROM stats))))), 6)
+               AS score
+      FROM tf JOIN qterms USING (tok) JOIN idf USING (tok)
+      GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+    FROM ranked WHERE rank <= {k}
+    ORDER BY qid, rank
+    """

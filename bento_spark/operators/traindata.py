@@ -500,3 +500,102 @@ def duplicate_spans_sql(
           FROM isl GROUP BY doc, isl
         """,
     }
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+def dsir_importance(
+    corpus: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 128,
+    top_m: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling: rank raw-corpus docs by
+    their likelihood ratio under hashed-token bag-of-words models of a
+    TARGET distribution vs the RAW distribution (the DSIR recipe for
+    selecting pre-training data that "looks like" a trusted corpus).
+
+    ``target_pred`` marks the target rows (e.g. ``F.col("lang")=="en"``).
+    Per-doc weight = sum over tokens of
+    ``ln(p_target(bucket) / p_raw(bucket))`` with add-one smoothing over
+    ``dim`` hashed buckets; the top ``top_m`` docs by (rounded) weight
+    are returned as (id, n_tokens, logratio).
+
+    Distributed shape (100 TB): ONE token explode feeds (a) a
+    bucket-level groupBy with two conditional counts — ``dim`` result
+    rows, broadcast back — and (b) the per-doc weight groupBy. The
+    final top-m is a TakeOrdered (orderBy+limit), never a global
+    row_number window; smoothing totals are two exact-integer driver
+    scalars. No UDF, no global state.
+    """
+    toks = corpus.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("is_t"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    toks = toks.withColumn("bucket", hash60(F.col("tok")) % dim)
+
+    buckets = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum("is_t").alias("c_t"),
+    )
+    tot = buckets.select(
+        F.sum("c_raw").alias("r"), F.sum("c_t").alias("t")
+    ).first()
+    r_tot, t_tot = int(tot["r"]), int(tot["t"])
+    lr = buckets.select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + 1) / F.lit(float(t_tot + dim)))
+            - F.log((F.col("c_raw") + 1) / F.lit(float(r_tot + dim)))
+        ).alias("lr"),
+    )
+    weights = (
+        toks.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("logratio"),
+        )
+    )
+    return weights.orderBy(F.desc("logratio"), F.asc(id_col)).limit(top_m)
+
+
+def dsir_importance_sql(
+    corpus_sql: str,
+    target_pred_sql: str,
+    id_col: str = "doc_id",
+    dim: int = 128,
+    top_m: int = 100,
+) -> str:
+    """DuckDB twin of :func:`dsir_importance` (same hashing, smoothing,
+    rounding, ordering)."""
+    bucket = hash60_sql("tok") + f" % {dim}"
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT {id_col}, is_t, {bucket} AS bucket FROM (
+        SELECT {id_col}, CAST(({target_pred_sql}) AS INT) AS is_t,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM ({corpus_sql}))
+      WHERE tok <> ''),
+    buckets AS MATERIALIZED (
+      SELECT bucket, count(*) AS c_raw, sum(is_t) AS c_t
+      FROM toks GROUP BY bucket),
+    tot AS (SELECT sum(c_raw) AS r, sum(c_t) AS t FROM buckets),
+    lr AS (
+      SELECT bucket,
+             ln((c_t + 1) / ((SELECT t FROM tot) + {dim})::DOUBLE)
+           - ln((c_raw + 1) / ((SELECT r FROM tot) + {dim})::DOUBLE) AS lr
+      FROM buckets)
+    SELECT {id_col},
+           CAST(count(*) AS INT) AS n_tokens,
+           round(sum(lr), 6) AS logratio
+    FROM toks JOIN lr USING (bucket)
+    GROUP BY {id_col}
+    ORDER BY logratio DESC, {id_col}
+    LIMIT {top_m}
+    """

@@ -42,6 +42,7 @@ def load_all() -> None:
         relational2,
         relational3,
         relational4,
+        retrieval,
         scanners,
         similarity,
         snowplow,

@@ -1,0 +1,136 @@
+"""Unit tests for BM25 retrieval, BPE tokenizer, and DSIR sampling.
+
+Semantics checked against hand-computed expectations on tiny corpora;
+the full-corpus hash parity lives in the gate queries (tools/check.py
+runs them vs the DuckDB twins).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bento_spark.operators.bpe import bpe_learn, bpe_token_counts, bpe_vocab
+from bento_spark.operators.retrieval import bm25_topk
+from bento_spark.operators.traindata import dsir_importance
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def test_bm25_ranks_rarer_terms_higher(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple apple"),
+            (3, "banana banana zebra"),
+            (4, "dog cat mouse"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame([(10, "zebra")], ["qid", "qtext"])
+    out = bm25_topk(corpus, queries, k=3).collect()
+    # only doc 3 contains "zebra"
+    assert [(r["qid"], r["rank"], r["doc_id"]) for r in out] == [(10, 1, 3)]
+    # score matches the closed form: idf(df=1, N=4) * tf-part
+    n, df, tf, dl, avgdl = 4, 1, 1, 3, 3.0
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    expect = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert abs(out[0]["score"] - round(expect, 6)) < 1e-9
+
+
+def test_bm25_doc_length_normalization(spark):
+    # same tf for "x", shorter doc must rank first
+    corpus = spark.createDataFrame(
+        [(1, "x a b c d e f g"), (2, "x a")], ["doc_id", "text"]
+    )
+    queries = spark.createDataFrame([(0, "x")], ["qid", "qtext"])
+    out = bm25_topk(corpus, queries, k=2).collect()
+    assert [r["doc_id"] for r in out] == [2, 1]
+
+
+def test_bm25_k_truncates_and_rank_is_dense(spark):
+    corpus = spark.createDataFrame(
+        [(i, "common term") for i in range(10)], ["doc_id", "text"]
+    )
+    queries = spark.createDataFrame([(0, "common")], ["qid", "qtext"])
+    out = bm25_topk(corpus, queries, k=4).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+    # identical docs tie on score -> doc_id ascending breaks ties
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3]
+
+
+# ----------------------------------------------------------------- BPE
+
+
+def test_bpe_learns_most_frequent_pair_first(spark):
+    corpus = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest")],
+        ["doc_id", "text"],
+    )
+    merges, fin = bpe_learn(bpe_vocab(corpus), 3)
+    # 'lo'+'w' dominates: l-o and o-w both appear in 4 distinct words
+    # (low x3 counts once per occurrence: freq-weighted)
+    assert merges[0][:2] == ("l", "o")  # l-o: low*3 + lower + lowest = 5
+    assert merges[1][:2] == ("lo", "w")  # after merge, lo-w = 5
+    seg = {
+        r["word"]: r["syms"] for r in fin.collect()
+    }
+    assert seg["low"] == ",,low,,"  # fully merged after 3 rounds? l-o, lo-w
+    assert seg["lower"].startswith(",,low,,")
+
+
+def test_bpe_merge_applies_to_adjacent_occurrences(spark):
+    # 'aaaa' with merge (a,a) must merge greedily left-to-right: aa|aa
+    corpus = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    merges, fin = bpe_learn(bpe_vocab(corpus), 1)
+    assert merges[0][:2] == ("a", "a")
+    assert fin.collect()[0]["syms"] == ",,aa,,aa,,"
+
+
+def test_bpe_tie_breaks_lexicographically(spark):
+    # b-c and x-y both have freq 1 -> 'b c' < 'x y' wins
+    corpus = spark.createDataFrame([(1, "bc xy")], ["doc_id", "text"])
+    merges, _ = bpe_learn(bpe_vocab(corpus), 1)
+    assert merges[0][:2] == ("b", "c")
+
+
+def test_bpe_token_counts_join(spark):
+    corpus = spark.createDataFrame(
+        [(1, "low low 123 !!"), (2, "lower")], ["doc_id", "text"]
+    )
+    merges, fin = bpe_learn(bpe_vocab(corpus), 2)
+    out = {r["doc_id"]: r for r in bpe_token_counts(corpus, fin).collect()}
+    # non-alphabetic tokens are excluded by contract
+    assert out[1]["n_words"] == 2
+    # 'low' fully merged in 2 rounds -> 1 token each
+    assert out[1]["n_bpe_tokens"] == 2
+    assert out[2]["n_words"] == 1 and out[2]["n_bpe_tokens"] == 3  # low+e+r
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    rows = [
+        (1, "en", "alpha beta gamma"),
+        (2, "en", "alpha beta delta"),
+        (3, "xx", "zeta eta theta"),
+        (4, "xx", "alpha beta gamma"),  # raw doc that LOOKS like target
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = dsir_importance(corpus, F.col("lang") == "en", top_m=4).collect()
+    scores = {r["doc_id"]: r["logratio"] for r in out}
+    # target-vocabulary docs outscore the off-distribution doc
+    assert scores[4] > scores[3]
+    assert scores[1] > scores[3]
+    # doc 4 shares doc 1's tokens exactly -> identical score
+    assert scores[4] == scores[1]
+
+
+def test_dsir_top_m_bounds_output(spark):
+    rows = [(i, "en" if i % 2 else "xx", f"tok{i} tok{i}") for i in range(20)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = dsir_importance(corpus, F.col("lang") == "en", top_m=5).collect()
+    assert len(out) == 5
