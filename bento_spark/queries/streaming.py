@@ -312,6 +312,122 @@ def stream_recovery_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+@query(
+    "stream_join_interval",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_event,
+           b.event_id AS purchase_event
+    FROM events a JOIN events b ON a.user_id = b.user_id
+     AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+     AND a.ts BETWEEN b.ts - INTERVAL 30 MINUTE AND b.ts
+    ORDER BY a.user_id, view_event, purchase_event
+    """,
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join in the gate (SURVEY §2.6 — the
+    reference's cache-set/cache-get two-stream cookbook pattern as a
+    native watermarked join): even events ("views") and odd events
+    ("purchases") arrive as TWO independent file streams; each purchase
+    joins the same user's views from the preceding 30 minutes.
+
+    The purchase stream's files are OFFSET ONE TRIGGER SLOT behind the
+    view stream (a neutral never-matching row pads its first file), so
+    when purchase slice i arrives, its matching view slice i was
+    processed one micro-batch earlier — every match can only come out
+    of the join's persisted state store, never a same-batch shortcut.
+    The global watermark is min() of both sides, so the lagging
+    purchase watermark provably retains exactly the view state the
+    offset requires. Output is all-integer (no float hashing risk) and
+    must equal the batch self-join oracle row for row."""
+    import datetime
+    import os
+    import shutil
+
+    base = (
+        "/tmp/bento_spark_gate/stream_join_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    # memory sinks don't support checkpoint recovery — every invocation
+    # is a fresh run (the staging helper only wipes its own subdirs)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_id"
+    )
+    lo = ev.agg(F.min("ts")).first()[0]
+    views = ev.filter(F.col("event_id") % 2 == 0)
+    buys = ev.filter(F.col("event_id") % 2 == 1)
+    a_dir = _stage_time_slices(spark, views, f"{base}/a", n_slices=4)
+    # pad the purchase stream: a lone neutral row occupies its first
+    # per-trigger file slot, shifting every real slice one batch later
+    b_dir = _stage_time_slices(spark, buys, f"{base}/b", n_slices=4)
+    pad = spark.createDataFrame(
+        [(lo - datetime.timedelta(hours=1), -1, -1)], schema=ev.schema
+    )
+    pad_tmp = f"{base}/b_pad"
+    pad.coalesce(1).write.mode("overwrite").parquet(pad_tmp)
+    src = next(f for f in os.listdir(pad_tmp) if f.endswith(".parquet"))
+    os.rename(f"{pad_tmp}/{src}", f"{b_dir}/00_pad.parquet")
+    import shutil as _sh
+    import time as _time
+
+    _sh.rmtree(pad_tmp)
+    t0 = _time.time() - 1000
+    for i, name in enumerate(sorted(os.listdir(b_dir))):
+        os.utime(f"{b_dir}/{name}", (t0 + 10 * i, t0 + 10 * i))
+
+    sa = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(a_dir)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_event"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    sb = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(b_dir)
+        .select(
+            F.col("user_id").alias("user_b"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    joined = sa.join(
+        sb,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_a") >= F.col("ts_b") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("ts_a") <= F.col("ts_b")),
+        "inner",
+    ).select("user_id", "view_event", "purchase_event")
+    _STATEFUL_RUN[0] += 1
+    qname = f"stream_join_{_STATEFUL_RUN[0]}"
+    # the join keys ~120 surviving pairs: 8 state partitions ample; the
+    # per-trigger cost is state-task count, not data (restored after)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname).orderBy(
+        "user_id", "view_event", "purchase_event"
+    )
+
+
 _STATEFUL_RUN = [0]  # memory-sink query names must be unique per process
 
 
