@@ -49,6 +49,10 @@ HEADLINE = [
     "proc_split_batches",
     "dedup_semantic_clustered",
     "text_unigram_logprob",
+    # round-5 additions: BM25 retrieval, BPE encoding join, DSIR
+    "text_bm25_topk",
+    "text_bpe_tokenize",
+    "sample_dsir_importance",
 ]
 
 
