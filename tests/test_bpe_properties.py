@@ -1,0 +1,82 @@
+"""Property-based check (hypothesis): the distributed BPE — including
+the comma-pair-delimited ``replace()`` merge trick — must agree with a
+direct sequential reference implementation (pair counting + greedy
+left-to-right list merge, the textbook Sennrich loop) on ARBITRARY
+corpora: adjacent repeats, multi-char symbols, symbols that prefix
+each other, ties."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bento_spark.operators.bpe import _sym_list, bpe_learn, bpe_vocab
+
+_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _model_bpe(freqs: dict[str, int], n_merges: int):
+    """Sequential reference: count pairs freq-weighted, argmax with
+    (count desc, 'a b' asc), merge greedily left-to-right."""
+    segs = {w: [ch for ch in w] for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in freqs.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        merges.append((a, b, c))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+# tiny alphabet forces repeated/overlapping/prefix-sharing symbols
+_WORD = st.text(alphabet="ab", min_size=1, max_size=6)
+
+
+@_SETTINGS
+@given(
+    words=st.lists(_WORD, min_size=1, max_size=12),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_matches_sequential_reference(spark, words, n_merges):
+    corpus = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["doc_id", "text"]
+    )
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+
+    merges, fin = bpe_learn(bpe_vocab(corpus), n_merges)
+    want_merges, want_segs = _model_bpe(freqs, n_merges)
+    assert merges == want_merges
+
+    from pyspark.sql import functions as F
+
+    got_segs = {
+        r["word"]: r["segs"]
+        for r in fin.select(
+            "word", _sym_list(F.col("syms")).alias("segs")
+        ).collect()
+    }
+    assert got_segs == {w: want_segs[w] for w in got_segs}
+    assert set(got_segs) == set(freqs)
