@@ -114,6 +114,10 @@ _PRIORITY = [
     "q18_large_orders", "q7_nation_volume", "q8_market_share",
     "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
     "q19_discounted_revenue", "q22_idle_customers",
+    # r5: the final six TPC-H shapes (partsupp-free variants) — all 22
+    # TPC-H query shapes now have oracle-gated coverage
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_value",
+    "q16_supplier_count", "q20_excess_suppliers", "q21_waiting_suppliers",
 ]
 
 

@@ -42,6 +42,7 @@ def load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         retrieval,
         scanners,
         similarity,
