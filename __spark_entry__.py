@@ -31,7 +31,8 @@ _PRIORITY = [
     # ---- first 50: every unique §2 component family gets a driver row
     # even when the driver truncates at 50 entries. Fingerprint gauntlets
     # (queries/gauntlets.py) carry whole families in one slot each:
-    # relational_gauntlet = q3..q22 + pivot/percentiles/set-ops,
+    # relational_gauntlet = all 22 TPC-H shapes + pivot/percentiles/
+    # set-ops,
     # proc_flow_gauntlet = switch/try/select_parts/bounds/group_by_value/
     # variant/metadata/json_schema, mm_gauntlet = image+audio+frames.
     # Their member singles are re-checked row-level below the fold. ----
@@ -76,7 +77,8 @@ _PRIORITY = [
     "mm_video_y4m",
     # consolidated codec/scanner/parser families
     "proc_parse_gauntlet", "proc_codec_gauntlet", "proc_archive_gauntlet",
-    # relational breadth: 18 TPC-H-shape + superset queries in one slot
+    # relational breadth: 24 members — ALL 22 TPC-H query shapes +
+    # pivot/percentiles/set-ops — certified in one slot
     "relational_gauntlet",
     # (scan_gauntlet moved below the fold to make room: its five member
     # scanner singles are all row-level verified below)

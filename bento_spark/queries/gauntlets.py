@@ -41,6 +41,7 @@ from bento_spark.queries import (  # noqa: F401  (import order matters)
     relational2,
     relational3,
     relational4,
+    relational5,
 )
 
 MOD = 1_000_000_007
@@ -78,6 +79,21 @@ _REL_SPEC: dict[str, list[tuple[str, str]]] = {
         ("event_type", "s"), ("p50", "d6"), ("p95", "d6"), ("p99", "d6"),
     ],
     "set_ops_users": [("both_n", "s"), ("only_purchase_n", "s"), ("either_n", "s")],
+    # r5: the final six TPC-H shapes — 24 members, all 22 TPC-H query
+    # shapes now certified inside this one driver row. Scale-4 decimal
+    # aggregates use d6 (x*1e6 integral, no cross-engine round-half
+    # ambiguity); exact-2-decimal account balances use d2.
+    "q2_min_cost_supplier": [
+        ("s_acctbal", "d2"), ("s_name", "s"), ("n_name", "s"),
+        ("p_partkey", "s"), ("cost", "d6"),
+    ],
+    "q9_product_profit": [("nation", "s"), ("o_year", "s"), ("profit", "d6")],
+    "q11_important_value": [("l_partkey", "s"), ("value", "d6")],
+    "q16_supplier_count": [
+        ("p_brand", "s"), ("p_type", "s"), ("p_size", "s"), ("supplier_cnt", "s"),
+    ],
+    "q20_excess_suppliers": [("s_name", "s"), ("s_acctbal", "d2")],
+    "q21_waiting_suppliers": [("s_name", "s"), ("numwait", "s")],
 }
 
 _PROC_SPEC: dict[str, list[tuple[str, str]]] = {
