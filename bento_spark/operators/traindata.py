@@ -599,3 +599,89 @@ def dsir_importance_sql(
     ORDER BY logratio DESC, {id_col}
     LIMIT {top_m}
     """
+
+
+# ---------------------------------------------------------------------------
+# Frequency-dampened corpus mixing (sqrt-temperature sampling)
+# ---------------------------------------------------------------------------
+
+def dampened_mix(
+    corpus: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    k: float = 4.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Square-root frequency-dampened sampling per stratum — the
+    corpus-mixing move of multilingual/multi-source pre-training
+    recipes (temperature tau=0.5): a stratum with count ``c`` keeps
+    each doc with probability ``min(1, k/sqrt(c))``, so dominant
+    strata are downsampled ~proportionally to sqrt(c) while rare
+    strata pass through whole.
+
+    Selection is a deterministic portable hash threshold (the
+    stratified-sampling precedent), and the per-stratum threshold is
+    computed IN-ENGINE from exact counts: sqrt is IEEE-correctly-
+    rounded everywhere, so the same expression tree yields the same
+    threshold in Spark and DuckDB — no transcendental drift, no
+    driver state. Returns per-stratum accounting
+    (stratum, n_docs, n_kept, thr).
+
+    100 TB: one count shuffle (strata-sized result, broadcast back),
+    one narrow keep-filter pass. Nothing global.
+    """
+    counts = corpus.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    thr = F.least(
+        F.lit(1000000.0),
+        F.floor(F.lit(1000000.0) * F.lit(k) / F.sqrt(F.col("n_docs"))),
+    ).cast("long")
+    counts = counts.withColumn("thr", thr)
+    tagged = corpus.select(
+        F.col(stratum_col).alias("stratum"),
+        (
+            hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+            % 1000000
+        ).alias("h"),
+    ).join(F.broadcast(counts), "stratum")
+    return (
+        tagged.groupBy("stratum", "n_docs", "thr")
+        .agg(
+            F.sum((F.col("h") < F.col("thr")).cast("long")).alias("n_kept")
+        )
+        .select("stratum", "n_docs", "n_kept", "thr")
+        .orderBy("stratum")
+    )
+
+
+def dampened_mix_sql(
+    corpus_sql: str,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    k: float = 4.0,
+    salt: str = "mix",
+) -> str:
+    """DuckDB twin of :func:`dampened_mix` — identical expression tree
+    (1e6 * k / sqrt(c), floor, least) so thresholds agree bit-for-bit."""
+    h = hash60_sql(f"concat('{salt}:', CAST({id_col} AS VARCHAR))")
+    kf = repr(float(k))
+    kf = kf if "e" in kf else kf + "e0"
+    return f"""
+    WITH c AS (
+      SELECT {stratum_col} AS stratum, count(*) AS n_docs,
+             CAST(least(1000000.0e0,
+                        floor(1000000.0e0 * {kf} / sqrt(n_docs)))
+                  AS BIGINT) AS thr
+      FROM ({corpus_sql}) GROUP BY {stratum_col}),
+    t AS (
+      SELECT d.{stratum_col} AS stratum, {h} % 1000000 AS h
+      FROM ({corpus_sql}) d)
+    SELECT stratum, n_docs,
+           CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           thr
+    FROM t JOIN c USING (stratum)
+    GROUP BY stratum, n_docs, thr
+    ORDER BY stratum
+    """

@@ -411,3 +411,22 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", dim=KM_DIM,
         k=SEMD_K, iters=SEMD_ITERS, threshold=SEMD_THR,
     ).orderBy("vec_id")
+
+
+from bento_spark.operators.traindata import dampened_mix, dampened_mix_sql  # noqa: E402
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=dampened_mix_sql("SELECT doc_id, lang FROM documents", "lang"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-temperature corpus mixing (the multilingual rebalancing
+    move, tau=0.5): each language keeps docs with probability
+    min(1, k/sqrt(count)) under a deterministic hash threshold, so
+    dominant languages downsample ~prop. to sqrt while rare ones pass
+    whole. Thresholds are computed IN-ENGINE from exact counts (sqrt
+    is IEEE-exact in both engines — no driver state, no literal
+    embedding); one count shuffle broadcast back + one narrow pass."""
+    docs = _t(spark, sf_dir, "documents")
+    return dampened_mix(docs.select("doc_id", "lang"), "lang")
