@@ -282,3 +282,56 @@ def unigram_logprob_sql(table: str, id_col: str, text_col: str) -> str:
     FROM t JOIN vocab USING (tok) CROSS JOIN tot
     GROUP BY {id_col} ORDER BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (RAG / context-packing prep)
+# ---------------------------------------------------------------------------
+
+def chunk_windows(df, id_col: str, text_col: str, width: int = 64, stride: int = 48):
+    """Split each document into overlapping word-window chunks of
+    ``width`` tokens every ``stride`` (the RAG-indexing / long-context
+    packing chunker). Returns (id, chunk_idx, n_tokens, chunk).
+
+    Codegen path: one sequence+explode (Generate) per doc for the
+    chunk starts, then ``slice``/``concat_ws`` — collection ops, no
+    HOF lambda re-entry per chunk. Embarrassingly parallel: a narrow
+    map + generate, zero shuffles; chunk rows stream straight to the
+    consumer (index build, embedding featurizer)."""
+    w = words(F.col(text_col))
+    n = F.size(w)
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    ex = df.select(
+        F.col(id_col),
+        w.alias("__w"),
+        F.posexplode(starts).alias("chunk_idx", "__i"),
+    )
+    chunk = F.slice(F.col("__w"), F.col("__i") * stride + 1, width)
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk"),
+    )
+
+
+def chunk_windows_sql(
+    table: str, id_col: str, text_col: str, width: int = 64, stride: int = 48
+) -> str:
+    """DuckDB twin of :func:`chunk_windows`."""
+    return f"""
+    WITH w0 AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}),
+    ex AS (
+      SELECT {id_col}, w,
+             unnest(range(0, CAST(floor((len(w) - 1) / {stride}) AS BIGINT) + 1))
+               AS i
+      FROM w0)
+    SELECT {id_col},
+           CAST(i AS INT) AS chunk_idx,
+           CAST(len(w[(i * {stride} + 1):(i * {stride} + {width})]) AS INT)
+             AS n_tokens,
+           array_to_string(w[(i * {stride} + 1):(i * {stride} + {width})], ' ')
+             AS chunk
+    FROM ex
+    """

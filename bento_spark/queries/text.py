@@ -306,3 +306,24 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF — see functions/textops.unigram_logprob."""
     docs = _t(spark, sf_dir, "documents")
     return unigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+from bento_spark.functions.textops import chunk_windows, chunk_windows_sql  # noqa: E402
+
+CHUNK_W, CHUNK_S = 64, 48
+
+
+@query(
+    "text_chunk_windows",
+    oracle=chunk_windows_sql("documents", "doc_id", "text", CHUNK_W, CHUNK_S)
+    + " ORDER BY doc_id, chunk_idx",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows every 48 —
+    the RAG-indexing / context-packing chunker): sequence+explode for
+    chunk starts, slice/concat_ws for the chunk — a narrow Generate,
+    zero shuffles, no HOF lambda."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_windows(docs, "doc_id", "text", CHUNK_W, CHUNK_S).orderBy(
+        "doc_id", "chunk_idx"
+    )
