@@ -38,15 +38,16 @@ _PRIORITY = [
     # Their member singles are re-checked row-level below the fold. ----
     # relational core (agg; joins covered by semi_anti/asof/top_k below)
     "q1_pricing_summary",
-    # LLM-data ops: text analysis (cheap, unique)
+    # LLM-data ops: text analysis (cheap, unique; winnowing rides
+    # below the fold — the text family keeps 3 rows here)
     "text_token_stats", "text_language_id",
-    "text_fingerprint_winnow", "text_quality_classifier",
+    "text_quality_classifier",
     # windows / streaming semantics (incl. the REAL checkpoint-restart
     # Structured Streaming run — round-4 verdict #7; session windows
     # ride below the fold, the window family keeps 4 rows here)
     "window_tumbling_hour",
     "dedupe_within_window", "stream_recovery_window",
-    "stream_stateful_totals",
+    "stream_stateful_totals", "stream_kafka_wire",
     # multimodal (image/audio features + frame sampling in one slot)
     "mm_gauntlet",
     # similarity + dedup (first-class LLM-pipeline ops)
@@ -85,6 +86,7 @@ _PRIORITY = [
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
     "scan_gauntlet",
+    "text_fingerprint_winnow",
     "window_session_user", "bloblang_stdlib2", "kmeans_embedding_mixture",
     "text_bpe_tokenize", "stream_join_interval", "sample_temperature_mix",
     "text_chunk_windows",

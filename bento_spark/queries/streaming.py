@@ -428,6 +428,102 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_kafka_wire",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch Kafka WIRE PROTOCOL driven end-to-end inside the
+    gate: every events row is produced through the repo's distributed
+    kafka transport (Produce v3, message-format-v2 batches) into an
+    in-process broker whose independent parser CRC32C-verifies every
+    batch before accepting it, then read back as a REAL Structured
+    Streaming run through the bento_kafka DataSourceStreamReader
+    (Metadata/ListOffsets/Fetch; one InputPartition per Kafka
+    partition). Production happens in TWO waves — the second lands
+    mid-stream — so the per-partition offset cursors must advance
+    across micro-batches for the drain to complete. The drained rows
+    aggregate to the batch oracle over the events table: a dropped,
+    duplicated, or corrupted record anywhere in produce -> broker ->
+    fetch -> decode breaks the hash."""
+    import time as _time
+
+    from bento_spark.sinks.connector import deliver
+    from bento_spark.sources.kafka_source import register
+    from bento_spark.testing.kafka_broker import InProcessKafkaBroker
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.floor("value").cast("long").alias("value")
+    )
+    n_total = ev.count()
+    broker = InProcessKafkaBroker(topic="gate")
+    _STATEFUL_RUN[0] += 1
+    qname = f"kafka_wire_{_STATEFUL_RUN[0]}"
+    conf = {"host": "127.0.0.1", "port": broker.port, "topic": "gate"}
+    try:
+        wave1 = ev.filter(F.col("event_id") % 2 == 0)
+        wave2 = ev.filter(F.col("event_id") % 2 == 1)
+        n1 = wave1.count()
+        stats = deliver(wave1, "kafka", conf, batch_size=1000)
+        assert stats["delivered"] == n1 and stats["dead"] == 0, stats
+
+        register(spark)
+        sdf = (
+            spark.readStream.format("bento_kafka")
+            .option("host", "127.0.0.1")
+            .option("port", str(broker.port))
+            .option("topic", "gate")
+            .load()
+        )
+        q = (
+            sdf.select("value")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+        def drained() -> int:
+            return spark.table(qname).count()
+
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline and drained() < n1:
+                _time.sleep(0.3)
+            # second wave lands MID-STREAM: the next offset ranges must
+            # pick it up from the advanced cursors
+            stats2 = deliver(wave2, "kafka", conf, batch_size=1000)
+            assert stats2["delivered"] == n_total - n1, stats2
+            deadline = _time.time() + 120
+            while _time.time() < deadline and drained() < n_total:
+                _time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+        parsed = spark.table(qname).select(
+            F.from_json(
+                F.col("value"), "event_id long, user_id long, value long"
+            ).alias("r")
+        )
+        return (
+            parsed.groupBy(F.col("r.user_id").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("r.value").alias("total"),
+            )
+            .orderBy("user_id")
+        )
+    finally:
+        broker.stop()
+
+
 _STATEFUL_RUN = [0]  # memory-sink query names must be unique per process
 
 

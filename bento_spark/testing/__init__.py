@@ -1,0 +1,8 @@
+"""In-process verifying protocol servers ("test doubles that decode").
+
+Shared by the pytest suites AND the driver-gate queries that certify a
+wire client end-to-end inside the correctness gate (e.g. the Kafka
+source/producer). Each server independently re-parses — and where the
+protocol has them, checksum-verifies — the bytes a client sends, so a
+passing run certifies the wire format, not just a happy-path echo.
+"""

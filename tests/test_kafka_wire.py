@@ -7,9 +7,6 @@ loop end-to-end through the kafka transport."""
 from __future__ import annotations
 
 import json
-import socketserver
-import struct
-import threading
 
 import pytest
 
@@ -42,46 +39,20 @@ def test_zigzag_public_vectors():
         assert zigzag_decode(zigzag_encode(n), 0) == (n, len(zigzag_encode(n)))
 
 
-# --- independent batch parser (used by the in-process broker) -------------
+# --- independent batch parser + in-process broker: shared with the
+# stream_kafka_wire gate query ---------------------------------------------
 
-
-def parse_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes]]:
-    base_offset, batch_len = struct.unpack_from(">qi", buf, 0)
-    assert len(buf) == 12 + batch_len, "batchLength must cover the tail"
-    _epoch, magic, crc = struct.unpack_from(">ibI", buf, 12)
-    assert magic == 2, "message format v2 required"
-    after = buf[21:]
-    assert crc32c(after) == crc, "CRC32C mismatch"
-    (attrs, last_delta, _bts, _mts, pid, pep, bseq, count) = struct.unpack_from(
-        ">hiqqqhii", after, 0
-    )
-    assert attrs == 0 and pid == -1 and pep == -1 and bseq == -1
-    pos, out = 40, []  # 2+4+8+8+8+2+4+4 header bytes after the crc
-    for i in range(count):
-        _ln, pos = zigzag_decode(after, pos)
-        assert after[pos] == 0  # record attributes
-        pos += 1
-        _tsd, pos = zigzag_decode(after, pos)
-        offd, pos = zigzag_decode(after, pos)
-        assert offd == i
-        klen, pos = zigzag_decode(after, pos)
-        key = None if klen == -1 else after[pos : pos + klen]
-        pos += max(klen, 0)
-        vlen, pos = zigzag_decode(after, pos)
-        value = after[pos : pos + vlen]
-        pos += vlen
-        hdrs, pos = zigzag_decode(after, pos)
-        assert hdrs == 0
-        out.append((key, value))
-    assert last_delta == count - 1
-    return out
+from bento_spark.testing.kafka_broker import (  # noqa: E402
+    InProcessKafkaBroker as _Broker,
+    parse_record_batch,
+)
 
 
 def test_record_batch_roundtrip_via_independent_parser():
-    records = [(None, b"v0"), (b"k1", "caf\xe9 ☃".encode()), (b"", b"")]
+    records = [(None, b"v0"), (b"k1", "caf\xe9 \u2603".encode()), (b"", b"")]
     assert parse_record_batch(encode_record_batch(records)) == [
         (None, b"v0"),
-        (b"k1", "caf\xe9 ☃".encode()),
+        (b"k1", "caf\xe9 \u2603".encode()),
         (b"", b""),
     ]
 
@@ -91,149 +62,6 @@ def test_corrupted_batch_fails_crc():
     raw[-1] ^= 0xFF
     with pytest.raises(AssertionError, match="CRC32C"):
         parse_record_batch(bytes(raw))
-
-
-# --- in-process broker -----------------------------------------------------
-
-
-def _rd_str(buf, pos):
-    (n,) = struct.unpack_from(">h", buf, pos)
-    if n == -1:
-        return None, pos + 2
-    return buf[pos + 2 : pos + 2 + n].decode(), pos + 2 + n
-
-
-class _Handler(socketserver.StreamRequestHandler):
-    def handle(self):
-        srv = self.server
-        while True:
-            raw = self.rfile.read(4)
-            if len(raw) < 4:
-                return
-            (size,) = struct.unpack(">i", raw)
-            req = self.rfile.read(size)
-            api, ver, corr = struct.unpack_from(">hhi", req, 0)
-            _cid, pos = _rd_str(req, 8)
-            if api == 3:  # Metadata v0
-                # brokers: count=1, node_id=1, host, port
-                body = struct.pack(">ii", 1, 1) + _enc_str("127.0.0.1") + struct.pack(
-                    ">i", srv.server_address[1]
-                )
-                parts = b""
-                for p in range(srv.n_partitions):
-                    parts += struct.pack(">hii", 0, p, 1)
-                    parts += struct.pack(">ii", 1, 1)  # replicas [1]
-                    parts += struct.pack(">ii", 1, 1)  # isr [1]
-                body += (
-                    struct.pack(">i", 1)
-                    + struct.pack(">h", 0)
-                    + _enc_str(srv.topic)
-                    + struct.pack(">i", srv.n_partitions)
-                    + parts
-                )
-                self._respond(corr, body)
-            elif api == 2:  # ListOffsets v1
-                pos2 = pos + 4 + 4  # replica_id, topic count
-                topic, pos2 = _rd_str(req, pos2)
-                pos2 += 4  # partition count
-                partition, ts = struct.unpack_from(">iq", req, pos2)
-                log = srv.log.get(partition, [])
-                off = 0 if ts == -2 else len(log)
-                body = (
-                    struct.pack(">i", 1)
-                    + _enc_str(topic)
-                    + struct.pack(">i", 1)
-                    + struct.pack(">ihqq", partition, 0, -1, off)
-                )
-                self._respond(corr, body)
-            elif api == 1:  # Fetch v4
-                pos2 = pos + 4 + 4 + 4 + 4 + 1 + 4
-                # replica, max_wait, min_bytes, max_bytes, isolation, topics
-                topic, pos2 = _rd_str(req, pos2)
-                pos2 += 4  # partition count
-                partition, foff, _pmax = struct.unpack_from(">iqi", req, pos2)
-                log = srv.log.get(partition, [])
-                from bento_spark.operators.kafka_wire import encode_record_batch
-
-                chunk = log[foff : foff + srv.fetch_page]
-                rset = (
-                    encode_record_batch(chunk, base_offset=foff) if chunk else b""
-                )
-                body = (
-                    struct.pack(">i", 0)  # throttle
-                    + struct.pack(">i", 1)
-                    + _enc_str(topic)
-                    + struct.pack(">i", 1)
-                    + struct.pack(">ihqq", partition, 0, len(log), len(log))
-                    + struct.pack(">i", 0)  # aborted txns
-                    + struct.pack(">i", len(rset))
-                    + rset
-                )
-                self._respond(corr, body)
-            elif api == 0:  # Produce v3
-                _txn, pos2 = _rd_str(req, pos)
-                acks, _timeout = struct.unpack_from(">hi", req, pos2)
-                pos2 += 6
-                (_ntop,) = struct.unpack_from(">i", req, pos2)
-                pos2 += 4
-                topic, pos2 = _rd_str(req, pos2)
-                (_nparts,) = struct.unpack_from(">i", req, pos2)
-                pos2 += 4
-                (partition,) = struct.unpack_from(">i", req, pos2)
-                pos2 += 4
-                (blen,) = struct.unpack_from(">i", req, pos2)
-                batch = req[pos2 + 4 : pos2 + 4 + blen]
-                err = srv.error_script.pop(0) if srv.error_script else 0
-                base = -1
-                if not err:
-                    recs = parse_record_batch(batch)  # crc-verified decode
-                    plog = srv.log.setdefault(partition, [])
-                    base = len(plog)
-                    plog.extend(recs)
-                if acks == 0:
-                    continue  # protocol: no response at acks=0
-                body = (
-                    struct.pack(">i", 1)
-                    + _enc_str(topic)
-                    + struct.pack(">i", 1)
-                    + struct.pack(">ihqq", partition, err, base, -1)
-                    + struct.pack(">i", 0)  # throttle_time_ms
-                )
-                self._respond(corr, body)
-            else:
-                return
-
-    def _respond(self, corr, body):
-        msg = struct.pack(">i", corr) + body
-        self.wfile.write(struct.pack(">i", len(msg)) + msg)
-        self.wfile.flush()
-
-
-def _enc_str(s):
-    b = s.encode()
-    return struct.pack(">h", len(b)) + b
-
-
-class _Broker(socketserver.ThreadingTCPServer):
-    allow_reuse_address = True
-    daemon_threads = True
-
-    def __init__(self, topic="t1", n_partitions=3):
-        super().__init__(("127.0.0.1", 0), _Handler)
-        self.topic = topic
-        self.n_partitions = n_partitions
-        self.log: dict[int, list] = {}
-        self.error_script: list[int] = []
-        self.fetch_page = 1000  # records per Fetch response
-        threading.Thread(target=self.serve_forever, daemon=True).start()
-
-    @property
-    def port(self):
-        return self.server_address[1]
-
-    def stop(self):
-        self.shutdown()
-        self.server_close()
 
 
 @pytest.fixture()
