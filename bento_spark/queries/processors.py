@@ -1368,33 +1368,39 @@ def proc_archive_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def proc_kv_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """External KV lookup contract (`redis` processor shape,
-    internal/impl/redis/processor.go; remote-cache `cache` processor,
-    processor_cache.go): seed a sqlite KV store from the nation table via
-    the distributed writer (kv_write, one client + batched MSET per
-    partition), then enrich customers via per-partition batched MGET
-    (kv_enrich). The sqlite file stands in for the remote endpoint; a
-    redis client drops into the same factory when its library exists."""
-    import hashlib
-    import os
-    import tempfile
+    """External KV lookup over the REAL RESP2 wire protocol inside the
+    gate (`redis` processor, internal/impl/redis/processor.go;
+    remote-cache `cache` processor, processor_cache.go): an in-process
+    RESP2 server comes up, the nation table is seeded through the
+    distributed writer (one RedisKV client + pipelined MSET per
+    partition), and customers enrich via per-partition batched MGET —
+    every byte crosses a TCP socket in the public protocol framing.
+    The same kvstore factory serves sqlite/memcached/mongo/es/dynamo
+    backends (their clients are protocol-tested in tests/)."""
+    from bento_spark.operators.kvstore import RedisKV, kv_enrich, kv_write
+    from bento_spark.testing.resp_server import InProcessRespServer
 
-    from bento_spark.operators.kvstore import SqliteKV, kv_enrich, kv_write
-
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bento_kv_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.db",
-    )
-    for p in (path, path + "-wal", path + "-shm"):
-        if os.path.exists(p):
-            os.remove(p)
-    nation = _t(spark, sf_dir, "nation")
-    kv_write(nation, lambda: SqliteKV(path), "n_nationkey", "n_name")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    out = kv_enrich(cust, lambda: SqliteKV(path), "c_nationkey", "nation_name")
-    return out.select(
-        F.col("c_custkey").alias("custkey"), "nation_name"
-    ).orderBy("custkey")
+    server = InProcessRespServer()
+    try:
+        port = server.port
+        nation = _t(spark, sf_dir, "nation")
+        kv_write(
+            nation, lambda: RedisKV("127.0.0.1", port), "n_nationkey", "n_name"
+        )
+        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        out = kv_enrich(
+            cust, lambda: RedisKV("127.0.0.1", port), "c_nationkey",
+            "nation_name",
+        )
+        out = out.select(
+            F.col("c_custkey").alias("custkey"), "nation_name"
+        ).orderBy("custkey")
+        # the gate collects AFTER this function returns — materialize
+        # the enrichment now so the server can be torn down safely
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        server.stop()
 
 
 @query(
