@@ -481,25 +481,46 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            200 AS http_status,
-           '{"len": ' || length(props) || ', "method": "POST", "url": "https://svc/api/' || event_type || '"}'
+           '{"len": ' || length(props) || ', "method": "POST", "path": "/api/' || event_type || '"}'
              AS http_response
-    FROM events ORDER BY event_id
+    FROM events WHERE event_id % 5 = 0 ORDER BY event_id
     """,
 )
 def proc_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``http`` processor (processor_http.go:71): bounded-concurrency
-    enrichment inside mapInPandas, failures -> _error. No network in
-    this container, so the injectable transport is the deterministic
-    echo; the oracle reproduces its envelope byte-for-byte."""
-    from bento_spark.operators.http import fake_echo_transport, http_enrich
+    """``http`` processor (processor_http.go:71) over REAL sockets
+    inside the gate: an in-process HTTP server answers every request
+    with a deterministic JSON envelope, and the bounded-concurrency
+    pool inside mapInPandas drives it through the PRODUCTION urllib
+    transport — per-partition pools x partitions of live TCP requests,
+    failures -> _error. The oracle rebuilds the envelope byte-for-byte
+    from the events table."""
+    from bento_spark.operators.http import http_enrich
+    from bento_spark.testing.http_echo import InProcessHttpEcho
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "url", F.concat(F.lit("https://svc/api/"), F.col("event_type"))
-    )
-    out = http_enrich(
-        ev, "url", body_col="props", method="POST", transport=fake_echo_transport
-    )
-    return out.select("event_id", "http_status", "http_response").orderBy("event_id")
+    server = InProcessHttpEcho()
+    try:
+        # every 5th event: enough volume to exercise the pool x
+        # partitions concurrency without 10k serial TCP handshakes
+        # dominating a gate run
+        ev = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 5 == 0)
+            .withColumn(
+                "url",
+                F.concat(
+                    F.lit(f"http://127.0.0.1:{server.port}/api/"),
+                    F.col("event_type"),
+                ),
+            )
+        )
+        out = http_enrich(ev, "url", body_col="props", method="POST")
+        out = out.select(
+            "event_id", "http_status", "http_response"
+        ).orderBy("event_id")
+        # materialize before teardown — the gate collects lazily later
+        return out.localCheckpoint(eager=True)
+    finally:
+        server.stop()
 
 
 @query(
