@@ -8,9 +8,11 @@ partitions x max_conc, back-pressured by Spark's task scheduler, with
 failures flagged on the `_error` column (never a task failure).
 
 The transport is injectable: production uses urllib (stdlib — the
-`requests` package may be absent), tests/offline use a deterministic
-fake. No network exists in this container, so the gate exercises the
-fake transport; the plumbing (batching, pool, error channel) is real.
+`requests` package may be absent); a deterministic fake remains for
+offline unit tests. The gate query drives the PRODUCTION urllib
+transport against an in-process echo server over real sockets
+(bento_spark/testing/http_echo.py), so batching, pool, framing and the
+error channel are all exercised live.
 """
 
 from __future__ import annotations
