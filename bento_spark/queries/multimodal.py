@@ -1,8 +1,12 @@
-"""Multimodal-plumbing queries: the mapInPandas decode/featurize/frame
-stages over synthesized BINARY payloads (documents.text bytes). The
-fake decoder is md5-deterministic, so even the stubbed pipeline is
-fully oracle-checked — the plumbing (Arrow batches, schemas, 1->N row
-explosion) is what's being verified.
+"""Multimodal queries: mapInPandas decode/featurize/frame stages over
+synthesized BINARY payloads (documents.text bytes rendered into real
+containers). Since round 3 the decoders are REAL codecs — binary PPM,
+24-bit BMP, 8-bit PNG (stdlib inflate, all five filters), baseline
+JPEG (from-scratch T.81), RIFF/WAVE, YUV4MPEG2 — and the oracles
+rebuild the DECODED pixel/sample values; only where a query
+deliberately tests plumbing alone does an md5-deterministic fake stand
+in. Arrow batch shapes, schemas, and 1->N row explosion are verified
+throughout.
 """
 
 from __future__ import annotations
