@@ -1572,3 +1572,69 @@ def proc_wasm(spark: SparkSession, sf_dir: str) -> DataFrame:
         module_path = fh.name
     out = wasm_processor(docs, {"module_path": module_path})
     return out.select("doc_id", "content").orderBy("doc_id")
+
+
+@query(
+    "proc_sql_pgwire",
+    oracle="""
+    SELECT c.c_custkey AS custkey, n.n_name AS nation_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey % 3 = 0
+    ORDER BY custkey
+    """,
+)
+def proc_sql_pgwire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sql_select`` over the REAL PostgreSQL wire protocol inside the
+    gate (processor_sql_select.go:21): an in-process pgwire v3 server
+    comes up, SCRAM-SHA-256 runs with the server verifying the client
+    proof bit-for-bit, the nation dimension loads through the simple
+    query protocol (postgres_df), and customers enrich via the
+    broadcast stream-static join — the reference's sql_select pattern
+    end-to-end over live sockets."""
+    from bento_spark.operators.pgwire import PostgresClient, postgres_df
+    from bento_spark.testing.pgwire_server import (
+        DB,
+        PASSWORD,
+        USER,
+        InProcessPgServer,
+    )
+
+    server = InProcessPgServer()
+    try:
+        nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        with server.lock:
+            server.db.execute(
+                "CREATE TABLE nation (n_nationkey INTEGER, n_name TEXT)"
+            )
+            server.db.executemany(
+                "INSERT INTO nation VALUES (?, ?)",
+                [(int(r[0]), str(r[1])) for r in nation.collect()],
+            )
+            server.db.commit()
+
+        def factory():
+            return PostgresClient(
+                port=server.port, user=USER, password=PASSWORD, database=DB
+            )
+
+        # postgres_df materializes on the driver at call time (the
+        # sql_select dimension contract), so teardown is safe
+        dim = postgres_df(
+            spark, factory,
+            "SELECT n_nationkey, n_name AS nation_name FROM nation "
+            "ORDER BY n_nationkey",
+        ).select(
+            F.col("n_nationkey").cast("long").alias("nk"), "nation_name"
+        )
+        cust = (
+            _t(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 3 == 0)
+            .select("c_custkey", "c_nationkey")
+        )
+        return (
+            cust.join(F.broadcast(dim), cust.c_nationkey == dim.nk)
+            .select(F.col("c_custkey").alias("custkey"), "nation_name")
+            .orderBy("custkey")
+        )
+    finally:
+        server.stop()
