@@ -1638,3 +1638,57 @@ def proc_sql_pgwire(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         server.stop()
+
+
+@query(
+    "pipeline_yaml_stream",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(value AS DOUBLE) * 2 AS v2
+    FROM events WHERE value >= 50
+    ORDER BY event_id
+    """,
+)
+def pipeline_yaml_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative surface in STREAMING mode, end-to-end from YAML
+    inside the gate (SURVEY §3.1 lifecycle): `stream: true` parquet
+    input -> Bloblang filter + mutation -> parquet output with a
+    checkpoint, run as a real Structured Streaming query (availableNow)
+    and the SINK's contents hash-matched against the batch oracle. The
+    same config with `stream: true` removed is the batch pipeline —
+    the engine's one-config-two-modes contract made checkable."""
+    import os
+    import shutil
+
+    from bento_spark.plans import build_pipeline
+
+    base = (
+        "/tmp/bento_spark_gate/yaml_stream_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    p = build_pipeline(
+        spark,
+        f"""
+input:
+  parquet:
+    path: {sf_dir}
+    stream: true
+    options: {{pathGlobFilter: events.parquet}}
+pipeline:
+  processors:
+    - filter: this.value >= 50
+    - mutation: 'root.v2 = this.value * 2'
+output:
+  parquet:
+    path: {base}/sink
+    checkpoint: {base}/ckpt
+""",
+    )
+    q = p.run()
+    assert q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{base}/sink")
+        .select("event_id", "event_type", "v2")
+        .orderBy("event_id")
+    )
