@@ -175,6 +175,12 @@ class Interp:
 
     @staticmethod
     def _binop(op: str, a: Any, b: Any) -> Any:
+        # arithmetic on null is a MESSAGE error (query/arithmetic.go
+        # coercion failures), never a task failure
+        if (a is None or b is None) and op in ("+", "-", "*", "/", "%"):
+            raise InterpError(
+                f"cannot {op} types null and {_btype(b if a is None else a)}"
+            )
         if op == "+":
             if isinstance(a, str) or isinstance(b, str):
                 return f"{a}{b}"
@@ -425,6 +431,34 @@ def interpreted_mapping_df(df, src: str, content_col: str = "content"):
         ", __idx long" if has_idx else ""
     )
 
+    # typed (schema-ful) inputs: lift the data columns into the
+    # document, exactly as the compiled path reads them as columns —
+    # without this, `this.<field>` over a parquet input silently reads
+    # null in the fallback
+    internal = {content_col, META, "_error", "__raw", "__idx"}
+    typed_cols = [c for c in df.columns if c not in internal]
+
+    def _plain(v):
+        import datetime as _dt
+
+        import numpy as _np
+
+        if isinstance(v, (_np.integer,)):
+            return int(v)
+        if isinstance(v, (_np.floating,)):
+            return float(v)
+        if isinstance(v, (_np.bool_,)):
+            return bool(v)
+        if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return v.decode("utf-8", "replace")
+        if isinstance(v, _np.ndarray):
+            return [_plain(x) for x in v.tolist()]
+        if v is pd.NaT or (isinstance(v, float) and v != v):
+            return None
+        return v
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"content": [], "_metadata": [], "_error": []}
@@ -435,6 +469,11 @@ def interpreted_mapping_df(df, src: str, content_col: str = "content"):
                 content = row.get(content_col)
                 if content is None and "__raw" in row:
                     content = row["__raw"]
+                if content is None and typed_cols:
+                    content = json.dumps(
+                        {c: _plain(row[c]) for c in typed_cols},
+                        separators=(",", ":"), sort_keys=True,
+                    )
                 err = row.get("_error")
                 try:
                     doc, meta = interpret_mapping(

@@ -240,7 +240,23 @@ function("random_int", "b")(lambda mx=2**31: (F.rand() * mx).cast("long"))
 function("range", "a")(lambda lo, hi, step=None: F.sequence(lo, hi - 1, step) if step is not None else F.sequence(lo, hi - 1))
 function("counter", "b")(lambda: F.monotonically_increasing_id())
 function("hostname", "b")(lambda: F.lit("localhost"))
-function("throw", "b")(lambda msg: F.raise_error(msg))
+class ThrowInExpression(RuntimeError):
+    """`throw(...)` in EXPRESSION position (inside if/match arms, method
+    chains). Statement-position throw compiles to the error column
+    directly (compiler special case); in expression position the column
+    engine would need per-branch error plumbing, and `raise_error`
+    would FAIL THE TASK where the reference flags just the message
+    (internal/bloblang/query/functions.go throw) — so the compile
+    raises this and the pipeline trades the mapping in to the tier-c
+    interpreter, whose per-message execution gives the reference
+    semantics exactly. Counted/logged like every fallback engagement."""
+
+
+def _throw_expr(msg):
+    raise ThrowInExpression("throw() in expression position")
+
+
+function("throw", "b")(_throw_expr)
 function("deleted", "b")(lambda: F.lit(None))  # special-cased by the compiler
 
 

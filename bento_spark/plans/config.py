@@ -47,6 +47,8 @@ def _walk(node):
 KNOWN_SECTIONS = {
     "input", "pipeline", "output", "tests", "processor_resources",
     "cache_resources", "output_resources", "rate_limit_resources",
+    # global error-handling strategy (internal/errorhandling/docs.go)
+    "error_handling",
     # service-level observability sections (flushed via
     # bento_spark/observability.py); accepted wherever present
     "metrics", "tracer", "logger", "http",

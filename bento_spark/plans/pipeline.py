@@ -19,6 +19,12 @@ from bento_spark.sinks import run_sink
 from bento_spark.sources import build_source
 
 
+class RejectedBatchError(RuntimeError):
+    """error_handling strategy=reject with no dlq_path: errored
+    messages have nowhere to go, so the run fails — the batch analog of
+    the reference's strict-mode nack (internal/bundle/strict/)."""
+
+
 def _lift_content(df: DataFrame) -> DataFrame:
     """Mid-pipeline re-lift: when the document is a single JSON-text
     `content` column (e.g. after a to_json codec step), parse it into
@@ -66,6 +72,8 @@ def _proc_mapping(df: DataFrame, conf) -> DataFrame:
     reference's own execution model, traded in only on demand."""
     from pyspark.errors.exceptions.base import AnalysisException
 
+    from bento_spark.bloblang.stdlib import ThrowInExpression
+
     src = conf if isinstance(conf, str) else conf["query"]
     if src.strip() == "root = deleted()":
         # the reference's drop-everything idiom (e.g. after metrics
@@ -76,7 +84,7 @@ def _proc_mapping(df: DataFrame, conf) -> DataFrame:
     lifted = _lift_content(df)
     try:
         return compile_mapping(src).apply(lifted, new_document=True)
-    except (RecursionError, AnalysisException) as ex:
+    except (RecursionError, AnalysisException, ThrowInExpression) as ex:
         # recursion the column engine can't inline, or a per-message
         # dynamic type error (the reference surfaces those on each
         # message's error, not as config failures)
@@ -111,10 +119,12 @@ def _proc_mutation(df: DataFrame, conf) -> DataFrame:
     (`root = this` prefix), counted/logged identically."""
     from pyspark.errors.exceptions.base import AnalysisException
 
+    from bento_spark.bloblang.stdlib import ThrowInExpression
+
     src = conf if isinstance(conf, str) else conf["query"]
     try:
         return compile_mapping(src).apply(_lift_content(df), new_document=False)
-    except (RecursionError, AnalysisException) as ex:
+    except (RecursionError, AnalysisException, ThrowInExpression) as ex:
         import logging
 
         from bento_spark.bloblang.interp import interpreted_mapping_df
@@ -428,6 +438,32 @@ class Pipeline:
         """The composed (unexecuted) DataFrame — for tests/inspection."""
         return self.df
 
+    def _divert_rejected(self, reject_df, eh: dict, log_conf: dict) -> int:
+        """Write rejected rows to the DLQ (if configured), emit the
+        error-handling metrics/log lines, return the rejected count."""
+        from bento_spark.observability import default_registry
+
+        dlq = eh.get("dlq_path")
+        if dlq:
+            reject_df.write.mode("append").parquet(_resolve_path(dlq))
+        n = reject_df.count()
+        if n:
+            default_registry().counter("error_handling_rejected", float(n))
+        if n and log_conf.get("enabled"):
+            ratio = float(log_conf.get("sampling_ratio", 1.0))
+            k = max(1, int(n * ratio)) if ratio > 0 else 0
+            cols = ["_error"] + (
+                [c for c in reject_df.columns if c != "_error"][:3]
+                if log_conf.get("add_payload")
+                else []
+            )
+            import logging
+
+            log = logging.getLogger("bento_spark.error_handling")
+            for row in reject_df.select(*cols).limit(k).collect():
+                log.warning("rejected message: %s", row.asDict())
+        return n
+
     def run(self):
         """Execute: batch write (blocking) or start the streaming query.
         Batch runs then harvest any `metric` observations into the
@@ -436,6 +472,17 @@ class Pipeline:
         if self.output is None:
             raise ConfigError("pipeline has no `output` section")
         name, conf = self.output
+        reject_df = getattr(self, "reject_df", None)
+        if reject_df is not None:
+            eh = getattr(self, "error_handling", {}) or {}
+            log_conf = dict(eh.get("log") or {})
+            n_rejected = self._divert_rejected(reject_df, eh, log_conf)
+            if n_rejected and not eh.get("dlq_path"):
+                raise RejectedBatchError(
+                    f"error_handling strategy={eh.get('strategy')}: "
+                    f"{n_rejected} message(s) errored and no dlq_path is "
+                    "configured (the strict-mode nack of a batch run)"
+                )
         result = run_sink(self.df, self.is_streaming, name, conf)
         # delivery ack: the sqlite buffer deletes its staged messages
         # only after the sink action succeeds (buffer_sqlite.go
@@ -565,12 +612,73 @@ def build_pipeline(spark: SparkSession, config: str | dict) -> Pipeline:
             df = _buffer_system_window(df, bconf)
         else:
             raise ConfigError(f"unknown buffer {bname!r}")
-    df = _apply(df, list((cfg.get("pipeline") or {}).get("processors", [])))
+    pipeline_procs = list((cfg.get("pipeline") or {}).get("processors", []))
+    df = _apply(df, pipeline_procs)
+
+    # global error-handling strategy (internal/errorhandling/docs.go:
+    # none | reject | retry, plus message-level error logging). The
+    # reference wraps every processor in strict/feedback adapters
+    # (internal/bundle/strict/); under Catalyst the per-processor wrap
+    # and an end-of-chain split are observably equivalent because all
+    # processors are error-transparent (errored rows pass through
+    # untouched), so the strategy applies once after the chain.
+    reject_df = None
+    eh = dict(cfg.get("error_handling") or {})
+    strategy = eh.get("strategy", "none")
+    if strategy not in ("none", "reject", "retry"):
+        raise ConfigError(
+            f"error_handling.strategy must be none|reject|retry, got {strategy!r}"
+        )
+    if strategy != "none" and "_error" in df.columns:
+        if streaming:
+            raise ConfigError(
+                "error_handling reject/retry are batch strategies here; "
+                "streaming pipelines route errors through the sink-level "
+                "reject_errored / fallback outputs (same guarantees, "
+                "checkpoint-aligned)"
+            )
+        err = F.col("_error")
+        # materialize the chain ONCE before branching on the error
+        # column: the ok/bad/dlq branches and the sink are separate
+        # actions, and without a cache each would re-run the whole
+        # (possibly side-effecting) processor chain — the reference's
+        # strict/feedback wrappers are runtime constructs at exactly
+        # this point, so eager evaluation is the faithful mapping
+        df = df.persist()
+        if strategy == "retry":
+            # the reference's feedback pipeline retries errored
+            # messages through the whole processor chain (strict/
+            # pipeline.go); bounded by max_retries (the reference
+            # retries forever — a bounded default is the honest batch
+            # mapping, documented), early-exit when a pass comes back
+            # clean
+            for _ in range(int(eh.get("max_retries", 3))):
+                if df.filter(err.isNotNull()).count() == 0:
+                    break
+                ok = df.filter(err.isNull())
+                bad = df.filter(err.isNotNull()).withColumn(
+                    "_error", F.lit(None).cast("string")
+                )
+                bad = _apply(bad, pipeline_procs)
+                df = ok.unionByName(
+                    bad, allowMissingColumns=True
+                ).persist()
+        if strategy == "reject" or (
+            strategy == "retry" and eh.get("dlq_path")
+        ):
+            # reject: errored messages leave the main flow — the batch
+            # analog of the strict-mode nack. With `dlq_path` they're
+            # durably diverted; without one, run() raises (a rejected
+            # batch with no destination IS a failed run).
+            reject_df = df.filter(err.isNotNull())
+            df = df.filter(err.isNull())
     output = None
     if "output" in cfg:
         (oname, oconf), = cfg["output"].items()
         output = (oname, oconf)
     pipe = Pipeline(spark, df, streaming, output)
+    pipe.reject_df = reject_df
+    pipe.error_handling = eh
     pipe.buffer_ack = buffer_ack
     # claim the observations THIS build registered (and only those)
     pipe.observations = PENDING_OBSERVATIONS[obs_start:]

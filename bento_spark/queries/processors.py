@@ -1692,3 +1692,71 @@ output:
         .select("event_id", "event_type", "v2")
         .orderBy("event_id")
     )
+
+
+@query(
+    "pipeline_error_handling",
+    oracle="""
+    SELECT 'ok' AS channel, event_id, event_id AS k, NULL AS err
+    FROM events WHERE event_id % 10 <> 0
+    UNION ALL
+    SELECT 'dlq' AS channel, event_id, NULL AS k,
+           'failed assignment (line 1): poisoned row' AS err
+    FROM events WHERE event_id % 10 = 0
+    ORDER BY event_id
+    """,
+)
+def pipeline_error_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global `error_handling` strategy end-to-end
+    (internal/errorhandling/docs.go; strict wrappers in
+    internal/bundle/strict/): a mutation conditionally throw()s, the
+    reject strategy diverts errored messages to a DLQ while clean rows
+    reach the main output — both routes hash-checked. The conditional
+    throw also exercises the tier-c interpreter trade-in (expression-
+    position throw is per-message by design) and its typed-column
+    document lifting."""
+    import os
+    import shutil
+
+    from bento_spark.plans import build_pipeline
+
+    base = (
+        "/tmp/bento_spark_gate/error_handling_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    p = build_pipeline(
+        spark,
+        f"""
+input:
+  parquet:
+    path: {sf_dir}/events.parquet
+pipeline:
+  processors:
+    - mutation: |
+        root.k = if this.event_id % 10 == 0 {{
+          throw("poisoned row")
+        }} else {{ this.event_id }}
+error_handling:
+  strategy: reject
+  dlq_path: {base}/dlq
+output:
+  parquet:
+    path: {base}/sink
+""",
+    )
+    p.run()
+    eid = F.get_json_object("content", "$.event_id").cast("long")
+    main = spark.read.parquet(f"{base}/sink").select(
+        F.lit("ok").alias("channel"),
+        eid.alias("event_id"),
+        F.get_json_object("content", "$.k").cast("long").alias("k"),
+        F.col("_error").alias("err"),
+    )
+    dlq = spark.read.parquet(f"{base}/dlq").select(
+        F.lit("dlq").alias("channel"),
+        eid.alias("event_id"),
+        F.lit(None).cast("long").alias("k"),
+        F.col("_error").alias("err"),
+    )
+    return main.unionByName(dlq).orderBy("event_id")

@@ -1,0 +1,221 @@
+"""Global `error_handling` strategy (reference:
+internal/errorhandling/docs.go; strict/feedback wrappers in
+internal/bundle/strict/): none passes errored rows through, reject
+diverts them (DLQ or failed run), retry re-runs the processor chain on
+errored rows a bounded number of times."""
+
+from __future__ import annotations
+
+import pytest
+
+from bento_spark.plans.pipeline import RejectedBatchError, build_pipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _cfg(strategy: str, out_dir: str, extra: str = "") -> str:
+    return f"""
+input:
+  parquet:
+    path: {SF_DIR}/events.parquet
+pipeline:
+  processors:
+    - mutation: |
+        root.k = if this.event_id % 10 == 0 {{
+          throw("poisoned row")
+        }} else {{ this.event_id }}
+error_handling:
+  strategy: {strategy}
+{extra}
+output:
+  parquet:
+    path: {out_dir}/sink
+"""
+
+
+def test_none_keeps_errored_rows(spark, tmp_path):
+    p = build_pipeline(spark, _cfg("none", str(tmp_path)))
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    df = p.dataframe()
+    assert df.count() == total
+    assert df.filter("_error IS NOT NULL").count() == total // 10
+
+
+def test_reject_without_dlq_fails_the_run(spark, tmp_path):
+    p = build_pipeline(spark, _cfg("reject", str(tmp_path)))
+    with pytest.raises(RejectedBatchError, match="no dlq_path"):
+        p.run()
+
+
+def test_reject_diverts_to_dlq(spark, tmp_path):
+    extra = f"  dlq_path: {tmp_path}/dlq\n"
+    p = build_pipeline(spark, _cfg("reject", str(tmp_path), extra))
+    p.run()
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    main = spark.read.parquet(f"{tmp_path}/sink")
+    dlq = spark.read.parquet(f"{tmp_path}/dlq")
+    assert main.count() == total - total // 10
+    assert main.filter("_error IS NOT NULL").count() == 0
+    assert dlq.count() == total // 10
+    assert dlq.filter("_error IS NULL").count() == 0
+
+
+def test_retry_exhaustion_keeps_or_diverts_flagged_rows(spark, tmp_path):
+    """Permanent faults: a processor that always errors every 10th row.
+    After max_retries the rows stay flagged (no dlq) or divert (dlq) —
+    the bounded-retry plumbing independent of recovery."""
+    import os
+
+    marker = str(tmp_path / "fail_once")
+    os.makedirs(marker)
+
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    def flaky(df, conf):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from bento_spark.operators.envelope import ensure_envelope
+
+        df = ensure_envelope(df)
+
+        def run(batches):
+            import os as _os
+
+            for pdf in batches:
+                fail = _os.path.isdir(marker)
+                err = pdf["_error"].copy()
+                bad = (pdf["event_id"] % 10 == 0) & fail
+                err[bad] = "transient outage"
+                pdf = pdf.assign(_error=err)
+                yield pdf
+
+        return df.mapInPandas(run, df.schema)
+
+    PROCESSORS["__flaky_test"] = flaky
+    try:
+        cfg = f"""
+input:
+  parquet:
+    path: {SF_DIR}/events.parquet
+pipeline:
+  processors:
+    - __flaky_test: {{}}
+error_handling:
+  strategy: retry
+  max_retries: 2
+output:
+  parquet:
+    path: {tmp_path}/sink
+"""
+        import shutil
+
+        p = build_pipeline(spark, cfg)
+        p.run()
+        main = spark.read.parquet(f"{tmp_path}/sink")
+        total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        assert main.count() == total
+        assert main.filter("_error IS NOT NULL").count() == total // 10
+        # with a dlq configured, exhausted retries divert
+        shutil.rmtree(f"{tmp_path}/sink")
+        cfg2 = cfg.replace(
+            "  max_retries: 2\n",
+            f"  max_retries: 2\n  dlq_path: {tmp_path}/dlq2\n",
+        )
+        p2 = build_pipeline(spark, cfg2)
+        p2.run()
+        assert (
+            spark.read.parquet(f"{tmp_path}/dlq2").count() == total // 10
+        )
+        assert (
+            spark.read.parquet(f"{tmp_path}/sink").filter(
+                "_error IS NOT NULL"
+            ).count()
+            == 0
+        )
+    finally:
+        PROCESSORS.pop("__flaky_test", None)
+
+
+def test_retry_recovers_when_fault_clears_between_attempts(spark, tmp_path):
+    """True transient recovery: the flaky processor fails a row only on
+    its FIRST evaluation of that row (an attempt-counting marker file
+    per row id), so the in-plan retry branch — a second `_apply` of the
+    chain — sees the fault cleared and the rows come back clean."""
+    import os
+
+    seen_dir = tmp_path / "seen"
+    os.makedirs(seen_dir)
+
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    def flaky_once(df, conf):
+        from bento_spark.operators.envelope import ensure_envelope
+
+        df = ensure_envelope(df)
+
+        def run(batches):
+            import os as _os
+
+            for pdf in batches:
+                err = pdf["_error"].copy()
+                for i, eid in enumerate(pdf["event_id"]):
+                    if eid % 10 != 0:
+                        continue
+                    mark = f"{seen_dir}/{int(eid)}"
+                    if not _os.path.exists(mark):
+                        open(mark, "w").close()
+                        err.iloc[i] = "first-touch outage"
+                yield pdf.assign(_error=err)
+
+        return df.mapInPandas(run, df.schema)
+
+    PROCESSORS["__flaky_once_test"] = flaky_once
+    try:
+        cfg = f"""
+input:
+  parquet:
+    path: {SF_DIR}/events.parquet
+pipeline:
+  processors:
+    - __flaky_once_test: {{}}
+error_handling:
+  strategy: retry
+  max_retries: 3
+output:
+  parquet:
+    path: {tmp_path}/sink
+"""
+        p = build_pipeline(spark, cfg)
+        p.run()
+        main = spark.read.parquet(f"{tmp_path}/sink")
+        total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        assert main.count() == total
+        assert main.filter("_error IS NOT NULL").count() == 0
+    finally:
+        PROCESSORS.pop("__flaky_once_test", None)
+
+
+def test_streaming_rejects_strategy_config(spark, tmp_path):
+    import pytest as _pytest
+
+    from bento_spark.plans.config import ConfigError
+
+    cfg = f"""
+input:
+  parquet:
+    path: {SF_DIR}
+    stream: true
+    options: {{pathGlobFilter: events.parquet}}
+pipeline:
+  processors:
+    - mutation: 'root.k = this.event_id'
+error_handling:
+  strategy: reject
+output:
+  parquet:
+    path: {tmp_path}/sink
+    checkpoint: {tmp_path}/ckpt
+"""
+    with _pytest.raises(ConfigError, match="batch strategies"):
+        build_pipeline(spark, cfg)
