@@ -1,0 +1,188 @@
+"""Cron expression engine for the `generate` input's schedule field
+(reference: internal/impl/pure/input_generate.go:146-196, which accepts
+a duration, an ``@every <duration>`` form, descriptor shortcuts, or a
+5/6-field cron expression via robfig/cron semantics).
+
+From-scratch next-fire calculator over the public cron grammar:
+
+* 5 fields  ``min hour dom month dow`` (standard) or
+  6 fields ``sec min hour dom month dow`` (robfig's seconds-optional)
+* ``*``, ``*/n``, ``a``, ``a-b``, ``a-b/n``, comma lists, month/day
+  names (JAN..DEC, SUN..SAT), and ``@hourly @daily @midnight @weekly
+  @monthly @annually @yearly`` descriptors
+* standard dom/dow OR-rule: when BOTH are restricted, a time matches
+  if EITHER matches (the POSIX crontab behavior robfig implements)
+
+``next_fires`` is deterministic pure computation — the batch `generate`
+stamps message timestamps with it; streaming pacing stays on
+duration/rate triggers (Structured Streaming triggers are fixed-period;
+the honest cron mapping there is the min gap, surfaced explicitly).
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+
+_MONTHS = {m: i for i, m in enumerate(
+    ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+     "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"], start=1)}
+_DOWS = {d: i for i, d in enumerate(
+    ["SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT"])}
+
+_DESCRIPTORS = {
+    "@yearly": "0 0 0 1 1 *",
+    "@annually": "0 0 0 1 1 *",
+    "@monthly": "0 0 0 1 * *",
+    "@weekly": "0 0 0 * * 0",
+    "@daily": "0 0 0 * * *",
+    "@midnight": "0 0 0 * * *",
+    "@hourly": "0 0 * * * *",
+}
+
+# (min, max) per field in 6-field order: sec min hour dom month dow
+_BOUNDS = [(0, 59), (0, 59), (0, 23), (1, 31), (1, 12), (0, 6)]
+_NAMES = [None, None, None, None, _MONTHS, _DOWS]
+
+
+class CronError(ValueError):
+    pass
+
+
+def _tok(tok: str, lo: int, hi: int, names) -> set[int]:
+    step = 1
+    if "/" in tok:
+        tok, s = tok.split("/", 1)
+        if not s.isdigit() or int(s) < 1:
+            raise CronError(f"bad step {s!r}")
+        step = int(s)
+        if tok == "*" or tok == "":
+            tok = "*"
+
+    def val(v: str) -> int:
+        v = v.strip().upper()
+        if names and v in names:
+            return names[v]
+        if not v.lstrip("-").isdigit():
+            raise CronError(f"bad value {v!r}")
+        n = int(v)
+        if names is _DOWS and n == 7:
+            n = 0  # both 0 and 7 mean Sunday (POSIX)
+        if not (lo <= n <= hi):
+            raise CronError(f"value {n} out of range {lo}-{hi}")
+        return n
+
+    if tok == "*":
+        a, b = lo, hi
+    elif "-" in tok:
+        sa, sb = tok.split("-", 1)
+        a, b = val(sa), val(sb)
+        if b < a:
+            # wrap range (e.g. FRI-MON): a..hi + lo..b
+            return set(range(a, hi + 1, step)) | set(range(lo, b + 1, step))
+    else:
+        a = b = val(tok)
+        if step != 1:
+            b = hi  # "n/step" means start at n (robfig semantics)
+    return set(range(a, b + 1, step))
+
+
+def _field(spec: str, idx: int) -> set[int]:
+    lo, hi = _BOUNDS[idx]
+    out: set[int] = set()
+    for tok in spec.split(","):
+        if not tok:
+            raise CronError("empty list item")
+        out |= _tok(tok, lo, hi, _NAMES[idx])
+    return out
+
+
+class Cron:
+    """Parsed cron schedule; `next_after(t)` -> the next fire > t."""
+
+    def __init__(self, expr: str):
+        src = expr.strip()
+        low = src.lower()
+        if low in _DESCRIPTORS:
+            src = _DESCRIPTORS[low]
+        parts = src.split()
+        if len(parts) == 5:
+            parts = ["0"] + parts  # seconds default to :00
+        if len(parts) != 6:
+            raise CronError(
+                f"cron needs 5 or 6 fields, got {len(parts)}: {expr!r}"
+            )
+        self.sec = _field(parts[0], 0)
+        self.min = _field(parts[1], 1)
+        self.hour = _field(parts[2], 2)
+        self.dom = _field(parts[3], 3)
+        self.month = _field(parts[4], 4)
+        self.dow = _field(parts[5], 5)
+        # the POSIX OR-rule applies only when both are restricted
+        self.dom_star = parts[3] == "*"
+        self.dow_star = parts[5] == "*"
+
+    def _day_ok(self, d: dt.datetime) -> bool:
+        dom = d.day in self.dom
+        dow = ((d.weekday() + 1) % 7) in self.dow  # python Mon=0 -> Sun=0
+        if self.dom_star and self.dow_star:
+            return True
+        if self.dom_star:
+            return dow
+        if self.dow_star:
+            return dom
+        return dom or dow
+
+    def next_after(self, t: dt.datetime) -> dt.datetime:
+        """Smallest fire time strictly after ``t`` (second resolution)."""
+        c = (t + dt.timedelta(seconds=1)).replace(microsecond=0)
+        for _ in range(4 * 366):  # bounded day walk (max gap < 4 years)
+            if c.month not in self.month:
+                # jump to the 1st of the next month
+                y, m = c.year + (c.month == 12), c.month % 12 + 1
+                c = c.replace(year=y, month=m, day=1,
+                              hour=0, minute=0, second=0)
+                continue
+            if not self._day_ok(c):
+                nd = c + dt.timedelta(days=1)
+                c = nd.replace(hour=0, minute=0, second=0)
+                continue
+            # within the day: find the next (h, m, s) >= c
+            found = None
+            for h in sorted(self.hour):
+                if h < c.hour:
+                    continue
+                for m in sorted(self.min):
+                    if h == c.hour and m < c.minute:
+                        continue
+                    for s in sorted(self.sec):
+                        if h == c.hour and m == c.minute and s < c.second:
+                            continue
+                        found = c.replace(hour=h, minute=m, second=s)
+                        break
+                    if found is not None:
+                        break
+                if found is not None:
+                    break
+            if found is not None:
+                return found
+            nd = c + dt.timedelta(days=1)
+            c = nd.replace(hour=0, minute=0, second=0)
+        raise CronError("no fire time within 4 years")  # e.g. Feb 30
+
+    def next_fires(self, start: dt.datetime, n: int) -> list[dt.datetime]:
+        out, t = [], start
+        for _ in range(n):
+            t = self.next_after(t)
+            out.append(t)
+        return out
+
+
+def min_gap_seconds(expr: str, probe_from: dt.datetime | None = None) -> float:
+    """Smallest observed gap over the next 100 fires — the honest
+    fixed-period trigger for a cron schedule under micro-batching."""
+    base = probe_from or dt.datetime(2026, 1, 1)
+    fires = Cron(expr).next_fires(base, 100)
+    return min(
+        (b - a).total_seconds() for a, b in zip(fires, fires[1:])
+    )

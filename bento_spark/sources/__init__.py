@@ -138,8 +138,42 @@ def _generate(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     spark.range; without -> the rate source (streaming). A ``mapping:``
     shapes each generated message (the reference applies the Bloblang
     mapping per tick; ``counter()`` = the 1-based generation index,
-    matching bloblang_counters.go semantics for the generate idiom)."""
-    if "count" in conf:
+    matching bloblang_counters.go semantics for the generate idiom).
+
+    ``interval`` additionally accepts a CRON EXPRESSION or descriptor
+    (input_generate.go:146-196 — robfig 5/6-field grammar, @hourly
+    et al.): with ``count`` the generated rows carry ``ts`` = the next
+    ``count`` fire times from ``cron_start`` (deterministic schedule
+    materialization — the batch analog of firing on the schedule).
+    Streaming cron pacing is rejected explicitly: Structured Streaming
+    triggers are fixed-period, so the honest forms are a duration
+    interval or an upstream scheduler invoking availableNow runs ON
+    the cron schedule."""
+    interval = str(conf.get("interval", "")).strip()
+    is_cron = bool(interval) and not interval.startswith("@every") and (
+        interval.lower().startswith("@") or len(interval.split()) >= 5
+    )
+    if is_cron:
+        import datetime as _dt
+
+        from bento_spark.functions.cronexpr import Cron
+
+        if "count" not in conf:
+            raise ValueError(
+                "generate: a cron `interval` needs `count` here — "
+                "micro-batch triggers are fixed-period; run the "
+                "pipeline availableNow FROM the scheduler, or pace "
+                "with a duration interval"
+            )
+        start = _dt.datetime.fromisoformat(
+            str(conf.get("cron_start", "2026-01-01T00:00:00"))
+        )
+        fires = Cron(interval).next_fires(start, int(conf["count"]))
+        df = spark.createDataFrame(
+            [(i, f) for i, f in enumerate(fires)], "seq long, ts timestamp"
+        )
+        streaming = False
+    elif "count" in conf:
         df = spark.range(int(conf["count"])).withColumnRenamed("id", "seq")
         streaming = False
     else:

@@ -1,0 +1,115 @@
+"""Cron engine tests (reference: input_generate.go's robfig grammar),
+pinned to documented crontab/robfig semantics: steps, start-at-n
+steps, names, descriptors, the dom/dow OR-rule, leap days, and the
+generate input's schedule materialization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from bento_spark.functions.cronexpr import Cron, CronError, min_gap_seconds
+
+T0 = dt.datetime(2026, 8, 14, 10, 7, 30)  # a Friday
+
+
+def nxt(expr, t=T0):
+    return Cron(expr).next_after(t)
+
+
+def test_every_15_minutes():
+    assert nxt("*/15 * * * *") == dt.datetime(2026, 8, 14, 10, 15, 0)
+
+
+def test_seconds_field_six_field_form():
+    assert nxt("*/10 * * * * *") == dt.datetime(2026, 8, 14, 10, 7, 40)
+
+
+def test_start_at_n_step_robfig():
+    # robfig: "3/15" in the minutes field -> 3,18,33,48
+    c = Cron("0 3/15 * * * *")
+    assert c.min == {3, 18, 33, 48}
+    assert nxt("0 3/15 * * * *") == dt.datetime(2026, 8, 14, 10, 18, 0)
+
+
+def test_weekday_window_with_names():
+    # next 09:30 on a weekday after Friday 10:07 -> Monday
+    got = nxt("0 30 9 * * MON-FRI")
+    assert got == dt.datetime(2026, 8, 17, 9, 30, 0)
+    assert got.strftime("%A") == "Monday"
+
+
+def test_descriptor_hourly_and_daily():
+    assert nxt("@hourly") == dt.datetime(2026, 8, 14, 11, 0, 0)
+    assert nxt("@daily") == dt.datetime(2026, 8, 15, 0, 0, 0)
+
+
+def test_dom_dow_or_rule():
+    # POSIX: when BOTH dom and dow are restricted, EITHER matches.
+    # After Fri Aug 14 2026 the earliest is the next Friday (Aug 21);
+    # from Sep 1 the schedule fires the Fridays Sep 4 and Sep 11 (dow
+    # side) and then Sun Sep 13 (dom side).
+    assert nxt("0 0 0 13 * FRI") == dt.datetime(2026, 8, 21, 0, 0, 0)
+    fires = Cron("0 0 0 13 * FRI").next_fires(dt.datetime(2026, 9, 1), 3)
+    assert fires == [
+        dt.datetime(2026, 9, 4),
+        dt.datetime(2026, 9, 11),
+        dt.datetime(2026, 9, 13),
+    ]
+
+
+def test_month_names_and_leap_day():
+    assert nxt("0 0 0 29 2 *") == dt.datetime(2028, 2, 29, 0, 0, 0)
+    assert nxt("0 0 0 1 JAN *") == dt.datetime(2027, 1, 1, 0, 0, 0)
+
+
+def test_sunday_as_0_and_7():
+    assert Cron("0 0 0 * * 7").dow == {0}
+    assert nxt("0 0 0 * * 0") == nxt("0 0 0 * * 7")
+
+
+def test_wrap_range():
+    assert Cron("0 0 0 * * FRI-MON").dow == {5, 6, 0, 1}
+
+
+def test_min_gap():
+    assert min_gap_seconds("*/15 * * * *") == 900.0
+    assert min_gap_seconds("@hourly") == 3600.0
+
+
+def test_errors():
+    with pytest.raises(CronError):
+        Cron("* * *")
+    with pytest.raises(CronError):
+        Cron("61 * * * * *")
+    with pytest.raises(CronError):
+        Cron("0 0 0 30 2 *").next_after(T0)  # Feb 30 never fires
+
+
+def test_generate_cron_schedule_materialization(spark):
+    from bento_spark.sources import build_source
+
+    df, streaming = build_source(
+        spark,
+        "generate",
+        {
+            "count": 3,
+            "interval": "0 0 12 * * *",
+            "cron_start": "2026-08-14T00:00:00",
+        },
+    )
+    assert not streaming
+    rows = df.orderBy("seq").collect()
+    assert [r["ts"] for r in rows] == [
+        dt.datetime(2026, 8, 14, 12, 0, 0),
+        dt.datetime(2026, 8, 15, 12, 0, 0),
+        dt.datetime(2026, 8, 16, 12, 0, 0),
+    ]
+
+
+def test_generate_cron_streaming_rejected(spark):
+    from bento_spark.sources import build_source
+
+    with pytest.raises(ValueError, match="cron"):
+        build_source(spark, "generate", {"interval": "*/5 * * * *"})
