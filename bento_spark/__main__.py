@@ -105,6 +105,50 @@ def cmd_echo(args, spark=None) -> int:
     return 0
 
 
+def cmd_streams(args, spark=None) -> int:
+    """Streams mode (`bento streams ./configs/`): one pipeline per YAML
+    file (id = file stem) on a shared session, CRUD REST API while
+    running (internal/stream/manager/api.go endpoints)."""
+    import glob
+    import os
+    import time
+
+    from bento_spark.plans.streams import StreamManager, StreamsApiServer
+
+    mgr = StreamManager(_spark(spark))
+    srv = StreamsApiServer(mgr)
+    print(f"streams API listening on 127.0.0.1:{srv.port}")
+    paths: list[str] = []
+    for target in args.configs:
+        if os.path.isdir(target):
+            paths.extend(sorted(glob.glob(os.path.join(target, "*.yaml"))))
+        else:
+            paths.append(target)
+    rc = 0
+    for path in paths:
+        sid = os.path.splitext(os.path.basename(path))[0]
+        try:
+            mgr.create(sid, open(path).read())
+            print(f"stream {sid}: started")
+        except Exception as ex:  # noqa: BLE001 — stream-scoped failure
+            print(f"stream {sid}: {ex}")
+            rc = 1
+    try:
+        deadline = time.time() + args.timeout if args.timeout > 0 else None
+        while deadline is None or time.time() < deadline:
+            if args.timeout > 0 and all(
+                not s["active"] for s in mgr.status().values()
+            ):
+                break
+            time.sleep(0.2)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+        mgr.stop_all()
+    return rc
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(prog="bento_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -133,6 +177,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sp = sub.add_parser("echo", help="print the normalized config")
     sp.add_argument("config")
     sp.set_defaults(fn=cmd_echo)
+
+    sp = sub.add_parser(
+        "streams", help="run many pipelines with a CRUD REST API"
+    )
+    sp.add_argument("configs", nargs="+", help="config files or a dir")
+    sp.add_argument(
+        "--timeout", type=float, default=0,
+        help="seconds to serve before exiting (0 = until interrupted)",
+    )
+    sp.set_defaults(fn=cmd_streams)
 
     args = p.parse_args(argv)
     return args.fn(args, spark=spark)

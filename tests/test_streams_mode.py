@@ -1,0 +1,144 @@
+"""Streams mode (reference `bento streams` + internal/stream/manager/
+api.go): many pipelines on one session with CRUD lifecycle over REST."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from bento_spark.plans.streams import StreamManager, StreamsApiServer
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _batch_cfg(sink: str, n: int = 4) -> str:
+    return f"""
+input:
+  generate:
+    count: {n}
+    mapping: 'root.n = counter()'
+output:
+  memory:
+    name: {sink}
+"""
+
+
+def _wait_done(mgr, sid, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if not mgr.read(sid)["active"]:
+            return
+        time.sleep(0.1)
+    raise AssertionError(f"stream {sid} still active")
+
+
+def test_manager_lifecycle_batch(spark):
+    mgr = StreamManager(spark)
+    try:
+        mgr.create("a", _batch_cfg("sm_a", 3))
+        mgr.create("b", _batch_cfg("sm_b", 5))
+        with pytest.raises(Exception, match="already exists"):
+            mgr.create("a", _batch_cfg("sm_a2"))
+        _wait_done(mgr, "a")
+        _wait_done(mgr, "b")
+        st = mgr.status()
+        assert set(st) == {"a", "b"}
+        assert not st["a"]["active"] and st["a"]["uptime"] > 0
+        assert spark.table("sm_a").count() == 3
+        assert spark.table("sm_b").count() == 5
+        # update re-runs with the new config
+        mgr.update("a", _batch_cfg("sm_a3", 7))
+        _wait_done(mgr, "a")
+        assert spark.table("sm_a3").count() == 7
+        mgr.delete("b")
+        assert set(mgr.status()) == {"a"}
+        with pytest.raises(Exception, match="does not exist"):
+            mgr.delete("b")
+    finally:
+        mgr.stop_all()
+
+
+def test_streaming_stream_stays_active_until_deleted(spark, tmp_path):
+    cfg = f"""
+input:
+  parquet:
+    path: {SF_DIR}
+    stream: true
+    options: {{pathGlobFilter: events.parquet}}
+pipeline:
+  processors:
+    - mutation: 'root.k = this.event_id'
+output:
+  parquet:
+    path: {tmp_path}/sink
+    checkpoint: {tmp_path}/ckpt
+    available_now: false
+"""
+    mgr = StreamManager(spark)
+    try:
+        mgr.create("s", cfg)
+        assert mgr.read("s")["active"]
+        mgr.delete("s")
+        assert mgr.status() == {}
+    finally:
+        mgr.stop_all()
+
+
+def test_rest_api_crud(spark):
+    mgr = StreamManager(spark)
+    srv = StreamsApiServer(mgr)
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def req(method, path, body=None):
+        r = urllib.request.Request(
+            base + path,
+            data=body.encode() if body else None,
+            method=method,
+        )
+        with urllib.request.urlopen(r) as resp:
+            return json.loads(resp.read().decode())
+
+    try:
+        assert req("GET", "/streams") == {}
+        req("POST", "/streams/one", _batch_cfg("sm_api1", 2))
+        _wait_done(mgr, "one")
+        listing = req("GET", "/streams")
+        assert set(listing) == {"one"}
+        info = req("GET", "/streams/one")
+        assert info["error"] is None and "generate" in info["config"]
+        stats = req("GET", "/streams/one/stats")
+        assert "metrics" in stats and stats["uptime"] > 0
+        assert req("GET", "/ready") == {"ready": True}
+        req("PUT", "/streams/one", _batch_cfg("sm_api2", 6))
+        _wait_done(mgr, "one")
+        assert spark.table("sm_api2").count() == 6
+        req("DELETE", "/streams/one")
+        assert req("GET", "/streams") == {}
+        # bad config -> 400, nothing registered
+        with pytest.raises(urllib.error.HTTPError) as ex:
+            req("POST", "/streams/bad", "input:\n  nope: {}\n")
+        assert ex.value.code == 400
+        assert req("GET", "/streams") == {}
+        # unknown id -> 400
+        with pytest.raises(urllib.error.HTTPError):
+            req("GET", "/streams/ghost")
+    finally:
+        srv.stop()
+        mgr.stop_all()
+
+
+def test_cli_streams_runs_a_directory(spark, tmp_path, capsys):
+    from bento_spark.__main__ import main
+
+    (tmp_path / "x.yaml").write_text(_batch_cfg("sm_cli_x", 3))
+    (tmp_path / "y.yaml").write_text(_batch_cfg("sm_cli_y", 4))
+    rc = main(["streams", str(tmp_path), "--timeout", "60"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stream x: started" in out and "stream y: started" in out
+    assert spark.table("sm_cli_x").count() == 3
+    assert spark.table("sm_cli_y").count() == 4
