@@ -105,6 +105,60 @@ def cmd_echo(args, spark=None) -> int:
     return 0
 
 
+def cmd_list(args, spark=None) -> int:
+    """`bento list` (internal/cli/list.go): print every registered
+    component name by family — the live registries, not a static
+    table, so a plugin registered at import time shows up."""
+    # importing the pipeline module registers the full YAML surface
+    import bento_spark.plans.pipeline as pp
+    import bento_spark.plans.processors2  # noqa: F401
+    import bento_spark.sinks.yaml_outputs2  # noqa: F401
+    import bento_spark.sources.yaml_inputs2  # noqa: F401
+    from bento_spark.bloblang.stdlib import FUNCTIONS, METHODS
+    from bento_spark.sinks import SINKS
+    from bento_spark.sources import SOURCES
+
+    caches = [
+        "noop", "memory", "lru", "ttlru", "ristretto", "file",
+        "multilevel", "sqlite", "url", "redis", "memcached", "mongodb",
+        "elasticsearch", "aws_dynamodb", "couchbase", "nats_kv",
+        "aws_s3", "gcp_cloud_storage",
+    ]
+    fams = {
+        "inputs": sorted(SOURCES),
+        "processors": sorted(pp.PROCESSORS),
+        "outputs": sorted(SINKS),
+        "caches": sorted(caches),
+        "bloblang-functions": sorted(FUNCTIONS),
+        "bloblang-methods": sorted(METHODS),
+    }
+    wanted = [args.family] if args.family else list(fams)
+    for fam in wanted:
+        if fam not in fams:
+            print(f"unknown family {fam!r} (have {sorted(fams)})")
+            return 1
+        print(f"{fam} ({len(fams[fam])}):")
+        for name in fams[fam]:
+            print(f"  {name}")
+    return 0
+
+
+def cmd_create(args, spark=None) -> int:
+    """`bento create in/proc/out`: emit a starter config skeleton."""
+    inp = args.spec[0] if args.spec else "parquet"
+    procs = args.spec[1:-1] if len(args.spec) > 2 else ["mapping"]
+    out = args.spec[-1] if len(args.spec) > 1 else "parquet"
+    lines = ["input:", f"  {inp}: {{}}", "pipeline:", "  processors:"]
+    for pr in procs:
+        if pr in ("mapping", "mutation", "bloblang"):
+            lines.append(f"    - {pr}: 'root = this'")
+        else:
+            lines.append(f"    - {pr}: {{}}")
+    lines += ["output:", f"  {out}: {{}}"]
+    print("\n".join(lines))
+    return 0
+
+
 def cmd_streams(args, spark=None) -> int:
     """Streams mode (`bento streams ./configs/`): one pipeline per YAML
     file (id = file stem) on a shared session, CRUD REST API while
@@ -177,6 +231,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sp = sub.add_parser("echo", help="print the normalized config")
     sp.add_argument("config")
     sp.set_defaults(fn=cmd_echo)
+
+    sp = sub.add_parser("list", help="print registered component names")
+    sp.add_argument("family", nargs="?", default=None)
+    sp.set_defaults(fn=cmd_list)
+
+    sp = sub.add_parser("create", help="emit a starter config skeleton")
+    sp.add_argument(
+        "spec", nargs="*",
+        help="input [processors...] output (e.g. kafka mapping parquet)",
+    )
+    sp.set_defaults(fn=cmd_create)
 
     sp = sub.add_parser(
         "streams", help="run many pipelines with a CRUD REST API"

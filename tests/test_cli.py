@@ -110,3 +110,22 @@ def test_cli_echo_normalizes(spark, tmp_path, capsys):
     assert main(["echo", str(cfg)], spark=spark) == 0
     parsed = json.loads(capsys.readouterr().out)
     assert parsed["output"]["memory"]["name"] == "cli_test_sink"
+
+
+def test_cli_list_families(spark, capsys):
+    assert main(["list"], spark=spark) == 0
+    out = capsys.readouterr().out
+    for fam in ("inputs (", "processors (", "outputs (", "caches (",
+                "bloblang-functions (", "bloblang-methods ("):
+        assert fam in out
+    assert "  kafka" in out and "  mapping" in out
+
+    assert main(["list", "nope"], spark=spark) == 1
+
+
+def test_cli_create_skeleton(spark, capsys):
+    assert main(["create", "kafka", "mapping", "parquet"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "input:\n  kafka: {}" in out
+    assert "- mapping: 'root = this'" in out
+    assert "output:\n  parquet: {}" in out
