@@ -1,0 +1,288 @@
+"""From-scratch neural inference for the nlp_* processor slots.
+
+The reference's four HuggingFace processors run ONNX sessions
+(internal/impl/huggingface/processor_feature_extraction.go:18 et al.).
+No ML runtime ships in this container, so this module implements the
+inference mathematics directly on numpy — the same "load weights,
+forward pass over Arrow batches" execution shape, behind the real
+``predict_batch_udf`` path (operators/featurize.py) — in two forms:
+
+1. :class:`TinyTransformer` — a float transformer ENCODER forward pass
+   (token-hash embeddings + learned positions, pre-LN multi-head
+   self-attention, GELU FFN, mean pool, L2 norm). Weights are a plain
+   dict of arrays: an exported real checkpoint (.npz) drops in; the
+   seeded initializer exists so tests and the demo embedder are
+   deterministic. This is what "swap in a real model" means here —
+   the runtime is present, only trained weights are not.
+
+2. :class:`QuantizedMLP` — integer-only inference (int64 matmuls,
+   ReLU, floor-division requantization over a hashed bag-of-words).
+   Every operation is exact integer arithmetic, so the DISTRIBUTED
+   numpy forward pass can be hash-verified against a pure-SQL replay
+   of the same network (weights as relational tables, matmul as
+   join+sum) — the gate query `embed_mlp_quantized` does exactly
+   that. Integer quantization is the standard trick for portable
+   inference; here it also buys a cross-engine exactness proof.
+
+Scale: inference is embarrassingly parallel (Arrow batches, no
+shuffle); weights ride the closure/broadcast like any predict_fn.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# float transformer encoder
+# ---------------------------------------------------------------------------
+
+
+def gelu(x: np.ndarray) -> np.ndarray:
+    """Exact GELU (Gaussian error linear unit), x * Phi(x)."""
+    from math import sqrt
+
+    # erf via numpy's vectorized special is absent (no scipy): use the
+    # tanh form (Hendrycks & Gimpel 2016) every major runtime ships
+    return 0.5 * x * (1.0 + np.tanh(
+        sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)
+    ))
+
+
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = x.max(axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray,
+               eps: float = 1e-5) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * g + b
+
+
+def _tok_ids(text: str, vocab: int, salt: str = "nn") -> list[int]:
+    out = []
+    for w in (text or "").lower().split():
+        h = int.from_bytes(
+            hashlib.md5(f"{salt}:{w}".encode()).digest()[:8], "big"
+        )
+        out.append(h % vocab)
+    return out
+
+
+class TinyTransformer:
+    """Minimal transformer encoder: ``encode(texts) -> (N, d) float64``.
+
+    weights dict (shapes for d=dim, h=heads, f=ffn, L=layers, V=vocab,
+    P=max_len): ``emb (V,d)``, ``pos (P,d)``, per layer i:
+    ``{i}.ln1_g/ln1_b (d,)``, ``{i}.wq/wk/wv/wo (d,d)``,
+    ``{i}.ln2_g/ln2_b (d,)``, ``{i}.w1 (d,f)``, ``{i}.b1 (f,)``,
+    ``{i}.w2 (f,d)``, ``{i}.b2 (d,)``.
+    """
+
+    def __init__(self, weights: dict[str, np.ndarray], heads: int,
+                 layers: int, max_len: int = 64, salt: str = "nn"):
+        self.w = weights
+        self.heads = heads
+        self.layers = layers
+        self.max_len = max_len
+        self.salt = salt
+        self.dim = weights["emb"].shape[1]
+        assert self.dim % heads == 0
+
+    @classmethod
+    def seeded(cls, dim: int = 32, heads: int = 4, ffn: int = 64,
+               layers: int = 2, vocab: int = 512, max_len: int = 64,
+               seed: int = 7, salt: str = "nn") -> "TinyTransformer":
+        rng = np.random.default_rng(seed)
+        s = 1.0 / np.sqrt(dim)
+
+        def m(*shape):
+            return rng.standard_normal(shape) * s
+
+        w = {"emb": m(vocab, dim), "pos": m(max_len, dim)}
+        for i in range(layers):
+            w[f"{i}.ln1_g"] = np.ones(dim); w[f"{i}.ln1_b"] = np.zeros(dim)
+            w[f"{i}.wq"] = m(dim, dim); w[f"{i}.wk"] = m(dim, dim)
+            w[f"{i}.wv"] = m(dim, dim); w[f"{i}.wo"] = m(dim, dim)
+            w[f"{i}.ln2_g"] = np.ones(dim); w[f"{i}.ln2_b"] = np.zeros(dim)
+            w[f"{i}.w1"] = m(dim, ffn); w[f"{i}.b1"] = np.zeros(ffn)
+            w[f"{i}.w2"] = m(ffn, dim); w[f"{i}.b2"] = np.zeros(dim)
+        return cls(w, heads, layers, max_len, salt)
+
+    @classmethod
+    def from_npz(cls, path: str, heads: int, layers: int,
+                 max_len: int = 64, salt: str = "nn") -> "TinyTransformer":
+        """Load exported checkpoint weights (the ONNX-less drop-in)."""
+        z = np.load(path)
+        return cls({k: z[k] for k in z.files}, heads, layers, max_len, salt)
+
+    def _attn(self, x: np.ndarray, i: int) -> np.ndarray:
+        T, d = x.shape
+        h, dh = self.heads, d // self.heads
+        w = self.w
+        q = (x @ w[f"{i}.wq"]).reshape(T, h, dh).transpose(1, 0, 2)
+        k = (x @ w[f"{i}.wk"]).reshape(T, h, dh).transpose(1, 0, 2)
+        v = (x @ w[f"{i}.wv"]).reshape(T, h, dh).transpose(1, 0, 2)
+        scores = q @ k.transpose(0, 2, 1) / np.sqrt(dh)
+        out = softmax(scores) @ v  # (h, T, dh)
+        return out.transpose(1, 0, 2).reshape(T, d) @ w[f"{i}.wo"]
+
+    def _encode_one(self, text: str) -> np.ndarray:
+        ids = _tok_ids(text, self.w["emb"].shape[0], self.salt)
+        ids = ids[: self.max_len] or [0]
+        x = self.w["emb"][ids] + self.w["pos"][: len(ids)]
+        for i in range(self.layers):
+            w = self.w
+            x = x + self._attn(
+                layer_norm(x, w[f"{i}.ln1_g"], w[f"{i}.ln1_b"]), i
+            )
+            y = layer_norm(x, w[f"{i}.ln2_g"], w[f"{i}.ln2_b"])
+            x = x + gelu(y @ w[f"{i}.w1"] + w[f"{i}.b1"]) @ w[f"{i}.w2"] \
+                + w[f"{i}.b2"]
+        pooled = x.mean(axis=0)
+        n = np.linalg.norm(pooled)
+        return pooled / n if n > 0 else pooled
+
+    def encode(self, texts) -> np.ndarray:
+        return np.stack([self._encode_one(t) for t in texts])
+
+
+def transformer_embedder(dim: int = 32, heads: int = 4, layers: int = 2,
+                         seed: int = 7):
+    """Column UDF: text -> array<double> through the transformer
+    forward pass on the predict_batch_udf execution path."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    def make():
+        model = TinyTransformer.seeded(
+            dim=dim, heads=heads, layers=layers, seed=seed
+        )
+
+        def predict(batch: np.ndarray) -> np.ndarray:
+            return model.encode(list(batch))
+
+        return predict
+
+    from pyspark.ml.functions import predict_batch_udf
+
+    return predict_batch_udf(
+        make, return_type=ArrayType(DoubleType()), batch_size=256
+    )
+
+
+# ---------------------------------------------------------------------------
+# integer-quantized MLP (exact cross-engine inference)
+# ---------------------------------------------------------------------------
+
+
+class QuantizedMLP:
+    """y = W2.T @ (relu(W1.T @ x + b1) // q) + b2, all int64 — exact."""
+
+    def __init__(self, dim_in: int = 64, hidden: int = 32,
+                 dim_out: int = 16, q: int = 16, seed: int = 13,
+                 salt: str = "qmlp"):
+        rng = np.random.default_rng(seed)
+        self.w1 = rng.integers(-3, 4, size=(dim_in, hidden))
+        self.b1 = rng.integers(-8, 9, size=hidden)
+        self.w2 = rng.integers(-3, 4, size=(hidden, dim_out))
+        self.b2 = rng.integers(-8, 9, size=dim_out)
+        self.dim_in, self.hidden = dim_in, hidden
+        self.dim_out, self.q, self.salt = dim_out, q, salt
+
+    def counts(self, text: str) -> np.ndarray:
+        x = np.zeros(self.dim_in, dtype=np.int64)
+        for w in (text or "").lower().split():
+            h = int.from_bytes(
+                hashlib.md5(f"{self.salt}:{w}".encode()).digest()[:8],
+                "big",
+            ) >> 4  # == int(hexdigest()[:15], 16): the hash60 value
+            x[h % self.dim_in] += 1
+        return x
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        h = x @ self.w1 + self.b1
+        h = np.maximum(h, 0) // self.q  # relu then integer requantize
+        return h @ self.w2 + self.b2
+
+    def encode(self, texts) -> np.ndarray:
+        return np.stack(
+            [self.forward(self.counts(t)) for t in texts]
+        ).astype(np.float64)
+
+    # -- the relational replay (DuckDB twin) -------------------------------
+
+    def _table(self, mat: np.ndarray, name: str) -> str:
+        rows = ", ".join(
+            f"({i}, {j}, {int(mat[i, j])})"
+            for i in range(mat.shape[0])
+            for j in range(mat.shape[1])
+        )
+        return f"{name}(i, j, w) AS (SELECT * FROM (VALUES {rows}) t(i, j, w))"
+
+    def _vec(self, v: np.ndarray, name: str) -> str:
+        rows = ", ".join(f"({j}, {int(v[j])})" for j in range(len(v)))
+        return f"{name}(j, w) AS (SELECT * FROM (VALUES {rows}) t(j, w))"
+
+    def oracle_sql(self, table: str, id_col: str, text_col: str) -> str:
+        """Replay the identical network in SQL: hashed counts, matmul
+        as join+sum, greatest(0,.) relu, // requantize — every value
+        an exact integer, so the numpy path must match bit-for-bit."""
+        bucket = (
+            f"CAST('0x' || substr(md5(concat('{self.salt}:', tok)), 1, 15)"
+            f" AS BIGINT) % {self.dim_in}"
+        )
+        return f"""
+    WITH {self._table(self.w1, "w1")},
+    {self._vec(self.b1, "b1")},
+    {self._table(self.w2, "w2")},
+    {self._vec(self.b2, "b2")},
+    toks AS (
+      SELECT {id_col} AS id, unnest(string_split(lower({text_col}), ' '))
+               AS tok
+      FROM {table}),
+    x AS (
+      SELECT id, {bucket} AS i, count(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY id, {bucket}),
+    h AS (
+      SELECT x.id, w1.j,
+             greatest(0, sum(x.c * w1.w)
+                         + (SELECT w FROM b1 WHERE b1.j = w1.j))
+               // {self.q} AS v
+      FROM x JOIN w1 ON x.i = w1.i
+      GROUP BY x.id, w1.j),
+    z AS (
+      SELECT h.id, w2.j,
+             sum(h.v * w2.w) + (SELECT w FROM b2 WHERE b2.j = w2.j) AS v
+      FROM h JOIN w2 ON h.j = w2.i
+      GROUP BY h.id, w2.j),
+    dense AS (
+      SELECT id,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS emb
+      FROM z GROUP BY id)
+    SELECT d.{id_col} AS {id_col}, coalesce(dense.emb, '') AS emb
+    FROM {table} d LEFT JOIN dense ON d.{id_col} = dense.id
+    ORDER BY {id_col}
+    """
+
+
+def quantized_mlp_embedder(model: QuantizedMLP):
+    """Column UDF: text -> array<long> through the integer forward
+    pass on the predict_batch_udf execution path."""
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    def make():
+        def predict(batch: np.ndarray) -> np.ndarray:
+            return np.stack(
+                [model.forward(model.counts(t)) for t in batch]
+            )
+
+        return predict
+
+    return predict_batch_udf(
+        make, return_type=ArrayType(LongType()), batch_size=1024
+    )

@@ -107,3 +107,36 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global window, no UDF."""
     docs = _t(spark, sf_dir, "documents")
     return dsir_importance(docs, F.col("lang") == "en")
+
+
+from bento_spark.operators.nn import QuantizedMLP as _QMLP  # noqa: E402
+
+
+@query(
+    "embed_mlp_quantized",
+    oracle=_QMLP().oracle_sql("documents", "doc_id", "text"),
+)
+def embed_mlp_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL neural inference in the gate: a from-scratch integer-
+    quantized MLP (operators/nn.py — int64 matmuls, ReLU, floor-div
+    requantization over hashed bag-of-words) runs distributed through
+    predict_batch_udf, and the resulting embeddings are hash-checked
+    against a pure-SQL replay of the same network in DuckDB (weights
+    as relational tables, matmul as join+sum). Integer quantization —
+    the standard portable-inference technique — makes the forward pass
+    exact, so this row certifies the inference ENGINE, not a proxy.
+    The float TinyTransformer (same module, same execution path) is
+    the unquantized sibling for real checkpoints; its math is
+    loop-verified in tests/test_nn.py."""
+    from bento_spark.operators.nn import QuantizedMLP, quantized_mlp_embedder
+
+    emb = quantized_mlp_embedder(QuantizedMLP())
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("e", emb(F.col("text")))
+        .select(
+            "doc_id",
+            F.array_join(F.col("e").cast("array<string>"), ",").alias("emb"),
+        )
+        .orderBy("doc_id")
+    )

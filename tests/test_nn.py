@@ -1,0 +1,151 @@
+"""From-scratch neural inference tests: transformer forward-pass math
+checked against independent loop implementations, and the quantized
+MLP's exactness properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bento_spark.operators.nn import (
+    QuantizedMLP,
+    TinyTransformer,
+    gelu,
+    layer_norm,
+    softmax,
+)
+
+
+def test_softmax_rows_sum_to_one_and_shift_invariant():
+    x = np.array([[1.0, 2.0, 3.0], [-5.0, 0.0, 5.0]])
+    s = softmax(x)
+    assert np.allclose(s.sum(axis=-1), 1.0)
+    assert np.allclose(softmax(x + 100.0), s)  # max-subtraction stability
+    assert (s > 0).all()
+
+
+def test_layer_norm_normalizes():
+    x = np.array([[1.0, 2.0, 3.0, 4.0]])
+    g, b = np.ones(4), np.zeros(4)
+    y = layer_norm(x, g, b)
+    assert abs(y.mean()) < 1e-9
+    assert abs(y.var() - 1.0) < 1e-4  # eps slightly deflates variance
+    # affine params apply after normalization
+    y2 = layer_norm(x, 2 * g, b + 3)
+    assert np.allclose(y2, 2 * y + 3)
+
+
+def test_gelu_known_values():
+    # tanh-form GELU fixed points: gelu(0)=0; symmetry x*P is monotone
+    assert gelu(np.array([0.0]))[0] == 0.0
+    assert abs(gelu(np.array([1.0]))[0] - 0.8412) < 1e-3  # published value
+    assert abs(gelu(np.array([-1.0]))[0] + 0.1588) < 1e-3
+    big = gelu(np.array([10.0]))[0]
+    assert abs(big - 10.0) < 1e-6  # ~identity for large x
+
+
+def test_attention_math_against_loop_reference():
+    """One layer, identity-free weights: compare the vectorized
+    multi-head attention against an explicit per-position loop."""
+    model = TinyTransformer.seeded(dim=8, heads=2, ffn=16, layers=1, seed=3)
+    T, d, h = 5, 8, 2
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((T, d))
+    got = model._attn(x, 0)
+
+    w = model.w
+    dh = d // h
+    expect = np.zeros((T, d))
+    heads_out = []
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        q = x @ w["0.wq"][:, sl]
+        k = x @ w["0.wk"][:, sl]
+        v = x @ w["0.wv"][:, sl]
+        out = np.zeros((T, dh))
+        for t in range(T):
+            scores = np.array(
+                [q[t] @ k[u] / np.sqrt(dh) for u in range(T)]
+            )
+            e = np.exp(scores - scores.max())
+            a = e / e.sum()
+            out[t] = sum(a[u] * v[u] for u in range(T))
+        heads_out.append(out)
+    expect = np.concatenate(heads_out, axis=1) @ w["0.wo"]
+    assert np.allclose(got, expect, atol=1e-12)
+
+
+def test_encoder_determinism_and_batch_independence():
+    model = TinyTransformer.seeded()
+    texts = ["alpha beta gamma", "delta epsilon", "alpha beta gamma"]
+    e = model.encode(texts)
+    assert e.shape == (3, 32)
+    assert np.allclose(e[0], e[2])  # same text, same vector
+    assert not np.allclose(e[0], e[1])
+    # batch composition must not change a row's embedding
+    solo = model.encode(["delta epsilon"])
+    assert np.allclose(solo[0], e[1])
+    # output is L2-normalized
+    assert np.allclose(np.linalg.norm(e, axis=1), 1.0)
+
+
+def test_encoder_position_sensitivity():
+    model = TinyTransformer.seeded()
+    a = model.encode(["alpha beta"])[0]
+    b = model.encode(["beta alpha"])[0]
+    assert not np.allclose(a, b)  # positions matter (not bag-of-words)
+
+
+def test_npz_roundtrip(tmp_path):
+    model = TinyTransformer.seeded(dim=16, heads=2, ffn=32, layers=1)
+    path = str(tmp_path / "ckpt.npz")
+    np.savez(path, **model.w)
+    loaded = TinyTransformer.from_npz(path, heads=2, layers=1)
+    t = ["weights drop in"]
+    assert np.allclose(model.encode(t), loaded.encode(t))
+
+
+def test_quantized_mlp_is_exact_integer():
+    m = QuantizedMLP()
+    x = m.counts("the quick brown fox the")
+    assert x.sum() == 5 and x.dtype == np.int64
+    y1, y2 = m.forward(x), m.forward(x)
+    assert (y1 == y2).all()
+    # linearity of the first layer pre-relu: doubling counts doubles
+    # the pre-activation minus bias
+    h1 = x @ m.w1 + m.b1
+    h2 = (2 * x) @ m.w1 + m.b1
+    assert ((h2 - m.b1) == 2 * (h1 - m.b1)).all()
+
+
+def test_quantized_mlp_matches_duckdb_replay(spark):
+    """The cross-engine exactness claim, locally: numpy forward pass
+    over Spark vs the pure-SQL network replay in DuckDB."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.nn import quantized_mlp_embedder
+
+    m = QuantizedMLP()
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "beta beta beta"),
+        (2, "zeta eta THETA iota kappa"),
+        (3, "alpha alpha alpha alpha"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = quantized_mlp_embedder(m)
+    out = df.withColumn("e", emb(F.col("text"))).select(
+        "doc_id",
+        F.array_join(F.col("e").cast("array<string>"), ",").alias("emb"),
+    )
+    got = {r["doc_id"]: r["emb"] for r in out.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = dict(con.execute(m.oracle_sql("docs", "doc_id", "text")).fetchall())
+    assert got == want
