@@ -259,12 +259,56 @@ def _register_nlp() -> None:
             d, "content", list(conf.get("labels") or conf.get("candidate_labels") or ["a", "b"])
         )).withColumn("content", F.col("classification")).drop("classification")
     )
-    PROCESSORS["nlp_extract_features"] = lambda df, conf: (
-        _text_in(df)
-        .withColumn("content", F.to_json(
-            hashed_ngram_embedder(int(conf.get("dim", 64)))(F.col("content"))
-        ))
-    )
+    def _extract_features(df, conf):
+        # engine selection: the hashed projection (default — exact
+        # oracle), the from-scratch numpy transformer (operators/nn.py;
+        # `weights_path:` loads an exported .npz checkpoint), or the
+        # integer-quantized MLP (bit-exact cross-engine)
+        engine = str(conf.get("engine", "hashed"))
+        if engine == "transformer":
+            from bento_spark.operators.nn import (
+                TinyTransformer,
+                transformer_embedder,
+            )
+
+            if conf.get("weights_path"):
+                from pyspark.ml.functions import predict_batch_udf
+                from pyspark.sql.types import ArrayType, DoubleType
+
+                path = conf["weights_path"]
+                heads = int(conf.get("heads", 4))
+                layers = int(conf.get("layers", 2))
+
+                def make():
+                    model = TinyTransformer.from_npz(
+                        path, heads=heads, layers=layers
+                    )
+                    return lambda batch: model.encode(list(batch))
+
+                emb = predict_batch_udf(
+                    make, return_type=ArrayType(DoubleType()),
+                    batch_size=256,
+                )
+            else:
+                emb = transformer_embedder(
+                    dim=int(conf.get("dim", 32)),
+                    heads=int(conf.get("heads", 4)),
+                    layers=int(conf.get("layers", 2)),
+                )
+        elif engine == "quantized_mlp":
+            from bento_spark.operators.nn import (
+                QuantizedMLP,
+                quantized_mlp_embedder,
+            )
+
+            emb = quantized_mlp_embedder(QuantizedMLP())
+        else:
+            emb = hashed_ngram_embedder(int(conf.get("dim", 64)))
+        return _text_in(df).withColumn(
+            "content", F.to_json(emb(F.col("content")))
+        )
+
+    PROCESSORS["nlp_extract_features"] = _extract_features
 
 
 _register_nlp()

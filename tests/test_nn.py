@@ -149,3 +149,35 @@ def test_quantized_mlp_matches_duckdb_replay(spark):
     )
     want = dict(con.execute(m.oracle_sql("docs", "doc_id", "text")).fetchall())
     assert got == want
+
+
+def test_nlp_extract_features_engine_selection(spark):
+    """The YAML nlp_extract_features processor runs the transformer and
+    quantized-MLP engines end-to-end through a pipeline."""
+    import json
+
+    from bento_spark.plans.pipeline import build_pipeline
+
+    for engine, checker in (
+        ("transformer", lambda v: isinstance(v[0], float) and len(v) == 32),
+        ("quantized_mlp", lambda v: isinstance(v[0], int) and len(v) == 16),
+        ("hashed", lambda v: len(v) == 64),
+    ):
+        p = build_pipeline(spark, f"""
+input:
+  generate:
+    count: 2
+    mapping: 'root.text = "hello world number " + counter().string()'
+pipeline:
+  processors:
+    - nlp_extract_features:
+        engine: {engine}
+output:
+  memory:
+    name: nn_engine_{engine}
+""")
+        p.run()
+        rows = spark.table(f"nn_engine_{engine}").collect()
+        assert len(rows) == 2
+        vec = json.loads(rows[0]["content"])
+        assert checker(vec), (engine, vec[:3])
