@@ -53,6 +53,11 @@ HEADLINE = [
     "text_bm25_topk",
     "text_bpe_tokenize",
     "sample_dsir_importance",
+    # round-5 additions: chunking, temperature mix, quantized NN, Q21
+    "text_chunk_windows",
+    "sample_temperature_mix",
+    "embed_mlp_quantized",
+    "q21_waiting_suppliers",
 ]
 
 
