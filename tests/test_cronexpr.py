@@ -113,3 +113,44 @@ def test_generate_cron_streaming_rejected(spark):
 
     with pytest.raises(ValueError, match="cron"):
         build_source(spark, "generate", {"interval": "*/5 * * * *"})
+
+
+def test_next_fires_agree_with_brute_force_scan():
+    """Independent verification: a dumb second-by-second scan using only
+    FIELD MEMBERSHIP (+ the dom/dow OR-rule) must produce the same fire
+    sequence as the day-walking calculator."""
+    exprs = [
+        "*/7 */3 * * * *",
+        "0 15,45 8-17 * * MON-FRI",
+        "30 10 2 */2 * *",
+        "0 0 0 13 * FRI",
+        "@hourly",
+    ]
+    start = dt.datetime(2026, 2, 27, 22, 0, 0)
+    horizon = start + dt.timedelta(days=3)
+    for expr in exprs:
+        c = Cron(expr)
+
+        def brute(n):
+            out, t = [], start
+            while len(out) < n and t < horizon:
+                t = t + dt.timedelta(seconds=1)
+                dom = t.day in c.dom
+                dow = ((t.weekday() + 1) % 7) in c.dow
+                if c.dom_star and c.dow_star:
+                    day_ok = True
+                elif c.dom_star:
+                    day_ok = dow
+                elif c.dow_star:
+                    day_ok = dom
+                else:
+                    day_ok = dom or dow
+                if (t.second in c.sec and t.minute in c.min
+                        and t.hour in c.hour and day_ok
+                        and t.month in c.month):
+                    out.append(t)
+            return out
+
+        want = brute(5)
+        got = c.next_fires(start, len(want))
+        assert got == want, (expr, got[:2], want[:2])
