@@ -31,6 +31,10 @@ def _spark(existing=None):
 def cmd_run(args, spark=None) -> int:
     from bento_spark.plans.pipeline import build_pipeline
 
+    if getattr(args, "templates", None):
+        from bento_spark.plans.templates import init_templates
+
+        init_templates(args.templates)
     pipe = build_pipeline(_spark(spark), args.config)
     result = pipe.run()
     if pipe.is_streaming and result is not None:
@@ -103,6 +107,30 @@ def cmd_echo(args, spark=None) -> int:
 
     print(json.dumps(load_config(args.config), indent=2, sort_keys=True))
     return 0
+
+
+def cmd_template(args, spark=None) -> int:
+    """`bento template lint`: run each template file's own `tests:`
+    blocks (internal/cli/template.go)."""
+    from bento_spark.plans.templates import TemplateError, load_template
+
+    rc = 0
+    for path in args.files:
+        try:
+            tmpl = load_template(path)
+            fails = tmpl.run_tests()
+        except TemplateError as ex:
+            print(f"{path}: {ex}")
+            rc = 1
+            continue
+        if fails:
+            rc = 1
+            print(f"{path}: FAIL")
+            for f in fails:
+                print(f"  {f}")
+        else:
+            print(f"{path}: OK ({len(tmpl.tests)} tests)")
+    return rc
 
 
 def cmd_list(args, spark=None) -> int:
@@ -213,7 +241,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--timeout", type=float, default=0,
         help="streaming: seconds to run before returning (0 = forever)",
     )
+    sp.add_argument(
+        "-t", "--templates", action="append", default=[],
+        help="template file(s)/glob(s) to register before building",
+    )
     sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("template", help="template utilities")
+    tsub = sp.add_subparsers(dest="tcmd", required=True)
+    tl = tsub.add_parser("lint", help="run template files' own tests")
+    tl.add_argument("files", nargs="+")
+    tl.set_defaults(fn=cmd_template)
 
     sp = sub.add_parser("lint", help="validate configs without executing")
     sp.add_argument("configs", nargs="+")

@@ -256,7 +256,7 @@ class Interp:
             if isinstance(recv, list):
                 out = []
                 for el in recv:
-                    v = self._call_fn(fn, el, vars_)
+                    v = self._call_fn(fn, el, vars_, this)
                     if v is DELETED_V or v is NOTHING_V:
                         continue
                     out.append(v)
@@ -267,7 +267,7 @@ class Interp:
                 out = {}
                 for k, v in recv.items():
                     el = {"key": k, "value": v}
-                    nv = self._call_fn(fn, el, vars_)
+                    nv = self._call_fn(fn, el, vars_, this)
                     if nv is DELETED_V or nv is NOTHING_V:
                         continue
                     out[k] = nv
@@ -278,7 +278,7 @@ class Interp:
             )
         if name == "filter" and isinstance(recv, list):
             fn = node.args[0]
-            return [el for el in recv if self._call_fn(fn, el, vars_)]
+            return [el for el in recv if self._call_fn(fn, el, vars_, this)]
         if name == "unescape_html":
             return html.unescape(str(recv))
         if name == "escape_html":
@@ -325,10 +325,17 @@ class Interp:
             return out
         raise InterpError(f"interpreter method {name}() unsupported")
 
-    def _call_fn(self, fn: A.Node, element: Any, vars_: dict) -> Any:
+    def _call_fn(
+        self, fn: A.Node, element: Any, vars_: dict, outer: Any = None
+    ) -> Any:
         if isinstance(fn, A.Lambda):
+            # named-param lambda: the param binds the element while
+            # `this` KEEPS the enclosing mapping context (the reference
+            # template corpus depends on this — aws_sqs_list reads
+            # this.region inside a map_each(url -> ...) lambda)
             return self.eval(
-                fn.body, element, {**vars_, fn.params[0]: element}
+                fn.body, outer if outer is not None else element,
+                {**vars_, fn.params[0]: element},
             )
         # bare expression: the element binds as `this`
         return self.eval(fn, element, vars_)
@@ -381,11 +388,42 @@ class Interp:
                         root = {}
                 cur = root
                 for p in stmt.target[:-1]:
-                    cur = cur.setdefault(p, {})
-                if v is DELETED_V:
-                    cur.pop(stmt.target[-1], None)
+                    if isinstance(cur, list):
+                        if p == "-":  # JSON-pointer append-and-descend
+                            cur.append({})
+                            cur = cur[-1]
+                            continue
+                        if p.isdigit():  # quoted numeric index
+                            idx = int(p)
+                            if idx == len(cur):
+                                cur.append({})
+                            if idx >= len(cur):
+                                raise InterpError(
+                                    f"array index {idx} out of range"
+                                )
+                            cur = cur[idx]
+                            continue
+                        raise InterpError(
+                            f"cannot descend into array with key {p!r}"
+                        )
+                    nxt = cur.get(p)
+                    if not isinstance(nxt, (dict, list)):
+                        nxt = {}
+                        cur[p] = nxt
+                    cur = nxt
+                last = stmt.target[-1]
+                if isinstance(cur, list):
+                    if last == "-":
+                        if v is not DELETED_V:
+                            cur.append(v)
+                    else:
+                        raise InterpError(
+                            f"cannot assign array element key {last!r}"
+                        )
+                elif v is DELETED_V:
+                    cur.pop(last, None)
                 else:
-                    cur[stmt.target[-1]] = v
+                    cur[last] = v
                 continue
             raise InterpError(f"interpreter statement {stmt!r} unsupported")
         return this if root is NOTHING_V else root
@@ -518,6 +556,40 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
     import math
 
     # ---- strings ----------------------------------------------------
+    if name == "format":
+        # Go fmt verbs the reference templates use: %v %s %d %f %%
+        s, out, ai, i = str(recv), [], 0, 0
+        while i < len(s):
+            if s[i] == "%" and i + 1 < len(s):
+                spec = s[i + 1]
+                if spec == "%":
+                    out.append("%")
+                    i += 2
+                    continue
+                a = args[ai]
+                ai += 1
+                if spec == "v":
+                    if isinstance(a, bool):
+                        out.append("true" if a else "false")
+                    elif isinstance(a, float) and a.is_integer():
+                        out.append(str(int(a)))
+                    elif isinstance(a, (dict, list)):
+                        out.append(json.dumps(a, separators=(",", ":")))
+                    else:
+                        out.append(str(a))
+                elif spec == "s":
+                    out.append(str(a))
+                elif spec == "d":
+                    out.append(str(int(a)))
+                elif spec == "f":
+                    out.append(f"{float(a):f}")
+                else:
+                    raise InterpError(f"format verb %{spec} unsupported")
+                i += 2
+                continue
+            out.append(s[i])
+            i += 1
+        return "".join(out)
     if name == "replace_all":
         return str(recv).replace(str(args[0]), str(args[1]))
     if name == "contains":

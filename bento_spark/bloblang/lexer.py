@@ -41,6 +41,16 @@ def lex(src: str) -> list[Tok]:
         if c in " \t\r":
             i += 1
             continue
+        if src[i : i + 3] == '"""':
+            # triple-quoted string (template mappings use these for
+            # embedded multiline Bloblang snippets): raw body, no
+            # escape processing, ends at the next '"""'
+            end = src.find('"""', i + 3)
+            if end < 0:
+                raise LexError(f"unterminated triple-quoted string at {i}")
+            toks.append(Tok("str", src[i + 3 : end], i))
+            i = end + 3
+            continue
         if c == '"':
             j, buf = i + 1, []
             while j < n and src[j] != '"':

@@ -364,7 +364,16 @@ class Parser:
                 skip_nl=False
             ).text == ".":
                 self.next(skip_nl=False)
-                parts.append(self.expect("ident").text)
+                seg = self.peek(skip_nl=False)
+                if seg.kind not in ("ident", "str"):
+                    # quoted segments carry arbitrary keys — incl. the
+                    # JSON-pointer-style "-" array append the template
+                    # corpus uses (root.processors."-".bloblang = ...)
+                    raise ParseError(
+                        f"expected path segment at {seg.pos}"
+                    )
+                self.next(skip_nl=False)
+                parts.append(seg.text)
             self.expect("op", "=")
             return A.Assign(tuple(parts), self.expr())
         # statement-position cache writes: `cache_set(...)` without a

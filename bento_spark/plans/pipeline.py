@@ -283,34 +283,46 @@ def _proc_catch(df: DataFrame, conf) -> DataFrame:
     mapping string, or child processors (the reference's list form)
     whose mappings apply to errored rows then clear the flag."""
     if isinstance(conf, list):
-        out = df
+        # processor_catch.go semantics: every child in the chain runs
+        # against the ERRORED messages with the error still visible
+        # (error() reads it), and the flag clears ONCE when the whole
+        # catch completes — clearing between children (the old shape)
+        # made a later `root = deleted()` drop-idiom child see nothing.
+        from bento_spark.operators.envelope import ERROR, ensure_envelope
+
+        out = ensure_envelope(df)
         for child in conf:
             (pname, pconf), = (
                 child.items() if len(child) == 1
                 else ((k, v) for k, v in child.items() if k != "label")
             )
             if pname in ("bloblang", "mapping", "mutation"):
-                plan = compile_mapping(
-                    pconf if isinstance(pconf, str) else pconf["query"]
-                )
+                src = pconf if isinstance(pconf, str) else pconf["query"]
+                if src.strip() == "root = deleted()":
+                    # the reference's log-and-drop pattern (its own
+                    # template example): deleted() inside catch drops
+                    # exactly the errored messages
+                    out = out.filter(F.col(ERROR).isNull())
+                    continue
+                plan = compile_mapping(src)
                 assigns, _m, _d, _c = plan.compile_for(out)
-                out = P.catch_errors(out, dict(assigns))
+                errored = F.col(ERROR).isNotNull()
+                out = out.withColumns({
+                    k: F.when(errored, v).otherwise(
+                        F.col(k) if k in out.columns else F.lit(None)
+                    )
+                    for k, v in dict(assigns).items()
+                })
             else:
-                # general children (log/http/...): split-apply-union —
-                # the children run on the ERRORED subset only, then the
-                # flag clears (processor_catch.go semantics)
-                from bento_spark.operators.envelope import ERROR, ensure_envelope
-
-                out = ensure_envelope(out)
-                errored = out.filter(F.col(ERROR).isNotNull())
+                # general children (log/http/...): split-apply-union on
+                # the errored subset, flag preserved until the end
+                errored_rows = out.filter(F.col(ERROR).isNotNull())
                 ok_rows = out.filter(F.col(ERROR).isNull())
-                recovered = _apply_children(
-                    errored, [child], "catch"
-                ).withColumn(ERROR, F.lit(None).cast("string"))
+                recovered = _apply_children(errored_rows, [child], "catch")
                 out = ok_rows.unionByName(
                     recovered, allowMissingColumns=True
                 )
-        return out
+        return out.withColumn(ERROR, F.lit(None).cast("string"))
     plan = compile_mapping(conf if isinstance(conf, str) else conf["query"])
     assigns, _meta, _dw, _cw = plan.compile_for(df)
     return P.catch_errors(df, dict(assigns))

@@ -1,0 +1,253 @@
+"""Config templates: user-defined reusable components rendered from a
+Bloblang mapping (reference: internal/template/ — ``name/type/fields/
+mapping/tests`` files registered with ``bento -t``, each instance's
+field values feeding the mapping as ``this`` to produce the expanded
+config snippet).
+
+Rendering runs the template's mapping through the tier-c Bloblang
+interpreter over the plain field-value dict — a per-CONFIG (not
+per-message) evaluation, so interpreter speed is irrelevant and the
+per-message engine's exact semantics (maps/apply, format, lambdas with
+enclosing `this`, "-"/index path targets, throw) carry over. Field
+defaults apply before rendering; basic type coercion mirrors the
+docs.FieldSpec behavior (string/int/float/bool/unknown + list kind).
+
+Template `tests:` blocks run the same render and compare the expanded
+node; a test with no `expected` asserts the render FAILS (the
+reference's type-coercion fixtures use this).
+
+`metrics_mapping` is parsed for validity but not applied: metric names
+here come from the MetricsRegistry, which templates do not rewrite —
+documented divergence, surfaced via `lint`.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any
+
+import yaml
+
+from bento_spark.plans.config import ConfigError
+
+VALID_TYPES = {
+    "processor", "input", "output", "cache", "rate_limit", "metrics",
+    "tracer",
+}
+
+
+class TemplateError(ConfigError):
+    pass
+
+
+def _coerce(val: Any, ftype: str | None, kind: str | None):
+    """docs.FieldSpec-style scalar coercion; raises on impossible."""
+    def one(v):
+        if ftype in (None, "unknown", "object"):
+            return v
+        if ftype == "string":
+            # strict like the reference's template lint: a value that
+            # NEEDS coercing (bool/number -> string) is an error
+            if not isinstance(v, str):
+                raise TemplateError("expected string")
+            return v
+        if ftype == "int":
+            if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+                raise TemplateError("expected int")
+            return int(v)
+        if ftype == "float":
+            if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+                raise TemplateError("expected float")
+            return float(v)
+        if ftype == "bool":
+            if isinstance(v, bool):
+                return v
+            if isinstance(v, str) and v.lower() in ("true", "false"):
+                return v.lower() == "true"
+            raise TemplateError("expected bool")
+        return v
+
+    if kind == "list":
+        if not isinstance(val, list):
+            raise TemplateError("expected list")
+        return [one(v) for v in val]
+    if kind == "map":
+        if not isinstance(val, dict):
+            raise TemplateError("expected map")
+        return {k: one(v) for k, v in val.items()}
+    return one(val)
+
+
+class Template:
+    def __init__(self, conf: dict):
+        self.name = conf.get("name") or ""
+        self.type = conf.get("type") or ""
+        self.fields = list(conf.get("fields") or [])
+        self.mapping = conf.get("mapping") or ""
+        self.metrics_mapping = conf.get("metrics_mapping") or ""
+        self.tests = list(conf.get("tests") or [])
+        if not self.name:
+            raise TemplateError("template requires a `name`")
+        if self.type not in VALID_TYPES:
+            raise TemplateError(
+                f"template {self.name!r}: type must be one of "
+                f"{sorted(VALID_TYPES)}, got {self.type!r}"
+            )
+        if not self.mapping:
+            raise TemplateError(f"template {self.name!r} has no mapping")
+        # parse both mappings now so a broken template fails at
+        # registration, not first use (the reference compiles eagerly)
+        from bento_spark.bloblang.parser import parse_mapping
+
+        parse_mapping(self.mapping)
+        if self.metrics_mapping:
+            parse_mapping(self.metrics_mapping)
+
+    def render(self, instance: dict | None) -> dict:
+        """Field values -> expanded config node."""
+        from bento_spark.bloblang.interp import InterpError, interpret_mapping
+
+        vals = dict(instance or {})
+        coerce_errs = []
+        for f in self.fields:
+            name = f["name"]
+            if name not in vals:
+                if "default" in f:
+                    vals[name] = f["default"]
+                else:
+                    raise TemplateError(
+                        f"template {self.name!r}: field {name!r} is "
+                        "required"
+                    )
+            else:
+                try:
+                    vals[name] = _coerce(
+                        vals[name], f.get("type"), f.get("kind")
+                    )
+                except TemplateError:
+                    coerce_errs.append(f"{name}({f.get('type')})")
+        if coerce_errs:
+            raise TemplateError(
+                "Fields were coerced into incorrect types: "
+                + ", ".join(coerce_errs)
+            )
+        known = {f["name"] for f in self.fields}
+        unknown = set(vals) - known
+        if unknown:
+            raise TemplateError(
+                f"template {self.name!r}: unknown fields {sorted(unknown)}"
+            )
+        try:
+            out, _ = interpret_mapping(self.mapping, json.dumps(vals), {})
+        except InterpError as ex:
+            raise TemplateError(
+                f"template {self.name!r} render failed: {ex}"
+            ) from ex
+        if not isinstance(out, dict):
+            raise TemplateError(
+                f"template {self.name!r} mapping must produce an object"
+            )
+        return out
+
+    def run_tests(self) -> list[str]:
+        """Returns failure strings; a test with no `expected` asserts
+        the render fails."""
+        fails = []
+        for t in self.tests:
+            name = t.get("name", "?")
+            try:
+                got = self.render(t.get("config") or {})
+            except TemplateError as ex:
+                if t.get("expected") is None:
+                    continue  # expected failure
+                fails.append(f"{self.name}/{name}: render failed: {ex}")
+                continue
+            want = t.get("expected")
+            if want is None:
+                fails.append(
+                    f"{self.name}/{name}: expected a render failure, "
+                    f"got {json.dumps(got)[:120]}"
+                )
+            elif got != want:
+                fails.append(
+                    f"{self.name}/{name}: mismatch\n  got:  "
+                    f"{json.dumps(got, sort_keys=True)[:200]}\n  want: "
+                    f"{json.dumps(want, sort_keys=True)[:200]}"
+                )
+        return fails
+
+
+def load_template(src: str) -> Template:
+    """Parse a template from YAML text or a file path."""
+    if "\n" not in src and os.path.exists(src):
+        with open(src) as f:
+            src = f.read()
+    conf = yaml.safe_load(src)
+    if not isinstance(conf, dict):
+        raise TemplateError("template must be a YAML mapping")
+    return Template(conf)
+
+
+def register_template(tmpl: Template) -> None:
+    """Install the template under its name in the matching registry —
+    an instance config renders to the expansion, which then builds
+    through the normal component path."""
+    if tmpl.type == "processor":
+        from bento_spark.plans.pipeline import PROCESSORS, _apply_children
+
+        def proc(df, conf, _t=tmpl):
+            return _apply_children(df, [_t.render(conf)], f"template {_t.name}")
+
+        PROCESSORS[tmpl.name] = proc
+    elif tmpl.type == "input":
+        from bento_spark.sources import SOURCES, build_source
+
+        def source(spark, conf, _t=tmpl):
+            rendered = dict(_t.render(conf))
+            procs = rendered.pop("processors", None) or []
+            (iname, iconf), = rendered.items()
+            df, streaming = build_source(spark, iname, iconf)
+            if procs:
+                from bento_spark.plans.pipeline import _apply_children
+
+                df = _apply_children(df, procs, f"template {_t.name}")
+            return df, streaming
+
+        SOURCES[tmpl.name] = source
+    elif tmpl.type == "output":
+        from bento_spark.sinks import SINKS, run_sink
+
+        def sink(df, is_streaming, conf, _t=tmpl):
+            rendered = _t.render(conf)
+            (oname, oconf), = rendered.items()
+            return run_sink(df, is_streaming, oname, oconf)
+
+        SINKS[tmpl.name] = sink
+    else:
+        raise TemplateError(
+            f"template type {tmpl.type!r} registration not supported "
+            "here (cache/rate_limit templates render through their "
+            "resource sections)"
+        )
+
+
+def init_templates(paths: list[str]) -> list[Template]:
+    """Load + register template files (globs allowed) — the engine's
+    `bento -t ./templates/*.yaml` equivalent. Runs each template's own
+    tests first and refuses registration on failure."""
+    out = []
+    for pattern in paths:
+        files = sorted(glob.glob(pattern)) or [pattern]
+        for path in files:
+            tmpl = load_template(path)
+            fails = tmpl.run_tests()
+            if fails:
+                raise TemplateError(
+                    f"template {path}: self-tests failed:\n"
+                    + "\n".join(fails)
+                )
+            register_template(tmpl)
+            out.append(tmpl)
+    return out

@@ -1,0 +1,132 @@
+"""Config templates (reference internal/template/): the reference's
+OWN template_examples corpus renders correctly through the Bloblang
+interpreter, and registered templates build as real components."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from bento_spark.plans.templates import (
+    Template,
+    TemplateError,
+    load_template,
+    register_template,
+)
+
+EXAMPLES = "/root/reference/config/template_examples"
+
+
+def _example_files():
+    return sorted(glob.glob(f"{EXAMPLES}/*.yaml"))
+
+
+def test_reference_template_corpus_is_found():
+    assert len(_example_files()) == 7  # pinned: upstream corpus size
+
+
+@pytest.mark.parametrize(
+    "path", _example_files(), ids=lambda p: p.rsplit("/", 1)[-1]
+)
+def test_reference_template_self_tests_pass(path):
+    tmpl = load_template(path)
+    assert tmpl.run_tests() == []
+
+
+def test_field_defaults_and_coercion():
+    t = Template({
+        "name": "t1", "type": "processor",
+        "fields": [
+            {"name": "a", "type": "string"},
+            {"name": "b", "type": "int", "default": 3},
+        ],
+        "mapping": 'root.mapping = "root.x = %v + %v".format(this.a, this.b)',
+    })
+    out = t.render({"a": "this.y"})
+    assert out == {"mapping": "root.x = this.y + 3"}
+    with pytest.raises(TemplateError, match="required"):
+        t.render({})
+    with pytest.raises(TemplateError, match="coerced"):
+        t.render({"a": {"not": "a string"}})
+    with pytest.raises(TemplateError, match="unknown fields"):
+        t.render({"a": "x", "zzz": 1})
+
+
+def test_processor_template_end_to_end(spark):
+    """log_and_drop (the reference's own example) registered and used
+    in a pipeline: errored messages are logged and DROPPED."""
+    from bento_spark.plans.pipeline import PROCESSORS, build_pipeline
+
+    tmpl = load_template(f"{EXAMPLES}/processor_log_and_drop.yaml")
+    register_template(tmpl)
+    try:
+        p = build_pipeline(spark, """
+input:
+  generate:
+    count: 10
+    mapping: 'root.n = counter()'
+pipeline:
+  processors:
+    - mutation: |
+        root.k = if this.n % 3 == 0 {
+          throw("unlucky")
+        } else { this.n }
+    - log_and_drop: {}
+output:
+  memory:
+    name: tmpl_e2e
+""")
+        p.run()
+        rows = spark.table("tmpl_e2e").collect()
+        # n in 1..10; n % 3 == 0 -> 3,6,9 dropped
+        assert len(rows) == 7
+    finally:
+        PROCESSORS.pop("log_and_drop", None)
+
+
+def test_input_template_end_to_end(spark):
+    from bento_spark.plans.pipeline import build_pipeline
+    from bento_spark.sources import SOURCES
+
+    t = Template({
+        "name": "numbers", "type": "input",
+        "fields": [{"name": "n", "type": "int", "default": 5}],
+        "mapping": """
+root.generate.count = this.n
+root.generate.mapping = "root.v = counter()"
+""",
+    })
+    register_template(t)
+    try:
+        p = build_pipeline(spark, """
+input:
+  numbers:
+    n: 4
+output:
+  memory:
+    name: tmpl_input_e2e
+""")
+        p.run()
+        assert spark.table("tmpl_input_e2e").count() == 4
+    finally:
+        SOURCES.pop("numbers", None)
+
+
+def test_cli_template_lint(spark, capsys):
+    from bento_spark.__main__ import main
+
+    rc = main(["template", "lint", *_example_files()], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count(": OK") == 7
+
+
+def test_broken_template_rejected():
+    with pytest.raises(TemplateError, match="type must be"):
+        Template({"name": "x", "type": "nope", "mapping": "root = {}"})
+    with pytest.raises(Exception):
+        Template({
+            "name": "x", "type": "processor",
+            "mapping": "root = if { broken",
+        })
