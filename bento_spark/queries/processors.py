@@ -1760,3 +1760,64 @@ output:
         F.col("_error").alias("err"),
     )
     return main.unionByName(dlq).orderBy("event_id")
+
+
+@query(
+    "pipeline_template",
+    oracle="""
+    SELECT event_id, event_id * 2 AS k
+    FROM events WHERE event_id % 7 <> 0
+    ORDER BY event_id
+    """,
+)
+def pipeline_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The template engine end-to-end with the REFERENCE'S OWN template
+    (config/template_examples/processor_log_and_drop.yaml, loaded
+    verbatim): a mutation conditionally throw()s, the registered
+    log_and_drop template expands to its catch[log, deleted()] chain,
+    and exactly the errored messages are logged-and-dropped. The
+    surviving rows hash-match the batch oracle — certifying template
+    loading, Bloblang rendering, component registration, and the
+    reference's catch-drop semantics in one row."""
+    import os
+
+    from bento_spark.plans import build_pipeline
+    from bento_spark.plans.pipeline import PROCESSORS
+    from bento_spark.plans.templates import init_templates
+
+    tpath = (
+        "/root/reference/config/template_examples/"
+        "processor_log_and_drop.yaml"
+    )
+    registered = False
+    if os.path.exists(tpath) and "log_and_drop" not in PROCESSORS:
+        init_templates([tpath])
+        registered = True
+    try:
+        p = build_pipeline(
+            spark,
+            f"""
+input:
+  parquet:
+    path: {sf_dir}/events.parquet
+pipeline:
+  processors:
+    - mutation: |
+        root.k = if this.event_id % 7 == 0 {{
+          throw("sevens are unlucky")
+        }} else {{ this.event_id * 2 }}
+    - log_and_drop: {{}}
+""",
+        )
+        out = p.dataframe()
+        eid = F.get_json_object("content", "$.event_id").cast("long")
+        return (
+            out.select(
+                eid.alias("event_id"),
+                F.get_json_object("content", "$.k").cast("long").alias("k"),
+            )
+            .orderBy("event_id")
+        )
+    finally:
+        if registered:
+            PROCESSORS.pop("log_and_drop", None)
