@@ -134,3 +134,60 @@ def test_dsir_top_m_bounds_output(spark):
     corpus = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
     out = dsir_importance(corpus, F.col("lang") == "en", top_m=5).collect()
     assert len(out) == 5
+
+
+# ------------------------------------------------------- BM25 property
+
+def _bm25_reference(corpus, queries, k=5, k1=1.2, b=0.75):
+    """Direct loop implementation from the Okapi formula."""
+    import math
+
+    docs = {i: (t or "").lower().split() for i, t in corpus}
+    docs = {i: [w for w in ws if w] for i, ws in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in docs.values()) / n
+    out = []
+    for qid, qtext in queries:
+        qterms = {w for w in (qtext or "").lower().split() if w}
+        scores = {}
+        for d, ws in docs.items():
+            s = 0.0
+            for t in qterms:
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                df = sum(1 for w2 in docs.values() if t in w2)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(ws) / avgdl)
+                )
+            if s > 0:
+                scores[d] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend(
+            (qid, r + 1, d, s) for r, (d, s) in enumerate(ranked)
+        )
+    return out
+
+
+def test_bm25_matches_reference_loop_on_random_corpora(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["apple", "beta", "code", "data", "echo"])
+    text = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(text, min_size=2, max_size=8),
+           qtexts=st.lists(text, min_size=1, max_size=2))
+    def run(docs, qtexts):
+        corpus = list(enumerate(docs))
+        queries = [(100 + i, q) for i, q in enumerate(qtexts)]
+        cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+        qdf = spark.createDataFrame(queries, ["qid", "qtext"])
+        got = [tuple(r) for r in bm25_topk(cdf, qdf, k=3).collect()]
+        want = _bm25_reference(corpus, queries, k=3)
+        assert got == want
+
+    run()
