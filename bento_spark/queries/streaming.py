@@ -590,3 +590,94 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "n", "total")
         .orderBy("key")
     )
+
+
+@query(
+    "stream_late_data_drop",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_id % 50 <> 0
+    GROUP BY 1 ORDER BY window_start
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics certified end-to-end: every 50th
+    event is WITHHELD from its time slice and re-injected in the final
+    file — by then the watermark (30-minute delay over a month-scale
+    stream) sits far past their windows, so Structured Streaming must
+    DROP every straggler. The emitted windows therefore hash-match a
+    batch aggregate that excludes exactly the withheld rows; if the
+    engine admitted any late row, its window count would differ. The
+    far-future sentinel (stream_recovery pattern) pushes the watermark
+    past every real window so append mode emits them all."""
+    import datetime
+    import os
+    import shutil
+
+    base = (
+        "/tmp/bento_spark_gate/late_drop_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    on_time = ev.filter(F.col("event_id") % 50 != 0)
+    late = ev.filter(F.col("event_id") % 50 == 0)
+    hi = ev.agg(F.max("ts")).first()[0]
+    in_dir = _stage_time_slices(
+        spark, on_time, base, n_slices=3,
+        sentinel=(hi + datetime.timedelta(hours=3), -1),
+    )
+    # stragglers arrive LAST (after the sentinel slot so their batch's
+    # pre-update watermark already sits at end-of-stream minus delay)
+    tmp = f"{base}/tmp_late"
+    late.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.rename(f"{tmp}/{src}", f"{in_dir}/zz_late.parquet")
+    shutil.rmtree(tmp)
+    import time as _time
+
+    t0 = _time.time()
+    for i, name in enumerate(sorted(os.listdir(in_dir))):
+        os.utime(f"{in_dir}/{name}", (t0 + 10 * i, t0 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    win = F.window("ts", "1 hour")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    _STATEFUL_RUN[0] += 1
+    qname = f"late_drop_{_STATEFUL_RUN[0]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    hi_floor = hi.replace(minute=0, second=0, microsecond=0)
+    return (
+        spark.table(qname)
+        # the sentinel's own far-future window may or may not emit
+        # depending on the final-batch watermark; it is not part of
+        # the data under test either way
+        .filter(F.col("window_start") <= hi_floor)
+        .orderBy("window_start")
+    )
