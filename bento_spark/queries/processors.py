@@ -1821,3 +1821,47 @@ pipeline:
     finally:
         if registered:
             PROCESSORS.pop("log_and_drop", None)
+
+
+@query(
+    "pipeline_metrics",
+    oracle="""
+    SELECT 'gate_filtered_events' AS metric,
+           CAST((SELECT count(*) FROM events WHERE value >= 50) AS DOUBLE)
+             AS value
+    """,
+)
+def pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability plane driver-gated: a YAML pipeline counts
+    rows through a `metric` processor placed AFTER a filter
+    (processor_metric.go:144 — observe() values exist only once the
+    sink action runs, so the harvested counter proves the full
+    build -> run -> harvest loop), and the registry's value is
+    hash-matched against the oracle's count."""
+    from bento_spark.observability import default_registry
+    from bento_spark.plans import build_pipeline
+
+    name = "gate_filtered_events"
+    reg = default_registry()
+    before = float(reg.snapshot()["counters"].get(name, 0.0))
+    p = build_pipeline(
+        spark,
+        f"""
+input:
+  parquet:
+    path: {sf_dir}/events.parquet
+pipeline:
+  processors:
+    - filter: this.value >= 50
+    - metric:
+        type: counter
+        name: {name}
+output:
+  noop: {{}}
+""",
+    )
+    p.run()
+    after = float(reg.snapshot()["counters"].get(name, 0.0))
+    return spark.createDataFrame(
+        [(name, after - before)], "metric string, value double"
+    )
