@@ -91,7 +91,7 @@ _PRIORITY = [
     "text_bpe_tokenize", "stream_join_interval", "sample_temperature_mix",
     "text_chunk_windows", "proc_sql_pgwire", "pipeline_yaml_stream",
     "pipeline_error_handling", "embed_mlp_quantized", "pipeline_template",
-    "stream_late_data_drop", "pipeline_metrics",
+    "stream_late_data_drop", "pipeline_metrics", "pipeline_error_retry",
     # (branch + http singles demoted r5 for the two new LLM-pipeline
     # rows: both re-covered by proc_yaml_surface_gauntlet's
     # switch/http/while chain and proc_workflow_dag's branch mechanics)

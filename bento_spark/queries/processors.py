@@ -1865,3 +1865,83 @@ output:
     return spark.createDataFrame(
         [(name, after - before)], "metric string, value double"
     )
+
+
+@query(
+    "pipeline_error_retry",
+    oracle="""
+    SELECT event_id, event_id * 3 AS k
+    FROM events ORDER BY event_id
+    """,
+)
+def pipeline_error_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error_handling RETRY strategy end-to-end (the reference's
+    feedback pipeline, internal/bundle/strict/pipeline.go): a processor
+    fails each unlucky row ON ITS FIRST EVALUATION ONLY (a per-row
+    marker under /tmp — a deterministic transient fault), so the retry
+    pass re-runs the chain on exactly the errored rows and they come
+    back clean. The final output must equal the batch transform of ALL
+    rows — any row left errored or dropped breaks the hash."""
+    import os
+    import shutil
+
+    from bento_spark.plans import build_pipeline
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    base = (
+        "/tmp/bento_spark_gate/error_retry_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    seen = f"{base}/seen"
+    os.makedirs(seen)
+
+    def flaky_once(df, conf):
+        from bento_spark.operators.envelope import ensure_envelope
+
+        df = ensure_envelope(df)
+
+        def run(batches):
+            import os as _os
+
+            for pdf in batches:
+                err = pdf["_error"].copy()
+                for i, eid in enumerate(pdf["event_id"]):
+                    if eid % 11 != 0:
+                        continue
+                    mark = f"{seen}/{int(eid)}"
+                    if not _os.path.exists(mark):
+                        open(mark, "w").close()
+                        err.iloc[i] = "first-touch outage"
+                yield pdf.assign(_error=err)
+
+        return df.mapInPandas(run, df.schema)
+
+    PROCESSORS["__gate_flaky_once"] = flaky_once
+    try:
+        p = build_pipeline(
+            spark,
+            f"""
+input:
+  parquet:
+    path: {sf_dir}/events.parquet
+pipeline:
+  processors:
+    - __gate_flaky_once: {{}}
+    - mutation: 'root.k = this.event_id * 3'
+error_handling:
+  strategy: retry
+  max_retries: 2
+""",
+        )
+        out = p.dataframe()
+        # the compiled mutation keeps typed columns (no content
+        # envelope); retry materializes eagerly at build, so dropping
+        # the registration before the driver's deferred collect is safe
+        return (
+            out.filter(F.col("_error").isNull())
+            .select("event_id", F.col("k").cast("long").alias("k"))
+            .orderBy("event_id")
+        )
+    finally:
+        PROCESSORS.pop("__gate_flaky_once", None)
