@@ -109,6 +109,21 @@ def _type_of(env: Env, col: Column):
         return None
 
 
+def _null_safe_field(env: Env, col: Column, p: str) -> Column:
+    """`x.p` where the statically-known struct lacks `p` (or x is
+    already a typed NULL) reads as null — the reference's IGet
+    semantics (value/type_helpers.go) — instead of failing analysis.
+    Inside lambdas (no resolvable type) the plain access stands."""
+    from pyspark.sql import types as T
+
+    t = _type_of(env, col)
+    if isinstance(t, T.StructType):
+        return col[p] if p in t.fieldNames() else F.lit(None)
+    if isinstance(t, T.NullType):
+        return F.lit(None)
+    return col[p]
+
+
 def compile_node(node: A.Node, env: Env) -> Column:
     if isinstance(node, A.Lit):
         return F.lit(node.value)
@@ -186,11 +201,11 @@ def compile_node(node: A.Node, env: Env) -> Column:
             else:
                 col = F.col(head)
             for p in rest:
-                col = col[p]
+                col = _null_safe_field(env, col, p)
             return col
         col = compile_node(node.base, env)
         for p in node.parts:
-            col = col[p]
+            col = _null_safe_field(env, col, p)
         return col
     if isinstance(node, A.Index):
         base = compile_node(node.base, env)
@@ -361,7 +376,9 @@ def _compile_func(node: A.FuncCall, env: Env) -> Column:
         return F.lit(None)
     if node.name in ("meta", "metadata", "root_meta"):
         if not node.args:
-            raise CompileError("meta() requires a key")
+            # no-arg form: the whole metadata object
+            # (query/functions.go meta() docs)
+            return F.col("_metadata")
         key = node.args[0]
         if not isinstance(key, A.Lit):
             raise CompileError("meta key must be a literal")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 TWO_CHAR = ("==", "!=", ">=", "<=", "&&", "||", "->", "=>")
-ONE_CHAR = "+-*/%()[]{},.:=<>!|#$_"
+ONE_CHAR = "+-*/%()[]{},.:=<>!|#$_@"
 KEYWORDS = {"if", "else", "match", "let", "meta", "root", "this", "true", "false", "null"}
 
 

@@ -239,6 +239,15 @@ class Parser:
         if t.kind == "op" and t.text == "$":
             name = self.expect("ident")
             return A.Var(name.text)
+        if t.kind == "op" and t.text == "@":
+            # metadata shorthand (parser/query_function_parser.go
+            # metadataReferenceParser): `@key` == meta("key"), bare `@`
+            # == meta() (the whole metadata object)
+            if self.at("ident"):
+                return A.FuncCall("meta", [A.Lit(self.next().text)])
+            if self.at("str"):
+                return A.FuncCall("meta", [A.Lit(self.next().text)])
+            return A.FuncCall("meta", [])
         if t.kind == "ident":
             if self.at("op", "("):
                 return A.FuncCall(t.text, self.call_args())
@@ -365,10 +374,12 @@ class Parser:
             ).text == ".":
                 self.next(skip_nl=False)
                 seg = self.peek(skip_nl=False)
-                if seg.kind not in ("ident", "str"):
+                if seg.kind not in ("ident", "str", "kw"):
                     # quoted segments carry arbitrary keys — incl. the
                     # JSON-pointer-style "-" array append the template
-                    # corpus uses (root.processors."-".bloblang = ...)
+                    # corpus uses (root.processors."-".bloblang = ...);
+                    # keywords are legal field names in path position
+                    # (root.meta.link_count — the docs' own examples)
                     raise ParseError(
                         f"expected path segment at {seg.pos}"
                     )

@@ -349,20 +349,32 @@ GROK_PATTERNS: dict[str, str] = {
 _GROK_REF = _re_mod = None
 
 
-def grok_compile(pattern: str) -> tuple[str, list[str]]:
-    """Expand %{PATTERN:name} / %{PATTERN} references -> (java regex,
-    [field names]). Nested library references expand recursively."""
+_GROK_REF_RE = r"%\{(\w+)(?::([\w.\[\]]+))?(?::(\w+))?\}"
+
+_GROK_TYPES = {"int": "long", "long": "long", "float": "double",
+               "double": "double", "bool": "boolean",
+               "boolean": "boolean", "string": "string"}
+
+
+def grok_compile(
+    pattern: str, extra: dict[str, str] | None = None
+) -> tuple[str, list[tuple[str, str]]]:
+    """Expand %{PATTERN:name[:type]} / %{PATTERN} references ->
+    (java regex, [(field, spark type)]). Nested library references
+    expand recursively; ``extra`` adds the config's
+    `pattern_definitions` (processor_grok.go) to the library."""
     import re as _re
 
-    fields: list[str] = []
+    lib = {**GROK_PATTERNS, **(extra or {})}
+    fields: list[tuple[str, str]] = []
 
     def repl(m):
-        name, field = m.group(1), m.group(2)
-        if name not in GROK_PATTERNS:
+        name, field, typ = m.group(1), m.group(2), m.group(3)
+        if name not in lib:
             raise ValueError(f"unknown grok pattern %{{{name}}}")
-        inner = _re.sub(r"%\{(\w+)(?::(\w+))?\}", repl, GROK_PATTERNS[name])
+        inner = _re.sub(_GROK_REF_RE, repl, lib[name])
         if field:
-            fields.append(field)
+            fields.append((field, _GROK_TYPES.get(typ or "string", "string")))
             return f"({inner})"
         return f"(?:{inner})"
 
@@ -370,15 +382,18 @@ def grok_compile(pattern: str) -> tuple[str, list[str]]:
     # group index — neutralize to non-capturing before expansion
     # (escaped parens and existing (?...) constructs untouched)
     safe = _re.sub(r"(?<!\\)\((?!\?)", "(?:", pattern)
-    java = _re.sub(r"%\{(\w+)(?::(\w+))?\}", repl, safe)
+    java = _re.sub(_GROK_REF_RE, repl, safe)
     return java, fields
 
 
-def grok(df: DataFrame, col: str, pattern: str) -> DataFrame:
+def grok(df: DataFrame, col: str, pattern: str,
+         extra: dict[str, str] | None = None) -> DataFrame:
     """``grok`` processor (processor_grok.go:104): %{PATTERN:name}
-    pattern library -> one regexp per named capture, all codegen."""
-    java, fields = grok_compile(pattern)
+    pattern library -> one regexp per named capture, all codegen;
+    `:int`/`:float` type suffixes cast the capture."""
+    java, fields = grok_compile(pattern, extra)
     out = df
-    for i, name in enumerate(fields, start=1):
-        out = out.withColumn(name, F.regexp_extract(F.col(col), java, i))
+    for i, (name, typ) in enumerate(fields, start=1):
+        c = F.regexp_extract(F.col(col), java, i)
+        out = out.withColumn(name, c.cast(typ) if typ != "string" else c)
     return out

@@ -787,7 +787,13 @@ def redis_command_enrich(df, client_factory, command: str,
     src = args_mapping if args_mapping.strip().startswith("root") else (
         "root = " + args_mapping
     )
-    out_schema = df.schema.add(result_column, "string")
+    # StructType.add MUTATES in place (and df caches its schema object),
+    # so build the output schema from a fresh copy
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(result_column, StringType())]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()
@@ -795,9 +801,11 @@ def redis_command_enrich(df, client_factory, command: str,
             metas = pdf[META] if META in pdf else [{} for _ in range(len(pdf))]
             results = []
             for content, meta in zip(pdf["content"], metas):
-                args = interpret_mapping(src, content or "", dict(meta or {}))
+                args, _ = interpret_mapping(src, content or "", dict(meta or {}))
+                if not isinstance(args, (list, tuple)):
+                    args = [] if args is None else [args]
                 reply = client._command(
-                    command.upper(), *[str(a) for a in (args or [])]
+                    command.upper(), *[str(a) for a in args]
                 )
                 results.append(
                     reply if isinstance(reply, str) else repr(reply)

@@ -114,11 +114,36 @@ class TinyTransformer:
         return cls(w, heads, layers, max_len, salt)
 
     @classmethod
-    def from_npz(cls, path: str, heads: int, layers: int,
-                 max_len: int = 64, salt: str = "nn") -> "TinyTransformer":
-        """Load exported checkpoint weights (the ONNX-less drop-in)."""
+    def from_npz(cls, path: str, heads: int | None = None,
+                 layers: int | None = None, max_len: int = 64,
+                 salt: str = "nn") -> "TinyTransformer":
+        """Load exported checkpoint weights (the ONNX-less drop-in).
+        Checkpoints exported by tools/train_checkpoint.py carry their
+        own ``_heads/_layers/_max_len`` metadata; explicit arguments
+        override it."""
         z = np.load(path)
-        return cls({k: z[k] for k in z.files}, heads, layers, max_len, salt)
+        w = {k: z[k] for k in z.files if not k.startswith("_")}
+        heads = int(z["_heads"]) if heads is None else heads
+        layers = int(z["_layers"]) if layers is None else layers
+        if "_max_len" in z.files:
+            max_len = int(z["_max_len"])
+        return cls(w, heads, layers, max_len, salt)
+
+    @classmethod
+    def default(cls) -> "TinyTransformer":
+        """The packaged TRAINED checkpoint when present (exported by
+        tools/train_checkpoint.py — InfoNCE doc-half contrastive
+        training on the documents corpus, manual-backprop numpy loop),
+        else the seeded initializer."""
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "weights",
+            "tiny_transformer.npz",
+        )
+        if os.path.exists(path):
+            return cls.from_npz(path)
+        return cls.seeded()
 
     def _attn(self, x: np.ndarray, i: int) -> np.ndarray:
         T, d = x.shape
@@ -154,13 +179,18 @@ class TinyTransformer:
 def transformer_embedder(dim: int = 32, heads: int = 4, layers: int = 2,
                          seed: int = 7):
     """Column UDF: text -> array<double> through the transformer
-    forward pass on the predict_batch_udf execution path."""
+    forward pass on the predict_batch_udf execution path. Uses the
+    packaged TRAINED checkpoint when it matches the requested
+    architecture (tools/train_checkpoint.py), else the seeded
+    initializer."""
     from pyspark.sql.types import ArrayType, DoubleType
 
     def make():
-        model = TinyTransformer.seeded(
-            dim=dim, heads=heads, layers=layers, seed=seed
-        )
+        model = TinyTransformer.default()
+        if (model.dim, model.heads, model.layers) != (dim, heads, layers):
+            model = TinyTransformer.seeded(
+                dim=dim, heads=heads, layers=layers, seed=seed
+            )
 
         def predict(batch: np.ndarray) -> np.ndarray:
             return model.encode(list(batch))
@@ -184,14 +214,51 @@ class QuantizedMLP:
 
     def __init__(self, dim_in: int = 64, hidden: int = 32,
                  dim_out: int = 16, q: int = 16, seed: int = 13,
-                 salt: str = "qmlp"):
-        rng = np.random.default_rng(seed)
-        self.w1 = rng.integers(-3, 4, size=(dim_in, hidden))
-        self.b1 = rng.integers(-8, 9, size=hidden)
-        self.w2 = rng.integers(-3, 4, size=(hidden, dim_out))
-        self.b2 = rng.integers(-8, 9, size=dim_out)
+                 salt: str = "qmlp",
+                 weights: dict[str, np.ndarray] | None = None):
+        if weights is not None:
+            self.w1 = weights["w1"].astype(np.int64)
+            self.b1 = weights["b1"].astype(np.int64)
+            self.w2 = weights["w2"].astype(np.int64)
+            self.b2 = weights["b2"].astype(np.int64)
+            dim_in, hidden = self.w1.shape
+            dim_out = self.w2.shape[1]
+            q = int(weights.get("q", q))
+        else:
+            rng = np.random.default_rng(seed)
+            self.w1 = rng.integers(-3, 4, size=(dim_in, hidden))
+            self.b1 = rng.integers(-8, 9, size=hidden)
+            self.w2 = rng.integers(-3, 4, size=(hidden, dim_out))
+            self.b2 = rng.integers(-8, 9, size=dim_out)
         self.dim_in, self.hidden = dim_in, hidden
         self.dim_out, self.q, self.salt = dim_out, q, salt
+
+    # -- checkpoint IO ------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path, w1=self.w1, b1=self.b1, w2=self.w2, b2=self.b2,
+            q=np.int64(self.q),
+        )
+
+    @classmethod
+    def from_npz(cls, path: str, salt: str = "qmlp") -> "QuantizedMLP":
+        z = np.load(path)
+        return cls(weights={k: z[k] for k in z.files}, salt=salt)
+
+    @classmethod
+    def default(cls) -> "QuantizedMLP":
+        """The packaged TRAINED checkpoint when present (exported by
+        tools/train_checkpoint.py — a language classifier distilled
+        from the documents corpus), else the seeded initializer."""
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "weights", "quantized_mlp.npz"
+        )
+        if os.path.exists(path):
+            return cls.from_npz(path)
+        return cls()
 
     def counts(self, text: str) -> np.ndarray:
         x = np.zeros(self.dim_in, dtype=np.int64)

@@ -1,0 +1,355 @@
+"""In-repo training for the nn.py inference runtimes (no ML framework).
+
+The reference's nlp_* processors load trained checkpoints (internal/
+impl/huggingface/processor_feature_extraction.go:18); this module is
+the missing half of that story for the from-scratch runtimes: a plain
+numpy training loop that produces REAL learned weights, exported as
+``.npz`` and loaded by the same `from_npz` paths inference uses.
+
+Two trainers:
+
+* :func:`train_mlp` — a float 2-layer MLP (hashed bag-of-words ->
+  hidden ReLU -> softmax classes) trained with manual backprop + Adam,
+  then :func:`quantize_mlp` converts it to the integer-exact
+  :class:`~bento_spark.operators.nn.QuantizedMLP` form (scale, round,
+  clip; the ``//q`` requantization step absorbs the first layer's
+  scale), preserving the decision behavior while keeping the
+  bit-exact SQL-replay property.
+* :func:`train_tiny_transformer` — full manual backprop through the
+  TinyTransformer encoder (layer-norm, multi-head attention, GELU FFN,
+  mean-pool, L2-norm) under an InfoNCE contrastive objective: two
+  halves of the same document are positives, in-batch others are
+  negatives (SimCSE-style, Gao et al. 2021). Gradients are verified
+  against central finite differences in tests/test_nn_train.py.
+
+Driver-side by design: these models are tiny (tens of KB); training
+data is a bounded sample. Corpus-scale TRAINING is out of scope (the
+engine's job is inference over Arrow batches); corpus-scale INPUT to
+training rides a `df.sample().collect()` upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bento_spark.operators.nn import (
+    QuantizedMLP,
+    TinyTransformer,
+    gelu,
+    layer_norm,
+    softmax,
+    _tok_ids,
+)
+
+# ---------------------------------------------------------------------------
+# float MLP: train + quantize
+# ---------------------------------------------------------------------------
+
+
+def _counts_matrix(texts: list[str], dim_in: int, salt: str) -> np.ndarray:
+    m = QuantizedMLP(dim_in=dim_in, salt=salt)
+    return np.stack([m.counts(t) for t in texts]).astype(np.float64)
+
+
+def train_mlp(
+    texts: list[str], labels: list[int], dim_in: int = 64,
+    hidden: int = 32, dim_out: int = 16, epochs: int = 30,
+    batch: int = 128, lr: float = 1e-2, seed: int = 0,
+    salt: str = "qmlp",
+) -> dict[str, np.ndarray]:
+    """Softmax classifier over hashed BoW counts; returns float weights
+    {w1 (dim_in,hidden), b1, w2 (hidden,dim_out), b2} + train accuracy
+    under 'acc'."""
+    rng = np.random.default_rng(seed)
+    x = _counts_matrix(texts, dim_in, salt)
+    x = x / np.maximum(x.sum(axis=1, keepdims=True), 1)  # length-norm
+    y = np.asarray(labels)
+    n = len(x)
+    w1 = rng.standard_normal((dim_in, hidden)) / np.sqrt(dim_in)
+    b1 = np.zeros(hidden)
+    w2 = rng.standard_normal((hidden, dim_out)) / np.sqrt(hidden)
+    b2 = np.zeros(dim_out)
+    params = [w1, b1, w2, b2]
+    m_ = [np.zeros_like(p) for p in params]
+    v_ = [np.zeros_like(p) for p in params]
+    t = 0
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        for s in range(0, n, batch):
+            idx = order[s:s + batch]
+            xb, yb = x[idx], y[idx]
+            h_pre = xb @ w1 + b1
+            h = np.maximum(h_pre, 0)
+            z = h @ w2 + b2
+            p = softmax(z)
+            g_z = p.copy()
+            g_z[np.arange(len(yb)), yb] -= 1.0
+            g_z /= len(yb)
+            g_w2 = h.T @ g_z
+            g_b2 = g_z.sum(axis=0)
+            g_h = g_z @ w2.T
+            g_h[h_pre <= 0] = 0.0
+            g_w1 = xb.T @ g_h
+            g_b1 = g_h.sum(axis=0)
+            grads = [g_w1, g_b1, g_w2, g_b2]
+            t += 1
+            for i, (pm, g) in enumerate(zip(params, grads)):
+                m_[i] = 0.9 * m_[i] + 0.1 * g
+                v_[i] = 0.999 * v_[i] + 0.001 * g * g
+                mh = m_[i] / (1 - 0.9 ** t)
+                vh = v_[i] / (1 - 0.999 ** t)
+                pm -= lr * mh / (np.sqrt(vh) + 1e-8)
+    pred = np.argmax(
+        np.maximum(x @ w1 + b1, 0) @ w2 + b2, axis=1
+    )
+    return {
+        "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+        "acc": np.float64((pred == y).mean()),
+    }
+
+
+def quantize_mlp(
+    fw: dict[str, np.ndarray], q: int = 16, s1: float = None,
+    s2: float = 8.0, salt: str = "qmlp",
+) -> QuantizedMLP:
+    """Float weights -> the integer-exact network.
+
+    The int forward is ``(relu(x@W1i + b1i) // q) @ W2i + b2i`` over
+    RAW integer counts. Training normalizes counts by length L, so the
+    first-layer scale folds L in per-document only approximately; we
+    pick s1 so typical activations land well above q (floor-div noise
+    < 1 quantum) and fold s1/q into the second layer's scale. Integer
+    ranges stay tiny vs int64, preserving the exact-SQL-replay
+    property for any input."""
+    if s1 is None:
+        s1 = 4.0 * q
+    w1 = np.rint(fw["w1"] * s1).astype(np.int64)
+    b1 = np.rint(fw["b1"] * s1 * 8.0).astype(np.int64)  # ~typical L
+    w2 = np.rint(fw["w2"] * s2).astype(np.int64)
+    b2 = np.rint(fw["b2"] * s2 * s1 / q * 8.0).astype(np.int64)
+    return QuantizedMLP(
+        weights={"w1": w1, "b1": b1, "w2": w2, "b2": b2, "q": q},
+        salt=salt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TinyTransformer: forward with caches + manual backprop + InfoNCE
+# ---------------------------------------------------------------------------
+#
+# Parameter layout mirrors TinyTransformer.weights exactly, so the
+# trained dict drops straight into TinyTransformer(...)/np.savez.
+
+
+def _ln_fwd(x, g, b, eps=1e-5):
+    mu = x.mean(axis=-1, keepdims=True)
+    xc = x - mu
+    var = (xc * xc).mean(axis=-1, keepdims=True)
+    inv = 1.0 / np.sqrt(var + eps)
+    xhat = xc * inv
+    return xhat * g + b, (xhat, inv, g)
+
+
+def _ln_bwd(dy, cache):
+    xhat, inv, g = cache
+    d = xhat.shape[-1]
+    dg = (dy * xhat).sum(axis=tuple(range(dy.ndim - 1)))
+    db = dy.sum(axis=tuple(range(dy.ndim - 1)))
+    dxhat = dy * g
+    dx = inv * (
+        dxhat
+        - dxhat.mean(axis=-1, keepdims=True)
+        - xhat * (dxhat * xhat).mean(axis=-1, keepdims=True)
+    )
+    return dx, dg, db
+
+
+def _gelu_bwd(x):
+    """d/dx of the tanh-form GELU."""
+    c = np.sqrt(2.0 / np.pi)
+    u = c * (x + 0.044715 * x ** 3)
+    t = np.tanh(u)
+    du = c * (1.0 + 3 * 0.044715 * x ** 2)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+
+
+def _encode_fwd(model: TinyTransformer, text: str):
+    """Forward pass retaining every intermediate needed for backprop."""
+    w = model.w
+    ids = _tok_ids(text, w["emb"].shape[0], model.salt)
+    ids = ids[: model.max_len] or [0]
+    T = len(ids)
+    x = w["emb"][ids] + w["pos"][:T]
+    caches = []
+    for i in range(model.layers):
+        ln1, c_ln1 = _ln_fwd(x, w[f"{i}.ln1_g"], w[f"{i}.ln1_b"])
+        h, dh = model.heads, model.dim // model.heads
+        q = (ln1 @ w[f"{i}.wq"]).reshape(T, h, dh).transpose(1, 0, 2)
+        k = (ln1 @ w[f"{i}.wk"]).reshape(T, h, dh).transpose(1, 0, 2)
+        v = (ln1 @ w[f"{i}.wv"]).reshape(T, h, dh).transpose(1, 0, 2)
+        scores = q @ k.transpose(0, 2, 1) / np.sqrt(dh)
+        att = softmax(scores)
+        ctx = att @ v  # (h, T, dh)
+        ctx2 = ctx.transpose(1, 0, 2).reshape(T, model.dim)
+        attn_out = ctx2 @ w[f"{i}.wo"]
+        x1 = x + attn_out
+        ln2, c_ln2 = _ln_fwd(x1, w[f"{i}.ln2_g"], w[f"{i}.ln2_b"])
+        ffn_pre = ln2 @ w[f"{i}.w1"] + w[f"{i}.b1"]
+        ffn_act = gelu(ffn_pre)
+        x2 = x1 + ffn_act @ w[f"{i}.w2"] + w[f"{i}.b2"]
+        caches.append(
+            (x, c_ln1, ln1, q, k, v, att, ctx2, x1, c_ln2, ln2,
+             ffn_pre, ffn_act)
+        )
+        x = x2
+    pooled = x.mean(axis=0)
+    nrm = np.linalg.norm(pooled)
+    emb = pooled / nrm if nrm > 0 else pooled
+    return emb, (ids, T, caches, x, pooled, nrm)
+
+
+def _encode_bwd(model: TinyTransformer, demb: np.ndarray, fwd_cache,
+                grads: dict[str, np.ndarray]):
+    """Accumulate d(loss)/d(weights) into ``grads`` for one text."""
+    w = model.w
+    ids, T, caches, x_final, pooled, nrm = fwd_cache
+    # L2-norm backward: d(pooled/|p|) = (I - e e^T)/|p|
+    if nrm > 0:
+        e = pooled / nrm
+        dpooled = (demb - e * (demb @ e)) / nrm
+    else:
+        dpooled = demb
+    dx = np.repeat(dpooled[None, :] / T, T, axis=0)
+    h, dh = model.heads, model.dim // model.heads
+    for i in reversed(range(model.layers)):
+        (x_in, c_ln1, ln1, q, k, v, att, ctx2, x1, c_ln2, ln2,
+         ffn_pre, ffn_act) = caches[i]
+        # x2 = x1 + gelu(ln2@w1 + b1) @ w2 + b2
+        dffn_out = dx
+        grads[f"{i}.w2"] += ffn_act.T @ dffn_out
+        grads[f"{i}.b2"] += dffn_out.sum(axis=0)
+        dffn_act = dffn_out @ w[f"{i}.w2"].T
+        dffn_pre = dffn_act * _gelu_bwd(ffn_pre)
+        grads[f"{i}.w1"] += ln2.T @ dffn_pre
+        grads[f"{i}.b1"] += dffn_pre.sum(axis=0)
+        dln2 = dffn_pre @ w[f"{i}.w1"].T
+        dx1_from_ln, dg2, db2 = _ln_bwd(dln2, c_ln2)
+        grads[f"{i}.ln2_g"] += dg2
+        grads[f"{i}.ln2_b"] += db2
+        dx1 = dx + dx1_from_ln
+        # x1 = x_in + (att @ v reshaped) @ wo
+        dattn_out = dx1
+        grads[f"{i}.wo"] += ctx2.T @ dattn_out
+        dctx2 = dattn_out @ w[f"{i}.wo"].T
+        dctx = dctx2.reshape(T, h, dh).transpose(1, 0, 2)
+        datt = dctx @ v.transpose(0, 2, 1)
+        dv = att.transpose(0, 2, 1) @ dctx
+        # softmax backward per row
+        dscores = att * (datt - (datt * att).sum(axis=-1, keepdims=True))
+        dscores /= np.sqrt(dh)
+        dq = dscores @ k
+        dk = dscores.transpose(0, 2, 1) @ q
+        dq2 = dq.transpose(1, 0, 2).reshape(T, model.dim)
+        dk2 = dk.transpose(1, 0, 2).reshape(T, model.dim)
+        dv2 = dv.transpose(1, 0, 2).reshape(T, model.dim)
+        grads[f"{i}.wq"] += ln1.T @ dq2
+        grads[f"{i}.wk"] += ln1.T @ dk2
+        grads[f"{i}.wv"] += ln1.T @ dv2
+        dln1 = (
+            dq2 @ w[f"{i}.wq"].T
+            + dk2 @ w[f"{i}.wk"].T
+            + dv2 @ w[f"{i}.wv"].T
+        )
+        dx_from_ln, dg1, db1 = _ln_bwd(dln1, c_ln1)
+        grads[f"{i}.ln1_g"] += dg1
+        grads[f"{i}.ln1_b"] += db1
+        dx = dx1 + dx_from_ln
+    # x = emb[ids] + pos[:T]
+    grads["pos"][:T] += dx
+    np.add.at(grads["emb"], ids, dx)
+
+
+def infonce_loss_and_grads(
+    model: TinyTransformer, view_a: list[str], view_b: list[str],
+    tau: float = 0.1,
+) -> tuple[float, dict[str, np.ndarray]]:
+    """InfoNCE over in-batch negatives, symmetric (a->b and b->a).
+
+    Embeddings are L2-normalized, so similarity = dot product.
+    Returns (loss, grads-dict matching model.w)."""
+    n = len(view_a)
+    fa, fb, ea, eb = [], [], [], []
+    for t in view_a:
+        e, c = _encode_fwd(model, t)
+        ea.append(e)
+        fa.append(c)
+    for t in view_b:
+        e, c = _encode_fwd(model, t)
+        eb.append(e)
+        fb.append(c)
+    A = np.stack(ea)
+    B = np.stack(eb)
+    sim = A @ B.T / tau
+    p_ab = softmax(sim, axis=1)
+    p_ba = softmax(sim.T, axis=1)
+    eye = np.eye(n)
+    loss = -0.5 * (
+        np.log(p_ab[eye == 1] + 1e-12).mean()
+        + np.log(p_ba[eye == 1] + 1e-12).mean()
+    )
+    # dL/dsim (symmetric halves, each averaged over n rows)
+    dsim = 0.5 * ((p_ab - eye) / n + ((p_ba - eye) / n).T) / tau
+    dA = dsim @ B
+    dB = dsim.T @ A
+    grads = {k: np.zeros_like(v) for k, v in model.w.items()}
+    for j in range(n):
+        _encode_bwd(model, dA[j], fa[j], grads)
+        _encode_bwd(model, dB[j], fb[j], grads)
+    return float(loss), grads
+
+
+def train_tiny_transformer(
+    texts: list[str], dim: int = 32, heads: int = 4, ffn: int = 64,
+    layers: int = 2, vocab: int = 512, max_len: int = 64,
+    epochs: int = 3, batch: int = 16, lr: float = 3e-3, seed: int = 7,
+    tau: float = 0.1, salt: str = "nn", log=None,
+) -> TinyTransformer:
+    """Contrastive training: split each doc into two halves (views),
+    InfoNCE with in-batch negatives, Adam. Returns the trained model
+    (save with ``np.savez(path, **model.w)``)."""
+    rng = np.random.default_rng(seed)
+    model = TinyTransformer.seeded(
+        dim=dim, heads=heads, ffn=ffn, layers=layers, vocab=vocab,
+        max_len=max_len, seed=seed, salt=salt,
+    )
+    pairs = []
+    for t in texts:
+        toks = (t or "").split()
+        if len(toks) < 4:
+            continue
+        mid = len(toks) // 2
+        pairs.append((" ".join(toks[:mid]), " ".join(toks[mid:])))
+    keys = sorted(model.w)
+    m_ = {k: np.zeros_like(model.w[k]) for k in keys}
+    v_ = {k: np.zeros_like(model.w[k]) for k in keys}
+    t_step = 0
+    for ep in range(epochs):
+        order = rng.permutation(len(pairs))
+        for s in range(0, len(pairs) - 1, batch):
+            chunk = [pairs[j] for j in order[s:s + batch]]
+            if len(chunk) < 2:
+                continue
+            loss, grads = infonce_loss_and_grads(
+                model, [a for a, _ in chunk], [b for _, b in chunk], tau
+            )
+            t_step += 1
+            for k in keys:
+                g = grads[k]
+                m_[k] = 0.9 * m_[k] + 0.1 * g
+                v_[k] = 0.999 * v_[k] + 0.001 * g * g
+                mh = m_[k] / (1 - 0.9 ** t_step)
+                vh = v_[k] / (1 - 0.999 ** t_step)
+                model.w[k] -= lr * mh / (np.sqrt(vh) + 1e-8)
+            if log is not None:
+                log(ep, t_step, loss)
+    return model

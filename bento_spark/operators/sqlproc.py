@@ -37,12 +37,29 @@ def sql_insert(
     if args_mapping:
         from bento_spark.bloblang import compile_expr
 
-        out = df.select(
-            *[
-                compile_expr(src, df=df).alias(name)
-                for name, src in args_mapping.items()
-            ]
-        )
+        if isinstance(args_mapping, str):
+            # the reference's form: a Bloblang ARRAY mapping aligned
+            # positionally with `columns`
+            # (`args_mapping: root = [ this.a, this.b ]`)
+            exprs = _args_exprs(args_mapping)
+            if len(exprs) != len(columns):
+                raise ValueError(
+                    f"sql_insert: {len(columns)} columns but "
+                    f"args_mapping yields {len(exprs)} values"
+                )
+            out = df.select(
+                *[
+                    compile_expr(src, df=df).alias(name)
+                    for name, src in zip(columns, exprs)
+                ]
+            )
+        else:
+            out = df.select(
+                *[
+                    compile_expr(src, df=df).alias(name)
+                    for name, src in args_mapping.items()
+                ]
+            )
     else:
         out = df.select(*columns)
     writer = out.write.mode("append")
@@ -65,6 +82,203 @@ def sql_raw(df: DataFrame, is_streaming: bool, query: str, view: str = "stream")
     return df
 
 
+def _split_top_level(src: str) -> list[str]:
+    """Split a Bloblang array-literal body on TOP-LEVEL commas
+    (bracket/paren/quote aware) — `[a, f(b, c), "x,y"]` -> 3 parts."""
+    parts, depth, buf, quote = [], 0, [], None
+    i = 0
+    while i < len(src):
+        ch = src[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote and src[i - 1] != "\\":
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch in "([{":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if "".join(buf).strip():
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _args_exprs(args_mapping: str) -> list[str]:
+    """`root = [ e1, e2 ]` / `[ e1, e2 ]` -> ["e1", "e2"]."""
+    src = args_mapping.strip()
+    if src.startswith("root"):
+        src = src.split("=", 1)[1].strip()
+    if not (src.startswith("[") and src.endswith("]")):
+        raise ValueError(
+            "args_mapping must be an array literal (root = [ ... ])"
+        )
+    return _split_top_level(src[1:-1])
+
+
+_PLACEHOLDER_RE = r"\?|\$\d+"
+
+
+def sql_raw_driver(df: DataFrame, conf: dict) -> DataFrame:
+    """``sql_raw`` driver form (processor_sql_raw.go): run the
+    statement per message against a REAL database, `?`/`$N`
+    placeholders bound from ``args_mapping``.
+
+    Drivers: ``duckdb`` (embedded, REAL positional parameter binding
+    through the duckdb API — the reference ships the same embedded
+    driver) and ``postgres`` (the repo's from-scratch pgwire client;
+    the simple query protocol has no Bind message, so placeholders
+    substitute CLIENT-SIDE through pg_quote escaping — values are
+    always quoted, never spliced raw). Other documented drivers accept
+    the config and fail at connect time.
+
+    ``exec_only: true`` passes messages through; otherwise the result
+    rows replace the content as a JSON array (the reference's
+    enrichment shape). ``init_statement``/``init_files`` run once per
+    connection. Embedded FILE-backed duckdb is single-writer, so the
+    frame coalesces to one partition — the reference's
+    ``conn_max_open: 1`` analog; ``:memory:`` keeps full parallelism
+    (each partition owns its seeded copy)."""
+    import re
+    from collections.abc import Iterator
+
+    from bento_spark.bloblang import compile_expr
+    from bento_spark.operators.envelope import ERROR, ensure_envelope
+    from bento_spark.plans.pipeline import _lift_content
+
+    df = _lift_content(ensure_envelope(df))
+    driver = conf["driver"]
+    dsn = str(conf.get("dsn", ":memory:"))
+    query = str(conf["query"])
+    exec_only = bool(conf.get("exec_only"))
+    init_stmt = str(conf.get("init_statement") or "")
+    init_files = list(conf.get("init_files") or [])
+
+    # compile each args_mapping element to a Column (JVM-side eval);
+    # metadata("x") spellings ride the same compiler as everywhere else
+    arg_cols = []
+    if conf.get("args_mapping"):
+        arg_cols = [
+            compile_expr(e, df=df).cast("string")
+            for e in _args_exprs(str(conf["args_mapping"]))
+        ]
+    n_ph = len(re.findall(_PLACEHOLDER_RE, query))
+    if n_ph != len(arg_cols):
+        raise ValueError(
+            f"sql_raw: query has {n_ph} placeholders but args_mapping "
+            f"yields {len(arg_cols)}"
+        )
+
+    df = ensure_envelope(df)
+    for i, c in enumerate(arg_cols):
+        df = df.withColumn(f"__sqlarg{i}", c)
+    argnames = [f"__sqlarg{i}" for i in range(len(arg_cols))]
+    if "content" not in df.columns:
+        df = df.withColumn("content", F.lit(None).cast("string"))
+    schema = df.schema
+    if driver == "duckdb" and dsn not in (":memory:", ""):
+        df = df.coalesce(1)  # embedded single-writer file
+
+    # $N -> positional ? (args reordered by appearance)
+    order = [
+        int(m[1:]) - 1 if m.startswith("$") else None
+        for m in re.findall(_PLACEHOLDER_RE, query)
+    ]
+    q_pos = re.sub(_PLACEHOLDER_RE, "?", query)
+
+    def _connect():
+        if driver == "duckdb":
+            import duckdb
+
+            con = duckdb.connect(dsn if dsn else ":memory:")
+            for fp in init_files:
+                con.execute(open(fp).read())
+            if init_stmt:
+                con.execute(init_stmt)
+            return con
+        if driver == "postgres":
+            from urllib.parse import urlparse
+
+            from bento_spark.operators.pgwire import PostgresClient
+
+            u = urlparse(dsn)
+            cli = PostgresClient(
+                host=u.hostname or "localhost", port=u.port or 5432,
+                user=u.username or "postgres", password=u.password or "",
+                database=(u.path or "/postgres").lstrip("/"),
+            )
+            if init_stmt:
+                cli.execute(init_stmt)
+            return cli
+        raise ValueError(
+            f"sql_raw: driver {driver!r} needs an external server "
+            "absent here (duckdb/postgres are live)"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import json as _json
+
+        con = None
+        for pdf in batches:
+            if con is None and len(pdf):
+                con = _connect()
+            contents, errs = [], []
+            for idx in range(len(pdf)):
+                if pdf[ERROR].iloc[idx] is not None:
+                    contents.append(pdf["content"].iloc[idx])
+                    errs.append(pdf[ERROR].iloc[idx])
+                    continue
+                raw = [pdf[a].iloc[idx] for a in argnames]
+                args = [
+                    raw[o] if o is not None else raw[j]
+                    for j, o in enumerate(order)
+                ]
+                try:
+                    if driver == "duckdb":
+                        cur = con.execute(q_pos, args)
+                        rows = cur.fetchall()
+                        cols = [d[0] for d in (cur.description or [])]
+                    else:
+                        from bento_spark.operators.pgwire import pg_quote
+
+                        parts = re.split(f"({_PLACEHOLDER_RE})", query)
+                        k = 0
+                        out = []
+                        for p in parts:
+                            if re.fullmatch(_PLACEHOLDER_RE, p):
+                                out.append(pg_quote(args[k]))
+                                k += 1
+                            else:
+                                out.append(p)
+                        cols, rows = con.query("".join(out))
+                    if exec_only:
+                        contents.append(pdf["content"].iloc[idx])
+                    else:
+                        contents.append(_json.dumps(
+                            [dict(zip(cols, r)) for r in rows],
+                            separators=(",", ":"), default=str,
+                        ))
+                    errs.append(None)
+                except Exception as ex:  # noqa: BLE001 - per-message error
+                    contents.append(pdf["content"].iloc[idx])
+                    errs.append(f"sql_raw: {type(ex).__name__}: {ex}")
+            pdf = pdf.copy()
+            pdf["content"] = contents
+            pdf[ERROR] = errs
+            yield pdf
+
+    return df.mapInPandas(run, schema).drop(*argnames)
+
+
 def register_pipeline_processors() -> None:
     from bento_spark.plans.pipeline import PROCESSORS
 
@@ -78,6 +292,8 @@ def register_pipeline_processors() -> None:
         )
 
     def _proc_sql_raw(df: DataFrame, conf) -> DataFrame:
+        if isinstance(conf, dict) and conf.get("driver"):
+            return sql_raw_driver(df, conf)
         q = conf if isinstance(conf, str) else conf["query"]
         view = "stream" if isinstance(conf, str) else conf.get("view", "stream")
         return sql_raw(df, False, q, view)

@@ -998,50 +998,82 @@ class SFTPClient:
         return entries
 
     def read_file(self, path: str, chunk: int = 32768, pipeline: int = 8) -> bytes:
-        """Pipelined sequential read of a whole remote file."""
+        """Pipelined sequential read of a whole remote file.
+
+        SFTP v3 (draft-ietf-secsh-filexfer-02 §6.4) allows a server to
+        return FEWER bytes than requested mid-file; only an FXP_STATUS
+        of FX_EOF (or a zero-length DATA) terminates the file. A short
+        DATA reply invalidates the later fixed-boundary pipelined
+        requests, so the pipeline restarts from the short offset
+        instead of treating the short read as EOF."""
         handle = self.open(path, FXF_READ)
         out = io.BytesIO()
         try:
-            offset = 0
-            eof = False
-            pending: dict[int, int] = {}  # rid -> offset
-            chunks: dict[int, bytes | None] = {}
-            next_write = 0
-            while not eof or pending:
-                while not eof and len(pending) < pipeline:
-                    rid = self._send(
-                        FXP_READ,
-                        ssh_string(handle) + struct.pack(">QI", offset, chunk),
-                    )
-                    pending[rid] = offset
-                    offset += chunk
-                typ, rid, r = self._read_raw()
-                if rid not in pending:
-                    raise SSHError("unmatched sftp READ reply")
-                off = pending.pop(rid)
-                if typ == FXP_DATA:
-                    chunks[off] = r.string()
-                elif typ == FXP_STATUS:
-                    code = r.uint32()
-                    if code != FX_EOF:
-                        raise SFTPError(code, r.string().decode("utf-8", "replace"))
-                    chunks[off] = None
-                    eof = True
-                else:
-                    raise SSHError(f"unexpected sftp packet {typ}")
-                while next_write in chunks:
-                    data = chunks.pop(next_write)
-                    if data is None:
-                        eof = True
-                        break
-                    out.write(data)
-                    if len(data) < chunk:
-                        eof = True
-                        break
-                    next_write += chunk
+            pos = 0
+            while True:
+                pos, eof = self._read_span(handle, out, pos, chunk, pipeline)
+                if eof:
+                    break
         finally:
             self.close(handle)
         return out.getvalue()
+
+    def _read_span(
+        self, handle: bytes, out: io.BytesIO, start: int,
+        chunk: int, pipeline: int,
+    ) -> tuple[int, bool]:
+        """One pipelined read burst from ``start``; returns
+        (next_offset, eof). Stops early — NOT eof — on a short non-EOF
+        reply, draining (and discarding) the misaligned in-flight
+        requests so the caller can restart at the short offset."""
+        offset = start
+        stop = False  # no further requests issued
+        eof = False
+        short_at: int | None = None
+        pending: dict[int, int] = {}  # rid -> offset
+        chunks: dict[int, bytes | None] = {}
+        next_write = start
+        while pending or not stop:
+            while not stop and len(pending) < pipeline:
+                rid = self._send(
+                    FXP_READ,
+                    ssh_string(handle) + struct.pack(">QI", offset, chunk),
+                )
+                pending[rid] = offset
+                offset += chunk
+            typ, rid, r = self._read_raw()
+            if rid not in pending:
+                raise SSHError("unmatched sftp READ reply")
+            off = pending.pop(rid)
+            if typ == FXP_DATA:
+                chunks[off] = r.string()
+            elif typ == FXP_STATUS:
+                code = r.uint32()
+                if code != FX_EOF:
+                    raise SFTPError(code, r.string().decode("utf-8", "replace"))
+                chunks[off] = None
+                stop = True
+            else:
+                raise SSHError(f"unexpected sftp packet {typ}")
+            while short_at is None and not eof and next_write in chunks:
+                data = chunks.pop(next_write)
+                if data is None or data == b"":
+                    eof = True
+                    stop = True
+                    break
+                out.write(data)
+                if len(data) < chunk:
+                    # short non-EOF read: later pipelined offsets no
+                    # longer line up — restart from the true position
+                    short_at = next_write + len(data)
+                    stop = True
+                    break
+                next_write += chunk
+        if eof:
+            return next_write, True
+        if short_at is not None:
+            return short_at, False
+        return next_write, True
 
     def write_file(self, path: str, data: bytes, chunk: int = 32768,
                    append: bool = False):

@@ -67,6 +67,72 @@ def subprocess_processor(
     )
 
 
+def command_per_message(
+    df: DataFrame, name: str, args_mapping: str, col: str = "content",
+    timeout: float = 60.0,
+) -> DataFrame:
+    """``command`` with DATA-DRIVEN argv (processor_command.go): one
+    exec per message — the reference's own execution model for this
+    processor — with args resolved per row by the tier-c Bloblang
+    interpreter. stdout replaces the content; a non-zero exit sets
+    ``_error``."""
+    from collections.abc import Iterator
+
+    from bento_spark.operators.envelope import ERROR, META, ensure_envelope
+
+    df = ensure_envelope(df)
+    if col not in df.columns:
+        df = df.withColumn(col, F.lit(None).cast("string"))
+    src = args_mapping if args_mapping.strip().startswith("root") else (
+        "root = " + args_mapping
+    )
+    schema = df.schema
+
+    def run(batches: Iterator) -> Iterator:
+        from bento_spark.bloblang.interp import interpret_mapping
+
+        for pdf in batches:
+            metas = pdf[META] if META in pdf else [{} for _ in range(len(pdf))]
+            outs, errs = [], []
+            for content, meta, err in zip(pdf[col], metas, pdf[ERROR]):
+                if err is not None:
+                    outs.append(content)
+                    errs.append(err)
+                    continue
+                try:
+                    args, _ = interpret_mapping(
+                        src, content or "", dict(meta or {})
+                    )
+                    if not isinstance(args, (list, tuple)):
+                        args = [] if args is None else [args]
+                    proc = _sp.run(
+                        [name, *[str(a) for a in args]],
+                        input=(content or "").encode(),
+                        stdout=_sp.PIPE, stderr=_sp.PIPE,
+                        timeout=timeout, check=False,
+                    )
+                    if proc.returncode != 0:
+                        outs.append(content)
+                        errs.append(
+                            f"command exited {proc.returncode}: "
+                            f"{proc.stderr.decode(errors='replace')[:200]}"
+                        )
+                    else:
+                        outs.append(
+                            proc.stdout.decode(errors="replace").rstrip("\n")
+                        )
+                        errs.append(None)
+                except Exception as ex:  # noqa: BLE001 - per-message error
+                    outs.append(content)
+                    errs.append(f"command: {type(ex).__name__}: {ex}")
+            pdf = pdf.copy()
+            pdf[col] = outs
+            pdf[ERROR] = errs
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def awk_processor(df: DataFrame, col: str, program: str) -> DataFrame:
     """``awk`` processor: the program runs on each message line."""
     return subprocess_processor(df, col, ["awk", program])
@@ -78,19 +144,20 @@ def register_pipeline_processors() -> None:
     def _proc_subprocess(df: DataFrame, conf) -> DataFrame:
         if isinstance(conf, dict) and "name" in conf and "args" not in conf:
             # the `command` doc shape: {name, args_mapping: '["-h"]'}
-            # (processor_command.go) — static-literal args only; dynamic
-            # per-message argv would need one process per message, which
-            # the reference's own docs warn against
+            # (processor_command.go — one exec PER MESSAGE by contract)
             import json as _json
 
             am = conf.get("args_mapping") or "[]"
-            am = am.split("=", 1)[1].strip() if am.strip().startswith("root") else am
+            body = am.split("=", 1)[1].strip() if am.strip().startswith("root") else am
             try:
-                extra = _json.loads(am.replace("'", '"'))
-            except ValueError as ex:
-                raise ValueError(
-                    "command: args_mapping must be a literal array here"
-                ) from ex
+                extra = _json.loads(body.replace("'", '"'))
+            except ValueError:
+                # data-driven argv: the reference execs per message
+                # anyway, so the dynamic form pays no extra cost —
+                # args resolve through the tier-c interpreter per row
+                return command_per_message(
+                    df, conf["name"], am, conf.get("column", "content")
+                )
             argv = [conf["name"], *[str(a) for a in extra]]
             return subprocess_processor(df, conf.get("column", "content"), argv)
         argv = conf["args"] if isinstance(conf, dict) else conf

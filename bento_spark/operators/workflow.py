@@ -178,7 +178,20 @@ def workflow(
     if order is not None:
         unknown = {n for tier in order for n in tier} - set(resolved)
         if unknown:
-            raise WorkflowError(f"workflow: unknown branches in order: {sorted(unknown)}")
+            from bento_spark.plans.pipeline import PLACEHOLDER_RESOURCES
+
+            if PLACEHOLDER_RESOURCES[0]:
+                # lint-mode: order may name branch RESOURCES declared in
+                # files this build doesn't see (workflow.go
+                # branch_resources) — drop them from the tiers
+                order = [
+                    [n for n in tier if n in resolved] for tier in order
+                ]
+                order = [tier for tier in order if tier]
+            else:
+                raise WorkflowError(
+                    f"workflow: unknown branches in order: {sorted(unknown)}"
+                )
         tiers = [list(t) for t in order]
     else:
         tiers = resolve_dag(resolved)

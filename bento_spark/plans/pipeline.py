@@ -151,6 +151,37 @@ def _proc_filter(df: DataFrame, conf) -> DataFrame:
 #: test runner re-registers per case so cross-batch state is scoped
 CACHE_RESOURCES: dict[str, object] = {}
 
+#: lint-mode escape hatch (mutable flag cell): docs examples and
+#: lint-only builds may reference resources declared in files the
+#: build doesn't see (the reference's `bento lint -r resources.yaml`
+#: pattern, internal/cli/lint.go). When enabled, unknown
+#: cache/processor resources resolve to benign placeholders (empty
+#: memory cache / noop) instead of failing the build. NEVER enabled
+#: for real runs — execution semantics require the real resource.
+PLACEHOLDER_RESOURCES = [False]
+
+
+class _PlaceholderCache(dict):
+    """Lint-build stand-in: dict-style access for the Bloblang cache_*
+    functions plus the KV mget/mset/close surface the processor
+    plumbing drives."""
+
+    def mget(self, keys):
+        return [self.get(k) for k in keys]
+
+    def mset(self, pairs):
+        self.update(pairs)
+
+    def close(self):
+        pass
+
+
+def _placeholder_cache(label: str):
+    """Register-and-return an empty memory cache for lint builds."""
+    CACHE_RESOURCES[label] = _PlaceholderCache()
+    CACHE_RESOURCE_CONFS.setdefault(label, {"memory": {}})
+    return CACHE_RESOURCES[label]
+
 
 #: raw conf per cache label — the streaming cache processor rebuilds
 #: the backend per executor from this (remote backends share state by
@@ -186,10 +217,13 @@ def _proc_dedupe(df: DataFrame, conf) -> DataFrame:
 
         cache = CACHE_RESOURCES.get(conf["cache"])
         if cache is None:
-            raise ConfigError(
-                f"unknown cache resource {conf['cache']!r} "
-                f"(have {sorted(CACHE_RESOURCES)})"
-            )
+            if PLACEHOLDER_RESOURCES[0]:
+                cache = _placeholder_cache(conf["cache"])
+            else:
+                raise ConfigError(
+                    f"unknown cache resource {conf['cache']!r} "
+                    f"(have {sorted(CACHE_RESOURCES)})"
+                )
         key = conf.get("key", "${! content() }")
         df = df.withColumn("__dedupe_key", compile_field(str(key), df))
         keys = [r[0] for r in df.select("__dedupe_key").distinct().limit(
@@ -525,6 +559,8 @@ def _resolve_resource(proc: dict, resources: dict[str, dict]) -> dict:
     if set(proc) == {"resource"}:
         label = proc["resource"]
         if label not in resources:
+            if PLACEHOLDER_RESOURCES[0]:
+                return {"noop": {}}
             raise ConfigError(
                 f"unknown processor resource {label!r} (have {sorted(resources)})"
             )
@@ -998,13 +1034,30 @@ def _rewrite_archive_roundtrip(children: list) -> list:
     JSON array before the transport and unwrapped after — the same
     request/response semantics PER ELEMENT, with the batching decided
     by the engine instead of the config (SURVEY §0: the reference
-    defines what to compute, not how)."""
+    defines what to compute, not how).
+
+    The rewrite CHANGES THE EXTERNALLY OBSERVABLE FRAMING when the
+    transport is a remote service (N one-element arrays instead of one
+    N-element array) — correct only for element-wise services. It
+    therefore logs a visible warning every time it fires, and an
+    explicit ``preserve_batch: true`` on the archive step opts out
+    entirely (the pair then runs as literal archive/unarchive)."""
     fmt = lambda c: (c if isinstance(c, dict) else {}).get("format", "json_array")  # noqa: E731
     arch = [i for i, ch in enumerate(children)
-            if "archive" in ch and fmt(ch["archive"]) == "json_array"]
+            if "archive" in ch and fmt(ch["archive"]) == "json_array"
+            and not (ch["archive"] or {}).get("preserve_batch")]
     unarch = [i for i, ch in enumerate(children)
               if "unarchive" in ch and fmt(ch["unarchive"]) == "json_array"]
     if arch and unarch and arch[0] < unarch[-1]:
+        import logging
+
+        logging.getLogger("bento_spark.pipeline").warning(
+            "branch: rewriting archive(json_array)->...->unarchive to "
+            "per-message 1-element array framing (engine-side batching); "
+            "a remote service between them will see N single-element "
+            "arrays instead of one batched array — set "
+            "archive.preserve_batch: true to keep the original framing"
+        )
         children = list(children)
         children[arch[0]] = {"__wrap_json_array": {}}
         children[unarch[-1]] = {"__unwrap_json_array": {}}
@@ -1092,20 +1145,46 @@ def _proc_retry(df: DataFrame, conf) -> DataFrame:
 
 def _proc_while(df: DataFrame, conf) -> DataFrame:
     """`while` (processor_while.go): re-apply children to messages
-    while the check holds, bounded by max_loops (the reference's
-    unbounded form is a driver-loop fixpoint; a bound is required here
-    because each round extends the plan)."""
+    while the check holds, bounded by max_loops.
+
+    The reference's default max_loops is 0 = UNLIMITED; a static
+    unrolled plan cannot be unbounded, so an explicit 0 is rejected
+    loudly (silently clamping it to 10 would change semantics without
+    a trace), while an ABSENT max_loops gets the practical default of
+    10 rounds. Rows that exhaust the bound with the check still true
+    exit with `_error` set instead of passing through silently."""
     from bento_spark.bloblang import compile_expr
+    from bento_spark.operators.envelope import ERROR
 
     children = conf.get("processors") or []
     check = conf["check"]
-    max_loops = int(conf.get("max_loops") or 10)
-    out = ensure_env(df)
+    raw_loops = conf.get("max_loops")
+    if raw_loops in (None, ""):
+        max_loops = 10
+    else:
+        max_loops = int(raw_loops)
+        if max_loops <= 0:
+            raise ConfigError(
+                "while: max_loops: 0 (the reference's 'unlimited') is "
+                "not supported by the unrolled static plan — set an "
+                "explicit positive bound"
+            )
+    out = _lift_content(ensure_env(df))
     done = []
     for _ in range(max_loops):
         cond = F.coalesce(compile_expr(check, df=out), F.lit(False))
         done.append(out.filter(~cond))
         out = _apply_children(out.filter(cond), children, "while")
+    # bound exhausted: anything still matching the check is an error,
+    # not a silent passthrough
+    exhausted = F.coalesce(compile_expr(check, df=out), F.lit(False))
+    out = out.withColumn(
+        ERROR,
+        F.when(
+            exhausted & F.col(ERROR).isNull(),
+            F.lit(f"while: max_loops ({max_loops}) reached with check still true"),
+        ).otherwise(F.col(ERROR)),
+    )
     res = done[0]
     for p in done[1:] + [out]:
         res = res.unionByName(p, allowMissingColumns=True)
@@ -1227,10 +1306,13 @@ def _proc_cache(df: DataFrame, conf) -> DataFrame:
     df = ensure_envelope(df)
     cache = CACHE_RESOURCES.get(conf["resource"])
     if cache is None:
-        raise ConfigError(
-            f"unknown cache resource {conf['resource']!r} "
-            f"(have {sorted(CACHE_RESOURCES)})"
-        )
+        if PLACEHOLDER_RESOURCES[0]:
+            cache = _placeholder_cache(conf["resource"])
+        else:
+            raise ConfigError(
+                f"unknown cache resource {conf['resource']!r} "
+                f"(have {sorted(CACHE_RESOURCES)})"
+            )
     op = conf.get("operator", "get")
     if df.isStreaming:
         return _proc_cache_streaming(df, conf)
@@ -1304,7 +1386,13 @@ def _proc_cache_streaming(df: DataFrame, conf) -> DataFrame:
     df = ensure_envelope(df)
     rconf = CACHE_RESOURCE_CONFS.get(conf["resource"])
     if rconf is None:
-        raise ConfigError(f"unknown cache resource {conf['resource']!r}")
+        if PLACEHOLDER_RESOURCES[0]:
+            _placeholder_cache(conf["resource"])
+            rconf = CACHE_RESOURCE_CONFS[conf["resource"]]
+        else:
+            raise ConfigError(
+                f"unknown cache resource {conf['resource']!r}"
+            )
     op = conf.get("operator", "get")
     if op not in ("get", "set", "add"):
         raise ConfigError(f"cache operator {op!r} not supported (get/set/add)")
@@ -1476,21 +1564,57 @@ PROCESSORS.update({
 def _proc_cached(df: DataFrame, conf) -> DataFrame:
     """`cached` (processor_cached.go): memoize child results by key.
     Spark-native spelling: dedupe the frame to DISTINCT keys, run the
-    children once per key, broadcast-join the results back — the
-    memoization IS the dedupe+join, no cache resource needed within the
-    plan (the reference's TTL'd cross-batch reuse belongs to the
-    `cache` processor)."""
+    children once per key, join the results back — the memoization IS
+    the dedupe+join, no cache resource needed within the plan (the
+    reference's TTL'd cross-batch reuse belongs to the `cache`
+    processor).
+
+    Two semantics the join must preserve:
+    - The reference substitutes the cached result WHOLESALE ("the
+      contents of the message will be replaced with the cached
+      result"), so EVERY child-visible column — including ones the
+      children rewrote in place (content after an http/mapping child)
+      and `_error` from a failing child — comes from the computed
+      side, not just newly-added columns.
+    - A key whose children emitted zero messages is a cached empty
+      result: same-key messages drop too (hence the inner join).
+
+    Scale: the distinct-key side is df-sized in the WORST case (mostly
+    unique keys — nothing in the config bounds cardinality), so the
+    join is deliberately NOT hint-forced; AQE picks broadcast only when
+    the measured size allows it."""
     from bento_spark.bloblang.field import compile_field
     from bento_spark.operators.envelope import ensure_envelope
 
-    df = ensure_envelope(df)
+    from bento_spark.operators.envelope import META
+
+    df = _lift_content(ensure_envelope(df))
     key_tpl = str(conf.get("key", "${! content() }"))
     df = df.withColumn("__cached_key", compile_field(key_tpl, df))
-    distinct = df.dropDuplicates(["__cached_key"])
+    # carry the key through the children inside the metadata envelope:
+    # a wholesale `root = ...` mapping drops sibling data columns but
+    # preserves metadata, so a plain key column would not survive
+    distinct = df.dropDuplicates(["__cached_key"]).withColumn(
+        META,
+        F.map_concat(
+            F.col(META),
+            F.create_map(F.lit("__cached_key"), F.col("__cached_key")),
+        ),
+    ).drop("__cached_key")
     computed = _apply_children(distinct, conf.get("processors") or [], "cached")
-    new_cols = [c for c in computed.columns if c not in df.columns]
-    side = computed.select("__cached_key", *new_cols)
-    return df.join(F.broadcast(side), "__cached_key", "left").drop("__cached_key")
+    computed = computed.withColumn(
+        "__cached_key", F.col(META)["__cached_key"]
+    ).withColumn(
+        META, F.map_filter(F.col(META), lambda k, _: k != "__cached_key")
+    )
+    # the original frame contributes ONLY multiplicity (one output row
+    # per input row); every column of the result is the child-computed
+    # row for that key — a wholesale replacement, like the reference
+    return (
+        df.select("__cached_key")
+        .join(computed, "__cached_key", "inner")
+        .drop("__cached_key")
+    )
 
 
 PROCESSORS["cached"] = _proc_cached
@@ -1611,7 +1735,10 @@ def _proc_grok(df: DataFrame, conf) -> DataFrame:
     from bento_spark.operators.codecs import grok as _grok
 
     exprs = conf.get("expressions") or [conf.get("expression")]
-    return _grok(ensure_env(df), conf.get("column", "content"), exprs[0])
+    return _grok(
+        ensure_env(df), conf.get("column", "content"), exprs[0],
+        extra=dict(conf.get("pattern_definitions") or {}),
+    )
 
 
 def _proc_parse_log(df: DataFrame, conf) -> DataFrame:
@@ -1687,16 +1814,91 @@ def _bq_client(conf):
     )
 
 
-def _bq_fetch(client, conf, key):
+def _proc_bigquery_select(df: DataFrame, conf) -> DataFrame:
+    """`gcp_bigquery_select` (processor_bigquery_select.go): per-message
+    SELECT with REAL positional query parameters. `args_mapping`
+    resolves to an array per message and each `?` binds one parameter
+    via jobs.query `queryParameters` (parameterMode=POSITIONAL) —
+    message data never splices into the SQL text, so string keys need
+    no quoting and content cannot inject SQL. The reference builds
+    `SELECT columns FROM \\`table\\` WHERE where` the same way
+    (bigquery.go buildQuery); the raw `query`/`sql` shorthand stays
+    supported. Rows replace the content as a JSON array."""
     import json as _json
 
-    rows = client.query(str(conf.get("query") or conf.get("sql", "")).replace(
-        "?", key if key else "NULL"
-    ))
-    return _json.dumps(rows, separators=(",", ":"))
+    from bento_spark.bloblang.field import compile_field
+    from bento_spark.bloblang.interp import interpret_mapping
+    from bento_spark.operators.envelope import ERROR, META, ensure_envelope
+
+    conf = conf or {}
+    if conf.get("query") or conf.get("sql"):
+        sql = str(conf.get("query") or conf["sql"])
+    else:
+        cols = ", ".join(conf.get("columns") or ["*"])
+        sql = f"SELECT {cols} FROM `{conf['table']}`"
+        if conf.get("where"):
+            sql += f" WHERE {conf['where']}"
+    if conf.get("prefix"):
+        sql = str(conf["prefix"]) + " " + sql
+    if conf.get("suffix"):
+        sql = sql + " " + str(conf["suffix"])
+    args_src = conf.get("args_mapping")
+    if args_src and not str(args_src).strip().startswith("root"):
+        args_src = "root = " + str(args_src)
+    key_tpl = conf.get("id") or conf.get("key")
+
+    df = ensure_envelope(df)
+    if "content" not in df.columns:
+        df = df.withColumn("content", F.lit(None).cast("string"))
+    if key_tpl and not args_src:
+        # legacy single-key surface: one positional parameter
+        df = df.withColumn("__bq_arg", compile_field(str(key_tpl), df))
+    schema = df.schema
+
+    def run(batches):
+        client = _bq_client(conf)
+        for pdf in batches:
+            metas = pdf[META] if META in pdf else [{} for _ in range(len(pdf))]
+            keys = pdf["__bq_arg"] if "__bq_arg" in pdf else [None] * len(pdf)
+            contents, errs = [], []
+            for content, meta, key, err in zip(
+                pdf["content"], metas, keys, pdf[ERROR]
+            ):
+                if err is not None:
+                    contents.append(content)
+                    errs.append(err)
+                    continue
+                try:
+                    if args_src:
+                        args, _ = interpret_mapping(
+                            args_src, content or "", dict(meta or {})
+                        )
+                        if not isinstance(args, (list, tuple)):
+                            raise TypeError(
+                                "args_mapping returned non-array result: "
+                                f"{type(args).__name__}"
+                            )
+                        args = list(args)
+                    elif key_tpl:
+                        args = [key]
+                    else:
+                        args = None
+                    rows = client.query(sql, params=args)
+                    contents.append(_json.dumps(rows, separators=(",", ":")))
+                    errs.append(None)
+                except Exception as ex:  # noqa: BLE001 - per-message error
+                    contents.append(content)
+                    errs.append(f"{type(ex).__name__}: {ex}")
+            pdf = pdf.copy()
+            pdf["content"] = contents
+            pdf[ERROR] = errs
+            yield pdf
+
+    out = df.mapInPandas(run, schema)
+    return out.drop("__bq_arg") if "__bq_arg" in df.columns else out
 
 
-PROCESSORS["gcp_bigquery_select"] = _lookup_processor(_bq_client, _bq_fetch)
+PROCESSORS["gcp_bigquery_select"] = _proc_bigquery_select
 
 PROCESSORS.update({
     "grok": _proc_grok,

@@ -326,17 +326,22 @@ def _proc_sql_select(df: DataFrame, conf) -> DataFrame:
         import pandas as pd
         from pyspark.sql.types import StringType
 
-        from bento_spark.operators.pgwire import PgClient
+        from bento_spark.operators.pgwire import PostgresClient
 
         u = urlparse(conf["dsn"])
         df = ensure_envelope(df)
-        schema = df.schema.add(result, StringType())
+        # StructType.add mutates in place; df caches its schema object
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            list(df.schema.fields) + [StructField(result, StringType())]
+        )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             client = None
             for pdf in batches:
                 if client is None and len(pdf):
-                    client = PgClient(
+                    client = PostgresClient(
                         host=u.hostname or "localhost", port=u.port or 5432,
                         user=u.username or "postgres",
                         password=u.password or "",
@@ -344,9 +349,11 @@ def _proc_sql_select(df: DataFrame, conf) -> DataFrame:
                     )
                 vals = []
                 for _ in range(len(pdf)):
-                    rows = client.query(sql)
-                    vals.append(_json.dumps(rows, separators=(",", ":"),
-                                            default=str))
+                    cols, rows = client.query(sql)
+                    vals.append(_json.dumps(
+                        [dict(zip(cols, r)) for r in rows],
+                        separators=(",", ":"), default=str,
+                    ))
                 pdf = pdf.copy()
                 pdf[result] = vals
                 yield pdf
@@ -538,6 +545,10 @@ def _proc_resource(df: DataFrame, conf) -> DataFrame:
     definition (`processor_resources:`)."""
     label = conf if isinstance(conf, str) else conf["resource"]
     if label not in PROCESSOR_RESOURCES:
+        from bento_spark.plans.pipeline import PLACEHOLDER_RESOURCES
+
+        if PLACEHOLDER_RESOURCES[0]:
+            return df  # lint-mode placeholder: noop
         raise ConfigError(
             f"unknown processor resource {label!r} "
             f"(have {sorted(PROCESSOR_RESOURCES)})"

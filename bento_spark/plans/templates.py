@@ -16,9 +16,11 @@ Template `tests:` blocks run the same render and compare the expanded
 node; a test with no `expected` asserts the render FAILS (the
 reference's type-coercion fixtures use this).
 
-`metrics_mapping` is parsed for validity but not applied: metric names
-here come from the MetricsRegistry, which templates do not rewrite —
-documented divergence, surfaced via `lint`.
+`metrics_mapping` is APPLIED like the reference's
+(internal/template/template.go WithMetricsMapping): metric names
+created by components inside a template instance pass through the
+mapping (``this`` = the original name; ``deleted()`` drops the
+metric) before they land in the MetricsRegistry.
 """
 
 from __future__ import annotations
@@ -151,6 +153,31 @@ class Template:
             )
         return out
 
+    def rename_metric(self, name: str) -> str | None:
+        """Apply metrics_mapping to one metric name (reference:
+        internal/template/template.go WithMetricsMapping — ``this`` is
+        the original name, the mapping result is the new name, and
+        deleted()/null drops the metric). Returns None = drop."""
+        if not self.metrics_mapping:
+            return name
+        from bento_spark.bloblang.interp import (
+            DELETED_V,
+            InterpError,
+            interpret_mapping,
+        )
+
+        try:
+            out, _ = interpret_mapping(
+                self.metrics_mapping, json.dumps(name), {}
+            )
+        except InterpError as ex:
+            raise TemplateError(
+                f"template {self.name!r} metrics_mapping failed: {ex}"
+            ) from ex
+        if out is DELETED_V or out is None:
+            return None
+        return str(out)
+
     def run_tests(self) -> list[str]:
         """Returns failure strings; a test with no `expected` asserts
         the render fails."""
@@ -195,10 +222,28 @@ def register_template(tmpl: Template) -> None:
     an instance config renders to the expansion, which then builds
     through the normal component path."""
     if tmpl.type == "processor":
-        from bento_spark.plans.pipeline import PROCESSORS, _apply_children
+        from bento_spark.plans.pipeline import (
+            PENDING_OBSERVATIONS,
+            PROCESSORS,
+            _apply_children,
+        )
 
         def proc(df, conf, _t=tmpl):
-            return _apply_children(df, [_t.render(conf)], f"template {_t.name}")
+            start = len(PENDING_OBSERVATIONS)
+            out = _apply_children(
+                df, [_t.render(conf)], f"template {_t.name}"
+            )
+            if _t.metrics_mapping:
+                # rewrite the names of metrics created INSIDE this
+                # template instance (reference: WithMetricsMapping
+                # wraps the instance's manager)
+                tail = PENDING_OBSERVATIONS[start:]
+                del PENDING_OBSERVATIONS[start:]
+                for name, obs in tail:
+                    new = _t.rename_metric(name)
+                    if new is not None:
+                        PENDING_OBSERVATIONS.append((new, obs))
+            return out
 
         PROCESSORS[tmpl.name] = proc
     elif tmpl.type == "input":

@@ -114,23 +114,27 @@ from bento_spark.operators.nn import QuantizedMLP as _QMLP  # noqa: E402
 
 @query(
     "embed_mlp_quantized",
-    oracle=_QMLP().oracle_sql("documents", "doc_id", "text"),
+    oracle=_QMLP.default().oracle_sql("documents", "doc_id", "text"),
 )
 def embed_mlp_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL neural inference in the gate: a from-scratch integer-
-    quantized MLP (operators/nn.py — int64 matmuls, ReLU, floor-div
-    requantization over hashed bag-of-words) runs distributed through
-    predict_batch_udf, and the resulting embeddings are hash-checked
-    against a pure-SQL replay of the same network in DuckDB (weights
-    as relational tables, matmul as join+sum). Integer quantization —
-    the standard portable-inference technique — makes the forward pass
-    exact, so this row certifies the inference ENGINE, not a proxy.
-    The float TinyTransformer (same module, same execution path) is
-    the unquantized sibling for real checkpoints; its math is
-    loop-verified in tests/test_nn.py."""
+    """REAL neural inference with REAL TRAINED WEIGHTS in the gate: an
+    integer-quantized MLP (operators/nn.py — int64 matmuls, ReLU,
+    floor-div requantization over hashed bag-of-words) whose packaged
+    checkpoint was TRAINED in-repo (tools/train_checkpoint.py: manual-
+    backprop numpy loop distilling a keyword-topic teacher on the
+    documents corpus, then quantized; bento_spark/weights/
+    PROVENANCE.json) runs distributed through predict_batch_udf, and
+    the resulting embeddings are hash-checked against a pure-SQL
+    replay of the same network in DuckDB (weights as relational
+    tables, matmul as join+sum). Integer quantization makes the
+    forward pass exact, so this row certifies the inference ENGINE
+    and the CHECKPOINT-LOADING path, not a proxy. The float
+    TinyTransformer (same module, same execution path, own trained
+    checkpoint) is the unquantized sibling; its training gradients
+    are finite-difference-verified in tests/test_nn_train.py."""
     from bento_spark.operators.nn import QuantizedMLP, quantized_mlp_embedder
 
-    emb = quantized_mlp_embedder(QuantizedMLP())
+    emb = quantized_mlp_embedder(QuantizedMLP.default())
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.withColumn("e", emb(F.col("text")))

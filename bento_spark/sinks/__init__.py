@@ -132,6 +132,13 @@ def _memory(df: DataFrame, is_streaming: bool, conf: dict):
             .trigger(availableNow=True)
             .start()
         )
+    # an output DELIVERS: materialize (persist + count) so the pipeline
+    # observably ran — `metric` observations only produce values once
+    # an action fires (a lazy temp view alone would leave
+    # Observation.get blocking forever), and side-effecting processors
+    # must not re-run when the view is later read
+    df = df.persist()
+    df.count()
     df.createOrReplaceTempView(name)
     return None
 

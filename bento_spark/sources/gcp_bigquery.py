@@ -84,15 +84,24 @@ class BigQueryClient:
         return resp.get("insertErrors", [])
 
     # -- synchronous query ------------------------------------------------
-    def query(self, sql: str, max_results: int = 10000) -> list[dict]:
+    def query(
+        self, sql: str, max_results: int = 10000,
+        params: list | None = None,
+    ) -> list[dict]:
         """jobs.query with pageToken pagination; rows decode through
         the response's own schema (BigQuery's f/v wire shape, INTEGER/
-        FLOAT/BOOLEAN coerced, NULLs preserved)."""
-        resp = self._call(
-            "/queries",
-            {"query": sql, "useLegacySql": False,
-             "maxResults": max_results},
-        )
+        FLOAT/BOOLEAN coerced, NULLs preserved). ``params`` bind the
+        query's `?` placeholders as REAL positional query parameters
+        (parameterMode=POSITIONAL) — values never splice into the SQL
+        text."""
+        payload = {"query": sql, "useLegacySql": False,
+                   "maxResults": max_results}
+        if params is not None:
+            payload["parameterMode"] = "POSITIONAL"
+            payload["queryParameters"] = [
+                self._encode_param(p) for p in params
+            ]
+        resp = self._call("/queries", payload)
         fields = resp["schema"]["fields"]
         out = [self._decode_row(r, fields) for r in resp.get("rows", [])]
         job_id = resp.get("jobReference", {}).get("jobId")
@@ -109,6 +118,25 @@ class BigQueryClient:
             )
             token = page.get("pageToken")
         return out
+
+    @staticmethod
+    def _encode_param(v) -> dict:
+        """One positional queryParameter (StandardSQL scalar types;
+        an absent parameterValue.value encodes SQL NULL)."""
+        if isinstance(v, bool):
+            t, s = "BOOL", ("true" if v else "false")
+        elif isinstance(v, int):
+            t, s = "INT64", str(v)
+        elif isinstance(v, float):
+            t, s = "FLOAT64", repr(v)
+        elif v is None:
+            t, s = "STRING", None
+        else:
+            t, s = "STRING", str(v)
+        return {
+            "parameterType": {"type": t},
+            "parameterValue": ({} if s is None else {"value": s}),
+        }
 
     @staticmethod
     def _decode_row(row: dict, fields: list[dict]) -> dict:

@@ -55,6 +55,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json({"insertErrors": errors})
         if self.path.endswith("/queries"):
             srv.queries.append(body["query"])
+            srv.params.append(body.get("queryParameters"))
+            srv.modes.append(body.get("parameterMode"))
             rows = srv.table
             return self._json(
                 {
@@ -87,6 +89,8 @@ class _Server(ThreadingHTTPServer):
         self.rows: list[dict] = []
         self.seen_ids: set[str] = set()
         self.queries: list[str] = []
+        self.params: list = []
+        self.modes: list = []
         self.fail_reason: str | None = None
         self.schema = [
             {"name": "id", "type": "INTEGER"},
@@ -154,6 +158,61 @@ def test_transport_routes_reasons(server):
         t.send(['{"id":3}'])
     assert not ei.value.retryable
     t.close()
+
+
+def test_query_positional_parameters_encode(server):
+    c = BigQueryClient(server.url, "proj")
+    c.query("SELECT * FROM t WHERE a = ? AND b = ? AND c = ? AND d = ?",
+            params=["x'); DROP TABLE t; --", 7, 0.5, True])
+    assert server.modes[-1] == "POSITIONAL"
+    assert server.params[-1] == [
+        {"parameterType": {"type": "STRING"},
+         "parameterValue": {"value": "x'); DROP TABLE t; --"}},
+        {"parameterType": {"type": "INT64"}, "parameterValue": {"value": "7"}},
+        {"parameterType": {"type": "FLOAT64"},
+         "parameterValue": {"value": "0.5"}},
+        {"parameterType": {"type": "BOOL"},
+         "parameterValue": {"value": "true"}},
+    ]
+    # the SQL text itself is untouched — no splicing
+    assert "DROP TABLE" not in server.queries[-1]
+
+
+def test_bigquery_select_processor_binds_args(spark, server):
+    """gcp_bigquery_select: args_mapping values travel as positional
+    query parameters, never spliced into the SQL text (ADVICE r5 #1)."""
+    import json
+
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    df = spark.createDataFrame(
+        [('{"city": "Lon\'don"}',), ('{"city": "Paris"}',)],
+        "content string",
+    )
+    out = PROCESSORS["gcp_bigquery_select"](
+        df,
+        {
+            "endpoint": server.url, "project": "proj",
+            "table": "ds.people", "columns": ["name", "score"],
+            "where": "city = ?",
+            "args_mapping": "root = [ this.city ]",
+        },
+    )
+    rows = out.select("content", "_error").collect()
+    assert all(r["_error"] is None for r in rows)
+    decoded = [json.loads(r["content"]) for r in rows]
+    assert all(len(d) == 5 for d in decoded)  # server returns the table
+    assert (
+        "SELECT name, score FROM `ds.people` WHERE city = ?"
+        in server.queries
+    )
+    sent = {
+        p[0]["parameterValue"]["value"]
+        for p in server.params if p
+    }
+    assert sent == {"Lon'don", "Paris"}
+    # message content never reaches the SQL text
+    assert all("Paris" not in q and "Lon" not in q for q in server.queries)
 
 
 def test_deliver_end_to_end(spark, server):

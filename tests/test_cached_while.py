@@ -1,0 +1,172 @@
+"""`cached` and `while` processor semantics (ADVICE r5 + VERDICT r5):
+
+- cached substitutes the child result WHOLESALE ('the contents of the
+  message will be replaced with the cached result'): running children
+  once per distinct key must be observably identical to running them on
+  every message — including in-place rewrites and `_error` from a
+  failing child, not just newly-added columns.
+- cached does NOT force a broadcast join: the distinct-key side is
+  df-sized in the worst case (mostly-unique keys), so AQE must stay in
+  charge of the join strategy.
+- while rejects max_loops: 0 (the reference's 'unlimited') instead of
+  silently clamping, and flags rows that exhaust the bound with the
+  check still true.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bento_spark.plans.config import ConfigError
+from bento_spark.plans.pipeline import PROCESSORS, _apply_children
+from bento_spark.operators.envelope import ensure_envelope
+
+
+def _rows(df):
+    return sorted(map(str, df.collect()))
+
+
+def test_cached_equals_direct_application(spark):
+    """cached(children) == children applied per message (memoization is
+    an optimization, never a semantic change) — for a child that BUILDS
+    a new document from the old one."""
+    children = [{"mapping": "root.v = this.v.uppercase()"}]
+    df = spark.createDataFrame(
+        [('{"k": "a", "v": "x"}',), ('{"k": "a", "v": "x"}',),
+         ('{"k": "b", "v": "y"}',)],
+        "content string",
+    )
+    cached = PROCESSORS["cached"](df, {
+        "key": '${! json("k") }', "processors": children,
+    })
+    direct = _apply_children(ensure_envelope(df), children, "direct")
+    assert sorted(cached.columns) == sorted(direct.columns)
+    assert _rows(cached.select(*sorted(cached.columns))) == \
+        _rows(direct.select(*sorted(direct.columns)))
+    assert sorted(r.v for r in cached.collect()) == ["X", "X", "Y"]
+
+
+def test_cached_wholesale_root_rewrite(spark):
+    """A `root = ...` child replaces the whole document; the key must
+    survive (via the metadata envelope) and the rewritten document must
+    reach every same-key message — previously a silent no-op."""
+    children = [{"mapping": 'root = {"double": this.n * 2}'}]
+    df = spark.createDataFrame(
+        [('{"k": "a", "n": 1}',), ('{"k": "a", "n": 1}',),
+         ('{"k": "b", "n": 2}',)],
+        "content string",
+    )
+    cached = PROCESSORS["cached"](df, {
+        "key": '${! json("k") }', "processors": children,
+    })
+    direct = _apply_children(ensure_envelope(df), children, "direct")
+    assert _rows(cached.select(*sorted(cached.columns))) == \
+        _rows(direct.select(*sorted(direct.columns)))
+    assert sorted(r.double for r in cached.collect()) == [2, 2, 4]
+    # the reserved carrier entry is cleaned out of the metadata
+    assert all("__cached_key" not in (r._metadata or {})
+               for r in cached.select("_metadata").collect())
+
+
+def test_cached_propagates_child_error(spark):
+    """_error set by a failing child lands on every same-key message."""
+    df = spark.createDataFrame(
+        [('{"k": "one", "n": 1}',), ('{"k": "one", "n": 1}',),
+         ('{"k": "two", "n": 2}',)],
+        "content string",
+    )
+    out = PROCESSORS["cached"](
+        df,
+        {
+            "key": '${! json("k") }',
+            "processors": [
+                {"mapping":
+                 'root = if this.n == 1 { throw("boom") } else { this }'}
+            ],
+        },
+    )
+    rows = out.collect()
+    one = [r for r in rows if '"one"' in str(r) or "one" in str(r)]
+    errs = [r._error for r in rows]
+    assert sum(1 for e in errs if e is not None and "boom" in e) == 2
+    assert sum(1 for e in errs if e is None) == 1
+    assert len(one) >= 2
+
+
+def test_cached_no_forced_broadcast(spark):
+    """With broadcast disabled, the join-back must not contain a
+    BroadcastExchange — a forced hint would bypass AQE's size checks
+    and OOM executors on high-cardinality keys at corpus scale."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(200).selectExpr(
+            """concat('{"k": "', id, '"}') AS content"""
+        )
+        out = PROCESSORS["cached"](
+            df,
+            {
+                "key": '${! json("k") }',
+                "processors": [{"mapping": "root.tag = this.k.length()"}],
+            },
+        )
+        assert out.count() == 200
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cached_dropped_key_drops_all(spark):
+    """Children emitting zero messages for a key = a cached empty
+    result: every message with that key drops."""
+    df = spark.createDataFrame(
+        [('{"k": "keep"}',), ('{"k": "drop"}',), ('{"k": "drop"}',)],
+        "content string",
+    )
+    out = PROCESSORS["cached"](
+        df,
+        {
+            "key": '${! json("k") }',
+            "processors": [{"filter": 'this.k == "keep"'}],
+        },
+    )
+    assert out.count() == 1
+
+
+def test_while_rejects_unlimited(spark):
+    df = spark.createDataFrame([('{"n": 1}',)], "content string")
+    with pytest.raises(ConfigError, match="max_loops"):
+        PROCESSORS["while"](
+            df, {"check": "this.n < 10", "max_loops": 0, "processors": []}
+        )
+
+
+def test_while_flags_exhausted_rows(spark):
+    """Rows still matching the check after max_loops rounds exit with
+    _error set, not as silent passthrough."""
+    df = spark.createDataFrame(
+        [('{"n": 0}',), ('{"n": 90}',)], "content string"
+    )
+    out = PROCESSORS["while"](
+        df,
+        {
+            "check": "this.n < 3",
+            "max_loops": 2,
+            "processors": [{"mutation": "root.n = this.n + 1"}],
+        },
+    )
+    rows = out.collect()
+    ns = {}
+    for r in rows:
+        d = r.asDict()
+        n = d.get("n")
+        if n is None and "content" in d and d["content"]:
+            n = json.loads(d["content"]).get("n")
+        ns[n] = d.get("_error")
+    # 90 never matched: clean. 0 -> 2 after two rounds, check still
+    # true -> flagged.
+    assert ns[90] is None
+    assert ns[2] is not None and "max_loops" in ns[2]

@@ -1,0 +1,49 @@
+"""Pinned reference component-doc counts (VERDICT r5 ask #10).
+
+The coverage claims (66 inputs / 78 outputs / 79 processors / 16 caches
+/ 4 buffers / 12 scanners / 2 rate_limits, + 7 metrics / 4 tracers) are
+counted from the reference's website docs. If the reference corpus is
+refreshed upstream, these pins fail LOUDLY instead of the per-family
+"every documented name registered" tests silently checking against a
+smaller (or larger) universe.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+DOCS = "/root/reference/website/docs/components"
+
+PINS = {
+    "inputs": 66,
+    "outputs": 78,
+    "processors": 79,
+    "caches": 16,
+    "buffers": 4,
+    "scanners": 12,
+    "rate_limits": 2,
+    "metrics": 7,
+    "tracers": 4,
+}
+
+
+def _names(family: str) -> set[str]:
+    return {
+        os.path.basename(f)[:-3]
+        for f in glob.glob(f"{DOCS}/{family}/*.md")
+        if not f.endswith("about.md")
+    }
+
+
+@pytest.mark.parametrize("family,count", sorted(PINS.items()))
+def test_component_doc_count_pinned(family: str, count: int):
+    if not os.path.isdir(DOCS):
+        pytest.skip("reference docs absent")
+    names = _names(family)
+    assert len(names) == count, (
+        f"reference {family} docs changed upstream: {len(names)} != "
+        f"{count} pinned — re-audit coverage claims, then update the pin"
+    )

@@ -72,6 +72,38 @@ def test_pipeline_kv_processor(spark, tmp_path):
     assert "redis" in PROCESSORS  # alias registered
 
 
+def test_pipeline_redis_command_args_mapping(spark):
+    """`redis` command form: args_mapping resolves to the ARGUMENT LIST
+    (one pipelined command per message) — the mapping result itself,
+    not the (result, meta) interpreter tuple (regression: args arrived
+    as [\"['k1']\", '{}'])."""
+    from bento_spark.plans.pipeline import PROCESSORS
+    from bento_spark.testing.resp_server import InProcessRespServer
+
+    srv = InProcessRespServer()
+    try:
+        srv.data.setdefault(0, {}).update({"k1": "v1", "k2": "v2"})
+        df = spark.createDataFrame(
+            [('{"key": "k1"}',), ('{"key": "k2"}',), ('{"key": "zz"}',)],
+            "content string",
+        )
+        out = PROCESSORS["redis"](
+            df,
+            {
+                "url": f"redis://127.0.0.1:{srv.port}",
+                "command": "get",
+                "args_mapping": "root = [ this.key ]",
+                "result_column": "val",
+            },
+        ).select("content", "val").collect()
+        got = {r.content: r.val for r in out}
+        assert got['{"key": "k1"}'] == "v1"
+        assert got['{"key": "k2"}'] == "v2"
+        assert got['{"key": "zz"}'] is None
+    finally:
+        srv.stop()
+
+
 def test_load_cache_from_kv(tmp_path):
     from bento_spark.bloblang.stdlib_ext import CACHE_RESOURCES
 

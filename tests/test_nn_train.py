@@ -1,0 +1,127 @@
+"""Training loop correctness for operators/nn_train.py:
+
+- the manual transformer backprop is checked against central finite
+  differences on a tiny model (the strongest possible pin: any error in
+  any backward rule shows up as a gradient mismatch),
+- training demonstrably reduces the InfoNCE loss,
+- the MLP trainer learns a real signal (language id) and survives
+  quantization + .npz roundtrip with bit-exact integer inference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bento_spark.operators.nn import QuantizedMLP, TinyTransformer
+from bento_spark.operators.nn_train import (
+    infonce_loss_and_grads,
+    quantize_mlp,
+    train_mlp,
+    train_tiny_transformer,
+)
+
+_A = ["the quick brown fox jumps over the dog", "pack my box with jugs"]
+_B = ["a quick brown fox leaps over a dog", "pack my box with five jugs"]
+
+
+def _tiny():
+    return TinyTransformer.seeded(
+        dim=4, heads=2, ffn=8, layers=1, vocab=16, max_len=8, seed=3
+    )
+
+
+def test_transformer_gradients_match_finite_differences():
+    model = _tiny()
+    loss0, grads = infonce_loss_and_grads(model, _A, _B)
+    rng = np.random.default_rng(0)
+    eps = 1e-6
+    checked = 0
+    for key in sorted(model.w):
+        flat = model.w[key].reshape(-1)
+        gflat = grads[key].reshape(-1)
+        # sample a few coordinates per tensor
+        for idx in rng.choice(len(flat), size=min(3, len(flat)),
+                              replace=False):
+            orig = flat[idx]
+            flat[idx] = orig + eps
+            lp, _ = infonce_loss_and_grads(model, _A, _B)
+            flat[idx] = orig - eps
+            lm, _ = infonce_loss_and_grads(model, _A, _B)
+            flat[idx] = orig
+            fd = (lp - lm) / (2 * eps)
+            assert gflat[idx] == pytest.approx(fd, rel=1e-4, abs=1e-7), (
+                f"{key}[{idx}]: analytic {gflat[idx]} vs fd {fd}"
+            )
+            checked += 1
+    assert checked >= 30  # every tensor sampled
+
+
+def test_transformer_training_reduces_loss():
+    texts = [
+        f"alpha beta gamma delta {i} epsilon zeta eta theta" for i in range(8)
+    ] + [
+        f"uno dos tres cuatro {i} cinco seis siete ocho" for i in range(8)
+    ]
+    losses = []
+    train_tiny_transformer(
+        texts, dim=8, heads=2, ffn=16, layers=1, vocab=64, max_len=12,
+        epochs=4, batch=8, lr=5e-3,
+        log=lambda ep, step, loss: losses.append(loss),
+    )
+    assert len(losses) >= 4
+    assert losses[-1] < losses[0] * 0.9
+
+
+def test_mlp_learns_language_id_and_quantizes(tmp_path):
+    rng = np.random.default_rng(1)
+    en = ["the cat sat on the mat with a hat", "a dog and a cat ran home",
+          "where is the red house near the lake"]
+    es = ["el gato y el perro corren a casa", "donde esta la casa roja",
+          "un gato en la alfombra con sombrero"]
+    texts, labels = [], []
+    for _ in range(40):
+        texts.append(str(rng.choice(en)))
+        labels.append(0)
+        texts.append(str(rng.choice(es)))
+        labels.append(1)
+    fw = train_mlp(texts, labels, dim_in=64, hidden=16, dim_out=4,
+                   epochs=40, lr=2e-2)
+    assert fw["acc"] >= 0.95  # separable toy task must be learned
+
+    qm = quantize_mlp(fw)
+    # quantized argmax agrees with the float net on >=90% of the set
+    agree = 0
+    x = np.stack([qm.counts(t) for t in texts]).astype(np.float64)
+    xn = x / np.maximum(x.sum(axis=1, keepdims=True), 1)
+    zf = np.maximum(xn @ fw["w1"] + fw["b1"], 0) @ fw["w2"] + fw["b2"]
+    for i, t in enumerate(texts):
+        zi = qm.forward(qm.counts(t))
+        agree += int(np.argmax(zi[: 4]) == np.argmax(zf[i]))
+    assert agree >= int(0.9 * len(texts))
+
+    # .npz roundtrip is bit-exact
+    p = str(tmp_path / "m.npz")
+    qm.save(p)
+    qm2 = QuantizedMLP.from_npz(p)
+    for t in texts[:5]:
+        assert np.array_equal(qm2.forward(qm2.counts(t)),
+                              qm.forward(qm.counts(t)))
+
+
+def test_default_prefers_packaged_checkpoint():
+    """QuantizedMLP.default() loads the committed trained checkpoint
+    when present (tools/train_checkpoint.py exports it)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(QuantizedMLP.__init__.__code__.co_filename),
+        "..", "weights", "quantized_mlp.npz",
+    )
+    m = QuantizedMLP.default()
+    if os.path.exists(path):
+        ref = QuantizedMLP.from_npz(path)
+        assert np.array_equal(m.w1, ref.w1)
+        assert bool(np.any(m.w1 != QuantizedMLP().w1))  # really trained
+    else:
+        assert np.array_equal(m.w1, QuantizedMLP().w1)

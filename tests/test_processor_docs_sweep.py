@@ -2,15 +2,33 @@
 components/processors/*.md) through the config engine — breadth
 evidence for the YAML surface beyond the curated cookbook corpus.
 
-Round-5 state: 91 example blocks carry a `pipeline.processors` section;
-at least 54 build against a minimal content document. The rest fail for
-reasons outside the engine's config surface: resources the doc declares
-elsewhere ('foo', 'TODO' caches), protobuf messages registered by
-schema files the doc omits, eager remote dials at placeholder hosts
-(the cache processor's documented driver-side batch form), per-message
-SQL parameter binding (sql_raw ?/$1 args), and a few niche Bloblang
-spellings. The floor is pinned so config-surface regressions show up as
-a dropping build count.
+Round-6 state: 91 example blocks carry a `pipeline.processors` section;
+at least 74 build against a minimal content document with lint-mode
+placeholder resources enabled (the reference's `lint -r` pattern —
+docs declare 'foo'/'TODO' resources in prose). The categorized
+residuals, each outside the buildable config surface:
+
+- protobuf x4 + json_schema x1: the docs reference schema FILES
+  (`testing/schema`, `path_to_schema.json`) that ship with neither the
+  docs nor the repo — the reference's own build would fail identically.
+- cache.md x2: eager dials at placeholder hosts (`REDIS_URL`-less
+  redis, memcached at a fake hostname) — env-dependent by design.
+- cache.md from(): batch-index addressing inside an interpolation —
+  from() takes a literal index here (documented divergence).
+- aws_lambda.md: throw() in expression position inside a switch check.
+- elasticsearch.md / sql_raw.md / gcp_bigquery_select.md: branch
+  result_maps that index the CHILD's replaced document (`this.index(0)`)
+  — the column engine keeps sibling fields through a branch, so the
+  array-document form needs the interpreter path (tracked).
+- jq.md: object-construction key syntax the from-scratch jq compiler
+  doesn't parse yet.
+- opensnowcat.md x2: enriched_json output format + a ua_parser
+  enrichment field outside the implemented TSV surface.
+- schema_registry_decode.md: worker-side dial at a placeholder
+  registry URL.
+
+The floor is pinned so config-surface regressions show up as a
+dropping build count.
 """
 
 from __future__ import annotations
@@ -18,11 +36,12 @@ from __future__ import annotations
 import glob
 import os
 import re
+import shutil
 
 import pytest
 
 DOCS = "/root/reference/website/docs/components/processors"
-MIN_BUILDS = 50  # measured 54; floor leaves room for env-dependent dials
+MIN_BUILDS = 72  # measured 74; floor leaves room for env-dependent dials
 
 
 def test_processor_docs_build_floor(spark):
@@ -30,28 +49,40 @@ def test_processor_docs_build_floor(spark):
         pytest.skip("reference docs not present")
     import yaml
 
-    from bento_spark.plans.pipeline import _apply_children, register_cache_resources
+    from bento_spark.plans.pipeline import (
+        PLACEHOLDER_RESOURCES,
+        _apply_children,
+        register_cache_resources,
+    )
+
+    # a previous sweep's sql_insert example leaves a warehouse dir that
+    # collides with a fresh catalog
+    shutil.rmtree("spark-warehouse/footable", ignore_errors=True)
 
     dummy = spark.createDataFrame([('{"a":1}',)], ["content"])
     total = builds = 0
-    for f in sorted(glob.glob(f"{DOCS}/*.md")):
-        txt = open(f, encoding="utf-8").read()
-        for m in re.finditer(r"```yaml\n(.*?)```", txt, re.S):
-            try:
-                cfg = yaml.safe_load(m.group(1))
-            except Exception:  # noqa: BLE001 - docs contain partial yaml
-                continue
-            if not isinstance(cfg, dict):
-                continue
-            procs = (cfg.get("pipeline") or {}).get("processors")
-            if procs is None:
-                continue
-            total += 1
-            try:
-                register_cache_resources(cfg.get("cache_resources"))
-                _apply_children(dummy, procs, "docs")
-                builds += 1
-            except Exception:  # noqa: BLE001 - counted, floor asserted
-                pass
+    PLACEHOLDER_RESOURCES[0] = True
+    try:
+        for f in sorted(glob.glob(f"{DOCS}/*.md")):
+            txt = open(f, encoding="utf-8").read()
+            for m in re.finditer(r"```yaml\n(.*?)```", txt, re.S):
+                try:
+                    cfg = yaml.safe_load(m.group(1))
+                except Exception:  # noqa: BLE001 - docs contain partial yaml
+                    continue
+                if not isinstance(cfg, dict):
+                    continue
+                procs = (cfg.get("pipeline") or {}).get("processors")
+                if procs is None:
+                    continue
+                total += 1
+                try:
+                    register_cache_resources(cfg.get("cache_resources"))
+                    _apply_children(dummy, procs, "docs")
+                    builds += 1
+                except Exception:  # noqa: BLE001 - counted, floor asserted
+                    pass
+    finally:
+        PLACEHOLDER_RESOURCES[0] = False
     assert total == 91, f"docs example corpus changed: {total}"
     assert builds >= MIN_BUILDS, f"only {builds}/{total} docs examples build"

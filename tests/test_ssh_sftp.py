@@ -95,6 +95,11 @@ _USERKEY = rsa.generate_keypair(1024)
 
 S = sw.ssh_string
 
+# max bytes the test server returns per FXP_READ (mutable so a test can
+# force short non-EOF reads; SFTP v3 allows a server to return fewer
+# bytes than requested mid-file)
+_READ_CAP = [1 << 30]
+
 
 def _serve_sftp(t: sw.Transport, root: str):
     """Minimal SFTP v3 request dispatch over a served channel, rooted
@@ -172,7 +177,10 @@ def _serve_sftp(t: sw.Transport, root: str):
                 off = r.uint64()
                 n = r.uint32()
                 f.seek(off)
-                data = f.read(n)
+                # _READ_CAP below the client chunk simulates a server
+                # legally returning fewer bytes than requested mid-file
+                # (SFTP v3 §6.4)
+                data = f.read(min(n, _READ_CAP[0]))
                 if not data:
                     status(rid, sw.FX_EOF, "eof")
                 else:
@@ -321,6 +329,26 @@ def test_sftp_roundtrip_password(server):
         cli.remove("data/in/blob2.bin")
         assert cli.glob("data/in/*.bin") == []
     finally:
+        t.close()
+
+
+def test_sftp_short_reads_do_not_truncate(server):
+    """A server that returns fewer bytes than requested mid-file (legal
+    in SFTP v3) must not truncate read_file: the client re-issues reads
+    from the short offset instead of treating short DATA as EOF."""
+    t, cli = sw.connect_sftp(
+        f"127.0.0.1:{server.port}", "alice", password="secret"
+    )
+    try:
+        payload = os.urandom(120_000)
+        cli.write_file("short.bin", payload)
+        _READ_CAP[0] = 1000  # far below the 32k client chunk
+        assert cli.read_file("short.bin") == payload
+        # an awkward cap that doesn't divide the chunk either
+        _READ_CAP[0] = 7777
+        assert cli.read_file("short.bin") == payload
+    finally:
+        _READ_CAP[0] = 1 << 30
         t.close()
 
 

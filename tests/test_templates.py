@@ -113,6 +113,76 @@ output:
         SOURCES.pop("numbers", None)
 
 
+def test_template_metrics_mapping_applied(spark):
+    """metrics_mapping renames metrics created INSIDE the template
+    instance end-to-end (reference: internal/template/template.go
+    WithMetricsMapping); deleted() drops them."""
+    from bento_spark.observability import default_registry
+    from bento_spark.plans.pipeline import PROCESSORS, build_pipeline
+
+    t = Template({
+        "name": "meter", "type": "processor",
+        "fields": [],
+        "mapping": 'root.metric.name = "rows_seen"',
+        "metrics_mapping": 'root = "tmpl_" + this',
+    })
+    register_template(t)
+    try:
+        p = build_pipeline(spark, """
+input:
+  generate:
+    count: 5
+pipeline:
+  processors:
+    - meter: {}
+output:
+  memory:
+    name: tmpl_metrics_e2e
+""")
+        p.run()
+        counters = {
+            name: v
+            for (name, _), v in default_registry().counters.items()
+        }
+        assert counters.get("tmpl_rows_seen") == 5.0
+        assert "rows_seen" not in counters
+    finally:
+        PROCESSORS.pop("meter", None)
+
+
+def test_template_metrics_mapping_deleted_drops(spark):
+    from bento_spark.observability import default_registry
+    from bento_spark.plans.pipeline import PROCESSORS, build_pipeline
+
+    t = Template({
+        "name": "quiet_meter", "type": "processor",
+        "fields": [],
+        "mapping": 'root.metric.name = "noisy_metric"',
+        "metrics_mapping": "root = deleted()",
+    })
+    register_template(t)
+    try:
+        p = build_pipeline(spark, """
+input:
+  generate:
+    count: 3
+pipeline:
+  processors:
+    - quiet_meter: {}
+output:
+  memory:
+    name: tmpl_metrics_drop
+""")
+        p.run()
+        counters = {
+            name: v
+            for (name, _), v in default_registry().counters.items()
+        }
+        assert "noisy_metric" not in counters
+    finally:
+        PROCESSORS.pop("quiet_meter", None)
+
+
 def test_cli_template_lint(spark, capsys):
     from bento_spark.__main__ import main
 

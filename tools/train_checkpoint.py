@@ -1,0 +1,126 @@
+"""Train + export the packaged nn.py checkpoints (VERDICT r5 ask #4).
+
+Trains on the synthetic documents corpus and writes:
+
+- ``bento_spark/weights/quantized_mlp.npz`` — a topic classifier
+  (hashed BoW -> hidden ReLU -> 16 logits; first 4 = topic classes)
+  distilled from a deterministic keyword-group teacher (the synthetic
+  corpus's `lang` labels are uncorrelated with its text, so language
+  id is unlearnable by construction — the topic teacher gives a REAL
+  learnable signal through the hashed feature space). Trained in float
+  with manual backprop + Adam, then quantized to the integer-exact
+  inference form. Loaded by ``QuantizedMLP.default()`` — the
+  `embed_mlp_quantized` gate row runs THIS checkpoint and
+  hash-verifies it against the SQL replay.
+- ``bento_spark/weights/tiny_transformer.npz`` — the TinyTransformer
+  encoder trained with the InfoNCE contrastive objective (two halves
+  of a document are positives, in-batch negatives; manual backprop
+  verified against finite differences in tests/test_nn_train.py).
+  Loaded by ``TinyTransformer.default()``.
+
+Deterministic (fixed seeds, fixed corpus order) so re-running
+reproduces the committed artifacts:
+
+    python tools/train_checkpoint.py [sf_dir] [n_transformer_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from bento_spark.operators.nn_train import (  # noqa: E402
+    quantize_mlp,
+    train_mlp,
+    train_tiny_transformer,
+)
+
+#: keyword groups for the distillation teacher (argmax of group hit
+#: counts, ties -> lowest index) — a real signal the hashed BoW
+#: features can carry, unlike the corpus's text-independent `lang`
+TOPICS = [
+    {"spark", "query", "table", "hash", "column"},
+    {"stream", "batch", "window", "join", "agg"},
+    {"sort", "scan", "filter", "merge", "order"},
+]
+
+
+def topic_label(text: str) -> int:
+    toks = (text or "").lower().split()
+    hits = [sum(t in g for t in toks) for g in TOPICS]
+    best = max(hits)
+    return hits.index(best) if best > 0 else len(TOPICS)
+
+
+def main() -> None:
+    import duckdb
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_tr = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    out_dir = os.path.join(
+        os.path.dirname(__file__), "..", "bento_spark", "weights"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    rows = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    texts = [r[0] for r in rows]
+    labels = [topic_label(t) for t in texts]
+    print(f"corpus: {len(texts)} docs from {sf_dir}; label dist "
+          f"{[labels.count(i) for i in range(len(TOPICS) + 1)]}")
+
+    t0 = time.time()
+    fw = train_mlp(texts, labels, dim_in=64, hidden=32, dim_out=16,
+                   epochs=40, batch=256, lr=1e-2, seed=0)
+    qm = quantize_mlp(fw)
+    # quantized train accuracy (argmax over the topic logits)
+    ncls = len(TOPICS) + 1
+    correct = sum(
+        int(np.argmax(qm.forward(qm.counts(t))[:ncls]) == y)
+        for t, y in zip(texts[:1000], labels[:1000])
+    )
+    qacc = correct / 1000
+    qm.save(os.path.join(out_dir, "quantized_mlp.npz"))
+    print(f"mlp: float acc {float(fw['acc']):.3f}, quantized acc "
+          f"{qacc:.3f}, {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    losses: list[float] = []
+    model = train_tiny_transformer(
+        texts[:n_tr], dim=32, heads=4, ffn=64, layers=2, vocab=512,
+        max_len=64, epochs=2, batch=16, lr=3e-3, seed=7,
+        log=lambda ep, step, loss: losses.append(loss),
+    )
+    np.savez(
+        os.path.join(out_dir, "tiny_transformer.npz"),
+        **model.w,
+        _heads=np.int64(4), _layers=np.int64(2), _max_len=np.int64(64),
+    )
+    print(f"transformer: loss {losses[0]:.4f} -> {losses[-1]:.4f} over "
+          f"{len(losses)} steps, {time.time()-t0:.1f}s")
+
+    with open(os.path.join(out_dir, "PROVENANCE.json"), "w") as f:
+        json.dump({
+            "corpus": f"{sf_dir}/documents.parquet",
+            "n_docs": len(texts),
+            "mlp": {"float_acc": float(fw["acc"]), "quant_acc": qacc,
+                    "objective": "keyword-topic distillation (4 classes)",
+                    "epochs": 40, "seed": 0},
+            "transformer": {
+                "objective": "InfoNCE doc-half contrastive",
+                "docs": n_tr, "epochs": 2, "seed": 7,
+                "loss_first": losses[0], "loss_last": losses[-1],
+            },
+        }, f, indent=1)
+    print("wrote", out_dir)
+
+
+if __name__ == "__main__":
+    main()
