@@ -35,6 +35,16 @@ def cmd_run(args, spark=None) -> int:
         from bento_spark.plans.templates import init_templates
 
         init_templates(args.templates)
+    if getattr(args, "watcher", False):
+        import threading
+
+        from bento_spark.plans.watcher import watch_and_run
+
+        stop = threading.Event()
+        if args.timeout > 0:
+            threading.Timer(args.timeout, stop.set).start()
+        watch_and_run(_spark(spark), args.config, stop_event=stop)
+        return 0
     pipe = build_pipeline(_spark(spark), args.config)
     result = pipe.run()
     if pipe.is_streaming and result is not None:
@@ -77,7 +87,28 @@ def cmd_test(args, spark=None) -> int:
 
 
 def cmd_blobl(args, spark=None) -> int:
-    """Apply a mapping to JSON documents, one per input line."""
+    """Apply a mapping to JSON documents, one per input line; the
+    `server` form starts the playground HTTP endpoint (reference
+    `blobl server`, internal/cli/blobl/server.go)."""
+    if args.mapping == "server":
+        import time
+
+        from bento_spark.plans.bloblserver import BloblServer
+
+        srv = BloblServer(port=int(getattr(args, "port", 0) or 0))
+        print(f"blobl server listening on 127.0.0.1:{srv.port}")
+        try:
+            deadline = (
+                time.time() + args.timeout if getattr(args, "timeout", 0)
+                else None
+            )
+            while deadline is None or time.time() < deadline:
+                time.sleep(0.2)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.stop()
+        return 0
     from pyspark.sql import functions as F
 
     from bento_spark.bloblang import compile_mapping
@@ -245,6 +276,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "-t", "--templates", action="append", default=[],
         help="template file(s)/glob(s) to register before building",
     )
+    sp.add_argument(
+        "-w", "--watcher", action="store_true",
+        help="watch the config file and hot-reload the pipeline on "
+             "change (reference `run -w`)",
+    )
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("template", help="template utilities")
@@ -261,9 +297,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sp.add_argument("configs", nargs="+")
     sp.set_defaults(fn=cmd_test)
 
-    sp = sub.add_parser("blobl", help="map JSON lines from stdin/file")
+    sp = sub.add_parser(
+        "blobl",
+        help="map JSON lines from stdin/file, or `blobl server` for "
+             "the playground HTTP endpoint",
+    )
     sp.add_argument("mapping")
     sp.add_argument("-f", "--file", default=None)
+    sp.add_argument("--port", type=int, default=0)
+    sp.add_argument(
+        "--timeout", type=float, default=0,
+        help="server: seconds to serve before exiting (0 = forever)",
+    )
     sp.set_defaults(fn=cmd_blobl)
 
     sp = sub.add_parser("echo", help="print the normalized config")

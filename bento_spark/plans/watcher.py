@@ -1,0 +1,67 @@
+"""`run -w` config hot-reload (reference: internal/cli/common/ — the
+``--watcher`` flag rebuilds the stream when the config file changes).
+
+Spark spelling: poll the config file's mtime; on change, stop the
+running streaming query (checkpointed state resumes under the same
+sink contract), rebuild the pipeline from the NEW config, and rerun.
+Batch configs re-execute once per change (the reference's batch-ish
+``generate``-driven configs behave the same way under its watcher).
+A config that fails to BUILD on reload keeps the previous pipeline
+running and logs the error — the reference's watcher semantics
+(a broken edit must not kill the stream)."""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import time
+
+log = logging.getLogger("bento_spark.watcher")
+
+
+def watch_and_run(
+    spark, path: str, poll: float = 0.5,
+    stop_event: threading.Event | None = None,
+    on_cycle=None,
+) -> int:
+    """Run ``path`` and hot-reload it on mtime change until
+    ``stop_event`` is set. ``on_cycle(n, pipe)`` fires after each
+    (re)build — tests hook it. Returns the number of reloads."""
+    from bento_spark.plans.pipeline import build_pipeline
+
+    stop_event = stop_event or threading.Event()
+    reloads = 0
+
+    def build_and_run():
+        pipe = build_pipeline(spark, path)
+        result = pipe.run()
+        return pipe, result
+
+    pipe, result = build_and_run()
+    if on_cycle is not None:
+        on_cycle(reloads, pipe)
+    last = os.stat(path).st_mtime_ns
+    while not stop_event.wait(poll):
+        try:
+            cur = os.stat(path).st_mtime_ns
+        except FileNotFoundError:
+            continue  # editor save-via-rename window
+        if cur == last:
+            continue
+        last = cur
+        log.info("config %s changed; rebuilding", path)
+        try:
+            if result is not None and hasattr(result, "stop"):
+                result.stop()  # streaming query; checkpoint resumes
+            new_pipe, new_result = build_and_run()
+        except Exception as ex:  # noqa: BLE001 - keep the old pipeline
+            log.error("reload failed, keeping previous pipeline: %s", ex)
+            continue
+        pipe, result = new_pipe, new_result
+        reloads += 1
+        if on_cycle is not None:
+            on_cycle(reloads, pipe)
+    if result is not None and hasattr(result, "stop"):
+        result.stop()
+    return reloads

@@ -1,0 +1,158 @@
+"""CLI parity round-6: `run -w` config hot-reload and `blobl server`
+(VERDICT r5 ask #6; reference internal/cli/common watcher +
+internal/cli/blobl/server.go)."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import urllib.request
+
+from bento_spark.plans.bloblserver import BloblServer, evaluate_mapping
+
+
+# ---------------------------------------------------------------------------
+# blobl server
+# ---------------------------------------------------------------------------
+
+
+def _post(port: int, payload: dict) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/execute",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return json.loads(resp.read())
+
+
+def test_blobl_server_execute_roundtrip():
+    srv = BloblServer()
+    try:
+        out = _post(srv.port, {
+            "mapping": "root.doubled = this.n * 2",
+            "input": '{"n": 21}',
+        })
+        assert out == {"result": {"doubled": 42},
+                       "parse_error": None, "mapping_error": None}
+        # parse error shape
+        out = _post(srv.port, {"mapping": "root = = =", "input": "{}"})
+        assert out["parse_error"] and out["result"] is None
+        # the reference's empty-field messages (core.go evaluateMapping)
+        out = _post(srv.port, {"mapping": "root = this", "input": ""})
+        assert out["mapping_error"] == "Input JSON string cannot be empty"
+        out = _post(srv.port, {"mapping": "", "input": "{}"})
+        assert out["parse_error"] == "Mapping string cannot be empty"
+    finally:
+        srv.stop()
+
+
+def test_blobl_server_runtime_error():
+    out = evaluate_mapping('{"n": 1}', 'root = throw("nope")')
+    assert out["mapping_error"] and "nope" in out["mapping_error"]
+    assert out["result"] is None
+
+
+def test_blobl_server_page_served():
+    srv = BloblServer()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=10
+        ) as resp:
+            assert b"playground" in resp.read()
+    finally:
+        srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# run -w watcher
+# ---------------------------------------------------------------------------
+
+
+def test_watcher_rebuilds_on_config_change(spark, tmp_path):
+    """Editing the config mid-run rebuilds the pipeline: the memory
+    sink's table reflects the NEW mapping after the reload."""
+    from bento_spark.plans.watcher import watch_and_run
+
+    cfg = tmp_path / "w.yaml"
+    cfg.write_text("""
+input:
+  generate:
+    count: 3
+    mapping: 'root.n = counter()'
+pipeline:
+  processors:
+    - mutation: 'root.v = this.n * 10'
+output:
+  memory:
+    name: watcher_t
+""")
+    cycles = []
+    stop = threading.Event()
+
+    def on_cycle(n, pipe):
+        cycles.append(n)
+
+    t = threading.Thread(
+        target=watch_and_run,
+        args=(spark, str(cfg)),
+        kwargs={"poll": 0.2, "stop_event": stop, "on_cycle": on_cycle},
+        daemon=True,
+    )
+    t.start()
+    deadline = time.time() + 60
+    while not cycles and time.time() < deadline:
+        time.sleep(0.1)
+    assert cycles, "initial build never completed"
+    assert {r.v for r in spark.table("watcher_t").collect()} == {10, 20, 30}
+
+    # edit the config (force a newer mtime) -> expect a reload
+    cfg.write_text(cfg.read_text().replace("* 10", "* 100"))
+    os.utime(cfg, ns=(time.time_ns(), time.time_ns()))
+    while len(cycles) < 2 and time.time() < deadline:
+        time.sleep(0.1)
+    stop.set()
+    t.join(timeout=30)
+    assert len(cycles) >= 2, "watcher never rebuilt after the edit"
+    assert {r.v for r in spark.table("watcher_t").collect()} == {100, 200, 300}
+
+
+def test_watcher_keeps_pipeline_on_broken_edit(spark, tmp_path):
+    """A reload that fails to BUILD keeps the previous pipeline
+    (the reference's watcher does not kill the stream on a bad edit)."""
+    from bento_spark.plans.watcher import watch_and_run
+
+    cfg = tmp_path / "b.yaml"
+    cfg.write_text("""
+input:
+  generate:
+    count: 2
+    mapping: 'root.n = counter()'
+output:
+  memory:
+    name: watcher_broken_t
+""")
+    cycles = []
+    stop = threading.Event()
+    t = threading.Thread(
+        target=watch_and_run,
+        args=(spark, str(cfg)),
+        kwargs={"poll": 0.2, "stop_event": stop,
+                "on_cycle": lambda n, p: cycles.append(n)},
+        daemon=True,
+    )
+    t.start()
+    deadline = time.time() + 60
+    while not cycles and time.time() < deadline:
+        time.sleep(0.1)
+    assert cycles
+    cfg.write_text("input:\n  no_such_input_xyz: {}\noutput: {}")
+    os.utime(cfg, ns=(time.time_ns(), time.time_ns()))
+    time.sleep(1.5)  # give the watcher a few polls on the broken config
+    stop.set()
+    t.join(timeout=30)
+    # no successful reload happened, and the old table is still there
+    assert cycles == [0]
+    assert spark.table("watcher_broken_t").count() == 2

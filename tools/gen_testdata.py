@@ -1,0 +1,211 @@
+"""Generate TESTDATA.md-layout parquet at ARBITRARY scale factors.
+
+The driver ships sf0.001/0.01/0.1 (read-only). This generator
+reproduces the same schema + distribution FAMILY (enumerations,
+value ranges, duplicate rates, cluster structure — measured from the
+shipped data) at any sf, so the engine's scale claims can be proven
+empirically (VERDICT r5 ask #1: run the gate and bench at sf1).
+
+Self-consistency is the contract: the correctness gate compares Spark
+vs DuckDB over the SAME files, so exact row-level parity with the
+driver's (unpublished) generator is not required — only the schema
+and statistical family.
+
+    python tools/gen_testdata.py 1.0 localdata/sf1
+
+Deterministic (seed fixed per table+sf). Vectorized numpy -> pyarrow;
+sf1 (~6M lineitem) generates in well under a minute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+MKTSEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+PNAME_ADJ = ["large", "hot", "blue", "small", "dark", "light", "red",
+             "green", "cold", "old"]
+PNAME_NOUN = ["ring", "bolt", "case", "drum", "pipe", "wheel", "gear",
+              "plate", "cap", "rod"]
+ETYPES = ["click", "error", "purchase", "signup", "view"]
+VOCAB = ["a", "agg", "batch", "big", "column", "customer", "data", "dup",
+         "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+         "order", "part", "query", "row", "scan", "slow", "small", "sort",
+         "spark", "stream", "table", "the", "value", "vector", "window"]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.412, 0.150, 0.148, 0.148, 0.142]
+
+DAY_US = 86_400_000_000  # microseconds
+
+
+def _ts_us(date: str) -> int:
+    return np.datetime64(date, "us").astype(np.int64)
+
+
+def _write(out_dir: str, name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"  {name}: {table.num_rows} rows")
+
+
+def _tscol(us: np.ndarray) -> pa.Array:
+    return pa.array(us.astype("datetime64[us]"))
+
+
+def generate(sf: float, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_li = int(6_000_000 * sf)
+    n_ev = int(1_000_000 * sf)
+    n_doc = int(50_000 * sf)
+    n_emb = int(20_000 * sf)
+    n_user = int(15_000 * sf)
+
+    # dimensions --------------------------------------------------------
+    _write(out_dir, "region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": REGIONS,
+    }))
+    _write(out_dir, "nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    rng = np.random.default_rng(4201)
+    _write(out_dir, "customer", pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+        "c_mktsegment": pa.array(
+            np.array(MKTSEGS)[rng.integers(0, 5, n_cust)]),
+    }))
+
+    rng = np.random.default_rng(4202)
+    _write(out_dir, "supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
+    }))
+
+    rng = np.random.default_rng(4203)
+    adj = rng.integers(0, len(PNAME_ADJ), n_part)
+    noun = rng.integers(0, len(PNAME_NOUN), n_part)
+    _write(out_dir, "part", pa.table({
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        "p_name": [f"{PNAME_ADJ[a]} {PNAME_NOUN[b]}"
+                   for a, b in zip(adj, noun)],
+        "p_brand": pa.array(
+            [f"Brand#{i}" for i in rng.integers(1, 26, n_part)]),
+        "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, n_part)]),
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": np.round(
+            900.0 + (np.arange(n_part) % 1000) / 10.0, 2),
+    }))
+
+    # orders ------------------------------------------------------------
+    rng = np.random.default_rng(4204)
+    d0, d1 = _ts_us("1995-01-01"), _ts_us("2001-08-02")
+    odate = (d0 + (rng.integers(0, (d1 - d0) // DAY_US, n_ord) * DAY_US))
+    _write(out_dir, "orders", pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_orderstatus": pa.array(
+            np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]),
+        "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+        "o_orderdate": _tscol(odate),
+        "o_orderpriority": pa.array(
+            np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]),
+    }))
+
+    # lineitem ----------------------------------------------------------
+    rng = np.random.default_rng(4205)
+    okey = rng.integers(0, n_ord, n_li)
+    ship = odate[okey] + rng.integers(1, 96, n_li) * DAY_US
+    _write(out_dir, "lineitem", pa.table({
+        "l_orderkey": pa.array(okey, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
+        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
+        "l_linestatus": pa.array(
+            np.array(["F", "O"])[rng.integers(0, 2, n_li)]),
+        "l_shipdate": _tscol(ship),
+    }))
+
+    # events (ts-ordered stream over 30 days) ---------------------------
+    rng = np.random.default_rng(4206)
+    e0 = _ts_us("2024-01-01")
+    ets = e0 + np.sort(rng.integers(0, 30 * DAY_US, n_ev))
+    _write(out_dir, "events", pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "ts": _tscol(ets),
+        "user_id": pa.array(rng.integers(0, n_user, n_ev), pa.int64()),
+        "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, n_ev)]),
+        "value": np.round(
+            np.minimum(rng.exponential(80.0, n_ev), 560.21), 2),
+        "props": [json.dumps({"k": int(k)})
+                  for k in rng.integers(0, 100, n_ev)],
+    }))
+
+    # documents (vocab sentences, ~0.16% exact dups) ---------------------
+    rng = np.random.default_rng(4207)
+    vocab = np.array(VOCAB)
+    lens = rng.integers(10, 101, n_doc)
+    texts: list[str] = []
+    for i in range(n_doc):
+        if i > 100 and rng.random() < 0.0016:
+            texts.append(texts[int(rng.integers(0, i))])  # exact dup
+        else:
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab),
+                                                     lens[i])]))
+    langs = np.array(LANGS)[
+        rng.choice(len(LANGS), n_doc, p=np.array(LANG_P))
+    ]
+    _write(out_dir, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+        "text": texts,
+        "lang": pa.array(langs),
+        "source": [f"src{i % 20}" for i in range(n_doc)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    # embeddings (10 unit-sphere clusters, dim 64, float32) --------------
+    rng = np.random.default_rng(4208)
+    dim, k = 64, 10
+    cents = rng.standard_normal((k, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    labels = rng.integers(0, k, n_emb)
+    vecs = cents[labels] + 0.5 * rng.standard_normal((n_emb, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
+    _write(out_dir, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }))
+
+
+if __name__ == "__main__":
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    out = sys.argv[2] if len(sys.argv) > 2 else f"localdata/sf{sf:g}"
+    print(f"generating sf={sf} -> {out}")
+    generate(sf, out)
+    print("done")
