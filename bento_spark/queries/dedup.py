@@ -27,10 +27,24 @@ SIM_BANDS = 4
 SIM_MAX_HAMMING = 3
 COS_THRESHOLD = 0.4
 
+#: Exact O(n^2)-BASELINE rows certify CORRECTNESS, not scale: their
+#: DuckDB oracles are inherently quadratic (list_intersect over every
+#: doc pair; a recursive CTE over the pair graph), so these rows cap
+#: the input at the sf0.1-equivalent id prefix — a NO-OP at the
+#: driver's sf0.001/0.01/0.1 (ids are 0..n-1, n <= cap there), and a
+#: deterministic bound when the gate runs on generated sf>=1 data.
+#: The SCALE paths for the same semantics are the banded/bucketed rows
+#: (minhash bands, simhash pigeonhole slices, LSH/IVF ANN,
+#: cluster-local semantic dedup) plus the operators' own
+#: max_df/max_rows guards, which run uncapped in bench.
+EXACT_DOC_CAP = 5000
+EXACT_VEC_CAP = 2000
+
 _SHINGLES = word_shingles_sql("text", NGRAM)
+_DOCS_CAPPED = f"documents WHERE doc_id < {EXACT_DOC_CAP}"
 
 _JACCARD_EXACT_SQL = f"""
-WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM {_DOCS_CAPPED})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.s, b.s))::DOUBLE
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
@@ -39,6 +53,12 @@ WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {J_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
+
+
+def _docs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < EXACT_DOC_CAP
+    )
 
 
 @query(
@@ -61,8 +81,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``max_df=None`` (explicit): the oracle is EXACT Jaccard, so the gate
     pins the exact path; the operator's default is a max_df=5000 index
-    cap, which on this 500-doc fixture could never bind anyway."""
-    docs = _t(spark, sf_dir, "documents")
+    cap, which on this 500-doc fixture could never bind anyway.
+    Input capped at EXACT_DOC_CAP (exact-baseline row)."""
+    docs = _docs_capped(spark, sf_dir)
     return D.jaccard_pairs(
         docs, "doc_id", "text", NGRAM, J_THRESHOLD, max_df=None
     ).orderBy("doc_a", "doc_b")
@@ -73,8 +94,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(16 bands x 2 rows) candidates, verified with
     exact Jaccard. Oracle is the brute-force exact pair set: at J>=0.8
     the banding miss probability is (1-J^2)^16 < 1e-7, so LSH recall on
-    this (deterministic) corpus is exactly 1 and the outputs coincide."""
-    docs = _t(spark, sf_dir, "documents")
+    this (deterministic) corpus is exactly 1 and the outputs coincide.
+    Input capped at EXACT_DOC_CAP (the oracle is the exact pair set)."""
+    docs = _docs_capped(spark, sf_dir)
     return D.minhash_lsh_pairs(
         docs, "doc_id", "text", NGRAM, num_hashes=32, bands=16, threshold=J_THRESHOLD
     ).orderBy("doc_a", "doc_b")
@@ -83,7 +105,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H = hash60_sql("s", "sim")
 _SIMHASH_SQL = f"""
 WITH hs AS (
-  SELECT doc_id, list_transform({_SHINGLES}, s -> {_H}) AS hs FROM documents
+  SELECT doc_id, list_transform({_SHINGLES}, s -> {_H}) AS hs FROM {_DOCS_CAPPED}
 ), sig AS (
   SELECT doc_id, CAST(list_sum(
     [CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
@@ -103,8 +125,9 @@ ORDER BY doc_a, doc_b
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit over word-3gram shingles) pairs with hamming <= 3,
     found via 4-slice pigeonhole banding (exact recall for hamming <= 3).
-    Oracle recomputes the identical signature in DuckDB SQL."""
-    docs = _t(spark, sf_dir, "documents")
+    Oracle recomputes the identical signature in DuckDB SQL (its pair
+    join is quadratic, hence the EXACT_DOC_CAP input)."""
+    docs = _docs_capped(spark, sf_dir)
     df = D.simhash_pairs(
         docs,
         "doc_id",
@@ -120,7 +143,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIRS_SUB = f"""
-WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM {_DOCS_CAPPED}),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -152,10 +175,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the exact-Jaccard
     pair graph via driver-loop min-label propagation — the `while`
     processor (processor_while.go:60) as a distributed fixpoint. The
-    oracle computes the same components with a recursive CTE."""
+    oracle computes the same components with a recursive CTE (hence
+    the EXACT_DOC_CAP input)."""
     from bento_spark.operators.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_capped(spark, sf_dir)
     # max_df=None: exact pair graph to match the recursive-CTE oracle
     pairs = D.jaccard_pairs(docs, "doc_id", "text", NGRAM, J_THRESHOLD, max_df=None)
     comps = connected_components(pairs, "doc_a", "doc_b")
@@ -174,7 +198,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS = cosine_sql("a.v", "b.v")
 _EMB_COS_SQL = f"""
-WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+     FROM embeddings WHERE vec_id < {EXACT_VEC_CAP})
 SELECT a.id AS id_a, b.id AS id_b, round({_COS}, 6) AS cos_sim
 FROM e a JOIN e b ON a.id < b.id
 WHERE round({_COS}, 6) >= {COS_THRESHOLD}
@@ -186,7 +211,9 @@ ORDER BY id_a, id_b
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs (exact O(n^2) baseline; identical
     double accumulation order in both engines => bitwise-equal sims)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EXACT_VEC_CAP
+    )
     return D.embedding_cosine_pairs(
         emb, "vec_id", "embedding", COS_THRESHOLD, dim=64
     ).orderBy("id_a", "id_b")

@@ -1,0 +1,138 @@
+"""Serverless entry — the lambda-runner surface (reference:
+cmd/serverless/bento-lambda + internal/serverless/handler.go).
+
+``Handler`` wraps a config's PROCESSOR section as a request/response
+function: the invocation event becomes one structured message, the
+pipeline's processors run over it, and the result routes back to the
+caller (the reference's default output is `sync_response`, redirecting
+pipeline output to the handler — handler.go:27). Response shaping
+matches handler.go:89-100: one message -> the object itself, one
+batch -> the list, multiple batches -> list of lists; an empty result
+-> ``{"message": "request successful"}``.
+
+Config resolution mirrors lambda.go Run(): the ``BENTO_CONFIG`` env
+var (inline YAML) wins, else ``BENTO_CONFIG_PATH``, else the default
+path list (./bento.yaml, ./config.yaml, ...). The ``output:`` section
+is ignored unless it routes elsewhere explicitly — sync_response IS
+the handler's return path here.
+
+Spark execution note: one event per invoke is a 1-row frame — the
+right engine shape for a lambda runner is the same compiled pipeline
+applied to a tiny local frame (plan reuse across invokes would need a
+persistent session, which `Handler` holds). Throughput workloads
+belong on the batch/streaming paths; this surface exists for parity
+with the reference's request/response deployments.
+
+AWS entrypoint shim::
+
+    from bento_spark.serverless import lambda_handler  # module-level
+    # handler: bento_spark.serverless.lambda_handler
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+_DEFAULT_PATHS = [
+    "./bento.yaml",
+    "./config.yaml",
+    "/bento.yaml",
+    "/etc/bento/config.yaml",
+    "/etc/bento.yaml",
+]
+
+
+def _resolve_config() -> str:
+    inline = os.environ.get("BENTO_CONFIG")
+    if inline:
+        return inline
+    paths = list(_DEFAULT_PATHS)
+    if os.environ.get("BENTO_CONFIG_PATH"):
+        paths.insert(0, os.environ["BENTO_CONFIG_PATH"])
+    for p in paths:
+        if os.path.exists(p):
+            return open(p).read()
+    raise FileNotFoundError(
+        "no serverless config: set BENTO_CONFIG / BENTO_CONFIG_PATH or "
+        f"provide one of {_DEFAULT_PATHS}"
+    )
+
+
+class Handler:
+    """A live pipeline wrapped as an invoke handler (handler.go:31)."""
+
+    def __init__(self, spark=None, config: str | dict | None = None):
+        import yaml
+
+        from bento_spark.plans.config import load_config
+
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = (
+                SparkSession.builder.master("local[*]")
+                .config("spark.sql.shuffle.partitions", "8")
+                .getOrCreate()
+            )
+        self.spark = spark
+        raw = config if config is not None else _resolve_config()
+        conf = raw if isinstance(raw, dict) else load_config(
+            raw if "\n" in str(raw) or not os.path.exists(str(raw))
+            else open(raw).read()
+        )
+        if not isinstance(conf, dict):
+            conf = yaml.safe_load(str(conf)) or {}
+        self.processors = list(
+            (conf.get("pipeline") or {}).get("processors") or []
+        )
+
+    def handle(self, event) -> object:
+        """One invocation: event -> pipeline processors -> response."""
+        from pyspark.sql import functions as F
+
+        from bento_spark.operators.envelope import ensure_envelope
+        from bento_spark.plans.pipeline import _apply_children, _lift_content
+
+        df = self.spark.createDataFrame(
+            [(json.dumps(event),)], "content string"
+        )
+        out = _apply_children(
+            _lift_content(ensure_envelope(df)), self.processors, "serverless"
+        )
+        data_cols = [c for c in out.columns if not c.startswith("_")]
+        if data_cols == ["content"]:
+            rows = [r["content"] for r in out.select("content").collect()]
+            results = []
+            for c in rows:
+                try:
+                    results.append(json.loads(c) if c is not None else None)
+                except ValueError:
+                    results.append(c)
+        else:
+            results = [
+                json.loads(r["j"])
+                for r in out.select(
+                    F.to_json(F.struct(*data_cols)).alias("j")
+                ).collect()
+            ]
+        if not results:
+            return {"message": "request successful"}
+        if len(results) == 1:
+            return results[0]
+        return results
+
+    def close(self) -> None:  # parity with handler.Close
+        pass
+
+
+_HANDLER: Handler | None = None
+
+
+def lambda_handler(event, context=None):
+    """AWS-style module entrypoint: the pipeline builds once per
+    container (cold start), then each invoke rides handle()."""
+    global _HANDLER
+    if _HANDLER is None:
+        _HANDLER = Handler()
+    return _HANDLER.handle(event)

@@ -1,0 +1,62 @@
+"""Serverless handler (reference cmd/serverless/bento-lambda +
+internal/serverless/handler.go): event in -> processors -> response
+out, with the reference's response shaping and config resolution."""
+
+from __future__ import annotations
+
+import pytest
+
+from bento_spark.serverless import Handler, _resolve_config
+
+CFG = """
+pipeline:
+  processors:
+    - mutation: |
+        root.doubled = this.n * 2
+        root.tag = "handled"
+"""
+
+
+def test_handle_single_event(spark):
+    h = Handler(spark, CFG)
+    out = h.handle({"n": 21})
+    assert out["doubled"] == 42 and out["tag"] == "handled"
+    assert out["n"] == 21  # mutation keeps the original fields
+
+
+def test_handle_filtered_event_returns_success_message(spark):
+    h = Handler(spark, """
+pipeline:
+  processors:
+    - filter: this.keep == true
+""")
+    assert h.handle({"keep": False}) == {"message": "request successful"}
+    assert h.handle({"keep": True}) == {"keep": True}
+
+
+def test_handle_unwind_returns_list(spark):
+    """A processor that splits one event into many returns the batch
+    as a list (handler.go:93)."""
+    h = Handler(spark, """
+pipeline:
+  processors:
+    - unarchive:
+        format: json_array
+""")
+    out = h.handle([{"a": 1}, {"a": 2}])
+    assert isinstance(out, list) and len(out) == 2
+    assert sorted(d["a"] for d in out) == [1, 2]
+
+
+def test_config_resolution_env(spark, monkeypatch, tmp_path):
+    monkeypatch.setenv("BENTO_CONFIG", CFG)
+    assert "doubled" in _resolve_config()
+    monkeypatch.delenv("BENTO_CONFIG")
+    p = tmp_path / "c.yaml"
+    p.write_text(CFG)
+    monkeypatch.setenv("BENTO_CONFIG_PATH", str(p))
+    assert "doubled" in _resolve_config()
+    monkeypatch.delenv("BENTO_CONFIG_PATH")
+    monkeypatch.chdir(tmp_path)  # no default files here
+    with pytest.raises(FileNotFoundError):
+        _resolve_config()
