@@ -31,13 +31,13 @@ COS_THRESHOLD = 0.4
 #: DuckDB oracles are inherently quadratic (list_intersect over every
 #: doc pair; a recursive CTE over the pair graph), so these rows cap
 #: the input at the sf0.1-equivalent id prefix — a NO-OP at the
-#: driver's sf0.001/0.01/0.1 (ids are 0..n-1, n <= cap there), and a
+#: driver's sf0.001/0.01 (ids are 0..n-1, n <= cap there), and a
 #: deterministic bound when the gate runs on generated sf>=1 data.
 #: The SCALE paths for the same semantics are the banded/bucketed rows
 #: (minhash bands, simhash pigeonhole slices, LSH/IVF ANN,
 #: cluster-local semantic dedup) plus the operators' own
 #: max_df/max_rows guards, which run uncapped in bench.
-EXACT_DOC_CAP = 5000
+EXACT_DOC_CAP = 1000
 EXACT_VEC_CAP = 2000
 
 _SHINGLES = word_shingles_sql("text", NGRAM)
