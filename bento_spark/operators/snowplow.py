@@ -82,22 +82,80 @@ def opensnowcat(
     "algorithm": ..., "salt": ..., "value": ...}} — hash prepends the
     salt (field-level overrides the global), redact replaces with the
     given value (default ``"[REDACTED]"``).
-    ``output_format``: ``json`` (flattened object, empty fields omitted)
-    or ``tsv`` (the 131 columns re-joined in wire order)."""
-    if output_format not in ("json", "tsv"):
+    ``output_format``: ``json`` (flattened object, empty fields
+    omitted), ``tsv`` (the 131 columns re-joined in wire order), or
+    ``enriched_json`` (processor_opensnowcat.go:595
+    restructureForEnrichedJSON — contexts/derived_contexts/
+    unstruct_event become key-based ``vendor_name -> {version, data}``
+    maps, Snowplow wrapper schemas unwrapped, dots -> underscores)."""
+    if output_format not in ("json", "tsv", "enriched_json"):
         raise ValueError(f"unknown output_format {output_format!r}")
     arr = F.split(F.col(content_col), "\t", -1)
     fields: dict[str, Column] = {n: _field_col(arr, n) for n in COLUMNS}
 
-    # filters: drop when any configured field CONTAINS any criterion
+    # filters: drop when any configured field CONTAINS any criterion.
+    # Dotted non-column names are SCHEMA-PROPERTY paths searched inside
+    # the contexts/derived_contexts/unstruct_event JSON
+    # (processor_opensnowcat.go:719 searchSchemaProperty) — those ride
+    # an Arrow-batched predicate, engaged only when configured; plain
+    # column filters stay pure-Column.
     drop = F.lit(False)
+    schema_filters: dict[str, list[str]] = {}
     for name, needles in (filters or {}).items():
-        if name not in fields:
+        if isinstance(needles, dict):  # the docs' {contains: [...]} form
+            needles = needles.get("contains") or []
+        needles = needles if isinstance(needles, list) else [needles]
+        if name in fields:
+            for needle in needles:
+                drop = drop | F.coalesce(
+                    fields[name].contains(str(needle)), F.lit(False)
+                )
+        elif "." in name and not name.startswith(("geo.", "metrics.",
+                                                  "site.")):
+            schema_filters[name] = [str(n) for n in needles]
+        else:
             raise ValueError(f"unknown enriched-TSV field {name!r}")
-        for needle in needles if isinstance(needles, list) else [needles]:
-            drop = drop | F.coalesce(
-                fields[name].contains(str(needle)), F.lit(False)
-            )
+    if schema_filters:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        sf = dict(schema_filters)
+
+        # NOTE: no type hints — `from __future__ import annotations`
+        # stringifies them and pandas_udf can't resolve the local `pd`
+        @pandas_udf("boolean")
+        def _sp_drop(ctx, dctx, ue):
+            import json as _json
+
+            out = []
+            for vals in zip(ctx, dctx, ue):
+                hit = False
+                for path, needles in sf.items():
+                    for v in vals:
+                        if not v:
+                            continue
+                        try:
+                            data = _json.loads(v)
+                        except ValueError:
+                            continue
+                        prop = _search_schema_property(data, path)
+                        if prop and any(
+                            n.lower() in prop.lower() for n in needles
+                        ):
+                            hit = True
+                            break
+                    if hit:
+                        break
+                out.append(hit)
+            return pd.Series(out)
+
+        drop = drop | F.coalesce(
+            _sp_drop(
+                fields["contexts"], fields["derived_contexts"],
+                fields["unstruct_event"],
+            ),
+            F.lit(False),
+        )
 
     # transforms: hash (salted) / redact, null-preserving
     for name, t in (transforms or {}).items():
@@ -118,14 +176,155 @@ def opensnowcat(
         else:
             raise ValueError(f"unknown transform type {kind!r}")
 
-    if output_format == "json":
+    if output_format in ("json", "enriched_json"):
         # to_json omits null fields -> the SDK's "empty fields absent"
         out = F.to_json(F.struct(*[fields[n].alias(n) for n in COLUMNS]))
     else:
         out = F.array_join(
             F.array(*[fields[n] for n in COLUMNS]), "\t", null_replacement=""
         )
-    return df.filter(~drop).withColumn(out_col, out)
+    res = df.filter(~drop).withColumn(out_col, out)
+    if output_format == "enriched_json":
+        res = _restructure_enriched_col(res, out_col)
+    return res
+
+
+def _get_nested(d, path: str) -> str:
+    cur = d
+    for part in path.split("."):
+        if isinstance(cur, dict):
+            cur = cur.get(part)
+        else:
+            return ""
+    return "" if cur is None else str(cur)
+
+
+def _search_schema_property(data, path: str) -> str:
+    """Recursive schema-property search (searchSchemaProperty):
+    accepts both dotted and underscored schema-key spellings in the
+    filter path."""
+    if isinstance(data, dict):
+        schema = data.get("schema")
+        if isinstance(schema, str) and schema.startswith("iglu:"):
+            vendor, name, _v = _parse_schema_uri(schema)
+            if name:
+                dotted = f"{vendor}.{name}"
+                for prefix in (dotted.replace(".", "_"), dotted):
+                    if path.startswith(prefix + "."):
+                        d = data.get("data")
+                        if isinstance(d, dict):
+                            got = _get_nested(d, path[len(prefix) + 1:])
+                            if got:
+                                return got
+        for v in data.values():
+            r = _search_schema_property(v, path)
+            if r:
+                return r
+    elif isinstance(data, list):
+        for item in data:
+            r = _search_schema_property(item, path)
+            if r:
+                return r
+    return ""
+
+
+def _parse_schema_uri(uri: str) -> tuple[str, str, str]:
+    """iglu:vendor/name/format/version -> (vendor, name, version)."""
+    if not isinstance(uri, str) or not uri.startswith("iglu:"):
+        return "", "", ""
+    parts = uri[5:].split("/")
+    if len(parts) != 4:
+        return "", "", ""
+    return parts[0], parts[1], parts[3]
+
+
+def _process_context_item(item: dict, out: dict) -> None:
+    """processor_opensnowcat.go:962 processContextItem: group context
+    data by vendor_name key; Snowplow wrapper schemas unwrap."""
+    vendor, name, version = _parse_schema_uri(item.get("schema"))
+    if not name:
+        return
+    dotted = f"{vendor}.{name}"
+    if dotted == "com.snowplowanalytics.snowplow.contexts":
+        for nested in item.get("data") or []:
+            if isinstance(nested, dict):
+                _process_context_item(nested, out)
+        return
+    key = dotted.replace(".", "_")
+    ent = out.setdefault(key, {"version": version, "data": []})
+    if "data" in item:
+        ent["data"].append(item["data"])
+
+
+def restructure_enriched(event: dict) -> dict:
+    """restructureForEnrichedJSON: the flat event with its three JSON
+    context fields replaced by key-based schema maps."""
+    import json as _json
+
+    result = {
+        k: v for k, v in event.items()
+        if k not in ("contexts", "derived_contexts", "unstruct_event")
+    }
+    for field in ("contexts", "derived_contexts"):
+        raw = event.get(field)
+        if not raw:
+            continue
+        try:
+            data = _json.loads(raw) if isinstance(raw, str) else raw
+        except ValueError:
+            continue
+        grouped: dict = {}
+        items = data if isinstance(data, list) else [data]
+        for item in items:
+            if isinstance(item, dict):
+                _process_context_item(item, grouped)
+        if grouped:
+            result[field] = grouped
+    raw = event.get("unstruct_event")
+    if raw:
+        try:
+            um = _json.loads(raw) if isinstance(raw, str) else raw
+        except ValueError:
+            um = None
+        if isinstance(um, dict):
+            vendor, name, version = _parse_schema_uri(um.get("schema"))
+            if name:
+                key = f"{vendor}.{name}".replace(".", "_")
+                result["unstruct_event"] = {
+                    key: {
+                        "version": version,
+                        "data": [um["data"]] if "data" in um else [],
+                    }
+                }
+    return result
+
+
+def _restructure_enriched_col(df: DataFrame, col: str) -> DataFrame:
+    """Arrow-batched post-pass: the json-format event string ->
+    enriched_json (per-message JSON restructuring is the tier-c shape,
+    like the other binary/JSON codecs)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[col] = [
+                _json.dumps(
+                    restructure_enriched(_json.loads(v)),
+                    separators=(",", ":"),
+                )
+                if v is not None else None
+                for v in pdf[col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
 
 
 def _register() -> None:

@@ -3,7 +3,7 @@ components/processors/*.md) through the config engine — breadth
 evidence for the YAML surface beyond the curated cookbook corpus.
 
 Round-6 state: 91 example blocks carry a `pipeline.processors` section;
-at least 74 build against a minimal content document with lint-mode
+at least 76 build against a minimal content document with lint-mode
 placeholder resources enabled (the reference's `lint -r` pattern —
 docs declare 'foo'/'TODO' resources in prose). The categorized
 residuals, each outside the buildable config surface:
@@ -22,8 +22,6 @@ residuals, each outside the buildable config surface:
   array-document form needs the interpreter path (tracked).
 - jq.md: object-construction key syntax the from-scratch jq compiler
   doesn't parse yet.
-- opensnowcat.md x2: enriched_json output format + a ua_parser
-  enrichment field outside the implemented TSV surface.
 - schema_registry_decode.md: worker-side dial at a placeholder
   registry URL.
 
@@ -41,7 +39,7 @@ import shutil
 import pytest
 
 DOCS = "/root/reference/website/docs/components/processors"
-MIN_BUILDS = 72  # measured 74; floor leaves room for env-dependent dials
+MIN_BUILDS = 74  # measured 76; floor leaves room for env-dependent dials
 
 
 def test_processor_docs_build_floor(spark):

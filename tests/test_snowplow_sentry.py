@@ -41,6 +41,69 @@ def test_tsv_to_json(events):
     assert "geo_city" not in out[1]
 
 
+_CTX = json.dumps([
+    {"schema": "iglu:com.snowplowanalytics.snowplow/web_page/jsonschema/1-0-0",
+     "data": {"id": "p-1"}},
+    {"schema": "iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-1",
+     "data": [
+         {"schema": "iglu:com.acme/checkout/jsonschema/2-0-0",
+          "data": {"step": 3}},
+     ]},
+])
+_UA_CTX = json.dumps([
+    {"schema": ("iglu:com.snowplowanalytics.snowplow/ua_parser_context/"
+                "jsonschema/1-0-0"),
+     "data": {"useragentFamily": "Chrome", "osFamily": "Linux"}},
+])
+_UNSTRUCT = json.dumps(
+    {"schema": "iglu:com.acme/purchase/jsonschema/1-0-2",
+     "data": {"sku": "X9", "qty": 2}}
+)
+
+
+def test_enriched_json_restructures_contexts(spark):
+    """output_format: enriched_json (processor_opensnowcat.go:595):
+    contexts become vendor_name keys with {version, data}, Snowplow
+    wrapper schemas unwrap, unstruct_event keyed the same way."""
+    rows = [(1, _tsv(app_id="shop", event="page_view",
+                     contexts=_CTX, unstruct_event=_UNSTRUCT))]
+    df = spark.createDataFrame(rows, "id long, content string")
+    out = json.loads(
+        opensnowcat(df, output_format="enriched_json").collect()[0]["event_out"]
+    )
+    ctx = out["contexts"]
+    assert ctx["com_snowplowanalytics_snowplow_web_page"] == {
+        "version": "1-0-0", "data": [{"id": "p-1"}],
+    }
+    # the wrapper schema itself is unwrapped, its inner context surfaces
+    assert ctx["com_acme_checkout"] == {
+        "version": "2-0-0", "data": [{"step": 3}],
+    }
+    assert "com_snowplowanalytics_snowplow_contexts" not in ctx
+    assert out["unstruct_event"]["com_acme_purchase"] == {
+        "version": "1-0-2", "data": [{"sku": "X9", "qty": 2}],
+    }
+    assert out["app_id"] == "shop"
+
+
+def test_schema_property_filter_drops(spark):
+    """Dotted schema-property filters search the context JSON
+    (searchSchemaProperty) — the docs' ua_parser example."""
+    rows = [
+        (1, _tsv(app_id="a", derived_contexts=_UA_CTX)),
+        (2, _tsv(app_id="b")),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    out = opensnowcat(
+        df, output_format="tsv",
+        filters={
+            "com.snowplowanalytics.snowplow.ua_parser_context."
+            "useragentFamily": {"contains": ["Chrome", "Firefox"]},
+        },
+    ).collect()
+    assert [r["id"] for r in out] == [2]
+
+
 def test_filters_drop_matching_events(events):
     out = opensnowcat(events, filters={"useragent": ["Bot"]}).collect()
     assert sorted(r["id"] for r in out) == [1, 2]
