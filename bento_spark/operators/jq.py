@@ -180,7 +180,10 @@ class _Parser:
                     raise JqError("jq: bad object key")
                 if self.peek()[1] == ":":
                     self.next()
-                    entries.append((key, self.parse_expr()))
+                    # jq object VALUES are full pipe expressions up to
+                    # the next ',' / '}' ({Cities: .locations | map(..)
+                    # | sort} — the processor's own doc example)
+                    entries.append((key, self.parse_pipeline()))
                 else:  # shorthand {a}
                     entries.append(
                         (key, Node("path", ("field", key), (Node("identity"),)))
@@ -296,7 +299,69 @@ def _compile(node: Node, cur: Column) -> Column:
                 F.try_variant_get(cur, f"$.{key.value}", "variant").isNotNull()
             )
         if name == "select":
-            raise JqError("jq: select() only valid as a pipe stage")
+            # value position (e.g. inside map): the element passes
+            # through when the condition holds, else NULL — map() drops
+            # the nulls when its body contains a select (jq emits
+            # nothing for a failing select)
+            cond = _bool(_compile(node.children[0], cur))
+            return F.when(cond, cur)
+        if name == "map":
+            f = node.children[0]
+            arr = F.try_variant_get(cur, "$", "array<variant>")
+            mapped = F.transform(arr, lambda x: _compile(f, x))
+            if _contains_select(f):
+                mapped = F.filter(mapped, lambda x: x.isNotNull())
+            return _v(mapped)
+        if name == "sort":
+            arr_n = F.try_variant_get(cur, "$", "array<double>")
+            arr_s = F.try_variant_get(cur, "$", "array<string>")
+            arr_v = F.try_variant_get(cur, "$", "array<variant>")
+            # lenient variant casts null out per ELEMENT — a typed sort
+            # is only safe when every element survived the cast
+            nums_ok = arr_n.isNotNull() & ~F.exists(
+                arr_n, lambda x: x.isNull()
+            )
+            strs_ok = arr_s.isNotNull() & ~F.exists(
+                arr_s, lambda x: x.isNull()
+            )
+            return F.when(nums_ok, _v(F.array_sort(arr_n))) \
+                .when(strs_ok, _v(F.array_sort(arr_s))) \
+                .otherwise(_v(F.array_sort(
+                    F.transform(arr_v, lambda x: F.to_json(x))
+                )))
+        if name == "join":
+            sep = node.children[0]
+            if sep.kind != "lit":
+                raise JqError("jq: join() needs a literal separator")
+            arr_s = F.try_variant_get(cur, "$", "array<string>")
+            arr_v = F.try_variant_get(cur, "$", "array<variant>")
+            joined = F.when(
+                arr_s.isNotNull(), F.array_join(arr_s, str(sep.value))
+            ).otherwise(
+                F.array_join(
+                    F.transform(arr_v, lambda x: _str(x)), str(sep.value)
+                )
+            )
+            return _v(joined)
+        if name == "add":
+            arr_n = F.try_variant_get(cur, "$", "array<double>")
+            arr_s = F.try_variant_get(cur, "$", "array<string>")
+            nums_ok = arr_n.isNotNull() & ~F.exists(
+                arr_n, lambda x: x.isNull()
+            )
+            return F.when(
+                nums_ok,
+                _v(F.aggregate(arr_n, F.lit(0.0), lambda a, x: a + x)),
+            ).otherwise(_v(F.array_join(arr_s, "")))
+        if name == "unique":
+            arr_n = F.try_variant_get(cur, "$", "array<double>")
+            arr_s = F.try_variant_get(cur, "$", "array<string>")
+            nums_ok = arr_n.isNotNull() & ~F.exists(
+                arr_n, lambda x: x.isNull()
+            )
+            return F.when(
+                nums_ok, _v(F.array_sort(F.array_distinct(arr_n)))
+            ).otherwise(_v(F.array_sort(F.array_distinct(arr_s))))
         raise JqError(f"jq: unsupported function {name!r}")
     if node.kind == "iterate":
         raise JqError("jq: .[] iteration only supported as a top-level stage")
@@ -305,6 +370,14 @@ def _compile(node: Node, cur: Column) -> Column:
             cur = _compile(stage, cur)
         return cur
     raise JqError(f"jq: cannot compile {node.kind}")
+
+
+def _contains_select(node: Node) -> bool:
+    if node.kind == "call" and node.value == "select":
+        return True
+    return any(
+        isinstance(c, Node) and _contains_select(c) for c in node.children
+    )
 
 
 def _to_variant(c: Column) -> Column:

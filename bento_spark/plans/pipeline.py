@@ -380,7 +380,8 @@ def _proc_jq(df: DataFrame, conf) -> DataFrame:
 
     if isinstance(conf, str):
         conf = {"query": conf}
-    return jq(df, conf.get("column", "props"), conf["query"])
+    default_col = "content" if "content" in df.columns else "props"
+    return jq(df, conf.get("column", default_col), conf["query"])
 
 
 def _proc_jmespath(df: DataFrame, conf) -> DataFrame:

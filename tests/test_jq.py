@@ -75,3 +75,37 @@ def test_numeric_compare_not_lexicographic(spark):
     out = jq(df, "j", "select(.k >= 50) | .k")
     got = sorted(json.loads(r["result"]) for r in out.collect())
     assert got == [50, 100]
+
+
+def test_jq_map_select_sort_join(spark):
+    """The processor's own doc example: map(select(.cond).field) |
+    sort | join inside object construction."""
+    from bento_spark.operators.jq import jq
+
+    df = spark.createDataFrame(
+        [('{"locations": [{"name": "Spokane", "state": "WA"}, '
+          '{"name": "Portland", "state": "OR"}, '
+          '{"name": "Seattle", "state": "WA"}]}',)],
+        "content string",
+    )
+    out = jq(
+        df, "content",
+        '{Cities: .locations | map(select(.state == "WA").name) '
+        '| sort | join(", ") }',
+    ).select("result").collect()[0][0]
+    assert out == '{"Cities":"Seattle, Spokane"}'
+
+
+def test_jq_sort_add_unique(spark):
+    from bento_spark.operators.jq import jq
+
+    df = spark.createDataFrame(
+        [('{"nums": [3, 1, 2, 2], "strs": ["b", "a"]}',)], "content string"
+    )
+    def run(q):
+        return jq(df, "content", q).select("result").collect()[0][0]
+    assert run(".nums | sort") == "[1,2,2,3]"
+    assert run(".nums | add") == "8"
+    assert run(".nums | unique") == "[1,2,3]"
+    assert run(".strs | sort") == '["a","b"]'
+    assert run('.strs | join("-")') == '"b-a"'
