@@ -391,7 +391,8 @@ def _proc_jmespath(df: DataFrame, conf) -> DataFrame:
 
     if isinstance(conf, str):
         conf = {"query": conf}
-    return jmespath(df, conf.get("column", "props"), conf["query"])
+    default_col = "content" if "content" in df.columns else "props"
+    return jmespath(df, conf.get("column", default_col), conf["query"])
 
 
 #: processor resources of the config being built — consumed by
@@ -1015,14 +1016,40 @@ def _proc_branch_cfg(df: DataFrame, conf) -> DataFrame:
     wholesale belongs in a `mapping` first."""
     out = _lift_content(ensure_env(df))
     if conf.get("request_map"):
-        out = compile_mapping(conf["request_map"]).apply(out, new_document=False)
+        out = _branch_map(out, conf["request_map"], "request_map")
     children = _rewrite_archive_roundtrip(list(conf.get("processors") or []))
     out = _apply_children(out, children, "branch")
     if conf.get("result_map"):
-        out = compile_mapping(conf["result_map"]).apply(
-            _lift_content(out), new_document=False
-        )
+        out = _branch_map(_lift_content(out), conf["result_map"],
+                          "result_map")
     return out
+
+
+def _branch_map(df: DataFrame, src: str, label: str) -> DataFrame:
+    """Branch request/result maps: mutation-mode compile with the same
+    METERED tier-c interpreter fallback as `mapping`/`mutation` (the
+    reference evaluates these per message, so throw()-carrying result
+    maps — the aws_lambda cookbook — are legal here too)."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    from bento_spark.bloblang.stdlib import ThrowInExpression
+
+    try:
+        return compile_mapping(src).apply(df, new_document=False)
+    except (RecursionError, AnalysisException, ThrowInExpression) as ex:
+        import logging
+
+        from bento_spark.bloblang.interp import interpreted_mapping_df
+        from bento_spark.observability import default_registry
+
+        default_registry().counter(
+            "bloblang.interpreter_fallback", reason=type(ex).__name__
+        )
+        logging.getLogger("bento_spark.bloblang").warning(
+            "branch %s fell back to the tier-c interpreter (%s); "
+            "source: %.200s", label, type(ex).__name__, src,
+        )
+        return interpreted_mapping_df(df, "root = this\n" + src)
 
 
 def _rewrite_archive_roundtrip(children: list) -> list:

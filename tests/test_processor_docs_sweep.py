@@ -3,7 +3,7 @@ components/processors/*.md) through the config engine — breadth
 evidence for the YAML surface beyond the curated cookbook corpus.
 
 Round-6 state: 91 example blocks carry a `pipeline.processors` section;
-at least 76 build against a minimal content document with lint-mode
+at least 82 build against a minimal content document with lint-mode
 placeholder resources enabled (the reference's `lint -r` pattern —
 docs declare 'foo'/'TODO' resources in prose). The categorized
 residuals, each outside the buildable config surface:
@@ -15,13 +15,6 @@ residuals, each outside the buildable config surface:
   redis, memcached at a fake hostname) — env-dependent by design.
 - cache.md from(): batch-index addressing inside an interpolation —
   from() takes a literal index here (documented divergence).
-- aws_lambda.md: throw() in expression position inside a switch check.
-- elasticsearch.md / sql_raw.md / gcp_bigquery_select.md: branch
-  result_maps that index the CHILD's replaced document (`this.index(0)`)
-  — the column engine keeps sibling fields through a branch, so the
-  array-document form needs the interpreter path (tracked).
-- jq.md: object-construction key syntax the from-scratch jq compiler
-  doesn't parse yet.
 - schema_registry_decode.md: worker-side dial at a placeholder
   registry URL.
 
@@ -39,7 +32,7 @@ import shutil
 import pytest
 
 DOCS = "/root/reference/website/docs/components/processors"
-MIN_BUILDS = 74  # measured 76; floor leaves room for env-dependent dials
+MIN_BUILDS = 78  # measured 82; floor leaves room for env-dependent dials
 
 
 def test_processor_docs_build_floor(spark):
