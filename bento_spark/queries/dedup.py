@@ -36,8 +36,18 @@ COS_THRESHOLD = 0.4
 #: The SCALE paths for the same semantics are the banded/bucketed rows
 #: (minhash bands, simhash pigeonhole slices, LSH/IVF ANN,
 #: cluster-local semantic dedup) plus the operators' own
-#: max_df/max_rows guards, which run uncapped in bench.
-EXACT_DOC_CAP = 1000
+#: max_df/max_rows guards.
+#:
+#: The default 5000 is a no-op at EVERY shipped scale factor (sf0.1 has
+#: exactly 5000 docs), so driver correctness hashes and bench numbers
+#: are untouched. Gate runs over GENERATED sf>=1 data export
+#: BENTO_SPARK_EXACT_CAP=1000 (or similar) so the quadratic oracles
+#: stay bounded: at 5000 docs the exact-Jaccard oracle is ~12.5M
+#: list_intersect pairs (~12 min per row in DuckDB); at 1000 it is
+#: under half a minute.
+import os as _os
+
+EXACT_DOC_CAP = int(_os.environ.get("BENTO_SPARK_EXACT_CAP", "5000"))
 EXACT_VEC_CAP = 2000
 
 _SHINGLES = word_shingles_sql("text", NGRAM)
