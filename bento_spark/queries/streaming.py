@@ -631,53 +631,62 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, on_time, base, n_slices=3,
         sentinel=(hi + datetime.timedelta(hours=3), -1),
     )
-    # stragglers arrive LAST (after the sentinel slot so their batch's
-    # pre-update watermark already sits at end-of-stream minus delay)
-    tmp = f"{base}/tmp_late"
-    late.coalesce(1).write.mode("overwrite").parquet(tmp)
-    src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    os.rename(f"{tmp}/{src}", f"{in_dir}/zz_late.parquet")
-    shutil.rmtree(tmp)
-    import time as _time
 
-    t0 = _time.time()
-    for i, name in enumerate(sorted(os.listdir(in_dir))):
-        os.utime(f"{in_dir}/{name}", (t0 + 10 * i, t0 + 10 * i))
+    def build_agg():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        win = F.window("ts", "1 hour")
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(win.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
 
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-    )
-    win = F.window("ts", "1 hour")
-    agg = (
-        stream.withWatermark("ts", "30 minutes")
-        .groupBy(win.alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "n")
-    )
-    _STATEFUL_RUN[0] += 1
-    qname = f"late_drop_{_STATEFUL_RUN[0]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+
+    def run_once():
         q = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", f"{base}/ckpt")
+            build_agg()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # run 1 drains the on-time slices + the sentinel, committing a
+        # watermark of end-of-stream+3h-30min into the checkpoint
+        run_once()
+        # stragglers arrive in a SECOND run against the same checkpoint:
+        # the persisted watermark guarantees their batch starts far past
+        # every real window, whatever the file-batch granularity (at
+        # larger SFs the source may group trailing files into one batch,
+        # which would leave the sentinel's watermark un-committed before
+        # the late rows — two runs make the ordering structural)
+        tmp = f"{base}/tmp_late"
+        late.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{src}", f"{in_dir}/zz_late.parquet")
+        shutil.rmtree(tmp)
+        run_once()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     hi_floor = hi.replace(minute=0, second=0, microsecond=0)
     return (
-        spark.table(qname)
+        spark.read.parquet(sink)
         # the sentinel's own far-future window may or may not emit
         # depending on the final-batch watermark; it is not part of
         # the data under test either way
         .filter(F.col("window_start") <= hi_floor)
         .orderBy("window_start")
+        .localCheckpoint(eager=True)
     )
