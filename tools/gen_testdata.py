@@ -171,7 +171,11 @@ def generate(sf: float, out_dir: str) -> None:
     lens = rng.integers(10, 101, n_doc)
     texts: list[str] = []
     for i in range(n_doc):
-        if i > 100 and rng.random() < 0.0016:
+        # exact dups denser among LOW ids so capped exact-baseline gate
+        # rows (doc_id < EXACT_CAP prefixes) see non-trivial pair sets
+        # at any sf, matching the shipped data's planted-dup property
+        p_dup = 0.01 if i < 2000 else 0.0016
+        if i > 100 and rng.random() < p_dup:
             texts.append(texts[int(rng.integers(0, i))])  # exact dup
         else:
             texts.append(" ".join(vocab[rng.integers(0, len(vocab),
