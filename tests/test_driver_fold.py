@@ -1,0 +1,41 @@
+"""The driver truncates CORRECTNESS at 50 rows — pin that every
+component family's flagship sits above the fold (and that _PRIORITY
+stays duplicate-free: the rank dict takes the LAST index, so a stale
+duplicate silently demotes a promoted row — the round-6 rotation bug
+class)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+#: one representative per family that MUST have driver-hash coverage
+MUST_BE_TOP50 = [
+    "q1_pricing_summary", "relational_gauntlet",
+    "window_tumbling_hour", "window_sliding_hour",
+    "stream_recovery_window", "stream_kafka_wire",
+    "mm_gauntlet", "mm_frame_sample",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    "ann_lsh_topk", "embed_project_topk", "embed_mlp_quantized",
+    "text_bm25_topk", "text_bpe_merges", "text_bpe_tokenize",
+    "sample_dsir_importance", "dedup_semantic_clustered",
+    "bloblang_mapping", "proc_flow_gauntlet", "proc_wasm",
+    "proc_sql_pgwire", "pipeline_yaml",
+    "proc_parse_gauntlet", "proc_codec_gauntlet", "proc_archive_gauntlet",
+]
+
+
+def test_priority_has_no_duplicates():
+    dups = {n for n in entry._PRIORITY if entry._PRIORITY.count(n) > 1}
+    assert not dups, f"duplicate _PRIORITY entries demote promotions: {dups}"
+
+
+def test_family_flagships_above_the_fold():
+    top50 = list(entry.queries())[:50]
+    missing = [n for n in MUST_BE_TOP50 if n not in top50]
+    assert not missing, f"flagships below the driver fold: {missing}"
+
+
+def test_every_priority_name_is_registered():
+    qs = set(entry.queries())
+    unknown = [n for n in entry._PRIORITY if n not in qs]
+    assert not unknown, f"_PRIORITY names with no query: {unknown}"
