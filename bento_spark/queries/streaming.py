@@ -658,7 +658,13 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        done = q.awaitTermination(600)
+        if not done:
+            # NEVER leave the query running: a second start on the same
+            # checkpoint while this one lives deadlocks the row
+            q.stop()
+            q.awaitTermination(60)
+            raise RuntimeError("late-drop run did not drain in 600s")
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
