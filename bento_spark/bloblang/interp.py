@@ -454,14 +454,26 @@ def interpret_mapping(src: str, content: str, meta: dict[str, str]) -> Any:
 
 def interpreted_mapping_df(df, src: str, content_col: str = "content"):
     """Arrow-batched interpreter stage: one python pass per message,
-    narrow (no shuffle) — the tier-c fallback `mapping` uses when
-    compilation raises on recursion."""
+    the tier-c fallback `mapping` uses when compilation raises on
+    recursion. Normally narrow; a LOW-partition input (one parquet
+    file with few row groups) gets repartitioned first — the
+    interpreter is the 10-100x slow path, so a shuffle that buys full
+    cores is always worth it (a 1M-row single-row-group file would
+    otherwise tree-walk on one task)."""
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql import functions as F
 
     from bento_spark.operators.envelope import META, ensure_envelope
+
+    want = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - streaming plans have no rdd
+        parts = want
+    if parts < max(2, want // 2):
+        df = df.repartition(want)
 
     df = ensure_envelope(df)
     has_idx = "__idx" in df.columns

@@ -51,7 +51,13 @@ def _ts_us(date: str) -> int:
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # small row groups keep single-file tables SPLITTABLE: Spark
+    # parallelizes parquet at row-group boundaries, so one 6M-row
+    # group would serialize every narrow stage downstream
+    pq.write_table(
+        table, os.path.join(out_dir, f"{name}.parquet"),
+        row_group_size=65536,
+    )
     print(f"  {name}: {table.num_rows} rows")
 
 
