@@ -55,9 +55,16 @@ def _dense_position(df: DataFrame, order_by: list[Column]) -> DataFrame:
     # range split that respects the order: use range partitioning by
     # the ordering struct (repartitionByRange plans a sampled range
     # exchange, order-respecting by construction).
+    # RangePartitioner picks boundaries from a SAMPLE seeded by the
+    # RDD id, so two plan instantiations of this subtree can disagree
+    # on the ranges once the corpus outgrows the sample (~20 rows per
+    # target partition): invisible at sf<=0.1 where the sample covers
+    # everything, position-corrupting at sf1 — caught by the
+    # generated-data gate. Materialize ONCE so the counts branch and
+    # the position branch see the SAME partitioning.
     parted = tagged.repartitionByRange(n_ranges, F.col("__ord")).withColumn(
         "__rid", F.spark_partition_id()
-    )
+    ).localCheckpoint(eager=True)
     counts = parted.groupBy("__rid").agg(F.count(F.lit(1)).alias("__cnt"))
     off_w = Window.orderBy("__rid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

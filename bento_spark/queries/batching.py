@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from bento_spark.operators import batching as B
 from bento_spark.queries import query
+from bento_spark.queries.dedup import EXACT_DOC_CAP
 from bento_spark.queries.relational import _t
 
 
@@ -50,12 +51,12 @@ def proc_split_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "proc_split_byte_batches",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, text,
              CAST(strlen(text) AS BIGINT) AS blen,
              row_number() OVER (ORDER BY doc_id) AS rn
-      FROM documents
+      FROM documents WHERE doc_id < {EXACT_DOC_CAP}
     ),
     s AS (
       SELECT rn, doc_id, blen, 0 AS batch, blen AS acc
@@ -80,10 +81,14 @@ def proc_split_byte_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing — flush before the message that would push the running byte
     total past 4000. The recurrence runs per batch group (sequential
     inside, parallel across groups — the reference's execution shape);
-    the oracle is the same recurrence as a recursive CTE."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").alias("content")
-    )
+    the oracle is the same recurrence as a recursive CTE (one row per
+    recursion step — sequential by definition, so the gate row caps
+    its input at EXACT_DOC_CAP like the other exact baselines; the
+    OPERATOR parallelizes across batch groups and is group-size-tested
+    uncapped)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < EXACT_DOC_CAP
+    ).select("doc_id", F.col("text").alias("content"))
     out = B.split_batches_bytes(docs, [F.col("doc_id")], byte_size=4000)
     return (
         out.groupBy("batch_index")
