@@ -115,18 +115,18 @@ class TinyTransformer:
 
     @classmethod
     def from_npz(cls, path: str, heads: int | None = None,
-                 layers: int | None = None, max_len: int = 64,
+                 layers: int | None = None, max_len: int | None = None,
                  salt: str = "nn") -> "TinyTransformer":
         """Load exported checkpoint weights (the ONNX-less drop-in).
         Checkpoints exported by tools/train_checkpoint.py carry their
         own ``_heads/_layers/_max_len`` metadata; explicit arguments
-        override it."""
+        override it (None = take the checkpoint's value, default 64)."""
         z = np.load(path)
         w = {k: z[k] for k in z.files if not k.startswith("_")}
         heads = int(z["_heads"]) if heads is None else heads
         layers = int(z["_layers"]) if layers is None else layers
-        if "_max_len" in z.files:
-            max_len = int(z["_max_len"])
+        if max_len is None:
+            max_len = int(z["_max_len"]) if "_max_len" in z.files else 64
         return cls(w, heads, layers, max_len, salt)
 
     @classmethod
@@ -181,16 +181,22 @@ def transformer_embedder(dim: int = 32, heads: int = 4, layers: int = 2,
     """Column UDF: text -> array<double> through the transformer
     forward pass on the predict_batch_udf execution path. Uses the
     packaged TRAINED checkpoint when it matches the requested
-    architecture (tools/train_checkpoint.py), else the seeded
+    architecture (tools/train_checkpoint.py) AND the caller left
+    `seed` at its default — an explicit non-default seed pins a seeded
+    model, never the trained substitute — else the seeded
     initializer."""
     from pyspark.sql.types import ArrayType, DoubleType
 
     def make():
-        model = TinyTransformer.default()
-        if (model.dim, model.heads, model.layers) != (dim, heads, layers):
-            model = TinyTransformer.seeded(
-                dim=dim, heads=heads, layers=layers, seed=seed
-            )
+        model = TinyTransformer.seeded(
+            dim=dim, heads=heads, layers=layers, seed=seed
+        )
+        if seed == 7:
+            trained = TinyTransformer.default()
+            if (trained.dim, trained.heads, trained.layers) == (
+                dim, heads, layers,
+            ):
+                model = trained
 
         def predict(batch: np.ndarray) -> np.ndarray:
             return model.encode(list(batch))

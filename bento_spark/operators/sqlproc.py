@@ -128,6 +128,65 @@ def _args_exprs(args_mapping: str) -> list[str]:
 _PLACEHOLDER_RE = r"\?|\$\d+"
 
 
+def _split_sql_placeholders(query: str) -> list[tuple[str, str]]:
+    """Tokenize a SQL statement into ``("text", ...)`` / ``("ph", ...)``
+    segments, recognizing `?` / `$N` placeholders ONLY outside string
+    literals (`'...'` with `''` escape), quoted identifiers (`"..."`),
+    line comments (`-- ...`), and block comments (`/* ... */`) — so
+    `WHERE msg LIKE 'ok?'` contributes zero placeholders and the
+    postgres-path substitution never splices a value inside a literal."""
+    segs: list[tuple[str, str]] = []
+    buf: list[str] = []
+    i, n = 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch == "'" or ch == '"':
+            q = ch
+            buf.append(ch)
+            i += 1
+            while i < n:
+                buf.append(query[i])
+                if query[i] == q:
+                    if q == "'" and i + 1 < n and query[i + 1] == "'":
+                        buf.append(query[i + 1])
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+        elif ch == "-" and query[i : i + 2] == "--":
+            j = query.find("\n", i)
+            j = n if j < 0 else j + 1
+            buf.append(query[i:j])
+            i = j
+        elif ch == "/" and query[i : i + 2] == "/*":
+            j = query.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            buf.append(query[i:j])
+            i = j
+        elif ch == "?":
+            if buf:
+                segs.append(("text", "".join(buf)))
+                buf = []
+            segs.append(("ph", "?"))
+            i += 1
+        elif ch == "$" and i + 1 < n and query[i + 1].isdigit():
+            j = i + 1
+            while j < n and query[j].isdigit():
+                j += 1
+            if buf:
+                segs.append(("text", "".join(buf)))
+                buf = []
+            segs.append(("ph", query[i:j]))
+            i = j
+        else:
+            buf.append(ch)
+            i += 1
+    if buf:
+        segs.append(("text", "".join(buf)))
+    return segs
+
+
 def sql_raw_driver(df: DataFrame, conf: dict) -> DataFrame:
     """``sql_raw`` driver form (processor_sql_raw.go): run the
     statement per message against a REAL database, `?`/`$N`
@@ -148,7 +207,6 @@ def sql_raw_driver(df: DataFrame, conf: dict) -> DataFrame:
     frame coalesces to one partition — the reference's
     ``conn_max_open: 1`` analog; ``:memory:`` keeps full parallelism
     (each partition owns its seeded copy)."""
-    import re
     from collections.abc import Iterator
 
     from bento_spark.bloblang import compile_expr
@@ -171,7 +229,9 @@ def sql_raw_driver(df: DataFrame, conf: dict) -> DataFrame:
             compile_expr(e, df=df).cast("string")
             for e in _args_exprs(str(conf["args_mapping"]))
         ]
-    n_ph = len(re.findall(_PLACEHOLDER_RE, query))
+    segs = _split_sql_placeholders(query)
+    phs = [t for k, t in segs if k == "ph"]
+    n_ph = len(phs)
     if n_ph != len(arg_cols):
         raise ValueError(
             f"sql_raw: query has {n_ph} placeholders but args_mapping "
@@ -189,11 +249,8 @@ def sql_raw_driver(df: DataFrame, conf: dict) -> DataFrame:
         df = df.coalesce(1)  # embedded single-writer file
 
     # $N -> positional ? (args reordered by appearance)
-    order = [
-        int(m[1:]) - 1 if m.startswith("$") else None
-        for m in re.findall(_PLACEHOLDER_RE, query)
-    ]
-    q_pos = re.sub(_PLACEHOLDER_RE, "?", query)
+    order = [int(m[1:]) - 1 if m.startswith("$") else None for m in phs]
+    q_pos = "".join("?" if k == "ph" else t for k, t in segs)
 
     def _connect():
         if driver == "duckdb":
@@ -250,11 +307,10 @@ def sql_raw_driver(df: DataFrame, conf: dict) -> DataFrame:
                     else:
                         from bento_spark.operators.pgwire import pg_quote
 
-                        parts = re.split(f"({_PLACEHOLDER_RE})", query)
                         k = 0
                         out = []
-                        for p in parts:
-                            if re.fullmatch(_PLACEHOLDER_RE, p):
+                        for kind, p in segs:
+                            if kind == "ph":
                                 out.append(pg_quote(args[k]))
                                 k += 1
                             else:

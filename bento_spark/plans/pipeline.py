@@ -1179,15 +1179,20 @@ def _proc_while(df: DataFrame, conf) -> DataFrame:
     unrolled plan cannot be unbounded, so an explicit 0 is rejected
     loudly (silently clamping it to 10 would change semantics without
     a trace), while an ABSENT max_loops gets the practical default of
-    10 rounds. Rows that exhaust the bound with the check still true
-    exit with `_error` set instead of passing through silently."""
+    10 rounds. An EXPLICIT positive max_loops matches the reference
+    exactly (processor_while.go:150 breaks and passes the batch through
+    unflagged — fixed-round fixpoint loops rely on this); only when the
+    bound was OUR default (absent in config, where the reference would
+    have kept looping) do exhausted rows exit with `_error` set, since
+    silent passthrough there would hide a real semantic divergence."""
     from bento_spark.bloblang import compile_expr
     from bento_spark.operators.envelope import ERROR
 
     children = conf.get("processors") or []
     check = conf["check"]
     raw_loops = conf.get("max_loops")
-    if raw_loops in (None, ""):
+    defaulted = raw_loops in (None, "")
+    if defaulted:
         max_loops = 10
     else:
         max_loops = int(raw_loops)
@@ -1203,16 +1208,19 @@ def _proc_while(df: DataFrame, conf) -> DataFrame:
         cond = F.coalesce(compile_expr(check, df=out), F.lit(False))
         done.append(out.filter(~cond))
         out = _apply_children(out.filter(cond), children, "while")
-    # bound exhausted: anything still matching the check is an error,
-    # not a silent passthrough
-    exhausted = F.coalesce(compile_expr(check, df=out), F.lit(False))
-    out = out.withColumn(
-        ERROR,
-        F.when(
-            exhausted & F.col(ERROR).isNull(),
-            F.lit(f"while: max_loops ({max_loops}) reached with check still true"),
-        ).otherwise(F.col(ERROR)),
-    )
+    if defaulted:
+        # OUR 10-round default stood in for the reference's unlimited
+        # loop: anything still matching the check diverged, flag it.
+        exhausted = F.coalesce(compile_expr(check, df=out), F.lit(False))
+        out = out.withColumn(
+            ERROR,
+            F.when(
+                exhausted & F.col(ERROR).isNull(),
+                F.lit(
+                    f"while: max_loops ({max_loops}) reached with check still true"
+                ),
+            ).otherwise(F.col(ERROR)),
+        )
     res = done[0]
     for p in done[1:] + [out]:
         res = res.unionByName(p, allowMissingColumns=True)
@@ -1521,7 +1529,9 @@ def _interp_field_fn(template: str):
     src = "root = " + (" + ".join(parts) if parts else '""')
 
     def fn(content, meta):
-        v = interpret_mapping(src, content if content is not None else "", dict(meta or {}))
+        v, _ = interpret_mapping(
+            src, content if content is not None else "", dict(meta or {})
+        )
         return v if isinstance(v, str) else _json.dumps(v)
 
     return fn
@@ -1618,7 +1628,18 @@ def _proc_cached(df: DataFrame, conf) -> DataFrame:
 
     df = _lift_content(ensure_envelope(df))
     key_tpl = str(conf.get("key", "${! content() }"))
-    df = df.withColumn("__cached_key", compile_field(key_tpl, df))
+    # NULL never equi-joins: a key expression that evaluates to NULL
+    # would silently drop the row on both sides of the join below, so
+    # coalesce to a sentinel — NULL-keyed rows share one cache entry,
+    # which matches the reference's string-interpolated key collapsing
+    # unresolvable fields to one value.
+    df = df.withColumn(
+        "__cached_key",
+        F.coalesce(
+            compile_field(key_tpl, df).cast("string"),
+            F.lit("\x00__cached_key_null__"),
+        ),
+    )
     # carry the key through the children inside the metadata envelope:
     # a wholesale `root = ...` mapping drops sibling data columns but
     # preserves metadata, so a plain key column would not survive
@@ -1630,8 +1651,24 @@ def _proc_cached(df: DataFrame, conf) -> DataFrame:
         ),
     ).drop("__cached_key")
     computed = _apply_children(distinct, conf.get("processors") or [], "cached")
+    # A child that rewrote the metadata map WHOLESALE (e.g. `meta =
+    # {...}` / `meta = deleted()`) lost the stashed key — every row for
+    # that key would vanish from the inner join, which is NOT a "cached
+    # empty result". Fail loudly at runtime instead of dropping data.
     computed = computed.withColumn(
-        "__cached_key", F.col(META)["__cached_key"]
+        "__cached_key",
+        F.when(
+            F.col(META)["__cached_key"].isNull(),
+            F.raise_error(
+                F.lit(
+                    "cached: a child processor cleared the metadata map "
+                    "wholesale, losing the internal __cached_key entry — "
+                    "results cannot be joined back to their messages; "
+                    "preserve existing metadata in children (or use "
+                    "`branch` for partial enrichment)"
+                )
+            ),
+        ).otherwise(F.col(META)["__cached_key"]),
     ).withColumn(
         META, F.map_filter(F.col(META), lambda k, _: k != "__cached_key")
     )

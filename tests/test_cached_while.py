@@ -144,29 +144,69 @@ def test_while_rejects_unlimited(spark):
         )
 
 
-def test_while_flags_exhausted_rows(spark):
-    """Rows still matching the check after max_loops rounds exit with
-    _error set, not as silent passthrough."""
+def _while_ns(spark, conf):
     df = spark.createDataFrame(
         [('{"n": 0}',), ('{"n": 90}',)], "content string"
     )
-    out = PROCESSORS["while"](
-        df,
-        {
-            "check": "this.n < 3",
-            "max_loops": 2,
-            "processors": [{"mutation": "root.n = this.n + 1"}],
-        },
-    )
-    rows = out.collect()
+    out = PROCESSORS["while"](df, conf)
     ns = {}
-    for r in rows:
+    for r in out.collect():
         d = r.asDict()
         n = d.get("n")
         if n is None and "content" in d and d["content"]:
             n = json.loads(d["content"]).get("n")
         ns[n] = d.get("_error")
-    # 90 never matched: clean. 0 -> 2 after two rounds, check still
-    # true -> flagged.
+    return ns
+
+
+def test_while_explicit_bound_passes_through_silently(spark):
+    """An EXPLICIT positive max_loops matches the reference
+    (processor_while.go:150): the bound is the intended iteration
+    count, exhausted rows pass through UNFLAGGED."""
+    ns = _while_ns(spark, {
+        "check": "this.n < 3",
+        "max_loops": 2,
+        "processors": [{"mutation": "root.n = this.n + 1"}],
+    })
     assert ns[90] is None
-    assert ns[2] is not None and "max_loops" in ns[2]
+    assert 2 in ns and ns[2] is None  # ran 2 rounds, no _error
+
+
+def test_while_defaulted_bound_flags_exhausted_rows(spark):
+    """With max_loops ABSENT our 10-round default stands in for the
+    reference's unlimited loop — rows still matching the check after
+    it exit with _error set (a real semantic divergence, flagged)."""
+    ns = _while_ns(spark, {
+        "check": "this.n < 50",
+        "processors": [{"mutation": "root.n = this.n + 1"}],
+    })
+    assert ns[90] is None
+    assert ns[10] is not None and "max_loops" in ns[10]
+
+
+def test_cached_null_key_not_dropped(spark):
+    """A key expression evaluating to NULL must not silently drop the
+    row (NULL never equi-joins): NULL-keyed rows share one sentinel
+    cache entry and come back through the join (ADVICE r6)."""
+    df = spark.createDataFrame(
+        [('{"k": "a", "v": 1}',), ('{"v": 2}',), ('{"v": 3}',)],
+        "content string",
+    )
+    out = PROCESSORS["cached"](df, {
+        "key": '${! json("k") }',
+        "processors": [{"mutation": "root.seen = true"}],
+    })
+    assert out.count() == 3  # both NULL-key rows survive
+
+
+def test_cached_child_clearing_meta_fails_loudly(spark):
+    """A child that rewrites the metadata map wholesale loses the
+    stashed __cached_key — that must raise at runtime, not silently
+    drop every row for the key (ADVICE r6)."""
+    df = spark.createDataFrame([('{"k": "a"}',)], "content string")
+    out = PROCESSORS["cached"](df, {
+        "key": '${! json("k") }',
+        "processors": [{"mapping": "meta = deleted()\nroot = this"}],
+    })
+    with pytest.raises(Exception, match="__cached_key"):
+        out.collect()

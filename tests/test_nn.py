@@ -181,3 +181,26 @@ output:
         assert len(rows) == 2
         vec = json.loads(rows[0]["content"])
         assert checker(vec), (engine, vec[:3])
+
+
+def test_from_npz_explicit_max_len_overrides(tmp_path):
+    """Explicit max_len beats the checkpoint's _max_len (ADVICE r6);
+    None takes the checkpoint's value."""
+    import numpy as np
+    from bento_spark.operators.nn import TinyTransformer
+
+    m = TinyTransformer.seeded(max_len=32)
+    path = str(tmp_path / "ck.npz")
+    np.savez(path, **m.w, _heads=m.heads, _layers=m.layers, _max_len=32)
+    assert TinyTransformer.from_npz(path).max_len == 32
+    assert TinyTransformer.from_npz(path, max_len=8).max_len == 8
+
+
+def test_transformer_embedder_explicit_seed_pins_seeded_model():
+    """A non-default seed must NOT be silently replaced by the trained
+    checkpoint even when the architecture matches (ADVICE r6)."""
+    import inspect
+    from bento_spark.operators import nn
+
+    src = inspect.getsource(nn.transformer_embedder)
+    assert "seed == 7" in src  # trained substitute gated on default seed

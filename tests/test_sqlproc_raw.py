@@ -151,3 +151,34 @@ def test_sql_raw_placeholder_count_mismatch(spark):
             {"driver": "duckdb", "query": "SELECT ?, ?",
              "args_mapping": "root = [this.a]"},
         )
+
+
+def test_placeholder_split_quote_and_comment_aware():
+    """`?` inside string literals / quoted idents / comments are NOT
+    placeholders (ADVICE r6), and `''` escapes stay inside the literal."""
+    from bento_spark.operators.sqlproc import _split_sql_placeholders
+
+    q = ("SELECT * FROM t WHERE msg LIKE 'ok?' AND a = ? -- really?\n"
+         "AND b = $2 /* $9? */ AND c = 'it''s ?'")
+    segs = _split_sql_placeholders(q)
+    phs = [t for k, t in segs if k == "ph"]
+    assert phs == ["?", "$2"]
+    assert "".join(t for _, t in segs) == q
+    # substitution never splices inside a literal
+    out = "".join("X" if k == "ph" else t for k, t in segs)
+    assert "'ok?'" in out and "'it''s ?'" in out and "really?" in out
+
+
+def test_sql_raw_literal_question_mark(spark):
+    """End-to-end: a quoted `?` in the query does not shift binding."""
+    from bento_spark.operators.sqlproc import sql_raw_driver
+
+    df = spark.createDataFrame([('{"n": 5}',)], "content string")
+    out = sql_raw_driver(df, {
+        "driver": "duckdb",
+        "query": "SELECT 'ok?' AS tag, CAST(? AS INT) + 1 AS m",
+        "args_mapping": "root = [ this.n ]",
+    })
+    import json as _json
+    rows = _json.loads(out.collect()[0].content)
+    assert rows == [{"tag": "ok?", "m": 6}]
