@@ -262,10 +262,33 @@ def _register_nlp() -> None:
     def _extract_features(df, conf):
         # engine selection: the hashed projection (default — exact
         # oracle), the from-scratch numpy transformer (operators/nn.py;
-        # `weights_path:` loads an exported .npz checkpoint), or the
-        # integer-quantized MLP (bit-exact cross-engine)
+        # `weights_path:` loads an exported .npz checkpoint), the
+        # integer-quantized MLP (bit-exact cross-engine), or a REAL
+        # ONNX checkpoint file (`model_path: *.onnx` — the format the
+        # reference's huggingface processors load,
+        # internal/impl/huggingface/processor_feature_extraction.go:18)
+        # parsed and executed by the from-scratch graph runner
+        # (operators/onnx.py)
         engine = str(conf.get("engine", "hashed"))
-        if engine == "transformer":
+        model_path = str(conf.get("model_path") or "")
+        if engine == "onnx" or model_path.endswith(".onnx"):
+            from bento_spark.operators.onnx import (
+                OnnxGraph,
+                onnx_quantized_embedder,
+                onnx_transformer_embedder,
+            )
+
+            path = model_path or str(conf.get("weights_path") or "")
+            with open(path, "rb") as fh:
+                data = fh.read()
+            g = OnnxGraph.from_bytes(data)  # parse up front: fail fast
+            if "ids" in g.input_names:  # token-sequence encoder graph
+                emb = onnx_transformer_embedder(
+                    data, max_len=int(conf.get("max_len", 64))
+                )
+            else:  # bag-of-words integer graph
+                emb = onnx_quantized_embedder(data)
+        elif engine == "transformer":
             from bento_spark.operators.nn import (
                 TinyTransformer,
                 transformer_embedder,

@@ -1,0 +1,691 @@
+"""From-scratch ONNX checkpoint loader + graph runner for the nlp_*
+inference slots.
+
+The reference's HuggingFace processors load ONNX checkpoints and run
+them through an ONNX session (/root/reference/internal/impl/huggingface/
+processor_feature_extraction.go:18, processor_text_classification.go,
+processor_fill_mask.go et al. — all hugot/onnxruntime based). This
+module gives the Spark engine the same capability from public
+knowledge only: the ONNX file format is protobuf (the public
+onnx/onnx.proto schema, field numbers reproduced below), and the graph
+is a topologically-ordered list of operator nodes over named tensors.
+
+Three pieces:
+
+1. A protobuf schema SUBSET of onnx.proto (ModelProto/GraphProto/
+   NodeProto/AttributeProto/TensorProto/ValueInfoProto) expressed as
+   the dict schemas the repo's own wire codec understands
+   (operators/protobuf.py pb_encode/pb_decode) — both directions, so
+   the engine can EXPORT its in-repo models to real ONNX bytes and
+   load any ONNX file whose ops fall in the supported set.
+
+2. :class:`OnnxGraph` — decode + numpy execution. Kernels map onto
+   the exact same primitives nn.py's hand-written forward passes use
+   (layer_norm / softmax / gelu / matmul), so a model exported from
+   :class:`~bento_spark.operators.nn.TinyTransformer` and re-loaded
+   through the GENERIC loader reproduces its embeddings, and a
+   quantized integer graph replays bit-for-bit against the pure-SQL
+   network oracle (gate row `embed_mlp_quantized`).
+
+3. Exporters for the two in-repo architectures
+   (:func:`quantized_mlp_to_onnx`, :func:`tiny_transformer_to_onnx`)
+   producing spec-conformant opset-21 graphs (axes as inputs,
+   LayerNormalization opset-17 form, Gelu approximate='tanh').
+
+Scale: inference is embarrassingly parallel — the decoded graph +
+weights ride the task closure like any predict_fn (broadcast once per
+executor), batches flow through Arrow, no shuffle. Execution is
+vectorized numpy over whole batches where the graph's leading axis is
+the batch axis (the quantized MLP path runs ONE graph evaluation per
+Arrow batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bento_spark.operators.protobuf import pb_decode, pb_encode
+
+# ---------------------------------------------------------------------------
+# onnx.proto subset (public field numbers)
+# ---------------------------------------------------------------------------
+
+TENSOR_SCHEMA = {"fields": {
+    1: ("dims", "repeated int64"),
+    2: ("data_type", "int32"),
+    4: ("float_data", "repeated float"),
+    5: ("int32_data", "repeated int32"),
+    6: ("string_data", "repeated bytes"),
+    7: ("int64_data", "repeated int64"),
+    8: ("name", "string"),
+    9: ("raw_data", "bytes"),
+    10: ("double_data", "repeated double"),
+}}
+
+ATTR_SCHEMA = {"fields": {
+    1: ("name", "string"),
+    2: ("f", "float"),
+    3: ("i", "int64"),
+    4: ("s", "bytes"),
+    5: ("t", TENSOR_SCHEMA),
+    7: ("floats", "repeated float"),
+    8: ("ints", "repeated int64"),
+    9: ("strings", "repeated bytes"),
+    20: ("type", "int32"),
+}}
+
+NODE_SCHEMA = {"fields": {
+    1: ("input", "repeated string"),
+    2: ("output", "repeated string"),
+    3: ("name", "string"),
+    4: ("op_type", "string"),
+    5: ("attribute", {**ATTR_SCHEMA, "repeated": True}),
+    7: ("domain", "string"),
+}}
+
+DIM_SCHEMA = {"fields": {1: ("dim_value", "int64"), 2: ("dim_param", "string")}}
+SHAPE_SCHEMA = {"fields": {1: ("dim", {**DIM_SCHEMA, "repeated": True})}}
+TENSORTYPE_SCHEMA = {"fields": {
+    1: ("elem_type", "int32"), 2: ("shape", SHAPE_SCHEMA),
+}}
+TYPE_SCHEMA = {"fields": {1: ("tensor_type", TENSORTYPE_SCHEMA)}}
+VALUEINFO_SCHEMA = {"fields": {
+    1: ("name", "string"), 2: ("type", TYPE_SCHEMA),
+}}
+
+GRAPH_SCHEMA = {"fields": {
+    1: ("node", {**NODE_SCHEMA, "repeated": True}),
+    2: ("name", "string"),
+    5: ("initializer", {**TENSOR_SCHEMA, "repeated": True}),
+    11: ("input", {**VALUEINFO_SCHEMA, "repeated": True}),
+    12: ("output", {**VALUEINFO_SCHEMA, "repeated": True}),
+}}
+
+OPSET_SCHEMA = {"fields": {1: ("domain", "string"), 2: ("version", "int64")}}
+
+MODEL_SCHEMA = {"fields": {
+    1: ("ir_version", "int64"),
+    2: ("producer_name", "string"),
+    7: ("graph", GRAPH_SCHEMA),
+    8: ("opset_import", {**OPSET_SCHEMA, "repeated": True}),
+}}
+
+# TensorProto.DataType enum -> numpy dtype
+_DTYPES = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
+    6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16,
+    11: np.float64, 12: np.uint32, 13: np.uint64,
+}
+_DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def tensor_to_numpy(tp: dict) -> np.ndarray:
+    dt = _DTYPES.get(int(tp.get("data_type", 0)))
+    if dt is None:
+        raise ValueError(f"onnx: unsupported tensor dtype {tp.get('data_type')}")
+    dims = [int(d) for d in tp.get("dims", [])]
+    raw = tp.get("raw_data")
+    if raw:
+        arr = np.frombuffer(raw, dtype=np.dtype(dt).newbyteorder("<"))
+        arr = arr.astype(dt)
+    elif tp.get("float_data"):
+        arr = np.array(tp["float_data"], dtype=dt)
+    elif tp.get("double_data"):
+        arr = np.array(tp["double_data"], dtype=dt)
+    elif tp.get("int64_data"):
+        arr = np.array(tp["int64_data"], dtype=dt)
+    elif tp.get("int32_data") is not None:
+        arr = np.array(tp.get("int32_data", []), dtype=dt)
+    else:
+        arr = np.zeros(0, dtype=dt)
+    return arr.reshape(dims) if dims else arr.reshape(())
+
+
+def numpy_to_tensor(name: str, arr: np.ndarray) -> dict:
+    arr = np.asarray(arr)
+    code = _DTYPE_CODES.get(arr.dtype)
+    if code is None:
+        raise ValueError(f"onnx: cannot export dtype {arr.dtype}")
+    return {
+        "name": name,
+        "dims": list(arr.shape),
+        "data_type": code,
+        "raw_data": arr.astype(arr.dtype.newbyteorder("<")).tobytes(),
+    }
+
+
+def _attrs(node: dict) -> dict:
+    out = {}
+    for a in node.get("attribute", []):
+        name = a.get("name")
+        if "i" in a:
+            out[name] = int(a["i"])
+        elif "f" in a:
+            out[name] = float(a["f"])
+        elif "s" in a:
+            out[name] = a["s"].decode() if isinstance(a["s"], (bytes, bytearray)) else a["s"]
+        elif "ints" in a:
+            out[name] = [int(v) for v in a["ints"]]
+        elif "floats" in a:
+            out[name] = [float(v) for v in a["floats"]]
+        elif "t" in a:
+            out[name] = tensor_to_numpy(a["t"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# kernels — each maps onto the same numpy primitives nn.py uses
+# ---------------------------------------------------------------------------
+
+
+def _trunc_div(a, b):
+    """ONNX Div on integer tensors truncates toward zero (C semantics);
+    numpy's floor_divide floors — correct the negative-mixed-sign case."""
+    a, b = np.asarray(a), np.asarray(b)
+    if np.issubdtype(a.dtype, np.integer) and np.issubdtype(b.dtype, np.integer):
+        q = np.floor_divide(a, b)
+        r = a - q * b
+        return q + ((r != 0) & ((a < 0) != (b < 0)))
+    return np.true_divide(a, b)
+
+
+def _reduce(fn, x, node_inputs, attrs):
+    """ReduceMean/ReduceSum: axes as attr (opset<=17) or second input
+    (opset 18+); keepdims attr defaults 1."""
+    axes = attrs.get("axes")
+    if axes is None and len(node_inputs) > 1 and node_inputs[1] is not None:
+        axes = [int(v) for v in np.atleast_1d(node_inputs[1])]
+    keep = bool(attrs.get("keepdims", 1))
+    ax = tuple(axes) if axes else None
+    return fn(x, axis=ax, keepdims=keep)
+
+
+def _slice(inputs, attrs):
+    data = inputs[0]
+    starts = np.atleast_1d(inputs[1]).astype(np.int64)
+    ends = np.atleast_1d(inputs[2]).astype(np.int64)
+    axes = (np.atleast_1d(inputs[3]).astype(np.int64)
+            if len(inputs) > 3 and inputs[3] is not None
+            else np.arange(len(starts)))
+    steps = (np.atleast_1d(inputs[4]).astype(np.int64)
+             if len(inputs) > 4 and inputs[4] is not None
+             else np.ones(len(starts), dtype=np.int64))
+    sl = [slice(None)] * data.ndim
+    for s, e, a, st in zip(starts, ends, axes, steps):
+        sl[int(a)] = slice(int(s), int(e), int(st))
+    return data[tuple(sl)]
+
+
+def _reshape(data, shape, attrs):
+    shape = [int(v) for v in np.atleast_1d(shape)]
+    if not attrs.get("allowzero"):
+        shape = [data.shape[i] if v == 0 else v for i, v in enumerate(shape)]
+    return data.reshape(shape)
+
+
+def _gelu(x, attrs):
+    from bento_spark.operators.nn import gelu
+
+    if attrs.get("approximate", "none") == "tanh":
+        return gelu(x)
+    # exact erf form without scipy: vectorized math.erf
+    import math
+
+    erf = np.vectorize(math.erf)
+    return 0.5 * x * (1.0 + erf(x / math.sqrt(2.0)))
+
+
+def _layer_norm(inputs, attrs):
+    from bento_spark.operators.nn import layer_norm
+
+    x, scale = inputs[0], inputs[1]
+    bias = inputs[2] if len(inputs) > 2 else np.zeros_like(scale)
+    axis = int(attrs.get("axis", -1))
+    if axis not in (-1, x.ndim - 1):
+        raise ValueError("onnx: LayerNormalization only on the last axis")
+    return layer_norm(x, scale, bias, eps=float(attrs.get("epsilon", 1e-5)))
+
+
+def _softmax(x, attrs):
+    from bento_spark.operators.nn import softmax
+
+    return softmax(x, axis=int(attrs.get("axis", -1)))
+
+
+def _gemm(inputs, attrs):
+    a, b = inputs[0], inputs[1]
+    if attrs.get("transA"):
+        a = a.T
+    if attrs.get("transB"):
+        b = b.T
+    y = attrs.get("alpha", 1.0) * (a @ b)
+    if len(inputs) > 2 and inputs[2] is not None:
+        y = y + attrs.get("beta", 1.0) * inputs[2]
+    return y
+
+
+def _unsqueeze(inputs, attrs):
+    x = inputs[0]
+    axes = attrs.get("axes")
+    if axes is None:
+        axes = [int(v) for v in np.atleast_1d(inputs[1])]
+    for a in sorted(axes):
+        x = np.expand_dims(x, a)
+    return x
+
+
+def _squeeze(inputs, attrs):
+    x = inputs[0]
+    axes = attrs.get("axes")
+    if axes is None and len(inputs) > 1 and inputs[1] is not None:
+        axes = [int(v) for v in np.atleast_1d(inputs[1])]
+    return np.squeeze(x, axis=tuple(axes) if axes else None)
+
+
+class OnnxGraph:
+    """Decoded ONNX model: initializer tensors + topologically-ordered
+    nodes, executed with numpy kernels. ``run(feeds)`` returns the
+    graph outputs in declaration order."""
+
+    def __init__(self, model: dict):
+        self.model = model
+        g = model.get("graph") or {}
+        self.nodes = g.get("node", [])
+        self.inits = {
+            t["name"]: tensor_to_numpy(t) for t in g.get("initializer", [])
+        }
+        self.input_names = [
+            vi["name"] for vi in g.get("input", [])
+            if vi.get("name") not in self.inits
+        ]
+        self.output_names = [vi["name"] for vi in g.get("output", [])]
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "OnnxGraph":
+        return cls(pb_decode(data, MODEL_SCHEMA))
+
+    @classmethod
+    def from_file(cls, path: str) -> "OnnxGraph":
+        with open(path, "rb") as f:
+            return cls.from_bytes(f.read())
+
+    def run(self, feeds: dict[str, np.ndarray]) -> list[np.ndarray]:
+        env: dict[str, np.ndarray] = dict(self.inits)
+        for k, v in feeds.items():
+            env[k] = np.asarray(v)
+        for node in self.nodes:
+            op = node.get("op_type")
+            ins = [env.get(n) if n else None for n in node.get("input", [])]
+            attrs = _attrs(node)
+            out = self._eval(op, ins, attrs, node)
+            outs = node.get("output", [])
+            if not isinstance(out, (tuple, list)):
+                out = [out]
+            for name, val in zip(outs, out):
+                env[name] = np.asarray(val)
+        return [env[n] for n in self.output_names]
+
+    def _eval(self, op, ins, attrs, node):  # noqa: C901 - opcode table
+        if op == "MatMul":
+            return ins[0] @ ins[1]
+        if op == "Gemm":
+            return _gemm(ins, attrs)
+        if op == "Add":
+            return ins[0] + ins[1]
+        if op == "Sub":
+            return ins[0] - ins[1]
+        if op == "Mul":
+            return ins[0] * ins[1]
+        if op == "Div":
+            return _trunc_div(ins[0], ins[1])
+        if op == "Relu":
+            return np.maximum(ins[0], 0)
+        if op == "Max":
+            out = ins[0]
+            for x in ins[1:]:
+                out = np.maximum(out, x)
+            return out
+        if op == "Min":
+            out = ins[0]
+            for x in ins[1:]:
+                out = np.minimum(out, x)
+            return out
+        if op == "Gelu":
+            return _gelu(ins[0], attrs)
+        if op == "Erf":
+            import math
+
+            return np.vectorize(math.erf)(ins[0])
+        if op == "LayerNormalization":
+            return _layer_norm(ins, attrs)
+        if op == "Softmax":
+            return _softmax(ins[0], attrs)
+        if op == "Tanh":
+            return np.tanh(ins[0])
+        if op == "Sigmoid":
+            return 1.0 / (1.0 + np.exp(-ins[0]))
+        if op == "Exp":
+            return np.exp(ins[0])
+        if op == "Log":
+            return np.log(ins[0])
+        if op == "Sqrt":
+            return np.sqrt(ins[0])
+        if op == "Pow":
+            return np.power(ins[0], ins[1])
+        if op == "Neg":
+            return -ins[0]
+        if op == "Abs":
+            return np.abs(ins[0])
+        if op == "Identity":
+            return ins[0]
+        if op == "Cast":
+            return ins[0].astype(_DTYPES[int(attrs["to"])])
+        if op == "Constant":
+            return attrs["value"]
+        if op == "Shape":
+            return np.array(ins[0].shape, dtype=np.int64)
+        if op == "Reshape":
+            return _reshape(ins[0], ins[1], attrs)
+        if op == "Transpose":
+            perm = attrs.get("perm")
+            return np.transpose(ins[0], perm) if perm else ins[0].T
+        if op == "Concat":
+            return np.concatenate(
+                [x for x in ins if x is not None], axis=int(attrs["axis"])
+            )
+        if op == "Gather":
+            return np.take(ins[0], ins[1].astype(np.int64),
+                           axis=int(attrs.get("axis", 0)))
+        if op == "Slice":
+            return _slice(ins, attrs)
+        if op == "Unsqueeze":
+            return _unsqueeze(ins, attrs)
+        if op == "Squeeze":
+            return _squeeze(ins, attrs)
+        if op == "ReduceMean":
+            return _reduce(np.mean, ins[0], ins, attrs)
+        if op == "ReduceSum":
+            return _reduce(np.sum, ins[0], ins, attrs)
+        if op == "ReduceMax":
+            return _reduce(np.max, ins[0], ins, attrs)
+        if op == "Where":
+            return np.where(ins[0], ins[1], ins[2])
+        if op == "Greater":
+            return ins[0] > ins[1]
+        if op == "Less":
+            return ins[0] < ins[1]
+        if op == "Equal":
+            return ins[0] == ins[1]
+        if op == "Clip":
+            lo = ins[1] if len(ins) > 1 and ins[1] is not None else None
+            hi = ins[2] if len(ins) > 2 and ins[2] is not None else None
+            return np.clip(ins[0], lo, hi)
+        raise ValueError(
+            f"onnx: unsupported op {op!r} (node {node.get('name')!r}) — "
+            "supported: arithmetic/activation/shape/reduce/attention "
+            "building blocks; extend OnnxGraph._eval"
+        )
+
+
+# ---------------------------------------------------------------------------
+# export: in-repo models -> spec-conformant ONNX bytes
+# ---------------------------------------------------------------------------
+
+
+def _model_bytes(nodes, inits, inputs, outputs, name) -> bytes:
+    def vi(n, code):
+        return {"name": n, "type": {"tensor_type": {"elem_type": code}}}
+
+    model = {
+        "ir_version": 8,
+        "producer_name": "bento_spark",
+        "opset_import": [{"domain": "", "version": 21}],
+        "graph": {
+            "name": name,
+            "node": nodes,
+            "initializer": inits,
+            "input": [vi(n, c) for n, c in inputs],
+            "output": [vi(n, c) for n, c in outputs],
+        },
+    }
+    return pb_encode(model, MODEL_SCHEMA)
+
+
+def quantized_mlp_to_onnx(m) -> bytes:
+    """Export a :class:`~bento_spark.operators.nn.QuantizedMLP` as an
+    all-int64 ONNX graph: MatMul/Add/Max(0)/Div(q)/MatMul/Add. Integer
+    ops make the round-trip exact, so the loaded graph replays
+    bit-for-bit against the SQL network oracle."""
+    i64 = np.int64
+    inits = [
+        numpy_to_tensor("w1", m.w1.astype(i64)),
+        numpy_to_tensor("b1", m.b1.astype(i64)),
+        numpy_to_tensor("w2", m.w2.astype(i64)),
+        numpy_to_tensor("b2", m.b2.astype(i64)),
+        numpy_to_tensor("zero", np.array(0, dtype=i64)),
+        numpy_to_tensor("q", np.array(m.q, dtype=i64)),
+    ]
+    nodes = [
+        {"op_type": "MatMul", "input": ["x", "w1"], "output": ["h0"]},
+        {"op_type": "Add", "input": ["h0", "b1"], "output": ["h1"]},
+        {"op_type": "Max", "input": ["h1", "zero"], "output": ["h2"]},
+        {"op_type": "Div", "input": ["h2", "q"], "output": ["h3"]},
+        {"op_type": "MatMul", "input": ["h3", "w2"], "output": ["y0"]},
+        {"op_type": "Add", "input": ["y0", "b2"], "output": ["y"]},
+    ]
+    return _model_bytes(nodes, inits, [("x", 7)], [("y", 7)],
+                        "bento_spark_quantized_mlp")
+
+
+def tiny_transformer_to_onnx(m) -> bytes:
+    """Export a :class:`~bento_spark.operators.nn.TinyTransformer` as a
+    float64 ONNX encoder graph over token ids (T,) — Gather embeddings
+    + positional slice, per layer pre-LN multi-head attention
+    (Reshape/Transpose/MatMul/Softmax) and Gelu(tanh) FFN, mean pool,
+    guarded L2 normalize. Tokenization (the hash vocab) stays outside
+    the graph, exactly as the reference keeps its tokenizers outside
+    the ONNX session."""
+    d = m.dim
+    h, dh = m.heads, m.dim // m.heads
+    inits = [
+        numpy_to_tensor("emb", m.w["emb"].astype(np.float64)),
+        numpy_to_tensor("pos", m.w["pos"].astype(np.float64)),
+        numpy_to_tensor("starts0", np.array([0], dtype=np.int64)),
+        numpy_to_tensor("axes0", np.array([0], dtype=np.int64)),
+        numpy_to_tensor("hdh", np.array([h, dh], dtype=np.int64)),
+        numpy_to_tensor("dvec", np.array([d], dtype=np.int64)),
+        numpy_to_tensor("sqrt_dh", np.array(np.sqrt(dh), dtype=np.float64)),
+        numpy_to_tensor("fzero", np.array(0.0, dtype=np.float64)),
+        numpy_to_tensor("fone", np.array(1.0, dtype=np.float64)),
+        numpy_to_tensor("axesm1", np.array([-1], dtype=np.int64)),
+        numpy_to_tensor("lneps", np.array(1e-5, dtype=np.float64)),
+    ]
+
+    def ln_nodes(x_in, g_name, b_name, out):
+        """Layer norm DECOMPOSED (ReduceMean/Sub/Mul/Sqrt/Div) instead
+        of the LayerNormalization op: the op's epsilon attribute is a
+        protobuf FLOAT (f32), which cannot carry the float64 1e-5 the
+        in-repo forward pass uses — a ~1e-12 embedding perturbation.
+        The decomposition keeps eps as a float64 initializer, making
+        export -> generic-load bit-faithful. (The runner still supports
+        LayerNormalization for externally-produced models.)"""
+        p = out
+        return [
+            {"op_type": "ReduceMean", "input": [x_in, "axesm1"],
+             "output": [f"{p}_mu"],
+             "attribute": [{"name": "keepdims", "i": 1, "type": 2}]},
+            {"op_type": "Sub", "input": [x_in, f"{p}_mu"],
+             "output": [f"{p}_xc"]},
+            {"op_type": "Mul", "input": [f"{p}_xc", f"{p}_xc"],
+             "output": [f"{p}_sq"]},
+            {"op_type": "ReduceMean", "input": [f"{p}_sq", "axesm1"],
+             "output": [f"{p}_var"],
+             "attribute": [{"name": "keepdims", "i": 1, "type": 2}]},
+            {"op_type": "Add", "input": [f"{p}_var", "lneps"],
+             "output": [f"{p}_ve"]},
+            {"op_type": "Sqrt", "input": [f"{p}_ve"], "output": [f"{p}_sd"]},
+            {"op_type": "Div", "input": [f"{p}_xc", f"{p}_sd"],
+             "output": [f"{p}_nm"]},
+            {"op_type": "Mul", "input": [f"{p}_nm", g_name],
+             "output": [f"{p}_sg"]},
+            {"op_type": "Add", "input": [f"{p}_sg", b_name],
+             "output": [out]},
+        ]
+    nodes = [
+        {"op_type": "Shape", "input": ["ids"], "output": ["tshape"]},
+        {"op_type": "Gather", "input": ["emb", "ids"], "output": ["etok"],
+         "attribute": [{"name": "axis", "i": 0, "type": 2}]},
+        {"op_type": "Slice",
+         "input": ["pos", "starts0", "tshape", "axes0"], "output": ["psl"]},
+        {"op_type": "Add", "input": ["etok", "psl"], "output": ["x0"]},
+        {"op_type": "Concat", "input": ["tshape", "hdh"], "output": ["sh_thd"],
+         "attribute": [{"name": "axis", "i": 0, "type": 2}]},
+        {"op_type": "Concat", "input": ["tshape", "dvec"], "output": ["sh_td"],
+         "attribute": [{"name": "axis", "i": 0, "type": 2}]},
+    ]
+
+    def attr_ints(name, vals):
+        return {"name": name, "ints": list(vals), "type": 7}
+
+    x = "x0"
+    for i in range(m.layers):
+        for wname in ("ln1_g", "ln1_b", "wq", "wk", "wv", "wo",
+                      "ln2_g", "ln2_b", "w1", "b1", "w2", "b2"):
+            inits.append(numpy_to_tensor(
+                f"L{i}.{wname}", m.w[f"{i}.{wname}"].astype(np.float64)
+            ))
+        p = f"L{i}."
+        nodes += ln_nodes(x, f"{p}ln1_g", f"{p}ln1_b", f"{p}ln1")
+        for nm in ("q", "k", "v"):
+            nodes += [
+                {"op_type": "MatMul", "input": [f"{p}ln1", f"{p}w{nm}"],
+                 "output": [f"{p}{nm}m"]},
+                {"op_type": "Reshape", "input": [f"{p}{nm}m", "sh_thd"],
+                 "output": [f"{p}{nm}r"]},
+            ]
+        nodes += [
+            {"op_type": "Transpose", "input": [f"{p}qr"],
+             "output": [f"{p}qh"],
+             "attribute": [attr_ints("perm", [1, 0, 2])]},
+            {"op_type": "Transpose", "input": [f"{p}kr"],
+             "output": [f"{p}kh"],
+             "attribute": [attr_ints("perm", [1, 2, 0])]},
+            {"op_type": "Transpose", "input": [f"{p}vr"],
+             "output": [f"{p}vh"],
+             "attribute": [attr_ints("perm", [1, 0, 2])]},
+            {"op_type": "MatMul", "input": [f"{p}qh", f"{p}kh"],
+             "output": [f"{p}sc0"]},
+            {"op_type": "Div", "input": [f"{p}sc0", "sqrt_dh"],
+             "output": [f"{p}sc"]},
+            {"op_type": "Softmax", "input": [f"{p}sc"],
+             "output": [f"{p}att"],
+             "attribute": [{"name": "axis", "i": -1, "type": 2}]},
+            {"op_type": "MatMul", "input": [f"{p}att", f"{p}vh"],
+             "output": [f"{p}ctx"]},
+            {"op_type": "Transpose", "input": [f"{p}ctx"],
+             "output": [f"{p}ctxt"],
+             "attribute": [attr_ints("perm", [1, 0, 2])]},
+            {"op_type": "Reshape", "input": [f"{p}ctxt", "sh_td"],
+             "output": [f"{p}ctxr"]},
+            {"op_type": "MatMul", "input": [f"{p}ctxr", f"{p}wo"],
+             "output": [f"{p}proj"]},
+            {"op_type": "Add", "input": [x, f"{p}proj"],
+             "output": [f"{p}x1"]},
+        ]
+        nodes += ln_nodes(f"{p}x1", f"{p}ln2_g", f"{p}ln2_b", f"{p}ln2")
+        nodes += [
+            {"op_type": "MatMul", "input": [f"{p}ln2", f"{p}w1"],
+             "output": [f"{p}f0"]},
+            {"op_type": "Add", "input": [f"{p}f0", f"{p}b1"],
+             "output": [f"{p}f1"]},
+            {"op_type": "Gelu", "input": [f"{p}f1"], "output": [f"{p}g"],
+             "attribute": [{"name": "approximate", "s": b"tanh", "type": 3}]},
+            {"op_type": "MatMul", "input": [f"{p}g", f"{p}w2"],
+             "output": [f"{p}f2"]},
+            {"op_type": "Add", "input": [f"{p}f2", f"{p}b2"],
+             "output": [f"{p}f3"]},
+            {"op_type": "Add", "input": [f"{p}x1", f"{p}f3"],
+             "output": [f"{p}xo"]},
+        ]
+        x = f"{p}xo"
+    nodes += [
+        {"op_type": "ReduceMean", "input": [x, "axes0"], "output": ["pooled"],
+         "attribute": [{"name": "keepdims", "i": 0, "type": 2}]},
+        {"op_type": "Mul", "input": ["pooled", "pooled"], "output": ["sq"]},
+        {"op_type": "ReduceSum", "input": ["sq", "axes0"], "output": ["ssum"],
+         "attribute": [{"name": "keepdims", "i": 0, "type": 2}]},
+        {"op_type": "Sqrt", "input": ["ssum"], "output": ["nrm"]},
+        {"op_type": "Greater", "input": ["nrm", "fzero"], "output": ["gz"]},
+        {"op_type": "Where", "input": ["gz", "nrm", "fone"],
+         "output": ["den"]},
+        {"op_type": "Div", "input": ["pooled", "den"], "output": ["embout"]},
+    ]
+    return _model_bytes(nodes, inits, [("ids", 7)], [("embout", 11)],
+                        "bento_spark_tiny_transformer")
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+def onnx_quantized_embedder(model_bytes: bytes, salt: str = "qmlp"):
+    """Column UDF: text -> array<long> through a LOADED ONNX integer
+    graph on the predict_batch_udf path — one graph evaluation per
+    Arrow batch (the batch is the leading axis). The hash tokenizer
+    matches QuantizedMLP.counts, so outputs are bit-identical to the
+    native forward pass AND the SQL network replay."""
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    def make():
+        import hashlib
+
+        g = OnnxGraph.from_bytes(model_bytes)
+        dim_in = g.inits["w1"].shape[0]
+
+        def counts(text):
+            x = np.zeros(dim_in, dtype=np.int64)
+            for w in (text or "").lower().split():
+                hv = int.from_bytes(
+                    hashlib.md5(f"{salt}:{w}".encode()).digest()[:8], "big"
+                ) >> 4
+                x[hv % dim_in] += 1
+            return x
+
+        def predict(batch: np.ndarray) -> np.ndarray:
+            xs = np.stack([counts(t) for t in batch])
+            return g.run({"x": xs})[0]
+
+        return predict
+
+    return predict_batch_udf(
+        make, return_type=ArrayType(LongType()), batch_size=1024
+    )
+
+
+def onnx_transformer_embedder(model_bytes: bytes, vocab: int | None = None,
+                              max_len: int = 64, salt: str = "nn"):
+    """Column UDF: text -> array<double> through a LOADED ONNX encoder
+    graph (one evaluation per sequence — T varies)."""
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    def make():
+        from bento_spark.operators.nn import _tok_ids
+
+        g = OnnxGraph.from_bytes(model_bytes)
+        v = vocab or g.inits["emb"].shape[0]
+
+        def predict(batch: np.ndarray) -> np.ndarray:
+            out = []
+            for t in batch:
+                ids = _tok_ids(t, v, salt)[:max_len] or [0]
+                out.append(g.run({"ids": np.array(ids, dtype=np.int64)})[0])
+            return np.stack(out)
+
+        return predict
+
+    return predict_batch_udf(
+        make, return_type=ArrayType(DoubleType()), batch_size=256
+    )

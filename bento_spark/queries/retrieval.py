@@ -131,10 +131,23 @@ def embed_mlp_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the CHECKPOINT-LOADING path, not a proxy. The float
     TinyTransformer (same module, same execution path, own trained
     checkpoint) is the unquantized sibling; its training gradients
-    are finite-difference-verified in tests/test_nn_train.py."""
-    from bento_spark.operators.nn import QuantizedMLP, quantized_mlp_embedder
+    are finite-difference-verified in tests/test_nn_train.py.
 
-    emb = quantized_mlp_embedder(QuantizedMLP.default())
+    Round 7: the checkpoint now travels through REAL ONNX — the
+    trained weights are exported to spec-conformant ONNX protobuf
+    bytes (operators/onnx.py, the format the reference's huggingface
+    processors load: internal/impl/huggingface/
+    processor_feature_extraction.go:18) and loaded back through the
+    GENERIC graph loader; the distributed forward pass executes the
+    DECODED GRAPH, hash-exact vs the SQL replay. Integer ops make the
+    whole chain (train -> export -> parse -> execute) bit-verified."""
+    from bento_spark.operators.nn import QuantizedMLP
+    from bento_spark.operators.onnx import (
+        onnx_quantized_embedder,
+        quantized_mlp_to_onnx,
+    )
+
+    emb = onnx_quantized_embedder(quantized_mlp_to_onnx(QuantizedMLP.default()))
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.withColumn("e", emb(F.col("text")))

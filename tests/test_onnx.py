@@ -1,0 +1,155 @@
+"""ONNX checkpoint loader (VERDICT r6 #1): the reference's huggingface
+processors load ONNX checkpoints (internal/impl/huggingface/
+processor_feature_extraction.go:18); here the engine exports its
+in-repo models to real ONNX protobuf bytes and loads them back through
+the GENERIC graph loader with identical outputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bento_spark.operators.nn import QuantizedMLP, TinyTransformer
+from bento_spark.operators.onnx import (
+    MODEL_SCHEMA,
+    OnnxGraph,
+    numpy_to_tensor,
+    quantized_mlp_to_onnx,
+    tensor_to_numpy,
+    tiny_transformer_to_onnx,
+)
+
+
+def test_tensor_roundtrip():
+    for arr in (
+        np.arange(12, dtype=np.float64).reshape(3, 4),
+        np.array(7, dtype=np.int64),
+        np.random.default_rng(0).standard_normal((2, 3)).astype(np.float32),
+        np.array([True, False]),
+    ):
+        back = tensor_to_numpy(numpy_to_tensor("t", arr))
+        assert back.dtype == arr.dtype and back.shape == arr.shape
+        assert np.array_equal(back, arr)
+
+
+def test_model_protobuf_roundtrip():
+    """The exported bytes decode back to the same graph structure."""
+    from bento_spark.operators.protobuf import pb_decode
+
+    m = QuantizedMLP(dim_in=8, hidden=4, dim_out=3, seed=5)
+    data = quantized_mlp_to_onnx(m)
+    model = pb_decode(data, MODEL_SCHEMA)
+    assert model["ir_version"] == 8
+    assert model["opset_import"][0]["version"] == 21
+    g = model["graph"]
+    assert [n["op_type"] for n in g["node"]] == [
+        "MatMul", "Add", "Max", "Div", "MatMul", "Add",
+    ]
+    assert {t["name"] for t in g["initializer"]} == {
+        "w1", "b1", "w2", "b2", "zero", "q",
+    }
+
+
+def test_quantized_mlp_onnx_bit_exact():
+    """Integer graph: loaded-ONNX forward == native forward, exactly,
+    including negative pre-relu values and the requantize division."""
+    m = QuantizedMLP(dim_in=16, hidden=8, dim_out=5, q=3, seed=11)
+    g = OnnxGraph.from_bytes(quantized_mlp_to_onnx(m))
+    rng = np.random.default_rng(2)
+    xs = rng.integers(0, 9, size=(40, 16)).astype(np.int64)
+    got = g.run({"x": xs})[0]
+    want = np.stack([m.forward(x) for x in xs])
+    assert got.dtype == np.int64
+    assert np.array_equal(got, want)
+
+
+def test_quantized_mlp_onnx_trained_checkpoint():
+    """The packaged TRAINED checkpoint survives the ONNX round-trip."""
+    m = QuantizedMLP.default()
+    g = OnnxGraph.from_bytes(quantized_mlp_to_onnx(m))
+    texts = ["the quick brown fox", "der schnelle braune fuchs", ""]
+    xs = np.stack([m.counts(t) for t in texts])
+    assert np.array_equal(g.run({"x": xs})[0],
+                          np.stack([m.forward(x) for x in xs]))
+
+
+@pytest.mark.parametrize("trained", [False, True])
+def test_tiny_transformer_onnx_identical_embeddings(trained):
+    """TinyTransformer -> ONNX bytes -> generic loader -> same
+    embeddings (the VERDICT's done-criterion)."""
+    m = TinyTransformer.default() if trained else TinyTransformer.seeded(
+        dim=16, heads=2, ffn=24, layers=2, vocab=64, max_len=16, seed=3
+    )
+    g = OnnxGraph.from_bytes(tiny_transformer_to_onnx(m))
+    from bento_spark.operators.nn import _tok_ids
+
+    for text in ("hello onnx world", "a", "x " * 100, ""):
+        ids = _tok_ids(text, m.w["emb"].shape[0], m.salt)[: m.max_len] or [0]
+        got = g.run({"ids": np.array(ids, dtype=np.int64)})[0]
+        want = m._encode_one(text)
+        assert np.allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_onnx_unsupported_op_raises():
+    from bento_spark.operators.onnx import _model_bytes
+
+    data = _model_bytes(
+        [{"op_type": "ConvTranspose", "input": ["x"], "output": ["y"]}],
+        [], [("x", 1)], [("y", 1)], "bad",
+    )
+    g = OnnxGraph.from_bytes(data)
+    with pytest.raises(ValueError, match="unsupported op"):
+        g.run({"x": np.zeros((1, 1), dtype=np.float32)})
+
+
+def test_onnx_div_truncates_toward_zero():
+    """ONNX integer Div is C-style truncation, not python floor."""
+    from bento_spark.operators.onnx import _trunc_div
+
+    a = np.array([-3, 3, -3, 7], dtype=np.int64)
+    b = np.array([2, 2, -2, -2], dtype=np.int64)
+    assert np.array_equal(_trunc_div(a, b), np.array([-1, 1, 1, -3]))
+    assert np.allclose(_trunc_div(np.array([3.0]), np.array([2.0])), [1.5])
+
+
+def test_nlp_extract_features_onnx_engine(spark, tmp_path):
+    """The nlp_extract_features processor loads a REAL .onnx file from
+    disk and runs it through the graph runner (the reference's
+    huggingface model_path shape)."""
+    import json
+
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    m = QuantizedMLP(dim_in=8, hidden=4, dim_out=3, seed=5)
+    path = tmp_path / "model.onnx"
+    path.write_bytes(quantized_mlp_to_onnx(m))
+    df = spark.createDataFrame([("hello world",), ("foo bar baz",)],
+                               "content string")
+    out = PROCESSORS["nlp_extract_features"](
+        df, {"model_path": str(path)}
+    ).collect()
+    got = {r.content for r in out}
+    want = {
+        json.dumps(m.forward(m.counts(t)).tolist(), separators=(",", ":"))
+        for t in ("hello world", "foo bar baz")
+    }
+    assert got == want
+
+
+def test_nlp_extract_features_onnx_transformer_engine(spark, tmp_path):
+    """A token-sequence encoder graph (ids input) routes to the
+    transformer embedder path."""
+    import json
+
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    m = TinyTransformer.seeded(dim=8, heads=2, ffn=12, layers=1,
+                               vocab=32, max_len=8, seed=4)
+    path = tmp_path / "enc.onnx"
+    path.write_bytes(tiny_transformer_to_onnx(m))
+    df = spark.createDataFrame([("hello onnx",)], "content string")
+    out = PROCESSORS["nlp_extract_features"](
+        df, {"model_path": str(path), "max_len": 8}
+    ).collect()
+    got = np.array(json.loads(out[0].content))
+    assert np.allclose(got, m._encode_one("hello onnx"), atol=1e-12)
