@@ -193,7 +193,30 @@ class _Func:
 
 
 class WasmModule:
-    """Decoded module (shareable across instances)."""
+    """Decoded module (shareable across instances).
+
+    Execution engines: by default each function body is TRANSLATED to
+    a Python closure on first call (operators/wasm_compile.py — no
+    opcode dispatch, no exception-based branching; the wazero-JIT
+    analog available to a pure-Python engine) with this tree-walking
+    interpreter as the differential oracle and the fallback for
+    functions the translator declines. Set
+    ``BENTO_SPARK_WASM_ENGINE=interp`` to force interpretation."""
+
+    def compiled_fn(self, idx: int):
+        """Translated Python callable for function `idx`, or None
+        (host function / unsupported construct / engine override).
+        Compiled once per module per process, cached."""
+        import os
+
+        if os.environ.get("BENTO_SPARK_WASM_ENGINE", "") == "interp":
+            return None
+        cache = self.__dict__.setdefault("_compiled", {})
+        if idx not in cache:
+            from bento_spark.operators.wasm_compile import compile_function
+
+            cache[idx] = compile_function(self, idx)
+        return cache[idx]
 
     def __init__(self, binary: bytes):
         r = _R(binary)
@@ -423,6 +446,41 @@ class WasmInstance:
             raise WasmTrap("out of bounds memory write")
         self.mem[ptr: ptr + len(data)] = data
 
+    # -- helpers shared with translated code (wasm_compile.py) --
+    def _mem_grow(self, delta: int) -> int:
+        cur = len(self.mem) // self.PAGE
+        if self.mem_max is not None and cur + delta > self.mem_max:
+            return _M32  # -1
+        self.mem.extend(bytes(delta * self.PAGE))
+        return cur
+
+    def _mem_init(self, di: int, dst: int, src: int, n: int) -> None:
+        if di in self.dropped_data:
+            raise WasmTrap("data segment dropped")
+        data = self.m.datas[di][1]
+        if src + n > len(data) or dst + n > len(self.mem):
+            raise WasmTrap("out of bounds memory.init")
+        self.mem[dst: dst + n] = data[src: src + n]
+
+    def _mem_copy(self, dst: int, src: int, n: int) -> None:
+        if src + n > len(self.mem) or dst + n > len(self.mem):
+            raise WasmTrap("out of bounds memory.copy")
+        self.mem[dst: dst + n] = self.mem[src: src + n]
+
+    def _mem_fill(self, dst: int, val: int, n: int) -> None:
+        if dst + n > len(self.mem):
+            raise WasmTrap("out of bounds memory.fill")
+        self.mem[dst: dst + n] = bytes([val & 0xFF]) * n
+
+    def _resolve_indirect(self, ti: int, typeidx: int) -> int:
+        table = self.tables[0]
+        if ti >= len(table) or table[ti] is None:
+            raise WasmTrap("undefined table element")
+        fi = table[ti]
+        if self.m.funcs[fi].typeidx != typeidx:
+            raise WasmTrap("indirect call type mismatch")
+        return fi
+
     # -- execution --
     def call_index(self, idx: int, args: list):
         f = self.m.funcs[idx]
@@ -440,13 +498,17 @@ class WasmInstance:
         locals_ = list(args)
         for vt in f.locals:
             locals_.append(0.0 if vt in (0x7D, 0x7C) else 0)
-        stack: list = []
-        try:
-            self._exec(f.body, stack, locals_)
-        except _Return:
-            pass
-        except _Branch:
-            pass  # br out of function body = return
+        fn = self.m.compiled_fn(idx)
+        if fn is not None:  # translated fast path (bit-compatible)
+            stack = fn(self, locals_)
+        else:
+            stack = []
+            try:
+                self._exec(f.body, stack, locals_)
+            except _Return:
+                pass
+            except _Branch:
+                pass  # br out of function body = return
         if not results:
             return None
         return stack[-1] if len(results) == 1 else tuple(stack[-len(results):])
