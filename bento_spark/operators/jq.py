@@ -18,8 +18,18 @@ Supported subset (the shapes Bento configs actually use):
   select(e)    filter (drops rows, top-level stage or standalone)
   length, keys, tostring, tonumber, not, has("k"), e // alt
 
-Unsupported (documented): reduce/foreach, def, variables-as-state,
-regex builtins, recursive descent `..`, nested iteration.
+Programs using constructs BEYOND the Column subset — `reduce` /
+`foreach`, `def` user functions, `try`/`catch` and the `?` suffix,
+`$var` bindings (`E as $x | ...`), string interpolation `"\\(e)"`, and
+the regex builtins `test`/`capture`/`match` — parse here and execute
+on the metered per-row interpreter (operators/jq_interp.py, the same
+tier-c pattern as Bloblang): Arrow-batched mapInPandas, counted via
+the `jq.interpreter_fallback` metric so a hot pipeline silently
+leaning on the slow path is visible. gojq (processor_jq.go:9) runs
+everything interpreted; here the Column compiler stays the fast path.
+
+Still unsupported anywhere: recursive descent `..`, path assignment
+(`=` / `|=`), SQL-style xpath, `input`/`inputs`.
 """
 
 from __future__ import annotations
@@ -39,8 +49,9 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>"(?:[^"\\]|\\.)*")
+    | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>//|==|!=|<=|>=|\.\.|[.\[\]{}(),:|<>+\-*/%])
+    | (?P<op>//|==|!=|<=|>=|\.\.|[.\[\]{}(),:;|<>+\-*/%?])
     )""",
     re.VERBOSE,
 )
@@ -55,7 +66,7 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                 raise JqError(f"jq: bad token at {src[pos:pos+10]!r}")
             break
         pos = m.end()
-        for kind in ("num", "str", "ident", "op"):
+        for kind in ("num", "str", "var", "ident", "op"):
             if m.group(kind) is not None:
                 out.append((kind, m.group(kind)))
                 break
@@ -71,6 +82,53 @@ class Node:
     kind: str  # identity|path|iterate|lit|obj|arr|bin|call|pipe
     value: object = None
     children: tuple = ()
+
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\",
+            "/": "/", "b": "\b", "f": "\f"}
+
+
+def _string_node(raw: str) -> "Node":
+    """String literal -> lit node, or istr node when it contains
+    `\\(expr)` interpolations (parts: ("s", text) | ("e", ast))."""
+    body = raw[1:-1]
+    parts: list[tuple[str, object]] = []
+    buf: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            n = body[i + 1]
+            if n == "(":
+                depth, j = 1, i + 2
+                while j < len(body) and depth:
+                    if body[j] == "(":
+                        depth += 1
+                    elif body[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise JqError("jq: unterminated \\( interpolation")
+                if buf:
+                    parts.append(("s", "".join(buf)))
+                    buf = []
+                parts.append(("e", parse_jq(body[i + 2: j - 1])))
+                i = j
+                continue
+            if n == "u" and i + 5 < len(body):
+                buf.append(chr(int(body[i + 2: i + 6], 16)))
+                i += 6
+                continue
+            buf.append(_ESCAPES.get(n, n))
+            i += 2
+            continue
+        buf.append(c)
+        i += 1
+    if buf:
+        parts.append(("s", "".join(buf)))
+    if all(kind == "s" for kind, _ in parts):
+        return Node("lit", "".join(t for _, t in parts))
+    return Node("istr", tuple(parts))
 
 
 class _Parser:
@@ -100,11 +158,46 @@ class _Parser:
             raise JqError(f"jq: expected {val!r}, got {v!r}")
 
     def parse_pipeline(self) -> Node:
-        stages = [self.parse_expr()]
+        if self.peek() == ("ident", "def"):
+            return self.parse_def()
+        first = self.parse_expr()
+        if self.peek() == ("ident", "as"):  # E as $x | body
+            self.next()
+            k, var = self.next()
+            if k != "var":
+                raise JqError("jq: expected $var after 'as'")
+            self.expect("|")
+            return Node("as", var[1:], (first, self.parse_pipeline()))
+        stages = [first]
         while self.peek()[1] == "|":
             self.next()
             stages.append(self.parse_expr())
         return stages[0] if len(stages) == 1 else Node("pipe", None, tuple(stages))
+
+    def parse_def(self) -> Node:
+        """`def name(p1; p2): body; rest` — call-by-name filters."""
+        self.next()  # def
+        k, fname = self.next()
+        if k != "ident":
+            raise JqError("jq: expected function name after 'def'")
+        params: list[str] = []
+        if self.peek()[1] == "(":
+            self.next()
+            while True:
+                pk, pv = self.next()
+                if pk not in ("ident", "var"):
+                    raise JqError("jq: bad def parameter")
+                params.append(pv.lstrip("$"))
+                if self.peek()[1] == ";":
+                    self.next()
+                    continue
+                break
+            self.expect(")")
+        self.expect(":")
+        body = self.parse_pipeline()
+        self.expect(";")
+        rest = self.parse_pipeline()
+        return Node("def", (fname, tuple(params)), (body, rest))
 
     def parse_expr(self, prec: int = 0) -> Node:
         left = self.parse_postfix()
@@ -144,6 +237,9 @@ class _Parser:
                     node = Node("path", ("field", v2[1:-1]), (node,))
                 else:
                     raise JqError("jq: bad subscript")
+            elif v == "?":
+                self.next()
+                node = Node("opt", None, (node,))
             else:
                 return node
 
@@ -154,21 +250,71 @@ class _Parser:
             if k2 == "ident":
                 self.next()
                 return Node("path", ("field", v2), (Node("identity"),))
+            if k2 == "str":
+                self.next()
+                return Node("path", ("field", v2[1:-1]), (Node("identity"),))
             return Node("identity")
         if k == "num":
             return Node("lit", float(v) if "." in v else int(v))
         if k == "str":
-            return Node("lit", v[1:-1].replace('\\"', '"'))
+            return _string_node(v)
+        if k == "var":
+            return Node("var", v[1:])
         if k == "ident":
             if v in ("true", "false"):
                 return Node("lit", v == "true")
             if v == "null":
                 return Node("lit", None)
+            if v in ("reduce", "foreach"):
+                src = self.parse_postfix()
+                if self.next() != ("ident", "as"):
+                    raise JqError(f"jq: expected 'as' in {v}")
+                vk, var = self.next()
+                if vk != "var":
+                    raise JqError(f"jq: expected $var in {v}")
+                self.expect("(")
+                init = self.parse_pipeline()
+                self.expect(";")
+                update = self.parse_pipeline()
+                parts = [src, init, update]
+                if self.peek()[1] == ";":  # foreach extract
+                    self.next()
+                    parts.append(self.parse_pipeline())
+                self.expect(")")
+                return Node(v, var[1:], tuple(parts))
+            if v == "try":
+                body = self.parse_postfix()
+                if self.peek() == ("ident", "catch"):
+                    self.next()
+                    return Node("try", None, (body, self.parse_postfix()))
+                return Node("try", None, (body,))
+            if v == "if":
+                cond = self.parse_pipeline()
+                self.expect("then")
+                then = self.parse_pipeline()
+                branches = [(cond, then)]
+                while self.peek() == ("ident", "elif"):
+                    self.next()
+                    c2 = self.parse_pipeline()
+                    self.expect("then")
+                    branches.append((c2, self.parse_pipeline()))
+                els = Node("identity")
+                if self.peek() == ("ident", "else"):
+                    self.next()
+                    els = self.parse_pipeline()
+                self.expect("end")
+                node = els
+                for c2, t2 in reversed(branches):
+                    node = Node("ite", None, (c2, t2, node))
+                return node
             if self.peek()[1] == "(":
                 self.next()
-                arg = self.parse_pipeline()
+                args = [self.parse_pipeline()]
+                while self.peek()[1] == ";":
+                    self.next()
+                    args.append(self.parse_pipeline())
                 self.expect(")")
-                return Node("call", v, (arg,))
+                return Node("call", v, tuple(args))
             return Node("call", v, ())
         if v == "{":
             entries = []
@@ -195,7 +341,8 @@ class _Parser:
         if v == "[":
             items = []
             while self.peek()[1] != "]":
-                items.append(self.parse_expr())
+                # array bodies are full pipelines: [.[] | select(.)]
+                items.append(self.parse_pipeline())
                 if self.peek()[1] == ",":
                     self.next()
             self.expect("]")
@@ -408,21 +555,39 @@ def _bool(v: Column) -> Column:
 def jq(df: DataFrame, col: str, program: str, out_col: str = "result") -> DataFrame:
     """Run a jq program over a JSON string column; emits `out_col` as
     the result's JSON text. Top-level `select(...)` stages filter rows;
-    a top-level `.path[]` stage explodes rows (one per element)."""
+    a top-level `.path[]` stage explodes rows (one per element).
+
+    Programs beyond the Column subset (reduce/foreach/def/try/$vars/
+    interpolation/regex) route to the metered per-row interpreter —
+    same result contract, counted on `jq.interpreter_fallback`."""
     ast = parse_jq(program)
-    stages = list(ast.children) if ast.kind == "pipe" else [ast]
-    cur = F.parse_json(F.col(col))
-    tmp = "__jq"
-    df = df.withColumn(tmp, cur)
-    for stage in stages:
-        if stage.kind == "call" and stage.value == "select":
-            cond = _bool(_compile(stage.children[0], F.col(tmp)))
-            df = df.filter(cond)
-        elif stage.kind == "iterate":
-            arr = F.try_variant_get(
-                _compile(stage.children[0], F.col(tmp)), "$", "array<variant>"
-            )
-            df = df.withColumn(tmp, F.explode(arr))
-        else:
-            df = df.withColumn(tmp, _compile(stage, F.col(tmp)))
-    return df.withColumn(out_col, F.to_json(F.col(tmp))).drop(tmp)
+    try:
+        stages = list(ast.children) if ast.kind == "pipe" else [ast]
+        cur = F.parse_json(F.col(col))
+        tmp = "__jq"
+        out = df.withColumn(tmp, cur)
+        for stage in stages:
+            if stage.kind == "call" and stage.value == "select":
+                cond = _bool(_compile(stage.children[0], F.col(tmp)))
+                out = out.filter(cond)
+            elif stage.kind == "iterate":
+                arr = F.try_variant_get(
+                    _compile(stage.children[0], F.col(tmp)), "$",
+                    "array<variant>",
+                )
+                out = out.withColumn(tmp, F.explode(arr))
+            else:
+                out = out.withColumn(tmp, _compile(stage, F.col(tmp)))
+        return out.withColumn(out_col, F.to_json(F.col(tmp))).drop(tmp)
+    except JqError:
+        from bento_spark.observability import default_registry
+        from bento_spark.operators.jq_interp import (
+            jq_interp_df,
+            validate_program,
+        )
+
+        validate_program(ast)  # unknown functions still fail at build
+        default_registry().counter(
+            "jq.interpreter_fallback", reason="unsupported_construct"
+        )
+        return jq_interp_df(df, col, program, out_col)

@@ -1,0 +1,709 @@
+"""Per-row jq interpreter — the tier-c fallback for programs beyond
+the Column subset (operators/jq.py).
+
+gojq (the reference's engine, processor_jq.go:9) interprets every
+program; here only programs using `reduce`/`foreach`, `def`,
+`try`/`catch`/`?`, `$var` bindings, `if/then/elif/else/end`, string
+interpolation, or the regex builtins take this path — everything else
+stays on the compiled Column plan. Execution is Arrow-batched
+(mapInPandas), one parsed AST per executor, and every engagement is
+counted on the `jq.interpreter_fallback` metric.
+
+Semantics notes (matching jq 1.7 behavior for the supported surface):
+- every expression produces a STREAM of values (materialized as a
+  Python list); pipes feed each output into the next stage, object /
+  array / binop expressions take cartesian products of their operand
+  streams, `empty` yields the empty stream
+- `def` parameters are call-by-name filters (closures over the caller
+  env), so `def twice(f): f | f;` works on arbitrary filters
+- errors propagate as JqRuntimeError and are catchable by
+  `try`/`catch` and the `?` suffix; at the row level an uncaught error
+  lands in the engine's standard `_error` channel
+- jq's total order for sort/comparisons: null < false < true < numbers
+  < strings < arrays < objects
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re as _re
+
+from bento_spark.operators.jq import JqError, Node, parse_jq
+
+
+class JqRuntimeError(Exception):
+    def __init__(self, value):
+        self.value = value
+        super().__init__(value if isinstance(value, str) else json.dumps(value))
+
+
+def _canon(v):
+    """jq prints integral floats as integers (4/2 -> 2)."""
+    if isinstance(v, float) and math.isfinite(v) and v.is_integer():
+        return int(v)
+    if isinstance(v, list):
+        return [_canon(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _canon(x) for k, x in v.items()}
+    return v
+
+
+def _typ(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    return "object"
+
+
+_ORD = {"null": 0, "boolean": 1, "number": 2, "string": 3, "array": 4,
+        "object": 5}
+
+
+def _cmp(a, b) -> int:
+    ta, tb = _typ(a), _typ(b)
+    if ta != tb:
+        return -1 if _ORD[ta] < _ORD[tb] else 1
+    if ta == "null":
+        return 0
+    if ta == "boolean":
+        return (a > b) - (a < b)
+    if ta in ("number", "string"):
+        return (a > b) - (a < b)
+    if ta == "array":
+        for x, y in zip(a, b):
+            c = _cmp(x, y)
+            if c:
+                return c
+        return (len(a) > len(b)) - (len(a) < len(b))
+    # objects: compare sorted key arrays, then values in key order
+    ka, kb = sorted(a), sorted(b)
+    c = _cmp(ka, kb)
+    if c:
+        return c
+    for k in ka:
+        c = _cmp(a[k], b[k])
+        if c:
+            return c
+    return 0
+
+
+def _truthy(v) -> bool:
+    return v is not None and v is not False
+
+
+def _tostr(v) -> str:
+    return v if isinstance(v, str) else json.dumps(
+        _canon(v), separators=(",", ":")
+    )
+
+
+def _re_flags(flags: str) -> int:
+    f = 0
+    for ch in flags or "":
+        f |= {"i": _re.I, "x": _re.X, "s": _re.S, "m": _re.M}.get(ch, 0)
+    return f
+
+
+class _Env:
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, parent=None):
+        self.vars: dict[str, object] = {}
+        self.parent = parent
+
+    def get(self, name):
+        e = self
+        while e is not None:
+            if name in e.vars:
+                return e.vars[name]
+            e = e.parent
+        return None
+
+    def child(self) -> "_Env":
+        return _Env(self)
+
+
+def _arith(op: str, a, b):
+    ta, tb = _typ(a), _typ(b)
+    if op == "+":
+        if ta == "null":
+            return b
+        if tb == "null":
+            return a
+        if ta == tb == "number":
+            return a + b
+        if ta == tb == "string":
+            return a + b
+        if ta == tb == "array":
+            return a + b
+        if ta == tb == "object":
+            return {**a, **b}
+    elif op == "-":
+        if ta == tb == "number":
+            return a - b
+        if ta == tb == "array":
+            return [x for x in a if not any(_cmp(x, y) == 0 for y in b)]
+    elif op == "*":
+        if ta == tb == "number":
+            return a * b
+        if ta == "string" and tb == "number":
+            return a * int(b) if b > 0 else None
+        if ta == tb == "object":  # recursive merge
+            out = dict(a)
+            for k, v in b.items():
+                if isinstance(out.get(k), dict) and isinstance(v, dict):
+                    out[k] = _arith("*", out[k], v)
+                else:
+                    out[k] = v
+            return out
+    elif op == "/":
+        if ta == tb == "number":
+            if b == 0:
+                raise JqRuntimeError(f"{a} and {b} cannot be divided")
+            return a / b
+        if ta == tb == "string":
+            return a.split(b)
+    elif op == "%":
+        if ta == tb == "number":
+            if int(b) == 0:
+                raise JqRuntimeError(f"{a} and {b} cannot be divided")
+            r = abs(int(a)) % abs(int(b))
+            return -r if a < 0 else r
+    raise JqRuntimeError(
+        f"{ta} ({_tostr(a)}) and {tb} ({_tostr(b)}) cannot be "
+        f"{'added' if op == '+' else 'operated on'}"
+    )
+
+
+def _eval(node: Node, val, env: _Env) -> list:  # noqa: C901 - evaluator
+    kind = node.kind
+    if kind == "identity":
+        return [val]
+    if kind == "lit":
+        return [node.value]
+    if kind == "var":
+        return [env.get("$" + node.value)]
+    if kind == "path":
+        pk, key = node.value
+        outs = []
+        for base in _eval(node.children[0], val, env):
+            if base is None:
+                outs.append(None)
+            elif pk == "field":
+                if not isinstance(base, dict):
+                    raise JqRuntimeError(
+                        f"Cannot index {_typ(base)} with \"{key}\""
+                    )
+                outs.append(base.get(key))
+            else:
+                if not isinstance(base, list):
+                    raise JqRuntimeError(
+                        f"Cannot index {_typ(base)} with number"
+                    )
+                i = key if key >= 0 else len(base) + key
+                outs.append(base[i] if 0 <= i < len(base) else None)
+        return outs
+    if kind == "iterate":
+        outs = []
+        for base in _eval(node.children[0], val, env):
+            if isinstance(base, list):
+                outs.extend(base)
+            elif isinstance(base, dict):
+                outs.extend(base.values())
+            else:
+                raise JqRuntimeError(
+                    f"Cannot iterate over {_typ(base)}"
+                    + (f" ({_tostr(base)})" if base is not None else " (null)")
+                )
+        return outs
+    if kind == "pipe":
+        vals = [val]
+        for stage in node.children:
+            nxt = []
+            for v in vals:
+                nxt.extend(_eval(stage, v, env))
+            vals = nxt
+        return vals
+    if kind == "obj":
+        results = [{}]
+        for k, vexpr in node.children:
+            vouts = None
+            nxt = []
+            for part in results:
+                vouts = _eval(vexpr, val, env)
+                for vo in vouts:
+                    d = dict(part)
+                    d[k] = vo
+                    nxt.append(d)
+            results = nxt
+        return results
+    if kind == "arr":
+        items = []
+        for c in node.children:
+            items.extend(_eval(c, val, env))
+        return [items]
+    if kind == "bin":
+        op = node.value
+        le, ri = node.children
+        if op == "//":
+            louts = []
+            try:
+                louts = [v for v in _eval(le, val, env) if _truthy(v)]
+            except JqRuntimeError:
+                pass
+            return louts if louts else _eval(ri, val, env)
+        if op in ("and", "or"):
+            outs = []
+            for a in _eval(le, val, env):
+                if op == "and" and not _truthy(a):
+                    outs.append(False)
+                elif op == "or" and _truthy(a):
+                    outs.append(True)
+                else:
+                    outs.extend(_truthy(b) for b in _eval(ri, val, env))
+            return outs
+        outs = []
+        for a in _eval(le, val, env):
+            for b in _eval(ri, val, env):
+                if op in ("+", "-", "*", "/", "%"):
+                    outs.append(_arith(op, a, b))
+                else:
+                    c = _cmp(a, b)
+                    outs.append({
+                        "==": c == 0, "!=": c != 0, "<": c < 0,
+                        "<=": c <= 0, ">": c > 0, ">=": c >= 0,
+                    }[op])
+        return outs
+    if kind == "as":
+        src, body = node.children
+        outs = []
+        for v in _eval(src, val, env):
+            e2 = env.child()
+            e2.vars["$" + node.value] = v
+            outs.extend(_eval(body, val, e2))
+        return outs
+    if kind == "def":
+        fname, params = node.value
+        body, rest = node.children
+        e2 = env.child()
+        e2.vars[f"fn:{fname}/{len(params)}"] = (params, body, e2)
+        return _eval(rest, val, e2)
+    if kind == "reduce":
+        src, init, update = node.children
+        accs = _eval(init, val, env)
+        acc = accs[-1] if accs else None
+        for x in _eval(src, val, env):
+            e2 = env.child()
+            e2.vars["$" + node.value] = x
+            upd = _eval(update, acc, e2)
+            acc = upd[-1] if upd else None
+        return [acc]
+    if kind == "foreach":
+        src, init, update = node.children[:3]
+        extract = node.children[3] if len(node.children) > 3 else None
+        accs = _eval(init, val, env)
+        acc = accs[-1] if accs else None
+        outs = []
+        for x in _eval(src, val, env):
+            e2 = env.child()
+            e2.vars["$" + node.value] = x
+            upd = _eval(update, acc, e2)
+            acc = upd[-1] if upd else None
+            if extract is not None:
+                outs.extend(_eval(extract, acc, e2))
+            else:
+                outs.append(acc)
+        return outs
+    if kind == "try" or kind == "opt":
+        try:
+            return _eval(node.children[0], val, env)
+        except JqRuntimeError as ex:
+            if kind == "try" and len(node.children) > 1:
+                return _eval(node.children[1], ex.value, env)
+            return []
+    if kind == "ite":
+        cond, then, els = node.children
+        outs = []
+        for c in _eval(cond, val, env):
+            outs.extend(_eval(then if _truthy(c) else els, val, env))
+        return outs
+    if kind == "istr":
+        pieces = [[]]
+        for pk, part in node.value:
+            if pk == "s":
+                for p in pieces:
+                    p.append(part)
+            else:
+                nxt = []
+                for v in _eval(part, val, env):
+                    for p in pieces:
+                        nxt.append(p + [_tostr(v)])
+                pieces = nxt
+        return ["".join(p) for p in pieces]
+    if kind == "call":
+        return _call(node, val, env)
+    raise JqError(f"jq: cannot interpret {kind}")
+
+
+def _one(node: Node, val, env) -> object:
+    outs = _eval(node, val, env)
+    if not outs:
+        raise JqRuntimeError("empty stream where one value expected")
+    return outs[0]
+
+
+def _call(node: Node, val, env: _Env) -> list:  # noqa: C901 - builtins
+    name, args = node.value, node.children
+    fn = env.get(f"fn:{name}/{len(args)}")
+    if fn is not None:  # user def — params are call-by-name closures
+        params, body, def_env = fn
+        e2 = def_env.child()
+        for p, a in zip(params, args):
+            e2.vars[f"fn:{p}/0"] = ((), a, env)
+            # $-style params also bind the first value
+            e2.vars["$" + p] = _one(a, val, env) if _eval(a, val, env) else None
+        return _eval(body, val, e2)
+    if name == "empty":
+        return []
+    if name == "error":
+        raise JqRuntimeError(_one(args[0], val, env) if args else val)
+    if name == "not":
+        return [not _truthy(val)]
+    if name == "type":
+        return [_typ(val)]
+    if name == "length":
+        if val is None:
+            return [0]
+        if isinstance(val, bool):
+            raise JqRuntimeError("boolean has no length")
+        if isinstance(val, (int, float)):
+            return [abs(val)]
+        return [len(val)]
+    if name == "keys" or name == "keys_unsorted":
+        if isinstance(val, dict):
+            ks = list(val)
+            return [sorted(ks) if name == "keys" else ks]
+        if isinstance(val, list):
+            return [list(range(len(val)))]
+        raise JqRuntimeError(f"{_typ(val)} has no keys")
+    if name == "values":
+        return [val] if val is not None else []
+    if name == "has":
+        k = _one(args[0], val, env)
+        if isinstance(val, dict):
+            return [k in val]
+        if isinstance(val, list):
+            return [isinstance(k, (int, float)) and 0 <= k < len(val)]
+        raise JqRuntimeError(f"cannot check has() on {_typ(val)}")
+    if name == "contains":
+        return [_contains(val, _one(args[0], val, env))]
+    if name == "tostring":
+        return [_tostr(val)]
+    if name == "tonumber":
+        if isinstance(val, (int, float)) and not isinstance(val, bool):
+            return [val]
+        try:
+            f = float(val)
+            return [int(f) if f.is_integer() else f]
+        except (TypeError, ValueError):
+            raise JqRuntimeError(f"cannot parse {_tostr(val)} as number")
+    if name == "tojson":
+        return [json.dumps(_canon(val), separators=(",", ":"))]
+    if name == "fromjson":
+        return [json.loads(val)]
+    if name == "select":
+        return [val] if any(_truthy(c) for c in _eval(args[0], val, env)) \
+            else []
+    if name == "map":
+        if not isinstance(val, list):
+            raise JqRuntimeError(f"Cannot iterate over {_typ(val)}")
+        outs = []
+        for x in val:
+            outs.extend(_eval(args[0], x, env))
+        return [outs]
+    if name == "map_values":
+        if isinstance(val, dict):
+            out = {}
+            for k, x in val.items():
+                r = _eval(args[0], x, env)
+                if r:
+                    out[k] = r[0]
+            return [out]
+        return _call(Node("call", "map", args), val, env)
+    if name == "add":
+        if not isinstance(val, list):
+            raise JqRuntimeError(f"Cannot add {_typ(val)}")
+        acc = None
+        for x in val:
+            acc = x if acc is None else _arith("+", acc, x)
+        return [acc]
+    if name == "any":
+        return [any(_truthy(x) for x in val)]
+    if name == "all":
+        return [all(_truthy(x) for x in val)]
+    if name == "sort":
+        import functools
+
+        return [sorted(val, key=functools.cmp_to_key(_cmp))]
+    if name == "sort_by":
+        import functools
+
+        keyed = [(_eval(args[0], x, env), x) for x in val]
+        keyed.sort(key=functools.cmp_to_key(lambda a, b: _cmp(a[0], b[0])))
+        return [[x for _, x in keyed]]
+    if name == "unique":
+        import functools
+
+        out = sorted(val, key=functools.cmp_to_key(_cmp))
+        res = []
+        for x in out:
+            if not res or _cmp(res[-1], x) != 0:
+                res.append(x)
+        return [res]
+    if name == "reverse":
+        return [list(reversed(val)) if isinstance(val, list) else val]
+    if name == "min" or name == "max":
+        import functools
+
+        if not val:
+            return [None]
+        srt = sorted(val, key=functools.cmp_to_key(_cmp))
+        return [srt[0] if name == "min" else srt[-1]]
+    if name == "first":
+        outs = _eval(args[0], val, env)
+        return outs[:1]
+    if name == "last":
+        outs = _eval(args[0], val, env)
+        return outs[-1:]
+    if name == "range":
+        vals = [_one(a, val, env) for a in args]
+        if len(vals) == 1:
+            lo, hi, st = 0, vals[0], 1
+        elif len(vals) == 2:
+            lo, hi, st = vals[0], vals[1], 1
+        else:
+            lo, hi, st = vals
+        out = []
+        x = lo
+        while (st > 0 and x < hi) or (st < 0 and x > hi):
+            out.append(x)
+            x += st
+        return out
+    if name == "floor":
+        return [math.floor(val)]
+    if name == "ceil":
+        return [math.ceil(val)]
+    if name == "fabs":
+        return [abs(val)]
+    if name == "sqrt":
+        return [math.sqrt(val)]
+    if name == "join":
+        sep = _one(args[0], val, env)
+        return [sep.join(
+            "" if x is None else _tostr(x) for x in val
+        )]
+    if name == "split":
+        if not isinstance(val, str):
+            raise JqRuntimeError("split input must be a string")
+        if len(args) == 2:  # regex split
+            pat = _one(args[0], val, env)
+            flags = _one(args[1], val, env)
+            return [_re.split(pat, val, flags=_re_flags(flags))]
+        return [val.split(_one(args[0], val, env))]
+    if name == "ltrimstr":
+        p = _one(args[0], val, env)
+        return [val[len(p):] if isinstance(val, str) and val.startswith(p)
+                else val]
+    if name == "rtrimstr":
+        p = _one(args[0], val, env)
+        return [val[: -len(p)] if isinstance(val, str) and p
+                and val.endswith(p) else val]
+    if name == "startswith":
+        return [val.startswith(_one(args[0], val, env))]
+    if name == "endswith":
+        return [val.endswith(_one(args[0], val, env))]
+    if name == "ascii_downcase":
+        return [val.lower()]
+    if name == "ascii_upcase":
+        return [val.upper()]
+    if name == "explode":
+        return [[ord(c) for c in val]]
+    if name == "implode":
+        return ["".join(chr(c) for c in val)]
+    if name == "test":
+        pat = _one(args[0], val, env)
+        flags = _one(args[1], val, env) if len(args) > 1 else ""
+        return [_re.search(pat, val, _re_flags(flags)) is not None]
+    if name == "match":
+        pat = _one(args[0], val, env)
+        flags = _one(args[1], val, env) if len(args) > 1 else ""
+        g = "g" in (flags or "")
+        out = []
+        for m in _re.finditer(pat, val, _re_flags(flags)):
+            out.append(_match_obj(m))
+            if not g:
+                break
+        return out
+    if name == "capture":
+        pat = _one(args[0], val, env)
+        flags = _one(args[1], val, env) if len(args) > 1 else ""
+        m = _re.search(pat, val, _re_flags(flags))
+        return [m.groupdict()] if m else []
+    if name == "to_entries":
+        return [[{"key": k, "value": v} for k, v in val.items()]]
+    if name == "from_entries":
+        out = {}
+        for e in val:
+            k = e.get("key", e.get("k", e.get("name")))
+            out[k if isinstance(k, str) else _tostr(k)] = \
+                e.get("value", e.get("v"))
+        return [out]
+    if name == "with_entries":
+        entries = [{"key": k, "value": v} for k, v in val.items()]
+        mapped = []
+        for e in entries:
+            mapped.extend(_eval(args[0], e, env))
+        return _call(Node("call", "from_entries", ()), mapped, env)
+    if name == "input_line_number":
+        return [0]
+    raise JqError(f"jq: unsupported function {name!r}")
+
+
+def _match_obj(m: "_re.Match") -> dict:
+    caps = []
+    for i, g in enumerate(m.groups(), start=1):
+        caps.append({
+            "offset": m.start(i) if g is not None else -1,
+            "length": len(g) if g is not None else 0,
+            "string": g,
+            "name": next(
+                (n for n, gi in (m.re.groupindex or {}).items() if gi == i),
+                None,
+            ),
+        })
+    return {
+        "offset": m.start(), "length": len(m.group(0)),
+        "string": m.group(0), "captures": caps,
+    }
+
+
+def _contains(a, b) -> bool:
+    ta, tb = _typ(a), _typ(b)
+    if ta == "string" and tb == "string":
+        return b in a
+    if ta == tb == "array":
+        return all(any(_contains(x, y) for x in a) for y in b)
+    if ta == tb == "object":
+        return all(k in a and _contains(a[k], v) for k, v in b.items())
+    return _cmp(a, b) == 0
+
+
+_BUILTIN_ARITIES = {
+    "empty": {0}, "error": {0, 1}, "not": {0}, "type": {0}, "length": {0},
+    "keys": {0}, "keys_unsorted": {0}, "values": {0}, "has": {1},
+    "contains": {1}, "tostring": {0}, "tonumber": {0}, "tojson": {0},
+    "fromjson": {0}, "select": {1}, "map": {1}, "map_values": {1},
+    "add": {0}, "any": {0}, "all": {0}, "sort": {0}, "sort_by": {1},
+    "unique": {0}, "reverse": {0}, "min": {0}, "max": {0}, "first": {1},
+    "last": {1}, "range": {1, 2, 3}, "floor": {0}, "ceil": {0},
+    "fabs": {0}, "sqrt": {0}, "join": {1}, "split": {1, 2},
+    "ltrimstr": {1}, "rtrimstr": {1}, "startswith": {1}, "endswith": {1},
+    "ascii_downcase": {0}, "ascii_upcase": {0}, "explode": {0},
+    "implode": {0}, "test": {1, 2}, "match": {1, 2}, "capture": {1, 2},
+    "to_entries": {0}, "from_entries": {0}, "with_entries": {1},
+    "input_line_number": {0},
+}
+
+
+def validate_program(ast: Node, defs: frozenset = frozenset()) -> None:
+    """Build-time check that every called function resolves to a
+    builtin or an in-scope `def` — so a typo'd program fails at plan
+    construction (like gojq's compile step), not inside an executor."""
+    if ast.kind == "call":
+        name, arity = ast.value, len(ast.children)
+        if (name, arity) not in defs and \
+                arity not in _BUILTIN_ARITIES.get(name, set()):
+            raise JqError(f"jq: unsupported function {name!r}/{arity}")
+        for c in ast.children:
+            validate_program(c, defs)
+        return
+    if ast.kind == "def":
+        fname, params = ast.value
+        body, rest = ast.children
+        inner = defs | {(fname, len(params))} | {(p, 0) for p in params}
+        validate_program(body, inner)
+        validate_program(rest, defs | {(fname, len(params))})
+        return
+    for c in ast.children:
+        if isinstance(c, Node):
+            validate_program(c, defs)
+        elif isinstance(c, tuple):  # obj entries
+            for part in c:
+                if isinstance(part, Node):
+                    validate_program(part, defs)
+    if ast.kind == "istr":
+        for pk, part in ast.value:
+            if pk == "e":
+                validate_program(part, defs)
+
+
+def run_program(ast: Node, value) -> list:
+    """Evaluate a parsed program against one JSON value; returns the
+    output stream (list of values)."""
+    return [_canon(v) for v in _eval(ast, value, _Env())]
+
+
+def jq_interp_df(df, col: str, program: str, out_col: str):
+    """mapInPandas execution of a full-jq program: each output in the
+    stream becomes a row (multi-output explodes, empty stream drops the
+    row), `out_col` carries the result JSON text. Uncaught program
+    errors land in the engine's `_error` channel."""
+    from pyspark.sql import functions as F  # noqa: F401 (schema symmetry)
+    from pyspark.sql.types import StringType, StructType
+
+    from bento_spark.operators.envelope import ERROR, ensure_envelope
+
+    df = ensure_envelope(df)
+    ast = parse_jq(program)
+    base = df.schema
+    schema = StructType(
+        [f for f in base.fields if f.name != out_col]
+    ).add(out_col, StringType())
+    cols = [f.name for f in schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                if rec.get(ERROR) is not None:
+                    rec[out_col] = None
+                    rows.append(rec)
+                    continue
+                try:
+                    value = json.loads(rec[col]) if rec.get(col) else None
+                    outs = run_program(ast, value)
+                except (JqRuntimeError, ValueError) as ex:
+                    rec[ERROR] = f"jq: {ex}"
+                    rec[out_col] = None
+                    rows.append(rec)
+                    continue
+                for v in outs:
+                    r2 = dict(rec)
+                    r2[out_col] = json.dumps(
+                        v, separators=(",", ":")
+                    ) if not isinstance(v, str) else json.dumps(v)
+                    rows.append(r2)
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame(columns=cols)
+
+    return df.mapInPandas(run, schema)

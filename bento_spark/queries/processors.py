@@ -852,6 +852,54 @@ def proc_jq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "proc_jq_reduce",
+    oracle="""
+    SELECT event_id,
+           '{"sum":' || CAST(3 * CAST(json_extract(props, '$.k') AS BIGINT)
+                             + 3 AS VARCHAR)
+           || ',"pre":"' || substr(event_type, 1, 2)
+           || '","lab":"e=' || event_type
+           || '","big":"' || CASE WHEN 3 * CAST(json_extract(props, '$.k')
+                                               AS BIGINT) + 3 > 150
+                                  THEN 'hi' ELSE 'lo' END
+           || '"}' AS result
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def proc_jq_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jq`` FULL-LANGUAGE path (processor_jq.go:9 embeds gojq — the
+    whole language): `def` user functions, `reduce` accumulation,
+    regex `capture`, string interpolation, and if/then/elif/end, which
+    exceed the Column subset and execute on the metered per-row
+    interpreter (operators/jq_interp.py, `jq.interpreter_fallback`
+    counter) — same tier-c pattern as Bloblang. Scale: Arrow-batched
+    mapInPandas, no shuffle, one parsed AST per executor."""
+    from bento_spark.operators.jq import jq
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    doc = ev.withColumn(
+        "j",
+        F.to_json(F.struct(
+            F.col("event_type").alias("etype"),
+            F.array(
+                F.get_json_object("props", "$.k").cast("long"),
+                F.get_json_object("props", "$.k").cast("long") + 1,
+                F.get_json_object("props", "$.k").cast("long") + 2,
+            ).alias("ks"),
+        )),
+    )
+    program = (
+        'def ksum: reduce .ks[] as $x (0; . + $x); '
+        '{sum: ksum, '
+        'pre: (.etype | capture("^(?P<p>[a-z]{2})") | .p), '
+        'lab: "e=\\(.etype)", '
+        'big: (if ksum > 150 then "hi" else "lo" end)}'
+    )
+    out = jq(doc, "j", program)
+    return out.select("event_id", "result").orderBy("event_id")
+
+
+@query(
     "proc_protobuf_roundtrip",
     oracle="""
     SELECT event_id, event_type,

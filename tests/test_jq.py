@@ -109,3 +109,86 @@ def test_jq_sort_add_unique(spark):
     assert run(".nums | unique") == "[1,2,3]"
     assert run(".strs | sort") == '["a","b"]'
     assert run('.strs | join("-")') == '"b-a"'
+
+
+# ---------------------------------------------------------------------------
+# full-language interpreter fallback (VERDICT r6 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_jq_interp_reduce_def_capture(spark):
+    """reduce + def + capture + interpolation route to the per-row
+    interpreter and produce gojq-matching output."""
+    df = spark.createDataFrame(
+        [(1, '{"name": "order-42", "xs": [1, 2, 3]}'),
+         (2, '{"name": "order-7", "xs": [10]}')],
+        "id long, j string",
+    )
+    prog = ('def total: reduce .xs[] as $x (0; . + $x); '
+            '{t: total, n: (.name | capture("-(?P<num>[0-9]+)") | .num), '
+            'msg: "sum=\\(total)"}')
+    out = {r.id: json.loads(r.result) for r in jq(df, "j", prog).collect()}
+    assert out[1] == {"t": 6, "n": "42", "msg": "sum=6"}
+    assert out[2] == {"t": 10, "n": "7", "msg": "sum=10"}
+
+
+def test_jq_interp_multi_output_explodes(spark):
+    """A multi-output program emits one ROW per output (gojq stream
+    semantics), and `empty` drops the row."""
+    df = spark.createDataFrame(
+        [(1, '{"xs": [5, 6]}'), (2, '{"xs": []}')], "id long, j string"
+    )
+    out = jq(df, "j", "foreach .xs[] as $x (0; . + $x)").collect()
+    got = sorted((r.id, json.loads(r.result)) for r in out)
+    assert got == [(1, 5), (1, 11)]  # row 2 emits nothing
+
+
+def test_jq_interp_try_catch_and_error_channel(spark):
+    """try/catch recovers in-program; an uncaught error lands in
+    _error (the engine's standard channel), not as a job failure."""
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 1}}'), (2, '{"a": 5}')], "id long, j string"
+    )
+    ok = jq(df, "j", 'try (.a.b) catch "fallback"').collect()
+    got = {r.id: json.loads(r.result) for r in ok}
+    assert got == {1: 1, 2: "fallback"}
+
+    from bento_spark.operators.envelope import ensure_envelope
+
+    # `tojson` forces the interpreter path; indexing a number errors
+    bad = jq(ensure_envelope(df), "j", ".a.b | tojson").collect()
+    by_id = {r.id: r for r in bad}
+    assert json.loads(by_id[1].result) == "1"
+    assert by_id[2]._error is not None and "Cannot index" in by_id[2]._error
+
+
+def test_jq_interp_unknown_fn_fails_at_build(spark):
+    df = spark.createDataFrame([(1, "{}")], "id long, j string")
+    with pytest.raises(JqError, match="unsupported function"):
+        jq(df, "j", "reduce .[] as $x (0; nosuch_fn($x))")
+
+
+def test_jq_fallback_is_metered(spark):
+    from bento_spark.observability import default_registry
+
+    df = spark.createDataFrame([(1, '{"xs": [1]}')], "id long, j string")
+    reg = default_registry()
+    key = 'jq.interpreter_fallback{"reason": "unsupported_construct"}'
+    before = reg.snapshot()["counters"].get(key, 0)
+    jq(df, "j", "reduce .xs[] as $x (0; . + $x)")
+    after = reg.snapshot()["counters"].get(key, 0)
+    assert after == before + 1
+
+
+def test_jq_compiled_path_still_primary(spark):
+    """Column-subset programs must NOT engage the interpreter."""
+    from bento_spark.observability import default_registry
+
+    df = spark.createDataFrame([(1, '{"k": 9}')], "id long, j string")
+    reg = default_registry()
+    key = 'jq.interpreter_fallback{"reason": "unsupported_construct"}'
+    before = reg.snapshot()["counters"].get(key, 0)
+    out = jq(df, "j", "select(.k >= 5) | {kk: (.k * 2)}")
+    assert json.loads(out.collect()[0].result) == {"kk": 18}
+    after = reg.snapshot()["counters"].get(key, 0)
+    assert after == before
