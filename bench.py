@@ -2,6 +2,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+When an sf1 dataset is present (localdata/sf1, written by
+tools/gen_testdata.py, or $SPARK_GRAFT_SF1_DIR) the line also carries an
+"sf1" section: single-shot wall-clock for the scale-story queries at
+100x the certification SF, bounded by a time budget so the overall
+bench stays inside the driver's window — the empirical "would this plan
+survive 100x" answer shipped in the artifact itself (VERDICT r6 #4).
 """
 
 from __future__ import annotations
@@ -46,6 +53,24 @@ HEADLINE = [
     "mm_image_features",
     "embed_project_topk",
 ]
+
+# Scale-story queries for the sf1 section: the shuffle-heavy dedup/ANN
+# family, one relational and one windowed representative, and proc_wasm
+# (the round-6 scale-weak row — now on the compiled engine). Ordered so
+# the most scale-diagnostic rows run before the budget can cut off.
+SF1_HEADLINE = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_exact",
+    "ann_lsh_topk",
+    "q1_pricing_summary",
+    "window_tumbling_hour",
+    "top_k_per_group",
+    "text_quality_classifier",
+    "proc_wasm",
+]
+SF1_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "180"))
 
 
 # Reference wall-clock for one canary run on an otherwise-idle 32-thread
@@ -133,6 +158,41 @@ def main():
         times[name] = sorted(runs)[len(runs) // 2] if runs else -1.0
     total = round(sum(t for t in times.values() if t >= 0), 3)
 
+    # sf1 section: single-shot (the queries are big enough that JIT
+    # noise is amortized), budget-bounded, never fails the bench
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "localdata", "sf1"
+    )
+    sf1: dict | None = None
+    if os.path.isdir(sf1_dir) and os.environ.get(
+        "SPARK_GRAFT_SKIP_SF1", ""
+    ) != "1":
+        sf1_times: dict[str, float] = {}
+        t_start = time.time()
+        skipped: list[str] = []
+        for name in SF1_HEADLINE:
+            if name not in qs:
+                continue
+            if time.time() - t_start > SF1_BUDGET_SEC:
+                skipped.append(name)
+                continue
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            try:
+                qs[name](spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sf1_times[name] = round(time.time() - t0, 3)
+            except Exception as ex:  # noqa: BLE001
+                print(f"bench sf1 error {name}: {ex}", file=sys.stderr)
+        sf1 = {
+            "dir": sf1_dir,
+            "queries": sf1_times,
+            "total": round(sum(sf1_times.values()), 3),
+            "budget_sec": SF1_BUDGET_SEC,
+            "budget_skipped": skipped,
+        }
+
     canary_post = run_canary(spark)
     canary_sec = round((canary_pre + canary_post) / 2, 3)
     # noise_factor ~1.0 on a quiet host; >1.3 means the run was contended
@@ -153,6 +213,7 @@ def main():
                 "canary_ref_sec": CANARY_REF_SEC,
                 "noise_factor": noise_factor,
                 "normalized_total_sec": round(total / noise_factor, 3),
+                **({"sf1": sf1} if sf1 else {}),
             }
         )
     )

@@ -1,0 +1,80 @@
+"""Scale-ratio regression gate (VERDICT r6 #4): the 10 worst
+t_sf1/t_sf0.01 ratios from the committed 100x certification
+(localdata/check_sf1_merged.log, summarized by tools/scale_report.py)
+are pinned here as a live test — each query runs at sf0.001 and sf0.1
+(also 100x apart) and its wall-clock ratio must stay comfortably
+SUBLINEAR. A plan edit that turns one of these into a quadratic
+self-join, a driver-side loop over data, or a global window makes the
+ratio blow past the bound and CI turns red.
+
+Bounds are deliberately loose (noise-tolerant): the certified sf1
+ratios topped out at 70x for 100x data; the bound here is 60x on the
+smaller pair, where fixed Spark overheads (~0.3-1s per query at
+sf0.001) push measured ratios DOWN, not up — so a pass is easy for any
+honestly-linear plan and impossible for a superlinear one. Queries
+faster than the noise floor at sf0.1 are asserted by absolute time
+instead (a superlinear plan cannot stay under it).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_BIG = "/root/testdata/sf0.1"
+
+# the 10 worst certified sf1 ratios (query, certified_x at sf1/sf0.01)
+WORST = [
+    ("proc_wasm", 70.0),
+    ("pipeline_error_handling", 65.0),
+    ("proc_msgpack_roundtrip", 37.5),
+    ("window_session_user", 37.4),
+    ("embed_project_topk", 37.2),
+    ("proc_yaml_surface_gauntlet", 35.2),
+    ("text_bm25_topk", 24.7),
+    ("text_language_id", 20.2),
+    ("pipeline_template", 18.7),
+    ("dedup_span_clean", 14.4),
+]
+
+MAX_RATIO = 60.0      # 100x data; anything superlinear lands >= 100
+NOISE_FLOOR_SEC = 3.0  # below this, ratio is dominated by fixed overhead
+ABS_CAP_SEC = 45.0     # and the absolute bound does the catching
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def _time(qs, name, spark, sf_dir) -> float:
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+@pytest.mark.parametrize("name,certified_x", WORST)
+def test_scale_ratio_stays_sublinear(spark, registry, name, certified_x):
+    qs = registry
+    assert name in qs, f"{name} disappeared from the registry"
+    # warm once at the small SF so codegen/JIT is out of both timings
+    _time(qs, name, spark, SF_SMALL)
+    t_small = _time(qs, name, spark, SF_SMALL)
+    t_big = _time(qs, name, spark, SF_BIG)
+    if t_big < NOISE_FLOOR_SEC:
+        return  # fixed overheads dominate; nothing superlinear fits here
+    assert t_big < ABS_CAP_SEC, (
+        f"{name}: {t_big:.1f}s at sf0.1 — certified sf1 run predicts far "
+        f"less; plan likely regressed"
+    )
+    ratio = t_big / max(t_small, 0.05)
+    assert ratio < MAX_RATIO, (
+        f"{name}: sf0.1/sf0.001 wall-clock ratio {ratio:.1f} for 100x "
+        f"data (certified sf1 ratio was {certified_x}) — superlinear "
+        f"plan change?"
+    )
