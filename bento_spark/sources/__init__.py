@@ -145,10 +145,14 @@ def _generate(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     et al.): with ``count`` the generated rows carry ``ts`` = the next
     ``count`` fire times from ``cron_start`` (deterministic schedule
     materialization — the batch analog of firing on the schedule).
-    Streaming cron pacing is rejected explicitly: Structured Streaming
-    triggers are fixed-period, so the honest forms are a duration
-    interval or an upstream scheduler invoking availableNow runs ON
-    the cron schedule."""
+    WITHOUT ``count``, a driver-side scheduler thread fires ON the
+    cron schedule, staging one message per fire-time into a queue
+    directory the streaming data source reads back (the same
+    bridge-staging pattern as the queue inputs) — the reference's
+    headline streaming-scheduled use case. Structured Streaming
+    triggers stay fixed-period; the SCHEDULE lives in the producer
+    thread, so messages arrive at cron boundaries regardless of the
+    micro-batch cadence."""
     interval = str(conf.get("interval", "")).strip()
     is_cron = bool(interval) and not interval.startswith("@every") and (
         interval.lower().startswith("@") or len(interval.split()) >= 5
@@ -159,20 +163,18 @@ def _generate(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
         from bento_spark.functions.cronexpr import Cron
 
         if "count" not in conf:
-            raise ValueError(
-                "generate: a cron `interval` needs `count` here — "
-                "micro-batch triggers are fixed-period; run the "
-                "pipeline availableNow FROM the scheduler, or pace "
-                "with a duration interval"
+            df = _cron_stream(spark, Cron(interval), conf)
+            streaming = True
+        else:
+            start = _dt.datetime.fromisoformat(
+                str(conf.get("cron_start", "2026-01-01T00:00:00"))
             )
-        start = _dt.datetime.fromisoformat(
-            str(conf.get("cron_start", "2026-01-01T00:00:00"))
-        )
-        fires = Cron(interval).next_fires(start, int(conf["count"]))
-        df = spark.createDataFrame(
-            [(i, f) for i, f in enumerate(fires)], "seq long, ts timestamp"
-        )
-        streaming = False
+            fires = Cron(interval).next_fires(start, int(conf["count"]))
+            df = spark.createDataFrame(
+                [(i, f) for i, f in enumerate(fires)],
+                "seq long, ts timestamp",
+            )
+            streaming = False
     elif "count" in conf:
         df = spark.range(int(conf["count"])).withColumnRenamed("id", "seq")
         streaming = False
@@ -194,6 +196,57 @@ def _generate(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
         )
         df = plan.apply(df, new_document=True)
     return df, streaming
+
+
+def _cron_stream(spark: SparkSession, cron, conf: dict) -> DataFrame:
+    """Streaming cron pacing for `generate` (input_generate.go:41-54):
+    a daemon scheduler thread sleeps until each cron fire-time and
+    stages `{"seq": n, "ts": fire_time}` as one atomic JSONL message;
+    the bento_queue streaming data source consumes the growing
+    directory with replayable offsets. One tiny file per fire is the
+    right trade here — cron cadences are seconds-to-hours, so file
+    count is bounded by wall-clock, not data volume."""
+    import datetime as _dt
+    import json as _json
+    import os
+    import tempfile
+    import threading
+
+    from bento_spark.sources.yaml_inputs import _read_staged
+
+    staging = conf.get("staging_dir") or tempfile.mkdtemp(
+        prefix="bento_spark_gen_cron_"
+    )
+    os.makedirs(staging, exist_ok=True)
+
+    def loop():
+        seq = 0
+        now = _dt.datetime.now()
+        while True:
+            nxt = cron.next_fires(now, 1)[0]
+            wait = (nxt - _dt.datetime.now()).total_seconds()
+            if wait > 0:
+                import time as _time
+
+                _time.sleep(wait)
+            key = f"cron-{nxt.strftime('%Y%m%d%H%M%S')}-{seq:09d}.jsonl"
+            tmp = os.path.join(staging, "." + key)
+            with open(tmp, "w") as f:
+                f.write(_json.dumps(
+                    {"seq": seq, "ts": nxt.isoformat(sep=" ")}
+                ) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(staging, key))
+            seq += 1
+            now = nxt
+
+    threading.Thread(target=loop, daemon=True).start()
+    df, _ = _read_staged(spark, staging, stream=True)
+    return df.select(
+        F.get_json_object("content", "$.seq").cast("long").alias("seq"),
+        F.get_json_object("content", "$.ts").cast("timestamp").alias("ts"),
+    )
 
 
 @register_source("broker")

@@ -108,11 +108,41 @@ def test_generate_cron_schedule_materialization(spark):
     ]
 
 
-def test_generate_cron_streaming_rejected(spark):
+def test_generate_cron_streaming_fires_on_schedule(spark, tmp_path):
+    """Streaming cron pacing (input_generate.go:41-54, VERDICT r6 #5):
+    without `count`, a scheduler thread stages one message per cron
+    fire-time; the streaming source observes them AT cron boundaries —
+    consecutive seq, ts exactly on whole seconds, 1s apart."""
+    import time
+
     from bento_spark.sources import build_source
 
-    with pytest.raises(ValueError, match="cron"):
-        build_source(spark, "generate", {"interval": "*/5 * * * *"})
+    df, streaming = build_source(
+        spark,
+        "generate",
+        {"interval": "* * * * * *",  # every second (6-field grammar)
+         "staging_dir": str(tmp_path / "stage")},
+    )
+    assert streaming
+    time.sleep(3.4)  # let the scheduler fire ~3 times
+    q = (
+        df.writeStream.format("memory").queryName("gen_cron")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = sorted(
+        spark.table("gen_cron").collect(), key=lambda r: r["seq"]
+    )
+    assert len(rows) >= 2
+    seqs = [r["seq"] for r in rows]
+    assert seqs == list(range(len(rows)))  # consecutive from 0
+    for r in rows:
+        assert r["ts"].microsecond == 0  # fire times ON the boundary
+    gaps = [
+        (b["ts"] - a["ts"]).total_seconds()
+        for a, b in zip(rows, rows[1:])
+    ]
+    assert all(g == 1.0 for g in gaps)
 
 
 def test_next_fires_agree_with_brute_force_scan():
