@@ -6,18 +6,24 @@ node child per partition instead of an embedded goja VM.
 The documented ``bento.v0_*`` surface is reproduced verbatim:
 ``v0_msg_as_string`` / ``v0_msg_set_string`` / ``v0_msg_as_structured``
 / ``v0_msg_set_structured`` / ``v0_msg_exists_meta`` /
-``v0_msg_get_meta`` / ``v0_msg_set_meta``. ``v0_fetch`` (a synchronous
-HTTP call inside the VM) raises a clear per-message error: node offers
-no sound synchronous HTTP primitive for a streaming harness, and this
-container has no network — the `http` processor is the supported
-enrichment path.
+``v0_msg_get_meta`` / ``v0_msg_set_meta`` / ``v0_fetch``.
+
+``v0_fetch`` (functions.go:89 — a SYNCHRONOUS HTTP call returning
+``{"status": N, "body": "..."}``) is bridged to the Python parent:
+node has no sound synchronous HTTP primitive, so the child emits a
+fetch-request line and BLOCK-reads the reply from stdin
+(fs.readSync on fd 0) while the parent performs the request with the
+stdlib transport — same urllib discipline as the `http` processor,
+bounded to one in-flight request per partition by the lockstep
+protocol itself.
 
 Execution shape: one node process per partition (the
-operators/subproc.py discipline), NDJSON line framing —
-{c: content, m: {meta}} in, {c, m, e} out — so a million-row partition
-is one child and one pipe, not a process per message. Script errors
-are caught per message into the `_error` column; the child never
-crashes the task."""
+operators/subproc.py discipline), NDJSON line framing in LOCKSTEP —
+{c: content, m: {meta}} in; zero or more {f: {url, headers, method,
+body}} fetch requests answered with {s: status, b: body} | {err};
+finally {c, m, e} out — so a million-row partition is one child and
+one pipe, not a process per message. Script errors are caught per
+message into the `_error` column; the child never crashes the task."""
 
 from __future__ import annotations
 
@@ -27,12 +33,38 @@ import subprocess as _sp
 from pyspark.sql import DataFrame, Row
 
 _HARNESS = r"""
-const readline = require("readline");
-const rl = readline.createInterface({ input: process.stdin, terminal: false });
+const fs = require("fs");
+let __pending = "";
+function readLineSync() {
+  const buf = Buffer.alloc(65536);
+  for (;;) {
+    const i = __pending.indexOf("\n");
+    if (i >= 0) {
+      const line = __pending.slice(0, i);
+      __pending = __pending.slice(i + 1);
+      return line;
+    }
+    let n = 0;
+    try {
+      n = fs.readSync(0, buf, 0, buf.length, null);
+    } catch (e) {
+      if (e.code === "EAGAIN") continue;
+      if (e.code === "EOF") n = 0; else throw e;
+    }
+    if (n === 0) {
+      if (__pending.length) { const l = __pending; __pending = ""; return l; }
+      return null;
+    }
+    __pending += buf.toString("utf-8", 0, n);
+  }
+}
 const userProgram = Buffer.from(process.argv[1], "base64").toString("utf-8");
 const fn = new Function("bento", userProgram);
-rl.on("line", (line) => {
-  const msg = JSON.parse(line);
+for (;;) {
+  const lineIn = readLineSync();
+  if (lineIn === null) break;
+  if (!lineIn.trim()) continue;
+  const msg = JSON.parse(lineIn);
   let content = msg.c;
   let meta = msg.m || {};
   let structured; // lazy-parsed, like the reference's dual representation
@@ -52,8 +84,17 @@ rl.on("line", (line) => {
       return meta[k];
     },
     v0_msg_set_meta: (k, v) => { meta[k] = String(v); },
-    v0_fetch: () => {
-      throw new Error("v0_fetch: no network in this environment");
+    // functions.go:89 — synchronous HTTP via the parent bridge
+    v0_fetch: (url, headers, method, body) => {
+      fs.writeSync(1, JSON.stringify({
+        f: { url: String(url), headers: headers || {},
+             method: method || "GET", body: body || "" },
+      }) + "\n");
+      const reply = readLineSync();
+      if (reply === null) throw new Error("v0_fetch: parent closed");
+      const res = JSON.parse(reply);
+      if (res.err) throw new Error(res.err);
+      return { status: res.s, body: res.b };
     },
   };
   try {
@@ -64,9 +105,33 @@ rl.on("line", (line) => {
   if (content === null && structured !== undefined) {
     content = JSON.stringify(structured);
   }
-  process.stdout.write(JSON.stringify({ c: content, m: meta, e: err }) + "\n");
-});
+  fs.writeSync(1, JSON.stringify({ c: content, m: meta, e: err }) + "\n");
+}
 """
+
+
+def _do_fetch(req: dict) -> dict:
+    """Parent-side transport for v0_fetch: stdlib urllib with headers,
+    non-2xx RETURNED as (status, body) like the http processor's
+    transport contract."""
+    import urllib.error
+    import urllib.request
+
+    try:
+        r = urllib.request.Request(
+            req["url"],
+            data=(req.get("body") or "").encode() or None,
+            method=req.get("method") or "GET",
+        )
+        for k, v in (req.get("headers") or {}).items():
+            r.add_header(k, str(v))
+        try:
+            with urllib.request.urlopen(r, timeout=30) as resp:  # noqa: S310
+                return {"s": resp.status, "b": resp.read().decode()}
+        except urllib.error.HTTPError as e:
+            return {"s": e.code, "b": e.read().decode()}
+    except Exception as ex:  # noqa: BLE001 - connection errors -> JS throw
+        return {"err": f"v0_fetch: {type(ex).__name__}: {ex}"}
 
 
 def javascript_processor(
@@ -86,41 +151,62 @@ def javascript_processor(
     b64 = base64.b64encode(code.encode("utf-8")).decode("ascii")
 
     def run_partition(rows):
+        import select as _select
+
         rows = list(rows)
         if not rows:
             return
-        payload = "\n".join(
-            json.dumps({
-                "c": "" if r[content_col] is None else str(r[content_col]),
-                "m": dict(r[META]) if has_meta and r[META] is not None else {},
-            })
-            for r in rows
-        ) + "\n"
-        proc = _sp.run(
+        proc = _sp.Popen(
             ["node", "-e", _HARNESS, "--", b64],
-            input=payload.encode(),
-            stdout=_sp.PIPE, stderr=_sp.PIPE, timeout=timeout, check=False,
+            stdin=_sp.PIPE, stdout=_sp.PIPE, stderr=_sp.PIPE,
         )
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"javascript: node exited {proc.returncode}: "
-                f"{proc.stderr.decode(errors='replace')[:500]}"
-            )
-        out_lines = proc.stdout.decode().splitlines()
-        if len(out_lines) != len(rows):
-            raise RuntimeError(
-                f"javascript: {len(rows)} messages in, {len(out_lines)} out"
-            )
-        for r, line in zip(rows, out_lines):
-            res = json.loads(line)
-            vals = {c: r[c] for c in cols}
-            vals[content_col] = res["c"]
-            if has_meta:
-                vals[META] = res["m"]
-            if res.get("e"):
-                vals[ERROR] = f"javascript: {res['e']}"
-            # Row kwargs order must match the schema's field order
-            yield Row(**{c: vals[c] for c in cols})
+
+        def read_reply_line() -> str:
+            ready, _, _ = _select.select([proc.stdout], [], [], timeout)
+            if not ready:
+                proc.kill()
+                raise RuntimeError(
+                    f"javascript: no response within {timeout}s"
+                )
+            line = proc.stdout.readline()
+            if not line:
+                err = proc.stderr.read().decode(errors="replace")[:500]
+                raise RuntimeError(f"javascript: node exited: {err}")
+            return line.decode()
+
+        try:
+            for r in rows:
+                msg = json.dumps({
+                    "c": "" if r[content_col] is None else str(r[content_col]),
+                    "m": dict(r[META]) if has_meta and r[META] is not None
+                    else {},
+                })
+                proc.stdin.write(msg.encode() + b"\n")
+                proc.stdin.flush()
+                while True:
+                    res = json.loads(read_reply_line())
+                    if "f" in res:  # fetch bridge request
+                        reply = _do_fetch(res["f"])
+                        proc.stdin.write(
+                            json.dumps(reply).encode() + b"\n"
+                        )
+                        proc.stdin.flush()
+                        continue
+                    break
+                vals = {c: r[c] for c in cols}
+                vals[content_col] = res["c"]
+                if has_meta:
+                    vals[META] = res["m"]
+                if res.get("e"):
+                    vals[ERROR] = f"javascript: {res['e']}"
+                # Row kwargs order must match the schema's field order
+                yield Row(**{c: vals[c] for c in cols})
+        finally:
+            try:
+                proc.stdin.close()
+                proc.wait(timeout=5)
+            except Exception:  # noqa: BLE001
+                proc.kill()
 
     return df.sparkSession.createDataFrame(
         df.rdd.mapPartitions(run_partition), schema
