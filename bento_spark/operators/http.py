@@ -96,8 +96,14 @@ def http_enrich(
                 ]
                 yield pdf
 
-    # _metadata maps don't round-trip pandas cleanly; drop + restore
-    meta_free = df.drop(META)
+    # _metadata maps don't round-trip pandas cleanly; carry them as a
+    # JSON string across the Arrow boundary and restore after — the
+    # reference's http processor PRESERVES message metadata (it only
+    # adds response meta), so dropping it here would strip upstream
+    # keys (and the cached processor's stashed join key: ADVICE r6)
+    from pyspark.sql import functions as F
+
+    meta_free = df.withColumn("__meta_json", F.to_json(F.col(META))).drop(META)
     out_schema = (
         ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
@@ -106,4 +112,12 @@ def http_enrich(
         + ", http_status int, http_response string"
     )
     enriched = meta_free.mapInPandas(run, out_schema)
-    return ensure_envelope(enriched)
+    return ensure_envelope(
+        enriched.withColumn(
+            META,
+            F.coalesce(
+                F.from_json(F.col("__meta_json"), "map<string,string>"),
+                F.create_map().cast("map<string,string>"),
+            ),
+        ).drop("__meta_json")
+    )

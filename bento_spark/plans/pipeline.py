@@ -1826,7 +1826,9 @@ def _proc_json_schema(df: DataFrame, conf) -> DataFrame:
     df = ensure_env(df)
     schema = conf.get("schema")
     if schema is None and conf.get("schema_path"):
-        with open(conf["schema_path"].removeprefix("file://")) as fh:
+        # config-relative like import_paths (docs use file:// URLs)
+        path = _resolve_path(str(conf["schema_path"]).removeprefix("file://"))
+        with open(path) as fh:
             schema = fh.read()
     schema = _json.loads(schema) if isinstance(schema, str) else schema
     bad = json_schema_bad(F.col("content"), schema or {})

@@ -2,19 +2,23 @@
 components/processors/*.md) through the config engine — breadth
 evidence for the YAML surface beyond the curated cookbook corpus.
 
-Round-6 state: 91 example blocks carry a `pipeline.processors` section;
-at least 82 build against a minimal content document with lint-mode
-placeholder resources enabled (the reference's `lint -r` pattern —
-docs declare 'foo'/'TODO' resources in prose). The categorized
-residuals, each outside the buildable config surface:
+Round-7 state: 91 example blocks carry a `pipeline.processors` section;
+85 build against a minimal content document with lint-mode placeholder
+resources enabled (the reference's `lint -r` pattern — docs declare
+'foo'/'TODO' resources in prose) and the schema FILES the docs
+reference (`testing/schema/person.proto`, `path_to_schema.json` —
+content shown in the docs but shipped nowhere) materialized under
+tests/fixtures/docs_schemas (VERDICT r6 #7; this round also fixed the
+http processor silently DROPPING message metadata, which the cached.md
+example's loud lost-key check exposed). The remaining 6 residuals are
+env-dependent dials plus one documented divergence:
 
-- protobuf x4 + json_schema x1: the docs reference schema FILES
-  (`testing/schema`, `path_to_schema.json`) that ship with neither the
-  docs nor the repo — the reference's own build would fail identically.
 - cache.md x2: eager dials at placeholder hosts (`REDIS_URL`-less
   redis, memcached at a fake hostname) — env-dependent by design.
 - cache.md from(): batch-index addressing inside an interpolation —
   from() takes a literal index here (documented divergence).
+- protobuf.md x2: the Buf Schema Registry examples (`bsr:`) dial a
+  live registry — env-dependent like schema_registry_decode.
 - schema_registry_decode.md: worker-side dial at a placeholder
   registry URL.
 
@@ -32,7 +36,10 @@ import shutil
 import pytest
 
 DOCS = "/root/reference/website/docs/components/processors"
-MIN_BUILDS = 78  # measured 82; floor leaves room for env-dependent dials
+MIN_BUILDS = 85  # measured 85; the 6 residuals fail deterministically offline
+SCHEMA_FIXTURES = os.path.join(
+    os.path.dirname(__file__), "fixtures", "docs_schemas"
+)
 
 
 def test_processor_docs_build_floor(spark):
@@ -41,6 +48,7 @@ def test_processor_docs_build_floor(spark):
     import yaml
 
     from bento_spark.plans.pipeline import (
+        CURRENT_BASE_DIR,
         PLACEHOLDER_RESOURCES,
         _apply_children,
         register_cache_resources,
@@ -53,6 +61,10 @@ def test_processor_docs_build_floor(spark):
     dummy = spark.createDataFrame([('{"a":1}',)], ["content"])
     total = builds = 0
     PLACEHOLDER_RESOURCES[0] = True
+    prev_base = CURRENT_BASE_DIR[0]
+    # the docs' schema files (testing/schema, path_to_schema.json)
+    # resolve config-relative against the shipped fixtures
+    CURRENT_BASE_DIR[0] = SCHEMA_FIXTURES
     try:
         for f in sorted(glob.glob(f"{DOCS}/*.md")):
             txt = open(f, encoding="utf-8").read()
@@ -75,5 +87,23 @@ def test_processor_docs_build_floor(spark):
                     pass
     finally:
         PLACEHOLDER_RESOURCES[0] = False
+        CURRENT_BASE_DIR[0] = prev_base
     assert total == 91, f"docs example corpus changed: {total}"
     assert builds >= MIN_BUILDS, f"only {builds}/{total} docs examples build"
+
+
+def test_http_enrich_preserves_metadata(spark):
+    """The http processor must PRESERVE message metadata across the
+    Arrow boundary (the reference only ADDS response meta) — round 7
+    fixed a silent drop that also destroyed cached's stashed key."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.envelope import META, ensure_envelope
+    from bento_spark.operators.http import fake_echo_transport, http_enrich
+
+    df = ensure_envelope(
+        spark.createDataFrame([("http://x/1", "b")], "u string, b string")
+    ).withColumn(META, F.create_map(F.lit("k"), F.lit("v")))
+    out = http_enrich(df, "u", "b", transport=fake_echo_transport).collect()
+    assert dict(out[0][META]) == {"k": "v"}
+    assert out[0]["http_status"] == 200
