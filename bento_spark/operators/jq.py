@@ -20,16 +20,20 @@ Supported subset (the shapes Bento configs actually use):
 
 Programs using constructs BEYOND the Column subset — `reduce` /
 `foreach`, `def` user functions, `try`/`catch` and the `?` suffix,
-`$var` bindings (`E as $x | ...`), string interpolation `"\\(e)"`, and
-the regex builtins `test`/`capture`/`match` — parse here and execute
-on the metered per-row interpreter (operators/jq_interp.py, the same
-tier-c pattern as Bloblang): Arrow-batched mapInPandas, counted via
-the `jq.interpreter_fallback` metric so a hot pipeline silently
-leaning on the slow path is visible. gojq (processor_jq.go:9) runs
-everything interpreted; here the Column compiler stays the fast path.
+`$var` bindings (`E as $x | ...`), string interpolation `"\\(e)"`,
+the `,` stream operator, path assignment (`=` `|=` `+=` ... `//=`,
+`del`, `setpath`/`delpaths`), recursive descent `..`, generators
+(`limit`/`while`/`until`), and the regex builtins
+`test`/`capture`/`match`/`sub`/`gsub`/`splits` — parse here and
+execute on the metered per-row interpreter (operators/jq_interp.py,
+the same tier-c pattern as Bloblang): Arrow-batched mapInPandas,
+counted via the `jq.interpreter_fallback` metric so a hot pipeline
+silently leaning on the slow path is visible. gojq
+(processor_jq.go:9) runs everything interpreted; here the Column
+compiler stays the fast path.
 
-Still unsupported anywhere: recursive descent `..`, path assignment
-(`=` / `|=`), SQL-style xpath, `input`/`inputs`.
+Still unsupported anywhere: SQL-style xpath, `input`/`inputs`,
+`tostream`/`fromstream`, `$__loc__`, `@base64`-style format strings.
 """
 
 from __future__ import annotations
@@ -51,7 +55,7 @@ _TOKEN_RE = re.compile(
     | (?P<str>"(?:[^"\\]|\\.)*")
     | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>//|==|!=|<=|>=|\.\.|[.\[\]{}(),:;|<>+\-*/%?])
+    | (?P<op>//=|//|\|=|==|!=|<=|>=|[+\-*/%]=|=|\.\.|[.\[\]{}(),:;|<>+\-*/%?])
     )""",
     re.VERBOSE,
 )
@@ -160,7 +164,7 @@ class _Parser:
     def parse_pipeline(self) -> Node:
         if self.peek() == ("ident", "def"):
             return self.parse_def()
-        first = self.parse_expr()
+        first = self.parse_comma()
         if self.peek() == ("ident", "as"):  # E as $x | body
             self.next()
             k, var = self.next()
@@ -171,8 +175,43 @@ class _Parser:
         stages = [first]
         while self.peek()[1] == "|":
             self.next()
-            stages.append(self.parse_expr())
+            if self.peek() == ("ident", "def"):
+                stages.append(self.parse_def())
+                break
+            stages.append(self.parse_comma())
         return stages[0] if len(stages) == 1 else Node("pipe", None, tuple(stages))
+
+    def parse_comma(self) -> Node:
+        """jq's `,` operator: stream concatenation (binds tighter than
+        `|`, looser than assignment)."""
+        parts = [self.parse_assign()]
+        while self.peek()[1] == ",":
+            self.next()
+            parts.append(self.parse_assign())
+        return parts[0] if len(parts) == 1 else Node(
+            "comma", None, tuple(parts)
+        )
+
+    _ASSIGN_OPS = ("=", "|=", "+=", "-=", "*=", "/=", "%=", "//=")
+
+    def parse_assign(self) -> Node:
+        left = self.parse_expr()
+        k, v = self.peek()
+        if k == "op" and v in self._ASSIGN_OPS:
+            self.next()
+            return Node("assign", v, (left, self.parse_assign()))
+        return left
+
+    def parse_objval(self) -> Node:
+        """Object VALUES are pipe expressions WITHOUT comma (the comma
+        is the entry separator)."""
+        stages = [self.parse_assign()]
+        while self.peek()[1] == "|":
+            self.next()
+            stages.append(self.parse_assign())
+        return stages[0] if len(stages) == 1 else Node(
+            "pipe", None, tuple(stages)
+        )
 
     def parse_def(self) -> Node:
         """`def name(p1; p2): body; rest` — call-by-name filters."""
@@ -245,6 +284,8 @@ class _Parser:
 
     def parse_primary(self) -> Node:
         k, v = self.next()
+        if v == "..":  # recursive descent
+            return Node("recurse")
         if v == ".":
             k2, v2 = self.peek()
             if k2 == "ident":
@@ -326,10 +367,10 @@ class _Parser:
                     raise JqError("jq: bad object key")
                 if self.peek()[1] == ":":
                     self.next()
-                    # jq object VALUES are full pipe expressions up to
-                    # the next ',' / '}' ({Cities: .locations | map(..)
+                    # jq object VALUES are pipe expressions up to the
+                    # next ',' / '}' ({Cities: .locations | map(..)
                     # | sort} — the processor's own doc example)
-                    entries.append((key, self.parse_pipeline()))
+                    entries.append((key, self.parse_objval()))
                 else:  # shorthand {a}
                     entries.append(
                         (key, Node("path", ("field", key), (Node("identity"),)))

@@ -183,6 +183,147 @@ def _arith(op: str, a, b):
     )
 
 
+# -- path machinery (assignment / del / paths builtins) ---------------------
+
+
+def _getpath(val, path):
+    cur = val
+    for k in path:
+        if cur is None:
+            return None
+        if isinstance(k, str):
+            if not isinstance(cur, dict):
+                raise JqRuntimeError(f"Cannot index {_typ(cur)} with \"{k}\"")
+            cur = cur.get(k)
+        else:
+            if not isinstance(cur, list):
+                raise JqRuntimeError(f"Cannot index {_typ(cur)} with number")
+            i = int(k)
+            i = i if i >= 0 else len(cur) + i
+            cur = cur[i] if 0 <= i < len(cur) else None
+    return cur
+
+
+def _setpath(val, path, new):
+    if not path:
+        return new
+    k = path[0]
+    if isinstance(k, str):
+        d = dict(val) if isinstance(val, dict) else {}
+        d[k] = _setpath(d.get(k), path[1:], new)
+        return d
+    lst = list(val) if isinstance(val, list) else []
+    i = int(k)
+    i = i if i >= 0 else len(lst) + i
+    if i < 0:
+        raise JqRuntimeError("Out of bounds negative array index")
+    while len(lst) <= i:
+        lst.append(None)
+    lst[i] = _setpath(lst[i], path[1:], new)
+    return lst
+
+
+def _delpaths(val, paths):
+    """Delete paths deepest/rightmost first so earlier deletions don't
+    shift later indices (jq's delpaths ordering)."""
+    for p in sorted(paths, key=lambda q: (len(q), q), reverse=True):
+        val = _delpath(val, p)
+    return val
+
+
+def _delpath(val, path):
+    if not path:
+        return None
+    k = path[0]
+    if len(path) == 1:
+        if isinstance(k, str):
+            if isinstance(val, dict) and k in val:
+                d = dict(val)
+                del d[k]
+                return d
+            return val
+        if isinstance(val, list):
+            i = int(k)
+            i = i if i >= 0 else len(val) + i
+            if 0 <= i < len(val):
+                return val[:i] + val[i + 1:]
+        return val
+    if isinstance(k, str) and isinstance(val, dict) and k in val:
+        d = dict(val)
+        d[k] = _delpath(d[k], path[1:])
+        return d
+    if not isinstance(k, str) and isinstance(val, list):
+        i = int(k)
+        i = i if i >= 0 else len(val) + i
+        if 0 <= i < len(val):
+            lst = list(val)
+            lst[i] = _delpath(lst[i], path[1:])
+            return lst
+    return val
+
+
+def _all_paths(val, prefix=()):
+    if isinstance(val, dict):
+        for k, v in val.items():
+            yield list(prefix) + [k]
+            yield from _all_paths(v, prefix + (k,))
+    elif isinstance(val, list):
+        for i, v in enumerate(val):
+            yield list(prefix) + [i]
+            yield from _all_paths(v, prefix + (i,))
+
+
+def _paths_of(node: Node, val, env: _Env) -> list[list]:
+    """Paths selected by a PATH EXPRESSION (assignment LHS / del arg):
+    identity, field/index steps, `.[]`, pipes of those, comma unions,
+    and `select()` filtering."""
+    kind = node.kind
+    if kind == "identity":
+        return [[]]
+    if kind == "path":
+        pk, key = node.value
+        return [p + [key] for p in _paths_of(node.children[0], val, env)]
+    if kind == "iterate":
+        out = []
+        for p in _paths_of(node.children[0], val, env):
+            v = _getpath(val, p)
+            if isinstance(v, list):
+                out.extend(p + [i] for i in range(len(v)))
+            elif isinstance(v, dict):
+                out.extend(p + [k] for k in v)
+            elif v is not None:
+                raise JqRuntimeError(f"Cannot iterate over {_typ(v)}")
+        return out
+    if kind == "pipe":
+        cur = [[]]
+        for stage in node.children:
+            nxt = []
+            for p in cur:
+                sub = _paths_of(stage, _getpath(val, p), env)
+                nxt.extend(p + s for s in sub)
+            cur = nxt
+        return cur
+    if kind == "comma":
+        out = []
+        for c in node.children:
+            out.extend(_paths_of(c, val, env))
+        return out
+    if kind == "call" and node.value == "select":
+        return [
+            p for p in [[]]
+            if any(_truthy(c)
+                   for c in _eval(node.children[0], _getpath(val, p), env))
+        ]
+    if kind == "recurse":
+        return [[]] + list(_all_paths(val))
+    if kind == "opt":
+        try:
+            return _paths_of(node.children[0], val, env)
+        except JqRuntimeError:
+            return []
+    raise JqError(f"jq: invalid path expression ({kind})")
+
+
 def _eval(node: Node, val, env: _Env) -> list:  # noqa: C901 - evaluator
     kind = node.kind
     if kind == "identity":
@@ -348,6 +489,52 @@ def _eval(node: Node, val, env: _Env) -> list:  # noqa: C901 - evaluator
                         nxt.append(p + [_tostr(v)])
                 pieces = nxt
         return ["".join(p) for p in pieces]
+    if kind == "comma":
+        outs = []
+        for c in node.children:
+            outs.extend(_eval(c, val, env))
+        return outs
+    if kind == "recurse":
+        outs = [val]
+        outs.extend(_getpath(val, p) for p in _all_paths(val))
+        return outs
+    if kind == "assign":
+        op = node.value
+        lhs, rhs = node.children
+        paths = _paths_of(lhs, val, env)
+        if op == "=":
+            outs = []
+            for r in _eval(rhs, val, env):  # rhs against the ORIGINAL .
+                v2 = val
+                for p in paths:
+                    v2 = _setpath(v2, p, r)
+                outs.append(v2)
+            return outs
+        if op == "|=":
+            v2 = val
+            dels = []
+            for p in paths:
+                upd = _eval(rhs, _getpath(v2, p), env)
+                if upd:
+                    v2 = _setpath(v2, p, upd[0])
+                else:
+                    dels.append(p)  # empty update deletes the slot
+            return [_delpaths(v2, dels)]
+        if op == "//=":
+            v2 = val
+            for p in paths:
+                old = _getpath(v2, p)
+                if not _truthy(old):
+                    rv = _eval(rhs, val, env)
+                    v2 = _setpath(v2, p, rv[0] if rv else None)
+            return [v2]
+        # arithmetic update: a op= b  ==  a |= . op (b against ORIGINAL .)
+        rv = _eval(rhs, val, env)
+        r = rv[0] if rv else None
+        v2 = val
+        for p in paths:
+            v2 = _setpath(v2, p, _arith(op[0], _getpath(v2, p), r))
+        return [v2]
     if kind == "call":
         return _call(node, val, env)
     raise JqError(f"jq: cannot interpret {kind}")
@@ -574,6 +761,85 @@ def _call(node: Node, val, env: _Env) -> list:  # noqa: C901 - builtins
         return _call(Node("call", "from_entries", ()), mapped, env)
     if name == "input_line_number":
         return [0]
+    if name == "del":
+        return [_delpaths(val, _paths_of(args[0], val, env))]
+    if name == "paths":
+        return list(_all_paths(val))
+    if name == "leaf_paths":
+        return [p for p in _all_paths(val)
+                if not isinstance(_getpath(val, p), (dict, list))]
+    if name == "getpath":
+        return [_getpath(val, _one(args[0], val, env))]
+    if name == "setpath":
+        return [_setpath(val, _one(args[0], val, env),
+                         _one(args[1], val, env))]
+    if name == "delpaths":
+        return [_delpaths(val, _one(args[0], val, env))]
+    if name == "limit":
+        n = int(_one(args[0], val, env))
+        return _eval(args[1], val, env)[:n] if n > 0 else []
+    if name == "while":
+        outs = []
+        cur = val
+        for _ in range(100000):  # guard against non-terminating loops
+            if not any(_truthy(c) for c in _eval(args[0], cur, env)):
+                return outs
+            outs.append(cur)
+            nxt = _eval(args[1], cur, env)
+            if not nxt:
+                return outs
+            cur = nxt[0]
+        raise JqRuntimeError("while: exceeded 100000 iterations")
+    if name == "until":
+        cur = val
+        for _ in range(100000):
+            if any(_truthy(c) for c in _eval(args[0], cur, env)):
+                return [cur]
+            nxt = _eval(args[1], cur, env)
+            if not nxt:
+                return []
+            cur = nxt[0]
+        raise JqRuntimeError("until: exceeded 100000 iterations")
+    if name == "flatten":
+        depth = int(_one(args[0], val, env)) if args else 1 << 30
+
+        def flat(xs, d):
+            out = []
+            for x in xs:
+                if isinstance(x, list) and d > 0:
+                    out.extend(flat(x, d - 1))
+                else:
+                    out.append(x)
+            return out
+
+        return [flat(val, depth)]
+    if name == "group_by":
+        import functools
+
+        keyed = [(_eval(args[0], x, env), x) for x in val]
+        keyed.sort(key=functools.cmp_to_key(lambda a, b: _cmp(a[0], b[0])))
+        groups, cur_key = [], object()
+        for k, x in keyed:
+            if not groups or _cmp(k, cur_key) != 0:
+                groups.append([])
+                cur_key = k
+            groups[-1].append(x)
+        return [groups]
+    if name == "splits":
+        pat = _one(args[0], val, env)
+        flags = _one(args[1], val, env) if len(args) > 1 else ""
+        return _re.split(pat, val, flags=_re_flags(flags))
+    if name in ("sub", "gsub"):
+        pat = _one(args[0], val, env)
+        flags = _one(args[2], val, env) if len(args) > 2 else ""
+        count = 0 if name == "gsub" else 1
+
+        def repl(m):
+            out = _eval(args[1], m.groupdict(), env)
+            return _tostr(out[0]) if out else ""
+
+        return [_re.sub(pat, repl, val, count=count,
+                        flags=_re_flags(flags))]
     raise JqError(f"jq: unsupported function {name!r}")
 
 
@@ -620,6 +886,10 @@ _BUILTIN_ARITIES = {
     "implode": {0}, "test": {1, 2}, "match": {1, 2}, "capture": {1, 2},
     "to_entries": {0}, "from_entries": {0}, "with_entries": {1},
     "input_line_number": {0},
+    "del": {1}, "paths": {0}, "leaf_paths": {0}, "getpath": {1},
+    "setpath": {2}, "delpaths": {1}, "limit": {2}, "while": {2},
+    "until": {2}, "flatten": {0, 1}, "group_by": {1}, "splits": {1, 2},
+    "sub": {2, 3}, "gsub": {2, 3},
 }
 
 

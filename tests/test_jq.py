@@ -192,3 +192,52 @@ def test_jq_compiled_path_still_primary(spark):
     assert json.loads(out.collect()[0].result) == {"kk": 18}
     after = reg.snapshot()["counters"].get(key, 0)
     assert after == before
+
+
+def test_jq_interp_assignment_family():
+    """Path assignment: = / |= / += / //= / del, with multi-path LHS."""
+    from bento_spark.operators.jq_interp import run_program
+
+    def run1(prog, inp):
+        return run_program(parse_jq(prog), inp)[0]
+
+    assert run1(".a = 5", {"a": 1, "b": 2}) == {"a": 5, "b": 2}
+    assert run1(".a.b = 1", {}) == {"a": {"b": 1}}
+    assert run1(".xs[] |= . * 2", {"xs": [1, 2]}) == {"xs": [2, 4]}
+    assert run1(".n += 3", {"n": 1}) == {"n": 4}
+    assert run1('.a //= "d"', {"a": None}) == {"a": "d"}
+    assert run1("(.a, .b) = 0", {"a": 1, "b": 2}) == {"a": 0, "b": 0}
+    assert run1("del(.b)", {"a": 1, "b": 2}) == {"a": 1}
+    assert run1("del(.xs[0])", {"xs": [1, 2, 3]}) == {"xs": [2, 3]}
+
+
+def test_jq_interp_comma_recurse_generators():
+    from bento_spark.operators.jq_interp import run_program
+
+    assert run_program(parse_jq(".a, .b"), {"a": 1, "b": 2}) == [1, 2]
+    assert run_program(parse_jq("[..]"), {"a": [1]}) == [[{"a": [1]}, [1], 1]]
+    assert run_program(parse_jq("[limit(2; .[])]"), [1, 2, 3]) == [[1, 2]]
+    assert run_program(parse_jq("[while(. < 10; . * 2)]"), 1) == \
+        [[1, 2, 4, 8]]
+    assert run_program(parse_jq("until(. > 10; . + 3)"), 1) == [13]
+    assert run_program(parse_jq("flatten"), [1, [2, [3]]]) == [[1, 2, 3]]
+
+
+def test_jq_interp_sub_gsub_group_by():
+    from bento_spark.operators.jq_interp import run_program
+
+    assert run_program(parse_jq('gsub("(?P<c>o)"; "<\\(.c)>")'),
+                       "foo") == ["f<o><o>"]
+    assert run_program(parse_jq('sub("o"; "0")'), "foo") == ["f0o"]
+    assert run_program(parse_jq("group_by(.k) | map(length)"),
+                       [{"k": 1}, {"k": 2}, {"k": 1}]) == [[2, 1]]
+
+
+def test_jq_assignment_via_dataframe(spark):
+    """End-to-end through the processor: assignment programs fall back
+    and produce the rewritten document."""
+    df = spark.createDataFrame(
+        [(1, '{"user": {"name": "ada"}, "v": 1}')], "id long, j string"
+    )
+    out = jq(df, "j", '.user.name |= ascii_upcase | .v += 10').collect()
+    assert json.loads(out[0].result) == {"user": {"name": "ADA"}, "v": 11}
