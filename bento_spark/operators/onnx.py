@@ -420,6 +420,48 @@ class OnnxGraph:
             lo = ins[1] if len(ins) > 1 and ins[1] is not None else None
             hi = ins[2] if len(ins) > 2 and ins[2] is not None else None
             return np.clip(ins[0], lo, hi)
+        if op == "Split":
+            axis = int(attrs.get("axis", 0))
+            if len(ins) > 1 and ins[1] is not None:
+                sizes = [int(v) for v in np.atleast_1d(ins[1])]
+            elif attrs.get("split"):
+                sizes = [int(v) for v in attrs["split"]]
+            else:
+                n = int(attrs.get("num_outputs",
+                                  len(node.get("output", [])) or 1))
+                total = ins[0].shape[axis]
+                base = -(-total // n)
+                sizes = [min(base, total - i * base) for i in range(n)]
+            idx = np.cumsum(sizes)[:-1]
+            return list(np.split(ins[0], idx, axis=axis))
+        if op == "Expand":
+            shape = [int(v) for v in np.atleast_1d(ins[1])]
+            return np.broadcast_to(
+                ins[0], np.broadcast_shapes(ins[0].shape, tuple(shape))
+            ).copy()
+        if op == "Range":
+            return np.arange(
+                ins[0].item(), ins[1].item(), ins[2].item()
+            ).astype(np.result_type(ins[0], ins[1], ins[2]))
+        if op == "ConstantOfShape":
+            fill = attrs.get("value")
+            shape = [int(v) for v in np.atleast_1d(ins[0])]
+            if fill is None:
+                return np.zeros(shape, dtype=np.float32)
+            return np.full(shape, fill.reshape(()).item(),
+                           dtype=fill.dtype)
+        if op == "ArgMax":
+            axis = int(attrs.get("axis", 0))
+            out = np.argmax(ins[0], axis=axis).astype(np.int64)
+            if attrs.get("keepdims", 1):
+                out = np.expand_dims(out, axis)
+            return out
+        if op == "Tile":
+            return np.tile(ins[0], [int(v) for v in np.atleast_1d(ins[1])])
+        if op == "Flatten":
+            axis = int(attrs.get("axis", 1))
+            n = int(np.prod(ins[0].shape[:axis])) if axis else 1
+            return ins[0].reshape(n, -1)
         raise ValueError(
             f"onnx: unsupported op {op!r} (node {node.get('name')!r}) — "
             "supported: arithmetic/activation/shape/reduce/attention "

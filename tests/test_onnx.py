@@ -153,3 +153,58 @@ def test_nlp_extract_features_onnx_transformer_engine(spark, tmp_path):
     ).collect()
     got = np.array(json.loads(out[0].content))
     assert np.allclose(got, m._encode_one("hello onnx"), atol=1e-12)
+
+
+def test_runner_structural_kernels():
+    """Kernels real HF-exported encoders lean on: Split (multi-output),
+    Expand, Range, ConstantOfShape, ArgMax, Tile, Flatten."""
+    from bento_spark.operators.onnx import _model_bytes
+
+    def run(nodes, inits, inputs, outputs, feeds):
+        g = OnnxGraph.from_bytes(
+            _model_bytes(nodes, inits, inputs, outputs, "t")
+        )
+        return g.run(feeds)
+
+    # Split along axis 1 into 2 outputs
+    outs = run(
+        [{"op_type": "Split", "input": ["x"], "output": ["a", "b"],
+          "attribute": [{"name": "axis", "i": 1, "type": 2},
+                        {"name": "num_outputs", "i": 2, "type": 2}]}],
+        [], [("x", 11)], [("a", 11), ("b", 11)],
+        {"x": np.arange(12, dtype=np.float64).reshape(2, 6)},
+    )
+    assert outs[0].shape == (2, 3) and outs[1].shape == (2, 3)
+    assert np.array_equal(outs[0], [[0, 1, 2], [6, 7, 8]])
+
+    # Range -> Expand -> ArgMax
+    outs = run(
+        [{"op_type": "Range", "input": ["s", "e", "d"], "output": ["r"]},
+         {"op_type": "Expand", "input": ["r", "sh"], "output": ["ex"]},
+         {"op_type": "ArgMax", "input": ["ex"], "output": ["am"],
+          "attribute": [{"name": "axis", "i": 1, "type": 2},
+                        {"name": "keepdims", "i": 0, "type": 2}]}],
+        [numpy_to_tensor("s", np.array(0, dtype=np.int64)),
+         numpy_to_tensor("e", np.array(4, dtype=np.int64)),
+         numpy_to_tensor("d", np.array(1, dtype=np.int64)),
+         numpy_to_tensor("sh", np.array([3, 4], dtype=np.int64))],
+        [], [("am", 7)], {},
+    )
+    assert np.array_equal(outs[0], [3, 3, 3])
+
+    # ConstantOfShape + Tile + Flatten
+    outs = run(
+        [{"op_type": "ConstantOfShape", "input": ["sh"], "output": ["z"],
+          "attribute": [{"name": "value",
+                         "t": numpy_to_tensor("v",
+                                              np.array([7], dtype=np.int64)),
+                         "type": 4}]},
+         {"op_type": "Tile", "input": ["z", "reps"], "output": ["t"]},
+         {"op_type": "Flatten", "input": ["t"], "output": ["f"],
+          "attribute": [{"name": "axis", "i": 1, "type": 2}]}],
+        [numpy_to_tensor("sh", np.array([2, 2], dtype=np.int64)),
+         numpy_to_tensor("reps", np.array([1, 3], dtype=np.int64))],
+        [], [("f", 7)], {},
+    )
+    assert outs[0].shape == (2, 6) and outs[0].dtype == np.int64
+    assert (outs[0] == 7).all()
