@@ -24,7 +24,8 @@ Programs using constructs BEYOND the Column subset — `reduce` /
 the `,` stream operator, path assignment (`=` `|=` `+=` ... `//=`,
 `del`, `setpath`/`delpaths`), recursive descent `..`, generators
 (`limit`/`while`/`until`), and the regex builtins
-`test`/`capture`/`match`/`sub`/`gsub`/`splits` — parse here and
+`test`/`capture`/`match`/`sub`/`gsub`/`splits`, and `@base64`-style
+format strings — parse here and
 execute on the metered per-row interpreter (operators/jq_interp.py,
 the same tier-c pattern as Bloblang): Arrow-batched mapInPandas,
 counted via the `jq.interpreter_fallback` metric so a hot pipeline
@@ -33,7 +34,7 @@ silently leaning on the slow path is visible. gojq
 compiler stays the fast path.
 
 Still unsupported anywhere: SQL-style xpath, `input`/`inputs`,
-`tostream`/`fromstream`, `$__loc__`, `@base64`-style format strings.
+`tostream`/`fromstream`, `$__loc__`.
 """
 
 from __future__ import annotations
@@ -54,6 +55,7 @@ _TOKEN_RE = re.compile(
       (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>"(?:[^"\\]|\\.)*")
     | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<fmt>@[A-Za-z0-9_]+)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op>//=|//|\|=|==|!=|<=|>=|[+\-*/%]=|=|\.\.|[.\[\]{}(),:;|<>+\-*/%?])
     )""",
@@ -70,7 +72,7 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                 raise JqError(f"jq: bad token at {src[pos:pos+10]!r}")
             break
         pos = m.end()
-        for kind in ("num", "str", "var", "ident", "op"):
+        for kind in ("num", "str", "var", "fmt", "ident", "op"):
             if m.group(kind) is not None:
                 out.append((kind, m.group(kind)))
                 break
@@ -301,6 +303,13 @@ class _Parser:
             return _string_node(v)
         if k == "var":
             return Node("var", v[1:])
+        if k == "fmt":
+            # @base64 "x\(.y)" formats the INTERPOLATIONS; bare @base64
+            # formats the whole input (jq format strings)
+            if self.peek()[0] == "str":
+                _, s = self.next()
+                return Node("fmtstr", v[1:], (_string_node(s),))
+            return Node("format", v[1:])
         if k == "ident":
             if v in ("true", "false"):
                 return Node("lit", v == "true")

@@ -477,18 +477,15 @@ def _eval(node: Node, val, env: _Env) -> list:  # noqa: C901 - evaluator
             outs.extend(_eval(then if _truthy(c) else els, val, env))
         return outs
     if kind == "istr":
-        pieces = [[]]
-        for pk, part in node.value:
-            if pk == "s":
-                for p in pieces:
-                    p.append(part)
-            else:
-                nxt = []
-                for v in _eval(part, val, env):
-                    for p in pieces:
-                        nxt.append(p + [_tostr(v)])
-                pieces = nxt
-        return ["".join(p) for p in pieces]
+        return _istr(node.value, val, env, _tostr)
+    if kind == "format":
+        return [_format(node.value, val)]
+    if kind == "fmtstr":
+        child = node.children[0]
+        if child.kind == "lit":  # no interpolations: literal text as-is
+            return [child.value]
+        fmt = node.value
+        return _istr(child.value, val, env, lambda v: _format(fmt, v))
     if kind == "comma":
         outs = []
         for c in node.children:
@@ -538,6 +535,72 @@ def _eval(node: Node, val, env: _Env) -> list:  # noqa: C901 - evaluator
     if kind == "call":
         return _call(node, val, env)
     raise JqError(f"jq: cannot interpret {kind}")
+
+
+def _istr(parts, val, env, render) -> list:
+    pieces = [[]]
+    for pk, part in parts:
+        if pk == "s":
+            for p in pieces:
+                p.append(part)
+        else:
+            nxt = []
+            for v in _eval(part, val, env):
+                for p in pieces:
+                    nxt.append(p + [render(v)])
+            pieces = nxt
+    return ["".join(p) for p in pieces]
+
+
+def _format(fmt: str, v) -> str:
+    """jq format strings (@text/@json/@base64/.../@sh)."""
+    import base64
+
+    if fmt == "text":
+        return _tostr(v)
+    if fmt == "json":
+        return json.dumps(_canon(v), separators=(",", ":"))
+    if fmt == "base64":
+        return base64.b64encode(_tostr(v).encode()).decode()
+    if fmt == "base64d":
+        return base64.b64decode(_tostr(v) + "==").decode("utf-8", "replace")
+    if fmt == "uri":
+        from urllib.parse import quote
+
+        return quote(_tostr(v), safe="")
+    if fmt == "html":
+        return (_tostr(v).replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace("'", "&#39;")
+                .replace('"', "&quot;"))
+    if fmt == "csv":
+        if not isinstance(v, list):
+            raise JqRuntimeError("@csv: input must be an array")
+        out = []
+        for x in v:
+            if isinstance(x, str):
+                out.append('"' + x.replace('"', '""') + '"')
+            elif x is None:
+                out.append("")
+            elif isinstance(x, bool):
+                out.append("true" if x else "false")
+            else:
+                out.append(_tostr(_canon(x)))
+        return ",".join(out)
+    if fmt == "tsv":
+        if not isinstance(v, list):
+            raise JqRuntimeError("@tsv: input must be an array")
+        out = []
+        for x in v:
+            s = "" if x is None else _tostr(_canon(x))
+            out.append(s.replace("\\", "\\\\").replace("\t", "\\t")
+                       .replace("\n", "\\n").replace("\r", "\\r"))
+        return "\t".join(out)
+    if fmt == "sh":
+        def q(x):
+            return "'" + _tostr(x).replace("'", "'\\''") + "'"
+
+        return " ".join(q(x) for x in v) if isinstance(v, list) else q(v)
+    raise JqError(f"jq: unknown format string @{fmt}")
 
 
 def _one(node: Node, val, env) -> object:
@@ -893,10 +956,17 @@ _BUILTIN_ARITIES = {
 }
 
 
+_FORMATS = {"text", "json", "base64", "base64d", "uri", "html", "csv",
+            "tsv", "sh"}
+
+
 def validate_program(ast: Node, defs: frozenset = frozenset()) -> None:
     """Build-time check that every called function resolves to a
-    builtin or an in-scope `def` — so a typo'd program fails at plan
-    construction (like gojq's compile step), not inside an executor."""
+    builtin or an in-scope `def` (and every @format is known) — so a
+    typo'd program fails at plan construction (like gojq's compile
+    step), not inside an executor."""
+    if ast.kind in ("format", "fmtstr") and ast.value not in _FORMATS:
+        raise JqError(f"jq: unknown format string @{ast.value}")
     if ast.kind == "call":
         name, arity = ast.value, len(ast.children)
         if (name, arity) not in defs and \

@@ -241,3 +241,22 @@ def test_jq_assignment_via_dataframe(spark):
     )
     out = jq(df, "j", '.user.name |= ascii_upcase | .v += 10').collect()
     assert json.loads(out[0].result) == {"user": {"name": "ADA"}, "v": 11}
+
+
+def test_jq_format_strings():
+    """jq @-format strings: bare filter form and interpolation form
+    (formats apply to the INTERPOLATED parts only)."""
+    from bento_spark.operators.jq_interp import run_program
+
+    def run1(prog, inp):
+        return run_program(parse_jq(prog), inp)[0]
+
+    assert run1("@base64", "hi") == "aGk="
+    assert run1('@base64 "u=\\(.u)"', {"u": "ab"}) == "u=YWI="
+    assert run1("@base64d", "aGk=") == "hi"
+    assert run1("@csv", [1, "a,b", None, True]) == '1,"a,b",,true'
+    assert run1("@uri", "a b/c") == "a%20b%2Fc"
+    assert run1("@sh", ["a b", "c'd"]) == "'a b' 'c'\\''d'"
+    assert run1('@json', {"a": 1}) == '{"a":1}'
+    with pytest.raises(Exception, match="unknown format"):
+        run1("@nope", "x")

@@ -198,3 +198,97 @@ def test_packet_mac_rejects_bitflip():
     finally:
         for s in socks:
             s.close()
+
+
+# ---------------------------------------------------------------------------
+# compiled engine vs interpreter: random structured programs
+# ---------------------------------------------------------------------------
+
+
+def _sleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        done = (n == 0 and not b & 0x40) or (n == -1 and b & 0x40)
+        out.append(b if done else b | 0x80)
+        if done:
+            return bytes(out)
+
+
+_SAFE_BINOPS = [0x6A, 0x6B, 0x6C, 0x71, 0x72, 0x73, 0x74, 0x76, 0x77, 0x78]
+_CMPOPS = [0x46, 0x47, 0x48, 0x49, 0x4A, 0x4B]
+
+
+def _expr_bytes(draw, depth: int) -> bytes:
+    """Random i32 expression (exactly one value pushed), structurally
+    valid by construction: consts, params, safe binops, eqz, select,
+    and if/else with an i32 blocktype — the constructs whose
+    TRANSLATION differs most from the interpreter's dispatch."""
+    choice = draw(st.integers(0, 5 if depth > 0 else 1))
+    if choice == 0:
+        return b"\x41" + _sleb(draw(st.integers(-(1 << 31), (1 << 31) - 1)))
+    if choice == 1:
+        return b"\x20" + bytes([draw(st.integers(0, 1))])
+    if choice == 2:  # binop
+        return (_expr_bytes(draw, depth - 1) + _expr_bytes(draw, depth - 1)
+                + bytes([draw(st.sampled_from(_SAFE_BINOPS))]))
+    if choice == 3:  # comparison (returns i32 0/1)
+        return (_expr_bytes(draw, depth - 1) + _expr_bytes(draw, depth - 1)
+                + bytes([draw(st.sampled_from(_CMPOPS))]))
+    if choice == 4:  # eqz
+        return _expr_bytes(draw, depth - 1) + b"\x45"
+    # if/else with i32 result
+    return (_expr_bytes(draw, depth - 1) + b"\x04\x7f"
+            + _expr_bytes(draw, depth - 1) + b"\x05"
+            + _expr_bytes(draw, depth - 1) + b"\x0b")
+
+
+@st.composite
+def _program(draw):
+    """(module bytes, a, b): body = a 3-iteration loop accumulating a
+    random expression, so the translator's loop/guard machinery runs."""
+    expr = _expr_bytes(draw, 3)
+    # locals: 2 params + acc(l2) + i(l3)
+    body = (
+        b"\x02\x40"                       # block
+        b"\x03\x40"                       # loop
+        b"\x20\x03\x41\x03\x4e\x0d\x01"   # if i >= 3 br 1
+        b"\x20\x02" + expr + b"\x6a\x21\x02"  # acc = acc + expr
+        b"\x20\x03\x41\x01\x6a\x21\x03"   # i += 1
+        b"\x0c\x00"                       # br 0
+        b"\x0b\x0b"                       # end loop, end block
+        b"\x20\x02"                       # acc
+    )
+
+    def vec(items):
+        return _leb(len(items)) + b"".join(items)
+
+    def sec(sid, payload):
+        return bytes([sid]) + _leb(len(payload)) + payload
+
+    ft = b"\x60" + vec([b"\x7f", b"\x7f"]) + vec([b"\x7f"])
+    code_entry = vec([_leb(2) + b"\x7f"]) + body + b"\x0b"
+    module = (b"\x00asm\x01\x00\x00\x00"
+              + sec(1, vec([ft]))
+              + sec(3, vec([_leb(0)]))
+              + sec(7, vec([_leb(1) + b"f" + b"\x00" + _leb(0)]))
+              + sec(10, vec([_leb(len(code_entry)) + code_entry])))
+    a = draw(st.integers(0, (1 << 32) - 1))
+    b = draw(st.integers(0, (1 << 32) - 1))
+    return module, a, b
+
+
+@settings(max_examples=40, deadline=None)
+@given(_program())
+def test_compiled_engine_matches_interpreter_on_random_programs(prog):
+    import os
+
+    module, a, b = prog
+    got_c = WasmInstance(WasmModule(module)).invoke("f", a, b)
+    os.environ["BENTO_SPARK_WASM_ENGINE"] = "interp"
+    try:
+        got_i = WasmInstance(WasmModule(module)).invoke("f", a, b)
+    finally:
+        del os.environ["BENTO_SPARK_WASM_ENGINE"]
+    assert got_c == got_i
