@@ -158,6 +158,10 @@ def main():
         times[name] = sorted(runs)[len(runs) // 2] if runs else -1.0
     total = round(sum(t for t in times.values() if t >= 0), 3)
 
+    # canary AFTER the timed suite and BEFORE the sf1 section, so the
+    # pre/post pair brackets exactly the workload it normalizes
+    canary_post = run_canary(spark)
+
     # sf1 section: single-shot (the queries are big enough that JIT
     # noise is amortized), budget-bounded, never fails the bench
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
@@ -193,7 +197,6 @@ def main():
             "budget_skipped": skipped,
         }
 
-    canary_post = run_canary(spark)
     canary_sec = round((canary_pre + canary_post) / 2, 3)
     # noise_factor ~1.0 on a quiet host; >1.3 means the run was contended
     # and `value` overstates the code's cost — read normalized_total_sec.
