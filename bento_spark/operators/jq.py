@@ -23,10 +23,10 @@ Programs using constructs BEYOND the Column subset — `reduce` /
 `$var` bindings (`E as $x | ...`), string interpolation `"\\(e)"`,
 the `,` stream operator, path assignment (`=` `|=` `+=` ... `//=`,
 `del`, `setpath`/`delpaths`), recursive descent `..`, generators
-(`limit`/`while`/`until`), and the regex builtins
+(`limit`/`while`/`until`), the regex builtins
 `test`/`capture`/`match`/`sub`/`gsub`/`splits`, and `@base64`-style
-format strings — parse here and
-execute on the metered per-row interpreter (operators/jq_interp.py,
+format strings — parse here and execute on the metered per-row
+interpreter (operators/jq_interp.py,
 the same tier-c pattern as Bloblang): Arrow-batched mapInPandas,
 counted via the `jq.interpreter_fallback` metric so a hot pipeline
 silently leaning on the slow path is visible. gojq
