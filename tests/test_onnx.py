@@ -208,3 +208,122 @@ def test_runner_structural_kernels():
     )
     assert outs[0].shape == (2, 6) and outs[0].dtype == np.int64
     assert (outs[0] == 7).all()
+
+
+def test_hf_exporter_shaped_attention_graph():
+    """A graph wired the way real HuggingFace exporters emit encoder
+    blocks — fused qkv MatMul + Split, additive attention mask built
+    with Cast/Sub/Mul, the LayerNormalization OP (not a decomposition),
+    and erf-form Gelu (Erf/Div/Add/Mul) — executes correctly on the
+    generic runner. Reference values computed with independent numpy."""
+    import math
+
+    from bento_spark.operators.onnx import _model_bytes
+
+    rng = np.random.default_rng(42)
+    T, d, h = 5, 8, 2
+    dh = d // h
+    x = rng.standard_normal((T, d))
+    mask = np.array([1, 1, 1, 0, 0], dtype=np.int64)
+    wqkv = rng.standard_normal((d, 3 * d)) * 0.3
+    bqkv = rng.standard_normal(3 * d) * 0.1
+    wo = rng.standard_normal((d, d)) * 0.3
+    g1 = rng.standard_normal(d) * 0.1 + 1.0
+    b1 = rng.standard_normal(d) * 0.1
+    w_ff = rng.standard_normal((d, 2 * d)) * 0.3
+    b_ff = rng.standard_normal(2 * d) * 0.1
+
+    inits = [
+        numpy_to_tensor("wqkv", wqkv), numpy_to_tensor("bqkv", bqkv),
+        numpy_to_tensor("wo", wo),
+        numpy_to_tensor("g1", g1), numpy_to_tensor("b1", b1),
+        numpy_to_tensor("wff", w_ff), numpy_to_tensor("bff", b_ff),
+        numpy_to_tensor("shape_thd", np.array([T, h, dh], dtype=np.int64)),
+        numpy_to_tensor("shape_td", np.array([T, d], dtype=np.int64)),
+        numpy_to_tensor("sqrt_dh", np.array(math.sqrt(dh))),
+        numpy_to_tensor("one", np.array(1.0)),
+        numpy_to_tensor("neg1e4", np.array(-10000.0)),
+        numpy_to_tensor("sqrt2", np.array(math.sqrt(2.0))),
+        numpy_to_tensor("half", np.array(0.5)),
+    ]
+
+    def ints(name, vals):
+        return {"name": name, "ints": list(vals), "type": 7}
+
+    nodes = [
+        {"op_type": "MatMul", "input": ["x", "wqkv"], "output": ["qkv0"]},
+        {"op_type": "Add", "input": ["qkv0", "bqkv"], "output": ["qkv"]},
+        {"op_type": "Split", "input": ["qkv"], "output": ["q", "k", "v"],
+         "attribute": [{"name": "axis", "i": 1, "type": 2},
+                       {"name": "num_outputs", "i": 3, "type": 2}]},
+    ]
+    for nm in ("q", "k", "v"):
+        nodes += [
+            {"op_type": "Reshape", "input": [nm, "shape_thd"],
+             "output": [f"{nm}r"]},
+            {"op_type": "Transpose", "input": [f"{nm}r"],
+             "output": [f"{nm}h"],
+             "attribute": [ints("perm", [1, 0, 2])]},
+        ]
+    nodes += [
+        {"op_type": "Transpose", "input": ["kh"], "output": ["kt"],
+         "attribute": [ints("perm", [0, 2, 1])]},
+        {"op_type": "MatMul", "input": ["qh", "kt"], "output": ["sc0"]},
+        {"op_type": "Div", "input": ["sc0", "sqrt_dh"], "output": ["sc"]},
+        # HF-style additive mask: (1 - cast(mask)) * -1e4, broadcast
+        {"op_type": "Cast", "input": ["mask"], "output": ["mf"],
+         "attribute": [{"name": "to", "i": 11, "type": 2}]},
+        {"op_type": "Sub", "input": ["one", "mf"], "output": ["inv"]},
+        {"op_type": "Mul", "input": ["inv", "neg1e4"], "output": ["madd"]},
+        {"op_type": "Add", "input": ["sc", "madd"], "output": ["scm"]},
+        {"op_type": "Softmax", "input": ["scm"], "output": ["att"],
+         "attribute": [{"name": "axis", "i": -1, "type": 2}]},
+        {"op_type": "MatMul", "input": ["att", "vh"], "output": ["ctx"]},
+        {"op_type": "Transpose", "input": ["ctx"], "output": ["ctxt"],
+         "attribute": [ints("perm", [1, 0, 2])]},
+        {"op_type": "Reshape", "input": ["ctxt", "shape_td"],
+         "output": ["ctxr"]},
+        {"op_type": "MatMul", "input": ["ctxr", "wo"], "output": ["proj"]},
+        {"op_type": "Add", "input": ["x", "proj"], "output": ["res"]},
+        {"op_type": "LayerNormalization", "input": ["res", "g1", "b1"],
+         "output": ["ln"],
+         "attribute": [{"name": "epsilon", "f": 1e-5, "type": 1}]},
+        # erf-form Gelu, exactly as exporters decompose it
+        {"op_type": "MatMul", "input": ["ln", "wff"], "output": ["f0"]},
+        {"op_type": "Add", "input": ["f0", "bff"], "output": ["f1"]},
+        {"op_type": "Div", "input": ["f1", "sqrt2"], "output": ["g0"]},
+        {"op_type": "Erf", "input": ["g0"], "output": ["g1e"]},
+        {"op_type": "Add", "input": ["g1e", "one"], "output": ["g2"]},
+        {"op_type": "Mul", "input": ["f1", "g2"], "output": ["g3"]},
+        {"op_type": "Mul", "input": ["g3", "half"], "output": ["ffn"]},
+        {"op_type": "ReduceMean", "input": ["ffn"], "output": ["pooled"],
+         "attribute": [ints("axes", [0]),
+                       {"name": "keepdims", "i": 0, "type": 2}]},
+    ]
+    g = OnnxGraph.from_bytes(_model_bytes(
+        nodes, inits, [("x", 11), ("mask", 7)], [("pooled", 11)], "hf"
+    ))
+    got = g.run({"x": x, "mask": mask})[0]
+
+    # independent numpy reference
+    qkv = x @ wqkv + bqkv
+    q, k, v = np.split(qkv, 3, axis=1)
+    qh = q.reshape(T, h, dh).transpose(1, 0, 2)
+    kh = k.reshape(T, h, dh).transpose(1, 0, 2)
+    vh = v.reshape(T, h, dh).transpose(1, 0, 2)
+    sc = qh @ kh.transpose(0, 2, 1) / math.sqrt(dh)
+    sc = sc + (1.0 - mask.astype(np.float64)) * -10000.0
+    e = np.exp(sc - sc.max(-1, keepdims=True))
+    att = e / e.sum(-1, keepdims=True)
+    ctx = (att @ vh).transpose(1, 0, 2).reshape(T, d)
+    res = x + ctx @ wo
+    mu = res.mean(-1, keepdims=True)
+    var = ((res - mu) ** 2).mean(-1, keepdims=True)
+    ln = (res - mu) / np.sqrt(var + 1e-5) * g1 + b1
+    f1 = ln @ w_ff + b_ff
+    erf = np.vectorize(math.erf)(f1 / math.sqrt(2.0))
+    ffn = 0.5 * f1 * (1.0 + erf)
+    want = ffn.mean(axis=0)
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+    # the masked positions contribute (near-)zero attention
+    assert att[:, 0, 3:].max() < 1e-4
