@@ -26,17 +26,20 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_BIG = "/root/testdata/sf0.1"
 
 # the 10 worst certified sf1 ratios (query, certified_x at sf1/sf0.01)
+# — round-7 full re-certification (SCALE_sf1.md); the biggest movers
+# vs r6 were proc_wasm (70 -> 38.5, compiled engine) and
+# embed_project_topk (off the list entirely)
 WORST = [
-    ("proc_wasm", 70.0),
-    ("pipeline_error_handling", 65.0),
-    ("proc_msgpack_roundtrip", 37.5),
-    ("window_session_user", 37.4),
-    ("embed_project_topk", 37.2),
-    ("proc_yaml_surface_gauntlet", 35.2),
-    ("text_bm25_topk", 24.7),
-    ("text_language_id", 20.2),
-    ("pipeline_template", 18.7),
-    ("dedup_span_clean", 14.4),
+    ("proc_parse_log", 76.6),
+    ("proc_json_schema", 59.2),
+    ("proc_mapping_enrich", 58.0),
+    ("proc_msgpack_roundtrip", 49.3),
+    ("window_session_user", 46.0),
+    ("proc_yaml_surface_gauntlet", 39.4),
+    ("proc_wasm", 38.5),
+    ("proc_archive_roundtrip", 32.2),
+    ("dedupe_within_window", 30.4),
+    ("pipeline_template", 24.0),
 ]
 
 MAX_RATIO = 60.0      # 100x data; anything superlinear lands >= 100
