@@ -562,6 +562,20 @@ def _compile(node: Node, cur: Column) -> Column:
         raise JqError(f"jq: unsupported function {name!r}")
     if node.kind == "iterate":
         raise JqError("jq: .[] iteration only supported as a top-level stage")
+    if node.kind == "ite":
+        # if/then/elif/else/end — F.when on jq truthiness; stays on the
+        # Column fast path instead of dropping to the interpreter
+        cond, then, els = node.children
+        return F.when(
+            _bool(_compile(cond, cur)), _compile(then, cur)
+        ).otherwise(_compile(els, cur))
+    if node.kind == "istr":
+        # string interpolation: literal/rendered parts concatenated
+        parts = [
+            F.lit(text) if pk == "s" else _str(_compile(text, cur))
+            for pk, text in node.value
+        ]
+        return _v(F.concat(*parts))
     if node.kind == "pipe":
         for stage in node.children:
             cur = _compile(stage, cur)

@@ -260,3 +260,66 @@ def test_jq_format_strings():
     assert run1('@json', {"a": 1}) == '{"a":1}'
     with pytest.raises(Exception, match="unknown format"):
         run1("@nope", "x")
+
+
+def test_jq_ite_and_interpolation_stay_on_column_path(spark):
+    """if/then/else and string interpolation are Column-expressible —
+    they must NOT engage the interpreter (r7 fast-path lift)."""
+    from bento_spark.observability import default_registry
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 9, "name": "ada"}'), (2, '{"k": 1, "name": "bob"}')],
+        "id long, j string",
+    )
+    reg = default_registry()
+    key = 'jq.interpreter_fallback{"reason": "unsupported_construct"}'
+    before = reg.snapshot()["counters"].get(key, 0)
+    out = jq(
+        df, "j",
+        '{tag: (if .k > 5 then "big" else "small" end), '
+        'msg: "hi \\(.name)!"}',
+    ).collect()
+    got = {r.id: json.loads(r.result) for r in out}
+    assert got == {1: {"tag": "big", "msg": "hi ada!"},
+                   2: {"tag": "small", "msg": "hi bob!"}}
+    assert reg.snapshot()["counters"].get(key, 0) == before
+
+
+def test_jq_engines_agree_on_shared_surface(spark):
+    """Differential: programs expressible by BOTH engines produce the
+    same result JSON through the DataFrame (Column) path and through
+    the per-row interpreter directly."""
+    from bento_spark.operators.jq_interp import run_program
+
+    docs = [
+        {"k": 87, "name": "ada", "tags": ["x", "y"], "n": 5},
+        {"k": 3, "name": "bob", "tags": [], "n": 2},
+    ]
+    programs = [
+        ".k * 2",
+        "select(.k >= 50) | .name",
+        '{big: (.k > 5), label: "k=\\(.k)"}',
+        'if .n > 3 then "lots" elif .n > 1 then "some" else "none" end',
+        "[(.tags | length), .n]",
+        '.tags | join("-")',
+        ".missing // \"dflt\"",
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)], "id long, j string"
+    )
+    for prog in programs:
+        col_rows = {
+            r.id: r.result for r in jq(df, "j", prog).collect()
+        }
+        ast = parse_jq(prog)
+        for i, d in enumerate(docs):
+            interp = run_program(ast, d)
+            if i not in col_rows:
+                assert interp == [], (prog, i)
+                continue
+            got = json.loads(col_rows[i])
+            want = interp[0]
+            if isinstance(want, float) or isinstance(got, float):
+                assert float(got) == float(want), (prog, i)
+            else:
+                assert got == want, (prog, i, got, want)
