@@ -52,7 +52,7 @@ class JqError(ValueError):
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-      (?P<num>-?\d+(?:\.\d+)?)
+      (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<str>"(?:[^"\\]|\\.)*")
     | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
     | (?P<fmt>@[A-Za-z0-9_]+)
@@ -298,7 +298,8 @@ class _Parser:
                 return Node("path", ("field", v2[1:-1]), (Node("identity"),))
             return Node("identity")
         if k == "num":
-            return Node("lit", float(v) if "." in v else int(v))
+            is_f = "." in v or "e" in v or "E" in v
+            return Node("lit", float(v) if is_f else int(v))
         if k == "str":
             return _string_node(v)
         if k == "var":

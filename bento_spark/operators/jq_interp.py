@@ -728,9 +728,13 @@ def _call(node: Node, val, env: _Env) -> list:  # noqa: C901 - builtins
         srt = sorted(val, key=functools.cmp_to_key(_cmp))
         return [srt[0] if name == "min" else srt[-1]]
     if name == "first":
+        if not args:  # bare `first` == .[0]
+            return [val[0] if isinstance(val, list) and val else None]
         outs = _eval(args[0], val, env)
         return outs[:1]
     if name == "last":
+        if not args:  # bare `last` == .[-1]
+            return [val[-1] if isinstance(val, list) and val else None]
         outs = _eval(args[0], val, env)
         return outs[-1:]
     if name == "range":
@@ -751,10 +755,33 @@ def _call(node: Node, val, env: _Env) -> list:  # noqa: C901 - builtins
         return [math.floor(val)]
     if name == "ceil":
         return [math.ceil(val)]
+    if name == "round":
+        return [round(val)]
     if name == "fabs":
         return [abs(val)]
     if name == "sqrt":
         return [math.sqrt(val)]
+    if name == "pow":
+        return [math.pow(_one(args[0], val, env), _one(args[1], val, env))]
+    if name in ("log", "exp", "log2", "log10", "exp2"):
+        fn2 = {"log": math.log, "exp": math.exp, "log2": math.log2,
+               "log10": math.log10, "exp2": lambda x: 2.0 ** x}[name]
+        return [fn2(val)]
+    if name == "nan":
+        return [math.nan]
+    if name == "infinite":
+        return [math.inf]
+    if name == "isnan":
+        return [isinstance(val, float) and math.isnan(val)]
+    if name == "isinfinite":
+        return [isinstance(val, float) and math.isinf(val)]
+    if name == "nth":
+        n = int(_one(args[0], val, env))
+        if len(args) > 1:  # nth(n; gen): the n-th output of gen
+            outs = _eval(args[1], val, env)
+            return [outs[n]] if 0 <= n < len(outs) else []
+        return [val[n] if isinstance(val, list) and 0 <= n < len(val)
+                else None]
     if name == "join":
         sep = _one(args[0], val, env)
         return [sep.join(
@@ -941,8 +968,8 @@ _BUILTIN_ARITIES = {
     "contains": {1}, "tostring": {0}, "tonumber": {0}, "tojson": {0},
     "fromjson": {0}, "select": {1}, "map": {1}, "map_values": {1},
     "add": {0}, "any": {0}, "all": {0}, "sort": {0}, "sort_by": {1},
-    "unique": {0}, "reverse": {0}, "min": {0}, "max": {0}, "first": {1},
-    "last": {1}, "range": {1, 2, 3}, "floor": {0}, "ceil": {0},
+    "unique": {0}, "reverse": {0}, "min": {0}, "max": {0}, "first": {0, 1},
+    "last": {0, 1}, "range": {1, 2, 3}, "floor": {0}, "ceil": {0},
     "fabs": {0}, "sqrt": {0}, "join": {1}, "split": {1, 2},
     "ltrimstr": {1}, "rtrimstr": {1}, "startswith": {1}, "endswith": {1},
     "ascii_downcase": {0}, "ascii_upcase": {0}, "explode": {0},
@@ -953,6 +980,9 @@ _BUILTIN_ARITIES = {
     "setpath": {2}, "delpaths": {1}, "limit": {2}, "while": {2},
     "until": {2}, "flatten": {0, 1}, "group_by": {1}, "splits": {1, 2},
     "sub": {2, 3}, "gsub": {2, 3},
+    "round": {0}, "pow": {2}, "log": {0}, "exp": {0}, "log2": {0},
+    "log10": {0}, "exp2": {0}, "nan": {0}, "infinite": {0},
+    "isnan": {0}, "isinfinite": {0}, "nth": {1, 2},
 }
 
 
