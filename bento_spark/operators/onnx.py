@@ -282,6 +282,20 @@ def _squeeze(inputs, attrs):
     return np.squeeze(x, axis=tuple(axes) if axes else None)
 
 
+def _quantize_linear(ins):
+    """ONNX QuantizeLinear: y = saturate(round(x / scale) + zp), round
+    half to EVEN (the spec's rounding), saturation per the zero-point's
+    dtype (u8 default)."""
+    x, scale = ins[0], ins[1]
+    zp = ins[2] if len(ins) > 2 and ins[2] is not None else np.uint8(0)
+    zp = np.asarray(zp)
+    dt = zp.dtype if zp.dtype in (np.dtype(np.int8), np.dtype(np.uint8)) \
+        else np.dtype(np.uint8)
+    info = np.iinfo(dt)
+    q = np.rint(np.asarray(x, dtype=np.float64) / scale) + zp.astype(np.int32)
+    return np.clip(q, info.min, info.max).astype(dt)
+
+
 class OnnxGraph:
     """Decoded ONNX model: initializer tensors + topologically-ordered
     nodes, executed with numpy kernels. ``run(feeds)`` returns the
@@ -462,6 +476,36 @@ class OnnxGraph:
             axis = int(attrs.get("axis", 1))
             n = int(np.prod(ins[0].shape[:axis])) if axis else 1
             return ins[0].reshape(n, -1)
+        if op == "QuantizeLinear":
+            return _quantize_linear(ins)
+        if op == "DequantizeLinear":
+            x, scale = ins[0], ins[1]
+            zp = ins[2] if len(ins) > 2 and ins[2] is not None else 0
+            return (x.astype(np.int32) - np.asarray(zp).astype(np.int32)) \
+                * scale
+        if op == "MatMulInteger":
+            a = ins[0].astype(np.int32)
+            b = ins[1].astype(np.int32)
+            if len(ins) > 2 and ins[2] is not None:
+                a = a - ins[2].astype(np.int32)
+            if len(ins) > 3 and ins[3] is not None:
+                b = b - ins[3].astype(np.int32)
+            return a @ b
+        if op == "QLinearMatMul":
+            a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp = ins[:8]
+            acc = (a.astype(np.int32) - np.asarray(a_zp).astype(np.int32)) @ \
+                  (b.astype(np.int32) - np.asarray(b_zp).astype(np.int32))
+            return _quantize_linear(
+                [acc * (np.asarray(a_s) * np.asarray(b_s)), y_s, y_zp]
+            )
+        if op == "DynamicQuantizeLinear":
+            x = ins[0].astype(np.float32)
+            lo = min(float(x.min()), 0.0)
+            hi = max(float(x.max()), 0.0)
+            scale = np.float32((hi - lo) / 255.0) or np.float32(1.0)
+            zp = np.uint8(np.clip(round(-lo / scale), 0, 255))
+            q = _quantize_linear([x, scale, zp])
+            return [q, np.asarray(scale), np.asarray(zp)]
         raise ValueError(
             f"onnx: unsupported op {op!r} (node {node.get('name')!r}) — "
             "supported: arithmetic/activation/shape/reduce/attention "

@@ -327,3 +327,83 @@ def test_hf_exporter_shaped_attention_graph():
     assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
     # the masked positions contribute (near-)zero attention
     assert att[:, 0, 3:].max() < 1e-4
+
+
+def test_quantization_ops_spec_semantics():
+    """The REAL ONNX quantization format (what quantized HF exports
+    use): QuantizeLinear round-half-even + saturation, DequantizeLinear,
+    MatMulInteger zero-point handling, QLinearMatMul end-to-end, and
+    DynamicQuantizeLinear's min/max scale rule."""
+    from bento_spark.operators.onnx import _model_bytes
+
+    def run(nodes, inits, inputs, outputs, feeds):
+        g = OnnxGraph.from_bytes(
+            _model_bytes(nodes, inits, inputs, outputs, "q")
+        )
+        return g.run(feeds)
+
+    # QuantizeLinear: round half to even, saturate to u8
+    outs = run(
+        [{"op_type": "QuantizeLinear", "input": ["x", "s", "zp"],
+          "output": ["y"]}],
+        [numpy_to_tensor("s", np.array(2.0, dtype=np.float32)),
+         numpy_to_tensor("zp", np.array(1, dtype=np.uint8))],
+        [("x", 1)], [("y", 2)],
+        {"x": np.array([1.0, 3.0, 5.0, -10.0, 600.0], dtype=np.float32)},
+    )
+    # 1/2=0.5 -> 0 (half-even), 3/2=1.5 -> 2, 5/2=2.5 -> 2; +zp; clip
+    assert outs[0].dtype == np.uint8
+    assert list(outs[0]) == [1, 3, 3, 0, 255]
+
+    # Dequantize inverts (away from saturation/rounding boundaries)
+    outs = run(
+        [{"op_type": "DequantizeLinear", "input": ["q", "s", "zp"],
+          "output": ["y"]}],
+        [numpy_to_tensor("s", np.array(0.5, dtype=np.float32)),
+         numpy_to_tensor("zp", np.array(10, dtype=np.uint8))],
+        [("q", 2)], [("y", 1)],
+        {"q": np.array([10, 14, 6], dtype=np.uint8)},
+    )
+    assert np.allclose(outs[0], [0.0, 2.0, -2.0])
+
+    # MatMulInteger with zero points == plain integer matmul shifted
+    a = np.array([[130, 128], [127, 129]], dtype=np.uint8)
+    b = np.array([[2, 1], [3, 4]], dtype=np.uint8)
+    outs = run(
+        [{"op_type": "MatMulInteger", "input": ["a", "b", "az", "bz"],
+          "output": ["y"]}],
+        [numpy_to_tensor("az", np.array(128, dtype=np.uint8)),
+         numpy_to_tensor("bz", np.array(0, dtype=np.uint8))],
+        [("a", 2), ("b", 2)], [("y", 6)], {"a": a, "b": b},
+    )
+    want = (a.astype(np.int32) - 128) @ b.astype(np.int32)
+    assert np.array_equal(outs[0], want)
+
+    # QLinearMatMul: quantize(dequant(a) @ dequant(b)) at y's scale
+    outs = run(
+        [{"op_type": "QLinearMatMul",
+          "input": ["a", "as_", "az", "b", "bs", "bz", "ys", "yz"],
+          "output": ["y"]}],
+        [numpy_to_tensor("as_", np.array(0.5, dtype=np.float32)),
+         numpy_to_tensor("az", np.array(128, dtype=np.uint8)),
+         numpy_to_tensor("bs", np.array(0.25, dtype=np.float32)),
+         numpy_to_tensor("bz", np.array(0, dtype=np.uint8)),
+         numpy_to_tensor("ys", np.array(1.0, dtype=np.float32)),
+         numpy_to_tensor("yz", np.array(0, dtype=np.uint8))],
+        [("a", 2), ("b", 2)], [("y", 2)], {"a": a, "b": b},
+    )
+    real = ((a.astype(np.int32) - 128) * 0.5) @ (b.astype(np.int32) * 0.25)
+    assert np.array_equal(
+        outs[0], np.clip(np.rint(real), 0, 255).astype(np.uint8)
+    )
+
+    # DynamicQuantizeLinear: dequantizing recovers x within one step
+    x = np.array([-1.0, 0.0, 2.5, 4.0], dtype=np.float32)
+    outs = run(
+        [{"op_type": "DynamicQuantizeLinear", "input": ["x"],
+          "output": ["q", "s", "zp"]}],
+        [], [("x", 1)], [("q", 2), ("s", 1), ("zp", 2)], {"x": x},
+    )
+    q, s, zp = outs
+    back = (q.astype(np.float32) - zp.astype(np.float32)) * s
+    assert np.abs(back - x).max() <= float(s)
