@@ -162,6 +162,12 @@ def javascript_processor(
         )
 
         def read_reply_line() -> str:
+            # select() watches the fd, not Python's read buffer — safe
+            # ONLY because the protocol is strict lockstep: node writes
+            # exactly one line (fetch request or result) and then
+            # blocks reading stdin, so a second line can never be
+            # sitting in the buffer while the fd is idle. If the
+            # protocol ever pipelines, switch to bufsize=0.
             ready, _, _ = _select.select([proc.stdout], [], [], timeout)
             if not ready:
                 proc.kill()
