@@ -52,7 +52,7 @@ class JqError(ValueError):
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-      (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<str>"(?:[^"\\]|\\.)*")
     | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
     | (?P<fmt>@[A-Za-z0-9_]+)
@@ -268,10 +268,17 @@ class _Parser:
                 if v2 == "]":
                     self.next()
                     node = Node("iterate", None, (node,))
-                elif k2 == "num":
+                elif k2 == "num" or v2 == "-":
+                    sign = 1
+                    if v2 == "-":  # .[-1]: '-' is its own token now
+                        self.next()
+                        sign = -1
+                        k2, v2 = self.peek()
+                        if k2 != "num":
+                            raise JqError("jq: bad subscript")
                     self.next()
                     self.expect("]")
-                    node = Node("path", ("index", int(v2)), (node,))
+                    node = Node("path", ("index", sign * int(v2)), (node,))
                 elif k2 == "str":
                     self.next()
                     self.expect("]")
@@ -286,6 +293,13 @@ class _Parser:
 
     def parse_primary(self) -> Node:
         k, v = self.next()
+        if v == "-":
+            # Unary minus. The number token no longer swallows a leading
+            # '-' (it made '.a-1' tokenize as ['.a', '-1'] and fail where
+            # jq subtracts); negation is desugared to `0 - x` over the
+            # next postfix expression, so '-1 + 2' is (-1) + 2 and
+            # '-.a' negates the path value.
+            return Node("bin", "-", (Node("lit", 0), self.parse_postfix()))
         if v == "..":  # recursive descent
             return Node("recurse")
         if v == ".":

@@ -115,9 +115,17 @@ def _do_fetch(req: dict) -> dict:
     non-2xx RETURNED as (status, body) like the http processor's
     transport contract."""
     import urllib.error
+    import urllib.parse
     import urllib.request
 
     try:
+        scheme = urllib.parse.urlsplit(req.get("url") or "").scheme.lower()
+        if scheme not in ("http", "https"):
+            # urlopen would happily serve file:// / ftp:// — a pipeline
+            # script must not read arbitrary local files through the
+            # bridge (the reference's fetch is an HTTP client only).
+            return {"err": f"v0_fetch: unsupported URL scheme {scheme!r} "
+                           "(only http/https)"}
         r = urllib.request.Request(
             req["url"],
             data=(req.get("body") or "").encode() or None,

@@ -135,7 +135,13 @@ def tensor_to_numpy(tp: dict) -> np.ndarray:
     elif tp.get("int64_data"):
         arr = np.array(tp["int64_data"], dtype=dt)
     elif tp.get("int32_data") is not None:
-        arr = np.array(tp.get("int32_data", []), dtype=dt)
+        ints = tp.get("int32_data", [])
+        if dt is np.float16:
+            # TensorProto stores fp16 in int32_data as raw uint16 BIT
+            # PATTERNS, not values — reinterpret, don't value-cast.
+            arr = np.array(ints, dtype=np.uint16).view(np.float16)
+        else:
+            arr = np.array(ints, dtype=dt)
     else:
         arr = np.zeros(0, dtype=dt)
     return arr.reshape(dims) if dims else arr.reshape(())
@@ -155,10 +161,37 @@ def numpy_to_tensor(name: str, arr: np.ndarray) -> dict:
 
 
 def _attrs(node: dict) -> dict:
+    """Decode NodeProto attributes dispatching on the AttributeProto
+    `type` field (1=FLOAT 2=INT 3=STRING 4=TENSOR 6=FLOATS 7=INTS
+    8=STRINGS), NOT on field presence: proto3 serializers (the official
+    onnx/PyTorch exporters) elide zero-valued scalars, so a presence
+    test turns ReduceMean keepdims=0 into keepdims=1 and drops required
+    attrs like Concat axis=0 entirely. Absent scalars default to
+    0 / 0.0 / '' for the typed branch."""
     out = {}
     for a in node.get("attribute", []):
         name = a.get("name")
-        if "i" in a:
+        at = int(a.get("type", 0))
+        if at == 1:
+            out[name] = float(a.get("f", 0.0))
+        elif at == 2:
+            out[name] = int(a.get("i", 0))
+        elif at == 3:
+            s = a.get("s", b"")
+            out[name] = s.decode() if isinstance(s, (bytes, bytearray)) else s
+        elif at == 4:
+            out[name] = tensor_to_numpy(a.get("t", {}))
+        elif at == 6:
+            out[name] = [float(v) for v in a.get("floats", [])]
+        elif at == 7:
+            out[name] = [int(v) for v in a.get("ints", [])]
+        elif at == 8:
+            out[name] = [
+                v.decode() if isinstance(v, (bytes, bytearray)) else v
+                for v in a.get("strings", [])
+            ]
+        # legacy/hand-built attrs with no `type` field: presence dispatch
+        elif "i" in a:
             out[name] = int(a["i"])
         elif "f" in a:
             out[name] = float(a["f"])

@@ -532,11 +532,14 @@ class _Emitter:
             0xBD: "struct.unpack('<Q', struct.pack('<d', s[-1]))[0]",
             0xBE: "struct.unpack('<f', struct.pack('<I', s[-1]))[0]",
             0xBF: "struct.unpack('<d', struct.pack('<Q', s[-1]))[0]",
-            0xC0: f"((s[-1] ^ 128) - 128) & {_M32}",
-            0xC1: f"((s[-1] ^ 32768) - 32768) & {_M32}",
-            0xC2: f"((s[-1] ^ 128) - 128) & {_M64}",
-            0xC3: f"((s[-1] ^ 32768) - 32768) & {_M64}",
-            0xC4: f"((s[-1] ^ {_H32}) - {_H32}) & {_M64}",
+            # Sign-extension ops mask the operand to the narrow width
+            # BEFORE extending (matches the interpreter's _sx): the value
+            # on the stack is a full i32/i64 whose high bits are live.
+            0xC0: f"(((s[-1] & 0xFF) ^ 128) - 128) & {_M32}",
+            0xC1: f"(((s[-1] & 0xFFFF) ^ 32768) - 32768) & {_M32}",
+            0xC2: f"(((s[-1] & 0xFF) ^ 128) - 128) & {_M64}",
+            0xC3: f"(((s[-1] & 0xFFFF) ^ 32768) - 32768) & {_M64}",
+            0xC4: f"(((s[-1] & {_M32}) ^ {_H32}) - {_H32}) & {_M64}",
         }.get(op)
         if t is None:
             raise _Unsupported(f"conversion 0x{op:02x}")

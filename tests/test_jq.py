@@ -62,6 +62,27 @@ def test_builtins(jdf):
     assert run(jdf, ".n | tostring") == {1: "5", 2: "2"}
 
 
+def test_unary_minus_and_tight_subtraction(jdf):
+    """'.n-1' (no spaces) is subtraction in jq — the number token must
+    not swallow the '-'. Unary minus desugars to 0-x in the parser, so
+    both engines (Column compiler + interpreter) inherit it."""
+    from bento_spark.operators.jq_interp import run_program
+
+    assert run(jdf, ".n-1") == {1: 4, 2: 1}
+    assert run(jdf, "-.n") == {1: -5, 2: -2}
+    assert run(jdf, ".n * -1") == {1: -5, 2: -2}
+    assert run(jdf, "-1 + .n") == {1: 4, 2: 1}
+    for prog, inp, want in [
+        (".a-1", {"a": 5}, [4]),
+        ("1 - -2", None, [3]),
+        (".[-1]", [1, 2, 3], [3]),
+        ("[-1, -2.5]", None, [[-1, -2.5]]),
+        ("map(. * -1)", [1, 2], [[-1, -2]]),
+        ("-1e2", None, [-100.0]),
+    ]:
+        assert run_program(parse_jq(prog), inp) == want, prog
+
+
 def test_parse_errors(jdf):
     with pytest.raises(JqError):
         parse_jq(".a &&& b")

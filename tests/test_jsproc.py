@@ -81,6 +81,24 @@ def test_v0_fetch_errors_cleanly(spark, msgs):
     assert all("v0_fetch" in r["_error"] for r in out)
 
 
+def test_v0_fetch_rejects_non_http_schemes(spark, msgs, tmp_path):
+    """file:// (and ftp://) must not pass through the bridge — a script
+    could read arbitrary local files, a capability the reference's
+    HTTP-client fetch does not have. The scheme check runs parent-side
+    in _do_fetch, before any transport is opened."""
+    from bento_spark.operators.jsproc import _do_fetch, javascript_processor
+
+    secret = tmp_path / "secret.txt"
+    secret.write_text("s3cr3t")
+    for url in (f"file://{secret}", "ftp://example.com/x", "gopher://x"):
+        rep = _do_fetch({"url": url})
+        assert "err" in rep and "scheme" in rep["err"], rep
+    out = javascript_processor(
+        msgs, f'bento.v0_fetch("file://{secret}", {{}}, "GET", "");'
+    ).collect()
+    assert all(r["_error"] and "scheme" in r["_error"] for r in out)
+
+
 def test_pipeline_registration(spark, msgs):
     from bento_spark.plans.pipeline import PROCESSORS
 

@@ -102,6 +102,65 @@ def test_onnx_unsupported_op_raises():
         g.run({"x": np.zeros((1, 1), dtype=np.float32)})
 
 
+def test_proto3_elided_zero_attrs():
+    """proto3 serializers (official onnx / PyTorch exporters) elide
+    zero-valued scalar fields, so an externally produced ReduceMean
+    keepdims=0 arrives as {name, type:INT} with NO `i` field — the
+    attr decoder must dispatch on `type` and default the scalar to 0,
+    not treat absence as keepdims=1 (wrong shape) or KeyError on a
+    required attr like Concat axis=0."""
+    from bento_spark.operators.onnx import _attrs, _model_bytes
+
+    # unit: typed attrs with the scalar field elided
+    node = {"attribute": [
+        {"name": "keepdims", "type": 2},              # INT, i elided (0)
+        {"name": "epsilon", "type": 1},               # FLOAT, f elided (0.0)
+        {"name": "approximate", "type": 3},           # STRING, s elided ('')
+        {"name": "axes", "type": 7, "ints": [1]},     # INTS still works
+    ]}
+    a = _attrs(node)
+    assert a["keepdims"] == 0
+    assert a["epsilon"] == 0.0
+    assert a["approximate"] == ""
+    assert a["axes"] == [1]
+
+    # end-to-end through real wire bytes: ReduceMean keepdims=0 elided
+    data = _model_bytes(
+        [{"op_type": "ReduceMean", "input": ["x"], "output": ["y"],
+          "attribute": [{"name": "axes", "type": 7, "ints": [1]},
+                        {"name": "keepdims", "type": 2}]}],
+        [], [("x", 1)], [("y", 1)], "elided",
+    )
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    (y,) = OnnxGraph.from_bytes(data).run({"x": x})
+    assert y.shape == (2,)  # keepdims=0: axis is DROPPED, not kept
+    assert np.allclose(y, x.mean(axis=1))
+
+    # Concat axis=0 elided: required attr must default, not KeyError
+    data = _model_bytes(
+        [{"op_type": "Concat", "input": ["x", "x"], "output": ["y"],
+          "attribute": [{"name": "axis", "type": 2}]}],
+        [], [("x", 1)], [("y", 1)], "concat0",
+    )
+    (y,) = OnnxGraph.from_bytes(data).run({"x": x})
+    assert y.shape == (4, 3)
+
+
+def test_fp16_int32_data_is_bit_patterns():
+    """TensorProto carries fp16 values in int32_data as raw uint16 BIT
+    PATTERNS (onnx.proto: 'float16 values must be bit-wise converted'),
+    not numeric values — 0x3C00 is 1.0, not 15360.0."""
+    tp = {"data_type": 10, "dims": [3],
+          "int32_data": [0x3C00, 0xC000, 0x0000]}  # 1.0, -2.0, 0.0
+    arr = tensor_to_numpy(tp)
+    assert arr.dtype == np.float16
+    assert np.array_equal(arr, np.array([1.0, -2.0, 0.0], dtype=np.float16))
+    # raw_data path agrees with the int32_data path
+    raw = {"data_type": 10, "dims": [3],
+           "raw_data": np.array([1.0, -2.0, 0.0], np.float16).tobytes()}
+    assert np.array_equal(tensor_to_numpy(raw), arr)
+
+
 def test_onnx_div_truncates_toward_zero():
     """ONNX integer Div is C-style truncation, not python floor."""
     from bento_spark.operators.onnx import _trunc_div

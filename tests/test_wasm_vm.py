@@ -357,6 +357,54 @@ def test_engines_agree_math_module():
     _run_both(b, "memrt", 0xDEADBEEF, 64)
 
 
+def _sx_module() -> bytes:
+    """One export per sign-extension op (0xC0-0xC4), f(x) = op(x)."""
+    types = sec(1, vec([
+        functype([I32], [I32]),   # t0: i32 -> i32
+        functype([I64], [I64]),   # t1: i64 -> i64
+    ]))
+    funcs = sec(3, vec([leb(0), leb(0), leb(1), leb(1), leb(1)]))
+    exports = sec(7, vec([
+        name("x8_32") + b"\x00" + leb(0),
+        name("x16_32") + b"\x00" + leb(1),
+        name("x8_64") + b"\x00" + leb(2),
+        name("x16_64") + b"\x00" + leb(3),
+        name("x32_64") + b"\x00" + leb(4),
+    ]))
+    codesec = sec(10, vec([
+        code([], b"\x20\x00" + bytes([op]))
+        for op in (0xC0, 0xC1, 0xC2, 0xC3, 0xC4)
+    ]))
+    return module(types, funcs, exports, codesec)
+
+
+def test_engines_agree_sign_extension_high_bits():
+    """Operands whose bits ABOVE the narrow width are set: the op must
+    mask to the narrow width before extending (i32.extend8_s(0x1FF) is
+    -1, not 0xFF). Regression for the compiled engine skipping the
+    pre-mask that the interpreter's _sx applies."""
+    b = _sx_module()
+    # i32-typed ops: any 32-bit operand is reachable
+    for x in (0x1FF, 0x17F, 0x80, 0x7F, 0xFFFF_FF80, 0x1_0000 - 1,
+              0x1FFFF, 0x18000, 0x8000, 0x7FFF, 0xFFFF_FFFF):
+        _run_both(b, "x8_32", x)
+        _run_both(b, "x16_32", x)
+    # i64-typed ops: bits above the narrow width live in the operand
+    for x in (0x1FF, 0x1FFFF, 0x18000, 0x1_8000_0000,
+              0xFFFF_FFFF_FFFF_FFFF, 0x1_0000_0000, 0x7FFF_FFFF):
+        _run_both(b, "x8_64", x)
+        _run_both(b, "x16_64", x)
+        _run_both(b, "x32_64", x)
+    # pin the spec values on the DEFAULT (compiled) engine directly
+    inst = WasmInstance(WasmModule(b))
+    assert inst.invoke("x8_32", 0x1FF) == 0xFFFFFFFF
+    assert inst.invoke("x8_32", 0x17F) == 0x7F
+    assert inst.invoke("x16_32", 0x1FFFF) == 0xFFFFFFFF
+    assert inst.invoke("x8_64", 0x1FF) == 0xFFFFFFFFFFFFFFFF
+    assert inst.invoke("x16_64", 0x18000) == 0xFFFFFFFFFFFF8000
+    assert inst.invoke("x32_64", 0x1_8000_0000) == 0xFFFFFFFF80000000
+
+
 def test_compiled_engine_is_active_by_default():
     """The gate row's throughput claim rests on the translated path
     actually engaging — pin it."""
