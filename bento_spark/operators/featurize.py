@@ -99,6 +99,68 @@ def hashed_ngram_embedder(dim: int = 64, n: int = 2, salt: str = "emb"):
         return embed
 
 
+def hashed_ngram_embed_col(
+    text: "F.Column", dim: int = 64, n: int = 2, salt: str = "emb"
+) -> "F.Column":
+    """Pure-Column twin of :func:`make_embed_fn` — the same hashed
+    n-gram sign projection computed entirely JVM-side (md5 + conv are
+    built-in expressions). Bit-identical to the UDF (hash60 ==
+    int(md5[:15],16); differential-tested) and to the DuckDB oracle CTE.
+
+    NOT the default path: measured at sf0.1 the memoized Arrow UDF is
+    ~6x faster (natural text repeats n-grams heavily, so the memo does
+    one md5 per unique gram while this expression does one per
+    OCCURRENCE plus an O(dim) scatter per gram). This exists as a
+    third independent implementation of the featurizer for
+    differential testing, and as the no-Python option for clusters
+    where a Python runtime on executors is undesirable.
+
+    Requires ``dim`` to be a power of two: the bucket/sign split uses
+    bitwise ops (``h & (dim-1)``, ``(h >> log2(dim)) & 1``) because
+    long division through doubles would lose bits above 2^53. Non-power
+    dims use the UDF path.
+
+    Shape: one ``transform`` computes hash60 per gram ONCE, then one
+    ``aggregate`` folds grams into the dense vector with a
+    transform-with-index scatter — O(grams x dim) primitive adds per
+    row, no shuffle, no Arrow boundary.
+    """
+    if dim <= 0 or dim & (dim - 1):
+        raise ValueError("hashed_ngram_embed_col: dim must be a power of two")
+    from bento_spark.functions.hashing import hash60
+
+    shift = dim.bit_length() - 1
+    ws = F.split(text, " ")
+    # 1-based start positions; guarded below because sequence(1, 0)
+    # DESCENDS in Spark rather than returning an empty array.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+    hs = F.transform(grams, lambda g: hash60(g, salt))
+    zero = F.array_repeat(F.lit(0.0), dim)
+    vec = F.aggregate(
+        hs,
+        zero,
+        lambda acc, h: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(
+                h.bitwiseAND(F.lit(dim - 1)) == i.cast("long"),
+                F.when(
+                    F.shiftright(h, shift).bitwiseAND(F.lit(1)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    return F.when(
+        text.isNotNull() & (F.size(ws) >= n), vec
+    ).otherwise(zero)
+
+
 def embedding_sql_cte(
     table: str,
     id_col: str,

@@ -35,6 +35,42 @@ def test_embedder_udf_matches_predict_fn(spark):
         assert got[i] == list(want[i])
 
 
+def test_column_twin_bit_identical_and_jvm_only(spark):
+    """hashed_ngram_embed_col: a third independent implementation of the
+    featurizer (pure Spark expressions) — must match the UDF bit-for-bit
+    including the short/empty/null edge cases, and keep Python out of
+    the physical plan."""
+    import pytest
+
+    from bento_spark.operators.featurize import hashed_ngram_embed_col
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b", "a", "", None,
+        "repeat repeat repeat repeat",
+        "unicode café naïve words here",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", hashed_ngram_embed_col(F.col("t"), 16, 2).alias("v")
+        ).collect()
+    }
+    want = make_embed_fn(16, 2)(np.array(texts, dtype=object))
+    for i in range(len(texts)):
+        assert got[i] == list(want[i]), i
+    plan = (
+        df.select(hashed_ngram_embed_col(F.col("t"), 16, 2).alias("v"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+    with pytest.raises(ValueError, match="power of two"):
+        hashed_ngram_embed_col(F.col("t"), 48, 2)
+
+
 def test_embeddings_feed_ann(spark):
     from bento_spark.operators.similarity import brute_force_topk
 
