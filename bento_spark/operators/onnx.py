@@ -50,6 +50,8 @@ from bento_spark.operators.protobuf import pb_decode, pb_encode
 # onnx.proto subset (public field numbers)
 # ---------------------------------------------------------------------------
 
+SSENTRY_SCHEMA = {"fields": {1: ("key", "string"), 2: ("value", "string")}}
+
 TENSOR_SCHEMA = {"fields": {
     1: ("dims", "repeated int64"),
     2: ("data_type", "int32"),
@@ -60,6 +62,8 @@ TENSOR_SCHEMA = {"fields": {
     8: ("name", "string"),
     9: ("raw_data", "bytes"),
     10: ("double_data", "repeated double"),
+    13: ("external_data", {**SSENTRY_SCHEMA, "repeated": True}),
+    14: ("data_location", "int32"),
 }}
 
 ATTR_SCHEMA = {"fields": {
@@ -119,12 +123,47 @@ _DTYPES = {
 _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 
-def tensor_to_numpy(tp: dict) -> np.ndarray:
+def _read_external(tp: dict, base_dir: str | None) -> bytes:
+    """Read a data_location=EXTERNAL tensor's bytes. Real HuggingFace
+    checkpoints above protobuf's 2 GB limit ship weights this way: the
+    .onnx file carries only {location, offset, length} entries pointing
+    into a sibling data file. ``location`` is spec-defined as a path
+    RELATIVE to the model file; escapes are rejected."""
+    import os
+
+    kv = {e.get("key"): e.get("value") for e in tp.get("external_data", [])}
+    loc = kv.get("location")
+    if not loc:
+        raise ValueError(
+            f"onnx: external tensor {tp.get('name')!r} has no location entry"
+        )
+    if base_dir is None:
+        raise ValueError(
+            f"onnx: tensor {tp.get('name')!r} stores data externally "
+            f"({loc!r}) — load through OnnxGraph.from_file so the model "
+            "directory is known"
+        )
+    base = os.path.normpath(os.path.abspath(base_dir))
+    path = os.path.normpath(os.path.join(base, loc))
+    if path != base and not path.startswith(base + os.sep):
+        raise ValueError(
+            f"onnx: external data location {loc!r} escapes the model directory"
+        )
+    with open(path, "rb") as f:
+        f.seek(int(kv.get("offset", 0) or 0))
+        length = kv.get("length")
+        return f.read(int(length)) if length is not None else f.read()
+
+
+def tensor_to_numpy(tp: dict, base_dir: str | None = None) -> np.ndarray:
     dt = _DTYPES.get(int(tp.get("data_type", 0)))
     if dt is None:
         raise ValueError(f"onnx: unsupported tensor dtype {tp.get('data_type')}")
     dims = [int(d) for d in tp.get("dims", [])]
-    raw = tp.get("raw_data")
+    if int(tp.get("data_location", 0)) == 1:
+        raw = _read_external(tp, base_dir)
+    else:
+        raw = tp.get("raw_data")
     if raw:
         arr = np.frombuffer(raw, dtype=np.dtype(dt).newbyteorder("<"))
         arr = arr.astype(dt)
@@ -334,12 +373,13 @@ class OnnxGraph:
     nodes, executed with numpy kernels. ``run(feeds)`` returns the
     graph outputs in declaration order."""
 
-    def __init__(self, model: dict):
+    def __init__(self, model: dict, base_dir: str | None = None):
         self.model = model
         g = model.get("graph") or {}
         self.nodes = g.get("node", [])
         self.inits = {
-            t["name"]: tensor_to_numpy(t) for t in g.get("initializer", [])
+            t["name"]: tensor_to_numpy(t, base_dir)
+            for t in g.get("initializer", [])
         }
         self.input_names = [
             vi["name"] for vi in g.get("input", [])
@@ -348,13 +388,19 @@ class OnnxGraph:
         self.output_names = [vi["name"] for vi in g.get("output", [])]
 
     @classmethod
-    def from_bytes(cls, data: bytes) -> "OnnxGraph":
-        return cls(pb_decode(data, MODEL_SCHEMA))
+    def from_bytes(cls, data: bytes, base_dir: str | None = None) -> "OnnxGraph":
+        return cls(pb_decode(data, MODEL_SCHEMA), base_dir)
 
     @classmethod
     def from_file(cls, path: str) -> "OnnxGraph":
+        import os
+
         with open(path, "rb") as f:
-            return cls.from_bytes(f.read())
+            # base_dir enables data_location=EXTERNAL tensors (weights
+            # in a sibling file, how >2GB checkpoints ship)
+            return cls.from_bytes(
+                f.read(), os.path.dirname(os.path.abspath(path))
+            )
 
     def run(self, feeds: dict[str, np.ndarray]) -> list[np.ndarray]:
         env: dict[str, np.ndarray] = dict(self.inits)

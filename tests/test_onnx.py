@@ -146,6 +146,54 @@ def test_proto3_elided_zero_attrs():
     assert y.shape == (4, 3)
 
 
+def test_external_data_tensors(tmp_path):
+    """data_location=EXTERNAL: real HuggingFace checkpoints above
+    protobuf's 2 GB limit keep weights in a sidecar file referenced by
+    {location, offset, length} entries. Rewrite a working model's
+    initializers to external form and reload through from_file —
+    outputs must be identical."""
+    from bento_spark.operators.protobuf import pb_decode, pb_encode
+
+    m = QuantizedMLP(dim_in=8, hidden=4, dim_out=3, seed=5)
+    data = quantized_mlp_to_onnx(m)
+    x = np.arange(16, dtype=np.int64).reshape(2, 8) - 7
+    (want,) = OnnxGraph.from_bytes(data).run({"x": x})
+
+    model = pb_decode(data, MODEL_SCHEMA)
+    blob, off = bytearray(), {}
+    for t in model["graph"]["initializer"]:
+        raw = t.pop("raw_data")
+        off[t["name"]] = (len(blob), len(raw))
+        blob += raw
+        t["data_location"] = 1
+        t["external_data"] = [
+            {"key": "location", "value": "weights.bin"},
+            {"key": "offset", "value": str(off[t["name"]][0])},
+            {"key": "length", "value": str(off[t["name"]][1])},
+        ]
+    (tmp_path / "weights.bin").write_bytes(bytes(blob))
+    mp = tmp_path / "model.onnx"
+    mp.write_bytes(pb_encode(model, MODEL_SCHEMA))
+
+    (got,) = OnnxGraph.from_file(str(mp)).run({"x": x})
+    assert np.array_equal(got, want)
+
+    # from_bytes without a model dir: loud, actionable error
+    with pytest.raises(ValueError, match="from_file"):
+        OnnxGraph.from_bytes(mp.read_bytes())
+
+    # a location escaping the model directory is rejected
+    evil = pb_decode(mp.read_bytes(), MODEL_SCHEMA)
+    for t in evil["graph"]["initializer"]:
+        for e in t["external_data"]:
+            if e["key"] == "location":
+                e["value"] = "../../etc/passwd"
+    ep = tmp_path / "evil.onnx"
+    ep.write_bytes(pb_encode(evil, MODEL_SCHEMA))
+    with pytest.raises(ValueError, match="escapes"):
+        OnnxGraph.from_file(str(ep))
+
+
 def test_fp16_int32_data_is_bit_patterns():
     """TensorProto carries fp16 values in int32_data as raw uint16 BIT
     PATTERNS (onnx.proto: 'float16 values must be bit-wise converted'),
