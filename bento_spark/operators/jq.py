@@ -33,8 +33,11 @@ silently leaning on the slow path is visible. gojq
 (processor_jq.go:9) runs everything interpreted; here the Column
 compiler stays the fast path.
 
-Still unsupported anywhere: SQL-style xpath, `input`/`inputs`,
-`tostream`/`fromstream`, `$__loc__`.
+`tostream`/`fromstream`/`$__loc__` run on the interpreter;
+`input` errors with jq's own "No more inputs" and `inputs` yields the
+empty stream — the processor evaluates ONE message per invocation, so
+there is never a next input (same observable behavior as jq run on a
+single document). No jq construct is rejected as unsupported.
 """
 
 from __future__ import annotations
@@ -71,10 +74,15 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
             if src[pos:].strip():
                 raise JqError(f"jq: bad token at {src[pos:pos+10]!r}")
             break
-        pos = m.end()
+        start, pos = m.start(), m.end()
         for kind in ("num", "str", "var", "fmt", "ident", "op"):
             if m.group(kind) is not None:
-                out.append((kind, m.group(kind)))
+                if kind == "var" and m.group(kind) == "$__loc__":
+                    # gojq/jq: {"file": "<stdin>", "line": N} where N is
+                    # the token's line in the program text
+                    out.append(("loc", str(1 + src.count("\n", 0, start))))
+                else:
+                    out.append((kind, m.group(kind)))
                 break
     out.append(("eof", ""))
     return out
@@ -305,6 +313,12 @@ class _Parser:
         if v == ".":
             k2, v2 = self.peek()
             if k2 == "ident":
+                # `. as $x | ...` — 'as' followed by a $var is the
+                # binding keyword, not a `.as` field access (keyword
+                # path segments stay valid otherwise)
+                if v2 == "as" and self.i + 1 < len(self.toks) \
+                        and self.toks[self.i + 1][0] == "var":
+                    return Node("identity")
                 self.next()
                 return Node("path", ("field", v2), (Node("identity"),))
             if k2 == "str":
@@ -318,6 +332,8 @@ class _Parser:
             return _string_node(v)
         if k == "var":
             return Node("var", v[1:])
+        if k == "loc":
+            return Node("lit", {"file": "<stdin>", "line": int(v)})
         if k == "fmt":
             # @base64 "x\(.y)" formats the INTERPOLATIONS; bare @base64
             # formats the whole input (jq format strings)

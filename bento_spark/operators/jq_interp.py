@@ -564,6 +564,11 @@ def _format(fmt: str, v) -> str:
         return base64.b64encode(_tostr(v).encode()).decode()
     if fmt == "base64d":
         return base64.b64decode(_tostr(v) + "==").decode("utf-8", "replace")
+    if fmt == "base32":
+        return base64.b32encode(_tostr(v).encode()).decode()
+    if fmt == "base32d":
+        return base64.b32decode(_tostr(v) + "=" * (-len(_tostr(v)) % 8)
+                                ).decode("utf-8", "replace")
     if fmt == "uri":
         from urllib.parse import quote
 
@@ -623,6 +628,16 @@ def _call(node: Node, val, env: _Env) -> list:  # noqa: C901 - builtins
         return _eval(body, val, e2)
     if name == "empty":
         return []
+    if name == "tostream":
+        return _tostream(_canon(val))
+    if name == "fromstream":
+        return _fromstream(args[0], val, env)
+    if name == "input":
+        # the processor evaluates one message per invocation, so there
+        # is never a next input — exactly jq's error when exhausted
+        raise JqRuntimeError("No more inputs")
+    if name == "inputs":
+        return []  # no further inputs: `inputs` yields the empty stream
     if name == "error":
         raise JqRuntimeError(_one(args[0], val, env) if args else val)
     if name == "not":
@@ -962,7 +977,54 @@ def _contains(a, b) -> bool:
     return _cmp(a, b) == 0
 
 
+def _tostream(v) -> list:
+    """jq `tostream`: depth-first [path, leaf] events, plus a [path]
+    closing event after each non-empty container where path is its
+    LAST child's path. Empty containers are leaf events."""
+    out: list = []
+
+    def walk(val, path):
+        if isinstance(val, dict) and val:
+            ks = list(val)
+            for k in ks:
+                walk(val[k], path + [k])
+            out.append([path + [ks[-1]]])
+        elif isinstance(val, list) and not isinstance(val, tuple) and val:
+            for i, x in enumerate(val):
+                walk(x, path + [i])
+            out.append([path + [len(val) - 1]])
+        else:
+            out.append([path, val])
+
+    walk(v, [])
+    return out
+
+
+def _fromstream(f: Node, val, env) -> list:
+    """jq `fromstream(f)`: rebuild whole values from stream events —
+    the manual's foreach-based definition with state (x, emit): a
+    two-element event sets x at its path (emitting immediately when
+    the path is the root), a closing event emits when its path has
+    depth 1."""
+    out: list = []
+    x = None
+    for ev in _eval(f, val, env):
+        if not isinstance(ev, list) or not ev or not isinstance(ev[0], list):
+            raise JqRuntimeError("fromstream: invalid stream event")
+        if len(ev) >= 2:
+            if len(ev[0]) == 0:
+                out.append(ev[1])
+                x = None
+            else:
+                x = _setpath(x, ev[0], ev[1])
+        elif len(ev[0]) == 1:
+            out.append(x)
+            x = None
+    return out
+
+
 _BUILTIN_ARITIES = {
+    "tostream": {0}, "fromstream": {1}, "input": {0}, "inputs": {0},
     "empty": {0}, "error": {0, 1}, "not": {0}, "type": {0}, "length": {0},
     "keys": {0}, "keys_unsorted": {0}, "values": {0}, "has": {1},
     "contains": {1}, "tostring": {0}, "tonumber": {0}, "tojson": {0},
@@ -986,8 +1048,8 @@ _BUILTIN_ARITIES = {
 }
 
 
-_FORMATS = {"text", "json", "base64", "base64d", "uri", "html", "csv",
-            "tsv", "sh"}
+_FORMATS = {"text", "json", "base64", "base64d", "base32", "base32d",
+            "uri", "html", "csv", "tsv", "sh"}
 
 
 def validate_program(ast: Node, defs: frozenset = frozenset()) -> None:

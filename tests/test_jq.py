@@ -62,6 +62,46 @@ def test_builtins(jdf):
     assert run(jdf, ".n | tostring") == {1: "5", 2: "2"}
 
 
+def test_tostream_fromstream_loc_inputs():
+    """The last jq constructs: tostream/fromstream (path-event streams),
+    $__loc__, input/inputs single-document parity, @base32 formats."""
+    from bento_spark.operators.jq_interp import run_program
+
+    def run1(prog, inp):
+        return run_program(parse_jq(prog), inp)
+
+    assert run1("tostream", [0, [1]]) == [[[0], 0], [[1, 0], 1], [[1, 0]], [[1]]]
+    assert run1("tostream", 5) == [[[], 5]]
+    assert run1("tostream", []) == [[[], []]]
+    assert run1("tostream", {"a": {"b": 1}, "c": []}) == [
+        [["a", "b"], 1], [["a", "b"]], [["c"], []], [["c"]],
+    ]
+    # fromstream(tostream) is identity for every JSON shape
+    for v in ({"a": [1, {"b": None}], "z": "s"}, [], {}, 7, "x", None,
+              [[["deep"]]], {"k": {"n": {"m": [1, 2, 3]}}}):
+        assert run1("fromstream(tostream)", v) == [v], v
+    assert run1("$__loc__", None) == [{"file": "<stdin>", "line": 1}]
+    assert run1('{a: 1,\n loc: $__loc__}', None) == [
+        {"a": 1, "loc": {"file": "<stdin>", "line": 2}}
+    ]
+    # one message per invocation: input errors like exhausted jq; inputs
+    # is the empty stream
+    assert run1('try input catch "exhausted"', None) == ["exhausted"]
+    assert run1("[inputs]", 1) == [[]]
+    assert run1("@base32", "hi") == ["NBUQ===="]
+    assert run1("@base32d", "NBUQ====") == ["hi"]
+
+
+def test_dot_as_binding_not_field():
+    """`. as $x | ...` binds — 'as' followed by a $var must not parse
+    as a `.as` field access (keyword path segments stay valid)."""
+    from bento_spark.operators.jq_interp import run_program
+
+    assert run_program(parse_jq(". as $x | $x + 1"), 4) == [5]
+    assert run_program(parse_jq(".as"), {"as": 9}) == [9]
+    assert run_program(parse_jq(".[] as $x | $x * 2"), [1, 2]) == [2, 4]
+
+
 def test_unary_minus_and_tight_subtraction(jdf):
     """'.n-1' (no spaces) is subtraction in jq — the number token must
     not swallow the '-'. Unary minus desugars to 0-x in the parser, so
