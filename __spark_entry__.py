@@ -92,14 +92,23 @@ _PRIORITY = [
     # relational breadth: 24 members — ALL 22 TPC-H query shapes +
     # pivot/percentiles/set-ops — certified in one slot
     "relational_gauntlet",
-    # r7 rotation (judge's ask): never-driver-seen rows promoted for
-    # fresh independent exposure — codec roundtrips, a scanner single,
-    # and three partsupp-shape TPC-H singles
+    # r8 rotation: never-driver-seen rows promoted for fresh
+    # independent exposure — IVF ANN, the stream-stream interval join,
+    # the subprocess + opensnowcat processor planes, two training-data
+    # ops (temperature mixing, token-window chunking), and the
+    # reject/DLQ/retry error-flow chain. The r7 promotions (codec
+    # roundtrips, scan_re_match, q2/q9/q11) went driver-green and
+    # rotate back below the fold (families stay covered by the codec/
+    # parse/relational gauntlets).
+    "ann_ivf_topk", "stream_join_interval",
+    "proc_awk", "proc_opensnowcat",
+    "sample_temperature_mix", "text_chunk_windows",
+    "pipeline_error_handling",
+    # ---- below the fold: member singles of the gauntlets above plus
+    # variants of already-covered rows (row-level re-checked locally) ----
     "proc_avro_roundtrip", "proc_protobuf_roundtrip", "xml_roundtrip",
     "scan_re_match",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_value",
-    # ---- below the fold: member singles of the gauntlets above plus
-    # variants of already-covered rows (row-level re-checked locally) ----
     "scan_gauntlet",
     "dedupe_within_window", "stream_stateful_totals",
     "dedup_embedding_cosine", "decontaminate_overlap",
@@ -109,16 +118,14 @@ _PRIORITY = [
     "proc_javascript", "mm_video_y4m",
     "text_fingerprint_winnow",
     "window_session_user", "bloblang_stdlib2", "kmeans_embedding_mixture",
-    "stream_join_interval", "sample_temperature_mix",
-    "text_chunk_windows", "pipeline_yaml_stream",
-    "pipeline_error_handling", "pipeline_template",
+    "pipeline_yaml_stream", "pipeline_template",
     "stream_late_data_drop", "pipeline_metrics", "pipeline_error_retry",
     # (branch + http singles demoted r5 for the two new LLM-pipeline
     # rows: both re-covered by proc_yaml_surface_gauntlet's
     # switch/http/while chain and proc_workflow_dag's branch mechanics)
     "proc_branch_enrich", "proc_http_enrich",
     "proc_split_batches", "proc_split_byte_batches", "proc_insert_part",
-    "rollup_priority", "ann_ivf_topk", "text_quality_score", "proc_jmespath_collapse",
+    "rollup_priority", "text_quality_score", "proc_jmespath_collapse",
     "bloblang_stdlib3", "corpus_shuffle_shards",
     "dedup_incremental_snapshot",
     "proc_switch_route", "proc_try_catch", "proc_group_by_value",
