@@ -324,6 +324,94 @@ def _softmax(x, attrs):
     return softmax(x, axis=int(attrs.get("axis", -1)))
 
 
+def _fused_attention(ins, attrs):
+    """com.microsoft `Attention`: the fused multi-head self-attention
+    node ONNX Runtime's transformer optimizer rewrites BERT blocks
+    into (onnxruntime contrib ops; real optimized checkpoints carry
+    these instead of the decomposed MatMul/Softmax subgraph).
+
+    inputs: x (B,S,Hin), weights (Hin,3H), bias (3H), mask (optional:
+    (B,S) attention mask or (B,) right-padding lengths)."""
+    x, w, b = ins[0], ins[1], ins[2]
+    mask = ins[3] if len(ins) > 3 else None
+    heads = int(attrs["num_heads"])
+    bsz, seq, _ = x.shape
+    hidden = w.shape[1] // 3
+    hd = hidden // heads
+    qkv = x @ w + b  # (B,S,3H)
+    q, k, v = (
+        a.reshape(bsz, seq, heads, hd).transpose(0, 2, 1, 3)
+        for a in np.split(qkv, 3, axis=-1)
+    )
+    scale = float(attrs.get("scale", 0.0)) or 1.0 / np.sqrt(hd)
+    scores = (q @ k.transpose(0, 1, 3, 2)) * scale  # (B,heads,S,S)
+    if mask is not None:
+        m = np.asarray(mask)
+        if m.ndim == 2:  # (B,S) 1/0 attention mask
+            keep = m.astype(bool)[:, None, None, :]
+        elif m.ndim == 1:  # (B,) right-padding: valid length per row
+            keep = (np.arange(seq)[None, :] < m[:, None])[:, None, None, :]
+        else:
+            raise ValueError("onnx: Attention mask_index rank > 2")
+        scores = np.where(keep, scores, -10000.0)
+    if int(attrs.get("unidirectional", 0)):
+        causal = np.tril(np.ones((seq, seq), dtype=bool))
+        scores = np.where(causal[None, None], scores, -10000.0)
+    att = _softmax(scores, {"axis": -1})
+    ctx = (att @ v).transpose(0, 2, 1, 3).reshape(bsz, seq, hidden)
+    return ctx
+
+
+def _skip_layer_norm(ins, attrs):
+    """com.microsoft `SkipLayerNormalization`:
+    LayerNorm(input + skip (+ bias)) — the fused residual-add + LN.
+    Outputs (output, mean, inv_std_var, input_skip_bias_sum); only the
+    names the node declares are bound."""
+    x, skip, gamma = ins[0], ins[1], ins[2]
+    beta = ins[3] if len(ins) > 3 and ins[3] is not None else np.zeros_like(gamma)
+    total = x + skip
+    if len(ins) > 4 and ins[4] is not None:
+        total = total + ins[4]
+    from bento_spark.operators.nn import layer_norm
+
+    out = layer_norm(total, gamma, beta, eps=float(attrs.get("epsilon", 1e-12)))
+    mu = total.mean(axis=-1, keepdims=True)
+    inv = 1.0 / np.sqrt(
+        ((total - mu) ** 2).mean(axis=-1, keepdims=True)
+        + float(attrs.get("epsilon", 1e-12))
+    )
+    return out, mu, inv, total
+
+
+def _embed_layer_norm(ins, attrs):
+    """com.microsoft `EmbedLayerNormalization`: fused
+    word+position+segment embedding lookup followed by LayerNorm —
+    the first node of every ORT-optimized BERT. Outputs
+    (output, mask_index, embedding_sum)."""
+    ids = ins[0].astype(np.int64)
+    seg = ins[1].astype(np.int64) if ins[1] is not None else None
+    word_e, pos_e = ins[2], ins[3]
+    seg_e = ins[4] if len(ins) > 4 else None
+    gamma, beta = ins[5], ins[6]
+    mask = ins[7] if len(ins) > 7 else None
+    pos_ids = ins[8].astype(np.int64) if len(ins) > 8 and ins[8] is not None \
+        else np.arange(ids.shape[1], dtype=np.int64)[None, :]
+    total = word_e[ids] + pos_e[np.broadcast_to(pos_ids, ids.shape)]
+    if seg is not None and seg_e is not None:
+        total = total + seg_e[seg]
+    from bento_spark.operators.nn import layer_norm
+
+    out = layer_norm(
+        total, gamma, beta, eps=float(attrs.get("epsilon", 1e-12))
+    )
+    mask_index = (
+        np.asarray(mask).astype(np.int32).sum(axis=1)
+        if mask is not None
+        else np.zeros(ids.shape[0], dtype=np.int32)
+    )
+    return out, mask_index, total
+
+
 def _gemm(inputs, attrs):
     a, b = inputs[0], inputs[1]
     if attrs.get("transA"):
@@ -445,6 +533,19 @@ class OnnxGraph:
             return out
         if op == "Gelu":
             return _gelu(ins[0], attrs)
+        # --- com.microsoft contrib ops: what ORT's transformer
+        # optimizer rewrites BERT graphs into (fused kernels) ---
+        if op == "Attention":
+            return _fused_attention(ins, attrs)
+        if op == "SkipLayerNormalization":
+            return _skip_layer_norm(ins, attrs)
+        if op == "EmbedLayerNormalization":
+            return _embed_layer_norm(ins, attrs)
+        if op == "FastGelu":  # tanh-approx gelu with optional bias
+            x = ins[0] if len(ins) < 2 or ins[1] is None else ins[0] + ins[1]
+            return _gelu(x, {"approximate": "tanh"})
+        if op == "BiasGelu":  # exact erf gelu of x + bias
+            return _gelu(ins[0] + ins[1], {})
         if op == "Erf":
             import math
 

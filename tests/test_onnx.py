@@ -436,6 +436,93 @@ def test_hf_exporter_shaped_attention_graph():
     assert att[:, 0, 3:].max() < 1e-4
 
 
+def test_contrib_fused_bert_ops():
+    """com.microsoft contrib ops — the fused kernels ONNX Runtime's
+    transformer optimizer rewrites BERT graphs into. An ORT-optimized
+    checkpoint carries EmbedLayerNormalization / Attention /
+    SkipLayerNormalization / FastGelu instead of the decomposed
+    subgraph; each is checked against a manual numpy computation,
+    end-to-end through real protobuf bytes with domain set."""
+    from bento_spark.operators.nn import layer_norm, softmax
+    from bento_spark.operators.onnx import _model_bytes, numpy_to_tensor
+
+    rng = np.random.default_rng(3)
+    B, S, H, heads = 2, 5, 8, 2
+    hd = H // heads
+    x = rng.standard_normal((B, S, H))
+    w = rng.standard_normal((H, 3 * H)) * 0.3
+    b = rng.standard_normal(3 * H) * 0.1
+    mask = np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], dtype=np.int32)
+
+    data = _model_bytes(
+        [{"op_type": "Attention", "domain": "com.microsoft",
+          "input": ["x", "w", "b", "m"], "output": ["y"],
+          "attribute": [{"name": "num_heads", "i": heads, "type": 2}]}],
+        [numpy_to_tensor("w", w), numpy_to_tensor("b", b)],
+        [("x", 11), ("m", 6)], [("y", 11)], "att",
+    )
+    (got,) = OnnxGraph.from_bytes(data).run({"x": x, "m": mask})
+
+    qkv = x @ w + b
+    q, k, v = (a.reshape(B, S, heads, hd).transpose(0, 2, 1, 3)
+               for a in np.split(qkv, 3, axis=-1))
+    sc = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(hd)
+    sc = np.where(mask.astype(bool)[:, None, None, :], sc, -10000.0)
+    want = (softmax(sc, axis=-1) @ v).transpose(0, 2, 1, 3).reshape(B, S, H)
+    assert np.allclose(got, want, atol=1e-12)
+
+    # SkipLayerNormalization == LN(x + skip + bias)
+    skip = rng.standard_normal((B, S, H))
+    gamma, beta = rng.standard_normal(H), rng.standard_normal(H)
+    bias = rng.standard_normal(H)
+    data = _model_bytes(
+        [{"op_type": "SkipLayerNormalization", "domain": "com.microsoft",
+          "input": ["x", "s", "g", "be", "bi"], "output": ["y"],
+          "attribute": [{"name": "epsilon", "f": 1e-12, "type": 1}]}],
+        [numpy_to_tensor(n, t) for n, t in
+         [("g", gamma), ("be", beta), ("bi", bias)]],
+        [("x", 11), ("s", 11)], [("y", 11)], "sln",
+    )
+    (got,) = OnnxGraph.from_bytes(data).run({"x": x, "s": skip})
+    assert np.allclose(got, layer_norm(x + skip + bias, gamma, beta,
+                                       eps=1e-12), atol=1e-12)
+
+    # EmbedLayerNormalization: word+pos+segment lookups then LN;
+    # second output is the per-row mask sum
+    V, P = 20, 10
+    ids = rng.integers(0, V, (B, S))
+    seg = rng.integers(0, 2, (B, S))
+    we, pe = rng.standard_normal((V, H)), rng.standard_normal((P, H))
+    se = rng.standard_normal((2, H))
+    data = _model_bytes(
+        [{"op_type": "EmbedLayerNormalization", "domain": "com.microsoft",
+          "input": ["ids", "seg", "we", "pe", "se", "g", "be", "m"],
+          "output": ["y", "mi"],
+          "attribute": [{"name": "epsilon", "f": 1e-12, "type": 1}]}],
+        [numpy_to_tensor(n, t) for n, t in
+         [("we", we), ("pe", pe), ("se", se), ("g", gamma), ("be", beta)]],
+        [("ids", 7), ("seg", 7), ("m", 6)], [("y", 11), ("mi", 6)], "eln",
+    )
+    got, mi = OnnxGraph.from_bytes(data).run(
+        {"ids": ids, "seg": seg, "m": mask}
+    )
+    want = layer_norm(we[ids] + pe[np.arange(S)][None] + se[seg],
+                      gamma, beta, eps=1e-12)
+    assert np.allclose(got, want, atol=1e-12)
+    assert np.array_equal(mi, mask.sum(axis=1))
+
+    # FastGelu(x, bias) = tanh-gelu(x + bias); BiasGelu = erf form
+    from bento_spark.operators.nn import gelu as tanh_gelu
+
+    data = _model_bytes(
+        [{"op_type": "FastGelu", "domain": "com.microsoft",
+          "input": ["x", "bi"], "output": ["y"]}],
+        [numpy_to_tensor("bi", bias)], [("x", 11)], [("y", 11)], "fg",
+    )
+    (got,) = OnnxGraph.from_bytes(data).run({"x": x})
+    assert np.allclose(got, tanh_gelu(x + bias), atol=1e-12)
+
+
 def test_quantization_ops_spec_semantics():
     """The REAL ONNX quantization format (what quantized HF exports
     use): QuantizeLinear round-half-even + saturation, DequantizeLinear,

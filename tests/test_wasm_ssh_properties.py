@@ -218,6 +218,10 @@ def _sleb(n: int) -> bytes:
 
 _SAFE_BINOPS = [0x6A, 0x6B, 0x6C, 0x71, 0x72, 0x73, 0x74, 0x76, 0x77, 0x78]
 _CMPOPS = [0x46, 0x47, 0x48, 0x49, 0x4A, 0x4B]
+# unary i32->i32: clz/ctz/popcnt + the sign-extension ops (0xC0/0xC1 —
+# the round-7 compiled-engine masking bug class: extend must mask the
+# operand to the narrow width first)
+_UNOPS = [0x67, 0x68, 0x69, 0xC0, 0xC1]
 
 
 def _expr_bytes(draw, depth: int) -> bytes:
@@ -236,8 +240,10 @@ def _expr_bytes(draw, depth: int) -> bytes:
     if choice == 3:  # comparison (returns i32 0/1)
         return (_expr_bytes(draw, depth - 1) + _expr_bytes(draw, depth - 1)
                 + bytes([draw(st.sampled_from(_CMPOPS))]))
-    if choice == 4:  # eqz
-        return _expr_bytes(draw, depth - 1) + b"\x45"
+    if choice == 4:  # unary: eqz / clz / ctz / popcnt / extend8_s / extend16_s
+        return _expr_bytes(draw, depth - 1) + bytes(
+            [draw(st.sampled_from([0x45] + _UNOPS))]
+        )
     # if/else with i32 result
     return (_expr_bytes(draw, depth - 1) + b"\x04\x7f"
             + _expr_bytes(draw, depth - 1) + b"\x05"
