@@ -900,6 +900,49 @@ def proc_jq_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "proc_jq_stream",
+    oracle="""
+    SELECT event_id,
+           '{"n":8,"flat":"' || event_type || ','
+             || json_extract_string(props, '$.k') || ','
+             || CAST(CAST(json_extract(props, '$.k') AS BIGINT) + 1
+                     AS VARCHAR)
+             || '","rt":true,"loc":1}' AS result
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def proc_jq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jq`` stream surface (the last gojq constructs):
+    `tostream` (path-event streams with per-container closing events),
+    `fromstream` (event reassembly — round-trip equality asserted IN
+    the program), and `$__loc__`. For {etype, ks:[k, k+1]} the event
+    stream is 3 leaf events (length 2) + 2 closing events (length 1),
+    so the summed lengths are the constant 8 the oracle pins.
+    Interpreter path (no Column form exists for path-event streams);
+    Arrow-batched, no shuffle."""
+    from bento_spark.operators.jq import jq
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("long")
+    doc = ev.withColumn(
+        "j",
+        F.to_json(F.struct(
+            F.col("event_type").alias("etype"),
+            F.array(k, k + 1).alias("ks"),
+        )),
+    )
+    program = (
+        '{n: ([tostream | length] | add), '
+        'flat: ([tostream | select(length == 2) | .[1] | tostring] '
+        '| join(",")), '
+        'rt: (fromstream(tostream) == .), '
+        'loc: $__loc__.line}'
+    )
+    out = jq(doc, "j", program)
+    return out.select("event_id", "result").orderBy("event_id")
+
+
+@query(
     "proc_protobuf_roundtrip",
     oracle="""
     SELECT event_id, event_type,
