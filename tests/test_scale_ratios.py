@@ -26,20 +26,20 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_BIG = "/root/testdata/sf0.1"
 
 # the 10 worst certified sf1 ratios (query, certified_x at sf1/sf0.01)
-# — round-7 full re-certification (SCALE_sf1.md); the biggest movers
-# vs r6 were proc_wasm (70 -> 38.5, compiled engine) and
-# embed_project_topk (off the list entirely)
+# — round-8 full re-certification (SCALE_sf1.md, 145/145): worst is
+# proc_parse_log at 65x (linear per-row parse + a 1M-row oracle-side
+# collect); everything else sits in the 36-50x band for 100x data
 WORST = [
-    ("proc_parse_log", 76.6),
-    ("proc_json_schema", 59.2),
-    ("proc_mapping_enrich", 58.0),
-    ("proc_msgpack_roundtrip", 49.3),
-    ("window_session_user", 46.0),
-    ("proc_yaml_surface_gauntlet", 39.4),
-    ("proc_wasm", 38.5),
-    ("proc_archive_roundtrip", 32.2),
-    ("dedupe_within_window", 30.4),
-    ("pipeline_template", 24.0),
+    ("proc_parse_log", 65.2),
+    ("proc_branch_enrich", 50.0),
+    ("proc_try_catch", 46.6),
+    ("proc_yaml_surface_gauntlet", 46.1),
+    ("proc_wasm", 45.6),
+    ("proc_mapping_enrich", 40.2),
+    ("proc_bounds_check", 38.5),
+    ("window_session_user", 37.6),
+    ("proc_json_schema", 37.4),
+    ("proc_msgpack_roundtrip", 37.2),
 ]
 
 MAX_RATIO = 60.0      # 100x data; anything superlinear lands >= 100
