@@ -465,7 +465,17 @@ def _compile(node: Node, cur: Column) -> Column:
         ]
         return F.parse_json(F.to_json(F.struct(*fields)))
     if node.kind == "arr":
-        items = [_to_variant(_compile(v, cur)) for v in node.children]
+        kids = list(node.children)
+        # [a, b, c] parses as arr(comma(a, b, c)); with single-valued
+        # elements the collect IS the array of parts, so flatten and
+        # stay on the Column path. A select inside any part can yield
+        # the EMPTY stream (jq drops it from the array; a flattened
+        # compile would emit null) — those route to the interpreter.
+        if len(kids) == 1 and kids[0].kind == "comma":
+            if any(_contains_select(k) for k in kids[0].children):
+                raise JqError("jq: select inside array construction")
+            kids = list(kids[0].children)
+        items = [_to_variant(_compile(v, cur)) for v in kids]
         return F.parse_json(F.to_json(F.array(*items)))
     if node.kind == "bin":
         op = node.value

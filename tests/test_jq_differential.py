@@ -1,0 +1,146 @@
+"""Randomized jq engine differential: the Column compiler and the
+per-row interpreter must agree on every program of the shared
+(Column-expressible) surface. The fixed-corpus differential caught 3
+real divergences in round 6; this generates programs instead of
+enumerating them.
+
+The generator is TYPED so every program is (a) compilable by the
+Column path — asserted, so generator drift can't make the test
+vacuous — and (b) single-output and integer-valued where numeric
+(jq renders 2.0 as 2; keeping arithmetic integral sidesteps float
+formatting rather than hiding real divergences). Unary minus, the
+`//` alternative on a missing field, string interpolation, if/elif/
+else, and nested object/array construction are all in the pool —
+exactly the constructs whose translation differs most between the
+two engines.
+
+Comparison is on PARSED JSON: the Column path's VARIANT to_json
+sorts object keys while the interpreter preserves insertion order —
+a formatting difference, not a semantic one.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bento_spark.operators.jq import parse_jq
+from bento_spark.operators.jq_interp import run_program
+
+NUM_FIELDS = [".k", ".n", ".d.x"]
+STR_FIELDS = [".name"]
+
+
+@st.composite
+def _numexpr(draw, depth=2):
+    choice = draw(st.integers(0, 4 if depth > 0 else 1))
+    if choice == 0:
+        return str(draw(st.integers(0, 20)))
+    if choice == 1:
+        return draw(st.sampled_from(NUM_FIELDS))
+    if choice == 2:  # unary minus (round-8 tokenizer/parser change)
+        return f"(- {draw(_numexpr(depth - 1))})"
+    op = draw(st.sampled_from(["+", "-", "*"]))
+    return f"({draw(_numexpr(depth - 1))} {op} {draw(_numexpr(depth - 1))})"
+
+
+@st.composite
+def _boolexpr(draw, depth=1):
+    if depth > 0 and draw(st.booleans()):
+        op = draw(st.sampled_from(["and", "or"]))
+        return f"({draw(_boolexpr(0))} {op} {draw(_boolexpr(0))})"
+    cmp = draw(st.sampled_from(["==", "!=", "<", "<=", ">", ">="]))
+    return f"({draw(_numexpr(1))} {cmp} {draw(_numexpr(1))})"
+
+
+@st.composite
+def _strexpr(draw):
+    choice = draw(st.integers(0, 2))
+    if choice == 0:
+        return draw(st.sampled_from(STR_FIELDS))
+    if choice == 1:
+        return json.dumps(draw(st.sampled_from(["a", "zz", ""])))
+    return f'"v=\\({draw(_numexpr(1))})"'
+
+
+@st.composite
+def _value(draw, depth=2):
+    choice = draw(st.integers(0, 5 if depth > 0 else 2))
+    if choice == 0:
+        return draw(_numexpr())
+    if choice == 1:
+        return draw(_boolexpr())
+    if choice == 2:
+        return draw(_strexpr())
+    if choice == 3:  # missing-field alternative
+        return f"(.missing // {draw(_value(0))})"
+    if choice == 4:  # if/then/elif/else
+        return (f"(if {draw(_boolexpr(0))} then {draw(_value(depth - 1))} "
+                f"elif {draw(_boolexpr(0))} then {draw(_value(depth - 1))} "
+                f"else {draw(_value(depth - 1))} end)")
+    kids = draw(st.lists(_value(depth - 1), min_size=1, max_size=3))
+    if draw(st.booleans()):
+        return "[" + ", ".join(kids) + "]"
+    return "{" + ", ".join(f"f{i}: {k}" for i, k in enumerate(kids)) + "}"
+
+
+_DOC = st.fixed_dictionaries({
+    "k": st.integers(-50, 100),
+    "n": st.integers(0, 9),
+    "name": st.sampled_from(["ada", "bob", "x y", ""]),
+    "d": st.fixed_dictionaries({"x": st.integers(-5, 5)}),
+})
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(programs=st.lists(_value(), min_size=12, max_size=12, unique=True),
+       docs=st.lists(_DOC, min_size=4, max_size=4))
+def test_engines_agree_on_random_programs(spark, programs, docs):
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.jq import JqError, _compile
+
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)], "id long, j string"
+    )
+    cols = [F.col("id")]
+    asts = []
+    for i, prog in enumerate(programs):
+        ast = parse_jq(prog)
+        asts.append(ast)
+        try:
+            cols.append(
+                F.to_json(_compile(ast, F.parse_json(F.col("j"))))
+                .alias(f"r{i}")
+            )
+        except JqError as e:  # generator drift — the test must not go vacuous
+            raise AssertionError(f"not Column-compilable: {prog!r}: {e}")
+    rows = {r["id"]: r for r in df.select(*cols).collect()}
+    for di, doc in enumerate(docs):
+        for pi, (prog, ast) in enumerate(zip(programs, asts)):
+            want = run_program(ast, doc)
+            assert len(want) == 1, (prog, "generator must be single-output")
+            raw = rows[di][f"r{pi}"]
+            got = None if raw is None else json.loads(raw)
+            assert got == want[0], (prog, doc, got, want[0])
+
+
+@settings(max_examples=30, deadline=None)
+@given(junk=st.text(min_size=1, max_size=30))
+def test_parser_never_crashes_with_non_jq_errors(junk):
+    """Arbitrary input must either parse or raise JqError — never an
+    internal exception (IndexError/RecursionError/...)."""
+    from bento_spark.operators.jq import JqError
+
+    try:
+        parse_jq(junk)
+    except JqError:
+        pass
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
