@@ -743,14 +743,20 @@ def quantized_mlp_to_onnx(m) -> bytes:
                         "bento_spark_quantized_mlp")
 
 
-def tiny_transformer_to_onnx(m) -> bytes:
+def tiny_transformer_to_onnx(m, fused_attention: bool = False) -> bytes:
     """Export a :class:`~bento_spark.operators.nn.TinyTransformer` as a
     float64 ONNX encoder graph over token ids (T,) — Gather embeddings
     + positional slice, per layer pre-LN multi-head attention
     (Reshape/Transpose/MatMul/Softmax) and Gelu(tanh) FFN, mean pool,
     guarded L2 normalize. Tokenization (the hash vocab) stays outside
     the graph, exactly as the reference keeps its tokenizers outside
-    the ONNX session."""
+    the ONNX session.
+
+    ``fused_attention=True`` emits the com.microsoft `Attention` node
+    (packed QKV weights, what ONNX Runtime's transformer optimizer
+    produces) in place of the decomposed nine-node subgraph — the two
+    exports are equivalence-tested against each other, which pins the
+    fused kernel against the plain-op path on a REAL graph."""
     d = m.dim
     h, dh = m.heads, m.dim // m.heads
     inits = [
@@ -822,6 +828,45 @@ def tiny_transformer_to_onnx(m) -> bytes:
             ))
         p = f"L{i}."
         nodes += ln_nodes(x, f"{p}ln1_g", f"{p}ln1_b", f"{p}ln1")
+        if fused_attention:
+            inits.append(numpy_to_tensor(f"{p}wqkv", np.concatenate(
+                [m.w[f"{i}.wq"], m.w[f"{i}.wk"], m.w[f"{i}.wv"]], axis=1
+            ).astype(np.float64)))
+            inits.append(numpy_to_tensor(
+                f"{p}bqkv", np.zeros(3 * d, dtype=np.float64)
+            ))
+            nodes += [
+                # Attention is (B,S,H)-batched: lift the (T,d) sequence
+                # to batch 1, fuse, drop back
+                {"op_type": "Unsqueeze", "input": [f"{p}ln1", "axes0"],
+                 "output": [f"{p}x3"]},
+                {"op_type": "Attention", "domain": "com.microsoft",
+                 "input": [f"{p}x3", f"{p}wqkv", f"{p}bqkv"],
+                 "output": [f"{p}c3"],
+                 "attribute": [{"name": "num_heads", "i": h, "type": 2}]},
+                {"op_type": "Squeeze", "input": [f"{p}c3", "axes0"],
+                 "output": [f"{p}ctxr"]},
+                {"op_type": "MatMul", "input": [f"{p}ctxr", f"{p}wo"],
+                 "output": [f"{p}proj"]},
+                {"op_type": "Add", "input": [x, f"{p}proj"],
+                 "output": [f"{p}x1"]},
+            ]
+            nodes += ln_nodes(f"{p}x1", f"{p}ln2_g", f"{p}ln2_b", f"{p}ln2")
+            nodes += [
+                {"op_type": "MatMul", "input": [f"{p}ln2", f"{p}w1"],
+                 "output": [f"{p}f0"]},
+                # FastGelu fuses the +b1 bias into the tanh gelu
+                {"op_type": "FastGelu", "domain": "com.microsoft",
+                 "input": [f"{p}f0", f"{p}b1"], "output": [f"{p}g"]},
+                {"op_type": "MatMul", "input": [f"{p}g", f"{p}w2"],
+                 "output": [f"{p}f2"]},
+                {"op_type": "Add", "input": [f"{p}f2", f"{p}b2"],
+                 "output": [f"{p}f3"]},
+                {"op_type": "Add", "input": [f"{p}x1", f"{p}f3"],
+                 "output": [f"{p}xo"]},
+            ]
+            x = f"{p}xo"
+            continue
         for nm in ("q", "k", "v"):
             nodes += [
                 {"op_type": "MatMul", "input": [f"{p}ln1", f"{p}w{nm}"],

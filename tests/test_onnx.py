@@ -436,6 +436,35 @@ def test_hf_exporter_shaped_attention_graph():
     assert att[:, 0, 3:].max() < 1e-4
 
 
+def test_fused_export_equals_decomposed_export():
+    """The fused-attention export (com.microsoft Attention + FastGelu,
+    the ORT-optimizer form) and the decomposed export of the SAME
+    TinyTransformer must produce identical embeddings through the
+    generic loader — pins the fused kernels against the plain-op path
+    on a real end-to-end graph, and both against the native forward."""
+    from bento_spark.operators.nn import _tok_ids
+    from bento_spark.operators.onnx import tiny_transformer_to_onnx
+
+    m = TinyTransformer.seeded(dim=16, heads=4, ffn=24, layers=2, seed=9)
+    g_dec = OnnxGraph.from_bytes(tiny_transformer_to_onnx(m))
+    g_fus = OnnxGraph.from_bytes(
+        tiny_transformer_to_onnx(m, fused_attention=True)
+    )
+    assert any(n.get("op_type") == "Attention" for n in g_fus.nodes)
+    assert all(n.get("op_type") != "Attention" for n in g_dec.nodes)
+    for text in ("the quick brown fox", "a", "repeat repeat repeat",
+                 "longer input with several distinct tokens here"):
+        ids = np.array(
+            _tok_ids(text, m.w["emb"].shape[0], m.salt)[: m.max_len] or [0],
+            dtype=np.int64,
+        )
+        (dec,) = g_dec.run({"ids": ids})
+        (fus,) = g_fus.run({"ids": ids})
+        native = m.encode([text])[0]
+        assert np.allclose(dec, fus, atol=1e-12), text
+        assert np.allclose(fus, native, atol=1e-9), text
+
+
 def test_contrib_fused_bert_ops():
     """com.microsoft contrib ops — the fused kernels ONNX Runtime's
     transformer optimizer rewrites BERT graphs into. An ORT-optimized
