@@ -1,0 +1,72 @@
+"""Message metadata must survive every content-transforming processor.
+
+Round-7 found the `http` processor silently DROPPING `_metadata` at
+its Arrow boundary (mapInPandas rebuilt the schema and
+ensure_envelope recreated an EMPTY map — invisible until a downstream
+stage read a key). This pins the invariant for the whole
+content-transformer family: a processor that rewrites `content` must
+carry `_metadata` through untouched unless its contract says
+otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+#: (processor name, config) — each rewrites content and must NOT
+#: touch metadata. Configs are the minimal valid dial for each.
+TRANSFORMERS = [
+    ("mapping", "root = this\nroot.x = this.k + 1"),
+    ("mutation", "root.x = this.k + 1"),
+    ("jq", ".k + 1"),
+    ("jmespath", {"query": "k"}),
+    ("compress", {"algorithm": "gzip"}),
+    ("javascript", {"code": "bento.v0_msg_set_string('X');"}),
+    ("awk", {"codec": "none", "program": "{ print $0 }"}),
+    ("xml", {"operator": "to_json"}),
+    ("json_schema", {"schema": json.dumps({"type": "object"})}),
+]
+
+
+@pytest.fixture(scope="module")
+def meta_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, json.dumps({"k": 2, "s": "<a>x</a>"}),
+             {"topic": "t1", "key": "k1"}),
+            (2, json.dumps({"k": 5, "s": "<b>y</b>"}),
+             {"topic": "t2", "key": "k2"}),
+        ],
+        "id long, content string, _metadata map<string,string>",
+    )
+
+
+@pytest.mark.parametrize("name,conf", TRANSFORMERS,
+                         ids=[n for n, _ in TRANSFORMERS])
+def test_processor_preserves_metadata(spark, meta_df, name, conf):
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    if name == "xml":
+        df = meta_df.withColumn(
+            "content",
+            meta_df["content"].substr(0, 0),  # placeholder, replaced below
+        )
+        # xml operator needs XML content
+        df = spark.createDataFrame(
+            [(1, "<a>x</a>", {"topic": "t1", "key": "k1"}),
+             (2, "<b>y</b>", {"topic": "t2", "key": "k2"})],
+            "id long, content string, _metadata map<string,string>",
+        )
+    else:
+        df = meta_df
+    out = PROCESSORS[name](df, conf)
+    assert "_metadata" in out.columns, f"{name}: _metadata column dropped"
+    rows = out.collect()
+    assert rows, name
+    by_id = {r["id"]: dict(r["_metadata"] or {}) for r in rows}
+    for i, m in by_id.items():
+        assert m.get("topic") == f"t{i}" and m.get("key") == f"k{i}", (
+            f"{name}: metadata lost/corrupted for id={i}: {m}"
+        )
