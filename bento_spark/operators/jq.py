@@ -484,9 +484,30 @@ def _compile(node: Node, cur: Column) -> Column:
             return F.coalesce(_compile(le, cur), _compile(ri, cur))
         lnum = _num(_compile(le, cur))
         rnum = _num(_compile(ri, cur))
-        if op in ("+", "-", "*", "/", "%"):
+        if op == "+":
+            # jq + is polymorphic: null passes the other side through,
+            # numbers add, strings and arrays concatenate
+            lv, rv = _compile(le, cur), _compile(ri, cur)
+            lnull = lv.isNull() | F.call_function("is_variant_null", lv)
+            rnull = rv.isNull() | F.call_function("is_variant_null", rv)
+            both_str = _is_str(lv) & _is_str(rv)
+            la = F.try_variant_get(lv, "$", "array<variant>")
+            ra = F.try_variant_get(rv, "$", "array<variant>")
+            both_arr = _vtype(lv).startswith("ARRAY") \
+                & _vtype(rv).startswith("ARRAY")
+            return (
+                F.when(lnull, rv)
+                .when(rnull, lv)
+                .when(both_str, _v(F.concat(
+                    F.try_variant_get(lv, "$", "string"),
+                    F.try_variant_get(rv, "$", "string"),
+                )))
+                .when(both_arr, F.parse_json(F.to_json(F.concat(la, ra))))
+                .otherwise(_v(_num(lv) + _num(rv)))
+            )
+        if op in ("-", "*", "/", "%"):
             res = {
-                "+": lnum + rnum, "-": lnum - rnum, "*": lnum * rnum,
+                "-": lnum - rnum, "*": lnum * rnum,
                 "/": lnum / rnum, "%": lnum % rnum,
             }[op]
             return _v(res)
@@ -494,7 +515,10 @@ def _compile(node: Node, cur: Column) -> Column:
             lv, rv = _compile(le, cur), _compile(ri, cur)
             ln, rn = _num(lv), _num(rv)
             ls, rs = _str(lv), _str(rv)
-            both_num = ln.isNotNull() & rn.isNotNull()
+            # STRICT type test: the lenient double-cast would make
+            # numeric STRINGS compare numerically ("10" < "5" is true
+            # in jq's lexicographic string order)
+            both_num = _is_num(lv) & _is_num(rv)
 
             def cmp(a, b):
                 return {
@@ -513,11 +537,38 @@ def _compile(node: Node, cur: Column) -> Column:
     if node.kind == "call":
         name = node.value
         if name == "length":
+            # jq length by type: array -> size, object -> #keys,
+            # string -> chars, number -> ABSOLUTE VALUE, null -> 0.
+            # Dispatch on schema_of_variant — the lenient variant casts
+            # coerce numeric strings to numbers and numbers to strings,
+            # so cast-success cannot distinguish "-36" from -36.
             arg = cur if not node.children else _compile(node.children[0], cur)
+            typ = _vtype(arg)
             arr = F.try_variant_get(arg, "$", "array<variant>")
+            mp = F.try_variant_get(arg, "$", "map<string,variant>")
+            nd = F.try_variant_get(arg, "$", "double")
             s = F.try_variant_get(arg, "$", "string")
-            return _v(
-                F.when(arr.isNotNull(), F.size(arr)).otherwise(F.length(s))
+            an = F.abs(nd)
+            return (
+                # JSON null inside the variant is not SQL null
+                F.when(
+                    arg.isNull() | F.call_function("is_variant_null", arg),
+                    _v(F.lit(0)),
+                )
+                .when(typ.startswith("ARRAY"), _v(F.size(arr).cast("long")))
+                .when(
+                    typ.startswith("OBJECT") | typ.startswith("MAP")
+                    | typ.startswith("STRUCT"),
+                    _v(F.size(F.map_keys(mp)).cast("long")),
+                )
+                .when(_is_str(arg), _v(F.length(s)))
+                .when(
+                    _is_num(arg),
+                    # re-integerize whole numbers (jq keeps the type)
+                    F.when(F.floor(an) == an, _v(an.cast("long")))
+                    .otherwise(_v(an)),
+                )
+                .otherwise(_v(F.length(s)))
             )
         if name == "keys":
             arg = cur if not node.children else _compile(node.children[0], cur)
@@ -646,6 +697,23 @@ def _v(scalar: Column) -> Column:
 
 def _num(v: Column) -> Column:
     return F.try_variant_get(v, "$", "double")
+
+
+def _vtype(v: Column) -> Column:
+    """The variant's ACTUAL type name (schema_of_variant). The lenient
+    try_variant_get casts coerce numeric strings to numbers and numbers
+    to strings, so type DISPATCH must not use cast-success."""
+    return F.schema_of_variant(v)
+
+
+def _is_num(v: Column) -> Column:
+    t = _vtype(v)
+    return t.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT",
+                  "TINYINT") | t.startswith("DECIMAL")
+
+
+def _is_str(v: Column) -> Column:
+    return _vtype(v) == "STRING"
 
 
 def _str(v: Column) -> Column:

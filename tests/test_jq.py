@@ -102,6 +102,27 @@ def test_dot_as_binding_not_field():
     assert run_program(parse_jq(".[] as $x | $x * 2"), [1, 2]) == [2, 4]
 
 
+def test_length_full_type_table(spark):
+    """jq `length` by type: array size, object KEY COUNT, string chars,
+    number ABSOLUTE VALUE (keeping int/float), null 0. The Column
+    compiler used to coerce objects and numbers to their JSON text and
+    return the text length (found by the randomized differential's
+    hand-probe); both engines now implement the full table."""
+    from bento_spark.operators.jq_interp import run_program
+
+    doc = {"k": -7, "name": "ab c", "f": 2.5, "o": {"a": 1, "b": 2},
+           "arr": [1, 2, 3], "z": None}
+    df = spark.createDataFrame([(0, json.dumps(doc))], "id long, j string")
+    want = {"(.k | length)": 7, "(.f | length)": 2.5, "(.o | length)": 2,
+            "(.arr | length)": 3, "(.z | length)": 0,
+            "(.name | length)": 4, "(.missing | length)": 0,
+            "length": 6}
+    for prog, expect in want.items():
+        raw = jq(df, "j", prog).collect()[0]["result"]
+        assert json.loads(raw) == expect, (prog, raw)
+        assert run_program(parse_jq(prog), doc) == [expect], prog
+
+
 def test_unary_minus_and_tight_subtraction(jdf):
     """'.n-1' (no spaces) is subtraction in jq — the number token must
     not swallow the '-'. Unary minus desugars to 0-x in the parser, so

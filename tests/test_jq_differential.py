@@ -36,13 +36,16 @@ STR_FIELDS = [".name"]
 
 @st.composite
 def _numexpr(draw, depth=2):
-    choice = draw(st.integers(0, 4 if depth > 0 else 1))
+    choice = draw(st.integers(0, 5 if depth > 0 else 1))
     if choice == 0:
         return str(draw(st.integers(0, 20)))
     if choice == 1:
         return draw(st.sampled_from(NUM_FIELDS))
     if choice == 2:  # unary minus (round-8 tokenizer/parser change)
         return f"(- {draw(_numexpr(depth - 1))})"
+    if choice == 3:  # length: abs on numbers, chars on strings
+        inner = draw(st.one_of(_numexpr(0), _strexpr()))
+        return f"({inner} | length)"
     op = draw(st.sampled_from(["+", "-", "*"]))
     return f"({draw(_numexpr(depth - 1))} {op} {draw(_numexpr(depth - 1))})"
 
@@ -58,12 +61,15 @@ def _boolexpr(draw, depth=1):
 
 @st.composite
 def _strexpr(draw):
-    choice = draw(st.integers(0, 2))
+    choice = draw(st.integers(0, 3))
     if choice == 0:
         return draw(st.sampled_from(STR_FIELDS))
     if choice == 1:
         return json.dumps(draw(st.sampled_from(["a", "zz", ""])))
-    return f'"v=\\({draw(_numexpr(1))})"'
+    if choice == 2:
+        return f"({draw(st.sampled_from(NUM_FIELDS))} | tostring)"
+    # depth 0 bounds the _numexpr <-> _strexpr mutual recursion
+    return f'"v=\\({draw(_numexpr(0))})"'
 
 
 @st.composite
