@@ -481,7 +481,10 @@ def _compile(node: Node, cur: Column) -> Column:
         op = node.value
         le, ri = node.children
         if op == "//":
-            return F.coalesce(_compile(le, cur), _compile(ri, cur))
+            # jq alternative: the LHS passes only when TRUTHY — false
+            # and JSON null also fall through (coalesce handles neither)
+            lv = _compile(le, cur)
+            return F.when(_bool(lv), lv).otherwise(_compile(ri, cur))
         lnum = _num(_compile(le, cur))
         rnum = _num(_compile(ri, cur))
         if op == "+":
@@ -722,7 +725,16 @@ def _str(v: Column) -> Column:
 
 
 def _bool(v: Column) -> Column:
-    return F.coalesce(F.try_variant_get(v, "$", "boolean"), v.isNotNull())
+    """jq truthiness: false and null are the ONLY falsy values — 0, ""
+    and [] are truthy. Needs the strict type test twice over: the
+    lenient boolean cast turns 0 into false, and a variant JSON null
+    is not SQL null."""
+    t = _vtype(v)
+    return (
+        F.when(v.isNull() | (t == "VOID"), F.lit(False))
+        .when(t == "BOOLEAN", F.try_variant_get(v, "$", "boolean"))
+        .otherwise(F.lit(True))
+    )
 
 
 def jq(df: DataFrame, col: str, program: str, out_col: str = "result") -> DataFrame:

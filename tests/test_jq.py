@@ -102,6 +102,56 @@ def test_dot_as_binding_not_field():
     assert run_program(parse_jq(".[] as $x | $x * 2"), [1, 2]) == [2, 4]
 
 
+def test_truthiness_and_alternative(spark):
+    """jq truthiness: false and null are the ONLY falsy values — 0 and
+    "" are truthy; `//` falls through on false AND JSON null, not just
+    SQL null. The Column path used lenient casts (0 coerced to false;
+    variant JSON null read as non-null) and coalesce — found by
+    hand-probing after the strict-typing pass; both engines must agree
+    on every case."""
+    from bento_spark.operators.jq_interp import run_program
+
+    doc = {"z": None, "f": False, "t": True, "n0": 0, "s": ""}
+    df = spark.createDataFrame([(0, json.dumps(doc))], "id long, j string")
+    cases = {
+        '(if .z then "t" else "f" end)': "f",
+        '(if .n0 then "t" else "f" end)': "t",
+        '(if .s then "t" else "f" end)': "t",
+        '(.f // "x")': "x",
+        '(.z // "x")': "x",
+        '(.missing // "x")': "x",
+        '(.n0 // "x")': 0,
+        '(.n0 and true)': True,
+        '(.z or false)': False,
+        '(.z | not)': True,
+        '(.n0 | not)': False,
+    }
+    for prog, expect in cases.items():
+        raw = jq(df, "j", prog).collect()[0]["result"]
+        assert json.loads(raw) == expect, (prog, raw)
+        assert run_program(parse_jq(prog), doc) == [expect], prog
+
+
+def test_plus_polymorphism(spark):
+    """jq + : null passes the other side through, strings and arrays
+    concatenate, numbers add — on BOTH engines."""
+    from bento_spark.operators.jq_interp import run_program
+
+    doc = {"a": "ab", "arr": [1, 2], "z": None, "k": 5}
+    df = spark.createDataFrame([(0, json.dumps(doc))], "id long, j string")
+    cases = {
+        '(.a + "cd")': "abcd",
+        "(.arr + [3])": [1, 2, 3],
+        "(.z + 7)": 7,
+        "(7 + .z)": 7,
+        "(.k + 1)": 6,
+    }
+    for prog, expect in cases.items():
+        raw = jq(df, "j", prog).collect()[0]["result"]
+        assert json.loads(raw) == expect, (prog, raw)
+        assert run_program(parse_jq(prog), doc) == [expect], prog
+
+
 def test_length_full_type_table(spark):
     """jq `length` by type: array size, object KEY COUNT, string chars,
     number ABSOLUTE VALUE (keeping int/float), null 0. The Column

@@ -55,6 +55,11 @@ def _boolexpr(draw, depth=1):
     if depth > 0 and draw(st.booleans()):
         op = draw(st.sampled_from(["and", "or"]))
         return f"({draw(_boolexpr(0))} {op} {draw(_boolexpr(0))})"
+    choice = draw(st.integers(0, 3))
+    if choice == 1:  # jq truthiness of a real boolean field
+        return draw(st.sampled_from([".flag", "(.flag | not)"]))
+    if choice == 2:  # JSON-null field through the // alternative
+        return f"(.z // {draw(_boolexpr(0))})"
     cmp = draw(st.sampled_from(["==", "!=", "<", "<=", ">", ">="]))
     return f"({draw(_numexpr(1))} {cmp} {draw(_numexpr(1))})"
 
@@ -98,6 +103,8 @@ _DOC = st.fixed_dictionaries({
     "n": st.integers(0, 9),
     "name": st.sampled_from(["ada", "bob", "x y", ""]),
     "d": st.fixed_dictionaries({"x": st.integers(-5, 5)}),
+    "flag": st.booleans(),
+    "z": st.none(),  # JSON null: falsy, // falls through, length 0
 })
 
 
