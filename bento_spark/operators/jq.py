@@ -574,9 +574,16 @@ def _compile(node: Node, cur: Column) -> Column:
                 .otherwise(_v(F.length(s)))
             )
         if name == "keys":
+            # objects -> sorted key names; arrays -> [0..n-1]
             arg = cur if not node.children else _compile(node.children[0], cur)
             m = F.try_variant_get(arg, "$", "map<string,variant>")
-            return _v(F.array_sort(F.map_keys(m)))
+            av = F.try_variant_get(arg, "$", "array<variant>")
+            n = F.size(av)
+            return F.when(
+                _vtype(arg).startswith("ARRAY"),
+                F.when(n > 0, _v(F.sequence(F.lit(0), n - 1)))
+                .otherwise(_v(F.array().cast("array<int>"))),
+            ).otherwise(_v(F.array_sort(F.map_keys(m))))
         if name == "tostring":
             return _v(_str(cur))
         if name == "tonumber":
@@ -587,9 +594,14 @@ def _compile(node: Node, cur: Column) -> Column:
             key = node.children[0]
             if key.kind != "lit":
                 raise JqError("jq: has() needs a literal key")
-            return _v(
-                F.try_variant_get(cur, f"$.{key.value}", "variant").isNotNull()
-            )
+            if isinstance(key.value, str):
+                # note: an explicit JSON null VALUE still "has" the key
+                m = F.try_variant_get(cur, "$", "map<string,variant>")
+                return _v(F.array_contains(F.map_keys(m), key.value))
+            # numeric key: array index-in-bounds
+            av = F.try_variant_get(cur, "$", "array<variant>")
+            idx = int(key.value)
+            return _v(F.lit(idx >= 0) & (F.size(av) > idx))
         if name == "select":
             # value position (e.g. inside map): the element passes
             # through when the condition holds, else NULL — map() drops
@@ -605,22 +617,12 @@ def _compile(node: Node, cur: Column) -> Column:
                 mapped = F.filter(mapped, lambda x: x.isNotNull())
             return _v(mapped)
         if name == "sort":
-            arr_n = F.try_variant_get(cur, "$", "array<double>")
-            arr_s = F.try_variant_get(cur, "$", "array<string>")
+            # comparator sort over the VARIANT elements in jq's total
+            # order — typed array casts would corrupt mixed arrays
+            # (["a", 1] becoming ["1", "a"]) and numeric-string arrays
+            # (["5"] becoming [5.0])
             arr_v = F.try_variant_get(cur, "$", "array<variant>")
-            # lenient variant casts null out per ELEMENT — a typed sort
-            # is only safe when every element survived the cast
-            nums_ok = arr_n.isNotNull() & ~F.exists(
-                arr_n, lambda x: x.isNull()
-            )
-            strs_ok = arr_s.isNotNull() & ~F.exists(
-                arr_s, lambda x: x.isNull()
-            )
-            return F.when(nums_ok, _v(F.array_sort(arr_n))) \
-                .when(strs_ok, _v(F.array_sort(arr_s))) \
-                .otherwise(_v(F.array_sort(
-                    F.transform(arr_v, lambda x: F.to_json(x))
-                )))
+            return F.parse_json(F.to_json(F.array_sort(arr_v, _jq_cmp)))
         if name == "join":
             sep = node.children[0]
             if sep.kind != "lit":
@@ -636,24 +638,38 @@ def _compile(node: Node, cur: Column) -> Column:
             )
             return _v(joined)
         if name == "add":
+            # jq add folds +: numbers sum, strings concatenate, arrays
+            # FLATTEN; empty/null input is null (not 0). Strict element
+            # type tests — numeric strings must stay on the string path.
+            arr_v = F.try_variant_get(cur, "$", "array<variant>")
             arr_n = F.try_variant_get(cur, "$", "array<double>")
             arr_s = F.try_variant_get(cur, "$", "array<string>")
-            nums_ok = arr_n.isNotNull() & ~F.exists(
-                arr_n, lambda x: x.isNull()
+            arr_a = F.try_variant_get(cur, "$", "array<array<variant>>")
+            all_num = ~F.exists(arr_v, lambda x: ~_is_num(x))
+            all_str = ~F.exists(arr_v, lambda x: ~_is_str(x))
+            all_arr = ~F.exists(
+                arr_v, lambda x: ~_vtype(x).startswith("ARRAY")
             )
-            return F.when(
-                nums_ok,
-                _v(F.aggregate(arr_n, F.lit(0.0), lambda a, x: a + x)),
-            ).otherwise(_v(F.array_join(arr_s, "")))
+            return (
+                F.when(arr_v.isNull() | (F.size(arr_v) == 0),
+                       F.lit(None).cast("variant"))
+                .when(all_num,
+                      _v(F.aggregate(arr_n, F.lit(0.0), lambda a, x: a + x)))
+                .when(all_str, _v(F.array_join(arr_s, "")))
+                .when(all_arr, F.parse_json(F.to_json(F.flatten(arr_a))))
+                .otherwise(F.lit(None).cast("variant"))
+            )
         if name == "unique":
-            arr_n = F.try_variant_get(cur, "$", "array<double>")
-            arr_s = F.try_variant_get(cur, "$", "array<string>")
-            nums_ok = arr_n.isNotNull() & ~F.exists(
-                arr_n, lambda x: x.isNull()
+            # sort in jq's total order, then drop adjacent equals —
+            # values stay VARIANT (typed casts corrupt mixed arrays)
+            arr_v = F.try_variant_get(cur, "$", "array<variant>")
+            srt = F.array_sort(arr_v, _jq_cmp)
+            deduped = F.filter(
+                srt,
+                lambda x, i: (i == 0)
+                | (_jq_cmp(x, F.element_at(srt, i)) != 0),
             )
-            return F.when(
-                nums_ok, _v(F.array_sort(F.array_distinct(arr_n)))
-            ).otherwise(_v(F.array_sort(F.array_distinct(arr_s))))
+            return F.parse_json(F.to_json(deduped))
         raise JqError(f"jq: unsupported function {name!r}")
     if node.kind == "iterate":
         raise JqError("jq: .[] iteration only supported as a top-level stage")
@@ -717,6 +733,46 @@ def _is_num(v: Column) -> Column:
 
 def _is_str(v: Column) -> Column:
     return _vtype(v) == "STRING"
+
+
+def _jq_rank(v: Column) -> Column:
+    """jq's total type order: null < boolean < number < string < array
+    < object."""
+    t = _vtype(v)
+    return (
+        F.when(v.isNull() | (t == "VOID"), F.lit(0))
+        .when(t == "BOOLEAN", F.lit(1))
+        .when(_is_num(v), F.lit(2))
+        .when(t == "STRING", F.lit(3))
+        .when(t.startswith("ARRAY"), F.lit(4))
+        .otherwise(F.lit(5))
+    )
+
+
+def _jq_cmp(a: Column, b: Column) -> Column:
+    """Three-way compare in jq's total order, usable as an array_sort
+    comparator over VARIANT elements (keeps values intact — the typed
+    array casts corrupt mixed arrays, e.g. 1 becoming \"1\").
+    Containers compare by canonical JSON text: an approximation of
+    jq's recursive order that is exact for equality and correct for
+    same-shape containers."""
+    ra, rb = _jq_rank(a), _jq_rank(b)
+    na, nb = _num(a), _num(b)
+    sa = F.try_variant_get(a, "$", "string")
+    sb = F.try_variant_get(b, "$", "string")
+    ba = F.try_variant_get(a, "$", "boolean")
+    bb = F.try_variant_get(b, "$", "boolean")
+    ja, jb = F.to_json(a), F.to_json(b)
+    return (
+        F.when(ra < rb, F.lit(-1))
+        .when(ra > rb, F.lit(1))
+        .when(ra == 0, F.lit(0))
+        .when(ra == 1,
+              F.when(ba == bb, 0).when(~ba & bb, -1).otherwise(1))
+        .when(ra == 2, F.when(na < nb, -1).when(na > nb, 1).otherwise(0))
+        .when(ra == 3, F.when(sa < sb, -1).when(sa > sb, 1).otherwise(0))
+        .otherwise(F.when(ja < jb, -1).when(ja > jb, 1).otherwise(0))
+    )
 
 
 def _str(v: Column) -> Column:

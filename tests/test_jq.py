@@ -102,6 +102,35 @@ def test_dot_as_binding_not_field():
     assert run_program(parse_jq(".[] as $x | $x * 2"), [1, 2]) == [2, 4]
 
 
+def test_array_builtins_preserve_values(spark):
+    """sort/unique keep VARIANT elements and jq's total order (the
+    typed-array casts turned 1 into \"1\" on mixed arrays and \"5\"
+    into 5.0 on numeric-string arrays); add folds + (arrays FLATTEN,
+    empty is null, strings concat); keys/has work on arrays too."""
+    from bento_spark.operators.jq_interp import run_program
+
+    doc = {"mixed": [2, "a", 1, None, True, "5"], "numstr": ["5", "10"],
+           "nested": [[1], [2, 3]], "e": [], "arr": [3, 1, 2],
+           "dup": [2, 1, 2, "a", "a", None]}
+    df = spark.createDataFrame([(0, json.dumps(doc))], "id long, j string")
+    cases = {
+        "(.mixed | sort)": [None, True, 1, 2, "5", "a"],
+        "(.numstr | sort)": ["10", "5"],
+        "(.mixed | unique)": [None, True, 1, 2, "5", "a"],
+        "(.dup | unique)": [None, 1, 2, "a"],
+        "(.nested | add)": [1, 2, 3],
+        "(.e | add)": None,
+        "(.arr | keys)": [0, 1, 2],
+        "(.arr | has(1))": True,
+        "(.arr | has(9))": False,
+    }
+    for prog, expect in cases.items():
+        raw = jq(df, "j", prog).collect()[0]["result"]
+        got = None if raw is None else json.loads(raw)
+        assert got == expect, (prog, raw)
+        assert run_program(parse_jq(prog), doc) == [expect], prog
+
+
 def test_truthiness_and_alternative(spark):
     """jq truthiness: false and null are the ONLY falsy values — 0 and
     "" are truthy; `//` falls through on false AND JSON null, not just
