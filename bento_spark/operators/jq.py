@@ -276,17 +276,28 @@ class _Parser:
                 if v2 == "]":
                     self.next()
                     node = Node("iterate", None, (node,))
-                elif k2 == "num" or v2 == "-":
-                    sign = 1
-                    if v2 == "-":  # .[-1]: '-' is its own token now
-                        self.next()
-                        sign = -1
-                        k2, v2 = self.peek()
-                        if k2 != "num":
+                elif k2 == "num" or v2 == "-" or v2 == ":":
+                    def intlit():
+                        sign = 1
+                        kk, vv = self.peek()
+                        if vv == "-":  # '-' is its own token
+                            self.next()
+                            sign = -1
+                            kk, vv = self.peek()
+                        if kk != "num":
                             raise JqError("jq: bad subscript")
-                    self.next()
-                    self.expect("]")
-                    node = Node("path", ("index", sign * int(v2)), (node,))
+                        self.next()
+                        return sign * int(vv)
+
+                    lo = None if v2 == ":" else intlit()
+                    if self.peek()[1] == ":":  # slice .[lo:hi]
+                        self.next()
+                        hi = None if self.peek()[1] == "]" else intlit()
+                        self.expect("]")
+                        node = Node("slice", (lo, hi), (node,))
+                    else:
+                        self.expect("]")
+                        node = Node("path", ("index", lo), (node,))
                 elif k2 == "str":
                     self.next()
                     self.expect("]")
@@ -627,16 +638,18 @@ def _compile(node: Node, cur: Column) -> Column:
             sep = node.children[0]
             if sep.kind != "lit":
                 raise JqError("jq: join() needs a literal separator")
-            arr_s = F.try_variant_get(cur, "$", "array<string>")
             arr_v = F.try_variant_get(cur, "$", "array<variant>")
-            joined = F.when(
-                arr_s.isNotNull(), F.array_join(arr_s, str(sep.value))
-            ).otherwise(
-                F.array_join(
-                    F.transform(arr_v, lambda x: _str(x)), str(sep.value)
-                )
+            # jq renders null elements as EMPTY STRINGS ([1,null,2] ->
+            # "1--2"); array_join would silently drop them. Stringify
+            # every element null-safely, then join.
+            parts = F.transform(
+                arr_v,
+                lambda x: F.when(
+                    x.isNull() | F.call_function("is_variant_null", x),
+                    F.lit(""),
+                ).otherwise(_str(x)),
             )
-            return _v(joined)
+            return _v(F.array_join(parts, str(sep.value)))
         if name == "add":
             # jq add folds +: numbers sum, strings concatenate, arrays
             # FLATTEN; empty/null input is null (not 0). Strict element
@@ -671,6 +684,35 @@ def _compile(node: Node, cur: Column) -> Column:
             )
             return F.parse_json(F.to_json(deduped))
         raise JqError(f"jq: unsupported function {name!r}")
+    if node.kind == "slice":
+        # .[lo:hi] with literal bounds — python/jq slice semantics
+        # (negatives from the end, clamped) on arrays AND strings
+        lo, hi = node.value
+        tgt = _compile(node.children[0], cur)
+        arr = F.try_variant_get(tgt, "$", "array<variant>")
+        s = F.try_variant_get(tgt, "$", "string")
+
+        def bounds(n):
+            low = F.lit(0) if lo is None else (
+                F.greatest(n + lo, F.lit(0)) if lo < 0 else F.least(F.lit(lo), n)
+            )
+            upp = n if hi is None else (
+                F.greatest(n + hi, F.lit(0)) if hi < 0 else F.least(F.lit(hi), n)
+            )
+            return low, F.greatest(upp, low)
+
+        alow, aupp = bounds(F.size(arr))
+        slow, supp = bounds(F.length(s))
+        return (
+            F.when(
+                _vtype(tgt).startswith("ARRAY"),
+                F.parse_json(F.to_json(
+                    F.filter(arr, lambda x, i: (i >= alow) & (i < aupp))
+                )),
+            )
+            .when(_is_str(tgt), _v(s.substr(slow + 1, supp - slow)))
+            .otherwise(F.lit(None).cast("variant"))
+        )
     if node.kind == "iterate":
         raise JqError("jq: .[] iteration only supported as a top-level stage")
     if node.kind == "ite":

@@ -365,6 +365,17 @@ def _eval(node: Node, val, env: _Env) -> list:  # noqa: C901 - evaluator
                     + (f" ({_tostr(base)})" if base is not None else " (null)")
                 )
         return outs
+    if kind == "slice":
+        lo, hi = node.value
+        outs = []
+        for base in _eval(node.children[0], val, env):
+            if base is None:
+                outs.append(None)
+            elif isinstance(base, (list, str)):
+                outs.append(base[lo:hi])  # python slicing == jq slicing
+            else:
+                raise JqRuntimeError(f"Cannot slice {_typ(base)}")
+        return outs
     if kind == "pipe":
         vals = [val]
         for stage in node.children:
@@ -809,7 +820,12 @@ def _call(node: Node, val, env: _Env) -> list:  # noqa: C901 - builtins
             pat = _one(args[0], val, env)
             flags = _one(args[1], val, env)
             return [_re.split(pat, val, flags=_re_flags(flags))]
-        return [val.split(_one(args[0], val, env))]
+        sep = _one(args[0], val, env)
+        if not isinstance(sep, str):
+            raise JqRuntimeError("split separator must be a string")
+        if sep == "":  # gojq: empty separator splits into characters
+            return [list(val)]
+        return [val.split(sep)]
     if name == "ltrimstr":
         p = _one(args[0], val, env)
         return [val[len(p):] if isinstance(val, str) and val.startswith(p)

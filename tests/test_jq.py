@@ -102,6 +102,36 @@ def test_dot_as_binding_not_field():
     assert run_program(parse_jq(".[] as $x | $x * 2"), [1, 2]) == [2, 4]
 
 
+def test_slices_join_nulls_split_chars(spark):
+    """Array/string slices .[lo:hi] (python/jq semantics: negatives
+    from the end, clamped, empty when lo>=hi, null in -> null out) —
+    previously a PARSE error on both engines; join renders null
+    elements as empty strings; split(\"\") splits into characters
+    (gojq behavior) instead of crashing."""
+    from bento_spark.operators.jq_interp import run_program
+
+    doc = {"arr": [0, 1, 2, 3, 4], "s": "hello",
+           "njoin": [1, "x", None, 2], "z": None, "e": []}
+    df = spark.createDataFrame([(0, json.dumps(doc))], "id long, j string")
+    cases = {
+        "(.arr[1:3])": [1, 2],
+        "(.arr[-2:])": [3, 4],
+        "(.arr[:-1])": [0, 1, 2, 3],
+        "(.arr[3:1])": [],
+        "(.arr[2:99])": [2, 3, 4],
+        "(.s[1:3])": "el",
+        "(.s[-2:])": "lo",
+        "(.z[1:3])": None,
+        '(.njoin | join("-"))': "1-x--2",
+        '(.s | split(""))': ["h", "e", "l", "l", "o"],
+    }
+    for prog, expect in cases.items():
+        raw = jq(df, "j", prog).collect()[0]["result"]
+        got = None if raw is None else json.loads(raw)
+        assert got == expect, (prog, raw)
+        assert run_program(parse_jq(prog), doc) == [expect], prog
+
+
 def test_array_builtins_preserve_values(spark):
     """sort/unique keep VARIANT elements and jq's total order (the
     typed-array casts turned 1 into \"1\" on mixed arrays and \"5\"
