@@ -519,9 +519,55 @@ def _compile(node: Node, cur: Column) -> Column:
                 .when(both_arr, F.parse_json(F.to_json(F.concat(la, ra))))
                 .otherwise(_v(_num(lv) + _num(rv)))
             )
-        if op in ("-", "*", "/", "%"):
+        if op == "*":
+            # jq * is polymorphic: numbers multiply, string * n repeats
+            # (null when n <= 0), object * object merges (recursively in
+            # jq; here via map_zip_with with ONE nested level — deeper
+            # nested-object conflicts take the right side)
+            lv, rv = _compile(le, cur), _compile(ri, cur)
+            is_obj = (
+                lambda t: t.startswith("OBJECT") | t.startswith("MAP")
+                | t.startswith("STRUCT")
+            )
+            ls = F.try_variant_get(lv, "$", "string")
+            lm = F.try_variant_get(lv, "$", "map<string,variant>")
+            rm = F.try_variant_get(rv, "$", "map<string,variant>")
+
+            def vmap(v):
+                return F.try_variant_get(v, "$", "map<string,variant>")
+
+            merged = F.map_zip_with(
+                lm, rm,
+                lambda k, a, b: F.when(b.isNull(), a)
+                .when(a.isNull(), b)
+                .when(
+                    _vtype(a).startswith("OBJECT")
+                    & _vtype(b).startswith("OBJECT"),
+                    F.try_variant_get(
+                        F.parse_json(F.to_json(F.map_zip_with(
+                            vmap(a), vmap(b),
+                            lambda k2, a2, b2: F.coalesce(b2, a2),
+                        ))),
+                        "$", "variant",
+                    ),
+                )
+                .otherwise(b),
+            )
+            return (
+                F.when(_is_num(lv) & _is_num(rv), _v(lnum * rnum))
+                .when(
+                    _is_str(lv) & _is_num(rv),
+                    F.when(rnum > 0,
+                           _v(F.repeat(ls, F.floor(rnum).cast("int"))))
+                    .otherwise(F.lit(None).cast("variant")),
+                )
+                .when(is_obj(_vtype(lv)) & is_obj(_vtype(rv)),
+                      F.parse_json(F.to_json(merged)))
+                .otherwise(F.lit(None).cast("variant"))
+            )
+        if op in ("-", "/", "%"):
             res = {
-                "-": lnum - rnum, "*": lnum * rnum,
+                "-": lnum - rnum,
                 "/": lnum / rnum, "%": lnum % rnum,
             }[op]
             return _v(res)

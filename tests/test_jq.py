@@ -102,6 +102,30 @@ def test_dot_as_binding_not_field():
     assert run_program(parse_jq(".[] as $x | $x * 2"), [1, 2]) == [2, 4]
 
 
+def test_multiply_polymorphism(spark):
+    """jq * : numbers multiply, string * n repeats (null for n <= 0),
+    object * object merges (nested objects merge one level deep on the
+    Column path — jq merges recursively; parity holds through depth 2)."""
+    from bento_spark.operators.jq_interp import run_program
+
+    doc = {"o": {"a": 1, "b": 2, "n": {"x": 1, "y": 2}}, "k": 7, "s": "ab"}
+    df = spark.createDataFrame([(0, json.dumps(doc))], "id long, j string")
+    cases = {
+        '("x" * 3)': "xxx",
+        "(.s * 2)": "abab",
+        "(.s * 0)": None,
+        "(.k * 6)": 42,
+        "(.o * {b: 9})": {"a": 1, "b": 9, "n": {"x": 1, "y": 2}},
+        "(.o * {n: {y: 8}, c: 3})":
+            {"a": 1, "b": 2, "n": {"x": 1, "y": 8}, "c": 3},
+    }
+    for prog, expect in cases.items():
+        raw = jq(df, "j", prog).collect()[0]["result"]
+        got = None if raw is None else json.loads(raw)
+        assert got == expect, (prog, raw)
+        assert run_program(parse_jq(prog), doc) == [expect], prog
+
+
 def test_slices_join_nulls_split_chars(spark):
     """Array/string slices .[lo:hi] (python/jq semantics: negatives
     from the end, clamped, empty when lo>=hi, null in -> null out) —
