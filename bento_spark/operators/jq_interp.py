@@ -782,7 +782,12 @@ def _call(node: Node, val, env: _Env) -> list:  # noqa: C901 - builtins
     if name == "ceil":
         return [math.ceil(val)]
     if name == "round":
-        return [round(val)]
+        # jq/gojq round half AWAY from zero (C round), not python's
+        # banker's rounding: 2.5 -> 3, -2.5 -> -3
+        if not isinstance(val, (int, float)) or isinstance(val, bool):
+            raise JqRuntimeError(f"{_typ(val)} cannot be rounded")
+        return [int(math.floor(val + 0.5)) if val >= 0
+                else int(math.ceil(val - 0.5))]
     if name == "fabs":
         return [abs(val)]
     if name == "sqrt":
