@@ -318,9 +318,11 @@ def _binop(op: str, left: Column, right: Column) -> Column:
     if op == "%":
         return left % right
     if op == "==":
-        return left == right
+        # VALUE equality (arithmetic.go compare): x == null is false
+        # (true when both null), never SQL three-valued NULL
+        return left.eqNullSafe(right)
     if op == "!=":
-        return left != right
+        return ~left.eqNullSafe(right)
     if op == ">":
         return left > right
     if op == "<":
@@ -767,6 +769,21 @@ def _arg(node: A.Node, env: Env, recv_hint: str | None = None,
             )
 
         return hof1
+    if recv_hint == "fold" and isinstance(node, A.Lambda) \
+            and len(node.params) == 1:
+        # the reference's fold lambda takes ONE param bound to
+        # {tally, value} (methods_structured.go fold examples:
+        # `item -> item.tally + item.value`); aggregate() wants a
+        # two-arg merge, so pack the pair into a struct
+        fbody, pname = node.body, node.params[0]
+
+        def hof2(a: Column, b: Column) -> Column:
+            item = F.struct(a.alias("tally"), b.alias("value"))
+            return compile_node(
+                fbody, env.child({pname: item}, in_lambda=True)
+            )
+
+        return hof2
     if recv_hint == "fold" and not isinstance(node, (A.Lambda, A.Lit)):
         # fold's reducer may be a bare expression over the implicit
         # `tally`/`value` context (methods_structured.go fold docs)

@@ -251,6 +251,21 @@ class Interp:
         recv = self.eval(node.recv, this, vars_)
         if name == "type":
             return _btype(recv)
+        if name == "fold":
+            # fold(init, item -> item.tally + item.value) — the lambda
+            # param binds {tally, value}; a bare expression sees the
+            # pair as `this` (methods_structured.go fold)
+            if not isinstance(recv, list):
+                raise InterpError(
+                    f"expected array value, got {_btype(recv)}"
+                )
+            acc = self.eval(node.args[0], this, vars_)
+            fn = node.args[1]
+            for el in recv:
+                acc = self._call_fn(
+                    fn, {"tally": acc, "value": el}, vars_, this
+                )
+            return acc
         if name == "map_each":
             fn = node.args[0]
             if isinstance(recv, list):
@@ -294,6 +309,10 @@ class Interp:
             )
             return str(recv).strip(cut) if cut else str(recv).strip()
         if name == "string":
+            if isinstance(recv, bool):
+                return "true" if recv else "false"  # Go, not 'True'
+            if recv is None:
+                return "null"
             if isinstance(recv, (dict, list)):
                 return json.dumps(recv, separators=(",", ":"))
             return str(recv)
@@ -624,8 +643,15 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
     if name == "index_of":
         return str(recv).find(str(args[0]))
     if name == "capitalize":
-        s = str(recv)
-        return s[:1].upper() + s[1:]
+        # reference: Unicode TITLE case per word (cases.Title), which
+        # initcap mirrors — not just the first character of the string
+        import re as _re_cap
+
+        return _re_cap.sub(
+            r"\S+",
+            lambda m: m.group(0)[:1].upper() + m.group(0)[1:].lower(),
+            str(recv),
+        )
     if name == "reverse":
         if isinstance(recv, list):
             return list(reversed(recv))
@@ -657,6 +683,78 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
         return json.dumps(str(recv))
     if name == "unquote":
         return json.loads(str(recv))
+    if name == "encode":
+        import base64 as _b64
+
+        data = recv if isinstance(recv, bytes) else str(recv).encode()
+        scheme = str(args[0])
+        if scheme == "base64":
+            return _b64.b64encode(data).decode()
+        if scheme == "base64url":
+            return _b64.urlsafe_b64encode(data).decode()
+        if scheme == "hex":
+            return data.hex().upper()  # Spark F.hex is uppercase
+        raise InterpError(f"encode scheme {scheme!r} not supported")
+    if name == "decode":
+        import base64 as _b64
+
+        s = str(recv)
+        scheme = str(args[0])
+        if scheme == "base64":
+            return _b64.b64decode(s + "=" * (-len(s) % 4)).decode(
+                "utf-8", "replace")
+        if scheme == "base64url":
+            return _b64.urlsafe_b64decode(s + "=" * (-len(s) % 4)).decode(
+                "utf-8", "replace")
+        if scheme == "hex":
+            return bytes.fromhex(s).decode("utf-8", "replace")
+        raise InterpError(f"decode scheme {scheme!r} not supported")
+    if name == "hash":
+        import hashlib as _hl
+
+        data = recv if isinstance(recv, bytes) else str(recv).encode()
+        algo = str(args[0]).lower()
+        if algo in ("md5", "sha1", "sha256", "sha512"):
+            # compiled twins (F.md5/sha1/sha2) emit the hex digest —
+            # md5/sha1 lowercase, sha2 lowercase as well
+            return getattr(_hl, algo)(data).hexdigest()
+        raise InterpError(f"hash algo {algo!r} not supported")
+    if name == "replace_all_many":
+        s = str(recv)
+        pairs = args[0]
+        if not isinstance(pairs, list) or len(pairs) % 2:
+            raise InterpError(
+                "replace_all_many takes a flat [from, to, ...] list"
+            )
+        for i in range(0, len(pairs), 2):
+            s = s.replace(str(pairs[i]), str(pairs[i + 1]))
+        return s
+    if name == "with":
+        if not isinstance(recv, dict):
+            raise InterpError(f"expected object, got {_btype(recv)}")
+        keep = {str(a) for a in args}
+        return {k: v for k, v in recv.items() if k in keep}
+    if name == "collapse":
+        # dot-path flatten (methods_structured.go collapse); empty
+        # containers dropped unless include_empty
+        include_empty = bool(args[0]) if args else False
+        out: dict = {}
+
+        def walk(v, path):
+            if isinstance(v, dict) and v:
+                for k, x in v.items():
+                    walk(x, f"{path}.{k}" if path else str(k))
+            elif isinstance(v, list) and v:
+                for i, x in enumerate(v):
+                    walk(x, f"{path}.{i}" if path else str(i))
+            elif isinstance(v, (dict, list)):
+                if include_empty and path:
+                    out[path] = v
+            else:
+                out[path] = v
+
+        walk(recv, "")
+        return out
     # ---- numbers ----------------------------------------------------
     if name == "abs":
         return abs(recv)

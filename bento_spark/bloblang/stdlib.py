@@ -79,9 +79,28 @@ method("contains", "a")(lambda c, sub: c.contains(sub))
 method("has_prefix", "a")(lambda c, p: c.startswith(p))
 method("has_suffix", "a")(lambda c, s: c.endswith(s))
 method("index_of", "b")(lambda c, sub: F.instr(c, sub) - 1)  # reference is 0-based
-method("slice", "b")(
-    lambda c, lo, hi=None: F.substring(c, lo + 1, (hi - lo) if hi is not None else 2**31 - 1)
-)
+def _str_slice(c, lo, hi=None):
+    """String slice with the reference's negative-offset semantics
+    (methods_strings.go slice): negatives count from the end, clamped.
+    The old `substring(c, lo+1, ...)` was off by one for negative lo
+    (slice(-3) returned the last TWO chars). Bounds arrive as Columns
+    (the compiler compiles -3 through unary minus), so the negative
+    branch is a runtime CASE."""
+    n = F.length(c)
+    lo_c = lo if isinstance(lo, Column) else F.lit(int(lo))
+    start = F.when(lo_c < 0, F.greatest(n + lo_c, F.lit(0))) \
+        .otherwise(F.least(lo_c, n))
+    if hi is None:
+        end = n
+    else:
+        hi_c = hi if isinstance(hi, Column) else F.lit(int(hi))
+        end = F.when(hi_c < 0, F.greatest(n + hi_c, F.lit(0))) \
+            .otherwise(F.least(hi_c, n))
+    end = F.greatest(end, start)
+    return c.substr(start + 1, end - start)
+
+
+method("slice", "b")(_str_slice)
 method("split", "a")(lambda c, sep: F.split(c, sep, -1))
 method("replace_all", "a")(lambda c, a, b: F.replace(c, V(a), V(b)))
 method("re_replace_all", "a")(lambda c, p, r: F.regexp_replace(c, p, r))
@@ -108,21 +127,31 @@ method("bytes", "a")(lambda c: c.cast("binary"))
 # ---- encoding / hashing (bloblang_encoding.go, methods_strings.go) ------
 
 
+def _as_bin(c: Column) -> Column:
+    # receivers may be VARIANT (pipeline content paths) — a direct
+    # variant->binary cast nulls out, so go through string
+    return c.cast("string").cast("binary")
+
+
 @method("encode", "b")
 def _encode(c: Column, scheme: str) -> Column:
     if scheme == "base64":
-        return F.base64(c.cast("binary"))
+        return F.base64(_as_bin(c))
+    if scheme == "base64url":
+        return F.translate(F.base64(_as_bin(c)), "+/", "-_")
     if scheme == "hex":
-        return F.hex(c.cast("binary"))
+        return F.hex(_as_bin(c))
     raise ValueError(f"encode scheme {scheme!r} not supported")
 
 
 @method("decode", "b")
 def _decode(c: Column, scheme: str) -> Column:
     if scheme == "base64":
-        return F.unbase64(c)
+        return F.unbase64(c.cast("string"))
+    if scheme == "base64url":
+        return F.unbase64(F.translate(c.cast("string"), "-_", "+/"))
     if scheme == "hex":
-        return F.unhex(c)
+        return F.unhex(c.cast("string"))
     raise ValueError(f"decode scheme {scheme!r} not supported")
 
 
@@ -130,11 +159,11 @@ def _decode(c: Column, scheme: str) -> Column:
 def _hash(c: Column, algo: str) -> Column:
     algo = algo.lower()
     if algo == "md5":
-        return F.md5(c.cast("binary"))
+        return F.md5(_as_bin(c))
     if algo == "sha1":
-        return F.sha1(c.cast("binary"))
+        return F.sha1(_as_bin(c))
     if algo in ("sha256", "sha512"):
-        return F.sha2(c.cast("binary"), int(algo[3:]))
+        return F.sha2(_as_bin(c), int(algo[3:]))
     if algo == "xxhash64":
         return F.xxhash64(c).cast("string")
     raise ValueError(f"hash algo {algo!r} not supported")
@@ -216,7 +245,15 @@ method("merge", "a")(lambda c, other: F.map_concat(c, other))
 method("with", "b")(lambda c, *keys: F.map_filter(c, lambda k, _v: k.isin(*keys)))
 method("without", "b")(lambda c, *keys: F.map_filter(c, lambda k, _v: ~k.isin(*keys)))
 method("key_values", "a")(lambda c: F.map_entries(c))
-method("collapse", "b")(lambda c: F.to_json(c))
+@method("collapse", "b")
+def _collapse(c: Column, include_empty=False) -> Column:
+    """Dot-path flatten (methods_structured.go collapse) — recursive
+    over arbitrary depth, so it routes to the tier-c interpreter.
+    (The old to_json form produced a JSON STRING, not the flattened
+    object — silently wrong.)"""
+    raise ThrowInExpression(
+        "collapse: recursive dot-path flatten runs on the interpreter"
+    )
 method("explode_array", "a")(lambda c: F.explode(c))  # row-multiplying; mapping-level
 
 # ---- general / coercion (methods.go) -------------------------------------
@@ -225,8 +262,30 @@ method("catch", "a")(lambda c, fallback: F.coalesce(c, V(fallback)))
 method("or", "a")(lambda c, fallback: F.coalesce(c, V(fallback)))
 method("not_null", "b")(lambda c: c)  # null flows to _error at try boundaries
 method("exists", "b")(lambda c, key: F.map_contains_key(c, key))
-method("type", "b")(lambda c: F.typeof(c))
-method("parse_json", "b")(lambda c, schema=None: F.from_json(c, schema) if schema else F.parse_json(c))
+def _bento_type(c):
+    """Reference type names (methods.go `type`: string/bytes/number/
+    bool/timestamp/array/object/null) — NOT Spark's typeof names."""
+    t = F.typeof(c)
+    num = t.isin("tinyint", "smallint", "int", "bigint", "float",
+                 "double") | t.startswith("decimal")
+    return (
+        F.when(c.isNull() | (t == "void"), F.lit("null"))
+        .when(t == "boolean", F.lit("bool"))
+        .when(num, F.lit("number"))
+        .when(t == "string", F.lit("string"))
+        .when(t == "binary", F.lit("bytes"))
+        .when(t.startswith("timestamp") | (t == "date"), F.lit("timestamp"))
+        .when(t.startswith("array"), F.lit("array"))
+        .when(t.startswith("map") | t.startswith("struct") |
+              (t == "variant"), F.lit("object"))
+        .otherwise(t)
+    )
+
+
+method("type", "b")(_bento_type)
+# try_parse_json: malformed input must flow to .catch()/_error, not
+# throw from the JVM (a plain parse_json exception is untrappable)
+method("parse_json", "b")(lambda c, schema=None: F.from_json(c, schema) if schema else F.try_parse_json(c))
 method("format_json", "a")(lambda c: F.to_json(c))
 method("parse_csv", "b")(lambda c, schema: F.from_csv(c, schema))
 method("parse_url_query", "b")(lambda c: F.str_to_map(c, F.lit("&"), F.lit("=")))

@@ -212,3 +212,26 @@ def test_root_conditional_object_with_deleted(row_df):
     out = plan.apply(row_df).collect()
     assert len(out) == 1
     assert out[0]["doubled"] == 2
+
+
+def test_collapse_dot_path_flatten(spark):
+    """collapse() flattens to dot-path keys (methods_structured.go
+    example verbatim), dropping empty containers by default — the old
+    compiled form returned a JSON STRING. Recursive flattening routes
+    to the tier-c interpreter by design (ThrowInExpression)."""
+    import json
+
+    from bento_spark.bloblang.interp import interpret_mapping
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    doc = {"foo": [{"bar": "1"}, {"bar": {}}, {"bar": "2"}, {"bar": []}]}
+    out, _ = interpret_mapping(
+        "root.result = this.collapse()", json.dumps(doc), {}
+    )
+    assert out == {"result": {"foo.0.bar": "1", "foo.2.bar": "2"}}
+
+    df = spark.createDataFrame([(json.dumps(doc),)], "content string")
+    rows = PROCESSORS["mapping"](df, "root.result = this.collapse()").collect()
+    assert json.loads(rows[0]["content"]) == {
+        "result": {"foo.0.bar": "1", "foo.2.bar": "2"}
+    }

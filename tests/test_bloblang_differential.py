@@ -221,6 +221,22 @@ CURATED = [
     'root = {"r": this.s.slice(0, 3)}',
     # numeric formatting parity
     'root = {"r": this.b + this.a, "neg": -this.c}',
+    # round-8 parity batch: negative slices (old compile was off by
+    # one), reference type() names, single-param fold lambda over
+    # {tally, value}, encode/decode/hash on both engines,
+    # replace_all_many / with, bool string(), ==/!= null as VALUE
+    # equality (never SQL three-valued null)
+    'root = {"r": this.s.slice(-3), "q": this.s.slice(-5, -2)}',
+    'root = {"t": this.a.type(), "u": this.arr.type(),'
+    ' "v": this.obj.type(), "w": this.flag.type(), "x": this.missing.type()}',
+    'root = {"r": this.arr.fold(0, item -> item.tally + item.value)}',
+    'root = {"e": this.s.encode("base64").decode("base64").string(),'
+    ' "h": this.s.hash("sha256"), "u": this.t.encode("base64url")}',
+    'root = {"r": this.s.replace_all_many(["l", "_"]),'
+    ' "w": this.obj.with("x")}',
+    'root = {"b": this.flag.string(),'
+    ' "eq": this.missing == null, "ne": this.a != null}',
+    'root = {"c": this.s.capitalize()}',
 ]
 
 
