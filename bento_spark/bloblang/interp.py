@@ -568,6 +568,62 @@ def interpreted_mapping_df(df, src: str, content_col: str = "content"):
     return df.mapInPandas(gen, cols)
 
 
+def _to_datetime(v):
+    """Coerce a receiver to datetime: RFC3339-ish strings, epoch
+    numbers (the reference's dual representation), datetimes as-is."""
+    from datetime import datetime, timezone
+
+    if hasattr(v, "strftime"):
+        return v
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return datetime.fromtimestamp(float(v), tz=timezone.utc)
+    s = str(v)
+    try:
+        return datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        raise InterpError(f"cannot parse timestamp {s!r}") from None
+
+
+def _ts_method(name: str, recv, args):
+    """Interpreter twins of the ts_* family — Go layouts translated by
+    tslayout, timestamps carried as tz-aware datetimes."""
+    from datetime import datetime, timezone
+
+    from bento_spark.bloblang.tslayout import (
+        go_layout_to_strptime,
+        looks_like_go_layout,
+    )
+
+    def pyfmt(fmt):
+        fmt = str(fmt)
+        sp = go_layout_to_strptime(fmt) if looks_like_go_layout(fmt) else fmt
+        # python strptime has no %:z / %-X variants
+        return (sp.replace("%:z", "%z").replace("%-I", "%I")
+                .replace("%-m", "%m").replace("%-d", "%d")
+                .replace("%-M", "%M").replace("%-S", "%S")
+                .replace("%e", "%d"))
+
+    if name == "ts_parse":
+        dt = datetime.strptime(str(recv), pyfmt(args[0]))
+        return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+    if name == "ts_strptime":  # C codes, no layout translation
+        dt = datetime.strptime(str(recv), str(args[0]))
+        return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+    dt = _to_datetime(recv)
+    if name == "ts_format":
+        return dt.strftime(pyfmt(args[0]))
+    if name == "ts_strftime":
+        return dt.strftime(str(args[0]))
+    epoch = dt.timestamp()
+    if name == "ts_unix":
+        return int(epoch)
+    if name == "ts_unix_milli":
+        return int(round(epoch * 1e3))
+    if name == "ts_unix_micro":
+        return int(round(epoch * 1e6))
+    return int(round(epoch * 1e9))  # ts_unix_nano
+
+
 _NO_METHOD = object()
 
 
@@ -679,6 +735,10 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
 
         return _re.sub(str(args[0]), str(args[1]).replace("$", "\\"),
                        str(recv))
+    if name in ("ts_parse", "ts_format", "ts_unix", "ts_unix_milli",
+                "ts_unix_micro", "ts_unix_nano", "ts_strptime",
+                "ts_strftime"):
+        return _ts_method(name, recv, args)
     if name == "quote":
         return json.dumps(str(recv))
     if name == "unquote":

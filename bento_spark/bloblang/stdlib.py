@@ -188,8 +188,24 @@ method("float32", "a")(lambda c: c.cast("float"))
 
 # ---- timestamps (bloblang_time.go) ---------------------------------------
 
-method("ts_parse", "a")(lambda c, fmt: F.to_timestamp(c, fmt))
-method("ts_format", "a")(lambda c, fmt: F.date_format(c, fmt))
+def _ts_pattern(fmt: str) -> str:
+    """The reference's ts_parse/ts_format take GO layouts (patterns
+    over the magic time `Mon Jan 2 15:04:05 MST 2006`). Java patterns
+    cannot contain bare digits, so any digit marks a Go layout and
+    triggers translation; Java-pattern callers pass through."""
+    from bento_spark.bloblang.tslayout import (
+        go_layout_to_java,
+        looks_like_go_layout,
+    )
+
+    fmt = str(fmt)
+    return go_layout_to_java(fmt) if looks_like_go_layout(fmt) else fmt
+
+
+method("ts_parse", "a")(
+    lambda c, fmt: F.to_timestamp(c.cast("string"), _ts_pattern(fmt))
+)
+method("ts_format", "a")(lambda c, fmt: F.date_format(c, _ts_pattern(fmt)))
 method("ts_unix", "a")(lambda c: F.unix_timestamp(c))
 method("ts_unix_milli", "b")(lambda c: F.unix_millis(c.cast("timestamp")))
 method("ts_unix_micro", "b")(lambda c: F.unix_micros(c.cast("timestamp")))
@@ -347,16 +363,12 @@ method("unquote", "b")(lambda c: F.regexp_replace(F.regexp_replace(c, '^"|"$', "
 
 
 def _strftime_to_java(fmt: str) -> str:
-    """C strftime -> Java DateTimeFormatter pattern (common subset)."""
-    table = {
-        "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
-        "%S": "ss", "%y": "yy", "%j": "DDD", "%b": "MMM", "%B": "MMMM",
-        "%a": "EEE", "%A": "EEEE", "%p": "a", "%z": "Z", "%%": "%",
-    }
-    out = fmt
-    for k, v in table.items():
-        out = out.replace(k, v)
-    return out
+    """C strftime -> Java DateTimeFormatter pattern. Delegates to the
+    scanner in tslayout (which also QUOTES literal letters — the 'T'
+    in '%Y-%m-%dT%H:%M:%S' is a reserved pattern char unquoted)."""
+    from bento_spark.bloblang.tslayout import strptime_to_java
+
+    return strptime_to_java(fmt)
 
 
 method("ts_strftime", "b")(lambda c, fmt: F.date_format(c, _strftime_to_java(fmt)))

@@ -1,0 +1,125 @@
+"""Go reference-time layout translation.
+
+The reference's ts_parse/ts_format take Go layouts — patterns written
+against the magic reference time ``Mon Jan 2 15:04:05 MST 2006``
+(go doc time/format.go). The engine executes on Spark (Java
+DateTimeFormatter patterns) and Python (strptime %-codes), so layouts
+are translated token-by-token with a longest-match scanner. Literal
+ASCII letters between tokens are quoted (Java) or passed through
+(strptime), since Java reserves unquoted letters as pattern chars —
+the 'T' in ``2006-01-02T15:04:05`` must emit as ``'T'``.
+
+A format string containing any bare digit cannot be a valid Java
+pattern (Java requires digits quoted), so digits are the translation
+trigger: Java-pattern users keep their strings untouched.
+"""
+
+from __future__ import annotations
+
+# longest-match first: (go_token, java_pattern, strptime_code)
+_TOKENS = [
+    ("2006", "yyyy", "%Y"),
+    ("January", "MMMM", "%B"),
+    ("Jan", "MMM", "%b"),
+    ("Monday", "EEEE", "%A"),
+    ("Mon", "EEE", "%a"),
+    (".000000000", ".SSSSSSSSS", ".%f"),
+    (".000000", ".SSSSSS", ".%f"),
+    (".000", ".SSS", ".%f"),
+    (".999999999", "[.SSSSSSSSS]", ".%f"),
+    (".999999", "[.SSSSSS]", ".%f"),
+    (".999", "[.SSS]", ".%f"),
+    ("15", "HH", "%H"),
+    ("01", "MM", "%m"),
+    ("02", "dd", "%d"),
+    ("03", "hh", "%I"),
+    ("04", "mm", "%M"),
+    ("05", "ss", "%S"),
+    ("06", "yy", "%y"),
+    ("002", "DDD", "%j"),
+    ("_2", "d", "%e"),
+    ("PM", "a", "%p"),
+    ("pm", "a", "%p"),
+    ("Z07:00", "XXX", "%:z"),
+    ("Z0700", "XX", "%z"),
+    ("Z07", "X", "%z"),
+    ("-07:00", "xxx", "%:z"),
+    ("-0700", "xx", "%z"),
+    ("-07", "x", "%z"),
+    ("MST", "zz", "%Z"),
+    ("3", "h", "%-I"),
+    ("1", "M", "%-m"),
+    ("2", "d", "%-d"),
+    ("4", "m", "%-M"),
+    ("5", "s", "%-S"),
+]
+
+
+def looks_like_go_layout(fmt: str) -> bool:
+    """Go layouts spell out the reference DATE, so they contain digits;
+    Java patterns cannot contain bare digits (they must be quoted)."""
+    return any(ch.isdigit() for ch in fmt)
+
+
+def _scan(fmt: str, pick, literal):
+    out = []
+    i = 0
+    while i < len(fmt):
+        for tok, java, sp in _TOKENS:
+            if tok and fmt.startswith(tok, i):
+                out.append(pick(java, sp))
+                i += len(tok)
+                break
+        else:
+            out.append(literal(fmt[i]))
+            i += 1
+    return "".join(out)
+
+
+def go_layout_to_java(fmt: str) -> str:
+    """Go layout -> Spark/Java DateTimeFormatter pattern."""
+    def lit(ch: str) -> str:
+        if ch.isalpha():
+            return f"'{ch}'"
+        if ch == "'":
+            return "''"
+        return ch
+
+    return _scan(fmt, lambda java, sp: java, lit)
+
+
+def go_layout_to_strptime(fmt: str) -> str:
+    """Go layout -> C strptime/strftime %-codes (python datetime)."""
+    def lit(ch: str) -> str:
+        return "%%" if ch == "%" else ch
+
+    return _scan(fmt, lambda java, sp: sp, lit)
+
+
+def strptime_to_java(fmt: str) -> str:
+    """C strptime %-codes -> Spark/Java pattern (for ts_strptime /
+    ts_strftime, which the reference defines with C codes)."""
+    table = {
+        "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+        "%I": "hh", "%M": "mm", "%S": "ss", "%j": "DDD", "%b": "MMM",
+        "%B": "MMMM", "%a": "EEE", "%A": "EEEE", "%p": "a", "%z": "xx",
+        "%Z": "zz", "%f": "SSSSSS", "%%": "'%'",
+    }
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            code = fmt[i:i + 2]
+            if code in table:
+                out.append(table[code])
+                i += 2
+                continue
+        ch = fmt[i]
+        if ch.isalpha():
+            out.append(f"'{ch}'")
+        elif ch == "'":
+            out.append("''")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)

@@ -239,6 +239,27 @@ CURATED = [
     'root = {"c": this.s.capitalize()}',
 ]
 
+# timestamp layouts run on a dedicated doc (Go reference layouts must
+# translate identically on both engines — tslayout.py)
+TS_DOC = {"ts": "2024-03-05T06:07:08Z", "d": "05/Mar/2024 06:07"}
+TS_CURATED = [
+    'root = {"r": this.ts.ts_parse("2006-01-02T15:04:05Z07:00").ts_unix()}',
+    'root = {"r": this.ts.ts_parse("2006-01-02T15:04:05Z07:00")'
+    '.ts_format("02 Jan 2006")}',
+    'root = {"r": this.d.ts_parse("02/Jan/2006 15:04").ts_unix()}',
+    'root = {"r": this.ts.ts_strptime("%Y-%m-%dT%H:%M:%SZ").ts_unix()}',
+    'root = {"r": this.ts.ts_parse("2006-01-02T15:04:05Z07:00")'
+    '.ts_unix_milli()}',
+]
+
+
+@pytest.mark.parametrize("idx", range(len(TS_CURATED)))
+def test_ts_layouts_agree(spark, idx):
+    src = TS_CURATED[idx]
+    comp = _compiled(spark, src, [TS_DOC])
+    interp = _interpreted(src, [TS_DOC])
+    assert _canon_num(comp[0]) == _canon_num(interp[0]), src
+
 
 @pytest.mark.parametrize("idx", range(len(CURATED)))
 def test_curated_constructs_agree(spark, idx):
