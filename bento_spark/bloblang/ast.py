@@ -55,6 +55,9 @@ class Var(Node):
 class FuncCall(Node):
     name: str
     args: list[Node] = field(default_factory=list)
+    # parallel to args: the written `name:` of each named argument,
+    # None for positional — args keep written order either way
+    arg_names: list[str | None] = field(default_factory=list)
 
 
 @dataclass
@@ -62,6 +65,7 @@ class MethodCall(Node):
     recv: Node
     name: str
     args: list[Node] = field(default_factory=list)
+    arg_names: list[str | None] = field(default_factory=list)
 
 
 @dataclass

@@ -702,6 +702,15 @@ def _compile_method(node: A.MethodCall, env: Env) -> Column:
         recv = node.recv.value
     else:
         recv = compile_node(node.recv, env)
+    if node.name == "type":
+        # VARIANT receivers: typeof() can't see the contained value;
+        # dispatch per-value on schema_of_variant (advice r8)
+        from pyspark.sql.types import VariantType
+
+        if isinstance(_type_of(env, recv), VariantType):
+            from bento_spark.bloblang.stdlib import _bento_type_variant
+
+            return _bento_type_variant(recv)
     if node.name == "length":
         # Bloblang length() is polymorphic (strings AND arrays/maps);
         # dispatch on the analyzed type, defaulting to string length

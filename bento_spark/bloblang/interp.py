@@ -611,7 +611,14 @@ def _ts_method(name: str, recv, args):
         return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
     dt = _to_datetime(recv)
     if name == "ts_format":
-        return dt.strftime(pyfmt(args[0]))
+        # Go layouts format token-directly (non-padded codes and
+        # fraction widths have no faithful strftime translation)
+        from bento_spark.bloblang.tslayout import go_layout_format
+
+        fmt = str(args[0])
+        if looks_like_go_layout(fmt):
+            return go_layout_format(dt, fmt)
+        return dt.strftime(pyfmt(fmt))
     if name == "ts_strftime":
         return dt.strftime(str(args[0]))
     epoch = dt.timestamp()

@@ -156,7 +156,8 @@ class Parser:
                 if name.kind not in ("ident", "kw"):
                     raise ParseError(f"expected field/method after '.' at {name.pos}")
                 if self.at("op", "("):
-                    node = A.MethodCall(node, name.text, self.call_args())
+                    m_args, m_names = self.call_args()
+                    node = A.MethodCall(node, name.text, m_args, m_names)
                 else:
                     if isinstance(node, A.Path):
                         node = A.Path(node.base, [*node.parts, name.text])
@@ -172,13 +173,17 @@ class Parser:
             break
         return node
 
-    def call_args(self) -> list[A.Node]:
+    def call_args(self) -> tuple[list[A.Node], list[str | None]]:
         self.expect("op", "(")
         args: list[A.Node] = []
+        names: list[str | None] = []
         if not self.at("op", ")"):
             while True:
                 # named-argument form `name: expr` (the reference's
-                # named params); arguments keep their written order
+                # named params); arguments keep their written order but
+                # the name is RECORDED — signature-sensitive methods
+                # (hash's optional key before polynomial) remap by name
+                arg_name: str | None = None
                 if self.at("ident"):
                     j = self.i
                     while self.toks[j].kind == "nl":
@@ -187,13 +192,14 @@ class Parser:
                     while self.toks[k].kind == "nl":
                         k += 1
                     if self.toks[k].kind == "op" and self.toks[k].text == ":":
-                        self.next()  # name
+                        arg_name = self.next().text  # name
                         self.next()  # ':'
                 args.append(self.lambda_or_expr())
+                names.append(arg_name)
                 if not self.eat("op", ","):
                     break
         self.expect("op", ")")
-        return args
+        return args, names
 
     def lambda_or_expr(self) -> A.Node:
         # `x -> expr` lambda (query_expression_parser.go:219-224)
@@ -232,7 +238,7 @@ class Parser:
                 return self.match_expr()
             if t.text == "meta":
                 if self.at("op", "("):
-                    args = self.call_args()
+                    args, _names = self.call_args()
                     return A.FuncCall("meta", args)
                 return A.FuncCall("meta", [])
             raise ParseError(f"unexpected keyword {t.text!r} at {t.pos}")
@@ -250,7 +256,8 @@ class Parser:
             return A.FuncCall("meta", [])
         if t.kind == "ident":
             if self.at("op", "("):
-                return A.FuncCall(t.text, self.call_args())
+                f_args, f_names = self.call_args()
+                return A.FuncCall(t.text, f_args, f_names)
             # bare identifier = naked field path relative to `this`
             # (mapping context), or a lambda param name resolved by the
             # compiler's environment first
@@ -395,7 +402,8 @@ class Parser:
             save = self.i
             name = self.next()
             if self.at("op", "("):
-                return A.LetAssign("_", A.FuncCall(name.text, self.call_args()))
+                c_args, c_names = self.call_args()
+                return A.LetAssign("_", A.FuncCall(name.text, c_args, c_names))
             self.i = save
         # naked path assignment: `foo = ...` / `foo.bar = ...` is
         # shorthand for `root.foo...` (mapping/assignment.go — the

@@ -198,14 +198,61 @@ def _ts_pattern(fmt: str) -> str:
         looks_like_go_layout,
     )
 
+    import re
+
     fmt = str(fmt)
-    return go_layout_to_java(fmt) if looks_like_go_layout(fmt) else fmt
+    if not looks_like_go_layout(fmt):
+        return fmt
+    # parse-side: Go's `.999`/`.000` runs accept 1-9 fraction digits
+    # on Parse regardless of the run's width; Spark parses up to the
+    # pattern width, so widen to the 9-digit optional form
+    fmt = re.sub(r"\.(9+|0+)", ".999999999", fmt)
+    return go_layout_to_java(fmt)
 
 
 method("ts_parse", "a")(
     lambda c, fmt: F.to_timestamp(c.cast("string"), _ts_pattern(fmt))
 )
-method("ts_format", "a")(lambda c, fmt: F.date_format(c, _ts_pattern(fmt)))
+
+
+@method("ts_format", "b")
+def _ts_format(c, fmt):
+    """Go `.999` fraction runs trim trailing zeros and omit a zero
+    fraction entirely; Java's optional section `[.SSS]` still prints
+    `.000` — so .9-runs format as their own segment and trim, the
+    fixed parts go through one date_format each."""
+    import re
+
+    from bento_spark.bloblang.tslayout import (
+        go_layout_to_java,
+        looks_like_go_layout,
+    )
+
+    fmt = str(fmt)
+    if not looks_like_go_layout(fmt):
+        return F.date_format(c, fmt)
+    # Go tokens with no Java-pattern equivalent compile as their own
+    # concat segment: `.9`-runs (trim zeros, omit zero fractions),
+    # `_2` (space-padded day), `pm` (lowercase meridiem)
+    parts = [p for p in re.split(r"(\.9+|_2|pm)", fmt) if p]
+    if not any(re.fullmatch(r"\.9+|_2|pm", p) for p in parts):
+        return F.date_format(c, go_layout_to_java(fmt))
+    cols = []
+    for p in parts:
+        if re.fullmatch(r"\.9+", p):
+            width = min(len(p) - 1, 9)
+            frac = F.date_format(c, "." + "S" * width)
+            cols.append(F.regexp_replace(frac, r"\.?0+$", ""))
+        elif p == "_2":
+            cols.append(F.lpad(F.date_format(c, "d"), 2, " "))
+        elif p == "pm":
+            cols.append(F.lower(F.date_format(c, "a")))
+        else:
+            # piece-wise: the whole fmt is a Go layout, so each split
+            # piece translates as one too (digit-trigger would skip
+            # digit-free pieces like " PM")
+            cols.append(F.date_format(c, go_layout_to_java(p)))
+    return F.concat(*cols)
 method("ts_unix", "a")(lambda c: F.unix_timestamp(c))
 method("ts_unix_milli", "b")(lambda c: F.unix_millis(c.cast("timestamp")))
 method("ts_unix_micro", "b")(lambda c: F.unix_micros(c.cast("timestamp")))
@@ -299,6 +346,28 @@ def _bento_type(c):
 
 
 method("type", "b")(_bento_type)
+
+
+def _bento_type_variant(c):
+    """`type()` for VARIANT receivers: F.typeof reports "variant"
+    regardless of the contained value, so dispatch on the per-value
+    schema_of_variant name instead (compiler routes here when the
+    receiver's analyzed type is VariantType)."""
+    vt = F.schema_of_variant(c)
+    num = vt.isin("BIGINT", "INT", "SMALLINT", "TINYINT", "FLOAT",
+                  "DOUBLE") | vt.startswith("DECIMAL")
+    return (
+        F.when(c.isNull() | F.is_variant_null(c) | (vt == "VOID"),
+               F.lit("null"))
+        .when(vt == "BOOLEAN", F.lit("bool"))
+        .when(num, F.lit("number"))
+        .when(vt == "STRING", F.lit("string"))
+        .when(vt == "BINARY", F.lit("bytes"))
+        .when(vt.startswith("TIMESTAMP") | (vt == "DATE"),
+              F.lit("timestamp"))
+        .when(vt.startswith("ARRAY"), F.lit("array"))
+        .otherwise(F.lit("object"))
+    )
 # try_parse_json: malformed input must flow to .catch()/_error, not
 # throw from the JVM (a plain parse_json exception is untrappable)
 method("parse_json", "b")(lambda c, schema=None: F.from_json(c, schema) if schema else F.try_parse_json(c))

@@ -96,6 +96,72 @@ def go_layout_to_strptime(fmt: str) -> str:
     return _scan(fmt, lambda java, sp: sp, lit)
 
 
+def go_layout_format(dt, fmt: str) -> str:
+    """Format a datetime directly from a Go layout (interpreter twin).
+
+    strftime can't express Go's semantics exactly: non-padded tokens
+    (3/1/2/4/5) have no portable %-code, `.000` runs are fixed-width
+    at the LAYOUT's width (strftime %f is always 6), and `.999` runs
+    trim trailing zeros and omit a zero fraction entirely — so emit
+    each token's value directly instead of translating the string."""
+    h12 = dt.hour % 12 or 12
+    micro = dt.microsecond
+
+    def frac(width: int, trim: bool) -> str:
+        digits = f"{micro * 1000:09d}"[:width]
+        if trim:
+            digits = digits.rstrip("0")
+            return f".{digits}" if digits else ""
+        return f".{digits}"
+
+    def off(colon: bool, minutes: bool, zulu: bool) -> str:
+        o = dt.utcoffset()
+        total = 0 if o is None else int(o.total_seconds())
+        if zulu and total == 0:
+            return "Z"
+        sign = "-" if total < 0 else "+"
+        total = abs(total)
+        hh, mm = divmod(total // 60, 60)
+        if not minutes:
+            return f"{sign}{hh:02d}"
+        return f"{sign}{hh:02d}:{mm:02d}" if colon else f"{sign}{hh:02d}{mm:02d}"
+
+    vals = {
+        "2006": f"{dt.year:04d}", "06": f"{dt.year % 100:02d}",
+        "January": dt.strftime("%B"), "Jan": dt.strftime("%b"),
+        "Monday": dt.strftime("%A"), "Mon": dt.strftime("%a"),
+        ".000000000": frac(9, False), ".000000": frac(6, False),
+        ".000": frac(3, False),
+        ".999999999": frac(9, True), ".999999": frac(6, True),
+        ".999": frac(3, True),
+        "15": f"{dt.hour:02d}", "01": f"{dt.month:02d}",
+        "02": f"{dt.day:02d}", "03": f"{h12:02d}",
+        "04": f"{dt.minute:02d}", "05": f"{dt.second:02d}",
+        "002": f"{dt.timetuple().tm_yday:03d}", "_2": f"{dt.day:2d}",
+        "PM": "PM" if dt.hour >= 12 else "AM",
+        "pm": "pm" if dt.hour >= 12 else "am",
+        "Z07:00": off(True, True, True), "Z0700": off(False, True, True),
+        "Z07": off(True, False, True),
+        "-07:00": off(True, True, False), "-0700": off(False, True, False),
+        "-07": off(True, False, False),
+        "MST": dt.tzname() or "UTC",
+        "3": str(h12), "1": str(dt.month), "2": str(dt.day),
+        "4": str(dt.minute), "5": str(dt.second),
+    }
+    out = []
+    i = 0
+    while i < len(fmt):
+        for tok, _java, _sp in _TOKENS:
+            if fmt.startswith(tok, i):
+                out.append(vals[tok])
+                i += len(tok)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
 def strptime_to_java(fmt: str) -> str:
     """C strptime %-codes -> Spark/Java pattern (for ts_strptime /
     ts_strftime, which the reference defines with C codes)."""

@@ -466,6 +466,13 @@ def _compile(node: Node, cur: Column) -> Column:
         kind, key = node.value
         if kind == "field":
             return F.try_variant_get(base, f"$.{key}", "variant")
+        if key < 0:
+            # "$[-1]" is not a valid variant path (INVALID_VARIANT_GET_PATH
+            # at collect time, past the fallback window). Spark's 1-based
+            # negative element_at matches jq (-1 = last); try_ variant is
+            # null out-of-bounds like jq, and ANSI-safe.
+            arr = F.try_variant_get(base, "$", "array<variant>")
+            return F.try_element_at(arr, F.lit(key))
         return F.try_variant_get(base, f"$[{key}]", "variant")
     if node.kind == "lit":
         return F.parse_json(F.lit("null" if node.value is None else
@@ -521,38 +528,46 @@ def _compile(node: Node, cur: Column) -> Column:
             )
         if op == "*":
             # jq * is polymorphic: numbers multiply, string * n repeats
-            # (null when n <= 0), object * object merges (recursively in
-            # jq; here via map_zip_with with ONE nested level — deeper
-            # nested-object conflicts take the right side)
+            # (null when n <= 0), object * object merges recursively.
+            # The map_zip_with merge unrolls to a FIXED depth (jq's is
+            # unbounded); below _MERGE_DEPTH nested levels conflicts
+            # take the right side — documented divergence.
             lv, rv = _compile(le, cur), _compile(ri, cur)
             is_obj = (
                 lambda t: t.startswith("OBJECT") | t.startswith("MAP")
                 | t.startswith("STRUCT")
             )
             ls = F.try_variant_get(lv, "$", "string")
-            lm = F.try_variant_get(lv, "$", "map<string,variant>")
-            rm = F.try_variant_get(rv, "$", "map<string,variant>")
 
             def vmap(v):
                 return F.try_variant_get(v, "$", "map<string,variant>")
 
-            merged = F.map_zip_with(
-                lm, rm,
-                lambda k, a, b: F.when(b.isNull(), a)
-                .when(a.isNull(), b)
-                .when(
-                    _vtype(a).startswith("OBJECT")
-                    & _vtype(b).startswith("OBJECT"),
-                    F.try_variant_get(
-                        F.parse_json(F.to_json(F.map_zip_with(
-                            vmap(a), vmap(b),
-                            lambda k2, a2, b2: F.coalesce(b2, a2),
-                        ))),
-                        "$", "variant",
-                    ),
+            _MERGE_DEPTH = 4
+
+            def deep_merge(a, b, depth):
+                if depth == 0:
+                    return F.map_zip_with(
+                        vmap(a), vmap(b),
+                        lambda k, x, y: F.coalesce(y, x),
+                    )
+                return F.map_zip_with(
+                    vmap(a), vmap(b),
+                    lambda k, x, y: F.when(y.isNull(), x)
+                    .when(x.isNull(), y)
+                    .when(
+                        _vtype(x).startswith("OBJECT")
+                        & _vtype(y).startswith("OBJECT"),
+                        F.try_variant_get(
+                            F.parse_json(F.to_json(
+                                deep_merge(x, y, depth - 1)
+                            )),
+                            "$", "variant",
+                        ),
+                    )
+                    .otherwise(y),
                 )
-                .otherwise(b),
-            )
+
+            merged = deep_merge(lv, rv, _MERGE_DEPTH)
             return (
                 F.when(_is_num(lv) & _is_num(rv), _v(lnum * rnum))
                 .when(
@@ -628,6 +643,9 @@ def _compile(node: Node, cur: Column) -> Column:
                     F.when(F.floor(an) == an, _v(an.cast("long")))
                     .otherwise(_v(an)),
                 )
+                # jq raises "boolean has no length" — null, never the
+                # string length of "true"/"false" (advice r8)
+                .when(typ == "BOOLEAN", F.lit(None).cast("variant"))
                 .otherwise(_v(F.length(s)))
             )
         if name == "keys":

@@ -235,3 +235,23 @@ def test_collapse_dot_path_flatten(spark):
     assert json.loads(rows[0]["content"]) == {
         "result": {"foo.0.bar": "1", "foo.2.bar": "2"}
     }
+
+
+def test_type_on_variant_receiver_dispatches_per_value(spark):
+    """ADVICE r8: F.typeof reports "variant" for every VARIANT receiver,
+    so type() said "object" for variant strings/numbers; the compiler
+    now dispatches on schema_of_variant per value."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.bloblang.compiler import compile_expr
+
+    rows = [
+        ('"hi"', "string"), ("3", "number"), ("2.5", "number"),
+        ("true", "bool"), ("null", "null"), ("[1,2]", "array"),
+        ('{"a":1}', "object"),
+    ]
+    df = spark.createDataFrame([(j,) for j, _ in rows], "j string") \
+        .select(F.parse_json("j").alias("v"))
+    col = compile_expr("this.v.type()", df=df)
+    got = [r.t for r in df.select(col.alias("t")).collect()]
+    assert got == [want for _, want in rows]

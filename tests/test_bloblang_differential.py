@@ -241,7 +241,8 @@ CURATED = [
 
 # timestamp layouts run on a dedicated doc (Go reference layouts must
 # translate identically on both engines — tslayout.py)
-TS_DOC = {"ts": "2024-03-05T06:07:08Z", "d": "05/Mar/2024 06:07"}
+TS_DOC = {"ts": "2024-03-05T06:07:08Z", "d": "05/Mar/2024 06:07",
+          "tf": "2024-03-05T06:07:08.120Z", "tf2": "2024-03-05T06:07:08.12Z"}
 TS_CURATED = [
     'root = {"r": this.ts.ts_parse("2006-01-02T15:04:05Z07:00").ts_unix()}',
     'root = {"r": this.ts.ts_parse("2006-01-02T15:04:05Z07:00")'
@@ -250,6 +251,25 @@ TS_CURATED = [
     'root = {"r": this.ts.ts_strptime("%Y-%m-%dT%H:%M:%SZ").ts_unix()}',
     'root = {"r": this.ts.ts_parse("2006-01-02T15:04:05Z07:00")'
     '.ts_unix_milli()}',
+    # non-padded Go tokens (1/2/3/4/5) — strftime has no portable
+    # %-codes; interp formats token-directly now (advice r8)
+    'root = {"r": this.ts.ts_parse("2006-01-02T15:04:05Z07:00")'
+    '.ts_format("1/2/2006 3:04:05 PM")}',
+    # `.999` trims trailing zeros and omits a zero fraction entirely
+    # (Java [.SSS] prints .000 — compiled path segments + trims)
+    'root = {"r": this.tf.ts_parse("2006-01-02T15:04:05.999Z07:00")'
+    '.ts_format("15:04:05.999")}',
+    'root = {"r": this.ts.ts_parse("2006-01-02T15:04:05Z07:00")'
+    '.ts_format("15:04:05.999")}',
+    # `.000` is fixed-width at the LAYOUT's width (%f is always 6)
+    'root = {"r": this.tf.ts_parse("2006-01-02T15:04:05.999Z07:00")'
+    '.ts_format("15:04:05.000")}',
+    # `_2` space-pads the day; `pm` is the lowercase meridiem
+    'root = {"r": this.ts.ts_parse("2006-01-02T15:04:05Z07:00")'
+    '.ts_format("Jan _2 03:04 pm Z0700")}',
+    # parse-side: a `.999` run accepts 1-9 fraction digits like Go
+    'root = {"r": this.tf2.ts_parse("2006-01-02T15:04:05.999Z07:00")'
+    '.ts_format("2006-01-02T15:04:05.999999Z07:00")}',
 ]
 
 

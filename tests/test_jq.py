@@ -538,3 +538,47 @@ def test_jq_engines_agree_on_shared_surface(spark):
                 assert float(got) == float(want), (prog, i)
             else:
                 assert got == want, (prog, i, got, want)
+
+
+def test_jq_negative_index_column_path(spark):
+    """ADVICE r8 (high): `.[-1]` must run on the Column path — the
+    variant path "$[-1]" is invalid and detonated at collect time,
+    past the interpreter-fallback window."""
+    from bento_spark.operators.jq_interp import run_program
+
+    docs = [{"a": [1, 2, 3]}, {"a": []}, {"a": [9]}]
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)], "id long, j string"
+    )
+    for prog in (".a[-1]", ".a[-2]", ".a[-5]"):
+        rows = {r.id: r.result for r in jq(df, "j", prog).collect()}
+        ast = parse_jq(prog)
+        for i, d in enumerate(docs):
+            want = run_program(ast, d)[0]
+            got = None if rows.get(i) is None else json.loads(rows[i])
+            assert got == want, (prog, i, got, want)
+
+
+def test_jq_boolean_has_no_length_column(spark):
+    """jq raises "boolean has no length"; the Column path must yield
+    null — never the string length of "true" (ADVICE r8)."""
+    df = spark.createDataFrame([(0, '{"f": true, "g": false}')],
+                               "id long, j string")
+    for prog in (".f | length", ".g | length"):
+        rows = jq(df, "j", prog).collect()
+        assert len(rows) == 0 or rows[0].result is None, (prog, rows)
+
+
+def test_jq_object_merge_recursive_depth(spark):
+    """Object `*` merges recursively (unrolled to depth 4 on the
+    Column path) — conflicts three levels deep must still merge
+    key-wise, not take the right side wholesale (ADVICE r8)."""
+    from bento_spark.operators.jq_interp import run_program
+
+    doc = {"o": {"a": {"b": {"c": {"keep": 1, "x": 1}, "k2": 2}, "w": 3}}}
+    prog = '.o * {"a": {"b": {"c": {"x": 9}}}}'
+    df = spark.createDataFrame([(0, json.dumps(doc))], "id long, j string")
+    got = json.loads(jq(df, "j", prog).collect()[0].result)
+    want = run_program(parse_jq(prog), doc)[0]
+    assert got == want
+    assert got["a"]["b"]["c"] == {"keep": 1, "x": 9}
