@@ -43,6 +43,21 @@ NOTHING_V = _NothingV()
 MAX_APPLY_DEPTH = 64
 
 
+def _json_default(v):
+    """bytes render as base64 in JSON — Go json.Marshal([]byte) and
+    Spark's to_json(BinaryType) both do this; the reference's hash/
+    decode docs pin it ("otherwise it will be base64 encoded")."""
+    import base64 as _b64
+
+    if isinstance(v, (bytes, bytearray)):
+        return _b64.b64encode(bytes(v)).decode()
+    raise TypeError(f"not JSON serializable: {type(v)}")
+
+
+def jdumps(v, **kw) -> str:
+    return json.dumps(v, default=_json_default, **kw)
+
+
 def _node_src(node: A.Node) -> str:
     """Render simple receiver chains back to source-ish text for
     reference-compatible error messages (`this.0`, `this.foo.bar`)."""
@@ -313,8 +328,11 @@ class Interp:
                 return "true" if recv else "false"  # Go, not 'True'
             if recv is None:
                 return "null"
+            if isinstance(recv, (bytes, bytearray)):
+                # Go string(bytes): raw byte reinterpretation
+                return bytes(recv).decode("utf-8", "replace")
             if isinstance(recv, (dict, list)):
-                return json.dumps(recv, separators=(",", ":"))
+                return jdumps(recv, separators=(",", ":"))
             return str(recv)
         if name == "number":
             try:
@@ -339,6 +357,28 @@ class Interp:
                 raise InterpError("value is null")
             return recv
         args = [self.eval(a, this, vars_) for a in node.args]
+        if any(n is not None for n in node.arg_names):
+            # named-argument remap by the reference's ParamSpec order;
+            # gaps (hash(algorithm:, polynomial:) without key) fill
+            # with None, which every optional param treats as absent
+            from bento_spark.bloblang.stdlib import METHOD_PARAM_NAMES
+
+            sig = METHOD_PARAM_NAMES.get(name)
+            if sig is None:
+                raise InterpError(
+                    f"method {name}() does not take named arguments"
+                )
+            by_name: dict[str, Any] = {}
+            pos = 0
+            for a, n in zip(args, node.arg_names):
+                if n is None:
+                    by_name[sig[pos]] = a
+                    pos += 1
+                else:
+                    by_name[n] = a
+            args = [by_name.get(p) for p in sig]
+            while args and args[-1] is None:
+                args.pop()
         out = _simple_method(name, recv, args)
         if out is not _NO_METHOD:
             return out
@@ -388,7 +428,7 @@ class Interp:
                 if v is not NOTHING_V and v is not DELETED_V:
                     self.meta[stmt.key] = (
                         v if isinstance(v, str)
-                        else json.dumps(v, separators=(",", ":"))
+                        else jdumps(v, separators=(",", ":"))
                     )
                 continue
             if isinstance(stmt, A.Assign):
@@ -552,8 +592,8 @@ def interpreted_mapping_df(df, src: str, content_col: str = "content"):
                         continue
                     text = (
                         doc if isinstance(doc, str)
-                        else json.dumps(doc, separators=(",", ":"),
-                                        sort_keys=True)
+                        else jdumps(doc, separators=(",", ":"),
+                                       sort_keys=True)
                     )
                 except InterpError as e:
                     text = content
@@ -668,7 +708,7 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
                     elif isinstance(a, float) and a.is_integer():
                         out.append(str(int(a)))
                     elif isinstance(a, (dict, list)):
-                        out.append(json.dumps(a, separators=(",", ":")))
+                        out.append(jdumps(a, separators=(",", ":")))
                     else:
                         out.append(str(a))
                 elif spec == "s":
@@ -751,41 +791,90 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
     if name == "unquote":
         return json.loads(str(recv))
     if name == "encode":
+        # reference scheme set, string result (methods_strings.go:88);
+        # hex is LOWERCASE (Go hex.Encode)
         import base64 as _b64
 
-        data = recv if isinstance(recv, bytes) else str(recv).encode()
+        data = recv if isinstance(recv, (bytes, bytearray)) \
+            else str(recv).encode()
+        data = bytes(data)
         scheme = str(args[0])
         if scheme == "base64":
             return _b64.b64encode(data).decode()
         if scheme == "base64url":
             return _b64.urlsafe_b64encode(data).decode()
+        if scheme == "base64rawurl":
+            return _b64.urlsafe_b64encode(data).decode().rstrip("=")
         if scheme == "hex":
-            return data.hex().upper()  # Spark F.hex is uppercase
-        raise InterpError(f"encode scheme {scheme!r} not supported")
+            return data.hex()
+        if scheme == "ascii85":
+            return _b64.a85encode(data).decode()
+        raise InterpError(f"unrecognized encoding type: {scheme}")
     if name == "decode":
+        # -> BYTES (methods.md decode: "returns the result as a byte
+        # array ... otherwise it will be base64 encoded by default")
         import base64 as _b64
 
-        s = str(recv)
+        if isinstance(recv, (bytes, bytearray)):
+            s = bytes(recv).decode("utf-8", "replace")
+        else:
+            s = str(recv)
         scheme = str(args[0])
         if scheme == "base64":
-            return _b64.b64decode(s + "=" * (-len(s) % 4)).decode(
-                "utf-8", "replace")
-        if scheme == "base64url":
-            return _b64.urlsafe_b64decode(s + "=" * (-len(s) % 4)).decode(
-                "utf-8", "replace")
+            return _b64.b64decode(s + "=" * (-len(s) % 4))
+        if scheme in ("base64url", "base64rawurl"):
+            return _b64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
         if scheme == "hex":
-            return bytes.fromhex(s).decode("utf-8", "replace")
-        raise InterpError(f"decode scheme {scheme!r} not supported")
+            return bytes.fromhex(s)
+        if scheme == "ascii85":
+            return _b64.a85decode(s)
+        raise InterpError(f"unrecognized encoding type: {scheme}")
     if name == "hash":
-        import hashlib as _hl
+        # -> digest BYTES, full reference algorithm set (hmac_*, md5,
+        # sha*, xxhash64, crc32+polynomials, fnv32) — hashing.hash_py
+        from bento_spark.operators.hashing import hash_py
 
-        data = recv if isinstance(recv, bytes) else str(recv).encode()
-        algo = str(args[0]).lower()
-        if algo in ("md5", "sha1", "sha256", "sha512"):
-            # compiled twins (F.md5/sha1/sha2) emit the hex digest —
-            # md5/sha1 lowercase, sha2 lowercase as well
-            return getattr(_hl, algo)(data).hexdigest()
-        raise InterpError(f"hash algo {algo!r} not supported")
+        data = bytes(recv) if isinstance(recv, (bytes, bytearray)) \
+            else str(recv).encode()
+        key = args[1] if len(args) > 1 and args[1] is not None else None
+        if key is not None and not isinstance(key, (bytes, bytearray)):
+            key = str(key).encode()
+        poly = str(args[2]) if len(args) > 2 and args[2] is not None \
+            else "IEEE"
+        try:
+            return hash_py(data, str(args[0]), key, poly)
+        except ValueError as ex:
+            raise InterpError(str(ex)) from None
+    if name in ("encrypt_aes", "decrypt_aes"):
+        from bento_spark.operators.aescipher import (
+            decrypt_aes_py,
+            encrypt_aes_py,
+        )
+
+        data = bytes(recv) if isinstance(recv, (bytes, bytearray)) \
+            else str(recv).encode()
+        if len(args) != 3:
+            raise InterpError(f"{name} takes (scheme, key, iv)")
+        key = args[1] if isinstance(args[1], (bytes, bytearray)) \
+            else str(args[1]).encode()
+        iv = args[2] if isinstance(args[2], (bytes, bytearray)) \
+            else str(args[2]).encode()
+        fn = encrypt_aes_py if name == "encrypt_aes" else decrypt_aes_py
+        try:
+            return fn(data, str(args[0]), bytes(key), bytes(iv))
+        except ValueError as ex:
+            raise InterpError(str(ex)) from None
+    if name in ("compress", "decompress"):
+        from bento_spark.operators.codecs import compress_py, decompress_py
+
+        data = bytes(recv) if isinstance(recv, (bytes, bytearray)) \
+            else str(recv).encode()
+        algo = str(args[0]) if args else "gzip"
+        try:
+            return compress_py(data, algo) if name == "compress" \
+                else decompress_py(data, algo)
+        except (ValueError, KeyError, OSError) as ex:
+            raise InterpError(str(ex)) from None
     if name == "replace_all_many":
         s = str(recv)
         pairs = args[0]

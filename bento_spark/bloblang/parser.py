@@ -166,7 +166,28 @@ class Parser:
                 continue
             if t.kind == "op" and t.text == "[":
                 self.next(skip_nl=False)
+                # bracket SLICE syntax `v[0:2]` / `v[4:]` / `v[:-4]`
+                # (methods.md slice: "Bracket syntax (recommended)") —
+                # desugars to the slice() method
+                if self.at("op", ":"):
+                    self.next()
+                    hi = self.expr()
+                    self.expect("op", "]")
+                    node = A.MethodCall(node, "slice",
+                                        [A.Lit(0), hi], [None, None])
+                    continue
                 idx = self.expr()
+                if self.at("op", ":"):
+                    self.next()
+                    if self.at("op", "]"):
+                        self.next()
+                        node = A.MethodCall(node, "slice", [idx], [None])
+                        continue
+                    hi = self.expr()
+                    self.expect("op", "]")
+                    node = A.MethodCall(node, "slice",
+                                        [idx, hi], [None, None])
+                    continue
                 self.expect("op", "]")
                 node = A.Index(node, idx)
                 continue

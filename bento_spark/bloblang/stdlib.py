@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 - pandas_udf type hints resolve here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -101,6 +102,23 @@ def _str_slice(c, lo, hi=None):
 
 
 method("slice", "b")(_str_slice)
+
+
+def _arr_slice(c, lo, hi=None):
+    """Array slice twin of _str_slice (methods.md slice works on
+    arrays AND strings; the compiler dispatches on receiver type)."""
+    n = F.size(c)
+    lo_c = lo if isinstance(lo, Column) else F.lit(int(lo))
+    start = F.when(lo_c < 0, F.greatest(n + lo_c, F.lit(0))) \
+        .otherwise(F.least(lo_c, n))
+    if hi is None:
+        end = n
+    else:
+        hi_c = hi if isinstance(hi, Column) else F.lit(int(hi))
+        end = F.when(hi_c < 0, F.greatest(n + hi_c, F.lit(0))) \
+            .otherwise(F.least(hi_c, n))
+    end = F.greatest(end, start)
+    return F.slice(c, start + 1, end - start)
 method("split", "a")(lambda c, sep: F.split(c, sep, -1))
 method("replace_all", "a")(lambda c, a, b: F.replace(c, V(a), V(b)))
 method("re_replace_all", "a")(lambda c, p, r: F.regexp_replace(c, p, r))
@@ -126,47 +144,130 @@ method("bytes", "a")(lambda c: c.cast("binary"))
 
 # ---- encoding / hashing (bloblang_encoding.go, methods_strings.go) ------
 
+# methods whose compiled builder takes a ``recv_type`` kwarg (the
+# compiler's analyzed receiver type): BYTES receivers (a prior
+# .hash()/.decode()) must NOT detour through a string cast
+RECV_TYPE_AWARE = {
+    "encode", "decode", "hash", "encrypt_aes", "decrypt_aes",
+    "compress", "decompress",
+}
 
-def _as_bin(c: Column) -> Column:
+# reference ParamSpec orderings for named-argument remapping
+# (methods_strings.go NewMethodSpec Param chains)
+METHOD_PARAM_NAMES = {
+    "hash": ("algorithm", "key", "polynomial"),
+    "encode": ("scheme",),
+    "decode": ("scheme",),
+    "encrypt_aes": ("scheme", "key", "iv"),
+    "decrypt_aes": ("scheme", "key", "iv"),
+    "compress": ("algorithm", "level"),
+    "decompress": ("algorithm",),
+    "replace_all": ("old", "new"),
+    "trim": ("cutset",),
+    "slice": ("low", "high"),
+    "split": ("delimiter",),
+}
+
+
+def _as_bin(c: Column, recv_type=None) -> Column:
+    from pyspark.sql.types import BinaryType
+
+    if isinstance(recv_type, BinaryType):
+        return c
     # receivers may be VARIANT (pipeline content paths) — a direct
-    # variant->binary cast nulls out, so go through string
+    # variant->binary cast nulls out, so go through string (Spark's
+    # string<->binary casts are raw-byte-preserving, no re-encode)
     return c.cast("string").cast("binary")
 
 
+def const_fold(x, what: str = "argument"):
+    """Evaluate a constant Column (a literal `let` like
+    `\"2b7e..\".decode(\"hex\")`) to its Python value at compile time —
+    the reference resolves these as ParamString at method parse time
+    (query/params.go), so config-static is the contract. A Column that
+    reads input fields fails the fold and the mapping routes to the
+    tier-c interpreter, where per-message values are fine."""
+    if not isinstance(x, Column):
+        return x
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    try:
+        row = spark.range(1).select(x.alias("v")).first()
+    except Exception as ex:  # noqa: BLE001 - non-constant expression
+        raise NonConstantArg(
+            f"{what} must be config-static (the reference resolves it "
+            f"at parse time); routing to the interpreter: {ex}"
+        ) from None
+    v = row["v"]
+    return bytes(v) if isinstance(v, bytearray) else v
+
+
+class NonConstantArg(ValueError):
+    """A method argument the compiled path needs statically was
+    per-message dynamic; the pipeline routes such mappings to the
+    interpreter (plans/pipeline.py fallback set)."""
+
+
+def _key_bytes(k) -> bytes:
+    k = const_fold(k, "key")
+    return k.encode() if isinstance(k, str) else bytes(k)
+
+
 @method("encode", "b")
-def _encode(c: Column, scheme: str) -> Column:
+def _encode(c: Column, scheme: str, recv_type=None) -> Column:
+    """Reference scheme set (methods_strings.go:88-187): base64,
+    base64url, base64rawurl, hex (LOWERCASE — Go hex.Encode), ascii85.
+    Returns a string; accepts string OR bytes receivers."""
+    b = _as_bin(c, recv_type)
     if scheme == "base64":
-        return F.base64(_as_bin(c))
+        return F.base64(b)
     if scheme == "base64url":
-        return F.translate(F.base64(_as_bin(c)), "+/", "-_")
+        return F.translate(F.base64(b), "+/", "-_")
+    if scheme == "base64rawurl":
+        return F.regexp_replace(F.translate(F.base64(b), "+/", "-_"), "=+$", "")
     if scheme == "hex":
-        return F.hex(_as_bin(c))
-    raise ValueError(f"encode scheme {scheme!r} not supported")
+        return F.lower(F.hex(b))
+    if scheme == "ascii85":
+        from bento_spark.operators.codecs import a85_encode_col
+
+        return a85_encode_col(b)
+    raise ValueError(f"unrecognized encoding type: {scheme}")
 
 
 @method("decode", "b")
-def _decode(c: Column, scheme: str) -> Column:
+def _decode(c: Column, scheme: str, recv_type=None) -> Column:
+    """-> BYTES (the reference returns a byte array; JSON rendering
+    base64s it, `.string()` decodes it — methods.md decode docs)."""
+    s = c.cast("string")
     if scheme == "base64":
-        return F.unbase64(c.cast("string"))
-    if scheme == "base64url":
-        return F.unbase64(F.translate(c.cast("string"), "-_", "+/"))
+        return F.unbase64(s)
+    if scheme in ("base64url", "base64rawurl"):
+        # unbase64 tolerates missing padding, so rawurl shares the path
+        return F.unbase64(F.translate(s, "-_", "+/"))
     if scheme == "hex":
-        return F.unhex(c.cast("string"))
-    raise ValueError(f"decode scheme {scheme!r} not supported")
+        return F.unhex(s)
+    if scheme == "ascii85":
+        from bento_spark.operators.codecs import a85_decode_col
+
+        return a85_decode_col(s)
+    raise ValueError(f"unrecognized encoding type: {scheme}")
 
 
 @method("hash", "b")
-def _hash(c: Column, algo: str) -> Column:
-    algo = algo.lower()
-    if algo == "md5":
-        return F.md5(_as_bin(c))
-    if algo == "sha1":
-        return F.sha1(_as_bin(c))
-    if algo in ("sha256", "sha512"):
-        return F.sha2(_as_bin(c), int(algo[3:]))
-    if algo == "xxhash64":
-        return F.xxhash64(c).cast("string")
-    raise ValueError(f"hash algo {algo!r} not supported")
+def _hash(c: Column, algo: str, key=None, polynomial: str = "IEEE",
+          recv_type=None) -> Column:
+    """-> digest BYTES, reference-exact (methods_strings.go:756-897;
+    doc example `hash(\"sha1\").encode(\"hex\")` = 2aae6c35…). xxhash64
+    and fnv32 return the decimal string AS bytes like Go's
+    strconv.FormatUint; crc32 takes the polynomial param."""
+    from bento_spark.operators.hashing import hash_col
+
+    key_b = _key_bytes(key) if key is not None else None
+    return hash_col(
+        _as_bin(c, recv_type), str(algo),
+        key_b, str(const_fold(polynomial, "polynomial")),
+    )
 
 
 # ---- numbers (methods_numbers.go, bloblang_numbers.go) -------------------
@@ -208,6 +309,25 @@ def _ts_pattern(fmt: str) -> str:
     # pattern width, so widen to the 9-digit optional form
     fmt = re.sub(r"\.(9+|0+)", ".999999999", fmt)
     return go_layout_to_java(fmt)
+
+
+def _to_ts(c: Column, recv_type=None) -> Column:
+    """Timestamp coercion (bloblang_time.go value.AsTimestamp): numbers
+    are unix SECONDS (fractions = sub-second), strings parse as
+    RFC3339/ISO; a numeric STRING still coerces via the double path."""
+    from pyspark.sql import types as T
+
+    if isinstance(recv_type, T.TimestampType):
+        return c
+    if isinstance(recv_type, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType, T.FloatType, T.DoubleType,
+                              T.DecimalType)):
+        return F.timestamp_seconds(c)
+    s = c.cast("string")
+    return F.coalesce(
+        s.try_cast("timestamp"),
+        F.timestamp_seconds(s.try_cast("double")),
+    )
 
 
 method("ts_parse", "a")(
@@ -741,40 +861,62 @@ def _parse_url(c: Column) -> Column:
 # ---- encoding / crypto (bloblang_encoding.go) -----------------------------
 
 
-@method("encrypt_aes", "b")
-def _encrypt_aes(c: Column, mode: str, key, iv=None) -> Column:
-    """AES via Spark's native aes_encrypt (GCM/CBC/ECB)."""
-    m = {"cbc": "CBC", "gcm": "GCM", "ecb": "ECB"}.get(mode.lower())
-    if m is None:
-        raise ValueError(f"aes mode {mode!r} not supported (cbc/gcm/ecb)")
-    kwargs = {}
-    if iv is not None:
-        kwargs["iv"] = V(iv).cast("binary")
-    return F.aes_encrypt(
-        c.cast("binary"), V(key).cast("binary"), F.lit(m), F.lit("DEFAULT"), **kwargs
+def _aes_col(c: Column, scheme, key, iv, encrypt: bool,
+             recv_type=None) -> Column:
+    """ctr/ofb/cbc/gcm over the from-scratch AES (operators/
+    aescipher.py) — reference-exact output framing: gcm emits
+    ct||tag with NO nonce prefix, cbc does not pad (Go cipher
+    semantics, methods_strings.go:281-470). Spark's aes_encrypt
+    prepends its IV and lacks ctr entirely, hence the Arrow UDF.
+    Key and iv are config-static (reference ParamStrings) and fold
+    at compile time; the mode set deliberately EXCLUDES ecb (the
+    reference never offered it)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from bento_spark.operators.aescipher import (
+        decrypt_aes_py,
+        encrypt_aes_py,
     )
 
+    scheme_s = str(const_fold(scheme, "scheme")).lower()
+    if scheme_s not in ("ctr", "ofb", "cbc", "gcm"):
+        raise ValueError(f"unrecognized encryption type: {scheme_s}")
+    key_b = _key_bytes(key)
+    iv_b = _key_bytes(iv)
+    fn = encrypt_aes_py if encrypt else decrypt_aes_py
 
-@method("decrypt_aes", "b")
-def _decrypt_aes(c: Column, mode: str, key) -> Column:
-    m = {"cbc": "CBC", "gcm": "GCM", "ecb": "ECB"}.get(mode.lower())
-    if m is None:
-        raise ValueError(f"aes mode {mode!r} not supported (cbc/gcm/ecb)")
-    return F.aes_decrypt(c.cast("binary"), V(key).cast("binary"), F.lit(m))
+    @pandas_udf("binary")
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else fn(bytes(v), scheme_s, key_b, iv_b)
+        )
+
+    return run(_as_bin(c, recv_type))
+
+
+@method("encrypt_aes", "c")
+def _encrypt_aes(c: Column, scheme, key, iv, recv_type=None) -> Column:
+    return _aes_col(c, scheme, key, iv, True, recv_type)
+
+
+@method("decrypt_aes", "c")
+def _decrypt_aes(c: Column, scheme, key, iv, recv_type=None) -> Column:
+    return _aes_col(c, scheme, key, iv, False, recv_type)
 
 
 @method("compress", "c")
-def _compress_m(c: Column, algo: str = "gzip") -> Column:
+def _compress_m(c: Column, algo: str = "gzip", level=None,
+                recv_type=None) -> Column:
     from bento_spark.operators.codecs import compress_col
 
-    return compress_col(c.cast("binary"), algo)
+    return compress_col(_as_bin(c, recv_type), str(const_fold(algo)))
 
 
 @method("decompress", "c")
-def _decompress_m(c: Column, algo: str = "gzip") -> Column:
+def _decompress_m(c: Column, algo: str = "gzip", recv_type=None) -> Column:
     from bento_spark.operators.codecs import decompress_col
 
-    return decompress_col(c.cast("binary"), algo)
+    return decompress_col(_as_bin(c, recv_type), str(const_fold(algo)))
 
 
 @method("format_msgpack", "c")

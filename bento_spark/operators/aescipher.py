@@ -1,0 +1,325 @@
+"""From-scratch AES (FIPS 197) with the Bloblang ``encrypt_aes`` /
+``decrypt_aes`` mode set: ``ctr``, ``ofb`` (deprecated alias kept for
+parity), ``cbc``, ``gcm`` (reference:
+internal/bloblang/query/methods_strings.go:281-470 — Go crypto/cipher
+semantics).
+
+Pinned reference behaviors:
+- key sizes 16/24/32 bytes (aes.NewCipher);
+- ctr/ofb/cbc require ``len(iv) == 16``; gcm takes a 12-byte nonce
+  (cipher.NewGCM standard size);
+- cbc does NOT pad: non-multiple-of-16 plaintext is an error
+  (CryptBlocks), and decryption does not unpad;
+- gcm output is ciphertext || 16-byte tag (Seal appends, nonce is NOT
+  prepended — unlike Spark's aes_encrypt, which prepends the IV; that
+  is why this module exists instead of F.aes_encrypt);
+- ECB is NOT offered (the reference never had it).
+
+This generalizes the AES-128-CTR already built for the SSH transport
+(operators/ssh_wire.py:111) to all key sizes + modes, with GHASH
+(GF(2^128), SP 800-38D) for GCM. Pure Python by design — encryption is
+config-path work over message bodies, executed through Arrow-batched
+pandas UDFs (see bloblang/stdlib.py), never a per-row Python UDF in a
+relational hot path.
+"""
+
+from __future__ import annotations
+
+# ---- S-box generated from GF(2^8) (FIPS 197 §5.1.1), same derivation
+# as ssh_wire._make_sbox ------------------------------------------------
+
+
+def _make_sbox() -> list[int]:
+    p, q = 1, 1
+    sbox = [0] * 256
+    sbox[0] = 0x63
+    while True:
+        # p *= 3 in GF(2^8)
+        p = p ^ ((p << 1) ^ (0x1B if p & 0x80 else 0)) & 0xFF
+        # q /= 3 (multiply by inverse of 3)
+        q ^= q << 1
+        q ^= q << 2
+        q ^= q << 4
+        q &= 0xFF
+        if q & 0x80:
+            q ^= 0x09
+        x = q ^ ((q << 1) | (q >> 7)) ^ ((q << 2) | (q >> 6)) \
+            ^ ((q << 3) | (q >> 5)) ^ ((q << 4) | (q >> 4))
+        sbox[p] = (x ^ 0x63) & 0xFF
+        if p == 1:
+            break
+    return sbox
+
+
+SBOX = _make_sbox()
+INV_SBOX = [0] * 256
+for _i, _v in enumerate(SBOX):
+    INV_SBOX[_v] = _i
+
+
+def _xtime(a: int) -> int:
+    return ((a << 1) ^ 0x1B) & 0xFF if a & 0x80 else a << 1
+
+
+def _gmul(a: int, b: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a = _xtime(a)
+        b >>= 1
+    return r
+
+
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def key_schedule(key: bytes) -> list[list[int]]:
+    """-> round keys as (Nr+1) lists of 16 bytes (FIPS 197 §5.2)."""
+    nk = len(key) // 4
+    if len(key) not in (16, 24, 32):
+        raise ValueError("crypto/aes: invalid key size " + str(len(key)))
+    nr = {4: 10, 6: 12, 8: 14}[nk]
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]  # RotWord
+            t = [SBOX[x] for x in t]  # SubWord
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [SBOX[x] for x in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [
+        [b for word in w[4 * r : 4 * r + 4] for b in word]
+        for r in range(nr + 1)
+    ]
+
+
+def encrypt_block(rks: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rks[0])]
+    nr = len(rks) - 1
+    for rnd in range(1, nr):
+        s = [SBOX[x] for x in s]
+        # ShiftRows on column-major state: byte index = 4*col + row
+        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+        # MixColumns
+        ns = []
+        for c in range(4):
+            col = s[4 * c : 4 * c + 4]
+            ns += [
+                _xtime(col[0]) ^ _xtime(col[1]) ^ col[1] ^ col[2] ^ col[3],
+                col[0] ^ _xtime(col[1]) ^ _xtime(col[2]) ^ col[2] ^ col[3],
+                col[0] ^ col[1] ^ _xtime(col[2]) ^ _xtime(col[3]) ^ col[3],
+                _xtime(col[0]) ^ col[0] ^ col[1] ^ col[2] ^ _xtime(col[3]),
+            ]
+        s = [x ^ k for x, k in zip(ns, rks[rnd])]
+    s = [SBOX[x] for x in s]
+    s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+    s = [x ^ k for x, k in zip(s, rks[nr])]
+    return bytes(s)
+
+
+def decrypt_block(rks: list[list[int]], block: bytes) -> bytes:
+    nr = len(rks) - 1
+    s = [b ^ k for b, k in zip(block, rks[nr])]
+    for rnd in range(nr - 1, 0, -1):
+        # InvShiftRows (right-rotate row r by r)
+        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+        s = [INV_SBOX[x] for x in s]
+        s = [x ^ k for x, k in zip(s, rks[rnd])]
+        # InvMixColumns
+        ns = []
+        for c in range(4):
+            col = s[4 * c : 4 * c + 4]
+            ns += [
+                _gmul(col[0], 14) ^ _gmul(col[1], 11) ^ _gmul(col[2], 13) ^ _gmul(col[3], 9),
+                _gmul(col[0], 9) ^ _gmul(col[1], 14) ^ _gmul(col[2], 11) ^ _gmul(col[3], 13),
+                _gmul(col[0], 13) ^ _gmul(col[1], 9) ^ _gmul(col[2], 14) ^ _gmul(col[3], 11),
+                _gmul(col[0], 11) ^ _gmul(col[1], 13) ^ _gmul(col[2], 9) ^ _gmul(col[3], 14),
+            ]
+        s = ns
+    s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+    s = [INV_SBOX[x] for x in s]
+    s = [x ^ k for x, k in zip(s, rks[0])]
+    return bytes(s)
+
+
+# ---- modes ----------------------------------------------------------------
+
+
+def _check_iv(iv: bytes) -> None:
+    if len(iv) != 16:
+        raise ValueError("the key must match the initialisation vector size")
+
+
+def ctr_xor(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CTR keystream (SP 800-38A §6.5): full-width big-endian counter,
+    same for encrypt and decrypt."""
+    _check_iv(iv)
+    rks = key_schedule(key)
+    ctr = int.from_bytes(iv, "big")
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        ks = encrypt_block(rks, ctr.to_bytes(16, "big"))
+        ctr = (ctr + 1) % (1 << 128)
+        chunk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(chunk, ks))
+    return bytes(out)
+
+
+def ofb_xor(key: bytes, iv: bytes, data: bytes) -> bytes:
+    _check_iv(iv)
+    rks = key_schedule(key)
+    fb = iv
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        fb = encrypt_block(rks, fb)
+        chunk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(chunk, fb))
+    return bytes(out)
+
+
+def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    _check_iv(iv)
+    if len(data) % 16:
+        raise ValueError("plaintext is not a multiple of the block size")
+    rks = key_schedule(key)
+    prev = iv
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = encrypt_block(rks, blk)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    _check_iv(iv)
+    if len(data) % 16:
+        raise ValueError("ciphertext is not a multiple of the block size")
+    rks = key_schedule(key)
+    prev = iv
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(decrypt_block(rks, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+# ---- GCM (SP 800-38D) ------------------------------------------------------
+
+_R = 0xE1 << 120
+
+
+def _ghash_mul(x: int, y: int) -> int:
+    """GF(2^128) multiply, MSB-first bit order (SP 800-38D §6.3)."""
+    z = 0
+    v = x
+    for i in range(127, -1, -1):
+        if (y >> i) & 1:
+            z ^= v
+        v = (v >> 1) ^ _R if v & 1 else v >> 1
+    return z
+
+
+def _ghash(h: int, aad: bytes, ct: bytes) -> bytes:
+    def blocks(data: bytes):
+        for i in range(0, len(data), 16):
+            yield data[i : i + 16].ljust(16, b"\0")
+
+    y = 0
+    for blk in blocks(aad):
+        y = _ghash_mul(y ^ int.from_bytes(blk, "big"), h)
+    for blk in blocks(ct):
+        y = _ghash_mul(y ^ int.from_bytes(blk, "big"), h)
+    lens = (len(aad) * 8).to_bytes(8, "big") + (len(ct) * 8).to_bytes(8, "big")
+    y = _ghash_mul(y ^ int.from_bytes(lens, "big"), h)
+    return y.to_bytes(16, "big")
+
+
+def _gcm_j0(rks, nonce: bytes) -> bytes:
+    if len(nonce) == 12:
+        return nonce + b"\x00\x00\x00\x01"
+    h = int.from_bytes(encrypt_block(rks, b"\0" * 16), "big")
+    return _ghash_j0(h, nonce)
+
+
+def _ghash_j0(h: int, nonce: bytes) -> bytes:
+    # GHASH over the nonce alone with the length block (no AAD/CT split)
+    y = 0
+    for i in range(0, len(nonce), 16):
+        blk = nonce[i : i + 16].ljust(16, b"\0")
+        y = _ghash_mul(y ^ int.from_bytes(blk, "big"), h)
+    lens = (0).to_bytes(8, "big") + (len(nonce) * 8).to_bytes(8, "big")
+    y = _ghash_mul(y ^ int.from_bytes(lens, "big"), h)
+    return y.to_bytes(16, "big")
+
+
+def _gcm_ctr32(rks, j0: bytes, data: bytes) -> bytes:
+    # 32-bit wrapping counter over the last 4 bytes (GCTR)
+    prefix = j0[:12]
+    ctr = int.from_bytes(j0[12:], "big")
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        ctr = (ctr + 1) & 0xFFFFFFFF
+        ks = encrypt_block(rks, prefix + ctr.to_bytes(4, "big"))
+        chunk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(chunk, ks))
+    return bytes(out)
+
+
+def gcm_seal(key: bytes, nonce: bytes, data: bytes, aad: bytes = b"") -> bytes:
+    """-> ciphertext || 16-byte tag (cipher.NewGCM(...).Seal with nil
+    dst — nonce NOT included in the output)."""
+    rks = key_schedule(key)
+    j0 = _gcm_j0(rks, nonce)
+    ct = _gcm_ctr32(rks, j0, data)
+    h = int.from_bytes(encrypt_block(rks, b"\0" * 16), "big")
+    s = _ghash(h, aad, ct)
+    tag = bytes(a ^ b for a, b in zip(encrypt_block(rks, j0), s))
+    return ct + tag
+
+
+def gcm_open(key: bytes, nonce: bytes, sealed: bytes, aad: bytes = b"") -> bytes:
+    if len(sealed) < 16:
+        raise ValueError("cipher: message authentication failed")
+    ct, tag = sealed[:-16], sealed[-16:]
+    rks = key_schedule(key)
+    j0 = _gcm_j0(rks, nonce)
+    h = int.from_bytes(encrypt_block(rks, b"\0" * 16), "big")
+    s = _ghash(h, aad, ct)
+    want = bytes(a ^ b for a, b in zip(encrypt_block(rks, j0), s))
+    if want != tag:
+        raise ValueError("cipher: message authentication failed")
+    return _gcm_ctr32(rks, j0, ct)
+
+
+# ---- the Bloblang method surface ------------------------------------------
+
+
+def encrypt_aes_py(data: bytes, scheme: str, key: bytes, iv: bytes) -> bytes:
+    scheme = scheme.lower()
+    if scheme == "ctr":
+        return ctr_xor(key, iv, data)
+    if scheme == "ofb":
+        return ofb_xor(key, iv, data)
+    if scheme == "cbc":
+        return cbc_encrypt(key, iv, data)
+    if scheme == "gcm":
+        return gcm_seal(key, iv, data)
+    raise ValueError(f"unrecognized encryption type: {scheme}")
+
+
+def decrypt_aes_py(data: bytes, scheme: str, key: bytes, iv: bytes) -> bytes:
+    scheme = scheme.lower()
+    if scheme == "ctr":
+        return ctr_xor(key, iv, data)
+    if scheme == "ofb":
+        return ofb_xor(key, iv, data)
+    if scheme == "cbc":
+        return cbc_decrypt(key, iv, data)
+    if scheme == "gcm":
+        return gcm_open(key, iv, data)
+    raise ValueError(f"unrecognized encryption type: {scheme}")

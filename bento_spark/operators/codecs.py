@@ -22,17 +22,73 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+def _flate_compress(b: bytes) -> bytes:
+    co = _zlib.compressobj(6, _zlib.DEFLATED, -15)  # raw DEFLATE
+    return co.compress(b) + co.flush()
+
+
+def _flate_decompress(b: bytes) -> bytes:
+    return _zlib.decompress(b, -15)
+
+
+def _lz4_compress(b: bytes) -> bytes:
+    from bento_spark.operators.lz4snappy import lz4_frame_compress
+
+    return lz4_frame_compress(b)
+
+
+def _lz4_decompress(b: bytes) -> bytes:
+    from bento_spark.operators.lz4snappy import lz4_frame_decompress
+
+    return lz4_frame_decompress(b)
+
+
+def _snappy_compress(b: bytes) -> bytes:
+    from bento_spark.operators.lz4snappy import snappy_compress
+
+    return snappy_compress(b)
+
+
+def _snappy_decompress(b: bytes) -> bytes:
+    from bento_spark.operators.lz4snappy import snappy_decompress_any
+
+    return snappy_decompress_any(b)
+
+
+# full reference registry (internal/impl/pure/algorithms.go:194-299):
+# gzip / pgzip (parallel gzip — same format, stdlib remap) / zlib /
+# flate (raw DEFLATE) / bzip2 / lz4 (frame) / snappy (block); plus the
+# repo's historical bz2/lzma spellings
 _CODECS = {
     "zlib": (lambda b: _zlib.compress(b, 6), _zlib.decompress),
     "gzip": (lambda b: _gzip.compress(b, 6, mtime=0), _gzip.decompress),
+    "pgzip": (lambda b: _gzip.compress(b, 6, mtime=0), _gzip.decompress),
+    "flate": (_flate_compress, _flate_decompress),
     "bz2": (lambda b: _bz2.compress(b), _bz2.decompress),
+    "bzip2": (lambda b: _bz2.compress(b), _bz2.decompress),
     "lzma": (lambda b: _lzma.compress(b), _lzma.decompress),
+    "lz4": (_lz4_compress, _lz4_decompress),
+    "snappy": (_snappy_compress, _snappy_decompress),
 }
+
+
+def compress_py(data: bytes, algo: str) -> bytes:
+    if algo not in _CODECS:
+        raise ValueError(f"unknown compression algorithm: {algo}")
+    return _CODECS[algo][0](data)
+
+
+def decompress_py(data: bytes, algo: str) -> bytes:
+    if algo not in _CODECS:
+        raise ValueError(f"unknown compression algorithm: {algo}")
+    return _CODECS[algo][1](data)
 
 
 def compress_col(col: Column, algo: str = "zlib") -> Column:
     """BINARY -> compressed BINARY (deterministic: fixed level, gzip
     mtime pinned to 0)."""
+    if algo not in _CODECS:
+        raise ValueError(f"unknown compression algorithm: {algo}")
     enc, _ = _CODECS[algo]
 
     @pandas_udf("binary")
@@ -43,11 +99,40 @@ def compress_col(col: Column, algo: str = "zlib") -> Column:
 
 
 def decompress_col(col: Column, algo: str = "zlib") -> Column:
+    if algo not in _CODECS:
+        raise ValueError(f"unknown compression algorithm: {algo}")
     _, dec = _CODECS[algo]
 
     @pandas_udf("binary")
     def run(s: pd.Series) -> pd.Series:
         return s.map(lambda b: None if b is None else dec(bytes(b)))
+
+    return run(col)
+
+
+def a85_encode_col(col: Column) -> Column:
+    """BINARY -> ascii85 string (Go encoding/ascii85 semantics — the
+    Bloblang ``encode("ascii85")`` scheme; stdlib a85encode matches
+    Go's encoder incl. the all-zero 'z' fold)."""
+    import base64 as _b64
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else _b64.a85encode(bytes(b)).decode()
+        )
+
+    return run(col)
+
+
+def a85_decode_col(col: Column) -> Column:
+    import base64 as _b64
+
+    @pandas_udf("binary")
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else _b64.a85decode(str(v))
+        )
 
     return run(col)
 

@@ -1,0 +1,339 @@
+"""Reference-exact hashing for the Bloblang ``hash`` method and the
+lz4 frame checksums (reference: internal/bloblang/query/
+methods_strings.go:756-897 — algorithms hmac_sha1/256/512, md5, sha1,
+sha256, sha512, xxhash64, crc32 (IEEE/Castagnoli/Koopman polynomials),
+fnv32).
+
+Semantics pinned from the reference:
+- every algorithm returns BYTES (hasher.Sum(nil)); JSON rendering
+  base64s them, ``.encode("hex")`` hexes them (methods.md hash docs);
+- ``xxhash64`` and ``fnv32`` return the DECIMAL STRING of the unsigned
+  sum *as bytes* (strconv.FormatUint — methods_strings.go:852-857,
+  874-879);
+- ``crc32`` returns the raw big-endian 4-byte digest, polynomial
+  selected by name.
+
+Column builders stay JVM-side where Spark has the primitive
+(sha1/sha2/md5/crc32-IEEE are codegen'd; HMAC composes two sha passes
+with precomputed pad literals; CRC-variants and FNV fold per-byte with
+``F.aggregate`` over a 256-entry table literal — still whole-stage
+codegen, no Python). Only xxhash64 needs an Arrow-batched pandas UDF
+(64-bit wraparound arithmetic is unexpressible under ANSI longs).
+
+The Python twins (``*_py``) are from-scratch public-spec
+implementations shared by the tier-c interpreter and the UDFs;
+xxHash64/32 follow the published xxHash spec (Cyan4973), CRC-32 is the
+standard reflected table algorithm, FNV-1 the published offset/prime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as _hmac
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# reflected (LSB-first) polynomials, Go hash/crc32 constants
+CRC_POLYS = {
+    "IEEE": 0xEDB88320,
+    "Castagnoli": 0x82F63B78,
+    "Koopman": 0xEB31D82E,
+}
+
+_M64 = (1 << 64) - 1
+_M32 = (1 << 32) - 1
+
+# ---------------------------------------------------------------------------
+# Python implementations (interpreter + UDF twins)
+# ---------------------------------------------------------------------------
+
+
+def make_crc_table(poly: int) -> list[int]:
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        tbl.append(c)
+    return tbl
+
+
+_CRC_TABLES: dict[int, list[int]] = {}
+
+
+def crc32_py(data: bytes, polynomial: str = "IEEE") -> int:
+    poly = CRC_POLYS[polynomial]
+    tbl = _CRC_TABLES.get(poly)
+    if tbl is None:
+        tbl = _CRC_TABLES[poly] = make_crc_table(poly)
+    c = 0xFFFFFFFF
+    for b in data:
+        c = tbl[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def fnv32_py(data: bytes) -> int:
+    """FNV-1 32-bit (Go fnv.New32: multiply THEN xor)."""
+    h = 2166136261
+    for b in data:
+        h = ((h * 16777619) & _M32) ^ b
+    return h
+
+
+# xxHash primes (public spec)
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx64_round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl64(acc, 31) * _P1) & _M64
+
+
+def xxhash64_py(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _xx64_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xx64_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xx64_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xx64_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xx64_round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = _xx64_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h ^ k, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl64(h ^ k, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# xxHash32 primes (lz4 frame header/content checksums use XXH32)
+_Q1 = 0x9E3779B1
+_Q2 = 0x85EBCA77
+_Q3 = 0xC2B2AE3D
+_Q4 = 0x27D4EB2F
+_Q5 = 0x165667B1
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxhash32_py(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _Q1 + _Q2) & _M32
+        v2 = (seed + _Q2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _Q1) & _M32
+        while i + 16 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 4 * j : i + 4 * j + 4], "little")
+                v = (v + lane * _Q2) & _M32
+                v = (_rotl32(v, 13) * _Q1) & _M32
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _Q5) & _M32
+    h = (h + n) & _M32
+    # xxh32 finalization ACCUMULATES (+=) where xxh64 XORs
+    while i + 4 <= n:
+        h = (h + int.from_bytes(data[i : i + 4], "little") * _Q3) & _M32
+        h = (_rotl32(h, 17) * _Q4) & _M32
+        i += 4
+    while i < n:
+        h = (h + data[i] * _Q5) & _M32
+        h = (_rotl32(h, 11) * _Q1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _Q2) & _M32
+    h ^= h >> 13
+    h = (h * _Q3) & _M32
+    h ^= h >> 16
+    return h
+
+
+_HMAC_ALGOS = {"hmac_sha1": "sha1", "hmac_sha256": "sha256", "hmac_sha512": "sha512"}
+
+
+def hash_py(data: bytes, algorithm: str, key: bytes | None = None,
+            polynomial: str = "IEEE") -> bytes:
+    """The interpreter's hash: reference-exact bytes for every
+    algorithm (methods_strings.go:800-887)."""
+    algorithm = algorithm.replace("-", "_")
+    if algorithm in _HMAC_ALGOS:
+        if not key:
+            raise ValueError(
+                f"hash algorithm {algorithm} requires a key argument"
+            )
+        return _hmac.new(key, data, _HMAC_ALGOS[algorithm]).digest()
+    if algorithm in ("md5", "sha1", "sha256", "sha512"):
+        return hashlib.new(algorithm, data).digest()
+    if algorithm == "xxhash64":
+        return str(xxhash64_py(data)).encode()
+    if algorithm == "crc32":
+        if polynomial not in CRC_POLYS:
+            raise ValueError(f"unsupported crc32 hash key {polynomial!r}")
+        return crc32_py(data, polynomial).to_bytes(4, "big")
+    if algorithm == "fnv32":
+        return str(fnv32_py(data)).encode()
+    raise ValueError(f"unrecognized hash type: {algorithm}")
+
+
+# ---------------------------------------------------------------------------
+# Column builders
+# ---------------------------------------------------------------------------
+
+
+def _byte_at(b: Column, i: Column) -> Column:
+    # one byte of a BINARY column as 0-255 (hex/conv keeps it JVM-side;
+    # ascii() would decode codepoints, wrong past 0x7f)
+    return F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("long")
+
+
+def _byte_fold(b: Column, init: int, step) -> Column:
+    """Fold ``step(acc, byte)`` over a BINARY column's bytes (empty
+    input keeps init — sequence(1,0) would DESCEND, hence the guard)."""
+    idxs = F.when(F.length(b) > 0, F.sequence(F.lit(1), F.length(b))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.aggregate(
+        idxs, F.lit(init).cast("long"),
+        lambda acc, i: step(acc, _byte_at(b, i)),
+    )
+
+
+def crc32_col(b: Column, polynomial: str = "IEEE") -> Column:
+    """BINARY -> 4-byte big-endian CRC digest. IEEE rides Spark's
+    codegen'd crc32; the other polynomials fold through a 256-entry
+    table literal (element_at) — still pure Column."""
+    if polynomial == "IEEE":
+        crc = F.crc32(b)
+    elif polynomial in CRC_POLYS:
+        poly = CRC_POLYS[polynomial]
+        tbl = _CRC_TABLES.get(poly)
+        if tbl is None:
+            tbl = _CRC_TABLES[poly] = make_crc_table(poly)
+        arr = F.array(*[F.lit(v).cast("long") for v in tbl])
+        crc = _byte_fold(
+            b, 0xFFFFFFFF,
+            lambda acc, byt: F.element_at(
+                arr, (acc.bitwiseXOR(byt).bitwiseAND(F.lit(255))).cast("int") + 1
+            ).bitwiseXOR(F.shiftright(acc, 8)),
+        ).bitwiseXOR(F.lit(0xFFFFFFFF))
+    else:
+        raise ValueError(f"unsupported crc32 hash key {polynomial!r}")
+    return F.unhex(F.lpad(F.hex(crc), 8, "0"))
+
+
+def fnv32_col(b: Column) -> Column:
+    """BINARY -> FNV-1 32-bit decimal string as bytes."""
+    h = _byte_fold(
+        b, 2166136261,
+        lambda acc, byt: (acc * 16777619).bitwiseAND(F.lit(_M32)).bitwiseXOR(byt),
+    )
+    return h.cast("string").cast("binary")
+
+
+def xxhash64_col(b: Column) -> Column:
+    """BINARY -> xxHash64(seed 0) decimal string as bytes. NOT
+    F.xxhash64 — that hashes Spark's internal value encoding with
+    seed 42 (a different number entirely); the reference hashes the
+    content bytes (methods_strings.go:852-857). 64-bit wraparound
+    multiply is unexpressible under ANSI longs, so this one algorithm
+    is an Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else str(xxhash64_py(bytes(v))).encode()
+        )
+
+    return run(b)
+
+
+def hmac_col(b: Column, algorithm: str, key: bytes) -> Column:
+    """HMAC over Spark's sha primitives: K xor ipad / K xor opad are
+    precomputed literals (the key is config-static in the reference —
+    ParamString), so the whole construction is two codegen'd sha
+    passes: H(opad || H(ipad || m))."""
+    halgo = _HMAC_ALGOS[algorithm]
+    block = 128 if halgo == "sha512" else 64
+    k = key
+    if len(k) > block:
+        k = hashlib.new(halgo, k).digest()
+    k = k.ljust(block, b"\0")
+    ipad = bytes(x ^ 0x36 for x in k)
+    opad = bytes(x ^ 0x5C for x in k)
+
+    def H(c: Column) -> Column:
+        if halgo == "sha1":
+            return F.unhex(F.sha1(c))
+        return F.unhex(F.sha2(c, int(halgo[3:])))
+
+    return H(F.concat(F.lit(opad), H(F.concat(F.lit(ipad), b))))
+
+
+def hash_col(b: Column, algorithm: str, key: bytes | None = None,
+             polynomial: str = "IEEE") -> Column:
+    """BINARY -> digest BYTES, reference algorithm set."""
+    algorithm = algorithm.replace("-", "_")
+    if algorithm in _HMAC_ALGOS:
+        if not key:
+            raise ValueError(
+                f"hash algorithm {algorithm} requires a key argument"
+            )
+        return hmac_col(b, algorithm, key)
+    if algorithm == "md5":
+        return F.unhex(F.md5(b))
+    if algorithm == "sha1":
+        return F.unhex(F.sha1(b))
+    if algorithm in ("sha256", "sha512"):
+        return F.unhex(F.sha2(b, int(algorithm[3:])))
+    if algorithm == "xxhash64":
+        return xxhash64_col(b)
+    if algorithm == "crc32":
+        return crc32_col(b, polynomial)
+    if algorithm == "fnv32":
+        return fnv32_col(b)
+    raise ValueError(f"unrecognized hash type: {algorithm}")

@@ -1,0 +1,367 @@
+"""From-scratch LZ4 (frame + block) and Snappy (block) codecs for the
+``compress`` / ``decompress`` processors and Bloblang methods
+(reference registry: internal/impl/pure/algorithms.go:194-299 — lz4 is
+the pierrec/lz4 FRAME format, snappy the golang/snappy BLOCK format).
+
+Both formats are small public specifications (lz4.github.io frame/block
+format docs; google/snappy format description). Compressed output is
+implementation-specific (greedy hash-table matching here) but fully
+format-conformant: the reference's Go readers decode it and vice
+versa. Decoders accept the full spec (all literal/copy forms, optional
+checksums, linked/independent blocks rejected where unsupported).
+
+Like jpeg.py and aescipher.py these run in Arrow-batched pandas UDFs
+off the relational hot path — the engine never puts per-row Python in
+a join/agg plan.
+"""
+
+from __future__ import annotations
+
+from bento_spark.operators.hashing import xxhash32_py
+
+# ---------------------------------------------------------------------------
+# LZ4 block
+# ---------------------------------------------------------------------------
+
+_MIN_MATCH = 4
+
+
+def lz4_block_compress(src: bytes) -> bytes:
+    """Greedy single-pass LZ4 block encoder (block format spec:
+    token / literal-run / 2-byte offset / match-run). Honors the
+    end-of-block rules: last 5 bytes literal, no match starting within
+    the last 12 bytes."""
+    n = len(src)
+    if n == 0:
+        return b"\x00"
+    out = bytearray()
+    table: dict[int, int] = {}
+    anchor = 0
+    i = 0
+    limit = n - 12  # matches must not start past this (spec)
+
+    def emit(lit_end: int, match_len: int, offset: int) -> None:
+        lit_len = lit_end - anchor
+        token_lit = 15 if lit_len >= 15 else lit_len
+        token_match = 0
+        if match_len >= 0:
+            ml = match_len - _MIN_MATCH
+            token_match = 15 if ml >= 15 else ml
+        out.append((token_lit << 4) | token_match)
+        rem = lit_len - 15
+        while rem >= 0:
+            out.append(255 if rem >= 255 else rem)
+            if rem < 255:
+                break
+            rem -= 255
+        out.extend(src[anchor:lit_end])
+        if match_len >= 0:
+            out.extend(offset.to_bytes(2, "little"))
+            rem = (match_len - _MIN_MATCH) - 15
+            while rem >= 0:
+                out.append(255 if rem >= 255 else rem)
+                if rem < 255:
+                    break
+                rem -= 255
+
+    while i <= limit:
+        key = int.from_bytes(src[i : i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if (
+            cand is not None
+            and i - cand <= 0xFFFF
+            and src[cand : cand + 4] == src[i : i + 4]
+        ):
+            # extend match (may not cover the final 5 bytes)
+            end_cap = n - 5
+            m = i + 4
+            c = cand + 4
+            while m < end_cap and src[m] == src[c]:
+                m += 1
+                c += 1
+            emit(i, m - i, i - cand)
+            anchor = m
+            i = m
+        else:
+            i += 1
+    # trailing literals
+    emit(n, -1, 0)
+    return bytes(out)
+
+
+def lz4_block_decompress(src: bytes, max_size: int = 1 << 30) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        out += src[i : i + lit_len]
+        i += lit_len
+        if i >= n:
+            break  # last sequence is literals-only
+        offset = int.from_bytes(src[i : i + 2], "little")
+        i += 2
+        if offset == 0:
+            raise ValueError("lz4: invalid zero offset")
+        match_len = (token & 0xF) + _MIN_MATCH
+        if token & 0xF == 15:
+            while True:
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("lz4: offset before start")
+        for j in range(match_len):  # may self-overlap: byte-wise copy
+            out.append(out[start + j])
+        if len(out) > max_size:
+            raise ValueError("lz4: output exceeds size cap")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# LZ4 frame (magic 0x184D2204)
+# ---------------------------------------------------------------------------
+
+LZ4_MAGIC = 0x184D2204
+_BLOCK_MAX = {4: 1 << 16, 5: 1 << 18, 6: 1 << 20, 7: 1 << 22}
+
+
+def lz4_frame_compress(src: bytes) -> bytes:
+    """Frame with 4 MiB independent blocks + content checksum (the
+    pierrec/lz4 writer defaults the reference uses)."""
+    out = bytearray(LZ4_MAGIC.to_bytes(4, "little"))
+    flg = (1 << 6) | (1 << 5) | (1 << 2)  # v01, B.Indep, C.Checksum
+    bd = 7 << 4  # 4 MiB max block size
+    out += bytes([flg, bd])
+    out.append((xxhash32_py(bytes([flg, bd])) >> 8) & 0xFF)  # HC
+    bmax = _BLOCK_MAX[7]
+    for i in range(0, len(src), bmax):
+        chunk = src[i : i + bmax]
+        comp = lz4_block_compress(chunk)
+        if len(comp) >= len(chunk):
+            out += (len(chunk) | 0x80000000).to_bytes(4, "little")
+            out += chunk
+        else:
+            out += len(comp).to_bytes(4, "little")
+            out += comp
+    out += (0).to_bytes(4, "little")  # EndMark
+    out += xxhash32_py(src).to_bytes(4, "little")  # content checksum
+    return bytes(out)
+
+
+def lz4_frame_decompress(src: bytes) -> bytes:
+    if len(src) < 7 or int.from_bytes(src[:4], "little") != LZ4_MAGIC:
+        raise ValueError("lz4: bad magic number")
+    flg = src[4]
+    bd = src[5]
+    if (flg >> 6) != 1:
+        raise ValueError("lz4: unsupported frame version")
+    has_bchk = bool(flg & (1 << 4))
+    has_csize = bool(flg & (1 << 3))
+    has_cchk = bool(flg & (1 << 2))
+    has_dict = bool(flg & 1)
+    i = 6
+    if has_csize:
+        i += 8
+    if has_dict:
+        i += 4
+    i += 1  # HC byte
+    bmax = _BLOCK_MAX.get(bd >> 4, 1 << 22)
+    out = bytearray()
+    while True:
+        size = int.from_bytes(src[i : i + 4], "little")
+        i += 4
+        if size == 0:
+            break
+        raw = bool(size & 0x80000000)
+        size &= 0x7FFFFFFF
+        data = src[i : i + size]
+        i += size
+        if has_bchk:
+            want = int.from_bytes(src[i : i + 4], "little")
+            i += 4
+            if xxhash32_py(data) != want:
+                raise ValueError("lz4: block checksum mismatch")
+        out += data if raw else lz4_block_decompress(data, max_size=bmax)
+    if has_cchk:
+        want = int.from_bytes(src[i : i + 4], "little")
+        if xxhash32_py(bytes(out)) != want:
+            raise ValueError("lz4: content checksum mismatch")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Snappy block (golang/snappy Encode/Decode)
+# ---------------------------------------------------------------------------
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while n >= 0x80:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+    return bytes(out)
+
+
+def _read_uvarint(src: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = src[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _snappy_emit_literal(out: bytearray, lit: bytes) -> None:
+    n = len(lit) - 1
+    if n < 60:
+        out.append(n << 2)
+    elif n < (1 << 8):
+        out.append(60 << 2)
+        out.append(n)
+    elif n < (1 << 16):
+        out.append(61 << 2)
+        out += n.to_bytes(2, "little")
+    elif n < (1 << 24):
+        out.append(62 << 2)
+        out += n.to_bytes(3, "little")
+    else:
+        out.append(63 << 2)
+        out += n.to_bytes(4, "little")
+    out += lit
+
+
+def _snappy_emit_copy(out: bytearray, offset: int, length: int) -> None:
+    # prefer copy-2 chunks of <=64; copy-1 for short near copies
+    while length > 0:
+        if length > 64:
+            take = 60 if length < 64 + 4 else 64
+        else:
+            take = length
+        if take <= 11 and 4 <= take and offset < 2048:
+            out.append(1 | ((take - 4) << 2) | ((offset >> 8) << 5))
+            out.append(offset & 0xFF)
+        else:
+            out.append(2 | ((take - 1) << 2))
+            out += offset.to_bytes(2, "little")
+        length -= take
+
+
+def snappy_compress(src: bytes) -> bytes:
+    out = bytearray(_uvarint(len(src)))
+    n = len(src)
+    if n == 0:
+        return bytes(out)
+    table: dict[int, int] = {}
+    anchor = 0
+    i = 0
+    while i + 4 <= n:
+        key = int.from_bytes(src[i : i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if (
+            cand is not None
+            and i - cand <= 0xFFFF
+            and src[cand : cand + 4] == src[i : i + 4]
+        ):
+            if i > anchor:
+                _snappy_emit_literal(out, src[anchor:i])
+            m = i + 4
+            c = cand + 4
+            while m < n and src[m] == src[c]:
+                m += 1
+                c += 1
+            _snappy_emit_copy(out, i - cand, m - i)
+            anchor = m
+            i = m
+        else:
+            i += 1
+    if anchor < n:
+        _snappy_emit_literal(out, src[anchor:])
+    return bytes(out)
+
+
+def snappy_decompress(src: bytes) -> bytes:
+    want, i = _read_uvarint(src, 0)
+    out = bytearray()
+    n = len(src)
+    while i < n:
+        tag = src[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                extra = ln - 59
+                ln = int.from_bytes(src[i : i + extra], "little")
+                i += extra
+            ln += 1
+            out += src[i : i + ln]
+            i += ln
+            continue
+        if kind == 1:
+            length = ((tag >> 2) & 0x7) + 4
+            offset = ((tag >> 5) << 8) | src[i]
+            i += 1
+        elif kind == 2:
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(src[i : i + 2], "little")
+            i += 2
+        else:
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(src[i : i + 4], "little")
+            i += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("snappy: corrupt input (bad offset)")
+        start = len(out) - offset
+        for j in range(length):
+            out.append(out[start + j])
+    if len(out) != want:
+        raise ValueError(
+            f"snappy: corrupt input (got {len(out)} bytes, want {want})"
+        )
+    return bytes(out)
+
+
+_SNAPPY_FRAME_ID = b"\xff\x06\x00\x00sNaPpY"
+
+
+def snappy_decompress_any(src: bytes) -> bytes:
+    """Block format, with framed-format detection (snappy.NewReader
+    streams start with the stream-identifier chunk)."""
+    if src.startswith(_SNAPPY_FRAME_ID):
+        out = bytearray()
+        i = 0
+        n = len(src)
+        while i < n:
+            ctype = src[i]
+            ln = int.from_bytes(src[i + 1 : i + 4], "little")
+            body = src[i + 4 : i + 4 + ln]
+            i += 4 + ln
+            if ctype == 0x00:  # compressed chunk: crc32c(4) + data
+                out += snappy_decompress(body[4:])
+            elif ctype == 0x01:  # uncompressed chunk
+                out += body[4:]
+            elif ctype == 0xFF or 0x80 <= ctype <= 0xFD:
+                continue  # stream id / skippable
+            else:
+                raise ValueError(f"snappy: unknown chunk type {ctype:#x}")
+        return bytes(out)
+    return snappy_decompress(src)

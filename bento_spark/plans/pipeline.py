@@ -72,7 +72,8 @@ def _proc_mapping(df: DataFrame, conf) -> DataFrame:
     reference's own execution model, traded in only on demand."""
     from pyspark.errors.exceptions.base import AnalysisException
 
-    from bento_spark.bloblang.stdlib import ThrowInExpression
+    from bento_spark.bloblang.compiler import UnsupportedConstruct
+    from bento_spark.bloblang.stdlib import NonConstantArg, ThrowInExpression
 
     src = conf if isinstance(conf, str) else conf["query"]
     if src.strip() == "root = deleted()":
@@ -84,7 +85,8 @@ def _proc_mapping(df: DataFrame, conf) -> DataFrame:
     lifted = _lift_content(df)
     try:
         return compile_mapping(src).apply(lifted, new_document=True)
-    except (RecursionError, AnalysisException, ThrowInExpression) as ex:
+    except (RecursionError, AnalysisException, ThrowInExpression,
+            UnsupportedConstruct, NonConstantArg) as ex:
         # recursion the column engine can't inline, or a per-message
         # dynamic type error (the reference surfaces those on each
         # message's error, not as config failures)
@@ -119,12 +121,14 @@ def _proc_mutation(df: DataFrame, conf) -> DataFrame:
     (`root = this` prefix), counted/logged identically."""
     from pyspark.errors.exceptions.base import AnalysisException
 
-    from bento_spark.bloblang.stdlib import ThrowInExpression
+    from bento_spark.bloblang.compiler import UnsupportedConstruct
+    from bento_spark.bloblang.stdlib import NonConstantArg, ThrowInExpression
 
     src = conf if isinstance(conf, str) else conf["query"]
     try:
         return compile_mapping(src).apply(_lift_content(df), new_document=False)
-    except (RecursionError, AnalysisException, ThrowInExpression) as ex:
+    except (RecursionError, AnalysisException, ThrowInExpression,
+            UnsupportedConstruct, NonConstantArg) as ex:
         import logging
 
         from bento_spark.bloblang.interp import interpreted_mapping_df
@@ -1032,11 +1036,13 @@ def _branch_map(df: DataFrame, src: str, label: str) -> DataFrame:
     maps — the aws_lambda cookbook — are legal here too)."""
     from pyspark.errors.exceptions.base import AnalysisException
 
-    from bento_spark.bloblang.stdlib import ThrowInExpression
+    from bento_spark.bloblang.compiler import UnsupportedConstruct
+    from bento_spark.bloblang.stdlib import NonConstantArg, ThrowInExpression
 
     try:
         return compile_mapping(src).apply(df, new_document=False)
-    except (RecursionError, AnalysisException, ThrowInExpression) as ex:
+    except (RecursionError, AnalysisException, ThrowInExpression,
+            UnsupportedConstruct, NonConstantArg) as ex:
         import logging
 
         from bento_spark.bloblang.interp import interpreted_mapping_df
@@ -1125,15 +1131,19 @@ def _proc_switch_cfg(df: DataFrame, conf) -> DataFrame:
     {check, processors}; first matching case's processors run for that
     message. Spark shape: split-filter per case, children per split,
     unionByName back together (schema widened with nulls where branches
-    add different columns). `fallthrough` is unsupported (rejected
-    loudly, not ignored)."""
+    add different columns). `fallthrough` (processor_switch.go:172-220)
+    carries a passed case's PROCESSED messages into the next case
+    unconditionally (the reference seeds the next case's passed set
+    with carryOver without re-testing). Fallthrough on the LAST case
+    would silently drop the carried messages in the reference (the
+    final append only restores `remaining`); that is almost certainly
+    a config bug, so it is rejected loudly instead."""
     from bento_spark.bloblang import compile_expr
 
     remaining = ensure_env(df)
     parts = []
-    for case in conf:
-        if case.get("fallthrough"):
-            raise ConfigError("switch: fallthrough is not supported")
+    carry = None
+    for i, case in enumerate(conf):
         check = case.get("check")
         if check:
             cond = F.coalesce(compile_expr(check, df=remaining), F.lit(False))
@@ -1141,7 +1151,22 @@ def _proc_switch_cfg(df: DataFrame, conf) -> DataFrame:
             remaining = remaining.filter(~cond)
         else:  # default case takes everything left
             matched, remaining = remaining, remaining.limit(0)
-        parts.append(_apply_children(matched, case.get("processors") or [], "switch"))
+        if carry is not None:
+            matched = carry.unionByName(matched, allowMissingColumns=True)
+            carry = None
+        processed = _apply_children(
+            matched, case.get("processors") or [], "switch"
+        )
+        if case.get("fallthrough"):
+            if i == len(conf) - 1:
+                raise ConfigError(
+                    "switch: fallthrough on the final case would drop "
+                    "its messages (processor_switch.go discards the "
+                    "last carryOver) — remove it or add a terminal case"
+                )
+            carry = processed
+        else:
+            parts.append(processed)
     out = parts[0] if parts else remaining
     for p in parts[1:] + [remaining]:
         out = out.unionByName(p, allowMissingColumns=True)

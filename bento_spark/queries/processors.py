@@ -683,7 +683,7 @@ root.value_at = this.text.index_of("value").int32()
 root.renamed = this.source.replace_all_many(["src", "origin-", "0", "zero"])
 root.u8 = (this.doc_id % 300).uint8().int64()
 root.ta_words = this.text.re_find_all("ta[a-z]+").length()
-root.digest = this.text.hash("md5")
+root.digest = this.text.hash("md5").encode("hex")
 root.b64 = this.source.encode("base64")
 root.shifted_unix = "2024-03-05 10:30:00".ts_parse("yyyy-MM-dd HH:mm:ss").ts_add_iso8601("P1DT2H").ts_unix()
 root.echo = this.lang.repeat(2).reverse()
