@@ -92,18 +92,17 @@ _PRIORITY = [
     # relational breadth: 24 members — ALL 22 TPC-H query shapes +
     # pivot/percentiles/set-ops — certified in one slot
     "relational_gauntlet",
-    # r8 rotation: never-driver-seen rows promoted for fresh
-    # independent exposure — IVF ANN, the stream-stream interval join,
-    # the subprocess + opensnowcat processor planes, two training-data
-    # ops (temperature mixing, token-window chunking), and the
-    # reject/DLQ/retry error-flow chain. The r7 promotions (codec
-    # roundtrips, scan_re_match, q2/q9/q11) went driver-green and
-    # rotate back below the fold (families stay covered by the codec/
-    # parse/relational gauntlets).
-    "ann_ivf_topk", "stream_join_interval",
-    "proc_awk", "proc_opensnowcat",
-    "sample_temperature_mix", "text_chunk_windows",
-    "pipeline_error_handling",
+    # r9 rotation: the r8 promotions (ann_ivf_topk, stream_join_
+    # interval, proc_awk, proc_opensnowcat, sample_temperature_mix,
+    # text_chunk_windows, pipeline_error_handling) went driver-green
+    # and rotate below the fold; never-driver-seen rows take their
+    # slots — the branch + http enrichment processors, the javascript
+    # engine, template expansion, real metric harvest, span-window
+    # dedup, and JPEG feature extraction.
+    "proc_branch_enrich", "proc_http_enrich",
+    "proc_javascript", "pipeline_template",
+    "pipeline_metrics", "dedup_span_windows",
+    "mm_jpeg_features",
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
     "proc_avro_roundtrip", "proc_protobuf_roundtrip", "xml_roundtrip",
@@ -115,15 +114,16 @@ _PRIORITY = [
     "pack_sequences_contiguous", "pii_redact",
     "quality_repetition_gopher", "sample_stratified_hash",
     "text_token_stats", "text_language_id", "ann_brute_force_topk",
-    "proc_javascript", "mm_video_y4m",
+    "mm_video_y4m",
     "text_fingerprint_winnow",
     "window_session_user", "bloblang_stdlib2", "kmeans_embedding_mixture",
-    "pipeline_yaml_stream", "pipeline_template",
-    "stream_late_data_drop", "pipeline_metrics", "pipeline_error_retry",
-    # (branch + http singles demoted r5 for the two new LLM-pipeline
-    # rows: both re-covered by proc_yaml_surface_gauntlet's
-    # switch/http/while chain and proc_workflow_dag's branch mechanics)
-    "proc_branch_enrich", "proc_http_enrich",
+    "pipeline_yaml_stream",
+    "stream_late_data_drop", "pipeline_error_retry",
+    # r8 promotions, driver-green, rotated back below the fold
+    "ann_ivf_topk", "stream_join_interval",
+    "proc_awk", "proc_opensnowcat",
+    "sample_temperature_mix", "text_chunk_windows",
+    "pipeline_error_handling",
     "proc_split_batches", "proc_split_byte_batches", "proc_insert_part",
     "rollup_priority", "text_quality_score", "proc_jmespath_collapse",
     "bloblang_stdlib3", "corpus_shuffle_shards",

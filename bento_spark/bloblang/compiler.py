@@ -55,6 +55,12 @@ class Env:
     # static types of lambda vars (HOF element types) — the analysis
     # bridge _type_of cannot provide inside lambda bodies
     var_types: dict[str, object] = field(default_factory=dict)
+    # per-message error conditions registered by error-capable methods
+    # (not_null/not_empty/json_schema — the reference raises assignment
+    # errors; columns can't, so the condition rides to _error). SHARED
+    # across child envs; catch()/`|` truncate entries their receiver
+    # registered (those swallow the error).
+    error_sink: list = field(default_factory=list)
 
     def child(self, more: dict[str, Column], in_lambda: bool | None = None,
               var_types: dict | None = None) -> "Env":
@@ -65,6 +71,7 @@ class Env:
             self.in_lambda if in_lambda is None else in_lambda,
             self.functions,
             {**self.var_types, **(var_types or {})},
+            self.error_sink,  # shared, not copied
         )
 
 
@@ -115,6 +122,92 @@ def _type_of(env: Env, col: Column):
         return env.df.select(col.alias("__t")).schema[0].dataType
     except Exception:  # noqa: BLE001 - unresolvable (lambda vars etc.)
         return None
+
+
+def _node_src_b(node: A.Node) -> str:
+    """Receiver chains back to source-ish text for reference-style
+    error messages (mirrors interp._node_src)."""
+    if isinstance(node, A.This):
+        return "this"
+    if isinstance(node, A.Path):
+        return ".".join([_node_src_b(node.base), *node.parts])
+    if isinstance(node, A.MethodCall):
+        return f"{_node_src_b(node.recv)}.{node.name}(...)"
+    return "this"
+
+
+def _to_variant(col: Column, dt) -> Column:
+    """Lift any typed column to VARIANT (scalars cast directly; complex
+    shapes round-trip through JSON)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+        return F.parse_json(F.to_json(col))
+    if isinstance(dt, T.VariantType):
+        return col
+    return col.cast("variant")
+
+
+def _struct_merge(left: Column, lt, right: Column, rt) -> Column:
+    """The reference's gabs-style merge (methods_structured.go merge):
+    colliding keys GATHER into arrays unless both sides are objects
+    (recursive merge); right-only keys append."""
+    from pyspark.sql import types as T
+
+    l_names = lt.fieldNames()
+    r_names = rt.fieldNames()
+    fields = []
+    for n in l_names:
+        if n not in r_names:
+            fields.append(left[n].alias(n))
+            continue
+        ldt, rdt = lt[n].dataType, rt[n].dataType
+        if isinstance(ldt, T.StructType) and isinstance(rdt, T.StructType):
+            fields.append(_struct_merge(left[n], ldt, right[n], rdt).alias(n))
+        elif ldt == rdt and not isinstance(ldt, T.ArrayType):
+            fields.append(F.array(left[n], right[n]).alias(n))
+        elif isinstance(ldt, T.ArrayType) and ldt.elementType == rdt:
+            fields.append(F.array_append(left[n], right[n]).alias(n))
+        else:
+            fields.append(
+                F.array(_to_variant(left[n], ldt),
+                        _to_variant(right[n], rdt)).alias(n)
+            )
+    for n in r_names:
+        if n not in l_names:
+            fields.append(right[n].alias(n))
+    return F.struct(*fields)
+
+
+def _with_without(recv: Column, t, paths: list[str], keep: bool) -> Column:
+    """with()/without() with DOT PATHS (methods_structured.go: args are
+    dot paths, so `with("inner.a")` keeps inner.a inside inner)."""
+    from pyspark.sql import types as T
+
+    tops = {p for p in paths if "." not in p}
+    nested: dict[str, list[str]] = {}
+    for p in paths:
+        if "." in p:
+            h, rest = p.split(".", 1)
+            nested.setdefault(h, []).append(rest)
+    fields = []
+    for f in t.fields:
+        n = f.name
+        col = recv[n]
+        if keep:
+            if n in tops:
+                fields.append(col.alias(n))
+            elif n in nested and isinstance(f.dataType, T.StructType):
+                fields.append(
+                    _with_without(col, f.dataType, nested[n], True).alias(n)
+                )
+        else:
+            if n in tops:
+                continue
+            if n in nested and isinstance(f.dataType, T.StructType):
+                col = _with_without(col, f.dataType, nested[n], False)
+            fields.append(col.alias(n))
+    return F.struct(*fields)
 
 
 def _null_safe_field(env: Env, col: Column, p: str) -> Column:
@@ -173,10 +266,19 @@ def compile_node(node: A.Node, env: Env) -> Column:
             arr = F.array_compact(arr)
         return arr
     if isinstance(node, A.ObjectLit):
+        if any(
+            not (isinstance(k, A.Lit) and isinstance(k.value, str))
+            for k, _v in node.entries
+        ):
+            # DYNAMIC keys ({loc.state: [loc.name]} in map_each) — a
+            # map, not a struct (struct fields need static names)
+            entries = []
+            for k, v in node.entries:
+                entries.append(compile_node(k, env).cast("string"))
+                entries.append(compile_node(v, env))
+            return F.create_map(*entries)
         cols = []
         for k, v in node.entries:
-            if not isinstance(k, A.Lit) or not isinstance(k.value, str):
-                raise CompileError("object keys must be string literals")
             cols.append(compile_node(v, env).alias(k.value))
         return F.struct(*cols)
     if isinstance(node, A.This):
@@ -239,7 +341,12 @@ def compile_node(node: A.Node, env: Env) -> Column:
         v = compile_node(node.operand, env)
         return ~v if node.op == "!" else -v
     if isinstance(node, A.BinOp):
+        sink_mark = len(env.error_sink)
         left = compile_node(node.left, env)
+        if node.op == "|":
+            # `|` recovers the left side's failure — drop any error
+            # conditions it registered (same contract as catch())
+            del env.error_sink[sink_mark:]
         right = compile_node(node.right, env)
         if node.op == "+":
             # Bloblang `+` concatenates strings (arithmetic.go); dispatch
@@ -414,6 +521,11 @@ def _compile_func(node: A.FuncCall, env: Env) -> Column:
 
         from bento_spark.operators.envelope import data_cols
 
+        if "__raw" in env.df.columns:
+            # the envelope kept the ORIGINAL serialized document (the
+            # unit-test runner and JSON inputs) — content() is exactly
+            # those bytes, not a re-serialization
+            return F.col("__raw").cast("binary")
         cols = data_cols(env.df)
         if len(cols) == 1 and isinstance(
             env.df.schema[cols[0]].dataType, (StringType, BinaryType)
@@ -449,7 +561,34 @@ def _compile_func(node: A.FuncCall, env: Env) -> Column:
         raise CompileError(f"unknown function {node.name}()")
     _tier, fn = FUNCTIONS[node.name]
     args = [_arg(a, env) for a in node.args]
-    return fn(*args)
+    kwargs = {}
+    if any(n is not None for n in node.arg_names):
+        from bento_spark.bloblang.stdlib import FUNCTION_PARAM_NAMES
+
+        sig = FUNCTION_PARAM_NAMES.get(node.name)
+        if sig is None:
+            raise CompileError(
+                f"function {node.name}() does not take named arguments"
+            )
+        by_name: dict = {}
+        pos = 0
+        for a, n in zip(args, node.arg_names):
+            if n is None:
+                by_name[sig[pos]] = a
+                pos += 1
+            elif n in sig:
+                by_name[n] = a
+            else:
+                raise CompileError(
+                    f"unknown parameter {n!r} for {node.name}()"
+                )
+        args = []
+        for pname in sig:
+            if pname not in by_name:
+                break
+            args.append(by_name.pop(pname))
+        kwargs = by_name
+    return fn(*args, **kwargs)
 
 
 # receiver consumed as a raw literal (these builders need the static
@@ -546,13 +685,22 @@ def _batch_list_env(recv: Column, env: Env) -> Column:
 
 
 def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
+    from pyspark.sql import types as T
     from pyspark.sql.types import ArrayType, MapType, StringType
 
     recv = compile_node(node.recv, env)
 
     def lit_arg(i: int, what: str) -> object:
-        if len(node.args) <= i or not isinstance(node.args[i], A.Lit):
+        if len(node.args) <= i:
             raise CompileError(f"{node.name}() takes a literal {what}")
+        if not isinstance(node.args[i], A.Lit):
+            # valid syntax with a per-message-dynamic argument: the
+            # interpreter evaluates it per message (e.g.
+            # this.body.bloblang(this.mapping))
+            raise UnsupportedConstruct(
+                f"{node.name}() with a dynamic {what} routes to the "
+                "interpreter"
+            )
         return node.args[i].value
 
     if node.name == "array":
@@ -561,10 +709,20 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
         return recv if isinstance(t, ArrayType) else F.array(recv)
     if node.name == "set":
         path = str(lit_arg(0, "dot path"))
-        value = _arg(node.args[1], env) if len(node.args) > 1 else None
         from bento_spark.bloblang.stdlib import V, map_overwrite
 
         t = _type_of(env, recv)
+        if len(node.args) > 1 and _is_deleted(node.args[1]):
+            # set(path, deleted()) removes the path (methods.md set)
+            if isinstance(t, MapType):
+                return F.map_filter(recv, lambda k, _v: k != F.lit(path))
+            if isinstance(t, T.StructType):
+                return recv.dropFields(path)
+            raise UnsupportedConstruct(
+                "set(path, deleted()) on a dynamic value routes to "
+                "the interpreter"
+            )
+        value = _arg(node.args[1], env) if len(node.args) > 1 else None
         if isinstance(t, MapType):
             return map_overwrite(recv, F.create_map(F.lit(path), V(value)))
         return _with_field_path(recv, path, V(value))
@@ -587,9 +745,19 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
         return F.transform(sub, lambda x: _with_field_path(recv, path, x))
     if node.name == "json_path":
         path = str(lit_arg(0, "JSONPath expression"))
+        if ".." in path:
+            # recursive descent is beyond get_json_object — the
+            # interpreter's mini-JSONPath walks it per message
+            raise UnsupportedConstruct(
+                "json_path recursive descent ($..) routes to the "
+                "interpreter"
+            )
         t = _type_of(env, recv)
         src = recv if isinstance(t, StringType) else F.to_json(recv)
-        return F.get_json_object(src, path)
+        out = F.get_json_object(src, path)
+        # results may be JSON scalars/objects — lift to VARIANT so
+        # structured matches keep their shape
+        return F.coalesce(F.try_parse_json(out), out.cast("variant"))
     if node.name == "json_schema":
         import json as _json
 
@@ -598,7 +766,15 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
         schema = _json.loads(str(lit_arg(0, "JSON schema string")))
         t = _type_of(env, recv)
         src = recv if isinstance(t, StringType) else F.to_json(recv)
-        return F.when(~json_schema_bad(src, schema), recv)
+        bad = F.coalesce(json_schema_bad(src, schema), F.lit(False))
+        if not env.in_lambda:
+            # schema failures are per-message ERRORS in the reference
+            # (methods.md json_schema Error(...) example); ride the sink
+            env.error_sink.append(F.when(bad, F.lit(
+                "failed assignment (line 1): field "
+                f"`{_node_src_b(node.recv)}`: schema match failed"
+            )))
+        return F.when(~bad, recv)
     if node.name in ("keys", "key_values", "without", "with", "merge"):
         from pyspark.sql import types as T
 
@@ -611,14 +787,7 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
                 other = F.lit(other)
             ot = _type_of(env, other) or _ast_type(node.args[0], env)
             if isinstance(t, T.StructType) and isinstance(ot, T.StructType):
-                # struct merge: right-hand fields win (methods
-                # _structured.go merge)
-                names = [n for n in t.fieldNames()
-                         if n not in ot.fieldNames()]
-                return F.struct(
-                    *[recv[n].alias(n) for n in names],
-                    *[other[n].alias(n) for n in ot.fieldNames()],
-                )
+                return _struct_merge(recv, t, other, ot)
             from bento_spark.bloblang.stdlib import METHODS as _M
 
             _tier, fn = _M["merge"]
@@ -628,22 +797,18 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
             if node.name == "keys":
                 return F.array(*[F.lit(n) for n in sorted(names)])
             if node.name == "key_values":
-                # values stringified: a struct's fields are
-                # heterogeneous, and key_values consumers format them
-                # (csv_formatter) — string scalars round-trip exactly
+                # heterogeneous struct values lift to VARIANT so the
+                # pairs keep their types (methods.md key_values: value 1
+                # stays a number)
                 return F.array(*[
                     F.struct(
                         F.lit(n).alias("key"),
-                        recv[n].cast("string").alias("value"),
+                        _to_variant(recv[n], t[n].dataType).alias("value"),
                     )
                     for n in sorted(names)
                 ])
             args = [str(_arg(a, env)) for a in node.args]
-            if node.name == "without":
-                keep = [n for n in names if n not in args]
-            else:  # with
-                keep = [n for n in names if n in args]
-            return F.struct(*[recv[n].alias(n) for n in keep])
+            return _with_without(recv, t, args, keep=node.name == "with")
         # map receivers use the registered map-based builders
         from bento_spark.bloblang.stdlib import METHODS as _M
 
@@ -671,6 +836,12 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
         # dynamic type) so e.g. bool-or-"failed" fits one column
         from pyspark.sql import types as T
 
+        if node.args and isinstance(node.args[0], A.Lambda):
+            # catch(err -> ...) binds the actual per-message error text,
+            # which only the interpreter's tree walk carries
+            raise UnsupportedConstruct(
+                "catch(err -> ...) needs the interpreter's error value"
+            )
         fallback = _arg(node.args[0], env) if node.args else F.lit(None)
         if not isinstance(fallback, Column):
             fallback = F.lit(fallback)
@@ -706,10 +877,45 @@ def _compile_method(node: A.MethodCall, env: Env) -> Column:
         return _compile_env_method(node, env)
     if node.name not in METHODS:
         raise CompileError(f"unknown method .{node.name}()")
+    sink_mark = len(env.error_sink)
     if node.name in RAW_RECV_METHODS and isinstance(node.recv, A.Lit):
         recv = node.recv.value
     else:
         recv = compile_node(node.recv, env)
+    if node.name in ("catch", "or"):
+        # catch()/or() swallow per-message errors their receiver
+        # registered (reference: the error is recovered, not raised)
+        del env.error_sink[sink_mark:]
+    if node.name in ("not_null", "not_empty") and not env.in_lambda:
+        # error-capable methods: the reference RAISES an assignment
+        # error; a Column can't, so the failure condition rides the
+        # shared sink into the mapping's _error (testrunner's
+        # Error(...) cases see it; catch() above removes it)
+        from pyspark.sql import types as T
+
+        src_txt = _node_src_b(node.recv)
+        rt0 = _type_of(env, recv) if isinstance(recv, Column) else None
+        if node.name == "not_null":
+            cond = recv.isNull()
+            kind = "value is null"
+        elif node.name == "not_empty":
+            if isinstance(rt0, (T.ArrayType, T.MapType)):
+                cond = recv.isNull() | (F.size(recv) == 0)
+                kind = "array value is empty"
+            elif isinstance(rt0, T.StructType):
+                # static schema: a zero-field struct IS the empty object
+                cond = F.lit(len(rt0.fields) == 0) | recv.isNull()
+                kind = "object value is empty"
+            else:
+                cond = recv.isNull() | (F.length(recv.cast("string")) == 0)
+                kind = "string value is empty"
+        env.error_sink.append(F.when(
+            F.coalesce(cond, F.lit(True) if node.name == "not_null"
+                       else F.lit(False)),
+            F.lit(
+                f"failed assignment (line 1): field `{src_txt}`: {kind}"
+            ),
+        ))
     if node.name == "type":
         # VARIANT receivers: typeof() can't see the contained value;
         # dispatch per-value on schema_of_variant (advice r8)
@@ -748,6 +954,77 @@ def _compile_method(node: A.MethodCall, env: Env) -> Column:
             from bento_spark.bloblang.stdlib import _arr_slice
 
             return _arr_slice(recv, *[_arg(a, env) for a in node.args])
+    if node.name in ("string", "bytes"):
+        # structured receivers serialize to canonical JSON text
+        # (value/type_helpers.go IToString), not a struct cast
+        from pyspark.sql import types as T
+
+        t = _type_of(env, recv)
+        if isinstance(t, (T.StructType, T.ArrayType, T.MapType)):
+            out = F.to_json(recv)
+            return out.cast("binary") if node.name == "bytes" else out
+        if isinstance(t, T.VariantType):
+            out = F.to_json(recv)
+            # VARIANT holding a plain string to_jsons WITH quotes;
+            # string() wants the raw text
+            out = F.when(
+                F.schema_of_variant(recv) == "STRING",
+                recv.cast("string"),
+            ).otherwise(out)
+            return out.cast("binary") if node.name == "bytes" else out
+    if node.name == "split":
+        # array receivers split into sub-arrays around the delimiter
+        # element (methods.md split on arrays)
+        from pyspark.sql.types import ArrayType
+
+        t = _type_of(env, recv) or _ast_type(node.recv, env)
+        if isinstance(t, ArrayType):
+            import json as _json
+
+            from pyspark.sql.types import MapType, StructType, VariantType
+
+            from bento_spark.bloblang.stdlib import V
+
+            sep = _arg(node.args[0], env)
+            # mixed-type (VARIANT) elements and object separators
+            # compare by canonical JSON — a typed == would cast-error
+            if isinstance(
+                t.elementType, (VariantType, MapType, StructType)
+            ) or isinstance(sep, (dict, list)):
+                sep_j = (
+                    F.to_json(sep) if isinstance(sep, Column)
+                    else F.lit(_json.dumps(
+                        sep, sort_keys=True, separators=(",", ":")
+                    ))
+                )
+
+                def is_sep(x: Column) -> Column:
+                    return F.to_json(x) == sep_j
+            else:
+                def is_sep(x: Column) -> Column:
+                    return x == V(sep)
+            n = F.size(recv)
+            idxs = F.filter(
+                F.sequence(F.lit(0), n),
+                lambda i: (i == 0) | (i == n)
+                | F.coalesce(is_sep(F.try_element_at(recv, i)), F.lit(False)),
+            )
+            return F.array_compact(F.zip_with(
+                idxs,
+                F.slice(idxs, 2, F.greatest(F.size(idxs) - 1, F.lit(0))),
+                lambda a, b: F.filter(
+                    F.slice(recv, a + 1, b - a),
+                    lambda x: ~F.coalesce(is_sep(x), F.lit(False)),
+                ),
+            ))
+    if node.name == "get" and node.args and not isinstance(
+        node.args[0], A.Lit
+    ):
+        # dynamic path argument: map/variant element lookup per message
+        from bento_spark.bloblang.stdlib import V
+
+        key = _arg(node.args[0], env)
+        return F.try_element_at(recv, V(key))
     _tier, fn = METHODS[node.name]
     elem_t = None
     from pyspark.sql import types as T
@@ -817,7 +1094,7 @@ def _arg(node: A.Node, env: Env, recv_hint: str | None = None,
     ``elem_type`` is the receiver's array element type, registered as
     the lambda var's static type for struct-aware methods inside."""
     if recv_hint in (
-        "map_each", "filter", "any", "all", "find", "find_all",
+        "map_each", "filter", "any", "all",
         "find_by", "find_all_by", "map_each_key", "sort_by",
     ) and not isinstance(node, (A.Lambda, A.Lit)):
         # bare expression argument: the element binds as `this`
@@ -832,6 +1109,19 @@ def _arg(node: A.Node, env: Env, recv_hint: str | None = None,
             )
 
         return hof1
+    if recv_hint == "sort" and isinstance(node, A.Lambda) \
+            and len(node.params) == 1:
+        # sort comparator: the one param binds {left, right}
+        # (methods_structured.go sort custom comparator)
+        sbody, sname = node.body, node.params[0]
+
+        def hof_cmp(left: Column, right: Column) -> Column:
+            item = F.struct(left.alias("left"), right.alias("right"))
+            return compile_node(
+                sbody, env.child({sname: item}, in_lambda=True)
+            )
+
+        return hof_cmp
     if recv_hint == "fold" and isinstance(node, A.Lambda) \
             and len(node.params) == 1:
         # the reference's fold lambda takes ONE param bound to
@@ -1168,6 +1458,22 @@ def _compile_statements(ast: A.MappingAST, env: Env):
                 # collected here, applied through the cache resource
                 # after the batch materializes (MappingPlan.apply)
                 fc = stmt.expr
+                if any(n is not None for n in fc.arg_names):
+                    # named form: cache_set(resource:, key:, value:)
+                    from bento_spark.bloblang.stdlib import (
+                        FUNCTION_PARAM_NAMES,
+                    )
+
+                    sig = FUNCTION_PARAM_NAMES[fc.name]
+                    by = {}
+                    pos = 0
+                    for a, n in zip(fc.args, fc.arg_names):
+                        by[n if n is not None else sig[pos]] = a
+                        if n is None:
+                            pos += 1
+                    ordered = [by[p] for p in sig if p in by]
+                    fc = A.FuncCall(fc.name, ordered,
+                                    [None] * len(ordered))
                 if not fc.args or not isinstance(fc.args[0], A.Lit):
                     raise CompileError(f"{fc.name}() needs a literal resource name")
                 need = 2 if fc.name == "cache_delete" else 3
@@ -1371,6 +1677,9 @@ def _compile_statements(ast: A.MappingAST, env: Env):
             assigned[name] = col
             continue
         raise CompileError(f"unsupported statement {stmt!r}")
+    # error-capable methods (not_null/not_empty/json_schema) registered
+    # per-message failure conditions during expression compilation
+    error_sets.extend(env.error_sink)
     return assigns, meta, drop_when, cache_writes, error_sets, nothing_names
 
 

@@ -46,11 +46,17 @@ MAX_APPLY_DEPTH = 64
 def _json_default(v):
     """bytes render as base64 in JSON — Go json.Marshal([]byte) and
     Spark's to_json(BinaryType) both do this; the reference's hash/
-    decode docs pin it ("otherwise it will be base64 encoded")."""
+    decode docs pin it ("otherwise it will be base64 encoded").
+    Timestamps render RFC3339 like Go time.Time."""
     import base64 as _b64
+    import datetime as _dt
 
     if isinstance(v, (bytes, bytearray)):
         return _b64.b64encode(bytes(v)).decode()
+    if isinstance(v, _dt.datetime):
+        from bento_spark.bloblang.interp_ext import _rfc3339
+
+        return _rfc3339(v)
     raise TypeError(f"not JSON serializable: {type(v)}")
 
 
@@ -83,6 +89,8 @@ def _btype(v: Any) -> str:
         return "string"
     if isinstance(v, bytes):
         return "bytes"
+    if hasattr(v, "strftime"):
+        return "timestamp"
     if isinstance(v, list):
         return "array"
     if isinstance(v, dict):
@@ -97,6 +105,7 @@ class Interp:
         self.meta = meta
         self.content = content
         self.depth = 0
+        self._counters: dict[str, int] = {}
 
     # -- expressions -------------------------------------------------------
     def eval(self, node: A.Node, this: Any, vars_: dict[str, Any]) -> Any:
@@ -246,6 +255,52 @@ class Interp:
             return self.meta.get(key) if key is not None else dict(self.meta)
         if node.name == "throw":
             raise InterpError(str(self.eval(node.args[0], this, vars_)))
+        if node.name == "json":
+            doc = json.loads(self.content) if self.content else None
+            if not node.args:
+                return doc
+            path = str(self.eval(node.args[0], this, vars_))
+            cur = doc
+            for part in path.split("."):
+                cur = cur.get(part) if isinstance(cur, dict) else None
+            return cur
+        if node.name == "pi":
+            import math as _math
+
+            return _math.pi
+        if node.name == "range":
+            args = [self.eval(a, this, vars_) for a in node.args]
+            by_name: dict = {}
+            pos_names = ("start", "stop", "step")
+            pos = 0
+            for a, n in zip(args, node.arg_names):
+                if n is None:
+                    by_name[pos_names[pos]] = a
+                    pos += 1
+                else:
+                    by_name[n] = a
+            return list(range(
+                int(by_name.get("start", 0)), int(by_name["stop"]),
+                int(by_name.get("step", 1)),
+            ))
+        if node.name in ("count", "counter"):
+            # per-mapping-invocation sequence (each message restarts at
+            # the reference's min=1; cross-message state would need a
+            # shared stream counter the batch engine provides instead)
+            key = "counter" if not node.args else str(
+                self.eval(node.args[0], this, vars_)
+            )
+            self._counters[key] = self._counters.get(key, 0) + 1
+            return self._counters[key]
+        if node.name == "cosine_similarity":
+            import math as _math
+
+            a = self.eval(node.args[0], this, vars_)
+            b = self.eval(node.args[1], this, vars_)
+            num = sum(x * y for x, y in zip(a, b))
+            da = _math.sqrt(sum(x * x for x in a))
+            db = _math.sqrt(sum(y * y for y in b))
+            return num / (da * db) if da and db else 0.0
         raise InterpError(f"interpreter function {node.name}() unsupported")
 
     def _method(self, node: A.MethodCall, this: Any, vars_: dict) -> Any:
@@ -256,15 +311,25 @@ class Interp:
                 str(map_name), self.eval(node.recv, this, vars_)
             )
         if name in ("or", "catch"):
+            err_text = None
             try:
                 recv = self.eval(node.recv, this, vars_)
-            except InterpError:
+            except InterpError as ex:
                 recv = None
+                err_text = str(ex)
             if recv is None or recv is NOTHING_V:
+                if node.args and isinstance(node.args[0], A.Lambda):
+                    # catch(err -> ...) binds the error text
+                    return self._call_fn(
+                        node.args[0], err_text or "value is null",
+                        vars_, this,
+                    )
                 return self.eval(node.args[0], this, vars_)
             return recv
         recv = self.eval(node.recv, this, vars_)
         if name == "type":
+            if isinstance(node.recv, A.FuncCall) and node.recv.name == "content":
+                return "bytes"  # content() IS raw bytes in the reference
             return _btype(recv)
         if name == "fold":
             # fold(init, item -> item.tally + item.value) — the lambda
@@ -309,6 +374,87 @@ class Interp:
         if name == "filter" and isinstance(recv, list):
             fn = node.args[0]
             return [el for el in recv if self._call_fn(fn, el, vars_, this)]
+        if name == "filter" and isinstance(recv, dict):
+            # object filter: element = {key, value} (methods_structured)
+            fn = node.args[0]
+            return {
+                k: v for k, v in recv.items()
+                if self._call_fn(fn, {"key": k, "value": v}, vars_, this)
+            }
+        if name in ("all", "any") and isinstance(recv, list):
+            fn = node.args[0]
+            hits = (self._call_fn(fn, el, vars_, this) for el in recv)
+            return all(hits) if name == "all" else any(hits)
+        if name == "map_each_key" and isinstance(recv, dict):
+            fn = node.args[0]
+            out = {}
+            for k, v in recv.items():
+                nk = self._call_fn(fn, k, vars_, this)
+                # Nothing (if-without-else) keeps the ORIGINAL key
+                out[k if nk is NOTHING_V or nk is None else str(nk)] = v
+            return out
+        if name == "sort_by" and isinstance(recv, list):
+            fn = node.args[0]
+            return sorted(recv, key=lambda el: self._call_fn(fn, el, vars_, this))
+        if name == "sort" and node.args and isinstance(recv, list):
+            import functools
+
+            fn = node.args[0]
+
+            def cmp(a, b):
+                in_order = self._call_fn(
+                    fn, {"left": a, "right": b}, vars_, this
+                )
+                return -1 if in_order else 1
+
+            return sorted(recv, key=functools.cmp_to_key(cmp))
+        if name == "find_by" and isinstance(recv, list):
+            fn = node.args[0]
+            for i, el in enumerate(recv):
+                if self._call_fn(fn, el, vars_, this):
+                    return i
+            return None
+        if name == "find_all_by" and isinstance(recv, list):
+            fn = node.args[0]
+            return [
+                i for i, el in enumerate(recv)
+                if self._call_fn(fn, el, vars_, this)
+            ]
+        if name == "split_by":
+            # strings: per-character predicate; arrays: per-element,
+            # separator elements dropped (methods.md split_by)
+            fn = node.args[0]
+            if isinstance(recv, list):
+                groups, seg = [], []
+                for el in recv:
+                    if self._call_fn(fn, el, vars_, this):
+                        groups.append(seg)
+                        seg = []
+                    else:
+                        seg.append(el)
+                groups.append(seg)
+                return groups
+            out, cur = [], []
+            for ch in str(recv):
+                if self._call_fn(fn, ch, vars_, this):
+                    if cur:
+                        out.append("".join(cur))
+                        cur = []
+                else:
+                    cur.append(ch)
+            if cur:
+                out.append("".join(cur))
+            return out
+        if name == "bloblang":
+            src = str(self.eval(node.args[0], this, vars_))
+            sub_recv = self.eval(node.recv, this, vars_)
+            out, _m = interpret_mapping(
+                src,
+                sub_recv if isinstance(sub_recv, str)
+                else jdumps(sub_recv, separators=(",", ":")),
+                dict(self.meta),
+            )
+            return out
         if name == "unescape_html":
             return html.unescape(str(recv))
         if name == "escape_html":
@@ -381,6 +527,21 @@ class Interp:
                 args.pop()
         out = _simple_method(name, recv, args)
         if out is not _NO_METHOD:
+            return out
+        from bento_spark.bloblang.interp_ext import _NO_EXT, ext_method
+
+        try:
+            out = ext_method(name, recv, args)
+        except InterpError as ex:
+            msg = str(ex)
+            if isinstance(node.recv, (A.Path,)) and not msg.startswith("field `"):
+                # the reference prefixes method errors with the field
+                # path (query/errors: `field \`this.url\`: parse ...`)
+                raise InterpError(
+                    f"field `{_node_src(node.recv)}`: {msg}"
+                ) from None
+            raise
+        if out is not _NO_EXT:
             return out
         raise InterpError(f"interpreter method {name}() unsupported")
 
@@ -650,6 +811,11 @@ def _ts_method(name: str, recv, args):
         dt = datetime.strptime(str(recv), str(args[0]))
         return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
     dt = _to_datetime(recv)
+    if name in ("ts_format", "ts_strftime") and len(args) > 1 \
+            and args[1] is not None and str(args[1]) != "UTC":
+        from zoneinfo import ZoneInfo
+
+        dt = dt.astimezone(ZoneInfo(str(args[1])))
     if name == "ts_format":
         # Go layouts format token-directly (non-padded codes and
         # fraction widths have no faithful strftime translation)
@@ -760,6 +926,17 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
             return list(reversed(recv))
         return str(recv)[::-1]
     if name == "split":
+        if isinstance(recv, list):
+            sep = args[0]
+            groups, seg = [], []
+            for el in recv:
+                if el == sep:
+                    groups.append(seg)
+                    seg = []
+                else:
+                    seg.append(el)
+            groups.append(seg)
+            return groups
         return str(recv).split(str(args[0]))
     if name == "slice":
         lo = int(args[0])
@@ -888,8 +1065,9 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
     if name == "with":
         if not isinstance(recv, dict):
             raise InterpError(f"expected object, got {_btype(recv)}")
-        keep = {str(a) for a in args}
-        return {k: v for k, v in recv.items() if k in keep}
+        from bento_spark.bloblang.interp_ext import _with
+
+        return _with(recv, [str(a) for a in args])
     if name == "collapse":
         # dot-path flatten (methods_structured.go collapse); empty
         # containers dropped unless include_empty
@@ -932,7 +1110,12 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
         return max(recv)
     if name == "min" and not args and isinstance(recv, list):
         return min(recv)
-    if name == "int64" or name == "int32":
+    if name in ("int64", "int32", "int16", "int8", "uint8", "uint16",
+                "uint32", "uint64"):
+        from bento_spark.bloblang.interp_ext import _go_int_py
+
+        return _go_int_py(recv, name)
+    if False and (name == "int64" or name == "int32"):
         return int(float(recv))
     if name == "float64" or name == "float32":
         return float(recv)
@@ -993,10 +1176,11 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
                 cur = cur[part]
             return True
         if name == "merge":
-            out = dict(recv)
-            out.update(args[0] or {})
-            return out
+            from bento_spark.bloblang.interp_ext import _gather_merge
+
+            return _gather_merge(recv, args[0] if args else {})
         if name == "without":
-            drop = {str(a) for a in args}
-            return {k: v for k, v in recv.items() if k not in drop}
+            from bento_spark.bloblang.interp_ext import _without
+
+            return _without(recv, [str(a) for a in args])
     return _NO_METHOD

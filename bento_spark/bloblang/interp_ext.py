@@ -1,0 +1,850 @@
+"""Tier-c interpreter method extensions: the pure-value twins of the
+compiled stdlib, so every mapping the Column engine routes to the
+interpreter (bloblang/interp.py) evaluates the full reference method
+surface per message.
+
+Dispatch: `ext_method(name, recv, args)` returns the result or the
+_NO_EXT sentinel. Implementations mirror the compiled builders in
+stdlib.py / stdlib_ext.py — each pins the same reference file as its
+compiled twin (methods_strings.go / methods_structured.go /
+bloblang_time.go); the doc-example corpus (tests/
+test_bloblang_doc_corpus.py) differentially checks both engines
+against the reference's published In/Out pairs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from datetime import datetime, timedelta, timezone
+from typing import Any
+
+
+class _NoExt:
+    pass
+
+
+_NO_EXT = _NoExt()
+
+
+def _err(msg: str):
+    from bento_spark.bloblang.interp import InterpError
+
+    raise InterpError(msg)
+
+
+def _as_bytes(v) -> bytes:
+    return bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode()
+
+
+def _gather_merge(a, b):
+    """gabs-style merge (methods_structured.go merge): both objects ->
+    recursive; colliding non-object values GATHER into arrays."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            if k in out:
+                out[k] = _gather_merge(out[k], v)
+            else:
+                out[k] = v
+        return out
+    if isinstance(a, list):
+        return a + (b if isinstance(b, list) else [b])
+    if isinstance(b, list):
+        return [a] + b
+    return [a, b]
+
+
+def _dot_get(obj, path: str):
+    cur = obj
+    for part in path.split("."):
+        if isinstance(cur, dict):
+            cur = cur.get(part)
+        elif isinstance(cur, list):
+            try:
+                cur = cur[int(part)]
+            except (ValueError, IndexError):
+                return None
+        else:
+            return None
+    return cur
+
+
+def _dot_set(obj, path: str, value):
+    from bento_spark.bloblang.interp import DELETED_V
+
+    parts = path.split(".")
+    cur = obj
+    for p in parts[:-1]:
+        if isinstance(cur, list):
+            cur = cur[int(p)]
+            continue
+        nxt = cur.get(p) if isinstance(cur, dict) else None
+        if not isinstance(nxt, (dict, list)):
+            nxt = {}
+            cur[p] = nxt
+        cur = nxt
+    last = parts[-1]
+    if isinstance(cur, list):
+        idx = int(last)
+        if value is DELETED_V:
+            del cur[idx]
+        else:
+            cur[idx] = value
+    elif value is DELETED_V:
+        cur.pop(last, None)
+    else:
+        cur[last] = value
+    return obj
+
+
+def _without(obj: dict, paths: list[str]) -> dict:
+    tops = {p for p in paths if "." not in p}
+    nested: dict[str, list[str]] = {}
+    for p in paths:
+        if "." in p:
+            h, rest = p.split(".", 1)
+            nested.setdefault(h, []).append(rest)
+    out = {}
+    for k, v in obj.items():
+        if k in tops:
+            continue
+        if k in nested and isinstance(v, dict):
+            v = _without(v, nested[k])
+        out[k] = v
+    return out
+
+
+def _with(obj: dict, paths: list[str]) -> dict:
+    tops = {p for p in paths if "." not in p}
+    nested: dict[str, list[str]] = {}
+    for p in paths:
+        if "." in p:
+            h, rest = p.split(".", 1)
+            nested.setdefault(h, []).append(rest)
+    out = {}
+    for k, v in obj.items():
+        if k in tops:
+            out[k] = v
+        elif k in nested and isinstance(v, dict):
+            out[k] = _with(v, nested[k])
+    return out
+
+
+_INT_RANGES = {
+    "int8": (-(1 << 7), (1 << 7) - 1),
+    "int16": (-(1 << 15), (1 << 15) - 1),
+    "int32": (-(1 << 31), (1 << 31) - 1),
+    "int64": (-(1 << 63), (1 << 63) - 1),
+    "uint8": (0, (1 << 8) - 1),
+    "uint16": (0, (1 << 16) - 1),
+    "uint32": (0, (1 << 32) - 1),
+    "uint64": (0, (1 << 64) - 1),
+}
+
+
+def _go_int_py(v, kind: str) -> int:
+    if isinstance(v, str):
+        try:
+            n = int(v, 0)  # base-0: 0x/0o/0b prefixes (strconv.ParseInt)
+        except ValueError:
+            try:
+                n = int(float(v))
+            except ValueError:
+                _err(f"cannot parse {v!r} as {kind}")
+    elif isinstance(v, bool):
+        _err(f"expected number value, got bool")
+    elif isinstance(v, (int, float)):
+        n = int(v)
+    else:
+        _err(f"expected number value, got {type(v).__name__}")
+    lo, hi = _INT_RANGES[kind]
+    if not lo <= n <= hi:
+        _err(f"value {n} out of {kind} range")
+    return n
+
+
+def _rfc3339(dt: datetime) -> str:
+    """Go time.Time RFC3339 rendering: Z for UTC, fraction trimmed."""
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    if dt.microsecond:
+        frac = f".{dt.microsecond:06d}".rstrip("0")
+        base += frac
+    off = dt.utcoffset()
+    if off is None or off == timedelta(0):
+        return base + "Z"
+    total = int(off.total_seconds())
+    sign = "+" if total >= 0 else "-"
+    total = abs(total)
+    return base + f"{sign}{total // 3600:02d}:{(total % 3600) // 60:02d}"
+
+
+def _coerce_ts(v) -> datetime:
+    if isinstance(v, datetime):
+        return v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+    if isinstance(v, bool):
+        _err("expected timestamp value, got bool")
+    if isinstance(v, (int, float)):
+        return datetime.fromtimestamp(float(v), tz=timezone.utc)
+    s = str(v)
+    try:
+        return datetime.fromisoformat(s.replace("Z", "+00:00")).astimezone(
+            timezone.utc
+        )
+    except ValueError:
+        try:
+            return datetime.fromtimestamp(float(s), tz=timezone.utc)
+        except ValueError:
+            _err(f"cannot parse timestamp {s!r}")
+
+
+def _jsonpath(obj, path: str) -> list:
+    """Mini JSONPath: $, dot fields, [n], [*], recursive descent `..`.
+    Enough for the reference's json_path doc examples (gjson subset)."""
+    if not path.startswith("$"):
+        _err(f"invalid JSONPath {path!r}")
+    tokens: list = []
+    i = 1
+    while i < len(path):
+        if path.startswith("..", i):
+            i += 2
+            m = re.match(r"[\w-]+", path[i:])
+            if not m:
+                _err(f"bad recursive descent in {path!r}")
+            tokens.append(("recurse", m.group(0)))
+            i += m.end()
+        elif path[i] == ".":
+            i += 1
+            m = re.match(r"[\w-]+|\*", path[i:])
+            if not m:
+                _err(f"bad field in {path!r}")
+            tokens.append(("field", m.group(0)))
+            i += m.end()
+        elif path[i] == "[":
+            j = path.index("]", i)
+            inner = path[i + 1 : j]
+            tokens.append(("index", inner))
+            i = j + 1
+        else:
+            _err(f"bad JSONPath at {path[i:]!r}")
+    cur = [obj]
+    for kind, arg in tokens:
+        nxt: list = []
+        for v in cur:
+            if kind == "field":
+                if arg == "*":
+                    if isinstance(v, dict):
+                        nxt.extend(v.values())
+                    elif isinstance(v, list):
+                        nxt.extend(v)
+                elif isinstance(v, dict) and arg in v:
+                    nxt.append(v[arg])
+            elif kind == "index":
+                if arg == "*":
+                    if isinstance(v, list):
+                        nxt.extend(v)
+                elif isinstance(v, list):
+                    try:
+                        nxt.append(v[int(arg)])
+                    except (ValueError, IndexError):
+                        pass
+            else:  # recurse
+                def walk(node):
+                    if isinstance(node, dict):
+                        for k, val in node.items():
+                            if k == arg:
+                                nxt.append(val)
+                            walk(val)
+                    elif isinstance(node, list):
+                        for val in node:
+                            walk(val)
+
+                walk(v)
+        cur = nxt
+    return cur
+
+
+def _xml_cast(v):
+    """parse_xml(cast: true): leaf strings coerce to numbers/bools
+    (mxj WithTypeConversion; Go ParseBool accepts True/False)."""
+    if isinstance(v, dict):
+        return {k: _xml_cast(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_xml_cast(x) for x in v]
+    if isinstance(v, str):
+        try:
+            return int(v)
+        except ValueError:
+            pass
+        try:
+            return float(v)
+        except ValueError:
+            pass
+        if v in ("true", "True", "TRUE", "t", "T"):
+            return True
+        if v in ("false", "False", "FALSE", "f", "F"):
+            return False
+    return v
+
+
+def _xml_to_value(text: str):
+    import xml.etree.ElementTree as ET
+
+    try:
+        ET.fromstring(text)
+    except ET.ParseError:
+        # mxj tolerates UNQUOTED attribute values (<number id=99>);
+        # quote them for the strict stdlib parser
+        text = re.sub(r'(\s[\w:-]+)=([^"\x27\s>][^\s>]*)', r'\1="\2"', text)
+
+    def elem(e):
+        out: dict = {f"-{k}": v for k, v in e.attrib.items()}
+        kids = list(e)
+        if not kids:
+            t = (e.text or "").strip()
+            if not out:
+                return t
+            if t:
+                out["#text"] = t
+            return out
+        for k in kids:
+            v = elem(k)
+            if k.tag in out:
+                prev = out[k.tag]
+                out[k.tag] = prev + [v] if isinstance(prev, list) else [prev, v]
+            else:
+                out[k.tag] = v
+        t = (e.text or "").strip()
+        if t:
+            out["#text"] = t
+        return out
+
+    root = ET.fromstring(text)
+    return {root.tag: elem(root)}
+
+
+def xml_format_py(v, indent: str = "    ") -> str:
+    """Value -> XML text, mxj-shaped (clbanning/mxj XmlIndent: no
+    wrapper element, `-attr` keys become attributes, `#text` inline)."""
+    lines: list[str] = []
+
+    def emit(tag, val, depth):
+        pad = indent * depth
+        if isinstance(val, list):
+            for item in val:
+                emit(tag, item, depth)
+            return
+        if isinstance(val, dict):
+            attrs = "".join(
+                f' {k[1:]}="{v2}"' for k, v2 in val.items()
+                if isinstance(k, str) and k.startswith("-")
+            )
+            kids = {
+                k: v2 for k, v2 in val.items()
+                if not (isinstance(k, str) and k.startswith(("-", "#")))
+            }
+            text = val.get("#text")
+            if not kids and text is None:
+                lines.append(f"{pad}<{tag}{attrs}/>")
+                return
+            if not kids:
+                lines.append(f"{pad}<{tag}{attrs}>{text}</{tag}>")
+                return
+            lines.append(f"{pad}<{tag}{attrs}>")
+            if text is not None:
+                lines.append(f"{pad}{indent}{text}")
+            for k, v2 in kids.items():
+                emit(k, v2, depth + 1)
+            lines.append(f"{pad}</{tag}>")
+            return
+        rendered = "" if val is None else val
+        if isinstance(rendered, bool):
+            rendered = "true" if rendered else "false"
+        lines.append(f"{pad}<{tag}>{rendered}</{tag}>")
+
+    if not isinstance(v, dict):
+        _err("format_xml expects an object")
+    for tag, val in v.items():
+        emit(tag, val, 0)
+    return "\n".join(lines)
+
+
+def format_json_py(v, indent="    ", no_indent=False, escape_html=True) -> str:
+    ind = None if no_indent else str(indent)
+    out = json.dumps(
+        v, indent=ind, sort_keys=True,
+        separators=(",", ":") if ind is None else (",", ": "),
+        ensure_ascii=False,
+    )
+    if escape_html:
+        out = (out.replace("&", "\\u0026")
+               .replace("<", "\\u003c").replace(">", "\\u003e"))
+    return out
+
+
+def ext_method(name: str, recv: Any, args: list) -> Any:
+    """Extended per-value methods; returns _NO_EXT when unhandled."""
+    from bento_spark.bloblang.interp import jdumps
+
+    # ---- strings ----------------------------------------------------------
+    if name == "repeat":
+        return str(recv) * int(args[0])
+    if name == "slug":
+        conj = {"en": "and", "fr": "et", "de": "und", "es": "y",
+                "pt": "e", "it": "e", "nl": "en"}.get(
+            str(args[0]) if args else "en", "and")
+        s = re.sub(r"['\u2019]", "", str(recv))
+        s = s.replace("&", f" {conj} ").replace("@", " at ").lower()
+        return re.sub(r"^-+|-+$", "", re.sub(r"[^a-z0-9]+", "-", s))
+    if name == "strip_html":
+        keep = args[0] if args and args[0] else None
+        if keep:
+            alts = "|".join(str(t) for t in keep)
+            return re.sub(rf"<(?!/?(?:{alts})\b)[^>]*>", "", str(recv))
+        return re.sub(r"<[^>]*>", "", str(recv))
+    if name == "escape_url_query":
+        from urllib.parse import quote_plus
+
+        return quote_plus(str(recv))
+    if name == "unescape_url_query":
+        from urllib.parse import unquote_plus
+
+        return unquote_plus(str(recv))
+    if name == "filepath_join":
+        joined = re.sub(r"/{2,}", "/", "/".join(str(x) for x in recv))
+        return re.sub(r"(.)/$", r"\1", joined)
+    if name == "filepath_split":
+        s = str(recv)
+        m = re.match(r"^(.*/)?([^/]*)$", s)
+        return [m.group(1) or "", m.group(2)]
+    if name == "re_find_all":
+        return [m.group(0) for m in re.finditer(_pyre(args[0]), str(recv))]
+    if name in ("re_find_object", "re_find_all_object"):
+        rx = re.compile(_pyre(args[0]))
+        names = {v: k for k, v in rx.groupindex.items()}
+
+        def obj(m):
+            return {
+                names.get(i, str(i)): m.group(i) or ""
+                for i in range(rx.groups + 1)
+            }
+
+        if name == "re_find_object":
+            m = rx.search(str(recv))
+            return obj(m) if m else None
+        return [obj(m) for m in rx.finditer(str(recv))]
+    if name == "re_find_all_submatch":
+        rx = re.compile(_pyre(args[0]))
+        return [
+            [m.group(i) or "" for i in range(rx.groups + 1)]
+            for m in rx.finditer(str(recv))
+        ]
+    if name == "parse_url":
+        from urllib.parse import urlsplit
+
+        s = str(recv)
+        # Go url.Parse validates %-escapes (strips the fragment first)
+        pre_frag = s.split("#", 1)[0]
+        m = re.search(r"%(?![0-9A-Fa-f]{2})", pre_frag)
+        if m:
+            esc = pre_frag[m.start():m.start() + 3]
+            _err(f'parse "{pre_frag}": invalid URL escape "{esc}"')
+        try:
+            u = urlsplit(s)
+        except ValueError as ex:
+            _err(f"parse {s[:24]!r}: {ex}")
+        host = u.netloc
+        out = {
+            "scheme": u.scheme, "opaque": "", "host": host,
+            "path": u.path, "raw_path": "", "raw_query": u.query,
+            "fragment": u.fragment, "raw_fragment": "",
+        }
+        if "@" in u.netloc:
+            userinfo, host = u.netloc.rsplit("@", 1)
+            out["host"] = host
+            user = {"name": userinfo.split(":", 1)[0]}
+            if ":" in userinfo:
+                user["password"] = userinfo.split(":", 1)[1]
+            out["user"] = user
+        return out
+    if name == "parse_form_url_encoded":
+        from urllib.parse import parse_qs
+
+        q = parse_qs(str(recv), keep_blank_values=True)
+        return {k: v[0] if len(v) == 1 else v for k, v in q.items()}
+
+    # ---- numbers ----------------------------------------------------------
+    if name in _INT_RANGES:
+        return _go_int_py(recv, name)
+    if name == "pow":
+        return float(recv) ** float(args[0])
+    if name in ("cos", "sin", "tan"):
+        return getattr(math, name)(float(recv))
+    if name == "float64":
+        return float(recv)
+    if name == "float32":
+        import numpy as np
+
+        return float(np.float32(float(recv)))
+    if name == "parse_duration":
+        from bento_spark.bloblang.stdlib import _go_duration_ns
+
+        return _go_duration_ns(str(recv))
+    if name == "parse_duration_iso8601":
+        from bento_spark.bloblang.stdlib import _iso_dur_ns
+
+        return _iso_dur_ns(str(recv))
+
+    # ---- timestamps --------------------------------------------------------
+    if name == "ts_sub":
+        a = _coerce_ts(recv)
+        b = _coerce_ts(args[0])
+        return int((a - b).total_seconds() * 1e9)
+    if name == "ts_tz":
+        dt = _coerce_ts(recv)
+        tz = str(args[0])
+        if tz == "UTC":
+            return dt.astimezone(timezone.utc)
+        try:
+            from zoneinfo import ZoneInfo
+
+            return dt.astimezone(ZoneInfo(tz))
+        except Exception:  # noqa: BLE001
+            _err(f"unknown timezone {tz!r}")
+    if name == "ts_round":
+        dt = _coerce_ts(recv)
+        dur_s = int(args[0]) / 1e9
+        epoch = dt.timestamp()
+        rounded = round(epoch / dur_s) * dur_s
+        return datetime.fromtimestamp(rounded, tz=timezone.utc)
+
+    # ---- structured ---------------------------------------------------------
+    if name == "index":
+        i = int(args[0])
+        seq = recv if isinstance(recv, (list, bytes, bytearray)) \
+            else str(recv)
+        if -len(seq) <= i < len(seq):
+            return seq[i]
+        return None
+    if name == "array":
+        return recv if isinstance(recv, list) else [recv]
+    if name == "bytes":
+        if isinstance(recv, (bytes, bytearray)):
+            return bytes(recv)
+        if isinstance(recv, (dict, list)):
+            return jdumps(recv, separators=(",", ":")).encode()
+        return str(recv).encode()
+    if name == "not_empty":
+        if recv is None or (hasattr(recv, "__len__") and len(recv) == 0):
+            _err("value is empty")
+        return recv
+    if name == "find":
+        try:
+            return recv.index(args[0])
+        except ValueError:
+            return None
+    if name == "find_all":
+        return [i for i, el in enumerate(recv) if el == args[0]]
+    if name == "zip":
+        rows = []
+        for i, el in enumerate(recv):
+            row = [el]
+            for other in args:
+                row.append(other[i] if i < len(other) else None)
+            rows.append(row)
+        return rows
+    if name == "squash":
+        out: dict = {}
+        for item in recv:
+            out = _gather_merge(out, item)
+        return out
+    if name == "merge":
+        return _gather_merge(recv, args[0])
+    if name == "assign":
+        out = dict(recv)
+        out.update(args[0])
+        return out
+    if name == "key_values":
+        if not isinstance(recv, dict):
+            _err("expected object value")
+        return [{"key": k, "value": recv[k]} for k in sorted(recv)]
+    if name == "with":
+        return _with(recv, [str(a) for a in args])
+    if name == "without":
+        return _without(recv, [str(a) for a in args])
+    if name == "explode":
+        path = str(args[0])
+        target = _dot_get(recv, path)
+        if isinstance(target, list):
+            return [
+                _dot_set(json.loads(jdumps(recv)), path, el) for el in target
+            ]
+        if isinstance(target, dict):
+            return {
+                k: _dot_set(json.loads(jdumps(recv)), path, v)
+                for k, v in target.items()
+            }
+        _err(f"explode path {path!r} is not an array or object")
+    if name == "set":
+        base = json.loads(jdumps(recv)) if isinstance(recv, dict) else {}
+        return _dot_set(base, str(args[0]), args[1])
+    if name == "get":
+        return _dot_get(recv, str(args[0]))
+    if name == "json_path":
+        path = str(args[0])
+        matches = _jsonpath(recv, path)
+        # gjson semantics: concrete paths yield the value, wildcard/
+        # recursive paths yield the match list
+        if ".." in path or "*" in path or "?" in path:
+            return matches
+        return matches[0] if matches else None
+    if name == "json_schema":
+        schema = json.loads(str(args[0]))
+        _schema_check(recv, schema)
+        return recv
+    if name == "cosine_similarity":
+        num = sum(a * b for a, b in zip(recv, args[0]))
+        da = math.sqrt(sum(a * a for a in recv))
+        db = math.sqrt(sum(b * b for b in args[0]))
+        return num / (da * db) if da and db else 0.0
+
+    # ---- parse/format codecs ----------------------------------------------
+    if name == "parse_json":
+        return json.loads(
+            recv.decode() if isinstance(recv, (bytes, bytearray)) else str(recv)
+        )
+    if name == "format_json":
+        kw = {}
+        if len(args) > 0 and args[0] is not None:
+            kw["indent"] = args[0]
+        if len(args) > 1 and args[1] is not None:
+            kw["no_indent"] = args[1]
+        if len(args) > 2 and args[2] is not None:
+            kw["escape_html"] = args[2]
+        return format_json_py(recv, **kw).encode()
+    if name == "parse_yaml":
+        import yaml
+
+        return yaml.safe_load(str(recv))
+    if name == "format_yaml":
+        import yaml
+
+        return yaml.safe_dump(
+            recv, sort_keys=True, default_flow_style=False
+        ).encode()
+    if name == "parse_xml":
+        text = recv.decode() if isinstance(recv, (bytes, bytearray)) \
+            else str(recv)
+        try:
+            val = _xml_to_value(text)
+        except Exception as ex:  # noqa: BLE001
+            _err(f"parse xml: {ex}")
+        if args and args[0]:
+            val = _xml_cast(val)
+        return val
+    if name == "format_xml":
+        indent = str(args[0]) if args and args[0] is not None else "    "
+        no_indent = bool(args[1]) if len(args) > 1 and args[1] is not None \
+            else False
+        out = xml_format_py(recv, "" if no_indent else indent)
+        return (out.replace("\n", "") if no_indent else out).encode()
+    if name == "parse_csv":
+        import csv
+        import io
+
+        header = bool(args[0]) if args and args[0] is not None else True
+        delim = str(args[1]) if len(args) > 1 and args[1] is not None else ","
+        rows = list(csv.reader(io.StringIO(str(recv)), delimiter=delim))
+        if not rows:
+            return []
+        if header:
+            return [dict(zip(rows[0], r)) for r in rows[1:]]
+        return rows
+    if name == "format_msgpack":
+        from bento_spark.operators.codecs import _mp_encode
+
+        return _mp_encode(recv)
+    if name == "parse_big_decimal":
+        import decimal as _dec
+
+        sc = int(args[0]) if args and args[0] is not None else 0
+        n = int.from_bytes(_as_bytes(recv), "big", signed=True)
+        return str(_dec.Decimal(n).scaleb(-sc))
+    if name == "parse_msgpack":
+        from bento_spark.operators.codecs import _mp_decode
+
+        return _mp_decode(_as_bytes(recv))[0]
+
+    # ---- jwt / crypto compare ----------------------------------------------
+    if name.startswith(("parse_jwt_", "sign_jwt_")):
+        return _jwt(name, recv, args)
+    if name == "compare_argon2":
+        return _compare_argon2(str(recv), str(args[0]))
+    if name == "compare_bcrypt":
+        return _compare_bcrypt(str(recv), str(args[0]))
+
+    return _NO_EXT
+
+
+def _pyre(pattern) -> str:
+    """Go named groups (?P<n>) are already Python-style; JVM (?<n>)
+    normalizes (same as stdlib._pattern_dialects)."""
+    p = str(pattern).replace("(?<", "(?P<").replace("(?P<=", "(?<=")
+    return p.replace("(?P<!", "(?<!")
+
+
+def _schema_check(value, schema: dict) -> None:
+    """Minimal JSON-schema subset (type/properties/required/items/enum)
+    — the same surface operators.processors.json_schema_bad compiles."""
+    t = schema.get("type")
+    types = {
+        "object": dict, "array": list, "string": str, "boolean": bool,
+        "integer": int, "number": (int, float), "null": type(None),
+    }
+    if t and t in types and not isinstance(value, types[t]):
+        _err(f"expected {t}")
+    if t == "integer" and isinstance(value, bool):
+        _err("expected integer")
+    for req in schema.get("required", []):
+        if not isinstance(value, dict) or req not in value:
+            _err(f"missing required property {req!r}")
+    if isinstance(value, dict):
+        for k, sub in (schema.get("properties") or {}).items():
+            if k in value:
+                _schema_check(value[k], sub)
+    if isinstance(value, list) and schema.get("items"):
+        for el in value:
+            _schema_check(el, schema["items"])
+    if "enum" in schema and value not in schema["enum"]:
+        _err(f"value {value!r} not in enum")
+
+
+def _jwt(name: str, recv, args) -> Any:
+    import base64
+    import hashlib
+    import hmac as _hmac
+
+    m = re.fullmatch(r"(parse|sign)_jwt_(hs|rs|es)(256|384|512)", name)
+    if not m:
+        return _NO_EXT
+    op, fam, bits = m.group(1), m.group(2).upper(), int(m.group(3))
+    secret = str(args[0])
+    hashers = {256: hashlib.sha256, 384: hashlib.sha384, 512: hashlib.sha512}
+    coord = {256: 32, 384: 48, 512: 66}
+
+    def b64d(x: str) -> bytes:
+        return base64.urlsafe_b64decode(x + "=" * (-len(x) % 4))
+
+    def enc(b: bytes) -> str:
+        return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+    if op == "parse":
+        tok = str(recv)
+        try:
+            head, payload, sig = tok.split(".")
+        except ValueError:
+            _err("invalid JWT")
+        signing = f"{head}.{payload}".encode()
+        raw = b64d(sig)
+        try:
+            if fam == "HS":
+                mac = _hmac.new(secret.encode(), signing, hashers[bits]).digest()
+                if not _hmac.compare_digest(mac, raw):
+                    _err("invalid signature")
+            else:
+                from cryptography.hazmat.primitives import hashes, serialization
+
+                key = serialization.load_pem_private_key(
+                    secret.encode(), password=None
+                ) if "PRIVATE" in secret else serialization.load_pem_public_key(
+                    secret.encode()
+                )
+                pub = key.public_key() if hasattr(key, "public_key") else key
+                h = {256: hashes.SHA256, 384: hashes.SHA384,
+                     512: hashes.SHA512}[bits]
+                if fam == "RS":
+                    from cryptography.hazmat.primitives.asymmetric import padding
+
+                    pub.verify(raw, signing, padding.PKCS1v15(), h())
+                else:
+                    from cryptography.hazmat.primitives.asymmetric import ec
+                    from cryptography.hazmat.primitives.asymmetric.utils import (
+                        encode_dss_signature,
+                    )
+
+                    n = coord[bits]
+                    pub.verify(
+                        encode_dss_signature(
+                            int.from_bytes(raw[:n], "big"),
+                            int.from_bytes(raw[n:], "big"),
+                        ),
+                        signing, ec.ECDSA(h()),
+                    )
+        except Exception as ex:  # noqa: BLE001 - bad sig/key
+            _err(f"jwt verification failed: {ex}")
+        return json.loads(b64d(payload))
+
+    # sign
+    from bento_spark.bloblang.interp import jdumps
+
+    claims = recv if isinstance(recv, str) else jdumps(
+        recv, separators=(",", ":"), sort_keys=True
+    )
+    head = enc(json.dumps(
+        {"alg": f"{fam}{bits}", "typ": "JWT"}, separators=(",", ":")
+    ).encode())
+    payload = enc(claims.encode())
+    signing = f"{head}.{payload}".encode()
+    if fam == "HS":
+        sig = _hmac.new(secret.encode(), signing, hashers[bits]).digest()
+    else:
+        from cryptography.hazmat.primitives import hashes, serialization
+
+        priv = serialization.load_pem_private_key(secret.encode(), password=None)
+        h = {256: hashes.SHA256, 384: hashes.SHA384, 512: hashes.SHA512}[bits]
+        if fam == "RS":
+            from cryptography.hazmat.primitives.asymmetric import padding
+
+            sig = priv.sign(signing, padding.PKCS1v15(), h())
+        else:
+            from cryptography.hazmat.primitives.asymmetric import ec
+            from cryptography.hazmat.primitives.asymmetric.utils import (
+                decode_dss_signature,
+            )
+
+            der = priv.sign(signing, ec.ECDSA(h()))
+            r, s_ = decode_dss_signature(der)
+            n = coord[bits]
+            sig = r.to_bytes(n, "big") + s_.to_bytes(n, "big")
+    return f"{head}.{payload}.{enc(sig)}"
+
+
+def _compare_argon2(secret: str, hashed: str) -> bool:
+    import hmac as _hmac
+
+    from bento_spark.bloblang.stdlib_ext import _parse_phc_argon2
+
+    p = _parse_phc_argon2(hashed)
+    from cryptography.hazmat.primitives.kdf.argon2 import Argon2id
+
+    kdf = Argon2id(
+        salt=p["salt"], length=len(p["expect"]),
+        iterations=p["iterations"], lanes=p["lanes"],
+        memory_cost=p["memory_cost"],
+    )
+    return _hmac.compare_digest(kdf.derive(secret.encode()), p["expect"])
+
+
+def _compare_bcrypt(secret: str, hashed: str) -> bool:
+    import hmac as _hmac
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", DeprecationWarning)
+        import crypt as _crypt
+
+    got = _crypt.crypt(secret, hashed)
+    return got is not None and _hmac.compare_digest(got, hashed)

@@ -126,7 +126,15 @@ method("re_match", "a")(lambda c, p: c.rlike(p))
 method("re_find_all", "a")(lambda c, p: F.regexp_extract_all(c, V(p), F.lit(0)))
 method("repeat", "a")(lambda c, n: F.repeat(c, n))
 method("reverse", "a")(lambda c: F.reverse(c))
-method("quote", "b")(lambda c: F.concat(F.lit('"'), F.replace(c, F.lit('"'), F.lit('\\"')), F.lit('"')))
+def _quote(c: Column) -> Column:
+    """strconv.Quote semantics via the JSON encoder: to_json of a
+    one-element array gives the fully escaped string (\\n, \\", \\\\ …);
+    strip the brackets."""
+    j = F.to_json(F.array(c.cast("string")))
+    return F.substring(j, 2, F.length(j) - 2)
+
+
+method("quote", "b")(_quote)
 # format: receiver must be a literal format string (Go %v -> printf %s);
 # the compiler passes literal receivers raw for RAW_RECV_METHODS
 method("format", "b")(
@@ -149,8 +157,18 @@ method("bytes", "a")(lambda c: c.cast("binary"))
 # .hash()/.decode()) must NOT detour through a string cast
 RECV_TYPE_AWARE = {
     "encode", "decode", "hash", "encrypt_aes", "decrypt_aes",
-    "compress", "decompress",
+    "compress", "decompress", "not_empty",
+    "ts_format", "ts_strftime", "ts_unix", "ts_unix_milli",
+    "ts_unix_micro", "ts_unix_nano", "ts_round", "ts_tz", "ts_sub",
+    "parse_jwt_hs256", "sign_jwt_hs256",
+    "format_json", "format_yaml", "format_msgpack", "format_xml",
+    "parse_csv", "squash", "parse_big_decimal", "parse_msgpack",
+    "parse_xml",
 }
+for _fam in ("hs", "rs", "es"):
+    for _bits in (256, 384, 512):
+        RECV_TYPE_AWARE.add(f"parse_jwt_{_fam}{_bits}")
+        RECV_TYPE_AWARE.add(f"sign_jwt_{_fam}{_bits}")
 
 # reference ParamSpec orderings for named-argument remapping
 # (methods_strings.go NewMethodSpec Param chains)
@@ -166,7 +184,57 @@ METHOD_PARAM_NAMES = {
     "trim": ("cutset",),
     "slice": ("low", "high"),
     "split": ("delimiter",),
+    "ts_format": ("format", "tz"),
+    "ts_strftime": ("format", "tz"),
+    "ts_parse": ("format",),
+    "ts_strptime": ("format",),
+    "collapse": ("include_empty",),
+    "parse_big_decimal": ("scale",),
+    "format_json": ("indent", "no_indent", "escape_html"),
+    "parse_csv": ("parse_header_row", "delimiter", "lazy_quotes"),
+    "round": ("decimals",),
+    "repeat": ("count",),
+    "index_of": ("value",),
+    "parse_timestamp": ("format",),
+    "format_timestamp": ("format", "tz"),
+    "format_xml": ("indent", "no_indent"),
+    "parse_xml": ("cast",),
+    "parse_json": ("use_number",),
 }
+
+# reference ParamSpec orderings for FUNCTIONS (functions.go,
+# bloblang_cache.go)
+FUNCTION_PARAM_NAMES = {
+    "range": ("start", "stop", "step"),
+    "count": ("name",),
+    "counter": ("min", "max", "set"),
+    "random_int": ("seed", "min", "max"),
+    "fake": ("function",),
+    "env": ("name",),
+    "file": ("path",),
+    "file_rel": ("path",),
+    "cache_get": ("resource", "key"),
+    "cache_set": ("resource", "key", "value", "ttl"),
+    "cache_add": ("resource", "key", "value", "ttl"),
+    "cache_delete": ("resource", "key"),
+    "uuid_v5": ("namespace", "name"),
+    "meta": ("key",),
+    "metadata": ("key",),
+    "json": ("path",),
+    "content": (),
+    "throw": ("message",),
+}
+
+
+def _as_json_text(c: Column, recv_type=None) -> Column:
+    """Structured receivers serialize to canonical JSON text; strings
+    pass through (the tier-c parse/sign builders consume text)."""
+    from pyspark.sql import types as T
+
+    if isinstance(recv_type, (T.StructType, T.ArrayType, T.MapType,
+                              T.VariantType)):
+        return F.to_json(c)
+    return c.cast("string")
 
 
 def _as_bin(c: Column, recv_type=None) -> Column:
@@ -282,8 +350,15 @@ method("log10", "a")(lambda c: F.log10(c))
 method("pow", "a")(lambda c, e: F.pow(c, e))
 method("max", "b")(lambda c: F.array_max(c))  # array max (reference: numbers max)
 method("min", "b")(lambda c: F.array_min(c))
-method("int64", "a")(lambda c: c.cast("long"))
-method("int32", "a")(lambda c: c.cast("int"))
+def _go_int(c: Column, target: str) -> Column:
+    """Integer casts with Go strconv.ParseInt base-0 string handling:
+    "0xDEAD"/"0o17"/"0b101" prefixes parse in their base
+    (methods.md int64 examples)."""
+    return _go_long(c).cast(target)
+
+
+method("int64", "b")(lambda c: _go_int(c, "long"))
+method("int32", "b")(lambda c: _go_int(c, "int"))
 method("float64", "a")(lambda c: c.cast("double"))
 method("float32", "a")(lambda c: c.cast("float"))
 
@@ -336,7 +411,7 @@ method("ts_parse", "a")(
 
 
 @method("ts_format", "b")
-def _ts_format(c, fmt):
+def _ts_format(c, fmt, tz=None, recv_type=None):
     """Go `.999` fraction runs trim trailing zeros and omit a zero
     fraction entirely; Java's optional section `[.SSS]` still prints
     `.000` — so .9-runs format as their own segment and trim, the
@@ -348,6 +423,10 @@ def _ts_format(c, fmt):
         looks_like_go_layout,
     )
 
+    c = _to_ts(c, recv_type)
+    if tz is not None and str(tz) != "UTC":
+        # render in the target zone (Spark formats in session tz = UTC)
+        c = F.convert_timezone(F.lit("UTC"), F.lit(str(tz)), c)
     fmt = str(fmt)
     if not looks_like_go_layout(fmt):
         return F.date_format(c, fmt)
@@ -373,23 +452,86 @@ def _ts_format(c, fmt):
             # digit-free pieces like " PM")
             cols.append(F.date_format(c, go_layout_to_java(p)))
     return F.concat(*cols)
-method("ts_unix", "a")(lambda c: F.unix_timestamp(c))
-method("ts_unix_milli", "b")(lambda c: F.unix_millis(c.cast("timestamp")))
-method("ts_unix_micro", "b")(lambda c: F.unix_micros(c.cast("timestamp")))
-method("ts_round", "b")(lambda c, unit="hour": F.date_trunc(unit, c))
-method("ts_tz", "a")(lambda c, tz: F.from_utc_timestamp(c, tz))
+method("ts_unix", "b")(
+    lambda c, recv_type=None: F.unix_seconds(
+        F.date_trunc("second", _to_ts(c, recv_type))
+    )
+)
+method("ts_unix_milli", "b")(
+    lambda c, recv_type=None: F.unix_millis(_to_ts(c, recv_type))
+)
+method("ts_unix_micro", "b")(
+    lambda c, recv_type=None: F.unix_micros(_to_ts(c, recv_type))
+)
+
+
+@method("ts_round", "b")
+def _ts_round(c, dur, recv_type=None):
+    """Round to the nearest multiple of a duration (bloblang_time.go
+    ts_round — Go Time.Round: half away from zero). The duration
+    arrives in ns (from parse_duration)."""
+    ts = _to_ts(c, recv_type)
+    us = F.unix_micros(ts)
+    dur_us = (V(dur).cast("long") / 1000).cast("long")
+    rounded = ((us + dur_us / 2).cast("long") / dur_us).cast("long") * dur_us
+    return F.timestamp_micros(rounded.cast("long"))
+
+
+@method("ts_tz", "b")
+def _ts_tz(c, tz, recv_type=None):
+    """Re-zone a timestamp (bloblang_time.go ts_tz). Spark timestamps
+    are zone-less instants rendered in the session zone (UTC here), so
+    UTC is exact; other zones shift the rendered wall-clock the way the
+    reference's RFC3339 output reads in that zone (the offset suffix
+    itself cannot be carried by TimestampType — documented)."""
+    ts = _to_ts(c, recv_type)
+    if str(tz) == "UTC":
+        return ts
+    return F.convert_timezone(F.lit("UTC"), F.lit(str(tz)), ts)
 
 # ---- arrays / objects (methods_structured.go, bloblang_objects.go) -------
 
-method("append", "a")(lambda c, x: F.array_append(c, V(x)))
+method("append", "a")(
+    # variadic (methods_structured.go append: items...)
+    lambda c, *xs: F.concat(c, F.array(*[V(x) for x in xs]))
+)
 method("concat", "a")(lambda c, *xs: F.concat(c, *xs))
 method("flatten", "a")(lambda c: F.flatten(c))
 method("unique", "a")(lambda c: F.array_distinct(c))
-method("sort", "a")(lambda c: F.array_sort(c))
-method("join", "a")(lambda c, sep: F.array_join(c, sep))
+
+
+def _sort(c, fn=None):
+    """sort() natural order; sort(item -> item.left.v < item.right.v)
+    with the reference's {left,right} comparator (bool: true = in
+    order) mapped onto Spark's -1/1 comparator."""
+    if fn is None:
+        return F.array_sort(c)
+    return F.array_sort(
+        c, lambda l, r: F.when(fn(l, r), F.lit(-1)).otherwise(F.lit(1))
+    )
+
+
+method("sort", "b")(_sort)
+method("join", "a")(
+    # delimiter optional (methods.md join: default "")
+    lambda c, sep=None: F.array_join(c, sep if sep is not None else "")
+)
 method("keys", "a")(lambda c: F.map_keys(c))
 method("values", "a")(lambda c: F.map_values(c))
-method("not_empty", "b")(lambda c: F.when(F.size(c) > 0, c))
+
+
+@method("not_empty", "b")
+def _not_empty(c: Column, recv_type=None) -> Column:
+    """Passes non-empty strings/arrays/objects, nulls empty ones (the
+    reference raises a per-message error; null composes with catch()
+    the same way)."""
+    from pyspark.sql import types as T
+
+    if isinstance(recv_type, (T.ArrayType, T.MapType)):
+        return F.when(F.size(c) > 0, c)
+    if isinstance(recv_type, T.StructType):
+        return c
+    return F.when(F.length(c.cast("string")) > 0, c)
 def _index(c, i):
     """0-based, null OOB; negative counts from the end (methods_structured.go:699)."""
     if isinstance(i, Column):
@@ -416,7 +558,20 @@ method("fold", "b")(lambda c, init, fn: F.aggregate(
     and not isinstance(init, bool) else V(init),
     fn,
 ))
-method("zip", "a")(lambda c, other: F.arrays_zip(c, other))
+def _zip(c, *others):
+    """zip -> array of ARRAYS (not structs — methods.md zip), elements
+    lifted to VARIANT so heterogeneous columns zip like the reference's
+    dynamic values."""
+    def row(x, i):
+        elems = [x.cast("variant")] + [
+            F.try_element_at(V(o), i + 1).cast("variant") for o in others
+        ]
+        return F.array(*elems)
+
+    return F.transform(c, row)
+
+
+method("zip", "b")(_zip)
 method("enumerated", "b")(
     lambda c: F.zip_with(
         F.sequence(F.lit(0), F.size(c) - 1),
@@ -490,9 +645,79 @@ def _bento_type_variant(c):
     )
 # try_parse_json: malformed input must flow to .catch()/_error, not
 # throw from the JVM (a plain parse_json exception is untrappable)
-method("parse_json", "b")(lambda c, schema=None: F.from_json(c, schema) if schema else F.try_parse_json(c))
-method("format_json", "a")(lambda c: F.to_json(c))
-method("parse_csv", "b")(lambda c, schema: F.from_csv(c, schema))
+method("parse_json", "b")(
+    # use_number only affects Go json.Number precision retention; the
+    # VARIANT path already preserves the literal
+    lambda c, schema=None, use_number=None:
+        F.from_json(c, schema) if isinstance(schema, str)
+        else F.try_parse_json(c.cast("string"))
+)
+@method("format_json", "c")
+def _format_json(c: Column, indent="    ", no_indent=False,
+                 escape_html=True, recv_type=None) -> Column:
+    """Pretty-print to JSON text with Go MarshalIndent shape: 4-space
+    default indent, HTML-problematic chars escaped unless disabled
+    (methods.md format_json)."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    c = _as_json_text(c, recv_type)
+    ind = None if no_indent else str(indent)
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            v = _json.loads(x)
+            out = _json.dumps(
+                v, indent=ind, sort_keys=True,
+                separators=(",", ":") if ind is None else (",", ": "),
+                ensure_ascii=False,
+            )
+            if escape_html:
+                out = (out.replace("&", "\\u0026")
+                       .replace("<", "\\u003c").replace(">", "\\u003e"))
+            return out
+
+        return s.map(one)
+
+    return run(c)
+@method("parse_csv", "c")
+def _parse_csv(c: Column, parse_header_row=True, delimiter=",",
+               lazy_quotes=False, recv_type=None) -> Column:
+    """CSV text -> array of objects (header keys) or array of arrays
+    (methods.md parse_csv). Per-message dynamic headers rule out
+    from_csv's static schema, hence tier-c."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    header = bool(parse_header_row)
+    delim = str(delimiter)
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        import csv
+        import io
+
+        def one(x):
+            if x is None:
+                return None
+            rows = list(csv.reader(io.StringIO(str(x)), delimiter=delim))
+            if not rows:
+                return "[]"
+            if header:
+                hdr = rows[0]
+                return _json.dumps(
+                    [dict(zip(hdr, r)) for r in rows[1:]], sort_keys=True
+                )
+            return _json.dumps(rows)
+
+        return s.map(one)
+
+    return F.parse_json(run(c.cast("string")))
 method("parse_url_query", "b")(lambda c: F.str_to_map(c, F.lit("&"), F.lit("=")))
 
 # ---- functions (functions.go) ---------------------------------------------
@@ -501,8 +726,29 @@ function("now", "a")(lambda: F.current_timestamp())
 function("timestamp_unix", "a")(lambda: F.unix_timestamp())
 function("uuid_v4", "a")(lambda: F.uuid())
 function("random_int", "b")(lambda mx=2**31: (F.rand() * mx).cast("long"))
-function("range", "a")(lambda lo, hi, step=None: F.sequence(lo, hi - 1, step) if step is not None else F.sequence(lo, hi - 1))
-function("counter", "b")(lambda: F.monotonically_increasing_id())
+def _range(start, stop, step=1):
+    """range(start, stop, step): stop-EXCLUSIVE like the reference
+    (bloblang_functions.go range), negative steps included."""
+    lo, hi, st = V(start).cast("long"), V(stop).cast("long"), V(step).cast("long")
+    return F.sequence(lo, hi - F.signum(st).cast("long"), st)
+
+
+function("range", "b")(_range)
+
+
+def _counter_col() -> Column:
+    """counter(): 1-based, increments per message in batch order
+    (bloblang_functions.go counter). Sequential BY DEFINITION — the
+    global-order window is the honest plan; the generate input swaps in
+    its deterministic override via Env.functions before this engages."""
+    from pyspark.sql import Window
+
+    return F.row_number().over(
+        Window.orderBy(F.monotonically_increasing_id())
+    ).cast("long")
+
+
+function("counter", "b")(_counter_col)
 function("hostname", "b")(lambda: F.lit("localhost"))
 class ThrowInExpression(RuntimeError):
     """`throw(...)` in EXPRESSION position (inside if/match arms, method
@@ -543,12 +789,41 @@ def _unescape_html(c: Column) -> Column:
     return c
 
 
-method("strip_html", "b")(lambda c: F.regexp_replace(c, "<[^>]*>", ""))
+def _strip_html(c: Column, keep=None) -> Column:
+    """Strip tags; an optional allow-list keeps those elements
+    (methods.md strip_html(["article"]) — bluemonday allow-list)."""
+    if not keep:
+        return F.regexp_replace(c, "<[^>]*>", "")
+    alts = "|".join(str(t) for t in keep)
+    return F.regexp_replace(c, rf"<(?!/?(?:{alts})\b)[^>]*>", "")
+
+
+method("strip_html", "b")(_strip_html)
 method("escape_url_query", "a")(lambda c: F.url_encode(c))
 method("unescape_url_query", "a")(lambda c: F.url_decode(c))
-method("filepath_join", "a")(lambda c: F.array_join(c, "/"))
-method("filepath_split", "a")(lambda c: F.split(c, "/"))
-method("unquote", "b")(lambda c: F.regexp_replace(F.regexp_replace(c, '^"|"$', ""), '\\\\"', '"'))
+method("filepath_join", "b")(
+    # Go filepath.Join CLEANS the result (collapses //, trims trailing /)
+    lambda c: F.regexp_replace(
+        F.regexp_replace(F.array_join(c, "/"), "/{2,}", "/"),
+        "(.)/$", "$1",
+    )
+)
+method("filepath_split", "b")(
+    # Go filepath.Split -> [dir-with-trailing-slash, file]; no slash ->
+    # ["", file] (methods.md filepath_split examples)
+    lambda c: F.array(
+        F.coalesce(F.regexp_extract(c, r"^(.*/)", 1), F.lit("")),
+        F.regexp_extract(c, r"([^/]*)$", 1),
+    )
+)
+method("unquote", "b")(
+    # inverse of _quote: re-wrap as a JSON array and let the decoder
+    # unescape (\n, \", \\ , \uXXXX)
+    lambda c: F.element_at(
+        F.from_json(F.concat(F.lit("["), c, F.lit("]")), "array<string>"),
+        1,
+    )
+)
 
 
 def _strftime_to_java(fmt: str) -> str:
@@ -560,7 +835,14 @@ def _strftime_to_java(fmt: str) -> str:
     return strptime_to_java(fmt)
 
 
-method("ts_strftime", "b")(lambda c, fmt: F.date_format(c, _strftime_to_java(fmt)))
+def _ts_strftime(c, fmt, tz=None, recv_type=None):
+    ts = _to_ts(c, recv_type)
+    if tz is not None and str(tz) != "UTC":
+        ts = F.convert_timezone(F.lit("UTC"), F.lit(str(tz)), ts)
+    return F.date_format(ts, _strftime_to_java(fmt))
+
+
+method("ts_strftime", "b")(_ts_strftime)
 method("ts_strptime", "b")(lambda c, fmt: F.to_timestamp(c, _strftime_to_java(fmt)))
 
 # ---- misc coercion -------------------------------------------------------
@@ -600,11 +882,24 @@ import pandas as pd  # module-level: pandas_udf string annotations resolve here
 
 # ---- strings (methods_strings.go) ----------------------------------------
 
-method("slug", "b")(
-    lambda c: F.regexp_replace(
-        F.regexp_replace(F.lower(c), "[^a-z0-9]+", "-"), "^-+|-+$", ""
+_SLUG_AND = {"en": "and", "fr": "et", "de": "und", "es": "y",
+             "pt": "e", "it": "e", "nl": "en"}
+
+
+def _slug(c: Column, lang: str = "en") -> Column:
+    """gosimple/slug: apostrophes DROP (d'Eau -> deau), "&" becomes the
+    language conjunction, "@" becomes at, non-alnum runs hyphenate
+    (methods.md slug + slug("fr"))."""
+    conj = _SLUG_AND.get(str(lang), "and")
+    s = F.regexp_replace(c, "['\u2019]", "")
+    s = F.replace(s, F.lit("&"), F.lit(f" {conj} "))
+    s = F.replace(s, F.lit("@"), F.lit(" at "))
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(s), "[^a-z0-9]+", "-"), "^-+|-+$", ""
     )
-)
+
+
+method("slug", "b")(_slug)
 
 
 @method("replace_all_many", "b")
@@ -675,8 +970,26 @@ def _split_by(c: Column, sep) -> Column:
 method("cos", "a")(lambda c: F.cos(c))
 method("sin", "a")(lambda c: F.sin(c))
 method("tan", "a")(lambda c: F.tan(c))
-method("int8", "a")(lambda c: c.cast("tinyint"))
-method("int16", "a")(lambda c: c.cast("smallint"))
+method("int8", "b")(lambda c: _go_int(c, "tinyint"))
+method("int16", "b")(lambda c: _go_int(c, "smallint"))
+
+
+def _go_long(c: Column) -> Column:
+    """Long extraction with Go strconv base-0 string forms (0x/0o/0b),
+    safe on VARIANT receivers (try_cast, no runtime cast errors)."""
+    s = c.cast("string")
+
+    def based(prefix_rx: str, base: int) -> Column:
+        digits = F.nullif(F.regexp_extract(s, prefix_rx, 1), F.lit(""))
+        return F.conv(digits, base, 10).try_cast("long")
+
+    return F.coalesce(
+        c.try_cast("long"),
+        based(r"^0[xX]([0-9a-fA-F]+)$", 16),
+        based(r"^0[oO]([0-7]+)$", 8),
+        based(r"^0[bB]([01]+)$", 2),
+        s.try_cast("double").try_cast("long"),
+    )
 
 
 def _uint(c: Column, bits: int) -> Column:
@@ -684,7 +997,7 @@ def _uint(c: Column, bits: int) -> Column:
     [0, 2^bits); Spark has no unsigned types so the value range is the
     contract (methods_numbers.go uint*)."""
     hi = F.lit((1 << bits) - 1) if bits < 64 else None
-    v = c.cast("long")
+    v = _go_long(c)
     cond = v >= 0 if hi is None else ((v >= 0) & (v <= hi))
     return F.when(cond, v)
 
@@ -696,7 +1009,9 @@ method("uint64", "b")(lambda c: _uint(c, 64))
 
 # ---- timestamps (bloblang_time.go) ---------------------------------------
 
-method("ts_unix_nano", "b")(lambda c: F.unix_micros(c.cast("timestamp")) * 1000)
+method("ts_unix_nano", "b")(
+    lambda c, recv_type=None: F.unix_micros(_to_ts(c, recv_type)) * 1000
+)
 
 _GO_DUR = {
     "ns": 1, "us": 10**3, "µs": 10**3, "ms": 10**6,
@@ -735,23 +1050,49 @@ def _iso_duration(s: str) -> tuple[int, int, int, int, int, float]:
 
 @method("parse_duration", "b")
 def _parse_duration(c) -> Column:
-    """Literal Go duration -> ns (the receiver must be a static string;
-    RAW_RECV_METHODS passes literals through raw)."""
-    if isinstance(c, Column):
-        raise ValueError("parse_duration requires a literal duration string")
-    return F.lit(_go_duration_ns(c))
+    """Go duration -> ns. Literal receivers fold driver-side; dynamic
+    columns extract per unit with lookaround guards (`m(?!s)` so "300ms"
+    doesn't read as 300 minutes, digit-before-`s` so it isn't seconds)."""
+    if not isinstance(c, Column):
+        return F.lit(_go_duration_ns(c))
+    s = c.cast("string")
+    total = F.lit(0.0)
+    for pat, mult in (
+        (r"ns", 1.0), (r"us", 1e3), (r"µs", 1e3), (r"ms", 1e6),
+        (r"s", 1e9), (r"m(?!s)", 60e9), (r"h", 3600e9),
+    ):
+        rx = rf"(\d+(?:\.\d+)?){pat}"
+        total = total + F.coalesce(
+            F.regexp_extract(s, rx, 1).try_cast("double"), F.lit(0.0)
+        ) * F.lit(mult)
+    sign = F.when(s.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (total * sign).cast("long")
+
+
+# the reference's ISO-8601 calendar conversions: Gregorian average year
+# (365.2425 d) and month (year/12) in seconds
+_ISO_YEAR_S = 31556952
+_ISO_MONTH_S = 2629746
+
+
+def _iso_dur_ns(txt: str) -> int:
+    y, mo, d, h, mi, sec = _iso_duration(txt)
+    return int(
+        (y * _ISO_YEAR_S + mo * _ISO_MONTH_S
+         + (d * 24 + h) * 3600 + mi * 60 + sec) * 10**9
+    )
 
 
 @method("parse_duration_iso8601", "b")
 def _parse_duration_iso8601(c) -> Column:
-    """Literal ISO duration -> ns (errors on Y/M like the reference:
-    calendar units have no fixed ns length)."""
-    if isinstance(c, Column):
-        raise ValueError("parse_duration_iso8601 requires a literal duration string")
-    y, mo, d, h, mi, sec = _iso_duration(c)
-    if y or mo:
-        raise ValueError("years/months not representable as fixed ns")
-    return F.lit(int(((d * 24 + h) * 3600 + mi * 60 + sec) * 10**9))
+    """ISO duration -> ns; Y/M convert at the Gregorian averages the
+    reference uses (P3Y6M4DT12H30M5S -> 110839937000000000, methods.md)."""
+    if not isinstance(c, Column):
+        return F.lit(_iso_dur_ns(c))
+    raise NonConstantArg(
+        "parse_duration_iso8601 on a dynamic column routes to the "
+        "interpreter (calendar parsing per message)"
+    )
 
 
 def _ts_shift(c: Column, dur: str, sign: int) -> Column:
@@ -766,8 +1107,9 @@ def _ts_shift(c: Column, dur: str, sign: int) -> Column:
 method("ts_add_iso8601", "b")(lambda c, dur: _ts_shift(c, dur, 1))
 method("ts_sub_iso8601", "b")(lambda c, dur: _ts_shift(c, dur, -1))
 method("ts_sub", "b")(
-    lambda c, other: (
-        F.unix_micros(c.cast("timestamp")) - F.unix_micros(V(other).cast("timestamp"))
+    lambda c, other, recv_type=None: (
+        F.unix_micros(_to_ts(c, recv_type))
+        - F.unix_micros(_to_ts(V(other)))
     )
     * 1000
 )
@@ -801,7 +1143,11 @@ def map_overwrite(base: Column, upd: Column) -> Column:
 
 
 method("assign", "a")(lambda c, other: map_overwrite(c, other))
-method("map_each_key", "a")(lambda c, fn: F.transform_keys(c, lambda k, _v: fn(k)))
+method("map_each_key", "a")(
+    # Nothing from the key mapping (if-without-else) keeps the ORIGINAL
+    # key (methods.md map_each_key: unmatched keys pass through)
+    lambda c, fn: F.transform_keys(c, lambda k, _v: F.coalesce(fn(k), k))
+)
 
 
 @method("get", "b")
@@ -812,20 +1158,33 @@ def _get(c: Column, path: str) -> Column:
     return c
 
 
-method("squash", "b")(
-    # array<map> -> one map, later maps overwrite earlier keys
-    # (reference semantics) — folded through map_overwrite because
-    # map_from_entries/map_concat throw on duplicate keys; the first
-    # element seeds the fold so the accumulator keeps the maps' type
-    lambda c: F.when(
+def _squash(c: Column, recv_type=None) -> Column:
+    """array<map> -> one map via the reference's gabs merge: colliding
+    ARRAY values concatenate (squash doc example gathers state lists);
+    other collisions keep the later value (map_overwrite)."""
+    from pyspark.sql import types as T
+
+    merge = map_overwrite
+    if isinstance(recv_type, T.ArrayType) and isinstance(
+        recv_type.elementType, T.MapType
+    ) and isinstance(recv_type.elementType.valueType, T.ArrayType):
+        def merge(a, b):  # noqa: F811 - array-valued maps gather
+            return F.map_zip_with(
+                a, b,
+                lambda _k, v1, v2: F.when(v1.isNull(), v2)
+                .when(v2.isNull(), v1).otherwise(F.concat(v1, v2)),
+            )
+    return F.when(
         F.size(c) > 0,
         F.aggregate(
             F.slice(c, F.lit(2), F.greatest(F.size(c) - 1, F.lit(0))),
             F.element_at(c, 1),
-            map_overwrite,
+            merge,
         ),
     )
-)
+
+
+method("squash", "b")(_squash)
 method("find_by", "b")(lambda c, fn: F.try_element_at(F.filter(c, fn), F.lit(1)))
 method("find_all_by", "b")(lambda c, fn: F.filter(c, fn))
 method("find_all", "b")(
@@ -837,25 +1196,124 @@ method("find_all", "b")(
 
 # ---- parse / format (bloblang parsing cluster) ----------------------------
 
-method("parse_big_decimal", "b")(lambda c: c.cast("decimal(38,18)"))
-method("format_xml", "b")(lambda c, root="root": F.to_xml(c, {"rootTag": root}))
-method("parse_form_url_encoded", "b")(
-    lambda c: F.transform_values(
-        F.str_to_map(c, F.lit("&"), F.lit("=")), lambda _k, v: F.url_decode(v)
-    )
-)
+@method("parse_big_decimal", "c")
+def _parse_big_decimal(c: Column, scale=0, recv_type=None) -> Column:
+    """Big-endian two's-complement BYTES -> scaled decimal STRING
+    (methods.md parse_big_decimal: b\"09\" scale 2 -> \"123.45\" —
+    Java BigDecimal(BigInteger(bytes), scale) semantics). Arbitrary
+    precision needs Python ints, hence tier-c."""
+    import decimal as _dec
+
+    from pyspark.sql.functions import pandas_udf
+
+    sc = int(const_fold(scale, "scale") or 0)
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            n = int.from_bytes(bytes(b), "big", signed=True)
+            return str(_dec.Decimal(n).scaleb(-sc))
+
+        return s.map(one)
+
+    return run(_as_bin(c, recv_type))
+@method("format_xml", "c")
+def _format_xml(c: Column, indent="    ", no_indent=False,
+                recv_type=None) -> Column:
+    """mxj-shaped XML (clbanning/mxj XmlIndent: NO wrapper element —
+    methods.md format_xml); shares the Python twin with the
+    interpreter (interp_ext.xml_format_py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    import json as _json
+
+    c = _as_json_text(c, recv_type)
+    ind = "" if no_indent else str(indent)
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        from bento_spark.bloblang.interp_ext import xml_format_py
+
+        def one(x):
+            if x is None:
+                return None
+            out = xml_format_py(_json.loads(x), ind)
+            return out.replace("\n", "") if no_indent else out
+
+        return s.map(one)
+
+    return run(c)
+@method("parse_form_url_encoded", "c")
+def _parse_form_url_encoded(c: Column) -> Column:
+    """url.ParseQuery semantics: repeated keys gather into arrays,
+    singles stay scalar (methods.md example: fur -> array) — mixed
+    value shapes need VARIANT, so the tier-c twin canonicalizes."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        from urllib.parse import parse_qs
+
+        def one(x):
+            if x is None:
+                return None
+            q = parse_qs(str(x), keep_blank_values=True)
+            return _json.dumps(
+                {k: v[0] if len(v) == 1 else v for k, v in q.items()},
+                sort_keys=True,
+            )
+
+        return s.map(one)
+
+    return F.parse_json(run(c.cast("string")))
 
 
 @method("parse_url", "b")
 def _parse_url(c: Column) -> Column:
-    parts = {
-        "scheme": "PROTOCOL", "host": "HOST", "path": "PATH",
-        "query": "QUERY", "fragment": "REF", "user_info": "USERINFO",
-    }
-    entries = []
-    for name, part in parts.items():
-        entries += [F.lit(name), F.parse_url(c, F.lit(part))]
-    return F.create_map(*entries)
+    """Reference shape (methods_strings.go:1349-1367): the net/url.URL
+    facets with empty strings for absent parts, plus a `user` object
+    only when userinfo is present — two to_json branches unify through
+    VARIANT since struct fields can't be conditionally absent."""
+    def part(p: str) -> Column:
+        return F.coalesce(F.parse_url(c, F.lit(p)), F.lit(""))
+
+    base_fields = [
+        part("REF").alias("fragment"),
+        # Spark's HOST excludes the port; the reference's Host is
+        # host[:port] — reconstruct from the authority
+        F.coalesce(
+            F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)", 1),
+            F.lit(""),
+        ).alias("host"),
+        F.lit("").alias("opaque"),
+        part("PATH").alias("path"),
+        F.lit("").alias("raw_fragment"),
+        F.lit("").alias("raw_path"),
+        part("QUERY").alias("raw_query"),
+        part("PROTOCOL").alias("scheme"),
+    ]
+    ui = F.parse_url(c, F.lit("USERINFO"))
+    has_pass = ui.contains(":")
+    user_with_pass = F.struct(
+        F.substring_index(ui, ":", 1).alias("name"),
+        F.substring_index(ui, ":", -1).alias("password"),
+    )
+    user_plain = F.struct(ui.alias("name"))
+    return F.parse_json(
+        F.when(
+            ui.isNull() | (ui == ""),
+            F.to_json(F.struct(*base_fields)),
+        ).when(
+            has_pass,
+            F.to_json(F.struct(*base_fields, user_with_pass.alias("user"))),
+        ).otherwise(
+            F.to_json(F.struct(*base_fields, user_plain.alias("user")))
+        )
+    )
 
 
 # ---- encoding / crypto (bloblang_encoding.go) -----------------------------
@@ -920,17 +1378,18 @@ def _decompress_m(c: Column, algo: str = "gzip", recv_type=None) -> Column:
 
 
 @method("format_msgpack", "c")
-def _format_msgpack(c: Column) -> Column:
+def _format_msgpack(c: Column, recv_type=None) -> Column:
     from bento_spark.operators.codecs import msgpack_encode_col
 
-    return msgpack_encode_col(c)
+    return msgpack_encode_col(_as_json_text(c, recv_type))
 
 
 @method("parse_msgpack", "c")
-def _parse_msgpack(c: Column) -> Column:
+def _parse_msgpack(c: Column, recv_type=None) -> Column:
+    """msgpack bytes -> structured OBJECT (methods.md parse_msgpack)."""
     from bento_spark.operators.codecs import msgpack_decode_col
 
-    return msgpack_decode_col(c)
+    return F.parse_json(msgpack_decode_col(_as_bin(c, recv_type)))
 
 
 def _b64url_decode(s: str) -> bytes:
@@ -940,10 +1399,10 @@ def _b64url_decode(s: str) -> bytes:
 
 
 @method("parse_jwt_hs256", "c")
-def _parse_jwt_hs256(c: Column, secret: str) -> Column:
-    """Verify+decode an HS256 JWT -> claims JSON string (null if the
-    signature fails). Python hmac in an Arrow-batched UDF — no native
-    Spark primitive for HMAC."""
+def _parse_jwt_hs256(c: Column, secret: str, recv_type=None) -> Column:
+    """Verify+decode an HS256 JWT -> claims OBJECT (null if the
+    signature fails — methods.md parse_jwt_hs256). Python hmac in an
+    Arrow-batched UDF — no native Spark primitive for HMAC."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -969,13 +1428,15 @@ def _parse_jwt_hs256(c: Column, secret: str) -> Column:
 
         return s.map(one)
 
-    return run(c)
+    return F.parse_json(run(c.cast("string")))
 
 
 @method("sign_jwt_hs256", "c")
-def _sign_jwt_hs256(c: Column, secret: str) -> Column:
-    """Claims JSON string -> signed HS256 JWT."""
+def _sign_jwt_hs256(c: Column, secret: str, recv_type=None) -> Column:
+    """Claims (object or JSON string) -> signed HS256 JWT."""
     from pyspark.sql.functions import pandas_udf
+
+    c = _as_json_text(c, recv_type)
 
     @pandas_udf("string")
     def run(s: pd.Series) -> pd.Series:
@@ -1080,7 +1541,7 @@ def _cosine_similarity(a, b) -> Column:
     return cosine(as_double(V(a)), as_double(V(b)))
 
 
-function("count", "b")(lambda name=None: F.monotonically_increasing_id())
+function("count", "b")(lambda name=None: _counter_col())
 function("batch_index", "b")(
     # monotonically_increasing_id = partition_id << 33 | record_no;
     # the low 33 bits are the record index within its micro-batch
@@ -1110,15 +1571,17 @@ def _parse_yaml(c: Column) -> Column:
             else _json.dumps(_yaml.safe_load(x), sort_keys=True)
         )
 
-    return run(c)
+    return F.parse_json(run(c.cast("string")))
 
 
 @method("format_yaml", "c")
-def _format_yaml(c: Column) -> Column:
-    """JSON string -> YAML document string (methods.md format_yaml)."""
+def _format_yaml(c: Column, recv_type=None) -> Column:
+    """Value -> YAML document string (methods.md format_yaml)."""
     import json as _json
 
     from pyspark.sql.functions import pandas_udf
+
+    c = _as_json_text(c, recv_type)
 
     @pandas_udf("string")
     def run(s: pd.Series) -> pd.Series:

@@ -91,7 +91,7 @@ def _jwt_parse_col(c: Column, secret: str, family: str, bits: int) -> Column:
 
         return s.map(one)
 
-    return run(c)
+    return run(c.cast("string"))
 
 
 def _jwt_sign_col(c: Column, secret: str, family: str, bits: int) -> Column:
@@ -116,7 +116,11 @@ def _jwt_sign_col(c: Column, secret: str, family: str, bits: int) -> Column:
 
             priv = serialization.load_pem_private_key(secret.encode(), password=None)
 
-        head = enc(_json.dumps({"alg": alg, "typ": "JWT"}).encode())
+        # compact separators — Go json.Marshal emits no spaces, and the
+        # header bytes are part of the signed output
+        head = enc(_json.dumps(
+            {"alg": alg, "typ": "JWT"}, separators=(",", ":")
+        ).encode())
 
         def one(claims):
             if claims is None:
@@ -155,11 +159,19 @@ def _register_jwt() -> None:
         for bits in (384, 512) if family == "hs" else (256, 384, 512):
             fam, b = family.upper(), bits
 
-            def parse(c: Column, secret: str, _f=fam, _b=b) -> Column:
-                return _jwt_parse_col(c, secret, _f, _b)
+            def parse(c: Column, secret: str, recv_type=None,
+                      _f=fam, _b=b) -> Column:
+                from pyspark.sql import functions as _F
 
-            def sign(c: Column, secret: str, _f=fam, _b=b) -> Column:
-                return _jwt_sign_col(c, secret, _f, _b)
+                # claims come back as JSON text -> lift to an OBJECT
+                # (methods.md parse_jwt_*: the result is structured)
+                return _F.parse_json(_jwt_parse_col(c, secret, _f, _b))
+
+            def sign(c: Column, secret: str, recv_type=None,
+                     _f=fam, _b=b) -> Column:
+                from bento_spark.bloblang.stdlib import _as_json_text
+
+                return _jwt_sign_col(_as_json_text(c, recv_type), secret, _f, _b)
 
             method(f"parse_jwt_{family}{bits}", "c")(parse)
             method(f"sign_jwt_{family}{bits}", "c")(sign)
@@ -172,50 +184,34 @@ _register_jwt()
 
 
 @method("parse_xml", "c")
-def _parse_xml(c: Column) -> Column:
-    """XML document string -> canonical JSON string. Bento's mxj mapping:
+def _parse_xml(c: Column, cast=False, recv_type=None) -> Column:
+    """XML document string -> structured OBJECT. Bento's mxj mapping:
     attributes keyed ``-attr``, text content ``#text``, repeated sibling
-    elements collapse to arrays (internal/impl/pure/bloblang_xml.go)."""
+    elements collapse to arrays; cast: true coerces leaf numbers/bools
+    (internal/impl/pure/bloblang_xml.go). Shares the Python twin with
+    the interpreter (interp_ext._xml_to_value)."""
     from pyspark.sql.functions import pandas_udf
+
+    do_cast = bool(cast)
 
     @pandas_udf("string")
     def run(s: pd.Series) -> pd.Series:
-        import xml.etree.ElementTree as ET
-
-        def elem(e):
-            out: dict = {f"-{k}": v for k, v in e.attrib.items()}
-            kids = list(e)
-            if not kids:
-                text = (e.text or "").strip()
-                if not out:
-                    return text
-                if text:
-                    out["#text"] = text
-                return out
-            for k in kids:
-                v = elem(k)
-                if k.tag in out:
-                    prev = out[k.tag]
-                    out[k.tag] = prev + [v] if isinstance(prev, list) else [prev, v]
-                else:
-                    out[k.tag] = v
-            text = (e.text or "").strip()
-            if text:
-                out["#text"] = text
-            return out
+        from bento_spark.bloblang.interp_ext import _xml_cast, _xml_to_value
 
         def one(x):
             if x is None:
                 return None
             try:
-                root = ET.fromstring(x)
-                return _json.dumps({root.tag: elem(root)}, sort_keys=True)
-            except ET.ParseError:
+                val = _xml_to_value(str(x))
+            except Exception:  # noqa: BLE001 - malformed -> null
                 return None
+            if do_cast:
+                val = _xml_cast(val)
+            return _json.dumps(val, sort_keys=True)
 
         return s.map(one)
 
-    return run(c)
+    return F.parse_json(run(c.cast("string")))
 
 
 # ---- re_find_all_object (methods_strings.go) ------------------------------
@@ -233,15 +229,23 @@ def _re_find_all_object(c: Column, pattern: str) -> Column:
     import re as _re
 
     n_groups = _re.compile(py_pat).groups
-    keys = [names.get(i, str(i)) for i in range(1, n_groups + 1)]
+    # group 0 (the full match) is part of the reference's object
+    # (methods.md re_find_all_object: {"0":"axxb","foo":"xx"})
+    keys = [names.get(i, str(i)) for i in range(0, n_groups + 1)]
+    # inline flags ((?m)...) must stay at the very start of the pattern
+    flags = ""
+    body = java_pat
+    fm = _re.match(r"^(\(\?[a-zA-Z]+\))", java_pat)
+    if fm:
+        flags, body = fm.group(1), java_pat[fm.end():]
     matches = F.regexp_extract_all(c, F.lit(java_pat), F.lit(0))
-    anchored = f"^(?:{java_pat})$"
+    anchored = f"{flags}^(?:{body})$"
 
     def per_match(m: Column) -> Column:
         pairs = []
-        for i, k in enumerate(keys, start=1):
+        for i, k in enumerate(keys):
             pairs.append(F.lit(k))
-            pairs.append(F.regexp_extract(m, anchored, i))
+            pairs.append(F.regexp_extract(m, anchored, 0 if i == 0 else i))
         return F.create_map(*pairs)
 
     return F.transform(matches, per_match)

@@ -169,12 +169,36 @@ class _Parser:
             elif v == "[":
                 self.next()
                 k2, v2 = self.peek()
-                if k2 == "num":
-                    self.next()
+                if k2 == "num" or v2 == ":":
+                    start = None
+                    if k2 == "num":
+                        self.next()
+                        start = int(v2)
+                    if self.peek()[1] == "]":
+                        self.next()
+                        if start is None:
+                            raise JmesError("jmespath: empty brackets")
+                        node = N("index", start, (node,))
+                        continue
+                    # slice [start:stop:step] — a PROJECTION like [*]
+                    # (jmespath.org spec: slice expressions project)
+                    self.expect(":")
+                    stop = step = None
+                    if self.peek()[0] == "num":
+                        stop = int(self.next()[1])
+                    if self.peek()[1] == ":":
+                        self.next()
+                        if self.peek()[0] == "num":
+                            step = int(self.next()[1])
                     self.expect("]")
-                    node = N("index", int(v2), (node,))
+                    node = N("slice", (start, stop, step), (node,))
+                    rhs = self._projection_rhs()
+                    node = N(
+                        "project", {"flatten": False, "cond": None},
+                        (node, rhs) if rhs is not None else (node,),
+                    )
                 else:
-                    raise JmesError("jmespath: slices are not supported")
+                    raise JmesError("jmespath: bad bracket expression")
             elif v in ("[*]", "[]") or v == "[?":
                 self.next()
                 cond = None
@@ -331,6 +355,38 @@ def _compile(node: N, cur: Column) -> Column:
         return F.try_element_at(arr, F.lit(i))  # negative: from the end
     if node.kind == "lit":
         return F.parse_json(F.lit(json.dumps(node.value)))
+    if node.kind == "slice":
+        # [start:stop:step], Python-clamped bounds (jmespath.org spec)
+        base = _compile(node.children[0], cur)
+        arr = F.try_variant_get(base, "$", "array<variant>")
+        start, stop, step = node.value
+        step = 1 if step is None else step
+        if step == 0:
+            raise JmesError("jmespath: slice step cannot be 0")
+        n = F.size(arr)
+
+        def norm(v, dflt):
+            if v is None:
+                return dflt
+            c = F.lit(v)
+            floor = F.lit(-1) if step < 0 else F.lit(0)
+            cap = n - 1 if step < 0 else n
+            return F.when(c < 0, F.greatest(n + c, floor)) \
+                .otherwise(F.least(c, cap))
+
+        if step > 0:
+            st, en = norm(start, F.lit(0)), norm(stop, n)
+            idxs = F.when(
+                st < en, F.sequence(st, en - 1, F.lit(step))
+            ).otherwise(F.array().cast("array<int>"))
+        else:
+            st, en = norm(start, n - 1), norm(stop, F.lit(-1))
+            idxs = F.when(
+                st > en, F.sequence(st, en + 1, F.lit(step))
+            ).otherwise(F.array().cast("array<int>"))
+        return _arr_v(
+            F.transform(idxs, lambda i: F.try_element_at(arr, i + 1))
+        )
     if node.kind == "project":
         base = _compile(node.children[0], cur)
         arr = F.try_variant_get(base, "$", "array<variant>")

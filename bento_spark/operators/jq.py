@@ -923,6 +923,23 @@ def jq(df: DataFrame, col: str, program: str, out_col: str = "result") -> DataFr
                     "array<variant>",
                 )
                 out = out.withColumn(tmp, F.explode(arr))
+            elif stage is stages[-1] and stage.kind == "obj":
+                # top-level object construction renders in PROGRAM key
+                # order like jq/gojq (struct field order survives
+                # to_json; the VARIANT path would canonically sort).
+                # Nested obj values recurse so their order holds too;
+                # objects reached through dynamic paths stay canonical
+                # (documented divergence, COVERAGE.md jq notes).
+                def ordered(n: Node) -> Column:
+                    if n.kind == "obj":
+                        return F.struct(*[
+                            ordered(v).alias(k) for k, v in n.children
+                        ])
+                    return _to_variant(_compile(n, F.col(tmp)))
+
+                return out.withColumn(
+                    out_col, F.to_json(ordered(stage))
+                ).drop(tmp)
             else:
                 out = out.withColumn(tmp, _compile(stage, F.col(tmp)))
         return out.withColumn(out_col, F.to_json(F.col(tmp))).drop(tmp)

@@ -86,7 +86,13 @@ def _proc_mapping(df: DataFrame, conf) -> DataFrame:
     try:
         return compile_mapping(src).apply(lifted, new_document=True)
     except (RecursionError, AnalysisException, ThrowInExpression,
-            UnsupportedConstruct, NonConstantArg) as ex:
+            UnsupportedConstruct, NonConstantArg,
+            TypeError, AttributeError) as ex:
+        # TypeError/AttributeError here are PLAN-BUILD failures (a
+        # builder got a shape it can't compile — e.g. a lambda where a
+        # value belongs); the interpreter executes the same construct
+        # per message, so routing preserves results and the meter keeps
+        # it visible. Unknown-name CompileErrors still fail loudly.
         # recursion the column engine can't inline, or a per-message
         # dynamic type error (the reference surfaces those on each
         # message's error, not as config failures)
@@ -128,7 +134,13 @@ def _proc_mutation(df: DataFrame, conf) -> DataFrame:
     try:
         return compile_mapping(src).apply(_lift_content(df), new_document=False)
     except (RecursionError, AnalysisException, ThrowInExpression,
-            UnsupportedConstruct, NonConstantArg) as ex:
+            UnsupportedConstruct, NonConstantArg,
+            TypeError, AttributeError) as ex:
+        # TypeError/AttributeError here are PLAN-BUILD failures (a
+        # builder got a shape it can't compile — e.g. a lambda where a
+        # value belongs); the interpreter executes the same construct
+        # per message, so routing preserves results and the meter keeps
+        # it visible. Unknown-name CompileErrors still fail loudly.
         import logging
 
         from bento_spark.bloblang.interp import interpreted_mapping_df
@@ -1042,7 +1054,13 @@ def _branch_map(df: DataFrame, src: str, label: str) -> DataFrame:
     try:
         return compile_mapping(src).apply(df, new_document=False)
     except (RecursionError, AnalysisException, ThrowInExpression,
-            UnsupportedConstruct, NonConstantArg) as ex:
+            UnsupportedConstruct, NonConstantArg,
+            TypeError, AttributeError) as ex:
+        # TypeError/AttributeError here are PLAN-BUILD failures (a
+        # builder got a shape it can't compile — e.g. a lambda where a
+        # value belongs); the interpreter executes the same construct
+        # per message, so routing preserves results and the meter keeps
+        # it visible. Unknown-name CompileErrors still fail loudly.
         import logging
 
         from bento_spark.bloblang.interp import interpreted_mapping_df

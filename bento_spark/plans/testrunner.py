@@ -93,9 +93,11 @@ def _batch_df(spark: SparkSession, rows: list, is_json: bool) -> DataFrame:
                 **doc, "__idx": i,
                 # the array-lift wrapper is transport, not document —
                 # __raw records the true original
+                # NOT sort_keys: __raw is the original serialized doc —
+                # content()/interp fallbacks must see source key order
                 "__raw": json.dumps(
                     doc["__document"] if set(doc) == {"__document"} else doc,
-                    sort_keys=True, separators=(",", ":"),
+                    separators=(",", ":"),
                 ),
                 "__meta_json": json.dumps({**meta, "__idx": str(i)}),
             })

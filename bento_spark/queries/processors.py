@@ -1019,7 +1019,7 @@ def proc_schema_registry_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     "bloblang_stdlib3",
     oracle="""
     SELECT doc_id,
-           '{"d": ' || doc_id || '}' AS claims,
+           '{"d":' || doc_id || '}' AS claims,
            lang AS xml_lang,
            CASE WHEN regexp_extract(text, 'ta[a-z]+') IS NOT NULL
                 THEN regexp_extract(text, 'ta[a-z]+') ELSE '' END AS first_ta,
@@ -1058,7 +1058,7 @@ def bloblang_stdlib3(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
 root.doc_id = this.doc_id
 root.claims = ("{\\"d\\": " + this.doc_id.string() + "}").sign_jwt_hs384("s3").parse_jwt_hs384("s3")
-root.xml_lang = ("<d><l>" + this.lang + "</l></d>").parse_xml().json_path("$.d.l")
+root.xml_lang = ("<d><l>" + this.lang + "</l></d>").parse_xml().json_path("$.d.l").string()
 root.first_ta = this.text.re_find_all_object("(?P<w>ta[a-z]+)").index(0).get("w") | ""
 root.set_b = {"a": this.doc_id, "b": 0}.set("b", this.doc_id + 1).get("b")
 root.n_exploded = {"g": this.doc_id, "vals": [1, 2, 3]}.explode("vals").length()

@@ -178,11 +178,15 @@ def test_tier_report():
     # encrypt_aes/decrypt_aes joined tier c in r9: reference-exact
     # ctr/ofb/cbc/gcm framing (no IV prefix, no padding) rules out
     # Spark's aes_encrypt — from-scratch AES via Arrow UDF instead
+    # r9 additions: encrypt/decrypt_aes (reference framing rules out
+    # F.aes_encrypt), format_json (Go MarshalIndent shape), parse_csv
+    # (per-message dynamic header row)
     assert c_methods <= {
         "compress", "decompress", "format_msgpack", "parse_msgpack",
         "parse_yaml", "format_yaml", "parse_parquet", "diff", "patch",
         "parse_xml", "compare_argon2", "compare_bcrypt",
-        "encrypt_aes", "decrypt_aes",
+        "encrypt_aes", "decrypt_aes", "format_json", "parse_csv",
+        "parse_form_url_encoded", "format_xml", "parse_big_decimal",
     } | jwt | geoip
 
 

@@ -93,8 +93,8 @@ class TestJmespath:
     def test_unsupported_raises(self):
         from bento_spark.operators.jmespath import JmesError, parse_jmespath
 
-        with pytest.raises(JmesError):
-            parse_jmespath("locations[0:2]")  # slices unsupported
+        # slices parse since r9 (full [start:stop:step] projections)
+        parse_jmespath("locations[0:2]")
         with pytest.raises(JmesError):
             parse_jmespath("a.b |")
 

@@ -582,3 +582,15 @@ def test_jq_object_merge_recursive_depth(spark):
     want = run_program(parse_jq(prog), doc)[0]
     assert got == want
     assert got["a"]["b"]["c"] == {"keep": 1, "x": 9}
+
+
+def test_object_key_order_is_program_order(spark):
+    """jq/gojq render constructed objects in PROGRAM key order; the
+    Column path does too for static keys (r9 ordered-struct render) —
+    including nested static objects. VERDICT r8 'What's wrong #2'."""
+    from bento_spark.operators.jq import jq
+
+    df = spark.createDataFrame([('{"b":1,"a":2}',)], "content string")
+    got = jq(df, "content", '{z: .a, y: .b, m: {q: .a, a: .b}}') \
+        .collect()[0]["result"]
+    assert got == '{"z":2,"y":1,"m":{"q":2,"a":1}}'

@@ -82,23 +82,39 @@ def test_structured(df):
 
 
 def test_parse_form_and_url(df):
+    # both return structured VARIANTs since r9 (reference shapes:
+    # repeated form keys gather to arrays; parse_url mirrors net/url.URL
+    # with a conditional user object)
     got = run1(df, "this.form.parse_form_url_encoded()")
-    assert got[0] == {"a": "1", "b": "x y"}
+    assert json.loads(str(got[0])) == {"a": "1", "b": "x y"}
     url_df = df.sparkSession.createDataFrame(
         [(1, "https://user@example.com/p/q?x=1#frag")], "id long, u string"
     )
-    got = run1(url_df, "this.u.parse_url()")
-    assert got[0]["host"] == "example.com"
-    assert got[0]["path"] == "/p/q"
-    assert got[0]["query"] == "x=1"
+    got = json.loads(str(run1(url_df, "this.u.parse_url()")[0]))
+    assert got["host"] == "example.com"
+    assert got["path"] == "/p/q"
+    assert got["raw_query"] == "x=1"
+    assert got["user"] == {"name": "user"}
 
 
 def test_aes_roundtrip(df):
+    # reference signature: (scheme, key, iv) with iv REQUIRED
+    # (methods_strings.go:281); ctr is the recommended mode
     key = "0123456789abcdef"
+    iv12 = "0123456789ab"
     got = run1(
-        df, f'this.s.encrypt_aes("gcm", "{key}").decrypt_aes("gcm", "{key}").string()'
+        df,
+        f'this.s.encrypt_aes("gcm", "{key}", "{iv12}")'
+        f'.decrypt_aes("gcm", "{key}", "{iv12}").string()',
     )
     assert got == ["Hello, World! 2024", "  café au lait  "]
+    iv16 = "0123456789abcdef"
+    ctr = run1(
+        df,
+        f'this.s.encrypt_aes("ctr", "{key}", "{iv16}")'
+        f'.decrypt_aes("ctr", "{key}", "{iv16}").string()',
+    )
+    assert ctr == ["Hello, World! 2024", "  café au lait  "]
 
 
 def test_compress_method_roundtrip(df):
@@ -110,14 +126,15 @@ def test_msgpack_method_roundtrip(spark):
     jdf = spark.createDataFrame(
         [(1, json.dumps({"a": 1, "b": "x"}, sort_keys=True))], "id long, j string"
     )
+    # parse_msgpack returns a structured OBJECT (VARIANT) since r9
     got = run1(jdf, "this.j.format_msgpack().parse_msgpack()")
-    assert json.loads(got[0]) == {"a": 1, "b": "x"}
+    assert json.loads(str(got[0])) == {"a": 1, "b": "x"}
 
 
 def test_jwt_roundtrip(spark):
     jdf = spark.createDataFrame([(1, '{"sub":"u1"}')], "id long, claims string")
     got = run1(jdf, 'this.claims.sign_jwt_hs256("sekrit").parse_jwt_hs256("sekrit")')
-    assert json.loads(got[0]) == {"sub": "u1"}
+    assert json.loads(str(got[0])) == {"sub": "u1"}
     bad = run1(jdf, 'this.claims.sign_jwt_hs256("sekrit").parse_jwt_hs256("wrong")')
     assert bad == [None]
 
@@ -158,10 +175,11 @@ def test_yaml_roundtrip(spark):
     ydf = spark.createDataFrame(
         [(1, "a: 1\nb:\n  - x\n  - y\n")], "id long, y string"
     )
+    # parse_yaml returns a structured OBJECT (VARIANT) since r9
     got = run1(ydf, "this.y.parse_yaml()")
-    assert json.loads(got[0]) == {"a": 1, "b": ["x", "y"]}
+    assert json.loads(str(got[0])) == {"a": 1, "b": ["x", "y"]}
     rt = run1(ydf, "this.y.parse_yaml().format_yaml().parse_yaml()")
-    assert json.loads(rt[0]) == {"a": 1, "b": ["x", "y"]}
+    assert json.loads(str(rt[0])) == {"a": 1, "b": ["x", "y"]}
 
 
 def test_parse_parquet(spark):
