@@ -74,8 +74,10 @@ _PRIORITY = [
     # join / agg planes (§2.6-2.7)
     "asof_join_last_login", "semi_anti_join", "top_k_per_group",
     "skew_salted_agg",
-    # bloblang (§2.2; the stdlib breadth rows ride below the fold)
-    "bloblang_mapping", "bloblang_geoip",
+    # bloblang (§2.2; the stdlib breadth rows ride below the fold;
+    # geoip demoted r9 after four driver-green rounds — the crypto
+    # gauntlet takes the slot)
+    "bloblang_mapping",
     # processors (distinct §2.1 planes; simple per-row ones gauntleted)
     "proc_flow_gauntlet",
     "proc_kv_enrich", "pipeline_yaml", "proc_workflow_dag",
@@ -103,6 +105,10 @@ _PRIORITY = [
     "proc_javascript", "pipeline_template",
     "pipeline_metrics", "dedup_span_windows",
     "mm_jpeg_features",
+    # r9: the reference-exact crypto cluster in one row (hash-as-bytes,
+    # hmac signing, crc32 polynomials, fnv32, xxHash64-of-bytes,
+    # AES-CTR, ascii85) — fresh from this round's rework
+    "bloblang_crypto_gauntlet",
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
     "proc_avro_roundtrip", "proc_protobuf_roundtrip", "xml_roundtrip",
@@ -116,7 +122,8 @@ _PRIORITY = [
     "text_token_stats", "text_language_id", "ann_brute_force_topk",
     "mm_video_y4m",
     "text_fingerprint_winnow",
-    "window_session_user", "bloblang_stdlib2", "kmeans_embedding_mixture",
+    "window_session_user", "bloblang_stdlib2", "bloblang_geoip",
+    "kmeans_embedding_mixture",
     "pipeline_yaml_stream",
     "stream_late_data_drop", "pipeline_error_retry",
     # r8 promotions, driver-green, rotated back below the fold

@@ -307,18 +307,35 @@ pipeline:
 
 @query(
     "proc_compress_roundtrip",
-    oracle="SELECT doc_id, text AS rt FROM documents ORDER BY doc_id",
+    oracle="""
+    SELECT doc_id, text AS rt, text AS rt_lz4, text AS rt_snappy,
+           text AS rt_flate, text AS rt_bzip2
+    FROM documents ORDER BY doc_id
+    """,
 )
 def proc_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``compress``+``decompress`` (processor_compress.go:22,
-    processor_decompress.go:21) via Arrow-batched pandas UDFs (zlib);
-    the oracle is the identity — the codec round-trip is lossless."""
+    """``compress``+``decompress`` across the reference's algorithm
+    registry (internal/impl/pure/algorithms.go:194-299): zlib, the
+    from-scratch LZ4 frame + Snappy block codecs (operators/
+    lz4snappy.py), raw-DEFLATE flate, and bzip2 — each column is an
+    identity round-trip; the oracle is the source text."""
     from bento_spark.operators.codecs import compress_col, decompress_col
 
     docs = _t(spark, sf_dir, "documents")
-    comp = docs.withColumn("z", compress_col(F.encode("text", "UTF-8"), "zlib"))
-    return comp.select(
-        "doc_id", F.decode(decompress_col(F.col("z"), "zlib"), "UTF-8").alias("rt")
+    raw = F.encode("text", "UTF-8")
+
+    def rt(algo: str):
+        return F.decode(
+            decompress_col(compress_col(raw, algo), algo), "UTF-8"
+        )
+
+    return docs.select(
+        "doc_id",
+        rt("zlib").alias("rt"),
+        rt("lz4").alias("rt_lz4"),
+        rt("snappy").alias("rt_snappy"),
+        rt("flate").alias("rt_flate"),
+        rt("bzip2").alias("rt_bzip2"),
     ).orderBy("doc_id")
 
 
@@ -2041,3 +2058,83 @@ error_handling:
         )
     finally:
         PROCESSORS.pop("__gate_flaky_once", None)
+
+
+@query(
+    "bloblang_crypto_gauntlet",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS h_sha256,
+           md5(text) AS h_md5,
+           to_base64(unhex(md5(text))) AS md5_b64,
+           CASE lang
+             WHEN 'de' THEN '7623abf8e20b0b122c7aee4a8f269d35bd188b6b72c971fdfd2ef94102c93a4e'
+             WHEN 'en' THEN 'cb71e1501fc9fd290edc73588a2ced52aef432b90e4c3cd83d36978fcbffec6e'
+             WHEN 'es' THEN '0677e5a1856b0fad9c5abb0bd772b437b227a787b4d6a0d28fadf06ff6619470'
+             WHEN 'fr' THEN '3b5cbd951fed89dfa50d28d86892a9400ed0a26b4e163730bfd70470ec4a7af4'
+             WHEN 'zh' THEN '0cd3b249416f7e7bd5dc7052b25fec8d672f4101e07670d9b76681d60af0e9c7'
+           END AS hmac256,
+           CASE lang
+             WHEN 'de' THEN '6b40b476' WHEN 'en' THEN 'e16b873a'
+             WHEN 'es' THEN '4e1d0c86' WHEN 'fr' THEN '8891271c'
+             WHEN 'zh' THEN '1f769bae'
+           END AS crc32c,
+           CASE lang
+             WHEN 'de' THEN '1836525764' WHEN 'en' THEN '1819748192'
+             WHEN 'es' THEN '1819748221' WHEN 'fr' THEN '1802970377'
+             WHEN 'zh' THEN '1467418007'
+           END AS fnv,
+           CASE lang
+             WHEN 'de' THEN '15011893788593502110' WHEN 'en' THEN '7042490659152593453'
+             WHEN 'es' THEN '11570030197133701545' WHEN 'fr' THEN '11461304696269664599'
+             WHEN 'zh' THEN '4350863164531986277'
+           END AS xx64,
+           CASE lang
+             WHEN 'de' THEN '88e9' WHEN 'en' THEN '89e2'
+             WHEN 'es' THEN '89ff' WHEN 'fr' THEN '8afe'
+             WHEN 'zh' THEN '96e4'
+           END AS ctr_hex,
+           CASE lang
+             WHEN 'de' THEN 'A7Y' WHEN 'en' THEN 'ASq'
+             WHEN 'es' THEN 'ATI' WHEN 'fr' THEN 'Ao['
+             WHEN 'zh' THEN 'H>!'
+           END AS a85,
+           lang AS ctr_rt
+    FROM documents ORDER BY doc_id
+    """,
+)
+def bloblang_crypto_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-exact crypto/encoding cluster in one gate row
+    (methods_strings.go:88-470, 756-897 — the r8-verdict #1 ask,
+    'a gate row covers hmac signing'): hash as BYTES composing with
+    .encode(), hmac_sha256 webhook signing, crc32-Castagnoli, fnv32,
+    true xxHash64-of-bytes, AES-CTR encrypt/decrypt (the reference's
+    recommended mode), and ascii85. DuckDB computes sha256/md5
+    natively; the algorithms it lacks pin literal digests precomputed
+    by the NIST/doc-vector-tested twins (tests/test_hashing_crypto.py)
+    over the five deterministic lang values."""
+    from bento_spark.bloblang import compile_mapping
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = compile_mapping(
+        """
+let key = "2b7e151628aed2a6abf7158809cf4f3c".decode("hex")
+let iv = "f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff".decode("hex")
+root.doc_id = this.doc_id
+root.h_sha256 = this.text.hash("sha256").encode("hex")
+root.h_md5 = this.text.hash("md5").encode("hex")
+root.md5_b64 = this.text.hash("md5").encode("base64")
+root.hmac256 = this.lang.hash("hmac_sha256", "static-key").encode("hex")
+root.crc32c = this.lang.hash(algorithm: "crc32", polynomial: "Castagnoli").encode("hex")
+root.fnv = this.lang.hash("fnv32").string()
+root.xx64 = this.lang.hash("xxhash64").string()
+root.ctr_hex = this.lang.encrypt_aes("ctr", $key, $iv).encode("hex")
+root.a85 = this.lang.encode("ascii85")
+root.ctr_rt = this.lang.encrypt_aes("ctr", $key, $iv).decrypt_aes("ctr", $key, $iv).string()
+"""
+    )
+    out = plan.apply(docs, new_document=True)
+    return out.select(
+        "doc_id", "h_sha256", "h_md5", "md5_b64", "hmac256", "crc32c",
+        "fnv", "xx64", "ctr_hex", "a85", "ctr_rt",
+    ).orderBy("doc_id")

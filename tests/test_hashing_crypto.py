@@ -1,0 +1,224 @@
+"""Vector tests for the from-scratch crypto/codec primitives backing
+the Bloblang crypto cluster (operators/hashing.py, aescipher.py,
+lz4snappy.py) — published test vectors, the reference's own doc
+examples (methods.md hash/encrypt_aes), and roundtrip properties.
+These primitives also feed the lz4 frame checksums and the
+bloblang_crypto_gauntlet gate row's pinned oracle constants."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import pytest
+
+from bento_spark.operators.aescipher import (
+    cbc_decrypt,
+    cbc_encrypt,
+    ctr_xor,
+    decrypt_aes_py,
+    encrypt_aes_py,
+    encrypt_block,
+    gcm_open,
+    gcm_seal,
+    key_schedule,
+    ofb_xor,
+)
+from bento_spark.operators.hashing import (
+    crc32_py,
+    fnv32_py,
+    hash_py,
+    xxhash32_py,
+    xxhash64_py,
+)
+from bento_spark.operators.lz4snappy import (
+    lz4_block_compress,
+    lz4_block_decompress,
+    lz4_frame_compress,
+    lz4_frame_decompress,
+    snappy_compress,
+    snappy_decompress,
+    snappy_decompress_any,
+)
+
+# ---- xxHash (public spec vectors) -----------------------------------------
+
+
+def test_xxhash64_vectors():
+    assert xxhash64_py(b"") == 0xEF46DB3751D8E999
+    assert xxhash64_py(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxhash64_py(b"abc") == 0x44BC2CF5AD770999
+    # 64-byte input exercises the 4-lane stripe loop
+    assert xxhash64_py(
+        b"Call me Ishmael. Some years ago--never mind how long precisely-"
+    ) == 0x02A2E85470D6FD96
+
+
+def test_xxhash32_vectors():
+    assert xxhash32_py(b"") == 0x02CC5D05
+    assert xxhash32_py(b"a") == 0x550D7456
+    assert xxhash32_py(b"abc") == 0x32D153FF
+
+
+# ---- CRC-32 polynomials (Go hash/crc32) ------------------------------------
+
+
+def test_crc32_ieee_matches_zlib():
+    for s in (b"", b"123456789", b"hello world", bytes(range(256))):
+        assert crc32_py(s, "IEEE") == zlib.crc32(s)
+
+
+def test_crc32_castagnoli_check_value():
+    # CRC-32/ISCSI check vector + the reference's own doc example
+    assert crc32_py(b"123456789", "Castagnoli") == 0xE3069283
+    assert crc32_py(b"hello world", "Castagnoli") == 0xC99465AA  # methods.md
+
+
+def test_crc32_koopman_doc_example():
+    assert crc32_py(b"hello world", "Koopman") == 0xDF373D3C  # methods.md
+
+
+# ---- hash_py: the reference's documented outputs ---------------------------
+
+
+def test_hash_doc_examples():
+    # methods.md hash #### Examples, byte-exact
+    assert hash_py(b"hello world", "sha1").hex() == (
+        "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed"
+    )
+    assert hash_py(b"hello world", "hmac_sha1", b"static-key").hex() == (
+        "d87e5f068fa08fe90bb95bc7c8344cb809179d76"
+    )
+
+
+def test_hash_decimal_string_algorithms():
+    # xxhash64/fnv32 return the DECIMAL STRING as bytes
+    # (strconv.FormatUint — methods_strings.go:852-879)
+    assert hash_py(b"hello world", "xxhash64") == b"5020219685658847592"
+    assert hash_py(b"hello world", "fnv32") == b"1418570095"
+
+
+def test_hash_requires_hmac_key():
+    with pytest.raises(ValueError, match="requires a key"):
+        hash_py(b"x", "hmac_sha256")
+
+
+def test_hash_rejects_unknown():
+    with pytest.raises(ValueError, match="unrecognized hash type"):
+        hash_py(b"x", "sha3")
+    with pytest.raises(ValueError, match="unsupported crc32"):
+        hash_py(b"x", "crc32", polynomial="Nope")
+
+
+# ---- AES (FIPS-197 / SP 800-38A / SP 800-38D) ------------------------------
+
+_PT = bytes.fromhex("00112233445566778899aabbccddeeff")
+
+
+@pytest.mark.parametrize("key_hex,ct_hex", [
+    ("000102030405060708090a0b0c0d0e0f",
+     "69c4e0d86a7b0430d8cdb78070b4c55a"),
+    ("000102030405060708090a0b0c0d0e0f1011121314151617",
+     "dda97ca4864cdfe06eaf70a0ec0d7191"),
+    ("000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f",
+     "8ea2b7ca516745bfeafc49904b496089"),
+])
+def test_aes_block_fips197(key_hex, ct_hex):
+    rks = key_schedule(bytes.fromhex(key_hex))
+    assert encrypt_block(rks, _PT).hex() == ct_hex
+
+
+def test_ctr_doc_example():
+    # methods.md encrypt_aes: the CTR example round-trips byte-exact
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff")
+    ct = encrypt_aes_py(b"hello world!", "ctr", key, iv)
+    assert ct.hex() == "84e9b31ff7400bdf80be7254"
+    assert decrypt_aes_py(ct, "ctr", key, iv) == b"hello world!"
+
+
+def test_cbc_sp800_38a():
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    ct = cbc_encrypt(key, iv, pt)
+    assert ct.hex() == "7649abac8119b246cee98e9b12e9197d"
+    assert cbc_decrypt(key, iv, ct) == pt
+    with pytest.raises(ValueError, match="not a multiple"):
+        cbc_encrypt(key, iv, b"short")
+
+
+def test_ofb_sp800_38a():
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    out = ofb_xor(key, iv, bytes.fromhex("6bc1bee22e409f96e93d7e117393172a"))
+    assert out.hex() == "3b3fd92eb72dad20333449f8e83cfb4a"
+
+
+def test_gcm_nist_case3():
+    key = bytes.fromhex("feffe9928665731c6d6a8f9467308308")
+    nonce = bytes.fromhex("cafebabefacedbaddecaf888")
+    pt = bytes.fromhex(
+        "d9313225f88406e5a55909c5aff5269a86a7a9531534f7da2e4c303d8a318a72"
+        "1c3c0c95956809532fcf0e2449a6b525b16aedf5aa0de657ba637b391aafd255"
+    )
+    sealed = gcm_seal(key, nonce, pt)
+    assert sealed[-16:].hex() == "4d5c2af327cd64a62cf35abd2ba6fab4"
+    assert gcm_open(key, nonce, sealed) == pt
+    # tag tampering must fail closed
+    with pytest.raises(ValueError, match="authentication failed"):
+        gcm_open(key, nonce, sealed[:-1] + bytes([sealed[-1] ^ 1]))
+
+
+def test_gcm_empty_plaintext_tag():
+    assert gcm_seal(b"\0" * 16, b"\0" * 12, b"").hex() == (
+        "58e2fccefa7e3061367f1d57a4e7455a"
+    )
+
+
+def test_aes_rejects_bad_shapes():
+    with pytest.raises(ValueError, match="invalid key size"):
+        encrypt_aes_py(b"x", "ctr", b"short", b"0" * 16)
+    with pytest.raises(ValueError, match="initialisation vector"):
+        encrypt_aes_py(b"x", "ctr", b"0" * 16, b"short")
+    with pytest.raises(ValueError, match="unrecognized encryption type"):
+        encrypt_aes_py(b"x", "ecb", b"0" * 16, b"0" * 16)
+
+
+# ---- LZ4 / Snappy ----------------------------------------------------------
+
+CASES = [
+    b"",
+    b"a",
+    b"hello world hello world hello world",
+    bytes(range(256)) * 40,
+    b"abc" * 5000,
+    b"x" * 100_000,
+]
+
+
+@pytest.mark.parametrize("data", CASES, ids=lambda d: f"len{len(d)}")
+def test_lz4_roundtrips(data):
+    assert lz4_block_decompress(lz4_block_compress(data)) == data
+    assert lz4_frame_decompress(lz4_frame_compress(data)) == data
+
+
+@pytest.mark.parametrize("data", CASES, ids=lambda d: f"len{len(d)}")
+def test_snappy_roundtrips(data):
+    assert snappy_decompress(snappy_compress(data)) == data
+    assert snappy_decompress_any(snappy_compress(data)) == data
+
+
+def test_lz4_frame_checksum_detects_corruption():
+    frame = bytearray(lz4_frame_compress(b"hello world " * 100))
+    frame[len(frame) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(bytes(frame))
+
+
+def test_random_roundtrips_seeded():
+    r = random.Random(7)
+    for _ in range(5):
+        data = bytes(r.choice(b"abcdefgh") for _ in range(r.randrange(50_000)))
+        assert lz4_frame_decompress(lz4_frame_compress(data)) == data
+        assert snappy_decompress(snappy_compress(data)) == data
