@@ -986,6 +986,10 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
             return data.hex()
         if scheme == "ascii85":
             return _b64.a85encode(data).decode()
+        if scheme == "z85":
+            from bento_spark.operators.codecs import z85_encode
+
+            return z85_encode(data)
         raise InterpError(f"unrecognized encoding type: {scheme}")
     if name == "decode":
         # -> BYTES (methods.md decode: "returns the result as a byte
@@ -1005,6 +1009,10 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
             return bytes.fromhex(s)
         if scheme == "ascii85":
             return _b64.a85decode(s)
+        if scheme == "z85":
+            from bento_spark.operators.codecs import z85_decode
+
+            return z85_decode(s)
         raise InterpError(f"unrecognized encoding type: {scheme}")
     if name == "hash":
         # -> digest BYTES, full reference algorithm set (hmac_*, md5,

@@ -300,6 +300,18 @@ def _encode(c: Column, scheme: str, recv_type=None) -> Column:
         from bento_spark.operators.codecs import a85_encode_col
 
         return a85_encode_col(b)
+    if scheme == "z85":
+        # kept for back-compat like the reference (methods_strings.go
+        # z85 note: removed from the docs, still registered)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def run(s: pd.Series) -> pd.Series:
+            from bento_spark.operators.codecs import z85_encode
+
+            return s.map(lambda v: None if v is None else z85_encode(bytes(v)))
+
+        return run(b)
     raise ValueError(f"unrecognized encoding type: {scheme}")
 
 
@@ -319,6 +331,16 @@ def _decode(c: Column, scheme: str, recv_type=None) -> Column:
         from bento_spark.operators.codecs import a85_decode_col
 
         return a85_decode_col(s)
+    if scheme == "z85":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("binary")
+        def run(sv: pd.Series) -> pd.Series:
+            from bento_spark.operators.codecs import z85_decode
+
+            return sv.map(lambda v: None if v is None else z85_decode(str(v)))
+
+        return run(s)
     raise ValueError(f"unrecognized encoding type: {scheme}")
 
 

@@ -110,6 +110,40 @@ def decompress_col(col: Column, algo: str = "zlib") -> Column:
     return run(col)
 
 
+_Z85 = ("0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_REV = {c: i for i, c in enumerate(_Z85)}
+
+
+def z85_encode(data: bytes) -> str:
+    """ZeroMQ Z85 (spec 32/Z85): 4-byte groups -> 5 chars; input must
+    be 4-aligned (the Go encoder the reference kept for back-compat
+    errors otherwise)."""
+    if len(data) % 4:
+        raise ValueError("z85: input length must be a multiple of 4")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = ""
+        for _ in range(5):
+            chunk = _Z85[v % 85] + chunk
+            v //= 85
+        out.append(chunk)
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85: input length must be a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for ch in text[i : i + 5]:
+            v = v * 85 + _Z85_REV[ch]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
 def a85_encode_col(col: Column) -> Column:
     """BINARY -> ascii85 string (Go encoding/ascii85 semantics — the
     Bloblang ``encode("ascii85")`` scheme; stdlib a85encode matches

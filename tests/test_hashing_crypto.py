@@ -222,3 +222,15 @@ def test_random_roundtrips_seeded():
         data = bytes(r.choice(b"abcdefgh") for _ in range(r.randrange(50_000)))
         assert lz4_frame_decompress(lz4_frame_compress(data)) == data
         assert snappy_decompress(snappy_compress(data)) == data
+
+
+def test_z85_spec_vector():
+    """ZeroMQ spec 32/Z85 'HelloWorld' vector (the reference keeps z85
+    registered for back-compat — methods_strings.go z85 NOTE)."""
+    from bento_spark.operators.codecs import z85_decode, z85_encode
+
+    v = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(v) == "HelloWorld"
+    assert z85_decode("HelloWorld") == v
+    with pytest.raises(ValueError, match="multiple of 4"):
+        z85_encode(b"abc")
