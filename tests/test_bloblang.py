@@ -263,3 +263,39 @@ def test_type_on_variant_receiver_dispatches_per_value(spark):
     col = compile_expr("this.v.type()", df=df)
     got = [r.t for r in df.select(col.alias("t")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_deletion_idioms_about_md(spark):
+    """about.md:86-94 deletion + the nested redaction idiom
+    (mapping/assignment.go:135) — both engines (VERDICT r8 #5)."""
+    import json
+
+    from bento_spark.bloblang.interp import interpret_mapping
+
+    def compiled(src, doc):
+        df = spark.read.json(spark.sparkContext.parallelize([json.dumps(doc)], 1))
+        out = compile_mapping(src).apply(df, new_document=True)
+        row = out.collect()[0].asDict(recursive=True)
+        return {k: v for k, v in row.items()
+                if not k.startswith("_") and v is not None}
+
+    # about.md's own example
+    src = "root = this\nroot.bar = deleted()"
+    doc = {"id": "wat1", "message": "hello world", "bar": "remove me"}
+    want = {"id": "wat1", "message": "hello world"}
+    assert compiled(src, doc) == want
+    assert interpret_mapping(src, json.dumps(doc), {})[0] == want
+
+    # nested path deletion (the redaction idiom)
+    src2 = "root = this\nroot.user.password = deleted()"
+    doc2 = {"user": {"name": "ann", "password": "hunter2"}, "n": 1}
+    want2 = {"user": {"name": "ann"}, "n": 1}
+    assert compiled(src2, doc2) == want2
+    assert interpret_mapping(src2, json.dumps(doc2), {})[0] == want2
+
+    # three levels deep, sibling fields survive
+    src3 = "root = this\nroot.a.b.c = deleted()"
+    doc3 = {"a": {"b": {"c": 1, "d": 2}, "e": 5}}
+    want3 = {"a": {"b": {"d": 2}, "e": 5}}
+    assert compiled(src3, doc3) == want3
+    assert interpret_mapping(src3, json.dumps(doc3), {})[0] == want3

@@ -219,3 +219,40 @@ output:
 """
     with _pytest.raises(ConfigError, match="batch strategies"):
         build_pipeline(spark, cfg)
+
+
+def test_switch_fallthrough_carries_processed_messages(spark):
+    """switch `fallthrough` (processor_switch.go:172-220): a passed
+    case's PROCESSED messages seed the next case unconditionally —
+    pinned against the reference's carryOver semantics (r9)."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.plans.pipeline import PROCESSORS
+    from bento_spark.plans.testrunner import _batch_df
+
+    rows = [({"v": 1}, {}), ({"v": 10}, {}), ({"v": 100}, {})]
+    df = _batch_df(spark, rows, True)
+    conf = [
+        {"check": "this.v < 50",
+         "processors": [{"mutation": "root.small = true"}],
+         "fallthrough": True},
+        {"check": "this.v < 5",
+         "processors": [{"mutation": "root.tiny = true"}]},
+        {"processors": [{"mutation": "root.rest = true"}]},
+    ]
+    out = {r["v"]: r for r in PROCESSORS["switch"](df, conf).collect()}
+    # both fallthrough messages run the NEXT case even though v=10
+    # fails its check (carryOver is not re-tested)
+    assert out[1]["small"] and out[1]["tiny"] and not out[1]["rest"]
+    assert out[10]["small"] and out[10]["tiny"] and not out[10]["rest"]
+    assert out[100]["rest"] and not out[100]["small"]
+
+    import pytest
+
+    from bento_spark.plans.pipeline import ConfigError
+
+    with pytest.raises(ConfigError, match="final case"):
+        PROCESSORS["switch"](df, [
+            {"check": "this.v < 50", "processors": [],
+             "fallthrough": True},
+        ])
