@@ -61,6 +61,23 @@ class FuncCall(Node):
 
 
 @dataclass
+class StmtGroup(Node):
+    """Several statements produced by one source statement (the
+    statement-if desugar); flattened by the mapping consumers."""
+
+    statements: list = field(default_factory=list)
+
+
+@dataclass
+class Ctx(Node):
+    """`expr.(sub)` context expression (query_parser.go field context):
+    `sub` evaluates with `this` bound to expr's value."""
+
+    base: Node
+    expr: Node
+
+
+@dataclass
 class MethodCall(Node):
     recv: Node
     name: str

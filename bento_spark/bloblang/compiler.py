@@ -317,13 +317,39 @@ def compile_node(node: A.Node, env: Env) -> Column:
         for p in node.parts:
             col = _null_safe_field(env, col, p)
         return col
+    if isinstance(node, A.Ctx):
+        # `expr.(sub)`: sub evaluates with `this` bound to expr's value
+        # (about.md coalescing — this.thing.(article | comment).type)
+        base = compile_node(node.base, env)
+        bt = _type_of(env, base) or _ast_type(node.base, env)
+        return compile_node(
+            node.expr,
+            env.child({"this": base}, var_types={"this": bt}),
+        )
     if isinstance(node, A.Index):
         base = compile_node(node.base, env)
         # 0-based, null on out-of-bounds; negative indices count from the
         # end (methods_structured.go:699). Spark element_at is 1-based for
         # positives and already end-relative for negatives. A literal
         # index picks its branch statically (the dead 0-index branch
-        # would fail analysis and poison type resolution).
+        # would fail analysis and poison type resolution). STRING bases
+        # index characters (about.md single-element access).
+        from pyspark.sql import types as T
+
+        bt = _type_of(env, base) or _ast_type(node.base, env)
+        if isinstance(bt, T.StringType):
+            n = F.length(base)
+            if isinstance(node.index, A.Lit) and isinstance(
+                node.index.value, int
+            ):
+                i = node.index.value
+                pos = F.lit(i + 1) if i >= 0 else n + F.lit(i + 1)
+            else:
+                idx = compile_node(node.index, env)
+                pos = F.when(idx >= 0, idx + 1).otherwise(n + idx + 1)
+            return F.when(
+                (pos >= 1) & (pos <= n), F.substring(base, pos, 1)
+            )
         if isinstance(node.index, A.Lit) and isinstance(node.index.value, int):
             i = node.index.value
             return F.try_element_at(
@@ -417,7 +443,10 @@ def _conditional_element(node: A.Node) -> bool:
             isinstance(node.orelse, A.Node) and _is_deleted(node.orelse)
         )
     if isinstance(node, A.Match):
-        return any(_is_deleted(v) for _c, v in node.cases)
+        # a match with NO default case yields Nothing when nothing
+        # matches (query_expression_parser.go) — like if-without-else
+        no_default = all(c is not None for c, _v in node.cases)
+        return no_default or any(_is_deleted(v) for _c, v in node.cases)
     return False
 
 
@@ -1258,6 +1287,21 @@ class MappingPlan:
                 drop_col, F.coalesce(drop_when, F.lit(False))
             )
         if new_document:
+            from bento_spark.bloblang.stdlib import NonConstantArg
+
+            if assigns and all(
+                n in nothing_names or n.startswith(DELETE_PREFIX)
+                for n, _c in assigns
+            ) and not any(n == "__root_this__" for n, _c in assigns):
+                # EVERY assignment can yield Nothing: rows where none
+                # executes keep the ORIGINAL document (executor.go —
+                # an unassigned mapping passes the part through). That
+                # is per-row schema choice, which a typed projection
+                # cannot express — the interpreter handles it exactly.
+                raise NonConstantArg(
+                    "all assignments are Nothing-capable; per-row "
+                    "passthrough needs the interpreter"
+                )
             # `root = this` rebinds the document to a passthrough: keep
             # every data column, with LATER assignments overlaying it
             # (executor.go's root rebind) — earlier assigns are discarded
@@ -1444,7 +1488,13 @@ def _compile_statements(ast: A.MappingAST, env: Env):
     cache_writes: list[tuple[str, str, Column, Column | None]] = []
     error_sets: list[Column] = []  # per-row mapping failures (throw)
     nothing_names: set[str] = set()  # Nothing-capable assigned fields
+    flat_stmts = []
     for stmt in ast.statements:
+        if isinstance(stmt, A.StmtGroup):
+            flat_stmts.extend(stmt.statements)
+        else:
+            flat_stmts.append(stmt)
+    for stmt in flat_stmts:
         if isinstance(stmt, A.MapDef):
             env.maps[stmt.name] = stmt.statements
             continue

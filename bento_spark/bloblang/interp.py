@@ -149,7 +149,8 @@ class Interp:
         if isinstance(node, A.Index):
             base = self.eval(node.base, this, vars_)
             idx = self.eval(node.index, this, vars_)
-            if isinstance(base, list) and isinstance(idx, int):
+            if isinstance(base, (list, str, bytes, bytearray)) \
+                    and isinstance(idx, int):
                 if -len(base) <= idx < len(base):
                     return base[idx]
             return None
@@ -191,6 +192,10 @@ class Interp:
                 if self.eval(cond, ctx, vars_):
                     return self.eval(value, ctx, vars_)
             return NOTHING_V
+        if isinstance(node, A.Ctx):
+            return self.eval(
+                node.expr, self.eval(node.base, this, vars_), vars_
+            )
         if isinstance(node, A.FuncCall):
             return self._func(node, this, vars_)
         if isinstance(node, A.MethodCall):
@@ -577,7 +582,14 @@ class Interp:
     def run_statements(self, stmts: list, this: Any) -> Any:
         root: Any = NOTHING_V
         vars_: dict[str, Any] = {}
+        # flatten statement-if desugar groups in place
+        flat: list = []
         for stmt in stmts:
+            if isinstance(stmt, A.StmtGroup):
+                flat.extend(stmt.statements)
+            else:
+                flat.append(stmt)
+        for stmt in flat:
             if isinstance(stmt, A.MapDef):
                 self.maps[stmt.name] = stmt.statements
                 continue
@@ -939,17 +951,13 @@ def _simple_method(name: str, recv: Any, args: list) -> Any:
             return groups
         return str(recv).split(str(args[0]))
     if name == "slice":
-        lo = int(args[0])
-        hi = int(args[1]) if len(args) > 1 else None
+        # full [start:stop:step] semantics (about.md slice syntax) —
+        # Python slicing IS the reference behavior here
+        lo = int(args[0]) if len(args) > 0 and args[0] is not None else None
+        hi = int(args[1]) if len(args) > 1 and args[1] is not None else None
+        step = int(args[2]) if len(args) > 2 and args[2] is not None else None
         seq = recv if isinstance(recv, list) else str(recv)
-        n = len(seq)
-        if lo < 0:
-            lo = max(0, n + lo)
-        if hi is None:
-            hi = n
-        elif hi < 0:
-            hi = n + hi
-        return seq[lo:hi]
+        return seq[lo:hi:step]
     if name == "re_match":
         import re as _re
 

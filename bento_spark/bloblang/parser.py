@@ -122,6 +122,14 @@ class Parser:
                 continue
             if t.kind == "op" and t.text == ".":
                 self.next(skip_nl=False)
+                if self.at("op", "("):
+                    # `.(expr)` context: this binds to the receiver
+                    # (about.md coalescing walkthrough)
+                    self.next()
+                    inner = self.expr()
+                    self.expect("op", ")")
+                    node = A.Ctx(node, inner)
+                    continue
                 name = self.next()
                 if name.kind == "num":
                     nxt = self.peek(skip_nl=False)
@@ -166,30 +174,35 @@ class Parser:
                 continue
             if t.kind == "op" and t.text == "[":
                 self.next(skip_nl=False)
-                # bracket SLICE syntax `v[0:2]` / `v[4:]` / `v[:-4]`
-                # (methods.md slice: "Bracket syntax (recommended)") —
+                # bracket SLICE syntax [start:stop:step], every part
+                # optional (about.md slice syntax; methods.md slice) —
                 # desugars to the slice() method
-                if self.at("op", ":"):
-                    self.next()
-                    hi = self.expr()
-                    self.expect("op", "]")
-                    node = A.MethodCall(node, "slice",
-                                        [A.Lit(0), hi], [None, None])
-                    continue
-                idx = self.expr()
-                if self.at("op", ":"):
-                    self.next()
+                parts: list[A.Node | None] = [None, None, None]
+                slot = 0
+                is_slice = False
+                while True:
                     if self.at("op", "]"):
                         self.next()
-                        node = A.MethodCall(node, "slice", [idx], [None])
+                        break
+                    if self.at("op", ":"):
+                        self.next()
+                        is_slice = True
+                        slot += 1
                         continue
-                    hi = self.expr()
-                    self.expect("op", "]")
-                    node = A.MethodCall(node, "slice",
-                                        [idx, hi], [None, None])
+                    parts[slot] = self.expr()
+                if not is_slice:
+                    if parts[0] is None:
+                        raise ParseError("empty brackets")
+                    node = A.Index(node, parts[0])
                     continue
-                self.expect("op", "]")
-                node = A.Index(node, idx)
+                args: list[A.Node] = [
+                    parts[0] if parts[0] is not None else A.Lit(None),
+                    parts[1] if parts[1] is not None else A.Lit(None),
+                ]
+                if parts[2] is not None:
+                    args.append(parts[2])
+                node = A.MethodCall(node, "slice", args,
+                                    [None] * len(args))
                 continue
             break
         return node
@@ -357,6 +370,72 @@ class Parser:
             stmts.append(self.statement())
         return A.MappingAST(stmts)
 
+    def _if_statement(self) -> A.Node:
+        """Statement-position `if cond { <assignments> } else if ... `
+        (about.md conditional mapping): desugars into per-target
+        assignments of chained If expressions — an assignment absent
+        from the taken branch yields Nothing (skipped), the reference's
+        own semantics."""
+        branches: list[tuple[A.Node | None, list[A.Node]]] = []
+        while True:
+            self.next()  # 'if'
+            cond = self.expr()
+            self.expect("op", "{")
+            stmts: list[A.Node] = []
+            while not self.at("op", "}"):
+                if self.eat("nl"):
+                    continue
+                stmts.append(self.statement())
+            self.expect("op", "}")
+            branches.append((cond, stmts))
+            if self.at("kw", "else") or self.at("ident", "else"):
+                self.next()
+                if self.at("kw", "if") or self.at("ident", "if"):
+                    continue
+                self.expect("op", "{")
+                stmts = []
+                while not self.at("op", "}"):
+                    if self.eat("nl"):
+                        continue
+                    stmts.append(self.statement())
+                self.expect("op", "}")
+                branches.append((None, stmts))
+            break
+        # group assignments by target across branches
+        targets: list = []
+        by_target: dict = {}
+        for cond, stmts in branches:
+            for st in stmts:
+                if isinstance(st, A.Assign):
+                    key = ("root", st.target)
+                elif isinstance(st, A.MetaAssign):
+                    key = ("meta", st.key)
+                else:
+                    raise ParseError(
+                        "if-statement blocks support root/meta "
+                        "assignments only"
+                    )
+                if key not in by_target:
+                    by_target[key] = []
+                    targets.append(key)
+                by_target[key].append((cond, st.expr))
+        out: list[A.Node] = []
+        for key in targets:
+            arms = by_target[key]
+            expr: A.Node | None = None
+            for cond, val in reversed(arms):
+                if cond is None:
+                    expr = val
+                else:
+                    expr = A.If(cond, val, expr)
+            if key[0] == "root":
+                out.append(A.Assign(key[1], expr))
+            else:
+                out.append(A.MetaAssign(key[1], expr))
+        if len(out) == 1:
+            return out[0]
+        return A.StmtGroup(out)
+
     def statement(self) -> A.Node:
         # `map name { ... }` named reusable map
         if self.at("ident", "map"):
@@ -377,6 +456,8 @@ class Parser:
                     stmts.append(self.statement())
                 self.expect("op", "}")
                 return A.MapDef(name, stmts)
+        if self.at("kw", "if") or self.at("ident", "if"):
+            return self._if_statement()
         if self.at("kw", "let"):
             self.next()
             name = self.expect("ident").text

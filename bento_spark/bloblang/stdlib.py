@@ -80,15 +80,57 @@ method("contains", "a")(lambda c, sub: c.contains(sub))
 method("has_prefix", "a")(lambda c, p: c.startswith(p))
 method("has_suffix", "a")(lambda c, s: c.endswith(s))
 method("index_of", "b")(lambda c, sub: F.instr(c, sub) - 1)  # reference is 0-based
-def _str_slice(c, lo, hi=None):
+def _slice_idxs(n: Column, lo, hi, step: int) -> Column:
+    """Python-slice index sequence over a length-n collection
+    (about.md [start:end:step] — every part optional, negatives count
+    from the end, negative steps reverse)."""
+    def norm(v, dflt):
+        if v is None:
+            return dflt
+        c = v if isinstance(v, Column) else F.lit(int(v))
+        floor = F.lit(-1) if step < 0 else F.lit(0)
+        cap = n - 1 if step < 0 else n
+        return F.when(c < 0, F.greatest(n + c, floor)) \
+            .otherwise(F.least(c, cap))
+
+    if step > 0:
+        st, en = norm(lo, F.lit(0)), norm(hi, n)
+        return F.when(
+            st < en, F.sequence(st, en - 1, F.lit(step))
+        ).otherwise(F.array().cast("array<int>"))
+    st, en = norm(lo, n - 1), norm(hi, F.lit(-1))
+    return F.when(
+        st > en, F.sequence(st, en + 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _step_of(step) -> int:
+    if step is None:
+        return 1
+    if isinstance(step, Column):
+        raise NonConstantArg("slice step must be a literal integer")
+    s = int(step)
+    if s == 0:
+        raise ValueError("slice step cannot be 0")
+    return s
+
+
+def _str_slice(c, lo=None, hi=None, step=None):
     """String slice with the reference's negative-offset semantics
-    (methods_strings.go slice): negatives count from the end, clamped.
-    The old `substring(c, lo+1, ...)` was off by one for negative lo
-    (slice(-3) returned the last TWO chars). Bounds arrive as Columns
-    (the compiler compiles -3 through unary minus), so the negative
-    branch is a runtime CASE."""
+    (methods_strings.go slice + about.md bracket [start:end:step]):
+    negatives count from the end, clamped; non-unit steps pick
+    characters through an index sequence."""
     n = F.length(c)
-    lo_c = lo if isinstance(lo, Column) else F.lit(int(lo))
+    s = _step_of(step)
+    if s != 1:
+        chars = F.split(c, "")
+        idxs = _slice_idxs(n, lo, hi, s)
+        return F.array_join(
+            F.transform(idxs, lambda i: F.try_element_at(chars, i + 1)), ""
+        )
+    lo_c = F.lit(0) if lo is None else (
+        lo if isinstance(lo, Column) else F.lit(int(lo))
+    )
     start = F.when(lo_c < 0, F.greatest(n + lo_c, F.lit(0))) \
         .otherwise(F.least(lo_c, n))
     if hi is None:
@@ -104,11 +146,17 @@ def _str_slice(c, lo, hi=None):
 method("slice", "b")(_str_slice)
 
 
-def _arr_slice(c, lo, hi=None):
+def _arr_slice(c, lo=None, hi=None, step=None):
     """Array slice twin of _str_slice (methods.md slice works on
     arrays AND strings; the compiler dispatches on receiver type)."""
     n = F.size(c)
-    lo_c = lo if isinstance(lo, Column) else F.lit(int(lo))
+    s = _step_of(step)
+    if s != 1:
+        idxs = _slice_idxs(n, lo, hi, s)
+        return F.transform(idxs, lambda i: F.try_element_at(c, i + 1))
+    lo_c = F.lit(0) if lo is None else (
+        lo if isinstance(lo, Column) else F.lit(int(lo))
+    )
     start = F.when(lo_c < 0, F.greatest(n + lo_c, F.lit(0))) \
         .otherwise(F.least(lo_c, n))
     if hi is None:
@@ -137,9 +185,19 @@ def _quote(c: Column) -> Column:
 method("quote", "b")(_quote)
 # format: receiver must be a literal format string (Go %v -> printf %s);
 # the compiler passes literal receivers raw for RAW_RECV_METHODS
-method("format", "b")(
-    lambda fmt, *args: F.format_string(str(fmt).replace("%v", "%s"), *[V(a) for a in args])
-)
+def _format(fmt, *args):
+    if isinstance(fmt, Column):
+        # per-message dynamic format strings (map-parameters pattern in
+        # about.md) need the interpreter's per-value printf
+        from bento_spark.bloblang.stdlib import NonConstantArg
+
+        raise NonConstantArg("format() receiver must be config-static")
+    return F.format_string(
+        str(fmt).replace("%v", "%s"), *[V(a) for a in args]
+    )
+
+
+method("format", "b")(_format)
 method("string", "a")(lambda c: c.cast("string"))
 method("number", "a")(
     # optional default (methods.go number): unparseable input falls
