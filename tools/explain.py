@@ -58,6 +58,10 @@ HEADLINE = [
     "sample_temperature_mix",
     "embed_mlp_quantized",
     "q21_waiting_suppliers",
+    # round-9: the reference-exact crypto cluster (HMAC inlined as two
+    # codegen'd sha passes; crc32 table folds) — the plan should show
+    # ONE projection over the scan, no shuffle before the sort
+    "bloblang_crypto_gauntlet",
 ]
 
 
