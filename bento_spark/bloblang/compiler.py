@@ -774,11 +774,12 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
         return F.transform(sub, lambda x: _with_field_path(recv, path, x))
     if node.name == "json_path":
         path = str(lit_arg(0, "JSONPath expression"))
-        if ".." in path:
-            # recursive descent is beyond get_json_object — the
-            # interpreter's mini-JSONPath walks it per message
+        if ".." in path or "[?(" in path:
+            # recursive descent / filter predicates are beyond
+            # get_json_object — the interpreter's mini-JSONPath walks
+            # them per message
             raise UnsupportedConstruct(
-                "json_path recursive descent ($..) routes to the "
+                "json_path recursive descent / filters route to the "
                 "interpreter"
             )
         t = _type_of(env, recv)

@@ -223,6 +223,10 @@ def _jsonpath(obj, path: str) -> list:
                 _err(f"bad field in {path!r}")
             tokens.append(("field", m.group(0)))
             i += m.end()
+        elif path.startswith("[?(", i):
+            j = path.index(")]", i)
+            tokens.append(("filter", path[i + 3 : j]))
+            i = j + 2
         elif path[i] == "[":
             j = path.index("]", i)
             inner = path[i + 1 : j]
@@ -251,6 +255,11 @@ def _jsonpath(obj, path: str) -> list:
                         nxt.append(v[int(arg)])
                     except (ValueError, IndexError):
                         pass
+            elif kind == "filter":
+                if isinstance(v, list):
+                    nxt.extend(
+                        el for el in v if _jp_filter(el, arg)
+                    )
             else:  # recurse
                 def walk(node):
                     if isinstance(node, dict):
@@ -265,6 +274,40 @@ def _jsonpath(obj, path: str) -> list:
                 walk(v)
         cur = nxt
     return cur
+
+
+_JP_FILTER_RE = re.compile(
+    r"^@\.([\w-]+)\s*(==|!=|>=|<=|>|<)\s*(.+)$"
+)
+
+
+def _jp_filter(el, expr: str) -> bool:
+    """JSONPath filter predicate subset: @.field <op> literal
+    (json_path doc example: $.body[?(@.type=='text')])."""
+    m = _JP_FILTER_RE.match(expr.strip())
+    if not m:
+        _err(f"unsupported JSONPath filter {expr!r}")
+    field, op, lit = m.groups()
+    lit = lit.strip()
+    if lit.startswith(("'", '"')):
+        want: Any = lit[1:-1]
+    else:
+        try:
+            want = json.loads(lit)
+        except ValueError:
+            want = lit
+    have = el.get(field) if isinstance(el, dict) else None
+    try:
+        return {
+            "==": lambda: have == want,
+            "!=": lambda: have != want,
+            ">": lambda: have is not None and have > want,
+            "<": lambda: have is not None and have < want,
+            ">=": lambda: have is not None and have >= want,
+            "<=": lambda: have is not None and have <= want,
+        }[op]()
+    except TypeError:
+        return False
 
 
 def _xml_cast(v):

@@ -33,10 +33,6 @@ KNOWN_DIVERGENT: dict[str, str] = {
     # emits a final empty stored block (161 B) where zlib's finish
     # packs it (160 B); both decode each other fine.
     "compress#0": "gzip compressed size differs by one flush block",
-    # jq-ish filter expressions inside json_path ($.body[?(@...)]) are
-    # gjson extensions beyond the mini-JSONPath (get_json_object has no
-    # filter support either).
-    "json_path#2": "JSONPath filter expressions not implemented",
     # spark.read.json unifies mixed-type arrays ([1,"a"]) to
     # array<string> at scan time — the typed-row model can't hold the
     # original value types; the interpreter path (which reads __raw)
