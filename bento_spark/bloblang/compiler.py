@@ -439,8 +439,15 @@ def _conditional_element(node: A.Node) -> bool:
     if _is_deleted(node):
         return True
     if isinstance(node, A.If):
-        return node.orelse is None or _is_deleted(node.then) or (
-            isinstance(node.orelse, A.Node) and _is_deleted(node.orelse)
+        # recursive: a chained `if/else if` (the statement-if desugar)
+        # is Nothing-capable when its FINAL else is absent
+        return (
+            node.orelse is None
+            or _is_deleted(node.then)
+            or _conditional_element(node.then)
+            or (isinstance(node.orelse, A.Node)
+                and (_is_deleted(node.orelse)
+                     or _conditional_element(node.orelse)))
         )
     if isinstance(node, A.Match):
         # a match with NO default case yields Nothing when nothing
@@ -1723,7 +1730,14 @@ def _compile_statements(ast: A.MappingAST, env: Env):
             name = stmt.target[0]
             col = compile_node(stmt.expr, e2)
             if _conditional_element(stmt.expr):
-                nothing_names.add(name)
+                if name in assigned:
+                    # Nothing SKIPS the assignment — the prior value
+                    # stays (executor.go; the statement-if desugar and
+                    # `root.x = if cond { y }` re-assignments rely on
+                    # this). Explicit-else assignments replace as before.
+                    col = F.coalesce(col, assigned[name])
+                else:
+                    nothing_names.add(name)
             _upsert_assign(assigns, name, col)
             assigned[name] = col
             continue

@@ -108,7 +108,9 @@ def _step_of(step) -> int:
     if step is None:
         return 1
     if isinstance(step, Column):
-        raise NonConstantArg("slice step must be a literal integer")
+        # negative literals arrive as unary-minus Columns; fold them
+        # (truly per-message steps route to the interpreter)
+        step = const_fold(step, "slice step")
     s = int(step)
     if s == 0:
         raise ValueError("slice step cannot be 0")

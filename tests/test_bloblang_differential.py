@@ -237,6 +237,22 @@ CURATED = [
     'root = {"b": this.flag.string(),'
     ' "eq": this.missing == null, "ne": this.a != null}',
     'root = {"c": this.s.capitalize()}',
+    # round-9 syntax batch: bracket slices incl. steps/negative steps,
+    # string character indexing, `.(expr)` context expressions — the
+    # about.md/advanced.md corpus drove these; this pins them in the
+    # fast differential too
+    'root = {"a": this.s[0:5], "b": this.s[2:], "c": this.s[:-2],'
+    ' "d": this.s[::2], "e": this.s[::-1]}',
+    'root = {"x": this.s[0], "y": this.s[-1], "z": this.arr[1:3]}',
+    'root = {"r": this.obj.(this.x | this.y),'
+    ' "s": this.obj.(this.missing | "dflt")}',
+    # statement-position if/else (desugared to chained-If assignments)
+    '''root.big = "no"
+if this.a > 100 {
+  root.big = "yes"
+} else if this.a > 3 {
+  root.big = "mid"
+}''',
 ]
 
 # timestamp layouts run on a dedicated doc (Go reference layouts must
