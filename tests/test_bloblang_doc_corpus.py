@@ -13,7 +13,6 @@ carries a reason.
 
 from __future__ import annotations
 
-import json
 import sys
 
 import pytest

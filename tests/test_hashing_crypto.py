@@ -15,7 +15,6 @@ import pytest
 from bento_spark.operators.aescipher import (
     cbc_decrypt,
     cbc_encrypt,
-    ctr_xor,
     decrypt_aes_py,
     encrypt_aes_py,
     encrypt_block,
@@ -26,7 +25,6 @@ from bento_spark.operators.aescipher import (
 )
 from bento_spark.operators.hashing import (
     crc32_py,
-    fnv32_py,
     hash_py,
     xxhash32_py,
     xxhash64_py,
