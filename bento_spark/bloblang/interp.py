@@ -661,7 +661,8 @@ class Interp:
         return this if root is NOTHING_V else root
 
 
-def interpret_mapping(src: str, content: str, meta: dict[str, str]) -> Any:
+def interpret_mapping(src: str, content: str, meta: dict[str, str],
+                      counters: dict | None = None) -> Any:
     """Run a mapping over one message (Python values). ``this`` is the
     lazily-parsed content (data.go:57-68); the return value is the new
     document (DELETED_V = message dropped)."""
@@ -673,6 +674,10 @@ def interpret_mapping(src: str, content: str, meta: dict[str, str]) -> Any:
     except (ValueError, TypeError):
         doc = None  # non-JSON content: `this` reads null, content() raw
     it = Interp({}, dict(meta or {}), content)
+    if counters is not None:
+        # shared across a batch so counter()/count() increment per
+        # MESSAGE like the reference's per-stream counters
+        it._counters = counters
     # pre-register named maps so statement order doesn't matter
     for stmt in ast.statements:
         if isinstance(stmt, A.MapDef):
@@ -742,6 +747,7 @@ def interpreted_mapping_df(df, src: str, content_col: str = "content"):
         return v
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shared_counters: dict = {}  # counter()/count() state per task
         for pdf in batches:
             out = {"content": [], "_metadata": [], "_error": []}
             if has_idx:
@@ -759,7 +765,8 @@ def interpreted_mapping_df(df, src: str, content_col: str = "content"):
                 err = row.get("_error")
                 try:
                     doc, meta = interpret_mapping(
-                        src, "" if content is None else str(content), meta
+                        src, "" if content is None else str(content), meta,
+                        counters=shared_counters,
                     )
                     if doc is DELETED_V:
                         continue
