@@ -289,14 +289,56 @@ class Interp:
                 int(by_name.get("step", 1)),
             ))
         if node.name in ("count", "counter"):
-            # per-mapping-invocation sequence (each message restarts at
-            # the reference's min=1; cross-message state would need a
-            # shared stream counter the batch engine provides instead)
-            key = "counter" if not node.args else str(
-                self.eval(node.args[0], this, vars_)
-            )
-            self._counters[key] = self._counters.get(key, 0) + 1
-            return self._counters[key]
+            # counter()/count(name) — functions.md counter: min (first
+            # yield, default 1), max (wrap back to min), set (a query
+            # evaluated per resolution: non-negative int resets and
+            # yields it; null yields the CURRENT value unchanged;
+            # deletion resets to min; Nothing increments as normal).
+            # State keys by AST site ("each instantiation ... its own
+            # independent count") — stable via the parse cache.
+            if node.name == "count":
+                key = "count:" + str(
+                    self.eval(node.args[0], this, vars_) if node.args
+                    else ""
+                )
+                args_by = {}
+            else:
+                key = f"counter:{id(node)}"
+                sig = ("min", "max", "set")
+                args_by = {}
+                pos = 0
+                for a, n in zip(node.args, node.arg_names):
+                    args_by[n if n is not None else sig[pos]] = a
+                    if n is None:
+                        pos += 1
+            lo = int(self.eval(args_by["min"], this, vars_)) \
+                if "min" in args_by else 1
+            hi = int(self.eval(args_by["max"], this, vars_)) \
+                if "max" in args_by else (1 << 63) - 1
+            cur = self._counters.get(key)
+            set_v: Any = NOTHING_V
+            if "set" in args_by:
+                set_v = self.eval(args_by["set"], this, vars_)
+            if set_v is DELETED_V:
+                cur = lo
+            elif set_v is None and "set" in args_by and not isinstance(
+                set_v, _NothingV
+            ):
+                cur = cur if cur is not None else lo
+            elif set_v is not NOTHING_V and set_v is not None:
+                if isinstance(set_v, (int, float)) and int(set_v) >= 0:
+                    cur = int(set_v)
+                else:
+                    raise InterpError(
+                        "counter set must resolve to a non-negative "
+                        f"integer, got {_btype(set_v)}"
+                    )
+            else:
+                cur = lo if cur is None else cur + 1
+                if cur > hi:
+                    cur = lo
+            self._counters[key] = cur
+            return cur
         if node.name == "cosine_similarity":
             import math as _math
 
@@ -661,6 +703,23 @@ class Interp:
         return this if root is NOTHING_V else root
 
 
+_AST_CACHE: dict[str, Any] = {}
+
+
+def _ast_cached(src: str):
+    """Parse-once cache: the interpreter re-runs per message, and
+    counter()/count() state keys by AST-site identity — both need the
+    same tree back for the same source."""
+    ast = _AST_CACHE.get(src)
+    if ast is None:
+        from bento_spark.bloblang.parser import parse_mapping
+
+        if len(_AST_CACHE) > 256:
+            _AST_CACHE.clear()
+        ast = _AST_CACHE[src] = parse_mapping(src)
+    return ast
+
+
 def interpret_mapping(src: str, content: str, meta: dict[str, str],
                       counters: dict | None = None) -> Any:
     """Run a mapping over one message (Python values). ``this`` is the
@@ -668,7 +727,7 @@ def interpret_mapping(src: str, content: str, meta: dict[str, str],
     document (DELETED_V = message dropped)."""
     from bento_spark.bloblang.parser import parse_mapping
 
-    ast = parse_mapping(src)
+    ast = _ast_cached(src)
     try:
         doc: Any = json.loads(content)
     except (ValueError, TypeError):
@@ -704,12 +763,19 @@ def interpreted_mapping_df(df, src: str, content_col: str = "content"):
 
     from bento_spark.operators.envelope import META, ensure_envelope
 
+    import re as _re
+
     want = df.sparkSession.sparkContext.defaultParallelism
     try:
         parts = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 - streaming plans have no rdd
         parts = want
-    if parts < max(2, want // 2):
+    # counter()/count() carry PER-TASK sequence state (the reference's
+    # counters are per process — per task is the distributed analogue);
+    # a repartition would scatter the sequence, so stateful mappings
+    # keep the caller's partitioning
+    stateful = _re.search(r"\b(counter|count)\(", src) is not None
+    if parts < max(2, want // 2) and not stateful:
         df = df.repartition(want)
 
     df = ensure_envelope(df)

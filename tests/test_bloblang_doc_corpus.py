@@ -40,6 +40,12 @@ KNOWN_DIVERGENT: dict[str, str] = {
     # same root cause: heterogeneous objects in one array schema-union
     # to a superset struct with nulls for absent fields
     "split#4": "compiled: schema-union nulls in nested object arrays",
+    # two resolutions of ONE counter() site within a single message
+    # (map applied twice) need per-resolution sequence state; the
+    # compiled counter is row_number over the batch — one value per
+    # message. The interpreter replays it exactly.
+    "counter#2": "compiled: per-resolution counter state in one message",
+    "counter#3": "compiled: per-resolution counter state in one message",
 }
 
 
@@ -75,6 +81,36 @@ def test_doc_examples(spark, section):
             if not ok:
                 failures.append(f"{case.case_id} [{engine}]: {detail[:300]}")
     assert not failures, "\n".join(failures)
+
+
+STATEFUL_PINNED = {"counter#2", "counter#3"}
+
+
+def test_stateful_blocks_replay(spark):
+    """counter()/count() doc blocks are STATEFUL across their In/Out
+    pairs — replayed in order as one batch per block (run_block):
+    the compiled counter numbers rows via the batch, the interpreter
+    threads shared per-task state. Both engines must reproduce every
+    pair (the one compiled pin above excepted)."""
+    from doc_corpus import STATEFUL, run_block
+
+    blocks: dict = {}
+    for c in all_cases():
+        if c.section in STATEFUL:
+            blocks.setdefault((c.section, c.mapping), []).append(c)
+    assert len(blocks) == 5, f"stateful block count changed: {len(blocks)}"
+    failures = []
+    for (_sec, _m), cases in blocks.items():
+        pinned = any(c.case_id in STATEFUL_PINNED for c in cases)
+        for engine in ("compiled", "interpreted"):
+            if pinned and engine == "compiled":
+                continue
+            ok, detail = run_block(spark, cases, engine)
+            if not ok:
+                failures.append(
+                    f"{cases[0].case_id} block [{engine}]: {detail[:200]}"
+                )
+    assert not failures, "; ".join(failures)
 
 
 def test_known_divergent_is_current(spark):
