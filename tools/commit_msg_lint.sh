@@ -1,0 +1,20 @@
+#!/bin/sh
+# commit-msg hook: reject commit messages that look like an accidental
+# environment/shell dump (the round-9 incident class).
+#   - more than 40 lines
+#   - lines matching NAME=value env-var dumps or known env prefixes
+msg="$1"
+lines=$(wc -l < "$msg")
+if [ "$lines" -gt 40 ]; then
+  echo "commit-msg lint: message is $lines lines (>40) — looks like an accidental dump; trim it." >&2
+  exit 1
+fi
+if grep -qE '^(BASH_|CLAUDE|ANTHROPIC|AWS_|API_)[A-Z_]*=' "$msg"; then
+  echo "commit-msg lint: message contains env-var dump lines — scrub before committing." >&2
+  exit 1
+fi
+if grep -qiE 'api[_-]?key|_TOKEN=|artifactory\.' "$msg"; then
+  echo "commit-msg lint: message contains credential/internal-host patterns — scrub before committing." >&2
+  exit 1
+fi
+exit 0
