@@ -135,7 +135,17 @@ def main():
     # co-tenancy/GC that land on random queries, and best-of-2 can still
     # reward a lucky outlier; the median of three post-warm runs is a
     # stable estimate of the plan's actual cost.
+    #
+    # Normalization method (round-10): a canary runs INTERLEAVED after
+    # every query, so each query is bracketed by two host-health samples
+    # taken seconds — not minutes — away from it. A single pre/post pair
+    # proved misleading (r9: pre 0.499 vs post 0.801 on one run — the
+    # scalar average both over- and under-corrects depending on when the
+    # contention landed). Per-query noise_i = max(mean(bracket)/REF, 1),
+    # normalized_total_sec = sum(t_i / noise_i). The global noise_factor
+    # is kept (median of all samples) for cross-round continuity.
     times: dict[str, float] = {}
+    canaries: list[float] = [canary_pre]
     for name in names:
         runs: list[float] = []
         for _ in range(3):
@@ -156,11 +166,17 @@ def main():
                 print(f"bench error {name}: {ex}", file=sys.stderr)
                 break
         times[name] = sorted(runs)[len(runs) // 2] if runs else -1.0
+        canaries.append(run_canary(spark))
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    canary_post = canaries[-1]
 
-    # canary AFTER the timed suite and BEFORE the sf1 section, so the
-    # pre/post pair brackets exactly the workload it normalizes
-    canary_post = run_canary(spark)
+    normalized = 0.0
+    for i, name in enumerate(names):
+        if times[name] < 0:
+            continue
+        bracket = (canaries[i] + canaries[i + 1]) / 2
+        normalized += times[name] / max(bracket / CANARY_REF_SEC, 1.0)
+    normalized = round(normalized, 3)
 
     # sf1 section: single-shot (the queries are big enough that JIT
     # noise is amortized), budget-bounded, never fails the bench
@@ -197,7 +213,7 @@ def main():
             "budget_skipped": skipped,
         }
 
-    canary_sec = round((canary_pre + canary_post) / 2, 3)
+    canary_sec = round(sorted(canaries)[len(canaries) // 2], 3)
     # noise_factor ~1.0 on a quiet host; >1.3 means the run was contended
     # and `value` overstates the code's cost — read normalized_total_sec.
     noise_factor = round(max(canary_sec / CANARY_REF_SEC, 1.0), 3)
@@ -214,8 +230,9 @@ def main():
                 "canary_post_sec": canary_post,
                 "canary_sec": canary_sec,
                 "canary_ref_sec": CANARY_REF_SEC,
+                "canary_samples": [round(c, 3) for c in canaries],
                 "noise_factor": noise_factor,
-                "normalized_total_sec": round(total / noise_factor, 3),
+                "normalized_total_sec": normalized,
                 **({"sf1": sf1} if sf1 else {}),
             }
         )
