@@ -44,11 +44,12 @@ _PRIORITY = [
     "text_bpe_tokenize",
     "text_quality_classifier",
     # windows / streaming semantics (incl. the REAL checkpoint-restart
-    # Structured Streaming run; dedupe_within_window +
-    # stream_stateful_totals demoted r7 after long green streaks —
-    # both re-checked row-level below the fold)
-    "window_tumbling_hour", "window_sliding_hour",
+    # Structured Streaming run; window_sliding_hour demoted r10 after
+    # five green rounds — tumbling + the promoted late-data/stateful
+    # rows carry the family)
+    "window_tumbling_hour",
     "stream_recovery_window", "stream_kafka_wire",
+    "stream_late_data_drop", "stream_stateful_totals",
     # multimodal (gauntlet carries image+audio+frames; the frame-sample
     # single promoted r6 per the rotation ask, y4m demoted after its
     # r5 driver-green round)
@@ -71,9 +72,11 @@ _PRIORITY = [
     # quantized-MLP checkpoint (tools/train_checkpoint.py) runs in the
     # driver gate, hash-verified against its relational SQL replay
     "embed_mlp_quantized",
-    # join / agg planes (§2.6-2.7)
-    "asof_join_last_login", "semi_anti_join", "top_k_per_group",
-    "skew_salted_agg",
+    # join / agg planes (§2.6-2.7; semi_anti_join + skew_salted_agg
+    # demoted r10 after long green streaks — asof/top_k/q1/relational_
+    # gauntlet keep both families above the fold)
+    "asof_join_last_login", "top_k_per_group",
+    "percentiles_value",
     # bloblang (§2.2; the stdlib breadth rows ride below the fold;
     # geoip demoted r9 after four driver-green rounds — the crypto
     # gauntlet takes the slot)
@@ -94,38 +97,41 @@ _PRIORITY = [
     # relational breadth: 24 members — ALL 22 TPC-H query shapes +
     # pivot/percentiles/set-ops — certified in one slot
     "relational_gauntlet",
-    # r9 rotation: the r8 promotions (ann_ivf_topk, stream_join_
-    # interval, proc_awk, proc_opensnowcat, sample_temperature_mix,
-    # text_chunk_windows, pipeline_error_handling) went driver-green
-    # and rotate below the fold; never-driver-seen rows take their
-    # slots — the branch + http enrichment processors, the javascript
-    # engine, template expansion, real metric harvest, span-window
-    # dedup, and JPEG feature extraction.
-    "proc_branch_enrich", "proc_http_enrich",
-    "proc_javascript", "pipeline_template",
-    "pipeline_metrics", "dedup_span_windows",
-    "mm_jpeg_features",
-    # r9: the reference-exact crypto cluster in one row (hash-as-bytes,
-    # hmac signing, crc32 polynomials, fnv32, xxHash64-of-bytes,
-    # AES-CTR, ascii85) — fresh from this round's rework
-    "bloblang_crypto_gauntlet",
+    # r10 rotation: the r9 promotions (proc_branch_enrich,
+    # proc_http_enrich, proc_javascript, pipeline_template,
+    # pipeline_metrics, dedup_span_windows, mm_jpeg_features,
+    # bloblang_crypto_gauntlet) went driver-green and rotate below the
+    # fold; never-driver-seen rows take the slots — the bloblang stdlib
+    # breadth pair, grok, full json_schema, audio/video multimodal,
+    # PII redaction, and this round's jmespath expref surface
+    "bloblang_stdlib2", "bloblang_stdlib3",
+    "proc_grok", "proc_json_schema_full",
+    "mm_audio_features", "mm_video_y4m",
+    "pii_redact",
+    # r10: go-jmespath v0.4.0 expref parity (sort_by/min_by/max_by/map/
+    # object projections/merge/to_array) — fresh from this round's work
+    "proc_jmespath_sortby",
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
     "proc_avro_roundtrip", "proc_protobuf_roundtrip", "xml_roundtrip",
     "scan_re_match",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_value",
     "scan_gauntlet",
-    "dedupe_within_window", "stream_stateful_totals",
-    "dedup_embedding_cosine", "decontaminate_overlap",
-    "pack_sequences_contiguous", "pii_redact",
-    "quality_repetition_gopher", "sample_stratified_hash",
+    "dedupe_within_window", "dedup_embedding_cosine",
+    "decontaminate_overlap",
+    "pack_sequences_contiguous", "quality_repetition_gopher",
+    "sample_stratified_hash",
     "text_token_stats", "text_language_id", "ann_brute_force_topk",
-    "mm_video_y4m",
     "text_fingerprint_winnow",
-    "window_session_user", "bloblang_stdlib2", "bloblang_geoip",
+    "window_session_user", "bloblang_geoip",
     "kmeans_embedding_mixture",
     "pipeline_yaml_stream",
-    "stream_late_data_drop", "pipeline_error_retry",
+    "pipeline_error_retry",
+    # r9 promotions + long-green r10 demotions, rotated below the fold
+    "proc_branch_enrich", "proc_http_enrich", "proc_javascript",
+    "pipeline_template", "pipeline_metrics", "dedup_span_windows",
+    "mm_jpeg_features", "bloblang_crypto_gauntlet",
+    "window_sliding_hour", "semi_anti_join", "skew_salted_agg",
     # r8 promotions, driver-green, rotated back below the fold
     "ann_ivf_topk", "stream_join_interval",
     "proc_awk", "proc_opensnowcat",
@@ -133,18 +139,16 @@ _PRIORITY = [
     "pipeline_error_handling",
     "proc_split_batches", "proc_split_byte_batches", "proc_insert_part",
     "rollup_priority", "text_quality_score", "proc_jmespath_collapse",
-    "bloblang_stdlib3", "corpus_shuffle_shards",
+    "corpus_shuffle_shards",
     "dedup_incremental_snapshot",
     "proc_switch_route", "proc_try_catch", "proc_group_by_value",
     "proc_select_parts", "proc_bounds_check", "json_variant_extract",
-    "proc_metadata_topic", "proc_json_schema_full",
-    "mm_image_features", "mm_audio_features",
-    "mm_image_resize",
+    "proc_metadata_topic", "mm_image_features", "mm_image_resize",
     "q3_shipping_priority",
     "proc_mapping_enrich", "proc_dedupe_first",
-    "pivot_event_types", "percentiles_value", "set_ops_users",
-    "proc_compress_roundtrip", "proc_parse_syslog", "proc_grok",
-    "proc_parse_log", "proc_json_schema",
+    "pivot_event_types", "set_ops_users",
+    "proc_compress_roundtrip", "proc_parse_syslog", "proc_parse_log",
+    "proc_json_schema",
     "proc_archive_roundtrip", "proc_tar_roundtrip", "proc_lines_roundtrip",
     "unarchive_csv_roundtrip", "proc_chunker", "proc_msgpack_roundtrip",
     "proc_schema_registry_roundtrip",

@@ -6,26 +6,34 @@ processor, the query compiles ONCE driver-side to Column expressions
 over a parsed VARIANT; execution stays JVM-side (variant_get /
 higher-order array functions), no Python per row.
 
-Supported subset (the shapes the reference's docs/examples use):
+Supported surface (go-jmespath v0.4.0 parity, the library the
+reference embeds — go.mod:97):
   @                 current node
   a.b  a[0]  a[-1]  paths (negative index counts from the end)
+  a[start:stop:step] slices (projections, negative bounds/step)
   a[*]  a[]         list projection / flatten-projection
   a[?expr]          filter projection
+  *  a.*            object projection (over object VALUES)
   e1 | e2           pipes (stop projections)
   {k: e, ...}       multiselect hash
   .[e1, e2]         multiselect list
   `json`  'raw'     literals
+  &expr             expression refs (function arguments)
   == != < <= > >=   comparators (numeric when both sides numeric)
   && || !           boolean logic (JMESPath truthiness)
-  functions: length keys values sort join contains max min sum avg
-             abs ceil floor reverse starts_with ends_with to_string
-             to_number type not_null
+  functions (all 26 of go-jmespath v0.4.0's builtins): abs avg ceil
+             contains ends_with floor join keys length map max max_by
+             merge min min_by not_null reverse sort sort_by
+             starts_with sum to_array to_number to_string type values
 
-Unsupported (documented): slices, expression refs (&expr / sort_by),
-object projections (.*), recursive descent, let bindings.
+Out of scope: `let` bindings and recursive descent are JMESPath
+Community (JEP) extensions that go-jmespath v0.4.0 — and therefore the
+reference's `jmespath` processor — does not implement; they are
+rejected at parse time here exactly as the reference rejects them.
 
 Projections follow JMESPath semantics: the RHS applies per element and
-null results are dropped from the projected list.
+null results are dropped from the projected list (``map()`` keeps
+them, per spec).
 """
 
 from __future__ import annotations
@@ -49,7 +57,7 @@ _TOKEN_RE = re.compile(
     | (?P<quoted>"(?:[^"\\]|\\.)*")
     | (?P<num>-?\d+)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>\[\?|\[\*\]|\[\]|==|!=|<=|>=|&&|\|\||[.\[\]{}(),:|<>!@*])
+    | (?P<op>\[\?|\[\*\]|\[\]|==|!=|<=|>=|&&|\|\||[.\[\]{}(),:|<>!@*&])
     )""",
     re.VERBOSE,
 )
@@ -140,6 +148,14 @@ class _Parser:
         return self.parse_postfix()
 
     def parse_postfix(self) -> N:
+        if self.peek()[1] == "*":
+            # bare `*`: object projection over the current node's values
+            self.next()
+            rhs = self._projection_rhs()
+            return N(
+                "oproject", None,
+                (N("current"), rhs) if rhs is not None else (N("current"),),
+            )
         node = self.parse_primary()
         return self._postfix_chain(node)
 
@@ -160,6 +176,14 @@ class _Parser:
                     node = N("list", None, (node, *items))
                 elif v2 == "{":
                     node = self._postfix_chain(self._hash(node))
+                elif v2 == "*":
+                    # `.*` object projection: RHS applies per VALUE
+                    self.next()
+                    rhs = self._projection_rhs()
+                    node = N(
+                        "oproject", None,
+                        (node, rhs) if rhs is not None else (node,),
+                    )
                 elif k2 in ("ident", "quoted"):
                     self.next()
                     name = json.loads(v2) if k2 == "quoted" else v2
@@ -239,6 +263,10 @@ class _Parser:
 
     def parse_primary(self) -> N:
         k, v = self.next()
+        if v == "&":
+            # expression reference — only meaningful as a function
+            # argument (sort_by/min_by/max_by/map); _call checks that
+            return N("expref", None, (self.parse_or(),))
         if v == "@":
             return N("current")
         if k == "lit":
@@ -403,6 +431,21 @@ def _compile(node: N, cur: Column) -> Column:
             arr = F.transform(arr, lambda e: _compile(rhs, e))
             arr = F.filter(arr, lambda x: x.isNotNull())  # projections drop nulls
         return _arr_v(arr)
+    if node.kind == "oproject":
+        # object projection: per-VALUE, like [*] but over object values
+        base = _compile(node.children[0], cur)
+        m = F.try_variant_get(base, "$", "map<string,variant>")
+        arr = F.map_values(m)
+        if len(node.children) > 1:
+            rhs = node.children[1]
+            arr = F.transform(arr, lambda e: _compile(rhs, e))
+            arr = F.filter(arr, lambda x: x.isNotNull())
+        return F.when(m.isNotNull(), _arr_v(arr))
+    if node.kind == "expref":
+        raise JmesError(
+            "jmespath: expression reference (&expr) is only valid as an "
+            "argument to sort_by/min_by/max_by/map"
+        )
     if node.kind == "hash":
         ctx = _compile(node.children[0], cur)
         fields = [_compile(e, ctx).alias(k) for k, e in node.value]
@@ -441,8 +484,62 @@ def _compile(node: N, cur: Column) -> Column:
     raise JmesError(f"jmespath: cannot compile {node.kind}")
 
 
+def _keyed_sort(subj: Column, key_expr: N) -> Column:
+    """array<struct<kn,ks,e>> sorted by the expref key — numeric compare
+    when both keys are numbers, else lexical (go-jmespath requires
+    homogeneous number-or-string keys; mixed rows sort strings last)."""
+    arr = F.try_variant_get(subj, "$", "array<variant>")
+    keyed = F.transform(
+        arr,
+        lambda e: F.struct(
+            _num(_compile(key_expr, e)).alias("kn"),
+            F.try_variant_get(_compile(key_expr, e), "$", "string").alias("ks"),
+            e.alias("e"),
+        ),
+    )
+
+    def comp(a, b):
+        both_num = a["kn"].isNotNull() & b["kn"].isNotNull()
+        return (
+            F.when(
+                both_num,
+                F.when(a["kn"] < b["kn"], F.lit(-1))
+                .when(a["kn"] > b["kn"], F.lit(1))
+                .otherwise(F.lit(0)),
+            )
+            .when(a["kn"].isNotNull(), F.lit(-1))
+            .when(b["kn"].isNotNull(), F.lit(1))
+            .when(a["ks"] < b["ks"], F.lit(-1))
+            .when(a["ks"] > b["ks"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    return F.array_sort(keyed, comp)
+
+
 def _call(node: N, cur: Column) -> Column:
     name = node.value
+
+    # expref-taking builtins FIRST: their &expr argument is an AST to
+    # apply per element, not a Column to evaluate against `cur`
+    if name in ("sort_by", "min_by", "max_by"):
+        if len(node.children) != 2 or node.children[1].kind != "expref":
+            raise JmesError(f"jmespath: {name}(array, &expr) expected")
+        subj = _compile(node.children[0], cur)
+        srt = _keyed_sort(subj, node.children[1].children[0])
+        elems = F.transform(srt, lambda s: s["e"])
+        if name == "sort_by":
+            return _arr_v(elems)
+        return F.try_element_at(elems, F.lit(1 if name == "min_by" else -1))
+    if name == "map":
+        if len(node.children) != 2 or node.children[0].kind != "expref":
+            raise JmesError("jmespath: map(&expr, array) expected")
+        subj = _compile(node.children[1], cur)
+        arr = F.try_variant_get(subj, "$", "array<variant>")
+        ref = node.children[0].children[0]
+        # unlike projections, map() KEEPS null results (jmespath.org spec)
+        return _arr_v(F.transform(arr, lambda e: _compile(ref, e)))
+
     args = [_compile(a, cur) for a in node.children]
 
     def arg(i):
@@ -532,6 +629,29 @@ def _call(node: N, cur: Column) -> Column:
         )
     if name == "not_null":
         return F.coalesce(*[a for a in args])
+    if name == "merge":
+        # later objects win on key conflicts (jmespath.org spec); fold
+        # left with an explicit drop-then-concat so map_concat never
+        # sees duplicate keys regardless of spark.sql.mapKeyDedupPolicy
+        maps = [
+            F.try_variant_get(a, "$", "map<string,variant>") for a in args
+        ]
+        out = maps[0]
+        for m in maps[1:]:
+            nxt = m  # bind per-iteration for the lambda below
+            out = F.map_concat(
+                F.map_filter(out, lambda k, v: ~F.map_contains_key(nxt, k)),
+                nxt,
+            )
+        return F.parse_json(F.to_json(out))
+    if name == "to_array":
+        v = arg(0)
+        arr = F.try_variant_get(v, "$", "array<variant>")
+        return (
+            F.when(arr.isNotNull(), v)
+            .when(v.isNull(), F.lit(None).cast("variant"))
+            .otherwise(_arr_v(F.array(v)))
+        )
     raise JmesError(f"jmespath: unsupported function {name!r}")
 
 

@@ -1142,6 +1142,70 @@ def proc_jmespath_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "proc_jmespath_sortby",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), s AS (
+        SELECT user_id, cents,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY cents DESC
+               ) AS rn
+        FROM c
+    )
+    SELECT user_id,
+           CAST(coalesce(sum(cents) FILTER (WHERE rn <= 3), 0) AS BIGINT)
+               AS top3_cents,
+           min(cents) AS lo_cents,
+           max(cents) AS hi_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def proc_jmespath_sortby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jmespath`` processor, expression-ref surface (r10): sort_by /
+    min_by / max_by / map / slices over per-user event documents —
+    go-jmespath v0.4.0's expref builtins (processor_jmespath.go via
+    go.mod:97). Values are integer cents so top-3 sums compare exactly;
+    the multiset of the 3 largest keys is tie-insensitive. The program
+    compiles once to VARIANT Column expressions — one shuffle total."""
+    from bento_spark.operators.jmespath import jmespath_expr
+
+    ev = _t(spark, sf_dir, "events")
+    docs = ev.groupBy("user_id").agg(
+        F.to_json(
+            F.struct(
+                F.collect_list(
+                    F.struct(
+                        F.floor(F.col("value") * 100).cast("long").alias(
+                            "cents"
+                        )
+                    )
+                ).alias("events")
+            )
+        ).alias("doc")
+    )
+    res = jmespath_expr(
+        "doc",
+        "{top3: sum(map(&cents, sort_by(events, &cents))[-3:]),"
+        " lo: min_by(events, &cents).cents,"
+        " hi: max_by(events, &cents).cents,"
+        " n: length(events)}",
+    )
+    docs = docs.withColumn("res", res)
+    return docs.select(
+        "user_id",
+        F.try_variant_get(F.col("res"), "$.top3", "bigint").alias(
+            "top3_cents"
+        ),
+        F.try_variant_get(F.col("res"), "$.lo", "bigint").alias("lo_cents"),
+        F.try_variant_get(F.col("res"), "$.hi", "bigint").alias("hi_cents"),
+        F.try_variant_get(F.col("res"), "$.n", "bigint").alias("n_events"),
+    ).orderBy("user_id")
+
+
+@query(
     "proc_workflow_dag",
     oracle="""
     SELECT CAST(floor((value * 2) / 20) AS BIGINT) AS bucket,

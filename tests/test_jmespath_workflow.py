@@ -95,8 +95,98 @@ class TestJmespath:
 
         # slices parse since r9 (full [start:stop:step] projections)
         parse_jmespath("locations[0:2]")
+        # expression refs and object projections parse since r10
+        parse_jmespath("sort_by(locations, &name)")
+        parse_jmespath("ops.*.numArgs")
         with pytest.raises(JmesError):
             parse_jmespath("a.b |")
+
+
+class TestJmespathExprRefsAndObjProjections:
+    """go-jmespath v0.4.0 parity surface landed r10: expression refs
+    (sort_by/min_by/max_by/map), object projections `*`, merge,
+    to_array. Cases mirror the jmespath.org compliance-suite shapes for
+    those features (functions.json / wildcard.json)."""
+
+    DOC = json.dumps(
+        {
+            "people": [
+                {"name": "b", "age": 30},
+                {"name": "a", "age": 50},
+                {"name": "c", "age": 40},
+            ],
+            "ops": {"functionA": {"numArgs": 2}, "functionB": {"numArgs": 3}},
+            "reservations": [
+                {"instances": [{"state": "running"}, {"state": "stopped"}]},
+                {"instances": [{"state": "terminated"}]},
+            ],
+            "nums": [3, 1, 2],
+            "empty_list": [],
+        }
+    )
+
+    def _run(self, spark, query: str):
+        from bento_spark.operators.jmespath import jmespath_expr
+
+        df = spark.createDataFrame([(self.DOC,)], "doc string")
+        return df.select(
+            F.to_json(jmespath_expr("doc", query)).alias("r")
+        ).first()["r"]
+
+    @pytest.mark.parametrize(
+        "query,expected",
+        [
+            # sort_by: numeric key, string key, nested use, expref calls
+            ("sort_by(people, &age)[*].name", '["b","c","a"]'),
+            ("sort_by(people, &name)[*].age", "[50,30,40]"),
+            ("sort_by(people, &age)[0].name", '"b"'),
+            ("sort_by(people, &to_number(age))[-1].name", '"a"'),
+            ("sort_by(empty_list, &age)", "[]"),
+            # min_by / max_by
+            ("min_by(people, &age).name", '"b"'),
+            ("max_by(people, &age).name", '"a"'),
+            ("min_by(people, &name).name", '"a"'),
+            # map keeps nulls (unlike projections)
+            ("map(&age, people)", "[30,50,40]"),
+            ("map(&missing, people)", "[null,null,null]"),
+            ("map(&to_string(age), people)", '["30","50","40"]'),
+            # object projections
+            ("ops.*.numArgs", "[2,3]"),
+            ("ops.* | length(@)", "2"),
+            ("reservations[*].instances[*].state",
+             '[["running","stopped"],["terminated"]]'),
+            # merge: later keys win
+            ('merge(`{"a":1,"b":2}`, `{"b":3,"c":4}`)',
+             '{"a":1,"b":3,"c":4}'),
+            ('merge(`{"a":1}`)', '{"a":1}'),
+            # to_array
+            ("to_array(`1`)", "[1]"),
+            ("to_array(nums)", "[3,1,2]"),
+            ("to_array('s')", '["s"]'),
+        ],
+    )
+    def test_compliance_shapes(self, spark, query, expected):
+        assert self._run(spark, query) == expected
+
+    def test_bare_star_projects_current_object_values(self, spark):
+        doc = json.dumps({"a": {"v": 1}, "b": {"v": 2}})
+        from bento_spark.operators.jmespath import jmespath_expr
+
+        df = spark.createDataFrame([(doc,)], "doc string")
+        r = df.select(
+            F.to_json(jmespath_expr("doc", "*.v")).alias("r")
+        ).first()["r"]
+        assert r == "[1,2]"
+
+    def test_expref_outside_function_rejected(self):
+        from bento_spark.operators.jmespath import (
+            JmesError, parse_jmespath,
+        )
+        from bento_spark.operators.jmespath import _compile  # noqa: PLC2701
+        from pyspark.sql import functions as F2
+
+        with pytest.raises(JmesError):
+            _compile(parse_jmespath("&age"), F2.lit(None))
 
 
 class TestWorkflow:
