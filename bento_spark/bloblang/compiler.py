@@ -210,6 +210,24 @@ def _with_without(recv: Column, t, paths: list[str], keep: bool) -> Column:
     return F.struct(*fields)
 
 
+def _raw_this(env: Env) -> Column:
+    """`this` over a raw `content` document: parse lazily to VARIANT.
+    Unparseable content registers a per-message error on the shared
+    sink — the reference errors the MESSAGE on structured access of
+    non-JSON (message/data.go AsStructured), it never fails the
+    config; catch()/or() recover it like any other mapping error."""
+    parsed = F.try_parse_json(F.col("content"))
+    env.error_sink.append(F.when(
+        parsed.isNull() & F.col("content").isNotNull(),
+        F.concat(
+            F.lit("failed assignment (line 1): invalid character in "
+                  "message content: "),
+            F.substring(F.col("content"), 1, 20),
+        ),
+    ))
+    return parsed
+
+
 def _null_safe_field(env: Env, col: Column, p: str) -> Column:
     """`x.p` where the statically-known struct lacks `p` (or x is
     already a typed NULL) reads as null — the reference's IGet
@@ -289,9 +307,15 @@ def compile_node(node: A.Node, env: Env) -> Column:
                 # a lifted top-level-array document (testrunner
                 # _input_rows): `this` IS the array
                 return F.col("__document")
-            # whole document = struct of the data columns
             from bento_spark.operators.envelope import data_cols
 
+            if data_cols(env.df) == ["content"]:
+                # raw content: `this` parses lazily (the reference's
+                # dual representation, message/data.go:57-68);
+                # unparseable rows carry a per-message error that
+                # catch()/try recover (doc-corpus catch#2)
+                return _raw_this(env)
+            # whole document = struct of the data columns
             return F.struct(*[F.col(c) for c in data_cols(env.df)])
         raise CompileError(
             "`this` as a whole document has no column form here; use this.<field>"
@@ -305,6 +329,19 @@ def compile_node(node: A.Node, env: Env) -> Column:
             elif "this" in env.vars:
                 col = env.vars["this"][head]
             elif env.df is not None and head not in env.df.columns:
+                from bento_spark.operators.envelope import data_cols
+
+                if (
+                    "__document" not in env.df.columns
+                    and data_cols(env.df) == ["content"]
+                ):
+                    # raw content path: lazy-parse and walk as VARIANT
+                    col = F.try_variant_get(
+                        _raw_this(env), f"$.{head}", "variant"
+                    )
+                    for p in rest:
+                        col = F.try_variant_get(col, f"$.{p}", "variant")
+                    return col
                 # absent field reads as null (value/type_helpers.go
                 # IGet* semantics), not an analysis error
                 return F.lit(None)
@@ -1012,13 +1049,22 @@ def _compile_method(node: A.MethodCall, env: Env) -> Column:
     if node.name == "split":
         # array receivers split into sub-arrays around the delimiter
         # element (methods.md split on arrays)
-        from pyspark.sql.types import ArrayType
+        from pyspark.sql.types import ArrayType, VariantType
 
         t = _type_of(env, recv) or _ast_type(node.recv, env)
+        if isinstance(t, VariantType) and node.args and not (
+            isinstance(node.args[0], A.Lit)
+            and isinstance(node.args[0].value, str)
+        ):
+            # VARIANT receiver with a non-string separator: only the
+            # array form makes sense — materialize array<variant> (the
+            # variantlift ingestion keeps mixed-type arrays VARIANT)
+            recv = F.try_variant_get(recv, "$", "array<variant>")
+            t = ArrayType(VariantType())
         if isinstance(t, ArrayType):
             import json as _json
 
-            from pyspark.sql.types import MapType, StructType, VariantType
+            from pyspark.sql.types import MapType, StructType
 
             from bento_spark.bloblang.stdlib import V
 
@@ -1778,6 +1824,27 @@ def _root_delete_condition(
         return compile_node(node.cond, env), node.orelse
     if isinstance(node, A.If) and node.orelse is not None and _is_deleted(node.orelse):
         return ~compile_node(node.cond, env), node.then
+    if (
+        isinstance(node, A.MethodCall)
+        and node.name == "catch"
+        and len(node.args) == 1
+        and _is_deleted(node.args[0])
+    ):
+        # `root = <expr>.catch(deleted())`: the message is deleted
+        # exactly when <expr> ERRORS (methods.md catch — the error is
+        # recovered into a deletion). Trial-compile the receiver to
+        # collect its error conditions from the shared sink.
+        mark = len(env.error_sink)
+        compile_node(node.recv, env)
+        errs = env.error_sink[mark:]
+        del env.error_sink[mark:]
+        cond = None
+        for e in errs:
+            c = e.isNotNull()
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return None, None  # receiver cannot error: not a delete form
+        return cond, node.recv
     if isinstance(node, A.Match) and node.subject is None:
         del_conds = [
             compile_node(c, env)

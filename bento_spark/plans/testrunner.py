@@ -103,7 +103,20 @@ def _batch_df(spark: SparkSession, rows: list, is_json: bool) -> DataFrame:
             })
             for i, (doc, meta) in enumerate(rows)
         ]
-        df = spark.read.json(spark.sparkContext.parallelize(docs, 1))
+        rdd = spark.sparkContext.parallelize(docs, 1)
+        df = spark.read.json(rdd)
+        # lossy shapes (mixed-type arrays, heterogeneous object arrays)
+        # would be retyped by the schema union — hold exactly those
+        # fields as VARIANT so the originals round-trip (variantlift)
+        from bento_spark.operators.variantlift import (
+            lossy_field_paths, override_to_variant,
+        )
+
+        lossy = lossy_field_paths([doc for doc, _m in rows])
+        if lossy:
+            df = spark.read.schema(
+                override_to_variant(df.schema, lossy)
+            ).json(rdd)
         meta_col = F.from_json(F.col("__meta_json"), "map<string,string>")
         return df.withColumn(META, meta_col).drop("__meta_json")
     df = spark.createDataFrame(

@@ -24,22 +24,14 @@ from doc_corpus import all_cases, classify, run_case  # noqa: E402
 # Cases where an engine legitimately cannot reproduce the byte-exact
 # doc output; each entry pins WHY. Anything not listed must pass.
 KNOWN_DIVERGENT: dict[str, str] = {
-    # `this` on unstructured content errors per message in the
-    # reference; the compiled engine's content path carries raw text
-    # without a per-row parse error, so catch() sees a value.
-    "catch#2": "compiled content path has no per-row JSON-parse error",
+    # catch#2, split#3, split#4 were unpinned r10: the variantlift
+    # ingestion holds lossy shapes as VARIANT and `this` on raw
+    # content lazy-parses with a per-message error (compiler._raw_this)
+    #
     # compressed output SIZE is encoder-specific: Go's gzip Close()
     # emits a final empty stored block (161 B) where zlib's finish
     # packs it (160 B); both decode each other fine.
     "compress#0": "gzip compressed size differs by one flush block",
-    # spark.read.json unifies mixed-type arrays ([1,"a"]) to
-    # array<string> at scan time — the typed-row model can't hold the
-    # original value types; the interpreter path (which reads __raw)
-    # is exact.
-    "split#3": "compiled: schema union coerces mixed arrays to strings",
-    # same root cause: heterogeneous objects in one array schema-union
-    # to a superset struct with nulls for absent fields
-    "split#4": "compiled: schema-union nulls in nested object arrays",
     # two resolutions of ONE counter() site within a single message
     # (map applied twice) need per-resolution sequence state; the
     # compiled counter is row_number over the batch — one value per

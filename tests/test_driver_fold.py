@@ -11,7 +11,9 @@ import __spark_entry__ as entry
 #: one representative per family that MUST have driver-hash coverage
 MUST_BE_TOP50 = [
     "q1_pricing_summary", "relational_gauntlet",
-    "window_tumbling_hour", "window_sliding_hour",
+    # window_sliding_hour rotated below the fold r10 (5 green rounds);
+    # tumbling + the promoted stateful/late-data rows carry the family
+    "window_tumbling_hour", "stream_stateful_totals",
     "stream_recovery_window", "stream_kafka_wire",
     "mm_gauntlet", "mm_frame_sample",
     "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
