@@ -531,7 +531,10 @@ def _compile(node: Node, cur: Column) -> Column:
             # (null when n <= 0), object * object merges recursively.
             # The map_zip_with merge unrolls to a FIXED depth (jq's is
             # unbounded); below _MERGE_DEPTH nested levels conflicts
-            # take the right side — documented divergence.
+            # take the right side — documented divergence. Depth 8
+            # (raised from 4, r10): the unroll grows LINEARLY with
+            # depth (one map_zip_with per level), and 8 levels of
+            # object nesting exceeds any reference doc/cookbook shape.
             lv, rv = _compile(le, cur), _compile(ri, cur)
             is_obj = (
                 lambda t: t.startswith("OBJECT") | t.startswith("MAP")
@@ -542,7 +545,7 @@ def _compile(node: Node, cur: Column) -> Column:
             def vmap(v):
                 return F.try_variant_get(v, "$", "map<string,variant>")
 
-            _MERGE_DEPTH = 4
+            _MERGE_DEPTH = 8
 
             def deep_merge(a, b, depth):
                 if depth == 0:

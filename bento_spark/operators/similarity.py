@@ -151,21 +151,17 @@ def lsh_ann_topk(
         # parquet count() is metadata-only — cheap even at 100 TB
         n_planes = auto_n_planes(corpus.count())
     planes = hyperplanes(dim, n_planes, seed)
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-        )
-        .filter(F.exists("cv", lambda x: x != 0))  # zero-norm: NaN cosine
-        .withColumn("bucket", lsh_bucket("cv", planes))
-        .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
-    )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        )
-        .filter(F.exists("qv", lambda x: x != 0))  # zero-norm: NaN cosine
-        .withColumn("qbucket", lsh_bucket("qv", planes))
-        .withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
+    # One select per stage (not withColumn chains): each DataFrame op is
+    # a full Catalyst analysis pass over the growing plan — at
+    # planes x dim literal terms the BUILD cost was ~30% of this query's
+    # bench wall-clock (profiled r10: py4j/analysis, not execution).
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).filter(F.exists("cv", lambda x: x != 0)).select(  # zero-norm: NaN
+        "neighbor_id",
+        "cv",
+        lsh_bucket("cv", planes).alias("bucket"),
+        F.sqrt(l2sq_expr("cv", dim)).alias("cnrm"),
     )
     # Probe buckets via exploded XOR *deltas*, not N copies of the bucket
     # expression: `explode(array(qbucket, qbucket^1, ...))` collapses into
@@ -174,11 +170,13 @@ def lsh_ann_topk(
     # Exploding literal deltas keeps qbucket below the Generate node,
     # computed once per query row.
     deltas = [0] + ([1 << j for j in range(n_planes)] if multiprobe else [])
-    q = q.select(
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).filter(F.exists("qv", lambda x: x != 0)).select(  # zero-norm: NaN
         "query_id",
         "qv",
-        "qnrm",
-        "qbucket",
+        F.sqrt(l2sq_expr("qv", dim)).alias("qnrm"),
+        lsh_bucket("qv", planes).alias("qbucket"),
         F.explode(F.array(*[F.lit(d) for d in deltas])).alias("__delta"),
     ).select(
         "query_id",

@@ -21,7 +21,20 @@ from pyspark.sql import functions as F
 from bento_spark.queries import query
 
 
+#: plan-node cache: (applicationId, sf_dir, table) -> DataFrame. A scan
+#: DataFrame is an immutable logical plan — reusing it across queries is
+#: safe and removes the ~0.15s parquet-footer/schema round trip that
+#: every query's PLAN BUILD was paying (profiled r10: build time, not
+#: execution, drove the ann_lsh_topk bench creep). Keyed by
+#: applicationId so a restarted session never sees a stale plan.
+_T_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _T_CACHE.get(key)
+    if cached is not None:
+        return cached
     # Self-sufficient on ANY session (the correctness driver builds its own
     # plain SparkSession): events.parquet carries TIMESTAMP(NANOS), which
     # Spark only reads with this runtime-settable legacy conf.
@@ -34,6 +47,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _T_CACHE[key] = df
     return df
 
 
