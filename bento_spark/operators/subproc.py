@@ -170,7 +170,9 @@ def register_pipeline_processors() -> None:
         program = conf if isinstance(conf, str) else conf.get("program", conf)
         if isinstance(program, str) and any(
             fn in program for fn in (
-                "json_get", "json_set", "metadata_get", "metadata_set",
+                "json_get", "json_set", "json_append", "json_delete",
+                "json_length", "json_type", "metadata_get", "metadata_set",
+                "print_log", "create_json_object", "create_json_array",
             )
         ):
             return awk_bento_processor(df, program)
@@ -186,72 +188,269 @@ def register_pipeline_processors() -> None:
 register_pipeline_processors()
 
 
+# The reference's awk dialect builtins (internal/impl/awk/processor.go:
+# 478-586) over a FLATTENED document: the Python side flattens the JSON
+# document into path -> (type, value) pairs (gabs-style dotted paths,
+# numeric segments = array indices) and rebuilds it afterwards, so
+# json_get("path.to.foos.0") / json_append / json_length work on
+# arbitrary nesting with plain awk arrays — no JSON parsing in awk.
+# Types: s=string n=number b=bool z=null o=object a=array(value=length).
 _AWK_PRELUDE = r'''
-function json_get(k,   re, s) {
-  re = "\"" k "\"[ \t]*:[ \t]*"
-  if (match(__doc, re)) {
-    s = substr(__doc, RSTART + RLENGTH)
-    if (substr(s, 1, 1) == "\"") {
-      s = substr(s, 2)
-      sub(/".*/, "", s)
-      return s
+function __unesc(s) {
+  gsub(/%09/, "\t", s); gsub(/%0A/, "\n", s); gsub(/%1D/, "\035", s)
+  gsub(/%1E/, "\036", s); gsub(/%1F/, "\037", s); gsub(/%25/, "%", s)
+  return s
+}
+function __esc(s) {
+  gsub(/%/, "%25", s); gsub(/\t/, "%09", s); gsub(/\n/, "%0A", s)
+  gsub(/\035/, "%1D", s); gsub(/\036/, "%1E", s); gsub(/\037/, "%1F", s)
+  return s
+}
+function __set(p, v, t) {
+  if (!(p in __kt)) { __ord[++__nord] = p }
+  __kv[p] = v; __kt[p] = t
+  return 0
+}
+function json_get(p) {
+  if (p in __kv) {
+    if (__kt[p] == "n") return __kv[p] + 0
+    return __kv[p]
+  }
+  return ""
+}
+function json_set(p, v) { return __set(p, v "", "s") }
+function json_set_int(p, v) { return __set(p, int(v + 0) "", "n") }
+function json_set_float(p, v) { return __set(p, (v + 0) "", "n") }
+function json_set_bool(p, v) { return __set(p, (v ? "true" : "false"), "b") }
+function __append(p, v, t,   i) {
+  if (__kt[p] != "a") { __set(p, "0", "a") }
+  i = __kv[p] + 0
+  __set(p "." i, v, t)
+  __kv[p] = i + 1
+  return 0
+}
+function json_append(p, v) { return __append(p, v "", "s") }
+function json_append_int(p, v) { return __append(p, int(v + 0) "", "n") }
+function json_append_float(p, v) { return __append(p, (v + 0) "", "n") }
+function json_append_bool(p, v) { return __append(p, (v ? "true" : "false"), "b") }
+function json_length(p) {
+  if (__kt[p] == "a") return __kv[p] + 0
+  if (__kt[p] == "s") return length(__kv[p])
+  return 0
+}
+function json_delete(p,   i, pre) {
+  if (p in __kt) { delete __kt[p]; delete __kv[p] }
+  pre = p "."
+  for (i = 1; i <= __nord; i++) {
+    if (index(__ord[i], pre) == 1 && (__ord[i] in __kt)) {
+      delete __kt[__ord[i]]; delete __kv[__ord[i]]
     }
-    sub(/[,}\]].*/, "", s)
-    return s + 0
   }
-  return ""
+  return 0
 }
-function json_set(k, v,   re) {
-  re = "\"" k "\"[ \t]*:[ \t]*(\"[^\"]*\"|[^,}\\]]+)"
-  if (!sub(re, "\"" k "\":\"" v "\"", __doc)) {
-    if (__doc == "{}") { __doc = "{\"" k "\":\"" v "\"}" }
-    else { sub(/}$/, ",\"" k "\":\"" v "\"}", __doc) }
-  }
-  return ""
-}
-function json_set_int(k, v,   re) {
-  re = "\"" k "\"[ \t]*:[ \t]*(\"[^\"]*\"|[^,}\\]]+)"
-  if (!sub(re, "\"" k "\":" (v + 0), __doc)) {
-    if (__doc == "{}") { __doc = "{\"" k "\":" (v + 0) "}" }
-    else { sub(/}$/, ",\"" k "\":" (v + 0) "}", __doc) }
-  }
-  return ""
+function json_type(p,   t) {
+  if (!(p in __kt)) return "undefined"
+  t = __kt[p]
+  if (t == "s") return "string"
+  if (t == "n") return "float64"
+  if (t == "b") return "bool"
+  if (t == "z") return "null"
+  if (t == "a") return "array"
+  return "object"
 }
 function metadata_get(k) { return __meta[k] }
 function metadata_set(k, v) { __meta[k] = v; return "" }
+function print_log(value, level) {
+  print level ": " value | "cat 1>&2"
+  return ""
+}
+function create_json_object(a,b,c,d,e,f,g,h,i,j,k,l,   s) {
+  s = ""
+  if (a != "" || b != "") s = s "\"" a "\":\"" b "\""
+  if (c != "" || d != "") s = s ",\"" c "\":\"" d "\""
+  if (e != "" || f != "") s = s ",\"" e "\":\"" f "\""
+  if (g != "" || h != "") s = s ",\"" g "\":\"" h "\""
+  if (i != "" || j != "") s = s ",\"" i "\":\"" j "\""
+  if (k != "" || l != "") s = s ",\"" k "\":\"" l "\""
+  return "{" s "}"
+}
+function create_json_array(a,b,c,d,e,f,g,h,   s, sep) {
+  s = ""
+  if (a != "") { s = s "\"" a "\"" }
+  if (b != "") { s = s ",\"" b "\"" }
+  if (c != "") { s = s ",\"" c "\"" }
+  if (d != "") { s = s ",\"" d "\"" }
+  if (e != "") { s = s ",\"" e "\"" }
+  if (f != "") { s = s ",\"" f "\"" }
+  if (g != "") { s = s ",\"" g "\"" }
+  if (h != "") { s = s ",\"" h "\"" }
+  return "[" s "]"
+}
 {
-  # line framing: b64-free "metaJSON \t doc"; flat string-valued meta
-  __tab = index($0, "\t")
-  __mjson = substr($0, 1, __tab - 1)
-  __doc = substr($0, __tab + 1)
+  # record framing: metaKV \x1d docKV \x1d rawDoc (fields %-escaped)
+  split($0, __SECS, "\035")
   delete __meta
-  __rest = __mjson
-  while (match(__rest, /"[^"]+"[ \t]*:[ \t]*"[^"]*"/)) {
-    __pair = substr(__rest, RSTART, RLENGTH)
-    __rest = substr(__rest, RSTART + RLENGTH)
-    __mk = __pair; sub(/^"/, "", __mk); sub(/".*/, "", __mk)
-    __mv = __pair; sub(/^"[^"]+"[ \t]*:[ \t]*"/, "", __mv); sub(/"$/, "", __mv)
-    __meta[__mk] = __mv
+  __n = split(__SECS[1], __MP, "\036")
+  for (__i = 1; __i <= __n; __i++) {
+    if (__MP[__i] == "") continue
+    split(__MP[__i], __MF, "\037")
+    __meta[__unesc(__MF[1])] = __unesc(__MF[2])
   }
-  $0 = __doc
+  delete __kv; delete __kt; delete __ord
+  __nord = 0
+  __n = split(__SECS[2], __KP, "\036")
+  for (__i = 1; __i <= __n; __i++) {
+    if (__KP[__i] == "") continue
+    split(__KP[__i], __KF, "\037")
+    __p = __unesc(__KF[1])
+    __kt[__p] = __KF[2]
+    __kv[__p] = __unesc(__KF[3])
+    __ord[++__nord] = __p
+  }
+  $0 = __unesc(__SECS[3])
 }
 '''
 
-_AWK_EPILOGUE = "\n{ print __doc }\n"
+_AWK_EPILOGUE = r'''
+{
+  __out = ""
+  for (__i = 1; __i <= __nord; __i++) {
+    __p = __ord[__i]
+    if (!(__p in __kt)) continue
+    __pr = __esc(__p) "\037" __kt[__p] "\037" __esc(__kv[__p])
+    __out = __out (__out == "" ? "" : "\036") __pr
+    delete __kt[__p]
+  }
+  __m = ""
+  for (__k in __meta) {
+    __m = __m (__m == "" ? "" : "\036") __esc(__k) "\037" __esc(__meta[__k])
+  }
+  print __m "\035" __out "\035" __esc($0)
+}
+'''
+
+
+def _awk_escape(s: str) -> str:
+    return (
+        s.replace("%", "%25").replace("\t", "%09").replace("\n", "%0A")
+        .replace("\x1d", "%1D").replace("\x1e", "%1E").replace("\x1f", "%1F")
+    )
+
+
+def _awk_unescape(s: str) -> str:
+    return (
+        s.replace("%09", "\t").replace("%0A", "\n").replace("%1D", "\x1d")
+        .replace("%1E", "\x1e").replace("%1F", "\x1f").replace("%25", "%")
+    )
+
+
+def _awk_flatten(doc, path: str, out: list) -> None:
+    """JSON value -> ordered (path, type, value) rows (arrays carry
+    their length as the value; numeric path segments are indices)."""
+    if isinstance(doc, dict):
+        if path:
+            out.append((path, "o", ""))
+        for k, v in doc.items():
+            _awk_flatten(v, f"{path}.{k}" if path else str(k), out)
+    elif isinstance(doc, list):
+        out.append((path, "a", str(len(doc))))
+        for i, v in enumerate(doc):
+            _awk_flatten(v, f"{path}.{i}", out)
+    elif isinstance(doc, bool):
+        out.append((path, "b", "true" if doc else "false"))
+    elif doc is None:
+        out.append((path, "z", ""))
+    elif isinstance(doc, (int, float)):
+        v = repr(doc)
+        out.append((path, "n", v))
+    else:
+        out.append((path, "s", str(doc)))
+
+
+def _awk_rebuild(pairs: list) -> object:
+    """(path, type, value) rows back to a JSON document. Containers
+    are created on demand (child segment numeric => array)."""
+    import json as _json
+
+    root: dict = {}
+    arr_len: dict[str, int] = {}
+
+    def ensure(container, seg, next_is_idx):
+        if isinstance(container, dict):
+            if seg not in container:
+                container[seg] = [] if next_is_idx else {}
+            return container[seg]
+        idx = int(seg)
+        while len(container) <= idx:
+            container.append(None)
+        if container[idx] is None:
+            container[idx] = [] if next_is_idx else {}
+        return container[idx]
+
+    def setval(container, seg, val):
+        if isinstance(container, dict):
+            container[seg] = val
+        else:
+            idx = int(seg)
+            while len(container) <= idx:
+                container.append(None)
+            container[idx] = val
+
+    for p, t, v in pairs:
+        segs = p.split(".")
+        cur: object = root
+        for i, seg in enumerate(segs[:-1]):
+            cur = ensure(cur, seg, segs[i + 1].isdigit())
+        leaf = segs[-1]
+        if t == "o":
+            ensure(cur, leaf, False)
+        elif t == "a":
+            node = ensure(cur, leaf, True)
+            if isinstance(node, list):
+                arr_len[p] = int(v or 0)
+        elif t == "b":
+            setval(cur, leaf, v == "true")
+        elif t == "z":
+            setval(cur, leaf, None)
+        elif t == "n":
+            try:
+                num = _json.loads(v)
+            except ValueError:
+                num = float(v)
+            setval(cur, leaf, num)
+        else:
+            setval(cur, leaf, v)
+
+    def pad(node, path):
+        if isinstance(node, dict):
+            for k, child in node.items():
+                pad(child, f"{path}.{k}" if path else str(k))
+        elif isinstance(node, list):
+            want = arr_len.get(path, len(node))
+            while len(node) < want:
+                node.append(None)
+            for i, child in enumerate(node):
+                pad(child, f"{path}.{i}")
+
+    pad(root, "")
+    return root
 
 
 def awk_bento_processor(
     df: DataFrame, program: str, content_col: str = "content",
     timeout: float = 60.0,
 ) -> DataFrame:
-    """The reference's awk DIALECT (internal/impl/awk/processor.go:374):
-    the user program calls json_get / json_set / json_set_int /
-    metadata_get / metadata_set against the message. Implemented as a
-    generated PURE-AWK prelude providing those functions over FLAT
-    single-line JSON documents (regex field extraction/replacement —
-    the documented subset; nested documents belong in Bloblang), fed
-    as "metaJSON<TAB>doc" lines so metadata rides per message. One
-    real /usr/bin/awk per partition, 1:1 line framing."""
+    """The reference's awk DIALECT (internal/impl/awk/processor.go:
+    478-586): the user program calls json_get/json_set[_int/_float/
+    _bool] / json_append* / json_length / json_delete / json_type /
+    metadata_get/set / print_log / create_json_* against the message.
+    The document is flattened Python-side into gabs-style dotted-path
+    rows (numeric segments = array indices) so nested paths and array
+    iteration (the awk.md doc examples) work with plain awk arrays;
+    the prelude exposes the builtins over those rows and the epilogue
+    re-emits them for reconstruction. timestamp_* builtins need
+    strftime/mktime, which mawk lacks — unimplemented, fails loud.
+    One real /usr/bin/awk per partition, 1:1 line framing."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -286,9 +485,24 @@ def awk_bento_processor(
         for r in rows:
             meta = dict(r[META]) if META in r.__fields__ and r[META] else {}
             doc = "" if r[content_col] is None else str(r[content_col])
+            kv: list = []
+            try:
+                parsed = _json.loads(doc)
+                if isinstance(parsed, (dict, list)):
+                    _awk_flatten(parsed, "", kv)
+            except ValueError:
+                pass  # non-JSON content: json_get() reads as absent
+            m_enc = "\x1e".join(
+                f"{_awk_escape(str(k))}\x1f{_awk_escape(str(v))}"
+                for k, v in meta.items()
+            )
+            kv_enc = "\x1e".join(
+                f"{_awk_escape(p)}\x1f{t}\x1f{_awk_escape(v)}"
+                for p, t, v in kv
+            )
             lines.append(
-                _json.dumps(meta, separators=(",", ":")) + "\t"
-                + doc.replace("\n", " ")
+                m_enc + "\x1d" + kv_enc + "\x1d"
+                + _awk_escape(doc.replace("\n", " "))
             )
         proc = _sp.run(
             ["awk", full],
@@ -300,13 +514,40 @@ def awk_bento_processor(
                 f"awk dialect exited {proc.returncode}: "
                 f"{proc.stderr.decode(errors='replace')[:500]}"
             )
-        out_lines = proc.stdout.decode().splitlines()
+        # split on \n ONLY: str.splitlines() also splits on the \x1d /
+        # \x1e framing separators (they are Unicode line boundaries)
+        out_lines = proc.stdout.decode().split("\n")
+        if out_lines and out_lines[-1] == "":
+            out_lines.pop()
         if len(out_lines) != len(rows):
             raise RuntimeError(
                 f"awk dialect: {len(rows)} in, {len(out_lines)} out"
             )
         for r, line in zip(rows, out_lines):
-            yield Row(**{**{c: r[c] for c in other}, content_col: line})
+            m_enc, kv_enc, raw_enc = line.split("\x1d")
+            pairs = []
+            for pr in kv_enc.split("\x1e"):
+                if not pr:
+                    continue
+                pe, t, ve = pr.split("\x1f")
+                pairs.append((_awk_unescape(pe), t, _awk_unescape(ve)))
+            if pairs:
+                out_doc = _json.dumps(
+                    _awk_rebuild(pairs), separators=(",", ":"),
+                )
+            else:
+                out_doc = _awk_unescape(raw_enc)
+            new_meta = dict(r[META]) if META in r.__fields__ and r[META] else {}
+            for pr in m_enc.split("\x1e"):
+                if not pr:
+                    continue
+                ke, ve = pr.split("\x1f")
+                new_meta[_awk_unescape(ke)] = _awk_unescape(ve)
+            yield Row(**{
+                **{c: r[c] for c in other},
+                META: new_meta,
+                content_col: out_doc,
+            })
 
     return df.sparkSession.createDataFrame(
         df.rdd.mapPartitions(run_partition), schema

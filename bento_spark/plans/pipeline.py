@@ -405,19 +405,54 @@ def _proc_jq(df: DataFrame, conf) -> DataFrame:
 
     if isinstance(conf, str):
         conf = {"query": conf}
-    default_col = "content" if "content" in df.columns else "props"
-    return jq(df, conf.get("column", default_col), conf["query"])
+    df, col = _query_doc_col(df, conf)
+    return _replace_message(jq(df, col, conf["query"], "__qres"), "__qres")
+
+
+def _query_doc_col(df: DataFrame, conf) -> tuple[DataFrame, str]:
+    """The JSON-text column a whole-document query processor (jq /
+    jmespath) runs over: explicit `column`, a raw `content`/`props`
+    column, the ingestion's `__raw` original, else the typed data
+    columns serialized."""
+    col = conf.get("column")
+    if col is not None:
+        return df, col
+    for c in ("content", "props"):
+        if c in df.columns:
+            return df, c
+    if "__raw" in df.columns:
+        return df, "__raw"
+    from bento_spark.operators.envelope import data_cols
+
+    return df.withColumn(
+        "__qdoc", F.to_json(F.struct(*[F.col(c) for c in data_cols(df)]))
+    ), "__qdoc"
+
+
+def _replace_message(df: DataFrame, result_col: str) -> DataFrame:
+    """Reference contract for jq/jmespath: the message is REPLACED by
+    the query result (processor_jmespath.go Summary; processor_jq.go
+    SetStructuredMut) — only the envelope survives."""
+    keep = [
+        c for c in df.columns
+        if (c.startswith("_") and not c.startswith("__")) or c == "__idx"
+    ]
+    return df.select(
+        F.col(result_col).alias("content"), *[F.col(c) for c in keep]
+    )
 
 
 def _proc_jmespath(df: DataFrame, conf) -> DataFrame:
-    """`jmespath` (processor_jmespath.go): replace the JSON column with
+    """`jmespath` (processor_jmespath.go): the message is replaced by
     the query result."""
     from bento_spark.operators.jmespath import jmespath
 
     if isinstance(conf, str):
         conf = {"query": conf}
-    default_col = "content" if "content" in df.columns else "props"
-    return jmespath(df, conf.get("column", default_col), conf["query"])
+    df, col = _query_doc_col(df, conf)
+    return _replace_message(
+        jmespath(df, col, conf["query"], "__qres"), "__qres"
+    )
 
 
 #: processor resources of the config being built — consumed by

@@ -64,9 +64,14 @@ def test_processor_preserves_metadata(spark, meta_df, name, conf):
     out = PROCESSORS[name](df, conf)
     assert "_metadata" in out.columns, f"{name}: _metadata column dropped"
     rows = out.collect()
-    assert rows, name
-    by_id = {r["id"]: dict(r["_metadata"] or {}) for r in rows}
-    for i, m in by_id.items():
-        assert m.get("topic") == f"t{i}" and m.get("key") == f"k{i}", (
-            f"{name}: metadata lost/corrupted for id={i}: {m}"
+    assert len(rows) == 2, name
+    # key rows by metadata, not a surviving `id` column: replace-the-
+    # message processors (jq/jmespath, r10) legitimately drop data
+    # columns — metadata is the only out-of-band identity
+    by_key = {dict(r["_metadata"] or {}).get("topic"): dict(r["_metadata"])
+              for r in rows}
+    for i in (1, 2):
+        m = by_key.get(f"t{i}")
+        assert m is not None and m.get("key") == f"k{i}", (
+            f"{name}: metadata lost/corrupted for t{i}: {by_key}"
         )

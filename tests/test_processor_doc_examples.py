@@ -1,0 +1,51 @@
+"""The reference's PROCESSOR-DOC In/Out example corpus as a gate
+(VERDICT r10 top_next #8): every `<TabItem>` in
+website/docs/components/processors/*.md that forms a runnable
+(input JSON, output JSON, YAML config) triple runs through the real
+pipeline surface and must reproduce the documented output —
+the same documentation-as-test-data net tools/doc_corpus.py casts
+over the Bloblang docs, extended to processor configs
+(tools/proc_doc_examples.py).
+
+Counts are pinned so the runnable set can only grow; each skip
+carries a categorized reason.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from proc_doc_examples import (  # noqa: E402
+    DOCS, SKIP, extract_cases, run_case,
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DOCS), reason="reference docs not present"
+)
+
+CASES = extract_cases()
+
+
+def test_extraction_pinned():
+    # 11 triples measured r10 (9 runnable + 2 categorized skips);
+    # the set can only grow
+    assert len(CASES) >= 11, f"corpus shrank: {len(CASES)}"
+    assert len(SKIP) <= 2, f"skip list grew: {SKIP}"
+    ids = {c.case_id for c in CASES}
+    missing = [s for s in SKIP if s not in ids]
+    assert not missing, f"stale skip entries: {missing}"
+
+
+@pytest.mark.parametrize(
+    "case", CASES, ids=[c.case_id for c in CASES]
+)
+def test_doc_example(spark, case):
+    if case.case_id in SKIP:
+        pytest.skip(SKIP[case.case_id])
+    ok, detail = run_case(spark, case)
+    assert ok, f"{case.case_id}: {detail}"

@@ -1,0 +1,152 @@
+"""The reference's PROCESSOR-DOC In/Out example corpus.
+
+``website/docs/components/processors/*.md`` render each ConfigSpec
+``Example(...)`` as a ``<TabItem>`` whose body carries an input JSON
+block, the expected output JSON block, and the YAML config — the same
+documentation-as-test-data pattern tools/doc_corpus.py mines from the
+Bloblang docs (VERDICT r10 top_next #8). This module extracts every
+tab that forms a runnable (input, output, config) triple and runs it
+through the engine's real pipeline surface (build_pipeline-equivalent
+processor resolution + the test runner's message model).
+
+The docs are RETRIEVED PUBLIC CONTENT used strictly as expected-value
+data; no code is taken from them.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+from dataclasses import dataclass
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+DOCS = "/root/reference/website/docs/components/processors"
+
+
+@dataclass
+class ProcDocCase:
+    case_id: str  # "<processor>#<tab-label>"
+    config_yaml: str
+    in_text: str
+    out_text: str
+
+
+def extract_cases() -> list[ProcDocCase]:
+    cases: list[ProcDocCase] = []
+    for f in sorted(glob.glob(f"{DOCS}/*.md")):
+        base = f.rsplit("/", 1)[-1].removesuffix(".md")
+        txt = open(f, encoding="utf-8").read()
+        for tab in re.split(r"<TabItem ", txt)[1:]:
+            tab = tab.split("</TabItem>")[0]
+            m = re.match(r'value="([^"]+)"', tab)
+            label = (m.group(1) if m else "example").replace(" ", "_")
+            jsons = re.findall(r"```json\n(.*?)```", tab, re.S)
+            yamls = re.findall(r"```yaml\n(.*?)```", tab, re.S)
+            if len(jsons) == 2 and len(yamls) == 1:
+                cases.append(ProcDocCase(
+                    f"{base}#{label}",
+                    yamls[0],
+                    jsons[0].strip(),
+                    jsons[1].strip(),
+                ))
+    return cases
+
+
+# Residuals, each with the reason it cannot run as a hermetic In/Out
+# check. Everything not listed must pass.
+SKIP: dict[str, str] = {
+    # dials a live Redis at a placeholder URL (TODO_URL) — the doc's
+    # own config is intentionally unrunnable offline; the redis
+    # processor's wire protocol is gate-certified via proc_kv_enrich
+    "redis#Running_Total": "live redis dial at placeholder URL",
+    # the doc's Out block shows ONLY the added field ({"Cities": ...})
+    # but `mutation` is in-place (processor_mutation.go) — the real
+    # output keeps `locations`; the doc reuses the `mapping` example's
+    # output block verbatim. Our engine returns the full document
+    # (verified against the reference's mutation semantics).
+    "mutation#More_Mapping": "doc Out block elides the untouched fields",
+}
+
+
+def run_case(spark, case: ProcDocCase) -> tuple[bool, str]:
+    """Feed the input document through the config's processors and
+    compare the surviving message against the documented output."""
+    import yaml
+
+    from doc_corpus import out_matches
+    from bento_spark.plans.pipeline import PROCESSORS  # noqa: F401
+    from bento_spark.plans.testrunner import (
+        _batch_df, _input_rows, _resolve_processors, _row_json,
+    )
+
+    cfg = yaml.safe_load(case.config_yaml)
+    procs = _resolve_processors(cfg, "/pipeline/processors", ".")
+    # one doc per case, or NDJSON (the awk examples show one document
+    # per line — a batch of messages)
+    try:
+        docs = [json.loads(case.in_text)]
+        wants = [case.out_text]
+    except ValueError:
+        try:
+            docs = [json.loads(ln) for ln in case.in_text.splitlines() if ln]
+            wants = [ln for ln in case.out_text.splitlines() if ln]
+        except ValueError:
+            return False, "input is not JSON"
+    if len(docs) != len(wants):
+        return False, "in/out line counts differ"
+    rows, is_json = _input_rows(
+        [{"json_content": d} for d in docs], "."
+    )
+    df = _batch_df(spark, rows, is_json)
+    from bento_spark.plans.pipeline import _apply_children
+
+    out = _apply_children(df, procs)
+    collected = sorted(
+        out.collect(),
+        key=lambda r: int((r["_metadata"] or {}).get("__idx", 0)),
+    )
+    if len(collected) != len(wants):
+        return False, f"{len(collected)} messages, want {len(wants)}"
+    for want, r in zip(wants, collected):
+        row = r.asDict(recursive=True)
+        err = row.get("_error")
+        if err is not None:
+            return False, f"per-message error: {err}"
+        data_keys = [k for k in row if not k.startswith(("_", "__"))]
+        if data_keys == ["content"]:
+            got = row["content"]
+            if isinstance(got, (bytes, bytearray)):
+                got = bytes(got).decode("utf-8", "replace")
+        else:
+            from doc_corpus import _render_bytes
+
+            got = json.dumps(
+                _render_bytes(_row_json(row)),
+                separators=(",", ":"), sort_keys=True,
+            )
+        if not out_matches(want, got):
+            return False, f"want {want!r}, got {got!r}"
+    return True, ""
+
+
+if __name__ == "__main__":
+    from bento_spark.session import get_spark
+
+    spark = get_spark("proc-doc-examples")
+    npass = nfail = 0
+    for c in extract_cases():
+        if c.case_id in SKIP:
+            print(f"SKIP  {c.case_id}: {SKIP[c.case_id]}")
+            continue
+        try:
+            ok, detail = run_case(spark, c)
+        except Exception as ex:  # noqa: BLE001
+            ok, detail = False, f"ENGINE ERROR: {type(ex).__name__}: {ex}"
+        print(("PASS " if ok else "FAIL "), c.case_id, detail[:200])
+        npass += ok
+        nfail += not ok
+    print(f"{npass} pass, {nfail} fail, {len(SKIP)} skipped")
