@@ -43,10 +43,12 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_brute_force_topk",
     "ann_lsh_topk",
-    # ann_ivf_topk is gate-checked but NOT benched: the embeddings table
-    # is 2k rows at sf0.1, so its wall-clock is ~5s of fixed Catalyst
-    # analysis of the (cells x dim) literal expressions — pure plan-build
-    # overhead that would pollute the total without measuring execution.
+    # ann_ivf_topk is gate-checked but NOT benched: its wall-clock is a
+    # FIXED ~4s regardless of SF (measured r10: sf0.001 and sf0.1 within
+    # 7%) — Janino codegen compilation of the (cells x dim)-literal
+    # affinity expressions, paid per execution and amortized to noise at
+    # real scale. Benching it would measure compiler overhead, not the
+    # probe plan; the LSH row covers the bucketed-ANN plan shape.
     "text_quality_score",
     "text_quality_classifier",
     "text_fingerprint_winnow",

@@ -1299,14 +1299,42 @@ class MappingPlan:
     source: str
     overrides: dict | None = None  # zero-arg function substitutions
 
+    def _compile(self, df: DataFrame | None):
+        """_compile_statements with the counter() two-pass: when the
+        source resolves counter() more than once per message (a named
+        map applied repeatedly), pass 1 counts the resolutions and
+        pass 2 re-compiles with per-resolution offsets so one message
+        consumes k consecutive values — the reference's per-process
+        counter order (doc-corpus counter#2/3)."""
+        from bento_spark.bloblang.stdlib import COUNTER_CTX
+
+        def run():
+            return _compile_statements(
+                self.ast, Env({}, df, functions=self.overrides or {})
+            )
+
+        if "counter(" not in self.source or "counter" in (
+            self.overrides or {}
+        ):
+            return run()
+        COUNTER_CTX.append({"mode": "count", "n": 0})
+        try:
+            out = run()
+            k = COUNTER_CTX[-1]["n"]
+        finally:
+            COUNTER_CTX.pop()
+        if k <= 1:
+            return out  # single resolution: row_number is already exact
+        COUNTER_CTX.append({"mode": "emit", "n": 0, "k": k})
+        try:
+            return run()
+        finally:
+            COUNTER_CTX.pop()
+
     def compile_for(self, df: DataFrame | None):
         """-> (assigns, meta, drop_when, cache_writes) compiled against
         df's schema."""
-        assigns, meta, drop_when, cache_writes, _err, _nn = (
-            _compile_statements(
-                self.ast, Env({}, df, functions=self.overrides or {})
-            )
-        )
+        assigns, meta, drop_when, cache_writes, _err, _nn = self._compile(df)
         return assigns, meta, drop_when, cache_writes
 
     def apply(self, df: DataFrame, new_document: bool = False) -> DataFrame:
@@ -1316,9 +1344,7 @@ class MappingPlan:
 
         df = ensure_envelope(df)
         assigns, meta, drop_when, cache_writes, error_sets, nothing_names = (
-            _compile_statements(
-                self.ast, Env({}, df, functions=self.overrides or {})
-            )
+            self._compile(df)
         )
         if error_sets:
             err = error_sets[0]

@@ -818,16 +818,34 @@ def _range(start, stop, step=1):
 function("range", "b")(_range)
 
 
+#: counter() compile context (compiler.MappingPlan two-pass): pass 1
+#: ("count") tallies how many RESOLUTIONS of counter() one message
+#: performs (k — e.g. a named map containing counter() applied twice);
+#: pass 2 ("emit") gives resolution r the value (row-1)*k + r + 1, the
+#: reference's per-process sequence in document order
+#: (bloblang_functions.go counter; doc-corpus counter#2/3).
+COUNTER_CTX: list[dict] = []
+
+
 def _counter_col() -> Column:
-    """counter(): 1-based, increments per message in batch order
+    """counter(): 1-based, increments per RESOLUTION in batch order
     (bloblang_functions.go counter). Sequential BY DEFINITION — the
     global-order window is the honest plan; the generate input swaps in
     its deterministic override via Env.functions before this engages."""
     from pyspark.sql import Window
 
-    return F.row_number().over(
+    rn = F.row_number().over(
         Window.orderBy(F.monotonically_increasing_id())
-    ).cast("long")
+    )
+    if COUNTER_CTX:
+        ctx = COUNTER_CTX[-1]
+        r = ctx["n"]
+        ctx["n"] += 1
+        if ctx.get("mode") == "emit" and ctx["k"] > 1:
+            return (
+                (rn - 1) * F.lit(ctx["k"]) + F.lit(r + 1)
+            ).cast("long")
+    return rn.cast("long")
 
 
 function("counter", "b")(_counter_col)

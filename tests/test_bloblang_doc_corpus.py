@@ -32,12 +32,10 @@ KNOWN_DIVERGENT: dict[str, str] = {
     # emits a final empty stored block (161 B) where zlib's finish
     # packs it (160 B); both decode each other fine.
     "compress#0": "gzip compressed size differs by one flush block",
-    # two resolutions of ONE counter() site within a single message
-    # (map applied twice) need per-resolution sequence state; the
-    # compiled counter is row_number over the batch — one value per
-    # message. The interpreter replays it exactly.
-    "counter#2": "compiled: per-resolution counter state in one message",
-    "counter#3": "compiled: per-resolution counter state in one message",
+    # counter#2/3 unpinned r10: the compiler's two-pass counter()
+    # context gives each per-message RESOLUTION its own offset
+    # ((row-1)*k + r + 1), so a map applied twice consumes two
+    # consecutive values exactly like the reference's process counter.
 }
 
 
@@ -75,15 +73,15 @@ def test_doc_examples(spark, section):
     assert not failures, "\n".join(failures)
 
 
-STATEFUL_PINNED = {"counter#2", "counter#3"}
+STATEFUL_PINNED: set[str] = set()  # counter#2/3 unpinned r10
 
 
 def test_stateful_blocks_replay(spark):
     """counter()/count() doc blocks are STATEFUL across their In/Out
     pairs — replayed in order as one batch per block (run_block):
-    the compiled counter numbers rows via the batch, the interpreter
-    threads shared per-task state. Both engines must reproduce every
-    pair (the one compiled pin above excepted)."""
+    the compiled counter numbers rows via the batch (with the r10
+    two-pass per-resolution offsets), the interpreter threads shared
+    per-task state. Both engines must reproduce every pair."""
     from doc_corpus import STATEFUL, run_block
 
     blocks: dict = {}
