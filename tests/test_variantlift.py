@@ -1,0 +1,84 @@
+"""Unit tests for operators/variantlift.py — the lossy-shape detector
+that keeps mixed-type arrays and heterogeneous object arrays VARIANT
+through JSON ingestion (doc-corpus split#3/split#4 class)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from bento_spark.operators.variantlift import (
+    lossy_field_paths,
+    override_to_variant,
+)
+
+
+class TestLossyDetection:
+    def test_homogeneous_docs_are_clean(self):
+        docs = [
+            {"a": 1, "b": "x", "c": [1, 2], "d": {"e": [1.5]}},
+            {"a": 2, "b": "y", "c": [3], "d": {"e": []}},
+        ]
+        assert lossy_field_paths(docs) == set()
+
+    def test_mixed_type_array(self):
+        assert lossy_field_paths([{"m": [1, "a", 2]}]) == {("m",)}
+
+    def test_heterogeneous_object_array(self):
+        docs = [{"objects": [{"id": 1}, {"type": "sep"}]}]
+        assert lossy_field_paths(docs) == {("objects",)}
+
+    def test_nested_path(self):
+        docs = [{"outer": {"deep": [1, "b"]}, "ok": [1, 2]}]
+        assert lossy_field_paths(docs) == {("outer", "deep")}
+
+    def test_scalar_type_conflict_across_docs(self):
+        docs = [{"v": 1}, {"v": "one"}]
+        assert lossy_field_paths(docs) == {("v",)}
+
+    def test_lossiness_inside_array_elements_lifts_whole_array(self):
+        docs = [{"rows": [{"x": [1, "a"]}, {"x": [2]}]}]
+        assert lossy_field_paths(docs) == {("rows",)}
+
+    def test_nulls_do_not_count_as_conflict(self):
+        docs = [{"v": None}, {"v": 3}, {"w": [None, 1, 2]}]
+        assert lossy_field_paths(docs) == set()
+
+    def test_int_float_same_path_is_clean(self):
+        # the numeric union (bigint+double -> double) is handled by the
+        # engines' numeric compare, not a retype worth VARIANT
+        assert lossy_field_paths([{"v": 1}, {"v": 1.5}]) == set()
+
+
+class TestSchemaOverride:
+    def test_surgical_replacement(self):
+        schema = T.StructType([
+            T.StructField("m", T.ArrayType(T.StringType())),
+            T.StructField("keep", T.LongType()),
+            T.StructField("outer", T.StructType([
+                T.StructField("deep", T.ArrayType(T.StringType())),
+                T.StructField("other", T.StringType()),
+            ])),
+        ])
+        out = override_to_variant(schema, {("m",), ("outer", "deep")})
+        assert isinstance(out["m"].dataType, T.VariantType)
+        assert isinstance(out["keep"].dataType, T.LongType)
+        outer = out["outer"].dataType
+        assert isinstance(outer["deep"].dataType, T.VariantType)
+        assert isinstance(outer["other"].dataType, T.StringType)
+
+    def test_no_paths_returns_schema_unchanged(self):
+        schema = T.StructType([T.StructField("a", T.LongType())])
+        assert override_to_variant(schema, set()) is schema
+
+
+def test_roundtrip_through_json_read(spark):
+    import json
+
+    docs = [{"mixed": [1, "a", 2], "plain": [1, 2]}]
+    js = [json.dumps(d) for d in docs]
+    rdd = spark.sparkContext.parallelize(js, 1)
+    inferred = spark.read.json(rdd).schema
+    schema = override_to_variant(inferred, lossy_field_paths(docs))
+    row = spark.read.schema(schema).json(rdd).collect()[0]
+    assert row["mixed"].toPython() == [1, "a", 2]
+    assert row["plain"] == [1, 2]
