@@ -85,9 +85,6 @@ _PRIORITY = [
     "proc_flow_gauntlet",
     "proc_kv_enrich", "pipeline_yaml", "proc_workflow_dag",
     "proc_jq",
-    # r7: the full-jq interpreter path (reduce/def/capture/interp)
-    # gets first driver exposure
-    "proc_jq_reduce",
     "proc_yaml_surface_gauntlet",
     # (proc_javascript demoted r6 after its r5 driver-green round;
     # proc_sql_pgwire promoted — live pgwire+SCRAM in the driver gate)
@@ -109,8 +106,9 @@ _PRIORITY = [
     "mm_audio_features", "mm_video_y4m",
     "pii_redact",
     # r10: go-jmespath v0.4.0 expref parity (sort_by/min_by/max_by/map/
-    # object projections/merge/to_array) — fresh from this round's work
-    "proc_jmespath_sortby",
+    # object projections/merge/to_array) and the sequence input's
+    # sharded_join (fragmented-dataset outer join) — fresh r10 work
+    "proc_jmespath_sortby", "seq_join_sharded",
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
     "proc_avro_roundtrip", "proc_protobuf_roundtrip", "xml_roundtrip",
@@ -128,6 +126,8 @@ _PRIORITY = [
     "pipeline_yaml_stream",
     "pipeline_error_retry",
     # r9 promotions + long-green r10 demotions, rotated below the fold
+    # (proc_jq_reduce: driver-green r7-r9; proc_jq keeps the family)
+    "proc_jq_reduce",
     "proc_branch_enrich", "proc_http_enrich", "proc_javascript",
     "pipeline_template", "pipeline_metrics", "dedup_span_windows",
     "mm_jpeg_features", "bloblang_crypto_gauntlet",

@@ -299,3 +299,69 @@ def scan_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = rm.unionByName(sb).unionByName(jd).unionByName(xd).unionByName(sw)
     return out.orderBy("scanner", "doc_id", "part_idx", "part")
+
+
+@query(
+    "seq_join_sharded",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS id, c_name FROM customer
+      WHERE c_custkey < 200
+    ), o AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS id, o_orderkey FROM orders
+      WHERE o_custkey < 200
+    )
+    SELECT c.id,
+           c.c_name AS name,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           coalesce(array_to_string(
+               list_sort(list(CAST(o.o_orderkey AS VARCHAR))), ','
+           ), '') AS orders_csv
+    FROM c LEFT JOIN o ON c.id = o.id
+    GROUP BY c.id, c.c_name
+    ORDER BY CAST(c.id AS BIGINT)
+    """,
+)
+def seq_join_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sequence` input sharded_join (input_sequence.go:195-325): the
+    fragmented-dataset full-outer join — customer docs are the base,
+    order docs fold in by string id with the `array` collision
+    strategy (single order stays scalar, collisions gather). One
+    groupBy(id) shuffle replaces the reference's iterations re-reads;
+    the oracle replays the join relationally."""
+    from bento_spark.sources.seqjoin import sharded_join_frames
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 200
+    ).select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.col("c_name").alias("name"),
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 200
+    ).select(
+        F.col("o_custkey").cast("string").alias("id"),
+        F.col("o_orderkey").alias("order"),
+    )
+    joined = sharded_join_frames([cust, orders], "id", "full-outer", "array")
+    v = F.parse_json(F.col("content"))
+    order_v = F.try_variant_get(v, "$.order", "variant")
+    arr = F.coalesce(
+        F.try_variant_get(order_v, "$", "array<long>"),
+        F.when(
+            order_v.isNotNull(),
+            F.array(F.try_variant_get(order_v, "$", "long")),
+        ),
+    )
+    return joined.select(
+        F.try_variant_get(v, "$.id", "string").alias("id"),
+        F.try_variant_get(v, "$.name", "string").alias("name"),
+        F.coalesce(F.size(arr), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(
+            F.array_join(
+                F.array_sort(F.transform(arr, lambda x: x.cast("string"))),
+                ",",
+            ),
+            F.lit(""),
+        ).alias("orders_csv"),
+    ).orderBy(F.col("id").cast("long"))

@@ -70,7 +70,7 @@ def _file_lines(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     chunker {size}. Whole-file scanners read via `wholetext`."""
     from bento_spark.operators.envelope import META
 
-    path = conf["path"]
+    path = conf.get("path") or conf["paths"]  # input_file.go `paths`
     stream = bool(conf.get("stream", False))
     scanner_conf = conf.get("scanner", "lines")
     if isinstance(scanner_conf, dict):
@@ -118,6 +118,29 @@ def _file_lines(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     elif scanner == "chunker":
         df = chunk_text(df, "content", int(sconf["size"]))
         df = df.withColumnRenamed("chunk", "content")
+    elif scanner == "csv":
+        # scanner_csv.go: each row becomes an object keyed by the
+        # header line, values as STRINGS. Unquoted-field subset (the
+        # quoted/escape dialect belongs to the csv file source).
+        df = df.withColumn(
+            "content", F.regexp_replace("content", "\n$", "")
+        )
+        lines = F.split("content", "\n", -1)
+        other = [c for c in df.columns if c != "content"]
+        df = df.select(
+            *other,
+            F.split(F.element_at(lines, 1), ",", -1).alias("__hdr"),
+            F.explode(
+                F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
+            ).alias("__row"),
+        ).filter(F.length("__row") > 0).select(
+            *other,
+            F.to_json(
+                F.map_from_arrays(
+                    F.col("__hdr"), F.split("__row", ",", -1)
+                )
+            ).alias("content"),
+        )
     else:
         raise ValueError(f"unknown scanner {scanner!r}")
     return df, stream
@@ -278,15 +301,39 @@ def _broker(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
 @register_source("sequence")
 def _sequence(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     """`sequence` input (input_sequence.go): ordered concatenation —
-    batch-only; order is made explicit with a source index column."""
+    batch-only; order is made explicit with a source index column.
+    With `sharded_join` configured, the sub-inputs instead fold into
+    joined documents by id (sources/seqjoin.py — one groupBy shuffle
+    replaces the reference's iterations re-reads)."""
     subs = conf.get("inputs", [])
-    dfs = []
-    for i, sub in enumerate(subs):
+    sj = conf.get("sharded_join") or {}
+    jtype = sj.get("type", "none")
+    raw_dfs = []
+    for sub in subs:
         (name, sconf), = sub.items()
         df, s = build_source(spark, name, sconf)
         if s:
             raise ValueError("sequence input is batch-only")
-        dfs.append(df.withColumn("_seq_idx", F.lit(i)))
+        raw_dfs.append(df)
+    if jtype != "none":
+        from bento_spark.sources.seqjoin import sharded_join_frames
+
+        iters = int(sj.get("iterations", 1))
+        if iters <= 0:
+            raise ValueError(f"invalid number of iterations: {iters}")
+        # iterations is the reference's single-process memory dial (re-
+        # read the sequence N times, xxhash-sharding ids); the groupBy
+        # shuffle already shards ids across executors — accepted, no-op
+        return sharded_join_frames(
+            raw_dfs,
+            sj.get("id_path", ""),
+            jtype,
+            sj.get("merge_strategy", "array"),
+        ), False
+    dfs = [
+        df.withColumn("_seq_idx", F.lit(i))
+        for i, df in enumerate(raw_dfs)
+    ]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)

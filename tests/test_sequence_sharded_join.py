@@ -1,0 +1,181 @@
+"""`sequence` input sharded_join (input_sequence.go:195-325) — the
+fragmented-dataset outer join, including the sequence.md "Joining
+Data" doc shape (CSV files -> joined documents).
+
+The doc example's OUTPUT block is illustrative (it shows integer ages
+and a `hobbies` field no processor produced); these tests pin the
+CODE's semantics: CSV scanner values are strings, the collision field
+keeps its `hobby` name, single values stay scalar and collisions
+gather into arrays.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+MAIN_CSV = "uuid,name,age\nAAA,Melanie,34\nBBB,Emma,28\nCCC,Geri,45\n"
+HOBBIES_CSV = "uuid,hobby\nCCC,pokemon go\nAAA,rowing\nAAA,golf\n"
+
+
+@pytest.fixture()
+def csv_files(tmp_path):
+    main = tmp_path / "main.csv"
+    hobbies = tmp_path / "hobbies.csv"
+    main.write_text(MAIN_CSV)
+    hobbies.write_text(HOBBIES_CSV)
+    return str(main), str(hobbies)
+
+
+def _run(spark, conf):
+    from bento_spark.sources import build_source
+
+    df, streaming = build_source(spark, "sequence", conf)
+    assert not streaming
+    return {
+        json.loads(r["content"])["uuid"]: json.loads(r["content"])
+        for r in df.collect()
+    }
+
+
+class TestFullOuter:
+    def test_two_ordered_inputs_exact(self, spark, csv_files):
+        main, hobbies = csv_files
+        out = _run(spark, {
+            "sharded_join": {
+                "type": "full-outer", "id_path": "uuid",
+                "merge_strategy": "array",
+            },
+            "inputs": [
+                {"file": {"paths": [hobbies], "scanner": {"csv": {}}}},
+                {"file": {"paths": [main], "scanner": {"csv": {}}}},
+            ],
+        })
+        # hobbies consumed first: its row is the base document; main's
+        # fields merge in. CSV values are strings (scanner_csv.go).
+        assert out["AAA"] == {
+            "uuid": "AAA", "hobby": ["rowing", "golf"],
+            "name": "Melanie", "age": "34",
+        }
+        assert out["BBB"] == {"uuid": "BBB", "name": "Emma", "age": "28"}
+        assert out["CCC"] == {
+            "uuid": "CCC", "hobby": "pokemon go", "name": "Geri",
+            "age": "45",
+        }
+
+    def test_doc_config_shape(self, spark, csv_files):
+        # the doc's exact config: ONE file input, two paths
+        main, hobbies = csv_files
+        out = _run(spark, {
+            "sharded_join": {
+                "type": "full-outer", "id_path": "uuid",
+                "merge_strategy": "array", "iterations": 10,
+            },
+            "inputs": [
+                {"file": {"paths": [hobbies, main], "scanner": {"csv": {}}}},
+            ],
+        })
+        assert set(out) == {"AAA", "BBB", "CCC"}
+        aaa = out["AAA"]
+        assert aaa["name"] == "Melanie" and aaa["age"] == "34"
+        assert sorted(
+            aaa["hobby"] if isinstance(aaa["hobby"], list) else [aaa["hobby"]]
+        ) == ["golf", "rowing"]
+        assert out["CCC"]["hobby"] == "pokemon go"
+
+    @pytest.mark.parametrize("strategy,expected", [
+        ("replace", "34-new"),
+        ("keep", "34"),
+    ])
+    def test_scalar_collision_strategies(
+        self, spark, tmp_path, strategy, expected
+    ):
+        a = tmp_path / "a.csv"
+        b = tmp_path / "b.csv"
+        a.write_text("uuid,age\nAAA,34\n")
+        b.write_text("uuid,age\nAAA,34-new\n")
+        out = _run(spark, {
+            "sharded_join": {
+                "type": "full-outer", "id_path": "uuid",
+                "merge_strategy": strategy,
+            },
+            "inputs": [
+                {"file": {"paths": [str(a)], "scanner": {"csv": {}}}},
+                {"file": {"paths": [str(b)], "scanner": {"csv": {}}}},
+            ],
+        })
+        assert out["AAA"]["age"] == expected
+
+
+class TestOuterFlushOnLast:
+    def test_only_last_input_ids_flush(self, spark, tmp_path):
+        a = tmp_path / "a.ndjson"
+        b = tmp_path / "b.ndjson"
+        a.write_text(
+            '{"uuid":"AAA","x":1}\n{"uuid":"ZZZ","x":9}\n'
+        )
+        b.write_text(
+            '{"uuid":"AAA","y":2}\n{"uuid":"AAA","y":3}\n'
+        )
+        from bento_spark.sources import build_source
+
+        df, _s = build_source(spark.getActiveSession() or spark, "sequence", {
+            "sharded_join": {
+                "type": "outer", "id_path": "uuid",
+                "merge_strategy": "array",
+            },
+            "inputs": [
+                {"file": {"paths": [str(a)]}},
+                {"file": {"paths": [str(b)]}},
+            ],
+        })
+        rows = [json.loads(r["content"]) for r in df.collect()]
+        # ZZZ never appears in the last input -> never flushed; AAA
+        # flushes once per appearance with the accumulated state
+        assert all(r["uuid"] == "AAA" for r in rows)
+        assert len(rows) == 2
+        ys = sorted(
+            r["y"] if isinstance(r["y"], list) else [r["y"]]
+            for r in rows
+        )
+        assert ys == [[2], [2, 3]]
+
+    def test_unstructured_and_missing_ids_dropped(self, spark, tmp_path):
+        a = tmp_path / "a.ndjson"
+        a.write_text(
+            'not json\n[1,2]\n{"nope":1}\n{"uuid":5,"x":1}\n'
+            '{"uuid":"OK","x":2}\n'
+        )
+        out = _run(spark, {
+            "sharded_join": {
+                "type": "full-outer", "id_path": "uuid",
+                "merge_strategy": "array",
+            },
+            "inputs": [{"file": {"paths": [str(a)]}}],
+        })
+        assert set(out) == {"OK"}
+
+
+def test_deprecated_spellings_and_validation(spark, tmp_path):
+    from bento_spark.sources import build_source
+    from bento_spark.sources.seqjoin import sharded_join_frames
+
+    a = tmp_path / "a.ndjson"
+    a.write_text('{"uuid":"A","x":1}\n')
+    df, _s = build_source(spark, "sequence", {
+        "sharded_join": {"type": "full-outter", "id_path": "uuid"},
+        "inputs": [{"file": {"paths": [str(a)]}}],
+    })
+    assert df.count() == 1
+    with pytest.raises(ValueError, match="id_path"):
+        sharded_join_frames([], "", "full-outer")
+    with pytest.raises(ValueError, match="merge_strategy"):
+        sharded_join_frames([], "uuid", "full-outer", "bogus")
+    with pytest.raises(ValueError, match="iterations"):
+        build_source(spark, "sequence", {
+            "sharded_join": {
+                "type": "outer", "id_path": "uuid", "iterations": 0,
+            },
+            "inputs": [{"file": {"paths": [str(a)]}}],
+        })
