@@ -13,7 +13,7 @@ if grep -qE '^(BASH_|CLAUDE|ANTHROPIC|AWS_|API_)[A-Z_]*=' "$msg"; then
   echo "commit-msg lint: message contains env-var dump lines — scrub before committing." >&2
   exit 1
 fi
-if grep -qiE 'api[_-]?key|_TOKEN=|artifactory\.' "$msg"; then
+if grep -qiE 'api[_-]?key|_TOKEN=|_SOCKET=|https?://[a-z0-9.-]+\.(dev|corp|internal)\b' "$msg"; then
   echo "commit-msg lint: message contains credential/internal-host patterns — scrub before committing." >&2
   exit 1
 fi
