@@ -406,7 +406,25 @@ def _proc_jq(df: DataFrame, conf) -> DataFrame:
     if isinstance(conf, str):
         conf = {"query": conf}
     df, col = _query_doc_col(df, conf)
-    return _replace_message(jq(df, col, conf["query"], "__qres"), "__qres")
+    if conf.get("raw"):
+        # processor_jq.go `raw`: the message feeds the query as a JSON
+        # STRING value, not a parsed document. to_json(array(x)) gives
+        # the properly-escaped quoted form; strip the brackets.
+        j = f"to_json(array({col}))"
+        df = df.withColumn(
+            "__qrawdoc", F.expr(f"substring({j}, 2, length({j}) - 2)")
+        )
+        col = "__qrawdoc"
+    out = jq(df, col, conf["query"], "__qres")
+    if conf.get("output_raw"):
+        # processor_jq.go `output_raw` (marshalRaw): string results are
+        # written unquoted; containers keep their JSON text
+        v = F.parse_json(F.col("__qres"))
+        out = out.withColumn(
+            "__qres",
+            F.coalesce(F.try_variant_get(v, "$", "string"), F.col("__qres")),
+        )
+    return _replace_message(out, "__qres")
 
 
 def _query_doc_col(df: DataFrame, conf) -> tuple[DataFrame, str]:

@@ -594,3 +594,43 @@ def test_object_key_order_is_program_order(spark):
     got = jq(df, "content", '{z: .a, y: .b, m: {q: .a, a: .b}}') \
         .collect()[0]["result"]
     assert got == '{"z":2,"y":1,"m":{"q":2,"a":1}}'
+
+
+class TestJqProcessorRawOptions:
+    """processor_jq.go config fields `raw` (feed the message as a JSON
+    string value) and `output_raw` (marshalRaw: unquote string
+    results) — landed r10 with the replace-the-message contract."""
+
+    def test_raw_input_and_raw_output(self, spark):
+        from bento_spark.plans.pipeline import PROCESSORS
+
+        df = spark.createDataFrame([('hello "world"',)], "content string")
+        out = PROCESSORS["jq"](
+            df, {"query": '. + " suffix"', "raw": True, "output_raw": True}
+        )
+        assert out.first()["content"] == 'hello "world" suffix'
+
+    def test_default_output_keeps_json_quotes(self, spark):
+        from bento_spark.plans.pipeline import PROCESSORS
+
+        df = spark.createDataFrame([('{"a":"x"}',)], "content string")
+        assert PROCESSORS["jq"](df, {"query": ".a"}).first()["content"] == '"x"'
+        assert PROCESSORS["jq"](
+            df, {"query": ".a", "output_raw": True}
+        ).first()["content"] == "x"
+
+    def test_replace_message_contract(self, spark):
+        from bento_spark.plans.pipeline import PROCESSORS
+
+        df = spark.createDataFrame(
+            [('{"k":2}', {"topic": "t"})],
+            "content string, _metadata map<string,string>",
+        )
+        out = PROCESSORS["jq"](df, {"query": "{n: (.k + 1)}"})
+        row = out.first()
+        assert row["content"] == '{"n":3}'
+        assert dict(row["_metadata"]) == {"topic": "t"}
+        data_cols = [
+            c for c in out.columns if not c.startswith(("_", "__"))
+        ]
+        assert data_cols == ["content"]
