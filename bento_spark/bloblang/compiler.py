@@ -451,6 +451,9 @@ def compile_node(node: A.Node, env: Env) -> Column:
                     return c.cast("variant")
 
                 return F.coalesce(_v(left, lt), _v(right, rt))
+        out = _variant_binop(node.op, left, right, env)
+        if out is not None:
+            return out
         return _binop(node.op, left, right)
     if isinstance(node, A.If):
         cond = compile_node(node.cond, env)
@@ -492,6 +495,57 @@ def _conditional_element(node: A.Node) -> bool:
         no_default = all(c is not None for c, _v in node.cases)
         return no_default or any(_is_deleted(v) for _c, v in node.cases)
     return False
+
+
+def _variant_binop(
+    op: str, left: Column, right: Column, env: Env
+) -> Column | None:
+    """Dynamic-value operators: VARIANT operands (raw-content `this`,
+    variantlift columns) have no native ordering/arithmetic — coerce to
+    the OTHER side's type when it is known (the reference compares the
+    dynamic value against the literal's type, arithmetic.go), else
+    dispatch numeric-both / lexical like the reference's ICompare.
+    Returns None when neither operand is VARIANT."""
+    from pyspark.sql import types as T
+
+    lt, rt = _type_of(env, left), _type_of(env, right)
+    lv = isinstance(lt, T.VariantType)
+    rv = isinstance(rt, T.VariantType)
+    if not (lv or rv):
+        return None
+    cmp_ops = ("==", "!=", "<", "<=", ">", ">=")
+    if op in ("&&", "||"):
+        if lv:
+            left = F.try_variant_get(left, "$", "boolean")
+        if rv:
+            right = F.try_variant_get(right, "$", "boolean")
+        return _binop(op, left, right)
+    if op not in cmp_ops and op not in ("+", "-", "*", "/", "%"):
+        return None
+    if lv and not rv and rt is not None and not isinstance(rt, T.NullType):
+        return _binop(
+            op, F.try_variant_get(left, "$", rt.simpleString()), right
+        )
+    if rv and not lv and lt is not None and not isinstance(lt, T.NullType):
+        return _binop(
+            op, left, F.try_variant_get(right, "$", lt.simpleString())
+        )
+    if not (lv and rv):
+        return None
+    ln = F.try_variant_get(left, "$", "double")
+    rn = F.try_variant_get(right, "$", "double")
+    if op not in cmp_ops:
+        return _binop(op, ln, rn)
+    ls = F.coalesce(
+        F.try_variant_get(left, "$", "string"), F.to_json(left)
+    )
+    rs = F.coalesce(
+        F.try_variant_get(right, "$", "string"), F.to_json(right)
+    )
+    both_num = ln.isNotNull() & rn.isNotNull()
+    return F.when(both_num, _binop(op, ln, rn)).otherwise(
+        _binop(op, ls, rs)
+    )
 
 
 def _binop(op: str, left: Column, right: Column) -> Column:
