@@ -173,6 +173,7 @@ def register_pipeline_processors() -> None:
                 "json_get", "json_set", "json_append", "json_delete",
                 "json_length", "json_type", "metadata_get", "metadata_set",
                 "print_log", "create_json_object", "create_json_array",
+                "timestamp_unix", "timestamp_format",
             )
         ):
             return awk_bento_processor(df, program)
@@ -263,6 +264,114 @@ function metadata_set(k, v) { __meta[k] = v; return "" }
 function print_log(value, level) {
   print level ": " value | "cat 1>&2"
   return ""
+}
+function __days_from_civil(y, m, d,   era, yoe, doy, doe) {
+  # Howard Hinnant's civil-date algorithm (public domain), integer math
+  y = y - (m <= 2 ? 1 : 0)
+  era = int((y >= 0 ? y : y - 399) / 400)
+  yoe = y - era * 400
+  doy = int((153 * (m + (m > 2 ? -3 : 9)) + 2) / 5) + d - 1
+  doe = yoe * 365 + int(yoe / 4) - int(yoe / 100) + doy
+  return era * 146097 + doe - 719468
+}
+function __civil_from_days(z,   era, doe, yoe, doy, mp) {
+  era = int((z >= -719468 ? z + 719468 : z + 719468 - 146096) / 146097)
+  doe = (z + 719468) - era * 146097
+  yoe = int((doe - int(doe/1460) + int(doe/36524) - int(doe/146096)) / 365)
+  doy = doe - (365 * yoe + int(yoe/4) - int(yoe/100))
+  mp = int((5 * doy + 2) / 153)
+  __CD_D = doy - int((153 * mp + 2) / 5) + 1
+  __CD_M = mp + (mp < 10 ? 3 : -9)
+  __CD_Y = yoe + era * 400 + (__CD_M <= 2 ? 1 : 0)
+  return 0
+}
+function timestamp_unix(dateStr, format,   y,mo,d,h,mi,s,off,rest,sign,oh,om) {
+  # getTime (processor.go:446-474): explicit Go layout or detection of
+  # the common layouts (RFC3339 w/ optional fraction + Z/offset,
+  # "2006-01-02T15:04:05", "2006-01-02 15:04:05", "2006-01-02")
+  if (match(dateStr, /^[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9]([T ][0-9][0-9]:[0-9][0-9]:[0-9][0-9](\.[0-9]+)?(Z|[+-][0-9][0-9]:?[0-9][0-9])?)?$/) == 0) {
+    print "failed to detect datetime format of: " dateStr | "cat 1>&2"
+    return 0
+  }
+  y = substr(dateStr, 1, 4) + 0
+  mo = substr(dateStr, 6, 2) + 0
+  d = substr(dateStr, 9, 2) + 0
+  h = mi = s = off = 0
+  if (length(dateStr) > 10) {
+    h = substr(dateStr, 12, 2) + 0
+    mi = substr(dateStr, 15, 2) + 0
+    s = substr(dateStr, 18, 2) + 0
+    rest = substr(dateStr, 20)
+    sub(/^\.[0-9]+/, "", rest)   # Unix() truncates fractions
+    if (rest != "" && rest != "Z") {
+      sign = (substr(rest, 1, 1) == "-") ? -1 : 1
+      oh = substr(rest, 2, 2) + 0
+      om = substr(rest, length(rest) - 1, 2) + 0
+      off = sign * (oh * 3600 + om * 60)
+    }
+  }
+  return __days_from_civil(y, mo, d) * 86400 + h*3600 + mi*60 + s - off
+}
+function timestamp_unix_nano(dateStr, format,   sec, frac) {
+  # int64 ns exceeds awk's exact double range: return the DIGIT STRING
+  # (sec * 1e9 + fraction), which json_set/print consume losslessly
+  sec = timestamp_unix(dateStr, format)
+  frac = ""
+  if (match(dateStr, /\.[0-9]+/)) {
+    frac = substr(dateStr, RSTART + 1, RLENGTH - 1)
+  }
+  while (length(frac) < 9) { frac = frac "0" }
+  return sec substr(frac, 1, 9)
+}
+function timestamp_format(unix, formatArg,   z,sod,h,mi,s,out,i,n,c,mn,dn) {
+  if (formatArg == "") { formatArg = "2006-01-02T15:04:05Z07:00" }
+  z = int(unix / 86400)
+  sod = unix - z * 86400
+  if (sod < 0) { sod += 86400; z -= 1 }
+  __civil_from_days(z)
+  h = int(sod / 3600); mi = int((sod - h*3600) / 60); s = sod % 60
+  split("Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec", __MON, " ")
+  split("Thu Fri Sat Sun Mon Tue Wed", __DOW, " ")  # epoch day 0 = Thu
+  out = ""; i = 1; n = length(formatArg)
+  while (i <= n) {
+    if (substr(formatArg, i, 4) == "2006") {
+      out = out sprintf("%04d", __CD_Y); i += 4
+    } else if (substr(formatArg, i, 6) == "Z07:00") {
+      out = out "Z"; i += 6        # formatted in UTC (processor.go:497)
+    } else if (substr(formatArg, i, 6) == "-07:00") {
+      out = out "+00:00"; i += 6
+    } else if (substr(formatArg, i, 5) == "Z0700") {
+      out = out "Z"; i += 5
+    } else if (substr(formatArg, i, 5) == "-0700") {
+      out = out "+0000"; i += 5
+    } else if (substr(formatArg, i, 3) == "MST") {
+      out = out "UTC"; i += 3
+    } else if (substr(formatArg, i, 3) == "Jan") {
+      out = out __MON[__CD_M]; i += 3
+    } else if (substr(formatArg, i, 3) == "Mon") {
+      out = out __DOW[((z % 7) + 7) % 7 + 1]; i += 3
+    } else if (substr(formatArg, i, 2) == "01") {
+      out = out sprintf("%02d", __CD_M); i += 2
+    } else if (substr(formatArg, i, 2) == "02") {
+      out = out sprintf("%02d", __CD_D); i += 2
+    } else if (substr(formatArg, i, 2) == "15") {
+      out = out sprintf("%02d", h); i += 2
+    } else if (substr(formatArg, i, 2) == "04") {
+      out = out sprintf("%02d", mi); i += 2
+    } else if (substr(formatArg, i, 2) == "05") {
+      out = out sprintf("%02d", s); i += 2
+    } else {
+      out = out substr(formatArg, i, 1); i += 1
+    }
+  }
+  return out
+}
+function timestamp_format_nano(unixNano, formatArg,   sec) {
+  # accepts the digit-string form timestamp_unix_nano returns; the
+  # sub-second part is dropped by Go's default RFC3339 rendering too
+  sec = substr(unixNano "", 1, length(unixNano "") - 9) + 0
+  if (length(unixNano "") <= 9) { sec = 0 }
+  return timestamp_format(sec, formatArg)
 }
 function create_json_object(a,b,c,d,e,f,g,h,i,j,k,l,   s) {
   s = ""
@@ -448,8 +557,10 @@ def awk_bento_processor(
     rows (numeric segments = array indices) so nested paths and array
     iteration (the awk.md doc examples) work with plain awk arrays;
     the prelude exposes the builtins over those rows and the epilogue
-    re-emits them for reconstruction. timestamp_* builtins need
-    strftime/mktime, which mawk lacks — unimplemented, fails loud.
+    re-emits them for reconstruction. timestamp_* run on pure integer
+    civil-date math (mawk has no strftime/mktime): detection of the
+    common ISO layouts, UTC Go-layout token formatting, and a
+    digit-string ns form (int64 exceeds awk's exact double range).
     One real /usr/bin/awk per partition, 1:1 line framing."""
     import json as _json
 

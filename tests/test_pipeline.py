@@ -248,3 +248,35 @@ def test_sql_select_source_sqlite(spark, tmp_path):
     assert not streaming
     rows = [(r["id"], r["name"]) for r in df.collect()]
     assert rows == [("1", "red"), ("2", "green"), ("3", None)]
+
+
+def test_awk_dialect_nested_paths_and_timestamps(spark):
+    """The r10 flattened awk dialect: nested json paths, array
+    iteration/append (awk.md doc examples) and the timestamp_*
+    builtins on pure civil-date math (processor.go:478-509)."""
+    import json
+
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    df = spark.createDataFrame(
+        [('{"doc":{"val1":5,"val2":10},"when":"2018-12-18T11:57:32"}',)],
+        "content string",
+    )
+    out = PROCESSORS["awk"](df, {
+        "codec": "none",
+        "program": (
+            '{\n'
+            '  json_set_int("doc.result",'
+            ' json_get("doc.val1") + json_get("doc.val2"));\n'
+            '  json_set_int("unix", timestamp_unix(json_get("when")));\n'
+            '  json_set("rfc", timestamp_format('
+            'timestamp_unix(json_get("when")), ""));\n'
+            '  json_append("tags", "a"); json_append("tags", "b");\n'
+            '}'
+        ),
+    })
+    doc = json.loads(out.first()["content"])
+    assert doc["doc"] == {"val1": 5, "val2": 10, "result": 15}
+    assert doc["unix"] == 1545134252
+    assert doc["rfc"] == "2018-12-18T11:57:32Z"
+    assert doc["tags"] == ["a", "b"]
