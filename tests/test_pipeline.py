@@ -280,3 +280,38 @@ def test_awk_dialect_nested_paths_and_timestamps(spark):
     assert doc["unix"] == 1545134252
     assert doc["rfc"] == "2018-12-18T11:57:32Z"
     assert doc["tags"] == ["a", "b"]
+
+
+def test_json_schema_doc_chain_drops_invalid(spark):
+    """json_schema.md's documented error-handling chain: validate
+    against the Person schema, catch failures, log, and drop — valid
+    documents pass through untouched, invalid ones delete."""
+    from bento_spark.plans.pipeline import CURRENT_BASE_DIR, _apply_children
+
+    prev = CURRENT_BASE_DIR[0]
+    CURRENT_BASE_DIR[0] = "tests/fixtures/docs_schemas"
+    try:
+        df = spark.createDataFrame(
+            [
+                ('{"firstName":"Ada","lastName":"L","age":36}',),
+                ('{"firstName":"Bad","age":-5}',),
+            ],
+            "content string",
+        )
+        out = _apply_children(df, [
+            {"json_schema": {"schema_path": "file://path_to_schema.json"}},
+            {"catch": [
+                {"log": {
+                    "level": "ERROR",
+                    "message": "Schema validation failed due to: ${!error()}",
+                }},
+                {"mapping": "root = deleted()"},
+            ]},
+        ])
+        rows = out.collect()
+        assert len(rows) == 1
+        assert '"age":36' in rows[0]["content"].replace(" ", "") or (
+            "Ada" in rows[0]["content"]
+        )
+    finally:
+        CURRENT_BASE_DIR[0] = prev
