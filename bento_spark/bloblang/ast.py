@@ -71,10 +71,13 @@ class StmtGroup(Node):
 @dataclass
 class Ctx(Node):
     """`expr.(sub)` context expression (query_parser.go field context):
-    `sub` evaluates with `this` bound to expr's value."""
+    `sub` evaluates with `this` bound to expr's value. The named form
+    `expr.(name -> sub)` (walkthrough.md "naming the new context")
+    binds `name` instead, leaving `this` on the enclosing context."""
 
     base: Node
     expr: Node
+    param: str | None = None
 
 
 @dataclass

@@ -356,12 +356,15 @@ def compile_node(node: A.Node, env: Env) -> Column:
         return col
     if isinstance(node, A.Ctx):
         # `expr.(sub)`: sub evaluates with `this` bound to expr's value
-        # (about.md coalescing — this.thing.(article | comment).type)
+        # (about.md coalescing — this.thing.(article | comment).type).
+        # The named form `expr.(name -> sub)` binds `name` and leaves
+        # `this` on the enclosing context (walkthrough.md).
         base = compile_node(node.base, env)
         bt = _type_of(env, base) or _ast_type(node.base, env)
+        bind = node.param or "this"
         return compile_node(
             node.expr,
-            env.child({"this": base}, var_types={"this": bt}),
+            env.child({bind: base}, var_types={bind: bt}),
         )
     if isinstance(node, A.Index):
         base = compile_node(node.base, env)
@@ -451,6 +454,20 @@ def compile_node(node: A.Node, env: Env) -> Column:
                     return c.cast("variant")
 
                 return F.coalesce(_v(left, lt), _v(right, rt))
+        if node.op in ("+", "-", "*", "/", "%") and not env.in_lambda:
+            # arithmetic on null is a MESSAGE error (query/
+            # arithmetic.go coercion) — register the per-row condition
+            # on the shared sink; catch()/`|` recover it like the
+            # interpreter's InterpError (walkthrough error-handling
+            # section). Non-null rows see a false condition, nothing
+            # else changes.
+            env.error_sink.append(F.when(
+                left.isNull() | right.isNull(),
+                F.lit(
+                    f"failed assignment (line 1): cannot {node.op} "
+                    f"types null and null"
+                ),
+            ))
         out = _variant_binop(node.op, left, right, env)
         if out is not None:
             return out

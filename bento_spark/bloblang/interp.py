@@ -193,9 +193,14 @@ class Interp:
                     return self.eval(value, ctx, vars_)
             return NOTHING_V
         if isinstance(node, A.Ctx):
-            return self.eval(
-                node.expr, self.eval(node.base, this, vars_), vars_
-            )
+            base = self.eval(node.base, this, vars_)
+            if node.param:
+                # named context: the param binds the value, `this`
+                # keeps the enclosing context (walkthrough.md)
+                return self.eval(
+                    node.expr, this, {**vars_, node.param: base}
+                )
+            return self.eval(node.expr, base, vars_)
         if isinstance(node, A.FuncCall):
             return self._func(node, this, vars_)
         if isinstance(node, A.MethodCall):
@@ -209,6 +214,14 @@ class Interp:
         if (a is None or b is None) and op in ("+", "-", "*", "/", "%"):
             raise InterpError(
                 f"cannot {op} types null and {_btype(b if a is None else a)}"
+            )
+        if (a is None or b is None) and op in ("<", "<=", ">", ">="):
+            # ordering against null is a MESSAGE error too
+            # (query/arithmetic.go compare coercion) — the walkthrough's
+            # error-handling section relies on catch() recovering it
+            raise InterpError(
+                f"cannot compare types null and "
+                f"{_btype(b if a is None else a)}"
             )
         if op == "+":
             if isinstance(a, str) or isinstance(b, str):

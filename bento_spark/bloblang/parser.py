@@ -124,11 +124,24 @@ class Parser:
                 self.next(skip_nl=False)
                 if self.at("op", "("):
                     # `.(expr)` context: this binds to the receiver
-                    # (about.md coalescing walkthrough)
+                    # (about.md coalescing walkthrough); the named form
+                    # `.(name -> expr)` binds `name` instead
                     self.next()
+                    param = None
+                    if self.peek().kind == "ident":
+                        j = self.i
+                        while self.toks[j].kind == "nl":
+                            j += 1
+                        k = j + 1
+                        while self.toks[k].kind == "nl":
+                            k += 1
+                        if (self.toks[k].kind == "op"
+                                and self.toks[k].text == "->"):
+                            param = self.next().text
+                            self.expect("op", "->")
                     inner = self.expr()
                     self.expect("op", ")")
-                    node = A.Ctx(node, inner)
+                    node = A.Ctx(node, inner, param)
                     continue
                 name = self.next()
                 if name.kind == "num":

@@ -1,0 +1,51 @@
+"""The reference's Bloblang WALKTHROUGH (guides/bloblang/
+walkthrough.md) as a gate: every (input, mapping, output) triple the
+tutorial shows runs EXACTLY on both engines, and every intermediate
+mapping whose section shows no output panel runs as a compiled-vs-
+interpreted DIFFERENTIAL on the tutorial's then-current input
+(tools/walkthrough_corpus.py).
+
+Driving this corpus landed three engine fixes in r10: named context
+expressions (`expr.(name -> query)` — a documented syntax both
+engines previously rejected), per-message errors for null ordering
+comparisons on the interpreter, and per-message errors for null
+arithmetic on the compiled path (the walkthrough's error-handling
+section exercises all three through catch()).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from walkthrough_corpus import (  # noqa: E402
+    WALKTHROUGH, extract_walkthrough, run_walkthrough_case,
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(WALKTHROUGH), reason="reference docs not present"
+)
+
+CASES = extract_walkthrough()
+
+
+def test_extraction_pinned():
+    assert len(CASES) >= 38, f"corpus shrank: {len(CASES)}"
+    exact = [c for c, s in CASES if s is None and c.out_text != "<differential>"]
+    skips = [s for _c, s in CASES if s]
+    assert len(exact) >= 5, f"exact In/Out triples shrank: {len(exact)}"
+    assert len(skips) <= 2, f"skip list grew: {skips}"
+
+
+@pytest.mark.parametrize(
+    "case,skip", CASES, ids=[c.case_id for c, _s in CASES]
+)
+def test_walkthrough_case(spark, case, skip):
+    if skip:
+        pytest.skip(skip)
+    ok, detail = run_walkthrough_case(spark, case)
+    assert ok, f"{case.case_id}: {detail}"

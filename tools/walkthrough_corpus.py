@@ -1,0 +1,156 @@
+"""The reference's Bloblang WALKTHROUGH (website/docs/guides/bloblang/
+walkthrough.md) as an end-to-end corpus: the tutorial alternates an
+input document, a mapping, and the editor's output panel — a state
+machine over the fenced blocks recovers (input, mapping, output)
+triples, which then run through BOTH engines via tools/doc_corpus's
+run_case (the same differential the methods/functions corpus uses).
+
+Block rules: a ```coffee block is the pending mapping; a ```json block
+AFTER a pending mapping is its expected output; a ```json block with
+no pending mapping replaces the CURRENT INPUT (the "change your input
+to" narrative); the initial input is the editor default
+{"message":"hello world"} stated in prose. Mappings that call
+nondeterministic functions (uuid_v4 etc.) are skipped with a reason.
+
+RETRIEVED PUBLIC CONTENT: the walkthrough is used as expected-value
+data only.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from doc_corpus import DocCase  # noqa: E402
+
+WALKTHROUGH = (
+    "/root/reference/website/docs/guides/bloblang/walkthrough.md"
+)
+
+_NONDET = ("uuid_v4", "now()", "random_int", "hostname()", "env(")
+
+
+def _classify_json(prose: str) -> str:
+    """input vs output by the LAST keyword in the prose that introduces
+    the block ("change your input to" / "the output should look like")."""
+    tail = prose[-160:].lower()
+    ipos = tail.rfind("input")
+    opos = max(tail.rfind("output"), tail.rfind("result"),
+               tail.rfind("included in the"))
+    return "input" if ipos > opos else "output"
+
+
+def extract_walkthrough() -> list[tuple[DocCase, str | None]]:
+    """-> [(case, skip_reason_or_None)] in tutorial order. Cases whose
+    section shows no output panel are DIFFERENTIAL-ONLY (out_text
+    None-sentinel "<differential>"): both engines must agree."""
+    txt = open(WALKTHROUGH, encoding="utf-8").read()
+    parts = re.split(r"```(\w*)\n(.*?)```", txt, flags=re.S)
+    cur_input = '{"message":"hello world"}'
+    pending: str | None = None
+    out: list[tuple[DocCase, str | None]] = []
+    idx = 0
+
+    def emit(mapping: str, out_text: str):
+        nonlocal idx
+        case = DocCase(
+            source_file=WALKTHROUGH,
+            section="walkthrough",
+            mapping=mapping,
+            in_text=cur_input,
+            out_text=out_text,
+            index=idx,
+        )
+        skip = None
+        for tok in _NONDET:
+            if tok in mapping:
+                skip = f"nondeterministic function {tok}"
+                break
+        out.append((case, skip))
+        idx += 1
+
+    for i in range(1, len(parts), 3):
+        kind, body = parts[i], parts[i + 1].strip()
+        prose = parts[i - 1]
+        if kind == "coffee":
+            if pending is not None:
+                # the previous mapping's section showed no output
+                # panel: keep it as a differential case
+                emit(pending, "<differential>")
+            pending = body
+            continue
+        if kind != "json":
+            continue
+        try:
+            json.loads(body)
+        except ValueError:
+            continue  # annotated multi-doc sample blocks
+        if _classify_json(prose) == "input":
+            if pending is not None:
+                emit(pending, "<differential>")
+                pending = None
+            cur_input = body
+        elif pending is not None:
+            emit(pending, body)
+            pending = None
+    if pending is not None:
+        emit(pending, "<differential>")
+    return out
+
+
+def run_walkthrough_case(spark, case: DocCase) -> tuple[bool, str]:
+    """Exact cases compare each engine to the doc's output panel;
+    differential cases compare the engines to each other (same output
+    text OR same per-message error)."""
+    from doc_corpus import out_matches, run_case, run_compiled, run_interpreted
+
+    if case.out_text != "<differential>":
+        for engine in ("compiled", "interpreted"):
+            ok, detail = run_case(spark, case, engine)
+            if not ok:
+                return False, f"[{engine}] {detail}"
+        return True, ""
+    try:
+        got_c, err_c = run_compiled(spark, case)
+    except Exception as ex:  # noqa: BLE001
+        got_c, err_c = None, f"BUILD: {type(ex).__name__}"
+    try:
+        got_i, err_i = run_interpreted(case)
+    except Exception as ex:  # noqa: BLE001
+        got_i, err_i = None, f"BUILD: {type(ex).__name__}"
+    if (err_c is None) != (err_i is None):
+        return False, (
+            f"error divergence: compiled={err_c!r} interp={err_i!r} "
+            f"(compiled value {got_c!r}, interp value {got_i!r})"
+        )
+    if err_c is not None:
+        return True, "both engines error (per-message)"
+    if got_c is None and got_i is None:
+        return True, "both deleted"
+    if got_c is None or got_i is None:
+        return False, f"deletion divergence: {got_c!r} vs {got_i!r}"
+    if out_matches(got_i, got_c):
+        return True, ""
+    return False, f"value divergence: compiled {got_c!r} vs interp {got_i!r}"
+
+
+if __name__ == "__main__":
+    from bento_spark.session import get_spark
+
+    spark = get_spark("walkthrough")
+    npass = nfail = 0
+    for case, skip in extract_walkthrough():
+        if skip:
+            print(f"SKIP  {case.case_id}: {skip}")
+            continue
+        ok, detail = run_walkthrough_case(spark, case)
+        tag = "exact" if case.out_text != "<differential>" else "diff"
+        print(("PASS " if ok else "FAIL "),
+              f"{case.case_id} [{tag}]", detail[:200])
+        npass += ok
+        nfail += not ok
+    print(f"{npass} pass, {nfail} fail")
