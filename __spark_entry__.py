@@ -43,13 +43,11 @@ _PRIORITY = [
     # both re-checked row-level below the fold)
     "text_bpe_tokenize",
     "text_quality_classifier",
-    # windows / streaming semantics (incl. the REAL checkpoint-restart
-    # Structured Streaming run; window_sliding_hour demoted r10 after
-    # five green rounds — tumbling + the promoted late-data/stateful
-    # rows carry the family)
+    # windows / streaming semantics (window_sliding_hour demoted r10;
+    # r11 rotation: recovery/kafka-wire (green since r6) and the r10
+    # late-data/stateful promotions (green first exposure) rotate below
+    # the fold — tumbling keeps the family's slot)
     "window_tumbling_hour",
-    "stream_recovery_window", "stream_kafka_wire",
-    "stream_late_data_drop", "stream_stateful_totals",
     # multimodal (gauntlet carries image+audio+frames; the frame-sample
     # single promoted r6 per the rotation ask, y4m demoted after its
     # r5 driver-green round)
@@ -76,7 +74,6 @@ _PRIORITY = [
     # demoted r10 after long green streaks — asof/top_k/q1/relational_
     # gauntlet keep both families above the fold)
     "asof_join_last_login", "top_k_per_group",
-    "percentiles_value",
     # bloblang (§2.2; the stdlib breadth rows ride below the fold;
     # geoip demoted r9 after four driver-green rounds — the crypto
     # gauntlet takes the slot)
@@ -94,27 +91,36 @@ _PRIORITY = [
     # relational breadth: 24 members — ALL 22 TPC-H query shapes +
     # pivot/percentiles/set-ops — certified in one slot
     "relational_gauntlet",
-    # r10 rotation: the r9 promotions (proc_branch_enrich,
-    # proc_http_enrich, proc_javascript, pipeline_template,
-    # pipeline_metrics, dedup_span_windows, mm_jpeg_features,
-    # bloblang_crypto_gauntlet) went driver-green and rotate below the
-    # fold; never-driver-seen rows take the slots — the bloblang stdlib
-    # breadth pair, grok, full json_schema, audio/video multimodal,
-    # PII redaction, and this round's jmespath expref surface
-    "bloblang_stdlib2", "bloblang_stdlib3",
+    # bloblang_stdlib3 STAYS above the fold: the one r10 red row (the
+    # VARIANT claims column crashed the driver's checker) — re-promoted
+    # to prove the to_json serialization fix at the driver
+    "bloblang_stdlib3",
+    # r11 rotation: the r10 promotions (stdlib2, grok,
+    # json_schema_full, audio/video multimodal, pii_redact,
+    # jmespath_sortby, seq_join_sharded, late-data/stateful streaming,
+    # percentiles) went driver-green on first exposure and rotate below
+    # the fold; never-driver-seen rows take the slots — the codec
+    # roundtrip singles, the scanner families, three TPC-H singles, the
+    # kmeans mixture, and the streaming-yaml/error-retry pipelines
+    "proc_avro_roundtrip", "proc_protobuf_roundtrip", "xml_roundtrip",
+    "scan_re_match", "scan_gauntlet",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_value",
+    "kmeans_embedding_mixture",
+    "pipeline_yaml_stream", "pipeline_error_retry",
+    # NEW r11 surface, gate-proven same round: the encoding/csv-
+    # faithful csv scanner and the byte-stream scanner family
+    # (tar / decompress->lines / avro OCF through apply_scanner)
+    "scan_csv_quoted", "scan_binary_gauntlet",
+    # ---- below the fold: member singles of the gauntlets above plus
+    # variants of already-covered rows (row-level re-checked locally) ----
+    "stream_recovery_window", "stream_kafka_wire",
+    "stream_late_data_drop", "stream_stateful_totals",
+    "percentiles_value",
+    "bloblang_stdlib2",
     "proc_grok", "proc_json_schema_full",
     "mm_audio_features", "mm_video_y4m",
     "pii_redact",
-    # r10: go-jmespath v0.4.0 expref parity (sort_by/min_by/max_by/map/
-    # object projections/merge/to_array) and the sequence input's
-    # sharded_join (fragmented-dataset outer join) — fresh r10 work
     "proc_jmespath_sortby", "seq_join_sharded",
-    # ---- below the fold: member singles of the gauntlets above plus
-    # variants of already-covered rows (row-level re-checked locally) ----
-    "proc_avro_roundtrip", "proc_protobuf_roundtrip", "xml_roundtrip",
-    "scan_re_match",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_value",
-    "scan_gauntlet",
     "dedupe_within_window", "dedup_embedding_cosine",
     "decontaminate_overlap",
     "pack_sequences_contiguous", "quality_repetition_gopher",
@@ -122,9 +128,6 @@ _PRIORITY = [
     "text_token_stats", "text_language_id", "ann_brute_force_topk",
     "text_fingerprint_winnow",
     "window_session_user", "bloblang_geoip",
-    "kmeans_embedding_mixture",
-    "pipeline_yaml_stream",
-    "pipeline_error_retry",
     # r9 promotions + long-green r10 demotions, rotated below the fold
     # (proc_jq_reduce: driver-green r7-r9; proc_jq keeps the family)
     "proc_jq_reduce",

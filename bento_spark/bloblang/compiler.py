@@ -413,7 +413,19 @@ def compile_node(node: A.Node, env: Env) -> Column:
             # `|` recovers the left side's failure — drop any error
             # conditions it registered (same contract as catch())
             del env.error_sink[sink_mark:]
+        rmark = len(env.error_sink)
         right = compile_node(node.right, env)
+        # the reference evaluates boolean operands lazily
+        # (query/arithmetic.go short-circuit): errors the RHS registers
+        # only fire on rows where the RHS is actually evaluated
+        if node.op == "&&":
+            _gate_sink(env, rmark, F.coalesce(left, F.lit(False)))
+        elif node.op == "||":
+            _gate_sink(env, rmark, ~F.coalesce(left, F.lit(False)))
+        elif node.op == "|":
+            # coalesce pipe: the right side only evaluates when the
+            # left yielded nothing
+            _gate_sink(env, rmark, left.isNull())
         if node.op == "+":
             # Bloblang `+` concatenates strings (arithmetic.go); dispatch
             # on literal shape or the analyzed type, numeric otherwise
@@ -474,9 +486,16 @@ def compile_node(node: A.Node, env: Env) -> Column:
         return _binop(node.op, left, right)
     if isinstance(node, A.If):
         cond = compile_node(node.cond, env)
+        mark = len(env.error_sink)
         then = compile_node(node.then, env)
+        # branches evaluate lazily (mapping_parser.go if-expression):
+        # a `this.a + 1` inside an untaken branch must NOT error the row
+        _gate_sink(env, mark, F.coalesce(cond, F.lit(False)))
         if isinstance(node.orelse, A.Node):
-            return F.when(cond, then).otherwise(compile_node(node.orelse, env))
+            mark = len(env.error_sink)
+            orelse = compile_node(node.orelse, env)
+            _gate_sink(env, mark, ~F.coalesce(cond, F.lit(False)))
+            return F.when(cond, then).otherwise(orelse)
         return F.when(cond, then)
     if isinstance(node, A.Match):
         return _compile_match(node, env)
@@ -539,6 +558,35 @@ def _variant_binop(
         return _binop(op, left, right)
     if op not in cmp_ops and op not in ("+", "-", "*", "/", "%"):
         return None
+    if op in ("==", "!=") and lv != rv:
+        # equality against a KNOWN type: the reference's ICompare treats
+        # cross-family equality (number vs string...) as a mismatch —
+        # false for ==, true for != — never a coercion (ADVICE r10 #5:
+        # `this.a == "5"` must NOT match the number 5). Numbers compare
+        # numerically across int/float within the family.
+        var_col, other_t = (left, rt) if lv else (right, lt)
+        if other_t is not None and not isinstance(other_t, T.NullType):
+            s = F.schema_of_variant(var_col)
+            if isinstance(other_t, T.NumericType):
+                same = s.rlike(
+                    "^(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL)"
+                )
+            elif isinstance(other_t, T.StringType):
+                same = s == F.lit("STRING")
+            elif isinstance(other_t, T.BooleanType):
+                same = s == F.lit("BOOLEAN")
+            else:
+                same = None
+            if same is not None:
+                casted = F.try_variant_get(
+                    var_col, "$", other_t.simpleString()
+                )
+                eq = (
+                    casted.eqNullSafe(right) if lv else left.eqNullSafe(casted)
+                )
+                if op == "!=":
+                    return F.when(same, ~eq).otherwise(F.lit(True))
+                return F.when(same, eq).otherwise(F.lit(False))
     if lv and not rv and rt is not None and not isinstance(rt, T.NullType):
         return _binop(
             op, F.try_variant_get(left, "$", rt.simpleString()), right
@@ -563,6 +611,19 @@ def _variant_binop(
     return F.when(both_num, _binop(op, ln, rn)).otherwise(
         _binop(op, ls, rs)
     )
+
+
+def _gate_sink(env: Env, mark: int, taken: Column) -> None:
+    """Wrap error-sink entries registered past `mark` in the condition
+    under which their branch is actually EVALUATED. The reference's
+    interpreter walks if/match branches and boolean RHS lazily, so an
+    error-capable expression in an untaken branch raises nothing
+    (ADVICE r10 #1); sink entries are message columns that are null on
+    non-erroring rows, so F.when(taken, e) nulls them out exactly on
+    the rows where the branch never ran."""
+    new = env.error_sink[mark:]
+    if new:
+        env.error_sink[mark:] = [F.when(taken, e) for e in new]
 
 
 def _binop(op: str, left: Column, right: Column) -> Column:
@@ -609,17 +670,31 @@ def _compile_match(node: A.Match, env: Env) -> Column:
         var_types={"this": _ast_type(node.subject, env)} if subj is not None
         else None,
     )
+    # `prior` accumulates "an earlier case matched" so each case value's
+    # error-sink entries gate on the case actually being TAKEN (first
+    # match wins; branches evaluate lazily — see _gate_sink)
+    prior: Column | None = None
     for cond_node, value_node in node.cases:
         if cond_node is None:
             # the default branch sees the subject as `this` too
+            mark = len(env.error_sink)
             default = compile_node(value_node, senv)
+            if prior is not None:
+                _gate_sink(env, mark, ~prior)
             continue
         cenv = senv
         cond = compile_node(cond_node, cenv)
         # literal cases test equality against the subject
         if subj is not None and isinstance(cond_node, A.Lit):
             cond = subj == cond
-        whens.append((cond, compile_node(value_node, cenv)))
+        taken = F.coalesce(cond, F.lit(False))
+        if prior is not None:
+            taken = taken & ~prior
+        mark = len(env.error_sink)
+        value = compile_node(value_node, cenv)
+        _gate_sink(env, mark, taken)
+        prior = taken if prior is None else (prior | taken)
+        whens.append((cond, value))
     for i, (c, v) in enumerate(whens):
         expr = F.when(c, v) if expr is None else expr.when(c, v)
     if expr is None:
@@ -837,7 +912,16 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
     def lit_arg(i: int, what: str) -> object:
         if len(node.args) <= i:
             raise CompileError(f"{node.name}() takes a literal {what}")
-        if not isinstance(node.args[i], A.Lit):
+        a = node.args[i]
+        # constant-fold a negated numeric literal: `.from(-1)` parses
+        # as UnOp('-', Lit(1)) (cache.md's tail addressing)
+        if (
+            isinstance(a, A.UnOp) and a.op == "-"
+            and isinstance(a.operand, A.Lit)
+            and isinstance(a.operand.value, (int, float))
+        ):
+            return -a.operand.value
+        if not isinstance(a, A.Lit):
             # valid syntax with a per-message-dynamic argument: the
             # interpreter evaluates it per message (e.g.
             # this.body.bloblang(this.mapping))
@@ -845,7 +929,7 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
                 f"{node.name}() with a dynamic {what} routes to the "
                 "interpreter"
             )
-        return node.args[i].value
+        return a.value
 
     if node.name == "array":
         # wrap in an array unless already one (methods_structured.go)
@@ -1000,8 +1084,11 @@ def _compile_env_method(node: A.MethodCall, env: Env) -> Column:
             return F.coalesce(to_var(recv, rt), to_var(fallback, ft))
         return F.coalesce(recv, fallback)
     if node.name == "from":
-        idx = lit_arg(0, "batch index")
-        return F.element_at(_batch_list_env(recv, env), int(idx) + 1)
+        idx = int(lit_arg(0, "batch index"))
+        # negative indexes address from the END of the batch
+        # (message.go Batch.Get: index = len + index), which is exactly
+        # Spark element_at's negative-position semantics
+        return F.element_at(_batch_list_env(recv, env), idx + 1 if idx >= 0 else idx)
     if node.name == "from_all":
         return _batch_list_env(recv, env)
     if node.name == "bloblang":

@@ -167,3 +167,192 @@ def switch_scanner(
         res = scan(part)
         out = res if out is None else out.unionByName(res, allowMissingColumns=True)
     return out
+
+
+def _go_csv_records(text: str, comma: str, lazy: bool):
+    """Incremental RFC-4180 record reader replicating Go encoding/csv
+    (scanner_csv.go wraps csv.NewReader): yields (fields, err) per
+    record. Blank lines are skipped, \r\n normalizes to \n, `""`
+    escapes a quote inside a quoted field; non-lazy mode errors on a
+    bare quote in an unquoted field or a stray quote in a quoted one
+    (LazyQuotes=false), lazy mode keeps them literally."""
+    i, n = 0, len(text)
+    line = 1
+    while i < n:
+        # skip blank lines between records
+        if text[i] == "\n":
+            i += 1
+            line += 1
+            continue
+        if text.startswith("\r\n", i):
+            i += 2
+            line += 1
+            continue
+        fields: list[str] = []
+        err = None
+        start_line = line
+        while True:  # one field per iteration
+            if i < n and text[i] == '"':
+                # quoted field
+                i += 1
+                buf = []
+                while True:
+                    if i >= n:
+                        if not lazy:
+                            err = (
+                                f'parse error on line {line}: '
+                                'extraneous or missing " in quoted-field'
+                            )
+                        break
+                    c = text[i]
+                    if c == '"':
+                        if i + 1 < n and text[i + 1] == '"':
+                            buf.append('"')
+                            i += 2
+                            continue
+                        i += 1
+                        break
+                    if c == "\n" or text.startswith("\r\n", i):
+                        line += 1
+                    buf.append("\n" if text.startswith("\r\n", i) else c)
+                    i += 2 if text.startswith("\r\n", i) else 1
+                # after closing quote: expect comma / EOL / EOF
+                if i < n and text[i] not in (comma, "\n", "\r"):
+                    if lazy:
+                        # stray quote kept literally; continue the field
+                        buf.append('"')
+                        while i < n and text[i] not in (comma, "\n", "\r"):
+                            buf.append(text[i])
+                            i += 1
+                    elif err is None:
+                        err = (
+                            f'parse error on line {line}: '
+                            'extraneous or missing " in quoted-field'
+                        )
+                        while i < n and text[i] not in (comma, "\n", "\r"):
+                            i += 1
+                fields.append("".join(buf))
+            else:
+                j = i
+                while j < n and text[j] not in (comma, "\n", "\r"):
+                    j += 1
+                field = text[i:j]
+                if '"' in field and not lazy and err is None:
+                    err = (
+                        f'parse error on line {line}: '
+                        'bare " in non-quoted-field'
+                    )
+                fields.append(field)
+                i = j
+            if i < n and text[i] == comma:
+                i += 1
+                continue
+            # end of record
+            if i < n:
+                if text.startswith("\r\n", i):
+                    i += 2
+                elif text[i] in ("\n", "\r"):
+                    i += 1
+                line += 1
+            break
+        yield fields, err, start_line
+
+
+def csv_scan(df: DataFrame, col: str, conf: dict) -> DataFrame:
+    """``csv`` scanner (scanner_csv.go): frame whole-file text into one
+    message per row — an object keyed by the header row
+    (parse_header_row, default true) or a raw array of strings.
+    Supports custom_delimiter, lazy_quotes, continue_on_error,
+    expected_headers, expected_number_of_fields; adds the csv_row
+    metadata (0-based data-row index). Unknown config keys are
+    rejected loudly (ADVICE r10 #3 — never silently mis-parse).
+    Parse/field-count errors error the MESSAGE when continue_on_error,
+    else fail the scan like the reference's read error."""
+    known = {
+        "custom_delimiter", "parse_header_row", "lazy_quotes",
+        "continue_on_error", "expected_headers",
+        "expected_number_of_fields",
+    }
+    unknown = set(conf) - known
+    if unknown:
+        raise ValueError(f"csv scanner: unsupported config {sorted(unknown)}")
+    comma = conf.get("custom_delimiter") or ","
+    if len(comma) != 1:
+        raise ValueError("csv scanner: custom_delimiter must be one character")
+    header_row = bool(conf.get("parse_header_row", True))
+    lazy = bool(conf.get("lazy_quotes", False))
+    cont = bool(conf.get("continue_on_error", False))
+    expected_headers = list(conf.get("expected_headers") or [])
+    expected_n = int(conf.get("expected_number_of_fields") or 0)
+    if expected_headers and not header_row:
+        raise ValueError(
+            "csv scanner: expected_headers is set but parse_header_row "
+            "is false"
+        )
+
+    from bento_spark.operators.envelope import ERROR, META
+
+    other = [c for c in df.columns if c not in (col, ERROR)]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*other).schema.fields
+    )
+    schema += f", `{ERROR}` string, `{col}` string"
+
+    def run(batches):
+        for pdf in batches:
+            rows: dict = {c: [] for c in [*other, ERROR, col]}
+            for _, r in pdf.iterrows():
+                headers: list[str] | None = None
+                want = expected_n
+                row_idx = 0
+                for fields, err, _ln in _go_csv_records(
+                    str(r[col] or ""), comma, lazy
+                ):
+                    if err is not None and not cont:
+                        raise RuntimeError(f"csv scanner: {err}")
+                    if header_row and headers is None:
+                        if err is not None:
+                            raise RuntimeError(f"csv scanner: {err}")
+                        if expected_headers and fields != expected_headers:
+                            raise RuntimeError(
+                                "csv scanner: expected_headers don't "
+                                "match file contents"
+                            )
+                        headers = fields
+                        if want == 0:
+                            want = len(fields)
+                        continue
+                    if want == 0:
+                        want = len(fields)
+                    elif err is None and len(fields) != want:
+                        err = (
+                            f"record on line {_ln}: wrong number of fields"
+                        )
+                        if not cont:
+                            raise RuntimeError(f"csv scanner: {err}")
+                    if headers is not None:
+                        doc = json.dumps(
+                            {
+                                headers[k]: v
+                                for k, v in enumerate(fields)
+                                if k < len(headers)
+                            },
+                            sort_keys=True, separators=(",", ":"),
+                        )
+                    else:
+                        doc = json.dumps(
+                            fields, separators=(",", ":"),
+                        )
+                    for c in other:
+                        v = r[c]
+                        if c == META:
+                            v = dict(v or {})
+                            v["csv_row"] = str(row_idx)
+                        rows[c].append(v)
+                    rows[ERROR].append(err)
+                    rows[col].append(doc)
+                    row_idx += 1
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema)

@@ -285,41 +285,245 @@ function __civil_from_days(z,   era, doe, yoe, doy, mp) {
   __CD_Y = yoe + era * 400 + (__CD_M <= 2 ? 1 : 0)
   return 0
 }
-function timestamp_unix(dateStr, format,   y,mo,d,h,mi,s,off,rest,sign,oh,om) {
-  # getTime (processor.go:446-474): explicit Go layout or detection of
-  # the common layouts (RFC3339 w/ optional fraction + Z/offset,
-  # "2006-01-02T15:04:05", "2006-01-02 15:04:05", "2006-01-02")
-  if (match(dateStr, /^[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9]([T ][0-9][0-9]:[0-9][0-9]:[0-9][0-9](\.[0-9]+)?(Z|[+-][0-9][0-9]:?[0-9][0-9])?)?$/) == 0) {
-    print "failed to detect datetime format of: " dateStr | "cat 1>&2"
-    return 0
-  }
-  y = substr(dateStr, 1, 4) + 0
-  mo = substr(dateStr, 6, 2) + 0
-  d = substr(dateStr, 9, 2) + 0
-  h = mi = s = off = 0
-  if (length(dateStr) > 10) {
-    h = substr(dateStr, 12, 2) + 0
-    mi = substr(dateStr, 15, 2) + 0
-    s = substr(dateStr, 18, 2) + 0
-    rest = substr(dateStr, 20)
-    sub(/^\.[0-9]+/, "", rest)   # Unix() truncates fractions
-    if (rest != "" && rest != "Z") {
-      sign = (substr(rest, 1, 1) == "-") ? -1 : 1
-      oh = substr(rest, 2, 2) + 0
-      om = substr(rest, length(rest) - 1, 2) + 0
-      off = sign * (oh * 3600 + om * 60)
+function __p2dig(s, at,   v) {
+  # strict 2-digit numeric field (Go getnum fixed-width); -1 on mismatch
+  v = substr(s, at, 2)
+  if (v !~ /^[0-9][0-9]$/) return -1
+  return v + 0
+}
+function __go_parse(ds, fmt,   fi, di, fn, dn, c, v, w, sign, oh, om, j, pad) {
+  # Go-layout token parse (time.Parse semantics for the tokens the
+  # reference's getTime layouts + user `format` args use): fills
+  # __P_Y/MO/D/H/MI/S/OFF/FRAC, returns 0 on full match, 1 otherwise.
+  # Named zones (MST token) are consumed but treated as UTC — mawk has
+  # no tzdata; only non-UTC abbreviations diverge (documented).
+  __P_Y = 1970; __P_MO = 1; __P_D = 1
+  __P_H = 0; __P_MI = 0; __P_S = 0; __P_OFF = 0; __P_FRAC = ""
+  __P_PM = -1; __P_H12 = 0
+  fi = 1; di = 1; fn = length(fmt); dn = length(ds)
+  while (fi <= fn) {
+    if (substr(fmt, fi, 4) == "2006") {
+      v = substr(ds, di, 4)
+      if (v !~ /^[0-9][0-9][0-9][0-9]$/) return 1
+      __P_Y = v + 0; di += 4; fi += 4
+    } else if (substr(fmt, fi, 7) == "January") {
+      j = 0
+      split("January February March April May June July August September October November December", __FMON, " ")
+      for (w = 1; w <= 12; w++) {
+        if (substr(ds, di, length(__FMON[w])) == __FMON[w]) { j = w; break }
+      }
+      if (j == 0) return 1
+      __P_MO = j; di += length(__FMON[j]); fi += 7
+    } else if (substr(fmt, fi, 6) == "Monday") {
+      split("Wednesday Saturday Thursday Tuesday Monday Friday Sunday", __FDOW, " ")
+      j = 0
+      for (w = 1; w <= 7; w++) {
+        if (substr(ds, di, length(__FDOW[w])) == __FDOW[w]) { j = w; break }
+      }
+      if (j == 0) return 1
+      di += length(__FDOW[j]); fi += 6
+    } else if (substr(fmt, fi, 3) == "Jan") {
+      j = index("JanFebMarAprMayJunJulAugSepOctNovDec", substr(ds, di, 3))
+      if (j == 0 || (j - 1) % 3 != 0) return 1
+      __P_MO = (j + 2) / 3; di += 3; fi += 3
+    } else if (substr(fmt, fi, 3) == "Mon") {
+      j = index("MonTueWedThuFriSatSun", substr(ds, di, 3))
+      if (j == 0 || (j - 1) % 3 != 0) return 1
+      di += 3; fi += 3
+    } else if (substr(fmt, fi, 3) == "MST") {
+      w = 0
+      while (di + w <= dn && substr(ds, di + w, 1) ~ /[A-Za-z]/) w++
+      if (w < 2 || w > 5) return 1
+      di += w; fi += 3
+    } else if (substr(fmt, fi, 6) == "Z07:00" || substr(fmt, fi, 6) == "-07:00" ||
+               substr(fmt, fi, 5) == "Z0700" || substr(fmt, fi, 5) == "-0700" ||
+               substr(fmt, fi, 3) == "-07") {
+      if (substr(fmt, fi, 6) == "Z07:00") { w = 6; pad = "c" }
+      else if (substr(fmt, fi, 6) == "-07:00") { w = 6; pad = "c" }
+      else if (substr(fmt, fi, 5) == "Z0700") { w = 5; pad = "n" }
+      else if (substr(fmt, fi, 5) == "-0700") { w = 5; pad = "n" }
+      else { w = 3; pad = "h" }
+      c = substr(ds, di, 1)
+      if (substr(fmt, fi, 1) == "Z" && c == "Z") {
+        __P_OFF = 0; di += 1; fi += w
+      } else {
+        if (c != "+" && c != "-") return 1
+        sign = (c == "-") ? -1 : 1
+        oh = __p2dig(ds, di + 1)
+        if (oh < 0) return 1
+        if (pad == "c") {
+          if (substr(ds, di + 3, 1) != ":") return 1
+          om = __p2dig(ds, di + 4)
+          if (om < 0) return 1
+          di += 6
+        } else if (pad == "n") {
+          om = __p2dig(ds, di + 3)
+          if (om < 0) return 1
+          di += 5
+        } else { om = 0; di += 3 }
+        __P_OFF = sign * (oh * 3600 + om * 60)
+        fi += w
+      }
+    } else if (substr(fmt, fi, 2) == "_2") {
+      if (substr(ds, di, 1) == " ") {
+        v = substr(ds, di + 1, 1)
+        if (v !~ /^[0-9]$/) return 1
+        __P_D = v + 0; di += 2
+      } else {
+        __P_D = __p2dig(ds, di)
+        if (__P_D < 0) return 1
+        di += 2
+      }
+      fi += 2
+    } else if (substr(fmt, fi, 2) == "01") {
+      __P_MO = __p2dig(ds, di); if (__P_MO < 0) return 1
+      di += 2; fi += 2
+    } else if (substr(fmt, fi, 2) == "02") {
+      __P_D = __p2dig(ds, di); if (__P_D < 0) return 1
+      di += 2; fi += 2
+    } else if (substr(fmt, fi, 2) == "15") {
+      __P_H = __p2dig(ds, di); if (__P_H < 0) return 1
+      di += 2; fi += 2
+    } else if (substr(fmt, fi, 2) == "03") {
+      __P_H = __p2dig(ds, di); if (__P_H < 0) return 1
+      __P_H12 = 1; di += 2; fi += 2
+    } else if (substr(fmt, fi, 2) == "04") {
+      __P_MI = __p2dig(ds, di); if (__P_MI < 0) return 1
+      di += 2; fi += 2
+    } else if (substr(fmt, fi, 2) == "05") {
+      __P_S = __p2dig(ds, di); if (__P_S < 0) return 1
+      di += 2; fi += 2
+      di = __eat_frac(ds, di, fmt, fi)
+    } else if (substr(fmt, fi, 2) == "06") {
+      v = __p2dig(ds, di); if (v < 0) return 1
+      __P_Y = (v >= 69) ? 1900 + v : 2000 + v
+      di += 2; fi += 2
+    } else if (substr(fmt, fi, 2) == "PM" || substr(fmt, fi, 2) == "pm") {
+      v = substr(ds, di, 2)
+      if (substr(fmt, fi, 2) == "pm") {
+        if (v == "pm") __P_PM = 1; else if (v == "am") __P_PM = 0; else return 1
+      } else {
+        if (v == "PM") __P_PM = 1; else if (v == "AM") __P_PM = 0; else return 1
+      }
+      di += 2; fi += 2
+    } else if (substr(fmt, fi, 1) == "." &&
+               (substr(fmt, fi + 1, 1) == "0" || substr(fmt, fi + 1, 1) == "9")) {
+      c = substr(fmt, fi + 1, 1)
+      w = 0
+      while (substr(fmt, fi + 1 + w, 1) == c) w++
+      if (c == "0") {
+        # exact digit count required
+        if (substr(ds, di, 1) != ".") return 1
+        v = substr(ds, di + 1, w)
+        if (v !~ /^[0-9]+$/ || length(v) != w) return 1
+        __P_FRAC = v; di += 1 + w
+      } else if (substr(ds, di, 1) == ".") {
+        # .999...: optional, greedy
+        j = 0
+        while (di + 1 + j <= dn && substr(ds, di + 1 + j, 1) ~ /[0-9]/) j++
+        if (j == 0) return 1
+        __P_FRAC = substr(ds, di + 1, j); di += 1 + j
+      }
+      fi += 1 + w
+    } else if (substr(fmt, fi, 1) == "1") {
+      di = __p12(ds, di); if (di < 0) return 1
+      __P_MO = __P12V; fi += 1
+    } else if (substr(fmt, fi, 1) == "2") {
+      di = __p12(ds, di); if (di < 0) return 1
+      __P_D = __P12V; fi += 1
+    } else if (substr(fmt, fi, 1) == "3") {
+      di = __p12(ds, di); if (di < 0) return 1
+      __P_H = __P12V; __P_H12 = 1; fi += 1
+    } else if (substr(fmt, fi, 1) == "4") {
+      di = __p12(ds, di); if (di < 0) return 1
+      __P_MI = __P12V; fi += 1
+    } else if (substr(fmt, fi, 1) == "5") {
+      di = __p12(ds, di); if (di < 0) return 1
+      __P_S = __P12V; fi += 1
+      di = __eat_frac(ds, di, fmt, fi)
+    } else {
+      if (substr(ds, di, 1) != substr(fmt, fi, 1)) return 1
+      di += 1; fi += 1
     }
   }
-  return __days_from_civil(y, mo, d) * 86400 + h*3600 + mi*60 + s - off
+  if (di != dn + 1) return 1   # trailing unconsumed input (Go: extra text)
+  # range validation (Go time.Parse "out of range" errors)
+  if (__P_MO < 1 || __P_MO > 12) return 1
+  if (__P_MO == 12)
+    w = __days_from_civil(__P_Y + 1, 1, 1) - __days_from_civil(__P_Y, 12, 1)
+  else
+    w = __days_from_civil(__P_Y, __P_MO + 1, 1) - __days_from_civil(__P_Y, __P_MO, 1)
+  if (__P_D < 1 || __P_D > w) return 1
+  if (__P_H12) { if (__P_H > 12) return 1 } else if (__P_H > 23) return 1
+  if (__P_MI > 59 || __P_S > 59) return 1
+  if (__P_H12) {
+    if (__P_PM == 1 && __P_H < 12) __P_H += 12
+    if (__P_PM == 0 && __P_H == 12) __P_H = 0
+  }
+  return 0
+}
+function __p12(ds, di,   v) {
+  # 1-2 digit numeric field (unpadded Go tokens); returns new di or -1
+  v = substr(ds, di, 1)
+  if (v !~ /^[0-9]$/) return -1
+  if (substr(ds, di + 1, 1) ~ /^[0-9]$/) {
+    __P12V = substr(ds, di, 2) + 0
+    return di + 2
+  }
+  __P12V = v + 0
+  return di + 1
+}
+function __eat_frac(ds, di, fmt, fi,   j) {
+  # Go time.Parse: an unanticipated fractional second directly after
+  # the seconds field is consumed even when the layout lacks .000/.999
+  if (substr(fmt, fi, 1) == "." &&
+      (substr(fmt, fi + 1, 1) == "0" || substr(fmt, fi + 1, 1) == "9"))
+    return di   # the layout declares its own fraction token
+  if (substr(ds, di, 1) != ".") return di
+  j = 0
+  while (substr(ds, di + 1 + j, 1) ~ /^[0-9]$/) j++
+  if (j == 0) return di
+  __P_FRAC = substr(ds, di + 1, j)
+  return di + 1 + j
+}
+function __parsed_epoch() {
+  return __days_from_civil(__P_Y, __P_MO, __P_D) * 86400 \
+    + __P_H * 3600 + __P_MI * 60 + __P_S - __P_OFF
+}
+function __go_detect(ds,   i, n) {
+  # getTime's no-format layout list, in order (processor.go:451-464)
+  n = split("Mon Jan 02 15:04:05 -0700 2006\tMon, 02 Jan 2006 15:04:05 -0700\tMon, 02 Jan 2006 15:04:05 MST\t2006-01-02T15:04:05Z07:00\t02 Jan 06 15:04 MST\t02 Jan 06 15:04 -0700\tMon, 2 Jan 2006 15:04:05 -0700\t2006-01-02T15:04:05MST\t2006-01-02T15:04:05\t2006-01-02 15:04:05\t2006-01-02T15:04:05Z0700\t2006-01-02", __GOLAYS, "\t")
+  for (i = 1; i <= n; i++) {
+    if (__go_parse(ds, __GOLAYS[i]) == 0) return 0
+  }
+  return 1
+}
+function __ts_fail(msg) {
+  # getTime error -> the reference errors the MESSAGE (Process() returns
+  # the exec error); surface it through the reserved meta key the
+  # Python side lifts into _error, and warn on stderr
+  if (!("__awk_error" in __meta)) __meta["__awk_error"] = msg
+  print msg | "cat 1>&2"
+  return 0
+}
+function timestamp_unix(dateStr, format) {
+  # getTime (processor.go:444-474): empty dateStr = NOW; explicit Go
+  # layout via the token parser; otherwise the reference's detection
+  # layout list. __NOW is stamped per awk launch (-v).
+  __P_FRAC = ""
+  if (dateStr == "") return __NOW + 0
+  if (format != "") {
+    if (__go_parse(dateStr, format) == 0) return __parsed_epoch()
+    return __ts_fail("failed to parse datetime '" dateStr "' with format '" format "'")
+  }
+  if (__go_detect(dateStr) == 0) return __parsed_epoch()
+  return __ts_fail("failed to detect datetime format of: " dateStr)
 }
 function timestamp_unix_nano(dateStr, format,   sec, frac) {
   # int64 ns exceeds awk's exact double range: return the DIGIT STRING
   # (sec * 1e9 + fraction), which json_set/print consume losslessly
   sec = timestamp_unix(dateStr, format)
-  frac = ""
-  if (match(dateStr, /\.[0-9]+/)) {
-    frac = substr(dateStr, RSTART + 1, RLENGTH - 1)
-  }
+  frac = __P_FRAC   # stamped by the parse; empty for NOW/failure
   while (length(frac) < 9) { frac = frac "0" }
   return sec substr(frac, 1, 9)
 }
@@ -566,7 +770,9 @@ def awk_bento_processor(
 
     from pyspark.sql import functions as F
 
-    from bento_spark.operators.envelope import META, data_cols, ensure_envelope
+    from bento_spark.operators.envelope import (
+        ERROR, META, data_cols, ensure_envelope,
+    )
 
     df = ensure_envelope(df)
     # the document's raw JSON: the content column, the lifted row's
@@ -615,8 +821,12 @@ def awk_bento_processor(
                 m_enc + "\x1d" + kv_enc + "\x1d"
                 + _awk_escape(doc.replace("\n", " "))
             )
+        import time as _time
+
         proc = _sp.run(
-            ["awk", full],
+            # __NOW backs the no-arg timestamp_unix() (getTime returns
+            # time.Now() for empty dateStr) — stamped once per launch
+            ["awk", "-v", f"__NOW={int(_time.time())}", full],
             input=("\n".join(lines) + "\n").encode(),
             stdout=_sp.PIPE, stderr=_sp.PIPE, timeout=timeout, check=False,
         )
@@ -654,11 +864,18 @@ def awk_bento_processor(
                     continue
                 ke, ve = pr.split("\x1f")
                 new_meta[_awk_unescape(ke)] = _awk_unescape(ve)
-            yield Row(**{
+            # builtins that error in the reference (getTime failures)
+            # error the MESSAGE there — lift the reserved key into the
+            # envelope's error column (first error wins)
+            awk_err = new_meta.pop("__awk_error", None)
+            fields = {
                 **{c: r[c] for c in other},
                 META: new_meta,
                 content_col: out_doc,
-            })
+            }
+            if awk_err is not None and fields.get(ERROR) is None:
+                fields[ERROR] = awk_err
+            yield Row(**fields)
 
     return df.sparkSession.createDataFrame(
         df.rdd.mapPartitions(run_partition), schema

@@ -1087,7 +1087,10 @@ root.tripled = {"n": this.doc_id}.bloblang("root = this.n * 3")
     out = plan.apply(docs, new_document=True)
     return out.select(
         "doc_id",
-        "claims",
+        # VARIANT outputs crash the driver's checker (unsortable
+        # VariantVal, CORRECTNESS_r10); serialize to canonical JSON —
+        # to_json(variant) renders space-free, matching the oracle.
+        F.to_json(F.col("claims")).alias("claims"),
         "xml_lang",
         "first_ta",
         F.col("set_b").cast("long").alias("set_b"),

@@ -365,3 +365,146 @@ def seq_join_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("orders_csv"),
     ).orderBy(F.col("id").cast("long"))
+
+
+@query(
+    "scan_csv_quoted",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < {_N}
+    )
+    SELECT doc_id, csv_row, part FROM (
+      SELECT doc_id, 0 AS csv_row,
+             '{{"a":"' || lang || ', x","b":"' || n_chars || '"}}' AS part
+      FROM src
+      UNION ALL
+      SELECT doc_id, 1 AS csv_row,
+             '{{"a":"q\\"q","b":"' || doc_id || '"}}' AS part
+      FROM src
+    ) ORDER BY doc_id, csv_row
+    """,
+)
+def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``csv`` scanner (scanner_csv.go, rebuilt round 11 on the Go
+    encoding/csv-faithful reader): header keying, QUOTED fields with
+    embedded commas and doubled quotes, csv_row metadata."""
+    from bento_spark.operators.envelope import META
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _N)
+    src = docs.select(
+        "doc_id",
+        F.format_string(
+            'a,b\n"%s, x",%s\n"q""q",%s\n',
+            F.col("lang"), F.col("n_chars").cast("string"),
+            F.col("doc_id").cast("string"),
+        ).alias("content"),
+        F.create_map().cast("map<string,string>").alias(META),
+    )
+    out = SC.csv_scan(src, "content", {})
+    return out.select(
+        "doc_id",
+        F.col(META)["csv_row"].cast("int").alias("csv_row"),
+        F.col("content").alias("part"),
+    ).orderBy("doc_id", "csv_row")
+
+
+@query(
+    "scan_binary_gauntlet",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, lang, n_chars,
+             string_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, fam, part FROM (
+      SELECT doc_id, 'tar' AS fam, 'm.txt:' || lang AS part FROM src
+      UNION ALL
+      SELECT doc_id, 'tar' AS fam, 't.txt:' || n_chars AS part FROM src
+      UNION ALL
+      SELECT doc_id, 'gz' AS fam, unnest(list_distinct(words)) AS part
+      FROM src
+      UNION ALL
+      SELECT doc_id, 'avro' AS fam,
+             '{{"chars":' || n_chars || ',"lang":"' || lang || '"}}' AS part
+      FROM src
+    ) WHERE part <> '' GROUP BY doc_id, fam, part
+    ORDER BY doc_id, fam, part
+    """,
+)
+def scan_binary_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-stream scanner family in one row (round 11): tar
+    (scanner_tar.go — entries become messages, tar_name metadata),
+    decompress{gzip}->lines (scanner_decompress.go child feed), and
+    avro OCF (avro/scanner.go) — all through the same apply_scanner
+    dispatch the file source uses, over binaries SYNTHESIZED in-plan
+    (tar_archive_col / compress_col / avro_ocf_encode_col), so the
+    oracle is pure DuckDB over documents."""
+    from bento_spark.operators.avro import avro_ocf_encode_col
+    from bento_spark.operators.codecs import compress_col, tar_archive_col
+    from bento_spark.operators.envelope import META
+    from bento_spark.sources import apply_scanner
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    meta = F.create_map().cast("map<string,string>").alias(META)
+
+    tar_src = docs.select(
+        "doc_id",
+        tar_archive_col(
+            F.array(F.lit("m.txt"), F.lit("t.txt")),
+            F.array(
+                F.col("lang").cast("binary"),
+                F.col("n_chars").cast("string").cast("binary"),
+            ),
+        ).alias("content"),
+        meta,
+    )
+    tar_out = apply_scanner(tar_src, "tar", {}).select(
+        "doc_id", F.lit("tar").alias("fam"),
+        F.concat(
+            F.col(META)["tar_name"], F.lit(":"), F.col("content")
+        ).alias("part"),
+    )
+
+    gz_src = docs.select(
+        "doc_id",
+        compress_col(
+            F.replace(F.col("text"), F.lit(" "), F.lit("\n")).cast("binary"),
+            "gzip",
+        ).alias("content"),
+        meta,
+    )
+    gz_out = apply_scanner(
+        gz_src, "decompress", {"algorithm": "gzip", "into": {"lines": {}}}
+    ).select(
+        "doc_id", F.lit("gz").alias("fam"), F.col("content").alias("part"),
+    ).filter(F.col("part") != "")
+
+    schema = {
+        "type": "record", "name": "D",
+        "fields": [
+            {"name": "chars", "type": "long"},
+            {"name": "lang", "type": "string"},
+        ],
+    }
+    avro_src = docs.select(
+        "doc_id",
+        avro_ocf_encode_col(
+            F.to_json(F.struct(
+                F.col("n_chars").cast("long").alias("chars"),
+                F.col("lang").alias("lang"),
+            )),
+            schema,
+        ).alias("content"),
+        meta,
+    )
+    avro_out = apply_scanner(avro_src, "avro", {}).select(
+        "doc_id", F.lit("avro").alias("fam"),
+        F.col("content").alias("part"),
+    )
+
+    return (
+        tar_out.unionByName(gz_out).unionByName(avro_out)
+        .groupBy("doc_id", "fam", "part").agg(F.lit(1).alias("__one"))
+        .select("doc_id", "fam", "part")
+        .orderBy("doc_id", "fam", "part")
+    )

@@ -125,10 +125,21 @@ def sharded_join_frames(
             doc = F.col("__raw")
         else:
             doc = F.to_json(F.struct(*[F.col(c) for c in dcols]))
+        # Ordering within a sub-input (ADVICE r10 #4): the reference
+        # reads each input strictly sequentially; here the fold sorts by
+        # (__seq, __file, __ord). __file pins rows to their source file
+        # (Spark packs splits size-descending, so monotonic ids alone
+        # do NOT follow file order); __ord preserves offset order within
+        # a file (a file's splits keep offset-ascending partition
+        # indices). Residual divergence: multiple files inside ONE
+        # sub-input sort lexically by path, not config-list order —
+        # only the replace/keep strategies on ids duplicated across
+        # those files can observe it.
         parts.append(df.select(
             doc.alias("__doc"),
             F.col(META).alias("__meta"),
             F.lit(i).alias("__seq"),
+            F.input_file_name().alias("__file"),
             F.monotonically_increasing_id().alias("__ord"),
         ))
     allp = parts[0]
@@ -141,7 +152,7 @@ def sharded_join_frames(
     def fold(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values(["__seq", "__ord"])
+        pdf = pdf.sort_values(["__seq", "__file", "__ord"])
         state: dict | None = None
         meta: dict = {}
         outs: list[tuple[str, dict]] = []

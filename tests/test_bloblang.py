@@ -108,6 +108,39 @@ def test_mapping_root_deleted(row_df):
     assert [r["id"] for r in out.collect()] == [2]
 
 
+def test_untaken_branch_registers_no_error(spark):
+    """Lazy branch evaluation (ADVICE r10 #1): error-capable
+    expressions inside an UNTAKEN if/match branch or a short-circuited
+    boolean RHS must not error the row; a TAKEN branch still does."""
+    df = spark.createDataFrame([(1, 5), (2, None)], "id long, a long")
+
+    plan = compile_mapping(
+        "root.x = if this.a != null { this.a + 1 } else { 0 }"
+    )
+    out = plan.apply(df).orderBy("id").collect()
+    assert [(r["x"], r["_error"]) for r in out] == [(6, None), (0, None)]
+
+    plan = compile_mapping(
+        'root.y = match { this.a != null => this.a * 2, _ => -1 }'
+    )
+    out = plan.apply(df).orderBy("id").collect()
+    assert [(r["y"], r["_error"]) for r in out] == [(10, None), (-1, None)]
+
+    plan = compile_mapping(
+        "root.z = this.a != null && this.a.not_null() == 5"
+    )
+    out = plan.apply(df).orderBy("id").collect()
+    assert [(r["z"], r["_error"]) for r in out] == [
+        (True, None), (False, None),
+    ]
+
+    # taken branch: the error still fires
+    plan = compile_mapping("root.w = if true { this.a + 1 } else { 0 }")
+    out = plan.apply(df).orderBy("id").collect()
+    assert out[0]["_error"] is None
+    assert out[1]["_error"] is not None
+
+
 def test_statement_ordering(row_df):
     # later statements see earlier assignments (executor.go:42-65)
     plan = compile_mapping(
@@ -299,3 +332,19 @@ def test_deletion_idioms_about_md(spark):
     want3 = {"a": {"b": {"d": 2}, "e": 5}}
     assert compiled(src3, doc3) == want3
     assert interpret_mapping(src3, json.dumps(doc3), {})[0] == want3
+
+
+def test_from_negative_index_tail_addressing(spark):
+    """cache.md's batch-dedup idiom: `.from(-1)` addresses the LAST
+    message of the batch (message.go Batch.Get wraps negatives), and
+    `.from(0)` the first — exact under the __idx batch window."""
+    df = spark.createDataFrame(
+        [(0, '{"id":"a","tail":"t0"}'), (1, '{"id":"b","tail":"t1"}'),
+         (2, '{"id":"c","tail":"t2"}')],
+        "__idx long, content string",
+    ).coalesce(1)
+    plan = compile_mapping(
+        'root.key = json("id").from(0) + json("tail").from(-1)'
+    )
+    out = plan.apply(df).orderBy("__idx").collect()
+    assert [r["key"] for r in out] == ["at2", "at2", "at2"]

@@ -282,6 +282,52 @@ def test_awk_dialect_nested_paths_and_timestamps(spark):
     assert doc["tags"] == ["a", "b"]
 
 
+def test_awk_timestamp_go_layouts(spark):
+    """getTime parity (processor.go:444-474, ADVICE r10 #2): explicit
+    Go-layout `format` args parse token-by-token, the no-format path
+    tries the reference's detection layout list (RubyDate, RFC1123...),
+    dateStr=="" returns the current time, and an unparseable input
+    errors the MESSAGE (not a stderr-warn-and-return-0)."""
+    import json
+    import time
+
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    df = spark.createDataFrame(
+        [('{"clf":"10/Nov/2009:23:00:00 +0000",'
+          '"ruby":"Tue Nov 10 23:00:00 -0500 2009",'
+          '"rfc1123":"Tue, 10 Nov 2009 23:00:00 GMT"}',)],
+        "content string",
+    )
+    out = PROCESSORS["awk"](df, {
+        "codec": "none",
+        "program": (
+            '{\n'
+            '  json_set_int("t_fmt", timestamp_unix(json_get("clf"),'
+            ' "02/Jan/2006:15:04:05 -0700"));\n'
+            '  json_set_int("t_ruby", timestamp_unix(json_get("ruby")));\n'
+            '  json_set_int("t_1123", timestamp_unix(json_get("rfc1123")));\n'
+            '  json_set_int("t_now", timestamp_unix(""));\n'
+            '}'
+        ),
+    })
+    row = out.first()
+    doc = json.loads(row["content"])
+    assert doc["t_fmt"] == 1257894000
+    assert doc["t_ruby"] == 1257912000   # -0500 offset applied
+    assert doc["t_1123"] == 1257894000
+    assert abs(doc["t_now"] - time.time()) < 300
+    assert row["_error"] is None
+
+    bad = PROCESSORS["awk"](df, {
+        "codec": "none",
+        "program": '{ json_set_int("t", timestamp_unix("garbage")); }',
+    })
+    brow = bad.first()
+    assert "failed to detect datetime format" in (brow["_error"] or "")
+    assert json.loads(brow["content"])["t"] == 0
+
+
 def test_json_schema_doc_chain_drops_invalid(spark):
     """json_schema.md's documented error-handling chain: validate
     against the Person schema, catch failures, log, and drop — valid

@@ -42,6 +42,31 @@ def test_no_decimal_output(spark, name):
     )
 
 
+# VariantType is the round-10 incident (bloblang_stdlib3): the driver's
+# checker sorts output values and VariantVal defines no ordering, so ANY
+# variant column (even nested inside array/map/struct) crashes the gate.
+# Same class: CalendarIntervalType / YearMonth/DayTime intervals and raw
+# binary-in-struct are fine (orderable), but variant never is.
+_UNSORTABLE = ("variant",)
+
+
+@pytest.mark.parametrize("name", _all_queries())
+def test_no_unsortable_output(spark, name):
+    from bento_spark.queries import QUERIES
+
+    df = QUERIES[name](spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if any(t in f.dataType.simpleString() for t in _UNSORTABLE)
+    ]
+    assert not bad, (
+        f"query {name!r} emits driver-unsortable columns {bad} "
+        f"(types containing {_UNSORTABLE}): serialize with to_json() / "
+        ".string() before the final select"
+    )
+
+
 # --- Oracle-side dual of the above (VERDICT r3 #1/#2): the driver
 # materializes oracle results via Arrow, where DuckDB HUGEINT (e.g. any
 # windowed sum(BIGINT) arithmetic) surfaces as decimal128(38,0) and gets

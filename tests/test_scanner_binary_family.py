@@ -1,0 +1,99 @@
+"""The byte-stream scanner family through the `file` source:
+tar (scanner_tar.go), decompress {algorithm, into} (scanner_
+decompress.go), avro OCF (avro/scanner.go), switch {re_match_name}
+(scanner_switch.go) — the last 4 of the 12 documented scanners to get
+real file-source dispatch (round 11; previously name-registered only)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import os
+import tarfile
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("scanfam"))
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("a.txt", b"hello"), ("sub/b.txt", b"world")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    with open(os.path.join(d, "x.tar"), "wb") as fh:
+        fh.write(buf.getvalue())
+    with open(os.path.join(d, "y.gz"), "wb") as fh:
+        fh.write(gzip.compress(b"l1\nl2\nl3\n"))
+    from bento_spark.operators.avro import ocf_encode
+
+    schema = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "n", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    with open(os.path.join(d, "z.avro"), "wb") as fh:
+        fh.write(ocf_encode([{"n": 1, "s": "x"}, {"n": 2, "s": "y"}], schema))
+    return d
+
+
+def test_tar_scanner(spark, fixture_dir):
+    from bento_spark.sources import build_source
+
+    df, _ = build_source(spark, "file", {
+        "paths": [os.path.join(fixture_dir, "x.tar")],
+        "scanner": {"tar": {}},
+    })
+    got = sorted(
+        (r["content"], dict(r["_metadata"])["tar_name"]) for r in df.collect()
+    )
+    assert got == [("hello", "a.txt"), ("world", "sub/b.txt")]
+
+
+def test_decompress_into_lines(spark, fixture_dir):
+    from bento_spark.sources import build_source
+
+    df, _ = build_source(spark, "file", {
+        "paths": [os.path.join(fixture_dir, "y.gz")],
+        "scanner": {"decompress": {
+            "algorithm": "gzip", "into": {"lines": {}},
+        }},
+    })
+    assert sorted(r["content"] for r in df.collect()) == ["l1", "l2", "l3"]
+
+
+def test_avro_ocf_scanner(spark, fixture_dir):
+    from bento_spark.sources import build_source
+
+    df, _ = build_source(spark, "file", {
+        "paths": [os.path.join(fixture_dir, "z.avro")],
+        "scanner": {"avro": {}},
+    })
+    docs = sorted(json.loads(r["content"])["n"] for r in df.collect())
+    assert docs == [1, 2]
+
+
+def test_switch_scanner_by_extension(spark, fixture_dir):
+    """The scanner_switch.go doc example shape: route by filename."""
+    from bento_spark.sources import build_source
+
+    df, _ = build_source(spark, "file", {
+        "paths": [fixture_dir],
+        "scanner": {"switch": [
+            {"re_match_name": r"\.avro$", "scanner": {"avro": {}}},
+            {"re_match_name": r"\.tar$", "scanner": {"tar": {}}},
+            {"re_match_name": r"\.gz$", "scanner": {"decompress": {
+                "algorithm": "gzip", "into": {"lines": {}},
+            }}},
+        ]},
+    })
+    got = sorted(r["content"] for r in df.collect())
+    assert got == [
+        "hello", "l1", "l2", "l3", "world",
+        '{"n":1,"s":"x"}', '{"n":2,"s":"y"}',
+    ]

@@ -82,3 +82,29 @@ def test_roundtrip_through_json_read(spark):
     row = spark.read.schema(schema).json(rdd).collect()[0]
     assert row["mixed"].toPython() == [1, "a", 2]
     assert row["plain"] == [1, 2]
+
+
+def test_variant_equality_is_type_strict(spark):
+    """ICompare parity (ADVICE r10 #5): equality of a VARIANT value
+    against a known-typed literal is a TYPE MISMATCH across families
+    (number vs string -> false, != -> true), never a coercion; numbers
+    still compare numerically across int/float."""
+    from bento_spark.bloblang import compile_mapping
+
+    df = spark.createDataFrame(
+        [('{"a": 5}',), ('{"a": "5"}',), ('{"a": 5.0}',), ('{"a": null}',)],
+        "content string",
+    )
+    plan = compile_mapping(
+        'root.eq_s = this.a == "5"\n'
+        'root.ne_s = this.a != "5"\n'
+        'root.eq_n = this.a == 5\n'
+    )
+    rows = {
+        r["content"]: (r["eq_s"], r["ne_s"], r["eq_n"])
+        for r in plan.apply(df).collect()
+    }
+    assert rows['{"a": 5}'] == (False, True, True)
+    assert rows['{"a": "5"}'] == (True, False, False)
+    assert rows['{"a": 5.0}'] == (False, True, True)
+    assert rows['{"a": null}'] == (False, True, False)

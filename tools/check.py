@@ -57,7 +57,15 @@ def canon(v, duck: bool = False):
         return tuple(canon(x, duck) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, canon(x, duck)) for k, x in v.items()))
-    return str(v)
+    # Fail LOUDLY on anything unrecognized (VERDICT r10 #2): str(v) here
+    # silently coerced VariantVal that the driver's checker crashes on,
+    # masking the bloblang_stdlib3 red. A replica stricter than the
+    # driver on values must be at-least-as-strict on types.
+    raise TypeError(
+        f"canon(): unhandled output value type {type(v).__name__} ({v!r}); "
+        "the driver's checker cannot sort this — serialize it in the query "
+        "(to_json/.string()) instead of relying on str() coercion"
+    )
 
 
 def rows_canon(cols, rows, duck: bool = False):
