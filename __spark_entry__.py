@@ -44,10 +44,12 @@ _PRIORITY = [
     "text_bpe_tokenize",
     "text_quality_classifier",
     # windows / streaming semantics (window_sliding_hour demoted r10;
-    # r11 rotation: recovery/kafka-wire (green since r6) and the r10
-    # late-data/stateful promotions (green first exposure) rotate below
-    # the fold — tumbling keeps the family's slot)
+    # r11 rotation: the r10 late-data/stateful promotions, green on
+    # first exposure, rotate below the fold — tumbling plus the REAL
+    # streaming machinery flagships (checkpoint-restart recovery,
+    # kafka wire) keep the family's driver-hash coverage)
     "window_tumbling_hour",
+    "stream_recovery_window", "stream_kafka_wire",
     # multimodal (gauntlet carries image+audio+frames; the frame-sample
     # single promoted r6 per the rotation ask, y4m demoted after its
     # r5 driver-green round)
@@ -104,7 +106,7 @@ _PRIORITY = [
     # kmeans mixture, and the streaming-yaml/error-retry pipelines
     "proc_avro_roundtrip", "proc_protobuf_roundtrip", "xml_roundtrip",
     "scan_re_match", "scan_gauntlet",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_value",
+    "q2_min_cost_supplier",
     "kmeans_embedding_mixture",
     "pipeline_yaml_stream", "pipeline_error_retry",
     # NEW r11 surface, gate-proven same round: the encoding/csv-
@@ -113,7 +115,7 @@ _PRIORITY = [
     "scan_csv_quoted", "scan_binary_gauntlet",
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
-    "stream_recovery_window", "stream_kafka_wire",
+    "q9_product_profit", "q11_important_value",
     "stream_late_data_drop", "stream_stateful_totals",
     "percentiles_value",
     "bloblang_stdlib2",

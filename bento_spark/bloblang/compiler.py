@@ -473,13 +473,42 @@ def compile_node(node: A.Node, env: Env) -> Column:
             # interpreter's InterpError (walkthrough error-handling
             # section). Non-null rows see a false condition, nothing
             # else changes.
-            env.error_sink.append(F.when(
-                left.isNull() | right.isNull(),
-                F.lit(
-                    f"failed assignment (line 1): cannot {node.op} "
-                    f"types null and null"
-                ),
-            ))
+            #
+            # The condition checks only operands that are NOT
+            # themselves arithmetic BinOps: an arithmetic child is
+            # null iff one of ITS operands is, and it registered its
+            # own (deeper, earlier-coalesced = reference evaluation
+            # order) entry. Embedding `left.isNull()` for a nested
+            # arithmetic left would copy the whole subtree into the
+            # error column — nested expressions then grow the plan
+            # quadratically and stall Catalyst's subexpression
+            # elimination (the differential corpus measured minutes
+            # per mapping). Literals are never null and are skipped.
+            def _nullable_operand(ast_node, col):
+                if isinstance(ast_node, A.Lit):
+                    return None
+                if isinstance(ast_node, A.BinOp) and ast_node.op in (
+                    "+", "-", "*", "/", "%"
+                ):
+                    return None  # covered by its own sink entry
+                return col.isNull()
+            parts = [
+                p for p in (
+                    _nullable_operand(node.left, left),
+                    _nullable_operand(node.right, right),
+                ) if p is not None
+            ]
+            if parts:
+                cond = parts[0]
+                for p in parts[1:]:
+                    cond = cond | p
+                env.error_sink.append(F.when(
+                    cond,
+                    F.lit(
+                        f"failed assignment (line 1): cannot {node.op} "
+                        f"types null and null"
+                    ),
+                ))
         out = _variant_binop(node.op, left, right, env)
         if out is not None:
             return out
@@ -620,10 +649,17 @@ def _gate_sink(env: Env, mark: int, taken: Column) -> None:
     error-capable expression in an untaken branch raises nothing
     (ADVICE r10 #1); sink entries are message columns that are null on
     non-erroring rows, so F.when(taken, e) nulls them out exactly on
-    the rows where the branch never ran."""
+    the rows where the branch never ran. The branch's entries are first
+    MERGED into one coalesce (identical to how apply() later combines
+    the whole sink — first non-null message wins), so the branch
+    condition's expression tree is embedded ONCE per branch, not once
+    per entry: nested branches over error-capable arithmetic otherwise
+    multiply plan size enough to stall Catalyst's subexpression
+    elimination (measured on the differential corpus)."""
     new = env.error_sink[mark:]
     if new:
-        env.error_sink[mark:] = [F.when(taken, e) for e in new]
+        merged = new[0] if len(new) == 1 else F.coalesce(*new)
+        env.error_sink[mark:] = [F.when(taken, merged)]
 
 
 def _binop(op: str, left: Column, right: Column) -> Column:
@@ -670,17 +706,22 @@ def _compile_match(node: A.Match, env: Env) -> Column:
         var_types={"this": _ast_type(node.subject, env)} if subj is not None
         else None,
     )
-    # `prior` accumulates "an earlier case matched" so each case value's
-    # error-sink entries gate on the case actually being TAKEN (first
-    # match wins; branches evaluate lazily — see _gate_sink)
-    prior: Column | None = None
+    # each case value's error-sink entries gate on the case actually
+    # being TAKEN (first match wins; branches evaluate lazily — see
+    # _gate_sink). The gate is a FLAT conjunction over the raw case
+    # conditions — never the accumulated gate itself, which would nest
+    # exponentially (each taken embedding the previous ~prior chain).
+    raw_conds: list[Column] = []
     for cond_node, value_node in node.cases:
         if cond_node is None:
             # the default branch sees the subject as `this` too
             mark = len(env.error_sink)
             default = compile_node(value_node, senv)
-            if prior is not None:
-                _gate_sink(env, mark, ~prior)
+            if raw_conds:
+                none_prior = ~raw_conds[0]
+                for pc in raw_conds[1:]:
+                    none_prior = none_prior & ~pc
+                _gate_sink(env, mark, none_prior)
             continue
         cenv = senv
         cond = compile_node(cond_node, cenv)
@@ -688,12 +729,12 @@ def _compile_match(node: A.Match, env: Env) -> Column:
         if subj is not None and isinstance(cond_node, A.Lit):
             cond = subj == cond
         taken = F.coalesce(cond, F.lit(False))
-        if prior is not None:
-            taken = taken & ~prior
+        for pc in raw_conds:
+            taken = taken & ~pc
         mark = len(env.error_sink)
         value = compile_node(value_node, cenv)
         _gate_sink(env, mark, taken)
-        prior = taken if prior is None else (prior | taken)
+        raw_conds.append(F.coalesce(cond, F.lit(False)))
         whens.append((cond, value))
     for i, (c, v) in enumerate(whens):
         expr = F.when(c, v) if expr is None else expr.when(c, v)

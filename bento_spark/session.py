@@ -51,6 +51,18 @@ def get_spark(app_name: str = "bento_spark", cpus: int | None = None) -> SparkSe
         # default code cache (~240 MB) fills and disables the JIT, which
         # silently 5-10x-es late queries — give it headroom
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # Catalyst's EquivalentExpressions walk is super-linear on the
+        # nested-CaseWhen/coalesce shapes compiled Bloblang conditionals
+        # produce: ~20 nested-if fields took 77s of driver-side analysis
+        # (5.5s without), growing ~2x per added field — a mapping with a
+        # few dozen conditional fields simply never planned. A/B on the
+        # heaviest relational/dedup plans at sf0.1 shows no measurable
+        # win from CSE (18.3-19.2s both ways), so the engine default is
+        # OFF; override via SPARK_GRAFT_SUBEXPR_ELIM=true.
+        .config(
+            "spark.sql.subexpressionElimination.enabled",
+            os.environ.get("SPARK_GRAFT_SUBEXPR_ELIM", "false"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -474,10 +474,19 @@ def _sequence(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     jtype = sj.get("type", "none")
     raw_dfs = []
     for sub in subs:
+        sub = dict(sub)
+        sub.pop("label", None)
+        # per-sub-input processors (the sequence.md "Joining Data
+        # (Advanced)" shape: a mapping flattens ndjson before the join)
+        procs = sub.pop("processors", None) or []
         (name, sconf), = sub.items()
         df, s = build_source(spark, name, sconf)
         if s:
             raise ValueError("sequence input is batch-only")
+        if procs:
+            from bento_spark.plans.pipeline import _apply_children
+
+            df = _apply_children(df, procs, "sequence input")
         raw_dfs.append(df)
     if jtype != "none":
         from bento_spark.sources.seqjoin import sharded_join_frames

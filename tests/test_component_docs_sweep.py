@@ -40,8 +40,14 @@ KNOWN_STALE = {
     "outputs": {"s3"},  # output_switch.go:141 example, pre-aws_s3 name
 }
 
-# measured round 11; fail LOUDLY if the corpus changes upstream
-BLOCK_PINS = {"inputs": 411, "outputs": 673, "scanners": 18}
+# measured round 11; fail LOUDLY if the corpus changes upstream.
+# caches/buffers/rate_limits/metrics/tracers ride the same parse pin
+# (their NAME universes are already pinned by test_inventory_pins).
+BLOCK_PINS = {
+    "inputs": 411, "outputs": 673, "scanners": 18,
+    "caches": 75, "buffers": 16, "rate_limits": 12,
+    "metrics": 22, "tracers": 14,
+}
 
 
 def _yaml_blocks(family: str):

@@ -12,8 +12,9 @@ import __spark_entry__ as entry
 MUST_BE_TOP50 = [
     "q1_pricing_summary", "relational_gauntlet",
     # window_sliding_hour rotated below the fold r10 (5 green rounds);
-    # tumbling + the promoted stateful/late-data rows carry the family
-    "window_tumbling_hour", "stream_stateful_totals",
+    # stateful/late-data (r10 promotions, green) rotated r11 — tumbling
+    # plus the streaming machinery flagships carry the family
+    "window_tumbling_hour",
     "stream_recovery_window", "stream_kafka_wire",
     "mm_gauntlet", "mm_frame_sample",
     "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",

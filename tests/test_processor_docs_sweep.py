@@ -11,13 +11,19 @@ content shown in the docs but shipped nowhere) materialized under
 tests/fixtures/docs_schemas (VERDICT r6 #7; this round also fixed the
 http processor silently DROPPING message metadata, which the cached.md
 example's loud lost-key check exposed). Round 11: the cache.md
-batch-dedup example now compiles — `from(-1)` tail addressing
+batch-dedup example now COMPILES — `from(-1)` tail addressing
 (negated-literal fold + element_at's negative position, matching
-message.go Batch.Get) closed the last documented divergence. The
-remaining 5 residuals are all env-dependent dials:
+message.go Batch.Get) closed the last documented divergence. Closing
+it moved that example INTO the env-dependent class: it inherits the
+`foocache` resource the preceding example registered (redis at
+tcp://TODO:6379, cache.md:82-85 — resources are config-global, as
+under the reference's `lint -r`), so the cache add now runs to the
+placeholder dial that from()'s non-compilation used to mask. The 6
+residuals are all env-dependent dials, zero divergences:
 
-- cache.md x2: eager dials at placeholder hosts (`REDIS_URL`-less
-  redis, memcached at a fake hostname) — env-dependent by design.
+- cache.md x3: eager dials at placeholder hosts (`REDIS_URL`-less
+  redis, memcached at a fake hostname, and the batch-dedup add
+  against the inherited TODO-redis foocache).
 - protobuf.md x2: the Buf Schema Registry examples (`bsr:`) dial a
   live registry — env-dependent like schema_registry_decode.
 - schema_registry_decode.md: worker-side dial at a placeholder
@@ -37,7 +43,7 @@ import shutil
 import pytest
 
 DOCS = "/root/reference/website/docs/components/processors"
-MIN_BUILDS = 86  # measured 86; the 5 residuals fail deterministically offline
+MIN_BUILDS = 85  # measured 85; the 6 residuals fail deterministically offline
 SCHEMA_FIXTURES = os.path.join(
     os.path.dirname(__file__), "fixtures", "docs_schemas"
 )

@@ -179,3 +179,39 @@ def test_deprecated_spellings_and_validation(spark, tmp_path):
             },
             "inputs": [{"file": {"paths": [str(a)]}}],
         })
+
+
+def test_doc_advanced_ndjson_with_processors(spark, tmp_path):
+    """sequence.md "Joining Data (Advanced)": a csv input plus an
+    ndjson input whose per-input `processors:` mapping flattens the
+    nested shape BEFORE the join — the doc's exact config."""
+    main = tmp_path / "main.csv"
+    hobbies = tmp_path / "hobbies.ndjson"
+    main.write_text("uuid,name,age\nAAA,Melanie,34\nBBB,Emma,28\nCCC,Geri,45\n")
+    hobbies.write_text(
+        '{"document":{"uuid":"CCC","hobbies":[{"type":"pokemon go"}]}}\n'
+        '{"document":{"uuid":"AAA","hobbies":'
+        '[{"type":"rowing"},{"type":"golf"}]}}\n'
+    )
+    out = _run(spark, {
+        "sharded_join": {
+            "type": "full-outer", "id_path": "uuid",
+            "iterations": 10, "merge_strategy": "array",
+        },
+        "inputs": [
+            {"file": {"paths": [str(main)], "scanner": {"csv": {}}}},
+            {
+                "file": {"paths": [str(hobbies)], "scanner": {"lines": {}}},
+                "processors": [{"mapping": (
+                    "root.uuid = this.document.uuid\n"
+                    "root.hobbies = this.document.hobbies"
+                    ".map_each(this.type)\n"
+                )}],
+            },
+        ],
+    })
+    assert set(out) == {"AAA", "BBB", "CCC"}
+    assert sorted(out["AAA"]["hobbies"]) == ["golf", "rowing"]
+    assert out["AAA"]["name"] == "Melanie"
+    assert out["BBB"] == {"uuid": "BBB", "name": "Emma", "age": "28"}
+    assert out["CCC"]["hobbies"] == ["pokemon go"]
