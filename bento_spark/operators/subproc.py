@@ -174,6 +174,7 @@ def register_pipeline_processors() -> None:
                 "json_length", "json_type", "metadata_get", "metadata_set",
                 "print_log", "create_json_object", "create_json_array",
                 "timestamp_unix", "timestamp_format",
+                "base64_encode", "base64_decode",
             )
         ):
             return awk_bento_processor(df, program)
@@ -576,6 +577,47 @@ function timestamp_format_nano(unixNano, formatArg,   sec) {
   sec = substr(unixNano "", 1, length(unixNano "") - 9) + 0
   if (length(unixNano "") <= 9) { sec = 0 }
   return timestamp_format(sec, formatArg)
+}
+function __b64init(   i, c) {
+  # one-time tables: mawk has no ord(); build char->code via %c
+  if (__B64I) return
+  __B64 = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+  for (i = 1; i <= 255; i++) { c = sprintf("%c", i); __ORD[c] = i }
+  __B64I = 1
+}
+function base64_encode(s,   out, i, n, c1, c2, c3, b) {
+  # StdEncoding with padding (processor.go base64_encode)
+  __b64init()
+  out = ""; n = length(s)
+  for (i = 1; i <= n; i += 3) {
+    c1 = __ORD[substr(s, i, 1)] + 0
+    c2 = (i + 1 <= n) ? __ORD[substr(s, i + 1, 1)] + 0 : 0
+    c3 = (i + 2 <= n) ? __ORD[substr(s, i + 2, 1)] + 0 : 0
+    b = c1 * 65536 + c2 * 256 + c3
+    out = out substr(__B64, int(b / 262144) % 64 + 1, 1) \
+              substr(__B64, int(b / 4096) % 64 + 1, 1)
+    out = out ((i + 1 <= n) ? substr(__B64, int(b / 64) % 64 + 1, 1) : "=")
+    out = out ((i + 2 <= n) ? substr(__B64, b % 64 + 1, 1) : "=")
+  }
+  return out
+}
+function base64_decode(s,   out, i, n, v, nb, c, p) {
+  __b64init()
+  gsub(/[\r\n]/, "", s)
+  out = ""; n = length(s); v = 0; nb = 0
+  for (i = 1; i <= n; i++) {
+    c = substr(s, i, 1)
+    if (c == "=") break
+    p = index(__B64, c)
+    if (p == 0) continue
+    v = v * 64 + (p - 1); nb += 6
+    if (nb >= 8) {
+      nb -= 8
+      out = out sprintf("%c", int(v / (2 ^ nb)) % 256)
+      v = v % (2 ^ nb)
+    }
+  }
+  return out
 }
 function create_json_object(a,b,c,d,e,f,g,h,i,j,k,l,   s) {
   s = ""

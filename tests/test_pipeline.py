@@ -328,6 +328,30 @@ def test_awk_timestamp_go_layouts(spark):
     assert json.loads(brow["content"])["t"] == 0
 
 
+def test_awk_base64_builtins(spark):
+    """base64_encode/base64_decode (processor.go awkFunctionsMap) —
+    StdEncoding with padding, pure-awk tables."""
+    import json
+
+    from bento_spark.plans.pipeline import PROCESSORS
+
+    df = spark.createDataFrame([('{"s":"foobar"}',)], "content string")
+    out = PROCESSORS["awk"](df, {
+        "codec": "none",
+        "program": (
+            '{\n'
+            '  json_set("enc", base64_encode(json_get("s")));\n'
+            '  json_set("rt", base64_decode(base64_encode("hello ~#$%")));\n'
+            '  json_set("dec", base64_decode("Zm9vYmE="));\n'
+            '}'
+        ),
+    })
+    doc = json.loads(out.first()["content"])
+    assert doc["enc"] == "Zm9vYmFy"
+    assert doc["rt"] == "hello ~#$%"
+    assert doc["dec"] == "fooba"
+
+
 def test_json_schema_doc_chain_drops_invalid(spark):
     """json_schema.md's documented error-handling chain: validate
     against the Person schema, catch failures, log, and drop — valid
