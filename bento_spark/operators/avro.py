@@ -300,3 +300,69 @@ def avro_ocf_unarchive(df: DataFrame, bin_col: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema)
+
+
+def avro_json_render(schema, val):
+    """Avro JSON encoding (spec §JSON Encoding; what goavro
+    TextualFromNative emits and the `avro` scanner's default
+    raw_json=false mode renders): a non-null UNION value wraps in a
+    single-key object naming its branch — `"a"` as {"string": "a"},
+    a record Foo as {"Foo": {...}} — while raw/standard JSON leaves
+    values bare. The branch is re-matched from the Python value shape
+    (ocf_decode drops the union index), which is unambiguous for the
+    nullable-union shapes OCF data carries."""
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if isinstance(t, list):
+        if val is None:
+            return None
+        branch = _union_branch_for(t, val)
+        bt = branch["type"] if isinstance(branch, dict) else branch
+        name = (
+            branch.get("name", bt) if isinstance(branch, dict) else branch
+        )
+        return {name: avro_json_render(branch, val)}
+    if t == "record":
+        return {
+            f["name"]: avro_json_render(
+                f["type"], None if val is None else val.get(f["name"])
+            )
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [avro_json_render(schema["items"], v) for v in (val or [])]
+    if t == "map":
+        return {
+            k: avro_json_render(schema["values"], v)
+            for k, v in (val or {}).items()
+        }
+    if t in ("bytes", "fixed") and isinstance(val, (bytes, bytearray)):
+        # spec: bytes/fixed render as the latin-1 string of the bytes
+        return bytes(val).decode("latin-1")
+    return val
+
+
+def _union_branch_for(branches, val):
+    def bt(b):
+        return b["type"] if isinstance(b, dict) else b
+
+    prefer = {
+        bool: ("boolean",),
+        int: ("long", "int"),
+        float: ("double", "float"),
+        str: ("string", "enum"),
+        dict: ("record", "map"),
+        list: ("array",),
+        bytes: ("bytes", "fixed"),
+        bytearray: ("bytes", "fixed"),
+    }
+    for py, names in prefer.items():
+        if isinstance(val, py) and not (py is int and isinstance(val, bool)):
+            for name in names:
+                for b in branches:
+                    if bt(b) == name:
+                        return b
+    # fallback: first non-null branch
+    for b in branches:
+        if bt(b) != "null":
+            return b
+    raise ValueError(f"no union branch for {val!r}")

@@ -285,22 +285,27 @@ def _apply_binary_scanner(df: DataFrame, scanner: str, sconf: dict) -> DataFrame
         return df.mapInPandas(run, out_schema)
 
     if scanner == "avro":
-        from bento_spark.operators.avro import ocf_decode
+        from bento_spark.operators.avro import avro_json_render, ocf_decode
 
-        # raw_json accepted for spec parity; both renderings coincide
-        # for the non-union shapes the engine serializes (avro/scanner.go)
-        _ = bool(sconf.get("raw_json", False))
+        # avro/scanner.go: the DEFAULT (raw_json=false) renders Avro
+        # JSON — non-null union values wrap as {"<branch>": value}
+        # (goavro TextualFromNative); raw_json=true renders standard
+        # JSON (bare values). Identical for union-free schemas.
+        raw_json = bool(sconf.get("raw_json", False))
 
         def run(batches):
             for pdf in batches:
                 rows = {c: [] for c in [*other, "content"]}
                 for _, r in pdf.iterrows():
-                    _schema, recs = ocf_decode(bytes(r["content"]))
+                    schema, recs = ocf_decode(bytes(r["content"]))
                     for rec in recs:
+                        doc = rec if raw_json else avro_json_render(
+                            schema, rec
+                        )
                         for c in other:
                             rows[c].append(r[c])
                         rows["content"].append(
-                            _json.dumps(rec, separators=(",", ":"),
+                            _json.dumps(doc, separators=(",", ":"),
                                         sort_keys=True)
                         )
                 yield pd.DataFrame(rows)

@@ -300,3 +300,24 @@ def test_ts_layouts_agree(spark, idx):
 @pytest.mark.parametrize("idx", range(len(CURATED)))
 def test_curated_constructs_agree(spark, idx):
     _assert_agree(spark, CURATED[idx])
+
+
+def test_nested_conditional_planning_stays_tractable(spark):
+    """Planning-cliff pin (round 11): Catalyst's EquivalentExpressions
+    scan was super-linear on compiled nested-conditional mappings —
+    24 fields could not finish planning (>550s); with the session's
+    CSE default off plus the merged/leaf-cond error sinks it is ~10s.
+    The bound is generous (noise-tolerant) but far below the cliff:
+    a regression that re-introduces super-linear planning blows it."""
+    import time
+
+    g = Gen(0)
+    lines = [f'  "e{i}": {g.any_expr(3)},' for i in range(24)]
+    src = "root = {\n" + "\n".join(lines) + "\n}"
+    t0 = time.time()
+    _assert_agree(spark, src)
+    assert time.time() - t0 < 120, (
+        "nested-conditional mapping took >120s — the planning cliff is "
+        "back; check spark.sql.subexpressionElimination.enabled and the "
+        "compiler's error-sink merging"
+    )

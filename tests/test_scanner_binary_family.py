@@ -97,3 +97,46 @@ def test_switch_scanner_by_extension(spark, fixture_dir):
         "hello", "l1", "l2", "l3", "world",
         '{"n":1,"s":"x"}', '{"n":2,"s":"y"}',
     ]
+
+
+def test_avro_union_rendering_modes(spark, tmp_path):
+    """avro/scanner.go raw_json modes: the default renders AVRO JSON
+    (non-null union values wrap as {"<branch>": v}, goavro
+    TextualFromNative); raw_json=true renders standard JSON."""
+    from bento_spark.operators.avro import ocf_encode
+    from bento_spark.sources import build_source
+
+    schema = {
+        "type": "record", "name": "U",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    p = str(tmp_path / "u.avro")
+    with open(p, "wb") as fh:
+        fh.write(ocf_encode(
+            [{"id": 1, "note": "hi"}, {"id": 2, "note": None}], schema,
+        ))
+
+    df, _ = build_source(spark, "file", {
+        "paths": [p], "scanner": {"avro": {}},
+    })
+    got = sorted(json.loads(r["content"])["id"] for r in df.collect())
+    docs = {
+        json.loads(r["content"])["id"]: json.loads(r["content"])
+        for r in df.collect()
+    }
+    assert got == [1, 2]
+    assert docs[1]["note"] == {"string": "hi"}   # Avro JSON wraps
+    assert docs[2]["note"] is None
+
+    df, _ = build_source(spark, "file", {
+        "paths": [p], "scanner": {"avro": {"raw_json": True}},
+    })
+    docs = {
+        json.loads(r["content"])["id"]: json.loads(r["content"])
+        for r in df.collect()
+    }
+    assert docs[1]["note"] == "hi"               # standard JSON: bare
+    assert docs[2]["note"] is None
