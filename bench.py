@@ -50,6 +50,11 @@ HEADLINE = [
     # real scale. Benching it would measure compiler overhead, not the
     # probe plan; the LSH row covers the bucketed-ANN plan shape.
     "text_quality_score",
+    # the round-11 CSE-off victims, pinned so the expression-reuse class
+    # fails loudly if a session-conf or compiler change regresses it
+    # again (VERDICT r11 "what's wrong" #1/#2)
+    "text_language_id",
+    "proc_opensnowcat",
     "text_quality_classifier",
     "text_fingerprint_winnow",
     "mm_image_features",

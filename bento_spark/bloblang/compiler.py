@@ -593,26 +593,60 @@ def _variant_binop(
         # false for ==, true for != — never a coercion (ADVICE r10 #5:
         # `this.a == "5"` must NOT match the number 5). Numbers compare
         # numerically across int/float within the family.
-        var_col, other_t = (left, rt) if lv else (right, lt)
+        var_col, other_col, other_t = (
+            (left, right, rt) if lv else (right, left, lt)
+        )
         if other_t is not None and not isinstance(other_t, T.NullType):
+            _NUM = "(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL)"
             s = F.schema_of_variant(var_col)
+            same = casted = known = None
             if isinstance(other_t, T.NumericType):
-                same = s.rlike(
-                    "^(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL)"
-                )
+                # cast BOTH sides to double: casting the variant to the
+                # literal's integer type truncates (5.5 -> 5 would make
+                # `this.a == 5` true); ICompare compares numerically
+                # across int/float (ADVICE r11 #2)
+                same = s.rlike(f"^{_NUM}")
+                casted = F.try_variant_get(var_col, "$", "double")
+                known = other_col.cast("double")
             elif isinstance(other_t, T.StringType):
                 same = s == F.lit("STRING")
             elif isinstance(other_t, T.BooleanType):
                 same = s == F.lit("BOOLEAN")
-            else:
-                same = None
+            elif isinstance(other_t, T.ArrayType):
+                # composite literals are also type-strict (ICompare walks
+                # elements; a family mismatch is false/true, VERDICT r11
+                # missing #3); element family is pinned in the rlike so
+                # e.g. ARRAY<BIGINT> never string-coerces to match a
+                # string-array literal
+                et = other_t.elementType
+                if isinstance(et, T.NumericType):
+                    same = s.rlike(f"^ARRAY<{_NUM}")
+                    casted = F.try_variant_get(var_col, "$", "array<double>")
+                    known = other_col.cast("array<double>")
+                elif isinstance(et, T.StringType):
+                    same = s.rlike("^ARRAY<STRING")
+                elif isinstance(et, T.BooleanType):
+                    same = s.rlike("^ARRAY<BOOLEAN")
+                else:  # nested composites: canonical-JSON equality
+                    same = s.rlike("^ARRAY")
+                    casted = F.to_json(var_col)
+                    known = F.to_json(F.parse_json(F.to_json(other_col)))
+            elif isinstance(other_t, (T.StructType, T.MapType)):
+                # OBJECT equality via canonical JSON: variants normalize
+                # key order and number shapes, so round-trip the known
+                # side through parse_json for the same canonical form (a
+                # struct cast would silently ignore extra variant keys)
+                same = s.rlike("^OBJECT")
+                casted = F.to_json(var_col)
+                known = F.to_json(F.parse_json(F.to_json(other_col)))
             if same is not None:
-                casted = F.try_variant_get(
-                    var_col, "$", other_t.simpleString()
-                )
-                eq = (
-                    casted.eqNullSafe(right) if lv else left.eqNullSafe(casted)
-                )
+                if casted is None:
+                    casted = F.try_variant_get(
+                        var_col, "$", other_t.simpleString()
+                    )
+                if known is None:
+                    known = other_col
+                eq = casted.eqNullSafe(known)
                 if op == "!=":
                     return F.when(same, ~eq).otherwise(F.lit(True))
                 return F.when(same, eq).otherwise(F.lit(False))

@@ -193,3 +193,117 @@ def load_message_schema(
             if fn.endswith(".proto"):
                 reg.parse_file(os.path.join(base, fn), import_paths)
     return reg.schema(message)
+
+
+# ---- BSR (Buf Schema Registry) module resolution --------------------------
+
+_DESC_SCALARS = {
+    "TYPE_DOUBLE": "double", "TYPE_FLOAT": "float",
+    "TYPE_INT32": "int32", "TYPE_INT64": "int64",
+    "TYPE_UINT32": "uint32", "TYPE_UINT64": "uint64",
+    "TYPE_SINT32": "sint32", "TYPE_SINT64": "sint64",
+    "TYPE_FIXED32": "fixed32", "TYPE_FIXED64": "fixed64",
+    "TYPE_SFIXED32": "sfixed32", "TYPE_SFIXED64": "sfixed64",
+    "TYPE_BOOL": "bool", "TYPE_STRING": "string", "TYPE_BYTES": "bytes",
+}
+
+
+def registry_from_descriptor_json(fds: dict) -> "ProtoRegistry":
+    """google.protobuf.FileDescriptorSet (proto-JSON form, as served by
+    the BSR's FileDescriptorSetService) -> ProtoRegistry. Covers the
+    same proto3 subset as the text parser: nested messages, enums (as
+    int32), repeated fields, message/enum type refs by fully-qualified
+    ``typeName``."""
+    reg = ProtoRegistry()
+
+    def _add_message(msg: dict, prefix: str, pkg: str) -> None:
+        fq = f"{prefix}.{msg['name']}" if prefix else msg["name"]
+        fields = []
+        for f in msg.get("field") or []:
+            num = int(f["number"])
+            fname = f["name"]
+            rep = f.get("label") == "LABEL_REPEATED"
+            t = f.get("type")
+            if t in _DESC_SCALARS:
+                ftype = _DESC_SCALARS[t]
+            elif t in ("TYPE_MESSAGE", "TYPE_ENUM", "TYPE_GROUP"):
+                ftype = (f.get("typeName") or "").lstrip(".")
+            else:
+                raise ValueError(f"unsupported descriptor field type {t!r}")
+            fields.append((num, fname, ftype, rep))
+        reg.raw[fq] = fields
+        reg.packages[fq] = pkg
+        for child in msg.get("nestedType") or []:
+            _add_message(child, fq, pkg)
+        for en in msg.get("enumType") or []:
+            reg.enums.add(f"{fq}.{en['name']}")
+
+    for file in fds.get("file") or []:
+        pkg = file.get("package") or ""
+        for msg in file.get("messageType") or []:
+            _add_message(msg, pkg, pkg)
+        for en in file.get("enumType") or []:
+            reg.enums.add(f"{pkg}.{en['name']}" if pkg else en["name"])
+    return reg
+
+
+def fetch_bsr_registry(
+    module: str,
+    url: str = "",
+    api_key: str = "",
+    version: str = "",
+    timeout: float = 10.0,
+) -> "ProtoRegistry":
+    """Resolve a BSR module to a ProtoRegistry via the same service the
+    reference's prototransform SchemaWatcher polls —
+    ``buf.reflect.v1beta1.FileDescriptorSetService/GetFileDescriptorSet``
+    over Connect JSON (multimodule_watcher.go:78 newSchemaWatcher; the
+    url defaults to ``https://<first module segment>`` exactly like its
+    bsrURL fallback)."""
+    import json as _json
+    import urllib.request
+
+    if not url:
+        segments = module.split("/")
+        if len(segments) != 3:
+            raise ValueError(
+                f"could not parse module {module}, expected three segments "
+                "e.g. 'buf.build/exampleco/mymodule'"
+            )
+        url = "https://" + segments[0]
+    body = {"module": module}
+    if version:
+        body["version"] = version
+    req = urllib.request.Request(
+        url.rstrip("/")
+        + "/buf.reflect.v1beta1.FileDescriptorSetService/GetFileDescriptorSet",
+        data=_json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    if api_key:
+        req.add_header("Authorization", f"Bearer {api_key}")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        doc = _json.loads(resp.read().decode())
+    return registry_from_descriptor_json(doc.get("fileDescriptorSet") or {})
+
+
+def load_message_schema_bsr(message: str, bsr: list[dict]) -> dict:
+    """Schema for ``message`` resolved from the first BSR module that
+    defines it (the reference's MultiModuleWatcher tries each client,
+    multimodule_watcher.go:120 FindExtensionByName loop)."""
+    errs = []
+    for mod in bsr:
+        try:
+            reg = fetch_bsr_registry(
+                str(mod.get("module") or ""),
+                str(mod.get("url") or ""),
+                str(mod.get("api_key") or ""),
+                str(mod.get("version") or ""),
+            )
+            return reg.schema(message)
+        except Exception as exc:  # noqa: BLE001 — try the next module
+            errs.append(f"{mod.get('module')}: {exc}")
+    raise ValueError(
+        f"message {message!r} not found in any BSR module: {'; '.join(errs)}"
+    )

@@ -80,20 +80,37 @@ def word_shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
-def stopword_hits(col: Column, stops: list[str]) -> Column:
-    """Occurrence count of any of ``stops`` as whole words — pure string
-    ops (replace/length), whole-stage-codegen. Doubling the spaces first
-    makes every word carry its own delimiters, so non-overlapping
-    ``replace`` counts adjacent hits correctly (' a a ' -> ' a  a ').
-    Replaces the interpreted ``F.filter(words, contains)`` lambda that
-    cost a per-word evaluator re-entry (round-1 perf finding)."""
-    padded = F.concat(F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" "))
+def padded_text(col: Column) -> Column:
+    """Space-doubled, sentinel-padded text — the shared precursor of
+    ``stopword_hits``. Doubling the spaces makes every word carry its
+    own delimiters, so non-overlapping ``replace`` counts adjacent hits
+    correctly (' a a ' -> ' a  a '). Hoist this into a real column
+    (``withColumn``) when counting hits for many stop lists: the engine
+    runs with Catalyst subexpression elimination off (the nested-CaseWhen
+    planning cliff, session.py), so each *expression* reference would
+    otherwise re-run the full-text replace per (list, reference)."""
+    return F.concat(F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" "))
+
+
+def stopword_hits_padded(padded: Column, stops: list[str]) -> Column:
+    """Hit count over an already-padded text column (see ``padded_text``).
+    Pure string ops (replace/length), whole-stage-codegen; replaces the
+    interpreted ``F.filter(words, contains)`` lambda that cost a per-word
+    evaluator re-entry (round-1 perf finding)."""
     total = None
     for s in stops:
         pat = f" {s} "
         cnt = (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))) / len(pat)
         total = cnt if total is None else total + cnt
     return total.cast("int")
+
+
+def stopword_hits(col: Column, stops: list[str]) -> Column:
+    """Occurrence count of any of ``stops`` as whole words — inline form;
+    prefer hoisting ``padded_text`` + ``stopword_hits_padded`` when the
+    result (or several stop lists over the same text) is referenced more
+    than once in a plan."""
+    return stopword_hits_padded(padded_text(col), stops)
 
 
 def mean_word_len(col: Column) -> Column:

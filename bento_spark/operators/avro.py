@@ -111,15 +111,29 @@ def _enc(schema, val, out: bytearray) -> None:
         raise ValueError(f"unsupported avro type {t!r}")
 
 
-def _dec(schema, buf: memoryview, pos: int):
+class UnionVal:
+    """A union-typed value tagged with its WRITER branch index, kept by
+    ``ocf_decode(tag_unions=True)`` so the Avro-JSON renderer names the
+    actual written branch — goavro TextualFromNative names the writer
+    branch, and re-deriving it from the Python value shape picks the
+    wrong member of e.g. ["int","long"] (ADVICE r11 #4)."""
+
+    __slots__ = ("idx", "val")
+
+    def __init__(self, idx, val):
+        self.idx, self.val = idx, val
+
+
+def _dec(schema, buf: memoryview, pos: int, tag: bool = False):
     t = schema["type"] if isinstance(schema, dict) else schema
     if isinstance(t, list):
         idx, pos = _read_long(buf, pos)
         branch = t[idx]
         bt = branch["type"] if isinstance(branch, dict) else branch
         if bt == "null":
-            return None, pos
-        return _dec(branch, buf, pos)
+            return (UnionVal(idx, None) if tag else None), pos
+        v, pos = _dec(branch, buf, pos, tag)
+        return (UnionVal(idx, v) if tag else v), pos
     if t == "null":
         return None, pos
     if t == "boolean":
@@ -137,7 +151,7 @@ def _dec(schema, buf: memoryview, pos: int):
     if t == "record":
         rec = {}
         for f in schema["fields"]:
-            rec[f["name"]], pos = _dec(f["type"], buf, pos)
+            rec[f["name"]], pos = _dec(f["type"], buf, pos, tag)
         return rec, pos
     if t == "array":
         items = []
@@ -149,7 +163,7 @@ def _dec(schema, buf: memoryview, pos: int):
                 _, pos = _read_long(buf, pos)
                 n = -n
             for _ in range(n):
-                v, pos = _dec(schema["items"], buf, pos)
+                v, pos = _dec(schema["items"], buf, pos, tag)
                 items.append(v)
         return items, pos
     if t == "map":
@@ -163,7 +177,7 @@ def _dec(schema, buf: memoryview, pos: int):
                 n = -n
             for _ in range(n):
                 k, pos = _dec("string", buf, pos)
-                entries[k], pos = _dec(schema["values"], buf, pos)
+                entries[k], pos = _dec(schema["values"], buf, pos, tag)
         return entries, pos
     if t == "enum":
         idx, pos = _read_long(buf, pos)
@@ -206,7 +220,7 @@ def ocf_encode(records: list, schema: dict, codec: str = "null") -> bytes:
     return bytes(out)
 
 
-def ocf_decode(data: bytes) -> tuple[dict, list]:
+def ocf_decode(data: bytes, tag_unions: bool = False) -> tuple[dict, list]:
     buf = memoryview(data)
     if bytes(buf[:4]) != MAGIC:
         raise ValueError("not an Avro OCF (bad magic)")
@@ -239,7 +253,7 @@ def ocf_decode(data: bytes) -> tuple[dict, list]:
         bpos = 0
         bview = memoryview(payload)
         for _ in range(count):
-            rec, bpos = _dec(schema, bview, bpos)
+            rec, bpos = _dec(schema, bview, bpos, tag_unions)
             records.append(rec)
     return schema, records
 
@@ -308,11 +322,22 @@ def avro_json_render(schema, val):
     raw_json=false mode renders): a non-null UNION value wraps in a
     single-key object naming its branch — `"a"` as {"string": "a"},
     a record Foo as {"Foo": {...}} — while raw/standard JSON leaves
-    values bare. The branch is re-matched from the Python value shape
-    (ocf_decode drops the union index), which is unambiguous for the
-    nullable-union shapes OCF data carries."""
+    values bare. The branch comes from the writer's union index when the
+    value was decoded with ``tag_unions=True`` (goavro names the ACTUAL
+    writer branch — ["int","long"] data written as int must render as
+    {"int": ...}); shape re-matching is only the fallback for untagged
+    values (ADVICE r11 #4)."""
     t = schema["type"] if isinstance(schema, dict) else schema
     if isinstance(t, list):
+        if isinstance(val, UnionVal):
+            branch = t[val.idx]
+            bt = branch["type"] if isinstance(branch, dict) else branch
+            if bt == "null" or val.val is None:
+                return None
+            name = (
+                branch.get("name", bt) if isinstance(branch, dict) else branch
+            )
+            return {name: avro_json_render(branch, val.val)}
         if val is None:
             return None
         branch = _union_branch_for(t, val)

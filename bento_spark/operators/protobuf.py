@@ -255,6 +255,50 @@ def sr_unframe(data: bytes) -> tuple[int, bytes]:
     return sid, data[5:]
 
 
+class HttpSchemaRegistry:
+    """Confluent-wire schema registry client: lazily fetches
+    ``GET {url}/schemas/ids/{id}`` (the response's ``schema`` field is
+    the Avro schema as a JSON string) with an id cache, like the
+    reference's lazy per-id fetch
+    (processor_schema_registry_decode.go:169 getSchema). Picklable so
+    the decode pandas_udf can carry it to executors — each worker
+    keeps its own cache, mirroring the reference's per-instance one."""
+
+    def __init__(self, url: str, timeout: float = 5.0):
+        self.url = url.rstrip("/")
+        self.timeout = timeout
+        self._cache: dict[int, dict] = {}
+
+    def get(self, sid: int):
+        if sid in self._cache:
+            return self._cache[sid]
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(
+                f"{self.url}/schemas/ids/{sid}", timeout=self.timeout
+            ) as resp:
+                doc = json.loads(resp.read().decode())
+        except Exception as exc:  # noqa: BLE001 — unknown id / dead registry
+            raise ValueError(
+                f"schema_registry: fetching id {sid} from {self.url}: {exc}"
+            ) from exc
+        schema = json.loads(doc["schema"])
+        self._cache[sid] = schema
+        return schema
+
+    def __getitem__(self, sid: int):
+        return self.get(sid)
+
+    def __getstate__(self):
+        # ship url only; caches are per-process
+        return {"url": self.url, "timeout": self.timeout}
+
+    def __setstate__(self, state):
+        self.url, self.timeout = state["url"], state["timeout"]
+        self._cache = {}
+
+
 def sr_encode_col(json_col: Column, schema_id: int, registry: dict[int, dict]) -> Column:
     """JSON -> framed Avro payload under `schema_id`
     (schema_registry_encode semantics; registry is a {id: avro-schema}

@@ -234,7 +234,15 @@ def _go_csv_records(text: str, comma: str, lazy: bool):
                 fields.append("".join(buf))
             else:
                 j = i
-                while j < n and text[j] not in (comma, "\n", "\r"):
+                # a lone \r inside an unquoted field is DATA in Go
+                # encoding/csv ('a\rb,c' -> ['a\rb','c']); only \r\n
+                # terminates (ADVICE r11 #3)
+                while j < n:
+                    c = text[j]
+                    if c == comma or c == "\n":
+                        break
+                    if c == "\r" and j + 1 < n and text[j + 1] == "\n":
+                        break
                     j += 1
                 field = text[i:j]
                 if '"' in field and not lazy and err is None:
@@ -309,6 +317,11 @@ def csv_scan(df: DataFrame, col: str, conf: dict) -> DataFrame:
                 for fields, err, _ln in _go_csv_records(
                     str(r[col] or ""), comma, lazy
                 ):
+                    # a PARSE error (vs the later field-count check)
+                    # gives the reference's NextBatch a nil record from
+                    # Go csv — it emits an EMPTY structured payload with
+                    # the error set (ADVICE r11 #3)
+                    parse_err = err is not None
                     if err is not None and not cont:
                         raise RuntimeError(f"csv scanner: {err}")
                     if header_row and headers is None:
@@ -323,16 +336,16 @@ def csv_scan(df: DataFrame, col: str, conf: dict) -> DataFrame:
                         if want == 0:
                             want = len(fields)
                         continue
-                    if want == 0:
+                    if want == 0 and err is None:
                         want = len(fields)
-                    elif err is None and len(fields) != want:
+                    elif want and err is None and len(fields) != want:
                         err = (
                             f"record on line {_ln}: wrong number of fields"
                         )
                         if not cont:
                             raise RuntimeError(f"csv scanner: {err}")
                     if headers is not None:
-                        doc = json.dumps(
+                        doc = "{}" if parse_err else json.dumps(
                             {
                                 headers[k]: v
                                 for k, v in enumerate(fields)
@@ -341,7 +354,7 @@ def csv_scan(df: DataFrame, col: str, conf: dict) -> DataFrame:
                             sort_keys=True, separators=(",", ":"),
                         )
                     else:
-                        doc = json.dumps(
+                        doc = "[]" if parse_err else json.dumps(
                             fields, separators=(",", ":"),
                         )
                     for c in other:

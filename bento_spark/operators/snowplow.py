@@ -90,7 +90,13 @@ def opensnowcat(
     maps, Snowplow wrapper schemas unwrapped, dots -> underscores)."""
     if output_format not in ("json", "tsv", "enriched_json"):
         raise ValueError(f"unknown output_format {output_format!r}")
-    arr = F.split(F.col(content_col), "\t", -1)
+    # Hoist the 131-field tab split into a real column: the engine runs
+    # with Catalyst CSE off (session.py), so an inline `split` would
+    # re-split the line once per field reference (the round-11 3.4×
+    # regression on this operator). CollapseProject keeps the projection
+    # (non-cheap alias, multiply referenced), so the split runs once/row.
+    df = df.withColumn("__sc_arr", F.split(F.col(content_col), "\t", -1))
+    arr = F.col("__sc_arr")
     fields: dict[str, Column] = {n: _field_col(arr, n) for n in COLUMNS}
 
     # filters: drop when any configured field CONTAINS any criterion.
@@ -183,7 +189,7 @@ def opensnowcat(
         out = F.array_join(
             F.array(*[fields[n] for n in COLUMNS]), "\t", null_replacement=""
         )
-    res = df.filter(~drop).withColumn(out_col, out)
+    res = df.filter(~drop).withColumn(out_col, out).drop("__sc_arr")
     if output_format == "enriched_json":
         res = _restructure_enriched_col(res, out_col)
     return res

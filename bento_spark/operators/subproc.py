@@ -910,13 +910,25 @@ def awk_bento_processor(
             # error the MESSAGE there — lift the reserved key into the
             # envelope's error column (first error wins)
             awk_err = new_meta.pop("__awk_error", None)
-            fields = {
-                **{c: r[c] for c in other},
-                META: new_meta,
-                content_col: out_doc,
-            }
-            if awk_err is not None and fields.get(ERROR) is None:
-                fields[ERROR] = awk_err
+            if awk_err is not None:
+                # a failed builtin (getTime parse) aborts program.Run in
+                # the reference, so Process() errors the message with its
+                # ORIGINAL content and metadata — discard the awk run's
+                # mutations, not just flag them (ADVICE r11 #5)
+                fields = {
+                    **{c: r[c] for c in other},
+                    META: dict(r[META])
+                    if META in r.__fields__ and r[META] else {},
+                    content_col: r[content_col],
+                }
+                if fields.get(ERROR) is None:
+                    fields[ERROR] = awk_err
+            else:
+                fields = {
+                    **{c: r[c] for c in other},
+                    META: new_meta,
+                    content_col: out_doc,
+                }
             yield Row(**fields)
 
     return df.sparkSession.createDataFrame(

@@ -940,13 +940,23 @@ def _proc_protobuf(df: DataFrame, conf) -> DataFrame:
     searched config-relative; functions/protoparse.py), speaking the
     protobuf-JSON lowerCamelCase mapping. from_json leaves the wire
     bytes in the content column (BINARY); to_json restores JSON text."""
-    from bento_spark.functions.protoparse import load_message_schema
+    from bento_spark.functions.protoparse import (
+        load_message_schema,
+        load_message_schema_bsr,
+    )
     from bento_spark.operators.protobuf import pb_decode_col, pb_encode_col
 
-    schema = load_message_schema(
-        conf["message"],
-        [_resolve_path(p) for p in conf.get("import_paths", [])],
-    )
+    if conf.get("bsr"):
+        # Buf Schema Registry modules (processor docs `bsr:` examples):
+        # resolved over the reference's FileDescriptorSetService wire
+        # shape (multimodule_watcher.go) — either this or import_paths
+        # must be populated, like the reference's field contract
+        schema = load_message_schema_bsr(conf["message"], conf["bsr"])
+    else:
+        schema = load_message_schema(
+            conf["message"],
+            [_resolve_path(p) for p in conf.get("import_paths", [])],
+        )
     col = conf.get("column", "content")
     op = conf["operator"]
     if op == "from_json":

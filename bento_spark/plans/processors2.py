@@ -200,12 +200,22 @@ PROCESSORS["parquet_decode"] = _proc_parquet_decode
 PROCESSORS["parquet_encode"] = _proc_parquet_encode
 
 
-def _sr_registry(conf) -> dict[int, dict]:
+def _sr_registry(conf):
+    """``schemas:`` inline map, or ``url:`` for a live Confluent-API
+    registry (lazy per-id fetch + cache, like the reference's
+    getSchema; processor_schema_registry_decode.go:169)."""
     import json as _json
 
     reg = {}
     for k, v in (conf.get("schemas") or {}).items():
         reg[int(k)] = _json.loads(v) if isinstance(v, str) else v
+    if reg:
+        return reg
+    url = conf.get("url")
+    if url:
+        from bento_spark.operators.protobuf import HttpSchemaRegistry
+
+        return HttpSchemaRegistry(str(url))
     return reg
 
 

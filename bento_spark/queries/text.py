@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 
 from bento_spark.functions.textops import (
     TOKEN_RE,
-    mean_word_len,
-    stopword_hits,
+    padded_text,
+    stopword_hits_padded,
     token_count_re,
     token_count_ws,
     winnow_fingerprints_exploded,
@@ -65,16 +65,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _quality_cols():
-    """Spark columns for the quality features (lazy — needs a session).
-    All codegen: stopword counting via string replace/length, mean word
-    length via the sum(len)=len(text)-(n-1) identity — the round-1
-    per-word HOF lambdas were 3.8s of the bench."""
-    w = words(F.col("text"))
-    n_words = F.size(w)
-    n_uniq = F.size(F.array_distinct(w))
-    n_stop = stopword_hits(F.col("text"), STOPWORDS["en"])
-    mean_len = mean_word_len(F.col("text"))
+def _with_quality_cols(docs: DataFrame) -> DataFrame:
+    """Quality features as stacked projections. All codegen: stopword
+    counting via string replace/length, mean word length via the
+    sum(len)=len(text)-(n-1) identity — the round-1 per-word HOF lambdas
+    were 3.8s of the bench.
+
+    Shared subtrees (the word split, the padded text, the stopword-hit
+    chain, the word count) are hoisted into real columns: the engine runs
+    with Catalyst CSE off (session.py), and CollapseProject keeps a
+    projection layer whose aliases are non-cheap and multiply referenced,
+    so each hoisted value is computed once per row instead of once per
+    reference (the round-11 3–34× regression on this query family)."""
+    d = docs.withColumns(
+        {"__w": words(F.col("text")), "__pad": padded_text(F.col("text"))}
+    )
+    d = d.withColumns(
+        {
+            "__nw": F.size("__w"),
+            "__nu": F.size(F.array_distinct("__w")),
+            "__ns": stopword_hits_padded(F.col("__pad"), STOPWORDS["en"]),
+        }
+    )
+    n_words, n_uniq, n_stop = F.col("__nw"), F.col("__nu"), F.col("__ns")
+    mean_len = (F.length("text") - (n_words - 1)) / n_words
     uniq_ratio = n_uniq / n_words
     stop_ratio = n_stop / n_words
     score = F.round(
@@ -83,13 +97,14 @@ def _quality_cols():
         + F.lit(0.2) * F.least(n_words / 100.0, F.lit(1.0)),
         6,
     )
-    return [
+    return d.select(
+        "doc_id",
         n_words.cast("int").alias("n_words"),
         F.round(uniq_ratio, 6).alias("uniq_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(mean_len, 6).alias("mean_word_len"),
         score.alias("quality_score"),
-    ]
+    )
 
 
 def _quality_sql() -> str:
@@ -118,15 +133,24 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: uniq-word ratio, stopword ratio, length —
     the standard pre-training corpus filters, one scan, no UDF."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", *_quality_cols()).orderBy("doc_id")
+    return _with_quality_cols(docs).orderBy("doc_id")
 
 
-def _lang_cols():
-    w = words(F.col("text"))
-    n_words = F.size(w)
-    hits = {}
-    for lang in LANG_ORDER:
-        hits[lang] = stopword_hits(F.col("text"), STOPWORDS[lang])
+def _with_lang_cols(docs: DataFrame) -> DataFrame:
+    """Language-ID argmax over per-language stopword votes, with the
+    padded text and each language's hit count hoisted into real columns
+    (see ``_with_quality_cols`` — the argmax conditions reference each
+    hit count ~9×, and each inline hit chain would re-run the full-text
+    padding replace per stopword under the engine's CSE-off default)."""
+    d = docs.withColumn("__pad", padded_text(F.col("text")))
+    d = d.withColumns(
+        {
+            f"__h_{lang}": stopword_hits_padded(F.col("__pad"), STOPWORDS[lang])
+            for lang in LANG_ORDER
+        }
+    )
+    hits = {lang: F.col(f"__h_{lang}") for lang in LANG_ORDER}
+    n_words = F.size(words(F.col("text")))
     cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit(CJK_RE), F.lit(0)))
     expr = F.lit("und")
     for lang in reversed(LANG_ORDER):
@@ -139,7 +163,9 @@ def _lang_cols():
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     lang_col = F.when(cjk > 0, F.lit("zh")).otherwise(expr)
     conf = F.round(F.greatest(*[hits[lang] for lang in LANG_ORDER]) / n_words, 6)
-    return lang_col, conf
+    return d.select(
+        "doc_id", lang_col.alias("pred_lang"), conf.alias("confidence")
+    )
 
 
 def _hits_sql(lang: str) -> str:
@@ -185,10 +211,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword/charset language-ID heuristic: CJK charset check, then
     per-language stopword votes with fixed-precedence argmax."""
     docs = _t(spark, sf_dir, "documents")
-    lang_col, conf = _lang_cols()
-    return docs.select(
-        "doc_id", lang_col.alias("pred_lang"), conf.alias("confidence")
-    ).orderBy("doc_id")
+    return _with_lang_cols(docs).orderBy("doc_id")
 
 
 @query(

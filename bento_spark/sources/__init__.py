@@ -27,6 +27,32 @@ def register_source(name: str):
     return deco
 
 
+def _config_file_order(name: str, sconf: dict) -> list[str] | None:
+    """Expanded config-order file list of a file-backed sub-input, for
+    the sequence join's reference read order (VERDICT r11 missing #4) —
+    list entries in config order, glob entries expanded sorted (Go
+    filepath.Glob returns sorted matches). None when the input has no
+    knowable file list (generators, wire inputs)."""
+    if name not in ("file", "parquet", "csv", "json"):
+        return None
+    paths = sconf.get("path") or sconf.get("paths")
+    if not paths:
+        return None
+    if isinstance(paths, str):
+        paths = [paths]
+    import glob as _glob
+    import os as _os
+
+    out: list[str] = []
+    for p in paths:
+        p = str(p)
+        if any(ch in p for ch in "*?["):
+            out.extend(sorted(_glob.glob(p)))
+        else:
+            out.append(p)
+    return [_os.path.abspath(p) for p in out]
+
+
 def build_source(spark: SparkSession, name: str, conf: dict) -> tuple[DataFrame, bool]:
     if name not in SOURCES:
         raise ValueError(f"unknown input type {name!r} (have {sorted(SOURCES)})")
@@ -225,6 +251,17 @@ def _apply_binary_scanner(df: DataFrame, scanner: str, sconf: dict) -> DataFrame
             )
         if out is None:
             raise ValueError("switch scanner: no cases")
+        # scanner_switch.go Create(): a file matching NO case errors the
+        # scan loudly ("source details did not match against any
+        # scanners") — check the unmatched remainder eagerly (O(1)
+        # take(1), limit-guarded) instead of silently dropping it
+        # (ADVICE r11 #1).
+        unmatched = df.filter(~blocked).select(path_col.alias("p")).take(1)
+        if unmatched:
+            raise ValueError(
+                "switch scanner: source details did not match against any "
+                f"scanners (first unmatched file: {unmatched[0]['p']!r})"
+            )
         return out
 
     if scanner == "decompress":
@@ -297,7 +334,12 @@ def _apply_binary_scanner(df: DataFrame, scanner: str, sconf: dict) -> DataFrame
             for pdf in batches:
                 rows = {c: [] for c in [*other, "content"]}
                 for _, r in pdf.iterrows():
-                    schema, recs = ocf_decode(bytes(r["content"]))
+                    # tag union values with their WRITER branch index in
+                    # Avro-JSON mode so the renderer names the actual
+                    # written branch (ADVICE r11 #4)
+                    schema, recs = ocf_decode(
+                        bytes(r["content"]), tag_unions=not raw_json
+                    )
                     for rec in recs:
                         doc = rec if raw_json else avro_json_render(
                             schema, rec
@@ -478,6 +520,7 @@ def _sequence(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     sj = conf.get("sharded_join") or {}
     jtype = sj.get("type", "none")
     raw_dfs = []
+    file_orders: list[list[str] | None] = []
     for sub in subs:
         sub = dict(sub)
         sub.pop("label", None)
@@ -493,6 +536,7 @@ def _sequence(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
 
             df = _apply_children(df, procs, "sequence input")
         raw_dfs.append(df)
+        file_orders.append(_config_file_order(name, sconf))
     if jtype != "none":
         from bento_spark.sources.seqjoin import sharded_join_frames
 
@@ -507,6 +551,7 @@ def _sequence(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
             sj.get("id_path", ""),
             jtype,
             sj.get("merge_strategy", "array"),
+            file_orders=file_orders,
         ), False
     dfs = [
         df.withColumn("_seq_idx", F.lit(i))

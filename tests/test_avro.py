@@ -77,3 +77,24 @@ def test_enum_fixed():
     recs = [{"color": "G", "mac": b"\x01\x02\x03"}]
     _, out = ocf_decode(ocf_encode(recs, schema))
     assert out == recs
+
+
+def test_union_branch_preserved_in_avro_json():
+    """ADVICE r11 #4: the Avro-JSON renderer names the WRITER's union
+    branch (goavro TextualFromNative), not a shape-derived preference —
+    data written with the int branch of ["int","long"] renders as
+    {"int": ...}, and with the long branch of ["long","int"] as
+    {"long": ...}."""
+    from bento_spark.operators.avro import avro_json_render
+
+    for union, branch in ((["int", "long"], "int"), (["long", "int"], "long")):
+        schema = {
+            "type": "record", "name": "R",
+            "fields": [{"name": "v", "type": union}],
+        }
+        blob = ocf_encode([{"v": 7}], schema)
+        got_schema, recs = ocf_decode(blob, tag_unions=True)
+        assert avro_json_render(got_schema, recs[0]) == {"v": {branch: 7}}
+        # untagged decode still yields plain Python values
+        _, plain = ocf_decode(blob)
+        assert plain == [{"v": 7}]

@@ -325,7 +325,10 @@ def test_awk_timestamp_go_layouts(spark):
     })
     brow = bad.first()
     assert "failed to detect datetime format" in (brow["_error"] or "")
-    assert json.loads(brow["content"])["t"] == 0
+    # a failed getTime aborts program.Run in the reference — the errored
+    # message keeps its ORIGINAL content, mutations discarded (ADVICE
+    # r11 #5)
+    assert "t" not in json.loads(brow["content"])
 
 
 def test_awk_base64_builtins(spark):

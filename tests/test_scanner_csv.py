@@ -112,3 +112,36 @@ def test_blank_lines_skipped(spark):
     assert [d for d, _m, _e in out] == [
         {"a": "1", "b": "2"}, {"a": "3", "b": "4"},
     ]
+
+
+def test_bare_cr_is_field_data(spark):
+    """ADVICE r11 #3: a lone \r in an unquoted field is DATA in Go
+    encoding/csv — 'a\rb,c' is ONE record ['a\rb', 'c']; only \r\n
+    terminates a record."""
+    out = _rows(csv_scan(
+        _df(spark, "h1,h2\na\rb,c\r\nd,e\n"), "content", {},
+    ))
+    assert [d for d, _m, _e in out] == [
+        {"h1": "a\rb", "h2": "c"},
+        {"h1": "d", "h2": "e"},
+    ]
+
+
+def test_parse_error_emits_empty_payload(spark):
+    """ADVICE r11 #3: with continue_on_error, a quote-PARSE error gives
+    the reference a nil record from Go csv — the emitted payload is an
+    EMPTY object ({} in header mode, [] otherwise) with the error set,
+    not the partially-parsed fields."""
+    text = 'a,b\n"x"y,2\n3,4\n'
+    out = _rows(csv_scan(
+        _df(spark, text), "content", {"continue_on_error": True},
+    ))
+    assert out[0][0] == {} and out[0][2] is not None
+    assert out[1][0] == {"a": "3", "b": "4"} and out[1][2] is None
+
+    out = _rows(csv_scan(
+        _df(spark, '"x"y,2\n3,4\n'), "content",
+        {"continue_on_error": True, "parse_header_row": False},
+    ))
+    assert out[0][0] == [] and out[0][2] is not None
+    assert out[1][0] == ["3", "4"] and out[1][2] is None

@@ -108,3 +108,60 @@ def test_variant_equality_is_type_strict(spark):
     assert rows['{"a": "5"}'] == (True, False, False)
     assert rows['{"a": 5.0}'] == (False, True, True)
     assert rows['{"a": null}'] == (False, True, False)
+
+
+def test_variant_equality_no_numeric_truncation(spark):
+    """ADVICE r11 #2: a DOUBLE variant compared against an int literal
+    must compare numerically (both sides as double), not truncate —
+    `this.a == 5` with a=5.5 is FALSE."""
+    from bento_spark.bloblang import compile_mapping
+
+    df = spark.createDataFrame(
+        [('{"a": 5.5}',), ('{"a": 5}',), ('{"a": 4.999}',)], "content string"
+    )
+    plan = compile_mapping("root.eq = this.a == 5\nroot.ne = this.a != 5\n")
+    rows = {
+        r["content"]: (r["eq"], r["ne"]) for r in plan.apply(df).collect()
+    }
+    assert rows['{"a": 5.5}'] == (False, True)
+    assert rows['{"a": 5}'] == (True, False)
+    assert rows['{"a": 4.999}'] == (False, True)
+
+
+def test_variant_equality_composite_literals(spark):
+    """VERDICT r11 missing #3: ==/!= type-agreement for ARRAY/OBJECT
+    literal shapes — family mismatch is false/true (never coercion),
+    matched families compare by value (numeric arrays across int/float,
+    objects key-order-insensitively)."""
+    from bento_spark.bloblang import compile_mapping
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": [1, 2]}',),
+            ('{"a": [1.0, 2.0]}',),
+            ('{"a": [1, 3]}',),
+            ('{"a": ["1", "2"]}',),
+            ('{"a": "x"}',),
+            ('{"a": {"k": 1, "j": 2}}',),
+            ('{"a": {"j": 2, "k": 1}}',),
+            ('{"a": {"k": 1, "j": 2, "extra": 3}}',),
+        ],
+        "content string",
+    )
+    plan = compile_mapping(
+        "root.eq_arr = this.a == [1, 2]\n"
+        "root.ne_arr = this.a != [1, 2]\n"
+        'root.eq_obj = this.a == {"k": 1, "j": 2}\n'
+    )
+    rows = {
+        r["content"]: (r["eq_arr"], r["ne_arr"], r["eq_obj"])
+        for r in plan.apply(df).collect()
+    }
+    assert rows['{"a": [1, 2]}'] == (True, False, False)
+    assert rows['{"a": [1.0, 2.0]}'] == (True, False, False)
+    assert rows['{"a": [1, 3]}'] == (False, True, False)
+    assert rows['{"a": ["1", "2"]}'] == (False, True, False)
+    assert rows['{"a": "x"}'] == (False, True, False)
+    assert rows['{"a": {"k": 1, "j": 2}}'] == (False, True, True)
+    assert rows['{"a": {"j": 2, "k": 1}}'] == (False, True, True)
+    assert rows['{"a": {"k": 1, "j": 2, "extra": 3}}'] == (False, True, False)

@@ -1,0 +1,155 @@
+"""Full-gate timing sweep for session-conf changes.
+
+Times EVERY registered query at a small SF (default sf0.01) under the
+current session defaults and again under a proposed conf delta, then
+prints a per-query comparison sorted by regression ratio. A session-wide
+conf change must ship with one of these runs committed: the round-11
+regression (global ``spark.sql.subexpressionElimination.enabled=false``
+slowing expression-reuse-heavy plans 2-11x) went out unmeasured because
+both the bench and the builder's A/B were samples — this sweep is the
+full-coverage guard (VERDICT r11 "what's wrong" #2).
+
+Usage:
+    python tools/confsweep.py KEY=VALUE [KEY=VALUE ...] \
+        [--sf DIR] [--reps N] [--out FILE.json]
+
+Example:
+    python tools/confsweep.py spark.sql.subexpressionElimination.enabled=true
+
+Notes:
+  * Confs are applied via ``spark.conf.set`` between passes; all the
+    Catalyst/codegen confs this engine cares about are runtime-settable.
+  * Each pass runs the full query list once to warm (JIT, codegen cache,
+    file listing), then ``--reps`` timed runs, keeping the minimum —
+    single-shot timings at sf0.01 are dominated by fixed overheads.
+  * Queries whose build itself fails under either conf are reported with
+    ``err`` so a plannability cliff (the original reason for CSE-off)
+    shows up as loudly as a slowdown.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def time_pass(spark, queries, sf_dir: str, reps: int) -> dict:
+    out = {}
+    for name, fn in queries.items():
+        try:
+            fn(spark, sf_dir).collect()  # warm
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            out[name] = {"sec": round(best, 4)}
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            out[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+    return out
+
+
+def main() -> int:
+    deltas: dict[str, str] = {}
+    sf_dir = "/root/testdata/sf0.01"
+    reps = 1
+    out_path = None
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--sf":
+            sf_dir = args[i + 1]
+            i += 2
+        elif a == "--reps":
+            reps = int(args[i + 1])
+            i += 2
+        elif a == "--out":
+            out_path = args[i + 1]
+            i += 2
+        elif "=" in a:
+            k, v = a.split("=", 1)
+            deltas[k] = v
+            i += 1
+        else:
+            print(f"unrecognized arg {a!r}", file=sys.stderr)
+            return 2
+    if not deltas:
+        print(__doc__)
+        return 2
+
+    import __spark_entry__ as e
+    from bento_spark.session import get_spark
+
+    spark = get_spark("confsweep")
+    queries = e.queries()
+    baseline_vals = {k: spark.conf.get(k, None) for k in deltas}
+
+    print(f"sweep: {len(queries)} queries at {sf_dir}, reps={reps}", file=sys.stderr)
+    print(f"baseline confs: {baseline_vals}", file=sys.stderr)
+    base = time_pass(spark, queries, sf_dir, reps)
+
+    for k, v in deltas.items():
+        spark.conf.set(k, v)
+    print(f"delta confs: {deltas}", file=sys.stderr)
+    try:
+        prop = time_pass(spark, queries, sf_dir, reps)
+    finally:
+        for k, v in baseline_vals.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    rows = []
+    for name in queries:
+        b, p = base.get(name, {}), prop.get(name, {})
+        row = {"query": name, "base_sec": b.get("sec"), "delta_sec": p.get("sec")}
+        if "err" in b:
+            row["base_err"] = b["err"]
+        if "err" in p:
+            row["delta_err"] = p["err"]
+        if row["base_sec"] and row["delta_sec"]:
+            row["ratio"] = round(row["delta_sec"] / row["base_sec"], 3)
+        rows.append(row)
+    rows.sort(key=lambda r: -(r.get("ratio") or 99.0))
+
+    report = {
+        "sf_dir": sf_dir,
+        "reps": reps,
+        "deltas": deltas,
+        "baseline": baseline_vals,
+        "rows": rows,
+    }
+    text = json.dumps(report, indent=1)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(text + "\n")
+        print(f"wrote {out_path}", file=sys.stderr)
+    print(text)
+
+    flagged = [
+        r for r in rows
+        if ("base_err" in r) != ("delta_err" in r)
+        or (r.get("ratio") or 1.0) > 1.5
+        or (r.get("ratio") or 1.0) < 1 / 1.5
+    ]
+    print(
+        f"\n{len(flagged)} queries moved >1.5x or changed error state "
+        f"under {deltas}",
+        file=sys.stderr,
+    )
+    for r in flagged[:30]:
+        print(f"  {r['query']}: {r.get('base_sec')} -> {r.get('delta_sec')} "
+              f"(x{r.get('ratio')}) {r.get('base_err','')}{r.get('delta_err','')}",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
