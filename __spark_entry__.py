@@ -93,28 +93,29 @@ _PRIORITY = [
     # relational breadth: 24 members — ALL 22 TPC-H query shapes +
     # pivot/percentiles/set-ops — certified in one slot
     "relational_gauntlet",
-    # bloblang_stdlib3 STAYS above the fold: the one r10 red row (the
-    # VARIANT claims column crashed the driver's checker) — re-promoted
-    # to prove the to_json serialization fix at the driver
-    "bloblang_stdlib3",
-    # r11 rotation: the r10 promotions (stdlib2, grok,
-    # json_schema_full, audio/video multimodal, pii_redact,
-    # jmespath_sortby, seq_join_sharded, late-data/stateful streaming,
-    # percentiles) went driver-green on first exposure and rotate below
-    # the fold; never-driver-seen rows take the slots — the codec
-    # roundtrip singles, the scanner families, three TPC-H singles, the
-    # kmeans mixture, and the streaming-yaml/error-retry pipelines
-    "proc_avro_roundtrip", "proc_protobuf_roundtrip", "xml_roundtrip",
-    "scan_re_match", "scan_gauntlet",
-    "q2_min_cost_supplier",
-    "kmeans_embedding_mixture",
-    "pipeline_yaml_stream", "pipeline_error_retry",
-    # NEW r11 surface, gate-proven same round: the encoding/csv-
-    # faithful csv scanner and the byte-stream scanner family
-    # (tar / decompress->lines / avro OCF through apply_scanner)
-    "scan_csv_quoted", "scan_binary_gauntlet",
+    # r12 rotation: the r11 promotions (codec roundtrips, scanner
+    # families, q2, kmeans, streaming-yaml/error-retry, csv/binary
+    # scanners) and bloblang_stdlib3 went driver-green and rotate below
+    # the fold; never-driver-seen rows take the slots. The three CSE-off
+    # perf victims (language_id / opensnowcat / quality_score) are
+    # promoted to prove the round-12 manual-hoisting recovery AT the
+    # driver, under its timing pressure; schema_registry_roundtrip also
+    # exercises this round's message-level error semantics.
+    "text_language_id", "proc_opensnowcat", "text_quality_score",
+    "text_token_stats",
+    "quality_repetition_gopher", "decontaminate_overlap",
+    "proc_msgpack_roundtrip", "proc_schema_registry_roundtrip",
+    "ann_ivf_topk", "dedup_span_windows",
+    "scan_skip_bom", "scan_json_documents",
     # ---- below the fold: member singles of the gauntlets above plus
     # variants of already-covered rows (row-level re-checked locally) ----
+    # r12 demotions (r11 promotions, driver-green on first exposure)
+    "bloblang_stdlib3",
+    "proc_avro_roundtrip", "proc_protobuf_roundtrip", "xml_roundtrip",
+    "scan_re_match", "scan_gauntlet", "q2_min_cost_supplier",
+    "kmeans_embedding_mixture",
+    "pipeline_yaml_stream", "pipeline_error_retry",
+    "scan_csv_quoted", "scan_binary_gauntlet",
     "q9_product_profit", "q11_important_value",
     "stream_late_data_drop", "stream_stateful_totals",
     "percentiles_value",
@@ -124,26 +125,25 @@ _PRIORITY = [
     "pii_redact",
     "proc_jmespath_sortby", "seq_join_sharded",
     "dedupe_within_window", "dedup_embedding_cosine",
-    "decontaminate_overlap",
-    "pack_sequences_contiguous", "quality_repetition_gopher",
+    "pack_sequences_contiguous",
     "sample_stratified_hash",
-    "text_token_stats", "text_language_id", "ann_brute_force_topk",
+    "ann_brute_force_topk",
     "text_fingerprint_winnow",
     "window_session_user", "bloblang_geoip",
     # r9 promotions + long-green r10 demotions, rotated below the fold
     # (proc_jq_reduce: driver-green r7-r9; proc_jq keeps the family)
     "proc_jq_reduce",
     "proc_branch_enrich", "proc_http_enrich", "proc_javascript",
-    "pipeline_template", "pipeline_metrics", "dedup_span_windows",
+    "pipeline_template", "pipeline_metrics",
     "mm_jpeg_features", "bloblang_crypto_gauntlet",
     "window_sliding_hour", "semi_anti_join", "skew_salted_agg",
     # r8 promotions, driver-green, rotated back below the fold
-    "ann_ivf_topk", "stream_join_interval",
-    "proc_awk", "proc_opensnowcat",
+    "stream_join_interval",
+    "proc_awk",
     "sample_temperature_mix", "text_chunk_windows",
     "pipeline_error_handling",
     "proc_split_batches", "proc_split_byte_batches", "proc_insert_part",
-    "rollup_priority", "text_quality_score", "proc_jmespath_collapse",
+    "rollup_priority", "proc_jmespath_collapse",
     "corpus_shuffle_shards",
     "dedup_incremental_snapshot",
     "proc_switch_route", "proc_try_catch", "proc_group_by_value",
@@ -155,9 +155,7 @@ _PRIORITY = [
     "proc_compress_roundtrip", "proc_parse_syslog", "proc_parse_log",
     "proc_json_schema",
     "proc_archive_roundtrip", "proc_tar_roundtrip", "proc_lines_roundtrip",
-    "unarchive_csv_roundtrip", "proc_chunker", "proc_msgpack_roundtrip",
-    "proc_schema_registry_roundtrip",
-    "scan_skip_bom", "scan_json_documents",
+    "unarchive_csv_roundtrip", "proc_chunker",
     "scan_xml_documents", "scan_switch",
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "q12_shipmode_priority", "q14_promo_effect",

@@ -56,7 +56,14 @@ def compile_field(template: str, df: DataFrame | None = None) -> Column:
         if kind == "static":
             parts.append(F.lit(text))
         else:
-            parts.append(compile_expr(text, df=df).cast("string"))
+            # a null expression renders as the literal string "null"
+            # (value.IToString(nil), type_helpers.go:423) — SQL NULL
+            # would also null out the whole concat
+            parts.append(
+                F.coalesce(
+                    compile_expr(text, df=df).cast("string"), F.lit("null")
+                )
+            )
     if not parts:
         return F.lit("")
     return parts[0] if len(parts) == 1 else F.concat(*parts)

@@ -360,11 +360,16 @@ def cache_from_conf(conf: dict | str):
         return _client_from_url(c if isinstance(c, str) else c["url"])
     if name in ("redis", "memcached"):
         # reference cache configs: {redis: {url: "tcp://host:6379"}}
-        # (caches/redis.md) — normalize the tcp:// scheme and defer the
-        # real socket client so lint/build never dials
+        # (caches/redis.md) or {memcached: {addresses: ["host:11211"]}}
+        # (caches/memcached.md) — normalize the tcp:// scheme / address
+        # list and defer the real socket client so lint/build never dials
         from bento_spark.operators.kvstore import _client_from_url
 
-        url = c.get("url", f"{name}://localhost")
+        url = c.get("url")
+        if url is None and name == "memcached" and c.get("addresses"):
+            url = f"memcached://{c['addresses'][0]}"
+        if url is None:
+            url = f"{name}://localhost"
         if url.startswith("tcp://"):
             url = f"{name}://" + url[len("tcp://"):]
         return LazyKV(lambda: _client_from_url(url))

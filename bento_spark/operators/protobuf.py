@@ -322,6 +322,40 @@ def sr_encode_col(json_col: Column, schema_id: int, registry: dict[int, dict]) -
     return run(json_col)
 
 
+def sr_decode_result_col(bin_col: Column, registry) -> Column:
+    """Framed Avro payload -> struct<out: string, err: string>: per-
+    message decode with the error captured instead of failing the job —
+    the reference's Process() errors the MESSAGE on a bad frame or
+    unknown/unreachable schema id and leaves its content unchanged
+    (processor_schema_registry_decode.go:147)."""
+    from bento_spark.operators.avro import _dec as _avro_dec
+
+    @pandas_udf("struct<out: string, err: string>")
+    def run(s: pd.Series) -> pd.DataFrame:
+        outs, errs = [], []
+        for b in s:
+            if b is None:
+                outs.append(None)
+                errs.append(None)
+                continue
+            try:
+                sid, body = sr_unframe(bytes(b))
+                schema = registry.get(sid)
+                if schema is None:
+                    raise ValueError(
+                        f"schema_registry: unknown schema id {sid}"
+                    )
+                val, _ = _avro_dec(schema, memoryview(body), 0)
+                outs.append(json.dumps(val, sort_keys=True))
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 — message-level error
+                outs.append(None)
+                errs.append(str(exc)[:500])
+        return pd.DataFrame({"out": outs, "err": errs})
+
+    return run(bin_col)
+
+
 def sr_decode_col(bin_col: Column, registry: dict[int, dict]) -> Column:
     """Framed Avro payload -> JSON (+ the schema id recoverable via
     sr_unframe); unknown ids raise, like the reference erroring the

@@ -221,12 +221,25 @@ def _sr_registry(conf):
 
 def _proc_sr_decode(df: DataFrame, conf) -> DataFrame:
     """`schema_registry_decode`: strip the magic-0x00 + BE schema-id
-    frame and decode the body against the registered schema."""
-    from bento_spark.operators.protobuf import sr_decode_col
+    frame and decode the body against the registered schema. A bad
+    frame / unknown id errors the MESSAGE (content kept, `_error` set)
+    like the reference's Process(), not the whole job."""
+    from bento_spark.operators.envelope import ERROR
+    from bento_spark.operators.protobuf import sr_decode_result_col
 
     df = ensure_envelope(df)
-    return df.withColumn(
-        "content", sr_decode_col(F.col("content"), _sr_registry(conf))
+    df = df.withColumn(
+        "__sr", sr_decode_result_col(
+            F.col("content").cast("binary"), _sr_registry(conf)
+        )
+    )
+    return (
+        df.withColumn(
+            "content",
+            F.coalesce(F.col("__sr.out"), F.col("content").cast("string")),
+        )
+        .withColumn(ERROR, F.coalesce(F.col(ERROR), F.col("__sr.err")))
+        .drop("__sr")
     )
 
 
