@@ -124,6 +124,60 @@ def _type_of(env: Env, col: Column):
         return None
 
 
+def _unify_branch_types(env: Env, cols: list[Column]) -> list[Column]:
+    """CaseWhen requires one Spark type across branches; Bloblang
+    branches are dynamic (mapping_parser.go if-expression — the
+    generate.md doc example returns differently-shaped objects per
+    branch). Identical types pass through; differing STRUCT shapes
+    merge to the union schema with missing fields null (to_json omits
+    nulls, so the serialized document matches the reference's dynamic
+    result); any other mismatch lifts every branch to VARIANT (the
+    dynamic operators handle it from there)."""
+    types = [_type_of(env, c) for c in cols]
+    if any(t is None for t in types):
+        return cols  # unresolvable (lambda scope) — leave to Catalyst
+    if all(t == types[0] for t in types[1:]):
+        return cols
+    from pyspark.sql import types as T
+
+    # Catalyst's own CaseWhen coercion widens atomic mismatches (int vs
+    # long, null vs anything) — only complex-shape mismatches need help
+    live = [
+        t for t in types
+        if not isinstance(t, T.NullType)
+    ]
+    complex_t = (T.StructType, T.ArrayType, T.MapType, T.VariantType)
+    if not live or not any(isinstance(t, complex_t) for t in live):
+        return cols
+    if all(t == live[0] for t in live[1:]):
+        return cols  # one real type + null branches: Catalyst coerces
+    if all(isinstance(t, T.StructType) for t in live):
+        order: list[str] = []
+        field_types: dict[str, object] = {}
+        conflict = False
+        for t in live:
+            for f in t.fields:
+                if f.name not in field_types:
+                    order.append(f.name)
+                    field_types[f.name] = f.dataType
+                elif field_types[f.name] != f.dataType:
+                    conflict = True
+        if not conflict:
+            out = []
+            for c, t in zip(cols, types):
+                if isinstance(t, T.NullType):
+                    out.append(c)  # null branch: Catalyst coerces
+                    continue
+                have = {f.name for f in t.fields}
+                out.append(F.struct(*[
+                    (c.getField(n) if n in have
+                     else F.lit(None).cast(field_types[n])).alias(n)
+                    for n in order
+                ]))
+            return out
+    return [_to_variant(c, t) for c, t in zip(cols, types)]
+
+
 def _node_src_b(node: A.Node) -> str:
     """Receiver chains back to source-ish text for reference-style
     error messages (mirrors interp._node_src)."""
@@ -524,6 +578,7 @@ def compile_node(node: A.Node, env: Env) -> Column:
             mark = len(env.error_sink)
             orelse = compile_node(node.orelse, env)
             _gate_sink(env, mark, ~F.coalesce(cond, F.lit(False)))
+            then, orelse = _unify_branch_types(env, [then, orelse])
             return F.when(cond, then).otherwise(orelse)
         return F.when(cond, then)
     if isinstance(node, A.Match):
@@ -770,6 +825,17 @@ def _compile_match(node: A.Match, env: Env) -> Column:
         _gate_sink(env, mark, taken)
         raw_conds.append(F.coalesce(cond, F.lit(False)))
         whens.append((cond, value))
+    if whens:
+        vals = [v for _, v in whens] + (
+            [default] if default is not None else []
+        )
+        vals = _unify_branch_types(env, vals)
+        conds = [c for c, _ in whens]
+        if default is not None:
+            default = vals[-1]
+            whens = list(zip(conds, vals[:-1]))
+        else:
+            whens = list(zip(conds, vals))
     for i, (c, v) in enumerate(whens):
         expr = F.when(c, v) if expr is None else expr.when(c, v)
     if expr is None:

@@ -140,8 +140,17 @@ class AzureTableClient:
 def table_storage_df(spark, conf: dict):
     """`azure_table_storage` input: query -> bounded DataFrame (dimension
     loads for broadcast enrichment, like cassandra_rows/postgres_df)."""
+    acct = conf.get("account") or conf.get("storage_account")
+    if not acct:
+        raise ValueError("azure_table_storage: storage_account is required")
+    table = conf.get("table") or conf.get("table_name")
+    if not table:
+        raise ValueError("azure_table_storage: table_name is required")
     client = AzureTableClient(
-        conf["endpoint"], conf["account"], conf["key"], conf["table"]
+        conf.get("endpoint") or f"https://{acct}.table.core.windows.net",
+        acct,
+        conf.get("key") or conf.get("storage_access_key", ""),
+        table,
     )
     rows = client.query_entities(conf.get("filter"), conf.get("select"))
     if not rows:
@@ -238,8 +247,13 @@ def cosmosdb_df(spark, conf: dict):
     """`azure_cosmosdb` input: SQL query -> bounded DataFrame of JSON
     documents (one `doc` string column, like the reference's raw JSON
     messages)."""
+    for k in ("endpoint", "database", "container"):
+        if not conf.get(k):
+            raise ValueError(f"azure_cosmosdb: {k} is required")
     client = CosmosClient(
-        conf["endpoint"], conf["key"], conf["database"], conf["container"]
+        conf["endpoint"],
+        conf.get("key") or conf.get("account_key", ""),
+        conf["database"], conf["container"],
     )
     docs = client.query_documents(
         conf.get("query", "SELECT * FROM c"), conf.get("parameters")

@@ -61,7 +61,11 @@ def build_source(spark: SparkSession, name: str, conf: dict) -> tuple[DataFrame,
 
 def _file_source(fmt: str):
     def fn(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
-        path = conf["path"]
+        # `paths: []` is the reference spelling (input_parquet.go);
+        # `path` the engine's single-path one
+        path = conf.get("path") or conf.get("paths")
+        if not path:
+            raise ValueError(f"{fmt} input: paths is required")
         stream = bool(conf.get("stream", False))
         opts = dict(conf.get("options", {}))
         if fmt == "parquet":
@@ -81,8 +85,35 @@ def _file_source(fmt: str):
 
 
 register_source("parquet")(_file_source("parquet"))
-register_source("csv")(_file_source("csv"))
 register_source("json")(_file_source("json"))
+
+
+@register_source("csv")
+def _csv_source(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    """``csv`` input (input_csv.go): the reference shape — ``paths``
+    plus parse_header_row / delimiter / lazy_quotes — frames files
+    through the Go-encoding/csv-faithful scanner (one message per row,
+    ``header`` metadata order preserved). A legacy ``path`` (+
+    ``options``) config falls through to Spark's native csv reader
+    (typed columns), which is the right tool when the csv IS the
+    relational table rather than a message stream."""
+    if "paths" in conf or "parse_header_row" in conf or "delimiter" in conf:
+        sconf: dict = {}
+        if "parse_header_row" in conf:
+            sconf["parse_header_row"] = conf["parse_header_row"]
+        if conf.get("delimiter"):
+            sconf["custom_delimiter"] = conf["delimiter"]
+        if "lazy_quotes" in conf:
+            sconf["lazy_quotes"] = conf["lazy_quotes"]
+        paths = conf.get("paths") or ([conf["path"]] if "path" in conf else [])
+        if not paths:
+            raise ValueError("csv input: paths is required")
+        return _file_lines(spark, {
+            "paths": paths,
+            "stream": conf.get("stream", False),
+            "scanner": {"csv": sconf},
+        })
+    return _file_source("csv")(spark, conf)
 
 
 # scanners that must see the file's raw BYTES, not decoded text
@@ -103,7 +134,9 @@ def _file_lines(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     reads `binaryFile` so gzip'd tars etc. survive the transport."""
     from bento_spark.operators.envelope import META
 
-    path = conf.get("path") or conf["paths"]  # input_file.go `paths`
+    path = conf.get("path") or conf.get("paths")  # input_file.go `paths`
+    if not path:
+        raise ValueError("file input: paths is required")
     stream = bool(conf.get("stream", False))
     scanner_conf = conf.get("scanner", "lines")
     if isinstance(scanner_conf, dict):
@@ -362,7 +395,9 @@ def _inproc(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     """`inproc` / memory input (input_inproc.go): read a temp view
     registered by an earlier pipeline's `memory` output — the in-process
     handoff between pipelines."""
-    name = conf["name"] if isinstance(conf, dict) else conf
+    name = conf.get("name", "") if isinstance(conf, dict) else conf
+    if not name:
+        raise ValueError("inproc input: a non-empty name is required")
     return spark.table(name), False
 
 
@@ -517,6 +552,8 @@ def _sequence(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     joined documents by id (sources/seqjoin.py — one groupBy shuffle
     replaces the reference's iterations re-reads)."""
     subs = conf.get("inputs", [])
+    if not subs:
+        raise ValueError("sequence input: inputs is required")
     sj = conf.get("sharded_join") or {}
     jtype = sj.get("type", "none")
     raw_dfs = []
@@ -582,7 +619,9 @@ def kafka_reader_options(conf: dict) -> dict:
     # the same field across the reference's two kafka families
     brokers = conf.get("addresses") or conf.get("seed_brokers")
     if not brokers:
-        raise KeyError("addresses")
+        raise ValueError("kafka input: addresses is required")
+    if not conf.get("topics"):
+        raise ValueError("kafka input: topics is required")
     opts = {
         "subscribe": _csv(conf["topics"]),
         "kafka.bootstrap.servers": _csv(brokers),
@@ -688,28 +727,90 @@ def _http_client(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
 # pipelines can pull broadcast-join dimensions straight from the remote
 # system (the reference's sql_select/cassandra/mongodb-style inputs).
 
+def _sql_input_args(conf: dict) -> list:
+    """`args_mapping` for the sql INPUTS: evaluated ONCE against an
+    empty document (input_sql_select.go builds args before the query
+    runs — there is no message context in an input)."""
+    src = conf.get("args_mapping")
+    if not src:
+        return []
+    import json as _json
+
+    from bento_spark.bloblang.interp import interpret_mapping
+
+    doc, _meta = interpret_mapping(str(src), "{}", {})
+    out = _json.loads(doc) if isinstance(doc, str) else doc
+    if not isinstance(out, list):
+        raise ValueError(
+            f"sql input args_mapping returned non-array result: {out!r}"
+        )
+    return out
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _sql_select_query(conf: dict) -> str:
+    """Reference field shape (input_sql_select.go): table + columns +
+    optional where with ? placeholders bound from args_mapping. An
+    explicit `query` overrides (engine superset)."""
+    if conf.get("query"):
+        return str(conf["query"])
+    table = conf.get("table")
+    cols = conf.get("columns") or []
+    if not table or not cols:
+        raise ValueError("sql_select input: table and columns are required")
+    q = f"SELECT {', '.join(cols)} FROM {table}"
+    where = conf.get("where")
+    if where:
+        for a in _sql_input_args(conf):
+            where = where.replace("?", _sql_literal(a), 1)
+        q += f" WHERE {where}"
+    return q
+
+
 @register_source("sql_select")
 def _sql_select(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     """`sql_select` input (input_sql_select.go:29): postgres via the
-    from-scratch pgwire client; sqlite files directly."""
+    from-scratch pgwire client; sqlite files directly; any other
+    driver's table must be readable from the session catalog."""
     driver = conf.get("driver", "postgres")
-    if driver == "postgres":
+    query = _sql_select_query(conf)
+    dsn = conf.get("dsn", "")
+    if driver == "postgres" or (not conf.get("driver") and dsn.startswith("postgres")):
+        from urllib.parse import urlparse as _up
+
         from bento_spark.operators.pgwire import PostgresClient, postgres_df
+
+        u = _up(dsn) if dsn else None
 
         def factory():
             return PostgresClient(
-                conf.get("host", "localhost"), int(conf.get("port", 5432)),
-                conf.get("user", "postgres"), conf.get("password", ""),
-                conf.get("database", "postgres"),
+                (u.hostname if u else None) or conf.get("host", "localhost"),
+                (u.port if u else None) or int(conf.get("port", 5432)),
+                (u.username if u else None) or conf.get("user", "postgres"),
+                (u.password if u else None) or conf.get("password", ""),
+                ((u.path.lstrip("/") if u and u.path else None)
+                 or conf.get("database", "postgres")),
             )
 
-        return postgres_df(spark, factory, conf["query"]), False
+        return postgres_df(spark, factory, query), False
     if driver == "sqlite":
         import sqlite3
 
-        con = sqlite3.connect(conf["path"])
+        path = conf.get("path") or conf.get("dsn", "").replace("file:", "")
+        if not path:
+            raise ValueError("sql_select input: dsn (or path) is required")
+        con = sqlite3.connect(path)
         try:
-            cur = con.execute(conf["query"])
+            cur = con.execute(query)
             cols = [d[0] for d in cur.description]
             rows = [tuple(str(v) if v is not None else None for v in r)
                     for r in cur.fetchall()]
@@ -718,14 +819,31 @@ def _sql_select(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
         return spark.createDataFrame(
             rows, ", ".join(f"`{c}` string" for c in cols)
         ), False
-    raise ValueError(f"sql_select: unknown driver {driver!r}")
+    # other drivers (mysql/clickhouse/...): the table must be reachable
+    # through the session catalog (temp view or configured catalog)
+    return spark.sql(query), False
 
 
 @register_source("cassandra")
 def _cassandra_src(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
+    """``cassandra`` input (input_cassandra.go): one CQL query against
+    the first configured address, rows as JSON documents."""
+    import json as _json
+
     from bento_spark.operators.cql_wire import cassandra_rows
 
-    return cassandra_rows(spark, conf), False
+    addrs = conf.get("addresses") or []
+    if not addrs:
+        raise ValueError("cassandra input: addresses is required")
+    query = conf.get("query")
+    if not query:
+        raise ValueError("cassandra input: query is required")
+    host, _, port = str(addrs[0]).partition(":")
+    rows = cassandra_rows(host, int(port or 9042), str(query))
+    docs = [
+        (_json.dumps(r, sort_keys=True, default=str),) for r in rows
+    ]
+    return spark.createDataFrame(docs or [], "content string"), False
 
 
 @register_source("azure_table_storage")
@@ -760,7 +878,28 @@ def _bigtable_src(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
 def _bq_src(spark: SparkSession, conf: dict) -> tuple[DataFrame, bool]:
     from bento_spark.sources.gcp_bigquery import bigquery_rows
 
-    rows = bigquery_rows(conf["endpoint"], conf["project"], conf["query"])
+    project = conf.get("project")
+    if not project:
+        raise ValueError("gcp_bigquery_select input: project is required")
+    # the reference selects FROM table with columns/where; an explicit
+    # `query` overrides (our superset); build one from the doc fields
+    query = conf.get("query")
+    if not query:
+        table = conf.get("table")
+        cols = conf.get("columns") or []
+        if not table or not cols:
+            raise ValueError(
+                "gcp_bigquery_select input: table and columns are required"
+            )
+        query = f"SELECT {', '.join(cols)} FROM `{table}`"
+        if conf.get("where"):
+            query += f" WHERE {conf['where']}"
+        if conf.get("suffix"):
+            query += f" {conf['suffix']}"
+    rows = bigquery_rows(
+        conf.get("endpoint") or "https://bigquery.googleapis.com",
+        project, query,
+    )
     if not rows:
         raise ValueError("gcp_bigquery_select: empty result, no schema")
     cols = sorted({k for r in rows for k in r})

@@ -30,6 +30,20 @@ from pyspark.sql import DataFrame, SparkSession
 from bento_spark.sources import register_source
 
 
+def _raise(msg: str):
+    """Required-field helper: keeps config errors as clean ValueErrors
+    (never raw KeyErrors) so lint/sweep reports read like the
+    reference's field lint."""
+    raise ValueError(msg)
+
+
+def _req(conf: dict, key: str, comp: str):
+    v = conf.get(key)
+    if v in (None, "", []):
+        raise ValueError(f"{comp}: {key} is required")
+    return v
+
+
 def _staging_dir(name: str, conf: dict) -> str:
     if conf.get("staging_dir"):
         os.makedirs(conf["staging_dir"], exist_ok=True)
@@ -104,7 +118,8 @@ def _sqs(conf):
         conf.get("endpoint") or "https://sqs.{r}.amazonaws.com".format(
             r=conf.get("region", "us-east-1")
         ),
-        conf.get("url") or conf["queue_url"],
+        conf.get("url") or conf.get("queue_url")
+        or _raise("aws_sqs input: url is required"),
         conf.get("region", "us-east-1"),
         conf.get("access_key"),
         conf.get("secret_key"),
@@ -121,7 +136,7 @@ def _s3(conf):
         conf.get("endpoint") or "https://s3.{r}.amazonaws.com".format(
             r=conf.get("region", "us-east-1")
         ),
-        conf["bucket"],
+        _req(conf, "bucket", "aws_s3 input"),
         conf.get("region", "us-east-1"),
         conf.get("access_key"),
         conf.get("secret_key"),
@@ -135,6 +150,8 @@ def _kinesis(conf):
     from bento_spark.sources.aws_kinesis import KinesisBridge, KinesisClient
 
     streams = conf.get("streams") or [conf.get("stream_name", "")]
+    if not streams[0]:
+        raise ValueError("aws_kinesis input: streams is required")
     return KinesisBridge(KinesisClient(
         conf.get("endpoint") or "https://kinesis.{r}.amazonaws.com".format(
             r=conf.get("region", "us-east-1")
@@ -174,10 +191,10 @@ def _pubsub(conf):
     return _PubSubDrain(
         PubSubClient(
             conf.get("endpoint") or "https://pubsub.googleapis.com",
-            conf["project"],
+            _req(conf, "project", "gcp_pubsub input"),
             token_provider=_gcp_token_provider(conf),
         ),
-        conf["subscription"],
+        _req(conf, "subscription", "gcp_pubsub input"),
     )
 
 
@@ -189,7 +206,7 @@ def _gcs(conf):
 
     return ObjectStoreBridge(GcsClient(
         conf.get("endpoint") or "https://storage.googleapis.com",
-        conf["bucket"],
+        _req(conf, "bucket", "gcp_cloud_storage input"),
         token_provider=_gcp_token_provider(conf),
     ))
 
@@ -200,9 +217,14 @@ _bridge_source("gcp_cloud_storage", _gcs, lambda c: {"prefix": c.get("prefix", "
 def _azure_blob(conf):
     from bento_spark.sources.objectstore import AzureBlobClient, ObjectStoreBridge
 
+    # the reference has no endpoint field — derive the public blob
+    # endpoint from the account (emulators pass an explicit endpoint)
+    acct = _req(conf, "storage_account", "azure_blob_storage input")
     return ObjectStoreBridge(AzureBlobClient(
-        conf["endpoint"], conf["storage_account"],
-        conf.get("storage_access_key", ""), conf["container"],
+        conf.get("endpoint") or f"https://{acct}.blob.core.windows.net",
+        acct,
+        conf.get("storage_access_key", ""),
+        _req(conf, "container", "azure_blob_storage input"),
     ))
 
 
@@ -213,8 +235,14 @@ _bridge_source("azure_blob_storage", _azure_blob,
 def _hdfs(conf):
     from bento_spark.sources.objectstore import ObjectStoreBridge, WebHdfsClient
 
+    hosts = conf.get("hosts") or ([conf["endpoint"]] if "endpoint" in conf else [])
+    if not hosts:
+        raise ValueError("hdfs input: hosts is required")
+    host = str(hosts[0])
+    if "://" not in host:
+        host = f"http://{host}"
     return ObjectStoreBridge(WebHdfsClient(
-        conf["endpoint"], conf.get("directory", "/"), conf.get("user", "spark")
+        host, conf.get("directory", "/"), conf.get("user", "spark")
     ))
 
 
@@ -224,9 +252,12 @@ _bridge_source("hdfs", _hdfs)
 def _azure_queue(conf):
     from bento_spark.sources.azure_queue import AzureQueueClient
 
+    acct = _req(conf, "storage_account", "azure_queue_storage input")
     return AzureQueueClient(
-        conf["endpoint"], conf["storage_account"],
-        conf.get("storage_access_key", ""), conf["queue_name"],
+        conf.get("endpoint") or f"https://{acct}.queue.core.windows.net",
+        acct,
+        conf.get("storage_access_key", ""),
+        _req(conf, "queue_name", "azure_queue_storage input"),
     )
 
 
@@ -235,10 +266,22 @@ _bridge_source("azure_queue_storage", _azure_queue)
 
 # -- Redis ------------------------------------------------------------------
 
+def _redis_url(conf: dict, comp: str) -> str:
+    """The reference's redis url field accepts tcp:// (redis docs) —
+    normalize to the kv-client scheme."""
+    url = _req(conf, "url", comp)
+    if url.startswith("tcp://"):
+        url = "redis://" + url[len("tcp://"):]
+    return url
+
+
 def _redis_list(conf):
     from bento_spark.sources.redis_bridge import RedisListBridge
 
-    return RedisListBridge(conf["url"], conf["key"])
+    return RedisListBridge(
+        _redis_url(conf, "redis_list input"),
+        _req(conf, "key", "redis_list input"),
+    )
 
 
 _bridge_source("redis_list", _redis_list)
@@ -247,8 +290,14 @@ _bridge_source("redis_list", _redis_list)
 def _redis_streams(conf):
     from bento_spark.sources.redis_bridge import RedisStreamsBridge
 
-    streams = conf.get("streams") or [conf["stream"]]
-    return RedisStreamsBridge(conf["url"], streams[0])
+    streams = conf.get("streams") or (
+        [conf["stream"]] if "stream" in conf else []
+    )
+    if not streams:
+        raise ValueError("redis_streams input: streams is required")
+    return RedisStreamsBridge(
+        _redis_url(conf, "redis_streams input"), streams[0]
+    )
 
 
 _bridge_source("redis_streams", _redis_streams)
@@ -257,7 +306,10 @@ _bridge_source("redis_streams", _redis_streams)
 def _redis_pubsub(conf):
     from bento_spark.sources.redis_bridge import RedisPubSubBridge
 
-    return RedisPubSubBridge(conf["url"], list(conf.get("channels", [])))
+    return RedisPubSubBridge(
+        _redis_url(conf, "redis_pubsub input"),
+        list(conf.get("channels", [])),
+    )
 
 
 _bridge_source("redis_pubsub", _redis_pubsub)
@@ -268,7 +320,13 @@ _bridge_source("redis_pubsub", _redis_pubsub)
 def _etcd(conf):
     from bento_spark.sources.watch_inputs import EtcdKV, EtcdWatchBridge
 
-    return EtcdWatchBridge(EtcdKV(conf["endpoint"]), conf.get("prefix", ""))
+    # reference field: endpoints: [] (etcd docs)
+    eps = conf.get("endpoints") or (
+        [conf["endpoint"]] if "endpoint" in conf else []
+    )
+    if not eps:
+        raise ValueError("etcd input: endpoints is required")
+    return EtcdWatchBridge(EtcdKV(str(eps[0])), conf.get("prefix", ""))
 
 
 _bridge_source("etcd", _etcd)
@@ -278,7 +336,11 @@ def _k8s(conf):
     from bento_spark.sources.watch_inputs import K8sWatchBridge
 
     return K8sWatchBridge(
-        conf["endpoint"], conf["path"], conf.get("token")
+        _req(conf, "endpoint", "kubernetes_watch input (in-cluster "
+             "auto_auth is not available here; point endpoint at the "
+             "API server)"),
+        _req(conf, "path", "kubernetes_watch input"),
+        conf.get("token"),
     )
 
 
@@ -288,7 +350,12 @@ _bridge_source("kubernetes_watch", _k8s)
 def _fsevent(conf):
     from bento_spark.sources.watch_inputs import FsEventBridge
 
-    return FsEventBridge(conf["path"])
+    # reference field is `paths: []` (fsevent docs); keep the legacy
+    # single `path` spelling as a fallback
+    paths = conf.get("paths") or ([conf["path"]] if "path" in conf else [])
+    if not paths:
+        raise ValueError("fsevent input: paths is required")
+    return FsEventBridge(str(paths[0]))
 
 
 _bridge_source("fsevent", _fsevent)
@@ -297,7 +364,7 @@ _bridge_source("fsevent", _fsevent)
 def _file_tail(conf):
     from bento_spark.sources.socket_input import FileTailBridge
 
-    return FileTailBridge(conf["path"])
+    return FileTailBridge(_req(conf, "path", "file_tail input"))
 
 
 _bridge_source("file_tail", _file_tail)

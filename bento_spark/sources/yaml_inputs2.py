@@ -25,9 +25,13 @@ def _hostport(conf, key="urls", default_port=0, scheme=None):
     adapters that need them."""
     urls = conf.get(key) or ([conf["url"]] if conf.get("url") else [])
     if not urls:
-        raise KeyError(f"{key} (or url) required")
+        raise ValueError(f"{key} (or url) is required")
     u = urlparse(urls[0] if "://" in urls[0] else f"{scheme or 'tcp'}://{urls[0]}")
     return u.hostname or "localhost", u.port or default_port, u
+
+
+def _fail(msg: str):
+    raise ValueError(msg)
 
 
 class _Drain:
@@ -146,7 +150,10 @@ def _nats_object_store(conf):
     from bento_spark.operators.jetstream import NatsObjectStore
 
     host, port, _u = _hostport(conf, default_port=4222, scheme="nats")
-    c = NatsObjectStore(host=host, port=port, bucket=conf["bucket"])
+    bucket = conf.get("bucket")
+    if not bucket:
+        raise ValueError("nats_object_store input: bucket is required")
+    c = NatsObjectStore(host=host, port=port, bucket=bucket)
     return _DrainAfter(c.drain_to_dir, names=list(conf.get("names", [])))
 
 
@@ -159,7 +166,10 @@ def _nsq(conf):
     addr = conf.get("nsqd_tcp_address") or conf.get("address", "localhost:4150")
     host, _, port = addr.partition(":")
     c = NsqClient(host=host or "localhost", port=int(port or 4150))
-    return _Drain(c.drain_to_dir, conf["topic"],
+    topic = conf.get("topic")
+    if not topic:
+        raise ValueError("nsq input: topic is required")
+    return _Drain(c.drain_to_dir, topic,
                   conf.get("channel", "bento-spark"),
                   max_msgs=int(conf.get("max_msgs", 10_000)))
 
@@ -172,7 +182,11 @@ def _pulsar(conf):
 
     host, port, _u = _hostport(conf, default_port=6650, scheme="pulsar")
     c = PulsarClient(host=host, port=port)
-    topics = conf.get("topics") or [conf["topic"]]
+    topics = conf.get("topics") or (
+        [conf["topic"]] if conf.get("topic") else []
+    )
+    if not topics:
+        raise ValueError("pulsar input: topics is required")
     c.subscribe(topics[0], conf.get("subscription_name", "bento-spark"))
     return _DrainAfter(c.drain_to_dir,
                        idle_timeout=float(conf.get("idle_timeout_s", 1.0)))
@@ -210,11 +224,14 @@ _bridge_source("nanomsg", _nanomsg)
 # -- change streams ----------------------------------------------------------
 
 def _cockroach(conf):
-    from bento_spark.operators.pgwire import PgClient, cockroachdb_changefeed_drain
+    from bento_spark.operators.pgwire import (
+        PostgresClient,
+        cockroachdb_changefeed_drain,
+    )
 
     host, port, u = _hostport(conf, key="dsn_list",
                               default_port=26257, scheme="postgres")
-    factory = lambda: PgClient(  # noqa: E731
+    factory = lambda: PostgresClient(  # noqa: E731
         host=host, port=port, user=u.username or "root",
         password=u.password or "",
         database=(u.path or "/defaultdb").lstrip("/") or "defaultdb",
@@ -235,12 +252,20 @@ def _spanner_cdc(conf):
     from bento_spark.sources.gcp_spanner import SpannerChangeStreamClient
     from bento_spark.sources.yaml_inputs import _gcp_token_provider
 
+    # reference fields: spanner_dsn (projects/.../databases/...) and
+    # stream_name; `database`/`stream` kept as direct spellings
+    database = conf.get("database") or conf.get("spanner_dsn")
+    if not database:
+        raise ValueError("gcp_spanner_cdc input: spanner_dsn is required")
+    stream = conf.get("stream") or conf.get("stream_name")
+    if not stream:
+        raise ValueError("gcp_spanner_cdc input: stream_name is required")
     c = SpannerChangeStreamClient(
         conf.get("endpoint") or "https://spanner.googleapis.com",
-        conf["database"],
+        database,
         token_provider=_gcp_token_provider(conf),
     )
-    return _Drain(c.drain_to_dir, conf["stream"])
+    return _Drain(c.drain_to_dir, stream)
 
 
 _bridge_source("gcp_spanner_cdc", _spanner_cdc)
@@ -251,7 +276,9 @@ def _twitter(conf):
 
     return TwitterSearchBridge(
         conf.get("endpoint") or "https://api.twitter.com",
-        conf["query"], conf.get("token", ""),
+        conf.get("query")
+        or _fail("twitter_search input: query is required"),
+        conf.get("token", ""),
     )
 
 
@@ -482,19 +509,41 @@ def _mongodb_input(spark: SparkSession, conf: dict):
 @register_source("sql_raw")
 def _sql_raw_input(spark: SparkSession, conf: dict):
     """`sql_raw` input: arbitrary SQL via pgwire (postgres driver) or
-    a file-backed catalog query otherwise."""
+    a session-catalog query otherwise. `args_mapping` placeholders
+    (?: generic, $N: postgres) bind ONCE from an empty document, like
+    the reference input's pre-query arg build."""
+    import re as _re
+
+    from bento_spark.sources import _sql_input_args, _sql_literal
+
+    query = conf.get("query")
+    if not query:
+        raise ValueError("sql_raw input: query is required")
+    query = str(query)
+    args = _sql_input_args(conf)
+    if args:
+        for i, a in enumerate(args, start=1):
+            query = query.replace(f"${i}", _sql_literal(a))
+        for a in args:
+            if "?" not in query:
+                break
+            query = query.replace("?", _sql_literal(a), 1)
+    elif _re.search(r"\$\d+|\?", query):
+        raise ValueError(
+            "sql_raw input: query has placeholders but no args_mapping"
+        )
     driver = conf.get("driver", "")
     if driver == "postgres":
-        from bento_spark.operators.pgwire import PgClient, postgres_df
+        from bento_spark.operators.pgwire import PostgresClient, postgres_df
 
-        u = urlparse(conf["dsn"])
-        factory = lambda: PgClient(  # noqa: E731
+        u = urlparse(conf.get("dsn", ""))
+        factory = lambda: PostgresClient(  # noqa: E731
             host=u.hostname or "localhost", port=u.port or 5432,
             user=u.username or "postgres", password=u.password or "",
             database=(u.path or "/postgres").lstrip("/"),
         )
-        return postgres_df(spark, factory, conf["query"]), False
-    return spark.sql(conf["query"]), False
+        return postgres_df(spark, factory, query), False
+    return spark.sql(query), False
 
 
 # -- composition -------------------------------------------------------------
@@ -509,7 +558,10 @@ def _batched(spark: SparkSession, conf: dict):
     from bento_spark.operators.batching import split_batches
     from bento_spark.sources import build_source
 
-    (cname, cconf), = dict(conf["child"]).items()
+    child = conf.get("child")
+    if not isinstance(child, dict) or not child:
+        raise ValueError("batched input: child is required")
+    (cname, cconf), = dict(child).items()
     df, streaming = build_source(spark, cname, cconf)
     count = int((conf.get("policy") or {}).get("count", 0))
     if count > 0 and not streaming:
@@ -530,7 +582,10 @@ def _read_until(spark: SparkSession, conf: dict):
     from bento_spark.bloblang import compile_expr
     from bento_spark.sources import build_source
 
-    (cname, cconf), = dict(conf["input"]).items()
+    child = conf.get("input")
+    if not isinstance(child, dict) or not child:
+        raise ValueError("read_until input: input (child) is required")
+    (cname, cconf), = dict(child).items()
     df, streaming = build_source(spark, cname, cconf)
     if streaming:
         raise ValueError(
@@ -540,6 +595,8 @@ def _read_until(spark: SparkSession, conf: dict):
     from bento_spark.plans.pipeline import _lift_content
 
     df = _lift_content(df)
+    if not conf.get("check"):
+        raise ValueError("read_until input: check is required")
     check = compile_expr(str(conf["check"]), df=df)
     df = df.withColumn("__ru_ord", F.monotonically_increasing_id())
     w = Window.orderBy("__ru_ord").rowsBetween(Window.unboundedPreceding, -1)
@@ -578,7 +635,9 @@ def _resource_input(spark: SparkSession, conf: dict):
     """`resource` input: indirection through a labelled definition."""
     from bento_spark.sources import build_source
 
-    label = conf if isinstance(conf, str) else conf["resource"]
+    label = conf if isinstance(conf, str) else conf.get("resource", "")
+    if not label:
+        raise ValueError("resource input: a resource label is required")
     if label not in INPUT_RESOURCES:
         raise ValueError(
             f"unknown input resource {label!r} (have {sorted(INPUT_RESOURCES)})"
@@ -590,10 +649,33 @@ def _resource_input(spark: SparkSession, conf: dict):
 def _service_bus(conf):
     from bento_spark.operators.azuredata import ServiceBusQueueClient
 
+    # reference fields: connection_string OR namespace, plus queue
+    endpoint = conf.get("endpoint")
+    key_name = conf.get("key_name", "RootManageSharedAccessKey")
+    key = conf.get("key", "")
+    cs = conf.get("connection_string", "")
+    if cs:
+        parts = dict(
+            p.split("=", 1) for p in cs.split(";") if "=" in p
+        )
+        ep = parts.get("Endpoint", "").replace("sb://", "https://")
+        endpoint = endpoint or ep.rstrip("/")
+        key_name = parts.get("SharedAccessKeyName", key_name)
+        key = parts.get("SharedAccessKey", key)
+    elif conf.get("namespace"):
+        endpoint = endpoint or (
+            f"https://{conf['namespace']}.servicebus.windows.net"
+        )
+    if not endpoint:
+        raise ValueError(
+            "azure_service_bus_queue input: connection_string or "
+            "namespace is required"
+        )
+    queue = conf.get("queue")
+    if not queue:
+        raise ValueError("azure_service_bus_queue input: queue is required")
     return _DrainAfter(ServiceBusQueueClient(
-        conf["endpoint"], conf["queue"],
-        conf.get("key_name", "RootManageSharedAccessKey"),
-        conf.get("key", ""),
+        endpoint, queue, key_name, key,
     ).drain_to_dir)
 
 

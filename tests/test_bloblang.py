@@ -348,3 +348,38 @@ def test_from_negative_index_tail_addressing(spark):
     )
     out = plan.apply(df).orderBy("__idx").collect()
     assert [r["key"] for r in out] == ["at2", "at2", "at2"]
+
+
+def test_if_branches_with_different_object_shapes(spark):
+    """Dynamic branch shapes (mapping_parser.go if-expression; the
+    generate.md doc example): an if/else returning differently-shaped
+    objects compiles — struct branches merge to the union schema with
+    missing fields null (to_json omits them, so serialized documents
+    match the reference's per-branch result)."""
+    df = spark.createDataFrame([(0,), (1,)], "n long")
+    plan = compile_mapping(
+        'root = if this.n % 2 == 0 {\n'
+        '  {"type": "foo", "foo": "is yummy"}\n'
+        '} else {\n'
+        '  {"type": "bar", "bar": "is gross"}\n'
+        '}\n'
+    )
+    rows = {r["type"]: r.asDict() for r in plan.apply(df).collect()}
+    assert rows["foo"]["foo"] == "is yummy" and rows["foo"]["bar"] is None
+    assert rows["bar"]["bar"] == "is gross" and rows["bar"]["foo"] is None
+
+    # scalar-vs-object mismatch lifts to VARIANT, values intact
+    plan = compile_mapping(
+        'root.v = if this.n % 2 == 0 { {"a": 1} } else { "plain" }'
+    )
+    out = {r["n"]: r["v"] for r in plan.apply(df).collect()}
+    assert out[0].toPython() == {"a": 1}
+    assert out[1].toPython() == "plain"
+
+    # match arms unify the same way
+    plan = compile_mapping(
+        'root.m = match this.n { 0 => {"x": 1}, _ => {"y": "z"} }'
+    )
+    out = {r["n"]: r["m"].asDict() for r in plan.apply(df).collect()}
+    assert out[0] == {"x": 1, "y": None}
+    assert out[1] == {"x": None, "y": "z"}

@@ -1,0 +1,100 @@
+"""Build-sweep over the reference's INPUT doc examples (website/docs/
+components/inputs/*.md) — the processors-sweep net extended to the
+source registry (round 12).
+
+Unlike the processor examples, most input yaml blocks are config-spec
+dumps ("showing default values") whose required fields are explicitly
+empty, or dial real remote endpoints. The sweep therefore pins a
+CLASSIFICATION, not a build floor:
+
+* build        — file/generate/inproc-style examples that construct;
+* clean-reject — a required-field or unsupported-shape config error
+  raised as ValueError with the component name in the message (the
+  reference's field-lint analog — empty `addresses: []` etc.);
+* env          — a real dial to the example's remote host (connection
+  refused / DNS / missing example file);
+* crash        — anything else (KeyError/TypeError/ImportError...):
+  ALWAYS a bug, either a wrong field name in the engine's builder
+  (round 12 found `paths` vs `path` in csv/parquet/fsevent/etcd, the
+  sql_select table/columns shape, service-bus connection strings) or
+  a broken component (cassandra called with the wrong signature,
+  cockroachdb importing a nonexistent client class). Pinned at ZERO.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import urllib.error
+
+import pytest
+
+DOCS = "/root/reference/website/docs/components/inputs"
+# measured round 12; build can only grow (new runnable examples), and
+# crash stays zero — a KeyError from a doc-shaped config is a field-
+# surface bug by definition
+MIN_BUILDS = 15  # 16-17 measured; one example is session-state-dependent
+MIN_CLEAN = 90
+
+
+def test_input_docs_classification(spark):
+    if not os.path.isdir(DOCS):
+        pytest.skip("reference docs not present")
+    import yaml
+
+    from bento_spark.plans.pipeline import PLACEHOLDER_RESOURCES
+    from bento_spark.sources import build_source
+
+    total = 0
+    classes = {"build": 0, "clean-reject": 0, "env": 0}
+    crashes: list[str] = []
+    PLACEHOLDER_RESOURCES[0] = True
+    try:
+        for f in sorted(glob.glob(f"{DOCS}/*.md")):
+            txt = open(f, encoding="utf-8").read()
+            for m in re.finditer(r"```ya?ml\n(.*?)```", txt, re.S):
+                try:
+                    cfg = yaml.safe_load(m.group(1))
+                except Exception:  # noqa: BLE001 - partial yaml in prose
+                    continue
+                if not isinstance(cfg, dict):
+                    continue
+                inp = cfg.get("input")
+                if not isinstance(inp, dict):
+                    continue
+                sub = {
+                    k: v for k, v in inp.items()
+                    if k not in ("label", "processors", "batching")
+                }
+                if len(sub) != 1:
+                    continue
+                (name, sconf), = sub.items()
+                total += 1
+                try:
+                    build_source(spark, name, sconf or {})
+                    classes["build"] += 1
+                except ValueError:
+                    classes["clean-reject"] += 1
+                except Exception as exc:  # noqa: BLE001 - classified below
+                    et = type(exc).__name__
+                    if (
+                        isinstance(
+                            exc,
+                            (OSError, urllib.error.URLError, TimeoutError),
+                        )
+                        or "PATH_NOT_FOUND" in str(exc)
+                        or "AnalysisException" in et
+                    ):
+                        classes["env"] += 1
+                    else:
+                        crashes.append(
+                            f"{os.path.basename(f)} {name}: {et}: "
+                            f"{str(exc)[:150]}"
+                        )
+    finally:
+        PLACEHOLDER_RESOURCES[0] = False
+    assert total == 148, f"input docs example corpus changed: {total}"
+    assert not crashes, f"input builders crashed on doc configs: {crashes}"
+    assert classes["build"] >= MIN_BUILDS, classes
+    assert classes["clean-reject"] >= MIN_CLEAN, classes
