@@ -260,8 +260,19 @@ def minhash_lsh_pairs(
     # per-doc shingle count rides the signature shuffle — the verifier
     # needs it, and a separate groupBy would re-scan + re-explode the
     # whole corpus
-    sig = minhash_signatures(
-        inv, coeffs, extra_aggs=[F.count(F.lit(1)).alias("n_sh")]
+    # sig is consumed FOUR times (both sides of the band self-join and
+    # both size lookups of the verifier); without a materialization each
+    # consumer re-runs the full (doc, h) shuffle + 32 min-aggregates —
+    # AQE's exchange reuse does not fire across the self-join aliases
+    # (verified in the r12 before-plan: four parallel
+    # HashAggregate/Exchange/HashAggregate subtrees over the same
+    # checkpointed index). One row per doc (33 longs), so the
+    # localCheckpoint is strictly smaller than the index already
+    # checkpointed above; 3 of 4 signature shuffles disappear.
+    sig = _materialize_index(
+        minhash_signatures(
+            inv, coeffs, extra_aggs=[F.count(F.lit(1)).alias("n_sh")]
+        )
     )
     band_structs = ", ".join(
         "named_struct('band', {i}, 'bh', md5(concat_ws(',', {cols})))".format(
@@ -386,7 +397,10 @@ def simhash_pairs(
             f"(CASE WHEN v{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(bits)
         )
     )
-    sig = votes.select("doc", sig_expr.alias("sig"))
+    # both sides of the slice self-join consume sig; materialize so the
+    # explode + per-bit vote shuffle runs once, not once per side (same
+    # self-join exchange-reuse gap as minhash_lsh_pairs)
+    sig = _materialize_index(votes.select("doc", sig_expr.alias("sig")))
     slices = F.array(
         *[
             F.struct(

@@ -602,21 +602,55 @@ def synth_image_udf():
 
     @F.pandas_udf("binary")
     def synth(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            w, h = 4 + i % 13, 4 + i % 7
-            pix = bytes(32 + (i + j) % 95 for j in range(3 * w * h))
-            m = i % 3
-            if m == 0:
-                out.append(encode_ppm(w, h, pix))
-            elif m == 1:
-                out.append(encode_bmp24(w, h, pix))
-            else:
-                out.append(encode_png(w, h, pix, row_filters=[0, 1, 2, 3, 4]))
-        return pd.Series(out)
+        return pd.Series([synth_image(int(i)) for i in ids])
 
     return synth
+
+
+def synth_image(i: int) -> bytes:
+    """One synthetic container per id — the body of ``synth_image_udf``,
+    callable directly so a fused stage can synthesize and decode inside
+    ONE Python worker pass (see ``synth_and_extract_image_features``)."""
+    w, h = 4 + i % 13, 4 + i % 7
+    pix = bytes(32 + (i + j) % 95 for j in range(3 * w * h))
+    m = i % 3
+    if m == 0:
+        return encode_ppm(w, h, pix)
+    if m == 1:
+        return encode_bmp24(w, h, pix)
+    return encode_png(w, h, pix, row_filters=[0, 1, 2, 3, 4])
+
+
+def synth_and_extract_image_features(
+    df: DataFrame, id_col: str, decoder=real_decode
+) -> DataFrame:
+    """Fused synth -> decode -> features stage: ONE mapInPandas.
+
+    The unfused form (synth_image_udf then extract_image_features) ships
+    every encoded image JVM -> Python -> JVM -> Python: the payload is
+    by far the widest column in the pipeline, and each crossing pays an
+    Arrow transpose + serialization (guide §4.1). Fusing keeps the
+    bytes inside a single Python worker pass — the same containers are
+    still encoded AND decoded by the real codecs, so the query's
+    computation (and its oracle) is unchanged; only the transport
+    disappears."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_image(int(i)) for i in pdf[id_col]]
+            feats = [decoder(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "phash": [f["phash"] for f in feats],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

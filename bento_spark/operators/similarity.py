@@ -105,12 +105,53 @@ def lsh_bucket(vec_name: str, planes: list[list[float]]) -> Column:
     whole bucket is ONE ``F.expr`` (a Column-object chain costs ~2
     py4j round trips per term at plan-build time — seconds at
     planes x dim = 256). Left-associative accumulation keeps bit-parity
-    with the oracle's list_reduce."""
+    with the oracle's list_reduce.
+
+    Inline form: at planes x dim = 256 the single expression's generated
+    code is ~60 KB in ONE method of the fused stage — combined with a
+    norm column and the downstream join it blew Janino's 64 KB method
+    limit, silently disabling whole-stage codegen for the entire probe
+    stage (and re-paying the failed compile every run, since only
+    successful compiles are cached). Prefer ``lsh_dot_cols`` +
+    ``lsh_bucket_from_dots`` (a two-projection split that Catalyst keeps
+    separate) when composing with other wide expressions — see
+    lsh_ann_topk."""
     parts = []
     for j, p in enumerate(planes):
         d = " + ".join(f"{vec_name}[{i}] * {repr(c)}D" for i, c in enumerate(p))
         parts.append(f"(CASE WHEN {d} > 0.0D THEN {1 << j} ELSE 0 END)")
     return F.expr("(" + " + ".join(parts) + ")")
+
+
+def lsh_dot_cols(vec_name: str, planes: list[list[float]]) -> list:
+    """Per-plane raw dot products as ``__lshd{j}`` columns (same literal
+    chains as lsh_bucket, identical accumulation order)."""
+    return [
+        F.expr(
+            "("
+            + " + ".join(
+                f"{vec_name}[{i}] * {repr(c)}D" for i, c in enumerate(p)
+            )
+            + ")"
+        ).alias(f"__lshd{j}")
+        for j, p in enumerate(planes)
+    ]
+
+
+def lsh_bucket_from_dots(n_planes: int) -> Column:
+    """Bucket id from materialized ``__lshd{j}`` columns. The sign test
+    (dot > 0.0) is bit-identical to the inline form — the split only
+    changes WHERE the dot chains are code-generated. Referencing the
+    dots from a CaseWhen in a SEPARATE projection keeps CollapseProject
+    from inlining them back (verified: two `*`-codegen Projects in the
+    plan), so each generated method stays under Janino's 64 KB limit
+    and the probe stage keeps whole-stage codegen."""
+    return F.expr(
+        " + ".join(
+            f"(CASE WHEN __lshd{j} > 0.0D THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+    )
 
 
 def auto_n_planes(
@@ -160,7 +201,11 @@ def lsh_ann_topk(
     ).filter(F.exists("cv", lambda x: x != 0)).select(  # zero-norm: NaN
         "neighbor_id",
         "cv",
-        lsh_bucket("cv", planes).alias("bucket"),
+        *lsh_dot_cols("cv", planes),
+    ).select(
+        "neighbor_id",
+        "cv",
+        lsh_bucket_from_dots(n_planes).alias("bucket"),
         F.sqrt(l2sq_expr("cv", dim)).alias("cnrm"),
     )
     # Probe buckets via exploded XOR *deltas*, not N copies of the bucket
@@ -175,8 +220,12 @@ def lsh_ann_topk(
     ).filter(F.exists("qv", lambda x: x != 0)).select(  # zero-norm: NaN
         "query_id",
         "qv",
+        *lsh_dot_cols("qv", planes),
+    ).select(
+        "query_id",
+        "qv",
         F.sqrt(l2sq_expr("qv", dim)).alias("qnrm"),
-        lsh_bucket("qv", planes).alias("qbucket"),
+        lsh_bucket_from_dots(n_planes).alias("qbucket"),
         F.explode(F.array(*[F.lit(d) for d in deltas])).alias("__delta"),
     ).select(
         "query_id",
@@ -199,7 +248,7 @@ def lsh_ann_topk(
 
 def brute_force_topk_gemm(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | tuple,
     id_col: str,
     vec_col: str,
     k: int = 10,
@@ -249,22 +298,41 @@ def brute_force_topk_gemm(
         DoubleType, LongType, StructField, StructType,
     )
 
-    q_rows = queries.select(
-        F.col(id_col).cast("long"), as_double(F.col(vec_col))
-    ).limit(max_queries + 1).collect()
-    if not q_rows:
-        raise ValueError("brute_force_topk_gemm: empty query set")
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"brute_force_topk_gemm: query set exceeds max_queries="
-            f"{max_queries}; the GEMM path materializes Q on the driver "
-            f"and broadcasts it to every task, so it is for BOUNDED query "
-            f"sets only — use lsh_ann_topk for large query sets (bucketed "
-            f"equi-join, fully distributed), or raise max_queries "
-            f"explicitly if the memory cost is understood"
-        )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if isinstance(queries, tuple):
+        # Pre-collected (ids, matrix) query set: callers whose query
+        # vectors come from a Python-UDF featurizer hand the matrix over
+        # directly instead of a DataFrame — collecting a LIMIT through
+        # an ArrowEvalPython stage runs CollectLimit's incremental
+        # partition rounds with a Python-worker launch per round
+        # (measured ~2.3s warm for 100 rows at sf0.1; the whole-corpus
+        # featurize itself is ~2.1s). The guard contract is the caller's
+        # responsibility here: the tuple is by construction bounded.
+        q_ids = np.asarray(queries[0], dtype=np.int64)
+        Q = np.asarray(queries[1], dtype=np.float64)
+        if len(q_ids) == 0:
+            raise ValueError("brute_force_topk_gemm: empty query set")
+        if len(q_ids) > max_queries:
+            raise ValueError(
+                f"brute_force_topk_gemm: query set exceeds max_queries="
+                f"{max_queries} (pre-collected form)"
+            )
+    else:
+        q_rows = queries.select(
+            F.col(id_col).cast("long"), as_double(F.col(vec_col))
+        ).limit(max_queries + 1).collect()
+        if not q_rows:
+            raise ValueError("brute_force_topk_gemm: empty query set")
+        if len(q_rows) > max_queries:
+            raise ValueError(
+                f"brute_force_topk_gemm: query set exceeds max_queries="
+                f"{max_queries}; the GEMM path materializes Q on the driver "
+                f"and broadcasts it to every task, so it is for BOUNDED query "
+                f"sets only — use lsh_ann_topk for large query sets (bucketed "
+                f"equi-join, fully distributed), or raise max_queries "
+                f"explicitly if the memory cost is understood"
+            )
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((Q * Q).sum(axis=1))
     keep = q_norm > 0
     q_ids, Q, q_norm = q_ids[keep], Q[keep], q_norm[keep]

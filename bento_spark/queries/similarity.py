@@ -153,8 +153,10 @@ def embed_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates reach the exchange, and cos_sim stays UNROUNDED on both
     sides (integer-exact doubles need no rounding shield; the float
     `embeddings` table queries keep the codegen + round form)."""
+    import numpy as np
+
     from bento_spark.operators.dedup import ensure_parallelism
-    from bento_spark.operators.featurize import hashed_ngram_embedder
+    from bento_spark.operators.featurize import hashed_ngram_embedder, make_embed_fn
 
     embed = hashed_ngram_embedder(EMB_DIM, EMB_N)
     # Pre-filter to the featurizer's support (>= n tokens), exactly the
@@ -167,8 +169,28 @@ def embed_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.col("text"), " ")) >= EMB_N
         )
     ).select("doc_id", embed(F.col("text")).alias("vec"))
-    queries = docs.filter(F.col("doc_id") < EMB_QMAX)
-    df = S.brute_force_topk_gemm(docs, queries, "doc_id", "vec", EMB_K)
+    # Query matrix built driver-side from the raw texts with the SAME
+    # predict fn the executor UDF wraps (bit-identical doubles): the
+    # doc_id < EMB_QMAX pushdown makes the collect a 100-row parquet
+    # scan with no Python stage. The previous form collected a LIMIT
+    # through the featurizer's ArrowEvalPython node, which pays
+    # CollectLimit's incremental partition rounds with a Python-worker
+    # launch each round — measured ~2.3s warm (~45% of the query) for
+    # work the driver does in microseconds.
+    q_rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < EMB_QMAX)
+            & (F.size(F.split(F.col("text"), " ")) >= EMB_N)
+        )
+        .select("doc_id", "text")
+        .collect()
+    )
+    q_ids = np.array([r["doc_id"] for r in q_rows], dtype=np.int64)
+    Q = make_embed_fn(EMB_DIM, EMB_N)(
+        np.array([r["text"] for r in q_rows], dtype=object)
+    )
+    df = S.brute_force_topk_gemm(docs, (q_ids, Q), "doc_id", "vec", EMB_K)
     return df.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
