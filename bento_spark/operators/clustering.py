@@ -192,14 +192,26 @@ def semdedup(
     paper's regime (50k clusters for LAION). The pair join is an
     equi-join on cluster id; no cross-cluster pair ever materializes.
     """
-    from bento_spark.functions.vectors import as_double, cosine
+    from bento_spark.functions.vectors import as_double, dot_expr, l2sq_expr
 
     assigned = kmeans_lloyd(df, id_col, vec_col, dim, k=k, iters=iters)
+    # e is consumed three times (both sides of the within-cluster pair
+    # join plus the final keep-join); the localCheckpoint runs the
+    # assignment UDF + join once instead of per consumer. The per-row
+    # norm is precomputed here so the pair predicate is just the dot
+    # chain — same doubles, same accumulation order (sqrt of the same
+    # left-assoc l2 sum, multiplied in the same spot), but a 3x smaller
+    # pair expression. Both the norm and the dot use the single-F.expr
+    # forms: the Column-object chain cost ~3*dim py4j round trips per
+    # plan build (~3.3s of this operator's warm wall-clock was pure
+    # driver-side plan construction).
     e = (
         df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .join(
             assigned.select(F.col(id_col).alias("id"), "cluster"), "id"
         )
+        .withColumn("nrm", F.sqrt(l2sq_expr("v", dim)))
+        .localCheckpoint(eager=False)
     )
     a, b = e.alias("a"), e.alias("b")
     dominated = (
@@ -209,7 +221,8 @@ def semdedup(
             & (F.col("a.id") < F.col("b.id")),
         )
         .filter(
-            cosine(F.col("a.v"), F.col("b.v"), dim) >= F.lit(float(threshold))
+            (dot_expr("a.v", "b.v", dim) / (F.col("a.nrm") * F.col("b.nrm")))
+            >= F.lit(float(threshold))
         )
         .select(F.col("b.id").alias("id"))
         .distinct()

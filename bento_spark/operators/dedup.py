@@ -177,7 +177,10 @@ def jaccard_pairs(
     inv = sh.select("doc", F.xxhash64("s").alias("h"))
     if max_df is not None:
         hot = inv.groupBy("h").count().filter(F.col("count") > max_df).select("h")
-        inv = inv.join(F.broadcast(hot), "h", "left_anti")
+        # materialize the anti-joined index once: both self-join sides
+        # consume it, and each would otherwise re-read the shingle
+        # checkpoint, re-hash, and re-run the anti-join
+        inv = _materialize_index(inv.join(F.broadcast(hot), "h", "left_anti"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))

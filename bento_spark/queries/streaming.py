@@ -184,22 +184,50 @@ def _stage_time_slices(
     os.makedirs(in_dir)
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo).total_seconds() + 1
-    for i in range(n_slices):
-        a = lo + datetime.timedelta(seconds=span * i / n_slices)
-        b = lo + datetime.timedelta(seconds=span * (i + 1) / n_slices)
-        part = ev.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b)))
-        tmp = f"{base}/tmp_{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.rename(f"{tmp}/{src}", f"{in_dir}/{i:02d}.parquet")
-        shutil.rmtree(tmp)
+    # Slice boundaries computed in Python exactly as the per-slice filter
+    # form did (same datetime literals, same >=/< semantics), but staged
+    # with ONE partitioned write instead of n_slices filtered scans: the
+    # old loop re-scanned the events table once per slice (6-8 jobs per
+    # streaming gate row; staging alone was ~8s of stream_recovery's
+    # wall-clock at sf0.01). Row-to-file assignment is identical; row
+    # order WITHIN a slice file changes, which no consumer observes
+    # (every windowed/keyed aggregate and the interval join are
+    # order-insensitive, and the gate hashes explicitly ordered output).
+    bounds = [
+        lo + datetime.timedelta(seconds=span * i / n_slices)
+        for i in range(1, n_slices)
+    ]
+    idx = F.lit(n_slices - 1)
+    for i, b in reversed(list(enumerate(bounds))):
+        idx = F.when(F.col("ts") < F.lit(b), F.lit(i)).otherwise(idx)
+    staged = ev.withColumn("__slice", idx.cast("int"))
     if sentinel is not None:
         flush = spark.createDataFrame([sentinel], schema=ev.schema)
-        tmp = f"{base}/tmp_f"
-        flush.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.rename(f"{tmp}/{src}", f"{in_dir}/99_flush.parquet")
-        shutil.rmtree(tmp)
+        staged = staged.unionByName(
+            flush.withColumn("__slice", F.lit(99).cast("int"))
+        )
+    tmp = f"{base}/tmp_stage"
+    (
+        staged.repartition(n_slices + 1, "__slice")
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(tmp)
+    )
+    for i in list(range(n_slices)) + ([99] if sentinel is not None else []):
+        name = f"{i:02d}.parquet" if i != 99 else "99_flush.parquet"
+        sdir = f"{tmp}/__slice={i}"
+        if os.path.isdir(sdir):
+            parts = sorted(
+                f for f in os.listdir(sdir) if f.endswith(".parquet")
+            )
+            os.rename(f"{sdir}/{parts[0]}", f"{in_dir}/{name}")
+        else:  # empty slice: stage an empty file so batch order is kept
+            etmp = f"{base}/tmp_empty"
+            ev.limit(0).coalesce(1).write.mode("overwrite").parquet(etmp)
+            src = next(f for f in os.listdir(etmp) if f.endswith(".parquet"))
+            os.rename(f"{etmp}/{src}", f"{in_dir}/{name}")
+            shutil.rmtree(etmp)
+    shutil.rmtree(tmp)
     t0 = _time.time()
     for i, name in enumerate(sorted(os.listdir(in_dir))):
         os.utime(f"{in_dir}/{name}", (t0 + 10 * i, t0 + 10 * i))
