@@ -1,0 +1,168 @@
+"""Focused equivalence tests for the round-12 optimization rewrites:
+each optimization that changed an operator's internals must produce
+byte-identical results to the shape it replaced."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from bento_spark.session import get_spark
+
+    return get_spark("r12-opt-tests", cpus=4)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fused_image_features_equals_unfused(spark):
+    """mm_image_features fusion: synth+decode in one mapInPandas must
+    equal the two-stage synth-UDF -> extract form row for row."""
+    import bento_spark.operators.multimodal as M
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").limit(60)
+    unfused = M.extract_image_features(
+        docs.withColumn("payload", M.synth_image_udf()(F.col("doc_id"))),
+        "doc_id",
+        "payload",
+        decoder=M.real_decode,
+    ).orderBy("doc_id")
+    fused = M.synth_and_extract_image_features(
+        docs, "doc_id", decoder=M.real_decode
+    ).orderBy("doc_id")
+    assert [tuple(r) for r in fused.collect()] == [
+        tuple(r) for r in unfused.collect()
+    ]
+
+
+def test_gemm_pretuple_equals_dataframe_queries(spark):
+    """brute_force_topk_gemm with a pre-collected (ids, Q) tuple must
+    return exactly what the DataFrame-queries form returns."""
+    import numpy as np
+
+    from bento_spark.operators.similarity import brute_force_topk_gemm
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") < 5)
+    via_df = brute_force_topk_gemm(
+        emb, qdf, "vec_id", "embedding", 5
+    ).orderBy("query_id", "rank")
+    rows = qdf.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    via_tuple = brute_force_topk_gemm(
+        emb, (ids, Q), "vec_id", "embedding", 5
+    ).orderBy("query_id", "rank")
+    assert [tuple(r) for r in via_tuple.collect()] == [
+        tuple(r) for r in via_df.collect()
+    ]
+
+
+def test_gemm_pretuple_enforces_max_queries(spark):
+    import numpy as np
+
+    from bento_spark.operators.similarity import brute_force_topk_gemm
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ids = np.arange(10, dtype=np.int64)
+    Q = np.ones((10, 4), dtype=np.float64)
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk_gemm(emb, (ids, Q), "vec_id", "embedding", 5, max_queries=3)
+
+
+def test_stage_time_slices_assignment_matches_filter_form(spark, tmp_path):
+    """The single partitioned write must put every row in the same slice
+    file as the old per-slice filter loop (same boundary literals)."""
+    from bento_spark.queries.streaming import _stage_time_slices
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+        .limit(500)
+    )
+    n_slices = 4
+    hi = ev.agg(F.max("ts")).first()[0]
+    base = str(tmp_path / "stage")
+    in_dir = _stage_time_slices(
+        spark, ev, base, n_slices=n_slices,
+        sentinel=(hi + datetime.timedelta(hours=3), -1),
+    )
+    names = sorted(os.listdir(in_dir))
+    assert names == [f"{i:02d}.parquet" for i in range(n_slices)] + [
+        "99_flush.parquet"
+    ]
+    # mtimes strictly increasing in name order (FileStreamSource order)
+    mtimes = [os.path.getmtime(os.path.join(in_dir, n)) for n in names]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+
+    # recompute the reference assignment with the original filter logic
+    lo, hi2 = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi2 - lo).total_seconds() + 1
+    got_all = []
+    for i in range(n_slices):
+        a = lo + datetime.timedelta(seconds=span * i / n_slices)
+        b = lo + datetime.timedelta(seconds=span * (i + 1) / n_slices)
+        want = {
+            tuple(r)
+            for r in ev.filter(
+                (F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b))
+            ).collect()
+        }
+        got = {
+            tuple(r)
+            for r in spark.read.schema(ev.schema)
+            .parquet(os.path.join(in_dir, f"{i:02d}.parquet"))
+            .collect()
+        }
+        assert got == want, f"slice {i} differs from the filter form"
+        got_all.append(got)
+    flush = spark.read.schema(ev.schema).parquet(
+        os.path.join(in_dir, "99_flush.parquet")
+    ).collect()
+    assert len(flush) == 1 and flush[0]["event_id"] == -1
+
+
+def test_semdedup_matches_unmaterialized_pairs(spark):
+    """semdedup's expr-dot + precomputed-norm pair predicate must keep
+    the keep-set identical to the plain Column-chain cosine form."""
+    from bento_spark.functions.vectors import as_double, cosine
+    from bento_spark.operators.clustering import kmeans_lloyd, semdedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    got = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in semdedup(
+            emb, "vec_id", "embedding", dim=64, k=4, iters=2, threshold=0.92
+        ).collect()
+    }
+    # reference: the pre-r12 shape, Column-chain cosine, no checkpoint
+    assigned = kmeans_lloyd(emb, "vec_id", "embedding", 64, k=4, iters=2)
+    e = emb.select(
+        F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v")
+    ).join(assigned.select(F.col("vec_id").alias("id"), "cluster"), "id")
+    a, b = e.alias("a"), e.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v"), 64) >= F.lit(0.92))
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    want = {
+        (r["id"], r["cluster"], r["__dom"] is None)
+        for r in e.join(
+            dominated.withColumn("__dom", F.lit(True)), "id", "left"
+        ).collect()
+    }
+    assert got == want
