@@ -45,31 +45,46 @@ def make_embed_fn(dim: int = 64, n: int = 2, salt: str = "emb"):
 
     prefix = f"{salt}:".encode()
     md5 = hashlib.md5
-    # n-gram -> (bucket, sign) memo, shared across the worker's batches:
+    # n-gram (as a word tuple, so the memoized path never re-joins the
+    # string) -> signed bucket memo, shared across the worker's batches:
     # natural text repeats n-grams heavily, and the md5 is the whole
     # cost of this model. int.from_bytes(digest[:8]) >> 4 is exactly
     # int(hexdigest()[:15], 16) — first 15 hex chars — without the hex
-    # string round trip. Values are bit-identical to the original form
-    # (and to hash60_sql's oracle); only the arithmetic route changed.
-    memo: dict[str, tuple[int, float]] = {}
+    # string round trip. The memo value packs (bucket, sign) into one
+    # int in [0, 2*dim): sign +1 lands in [0, dim), -1 in [dim, 2*dim),
+    # so a batch is one bincount over 2*dim-wide rows and the two
+    # halves subtract into the output. Counts are small integers, so
+    # the double subtraction is exact — values are bit-identical to the
+    # per-occurrence scatter (and to hash60_sql's oracle); only the
+    # arithmetic route changed.
+    memo: dict[tuple, int] = {}
+    two = 2 * dim
 
     def predict(batch: np.ndarray) -> np.ndarray:
         if len(memo) > 2_000_000:  # bound worker memory on huge vocab
             memo.clear()
-        out = np.zeros((len(batch), dim), dtype=np.float64)
+        flat: list[int] = []
+        ap = flat.append
+        get = memo.get
         for row, text in enumerate(batch):
             ws = (text or "").split(" ")
-            for i in range(len(ws) - n + 1):
-                g = " ".join(ws[i : i + n])
-                v = memo.get(g)
+            base = row * two
+            for tg in zip(ws, ws[1:]) if n == 2 else zip(
+                *[ws[j:] for j in range(n)]
+            ):
+                v = get(tg)
                 if v is None:
                     h = int.from_bytes(
-                        md5(prefix + g.encode()).digest()[:8], "big"
+                        md5(prefix + " ".join(tg).encode()).digest()[:8],
+                        "big",
                     ) >> 4
-                    v = (h % dim, 1.0 if (h // dim) % 2 == 0 else -1.0)
-                    memo[g] = v
-                out[row, v[0]] += v[1]
-        return out
+                    v = (h % dim) + (0 if (h // dim) % 2 == 0 else dim)
+                    memo[tg] = v
+                ap(base + v)
+        c = np.bincount(
+            np.asarray(flat, dtype=np.int64), minlength=len(batch) * two
+        ).reshape(len(batch), 2, dim)
+        return (c[:, 0, :] - c[:, 1, :]).astype(np.float64)
 
     return predict
 

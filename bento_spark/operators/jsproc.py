@@ -152,7 +152,14 @@ def javascript_processor(
 
     from bento_spark.operators.envelope import ERROR, META, ensure_envelope
 
-    df = ensure_envelope(df)
+    # One node runtime serves each non-empty partition; a one-file
+    # input would funnel every row through a single node process while
+    # the other cores idle. ensure_parallelism spreads the local
+    # few-file case and no-ops at cluster scale (many files or an
+    # upstream redistribution).
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(ensure_envelope(df))
     has_meta = META in df.columns
     cols = list(df.columns)
     schema = df.schema

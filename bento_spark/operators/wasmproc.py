@@ -129,7 +129,16 @@ def wasm_processor(df: DataFrame, conf: dict) -> DataFrame:
     # reference's constructor instantiating one runner up front
     BentoWasmRunner(module_bytes, function)
 
-    df = ensure_envelope(df)
+    # The per-byte VM dispatch makes this the most compute-intensive
+    # per-row boundary in the engine — a one-file input (the local
+    # parquet case) would otherwise run the whole corpus in ONE task
+    # while every other core idles (measured: proc_wasm sf1 50s single
+    # task vs ~30 core-seconds of actual VM work). ensure_parallelism
+    # is a no-op when the scan already spreads (many files) or the plan
+    # upstream redistributes, so cluster-scale inputs pay nothing.
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(ensure_envelope(df))
     schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -23,6 +23,38 @@ def test_predict_fn_deterministic_and_shaped():
     assert np.array_equal(out, np.round(out))
 
 
+def test_bincount_path_matches_reference_scatter():
+    """The r12 batch rewrite (word-tuple memo + double-width bincount)
+    must stay bit-identical to the per-occurrence scatter it replaced,
+    on BOTH the n==2 fast path and the general n path."""
+    import hashlib
+
+    def reference(batch, dim, n, salt="emb"):
+        out = np.zeros((len(batch), dim), dtype=np.float64)
+        for row, text in enumerate(batch):
+            ws = (text or "").split(" ")
+            for i in range(len(ws) - n + 1):
+                g = " ".join(ws[i : i + n])
+                h = int(
+                    hashlib.md5(f"{salt}:{g}".encode()).hexdigest()[:15], 16
+                )
+                out[row, h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
+        return out
+
+    batch = np.array(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "a b c a b c a b",
+            "", "one", "two words", None,
+            "café naïve unicode words épée again café naïve",
+        ],
+        dtype=object,
+    )
+    for n in (1, 2, 3):
+        got = make_embed_fn(dim=16, n=n)(batch)
+        assert np.array_equal(got, reference(batch, 16, n)), n
+
+
 def test_embedder_udf_matches_predict_fn(spark):
     texts = ["the quick brown fox", "jumps over the lazy dog", "the the the"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
