@@ -50,18 +50,27 @@ COLUMNS = [
     "event_version", "event_fingerprint", "true_tstamp",
 ]
 
+# SQL templates, not Column lambdas: the 131-field projection is built
+# as ONE SQL string (a handful of py4j calls) instead of ~800 Column
+# round trips — the plan-build time was half the bench row (r12).
 _HASHES = {
-    "md5": lambda c: F.md5(c),
-    "sha1": lambda c: F.sha1(c),
-    "sha256": lambda c: F.sha2(c, 256),
-    "sha512": lambda c: F.sha2(c, 512),
+    "md5": "md5({0})",
+    "sha1": "sha1({0})",
+    "sha256": "sha2({0}, 256)",
+    "sha512": "sha2({0}, 512)",
 }
 
 
-def _field_col(arr: Column, name: str) -> Column:
+def _sql_str(s: str) -> str:
+    """A Spark-SQL single-quoted string literal for ``s``."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _field_sql(name: str) -> str:
+    """Same expression `_field_col` built: CASE WHEN c = '' THEN NULL
+    ELSE c END (nullif desugars to exactly that CaseWhen)."""
     idx = COLUMNS.index(name) + 1  # element_at is 1-based
-    c = F.element_at(arr, idx)
-    return F.when(c == "", F.lit(None)).otherwise(c)
+    return f"nullif(element_at(__sc_arr, {idx}), '')"
 
 
 def opensnowcat(
@@ -96,8 +105,7 @@ def opensnowcat(
     # regression on this operator). CollapseProject keeps the projection
     # (non-cheap alias, multiply referenced), so the split runs once/row.
     df = df.withColumn("__sc_arr", F.split(F.col(content_col), "\t", -1))
-    arr = F.col("__sc_arr")
-    fields: dict[str, Column] = {n: _field_col(arr, n) for n in COLUMNS}
+    fields: dict[str, str] = {n: _field_sql(n) for n in COLUMNS}
 
     # filters: drop when any configured field CONTAINS any criterion.
     # Dotted non-column names are SCHEMA-PROPERTY paths searched inside
@@ -105,7 +113,7 @@ def opensnowcat(
     # (processor_opensnowcat.go:719 searchSchemaProperty) — those ride
     # an Arrow-batched predicate, engaged only when configured; plain
     # column filters stay pure-Column.
-    drop = F.lit(False)
+    drop_terms: list[str] = []
     schema_filters: dict[str, list[str]] = {}
     for name, needles in (filters or {}).items():
         if isinstance(needles, dict):  # the docs' {contains: [...]} form
@@ -113,14 +121,16 @@ def opensnowcat(
         needles = needles if isinstance(needles, list) else [needles]
         if name in fields:
             for needle in needles:
-                drop = drop | F.coalesce(
-                    fields[name].contains(str(needle)), F.lit(False)
+                drop_terms.append(
+                    "coalesce(contains("
+                    f"{fields[name]}, {_sql_str(needle)}), false)"
                 )
         elif "." in name and not name.startswith(("geo.", "metrics.",
                                                   "site.")):
             schema_filters[name] = [str(n) for n in needles]
         else:
             raise ValueError(f"unknown enriched-TSV field {name!r}")
+    drop: Column = F.expr(" OR ".join(drop_terms) or "false")
     if schema_filters:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
@@ -157,8 +167,9 @@ def opensnowcat(
 
         drop = drop | F.coalesce(
             _sp_drop(
-                fields["contexts"], fields["derived_contexts"],
-                fields["unstruct_event"],
+                F.expr(fields["contexts"]),
+                F.expr(fields["derived_contexts"]),
+                F.expr(fields["unstruct_event"]),
             ),
             F.lit(False),
         )
@@ -173,21 +184,32 @@ def opensnowcat(
             algo = t.get("algorithm", algorithm)
             if algo not in _HASHES:
                 raise ValueError(f"unknown hash algorithm {algo!r}")
-            hashed = _HASHES[algo](F.concat(F.lit(t.get("salt", salt)), src))
-            fields[name] = F.when(src.isNull(), F.lit(None)).otherwise(hashed)
+            hashed = _HASHES[algo].format(
+                f"concat({_sql_str(t.get('salt', salt))}, {src})"
+            )
+            fields[name] = (
+                f"CASE WHEN ({src}) IS NULL THEN NULL ELSE {hashed} END"
+            )
         elif kind == "redact":
-            fields[name] = F.when(
-                src.isNull(), F.lit(None)
-            ).otherwise(F.lit(t.get("value", "[REDACTED]")))
+            fields[name] = (
+                f"CASE WHEN ({src}) IS NULL THEN NULL"
+                f" ELSE {_sql_str(t.get('value', '[REDACTED]'))} END"
+            )
         else:
             raise ValueError(f"unknown transform type {kind!r}")
 
     if output_format in ("json", "enriched_json"):
         # to_json omits null fields -> the SDK's "empty fields absent"
-        out = F.to_json(F.struct(*[fields[n].alias(n) for n in COLUMNS]))
+        out = F.expr(
+            "to_json(named_struct("
+            + ", ".join(f"{_sql_str(n)}, {fields[n]}" for n in COLUMNS)
+            + "))"
+        )
     else:
-        out = F.array_join(
-            F.array(*[fields[n] for n in COLUMNS]), "\t", null_replacement=""
+        out = F.expr(
+            "array_join(array("
+            + ", ".join(fields[n] for n in COLUMNS)
+            + "), chr(9), '')"
         )
     res = df.filter(~drop).withColumn(out_col, out).drop("__sc_arr")
     if output_format == "enriched_json":

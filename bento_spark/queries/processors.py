@@ -29,7 +29,11 @@ from bento_spark.queries.relational import _t
 def proc_mapping_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``mapping`` processor (processor_mapping.go:15): new document from
     computed fields; root=deleted() for error events (drop filter)."""
-    ev = _t(spark, sf_dir, "events")
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    # Per-row JSON extraction over 1M events runs in the scan stage;
+    # spread the one-row-group local file (no-op at cluster scale).
+    ev = ensure_parallelism(_t(spark, sf_dir, "events"))
     out = P.mapping(
         ev,
         {

@@ -68,7 +68,12 @@ def proc_opensnowcat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> synthetic enriched-TSV lines -> the REAL
     `opensnowcat` processor (drop bot useragents, salted-sha256 the IP,
     redact the user id, re-serialize as TSV)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    # The 131-column TSV build + parse + re-serialize runs in the scan
+    # stage; a one-row-group local file would pin it to one task (see
+    # queries/text.py:_spread — same guarded no-op-at-scale spread).
+    docs = ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     # Spark's concat_ws skips NULLs (misaligning the TSV); every arg
     # here is non-null by construction, so wire order is preserved.
     tsv = F.expr("concat_ws(chr(9), " + ", ".join(_tsv_args()) + ")")

@@ -40,6 +40,19 @@ CJK_RE = "[\\x{4e00}-\\x{9fff}]"
 FP_K, FP_W = 5, 4
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """The text plane's per-row analysis chains (split/replace/regex over
+    the full document text) run entirely in the SCAN stage, and the local
+    documents table is one parquet row group at every SF — without a
+    spread the whole plane computes on ONE core while the rest idle.
+    ensure_parallelism repartitions only when the scan reads fewer files
+    than defaultParallelism and nothing upstream redistributes, so at
+    cluster scale (thousands of files) this is a no-op."""
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(docs)
+
+
 @query(
     "text_token_stats",
     oracle=f"""
@@ -54,7 +67,7 @@ FP_K, FP_W = 5, 4
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counts and chars/token ratio."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     re_toks = token_count_re(F.col("text"))
     return docs.select(
         "doc_id",
@@ -132,7 +145,7 @@ def _quality_sql() -> str:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: uniq-word ratio, stopword ratio, length —
     the standard pre-training corpus filters, one scan, no UDF."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return _with_quality_cols(docs).orderBy("doc_id")
 
 
@@ -210,7 +223,7 @@ _LANG_SQL, _CONF_SQL = _lang_sql()
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword/charset language-ID heuristic: CJK charset check, then
     per-language stopword votes with fixed-precedence argmax."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return _with_lang_cols(docs).orderBy("doc_id")
 
 
