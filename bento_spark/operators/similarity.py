@@ -412,43 +412,25 @@ def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
     return [[float(x) for x in row] for row in rng.standard_normal((n_cells, dim))]
 
 
-def ivf_cell(vec_name: str, centroids: list[list[float]]) -> Column:
-    """Coarse-quantizer cell id: argmax_j cos(vec, centroid_j), as ONE
-    codegen'd expression (dot products over literal coefficients, like
-    lsh_bucket — no UDF, no join against a centroid table). Centroid
-    norms are constant, so cos ranking = dot/|c_j| ranking.
+def ivf_affinity_sqls(vec_name: str, centroids: list[list[float]]) -> list[str]:
+    """Per-centroid normalized-dot affinity SQL expressions (one
+    64-term literal chain each, left-assoc — oracle bit-parity).
 
-    Spelled ``array_position(affs, array_max(affs))`` rather than a
-    CASE-greatest-WHEN chain: the chain re-expands every (cells x dim)
-    dot chain once in greatest() and once per WHEN arm — at 8x64 that
-    is ~9x the expression source and was pure compile/eval overhead
-    (12s on a 50-row input). Ties take the LOWEST cell index (first
-    position of the max), matching the oracle's list_position.
-
-    NOTE: the affinity columns must be MATERIALIZED in a separate
-    projection before this expression references them (ivf_topk does
-    this) — each is referenced twice here, which is exactly the
-    condition under which CollapseProject refuses to inline them, so
-    every dot chain is evaluated once per row."""
-    arr = "array(" + ", ".join(
-        f"__aff{j}" for j in range(len(centroids))
-    ) + ")"
-    return F.expr(f"(array_position({arr}, array_max({arr})) - 1)")
-
-
-def ivf_affinities(vec_name: str, centroids: list[list[float]]) -> list:
-    """Per-centroid normalized-dot affinity columns ``__aff{j}`` (one
-    64-term literal chain each, left-assoc — oracle bit-parity)."""
+    The cell id is then ``array_position(affs, array_max(affs)) - 1``
+    over these, spelled with the array built inside an identity
+    ``transform()`` (see ivf_topk): ties take the LOWEST cell index
+    (first position of the max), matching the oracle's list_position,
+    and every dot chain is evaluated exactly once per row."""
     import math
 
-    cols = []
-    for j, cent in enumerate(centroids):
+    sqls = []
+    for cent in centroids:
         nrm = math.sqrt(sum(x * x for x in cent))
         d = " + ".join(
             f"{vec_name}[{i}] * {repr(c)}D" for i, c in enumerate(cent)
         )
-        cols.append(F.expr(f"({d}) / {repr(nrm)}D").alias(f"__aff{j}"))
-    return cols
+        sqls.append(f"(({d}) / {repr(nrm)}D)")
+    return sqls
 
 
 def ivf_topk(
@@ -476,14 +458,32 @@ def ivf_topk(
     centroid list itself."""
     if centroids is None:
         centroids = ivf_centroids(dim, n_cells, seed)
+    # The affinity array is built inside an IDENTITY transform() — a
+    # higher-order function, hence CodegenFallback — so the (cells x
+    # dim)-literal dot chains are EXCLUDED from whole-stage codegen.
+    # Without the barrier the fused scan->affs->cell->broadcast-join->
+    # sim->sort stage generates a ~17k-line processNext() that FAILS
+    # Janino's 64 KB method limit, and because only successful compiles
+    # are cached, the multi-second failed compile was re-paid on EVERY
+    # execution (measured: 2 failures/run, ~8-10s warm for a 2s plan).
+    # With the chains forced interpreted, every remaining stage
+    # compiles once and caches. Values are bit-identical: the identity
+    # lambda returns the same doubles the same chains produce.
+    aff_sqls = ivf_affinity_sqls("cv", centroids)
+    affs = F.expr(
+        "transform(array(" + ", ".join(aff_sqls) + "), __x -> __x)"
+    )
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         )
         .filter(F.exists("cv", lambda x: x != 0))  # zero-norm: NaN cosine
-        .select("*", *ivf_affinities("cv", centroids))
-        .withColumn("cell", ivf_cell("cv", centroids))
-        .drop(*[f"__aff{j}" for j in range(len(centroids))])
+        .withColumn("__affs", affs)
+        .withColumn(
+            "cell",
+            F.expr("(array_position(__affs, array_max(__affs)) - 1)"),
+        )
+        .drop("__affs")
         .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
     )
     q = (
@@ -502,10 +502,16 @@ def ivf_topk(
         nrm = math.sqrt(sum(x * x for x in cent))
         d = " + ".join(f"qv[{i}] * {repr(c)}D" for i, c in enumerate(cent))
         affin.append(f"named_struct('d', ({d}) / {repr(nrm)}D, 'j', {j})")
+    # identity transform(): same 64 KB-fallback barrier as the corpus
+    # side (the query stage's Generate+window source also failed Janino)
     q = (
         q.select(
             "query_id", "qv", "qnrm",
-            F.explode(F.expr("array(" + ", ".join(affin) + ")")).alias("a"),
+            F.explode(
+                F.expr(
+                    "transform(array(" + ", ".join(affin) + "), __x -> __x)"
+                )
+            ).alias("a"),
         )
         .withColumn(
             "__pr",

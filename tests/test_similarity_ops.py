@@ -98,3 +98,48 @@ def test_ivf_topk_basic(spark):
     }
     again = ivf_topk(emb, queries, "vec_id", "embedding", **kw).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_cell_assignment_matches_left_assoc_model(spark):
+    """r12 barrier rewrite pin: the identity-transform() affinity array
+    must keep cell assignment bit-identical to the literal chains — a
+    Python float loop reproduces the left-assoc accumulation exactly,
+    and nprobe=1 exposes the assignment through which neighbors are
+    reachable (only same-cell-as-query vectors can appear)."""
+    import math as _m
+
+    from bento_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = _emb(spark)
+    cents = ivf_centroids(DIM, 3, seed=7)
+
+    def cell_of(v):
+        affs = []
+        for cent in cents:
+            nrm = _m.sqrt(sum(x * x for x in cent))
+            d = 0.0
+            first = True
+            for x, c in zip(v, cent):
+                d = x * c if first else d + x * c
+                first = False
+            affs.append(d / nrm)
+        return affs.index(max(affs))
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    want_cells = {i: cell_of(v) for i, v in vecs.items() if any(v)}
+    queries = emb.filter(F.col("vec_id").isin(0, 2))
+    rows = ivf_topk(
+        emb, queries, "vec_id", "embedding",
+        k=4, n_cells=3, nprobe=1, dim=DIM, seed=7,
+    ).collect()
+    assert rows, "nprobe=1 probe returned nothing"
+    for r in rows:
+        assert want_cells[r["neighbor_id"]] == want_cells[r["query_id"]]
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    want_pairs = {
+        (q, n)
+        for q in (0, 2)
+        for n, cl in want_cells.items()
+        if n != q and cl == want_cells[q]
+    }
+    assert got_pairs == want_pairs
