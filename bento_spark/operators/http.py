@@ -111,7 +111,15 @@ def http_enrich(
         )
         + ", http_status int, http_response string"
     )
-    enriched = meta_free.mapInPandas(run, out_schema)
+    # One-row-group parquet concentrates every row in a single task, so
+    # the bounded pool ran ALL requests from one core while the rest
+    # idled (the same funnel as the wasm/text planes — r12 #9/#11).
+    # ensure_parallelism spreads only when the scan reads fewer files
+    # than defaultParallelism and nothing upstream redistributes — a
+    # no-op at cluster file counts, so no hidden corpus-scale exchange.
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    enriched = ensure_parallelism(meta_free).mapInPandas(run, out_schema)
     return ensure_envelope(
         enriched.withColumn(
             META,

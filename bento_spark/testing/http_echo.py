@@ -37,6 +37,11 @@ class _Handler(BaseHTTPRequestHandler):
 class InProcessHttpEcho(ThreadingHTTPServer):
     daemon_threads = True
     allow_reuse_address = True
+    # the enrichment pool connects from every task at once (32 tasks x
+    # 8 threads after the r12 parallelism spread); socketserver's
+    # default listen backlog of 5 refuses the burst outright (connection
+    # errors + seconds of TCP SYN retransmit stalls)
+    request_queue_size = 1024
 
     def __init__(self):
         super().__init__(("127.0.0.1", 0), _Handler)
