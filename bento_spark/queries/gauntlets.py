@@ -167,7 +167,21 @@ def _gauntlet_oracle(spec: dict[str, list[tuple[str, str]]]) -> str:
 
 def _gauntlet_query(spec):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        parts = [_fp_spark(spark, sf_dir, n, cols) for n, cols in spec.items()]
+        # Build the member plans on a driver thread pool: each build is
+        # py4j round-trip latency (hundreds of Column calls per TPC-H
+        # member — 24 serial builds were ~10s of the gauntlet's
+        # wall-clock, 2/3 of its warm cost), and the JVM handles
+        # concurrent gateway calls natively. Plans and member order are
+        # unchanged — the executor map preserves spec order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(spec.items())
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+            parts = list(
+                pool.map(
+                    lambda nc: _fp_spark(spark, sf_dir, nc[0], nc[1]), items
+                )
+            )
         return reduce(lambda a, b: a.union(b), parts).orderBy("q")
 
     return run

@@ -273,11 +273,16 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join operator at all; SURVEY §2.6)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select("o_custkey")
-    n_with = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
-    n_without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(n_with, n_without)], "n_with_orders long, n_without_orders long"
+    # Lazy crossJoin of the two 1-row aggregates instead of two .count()
+    # driver actions at build (same semi/anti join plans, one job,
+    # nothing executes until the caller's action).
+    n_with = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_with_orders")
     )
+    n_without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_without_orders")
+    )
+    return n_with.crossJoin(n_without)
 
 
 @query(

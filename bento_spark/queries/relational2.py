@@ -133,12 +133,15 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     e = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    both = p.intersect(e).count()
-    only_p = p.exceptAll(e).count()
-    either = p.union(e).distinct().count()
-    return spark.createDataFrame(
-        [(both, only_p, either)], "both_n long, only_purchase_n long, either_n long"
-    )
+    # One LAZY plan (crossJoin of three 1-row aggregates) instead of
+    # three .count() driver actions at build: same set operators, same
+    # counts, but the subtrees execute concurrently inside ONE job and
+    # nothing runs until the caller's action (the three build-time jobs
+    # were ~3s of every build, paid again inside relational_gauntlet).
+    both = p.intersect(e).agg(F.count(F.lit(1)).alias("both_n"))
+    only_p = p.exceptAll(e).agg(F.count(F.lit(1)).alias("only_purchase_n"))
+    either = p.union(e).distinct().agg(F.count(F.lit(1)).alias("either_n"))
+    return both.crossJoin(only_p).crossJoin(either)
 
 
 @query(

@@ -36,6 +36,11 @@ ALLOW_BNLJ = {
     "embed_project_topk",
     "q22_idle_customers",
     "relational_gauntlet",
+    # r12: the build-time .count() actions became a lazy crossJoin of
+    # single-row aggregates — a BNLJ over PROVABLY 1-row inputs (each
+    # side is a global count with no grouping keys).
+    "set_ops_users",
+    "semi_anti_join",
 }
 
 # Window input is PROVABLY bounded before the single partition:
