@@ -305,36 +305,46 @@ def stream_recovery_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # run 1: live trigger, killed after the second committed batch
-    q1 = (
-        build_stream()
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(processingTime="500 milliseconds")
-        .start()
-    )
-    deadline = _time.time() + 120
-    while _time.time() < deadline:
-        p = q1.lastProgress
-        if p is not None and p["batchId"] >= 1:
-            break
-        _time.sleep(0.1)
-    q1.stop()
-    q1.awaitTermination(30)
+    # ~100s of window x event_type keys: 8 state partitions ample; the
+    # per-trigger cost is state-task count + checkpoint files, not data
+    # (the stream_join_interval pattern; conf restored after). Each
+    # invocation wipes `base`, so the sticky checkpoint partition count
+    # never carries across runs.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # run 1: live trigger, killed after the second committed batch
+        q1 = (
+            build_stream()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            p = q1.lastProgress
+            if p is not None and p["batchId"] >= 1:
+                break
+            _time.sleep(0.1)
+        q1.stop()
+        q1.awaitTermination(30)
 
-    # run 2: recover from the checkpoint, drain everything, terminate
-    q2 = (
-        build_stream()
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q2.awaitTermination(300)
+        # run 2: recover from the checkpoint, drain everything, terminate
+        q2 = (
+            build_stream()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     out = spark.read.parquet(sink).filter(F.col("event_type") != "__flush")
     return out.orderBy("window_start", "event_type")
@@ -599,15 +609,26 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = keyed_totals(stream, "user_id", "value")
     _STATEFUL_RUN[0] += 1
     qname = f"stateful_totals_{_STATEFUL_RUN[0]}"
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # ~100s of user keys: 8 state partitions ample (the
+    # stream_join_interval pattern; conf restored after) — at the
+    # session default of max(cpus, 8) every micro-batch paid one
+    # applyInPandasWithState task + state snapshot per partition.
+    # _stage_time_slices wipes `base`, so the checkpoint's sticky
+    # partition count never carries across invocations.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     from pyspark.sql import Window as Wnd
 
     emissions = spark.table(qname)
