@@ -166,6 +166,45 @@ def dedupe_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_run_confs(spark: SparkSession, partitions: str = "8"):
+    """Session confs for the gate's streaming certification runs,
+    restored on exit:
+
+    * ``shuffle.partitions``: the rows key ~100s of groups/pairs, so 8
+      state partitions are ample — at the session default every
+      micro-batch pays one state task + one snapshot per partition.
+    * ``checkpoint.fileChecksum.enabled`` (Spark 4.1, default on):
+      every offset/commit/state file gets a companion checksum file —
+      integrity verification against storage corruption, measured at
+      30-50%% of these rows' wall-clock for checkpoints that live in
+      ephemeral /tmp for exactly one run. Off by default HERE ONLY
+      (the per-row conf is restored after); production deployments
+      with durable checkpoint stores re-enable via
+      SPARK_GRAFT_CKPT_CHECKSUM=true.
+    """
+    import os as _os
+
+    ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    prev_p = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_c = spark.conf.get(ck, None)
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    spark.conf.set(
+        ck, _os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false")
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_p)
+        if prev_c is None:
+            spark.conf.unset(ck)
+        else:
+            spark.conf.set(ck, prev_c)
+
+
 def _stage_time_slices(
     spark: SparkSession, ev: DataFrame, base: str,
     n_slices: int = 6, sentinel: tuple | None = None,
@@ -305,14 +344,9 @@ def stream_recovery_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # ~100s of window x event_type keys: 8 state partitions ample; the
-    # per-trigger cost is state-task count + checkpoint files, not data
-    # (the stream_join_interval pattern; conf restored after). Each
-    # invocation wipes `base`, so the sticky checkpoint partition count
-    # never carries across runs.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # ~100s of window x event_type keys; each invocation wipes `base`,
+    # so the sticky checkpoint partition count never carries across runs.
+    with _stream_run_confs(spark):
         # run 1: live trigger, killed after the second committed batch
         q1 = (
             build_stream()
@@ -343,8 +377,6 @@ def stream_recovery_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q2.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     out = spark.read.parquet(sink).filter(F.col("event_type") != "__flush")
     return out.orderBy("window_start", "event_type")
@@ -445,11 +477,8 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "view_event", "purchase_event")
     _STATEFUL_RUN[0] += 1
     qname = f"stream_join_{_STATEFUL_RUN[0]}"
-    # the join keys ~120 surviving pairs: 8 state partitions ample; the
-    # per-trigger cost is state-task count, not data (restored after)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # the join keys ~120 surviving pairs
+    with _stream_run_confs(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(qname)
@@ -459,8 +488,6 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname).orderBy(
         "user_id", "view_event", "purchase_event"
     )
@@ -609,15 +636,9 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = keyed_totals(stream, "user_id", "value")
     _STATEFUL_RUN[0] += 1
     qname = f"stateful_totals_{_STATEFUL_RUN[0]}"
-    # ~100s of user keys: 8 state partitions ample (the
-    # stream_join_interval pattern; conf restored after) — at the
-    # session default of max(cpus, 8) every micro-batch paid one
-    # applyInPandasWithState task + state snapshot per partition.
-    # _stage_time_slices wipes `base`, so the checkpoint's sticky
-    # partition count never carries across invocations.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # ~100s of user keys; _stage_time_slices wipes `base`, so the
+    # checkpoint's sticky partition count never carries across runs.
+    with _stream_run_confs(spark):
         q = (
             totals.writeStream.format("memory")
             .queryName(qname)
@@ -627,8 +648,6 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     from pyspark.sql import Window as Wnd
 
     emissions = spark.table(qname)
@@ -715,9 +734,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination(60)
             raise RuntimeError("late-drop run did not drain in 600s")
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _stream_run_confs(spark):
         # run 1 drains the on-time slices + the sentinel, committing a
         # watermark of end-of-stream+3h-30min into the checkpoint
         run_once()
@@ -733,8 +750,6 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(f"{tmp}/{src}", f"{in_dir}/zz_late.parquet")
         shutil.rmtree(tmp)
         run_once()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     hi_floor = hi.replace(minute=0, second=0, microsecond=0)
     return (
         spark.read.parquet(sink)
