@@ -170,13 +170,18 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _stream_run_confs(spark: SparkSession, partitions: str = "8"):
+def _stream_run_confs(spark: SparkSession, partitions: str = "4"):
     """Session confs for the gate's streaming certification runs,
     restored on exit:
 
-    * ``shuffle.partitions``: the rows key ~100s of groups/pairs, so 8
-      state partitions are ample — at the session default every
-      micro-batch pays one state task + one snapshot per partition.
+    * ``shuffle.partitions``: the rows key ~100s of groups/pairs, so a
+      handful of state partitions is ample — at the session default
+      every micro-batch pays one state task + one snapshot per
+      partition. A/B at sf0.01 (warm, 2 reps each): 4 beats 8 on every
+      row (join 15.9 -> 12.6s, stateful 10.0 -> 7.9s, late-drop
+      10.4 -> 9.5s, recovery ~equal) and 2/1 regress the join's
+      stability — the stream-stream join keeps 4 state stores per
+      partition, so partition count multiplies per-commit file I/O.
     * ``checkpoint.fileChecksum.enabled`` (Spark 4.1, default on):
       every offset/commit/state file gets a companion checksum file —
       integrity verification against storage corruption, measured at

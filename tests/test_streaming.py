@@ -114,16 +114,16 @@ def test_streaming_generate_rate_source(spark):
 
 
 def test_stream_run_confs_set_and_restore(spark):
-    """The shared streaming conf context pins 8 state partitions and
-    disables the Spark 4.1 checkpoint file-checksum companion writes for
-    the certification run, then restores the session exactly."""
+    """The shared streaming conf context pins a small state partition
+    count and disables the Spark 4.1 checkpoint file-checksum companion
+    writes for the certification run, then restores the session."""
     from bento_spark.queries.streaming import _stream_run_confs
 
     ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(ck, "true")
     with _stream_run_confs(spark):
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
         assert spark.conf.get(ck) == "false"
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
     assert spark.conf.get(ck) == "true"
