@@ -200,15 +200,43 @@ def embed_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH (4 deterministic hyperplanes) + hamming-1 multiprobe
     approximate top-10. The oracle embeds the same planes as literals —
-    parity is algorithmic, including the bucketing."""
+    parity is algorithmic, including the bucketing.
+
+    The probe stage is executed under a scoped
+    ``spark.sql.codegen.wholeStage=false`` (set-and-restore around an
+    eager localCheckpoint of the <= nq*k result, the _stream_run_confs
+    pattern): the fused corpus stage (4x64-term dot chains + norm + join
+    in one generated processNext) exceeds Janino's 64 KB method limit,
+    so WSCG NEVER compiles for it — it falls back to per-expression
+    codegen — but the multi-second failed compile is re-paid on every
+    run because only successful compiles are cached. Disabling WSCG for
+    this one query skips the doomed attempt while executing the SAME
+    per-expression-codegen path the fallback runs anyway; the only
+    stages that lose fusion are the tiny query-side and the bounded
+    post-join window. Interleaved A/B at sf0.1 (5 reps/arm, alternating):
+    median 4.07s off vs 5.67s on. Every cheaper structural variant
+    (Generate barrier, anti-collapse dots, methodSplitThreshold) was
+    tried and rejected this round — see OPTIMIZATION_r12.md."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     df = S.lsh_ann_topk(
         emb, queries, "vec_id", "embedding", K, N_PLANES, DIM, SEED, multiprobe=True
     )
-    return df.select(
+    out = df.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
-    ).orderBy("query_id", "rank")
+    )
+    wsc = "spark.sql.codegen.wholeStage"
+    prev = spark.conf.get(wsc)
+    spark.conf.set(wsc, "false")
+    try:
+        # Eager: the conf must be live at EXECUTION time, and the action
+        # otherwise happens in the caller. The checkpointed result is
+        # <= N_QUERIES*K rows and is recomputed from the parquet inputs
+        # on every invocation (the bench rebuilds the DataFrame per rep).
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(wsc, prev)
+    return out.orderBy("query_id", "rank")
 
 
 IVF_CELLS, IVF_NPROBE, IVF_SEED = 8, 2, 7

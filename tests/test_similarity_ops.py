@@ -143,3 +143,37 @@ def test_ivf_cell_assignment_matches_left_assoc_model(spark):
         if n != q and cl == want_cells[q]
     }
     assert got_pairs == want_pairs
+
+
+def test_ann_lsh_query_scopes_wholestage_conf(spark):
+    """ann_lsh_topk executes its probe under a scoped
+    spark.sql.codegen.wholeStage=false (the fused probe stage exceeds
+    Janino's 64 KB method limit, so WSCG never compiles for it and the
+    failed compile would be re-paid every run) and must RESTORE the
+    session default afterward — a leaked `false` would silently un-fuse
+    every subsequent query. Values must match the unscoped inline form
+    bit-for-bit: the fallback executes the same per-expression codegen."""
+    from bento_spark.queries.similarity import (
+        DIM as QDIM, K, N_PLANES, N_QUERIES, SEED, ann_lsh_topk,
+    )
+
+    wsc = "spark.sql.codegen.wholeStage"
+    prev = spark.conf.get(wsc)
+    sf_dir = "/root/testdata/sf0.001"
+    out = ann_lsh_topk(spark, sf_dir)
+    assert spark.conf.get(wsc) == prev, "wholeStage conf leaked"
+    got = [tuple(r) for r in out.collect()]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ref = (
+        lsh_ann_topk(
+            emb, emb.filter(F.col("vec_id") < N_QUERIES),
+            "vec_id", "embedding", K, N_PLANES, QDIM, SEED, multiprobe=True,
+        )
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+    assert got == [tuple(r) for r in ref.collect()]
+    assert len(got) > 0
