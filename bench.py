@@ -229,6 +229,47 @@ def main():
         print(json.dumps({"sf1_section": run_sf1_section(spark, qs, sf1_dir)}))
         return
 
+    # sf1 section, part 1 (see the full rationale at the sf1 block
+    # below): the fresh-JVM child runs FIRST, before the parent session
+    # exists — a resident parent JVM (24g heap + 32 Python workers),
+    # even idle, contends with the child enough to turn 2s sf1 rows
+    # into 14-38s on some runs (measured: q1 37.5s with the parent
+    # alive vs 2.9s standalone, same host, same files). The child is
+    # fully independent of the headline section, so ordering it first
+    # changes nothing about what either section measures.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "localdata", "sf1"
+    )
+    sf1: dict | None = None
+    sf1_inproc_pending = False
+    if os.path.isdir(sf1_dir) and os.environ.get(
+        "SPARK_GRAFT_SKIP_SF1", ""
+    ) != "1":
+        if os.environ.get("SPARK_GRAFT_SF1_INPROC", "") == "1":
+            sf1_inproc_pending = True  # old methodology: after headline
+        else:
+            import subprocess
+
+            env = dict(os.environ)
+            env["SPARK_GRAFT_SF1_ONLY"] = "1"
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=SF1_BUDGET_SEC + 600,
+                )
+                line = [
+                    ln
+                    for ln in out.stdout.splitlines()
+                    if ln.startswith('{"sf1_section"')
+                ][-1]
+                sf1 = json.loads(line)["sf1_section"]
+            except Exception as ex:  # noqa: BLE001
+                print(f"bench sf1 subprocess error: {ex}", file=sys.stderr)
+                sf1_inproc_pending = True
+
     spark = get_spark("bench")
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs]
@@ -310,50 +351,26 @@ def main():
         normalized += times[name] / noise
     normalized = round(normalized, 3)
 
-    # sf1 section: single-shot (the queries are big enough that JIT
-    # noise is amortized), budget-bounded, never fails the bench.
+    # sf1 section, part 2: single-shot (the queries are big enough that
+    # JIT noise is amortized), budget-bounded, never fails the bench.
     #
-    # Runs in a FRESH subprocess JVM (r12 measurement fix, recorded in
-    # OPTIMIZATION_r12.md): after the ~90 headline executions the
-    # local[N] JVM's old gen sits near 100% (jstat: 81 full GCs) and
-    # the first large-input query after that measured 14-43s for a
-    # plan that runs in 1-2.4s in a fresh session — reproduced
-    # IDENTICALLY on the round-11 code, so it is the pre-existing
-    # single-JVM aging artifact the per-query System.gc() above already
-    # documents, amplified by sf1-sized allocations. A real cluster's
-    # executors are separate processes with their own heaps; the
-    # subprocess measures the plan, not 90 queries of driver-heap debt.
-    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "localdata", "sf1"
-    )
-    sf1: dict | None = None
-    if os.path.isdir(sf1_dir) and os.environ.get(
-        "SPARK_GRAFT_SKIP_SF1", ""
-    ) != "1":
-        if os.environ.get("SPARK_GRAFT_SF1_INPROC", "") == "1":
-            sf1 = run_sf1_section(spark, qs, sf1_dir)
-        else:
-            import subprocess
-
-            env = dict(os.environ)
-            env["SPARK_GRAFT_SF1_ONLY"] = "1"
-            try:
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)],
-                    env=env,
-                    capture_output=True,
-                    text=True,
-                    timeout=SF1_BUDGET_SEC + 600,
-                )
-                line = [
-                    ln
-                    for ln in out.stdout.splitlines()
-                    if ln.startswith('{"sf1_section"')
-                ][-1]
-                sf1 = json.loads(line)["sf1_section"]
-            except Exception as ex:  # noqa: BLE001
-                print(f"bench sf1 subprocess error: {ex}", file=sys.stderr)
-                sf1 = run_sf1_section(spark, qs, sf1_dir)
+    # Runs in a FRESH subprocess JVM, BEFORE the parent session is
+    # created (r12 measurement fix, recorded in OPTIMIZATION_r12.md;
+    # the launch is above, ahead of get_spark): after the ~90 headline
+    # executions the local[N] JVM's old gen sits near 100% (jstat: 81
+    # full GCs) and the first large-input query after that measured
+    # 14-43s for a plan that runs in 1-2.4s in a fresh session —
+    # reproduced IDENTICALLY on the round-11 code, so it is the
+    # pre-existing single-JVM aging artifact the per-query System.gc()
+    # above already documents, amplified by sf1-sized allocations. The
+    # subprocess alone was not enough: even an idle resident parent JVM
+    # made child rows 5-20x irreproducible, hence the run-first order.
+    # A real cluster's executors are separate processes with their own
+    # heaps; the child measures the plan, not co-tenant heap debt.
+    # In-proc mode (SPARK_GRAFT_SF1_INPROC=1) and the subprocess-failure
+    # fallback keep the old post-headline placement.
+    if sf1_inproc_pending:
+        sf1 = run_sf1_section(spark, qs, sf1_dir)
 
     canary_sec = round(sorted(canaries)[len(canaries) // 2], 3)
     # noise_factor ~1.0 on a quiet host; >1.3 means the run was contended
