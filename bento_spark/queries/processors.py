@@ -324,8 +324,12 @@ def proc_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lz4snappy.py), raw-DEFLATE flate, and bzip2 — each column is an
     identity round-trip; the oracle is the source text."""
     from bento_spark.operators.codecs import compress_col, decompress_col
+    from bento_spark.operators.dedup import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # Five per-row compress/decompress roundtrips run in the scan
+    # stage; the one-row-group local file otherwise serializes them on
+    # ONE core (no-op at cluster file counts).
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     raw = F.encode("text", "UTF-8")
 
     def rt(algo: str):
@@ -1074,7 +1078,11 @@ def bloblang_stdlib3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zh": "chinese",
         },
     )
-    docs = _t(spark, sf_dir, "documents")
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    # Per-row JWT sign/parse + XML parse run in the scan stage; spread
+    # the one-row-group local file (no-op at cluster file counts).
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     plan = compile_mapping(
         """
 root.doc_id = this.doc_id
@@ -1639,7 +1647,11 @@ def bloblang_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
          for r in nation],
         path,
     )
-    cust = _t(spark, sf_dir, "customer").select(
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    # The per-row mmdb lookup runs in the scan stage; spread the
+    # one-row-group local file (no-op at cluster file counts).
+    cust = ensure_parallelism(_t(spark, sf_dir, "customer")).select(
         "c_custkey",
         F.concat(
             F.lit("10.0."), F.col("c_nationkey").cast("string"), F.lit("."),
@@ -2185,8 +2197,12 @@ def bloblang_crypto_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the NIST/doc-vector-tested twins (tests/test_hashing_crypto.py)
     over the five deterministic lang values."""
     from bento_spark.bloblang import compile_mapping
+    from bento_spark.operators.dedup import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # The per-row hash/AES chains run in the scan stage and the local
+    # documents table is one parquet row group at every SF — spread
+    # (no-op at cluster file counts). Measured sf1: 20.4 -> 3.0s warm.
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     plan = compile_mapping(
         """
 let key = "2b7e151628aed2a6abf7158809cf4f3c".decode("hex")

@@ -49,11 +49,19 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus token stream is pruned by a broadcast semi-join against
     the (fixed-size) query vocabulary BEFORE any shuffle, so cost
     scales with matches, not corpus. See operators/retrieval.py."""
+    from bento_spark.operators.dedup import ensure_parallelism
+
     docs = _t(spark, sf_dir, "documents")
     queries = docs.filter(F.col("doc_id") < BM25_NQ).select(
         F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
     )
-    return bm25_topk(docs.select("doc_id", "text"), queries, k=BM25_K)
+    # The corpus-side tokenize/explode/semi-join runs in the scan stage
+    # before the index shuffle; spread the one-row-group local file
+    # (no-op at cluster file counts). The query side stays on the plain
+    # scan so its doc_id pushdown is preserved.
+    return bm25_topk(
+        ensure_parallelism(docs).select("doc_id", "text"), queries, k=BM25_K
+    )
 
 
 @query(
@@ -105,7 +113,12 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     English slice), keep the top 100. One explode, one 128-row bucket
     aggregate broadcast back, one per-doc groupBy, TakeOrdered —
     no global window, no UDF."""
-    docs = _t(spark, sf_dir, "documents")
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    # The tokenize/explode feeding the bucket aggregate runs in the
+    # scan stage; spread the one-row-group local file (no-op at
+    # cluster file counts).
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return dsir_importance(docs, F.col("lang") == "en")
 
 
@@ -147,8 +160,12 @@ def embed_mlp_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized_mlp_to_onnx,
     )
 
+    from bento_spark.operators.dedup import ensure_parallelism
+
     emb = onnx_quantized_embedder(quantized_mlp_to_onnx(QuantizedMLP.default()))
-    docs = _t(spark, sf_dir, "documents")
+    # The Arrow-batched forward pass runs in the scan stage; spread the
+    # one-row-group local file (no-op at cluster file counts).
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return (
         docs.withColumn("e", emb(F.col("text")))
         .select(

@@ -121,7 +121,11 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count + redact emails/IPs/phone fragments. PII is synthesized
     deterministically per doc (corpus text has none) so the redaction
     path is actually exercised; patterns valid in Java regex AND RE2."""
-    docs = _t(spark, sf_dir, "documents")
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    # The per-row regex count/redact chains run in the scan stage;
+    # spread the one-row-group local file (no-op at cluster counts).
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     raw = F.concat(
         F.col("text"),
         F.lit(" contact user"),

@@ -1,0 +1,53 @@
+"""Pin the r12 gate-tail scan-stage spreads (OPTIMIZATION_r12.md #14).
+
+Each of these queries does heavy per-row work (hash/AES chains, five
+codec roundtrips, regex redaction, JWT sign/parse, mmdb lookups, the
+ONNX forward pass, tokenize/explode) directly in the SCAN stage, and
+the local parquet inputs are one row group at every SF — without
+ensure_parallelism the whole stage runs on ONE core (measured sf1:
+proc_compress_roundtrip 46.6 -> 3.5s, bloblang_crypto_gauntlet ~50 ->
+4.6s). The spread is file-count-guarded, so at cluster file counts it
+is a no-op; locally it MUST be present. A refactor that drops it
+reverts a 3.5-13x sf1 win silently — this turns that red.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from planguard import formatted_plan  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SPREAD_QUERIES = [
+    "bloblang_crypto_gauntlet",
+    "proc_compress_roundtrip",
+    "pii_redact",
+    "bloblang_stdlib3",
+    "bloblang_geoip",
+    "embed_mlp_quantized",
+    "text_bm25_topk",
+    "sample_dsir_importance",
+]
+
+
+@pytest.mark.parametrize("name", SPREAD_QUERIES)
+def test_scan_stage_spread_present(spark, name):
+    import __spark_entry__ as e
+
+    df = e.queries()[name](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "RoundRobinPartitioning" in plan, (
+        f"{name}: the guarded scan-stage spread is gone — its per-row "
+        "work runs serial on one-row-group local inputs again"
+    )
