@@ -34,6 +34,30 @@ Value representation is identical to the interpreter (i32/i64 masked
 unsigned ints, floats as Python floats, f32 rounded through _f32), so
 the two engines are bit-compatible and every trap carries the same
 WasmTrap message.
+
+Expression folding (r12): the emitter keeps a COMPILE-TIME symbolic
+stack of pure Python expressions instead of pushing every intermediate
+through a runtime list — `local.get 3; i32.const 1; i32.add;
+local.set 3` becomes the single statement `l3 = (l3 + 1) & 0xffffffff`.
+Rules that keep it bit-identical to the runtime-list semantics:
+
+* only PURE, non-trapping values stay symbolic; anything that can trap
+  (loads' bounds checks, div/rem, non-saturating trunc) or has side
+  effects (calls, memory.grow) materializes immediately into a unique
+  temp, so traps fire in program order;
+* a deferred expression records which locals/globals/memory it reads;
+  `local.set`/`global.set`/stores/calls/bulk-memory ops materialize
+  every pending expression whose inputs they are about to mutate
+  (push-time value semantics preserved);
+* at every control-flow boundary (block/loop/if entry and exit,
+  br/br_if/br_table/return/multi-result calls) the symbolic suffix is
+  flushed into the SAME runtime list `s` the previous emitter used, so
+  branch unwinding, block results, and junk-below-top behavior are
+  unchanged by construction;
+* locals live in plain Python variables (`l0, l1, ... = L`), and the
+  `_br` guard chain / label-end bookkeeping is emitted only for
+  constructs whose bodies can actually set `_br` (a static escape
+  scan), so branch-free code carries no unwind scaffolding.
 """
 
 from __future__ import annotations
@@ -162,6 +186,63 @@ _LOAD_FMT = {4: ("<I", "<i"), 8: ("<Q", "<q"), 2: ("<H", "<h")}
 _MAX_LOOP_DEPTH = 15
 
 
+def _esc(instrs: list, fn_rel: int) -> int:
+    """Max label index (relative to the construct containing ``instrs``)
+    that any br/br_if/br_table inside targets via ``_br``, or -1 if none.
+
+    A plain br/br_if to the FUNCTION label compiles to ``return s`` and
+    never touches ``_br``, so it is excluded; br_table targets always
+    set ``_br`` (the emitter handles function-level targets uniformly
+    through the guard chain), so they all count.
+
+    esc >= 0 means the construct needs its label-end bookkeeping;
+    esc >= 1 means a branch can escape PAST it (its parent must guard).
+    """
+    best = -1
+    for ins in instrs:
+        op = ins[0]
+        if op == 0x0C or op == 0x0D:
+            if ins[1] != fn_rel:
+                best = max(best, ins[1])
+        elif op == 0x0E:
+            best = max(best, ins[2], *ins[1]) if ins[1] else max(best, ins[2])
+        elif op == 0x02 or op == 0x03:
+            best = max(best, _esc(ins[2], fn_rel + 1) - 1)
+        elif op == 0x04:
+            best = max(best, _esc(ins[2], fn_rel + 1) - 1)
+            if ins[3]:
+                best = max(best, _esc(ins[3], fn_rel + 1) - 1)
+    return best
+
+
+class _E:
+    """One symbolic stack entry: a pure Python expression plus the
+    mutable state it reads (so mutations know what to materialize).
+
+    ``booly`` is an optional alternative rendering for entries whose
+    value is provably 0/1 (comparisons, eqz, and &/| of such): the raw
+    boolean expression, used where only truthiness matters (if/br_if/
+    select conditions) so conditions compile to ``if a >= b:`` instead
+    of ``if (1 if a >= b else 0):``."""
+
+    __slots__ = ("expr", "locs", "globs", "mem", "atom", "booly")
+
+    def __init__(self, expr: str, locs=frozenset(), globs=False,
+                 mem=False, atom=False, booly=None):
+        self.expr = expr
+        self.locs = locs
+        self.globs = globs
+        self.mem = mem
+        self.atom = atom  # cheap to re-evaluate / safe to embed twice
+        self.booly = booly
+
+    def cond(self) -> str:
+        return self.booly if self.booly is not None else self.expr
+
+
+_NO_DEPS = frozenset()
+
+
 class _Emitter:
     def __init__(self, module):
         self.m = module
@@ -169,16 +250,71 @@ class _Emitter:
         self.indent = 1
         self.consts: list[float] = []
         self.loop_depth = 0
+        self.sym: list[_E] = []  # symbolic suffix above the runtime list
+        self.tmpn = 0
 
     def w(self, line: str):
         self.lines.append("    " * self.indent + line)
+
+    def tmp(self) -> str:
+        self.tmpn += 1
+        return f"t{self.tmpn}"
 
     def const(self, v) -> str:
         self.consts.append(v)
         return f"C[{len(self.consts) - 1}]"
 
     def flit(self, v: float) -> str:
-        return repr(v) if math.isfinite(v) else self.const(v)
+        if not math.isfinite(v):
+            return self.const(v)
+        r = repr(v)
+        return f"({r})" if r.startswith("-") else r
+
+    # -- symbolic stack ------------------------------------------------
+    def push(self, expr: str, locs=_NO_DEPS, globs=False, mem=False,
+             atom=False):
+        self.sym.append(_E(expr, locs, globs, mem, atom))
+
+    def push_op(self, expr: str, *ents: _E, booly=None):
+        locs = _NO_DEPS
+        globs = mem = False
+        for e in ents:
+            if e.locs:
+                locs = locs | e.locs
+            globs = globs or e.globs
+            mem = mem or e.mem
+        self.sym.append(_E(expr, locs, globs, mem, booly=booly))
+
+    def pop(self) -> _E:
+        if self.sym:
+            return self.sym.pop()
+        t = self.tmp()
+        self.w(f"{t} = s.pop()")
+        return _E(t, atom=True)
+
+    def mat(self, e: _E) -> _E:
+        """Evaluate ``e`` NOW into a fresh temp (push-time value)."""
+        t = self.tmp()
+        self.w(f"{t} = {e.expr}")
+        return _E(t, atom=True)
+
+    def atomize(self, e: _E) -> _E:
+        """A form cheap/safe to embed more than once (for index exprs)."""
+        return e if e.atom else self.mat(e)
+
+    def flush_if(self, locs=None, globs=False, mem=False):
+        """Materialize pending entries whose inputs are about to mutate."""
+        for i, e in enumerate(self.sym):
+            if ((locs and e.locs & locs)
+                    or (globs and e.globs) or (mem and e.mem)):
+                self.sym[i] = self.mat(e)
+
+    def sync(self):
+        """Flush the whole symbolic suffix into the runtime list, so
+        control flow sees exactly the previous emitter's stack state."""
+        for e in self.sym:
+            self.w(f"s.append({e.expr})")
+        self.sym.clear()
 
     # -- body emission with flat _br guards --
     def seq(self, instrs: list, labels: list[str]):
@@ -189,6 +325,8 @@ class _Emitter:
             branchy = self.ins(ins, labels)
             since_guard += len(self.lines) - n0
             if branchy:
+                # every branchy instruction syncs before setting _br,
+                # so the symbolic suffix is empty at a guard boundary
                 if guarded:
                     if since_guard == 0:
                         self.w("pass")
@@ -197,6 +335,9 @@ class _Emitter:
                 self.indent += 1
                 guarded = True
                 since_guard = 0
+        n0 = len(self.lines)
+        self.sync()
+        since_guard += len(self.lines) - n0
         if guarded:
             if since_guard == 0:
                 self.w("pass")
@@ -212,13 +353,24 @@ class _Emitter:
         w = self.w
         op = ins[0]
         if op == 0x02:  # block (forward label, no Python loop)
+            esc = _esc(ins[2], len(labels))
+            self.sync()
             self.seq(ins[2], labels + ["block"])
-            self._label_end()
-            return True
+            if esc >= 0:
+                self._label_end()
+            return esc >= 1
         if op == 0x03:  # loop (backward label, real while)
+            esc = _esc(ins[2], len(labels))
             self.loop_depth += 1
             if self.loop_depth > _MAX_LOOP_DEPTH:
                 raise _Unsupported("loop nesting too deep")
+            self.sync()
+            if esc < 0:
+                # nothing branches to (or past) this loop: the body
+                # runs exactly once — no while scaffolding needed
+                self.seq(ins[2], labels + ["loop"])
+                self.loop_depth -= 1
+                return False
             w("while True:")
             self.indent += 1
             self.seq(ins[2], labels + ["loop"])
@@ -228,11 +380,17 @@ class _Emitter:
             w("break")
             self.indent -= 1
             self.loop_depth -= 1
-            w("if _br > 0:")
-            w("    _br -= 1")
-            return True
+            if esc >= 1:
+                w("if _br > 0:")
+                w("    _br -= 1")
+            return esc >= 1
         if op == 0x04:  # if/else (forward label)
-            w("if s.pop():")
+            esc = _esc(ins[2], len(labels))
+            if ins[3]:
+                esc = max(esc, _esc(ins[3], len(labels)))
+            c = self.pop()
+            self.sync()
+            w(f"if {c.cond()}:")
             self.indent += 1
             n0 = len(self.lines)
             self.seq(ins[2], labels + ["if"])
@@ -242,18 +400,25 @@ class _Emitter:
             if ins[3]:
                 w("else:")
                 self.indent += 1
+                n0 = len(self.lines)
                 self.seq(ins[3], labels + ["if"])
+                if len(self.lines) == n0:
+                    w("pass")
                 self.indent -= 1
-            self._label_end()
-            return True
+            if esc >= 0:
+                self._label_end()
+            return esc >= 1
         if op == 0x0C:  # br
+            self.sync()
             if ins[1] == len(labels) - 1:
                 w("return s")
                 return False
             w(f"_br = {ins[1]}")
             return True
         if op == 0x0D:  # br_if
-            w("if s.pop():")
+            c = self.pop()
+            self.sync()
+            w(f"if {c.cond()}:")
             if ins[1] == len(labels) - 1:
                 w("    return s")
                 return False
@@ -261,23 +426,26 @@ class _Emitter:
             return True
         if op == 0x0E:  # br_table (uniform _br handles function level)
             targets, default = ins[1], ins[2]
-            w("i_ = s.pop()")
+            i = self.atomize(self.pop())
+            self.sync()
             if targets:
-                w(f"_br = {tuple(targets)}[i_] if i_ < {len(targets)}"
-                  f" else {default}")
+                w(f"_br = {tuple(targets)}[{i.expr}] if {i.expr} <"
+                  f" {len(targets)} else {default}")
             else:
                 w(f"_br = {default}")
             return True
         if op == 0x0F:  # return
+            self.sync()
             w("return s")
             return False
         if op == 0x10:  # call
             self._call(f"{ins[1]}", self.m.funcs[ins[1]].typeidx)
             return False
         if op == 0x11:  # call_indirect
-            w("ti_ = s.pop()")
-            w(f"fi_ = self._resolve_indirect(ti_, {ins[1]})")
-            self._call("fi_", ins[1])
+            ti = self.pop()
+            t = self.tmp()
+            w(f"{t} = self._resolve_indirect({ti.expr}, {ins[1]})")
+            self._call(t, ins[1])
             return False
         if op == 0x00:
             w("_trap('unreachable')")
@@ -285,34 +453,50 @@ class _Emitter:
         if op == 0x01:
             return False
         if op == 0x41 or op == 0x42:
-            w(f"s.append({ins[1]})")
+            v = ins[1]
+            self.push(f"({v})" if v < 0 else f"{v}", atom=True)
             return False
         if op == 0x43 or op == 0x44:
-            w(f"s.append({self.flit(ins[1])})")
+            self.push(self.flit(ins[1]), atom=True)
             return False
         if op == 0x20:
-            w(f"s.append(L[{ins[1]}])")
+            self.push(f"l{ins[1]}", locs=frozenset((ins[1],)), atom=True)
             return False
         if op == 0x21:
-            w(f"L[{ins[1]}] = s.pop()")
+            e = self.pop()
+            self.flush_if(locs=frozenset((ins[1],)))
+            w(f"l{ins[1]} = {e.expr}")
             return False
-        if op == 0x22:
-            w(f"L[{ins[1]}] = s[-1]")
+        if op == 0x22:  # local.tee
+            k = ins[1]
+            if self.sym:
+                e = self.sym.pop()
+                self.flush_if(locs=frozenset((k,)))
+                w(f"l{k} = {e.expr}")
+                self.push(f"l{k}", locs=frozenset((k,)), atom=True)
+            else:
+                self.flush_if(locs=frozenset((k,)))
+                w(f"l{k} = s[-1]")
             return False
         if op == 0x23:
-            w(f"s.append(G[{ins[1]}])")
+            self.push(f"G[{ins[1]}]", globs=True, atom=True)
             return False
         if op == 0x24:
-            w(f"G[{ins[1]}] = s.pop()")
+            e = self.pop()
+            self.flush_if(globs=True)
+            w(f"G[{ins[1]}] = {e.expr}")
             return False
         if op == 0x1A:
-            w("del s[-1]")
+            if self.sym:
+                self.sym.pop()  # pure by invariant — safe to discard
+            else:
+                w("del s[-1]")
             return False
-        if op == 0x1B:
-            w("c_ = s.pop()")
-            w("b_ = s.pop()")
-            w("if not c_:")
-            w("    s[-1] = b_")
+        if op == 0x1B:  # select
+            c = self.pop()
+            b = self.pop()
+            a = self.pop()
+            self.push_op(f"({a.expr} if {c.cond()} else {b.expr})", a, b, c)
             return False
         if op in _MEM_LOAD:
             self._load(op, ins[1])
@@ -321,19 +505,26 @@ class _Emitter:
             self._store(op, ins[1])
             return False
         if op == 0x3F:
-            w("s.append(len(mem) // 65536)")
+            self.push("(len(mem) // 65536)", mem=True)
             return False
         if op == 0x40:
-            w("s.append(self._mem_grow(s.pop()))")
+            e = self.pop()
+            self.flush_if(mem=True)
+            t = self.tmp()
+            w(f"{t} = self._mem_grow({e.expr})")
+            self.push(t, atom=True)
             return False
-        if op == 0x45:
-            w("s[-1] = 1 if s[-1] == 0 else 0")
+        if op == 0x45 or op == 0x50:
+            e = self.pop()
+            if e.booly is not None:
+                self.push_op(f"(0 if {e.booly} else 1)", e,
+                             booly=f"(not {e.booly})")
+            else:
+                self.push_op(f"(1 if {e.expr} == 0 else 0)", e,
+                             booly=f"({e.expr} == 0)")
             return False
         if 0x46 <= op <= 0x4F:
             self._cmp_i(op - 0x46, 32)
-            return False
-        if op == 0x50:
-            w("s[-1] = 1 if s[-1] == 0 else 0")
             return False
         if 0x51 <= op <= 0x5A:
             self._cmp_i(op - 0x51, 64)
@@ -361,189 +552,214 @@ class _Emitter:
     def _call(self, idx_expr: str, typeidx: int):
         w = self.w
         params, results = self.m.types[typeidx]
-        if params:
-            w(f"a_ = s[-{len(params)}:]")
-            w(f"del s[-{len(params)}:]")
+        args = [self.pop() for _ in params]
+        args.reverse()
+        if len(results) > 1:
+            self.sync()
         else:
-            w("a_ = []")
-        call = f"self.call_index({idx_expr}, a_)"
+            # the callee may mutate memory/globals: pending reads keep
+            # their push-time values
+            self.flush_if(globs=True, mem=True)
+        arglist = "[" + ", ".join(e.expr for e in args) + "]"
+        call = f"self.call_index({idx_expr}, {arglist})"
         if not results:
             w(call)
         elif len(results) == 1:
-            w(f"s.append({call})")
+            t = self.tmp()
+            w(f"{t} = {call}")
+            self.push(t, atom=True)
         else:
             w(f"s.extend({call})")
 
     def _load(self, op: int, off: int):
-        w = self.w
         vt, width, signed = _MEM_LOAD[op]
-        w(f"a_ = s.pop() + {off}" if off else "a_ = s.pop()")
-        w(f"if a_ + {width} > len(mem):")
-        w("    _oob()")
+        a = self.atomize(self.pop())
+        idx = f"{a.expr} + {off}" if off else a.expr
+        self.w(f"if {a.expr} + {off + width} > len(mem):")
+        self.w("    _oob()")
         mask = _M32 if vt == "i32" else _M64
+        deps = dict(locs=a.locs, globs=a.globs, mem=True)
         if vt == "f32":
-            w("s.append(struct.unpack_from('<f', mem, a_)[0])")
+            self.push(f"struct.unpack_from('<f', mem, {idx})[0]", **deps)
         elif vt == "f64":
-            w("s.append(struct.unpack_from('<d', mem, a_)[0])")
+            self.push(f"struct.unpack_from('<d', mem, {idx})[0]", **deps)
         elif width == 1:
             if signed:
-                w(f"s.append(((mem[a_] ^ 128) - 128) & {mask})")
+                self.push(f"(((mem[{idx}] ^ 128) - 128) & {mask})", **deps)
             else:
-                w("s.append(mem[a_])")
+                self.push(f"mem[{idx}]", **deps)
         else:
             ufmt, sfmt = _LOAD_FMT[width]
             if signed:
-                w(f"s.append(struct.unpack_from('{sfmt}', mem, a_)[0]"
-                  f" & {mask})")
-            elif (vt == "i32" and width == 4) or (vt == "i64" and width == 8):
-                w(f"s.append(struct.unpack_from('{ufmt}', mem, a_)[0])")
+                self.push(
+                    f"(struct.unpack_from('{sfmt}', mem, {idx})[0]"
+                    f" & {mask})", **deps
+                )
             else:
-                w(f"s.append(struct.unpack_from('{ufmt}', mem, a_)[0])")
+                self.push(
+                    f"struct.unpack_from('{ufmt}', mem, {idx})[0]", **deps
+                )
 
     def _store(self, op: int, off: int):
-        w = self.w
         vt, width = _MEM_STORE[op]
-        w("v_ = s.pop()")
-        w(f"a_ = s.pop() + {off}" if off else "a_ = s.pop()")
-        w(f"if a_ + {width} > len(mem):")
-        w("    _oob()")
+        v = self.pop()
+        a = self.atomize(self.pop())
+        self.flush_if(mem=True)
+        idx = f"{a.expr} + {off}" if off else a.expr
+        self.w(f"if {a.expr} + {off + width} > len(mem):")
+        self.w("    _oob()")
         if vt == "f32":
-            w("struct.pack_into('<f', mem, a_, v_)")
+            self.w(f"struct.pack_into('<f', mem, {idx}, {v.expr})")
         elif vt == "f64":
-            w("struct.pack_into('<d', mem, a_, v_)")
+            self.w(f"struct.pack_into('<d', mem, {idx}, {v.expr})")
         elif width == 1:
-            w("mem[a_] = v_ & 255")
+            self.w(f"mem[{idx}] = {v.expr} & 255")
         else:
             fmt = _LOAD_FMT[width][0]
             m = (1 << (8 * width)) - 1
-            w(f"struct.pack_into('{fmt}', mem, a_, v_ & {m})")
+            self.w(f"struct.pack_into('{fmt}', mem, {idx}, {v.expr} & {m})")
 
     def _cmp_i(self, k: int, bits: int):
-        w = self.w
         h = _H32 if bits == 32 else _H64
-        sx = f"(({{}} ^ {h}) - {h})"
         ops = ["==", "!=", "<", "<", ">", ">", "<=", "<=", ">=", ">="]
         signed = {2, 4, 6, 8}
-        w("b_ = s.pop()")
-        a = sx.format("s[-1]") if k in signed else "s[-1]"
-        b = sx.format("b_") if k in signed else "b_"
-        w(f"s[-1] = 1 if {a} {ops[k]} {b} else 0")
+        b = self.pop()
+        a = self.pop()
+        ax = f"(({a.expr} ^ {h}) - {h})" if k in signed else a.expr
+        bx = f"(({b.expr} ^ {h}) - {h})" if k in signed else b.expr
+        self.push_op(f"(1 if {ax} {ops[k]} {bx} else 0)", a, b,
+                     booly=f"({ax} {ops[k]} {bx})")
 
     def _cmp_f(self, k: int):
-        w = self.w
         op = ["==", "!=", "<", ">", "<=", ">="][k]
-        w("b_ = s.pop()")
-        w(f"s[-1] = 1 if s[-1] {op} b_ else 0")
+        b = self.pop()
+        a = self.pop()
+        self.push_op(f"(1 if {a.expr} {op} {b.expr} else 0)", a, b,
+                     booly=f"({a.expr} {op} {b.expr})")
 
     def _int_op(self, k: int, bits: int):
-        w = self.w
         mask = (1 << bits) - 1
         h = _H32 if bits == 32 else _H64
         if k == 0:
-            w(f"s[-1] = _clz(s[-1], {bits})")
+            a = self.pop()
+            self.push_op(f"_clz({a.expr}, {bits})", a)
             return
         if k == 1:
-            w(f"s[-1] = _ctz(s[-1], {bits})")
+            a = self.pop()
+            self.push_op(f"_ctz({a.expr}, {bits})", a)
             return
         if k == 2:
-            w("s[-1] = bin(s[-1]).count('1')")
+            a = self.pop()
+            self.push_op(f"bin({a.expr}).count('1')", a)
             return
-        w("b_ = s.pop()")
-        if k == 3:
-            w(f"s[-1] = (s[-1] + b_) & {mask}")
-        elif k == 4:
-            w(f"s[-1] = (s[-1] - b_) & {mask}")
-        elif k == 5:
-            w(f"s[-1] = (s[-1] * b_) & {mask}")
-        elif k == 6:
-            w(f"s[-1] = _divs(s[-1], b_, {bits})")
-        elif k == 7:
-            w(f"s[-1] = _divu(s[-1], b_, {bits})")
-        elif k == 8:
-            w(f"s[-1] = _rems(s[-1], b_, {bits})")
-        elif k == 9:
-            w(f"s[-1] = _remu(s[-1], b_, {bits})")
-        elif k == 10:
-            w("s[-1] = s[-1] & b_")
-        elif k == 11:
-            w("s[-1] = s[-1] | b_")
-        elif k == 12:
-            w("s[-1] = s[-1] ^ b_")
-        elif k == 13:
-            w(f"s[-1] = (s[-1] << (b_ % {bits})) & {mask}")
-        elif k == 14:
-            w(f"s[-1] = (((s[-1] ^ {h}) - {h}) >> (b_ % {bits})) & {mask}")
-        elif k == 15:
-            w(f"s[-1] = s[-1] >> (b_ % {bits})")
-        elif k == 16:
-            w(f"s[-1] = _rotl(s[-1], b_, {bits})")
-        elif k == 17:
-            w(f"s[-1] = _rotr(s[-1], b_, {bits})")
-        else:
+        b = self.pop()
+        a = self.pop()
+        if 6 <= k <= 9:  # div/rem trap in program order: evaluate NOW
+            fn = {6: "_divs", 7: "_divu", 8: "_rems", 9: "_remu"}[k]
+            t = self.tmp()
+            self.w(f"{t} = {fn}({a.expr}, {b.expr}, {bits})")
+            self.push(t, atom=True)
+            return
+        booly = None
+        if a.booly is not None and b.booly is not None:
+            if k == 10:
+                booly = f"({a.booly} and {b.booly})"
+            elif k == 11:
+                booly = f"({a.booly} or {b.booly})"
+        tmpl = {
+            3: f"(({a.expr} + {b.expr}) & {mask})",
+            4: f"(({a.expr} - {b.expr}) & {mask})",
+            5: f"(({a.expr} * {b.expr}) & {mask})",
+            10: f"({a.expr} & {b.expr})",
+            11: f"({a.expr} | {b.expr})",
+            12: f"({a.expr} ^ {b.expr})",
+            13: f"(({a.expr} << ({b.expr} % {bits})) & {mask})",
+            14: f"(((({a.expr} ^ {h}) - {h}) >> ({b.expr} % {bits}))"
+                f" & {mask})",
+            15: f"({a.expr} >> ({b.expr} % {bits}))",
+            16: f"_rotl({a.expr}, {b.expr}, {bits})",
+            17: f"_rotr({a.expr}, {b.expr}, {bits})",
+        }.get(k)
+        if tmpl is None:
             raise _Unsupported(f"int op k={k}")
+        self.push_op(tmpl, a, b, booly=booly)
 
     def _f_op(self, op: int):
-        w = self.w
         is32 = op <= 0x98
         k = op - (0x8B if is32 else 0x99)
         r32 = "_f32({})" if is32 else "{}"
         if k <= 6:
+            a = self.pop()
             un = {
-                0: "abs(s[-1])", 1: "-s[-1]", 2: "_fceil(s[-1])",
-                3: "_ffloor(s[-1])", 4: "_ftrunc(s[-1])",
-                5: "_fnearest(s[-1])", 6: "_fsqrt(s[-1])",
+                0: f"abs({a.expr})", 1: f"-{a.expr}", 2: f"_fceil({a.expr})",
+                3: f"_ffloor({a.expr})", 4: f"_ftrunc({a.expr})",
+                5: f"_fnearest({a.expr})", 6: f"_fsqrt({a.expr})",
             }[k]
-            w(f"s[-1] = {r32.format(f'float({un})')}")
+            self.push_op(r32.format(f"float({un})"), a)
             return
-        w("b_ = s.pop()")
+        b = self.pop()
+        a = self.pop()
         binop = {
-            7: "s[-1] + b_", 8: "s[-1] - b_", 9: "s[-1] * b_",
-            10: "_fdiv(s[-1], b_)", 11: "_fmin(s[-1], b_)",
-            12: "_fmax(s[-1], b_)",
-            13: "math.copysign(abs(s[-1]), b_)",
+            7: f"{a.expr} + {b.expr}", 8: f"{a.expr} - {b.expr}",
+            9: f"{a.expr} * {b.expr}", 10: f"_fdiv({a.expr}, {b.expr})",
+            11: f"_fmin({a.expr}, {b.expr})",
+            12: f"_fmax({a.expr}, {b.expr})",
+            13: f"math.copysign(abs({a.expr}), {b.expr})",
         }[k]
-        w(f"s[-1] = {r32.format(f'float({binop})')}")
+        self.push_op(r32.format(f"float({binop})"), a, b)
+
+    # non-saturating float->int truncation traps: evaluated in program
+    # order (materialized immediately) rather than deferred
+    _TRAPPING_CONV = frozenset(
+        {0xA8, 0xA9, 0xAA, 0xAB, 0xAE, 0xAF, 0xB0, 0xB1}
+    )
 
     def _conv(self, op: int):
-        w = self.w
+        a = self.pop()
+        x = a.expr
         t = {
-            0xA7: f"s[-1] & {_M32}",
-            0xA8: "_trunc(s[-1], 32, True, False)",
-            0xA9: "_trunc(s[-1], 32, False, False)",
-            0xAA: "_trunc(s[-1], 32, True, False)",
-            0xAB: "_trunc(s[-1], 32, False, False)",
-            0xAC: f"((s[-1] ^ {_H32}) - {_H32}) & {_M64}",
-            0xAD: f"s[-1] & {_M64}",
-            0xAE: "_trunc(s[-1], 64, True, False)",
-            0xAF: "_trunc(s[-1], 64, False, False)",
-            0xB0: "_trunc(s[-1], 64, True, False)",
-            0xB1: "_trunc(s[-1], 64, False, False)",
-            0xB2: f"_f32(float((s[-1] ^ {_H32}) - {_H32}))",
-            0xB3: "_f32(float(s[-1]))",
-            0xB4: f"_f32(float((s[-1] ^ {_H64}) - {_H64}))",
-            0xB5: "_f32(float(s[-1]))",
-            0xB6: "_f32(s[-1])",
-            0xB7: f"float((s[-1] ^ {_H32}) - {_H32})",
-            0xB8: "float(s[-1])",
-            0xB9: f"float((s[-1] ^ {_H64}) - {_H64})",
-            0xBA: "float(s[-1])",
-            0xBB: "float(s[-1])",
-            0xBC: "struct.unpack('<I', struct.pack('<f', s[-1]))[0]",
-            0xBD: "struct.unpack('<Q', struct.pack('<d', s[-1]))[0]",
-            0xBE: "struct.unpack('<f', struct.pack('<I', s[-1]))[0]",
-            0xBF: "struct.unpack('<d', struct.pack('<Q', s[-1]))[0]",
+            0xA7: f"({x} & {_M32})",
+            0xA8: f"_trunc({x}, 32, True, False)",
+            0xA9: f"_trunc({x}, 32, False, False)",
+            0xAA: f"_trunc({x}, 32, True, False)",
+            0xAB: f"_trunc({x}, 32, False, False)",
+            0xAC: f"((({x} ^ {_H32}) - {_H32}) & {_M64})",
+            0xAD: f"({x} & {_M64})",
+            0xAE: f"_trunc({x}, 64, True, False)",
+            0xAF: f"_trunc({x}, 64, False, False)",
+            0xB0: f"_trunc({x}, 64, True, False)",
+            0xB1: f"_trunc({x}, 64, False, False)",
+            0xB2: f"_f32(float(({x} ^ {_H32}) - {_H32}))",
+            0xB3: f"_f32(float({x}))",
+            0xB4: f"_f32(float(({x} ^ {_H64}) - {_H64}))",
+            0xB5: f"_f32(float({x}))",
+            0xB6: f"_f32({x})",
+            0xB7: f"float(({x} ^ {_H32}) - {_H32})",
+            0xB8: f"float({x})",
+            0xB9: f"float(({x} ^ {_H64}) - {_H64})",
+            0xBA: f"float({x})",
+            0xBB: f"float({x})",
+            0xBC: f"struct.unpack('<I', struct.pack('<f', {x}))[0]",
+            0xBD: f"struct.unpack('<Q', struct.pack('<d', {x}))[0]",
+            0xBE: f"struct.unpack('<f', struct.pack('<I', {x}))[0]",
+            0xBF: f"struct.unpack('<d', struct.pack('<Q', {x}))[0]",
             # Sign-extension ops mask the operand to the narrow width
             # BEFORE extending (matches the interpreter's _sx): the value
             # on the stack is a full i32/i64 whose high bits are live.
-            0xC0: f"(((s[-1] & 0xFF) ^ 128) - 128) & {_M32}",
-            0xC1: f"(((s[-1] & 0xFFFF) ^ 32768) - 32768) & {_M32}",
-            0xC2: f"(((s[-1] & 0xFF) ^ 128) - 128) & {_M64}",
-            0xC3: f"(((s[-1] & 0xFFFF) ^ 32768) - 32768) & {_M64}",
-            0xC4: f"(((s[-1] & {_M32}) ^ {_H32}) - {_H32}) & {_M64}",
+            0xC0: f"((({x} & 0xFF) ^ 128) - 128) & {_M32}",
+            0xC1: f"((({x} & 0xFFFF) ^ 32768) - 32768) & {_M32}",
+            0xC2: f"((({x} & 0xFF) ^ 128) - 128) & {_M64}",
+            0xC3: f"((({x} & 0xFFFF) ^ 32768) - 32768) & {_M64}",
+            0xC4: f"((({x} & {_M32}) ^ {_H32}) - {_H32}) & {_M64}",
         }.get(op)
         if t is None:
             raise _Unsupported(f"conversion 0x{op:02x}")
-        w(f"s[-1] = {t}")
+        if op in self._TRAPPING_CONV:
+            tmp = self.tmp()
+            self.w(f"{tmp} = {t}")
+            self.push(tmp, atom=True)
+        else:
+            self.push_op(f"({t})", a)
 
     def _fc(self, ins):
         w = self.w
@@ -551,24 +767,28 @@ class _Emitter:
         if sub <= 7:
             bits = 32 if sub <= 3 else 64
             signed = sub % 2 == 0
-            w(f"s[-1] = _trunc(s[-1], {bits}, {signed}, True)")
+            a = self.pop()
+            self.push_op(f"_trunc({a.expr}, {bits}, {signed}, True)", a)
         elif sub == 8:
-            w("n_ = s.pop()")
-            w("src_ = s.pop()")
-            w("dst_ = s.pop()")
-            w(f"self._mem_init({ins[2]}, dst_, src_, n_)")
+            n = self.pop()
+            src = self.pop()
+            dst = self.pop()
+            self.flush_if(mem=True)
+            w(f"self._mem_init({ins[2]}, {dst.expr}, {src.expr}, {n.expr})")
         elif sub == 9:
             w(f"self.dropped_data.add({ins[2]})")
         elif sub == 10:
-            w("n_ = s.pop()")
-            w("src_ = s.pop()")
-            w("dst_ = s.pop()")
-            w("self._mem_copy(dst_, src_, n_)")
+            n = self.pop()
+            src = self.pop()
+            dst = self.pop()
+            self.flush_if(mem=True)
+            w(f"self._mem_copy({dst.expr}, {src.expr}, {n.expr})")
         elif sub == 11:
-            w("n_ = s.pop()")
-            w("v_ = s.pop()")
-            w("dst_ = s.pop()")
-            w("self._mem_fill(dst_, v_, n_)")
+            n = self.pop()
+            v = self.pop()
+            dst = self.pop()
+            self.flush_if(mem=True)
+            w(f"self._mem_fill({dst.expr}, {v.expr}, {n.expr})")
         else:
             raise _Unsupported(f"0xFC sub {sub}")
 
@@ -580,6 +800,8 @@ def compile_function(module, idx: int):
     f = module.funcs[idx]
     if f.host is not None or f.body is None:
         return None
+    params, _results = module.types[f.typeidx]
+    nloc = len(params) + len(f.locals)
     e = _Emitter(module)
     try:
         e.seq(f.body, ["func"])
@@ -587,6 +809,10 @@ def compile_function(module, idx: int):
         return None
     src = "def _wf(self, L):\n"
     src += "    s = []\n    mem = self.mem\n    G = self.globals\n"
+    if nloc == 1:
+        src += "    l0, = L\n"
+    elif nloc:
+        src += "    " + ", ".join(f"l{i}" for i in range(nloc)) + " = L\n"
     src += "    _br = -1\n"
     src += "\n".join(e.lines) + ("\n" if e.lines else "")
     src += "    return s\n"

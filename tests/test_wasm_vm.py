@@ -489,3 +489,51 @@ def test_compiled_engine_speedup():
     finally:
         del os.environ["BENTO_SPARK_WASM_ENGINE"]
     assert t_interp / t_compiled >= 5, (t_interp, t_compiled)
+
+
+def test_folded_emitter_hot_loop_has_no_list_traffic():
+    """r12 expression folding: the uppercase module's per-byte loop must
+    compile to plain locals/arithmetic — zero runtime value-stack ops.
+    (A regression to per-instruction list traffic is a ~7x slowdown on
+    the proc_wasm gate row.)"""
+    from bento_spark.operators.wasmproc import example_uppercase_module
+
+    m = WasmModule(example_uppercase_module())
+    src = m.compiled_fn(m.exports["process"][1]).__wasm_source__
+    assert "s.append" not in src and "s.pop()" not in src
+    assert "l0, l1" in src  # locals are plain Python variables
+    # conditions use the raw comparison, not a 0/1 ternary re-test
+    assert "if (1 if" not in src
+
+
+def test_engines_agree_block_result_br():
+    """A br that exits a block with extra operands on the stack: both
+    engines leave the br's top value as the block result (the shared
+    relative-to-top stack discipline)."""
+    types = sec(1, vec([functype([I32], [I32])]))
+    funcs = sec(3, vec([leb(0)]))
+    exports = sec(7, vec([name("f") + b"\x00" + leb(0)]))
+    # block (result i32): const 1; const 2; br 0; end  -> 2
+    body = code([], bytes.fromhex(
+        "02 7f 41 01 41 02 0c 00 0b".replace(" ", "")
+    ))
+    b = module(types, funcs, exports, sec(10, vec([body])))
+    assert _run_both(b, "f", 0) == 2
+
+
+def test_engines_agree_tee_select_eqz():
+    """local.tee + select + eqz chain — the folded emitter's booly and
+    tee-aliasing paths against the interpreter."""
+    types = sec(1, vec([functype([I32, I32], [I32])]))
+    funcs = sec(3, vec([leb(0)]))
+    exports = sec(7, vec([name("f") + b"\x00" + leb(0)]))
+    # t = tee(l0, l0 + l1); select(t, l1, eqz(t & 1))
+    body = code([I32], bytes.fromhex(
+        "20 00 20 01 6a 22 02"   # l2 = tee(l0 + l1)
+        "20 02 20 01"            # push l2, l1
+        "20 02 41 01 71 45"      # eqz(l2 & 1)
+        "1b".replace(" ", "")    # select
+    ))
+    b = module(types, funcs, exports, sec(10, vec([body])))
+    for x, y in ((1, 2), (2, 2), (7, 0), (0, 0), (5, 6)):
+        _run_both(b, "f", x, y)
