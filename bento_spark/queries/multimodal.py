@@ -53,7 +53,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a decoder bug in header parse, BGR order, bottom-up flip, row
     padding, zlib framing, or any of the five PNG filters is a hash
     mismatch."""
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
     # parallelize BELOW the fused synth+decode stage: the local scan is
     # one file split, and the stage is pure-Python per-row work.
@@ -61,10 +61,13 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every encoded image JVM->Python->JVM->Python; one mapInPandas
     # keeps the payload inside a single worker pass (same codecs, same
     # features, same oracle — measured 1.7s -> 1.1s at sf0.1).
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    # range_spread on doc_id (not round-robin): the final sort becomes
+    # within-partition, so the orderBy sampling job does not run the
+    # codec stage twice (operators/dedup.range_spread).
+    docs = range_spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     return M.synth_and_extract_image_features(
         docs, "doc_id", decoder=M.real_decode
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -97,14 +100,14 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling, zigzag, or the IDCT is a hash mismatch. n_bytes is
     excluded: huffman-coded container length has no SQL closed form
     (unlike PNG's stored-deflate IDAT)."""
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    docs = range_spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     imgs = docs.withColumn("payload", M.synth_jpeg_udf()(F.col("doc_id")))
     feats = M.extract_image_features(imgs, "doc_id", "payload", decoder=M.real_decode)
-    return feats.select("doc_id", "width", "height", "channels", "phash").orderBy(
-        "doc_id"
-    )
+    return feats.select(
+        "doc_id", "width", "height", "channels", "phash"
+    ).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -124,8 +127,16 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: 1 binary -> N frame rows (every 2nd 256-byte
     frame) via row-multiplying mapInPandas."""
-    docs = M.attach_binary(_t(spark, sf_dir, "documents"), "text")
-    return M.sample_frames(docs, "doc_id", "payload", 256, 2).orderBy(
+    from bento_spark.operators.dedup import range_spread
+
+    # range-partition on doc_id: all frames of a doc stay in one
+    # partition, so the within-partition (doc_id, frame_idx) sort is
+    # the same total order the global orderBy produced — without its
+    # sampling job re-running the frame stage.
+    docs = M.attach_binary(
+        range_spread(_t(spark, sf_dir, "documents"), "doc_id"), "text"
+    )
+    return M.sample_frames(docs, "doc_id", "payload", 256, 2).sortWithinPartitions(
         "doc_id", "frame_idx"
     )
 
@@ -165,12 +176,14 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk, n_bytes from the container, and the oracle recomputes every
     stat from the same bytes. A header-parse, chunk-walk, or fmt-field
     bug is a hash mismatch."""
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = range_spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     wav = docs.select("doc_id", M.synth_wav_udf()("doc_id", "text").alias("payload"))
     out = M.extract_audio_features(wav, "doc_id", "payload", decoder=M.decode_wav)
-    return out.orderBy("doc_id")
+    return out.sortWithinPartitions("doc_id")
 
 
 @query(
@@ -201,16 +214,16 @@ def mm_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     luma sum + plane hash emitted — the oracle rebuilds each plane from
     the same cyclic text windows, so a hash match certifies the
     container writer AND parser end-to-end."""
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    docs = range_spread(_t(spark, sf_dir, "documents"), "doc_id")
     schema = "doc_id bigint, text string, payload binary"
     with_payload = docs.select("doc_id", "text").mapInPandas(
         M.synth_y4m_udf(8, 8), schema
     )
     return M.video_frame_features(
         with_payload, "doc_id", "payload", every_k=2
-    ).orderBy("doc_id", "frame_idx")
+    ).sortWithinPartitions("doc_id", "frame_idx")
 
 
 @query(
@@ -243,8 +256,10 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src = dst*src_dim//dst_dim) against the synthesizer's closed-form
     pixels and hashes the resized image — container parse, pixel order,
     AND the resample mapping are all in the hash."""
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    docs = range_spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     imgs = docs.withColumn("payload", M.synth_image_udf()(F.col("doc_id")))
-    return M.resize_images(imgs, "doc_id", "payload", 5, 4).orderBy("doc_id")
+    return M.resize_images(imgs, "doc_id", "payload", 5, 4).sortWithinPartitions(
+        "doc_id"
+    )

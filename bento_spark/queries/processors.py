@@ -29,11 +29,13 @@ from bento_spark.queries.relational import _t
 def proc_mapping_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``mapping`` processor (processor_mapping.go:15): new document from
     computed fields; root=deleted() for error events (drop filter)."""
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
     # Per-row JSON extraction over 1M events runs in the scan stage;
-    # spread the one-row-group local file (no-op at cluster scale).
-    ev = ensure_parallelism(_t(spark, sf_dir, "events"))
+    # range-partition on the output sort key so the final sort is
+    # within-partition and the orderBy sampling job does not re-run the
+    # extraction (operators/dedup.range_spread).
+    ev = range_spread(_t(spark, sf_dir, "events"), "event_id")
     out = P.mapping(
         ev,
         {
@@ -46,7 +48,7 @@ def proc_mapping_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         drop_when=F.col("event_type") == "error",
     )
-    return out.drop("_metadata", "_error").orderBy("event_id")
+    return out.drop("_metadata", "_error").sortWithinPartitions("event_id")
 
 
 @query(
@@ -97,7 +99,9 @@ def proc_try_catch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows with corrupt JSON get the error flag, recovery assigns a
     default and clears it — the per-message error channel, no task
     failures, no row loss."""
-    ev = _t(spark, sf_dir, "events")
+    from bento_spark.operators.dedup import range_spread
+
+    ev = range_spread(_t(spark, sf_dir, "events"), "event_id")
     # poison ~1/7 of the rows with truncated JSON
     poisoned = P.mutation(
         ev,
@@ -115,7 +119,9 @@ def proc_try_catch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mutation is error-transparent, so set the flag outside the guard:
     flagged = tried.withColumn("was_errored", F.col(ERROR).isNotNull())
     recovered = P.catch_errors(flagged, {"k": F.lit(-1)})
-    return recovered.select("event_id", "k", "was_errored").orderBy("event_id")
+    return recovered.select("event_id", "k", "was_errored").sortWithinPartitions(
+        "event_id"
+    )
 
 
 @query(
@@ -256,8 +262,9 @@ def bloblang_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tree-walking interpreter of mapping/executor.go:115 becomes
     one-time compilation; Catalyst codegens the result)."""
     from bento_spark.bloblang import compile_mapping
+    from bento_spark.operators.dedup import range_spread
 
-    ev = _t(spark, sf_dir, "events")
+    ev = range_spread(_t(spark, sf_dir, "events"), "event_id")
     plan = compile_mapping(
         """
 # drop error events, reshape the rest
@@ -272,7 +279,7 @@ root.doubled = this.value * 2
     out = plan.apply(ev, new_document=False)
     return out.select(
         "event_id", "kind", "value_bucket", "tag", "doubled"
-    ).orderBy("event_id")
+    ).sortWithinPartitions("event_id")
 
 
 @query(
@@ -324,12 +331,13 @@ def proc_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lz4snappy.py), raw-DEFLATE flate, and bzip2 — each column is an
     identity round-trip; the oracle is the source text."""
     from bento_spark.operators.codecs import compress_col, decompress_col
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
     # Five per-row compress/decompress roundtrips run in the scan
-    # stage; the one-row-group local file otherwise serializes them on
-    # ONE core (no-op at cluster file counts).
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # stage; range-partition on doc_id: spreads the one-row-group local
+    # file AND keeps the orderBy sampling job from running the codecs
+    # twice (operators/dedup.range_spread).
+    docs = range_spread(_t(spark, sf_dir, "documents"), "doc_id")
     raw = F.encode("text", "UTF-8")
 
     def rt(algo: str):
@@ -344,7 +352,7 @@ def proc_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt("snappy").alias("rt_snappy"),
         rt("flate").alias("rt_flate"),
         rt("bzip2").alias("rt_bzip2"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -365,8 +373,12 @@ def proc_parse_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse them back with one compiled regex (pure regexp_extract — no
     UDF), oracle recomputes the fields directly."""
     from bento_spark.operators.codecs import parse_clf
+    from bento_spark.operators.dedup import range_spread
 
-    ev = _t(spark, sf_dir, "events")
+    # range-partition on the output sort key: the final orderBy's
+    # sampling job re-ran the 1M-row regex parse (operators/dedup.
+    # range_spread).
+    ev = range_spread(_t(spark, sf_dir, "events"), "event_id")
     line = F.format_string(
         'host-%d - frank [10/Oct/2000:13:55:36 -0700] "%s /api/%s HTTP/1.0" %d 2326',
         (F.col("user_id") % 20).cast("int"),
@@ -376,9 +388,9 @@ def proc_parse_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     logs = ev.select("event_id", line.alias("raw"))
     parsed = parse_clf(logs, "raw")
-    return parsed.select("event_id", "host", "method", "path", "status").orderBy(
-        "event_id"
-    )
+    return parsed.select(
+        "event_id", "host", "method", "path", "status"
+    ).sortWithinPartitions("event_id")
 
 
 @query(
@@ -455,7 +467,12 @@ def proc_cache_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     processor_sql_select.go:21): per-message lookups become ONE
     broadcast stream-static join — 10^6 fewer round trips than the
     reference's per-message query model at scale."""
-    o = _t(spark, sf_dir, "orders")
+    from bento_spark.operators.dedup import range_spread
+
+    # range-partition on the output sort key (orderkey = o_orderkey):
+    # the final orderBy's sampling job re-ran both broadcast-join
+    # probes over the full orders table (operators/dedup.range_spread).
+    o = range_spread(_t(spark, sf_dir, "orders"), "o_orderkey")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     step1 = P.cache_get(
@@ -474,7 +491,7 @@ def proc_cache_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("orderkey"),
         F.col("c_name").alias("customer_name"),
         F.col("n_name").alias("nation"),
-    ).orderBy("orderkey")
+    ).sortWithinPartitions("orderkey")
 
 
 @query(
@@ -492,13 +509,15 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     VARIANT, extract typed fields with variant_get — the lazy-JSON
     model of the reference (internal/message/data.go:57-68) with
     columnar storage underneath."""
-    ev = _t(spark, sf_dir, "events")
+    from bento_spark.operators.dedup import range_spread
+
+    ev = range_spread(_t(spark, sf_dir, "events"), "event_id")
     v = ev.select("event_id", F.parse_json("props").alias("v"))
     return v.select(
         "event_id",
         F.variant_get("v", "$.k", "bigint").alias("k"),
         (F.variant_get("v", "$.k", "bigint") % 10 == 0).alias("k_round"),
-    ).orderBy("event_id")
+    ).sortWithinPartitions("event_id")
 
 
 @query(
@@ -543,10 +562,18 @@ def proc_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        out = http_enrich(ev, "url", body_col="props", method="POST")
+        from bento_spark.operators.dedup import range_spread
+
+        # range-partition on the sort key BELOW the http stage: the
+        # orderBy sampling job re-ran every live request a second time
+        # per execution (operators/dedup.range_spread).
+        out = http_enrich(
+            range_spread(ev, "event_id"), "url", body_col="props",
+            method="POST",
+        )
         out = out.select(
             "event_id", "http_status", "http_response"
-        ).orderBy("event_id")
+        ).sortWithinPartitions("event_id")
         # materialize before teardown — the gate collects lazily later
         return out.localCheckpoint(eager=True)
     finally:
@@ -567,7 +594,9 @@ def proc_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``json_schema`` (processor_jsonschema.go:93): poisoned rows fail
     schema validation into the error channel; valid rows carry the
     typed struct."""
-    ev = _t(spark, sf_dir, "events")
+    from bento_spark.operators.dedup import range_spread
+
+    ev = range_spread(_t(spark, sf_dir, "events"), "event_id")
     poisoned = ev.withColumn(
         "props",
         F.when(F.col("event_id") % 11 == 0, F.lit('{"wrong": true}')).otherwise(
@@ -579,7 +608,7 @@ def proc_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col(ERROR).isNull().alias("valid"),
         F.col("parsed")["k"].alias("k"),
-    ).orderBy("event_id")
+    ).sortWithinPartitions("event_id")
 
 
 @query(
@@ -595,9 +624,15 @@ def proc_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 def proc_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``chunker`` scanner (scanner_chunker.go): fixed-size text chunks
     with indexes, one message -> many."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from bento_spark.operators.dedup import range_spread
+
+    docs = range_spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     out = P.chunk_text(docs, "text", 100)
-    return out.select("doc_id", "chunk_idx", "chunk").orderBy("doc_id", "chunk_idx")
+    return out.select("doc_id", "chunk_idx", "chunk").sortWithinPartitions(
+        "doc_id", "chunk_idx"
+    )
 
 
 @query(
@@ -612,12 +647,13 @@ def proc_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON -> msgpack bytes -> JSON via the built-in minimal codec;
     identity oracle (canonical key order)."""
     from bento_spark.operators.codecs import msgpack_decode_col, msgpack_encode_col
+    from bento_spark.operators.dedup import range_spread
 
-    ev = _t(spark, sf_dir, "events")
+    ev = range_spread(_t(spark, sf_dir, "events"), "event_id")
     packed = ev.withColumn("mp", msgpack_encode_col(F.col("props")))
     return packed.select(
         "event_id", msgpack_decode_col(F.col("mp")).alias("rt")
-    ).orderBy("event_id")
+    ).sortWithinPartitions("event_id")
 
 
 @query(
@@ -697,8 +733,9 @@ def bloblang_stdlib2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_add_iso8601 + ts_unix, repeat, reverse — each with a hand-written
     DuckDB twin (reference inventory: methods.md)."""
     from bento_spark.bloblang import compile_mapping
+    from bento_spark.operators.dedup import range_spread
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = range_spread(_t(spark, sf_dir, "documents"), "doc_id")
     plan = compile_mapping(
         """
 root.doc_id = this.doc_id
@@ -718,7 +755,7 @@ root.echo = this.lang.repeat(2).reverse()
     return out.select(
         "doc_id", "slug", "head", "value_at", "renamed", "u8",
         "ta_words", "digest", "b64", "shifted_unix", "echo",
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -1078,11 +1115,12 @@ def bloblang_stdlib3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zh": "chinese",
         },
     )
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
-    # Per-row JWT sign/parse + XML parse run in the scan stage; spread
-    # the one-row-group local file (no-op at cluster file counts).
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # Per-row JWT sign/parse + XML parse run in the scan stage;
+    # range-partition on doc_id (spread + single-pass final sort,
+    # operators/dedup.range_spread).
+    docs = range_spread(_t(spark, sf_dir, "documents"), "doc_id")
     plan = compile_mapping(
         """
 root.doc_id = this.doc_id
@@ -1110,7 +1148,7 @@ root.tripled = {"n": this.doc_id}.bloblang("root = this.n * 3")
         "lang_name",
         F.col("schema_ok").cast("int").alias("schema_ok"),
         F.col("tripled").cast("long").alias("tripled"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -1131,9 +1169,16 @@ def proc_jmespath_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter-projection + sort + join shape, run per user document. The
     program compiles once to VARIANT expressions; the per-user JSON doc
     is built with collect_list and the whole pipeline is one shuffle."""
+    from bento_spark.operators.dedup import range_spread
     from bento_spark.operators.jmespath import jmespath_expr
 
-    ev = _t(spark, sf_dir, "events")
+    # range-partition on user_id BELOW the aggregation: range
+    # partitioning satisfies the groupBy's clustering requirement, so
+    # the plan keeps ONE exchange, and the final sort becomes
+    # within-partition — the global orderBy's boundary-sampling job
+    # re-ran the whole VARIANT jmespath chain (interleaved A/B sf0.1:
+    # 28.7 -> 2.6s median, rows identical; operators/dedup.range_spread).
+    ev = range_spread(_t(spark, sf_dir, "events"), "user_id")
     docs = ev.groupBy("user_id").agg(
         F.to_json(
             F.struct(
@@ -1153,7 +1198,7 @@ def proc_jmespath_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_variant_get(F.col("res"), "$.csv", "string"), F.lit("")
         ).alias("types_csv"),
         F.try_variant_get(F.col("res"), "$.n", "bigint").alias("n_big"),
-    ).orderBy("user_id")
+    ).sortWithinPartitions("user_id")
 
 
 @query(
@@ -1185,9 +1230,12 @@ def proc_jmespath_sortby(spark: SparkSession, sf_dir: str) -> DataFrame:
     go.mod:97). Values are integer cents so top-3 sums compare exactly;
     the multiset of the 3 largest keys is tie-insensitive. The program
     compiles once to VARIANT Column expressions — one shuffle total."""
+    from bento_spark.operators.dedup import range_spread
     from bento_spark.operators.jmespath import jmespath_expr
 
-    ev = _t(spark, sf_dir, "events")
+    # same single-exchange range form as proc_jmespath_collapse (the
+    # orderBy sampling job re-ran the expref jmespath chain).
+    ev = range_spread(_t(spark, sf_dir, "events"), "user_id")
     docs = ev.groupBy("user_id").agg(
         F.to_json(
             F.struct(
@@ -1217,7 +1265,7 @@ def proc_jmespath_sortby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(F.col("res"), "$.lo", "bigint").alias("lo_cents"),
         F.try_variant_get(F.col("res"), "$.hi", "bigint").alias("hi_cents"),
         F.try_variant_get(F.col("res"), "$.n", "bigint").alias("n_events"),
-    ).orderBy("user_id")
+    ).sortWithinPartitions("user_id")
 
 
 @query(
@@ -1600,14 +1648,22 @@ def proc_kv_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         kv_write(
             nation, lambda: RedisKV("127.0.0.1", port), "n_nationkey", "n_name"
         )
-        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        from bento_spark.operators.dedup import range_spread
+
+        # range-partition on the sort key BELOW the kv stage: the
+        # orderBy sampling job re-ran every live MGET batch a second
+        # time per execution (operators/dedup.range_spread).
+        cust = range_spread(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            "c_custkey",
+        )
         out = kv_enrich(
             cust, lambda: RedisKV("127.0.0.1", port), "c_nationkey",
             "nation_name",
         )
         out = out.select(
             F.col("c_custkey").alias("custkey"), "nation_name"
-        ).orderBy("custkey")
+        ).sortWithinPartitions("custkey")
         # the gate collects AFTER this function returns — materialize
         # the enrichment now so the server can be torn down safely
         out = out.localCheckpoint(eager=True)
@@ -1647,11 +1703,12 @@ def bloblang_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
          for r in nation],
         path,
     )
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
-    # The per-row mmdb lookup runs in the scan stage; spread the
-    # one-row-group local file (no-op at cluster file counts).
-    cust = ensure_parallelism(_t(spark, sf_dir, "customer")).select(
+    # The per-row mmdb lookup runs in the scan stage; range-partition
+    # on the output sort key (c_custkey = custkey) so the lookup runs
+    # once (operators/dedup.range_spread).
+    cust = range_spread(_t(spark, sf_dir, "customer"), "c_custkey").select(
         "c_custkey",
         F.concat(
             F.lit("10.0."), F.col("c_nationkey").cast("string"), F.lit("."),
@@ -1662,7 +1719,7 @@ def bloblang_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         F.col("c_custkey").alias("custkey"),
         F.get_json_object(geo, "$.city.names.en").alias("nation"),
-    ).orderBy("custkey")
+    ).sortWithinPartitions("custkey")
 
 
 @query(
@@ -1682,11 +1739,19 @@ def proc_awk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe framing end to end."""
     from bento_spark.operators.subproc import awk_processor
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from bento_spark.operators.dedup import range_spread
+
+    # range-partition on doc_id below the awk boundary: the orderBy
+    # sampling job re-ran the subprocess pass (operators/dedup.
+    # range_spread); the operator's own spread no-ops on the
+    # redistributed plan.
+    docs = range_spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     out = awk_processor(docs, "text", "{print NF}")
     return out.select(
         "doc_id", F.col("text").cast("bigint").alias("n_fields")
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -1703,11 +1768,15 @@ def proc_subprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure ASCII, where tr and SQL upper agree byte-for-byte)."""
     from bento_spark.operators.subproc import subprocess_processor
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from bento_spark.operators.dedup import range_spread
+
+    docs = range_spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     out = subprocess_processor(docs, "text", ["tr", "a-z", "A-Z"])
     return out.select(
         "doc_id", F.col("text").alias("shouted")
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -1726,15 +1795,20 @@ def proc_javascript(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper agree)."""
     from bento_spark.operators.jsproc import javascript_processor
 
-    docs = _t(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "text AS content"
+    from bento_spark.operators.dedup import range_spread
+
+    docs = range_spread(
+        _t(spark, sf_dir, "documents").selectExpr(
+            "doc_id", "text AS content"
+        ),
+        "doc_id",
     )
     out = javascript_processor(
         docs,
         'const s = bento.v0_msg_as_string();'
         'bento.v0_msg_set_string(s.toUpperCase() + ":" + s.length);',
     )
-    return out.select("doc_id", "content").orderBy("doc_id")
+    return out.select("doc_id", "content").sortWithinPartitions("doc_id")
 
 
 @query(
@@ -1758,8 +1832,13 @@ def proc_wasm(spark: SparkSession, sf_dir: str) -> DataFrame:
         wasm_processor,
     )
 
-    docs = _t(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "text AS content"
+    from bento_spark.operators.dedup import range_spread
+
+    docs = range_spread(
+        _t(spark, sf_dir, "documents").selectExpr(
+            "doc_id", "text AS content"
+        ),
+        "doc_id",
     )
     with tempfile.NamedTemporaryFile(
         suffix=".wasm", delete=False
@@ -1767,7 +1846,7 @@ def proc_wasm(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write(example_uppercase_module())
         module_path = fh.name
     out = wasm_processor(docs, {"module_path": module_path})
-    return out.select("doc_id", "content").orderBy("doc_id")
+    return out.select("doc_id", "content").sortWithinPartitions("doc_id")
 
 
 @query(
@@ -2197,12 +2276,14 @@ def bloblang_crypto_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the NIST/doc-vector-tested twins (tests/test_hashing_crypto.py)
     over the five deterministic lang values."""
     from bento_spark.bloblang import compile_mapping
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
     # The per-row hash/AES chains run in the scan stage and the local
-    # documents table is one parquet row group at every SF — spread
-    # (no-op at cluster file counts). Measured sf1: 20.4 -> 3.0s warm.
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # documents table is one parquet row group at every SF — range-
+    # partition on doc_id (spread + single-pass final sort; the plain
+    # orderBy's sampling job re-ran the chains. Measured sf1 spread:
+    # 20.4 -> 3.0s warm).
+    docs = range_spread(_t(spark, sf_dir, "documents"), "doc_id")
     plan = compile_mapping(
         """
 let key = "2b7e151628aed2a6abf7158809cf4f3c".decode("hex")
@@ -2224,4 +2305,4 @@ root.ctr_rt = this.lang.encrypt_aes("ctr", $key, $iv).decrypt_aes("ctr", $key, $
     return out.select(
         "doc_id", "h_sha256", "h_md5", "md5_b64", "hmac256", "crc32c",
         "fnv", "xx64", "ctr_hex", "a85", "ctr_rt",
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")

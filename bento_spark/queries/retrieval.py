@@ -160,17 +160,19 @@ def embed_mlp_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized_mlp_to_onnx,
     )
 
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
     emb = onnx_quantized_embedder(quantized_mlp_to_onnx(QuantizedMLP.default()))
-    # The Arrow-batched forward pass runs in the scan stage; spread the
-    # one-row-group local file (no-op at cluster file counts).
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # The Arrow-batched forward pass runs in the scan stage; range-
+    # partition on doc_id so the forward pass runs once — the plain
+    # orderBy's boundary-sampling job re-ran the whole network
+    # (operators/dedup.range_spread).
+    docs = range_spread(_t(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.withColumn("e", emb(F.col("text")))
         .select(
             "doc_id",
             F.array_join(F.col("e").cast("array<string>"), ",").alias("emb"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )

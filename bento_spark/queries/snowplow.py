@@ -68,12 +68,15 @@ def proc_opensnowcat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> synthetic enriched-TSV lines -> the REAL
     `opensnowcat` processor (drop bot useragents, salted-sha256 the IP,
     redact the user id, re-serialize as TSV)."""
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
     # The 131-column TSV build + parse + re-serialize runs in the scan
-    # stage; a one-row-group local file would pin it to one task (see
-    # queries/text.py:_spread — same guarded no-op-at-scale spread).
-    docs = ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # stage; range-partition on doc_id — spreads the one-row-group
+    # local file AND keeps the final orderBy's sampling job from
+    # re-running the projection (operators/dedup.range_spread).
+    docs = range_spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
     # Spark's concat_ws skips NULLs (misaligning the TSV); every arg
     # here is non-null by construction, so wire order is preserved.
     tsv = F.expr("concat_ws(chr(9), " + ", ".join(_tsv_args()) + ")")
@@ -90,4 +93,4 @@ def proc_opensnowcat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id": {"type": "redact"},
         },
     )
-    return out.select("doc_id", "event_out").orderBy("doc_id")
+    return out.select("doc_id", "event_out").sortWithinPartitions("doc_id")

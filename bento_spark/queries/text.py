@@ -40,16 +40,22 @@ CJK_RE = "[\\x{4e00}-\\x{9fff}]"
 FP_K, FP_W = 5, 4
 
 
-def _spread(docs: DataFrame) -> DataFrame:
+def _spread(docs: DataFrame, *keys: str) -> DataFrame:
     """The text plane's per-row analysis chains (split/replace/regex over
     the full document text) run entirely in the SCAN stage, and the local
     documents table is one parquet row group at every SF — without a
     spread the whole plane computes on ONE core while the rest idle.
-    ensure_parallelism repartitions only when the scan reads fewer files
-    than defaultParallelism and nothing upstream redistributes, so at
-    cluster scale (thousands of files) this is a no-op."""
-    from bento_spark.operators.dedup import ensure_parallelism
 
+    With ``keys`` (the query's output sort key): range-partition off the
+    scan and let the query end in ``sortWithinPartitions`` — the final
+    global orderBy's range exchange would otherwise re-execute the whole
+    heavy projection once more in its boundary-sampling job (see
+    operators/dedup.range_spread). Without keys: the guarded round-robin
+    spread (no-op at cluster file counts)."""
+    from bento_spark.operators.dedup import ensure_parallelism, range_spread
+
+    if keys:
+        return range_spread(docs, *keys)
     return ensure_parallelism(docs)
 
 
@@ -67,7 +73,7 @@ def _spread(docs: DataFrame) -> DataFrame:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counts and chars/token ratio."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     re_toks = token_count_re(F.col("text"))
     return docs.select(
         "doc_id",
@@ -75,7 +81,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         re_toks.alias("re_tokens"),
         F.length("text").cast("int").alias("n_chars"),
         F.round(F.length("text") / re_toks, 6).alias("chars_per_token"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def _with_quality_cols(docs: DataFrame) -> DataFrame:
@@ -145,8 +151,8 @@ def _quality_sql() -> str:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: uniq-word ratio, stopword ratio, length —
     the standard pre-training corpus filters, one scan, no UDF."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
-    return _with_quality_cols(docs).orderBy("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return _with_quality_cols(docs).sortWithinPartitions("doc_id")
 
 
 def _with_lang_cols(docs: DataFrame) -> DataFrame:
@@ -223,8 +229,8 @@ _LANG_SQL, _CONF_SQL = _lang_sql()
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword/charset language-ID heuristic: CJK charset check, then
     per-language stopword votes with fixed-precedence argmax."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
-    return _with_lang_cols(docs).orderBy("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return _with_lang_cols(docs).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -314,21 +320,28 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: featurize + score is a narrow map; the filter is a Column
     predicate Catalyst pushes wherever it helps. No shuffle at all."""
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
     from bento_spark.operators.featurize import hashed_ngram_embedder
 
     w, b = _clf_weights()
     embed = hashed_ngram_embedder(CLF_DIM, CLF_N)
-    docs = ensure_parallelism(
+    # range_spread on the output sort key: the final global orderBy's
+    # boundary-sampling job would otherwise run the featurizer twice
+    # per execution (operators/dedup.range_spread; measured 2.5 -> 1.9s
+    # at sf1).
+    docs = range_spread(
         _t(spark, sf_dir, "documents").filter(
             F.size(F.split(F.col("text"), " ")) >= CLF_N
-        )
+        ),
+        "doc_id",
     ).select("doc_id", embed(F.col("text")).alias("vec"))
     logit_sql = " + ".join(f"vec[{j}] * {w[j]!r}D" for j in range(CLF_DIM))
     scored = docs.select(
         "doc_id", F.expr(f"({logit_sql}) + {b!r}D").alias("logit")
     )
-    return scored.withColumn("keep", F.col("logit") > 0).orderBy("doc_id")
+    return scored.withColumn("keep", F.col("logit") > 0).sortWithinPartitions(
+        "doc_id"
+    )
 
 
 @query(
@@ -359,7 +372,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the RAG-indexing / context-packing chunker): sequence+explode for
     chunk starts, slice/concat_ws for the chunk — a narrow Generate,
     zero shuffles, no HOF lambda."""
-    docs = _t(spark, sf_dir, "documents")
-    return chunk_windows(docs, "doc_id", "text", CHUNK_W, CHUNK_S).orderBy(
-        "doc_id", "chunk_idx"
-    )
+    from bento_spark.operators.dedup import range_spread
+
+    docs = range_spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return chunk_windows(
+        docs, "doc_id", "text", CHUNK_W, CHUNK_S
+    ).sortWithinPartitions("doc_id", "chunk_idx")

@@ -121,11 +121,13 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count + redact emails/IPs/phone fragments. PII is synthesized
     deterministically per doc (corpus text has none) so the redaction
     path is actually exercised; patterns valid in Java regex AND RE2."""
-    from bento_spark.operators.dedup import ensure_parallelism
+    from bento_spark.operators.dedup import range_spread
 
     # The per-row regex count/redact chains run in the scan stage;
-    # spread the one-row-group local file (no-op at cluster counts).
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # range-partition on doc_id (spread + single-pass final sort — the
+    # plain orderBy's sampling job re-ran the regex chains; see
+    # operators/dedup.range_spread).
+    docs = range_spread(_t(spark, sf_dir, "documents"), "doc_id")
     raw = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -143,7 +145,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["n_ips"].alias("n_ips"),
         c["n_phones"].alias("n_phones"),
         c["redacted"].alias("redacted"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(

@@ -47,7 +47,44 @@ def test_scan_stage_spread_present(spark, name):
 
     df = e.queries()[name](spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "RoundRobinPartitioning" in plan, (
+    # round-robin (ensure_parallelism) or range on the output sort key
+    # (range_spread — same spread, and the final sort needs no second
+    # exchange nor its child-re-running boundary sample)
+    assert (
+        "RoundRobinPartitioning" in plan or "rangepartitioning" in plan
+    ), (
         f"{name}: the guarded scan-stage spread is gone — its per-row "
         "work runs serial on one-row-group local inputs again"
+    )
+
+
+# Queries converted to the range_spread form (r12): ONE range exchange
+# on the output sort key placed below the heavy stage, final sort
+# within partitions. A refactor back to a global orderBy re-introduces
+# the boundary-sampling double-execution of the heavy stage (measured:
+# proc_jmespath_collapse 28.7 -> 2.6s at sf0.1); a second exchange
+# means the spread stopped subsuming the sort's own exchange.
+RANGE_SPREAD_QUERIES = [
+    "text_token_stats",
+    "text_quality_classifier",
+    "proc_wasm",
+    "proc_parse_log",
+    "mm_image_features",
+    "proc_jmespath_collapse",
+]
+
+
+@pytest.mark.parametrize("name", RANGE_SPREAD_QUERIES)
+def test_range_spread_single_exchange(spark, name):
+    import __spark_entry__ as e
+
+    df = e.queries()[name](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan, (
+        f"{name}: the range spread on the output sort key is gone"
+    )
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, (
+        f"{name}: {n_exchanges} Exchange mentions — a global sort "
+        "exchange crept back above the range spread"
     )
