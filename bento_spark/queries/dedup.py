@@ -221,9 +221,19 @@ ORDER BY id_a, id_b
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs (exact O(n^2) baseline; identical
     double accumulation order in both engines => bitwise-equal sims)."""
-    emb = _t(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < EXACT_VEC_CAP
+    # range-partition the corpus by vec_id BELOW the GEMM stage: each
+    # partition emits pairs whose id_a are its own input ids, so range
+    # partitions stay ordered by id_a and the within-partition
+    # (id_a, id_b) sort is the same total order the global orderBy
+    # produced — without the orderBy sampling job re-running the whole
+    # GEMM pass (operators/dedup.range_spread; the operator's internal
+    # spread no-ops on the redistributed plan).
+    emb = D.range_spread(
+        _t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < EXACT_VEC_CAP
+        ),
+        "vec_id",
     )
     return D.embedding_cosine_pairs(
         emb, "vec_id", "embedding", COS_THRESHOLD, dim=64
-    ).orderBy("id_a", "id_b")
+    ).sortWithinPartitions("id_a", "id_b")
