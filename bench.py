@@ -43,12 +43,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_brute_force_topk",
     "ann_lsh_topk",
-    # ann_ivf_topk is gate-checked but NOT benched: its wall-clock is a
-    # FIXED ~4s regardless of SF (measured r10: sf0.001 and sf0.1 within
-    # 7%) — Janino codegen compilation of the (cells x dim)-literal
-    # affinity expressions, paid per execution and amortized to noise at
-    # real scale. Benching it would measure compiler overhead, not the
-    # probe plan; the LSH row covers the bucketed-ANN plan shape.
+    # benched since r13: the r10 exclusion reason (a fixed multi-second
+    # Janino compile of the (cells x dim)-literal affinity expressions
+    # per execution) is gone — the probe is an Arrow UDF and the row
+    # now measures the plan, not the compiler (VERDICT r12 #1).
+    "ann_ivf_topk",
     "text_quality_score",
     # the round-11 CSE-off victims, pinned so the expression-reuse class
     # fails loudly if a session-conf or compiler change regresses it

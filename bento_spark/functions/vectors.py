@@ -58,13 +58,29 @@ def l2sq_expr(a_name: str, dim: int) -> Column:
     return dot_expr(a_name, a_name, dim)
 
 
-def _dot_sql(a: str, b: str) -> str:
+def _dot_sql(a: str, b: str, dim: int | None = None) -> str:
+    """DuckDB dot product. With a static ``dim``, a flat left-associative
+    chain ``(a[1]*b[1] + a[2]*b[2] + ...)`` — bit-identical to the
+    list_reduce form (same accumulation order) but evaluated as plain
+    vectorized arithmetic instead of one materialized range list + two
+    per-element lambdas PER ROW, which dominated the slow gate rows'
+    DuckDB side (isolated r13: ann_lsh oracle 39.6s at sf1, ~all in
+    lambda evaluation of 4x64-term plane dots over 20k rows)."""
+    if dim is not None:
+        return "(" + " + ".join(
+            f"({a})[{i}] * ({b})[{i}]" for i in range(1, dim + 1)
+        ) + ")"
     return f"list_reduce(list_transform(range(1, len({a})+1), i -> ({a})[i] * ({b})[i]), (x, y) -> x + y)"
 
 
-def cosine_sql(a: str, b: str) -> str:
+def cosine_sql(a: str, b: str, dim: int | None = None) -> str:
     """DuckDB fragment computing exactly ``cosine`` (same op order).
 
     Operands must already be DOUBLE lists (cast with ``::DOUBLE[]``).
+    Pass ``dim`` when statically known — identical doubles, far cheaper
+    evaluation (see _dot_sql).
     """
-    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    return (
+        f"({_dot_sql(a, b, dim)} / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})))"
+    )

@@ -18,6 +18,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,63 +96,42 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
 
 
+def _chain_dots(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, dim) x (m, dim) -> (n, m) dot products with LEFT-ASSOCIATIVE
+    per-element accumulation: acc = ((v0*c0 + v1*c1) + v2*c2) + ..., each
+    product and add individually IEEE-rounded — bit-identical to the
+    codegen'd literal chains and to the oracle's list_reduce fold.
+    np.dot/GEMM uses blocked/pairwise summation and CANNOT back a
+    hash-checked oracle on float-valued vectors; this explicit dim-step
+    loop can (each step is one vectorized elementwise multiply then one
+    add over the whole batch, so it is still numpy-speed)."""
+    acc = V[:, 0, None] * C[None, :, 0]
+    for i in range(1, C.shape[1]):
+        acc = acc + V[:, i, None] * C[None, :, i]
+    return acc
+
+
+def _chain_l2(V: np.ndarray) -> np.ndarray:
+    """Row-wise sum of squares with the same left-assoc accumulation as
+    ``l2sq_expr`` (bit-identical doubles)."""
+    acc = V[:, 0] * V[:, 0]
+    for i in range(1, V.shape[1]):
+        acc = acc + V[:, i] * V[:, i]
+    return acc
+
+
 def lsh_bucket(vec_name: str, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit j = (vec · plane_j) > 0.
-
-    Each plane dot product is a static multiply-add chain over literal
-    coefficients (vec[i] * c_i), fully whole-stage-codegen — the
-    zip_with/aggregate HOF form re-enters the interpreted evaluator per
-    element and was the dominant cost of the round-1 LSH probe. The
-    whole bucket is ONE ``F.expr`` (a Column-object chain costs ~2
-    py4j round trips per term at plan-build time — seconds at
-    planes x dim = 256). Left-associative accumulation keeps bit-parity
-    with the oracle's list_reduce.
-
-    Inline form: at planes x dim = 256 the single expression's generated
-    code is ~60 KB in ONE method of the fused stage — combined with a
-    norm column and the downstream join it blew Janino's 64 KB method
-    limit, silently disabling whole-stage codegen for the entire probe
-    stage (and re-paying the failed compile every run, since only
-    successful compiles are cached). Prefer ``lsh_dot_cols`` +
-    ``lsh_bucket_from_dots`` (a two-projection split that Catalyst keeps
-    separate) when composing with other wide expressions — see
-    lsh_ann_topk."""
+    """Sign-LSH bucket id as ONE inline expression: bit j =
+    (vec · plane_j) > 0 over literal multiply-add chains. Reference
+    form only — bit-identical to ``_lsh_bucket_udf`` (same left-assoc
+    accumulation), but at planes x dim = 256 its generated code blows
+    Janino's 64 KB method limit when fused with anything else; the
+    production probe path is the Arrow UDF."""
     parts = []
     for j, p in enumerate(planes):
         d = " + ".join(f"{vec_name}[{i}] * {repr(c)}D" for i, c in enumerate(p))
         parts.append(f"(CASE WHEN {d} > 0.0D THEN {1 << j} ELSE 0 END)")
     return F.expr("(" + " + ".join(parts) + ")")
-
-
-def lsh_dot_cols(vec_name: str, planes: list[list[float]]) -> list:
-    """Per-plane raw dot products as ``__lshd{j}`` columns (same literal
-    chains as lsh_bucket, identical accumulation order)."""
-    return [
-        F.expr(
-            "("
-            + " + ".join(
-                f"{vec_name}[{i}] * {repr(c)}D" for i, c in enumerate(p)
-            )
-            + ")"
-        ).alias(f"__lshd{j}")
-        for j, p in enumerate(planes)
-    ]
-
-
-def lsh_bucket_from_dots(n_planes: int) -> Column:
-    """Bucket id from materialized ``__lshd{j}`` columns. The sign test
-    (dot > 0.0) is bit-identical to the inline form — the split only
-    changes WHERE the dot chains are code-generated. Referencing the
-    dots from a CaseWhen in a SEPARATE projection keeps CollapseProject
-    from inlining them back (verified: two `*`-codegen Projects in the
-    plan), so each generated method stays under Janino's 64 KB limit
-    and the probe stage keeps whole-stage codegen."""
-    return F.expr(
-        " + ".join(
-            f"(CASE WHEN __lshd{j} > 0.0D THEN {1 << j} ELSE 0 END)"
-            for j in range(n_planes)
-        )
-    )
 
 
 def auto_n_planes(
@@ -166,6 +146,39 @@ def auto_n_planes(
     if n_rows <= target_bucket:
         return lo
     return min(hi, max(lo, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def _lsh_bucket_udf(planes: list[list[float]]):
+    """Arrow-batched sign-LSH bucket id: bit j = (vec · plane_j) > 0.
+
+    The dots use the exact left-assoc chain (``_chain_dots``), so the
+    sign tests — and therefore every bucket id — are bit-identical to
+    the literal-chain/codegen form and to the oracle's list_reduce.
+    One Python crossing per side replaces the (planes x dim)-term
+    generated expressions whose fused probe stage exceeded Janino's
+    64 KB method limit: WSCG never compiled for it, and the multi-second
+    failed compile was re-paid every run (r12 worked around it with a
+    scoped session-global ``codegen.wholeStage=false`` + eager
+    localCheckpoint — both removed by this form; every stage now
+    compiles and caches). Return type INT, matching the old CASE-sum."""
+    P = np.asarray(planes, dtype=np.float64)
+    shifts = (1 << np.arange(P.shape[0], dtype=np.int64))[None, :]
+
+    @F.pandas_udf("int")
+    def bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (_chain_dots(V, P) > 0.0).astype(np.int64) * shifts
+        return pd.Series(bits.sum(axis=1).astype(np.int32))
+
+    # nondeterministic stops InferFiltersFromConstraints' isnotnull on
+    # the join key from being pushed below the projection, which
+    # DUPLICATES the UDF into a second ArrowEvalPython node (guide
+    # §4.4; observed in the first r13 plan dump: every corpus row paid
+    # the bucket UDF + Arrow transfer twice). Values are in fact
+    # deterministic, so results are unchanged.
+    return bucket.asNondeterministic()
 
 
 def lsh_ann_topk(
@@ -192,40 +205,27 @@ def lsh_ann_topk(
         # parquet count() is metadata-only — cheap even at 100 TB
         n_planes = auto_n_planes(corpus.count())
     planes = hyperplanes(dim, n_planes, seed)
-    # One select per stage (not withColumn chains): each DataFrame op is
-    # a full Catalyst analysis pass over the growing plan — at
-    # planes x dim literal terms the BUILD cost was ~30% of this query's
-    # bench wall-clock (profiled r10: py4j/analysis, not execution).
+    bucket_udf = _lsh_bucket_udf(planes)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
     ).filter(F.exists("cv", lambda x: x != 0)).select(  # zero-norm: NaN
         "neighbor_id",
         "cv",
-        *lsh_dot_cols("cv", planes),
-    ).select(
-        "neighbor_id",
-        "cv",
-        lsh_bucket_from_dots(n_planes).alias("bucket"),
+        bucket_udf("cv").alias("bucket"),
         F.sqrt(l2sq_expr("cv", dim)).alias("cnrm"),
     )
     # Probe buckets via exploded XOR *deltas*, not N copies of the bucket
-    # expression: `explode(array(qbucket, qbucket^1, ...))` collapses into
-    # one projection repeating the (planes x dim)-term bucket expression
-    # per probe — 6x the whole-query wall clock in codegen/compile alone.
-    # Exploding literal deltas keeps qbucket below the Generate node,
-    # computed once per query row.
+    # expression: exploding literal deltas keeps qbucket below the
+    # Generate node, computed once per query row.
     deltas = [0] + ([1 << j for j in range(n_planes)] if multiprobe else [])
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).filter(F.exists("qv", lambda x: x != 0)).select(  # zero-norm: NaN
         "query_id",
         "qv",
-        *lsh_dot_cols("qv", planes),
-    ).select(
-        "query_id",
-        "qv",
         F.sqrt(l2sq_expr("qv", dim)).alias("qnrm"),
-        lsh_bucket_from_dots(n_planes).alias("qbucket"),
+        bucket_udf("qv").alias("qbucket"),
         F.explode(F.array(*[F.lit(d) for d in deltas])).alias("__delta"),
     ).select(
         "query_id",
@@ -412,27 +412,6 @@ def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
     return [[float(x) for x in row] for row in rng.standard_normal((n_cells, dim))]
 
 
-def ivf_affinity_sqls(vec_name: str, centroids: list[list[float]]) -> list[str]:
-    """Per-centroid normalized-dot affinity SQL expressions (one
-    64-term literal chain each, left-assoc — oracle bit-parity).
-
-    The cell id is then ``array_position(affs, array_max(affs)) - 1``
-    over these, spelled with the array built inside an identity
-    ``transform()`` (see ivf_topk): ties take the LOWEST cell index
-    (first position of the max), matching the oracle's list_position,
-    and every dot chain is evaluated exactly once per row."""
-    import math
-
-    sqls = []
-    for cent in centroids:
-        nrm = math.sqrt(sum(x * x for x in cent))
-        d = " + ".join(
-            f"{vec_name}[{i}] * {repr(c)}D" for i, c in enumerate(cent)
-        )
-        sqls.append(f"(({d}) / {repr(nrm)}D)")
-    return sqls
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -455,74 +434,78 @@ def ivf_topk(
     ~nprobe/n_cells of the corpus; n_cells scales with corpus size the
     same way auto_n_planes does for LSH (cells ~ rows/target so
     per-probe work stays constant). No driver state beyond the
-    centroid list itself."""
+    centroid list itself.
+
+    Affinities (vec · centroid / |centroid|) are computed in one Arrow
+    UDF per side via the exact left-assoc chain (``_chain_dots``) over
+    the centroid matrix — bit-identical doubles to the old (cells x dim)
+    literal-chain expressions, so cell assignment and probe ranking are
+    unchanged. The literal form was unusable either way: fused under
+    WSCG it blew Janino's 64 KB method limit (failed compile re-paid
+    every run), and the r12 identity-``transform()`` barrier that
+    avoided the compile left the chains INTERPRETED — measured r13 at
+    sf1 (20k vectors): 31.5s warm per execution vs milliseconds of
+    numpy here. Ties: np.argmax keeps the first (lowest-index) maximum,
+    matching array_position/list_position; the stable argsort keeps
+    lowest cell index first on equal affinities, matching the old
+    row_number ORDER BY d DESC, j ASC."""
+    import math
+
     if centroids is None:
         centroids = ivf_centroids(dim, n_cells, seed)
-    # The affinity array is built inside an IDENTITY transform() — a
-    # higher-order function, hence CodegenFallback — so the (cells x
-    # dim)-literal dot chains are EXCLUDED from whole-stage codegen.
-    # Without the barrier the fused scan->affs->cell->broadcast-join->
-    # sim->sort stage generates a ~17k-line processNext() that FAILS
-    # Janino's 64 KB method limit, and because only successful compiles
-    # are cached, the multi-second failed compile was re-paid on EVERY
-    # execution (measured: 2 failures/run, ~8-10s warm for a 2s plan).
-    # With the chains forced interpreted, every remaining stage
-    # compiles once and caches. Values are bit-identical: the identity
-    # lambda returns the same doubles the same chains produce.
-    aff_sqls = ivf_affinity_sqls("cv", centroids)
-    affs = F.expr(
-        "transform(array(" + ", ".join(aff_sqls) + "), __x -> __x)"
+    C = np.asarray(centroids, dtype=np.float64)
+    # same Python-float norm sequence the literal form embedded as reprs
+    nrms = np.asarray(
+        [math.sqrt(sum(x * x for x in cent)) for cent in centroids]
     )
+    n_probe = min(nprobe, len(centroids))
+
+    @F.pandas_udf("long")
+    def cell_of(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        affs = _chain_dots(V, C) / nrms[None, :]
+        return pd.Series(np.argmax(affs, axis=1).astype(np.int64))
+
+    # same §4.4 anti-duplication as _lsh_bucket_udf (the cell join key
+    # grows an inferred isnotnull that would re-evaluate the UDF)
+    cell_of = cell_of.asNondeterministic()
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        affs = _chain_dots(V, C) / nrms[None, :]
+        order = np.argsort(-affs, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         )
         .filter(F.exists("cv", lambda x: x != 0))  # zero-norm: NaN cosine
-        .withColumn("__affs", affs)
-        .withColumn(
-            "cell",
-            F.expr("(array_position(__affs, array_max(__affs)) - 1)"),
+        .select(
+            "neighbor_id",
+            "cv",
+            cell_of("cv").alias("cell"),
+            F.sqrt(l2sq_expr("cv", dim)).alias("cnrm"),
         )
-        .drop("__affs")
-        .withColumn("cnrm", F.sqrt(l2sq_expr("cv", dim)))
     )
+    # probe cells: rank ALL cell affinities per query (small side only —
+    # the corpus never explodes), keep the top nprobe
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
         )
         .filter(F.exists("qv", lambda x: x != 0))
-        .withColumn("qnrm", F.sqrt(l2sq_expr("qv", dim)))
-    )
-    # probe cells: rank ALL cell affinities per query (small side only —
-    # the corpus never explodes), keep the top nprobe
-    import math
-
-    affin = []
-    for j, cent in enumerate(centroids):
-        nrm = math.sqrt(sum(x * x for x in cent))
-        d = " + ".join(f"qv[{i}] * {repr(c)}D" for i, c in enumerate(cent))
-        affin.append(f"named_struct('d', ({d}) / {repr(nrm)}D, 'j', {j})")
-    # identity transform(): same 64 KB-fallback barrier as the corpus
-    # side (the query stage's Generate+window source also failed Janino)
-    q = (
-        q.select(
-            "query_id", "qv", "qnrm",
-            F.explode(
-                F.expr(
-                    "transform(array(" + ", ".join(affin) + "), __x -> __x)"
-                )
-            ).alias("a"),
+        .select(
+            "query_id",
+            "qv",
+            F.sqrt(l2sq_expr("qv", dim)).alias("qnrm"),
+            F.explode(probe_cells("qv")).alias("cell"),
         )
-        .withColumn(
-            "__pr",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("a.d"), F.asc("a.j")
-                )
-            ),
-        )
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "qv", "qnrm", F.col("a.j").alias("cell"))
     )
     sim = F.round(
         dot_expr("qv", "cv", dim) / (F.col("qnrm") * F.col("cnrm")), 6

@@ -30,15 +30,19 @@ def _f(x: float) -> str:
     return r if "e" in r or "E" in r else r + "e0"
 
 
-def _plane_sql(p: list[float]) -> str:
-    return "[" + ",".join(_f(x) for x in p) + "]::DOUBLE[]"
-
-
 def _dot_plane_sql(vec: str, plane: list[float]) -> str:
-    pl = _plane_sql(plane)
+    """Flat left-assoc literal chain — bit-identical to the old
+    list_reduce(list_transform(range...)) fold (same accumulation
+    order), but plain vectorized arithmetic instead of a materialized
+    range list + two per-element lambdas per row: the lambda form was
+    ~all of the ANN gate rows' DuckDB-side cost (isolated r13 at sf1:
+    ann_lsh oracle 39.6s, ann_ivf oracle 79.5s)."""
     return (
-        f"list_reduce(list_transform(range(1, {len(plane) + 1}), "
-        f"i -> ({vec})[i] * ({pl})[i]), (x, y) -> x + y)"
+        "("
+        + " + ".join(
+            f"({vec})[{i + 1}] * {_f(c)}" for i, c in enumerate(plane)
+        )
+        + ")"
     )
 
 
@@ -50,7 +54,9 @@ def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-_COS = cosine_sql("qv", "cv")
+# static dim -> flat literal chains on the DuckDB side too (same fold
+# order, same doubles; see _dot_plane_sql)
+_COS = cosine_sql("qv", "cv", DIM)
 
 _BRUTE_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -200,43 +206,26 @@ def embed_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH (4 deterministic hyperplanes) + hamming-1 multiprobe
     approximate top-10. The oracle embeds the same planes as literals —
-    parity is algorithmic, including the bucketing.
+    parity is algorithmic, including the bucketing (the Arrow bucket
+    UDF reproduces the literal chains' left-assoc accumulation exactly;
+    see operators/similarity._lsh_bucket_udf).
 
-    The probe stage is executed under a scoped
-    ``spark.sql.codegen.wholeStage=false`` (set-and-restore around an
-    eager localCheckpoint of the <= nq*k result, the _stream_run_confs
-    pattern): the fused corpus stage (4x64-term dot chains + norm + join
-    in one generated processNext) exceeds Janino's 64 KB method limit,
-    so WSCG NEVER compiles for it — it falls back to per-expression
-    codegen — but the multi-second failed compile is re-paid on every
-    run because only successful compiles are cached. Disabling WSCG for
-    this one query skips the doomed attempt while executing the SAME
-    per-expression-codegen path the fallback runs anyway; the only
-    stages that lose fusion are the tiny query-side and the bounded
-    post-join window. Interleaved A/B at sf0.1 (5 reps/arm, alternating):
-    median 4.07s off vs 5.67s on. Every cheaper structural variant
-    (Generate barrier, anti-collapse dots, methodSplitThreshold) was
-    tried and rejected this round — see OPTIMIZATION_r12.md."""
+    r12 ran this under a scoped session-global
+    ``spark.sql.codegen.wholeStage=false`` + eager localCheckpoint
+    because the fused literal-chain probe stage exceeded Janino's 64 KB
+    method limit (VERDICT r12 flagged the conf as unsafe under
+    concurrent query build and the eager checkpoint as non-lazy). The
+    UDF probe removes the oversized expressions, so every stage
+    compiles under WSCG and both workarounds are gone — the query
+    builds lazily with no session conf writes."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     df = S.lsh_ann_topk(
         emb, queries, "vec_id", "embedding", K, N_PLANES, DIM, SEED, multiprobe=True
     )
-    out = df.select(
+    return df.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
-    )
-    wsc = "spark.sql.codegen.wholeStage"
-    prev = spark.conf.get(wsc)
-    spark.conf.set(wsc, "false")
-    try:
-        # Eager: the conf must be live at EXECUTION time, and the action
-        # otherwise happens in the caller. The checkpointed result is
-        # <= N_QUERIES*K rows and is recomputed from the parquet inputs
-        # on every invocation (the bench rebuilds the DataFrame per rep).
-        out = out.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set(wsc, prev)
-    return out.orderBy("query_id", "rank")
+    ).orderBy("query_id", "rank")
 
 
 IVF_CELLS, IVF_NPROBE, IVF_SEED = 8, 2, 7

@@ -145,14 +145,14 @@ def test_ivf_cell_assignment_matches_left_assoc_model(spark):
     assert got_pairs == want_pairs
 
 
-def test_ann_lsh_query_scopes_wholestage_conf(spark):
-    """ann_lsh_topk executes its probe under a scoped
-    spark.sql.codegen.wholeStage=false (the fused probe stage exceeds
-    Janino's 64 KB method limit, so WSCG never compiles for it and the
-    failed compile would be re-paid every run) and must RESTORE the
-    session default afterward — a leaked `false` would silently un-fuse
-    every subsequent query. Values must match the unscoped inline form
-    bit-for-bit: the fallback executes the same per-expression codegen."""
+def test_ann_lsh_query_no_conf_writes_and_matches_inline(spark):
+    """r13 structural fix pin (VERDICT r12 #4): ann_lsh_topk no longer
+    touches session confs (the r12 scoped wholeStage=false + eager
+    localCheckpoint are gone — the Arrow bucket UDF keeps every stage
+    under Janino's 64 KB limit), builds lazily, and its bucket values
+    match the inline literal-chain form bit-for-bit (same left-assoc
+    accumulation inside the UDF)."""
+    from bento_spark.operators.similarity import hyperplanes, lsh_bucket
     from bento_spark.queries.similarity import (
         DIM as QDIM, K, N_PLANES, N_QUERIES, SEED, ann_lsh_topk,
     )
@@ -161,9 +161,32 @@ def test_ann_lsh_query_scopes_wholestage_conf(spark):
     prev = spark.conf.get(wsc)
     sf_dir = "/root/testdata/sf0.001"
     out = ann_lsh_topk(spark, sf_dir)
-    assert spark.conf.get(wsc) == prev, "wholeStage conf leaked"
+    assert spark.conf.get(wsc) == prev, "wholeStage conf touched"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "localCheckpoint" not in plan.lower()
+    # exactly one Python probe per side — a regression to the §4.4
+    # UDF-duplication (inferred isnotnull on the join key pushed below
+    # the projection) doubles the corpus-side Arrow traffic
+    assert plan.count("ArrowEvalPython") == 2, plan
     got = [tuple(r) for r in out.collect()]
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert len(got) > 0
+    # bucket parity with the inline literal-chain reference form
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.expr("exists(cast(embedding as array<double>), x -> x != 0)")
+    )
+    planes = hyperplanes(QDIM, N_PLANES, SEED)
+    from bento_spark.operators.similarity import _lsh_bucket_udf
+
+    both = emb.select(
+        "vec_id",
+        lsh_bucket("cast(embedding as array<double>)", planes).alias("b_inline"),
+        _lsh_bucket_udf(planes)(
+            F.col("embedding").cast("array<double>")
+        ).alias("b_udf"),
+    )
+    mismatch = both.filter(F.col("b_inline") != F.col("b_udf")).count()
+    assert mismatch == 0
+    # end-to-end parity with the operator form
     ref = (
         lsh_ann_topk(
             emb, emb.filter(F.col("vec_id") < N_QUERIES),
@@ -176,4 +199,3 @@ def test_ann_lsh_query_scopes_wholestage_conf(spark):
         .orderBy("query_id", "rank")
     )
     assert got == [tuple(r) for r in ref.collect()]
-    assert len(got) > 0

@@ -1,0 +1,66 @@
+"""Decompose a gate row's wall-clock into its Spark side and its DuckDB
+oracle side (VERDICT r12 items 1/5/6/10: the check.py figure folds both
+together, so a slow gate row does not say WHICH engine is slow).
+
+    python tools/isolate.py <sf_dir> <query> [query ...]
+
+Per query: Spark build+execute (noop sink) three times in one fresh
+session (run1 = cold plan incl. codegen; run2/3 = warm steady state),
+then the oracle SQL once in DuckDB over the same parquet files. Times
+print per phase so fixed per-execution costs (plan build, Janino
+compiles) separate from data-proportional work.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
+    import duckdb
+
+    import __spark_entry__ as e
+    from bento_spark.session import get_spark
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    spark = get_spark("isolate")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    for name in names:
+        spark.sparkContext.setJobDescription(f"isolate: {name}")
+        runs = []
+        for i in range(3):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            t_build = time.time() - t0
+            df.write.format("noop").mode("overwrite").save()
+            t_total = time.time() - t0
+            runs.append((t_build, t_total))
+        t0 = time.time()
+        n = len(con.execute(oracles[name]).fetchall())
+        t_duck = time.time() - t0
+        print(
+            f"{name}: spark build/total "
+            + " ".join(f"[{b:.2f}/{t:.2f}s]" for b, t in runs)
+            + f"  duckdb {t_duck:.2f}s ({n} rows)"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Dump per-query formatted plans into plans/r13/<query>_<tag>.txt.
+
+Usage: python tools/plandump_r13.py <tag> [query ...]
+With no query list, dumps every bench HEADLINE query. The tag is
+"before" / "after" per the optimization-round deliverable contract.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.01")
+
+    import __spark_entry__ as e
+    from bench import HEADLINE
+    from bento_spark.session import get_spark
+
+    if not names:
+        names = list(HEADLINE)
+    spark = get_spark("plandump")
+    qs = e.queries()
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        if name not in qs:
+            print(f"skip {name}: not registered")
+            continue
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
