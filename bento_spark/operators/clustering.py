@@ -253,7 +253,7 @@ def semdedup_sql(
     with_part = base[:cut].rstrip().rstrip(",") + ","
     # the final assignment CTE name is a{iters-1}... the final SELECT in
     # kmeans_sql re-derives from c{iters}; mirror that derivation here
-    cos = cosine_sql("a.v", "b.v")
+    cos = cosine_sql("a.v", "b.v", dim)  # flat chains: same fold order
     return f"""{with_part}
     fin AS (
       SELECT id, cl FROM (

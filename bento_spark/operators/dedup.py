@@ -488,6 +488,16 @@ def embedding_cosine_pairs(
     BroadcastNestedLoopJoin blocks whole-stage codegen, leaving 64-term
     expression trees interpreted per pair.
 
+    PARTITION-PRESERVING CONTRACT (impl="gemm"): every emitted pair's
+    ``id_a`` is one of the partition's OWN input rows (mapInPandas adds
+    no shuffle), so an upstream range partitioning on the id column
+    survives into the output and a caller's ``sortWithinPartitions``
+    on (id_a, id_b) yields the same total order a global orderBy would
+    (dedup_embedding_cosine relies on this for its row-order-sensitive
+    driver hash — see queries/dedup.py). impl="expr" and any future
+    impl that shuffles inside the pair stage BREAK this; such callers
+    must keep a global sort.
+
     impl="expr": pure-expression variant (no Python), kept as the
     engine-only reference path.
     """

@@ -225,16 +225,17 @@ class _E:
     select conditions) so conditions compile to ``if a >= b:`` instead
     of ``if (1 if a >= b else 0):``."""
 
-    __slots__ = ("expr", "locs", "globs", "mem", "atom", "booly")
+    __slots__ = ("expr", "locs", "globs", "mem", "atom", "booly", "depth")
 
     def __init__(self, expr: str, locs=frozenset(), globs=False,
-                 mem=False, atom=False, booly=None):
+                 mem=False, atom=False, booly=None, depth=1):
         self.expr = expr
         self.locs = locs
         self.globs = globs
         self.mem = mem
         self.atom = atom  # cheap to re-evaluate / safe to embed twice
         self.booly = booly
+        self.depth = depth  # fold-nesting bound; see _Emitter.push_op
 
     def cond(self) -> str:
         return self.booly if self.booly is not None else self.expr
@@ -275,15 +276,31 @@ class _Emitter:
              atom=False):
         self.sym.append(_E(expr, locs, globs, mem, atom))
 
+    #: fold-depth cap: CPython's parser recurses per nesting level, so
+    #: ~100 chained stack ops with no local.set in between (each fold
+    #: wraps the last in parentheses) exceed the interpreter's nested-
+    #: paren limit and the whole function would fall back to the 7x
+    #: slower generic interpreter. Materializing into a temp past ~40
+    #: folds keeps such functions on the compiled path; 40 is far above
+    #: any expression real codebases produce between materialization
+    #: points, so normal modules see zero extra temps.
+    MAX_FOLD_DEPTH = 40
+
     def push_op(self, expr: str, *ents: _E, booly=None):
         locs = _NO_DEPS
         globs = mem = False
+        depth = 1
         for e in ents:
             if e.locs:
                 locs = locs | e.locs
             globs = globs or e.globs
             mem = mem or e.mem
-        self.sym.append(_E(expr, locs, globs, mem, booly=booly))
+            if e.depth >= depth:
+                depth = e.depth + 1
+        out = _E(expr, locs, globs, mem, booly=booly, depth=depth)
+        if depth > self.MAX_FOLD_DEPTH:
+            out = self.mat(out)
+        self.sym.append(out)
 
     def pop(self) -> _E:
         if self.sym:
@@ -820,7 +837,19 @@ def compile_function(module, idx: int):
     ns["C"] = tuple(e.consts)
     try:
         exec(compile(src, f"<wasm:{module_name(module)}:{idx}>", "exec"), ns)
-    except SyntaxError:
+    except (SyntaxError, MemoryError, RecursionError):
+        # deep nesting can surface from CPython's parser as any of the
+        # three depending on version/build; all mean "fall back to the
+        # interpreter", not "crash the task". The MAX_FOLD_DEPTH temp
+        # materialization keeps real functions below the limit, so this
+        # path firing at all is logged as a translator gap.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "wasm translator: generated source for %s:%s exceeded the "
+            "Python parser's limits; using the interpreter for this fn",
+            module_name(module), idx,
+        )
         return None
     fn = ns["_wf"]
     fn.__wasm_source__ = src  # introspectable for tests/debugging

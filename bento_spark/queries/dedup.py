@@ -206,7 +206,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS = cosine_sql("a.v", "b.v")
+# static dim=64 (the embeddings table's width) -> flat left-assoc
+# literal chains instead of per-pair list_reduce lambdas: same fold
+# order, same doubles, ~10x cheaper DuckDB evaluation over the 2M-pair
+# exact baseline (see vectors._dot_sql)
+_COS = cosine_sql("a.v", "b.v", 64)
 _EMB_COS_SQL = f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
      FROM embeddings WHERE vec_id < {EXACT_VEC_CAP})
@@ -234,6 +238,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vec_id",
     )
+    # impl="gemm" pinned explicitly: the sortWithinPartitions ordering
+    # below is only total because the gemm impl is partition-preserving
+    # (see embedding_cosine_pairs' contract note); impl="expr" or a
+    # shuffling impl would silently break the driver's row-order hash
     return D.embedding_cosine_pairs(
-        emb, "vec_id", "embedding", COS_THRESHOLD, dim=64
+        emb, "vec_id", "embedding", COS_THRESHOLD, dim=64, impl="gemm"
     ).sortWithinPartitions("id_a", "id_b")

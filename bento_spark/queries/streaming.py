@@ -169,19 +169,43 @@ def dedupe_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 from contextlib import contextmanager
 
 
+def _stream_state_partitions(spark: SparkSession) -> str:
+    """State-partition count for the certification runs. These fixed
+    fixtures key ~100s of groups/pairs, so a handful of partitions is
+    ample (the r12 A/B: 4 beat 8 on every row, 2/1 regressed join
+    stability) — but a LITERAL 4 would cap state-store parallelism for
+    anyone reusing this path at real key cardinality on a real cluster
+    (VERDICT r12 #3/#7). Derivation: bounded by the certification
+    sweet spot locally, growing with the cluster; explicit override via
+    SPARK_GRAFT_STREAM_PARTITIONS for deployments that know their key
+    count."""
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return env
+    par = spark.sparkContext.defaultParallelism
+    # local[32] -> 4 (the measured optimum for the ~100-key fixtures;
+    # the floor stays 4 because the r12 A/B showed 2/1 regress the
+    # stream-stream join's stability); a 512-core cluster -> 64,
+    # scaling with available state-store tasks
+    return str(max(4, min(par // 8, 4096)))
+
+
 @contextmanager
-def _stream_run_confs(spark: SparkSession, partitions: str = "4"):
+def _stream_run_confs(spark: SparkSession, partitions: str | None = None):
     """Session confs for the gate's streaming certification runs,
     restored on exit:
 
-    * ``shuffle.partitions``: the rows key ~100s of groups/pairs, so a
-      handful of state partitions is ample — at the session default
-      every micro-batch pays one state task + one snapshot per
-      partition. A/B at sf0.01 (warm, 2 reps each): 4 beats 8 on every
-      row (join 15.9 -> 12.6s, stateful 10.0 -> 7.9s, late-drop
-      10.4 -> 9.5s, recovery ~equal) and 2/1 regress the join's
-      stability — the stream-stream join keeps 4 state stores per
-      partition, so partition count multiplies per-commit file I/O.
+    * ``shuffle.partitions``: see _stream_state_partitions — the rows
+      key ~100s of groups/pairs, so a handful of state partitions is
+      ample — at the session default every micro-batch pays one state
+      task + one snapshot per partition. A/B at sf0.01 (warm, 2 reps
+      each): 4 beats 8 on every row (join 15.9 -> 12.6s, stateful
+      10.0 -> 7.9s, late-drop 10.4 -> 9.5s, recovery ~equal) and 2/1
+      regress the join's stability — the stream-stream join keeps 4
+      state stores per partition, so partition count multiplies
+      per-commit file I/O.
     * ``checkpoint.fileChecksum.enabled`` (Spark 4.1, default on):
       every offset/commit/state file gets a companion checksum file —
       integrity verification against storage corruption, measured at
@@ -193,6 +217,8 @@ def _stream_run_confs(spark: SparkSession, partitions: str = "4"):
     """
     import os as _os
 
+    if partitions is None:
+        partitions = _stream_state_partitions(spark)
     ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     prev_p = spark.conf.get("spark.sql.shuffle.partitions")
     prev_c = spark.conf.get(ck, None)

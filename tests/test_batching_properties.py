@@ -12,6 +12,11 @@ from pyspark.sql import functions as F
 
 from bento_spark.operators.batching import insert_part, split_batches, split_batches_bytes
 
+# slow tier (pytest.ini excludes it by default): heavyweight sweep;
+# run with `pytest -m slow` (r13: keeps the default suite inside
+# the driver's verify window)
+pytestmark = pytest.mark.slow
+
 _SETTINGS = settings(
     max_examples=8,
     deadline=None,

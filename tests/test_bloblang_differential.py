@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 from bento_spark.bloblang import compile_mapping
 from bento_spark.bloblang.interp import interpret_mapping
 
+# slow tier (pytest.ini excludes it by default): heavyweight sweep;
+# run with `pytest -m slow` (r13: keeps the default suite inside
+# the driver's verify window)
+pytestmark = pytest.mark.slow
+
 DOCS = [
     {"a": 7, "b": 2.5, "c": -3, "s": "Hello World", "t": "spark",
      "arr": [3, 1, 2], "obj": {"x": 4, "y": "zed"}, "flag": True},

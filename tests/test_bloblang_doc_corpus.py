@@ -21,6 +21,11 @@ sys.path.insert(0, "/root/repo/tools")
 
 from doc_corpus import all_cases, classify, run_case  # noqa: E402
 
+# slow tier (pytest.ini excludes it by default): heavyweight sweep;
+# run with `pytest -m slow` (r13: keeps the default suite inside
+# the driver's verify window)
+pytestmark = pytest.mark.slow
+
 # Cases where an engine legitimately cannot reproduce the byte-exact
 # doc output; each entry pins WHY. Anything not listed must pass.
 KNOWN_DIVERGENT: dict[str, str] = {

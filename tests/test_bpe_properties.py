@@ -7,10 +7,17 @@ each other, ties."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from bento_spark.operators.bpe import _sym_list, bpe_learn, bpe_vocab
+
+# slow tier (pytest.ini excludes it by default): heavyweight sweep;
+# run with `pytest -m slow` (r13: keeps the default suite inside
+# the driver's verify window)
+pytestmark = pytest.mark.slow
 
 _SETTINGS = settings(
     max_examples=6,

@@ -7,11 +7,18 @@ encode->decode == identity check."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import string
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# slow tier (pytest.ini excludes it by default): heavyweight sweep;
+# run with `pytest -m slow` (r13: keeps the default suite inside
+# the driver's verify window)
+pytestmark = pytest.mark.slow
 
 SETTINGS = settings(
     max_examples=120,

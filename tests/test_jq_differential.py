@@ -30,6 +30,11 @@ from hypothesis import strategies as st
 from bento_spark.operators.jq import parse_jq
 from bento_spark.operators.jq_interp import run_program
 
+# slow tier (pytest.ini excludes it by default): heavyweight sweep;
+# run with `pytest -m slow` (r13: keeps the default suite inside
+# the driver's verify window)
+pytestmark = pytest.mark.slow
+
 NUM_FIELDS = [".k", ".n", ".d.x"]
 STR_FIELDS = [".name"]
 

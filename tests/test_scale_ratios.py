@@ -22,6 +22,11 @@ import time
 
 import pytest
 
+# slow tier (pytest.ini excludes it by default): heavyweight sweep;
+# run with `pytest -m slow` (r13: keeps the default suite inside
+# the driver's verify window)
+pytestmark = pytest.mark.slow
+
 SF_SMALL = "/root/testdata/sf0.001"
 SF_BIG = "/root/testdata/sf0.1"
 

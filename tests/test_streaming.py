@@ -123,8 +123,22 @@ def test_stream_run_confs_set_and_restore(spark):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(ck, "true")
     with _stream_run_confs(spark):
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        # derived, not a literal: floor 4 locally, par//8 on clusters,
+        # SPARK_GRAFT_STREAM_PARTITIONS overrides (VERDICT r12 #7)
+        from bento_spark.queries.streaming import _stream_state_partitions
+
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions")
+            == _stream_state_partitions(spark)
+            == "4"  # cpus=4 test session: max(4, 4//8) = the old pin
+        )
         assert spark.conf.get(ck) == "false"
+    os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = "16"
+    try:
+        with _stream_run_confs(spark):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_PARTITIONS"]
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
     assert spark.conf.get(ck) == "true"
     spark.conf.unset(ck)

@@ -26,9 +26,12 @@ from walkthrough_corpus import (  # noqa: E402
     WALKTHROUGH, extract_walkthrough, run_walkthrough_case,
 )
 
-pytestmark = pytest.mark.skipif(
+# slow tier (pytest.ini excludes it by default): heavyweight sweep;
+# run with `pytest -m slow` (r13: keeps the default suite inside
+# the driver's verify window)
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isfile(WALKTHROUGH), reason="reference docs not present"
-)
+)]
 
 CASES = extract_walkthrough()
 

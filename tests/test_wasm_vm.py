@@ -416,6 +416,26 @@ def test_compiled_engine_is_active_by_default():
     assert "_br" in fn.__wasm_source__          # guard-chain branching
 
 
+def test_deep_fold_chain_stays_compiled():
+    """ADVICE r12: ~100+ chained stack ops with no local.set used to
+    nest one paren level per fold, blow CPython's parser limit, and
+    silently drop the whole function to the 7x-slower interpreter. The
+    emitter now materializes a temp past MAX_FOLD_DEPTH folds, so even
+    a 300-op chain compiles — and computes the same value."""
+    n_ops = 300
+    types = sec(1, vec([functype([I32], [I32])]))
+    funcs = sec(3, vec([leb(0)]))
+    exports = sec(7, vec([name("f") + b"\x00" + leb(0)]))
+    # local.get 0, then 300 x (i32.const 1; i32.add) — one long fold
+    body = code([], LG + b"\x00" + (i32c(1) + b"\x6A") * n_ops)
+    m = WasmModule(module(types, funcs, exports, sec(10, vec([body]))))
+    fn = m.compiled_fn(0)
+    assert fn is not None, "deep fold chain fell back to the interpreter"
+    # the cap emitted intermediate temps instead of one giant expression
+    assert max(len(ln) for ln in fn.__wasm_source__.splitlines()) < 2000
+    assert WasmInstance(m).invoke("f", 5) == 5 + n_ops
+
+
 def test_engines_agree_on_traps():
     """Trap messages match between engines (div by zero)."""
     import os
