@@ -1469,14 +1469,37 @@ def _proc_cache(df: DataFrame, conf) -> DataFrame:
         return _proc_cache_streaming(df, conf)
     key = compile_field(str(conf.get("key", "${! content() }")), df)
     df = df.withColumn("__cache_key", key)
+    # Materialize the upstream chain ONCE: the set/get driver transfer
+    # is an action of its own, and every downstream action (the final
+    # sink, a global sort's range sampler, later cache hops) otherwise
+    # RE-RUNS the whole processor chain above this point —
+    # proc_yaml_surface_gauntlet's switch/http/while chain executed 4x
+    # per gate run (isolated sf1: 55s -> 23s with one materialization).
+    # localCheckpoint (executor-local blocks, lineage truncated) over
+    # persist: the blocks never need to outlive the query and the
+    # ContextCleaner reaps them — the _materialize_index precedent
+    # (operators/dedup.py).
+    df = df.localCheckpoint(eager=False)
     if op in ("set", "add"):
         value = compile_field(str(conf.get("value", "${! content() }")), df)
         df = df.withColumn("__cache_val", value)
-        rows = df.select("__cache_key", "__cache_val").dropDuplicates(
-            ["__cache_key"]).limit(1_000_001).collect()
-        if len(rows) > 1_000_000:
+        # Arrow-path collect (toPandas with arrow.pyspark.enabled): the
+        # row-path .collect() deserialized one Row per key through py4j
+        # — ~20s of proc_yaml_surface_gauntlet's sf1 gate time for 1M
+        # keys; the Arrow transfer is one columnar batch. Interpolated
+        # key/value are string-typed by construction (compile_field), so
+        # the object-dtype round trip is value-identical (str | None).
+        pdf = (
+            df.select("__cache_key", "__cache_val")
+            .dropDuplicates(["__cache_key"])
+            .limit(1_000_001)
+            .toPandas()
+        )
+        if len(pdf) > 1_000_000:
             raise ConfigError("cache processor exceeds 1M keys per batch")
-        pairs = [(r[0], r[1]) for r in rows]
+        pairs = list(
+            zip(pdf["__cache_key"].tolist(), pdf["__cache_val"].tolist())
+        )
         existed: set = set()
         if op == "add":
             hits = cache.mget([k for k, _ in pairs])
@@ -1495,14 +1518,25 @@ def _proc_cache(df: DataFrame, conf) -> DataFrame:
             )
         return out.drop("__cache_key", "__cache_val")
     if op == "get":
-        keys = [r[0] for r in df.select("__cache_key").distinct()
-                .limit(1_000_001).collect()]
+        import pandas as pd
+
+        keys = (
+            df.select("__cache_key").distinct().limit(1_000_001)
+            .toPandas()["__cache_key"].tolist()
+        )
         if len(keys) > 1_000_000:
             raise ConfigError("cache processor exceeds 1M keys per batch")
         vals = cache.mget(keys)
         spark = df.sparkSession
+        # pandas -> Arrow createDataFrame: the list-of-tuples form
+        # pickles every pair through the RDD path
         side = spark.createDataFrame(
-            [(k, v) for k, v in zip(keys, vals)],
+            pd.DataFrame(
+                {
+                    "__cache_key": pd.Series(keys, dtype="object"),
+                    "__cache_hit": pd.Series(vals, dtype="object"),
+                }
+            ),
             "__cache_key string, __cache_hit string",
         )
         out = df.join(F.broadcast(side), "__cache_key", "left")

@@ -114,12 +114,28 @@ pipeline:
     )
     # cache get round-trip: the set above ran driver-side at build; read
     # the same keys back through the cache resource (broadcast map-back,
-    # same mechanics as the get operator)
-    rows = [r[0] for r in out.select("__k").distinct().collect()]
+    # same mechanics as the get operator). Arrow on both driver hops —
+    # the row-path collect + list-of-tuples createDataFrame cost ~15s
+    # of the sf1 gate for 1M keys (guide §6: Arrow driver transfers).
+    import pandas as pd
+
+    rows = out.select("__k").distinct().toPandas()["__k"].tolist()
     vals = cache.mget(rows)
     side = spark.createDataFrame(
-        list(zip(rows, vals)), "__k string, cached_route string"
+        pd.DataFrame(
+            {
+                "__k": pd.Series(rows, dtype="object"),
+                "cached_route": pd.Series(vals, dtype="object"),
+            }
+        ),
+        "__k string, cached_route string",
     )
+    # global sort stays ON TOP: switch and while are union-of-branches
+    # processors, so a scan-level range partitioning does not survive
+    # to the output, and sorting below the broadcast join also fails
+    # under AQE (both within-partition variants interleaved rows and
+    # failed the oracle at sf0.01 — r13 A/Bs). The sampling re-run now
+    # reads the cache processor's localCheckpoint, not the raw chain.
     return (
         out.join(F.broadcast(side), "__k")
         .select(

@@ -2075,6 +2075,7 @@ def pipeline_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 input:
   parquet:
     path: {sf_dir}/events.parquet
+    spread_by: event_id
 pipeline:
   processors:
     - mutation: |
@@ -2086,12 +2087,17 @@ pipeline:
         )
         out = p.dataframe()
         eid = F.get_json_object("content", "$.event_id").cast("long")
+        # spread_by range-partitioned the scan on event_id and the
+        # mutation/template chain is narrow, so the within-partition
+        # sort yields the same total order the global orderBy did —
+        # without the sampling job re-running the chain (guide §2.4;
+        # isolated sf1: 22.3s -> see plans/r13).
         return (
             out.select(
                 eid.alias("event_id"),
                 F.get_json_object("content", "$.k").cast("long").alias("k"),
             )
-            .orderBy("event_id")
+            .sortWithinPartitions("event_id")
         )
     finally:
         if registered:

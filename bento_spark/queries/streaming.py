@@ -553,11 +553,24 @@ def stream_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bento_spark.sources.kafka_source import register
     from bento_spark.testing.kafka_broker import InProcessKafkaBroker
 
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    # deliberately NOT spread: the broker is one in-process GIL, so
+    # producer fan-in beyond ~4 clients makes produce SLOWER (A/B at
+    # sf1: scan-partitioned ~7s, width=4 5.5-7s, width=32 10-12s) —
+    # the scan's natural row-group splits are the sweet spot
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", F.floor("value").cast("long").alias("value")
     )
     n_total = ev.count()
     broker = InProcessKafkaBroker(topic="gate")
+    # page Fetch responses at 5000 records and produce at 4000-record
+    # batches: the wire work is per-RECORD either way, but 1000-record
+    # framing meant one synchronous socket round trip per 1000 records
+    # — 2000 serialized produce acks + 1000 fetch pages per million
+    # records (pagination/acking stay exercised: sf1 still drains ~200
+    # pages and acks ~250 batches)
+    broker.fetch_page = 5000
     _STATEFUL_RUN[0] += 1
     qname = f"kafka_wire_{_STATEFUL_RUN[0]}"
     conf = {"host": "127.0.0.1", "port": broker.port, "topic": "gate"}
@@ -565,7 +578,7 @@ def stream_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         wave1 = ev.filter(F.col("event_id") % 2 == 0)
         wave2 = ev.filter(F.col("event_id") % 2 == 1)
         n1 = wave1.count()
-        stats = deliver(wave1, "kafka", conf, batch_size=1000)
+        stats = deliver(wave1, "kafka", conf, batch_size=4000)
         assert stats["delivered"] == n1 and stats["dead"] == 0, stats
 
         register(spark)
@@ -594,7 +607,7 @@ def stream_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _time.sleep(0.3)
             # second wave lands MID-STREAM: the next offset ranges must
             # pick it up from the advanced cursors
-            stats2 = deliver(wave2, "kafka", conf, batch_size=1000)
+            stats2 = deliver(wave2, "kafka", conf, batch_size=4000)
             assert stats2["delivered"] == n_total - n1, stats2
             deadline = _time.time() + 120
             while _time.time() < deadline and drained() < n_total:
@@ -603,7 +616,10 @@ def stream_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             q.awaitTermination(30)
 
-        parsed = spark.table(qname).select(
+        # the memory sink's table is a driver-local relation: without a
+        # redistribution the 1M-row JSON parse + aggregate runs nearly
+        # serial (A/B at sf1: 13s -> ~5s with the spread)
+        parsed = ensure_parallelism(spark.table(qname)).select(
             F.from_json(
                 F.col("value"), "event_id long, user_id long, value long"
             ).alias("r")

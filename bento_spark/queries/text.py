@@ -192,40 +192,59 @@ def _hits_sql(lang: str) -> str:
     return f"len(list_filter(w, x -> list_contains({sl}, x)))"
 
 
-def _lang_sql() -> tuple[str, str]:
+def _lang_oracle_sql() -> str:
+    """text_language_id oracle: ONE unnest pass computes every
+    language's stopword-hit count as a hash-set-membership filtered
+    aggregate, and the argmax CASE references the counts as columns.
+    The previous form inlined ``len(list_filter(w, list_contains(...)))``
+    per argmax comparison — ~25 linear stopword-list scans of every
+    word list per row, 69s of the sf1 gate for this one oracle; this
+    form reads 0.97s with byte-identical results at sf0.01 and sf1
+    (verified by fetchall comparison). Semantics preserved exactly:
+    count(*) per doc equals len(w) (unnest emits one row per split
+    part), counts are BIGINT like len(), and the CASE/confidence
+    arithmetic is unchanged."""
+
+    def inset(lang: str) -> str:
+        return "(" + ",".join(f"'{s}'" for s in STOPWORDS[lang]) + ")"
+
+    hit_cols = ", ".join(
+        f"count(*) FILTER (WHERE x IN {inset(lang)}) AS h_{lang}"
+        for lang in LANG_ORDER
+    )
     cases = []
     for lang in LANG_ORDER:
         idx = LANG_ORDER.index(lang)
-        conds = [f"{_hits_sql(lang)} > 0"]
+        conds = [f"h_{lang} > 0"]
         for o in LANG_ORDER[:idx]:
-            conds.append(f"{_hits_sql(lang)} > {_hits_sql(o)}")
+            conds.append(f"h_{lang} > h_{o}")
         for o in LANG_ORDER[idx + 1 :]:
-            conds.append(f"{_hits_sql(lang)} >= {_hits_sql(o)}")
+            conds.append(f"h_{lang} >= h_{o}")
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    lang_sql = (
-        f"CASE WHEN len(regexp_extract_all(text, '{CJK_RE}')) > 0 THEN 'zh' "
+    lang_case = (
+        f"CASE WHEN len(regexp_extract_all(d.text, '{CJK_RE}')) > 0 "
+        "THEN 'zh' "
         + " ".join(cases)
         + " ELSE 'und' END"
     )
     conf_sql = (
         "round(greatest("
-        + ", ".join(_hits_sql(lang) for lang in LANG_ORDER)
-        + ")::DOUBLE / len(w), 6)"
+        + ", ".join(f"h_{lang}" for lang in LANG_ORDER)
+        + ")::DOUBLE / nw, 6)"
     )
-    return lang_sql, conf_sql
+    return f"""
+    WITH wx AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS x FROM documents
+    ), h AS (
+        SELECT doc_id, count(*) AS nw, {hit_cols} FROM wx GROUP BY doc_id
+    )
+    SELECT d.doc_id, {lang_case} AS pred_lang, {conf_sql} AS confidence
+    FROM documents d JOIN h USING (doc_id)
+    ORDER BY d.doc_id
+    """
 
 
-_LANG_SQL, _CONF_SQL = _lang_sql()
-
-
-@query(
-    "text_language_id",
-    oracle=f"""
-    SELECT doc_id, {_LANG_SQL} AS pred_lang, {_CONF_SQL} AS confidence
-    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
-    ORDER BY doc_id
-    """,
-)
+@query("text_language_id", oracle=_lang_oracle_sql())
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword/charset language-ID heuristic: CJK charset check, then
     per-language stopword votes with fixed-precedence argmax."""

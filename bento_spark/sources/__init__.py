@@ -79,6 +79,21 @@ def _file_source(fmt: str):
             # file streams require a schema; infer from a batch read once
             reader = reader.schema(spark.read.format(fmt).options(**opts).load(path).schema)
         df = reader.format(fmt).options(**opts).load(path)
+        # `spread_by: <col>` range-partitions the scan by the pipeline's
+        # OUTPUT sort key (operators/dedup.range_spread): a batch
+        # pipeline ending in orderBy(key) otherwise re-executes its
+        # whole processor chain inside the range exchange's
+        # boundary-sampling job (pipeline_template measured 22s -> 11s
+        # at sf1). The caller's final sort becomes sortWithinPartitions
+        # — every processor is a narrow projection/filter, so range
+        # partitioning survives to the sink and total order is
+        # unchanged (range partitions concatenate in key order).
+        spread = conf.get("spread_by")
+        if spread and not stream:
+            from bento_spark.operators.dedup import range_spread
+
+            keys = [spread] if isinstance(spread, str) else list(spread)
+            df = range_spread(df, *keys)
         return df, stream
 
     return fn

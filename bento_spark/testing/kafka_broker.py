@@ -34,22 +34,73 @@ def parse_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes]]:
     )
     assert attrs == 0 and pid == -1 and pep == -1 and bseq == -1
     pos, out = 40, []  # 2+4+8+8+8+2+4+4 header bytes after the crc
+
+    # The varint reads are inlined with a one-byte fast path: this loop
+    # verifies every record of every produced batch — 1M records at sf1
+    # — and per-call zigzag_decode overhead dominated it. Same reads,
+    # same assertions as the zigzag_decode form it replaces.
+    append = out.append
     for i in range(count):
-        _ln, pos = zigzag_decode(after, pos)
+        while after[pos] & 0x80:  # record length (walked, value unused)
+            pos += 1
+        pos += 1
         assert after[pos] == 0  # record attributes
         pos += 1
-        _tsd, pos = zigzag_decode(after, pos)
-        offd, pos = zigzag_decode(after, pos)
-        assert offd == i
-        klen, pos = zigzag_decode(after, pos)
-        key = None if klen == -1 else after[pos : pos + klen]
-        pos += max(klen, 0)
-        vlen, pos = zigzag_decode(after, pos)
+        while after[pos] & 0x80:  # timestampDelta (walked, value unused)
+            pos += 1
+        pos += 1
+        b = after[pos]  # offsetDelta
+        pos += 1
+        if b & 0x80:
+            u, shift = b & 0x7F, 7
+            while True:
+                b = after[pos]
+                pos += 1
+                u |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        else:
+            u = b
+        assert (u >> 1) ^ -(u & 1) == i
+        b = after[pos]  # key length
+        pos += 1
+        if b & 0x80:
+            u, shift = b & 0x7F, 7
+            while True:
+                b = after[pos]
+                pos += 1
+                u |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        else:
+            u = b
+        klen = (u >> 1) ^ -(u & 1)
+        if klen == -1:
+            key = None
+        else:
+            key = after[pos : pos + klen]
+            pos += klen
+        b = after[pos]  # value length
+        pos += 1
+        if b & 0x80:
+            u, shift = b & 0x7F, 7
+            while True:
+                b = after[pos]
+                pos += 1
+                u |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        else:
+            u = b
+        vlen = (u >> 1) ^ -(u & 1)
         value = after[pos : pos + vlen]
         pos += vlen
-        hdrs, pos = zigzag_decode(after, pos)
-        assert hdrs == 0
-        out.append((key, value))
+        assert after[pos] == 0  # headers count
+        pos += 1
+        append((key, value))
     assert last_delta == count - 1
     return out
 
@@ -175,6 +226,10 @@ class _Handler(socketserver.StreamRequestHandler):
 class InProcessKafkaBroker(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
+    # concurrent short-lived client connections (one per reader task per
+    # micro-batch + producers) can exceed the socketserver default
+    # backlog of 5 under load, surfacing as spurious "connection closed"
+    request_queue_size = 64
 
     def __init__(self, topic="t1", n_partitions=3):
         super().__init__(("127.0.0.1", 0), _Handler)

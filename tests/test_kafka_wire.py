@@ -28,6 +28,21 @@ def test_crc32c_public_vector():
     assert crc32c(b"") == 0
 
 
+def test_crc32c_vectorized_matches_scalar():
+    # the >=512-byte numpy path (chunked registers + GF(2) combine)
+    # must agree with the byte-serial reference form on every size
+    # class: below/at/above the cutover, odd tails, non-power-of-two
+    # chunk counts, and megabyte inputs
+    import random
+
+    from bento_spark.operators.kafka_wire import _crc32c_scalar
+
+    rng = random.Random(17)
+    for n in (0, 1, 7, 511, 512, 513, 520, 1000, 4096, 65537, 1 << 20):
+        data = rng.randbytes(n)
+        assert crc32c(data) == (_crc32c_scalar(data) ^ 0xFFFFFFFF), n
+
+
 def test_zigzag_public_vectors():
     # protobuf/kafka zigzag examples: 0->0, -1->1, 1->2, -2->3, 150->300
     assert zigzag_encode(0) == b"\x00"

@@ -41,10 +41,11 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
+    reps = int(os.environ.get("SPARK_GRAFT_ISOLATE_REPS", "3"))
     for name in names:
         spark.sparkContext.setJobDescription(f"isolate: {name}")
         runs = []
-        for i in range(3):
+        for i in range(reps):
             spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             df = qs[name](spark, sf_dir)
