@@ -53,14 +53,30 @@ EXACT_VEC_CAP = 2000
 _SHINGLES = word_shingles_sql("text", NGRAM)
 _DOCS_CAPPED = f"documents WHERE doc_id < {EXACT_DOC_CAP}"
 
+# Oracle-side cost shape (r13): the pair join is inherently quadratic,
+# but (a) the intersect is computed ONCE per pair instead of three
+# times (named in a subquery — DuckDB does not CSE it), and (b) pairs
+# are pre-pruned by the exact length bound J = i/(la+lb-i) <= min/max:
+# round(J,6) >= T implies J >= T - 5e-7, hence min/max >= T - 5e-7, so
+# the cheap ratio test never drops a qualifying pair and skips the
+# intersect for the rest. Result-identical (fetchall-verified at
+# sf0.01 and capped sf1); sf1-gate oracle time for the three rows
+# sharing this shape dropped ~5x.
+_J_PRUNE = J_THRESHOLD - 5e-7
 _JACCARD_EXACT_SQL = f"""
-WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM {_DOCS_CAPPED})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.s, b.s))::DOUBLE
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {J_THRESHOLD}
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM {_DOCS_CAPPED}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) AS la, len(b.s) AS lb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE least(len(a.s), len(b.s))::DOUBLE
+        / greatest(len(a.s), len(b.s)) >= {_J_PRUNE}
+)
+SELECT doc_a, doc_b,
+       round(i::DOUBLE / (la + lb - i), 6) AS jaccard
+FROM cand
+WHERE round(i::DOUBLE / (la + lb - i), 6) >= {J_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -152,14 +168,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# same once-per-pair intersect + exact length-ratio prune as
+# _JACCARD_EXACT_SQL (see note there). MATERIALIZED: the downstream
+# edges CTE reads `pairs` twice, and DuckDB inlines plain CTEs per
+# reference — the quadratic intersect join ran twice per gate row
+# (A/B at capped sf1: 31.6s -> 4.2s, identical rows).
 _PAIRS_SUB = f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM {_DOCS_CAPPED}),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) AS la, len(b.s) AS lb
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
-        >= {J_THRESHOLD}
+  WHERE least(len(a.s), len(b.s))::DOUBLE
+        / greatest(len(a.s), len(b.s)) >= {_J_PRUNE}
+),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cand
+  WHERE round(i::DOUBLE / (la + lb - i), 6) >= {J_THRESHOLD}
 )
 """
 

@@ -169,14 +169,21 @@ def dedupe_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 from contextlib import contextmanager
 
 
-def _stream_state_partitions(spark: SparkSession) -> str:
+def _stream_state_partitions(
+    spark: SparkSession, rows_per_batch: int | None = None
+) -> str:
     """State-partition count for the certification runs. These fixed
     fixtures key ~100s of groups/pairs, so a handful of partitions is
     ample (the r12 A/B: 4 beat 8 on every row, 2/1 regressed join
     stability) — but a LITERAL 4 would cap state-store parallelism for
     anyone reusing this path at real key cardinality on a real cluster
-    (VERDICT r12 #3/#7). Derivation: bounded by the certification
-    sweet spot locally, growing with the cluster; explicit override via
+    (VERDICT r12 #3/#7). Derivation: the core-derived base (local[32]
+    -> 4, a 512-core cluster -> 64) RAISED by the micro-batch volume
+    when the caller knows it — 4 partitions were the sf0.01 optimum
+    but serialized 170k-row sf1 batches through 4 state tasks (r13 A/B
+    at sf1: partitions 4/8/16/32 -> 49/37/23/24s for
+    stream_stateful_totals; the ~10k-rows-per-task target lands on the
+    knee at both SFs). Explicit override via
     SPARK_GRAFT_STREAM_PARTITIONS for deployments that know their key
     count."""
     import os as _os
@@ -185,11 +192,11 @@ def _stream_state_partitions(spark: SparkSession) -> str:
     if env:
         return env
     par = spark.sparkContext.defaultParallelism
-    # local[32] -> 4 (the measured optimum for the ~100-key fixtures;
-    # the floor stays 4 because the r12 A/B showed 2/1 regress the
-    # stream-stream join's stability); a 512-core cluster -> 64,
-    # scaling with available state-store tasks
-    return str(max(4, min(par // 8, 4096)))
+    base = max(4, min(par // 8, 4096))
+    if rows_per_batch:
+        by_volume = min((int(rows_per_batch) + 9_999) // 10_000, par, 4096)
+        return str(max(base, by_volume))
+    return str(base)
 
 
 @contextmanager
@@ -243,7 +250,8 @@ def _stage_time_slices(
     """Stage a batch DataFrame as n time-ranged parquet files (plus an
     optional far-future sentinel row) under ``base``/input, ordered by
     both mtime and lexicographic name so FileStreamSource processes
-    them monotonically in event time. Returns the input dir."""
+    them monotonically in event time. Returns (input dir, staged row
+    count) — the count sizes the run's state partitions."""
     import datetime
     import os
     import shutil
@@ -252,7 +260,11 @@ def _stage_time_slices(
     shutil.rmtree(base, ignore_errors=True)
     in_dir = f"{base}/input"
     os.makedirs(in_dir)
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # row count rides the same bounds job — it sizes the run's state
+    # partitions (see _stream_state_partitions)
+    lo, hi, n_rows = ev.agg(
+        F.min("ts"), F.max("ts"), F.count(F.lit(1))
+    ).first()
     span = (hi - lo).total_seconds() + 1
     # Slice boundaries computed in Python exactly as the per-slice filter
     # form did (same datetime literals, same >=/< semantics), but staged
@@ -301,7 +313,7 @@ def _stage_time_slices(
     t0 = _time.time()
     for i, name in enumerate(sorted(os.listdir(in_dir))):
         os.utime(f"{in_dir}/{name}", (t0 + 10 * i, t0 + 10 * i))
-    return in_dir
+    return in_dir, n_rows
 
 
 @query(
@@ -346,7 +358,7 @@ def stream_recovery_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
     hi = ev.agg(F.max("ts")).first()[0]
-    in_dir = _stage_time_slices(
+    in_dir, n_staged = _stage_time_slices(
         spark, ev, base,
         sentinel=(hi + datetime.timedelta(hours=3), "__flush", 0.0),
     )
@@ -377,7 +389,9 @@ def stream_recovery_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ~100s of window x event_type keys; each invocation wipes `base`,
     # so the sticky checkpoint partition count never carries across runs.
-    with _stream_run_confs(spark):
+    with _stream_run_confs(
+        spark, _stream_state_partitions(spark, n_staged // 6)
+    ):
         # run 1: live trigger, killed after the second committed batch
         q1 = (
             build_stream()
@@ -458,10 +472,10 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = ev.agg(F.min("ts")).first()[0]
     views = ev.filter(F.col("event_id") % 2 == 0)
     buys = ev.filter(F.col("event_id") % 2 == 1)
-    a_dir = _stage_time_slices(spark, views, f"{base}/a", n_slices=4)
+    a_dir, n_a = _stage_time_slices(spark, views, f"{base}/a", n_slices=4)
     # pad the purchase stream: a lone neutral row occupies its first
     # per-trigger file slot, shifting every real slice one batch later
-    b_dir = _stage_time_slices(spark, buys, f"{base}/b", n_slices=4)
+    b_dir, n_b = _stage_time_slices(spark, buys, f"{base}/b", n_slices=4)
     pad = spark.createDataFrame(
         [(lo - datetime.timedelta(hours=1), -1, -1)], schema=ev.schema
     )
@@ -509,7 +523,9 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STATEFUL_RUN[0] += 1
     qname = f"stream_join_{_STATEFUL_RUN[0]}"
     # the join keys ~120 surviving pairs
-    with _stream_run_confs(spark):
+    with _stream_run_confs(
+        spark, _stream_state_partitions(spark, (n_a + n_b) // 4)
+    ):
         q = (
             joined.writeStream.format("memory")
             .queryName(qname)
@@ -674,7 +690,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor("value").alias("value"),
     )
-    in_dir = _stage_time_slices(spark, ev, base)
+    in_dir, n_staged = _stage_time_slices(spark, ev, base)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -685,7 +701,9 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stateful_totals_{_STATEFUL_RUN[0]}"
     # ~100s of user keys; _stage_time_slices wipes `base`, so the
     # checkpoint's sticky partition count never carries across runs.
-    with _stream_run_confs(spark):
+    with _stream_run_confs(
+        spark, _stream_state_partitions(spark, n_staged // 6)
+    ):
         q = (
             totals.writeStream.format("memory")
             .queryName(qname)
@@ -742,7 +760,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = ev.filter(F.col("event_id") % 50 != 0)
     late = ev.filter(F.col("event_id") % 50 == 0)
     hi = ev.agg(F.max("ts")).first()[0]
-    in_dir = _stage_time_slices(
+    in_dir, n_staged = _stage_time_slices(
         spark, on_time, base, n_slices=3,
         sentinel=(hi + datetime.timedelta(hours=3), -1),
     )
@@ -781,7 +799,9 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination(60)
             raise RuntimeError("late-drop run did not drain in 600s")
 
-    with _stream_run_confs(spark):
+    with _stream_run_confs(
+        spark, _stream_state_partitions(spark, n_staged // 3)
+    ):
         # run 1 drains the on-time slices + the sentinel, committing a
         # watermark of end-of-stream+3h-30min into the checkpoint
         run_once()

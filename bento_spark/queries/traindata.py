@@ -311,10 +311,16 @@ SPAN_W = 5
 
 
 def _span_ctes() -> str:
+    # MATERIALIZED: toks/dup/spans are each read by more than one
+    # downstream CTE and DuckDB inlines plain CTEs per reference —
+    # the tokenize/gram pipeline re-ran per consumer (A/B sf1:
+    # dedup_span_clean oracle 14.3s -> 8.8s, rows identical)
     f = duplicate_spans_sql("documents", "doc_id", "text", w=SPAN_W)
     return (
-        f"toks AS ({f['toks']}), grams AS ({f['grams']}), dup AS ({f['dup']}), "
-        f"flags AS ({f['flags']}), isl AS ({f['isl']}), spans AS ({f['spans']})"
+        f"toks AS MATERIALIZED ({f['toks']}), grams AS ({f['grams']}), "
+        f"dup AS MATERIALIZED ({f['dup']}), "
+        f"flags AS ({f['flags']}), isl AS ({f['isl']}), "
+        f"spans AS MATERIALIZED ({f['spans']})"
     )
 
 

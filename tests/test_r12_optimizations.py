@@ -89,7 +89,7 @@ def test_stage_time_slices_assignment_matches_filter_form(spark, tmp_path):
     n_slices = 4
     hi = ev.agg(F.max("ts")).first()[0]
     base = str(tmp_path / "stage")
-    in_dir = _stage_time_slices(
+    in_dir, _n = _stage_time_slices(
         spark, ev, base, n_slices=n_slices,
         sentinel=(hi + datetime.timedelta(hours=3), -1),
     )

@@ -35,7 +35,7 @@ def test_streaming_recovery_soak_three_kills(spark, tmp_path):
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
     hi = ev.agg(F.max("ts")).first()[0]
-    in_dir = _stage_time_slices(
+    in_dir, _n = _stage_time_slices(
         spark, ev, base, n_slices=12,
         sentinel=(hi + datetime.timedelta(hours=3), "__flush", 0.0),
     )
