@@ -368,6 +368,18 @@ def _typed_arrays(v: Column):
     return num_ok, ns, ss
 
 
+def _let(ctx: Column, build) -> Column:
+    """Bind ``ctx`` ONCE via a single-element higher-order lambda and
+    compile the continuation against the bound variable. A multiselect
+    (hash/list) references its context from every member, and with the
+    engine's subexpression elimination off (session.py) each reference
+    re-evaluates the whole context subtree per row — for a piped
+    filter-projection context that multiplied the query's dominant
+    stage by the member count (proc_jmespath_collapse sf1 A/B:
+    6.5s -> 3.9s warm, identical rows)."""
+    return F.element_at(F.transform(F.array(ctx), build), 1)
+
+
 def _compile(node: N, cur: Column) -> Column:
     if node.kind == "current":
         return cur
@@ -448,12 +460,25 @@ def _compile(node: N, cur: Column) -> Column:
         )
     if node.kind == "hash":
         ctx = _compile(node.children[0], cur)
-        fields = [_compile(e, ctx).alias(k) for k, e in node.value]
-        return F.parse_json(F.to_json(F.struct(*fields)))
+
+        def _build_hash(x: Column) -> Column:
+            fields = [_compile(e, x).alias(k) for k, e in node.value]
+            return F.parse_json(F.to_json(F.struct(*fields)))
+
+        if len(node.value) > 1:
+            return _let(ctx, _build_hash)
+        return _build_hash(ctx)
     if node.kind == "list":
         ctx = _compile(node.children[0], cur)
-        items = [_compile(e, ctx) for e in node.children[1:]]
-        return _arr_v(F.array(*items))
+
+        def _build_list(x: Column) -> Column:
+            return _arr_v(
+                F.array(*[_compile(e, x) for e in node.children[1:]])
+            )
+
+        if len(node.children) > 2:
+            return _let(ctx, _build_list)
+        return _build_list(ctx)
     if node.kind == "not":
         return _scalar_v(~_truthy(_compile(node.children[0], cur)))
     if node.kind == "bin":
