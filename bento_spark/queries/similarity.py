@@ -170,10 +170,17 @@ def embed_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # featurizer: a small local scan is 1-2 file splits, and an exchange
     # placed above the UDF would leave the expensive Python stage serial
     # while parallelizing only the cheap join after it.
+    # bytes-sized fan-out (one task per ~0.75 MB of input): the
+    # featurizer's per-byte cost is moderate, and a full-width spread
+    # paid ~2s of fixed Arrow-task overhead to process ~20 KB per task
+    # at sf0.1 — the r12 8-core bench beat the 32-core one on this row
+    # (scaling ratio 0.49) purely on that overhead (VERDICT r12 #9;
+    # A/B table in ensure_parallelism's docstring).
     docs = ensure_parallelism(
         _t(spark, sf_dir, "documents").filter(
             F.size(F.split(F.col("text"), " ")) >= EMB_N
-        )
+        ),
+        bytes_per_task=750_000,
     ).select("doc_id", embed(F.col("text")).alias("vec"))
     # Query matrix built driver-side from the raw texts with the SAME
     # predict fn the executor UDF wraps (bit-identical doubles): the
