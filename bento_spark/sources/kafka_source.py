@@ -56,15 +56,37 @@ class _Range(InputPartition):
 
 
 def _read_range(part: _Range):
+    import time as _time
+
     from bento_spark.operators.kafka_wire import KafkaProducerClient
 
     if part.start >= part.end:
         return
     client = KafkaProducerClient(part.host, part.port)
+    # Fetch is a pure read from a replayable log, so a dropped broker
+    # connection (observed rarely under heavy host load: the
+    # ThreadingTCPServer handler's socket dies and the task failed the
+    # whole streaming query at local maxFailures=1) is safely retried
+    # by reconnecting and re-fetching from the current cursor — the
+    # cursor only advances past yielded records, so no record is
+    # skipped or duplicated.
+    retries = 3
     try:
         offset = part.start
         while offset < part.end:
-            records, hw = client.fetch(part.topic, part.partition, offset)
+            try:
+                records, hw = client.fetch(part.topic, part.partition, offset)
+            except (ConnectionError, OSError):
+                if retries == 0:
+                    raise
+                retries -= 1
+                _time.sleep(0.2)
+                try:
+                    client.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                client = KafkaProducerClient(part.host, part.port)
+                continue
             if not records:
                 break  # nothing more visible yet
             for off, key, value in records:
@@ -94,7 +116,21 @@ class _Common:
         return sorted(client.metadata(self.topic)["partitions"])
 
     def _offsets(self, client, pids, ts) -> dict[str, int]:
-        return {str(p): client.list_offsets(self.topic, p, ts) for p in pids}
+        # ListOffsets is a pure read — retry a dropped connection once
+        # with a fresh client (same rationale as _read_range)
+        try:
+            return {
+                str(p): client.list_offsets(self.topic, p, ts) for p in pids
+            }
+        except (ConnectionError, OSError):
+            fresh = self._client()
+            try:
+                return {
+                    str(p): fresh.list_offsets(self.topic, p, ts)
+                    for p in pids
+                }
+            finally:
+                fresh.close()
 
 
 class KafkaStreamReader(_Common, DataSourceStreamReader):
