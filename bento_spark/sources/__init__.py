@@ -83,8 +83,8 @@ def _file_source(fmt: str):
         # OUTPUT sort key (operators/dedup.range_spread): a batch
         # pipeline ending in orderBy(key) otherwise re-executes its
         # whole processor chain inside the range exchange's
-        # boundary-sampling job (pipeline_template measured 22s -> 11s
-        # at sf1). The caller's final sort becomes sortWithinPartitions
+        # boundary-sampling job (pipeline_template isolated at sf1:
+        # 22.3s -> 16.6s warm; 47.8 -> 21.4s in the gate). The caller's final sort becomes sortWithinPartitions
         # — every processor is a narrow projection/filter, so range
         # partitioning survives to the sink and total order is
         # unchanged (range partitions concatenate in key order).
