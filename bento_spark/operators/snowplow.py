@@ -70,7 +70,16 @@ def _field_sql(name: str) -> str:
     """Same expression `_field_col` built: CASE WHEN c = '' THEN NULL
     ELSE c END (nullif desugars to exactly that CaseWhen)."""
     idx = COLUMNS.index(name) + 1  # element_at is 1-based
-    return f"nullif(element_at(__sc_arr, {idx}), '')"
+    # try_element_at, not element_at: under ANSI (Spark 4 default) a
+    # short row — fewer than 131 tab-separated fields — would throw
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT and fail the whole job; the
+    # reference parser and DuckDB's list_extract both treat missing
+    # trailing fields as unset/NULL. Identical values (and plans modulo
+    # the node name) on well-formed rows. Surfaced by the cache
+    # processor's r13 localCheckpoint, which materializes EVERY column
+    # of the upstream chain at its driver transfer — column pruning no
+    # longer shields unconsumed projections from malformed rows.
+    return f"nullif(try_element_at(__sc_arr, {idx}), '')"
 
 
 def opensnowcat(

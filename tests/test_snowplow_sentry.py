@@ -136,6 +136,19 @@ def test_unknown_field_raises(events):
         opensnowcat(events, filters={"nope": ["x"]}).collect()
 
 
+def test_short_row_yields_nulls_not_ansi_error(spark):
+    """A line with fewer than 131 tab-separated fields parses to unset
+    fields instead of throwing INVALID_ARRAY_INDEX_IN_ELEMENT_AT under
+    ANSI (try_element_at). Regression pin for the r13 docs-sweep break:
+    the cache processor's localCheckpoint materializes every upstream
+    column, so an unconsumed projection over a malformed row must not
+    fail the job (the reference parser treats missing trailing fields
+    as empty)."""
+    df = spark.createDataFrame([(1, "shop\tweb")], "id long, content string")
+    out = json.loads(opensnowcat(df).collect()[0]["event_out"])
+    assert out == {"app_id": "shop", "platform": "web"}
+
+
 def test_no_udf_in_plan(events):
     plan = opensnowcat(
         events, transforms={"user_id": {"type": "hash"}}
