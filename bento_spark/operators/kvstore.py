@@ -544,12 +544,35 @@ def kv_enrich(
     schema = StructType(list(df.schema.fields)).add(out_col, StringType())
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         client = factory()
+        # MGET is a pure read, so a dropped store connection (observed
+        # rarely at the sf1 gate: a ConnectionResetError mid-pipeline
+        # under heavy host load fails the whole query at local
+        # maxFailures=1) is safely retried on a FRESH client — the old
+        # socket is desynced after a mid-reply reset. Same rationale as
+        # the kafka source's fetch retry (sources/kafka_source.py).
+        retries = 3
         try:
             for pdf in batches:
                 keys = pdf[key_col].astype(str).tolist()
+                while True:
+                    try:
+                        vals = client.mget(keys)
+                        break
+                    except (ConnectionError, OSError):
+                        if retries == 0:
+                            raise
+                        retries -= 1
+                        _time.sleep(0.2)
+                        try:
+                            client.close()
+                        except Exception:  # noqa: BLE001
+                            pass
+                        client = factory()
                 pdf = pdf.copy()
-                pdf[out_col] = pd.array(client.mget(keys), dtype=object)
+                pdf[out_col] = pd.array(vals, dtype=object)
                 yield pdf
         finally:
             client.close()

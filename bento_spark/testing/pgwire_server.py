@@ -171,6 +171,9 @@ class _Handler(socketserver.StreamRequestHandler):
 class InProcessPgServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
+    # survive a 32-worker connection burst (default backlog of 5 resets
+    # the overflow under load — see resp_server.py / kafka_broker.py)
+    request_queue_size = 64
 
     def __init__(self):
         super().__init__(("127.0.0.1", 0), _Handler)

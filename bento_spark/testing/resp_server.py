@@ -133,6 +133,12 @@ class _Handler(socketserver.StreamRequestHandler):
 class InProcessRespServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
+    # 32 Arrow workers open their per-partition clients in one burst;
+    # socketserver's default listen backlog of 5 resets the overflow
+    # under host load (same fix as kafka_broker.py / http_echo.py —
+    # observed as a ConnectionResetError in proc_kv_enrich's MGET at
+    # the sf1 gate)
+    request_queue_size = 64
 
     def __init__(self, password: str | None = None, dribble: bool = False):
         super().__init__(("127.0.0.1", 0), _Handler)

@@ -49,6 +49,29 @@ def test_kv_write_visible_to_enrich(spark, tmp_path):
     assert all(r.got == f"v{r.k}" for r in out)
 
 
+def test_kv_enrich_retries_dropped_connection(spark):
+    """A ConnectionResetError mid-MGET is retried on a FRESH client
+    (MGET is a pure read — same rationale as the kafka source's fetch
+    retry). Regression pin for the sf1-gate flake: a reset from the
+    in-process store failed the whole query at local maxFailures=1."""
+
+    class _Flaky:
+        dropped = False  # class-level: shared across factory() calls
+
+        def mget(self, keys):
+            if not _Flaky.dropped:
+                _Flaky.dropped = True
+                raise ConnectionResetError("peer reset")
+            return [f"v{k}" for k in keys]
+
+        def close(self):
+            pass
+
+    df = spark.createDataFrame([(1,), (2,)], "k long").coalesce(1)
+    out = {r.k: r.v for r in kv_enrich(df, _Flaky, "k", "v").collect()}
+    assert out == {1: "v1", 2: "v2"}
+
+
 def test_memory_kv_snapshot(spark):
     snap = {"10": "x"}
     df = spark.createDataFrame([(10,), (11,)], "k long")
