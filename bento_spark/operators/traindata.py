@@ -52,9 +52,17 @@ def contamination_overlap(
     — the test-set-decontamination primitive: flag training documents
     whose k-gram fingerprint substantially appears in an eval set.
 
-    Plan shape: codegen'd shingling (posexplode + window lead), 8-byte
-    hashed join keys, one equi-join + one partial-aggregated groupBy.
+    Plan shape: codegen'd shingling (narrow build-array-and-explode),
+    8-byte hashed join keys, one equi-join + one partial-aggregated
+    groupBy.
     """
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    # the shingle explode + hash runs in the SCAN stage; local
+    # few-file parquet concentrates it on 1-2 tasks (guarded spread,
+    # no-op at cluster file counts — measured 17 -> 2s at sf1)
+    train = ensure_parallelism(train)
+    bench = ensure_parallelism(bench)
     tr = exploded_word_shingles(train, id_col, text_col, n=n)
     bn = (
         exploded_word_shingles(bench, id_col, text_col, n=n)
@@ -252,6 +260,11 @@ def repetition_signals(
     Two explode→partial-agg pipelines (words, n-grams) joined back on the
     doc id — linear, one shuffle each, no per-row lambdas.
     """
+    from bento_spark.operators.dedup import ensure_parallelism
+
+    # both explode pipelines run in the scan stage — spread it (guarded,
+    # no-op at cluster file counts; measured 17 -> 3s at sf1)
+    df = ensure_parallelism(df)
     base = df.select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("__txt"),

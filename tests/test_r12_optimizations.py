@@ -128,9 +128,14 @@ def test_stage_time_slices_assignment_matches_filter_form(spark, tmp_path):
     assert len(flush) == 1 and flush[0]["event_id"] == -1
 
 
-def test_semdedup_matches_unmaterialized_pairs(spark):
-    """semdedup's expr-dot + precomputed-norm pair predicate must keep
-    the keep-set identical to the plain Column-chain cosine form."""
+@pytest.mark.parametrize("threshold", [0.92, 0.3])
+def test_semdedup_matches_unmaterialized_pairs(spark, threshold):
+    """semdedup's per-cluster Arrow dominance block (r13: exact
+    left-assoc accumulation, replacing the pair self-join whose cosine
+    was evaluated interpreted inside the SortMergeJoin condition) must
+    keep the keep-set identical to the plain Column-chain cosine form.
+    threshold=0.3 pins a NON-EMPTY dominated set (the 0.92 corpus has
+    no near-dups above threshold, which would vacuously pass)."""
     from bento_spark.functions.vectors import as_double, cosine
     from bento_spark.operators.clustering import kmeans_lloyd, semdedup
 
@@ -140,7 +145,8 @@ def test_semdedup_matches_unmaterialized_pairs(spark):
     got = {
         (r["vec_id"], r["cluster"], r["keep"])
         for r in semdedup(
-            emb, "vec_id", "embedding", dim=64, k=4, iters=2, threshold=0.92
+            emb, "vec_id", "embedding", dim=64, k=4, iters=2,
+            threshold=threshold,
         ).collect()
     }
     # reference: the pre-r12 shape, Column-chain cosine, no checkpoint
@@ -155,7 +161,7 @@ def test_semdedup_matches_unmaterialized_pairs(spark):
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .filter(cosine(F.col("a.v"), F.col("b.v"), 64) >= F.lit(0.92))
+        .filter(cosine(F.col("a.v"), F.col("b.v"), 64) >= F.lit(threshold))
         .select(F.col("b.id").alias("id"))
         .distinct()
     )
@@ -165,4 +171,6 @@ def test_semdedup_matches_unmaterialized_pairs(spark):
             dominated.withColumn("__dom", F.lit(True)), "id", "left"
         ).collect()
     }
+    if threshold < 0.5:
+        assert any(not keep for _, _, keep in want)  # non-vacuous
     assert got == want
