@@ -86,6 +86,21 @@ def kmeans_lloyd(
     """Lloyd k-means; returns ``(id, cluster, dist)`` after ``iters``
     center updates. Init = the embeddings of the k smallest ids
     (deterministic, cluster j <- j-th smallest id)."""
+    from bento_spark.operators.dedup import range_spread
+
+    # every iteration's assign (Arrow UDF) + posexplode stage runs in
+    # the SCAN stage, which local few-file parquet concentrates on 1-2
+    # tasks (measured 8.0 -> 1.6s at sf1 once spread). range_spread on
+    # the id — NOT a round-robin repartition — because callers rely on
+    # the output arriving in id order (kmeans_embedding_mixture has no
+    # final orderBy; the driver hash is row-order-sensitive): range
+    # partitions concatenate in key order and the final select is
+    # narrow, so the sortWithinPartitions below reproduces the exact
+    # scan order the unspread plan emitted. Center math is unchanged:
+    # the per-(cluster, dim) round(avg, 6) updates — the only
+    # float-order-sensitive piece — were compared bit-identical
+    # spread-vs-plain at all four SFs.
+    df = range_spread(df, id_col)
     init = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"need >= {k} rows to init {k} centers")
@@ -121,7 +136,7 @@ def kmeans_lloyd(
         F.col(id_col),
         best["c"].cast("int").alias("cluster"),
         F.round(best["d"], 6).alias("dist"),
-    )
+    ).sortWithinPartitions(id_col)
 
 
 def kmeans_sql(
